@@ -1,13 +1,536 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ingest.Ingestion
+import graft.merge.ChangeSet
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import graft.table.SnapshotTable
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2 (or
+  * a §7.6 LLM-pipeline extension); `oracleSql` holds the DuckDB-equivalent
+  * SQL over the same parquet tables. Column names are aligned on both
+  * sides because the driver's compare hashes columns by name.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet has TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a nanos long —
+    * convert to a microsecond timestamp (integer division: nanos exceed
+    * double precision). The DuckDB oracles apply `CAST(ts AS TIMESTAMP)`
+    * for the same truncation.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw
+    }
+  }
+
+  // ---------------------------------------------------------------- //
+  // Ingestion scenario fixtures (shared by q10..q21 and their oracles):
+  // target = orders missing keys %13==3; source = orders missing keys
+  // %13==7, with keys %5==0 modified (newer o_orderdate, price+1000).
+  // So: inserts = %13==3, deletes = %13==7, updates = %5==0 ∩ both.
+  // ---------------------------------------------------------------- //
+
+  private val orderCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+  private def ordersTarget(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(orderCols.map(col): _*)
+      .filter(col("o_orderkey") % 13 =!= 3)
+
+  private def ordersSource(spark: SparkSession, dir: String): DataFrame = {
+    val mod = col("o_orderkey") % 5 === 0
+    t(spark, dir, "orders").select(orderCols.map(col): _*)
+      .filter(col("o_orderkey") % 13 =!= 7)
+      .withColumn("o_totalprice",
+        when(mod, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+      .withColumn("o_orderdate",
+        when(mod, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+          .otherwise(col("o_orderdate")))
+  }
+
+  // SQL twins of the fixtures, inlined into every ingestion oracle
+  private val sqlTarget =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 13 <> 3"
+  private val sqlSource =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+      | CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate END AS o_orderdate,
+      | o_orderpriority FROM orders WHERE o_orderkey % 13 <> 7""".stripMargin
+  private val withFixtures = s"WITH tgt AS ($sqlTarget), src AS ($sqlSource)"
+
+  private val ordersCfg = SourceConfig(
+    database = "graft", table = "orders",
+    naturalKeys = Seq("o_orderkey"), updatedAtFields = Seq("o_orderdate"))
+
+  private val tsTarget = Timestamp.valueOf("2026-01-01 00:00:00")
+  private val tsSource = Timestamp.valueOf("2026-02-01 00:00:00")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full-mode change-detection + copy-on-write merge pipeline.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Ingestion.applyMode(ordersSource(spark, dir), ordersTarget(spark, dir),
+      ordersCfg.copy(mode = IngestMode.Full))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7.6). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- core relational (S1/P*/A/J/X coverage on TPC-H-ish data) ----
+
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_filter_pushdown" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"))
+    }),
+
+    "q03_join_agg" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val n = broadcast(t(s, d, "nation"))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+    }),
+
+    "q04_topk_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    }),
+
+    // ---- ingestion engine: change detection (J1/J2/J3), change set,
+    //      window dedup (W1), set ops (U1/U2), merge modes (§2.12) ----
+
+    "q10_insert_detect" -> ((s, d) =>
+      ChangeSet.inserts(ordersSource(s, d), ordersTarget(s, d), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("op"))),
+
+    "q11_delete_detect" -> ((s, d) =>
+      ChangeSet.deletes(ordersSource(s, d), ordersTarget(s, d), Seq("o_orderkey"),
+          keepDeletes = false)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("op"))),
+
+    "q12_update_detect" -> ((s, d) =>
+      ChangeSet.updates(ordersSource(s, d), ordersTarget(s, d), Seq("o_orderkey"),
+          Seq("o_orderdate"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("op"))),
+
+    "q13_changeset" -> ((s, d) =>
+      ChangeSet.build(ordersSource(s, d), ordersTarget(s, d), Seq("o_orderkey"),
+          Seq("o_orderdate"), IngestFlags(), allowDeletes = true)
+        .select(col("o_orderkey"), col("o_totalprice"), col("op"))),
+
+    "q14_merge_full" -> ((s, d) =>
+      Ingestion.applyMode(ordersSource(s, d), ordersTarget(s, d),
+        ordersCfg.copy(mode = IngestMode.Full))),
+
+    "q15_merge_incremental" -> ((s, d) =>
+      Ingestion.applyMode(ordersSource(s, d), ordersTarget(s, d),
+        ordersCfg.copy(mode = IngestMode.Incremental))),
+
+    "q16_merge_cdc" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      // target = earliest event per user (deterministic)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val tgt = ev.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      val batch = ev.withColumn("op",
+        when(col("event_id") % 10 === 0, "D").otherwise("U"))
+      Ingestion.applyMode(batch, tgt,
+        SourceConfig("graft", "events_cdc", Seq("user_id"), Seq("ts", "event_id"),
+          mode = IngestMode.Cdc))
+    }),
+
+    "q17_merge_softdelete" -> ((s, d) => {
+      val src = Ingestion.stamp(ordersSource(s, d), tsSource, keepDeletes = true)
+      val tgt = Ingestion.stamp(ordersTarget(s, d), tsTarget, keepDeletes = true)
+      Ingestion.applyMode(src, tgt, ordersCfg.copy(mode = IngestMode.Full,
+        flags = IngestFlags(keepDeletes = true)))
+    }),
+
+    "q18_cdc_dedup" -> ((s, d) =>
+      ChangeSet.dedupLatest(
+          events(s, d).select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type")),
+          Seq("user_id"), Seq("ts"), tiebreakers = Seq("event_id"))),
+
+    "q19_exceptall_diff" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+      val b = t(s, d, "lineitem").filter(col("l_linenumber") =!= 3)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+    }),
+
+    "q20_replace" -> ((s, d) =>
+      Ingestion.applyMode(ordersSource(s, d), ordersTarget(s, d),
+        ordersCfg.copy(mode = IngestMode.Replace))),
+
+    "q21_snapshot_lifecycle" -> ((s, d) => {
+      // storage-backed: CTAS v1 (partitioned) → CoW merge v2 → read back
+      val root = Files.createTempDirectory("graft-table-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      val cfg = ordersCfg.copy(mode = IngestMode.Full,
+        partitionColumns = Seq("part_bucket"))
+      Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
+      Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
+      table.read(s).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    // ---- LLM-pipeline extensions (§7.6) ----
+
+    "q30_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q31_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(
+          t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+        .drop("text")),
+
+    "q32_token_counts" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))),
+
+    "q33_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    "q34_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        md5(substring(col("text"), 1, 64)).as("fp_head"))),
+
+    "q35_minhash_neardup" -> ((s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+
+    "q36_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text")),
+
+    "q37_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(
+        t(s, d, "documents").withColumn("len_bucket", (col("n_chars") / lit(100)).cast("long")),
+        "doc_id", "text", blockCols = Seq("lang", "len_bucket"),
+        threshold = 0.5)),
+
+    "q38_embed_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
+          "vec_id", "embedding", k = 10)
+        .drop("cosine")
+    }),
+
+    "q39_embed_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+          emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 10, nProbe = 4)
+        .drop("cosine")
+    }),
+
+    "q40_image_meta" -> ((s, d) =>
+      Multimodal.decodeImages(s,
+          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
+        .toDF()),
+
+    "q41_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeImages(s,
+          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
+          .toDF(), step = 24)),
+
+    "q42_audio_meta" -> ((s, d) =>
+      Multimodal.audioMeta(
+        Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))),
+
+    // ---- streaming (§7.6) ----
+
+    "q50_stream_hourly" -> ((s, d) =>
+      EventStream.hourlyWindowed(s, s"$d/events.parquet",
+        s"graft_stream_${System.nanoTime()}")),
+
+    "q51_sessionize" -> ((s, d) =>
+      EventStream.sessionize(events(s, d)))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the hash-internal operators
+    * (minhash/simhash/IVF/bucket) → driver records a rows-only check;
+    * those are verified against brute-force baselines in ScalaTest.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q10_insert_detect" -> (withFixtures +
+      """ SELECT s.o_orderkey, s.o_orderstatus, 'I' AS op FROM src s
+        |WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)""".stripMargin),
+
+    "q11_delete_detect" -> (withFixtures +
+      """ SELECT t.o_orderkey, t.o_orderstatus, 'D' AS op FROM tgt t
+        |WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin),
+
+    "q12_update_detect" -> (withFixtures +
+      """ SELECT s.o_orderkey, s.o_totalprice, 'U' AS op FROM src s
+        |WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |  AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q13_changeset" -> (withFixtures +
+      """ SELECT s.o_orderkey, s.o_totalprice, 'I' AS op FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT t.o_orderkey, t.o_totalprice, 'D' AS op FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |UNION ALL
+        |SELECT s.o_orderkey, s.o_totalprice, 'U' AS op FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q14_merge_full" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q15_merge_incremental" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q16_merge_cdc" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |tgt AS (SELECT * FROM ev QUALIFY row_number()
+        |  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1),
+        |batch AS (SELECT *, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op FROM ev),
+        |latest AS (SELECT * FROM batch QUALIFY row_number()
+        |  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT t.* FROM tgt t
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = t.user_id)
+        |UNION ALL
+        |SELECT user_id, event_id, ts, event_type, value FROM latest WHERE op <> 'D'""".stripMargin,
+
+    "q17_merge_softdelete" -> (withFixtures +
+      """, tgt2 AS (SELECT *, TIMESTAMP '2026-01-01 00:00:00' AS ingestion_datetime, false AS hard_deleted FROM tgt),
+        |src2 AS (SELECT *, TIMESTAMP '2026-02-01 00:00:00' AS ingestion_datetime, false AS hard_deleted FROM src)
+        |SELECT t.* FROM tgt2 t
+        |  WHERE EXISTS (SELECT 1 FROM src2 s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src2 s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src2 s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt2 t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src2 s
+        |  WHERE EXISTS (SELECT 1 FROM tgt2 t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+        |  t.o_orderdate, t.o_orderpriority, t.ingestion_datetime, true AS hard_deleted
+        |FROM tgt2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM src2 s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin),
+
+    "q18_cdc_dedup" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q19_exceptall_diff" ->
+      """WITH a AS (SELECT l_orderkey, l_returnflag FROM lineitem),
+        |b AS (SELECT l_orderkey, l_returnflag FROM lineitem WHERE l_linenumber <> 3)
+        |(SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |(SELECT * FROM b EXCEPT ALL SELECT * FROM a)""".stripMargin,
+
+    "q20_replace" -> (withFixtures + " SELECT * FROM src"),
+
+    "q21_snapshot_lifecycle" -> (withFixtures +
+      """ SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q30_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q31_quality" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) AS digit_ratio,
+        | round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) AS punct_ratio,
+        | round(length(regexp_replace(text, '[^ ]', '', 'g')) / length(text), 6) AS space_ratio,
+        | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | round(length(replace(text, ' ', '')) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1.0), 6) AS avg_word_len,
+        | CAST(floor(greatest(0.0, least(1.0,
+        |   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) * 0.6
+        |   + round(length(regexp_replace(text, '[^ ]', '', 'g')) / length(text), 6) * 1.2
+        |   - round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) * 0.8
+        |   - round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) * 0.5
+        |   + least(round(length(replace(text, ' ', '')) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1.0), 6), 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_e6
+        |FROM documents""".stripMargin,
+
+    "q32_token_counts" ->
+      """SELECT doc_id,
+        | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        | CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |   w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q33_lang_id" ->
+      langIdOracle,
+
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | md5(substring(text, 1, 64)) AS fp_head
+        |FROM documents""".stripMargin,
+
+    "q38_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |  list_cosine_similarity(qv, cv) AS cosine FROM q, c
+        |  WHERE query_id <> neighbor_id)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
+        |WHERE rnk <= 10""".stripMargin,
+
+    "q40_image_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+        | 3 AS channels, 'fake/rgb8' AS format
+        |FROM documents""".stripMargin,
+
+    "q41_frame_sample" ->
+      """WITH img AS (SELECT doc_id AS id,
+        |  CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS n_frames FROM documents)
+        |SELECT id, n_frames, CAST(unnest(range(0, n_frames, 24)) AS INT) AS frame_idx
+        |FROM img""".stripMargin,
+
+    "q42_audio_meta" ->
+      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
+        | octet_length(encode(text)) // 2 AS n_samples,
+        | round((octet_length(encode(text)) // 2) / 16000.0, 6) AS duration_s
+        |FROM documents""".stripMargin,
+
+    "q50_stream_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q51_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |e2 AS (SELECT user_id, event_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM e2),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        | count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM g GROUP BY 1, 2""".stripMargin
+  )
+
+  private def langIdOracle: String = {
+    def score(lang: String, words: Seq[String]): String =
+      words.map(w =>
+        s"(length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2}")
+        .mkString(" + ")
+    val en = score("en", Seq("the", "and", "of", "to", "is"))
+    val es = score("es", Seq("el", "la", "de", "que", "los"))
+    val de = score("de", Seq("der", "und", "die", "das", "ist"))
+    val fr = score("fr", Seq("le", "et", "les", "des", "est"))
+    s"""WITH padded AS (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
+       |scored AS (SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr FROM padded)
+       |SELECT doc_id, CASE
+       |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |  WHEN s_de >= s_fr THEN 'de'
+       |  ELSE 'fr' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
 }

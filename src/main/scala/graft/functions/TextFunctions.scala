@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column builders: normalization, tokenization, shingling,
+  * MinHash signatures, SimHash. All are compositions of codegen'd built-in
+  * functions except where noted; each is a deterministic pure function of
+  * its input so results are reproducible across runs and cluster sizes
+  * (SURVEY.md §7.6 — LLM-data-pipeline operators).
+  */
+object TextFunctions {
+
+  /** Lowercase, strip non-alphanumerics to spaces, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Word n-gram shingles: sliding windows of `n` tokens joined by a
+    * space. `transform(sequence(...))` keeps this in Catalyst (array ops),
+    * no UDF. Returns an empty array when the document has < n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-bit hashes of each distinct shingle (xxhash64, Spark built-in). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(wordShingles(text, n)), s => xxhash64(s))
+
+  /** Large prime modulus for the universal-hash family. */
+  final val MinHashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Deterministic multiplier/offset pairs for the k-function MinHash
+    * family h_i(x) = ((a_i * x + b_i) mod p). Constants are fixed odd
+    * multipliers derived from the function index — reproducible everywhere
+    * with no RNG state.
+    */
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = 2L * (i * 0x9E3779B9L % 1048573L) + 1 // odd, well spread
+      val b = (i * 0x85EBCA6BL + 0x165667B1L) % MinHashPrime
+      (a, b)
+    }
+
+  /** MinHash signature: array of k minima over the shingle-hash set.
+    * Pure Catalyst array expressions; one pass over the shingles per hash
+    * function. Empty-shingle docs get signature of p (max sentinel).
+    */
+  def minhashSignature(shingleHashCol: Column, k: Int): Column = {
+    val p = MinHashPrime
+    val mins = minhashParams(k).map { case (a, b) =>
+      coalesce(
+        array_min(transform(shingleHashCol,
+          h => pmod(pmod(h, lit(p)) * a + b, lit(p)))),
+        lit(p))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of `rowsPerBand`
+    * values, each group hashed to one long — docs sharing any band key are
+    * near-dup candidates.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(lit(j), concat_ws(",",
+        slice(signature, j * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+    }: _*)
+
+  /** 64-bit SimHash from an array of shingle hashes: per-bit majority vote.
+    * Implemented as a Scala UDF (per-row loop over 64 bits x shingles) —
+    * acceptable here because the array is small and the alternative is 64
+    * aggregate expressions; a TypedImperativeAggregate would be the
+    * cluster-scale form for streaming accumulation.
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { hashes: Seq[Long] =>
+      if (hashes == null || hashes.isEmpty) 0L
+      else {
+        val counts = new Array[Int](64)
+        hashes.foreach { h =>
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var out = 0L
+        var b = 0
+        while (b < 64) {
+          if (counts(b) > 0) out |= (1L << b)
+          b += 1
+        }
+        out
+      }
+    }
+
+  /** Hamming distance between two 64-bit simhashes (codegen'd built-ins). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Exact Jaccard similarity of two string-array columns (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
+  }
+}

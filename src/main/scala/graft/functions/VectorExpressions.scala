@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two `array<float>` columns,
+  * accumulated in double. This is the inner loop of similarity search
+  * (SURVEY.md §7.6) — a custom `Expression` with `doGenCode` so the
+  * embedding scan + scoring stays inside whole-stage codegen, vs the
+  * `zip_with`/`aggregate` higher-order-function formulation which falls
+  * back to interpreted lambda evaluation per element.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.functions._
+
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  /** dot(a, b) over float vectors, double accumulator, codegen'd. */
+  def vectorDot(a: Column, b: Column): Column =
+    GraftBridge.column(FloatVectorDot(expr(a), expr(b)))
+
+  /** L2 norm of a float vector. */
+  def vectorNorm(a: Column): Column = sqrt(vectorDot(a, a))
+
+  /** Cosine similarity; callers should precompute norms per side once
+    * (norm per row, not per pair) and use `vectorDot(a,b)/(na*nb)` — this
+    * convenience form recomputes norms and is for small inputs only.
+    */
+  def cosine(a: Column, b: Column): Column =
+    vectorDot(a, b) / (vectorNorm(a) * vectorNorm(b))
+}

@@ -1,0 +1,99 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.merge.{ChangeSet, Merge}
+import graft.table.SnapshotTable
+
+/** End-to-end ingestion runner: the Scala-Spark re-expression of the
+  * reference's `create_or_update_iceberg_table`
+  * (reference: src/data_ingestion/common/iceberg.py:82-244) over our
+  * [[graft.table.SnapshotTable]] layer. The mode × flag semantics matrix is
+  * SURVEY.md §2.12.
+  */
+object Ingestion {
+  import MetaColumns._
+
+  /** Lowercase all column names (reference: DMS sources arrive mixed-case,
+    * ingestion/dmsdatabase1.py:60-63).
+    */
+  def lowercaseColumns(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** Stamp the engine meta columns onto a source batch (reference:
+    * common/iceberg.py:105,126-128 — `ingestion_datetime` always,
+    * `hard_deleted=false` when keeping deletes).
+    */
+  def stamp(df: DataFrame, ingestionTs: Timestamp, keepDeletes: Boolean): DataFrame = {
+    val withTs = df.withColumn(IngestionDatetime, lit(ingestionTs))
+    if (keepDeletes) withTs.withColumn(HardDeleted, lit(false)) else withTs
+  }
+
+  /** Pure (DataFrame-in/DataFrame-out) merge pipeline: given the source
+    * batch and current target contents, produce the NEW target contents for
+    * the given mode. This is the engine's analytical core, independent of
+    * storage, and what the DuckDB-oracle queries exercise.
+    *
+    * For Cdc, `source` must carry an `op` column with values I/U/D.
+    */
+  def applyMode(source: DataFrame, target: DataFrame, cfg: SourceConfig): DataFrame =
+    cfg.mode match {
+      case IngestMode.Replace => source
+      case IngestMode.Cdc =>
+        val deduped = ChangeSet.dedupLatest(source, cfg.naturalKeys, cfg.updatedAtFields)
+        Merge(target, deduped, cfg.naturalKeys, cfg.flags.keepDeletes)
+      case IngestMode.Full | IngestMode.Incremental =>
+        val allowDeletes = cfg.mode == IngestMode.Full
+        val cachedTarget = target.cache() // read by all 3 diff legs (iceberg.py:153-158)
+        val changes = ChangeSet.build(source, cachedTarget, cfg.naturalKeys,
+          cfg.updatedAtFields, cfg.flags, allowDeletes)
+        Merge(cachedTarget, changes, cfg.naturalKeys, cfg.flags.keepDeletes)
+    }
+
+  /** Full storage-backed run against a SnapshotTable (reference flow:
+    * ingestion/salesforce.py:60-77 — create-or-update, cleanup,
+    * monthly compaction). First load = CTAS (common/iceberg.py:122-149),
+    * with the CDC `op` column dropped on bootstrap (:130-132).
+    */
+  def run(spark: SparkSession, table: SnapshotTable, rawBatch: DataFrame,
+          cfg: SourceConfig, ingestionTs: Timestamp): Unit = {
+    val source = stamp(lowercaseColumns(rawBatch), ingestionTs, cfg.flags.keepDeletes)
+    val props = Map(
+      "write.parquet.compression-codec" -> cfg.optimize.codec,
+      "write.target-file-size-bytes" -> (64L * 1024 * 1024).toString)
+    if (cfg.mode == IngestMode.Replace || !table.exists) {
+      val initial =
+        if (cfg.mode == IngestMode.Cdc) source.drop(Op) else source
+      table.createOrReplace(initial, cfg.partitionColumns, props)
+    } else cfg.mode match {
+      case IngestMode.Cdc =>
+        val deduped = ChangeSet.dedupLatest(source, cfg.naturalKeys, cfg.updatedAtFields)
+        table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes)
+      case _ =>
+        val target = table.read(spark).cache()
+        val allowDeletes = cfg.mode == IngestMode.Full
+        val changes = ChangeSet.build(source, target, cfg.naturalKeys,
+          cfg.updatedAtFields, cfg.flags, allowDeletes)
+        table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes)
+    }
+  }
+
+  /** The reference's own correctness oracle (`--test`): symmetric multiset
+    * difference between re-read source and the ingested table must be
+    * empty (reference: common/iceberg.py:291-301 — drop
+    * `ingestion_datetime`, filter + drop `hard_deleted`, dual `exceptAll`,
+    * count == 0).
+    */
+  def diffCount(spark: SparkSession, table: SnapshotTable, source: DataFrame,
+                keepDeletes: Boolean): Long = {
+    var t = table.read(spark).drop(IngestionDatetime)
+    if (keepDeletes)
+      t = t.filter(col(HardDeleted) === lit(false)).drop(HardDeleted)
+    val s = lowercaseColumns(source).select(t.columns.map(col).toSeq: _*)
+    t.exceptAll(s).unionByName(s.exceptAll(t)).count()
+  }
+}

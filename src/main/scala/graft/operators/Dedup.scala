@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.TextAnalysis.fingerprint
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (SURVEY.md §7.6): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - exact dedup is one hash-aggregate on the fingerprint — a single
+  *    shuffle keyed by a 128-bit digest, no skew (digests are uniform);
+  *  - MinHash/LSH shuffles only (band-key, doc-id) pairs (k·b longs per
+  *    doc, not the text), then joins candidates back for verification —
+  *    the classic shingle→minhash→band→bucket-join pipeline;
+  *  - degenerate LSH buckets (boilerplate-heavy corpora) are capped to
+  *    avoid the quadratic bucket explosion — the cap is observable, not
+  *    silent (bucket sizes are available via `bucketStats`);
+  *  - all candidate verification is done pairwise AFTER the candidate
+  *    join, so the expensive exact-Jaccard runs on candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per normalized-text
+    * fingerprint (deterministic representative).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("fp", fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * Jaccard on distinct word shingles.
+    *
+    * @param shingleN       word n-gram size
+    * @param k              MinHash signature length
+    * @param bands          LSH bands (k = bands * rowsPerBand)
+    * @param threshold      exact-Jaccard verification threshold
+    * @param maxBucketSize  drop degenerate LSH buckets larger than this
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.6,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = k / bands
+    val withShingles = docs
+      .select(col(idCol).as("id"),
+        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
+      .withColumn("sig", minhashSignature(transform(col("shingles"), xxhash64(_)), k))
+    val bandRows = withShingles
+      .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+    // cap degenerate buckets BEFORE the self-join (skew guard)
+    val okBuckets = bandRows.groupBy("band", "bkey").count()
+      .filter(col("count") <= maxBucketSize && col("count") >= 2)
+      .select("band", "bkey")
+    val inBuckets = bandRows.join(okBuckets, Seq("band", "bkey"))
+    val candidates = inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val sh = withShingles.select(col("id"), col("shingles"))
+    candidates
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** LSH bucket-size distribution — observability for the skew cap. */
+  def bucketStats(docs: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    val rowsPerBand = k / bands
+    docs.select(col(idCol).as("id"),
+        minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
+      .select(col("id"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bkey"))
+      .groupBy("bkey").count()
+      .groupBy(col("count").as("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates = equal 16-bit
+    * sub-bands (any of 4), verified by Hamming distance <= maxHamming.
+    * The sub-band trick bounds the self-join exactly like MinHash LSH.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, maxHamming: Int = 8): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(shingleHashes(col(textCol), shingleN)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Brute-force n-gram Jaccard pairs within blocking groups. Blocking on
+    * (lang, length bucket) bounds the quadratic comparison to same-group
+    * pairs — the exactness baseline the LSH variants are tested against.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], shingleN: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select((col(idCol).as("id") +: blockCols.map(col)) :+
+      array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"): _*)
+    val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.id") < col("b.id")
+    sh.alias("a").join(sh.alias("b"), cond)
+      .withColumn("jaccard", round(jaccard(col("a.shingles"), col("b.shingles")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
+    * Candidates are bounded by LSH over random hyperplane signs when
+    * `signBits > 0` (same skew-bounded self-join shape as simhash);
+    * signBits = 0 means exact all-pairs (test scale only).
+    */
+  def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, signBits: Int = 0): DataFrame = {
+    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", vectorNorm(col("v")))
+    val withKey =
+      if (signBits <= 0) base.withColumn("bkey", lit(0L))
+      else base.withColumn("bkey", Similarity.hyperplaneKey(col("v"), signBits))
+    withKey.alias("a").join(withKey.alias("b"),
+        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        round(vectorDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+}

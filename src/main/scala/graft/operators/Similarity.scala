@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`) — SURVEY.md §7.6.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. One shuffle (the per-query
+  *    rank window). The correctness baseline.
+  *  - [[ivfTopK]]: IVF-style — assign vectors to their nearest centroid
+  *    once, probe only `nProbe` nearest centroid cells per query. At 100 TB
+  *    this turns an all-pairs O(Q·N) scan into O(Q·N·nProbe/C): the
+  *    centroid set is broadcast (tiny), cell assignment is a map-side
+  *    computation, and the candidate join is an equi-join on cell id —
+  *    shuffle bounded by candidate rows, with AQE handling cell skew.
+  *
+  * Norms are computed once per row (not per pair) and the dot product is
+  * the codegen'd [[graft.functions.FloatVectorDot]].
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane sign key: `bits` sign bits of
+    * projections onto fixed hash-derived hyperplanes. Used as the LSH
+    * bucket key for cosine candidates. Pure column expressions.
+    */
+  def hyperplaneKey(vec: Column, bits: Int): Column = {
+    // hyperplane j component i = ((hash(i,j) mod 1001) - 500) / 500.0
+    def proj(j: Int): Column =
+      aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            ((pmod(hash(i, lit(j)).cast("long"), lit(1001L)) - 500L).cast("double") / 500.0)),
+        lit(0.0), (acc, x) => acc + x)
+    (0 until bits).map(j => when(proj(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Exact cosine top-k: for each query vector, the k nearest neighbors
+    * (excluding itself). Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", vectorNorm(col("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", vectorNorm(col("cv")))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF-style ANN: cluster by nearest centroid, probe nProbe cells.
+    *
+    * `centroids` plays the role of a trained coarse quantizer; any small
+    * deterministic sample works for the plumbing (k-means would slot in
+    * identically). Both centroid joins are broadcast.
+    */
+  def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
+              queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cent_v"))
+      .withColumn("cent_n", vectorNorm(col("cent_v"))))
+
+    // cell assignment: nearest centroid per vector (map-side: broadcast join + window)
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cell_id").asc)
+      df.select(col(id), col(v)).withColumn("vn", vectorNorm(col(v)))
+        .crossJoin(cent)
+        .withColumn("cent_sim",
+          vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("cent_v", "cent_n", "cent_sim", "cell_rank")
+    }
+
+    val indexed = assign(embeddings, idCol, vecCol, 1)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "cv")
+      .withColumnRenamed("vn", "cn")
+    val probed = assign(queries, idCol, vecCol, nProbe)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed(vecCol, "qv")
+      .withColumnRenamed("vn", "qn")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(indexed, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,382 @@
+package graft.table
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.MetaColumns
+import graft.merge.Merge
+
+/** One snapshot's manifest: the complete list of live data files plus
+  * table metadata. Replaces Iceberg's snapshot/manifest machinery
+  * (reference: src/data_ingestion/common/iceberg.py — snapshots, `.files`
+  * metadata table :272-278, expire_snapshots :253-259, remove_orphan_files
+  * :260-262, rewrite_data_files :264-270) since no Iceberg runtime jar is
+  * available offline (SURVEY.md §7.1/§7.3).
+  */
+final case class Manifest(
+    version: Long,
+    timestampMs: Long,
+    schemaDdl: String,
+    // data files relative to the table root, each with its partition values
+    files: Seq[FileEntry],
+    partitionColumns: Seq[String],
+    properties: Map[String, String])
+
+final case class FileEntry(path: String, partition: Map[String, String])
+
+/** A versioned Parquet table with a tiny snapshot log.
+  *
+  * Layout under `root/`:
+  * {{{
+  *   data/v<N>/[p=<v>/]part-*.parquet    -- files written at snapshot N
+  *   meta/v<N>.json                      -- manifest (full live-file list)
+  *   meta/_current                       -- commit pointer (version number)
+  * }}}
+  *
+  * Commit = write data dir + manifest, then atomically move a temp pointer
+  * over `_current` — single-writer, same assumption as the reference
+  * (Airflow `max_active_runs=1`, dags/data_ingestion_dms.py:85).
+  *
+  * A manifest may reference files from OLDER data dirs: a partition-scoped
+  * copy-on-write merge rewrites only the files of partitions touched by
+  * the change set and carries the rest forward — the property that makes
+  * CoW merge viable at 100 TB (rewriting only affected partitions, like
+  * Iceberg CoW, instead of the whole table).
+  */
+final class SnapshotTable(val root: Path) {
+  private def metaDir = root.resolve("meta")
+  private def dataDir = root.resolve("data")
+  private def pointer = metaDir.resolve("_current")
+
+  def exists: Boolean = Files.exists(pointer)
+
+  def currentVersion: Long =
+    new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toLong
+
+  def currentManifest: Manifest = manifest(currentVersion)
+
+  def manifest(v: Long): Manifest =
+    ManifestJson.read(metaDir.resolve(s"v$v.json"))
+
+  def manifestVersions: Seq[Long] =
+    if (!Files.exists(metaDir)) Nil
+    else Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+
+  /** Read the current snapshot. With `partitionFilter`, only files whose
+    * partition values pass are read at all — manifest-level pruning, no
+    * file listing or footer reads for pruned partitions.
+    *
+    * Partitioned snapshots are written hive-style (`k=v` dirs), so the
+    * partition column values live in the path, not the files; reads group
+    * the file list by snapshot data dir and set `basePath` per group so
+    * Spark reconstructs the partition columns, then union the groups (a
+    * manifest can reference files from several snapshot dirs after a
+    * partition-scoped merge).
+    */
+  def read(spark: SparkSession,
+           partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+    val m = currentManifest
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val sel = m.files.filter(f => partitionFilter(f.partition))
+    if (sel.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    if (m.partitionColumns.isEmpty) {
+      spark.read.schema(schema)
+        .parquet(sel.map(f => root.resolve(f.path).toString): _*)
+        .select(cols: _*)
+    } else {
+      sel.groupBy(_.path.split('/').take(2).mkString("/")) // data/vN
+        .map { case (base, fs) =>
+          spark.read.schema(schema)
+            .option("basePath", root.resolve(base).toString)
+            .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        }
+        .reduce(_ unionByName _)
+        .select(cols: _*)
+    }
+  }
+
+  /** `.files` metadata relation (reference: common/iceberg.py:272-278
+    * `SELECT file_path FROM db.table.files`).
+    */
+  def files(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    currentManifest.files.map(f => (root.resolve(f.path).toString,
+      f.partition.map { case (k, v) => s"$k=$v" }.mkString("/")))
+      .toDF("file_path", "partition")
+  }
+
+  /** CTAS create-or-replace (reference: common/iceberg.py:111-119 CREATE OR
+    * REPLACE TABLE ... AS SELECT). Data is hash-distributed on the
+    * partition columns (if any) and written one directory per snapshot.
+    */
+  def createOrReplace(df: DataFrame, partitionColumns: Seq[String] = Nil,
+                      properties: Map[String, String] = Map.empty,
+                      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val v = if (exists) currentVersion + 1 else 1L
+    commitData(df, v, partitionColumns, properties, nowMs)
+  }
+
+  /** Copy-on-write MERGE of an I/U/D change set, committed as a new
+    * snapshot. When the table is partitioned and the change set is small,
+    * only files of AFFECTED partitions are rewritten; all other files are
+    * carried into the new manifest untouched — at 100 TB this is the
+    * difference between rewriting gigabytes and rewriting everything.
+    */
+  def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
+            keepDeletes: Boolean,
+            nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    if (m.partitionColumns.isEmpty) {
+      val merged = Merge(read(spark), changes, keys, keepDeletes)
+      commitData(merged, m.version + 1, m.partitionColumns, m.properties, nowMs)
+    } else {
+      // partition-scoped rewrite: collect the (small, bounded) set of
+      // partition values present in the change set — one row per
+      // partition, NOT per change row
+      val pcols = m.partitionColumns
+      val touched: Set[Map[String, String]] =
+        changes.select(pcols.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
+          .toSet
+      val affectedTarget = read(spark, p => touched.contains(p))
+      val merged = Merge(affectedTarget, changes, keys, keepDeletes)
+      val carried = m.files.filterNot(f => touched.contains(f.partition))
+      commitData(merged, m.version + 1, pcols, m.properties, nowMs,
+        carryForward = carried)
+    }
+  }
+
+  /** Bin-pack compaction toward the target file size (reference:
+    * rewrite_data_files, common/iceberg.py:264-270; 64 MB target
+    * common/iceberg.py:59). Rewrites the whole current snapshot into
+    * ceil(totalBytes / target) files.
+    */
+  def compact(spark: SparkSession,
+              targetFileBytes: Long = 64L * 1024 * 1024,
+              nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = read(spark).repartition(nFiles)
+    commitData(df, m.version + 1, m.partitionColumns, m.properties, nowMs)
+  }
+
+  /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259
+    * with 90-day / keep-≥90 retention from table properties :54-58).
+    * Removes expired manifests and any data files no retained manifest
+    * references.
+    */
+  def expireSnapshots(maxAgeMs: Long = 90L * 24 * 3600 * 1000,
+                      minSnapshotsToKeep: Int = 90,
+                      nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val versions = manifestVersions
+    val cur = currentVersion
+    val candidates = versions.filter(_ != cur).sorted
+    val keepCount = math.max(0, minSnapshotsToKeep - 1) // current always kept
+    val byAge = candidates.filter(v => nowMs - manifest(v).timestampMs > maxAgeMs)
+    val expired = byAge.dropRight(math.max(0, keepCount - (candidates.size - byAge.size)))
+    if (expired.isEmpty) return Nil
+    val retained = versions.diff(expired)
+    val live: Set[String] = retained.flatMap(v => manifest(v).files.map(_.path)).toSet
+    expired.foreach { v =>
+      manifest(v).files.filterNot(f => live(f.path))
+        .foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+      Files.deleteIfExists(metaDir.resolve(s"v$v.json"))
+    }
+    expired
+  }
+
+  /** Orphan-file removal (reference: remove_orphan_files,
+    * common/iceberg.py:260-262): deletes files under data/ that no
+    * retained manifest references.
+    */
+  def removeOrphanFiles(): Seq[String] = {
+    val live: Set[String] =
+      manifestVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
+    if (!Files.exists(dataDir)) return Nil
+    val all = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => root.relativize(p).toString).toSeq
+    val orphans = all.filterNot(live)
+    orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    orphans
+  }
+
+  // ---- commit machinery ----
+
+  private def commitData(df: DataFrame, v: Long, pcols: Seq[String],
+                         props: Map[String, String], nowMs: Long,
+                         carryForward: Seq[FileEntry] = Nil): Manifest = {
+    val dir = dataDir.resolve(s"v$v")
+    val writer = df.write.mode("overwrite")
+      .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
+    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
+      .parquet(dir.toString)
+    val written = listParquet(dir).map { p =>
+      val rel = root.relativize(p).toString
+      FileEntry(rel, partitionOf(rel, pcols))
+    }
+    val m = Manifest(v, nowMs, df.schema.toDDL, written ++ carryForward,
+      pcols, props)
+    Files.createDirectories(metaDir)
+    ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
+    val tmp = metaDir.resolve(s"_current.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    m
+  }
+
+  private def listParquet(dir: Path): Seq[Path] =
+    Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+
+  /** Parse hive-style `k=v` partition dirs out of a relative file path. */
+  private def partitionOf(rel: String, pcols: Seq[String]): Map[String, String] = {
+    val parts = rel.split('/').filter(_.contains('='))
+      .map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    pcols.flatMap(c => parts.get(c).map(c -> _)).toMap
+  }
+}
+
+object SnapshotTable {
+  def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
+}
+
+/** Minimal JSON codec for manifests — flat structure, no external deps. */
+private object ManifestJson {
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private def q(s: String) = "\"" + esc(s) + "\""
+  private def obj(m: Map[String, String]) =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
+      .mkString("{", ",", "}")
+
+  def write(p: Path, m: Manifest): Unit = {
+    val files = m.files.map(f => s"""{"path":${q(f.path)},"partition":${obj(f.partition)}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
+      s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
+      s""""properties":${obj(m.properties)},"files":$files}"""
+    Files.write(p, json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  // hand-rolled parser for exactly the JSON `write` produces
+  def read(p: Path): Manifest = {
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+    Manifest(
+      version = parsed("version").asInstanceOf[Double].toLong,
+      timestampMs = parsed("timestampMs").asInstanceOf[Double].toLong,
+      schemaDdl = parsed("schemaDdl").asInstanceOf[String],
+      files = parsed("files").asInstanceOf[List[Any]].map { f =>
+        val fm = f.asInstanceOf[Map[String, Any]]
+        FileEntry(fm("path").asInstanceOf[String],
+          fm("partition").asInstanceOf[Map[String, Any]]
+            .map { case (k, v) => k -> v.asInstanceOf[String] })
+      },
+      partitionColumns = parsed("partitionColumns").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[String]),
+      properties = parsed("properties").asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> v.asInstanceOf[String] })
+  }
+}
+
+/** Tiny recursive-descent JSON parser (objects → Map, arrays → List,
+  * numbers → Double, strings → String, booleans/null) — enough for our
+  * own manifests; avoids any external dependency (offline build).
+  */
+private object JsonLite {
+  def parse(s: String): Any = {
+    val it = new Cursor(s)
+    val v = it.value()
+    it.ws()
+    v
+  }
+  private final class Cursor(s: String) {
+    private var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws(); require(i < s.length && s.charAt(i) == c, s"expected $c at $i"); i += 1
+    }
+    def value(): Any = {
+      ws()
+      s.charAt(i) match {
+        case '{' => objValue()
+        case '[' => arrValue()
+        case '"' => strValue()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _   => numValue()
+      }
+    }
+    private def objValue(): Map[String, Any] = {
+      expect('{'); ws()
+      val b = Map.newBuilder[String, Any]
+      if (s.charAt(i) == '}') { i += 1; return b.result() }
+      var done = false
+      while (!done) {
+        ws(); val k = strValue(); expect(':'); val v = value(); b += (k -> v)
+        ws()
+        if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def arrValue(): List[Any] = {
+      expect('['); ws()
+      val b = List.newBuilder[Any]
+      if (s.charAt(i) == ']') { i += 1; return b.result() }
+      var done = false
+      while (!done) {
+        b += value(); ws()
+        if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def strValue(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case '"' => sb += '"'; case '\\' => sb += '\\'; case '/' => sb += '/'
+            case 'n' => sb += '\n'; case 'r' => sb += '\r'; case 't' => sb += '\t'
+            case 'b' => sb += '\b'; case 'f' => sb += '\f'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+          }
+        } else sb += s.charAt(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def numValue(): Double = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i).toDouble
+    }
+  }
+}

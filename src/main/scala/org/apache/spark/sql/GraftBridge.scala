@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into `private[sql]` Spark internals (Spark 4.x moved the
+  * Column ↔ Expression conversions behind `org.apache.spark.sql.classic`).
+  * Lives in the `org.apache.spark.sql` package solely to satisfy the
+  * `private[sql]` access modifier — the one sanctioned way to build
+  * `Column`s from custom Catalyst `Expression`s without Spark Connect.
+  */
+object GraftBridge {
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
+  /** Register an expression builder for SQL usage. */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+}
