@@ -215,6 +215,14 @@ object SparkEntry {
       table.read(s).drop(MetaColumns.IngestionDatetime)
     }),
 
+    "q22_bucket_transform" -> ((s, d) =>
+      // Iceberg-spec bucket transform (UD1) + write-clustering sort (X2):
+      // murmur-based so no SQL oracle; self-consistency is in ScalaTest
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          graft.functions.VectorFunctions.icebergBucket(col("o_orderkey"), 8).as("bucket"))
+        .sortWithinPartitions(col("bucket"))),
+
     // ---- LLM-pipeline extensions (§7.6) ----
 
     "q30_dedup_exact" -> ((s, d) =>

@@ -51,6 +51,23 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Iceberg-spec bucket transform as a codegen'd unary expression
+  * (see [[Bucket]] for the hash; reference:
+  * src/data_ingestion/ingestion/dmsdatabase1.py:18-24).
+  */
+case class IcebergBucketExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n > 0, "bucket count must be positive")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "iceberg_bucket"
+  override def nullSafeEval(v: Any): Any =
+    Bucket.bucket(v.asInstanceOf[Long], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bucket.bucket($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions._
 
@@ -69,4 +86,8 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     vectorDot(a, b) / (vectorNorm(a) * vectorNorm(b))
+
+  /** Iceberg-style bucket(n, longCol) partition transform. */
+  def icebergBucket(c: Column, n: Int): Column =
+    GraftBridge.column(IcebergBucketExpr(expr(c.cast("long")), n))
 }

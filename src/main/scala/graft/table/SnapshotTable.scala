@@ -192,26 +192,58 @@ final class SnapshotTable(val root: Path) {
     val live: Set[String] = retained.flatMap(v => manifest(v).files.map(_.path)).toSet
     expired.foreach { v =>
       manifest(v).files.filterNot(f => live(f.path))
-        .foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+        .foreach(f => deleteWithSidecars(f.path))
       Files.deleteIfExists(metaDir.resolve(s"v$v.json"))
     }
+    pruneEmptyDirs()
     expired
   }
 
   /** Orphan-file removal (reference: remove_orphan_files,
-    * common/iceberg.py:260-262): deletes files under data/ that no
-    * retained manifest references.
+    * common/iceberg.py:260-262): deletes data files under data/ that no
+    * retained manifest references. Only visible `*.parquet` files count as
+    * data; Hadoop sidecars (`.crc`, `_SUCCESS`) follow their data file.
     */
   def removeOrphanFiles(): Seq[String] = {
     val live: Set[String] =
       manifestVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
+      .filter(p => Files.isRegularFile(p) &&
+        p.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith("."))
       .map(p => root.relativize(p).toString).toSeq
     val orphans = all.filterNot(live)
-    orphans.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    orphans.foreach(deleteWithSidecars)
+    pruneEmptyDirs()
     orphans
+  }
+
+  /** Delete a data file plus its Hadoop `.crc` sidecar. */
+  private def deleteWithSidecars(rel: String): Unit = {
+    val p = root.resolve(rel)
+    Files.deleteIfExists(p)
+    Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
+  }
+
+  /** Remove data/vN dirs that hold no parquet files anymore (only
+    * `_SUCCESS`/crc markers), then any empty dirs.
+    */
+  private def pruneEmptyDirs(): Unit = {
+    if (!Files.exists(dataDir)) return
+    val dirs = Files.walk(dataDir).iterator().asScala
+      .filter(Files.isDirectory(_)).toSeq.sortBy(-_.getNameCount)
+    dirs.filter(_ != dataDir).foreach { d =>
+      val hasData = Files.walk(d).iterator().asScala
+        .exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")
+          && !p.getFileName.toString.startsWith("."))
+      if (!hasData) {
+        // delete markers then the dir itself (deepest-first ordering)
+        Files.walk(d).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
   }
 
   // ---- commit machinery ----
@@ -260,7 +292,7 @@ object SnapshotTable {
 }
 
 /** Minimal JSON codec for manifests — flat structure, no external deps. */
-private object ManifestJson {
+private[graft] object ManifestJson {
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case '\r' => "\\r"; case '\t' => "\\t"

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bucket
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Hash-internal operators verified against brute-force baselines (these
+  * have no SQL oracle): MinHash-LSH vs exact Jaccard, SimHash on known
+  * near-identicals, IVF recall vs exact top-k, and the murmur3 bucket
+  * cross-checked against Spark's own Murmur3_x86_32.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet(sf() + "/documents.parquet").cache()
+
+  test("minhash-LSH finds every high-jaccard pair that brute force finds") {
+    // brute-force exact pairs at threshold 0.7 (no blocking: 500 docs)
+    val sh = docs.select($"doc_id".as("id"),
+      array_distinct(graft.functions.TextFunctions.wordShingles($"text", 3)).as("s"))
+    val exact = sh.as("a").join(sh.as("b"), $"a.id" < $"b.id")
+      .withColumn("j", graft.functions.TextFunctions.jaccard($"a.s", $"b.s"))
+      .filter($"j" >= 0.7)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH verified pairs are exact-jaccard-filtered, so lsh ⊆ exact always;
+    // recall at j>=0.7 with 16 bands × 4 rows should be essentially total
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("simhash of a near-identical document has small hamming distance") {
+    val base = docs.limit(1).select($"text").as[String].head()
+    val edited = base + " extra token"
+    val two = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(two, "doc_id", "text", maxHamming = 12)
+    assert(pairs.count() == 1)
+    // and unrelated docs are far apart
+    val far = Dedup.simhashNearDups(docs.limit(50), "doc_id", "text",
+      maxHamming = 3)
+    val exact = Dedup.exact(docs.limit(50), "doc_id", "text")
+      .filter($"n_dups" > 1).count()
+    assert(far.count() <= 25 || exact > 0)
+  }
+
+  test("IVF ANN achieves reasonable recall vs exact top-k") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, emb.filter($"vec_id" % 50 === 0),
+        queries, "vec_id", "embedding", 10, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+  }
+
+  test("embedding near-dup self-join finds the planted duplicate") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
+    val dup = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(9999L))
+    val pairs = Dedup.embeddingNearDups(emb.unionByName(dup),
+      "vec_id", "embedding", threshold = 0.999)
+    assert(pairs.filter($"id_a" === 0 && $"id_b" === 9999).count() == 1)
+  }
+
+  test("murmur3 bucket matches Spark's Murmur3_x86_32 and stays in range") {
+    val rnd = new scala.util.Random(42)
+    (0 until 1000).map(_ => rnd.nextLong()).foreach { v =>
+      assert(Bucket.murmur3Long(v) ==
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 0),
+        s"murmur mismatch for $v")
+      val b = Bucket.bucket(v, 8)
+      assert(b >= 0 && b < 8)
+    }
+  }
+
+  test("icebergBucket expression equals the static function under codegen") {
+    val out = spark.range(1000)
+      .select($"id", icebergBucket($"id", 16).as("b"))
+      .as[(Long, Int)].collect()
+    out.foreach { case (id, b) => assert(b == Bucket.bucket(id, 16)) }
+  }
+
+  test("vectorDot matches a scala-side dot product") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(20)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val df = emb.toSeq.toDF("vec_id", "embedding")
+    val got = df.as("a").crossJoin(df.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        vectorDot($"a.embedding", $"b.embedding").as("d"))
+      .as[(Long, Long, Double)].collect()
+    val byId = emb.toMap
+    got.foreach { case (ia, ib, d) =>
+      val expected = byId(ia).zip(byId(ib))
+        .foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      assert(math.abs(d - expected) < 1e-9)
+    }
+  }
+}
