@@ -51,6 +51,105 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard similarity of two SORTED, DISTINCT `array<long>` columns via a
+  * single merge scan — no per-pair hash-set or union-array allocation,
+  * which is what makes `array_intersect`/`array_union` the bottleneck of
+  * pairwise dedup verification (candidate pairs × corpus vocabulary). The
+  * caller guarantees sortedness (`array_sort` once per row, not per pair).
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_long_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    if (n == 0 && m == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter.toDouble / (n + m - inter)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val inter = ctx.freshName("inter")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($n == 0 && $m == 0) ? 0.0
+         |  : ((double) $inter) / ($n + $m - $inter);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of an `array<long>` of feature hashes: per-bit majority
+  * vote, evaluated as a codegen'd loop over the unboxed ArrayData (a Scala
+  * UDF here pays Seq[Long] boxing for every feature of every row).
+  */
+case class Simhash64Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    Simhash64Expr.simhash(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Simhash64Expr.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Simhash64Expr {
+  /** static so generated code can call it directly */
+  def simhash(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Iceberg-spec bucket transform as a codegen'd unary expression
   * (see [[Bucket]] for the hash; reference:
   * src/data_ingestion/ingestion/dmsdatabase1.py:18-24).
@@ -90,4 +189,12 @@ object VectorFunctions {
   /** Iceberg-style bucket(n, longCol) partition transform. */
   def icebergBucket(c: Column, n: Int): Column =
     GraftBridge.column(IcebergBucketExpr(expr(c.cast("long")), n))
+
+  /** Jaccard over sorted distinct long arrays (see [[SortedLongJaccard]]). */
+  def sortedLongJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongJaccard(expr(a), expr(b)))
+
+  /** Codegen'd 64-bit SimHash of an array<long> (see [[Simhash64Expr]]). */
+  def simhash64Native(a: Column): Column =
+    GraftBridge.column(Simhash64Expr(expr(a)))
 }

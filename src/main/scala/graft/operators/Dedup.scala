@@ -25,6 +25,16 @@ import graft.operators.TextAnalysis.fingerprint
   */
 object Dedup {
 
+  /** Spread a (possibly few-input-split) relation across the cluster's
+    * parallelism before a CPU-bound per-row stage. A compact parquet
+    * source arrives as one split; shingling 100 TB or 100 MB on one task
+    * is the same mistake.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   /** Exact dedup: keep the lowest-id document per normalized-text
     * fingerprint (deterministic representative).
     */
@@ -45,12 +55,21 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.6,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = k / bands
-    val withShingles = docs
+    // shingle ONCE, as 64-bit hashes: signatures derive from the hashed
+    // set, and candidate verification compares long arrays (an order of
+    // magnitude cheaper than string-array intersection at verify time —
+    // the dominant cost when the corpus shares vocabulary).
+    // repartition first: shingling + k-function MinHash is the CPU-bound
+    // stage, and a compact source (one parquet file) would otherwise pin
+    // it to a single input partition
+    val withShingles = spread(docs)
       .select(col(idCol).as("id"),
-        array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"))
-      .withColumn("sig", minhashSignature(transform(col("shingles"), xxhash64(_)), k))
+        array_sort(array_distinct(transform(wordShingles(col(textCol), shingleN),
+          s => xxhash64(s)))).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), k))
+      .cache()
     val bandRows = withShingles
       .select(col("id"), posexplode(bandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
@@ -69,7 +88,7 @@ object Dedup {
     candidates
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(sortedLongJaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -90,20 +109,33 @@ object Dedup {
     * The sub-band trick bounds the self-join exactly like MinHash LSH.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, maxHamming: Int = 8): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      simhash64(shingleHashes(col(textCol), shingleN)).as("sig"))
+                      shingleN: Int = 3, maxHamming: Int = 8,
+                      maxBucketSize: Int = 200): DataFrame = {
+    // spread + cache: signature computation is the CPU-bound stage and is
+    // consumed four times (bucket census + both sides of the self-join)
+    val sigs = spread(docs).select(col(idCol).as("id"),
+      simhash64Native(shingleHashes(col(textCol), shingleN)).as("sig"))
+      .cache()
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sig"), j * 16).bitwiseAND(lit(0xffffL))): _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
-    banded.alias("a").join(banded.alias("b"),
+    // same degenerate-bucket guard as MinHash LSH: a shared-vocabulary
+    // corpus concentrates simhash bands, and an uncapped bucket self-join
+    // goes quadratic on exactly the least informative buckets
+    val okBuckets = banded.groupBy("band", "bkey").count()
+      .filter(col("count") <= maxBucketSize && col("count") >= 2)
+      .select("band", "bkey")
+    val inBuckets = banded.join(okBuckets, Seq("band", "bkey"))
+    inBuckets.alias("a").join(inBuckets.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sig"), col("b.sig")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is pair-deterministic, so the
+      // dedup shuffle only carries surviving pairs
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Brute-force n-gram Jaccard pairs within blocking groups. Blocking on
@@ -113,12 +145,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_distinct(wordShingles(col(textCol), shingleN)).as("shingles"): _*)
+    // hashed-long shingle sets, sorted once per row: Jaccard identical up
+    // to 64-bit collisions, per-pair cost is a codegen'd merge scan
+    val sh = spread(docs).select((col(idCol).as("id") +: blockCols.map(col)) :+
+      array_sort(array_distinct(transform(wordShingles(col(textCol), shingleN),
+        s => xxhash64(s)))).as("shingles"): _*)
+      .cache()
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
     sh.alias("a").join(sh.alias("b"), cond)
-      .withColumn("jaccard", round(jaccard(col("a.shingles"), col("b.shingles")), 6))
+      .withColumn("jaccard",
+        round(sortedLongJaccard(col("a.shingles"), col("b.shingles")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
