@@ -33,14 +33,53 @@ object Ingestion {
     if (keepDeletes) withTs.withColumn(HardDeleted, lit(false)) else withTs
   }
 
+  /** Schema-drift alignment (reference: AppFlow flows enable
+    * `enable_dynamic_field_update`, so new source columns may appear and
+    * old ones vanish — SURVEY.md §7.5). Returns (source', target') sharing
+    * the union schema: columns the other side lacks are null-filled with
+    * the owning side's type. Column order: target's, then new source
+    * columns (so the merged table order stays stable for `exceptAll`).
+    */
+  def alignSchemas(source: DataFrame, target: DataFrame,
+                   keepSourceCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val sFields = source.schema.map(f => f.name -> f).toMap
+    val tFields = target.schema.map(f => f.name -> f).toMap
+    val dataCols = source.schema.map(_.name).filterNot(keepSourceCols.contains)
+    val newCols = dataCols.filterNot(tFields.contains)
+    val gone = target.schema.map(_.name).filterNot(sFields.contains)
+    if (newCols.isEmpty && gone.isEmpty && keepSourceCols.isEmpty)
+      return (source, target)
+    val order = target.schema.map(_.name) ++ newCols
+    val s2 = source.select(order.map { c =>
+      sFields.get(c).map(f => col(f.name))
+        .getOrElse(lit(null).cast(tFields(c).dataType).as(c))
+    } ++ keepSourceCols.map(col): _*)
+    val t2 = target.select(order.map { c =>
+      tFields.get(c).map(f => col(f.name))
+        .getOrElse(lit(null).cast(sFields(c).dataType).as(c))
+    }: _*)
+    (s2, t2)
+  }
+
   /** Pure (DataFrame-in/DataFrame-out) merge pipeline: given the source
     * batch and current target contents, produce the NEW target contents for
     * the given mode. This is the engine's analytical core, independent of
     * storage, and what the DuckDB-oracle queries exercise.
     *
     * For Cdc, `source` must carry an `op` column with values I/U/D.
+    * Source/target schemas may drift; they are aligned by name first.
     */
-  def applyMode(source: DataFrame, target: DataFrame, cfg: SourceConfig): DataFrame =
+  def applyMode(source0: DataFrame, target0: DataFrame, cfg: SourceConfig): DataFrame = {
+    val (source, target) =
+      if (cfg.mode == IngestMode.Replace) (source0, target0)
+      else if (cfg.mode == IngestMode.Cdc)
+        alignSchemas(source0, target0, keepSourceCols = Seq(Op))
+      else alignSchemas(source0, target0)
+    applyModeAligned(source, target, cfg)
+  }
+
+  private def applyModeAligned(source: DataFrame, target: DataFrame,
+                               cfg: SourceConfig): DataFrame =
     cfg.mode match {
       case IngestMode.Replace => source
       case IngestMode.Cdc =>
@@ -71,14 +110,19 @@ object Ingestion {
       table.createOrReplace(initial, cfg.partitionColumns, props)
     } else cfg.mode match {
       case IngestMode.Cdc =>
-        val deduped = ChangeSet.dedupLatest(source, cfg.naturalKeys, cfg.updatedAtFields)
-        table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes)
+        val (src, _) = alignSchemas(source, table.read(spark),
+          keepSourceCols = Seq(Op))
+        val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys, cfg.updatedAtFields)
+        table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
+          targetTransform = t => alignSchemas(source.drop(Op), t)._2)
       case _ =>
-        val target = table.read(spark).cache()
         val allowDeletes = cfg.mode == IngestMode.Full
-        val changes = ChangeSet.build(source, target, cfg.naturalKeys,
+        val (src, tgt) = alignSchemas(source, table.read(spark))
+        val target = tgt.cache()
+        val changes = ChangeSet.build(src, target, cfg.naturalKeys,
           cfg.updatedAtFields, cfg.flags, allowDeletes)
-        table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes)
+        table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
+          targetTransform = t => alignSchemas(source, t)._2)
     }
   }
 

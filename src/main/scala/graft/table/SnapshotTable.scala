@@ -135,10 +135,11 @@ final class SnapshotTable(val root: Path) {
     */
   def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
             keepDeletes: Boolean,
-            nowMs: Long = System.currentTimeMillis()): Manifest = {
+            nowMs: Long = System.currentTimeMillis(),
+            targetTransform: DataFrame => DataFrame = identity): Manifest = {
     val m = currentManifest
     if (m.partitionColumns.isEmpty) {
-      val merged = Merge(read(spark), changes, keys, keepDeletes)
+      val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
       commitData(merged, m.version + 1, m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
@@ -150,7 +151,7 @@ final class SnapshotTable(val root: Path) {
           .distinct().collect()
           .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
           .toSet
-      val affectedTarget = read(spark, p => touched.contains(p))
+      val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
       val merged = Merge(affectedTarget, changes, keys, keepDeletes)
       val carried = m.files.filterNot(f => touched.contains(f.partition))
       commitData(merged, m.version + 1, pcols, m.properties, nowMs,

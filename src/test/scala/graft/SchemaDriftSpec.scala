@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ingest.Ingestion
+import graft.table.SnapshotTable
+
+/** Schema drift: new source columns appear (AppFlow dynamic-field-update
+  * behavior), old ones vanish — both the pure merge pipeline and the
+  * storage-backed path must align by name, null-fill, and keep carried-
+  * forward files readable.
+  */
+class SchemaDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val cfg = SourceConfig("db", "t", Seq("id"), Seq("upd"))
+
+  test("applyMode: added + removed columns null-fill correctly") {
+    val target = Seq((1L, ts("2026-01-01 00:00:00"), "x"))
+      .toDF("id", "upd", "old_col")
+    val source = Seq(
+      (1L, ts("2026-02-01 00:00:00"), 7.5), // update (old_col vanished)
+      (2L, ts("2026-02-01 00:00:00"), 8.5)  // insert with new_col
+    ).toDF("id", "upd", "new_col")
+    val out = Ingestion.applyMode(source, target,
+      cfg.copy(mode = IngestMode.Incremental))
+    assert(out.columns.toSeq == Seq("id", "upd", "old_col", "new_col"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(byId(1L) == (None, Some(7.5)))  // updated: old gone, new present
+    assert(byId(2L) == (None, Some(8.5)))  // inserted
+  }
+
+  test("storage path: new column lands; carried partitions read as null") {
+    val root = Files.createTempDirectory("graft-drift-").toString
+    val tbl = SnapshotTable.at(root)
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    val day1 = (1 to 40).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i % 4))
+      .toDF("id", "upd", "p")
+    Ingestion.run(spark, tbl, day1, pcfg, ts("2026-01-01 00:00:00"))
+    // day 2 adds extra_col, touches only partition 0
+    val day2 = (1 to 40).filter(_ % 4 == 0)
+      .map(i => (i.toLong, ts("2026-02-01 00:00:00"), i % 4, s"v$i"))
+      .toDF("id", "upd", "p", "extra_col")
+    Ingestion.run(spark, tbl, day2,
+      pcfg.copy(mode = IngestMode.Incremental), ts("2026-02-01 00:00:00"))
+    val out = tbl.read(spark)
+    assert(out.columns.contains("extra_col"))
+    assert(out.count() == 40)
+    // updated rows carry the value; carried-forward files read nulls
+    assert(out.filter(col("extra_col").isNotNull).count() == 10)
+    assert(out.filter(col("p") =!= 0 && col("extra_col").isNotNull).count() == 0)
+    // carried-forward v1 files are still referenced by v2
+    val m = tbl.currentManifest
+    assert(m.files.exists(_.path.startsWith("data/v1/")))
+  }
+}
