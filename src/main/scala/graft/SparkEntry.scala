@@ -260,6 +260,10 @@ object SparkEntry {
         "doc_id", "text", blockCols = Seq("lang", "len_bucket"),
         threshold = 0.5)),
 
+    "q43_corpus_clean" -> ((s, d) =>
+      graft.operators.Pipelines.corpusClean(
+        t(s, d, "documents"), "doc_id", "text")),
+
     "q38_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -468,6 +472,16 @@ object SparkEntry {
     "q33_lang_id" ->
       langIdOracle,
 
+    "q43_corpus_clean" ->
+      s"""WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |scored AS (SELECT doc_id, $sqlQualityE6 AS quality_score_e6 FROM documents),
+         |lang AS ($langIdOracle)
+         |SELECT s.doc_id, sc.quality_score_e6, l.lang_pred
+         |FROM surv s JOIN scored sc USING (doc_id) JOIN lang l USING (doc_id)
+         |WHERE sc.quality_score_e6 >= 990000
+         |  AND l.lang_pred IN ('en', 'es', 'de', 'fr')""".stripMargin,
+
     "q34_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
@@ -522,6 +536,20 @@ object SparkEntry {
         | count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
         |FROM g GROUP BY 1, 2""".stripMargin
   )
+
+  /** SQL twin of TextAnalysis.qualityScore's quality_score_e6 column. */
+  private def sqlQualityE6: String = {
+    def ratio(pattern: String) =
+      s"round(length(regexp_replace(text, '$pattern', '', 'g')) / length(text), 6)"
+    val nTokens =
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    val avgw =
+      s"round(length(replace(text, ' ', '')) / greatest($nTokens, 1.0), 6)"
+    s"CAST(floor(greatest(0.0, least(1.0, ${ratio("[^A-Za-z]")} * 0.6" +
+      s" + ${ratio("[^ ]")} * 1.2 - ${ratio("[^0-9]")} * 0.8" +
+      s" - ${ratio("[^.,;:!?]")} * 0.5" +
+      s" + least($avgw, 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT)"
+  }
 
   private def langIdOracle: String = {
     def score(lang: String, words: Seq[String]): String =
