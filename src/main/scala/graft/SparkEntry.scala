@@ -264,6 +264,17 @@ object SparkEntry {
       graft.operators.Pipelines.corpusClean(
         t(s, d, "documents"), "doc_id", "text")),
 
+    "q44_token_percentiles" -> ((s, d) => {
+      // exact interpolated percentiles per language over token counts —
+      // aggregate surface beyond the reference's count()-only usage
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, 0.5)").as("p50_tokens"),
+          expr("percentile(n_tokens, 0.9)").as("p90_tokens"))
+    }),
+
     "q38_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -301,7 +312,11 @@ object SparkEntry {
         s"graft_stream_${System.nanoTime()}")),
 
     "q51_sessionize" -> ((s, d) =>
-      EventStream.sessionize(events(s, d)))
+      EventStream.sessionize(events(s, d))),
+
+    "q52_sessionize_stateful" -> ((s, d) =>
+      EventStream.sessionizeStateful(s, s"$d/events.parquet",
+        s"graft_sess_${System.nanoTime()}"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -519,23 +534,37 @@ object SparkEntry {
         | round((octet_length(encode(text)) // 2) / 16000.0, 6) AS duration_s
         |FROM documents""".stripMargin,
 
+    "q44_token_percentiles" ->
+      """WITH tk AS (SELECT lang,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+        |  quantile_cont(n_tokens, 0.9) AS p90_tokens
+        |FROM tk GROUP BY lang""".stripMargin,
+
     "q50_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q51_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |e2 AS (SELECT user_id, event_id, ts,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
-        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM e2),
-        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
-        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
-        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
-        | count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM g GROUP BY 1, 2""".stripMargin
+    "q51_sessionize" -> sessionizeOracle,
+
+    "q52_sessionize_stateful" -> sessionizeOracle
   )
+
+  private def sessionizeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |e2 AS (SELECT user_id, event_id, ts,
+      |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+      |  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session FROM e2),
+      |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+      |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      | count(*) AS n_events, min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM g GROUP BY 1, 2""".stripMargin
 
   /** SQL twin of TextAnalysis.qualityScore's quality_score_e6 column. */
   private def sqlQualityE6: String = {

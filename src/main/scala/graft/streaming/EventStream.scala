@@ -7,6 +7,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Session summary row produced by both sessionization forms (top-level:
+  * Catalyst's generated deserializers need public classes).
+  */
+final case class Session(user_id: Long, session_seq: Long, n_events: Long,
+                         first_event: Long, last_event: Long)
+
+/** Event projection for the stateful sessionizer. */
+final case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
+
 /** Structured Streaming surface. The reference itself is batch-only (its
   * CDC is micro-batch-by-date-path — SURVEY.md §2.10), so these are the
   * §7.6 extensions: the same event analytics expressed as a stream with
@@ -55,9 +64,70 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** STATEFUL STREAMING sessionization: the `flatMapGroupsWithState` twin
+    * of [[sessionize]], run with `Trigger.AvailableNow` over the same
+    * parquet (how a stateful backfill runs on a cluster). State is one
+    * (session counter, last ts) pair per user. With a single AvailableNow
+    * micro-batch each group sees all its events; they are sorted in-group
+    * so output is deterministic and equal to the batch form.
+    */
+  def sessionizeStateful(spark: SparkSession, eventsParquet: String,
+                         queryName: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(eventsParquet).schema
+    val srcDir = Files.createTempDirectory("graft-stream-sess-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
+    val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+    val evs = (schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_us", expr("ts DIV 1000"))
+      case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
+    }).select(col("user_id").cast("long"), col("event_id").cast("long"),
+      col("ts_us").as("tsMicros")).as[Ev]
+
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[Long]) =>
+          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          var seq = 0L; var lastTs = Long.MinValue
+          var n = 0L; var first = 0L; var last = 0L
+          def flush(): Unit =
+            if (n > 0) out += Session(user, seq, n, first, last)
+          sorted.foreach { e =>
+            if (lastTs == Long.MinValue || e.tsMicros - lastTs > gapMicros) {
+              flush(); seq += 1; n = 0
+            }
+            // min/max ids to match the batch aggregation exactly
+            if (n == 0) { first = e.event_id; last = e.event_id }
+            else {
+              first = math.min(first, e.event_id)
+              last = math.max(last, e.event_id)
+            }
+            n += 1; lastTs = e.tsMicros
+          }
+          flush()
+          state.update(seq)
+          out.iterator
+      }
+    val ckpt = Files.createTempDirectory("graft-ckpt-sess-").toString
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName(queryName)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Gap-based sessionization (30-min inactivity): batch formulation with
     * window functions — one shuffle on user_id, then gap-and-island. The
-    * streaming twin would be `flatMapGroupsWithState`; the batch form is
+    * streaming twin is [[sessionizeStateful]]; the batch form is
     * what a backfill runs and what the oracle can verify.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -170,7 +170,13 @@ final class SnapshotTable(val root: Path) {
     val m = currentManifest
     val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val df = read(spark).repartition(nFiles)
+    // partitioned tables cluster by partition value first — otherwise a
+    // partitionBy write fans every task out across all partition dirs and
+    // compaction MULTIPLIES the file count instead of reducing it
+    val df =
+      if (m.partitionColumns.isEmpty) read(spark).repartition(nFiles)
+      else read(spark).repartition(nFiles,
+        m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
     commitData(df, m.version + 1, m.partitionColumns, m.properties, nowMs)
   }
 

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Bucket, Registry}
+
+/** SQL surface of the custom expressions + the partition-aware compaction
+  * path.
+  */
+class RegistrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions match their DataFrame twins") {
+    Registry.registerAll(spark)
+    val got = spark.sql(
+      """SELECT id,
+        |  graft_bucket(id, 16) AS b,
+        |  graft_simhash(array(id, id * 7, id * 131)) AS sh,
+        |  graft_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_vector_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                   array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d
+        |FROM range(100)""".stripMargin).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == Bucket.bucket(id, 16))
+      assert(r.getDouble(3) == 2.0 / 4.0)
+      assert(math.abs(r.getDouble(4) - 4.0) < 1e-12)
+    }
+    // non-literal bucket count is rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bucket(id, CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("compaction of a partitioned table reduces files per partition") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-p-").toString
+    val tbl = graft.table.SnapshotTable.at(root)
+    val df = (1 to 400).map(i => (i.toLong, i % 4)).toDF("id", "p")
+      .repartition(8)
+    tbl.createOrReplace(df, partitionColumns = Seq("p"))
+    val before = tbl.currentManifest.files.size
+    assert(before > 4) // 8 tasks × up to 4 partition values
+    tbl.compact(spark)
+    val after = tbl.currentManifest.files
+    assert(after.size == 4, s"expected one file per partition, got $after")
+    assert(tbl.read(spark).count() == 400)
+  }
+}
