@@ -101,9 +101,22 @@ object Ingestion {
   def run(spark: SparkSession, table: SnapshotTable, rawBatch: DataFrame,
           cfg: SourceConfig, ingestionTs: Timestamp): Unit = {
     val source = stamp(lowercaseColumns(rawBatch), ingestionTs, cfg.flags.keepDeletes)
+    // M4 property sets (reference: default_iceberg_table_properties,
+    // common/iceberg.py:53-80): speed → CoW + snappy, storage → "MoR" +
+    // gzip. We implement MoR physically as CoW (SURVEY.md §7.5) but record
+    // the selected mode so the trade-off is visible in table metadata.
+    val writeMode = cfg.optimize match {
+      case Optimize.Speed   => "copy-on-write"
+      case Optimize.Storage => "merge-on-read"
+    }
     val props = Map(
       "write.parquet.compression-codec" -> cfg.optimize.codec,
-      "write.target-file-size-bytes" -> (64L * 1024 * 1024).toString)
+      "write.target-file-size-bytes" -> (64L * 1024 * 1024).toString,
+      "write.update.mode" -> writeMode,
+      "write.delete.mode" -> writeMode,
+      "write.merge.mode" -> writeMode,
+      "history.expire.max-snapshot-age-ms" -> (90L * 24 * 3600 * 1000).toString,
+      "history.expire.min-snapshots-to-keep" -> "90")
     if (cfg.mode == IngestMode.Replace || !table.exists) {
       val initial =
         if (cfg.mode == IngestMode.Cdc) source.drop(Op) else source
