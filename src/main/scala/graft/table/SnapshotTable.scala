@@ -82,8 +82,11 @@ final class SnapshotTable(val root: Path) {
     * partition-scoped merge).
     */
   def read(spark: SparkSession,
-           partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val m = currentManifest
+           partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame =
+    readManifest(spark, currentManifest, partitionFilter)
+
+  private def readManifest(spark: SparkSession, m: Manifest,
+      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     val sel = m.files.filter(f => partitionFilter(f.partition))
     if (sel.isEmpty)
@@ -107,13 +110,46 @@ final class SnapshotTable(val root: Path) {
   }
 
   /** `.files` metadata relation (reference: common/iceberg.py:272-278
-    * `SELECT file_path FROM db.table.files`).
+    * `SELECT file_path FROM db.table.files`), with per-file size — the
+    * input to size-aware compaction planning.
     */
   def files(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    currentManifest.files.map(f => (root.resolve(f.path).toString,
-      f.partition.map { case (k, v) => s"$k=$v" }.mkString("/")))
-      .toDF("file_path", "partition")
+    currentManifest.files.map { f =>
+      val p = root.resolve(f.path)
+      (p.toString,
+        f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        if (Files.exists(p)) Files.size(p) else -1L)
+    }.toDF("file_path", "partition", "file_size_bytes")
+  }
+
+  /** Time travel: read a specific retained snapshot version (Iceberg
+    * `VERSION AS OF` equivalent — snapshot isolation falls out of the
+    * manifest being the complete live-file list).
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readManifest(spark, manifest(version))
+
+  /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    manifestVersions.map { v =>
+      val m = manifest(v)
+      (v, m.timestampMs, m.files.size.toLong, v == cur)
+    }.toDF("version", "timestamp_ms", "n_files", "is_current")
+  }
+
+  /** Rollback: move the commit pointer to an older retained snapshot
+    * (Iceberg `rollback_to_snapshot` procedure). Data files are untouched;
+    * later versions become unreferenced and fall to the GC.
+    */
+  def rollbackTo(version: Long): Unit = {
+    require(manifestVersions.contains(version), s"no snapshot v$version")
+    val tmp = metaDir.resolve(s"_current.tmp.rb$version")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** CTAS create-or-replace (reference: common/iceberg.py:111-119 CREATE OR

@@ -90,6 +90,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.removeOrphanFiles().isEmpty) // expiry already removed them
   }
 
+  test("time travel, history, and rollback") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    Ingestion.run(spark, tbl, batch(1 to 20, t1, 2.0), cfg, t1)
+    assert(tbl.readVersion(spark, 1).count() == 10)
+    assert(tbl.readVersion(spark, 2).count() == 20)
+    val hist = tbl.history(spark).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(hist == Map(1L -> false, 2L -> true))
+    tbl.rollbackTo(1)
+    assert(tbl.currentVersion == 1)
+    assert(tbl.read(spark).count() == 10)
+    // rolled-back-over version is unreferenced → orphan GC can collect it
+    intercept[IllegalArgumentException](tbl.rollbackTo(99))
+  }
+
   test("files() metadata relation lists live files with partitions") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl,
