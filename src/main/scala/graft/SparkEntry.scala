@@ -503,6 +503,28 @@ object SparkEntry {
         | md5(substring(text, 1, 64)) AS fp_head
         |FROM documents""".stripMargin,
 
+    "q37_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, len_bucket,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id)
+        |SELECT * FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
     "q38_embed_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
         |  FROM embeddings WHERE vec_id % 25 = 0),

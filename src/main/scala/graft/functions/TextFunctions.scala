@@ -50,10 +50,19 @@ object TextFunctions {
     }
 
   /** MinHash signature: array of k minima over the shingle-hash set.
-    * Pure Catalyst array expressions; one pass over the shingles per hash
-    * function. Empty-shingle docs get signature of p (max sentinel).
+    * Codegen'd single-pass expression ([[MinHashSignatureExpr]]); empty
+    * shingle sets get the max sentinel p in every slot.
     */
-  def minhashSignature(shingleHashCol: Column, k: Int): Column = {
+  def minhashSignature(shingleHashCol: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MinHashSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(shingleHashCol), k))
+
+  /** The higher-order-function formulation of [[minhashSignature]] — kept
+    * (test-only) as the executable specification the codegen'd expression
+    * must equal.
+    */
+  private[graft] def minhashSignatureHof(shingleHashCol: Column, k: Int): Column = {
     val p = MinHashPrime
     val mins = minhashParams(k).map { case (a, b) =>
       coalesce(

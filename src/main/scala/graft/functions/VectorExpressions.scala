@@ -101,6 +101,68 @@ case class SortedLongJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** MinHash signature of an `array<long>` of shingle hashes: k minima of
+  * the universal-hash family h_i(x) = (pmod(x,p)·a_i + b_i) mod p, in ONE
+  * pass over the array (k updates per element) with generated code. The
+  * higher-order-function formulation (`transform` + `array_min` × k) is
+  * interpreted per element and traverses the array k times — this
+  * expression is the hot-loop form of the same exact function.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHash.signature(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHash.signature($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHash {
+  import TextFunctions.MinHashPrime
+
+  // per-k parameter cache; params are deterministic in the function index
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def params(k: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(k, _ => {
+      val ps = TextFunctions.minhashParams(k)
+      (ps.map(_._1).toArray, ps.map(_._2).toArray)
+    })
+
+  /** static so generated code can call it directly; exact same values as
+    * the column formulation in TextFunctions.minhashSignatureHof
+    */
+  def signature(arr: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = params(k)
+    val p = MinHashPrime
+    val mins = Array.fill(k)(p)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val hm = ((h % p) + p) % p
+      var j = 0
+      while (j < k) {
+        val v = (hm * as(j) + bs(j)) % p // hm < 2^31, a < 2^22: no overflow
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 /** 64-bit SimHash of an `array<long>` of feature hashes: per-bit majority
   * vote, evaluated as a codegen'd loop over the unboxed ArrayData (a Scala
   * UDF here pays Seq[Long] boxing for every feature of every row).

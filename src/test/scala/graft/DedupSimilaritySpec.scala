@@ -72,6 +72,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.filter($"id_a" === 0 && $"id_b" === 9999).count() == 1)
   }
 
+  test("codegen'd minhash signature equals the HOF specification") {
+    import graft.functions.TextFunctions
+    val sh = docs.select($"doc_id",
+      TextFunctions.shingleHashes($"text", 3).as("h"))
+    val both = sh.select($"doc_id",
+      TextFunctions.minhashSignature($"h", 64).as("fast"),
+      TextFunctions.minhashSignatureHof($"h", 64).as("spec"))
+    assert(both.filter(expr("fast <> spec")).count() == 0)
+    // empty array → sentinel in every slot
+    val empty = Seq(Seq.empty[Long]).toDF("h")
+      .select(TextFunctions.minhashSignature($"h", 4).as("s"))
+      .as[Seq[Long]].head()
+    assert(empty == Seq.fill(4)(TextFunctions.MinHashPrime))
+  }
+
   test("murmur3 bucket matches Spark's Murmur3_x86_32 and stays in range") {
     val rnd = new scala.util.Random(42)
     (0 until 1000).map(_ => rnd.nextLong()).foreach { v =>
