@@ -284,7 +284,10 @@ object SparkEntry {
 
     "q39_embed_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+      // trained coarse quantizer (2 Lloyd iterations), then probe 4 cells
+      val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 32, iters = 2)
+      Similarity.ivfTopK(emb, centroids,
           emb.filter(col("vec_id") % 25 === 0),
           "vec_id", "embedding", k = 10, nProbe = 4)
         .drop("cosine")
@@ -304,6 +307,12 @@ object SparkEntry {
     "q42_audio_meta" -> ((s, d) =>
       Multimodal.audioMeta(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))),
+
+    "q45_image_resize" -> ((s, d) =>
+      Multimodal.resize(
+        Multimodal.decodeImages(s,
+          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
+          .toDF(), factor = 2)),
 
     // ---- streaming (§7.6) ----
 
@@ -565,6 +574,16 @@ object SparkEntry {
         |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
         |  quantile_cont(n_tokens, 0.9) AS p90_tokens
         |FROM tk GROUP BY lang""".stripMargin,
+
+    "q45_image_resize" ->
+      """WITH img AS (SELECT doc_id AS id,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |  FROM documents)
+        |SELECT id, CAST(width // 2 AS INT) AS out_width,
+        |  CAST(height // 2 AS INT) AS out_height,
+        |  CAST(width // 2 AS BIGINT) * CAST(height // 2 AS BIGINT) * 3 AS out_bytes
+        |FROM img""".stripMargin,
 
     "q50_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,

@@ -31,4 +31,15 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Loan pattern mirroring the reference's ClosableSparkSession context
+    * manager (common/spark.py:61-103): the session is stopped on exit
+    * only if this call created it.
+    */
+  def withSession[T](appName: String = "graft")(f: SparkSession => T): T = {
+    val preexisting = SparkSession.getDefaultSession.isDefined
+    val s = get(appName)
+    try f(s)
+    finally if (!preexisting) s.stop()
+  }
 }

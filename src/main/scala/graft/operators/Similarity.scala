@@ -40,6 +40,51 @@ object Similarity {
       .reduce(_ + _)
   }
 
+  /** Deterministic spherical k-means (Lloyd) over an embedding column,
+    * entirely in DataFrame ops — the trained coarse quantizer for
+    * [[ivfTopK]].
+    *
+    * Init: every ⌊n/k⌋-th vector in id order (deterministic spread).
+    * Iterate: assign by max cosine against broadcast centroids (map-side),
+    * recompute centroids as the element-wise mean via posexplode →
+    * avg(cell, pos) → reassemble. Per iteration: one broadcast join + one
+    * (cell, pos)-keyed shuffle whose size is k·dim rows after partial
+    * aggregation — independent of corpus size, so training scales to any
+    * N.
+    */
+  def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): DataFrame = {
+    val base = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val n = base.count()
+    val step = math.max(1L, n / k)
+    val wInit = Window.orderBy(col("vid"))
+    var cent = base
+      .withColumn("rn", row_number().over(wInit))
+      .filter((col("rn") - 1) % step === 0)
+      .limit(k)
+      .select(((col("rn") - 1) / step).cast("int").as("cell_id"), col("v").as("cent_v"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(cent.withColumn("cent_n", vectorNorm(col("cent_v"))))
+      val w = Window.partitionBy("vid")
+        .orderBy(col("sim").desc, col("cell_id").asc)
+      val assigned = base.withColumn("vn", vectorNorm(col("v")))
+        .crossJoin(c)
+        .withColumn("sim", vectorDot(col("v"), col("cent_v")) / (col("vn") * col("cent_n")))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("cell_id"), col("v"))
+      cent = assigned
+        .select(col("cell_id"), posexplode(col("v")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("cent_v"))
+    }
+    cent.select(col("cell_id").cast("long").as(idCol), col("cent_v").as(vecCol))
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest neighbors
     * (excluding itself). Returns (query_id, rank, neighbor_id, cosine).
     */

@@ -56,11 +56,20 @@ class DedupSimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" % 25 === 0)
     val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.ivfTopK(emb, emb.filter($"vec_id" % 50 === 0),
+    // sampled centroids (no training)
+    val sampled = Similarity.ivfTopK(emb, emb.filter($"vec_id" % 50 === 0),
         queries, "vec_id", "embedding", 10, nProbe = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall@10 = $recall")
+    val recallSampled = (exact intersect sampled).size.toDouble / exact.size
+    assert(recallSampled >= 0.5, s"sampled-centroid IVF recall@10 = $recallSampled")
+    // trained coarse quantizer should do at least as well (usually better)
+    val trained = Similarity.ivfTopK(emb,
+        Similarity.trainCentroids(emb, "vec_id", "embedding", k = 16, iters = 2),
+        queries, "vec_id", "embedding", 10, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallTrained = (exact intersect trained).size.toDouble / exact.size
+    assert(recallTrained >= 0.5, s"trained IVF recall@10 = $recallTrained")
+    info(s"recall sampled=$recallSampled trained=$recallTrained")
   }
 
   test("embedding near-dup self-join finds the planted duplicate") {
