@@ -180,18 +180,23 @@ final class SnapshotTable(val root: Path) {
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
       // partition values present in the change set — one row per
-      // partition, NOT per change row
+      // partition, NOT per change row. The change set feeds BOTH the
+      // partition census and the merge, so cache it: change detection is
+      // itself a multi-join plan that must not run twice.
       val pcols = m.partitionColumns
-      val touched: Set[Map[String, String]] =
-        changes.select(pcols.map(c => col(c).cast("string")): _*)
-          .distinct().collect()
-          .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
-          .toSet
-      val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
-      val merged = Merge(affectedTarget, changes, keys, keepDeletes)
-      val carried = m.files.filterNot(f => touched.contains(f.partition))
-      commitData(merged, m.version + 1, pcols, m.properties, nowMs,
-        carryForward = carried)
+      val cached = changes.cache()
+      try {
+        val touched: Set[Map[String, String]] =
+          cached.select(pcols.map(c => col(c).cast("string")): _*)
+            .distinct().collect()
+            .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
+            .toSet
+        val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
+        val merged = Merge(affectedTarget, cached, keys, keepDeletes)
+        val carried = m.files.filterNot(f => touched.contains(f.partition))
+        commitData(merged, m.version + 1, pcols, m.properties, nowMs,
+          carryForward = carried)
+      } finally cached.unpersist()
     }
   }
 
