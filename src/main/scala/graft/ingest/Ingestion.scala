@@ -22,7 +22,7 @@ object Ingestion {
     * ingestion/dmsdatabase1.py:60-63).
     */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** Stamp the engine meta columns onto a source batch (reference:
     * common/iceberg.py:105,126-128 — `ingestion_datetime` always,

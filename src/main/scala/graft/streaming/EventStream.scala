@@ -16,6 +16,59 @@ final case class Session(user_id: Long, session_seq: Long, n_events: Long,
 /** Event projection for the stateful sessionizer. */
 final case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
 
+/** Streaming CDC ingestion: a Structured Streaming file source over the
+  * CDC landing directory, merged into a [[graft.table.SnapshotTable]] once
+  * per micro-batch via foreachBatch — the continuous twin of the daily
+  * batch job (reference CDC is micro-batch-by-date-path, SURVEY.md §2.10;
+  * this is the §7.6 `Trigger.AvailableNow` extension). Each micro-batch is
+  * one snapshot commit: dedup-latest-per-key, then copy-on-write merge —
+  * identical semantics to the batch cdc mode, with streaming bookkeeping
+  * (checkpointed file progress) instead of date-path routing.
+  */
+object StreamingIngest {
+  import org.apache.spark.sql.streaming.Trigger
+  import graft.core.{IngestMode, MetaColumns, SourceConfig}
+  import graft.ingest.Ingestion
+  import graft.merge.ChangeSet
+  import graft.table.SnapshotTable
+
+  def run(spark: SparkSession, table: SnapshotTable, cdcDir: String,
+          cfg: SourceConfig, ingestionTs: java.sql.Timestamp,
+          checkpointDir: String): Unit = {
+    require(cfg.mode == IngestMode.Cdc, "StreamingIngest is the cdc path")
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(cdcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(cdcDir)
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val source = Ingestion.stamp(Ingestion.lowercaseColumns(batch),
+          ingestionTs, cfg.flags.keepDeletes)
+        if (!table.exists) {
+          val deduped = ChangeSet.dedupLatest(source, cfg.naturalKeys,
+            cfg.updatedAtFields)
+          table.createOrReplace(
+            deduped.filter(col(MetaColumns.Op) =!= "D").drop(MetaColumns.Op),
+            cfg.partitionColumns)
+        } else {
+          val (src, _) = Ingestion.alignSchemas(source, table.read(spark),
+            keepSourceCols = Seq(MetaColumns.Op))
+          val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys,
+            cfg.updatedAtFields)
+          table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
+            targetTransform =
+              t => Ingestion.alignSchemas(source.drop(MetaColumns.Op), t)._2)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+}
+
 /** Structured Streaming surface. The reference itself is batch-only (its
   * CDC is micro-batch-by-date-path — SURVEY.md §2.10), so these are the
   * §7.6 extensions: the same event analytics expressed as a stream with
