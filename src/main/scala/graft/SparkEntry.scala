@@ -308,6 +308,15 @@ object SparkEntry {
       Multimodal.audioMeta(
         Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))),
 
+    "q46_chunking" -> ((s, d) =>
+      TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text",
+        chunkSize = 200, overlap = 50)),
+
+    "q47_stratified_sample" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(TextAnalysis.sampleDeterministic("doc_id", perMille = 100))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
     "q45_image_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.decodeImages(s,
@@ -574,6 +583,19 @@ object SparkEntry {
         |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
         |  quantile_cont(n_tokens, 0.9) AS p90_tokens
         |FROM tk GROUP BY lang""".stripMargin,
+
+    "q46_chunking" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  CAST(unnest(range(0, greatest(length(text) - 1, 0) + 1, 150)) AS INT) AS chunk_start
+        |  FROM documents)
+        |SELECT doc_id, chunk_start, CAST(chunk_start // 150 AS INT) AS chunk_idx,
+        |  substring(text, chunk_start + 1, 200) AS chunk_text,
+        |  length(substring(text, chunk_start + 1, 200)) AS chunk_len
+        |FROM c""".stripMargin,
+
+    "q47_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin,
 
     "q45_image_resize" ->
       """WITH img AS (SELECT doc_id AS id,

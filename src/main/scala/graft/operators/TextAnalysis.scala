@@ -94,4 +94,35 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Fixed-size character chunking with overlap — the pre-tokenization
+    * split of a training pipeline. One row per chunk with its index and
+    * start offset. Pure `sequence`+`explode`+`substring`: row count grows,
+    * no shuffle, and the explode parallelizes with the scan.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap < chunkSize, "overlap must be smaller than chunkSize")
+    val step = chunkSize - overlap
+    df.select(col(idCol), col(textCol))
+      .withColumn("chunk_start",
+        explode(sequence(lit(0), greatest(length(col(textCol)) - 1, lit(0)), lit(step))))
+      .withColumn("chunk_idx", (col("chunk_start") / step).cast("int"))
+      .withColumn("chunk_text",
+        substring_index_safe(col(textCol), col("chunk_start"), chunkSize))
+      .withColumn("chunk_len", length(col("chunk_text")))
+      .drop(textCol)
+  }
+
+  // substring with 0-based start column (Spark's substring builtin needs a
+  // literal start; expr-level substring accepts columns, 1-based)
+  private def substring_index_safe(text: Column, start0: Column, len: Int): Column =
+    text.substr(start0 + 1, lit(len))
+
+  /** Deterministic stratified sampling: keep a row iff a fixed integer
+    * hash of its id lands under the per-mille rate. Reproducible across
+    * runs and engines (Knuth multiplicative hash, no RNG), map-side only.
+    */
+  def sampleDeterministic(idCol: String, perMille: Int): Column =
+    pmod(col(idCol) * lit(2654435761L), lit(1000L)) < perMille
 }
