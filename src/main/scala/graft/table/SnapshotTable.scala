@@ -54,8 +54,10 @@ final class SnapshotTable(val root: Path) {
 
   def exists: Boolean = Files.exists(pointer)
 
-  def currentVersion: Long =
+  def currentVersion: Long = {
+    require(exists, s"table at $root does not exist (no commit pointer)")
     new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toLong
+  }
 
   def currentManifest: Manifest = manifest(currentVersion)
 
@@ -179,18 +181,34 @@ final class SnapshotTable(val root: Path) {
       commitData(merged, m.version + 1, m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
-      // partition values present in the change set — one row per
-      // partition, NOT per change row. The change set feeds BOTH the
-      // partition census and the merge, so cache it: change detection is
-      // itself a multi-join plan that must not run twice.
+      // partition values that must be rewritten — one row per partition,
+      // NOT per change row. Two contributors:
+      //   1. partitions of the change rows (where new/updated rows land);
+      //   2. partitions of TARGET rows whose key is in the change set —
+      //      required when the partition value is mutable (e.g. derived
+      //      from updated_at): an update can MOVE a row across partitions
+      //      and the old copy must be rewritten away. This is a
+      //      column-pruned scan of (keys, partition) joined semi against
+      //      the change keys — cheap relative to any rewrite, and the
+      //      same target-match scan Iceberg MERGE performs.
+      // The change set feeds the census AND the merge, so cache it:
+      // change detection is itself a multi-join plan that must not run
+      // twice.
       val pcols = m.partitionColumns
       val cached = changes.cache()
       try {
-        val touched: Set[Map[String, String]] =
+        def toSet(rows: Array[org.apache.spark.sql.Row]): Set[Map[String, String]] =
+          rows.map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap).toSet
+        val changePartitions = toSet(
           cached.select(pcols.map(c => col(c).cast("string")): _*)
-            .distinct().collect()
-            .map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap)
-            .toSet
+            .distinct().collect())
+        val changeKeys = cached.select(keys.map(col): _*).distinct()
+        val homePartitions = toSet(
+          read(spark).select((keys ++ pcols).map(col): _*)
+            .join(changeKeys, keys, "left_semi")
+            .select(pcols.map(c => col(c).cast("string")): _*)
+            .distinct().collect())
+        val touched = changePartitions ++ homePartitions
         val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
         val carried = m.files.filterNot(f => touched.contains(f.partition))
@@ -312,6 +330,14 @@ final class SnapshotTable(val root: Path) {
       pcols, props)
     Files.createDirectories(metaDir)
     ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
+    // optimistic-concurrency fail-fast: we operate single-writer (like the
+    // reference's max_active_runs=1), but if another writer advanced the
+    // pointer while this commit was building, abort rather than clobber —
+    // the orphaned v-dir falls to removeOrphanFiles
+    if (exists && currentVersion >= v)
+      throw new IllegalStateException(
+        s"concurrent commit detected: pointer already at v${currentVersion}, " +
+          s"aborting commit of v$v for $root")
     val tmp = metaDir.resolve(s"_current.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

@@ -106,6 +106,50 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.rollbackTo(99))
   }
 
+  test("missing table and concurrent commits fail fast with clear errors") {
+    val tbl = freshTable()
+    val e = intercept[IllegalArgumentException](tbl.currentVersion)
+    assert(e.getMessage.contains("does not exist"))
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    // simulate another writer advancing the pointer AFTER this merge
+    // loaded the current manifest but before it commits: the
+    // targetTransform hook runs inside that window
+    val ptr = tbl.root.resolve("meta").resolve("_current")
+    val changes = Ingestion.stamp(batch(1 to 3, t1, 2.0), t1, keepDeletes = false)
+      .withColumn(MetaColumns.Op, org.apache.spark.sql.functions.lit("U"))
+    val c = intercept[IllegalStateException](
+      tbl.merge(spark, changes, Seq("id"), keepDeletes = false,
+        targetTransform = t => { java.nio.file.Files.write(ptr, "7".getBytes); t }))
+    assert(c.getMessage.contains("concurrent commit"))
+  }
+
+  test("days-partitioned table merges with partition-scoped rewrite") {
+    val tbl = freshTable()
+    val pcfg = SourceConfig("db", "ev", Seq("id"), Seq("updated_at"),
+      partitionColumns = Seq("event_day"))
+    // F5 days() transform: partition column = date_trunc of the event time
+    def withDay(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_day", to_date(date_trunc("DAY", col("updated_at"))))
+    val day1 = (1 to 60).map(i =>
+      (i.toLong, Timestamp.valueOf(s"2026-01-0${i % 3 + 1} 10:00:00"), 1.0))
+      .toDF("id", "updated_at", "v")
+    Ingestion.run(spark, tbl, withDay(day1), pcfg, t0)
+    // update only rows whose event moved to a NEW day (2026-01-05)
+    val changes = (1 to 60).filter(_ % 6 == 0).map(i =>
+      (i.toLong, Timestamp.valueOf("2026-01-05 10:00:00"), 2.0))
+      .toDF("id", "updated_at", "v")
+    Ingestion.run(spark, tbl, withDay(changes),
+      pcfg.copy(mode = IngestMode.Incremental), t1)
+    val out = tbl.read(spark)
+    assert(out.count() == 60)
+    assert(out.filter(col("v") === 2.0).count() == 10)
+    // old days' files carry forward except... updated keys lived in old
+    // partitions too: the merge rewrote the new day's partition AND any
+    // partition that lost rows? (CoW: rows move partitions via rewrite)
+    val m = tbl.currentManifest
+    assert(m.files.exists(_.partition("event_day") == "2026-01-05"))
+  }
+
   test("files() metadata relation lists live files with partitions") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl,
