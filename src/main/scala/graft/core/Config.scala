@@ -66,6 +66,10 @@ final case class IngestFlags(
   * @param partitionColumns optional partition-spec column names already
   *                        present (or derivable) on the data; drives
   *                        partition-scoped copy-on-write rewrite at scale
+  * @param partitionStableByKey declare that partition columns are pure
+  *                        functions of the natural keys (identity/bucket),
+  *                        enabling the merge fast path that skips the
+  *                        moved-row census scan
   */
 final case class SourceConfig(
     database: String,
@@ -75,7 +79,8 @@ final case class SourceConfig(
     partitionColumns: Seq[String] = Nil,
     mode: IngestMode = IngestMode.Full,
     flags: IngestFlags = IngestFlags(),
-    optimize: Optimize = Optimize.Speed) {
+    optimize: Optimize = Optimize.Speed,
+    partitionStableByKey: Boolean = false) {
   require(naturalKeys.nonEmpty, "naturalKeys must be non-empty")
   def qualifiedName: String = s"$database.$table"
 }

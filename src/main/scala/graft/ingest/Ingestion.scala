@@ -127,7 +127,8 @@ object Ingestion {
           keepSourceCols = Seq(Op))
         val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys, cfg.updatedAtFields)
         table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
-          targetTransform = t => alignSchemas(source.drop(Op), t)._2)
+          targetTransform = t => alignSchemas(source.drop(Op), t)._2,
+          partitionStableByKey = cfg.partitionStableByKey)
       case _ =>
         val allowDeletes = cfg.mode == IngestMode.Full
         val (src, tgt) = alignSchemas(source, table.read(spark))
@@ -135,7 +136,8 @@ object Ingestion {
         val changes = ChangeSet.build(src, target, cfg.naturalKeys,
           cfg.updatedAtFields, cfg.flags, allowDeletes)
         table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
-          targetTransform = t => alignSchemas(source, t)._2)
+          targetTransform = t => alignSchemas(source, t)._2,
+          partitionStableByKey = cfg.partitionStableByKey)
     }
   }
 

@@ -60,7 +60,8 @@ object StreamingIngest {
             cfg.updatedAtFields)
           table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
             targetTransform =
-              t => Ingestion.alignSchemas(source.drop(MetaColumns.Op), t)._2)
+              t => Ingestion.alignSchemas(source.drop(MetaColumns.Op), t)._2,
+            partitionStableByKey = cfg.partitionStableByKey)
         }
         ()
       }

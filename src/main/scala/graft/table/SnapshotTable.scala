@@ -171,10 +171,18 @@ final class SnapshotTable(val root: Path) {
     * carried into the new manifest untouched — at 100 TB this is the
     * difference between rewriting gigabytes and rewriting everything.
     */
+  /** @param partitionStableByKey caller-declared invariant: every
+    *   partition column is a pure function of the natural keys (identity
+    *   or bucket transforms), so a row can never change partitions. When
+    *   true, the moved-row census scan is skipped — the steady-state fast
+    *   path for bucket-partitioned tables. Declaring it falsely can
+    *   duplicate moved keys; the default is the safe scan.
+    */
   def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
             keepDeletes: Boolean,
             nowMs: Long = System.currentTimeMillis(),
-            targetTransform: DataFrame => DataFrame = identity): Manifest = {
+            targetTransform: DataFrame => DataFrame = identity,
+            partitionStableByKey: Boolean = false): Manifest = {
     val m = currentManifest
     if (m.partitionColumns.isEmpty) {
       val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
@@ -202,12 +210,16 @@ final class SnapshotTable(val root: Path) {
         val changePartitions = toSet(
           cached.select(pcols.map(c => col(c).cast("string")): _*)
             .distinct().collect())
-        val changeKeys = cached.select(keys.map(col): _*).distinct()
-        val homePartitions = toSet(
-          read(spark).select((keys ++ pcols).map(col): _*)
-            .join(changeKeys, keys, "left_semi")
-            .select(pcols.map(c => col(c).cast("string")): _*)
-            .distinct().collect())
+        val homePartitions =
+          if (partitionStableByKey) Set.empty[Map[String, String]]
+          else {
+            val changeKeys = cached.select(keys.map(col): _*).distinct()
+            toSet(
+              read(spark).select((keys ++ pcols).map(col): _*)
+                .join(changeKeys, keys, "left_semi")
+                .select(pcols.map(c => col(c).cast("string")): _*)
+                .distinct().collect())
+          }
         val touched = changePartitions ++ homePartitions
         val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
