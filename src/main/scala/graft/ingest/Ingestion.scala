@@ -90,7 +90,8 @@ object Ingestion {
         val cachedTarget = target.cache() // read by all 3 diff legs (iceberg.py:153-158)
         val changes = ChangeSet.build(source, cachedTarget, cfg.naturalKeys,
           cfg.updatedAtFields, cfg.flags, allowDeletes)
-        Merge(cachedTarget, changes, cfg.naturalKeys, cfg.flags.keepDeletes)
+        Merge(cachedTarget, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
+          insertsPreverified = true)
     }
 
   /** Full storage-backed run against a SnapshotTable (reference flow:

@@ -34,19 +34,34 @@ import graft.core.MetaColumns
 object Merge {
   import MetaColumns.{Op, HardDeleted}
 
+  /** @param insertsPreverified set by callers whose I-leg is an anti join
+    *   against this same target (full/incremental change detection): the
+    *   not-matched guard below would be a no-op, so skip its join.
+    */
   def apply(target: DataFrame, changes: DataFrame, keys: Seq[String],
-            keepDeletes: Boolean): DataFrame = {
+            keepDeletes: Boolean,
+            insertsPreverified: Boolean = false): DataFrame = {
     val outCols = target.columns.toSeq
+    // faithful MERGE clause semantics: an op='I' row whose key ALREADY
+    // exists in the target matches no clause (there is no
+    // `WHEN MATCHED AND op='I'`), so the target row is kept and the
+    // change ignored — exactly Iceberg's behavior on a malformed insert
+    // marker. Effective changes = D/U rows + I rows that are truly new.
+    val effective =
+      if (insertsPreverified) changes
+      else changes.filter(col(Op) =!= "I")
+        .unionByName(changes.filter(col(Op) === "I")
+          .join(target.select(keys.map(col): _*), keys, "left_anti"))
     val untouched = target.join(
-      changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      effective.select(keys.map(col): _*).distinct(), keys, "left_anti")
     val applied =
       if (keepDeletes) {
         // soft delete: the D-leg rows (which originate from the target)
         // survive with hard_deleted=true; I/U rows keep their stamped flag
-        changes.withColumn(HardDeleted,
+        effective.withColumn(HardDeleted,
           when(col(Op) === "D", lit(true))
             .otherwise(coalesce(col(HardDeleted).cast("boolean"), lit(false))))
-      } else changes.filter(col(Op) =!= "D")
+      } else effective.filter(col(Op) =!= "D")
     untouched.unionByName(applied.select(outCols.map(col): _*))
   }
 }

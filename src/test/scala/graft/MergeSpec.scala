@@ -102,6 +102,31 @@ class MergeSpec extends SparkSpec {
     assert(got == Map(1L -> "tie", 2L -> "only")) // "tie" > "new" desc
   }
 
+  test("insert marker for an existing key matches no MERGE clause → target kept") {
+    val tgt = Seq((1L, "a", ts("2026-01-01 00:00:00"), 10.0))
+      .toDF("k1", "k2", "updated_at", "v")
+    val changes = Seq(
+      (1L, "a", ts("2026-02-01 00:00:00"), 99.0, "I"), // malformed: key exists
+      (2L, "b", ts("2026-02-01 00:00:00"), 20.0, "I")  // genuinely new
+    ).toDF("k1", "k2", "updated_at", "v", "op")
+    val out = Merge(tgt, changes, keys, keepDeletes = false)
+      .select("k1", "v").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 20.0)) // 1 untouched, 2 inserted
+  }
+
+  test("numeric widening across batches merges via union coercion") {
+    val tgt = Seq((1L, ts("2026-01-01 00:00:00"), 5)) // v: int
+      .toDF("k1", "updated_at", "v")
+    val src = Seq((1L, ts("2026-02-01 00:00:00"), 7L), // v: long (widened)
+        (2L, ts("2026-02-01 00:00:00"), 9L))
+      .toDF("k1", "updated_at", "v")
+    val cfg = SourceConfig("t", "t", Seq("k1"), Seq("updated_at"),
+      mode = IngestMode.Full)
+    val out = Ingestion.applyMode(src, tgt, cfg)
+      .select("k1", "v").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 7L, 2L -> 9L))
+  }
+
   test("replace mode returns the source verbatim (diffCount oracle shape)") {
     val cfg = SourceConfig("t", "t", keys, upd, mode = IngestMode.Replace)
     val out = Ingestion.applyMode(source, target, cfg)
