@@ -34,34 +34,54 @@ import graft.core.MetaColumns
 object Merge {
   import MetaColumns.{Op, HardDeleted}
 
-  /** @param insertsPreverified set by callers whose I-leg is an anti join
-    *   against this same target (full/incremental change detection): the
-    *   not-matched guard below would be a no-op, so skip its join.
+  /** Faithful clause-by-clause replication of the reference MERGE
+    * (common/iceberg.py:237-244):
+    * {{{
+    *   WHEN MATCHED AND op='D' THEN DELETE       -- or UPDATE SET * with
+    *                                             -- hard_deleted=true
+    *   WHEN MATCHED AND op='U' THEN UPDATE SET *
+    *   WHEN NOT MATCHED THEN INSERT *            -- UNCONDITIONAL: any op
+    * }}}
+    * Consequences worth noting: a matched op='I' row matches no clause
+    * (target row kept, change dropped), and a NOT-matched 'U' — or even
+    * 'D' — row is inserted (with keepDeletes, D rows carry
+    * hard_deleted=true per the pre-merge flagging, iceberg.py:223-227).
+    *
+    * @param insertsPreverified set by callers whose change legs are
+    *   anti/semi joins against this same target (full/incremental change
+    *   detection): every I is not-matched and every U/D matched by
+    *   construction, so the matched/not-matched split joins are skipped.
     */
   def apply(target: DataFrame, changes: DataFrame, keys: Seq[String],
             keepDeletes: Boolean,
             insertsPreverified: Boolean = false): DataFrame = {
     val outCols = target.columns.toSeq
-    // faithful MERGE clause semantics: an op='I' row whose key ALREADY
-    // exists in the target matches no clause (there is no
-    // `WHEN MATCHED AND op='I'`), so the target row is kept and the
-    // change ignored — exactly Iceberg's behavior on a malformed insert
-    // marker. Effective changes = D/U rows + I rows that are truly new.
-    val effective =
-      if (insertsPreverified) changes
-      else changes.filter(col(Op) =!= "I")
-        .unionByName(changes.filter(col(Op) === "I")
-          .join(target.select(keys.map(col): _*), keys, "left_anti"))
-    val untouched = target.join(
-      effective.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    // pre-merge soft-delete flagging (reference does this on the changes
+    // frame BEFORE the merge, so not-matched D inserts arrive flagged)
+    val flagged =
+      if (keepDeletes)
+        changes.withColumn(HardDeleted,
+          when(col(Op) === "D", lit(true)).otherwise(lit(false)))
+      else changes
     val applied =
-      if (keepDeletes) {
-        // soft delete: the D-leg rows (which originate from the target)
-        // survive with hard_deleted=true; I/U rows keep their stamped flag
-        effective.withColumn(HardDeleted,
-          when(col(Op) === "D", lit(true))
-            .otherwise(coalesce(col(HardDeleted).cast("boolean"), lit(false))))
-      } else effective.filter(col(Op) =!= "D")
+      if (insertsPreverified) {
+        if (keepDeletes) flagged else flagged.filter(col(Op) =!= "D")
+      } else {
+        val tKeys = target.select(keys.map(col): _*)
+        val notMatched = flagged.join(tKeys, keys, "left_anti") // INSERT *, any op
+        val matchedApplied = {
+          val matched = flagged.join(tKeys, keys, "left_semi")
+          val updates = matched.filter(col(Op) === "U")
+          if (keepDeletes) updates.unionByName(matched.filter(col(Op) === "D"))
+          else updates // matched D → DELETE; matched I → no clause
+        }
+        notMatched.unionByName(matchedApplied)
+      }
+    // target rows keyed by a matched U or D change are replaced/deleted;
+    // everything else (incl. keys of matched-I changes) is untouched
+    val evictKeys = flagged.filter(col(Op) =!= "I")
+      .select(keys.map(col): _*).distinct()
+    val untouched = target.join(evictKeys, keys, "left_anti")
     untouched.unionByName(applied.select(outCols.map(col): _*))
   }
 }

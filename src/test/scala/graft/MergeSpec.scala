@@ -114,6 +114,24 @@ class MergeSpec extends SparkSpec {
     assert(out == Map(1L -> 10.0, 2L -> 20.0)) // 1 untouched, 2 inserted
   }
 
+  test("not-matched rows insert unconditionally, matching the reference's MERGE") {
+    val tgt = Seq((1L, "a", ts("2026-01-01 00:00:00"), 10.0))
+      .toDF("k1", "k2", "updated_at", "v")
+    val changes = Seq(
+      (2L, "b", ts("2026-02-01 00:00:00"), 20.0, "U"), // U, not matched → INSERT
+      (3L, "c", ts("2026-02-01 00:00:00"), 30.0, "D")  // D, not matched → INSERT (!)
+    ).toDF("k1", "k2", "updated_at", "v", "op")
+    val hard = Merge(tgt, changes, keys, keepDeletes = false)
+      .select("k1", "v").as[(Long, Double)].collect().toMap
+    assert(hard == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    // with keepDeletes the resurrected D row arrives pre-flagged deleted
+    val tgt2 = tgt.withColumn(MetaColumns.HardDeleted, lit(false))
+    val changes2 = changes.withColumn(MetaColumns.HardDeleted, lit(false))
+    val soft = Merge(tgt2, changes2, keys, keepDeletes = true)
+      .select("k1", MetaColumns.HardDeleted).as[(Long, Boolean)].collect().toMap
+    assert(soft == Map(1L -> false, 2L -> false, 3L -> true))
+  }
+
   test("numeric widening across batches merges via union coercion") {
     val tgt = Seq((1L, ts("2026-01-01 00:00:00"), 5)) // v: int
       .toDF("k1", "updated_at", "v")
