@@ -182,7 +182,7 @@ object SparkEntry {
       val src = Ingestion.stamp(ordersSource(s, d), tsSource, keepDeletes = true)
       val tgt = Ingestion.stamp(ordersTarget(s, d), tsTarget, keepDeletes = true)
       Ingestion.applyMode(src, tgt, ordersCfg.copy(mode = IngestMode.Full,
-        flags = IngestFlags(keepDeletes = true)))
+        flags = IngestFlags(keepDeletes = true)), ingestionTs = Some(tsSource))
     }),
 
     "q18_cdc_dedup" -> ((s, d) =>
@@ -444,7 +444,9 @@ object SparkEntry {
         |    AND s.o_orderdate > t.o_orderdate)
         |UNION ALL
         |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
-        |  t.o_orderdate, t.o_orderpriority, t.ingestion_datetime, true AS hard_deleted
+        |  t.o_orderdate, t.o_orderpriority,
+        |  TIMESTAMP '2026-02-01 00:00:00' AS ingestion_datetime,
+        |  true AS hard_deleted
         |FROM tgt2 t
         |  WHERE NOT EXISTS (SELECT 1 FROM src2 s WHERE s.o_orderkey = t.o_orderkey)""".stripMargin),
 

@@ -69,17 +69,19 @@ object Ingestion {
     * For Cdc, `source` must carry an `op` column with values I/U/D.
     * Source/target schemas may drift; they are aligned by name first.
     */
-  def applyMode(source0: DataFrame, target0: DataFrame, cfg: SourceConfig): DataFrame = {
+  def applyMode(source0: DataFrame, target0: DataFrame, cfg: SourceConfig,
+                ingestionTs: Option[Timestamp] = None): DataFrame = {
     val (source, target) =
       if (cfg.mode == IngestMode.Replace) (source0, target0)
       else if (cfg.mode == IngestMode.Cdc)
         alignSchemas(source0, target0, keepSourceCols = Seq(Op))
       else alignSchemas(source0, target0)
-    applyModeAligned(source, target, cfg)
+    applyModeAligned(source, target, cfg, ingestionTs)
   }
 
   private def applyModeAligned(source: DataFrame, target: DataFrame,
-                               cfg: SourceConfig): DataFrame =
+                               cfg: SourceConfig,
+                               ingestionTs: Option[Timestamp]): DataFrame =
     cfg.mode match {
       case IngestMode.Replace => source
       case IngestMode.Cdc =>
@@ -89,7 +91,7 @@ object Ingestion {
         val allowDeletes = cfg.mode == IngestMode.Full
         val cachedTarget = target.cache() // read by all 3 diff legs (iceberg.py:153-158)
         val changes = ChangeSet.build(source, cachedTarget, cfg.naturalKeys,
-          cfg.updatedAtFields, cfg.flags, allowDeletes)
+          cfg.updatedAtFields, cfg.flags, allowDeletes, ingestionTs)
         Merge(cachedTarget, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
           insertsPreverified = true)
     }
@@ -135,7 +137,7 @@ object Ingestion {
         val (src, tgt) = alignSchemas(source, table.read(spark))
         val target = tgt.cache()
         val changes = ChangeSet.build(src, target, cfg.naturalKeys,
-          cfg.updatedAtFields, cfg.flags, allowDeletes)
+          cfg.updatedAtFields, cfg.flags, allowDeletes, Some(ingestionTs))
         table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
           targetTransform = t => alignSchemas(source, t)._2,
           partitionStableByKey = cfg.partitionStableByKey)

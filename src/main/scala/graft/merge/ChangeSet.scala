@@ -76,9 +76,15 @@ object ChangeSet {
     * columns which the caller is expected to have stamped onto source too
     * (see Ingestion.stamp).
     */
+  /** @param ingestionTs when set, re-stamps `ingestion_datetime` on the
+    *   assembled union — the reference does this on the whole change set
+    *   (iceberg.py:201-202), so even delete-leg rows (which originate from
+    *   the target) carry the CURRENT run's timestamp.
+    */
   def build(source: DataFrame, target: DataFrame, keys: Seq[String],
             updatedAt: Seq[String], flags: IngestFlags,
-            allowDeletes: Boolean): DataFrame = {
+            allowDeletes: Boolean,
+            ingestionTs: Option[java.sql.Timestamp] = None): DataFrame = {
     val ins =
       if (flags.insert) inserts(source, target, keys)
       else emptyLike(source).withColumn(Op, lit("I"))
@@ -92,8 +98,13 @@ object ChangeSet {
     // meta columns in a different position (reference unions positionally
     // because it stamps source first, iceberg.py:201 — by-name is the safe
     // Scala equivalent)
-    ins.unionByName(del.select(ins.columns.map(col).toSeq: _*))
+    val union = ins.unionByName(del.select(ins.columns.map(col).toSeq: _*))
       .unionByName(upd)
+    ingestionTs match {
+      case Some(ts) if union.columns.contains(MetaColumns.IngestionDatetime) =>
+        union.withColumn(MetaColumns.IngestionDatetime, lit(ts))
+      case _ => union
+    }
   }
 
   /** CDC latest-row-per-key dedup (reference: iceberg.py:203-216):
