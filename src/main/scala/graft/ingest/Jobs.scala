@@ -27,8 +27,13 @@ abstract class IngestionJob(
   protected def dayPath: String =
     runDatetime.format(DateTimeFormatter.ofPattern("yyyy-MM-dd"))
 
+  /** Table-name normalization (reference: `glue_table`,
+    * salesforce.py:43 / dmsdatabase1.py:68 — dashes become underscores).
+    */
+  def cleanTableName: String = config.table.replace('-', '_')
+
   def table: SnapshotTable =
-    SnapshotTable.at(s"$warehouseRoot/${config.database}/${config.table}")
+    SnapshotTable.at(s"$warehouseRoot/${config.database}/$cleanTableName")
 
   /** Where today's raw batch lands (source-family specific). */
   def rawPath: String
@@ -58,15 +63,19 @@ abstract class IngestionJob(
     */
   def writeOutputs(): Unit = {
     import spark.implicits._
-    val base = s"$outputRoot/${config.database}/${config.table}"
+    // dated output paths + column naming per the reference
+    // (salesforce.py:31-37 `.../file_list_full/{date}`,
+    // `.../manifest_file/{date}`; manifest column is Row("manifest"),
+    // common/iceberg.py:286-289)
+    val base = s"$outputRoot/${config.database}/$cleanTableName"
     table.files(spark).select("file_path")
       .repartition(1)
-      .write.mode("overwrite").json(s"$base/files")
+      .write.mode("overwrite").json(s"$base/file_list_full/$dayPath")
     val manifestLocation =
       s"${table.root}/meta/v${table.currentVersion}.json"
-    Seq(manifestLocation).toDF("metadata_location")
+    Seq(manifestLocation).toDF("manifest")
       .repartition(1)
-      .write.mode("overwrite").json(s"$base/manifest")
+      .write.mode("overwrite").json(s"$base/manifest_file/$dayPath")
   }
 
   /** The reference's `--test` oracle (salesforce.py:80-83): re-read the

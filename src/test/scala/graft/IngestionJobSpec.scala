@@ -45,11 +45,11 @@ class IngestionJobSpec extends SparkSpec {
     day2.test()
     assert(day2.table.currentVersion == 2)
     assert(day2.table.read(spark).count() == 55)
-    // K3 outputs: file list + manifest pointer
-    val files = spark.read.json(s"$out/crm/accounts/files")
+    // K3 outputs: dated file list + manifest pointer (reference naming)
+    val files = spark.read.json(s"$out/crm/accounts/file_list_full/2026-03-03")
     assert(files.count() >= 1)
-    val manifest = spark.read.json(s"$out/crm/accounts/manifest")
-      .select("metadata_location").as[String].head()
+    val manifest = spark.read.json(s"$out/crm/accounts/manifest_file/2026-03-03")
+      .select("manifest").as[String].head()
     assert(manifest.endsWith("meta/v2.json"))
   }
 
@@ -123,6 +123,6 @@ class IngestionJobSpec extends SparkSpec {
       "--raw-root", raw, "--warehouse", wh, "--out", out)
     Main.main(common)
     Main.main(common :+ "--test")
-    assert(spark.read.json(s"$out/crm/accounts/manifest").count() == 1)
+    assert(spark.read.json(s"$out/crm/accounts/manifest_file/2026-05-02").count() == 1)
   }
 }
