@@ -26,11 +26,21 @@ object Main {
 
     val dt = OffsetDateTime.parse(req("datetime"),
       DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    val source = req("source")
+    val isDms = source.startsWith("dms")
+    // per-family key defaults (reference: salesforce.py:48-52 Id /
+    // SystemModstamp; dmsdatabase1.py:73-77 recid / modifieddatetime) and
+    // env-derived database naming (salesforce.py:46 {env}_clean_{source})
+    val defaultKeys = if (isDms) "recid" else "Id"
+    val defaultUpd = if (isDms) "modifieddatetime" else "SystemModstamp"
+    val database = a.get("database")
+      .orElse(a.get("env").map(e => s"${e}_clean_$source"))
+      .getOrElse(source)
     val cfg = SourceConfig(
-      database = a.getOrElse("database", req("source")),
+      database = database,
       table = req("table"),
-      naturalKeys = req("keys").split(',').toSeq,
-      updatedAtFields = req("updated-at").split(',').toSeq,
+      naturalKeys = a.getOrElse("keys", defaultKeys).split(',').toSeq,
+      updatedAtFields = a.getOrElse("updated-at", defaultUpd).split(',').toSeq,
       partitionColumns = a.get("partition-by").map(_.split(',').toSeq).getOrElse(Nil),
       mode = IngestMode.parse(a.getOrElse("type", "full")),
       flags = IngestFlags(
@@ -46,7 +56,7 @@ object Main {
       org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
     val spark = GraftSession.get(s"graft-${cfg.qualifiedName}")
     try {
-      val job: IngestionJob = req("source") match {
+      val job: IngestionJob = source match {
         case s if s.startsWith("dms") =>
           new DmsStyleJob(spark, cfg, s, a.getOrElse("schema", "schema1"),
             req("raw-root"), req("warehouse"), req("out"), dt)

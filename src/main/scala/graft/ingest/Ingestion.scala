@@ -103,7 +103,10 @@ object Ingestion {
     */
   def run(spark: SparkSession, table: SnapshotTable, rawBatch: DataFrame,
           cfg: SourceConfig, ingestionTs: Timestamp): Unit = {
-    val source = stamp(lowercaseColumns(rawBatch), ingestionTs, cfg.flags.keepDeletes)
+    // column-case normalization is a SOURCE concern (the reference
+    // lowercases only DMS feeds, dmsdatabase1.py:60-63) — jobs do it in
+    // their dataframe(); batches arriving here are taken as-is
+    val source = stamp(rawBatch, ingestionTs, cfg.flags.keepDeletes)
     // M4 property sets (reference: default_iceberg_table_properties,
     // common/iceberg.py:53-80): speed → CoW + snappy, storage → "MoR" +
     // gzip. We implement MoR physically as CoW (SURVEY.md §7.5) but record

@@ -120,10 +120,15 @@ class DmsStyleJob(spark: SparkSession, config: SourceConfig,
     } else s"$rawRoot/$sourceName/${config.table}/$dayPath"
 
   /** CDC dirs nest plain `yyyy/MM/dd` folders (not hive partitions), so the
-    * bootstrap whole-history read needs recursive lookup.
+    * bootstrap whole-history read needs recursive lookup. DMS feeds arrive
+    * mixed-case and are lowercased here (reference:
+    * dmsdatabase1.py:60-63); AppFlow feeds keep their casing.
     */
-  override def dataframe(): DataFrame =
-    if (config.mode == IngestMode.Cdc)
-      spark.read.option("recursiveFileLookup", "true").parquet(rawPath)
-    else super.dataframe()
+  override def dataframe(): DataFrame = {
+    val raw =
+      if (config.mode == IngestMode.Cdc)
+        spark.read.option("recursiveFileLookup", "true").parquet(rawPath)
+      else super.dataframe()
+    Ingestion.lowercaseColumns(raw)
+  }
 }
