@@ -26,6 +26,21 @@ object Main {
 
     val dt = OffsetDateTime.parse(req("datetime"),
       DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX"))
+
+    // multi-table flow mode: --flows <config.json> runs every table in the
+    // flow config (the reference's DAG-factory surface, Airflow-free)
+    if (a.contains("flows")) {
+      val preexistingF =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val sparkF = GraftSession.get("graft-flows")
+      try {
+        val results = graft.ingest.FlowRunner.run(sparkF, a("flows"),
+          req("raw-root"), req("warehouse"), req("out"), dt)
+        results.foreach(r => println(
+          s"[flow] ${r.source}.${r.table} mode=${r.mode} tested=${r.tested}"))
+      } finally if (!preexistingF) sparkF.stop()
+      return
+    }
     val source = req("source")
     val isDms = source.startsWith("dms")
     // per-family key defaults (reference: salesforce.py:48-52 Id /

@@ -425,7 +425,7 @@ private[graft] object ManifestJson {
   * numbers → Double, strings → String, booleans/null) — enough for our
   * own manifests; avoids any external dependency (offline build).
   */
-private object JsonLite {
+private[graft] object JsonLite {
   def parse(s: String): Any = {
     val it = new Cursor(s)
     val v = it.value()
