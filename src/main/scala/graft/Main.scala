@@ -24,8 +24,15 @@ object Main {
     def req(k: String): String =
       a.getOrElse(k, sys.error(s"missing required --$k"))
 
-    val dt = OffsetDateTime.parse(req("datetime"),
-      DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    // the reference parses %z, which accepts both +00:00 and +0000 — do too
+    val dtRaw = req("datetime")
+    val dt =
+      try OffsetDateTime.parse(dtRaw,
+        DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssXXX"))
+      catch { case _: java.time.format.DateTimeParseException =>
+        OffsetDateTime.parse(dtRaw,
+          DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssZ"))
+      }
 
     // multi-table flow mode: --flows <config.json> runs every table in the
     // flow config (the reference's DAG-factory surface, Airflow-free)
