@@ -150,6 +150,37 @@ class SnapshotTableSpec extends SparkSpec {
     assert(m.files.exists(_.partition("event_day") == "2026-01-05"))
   }
 
+  test("readers hold snapshot isolation across a concurrent merge") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 100, t0, 1.0), cfg, t0)
+    // a reader resolves the manifest at read() time: its plan pins v1 files
+    val reader = tbl.read(spark)
+    Ingestion.run(spark, tbl, batch(1 to 150, t1, 2.0), cfg, t1)
+    assert(tbl.currentVersion == 2)
+    // the in-flight reader still sees the v1 snapshot (old files remain
+    // until snapshot expiry), while a fresh read sees v2
+    assert(reader.count() == 100)
+    assert(reader.filter(col("v") === 2.0).count() == 0)
+    assert(tbl.read(spark).count() == 150)
+  }
+
+  test("binary payload columns round-trip through the table") {
+    val tbl = freshTable()
+    val media = (1 to 20)
+      .map(i => (i.toLong, t0, Array.fill(i * 10)(i.toByte)))
+      .toDF("id", "updated_at", "payload")
+    Ingestion.run(spark, tbl, media, cfg, t0)
+    val back = tbl.read(spark)
+      .select(col("id"), org.apache.spark.sql.functions.length(col("payload")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(back == (1 to 20).map(i => i.toLong -> i * 10).toMap)
+    // and the multimodal decode runs over the stored bytes
+    val metas = graft.operators.Multimodal.decodeImages(spark,
+      tbl.read(spark).select(col("id"), col("payload"))).collect()
+    assert(metas.length == 20)
+    assert(metas.forall(m => m.width == 64 + (m.n_bytes % 512).toInt))
+  }
+
   test("files() metadata relation lists live files with partitions") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl,
