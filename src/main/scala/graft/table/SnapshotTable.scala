@@ -330,7 +330,15 @@ final class SnapshotTable(val root: Path) {
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil): Manifest = {
     val dir = dataDir.resolve(s"v$v")
-    val writer = df.write.mode("overwrite")
+    // cluster by partition value before a partitioned write: otherwise
+    // every task fans out across every partition dir and each commit
+    // writes O(tasks × partitions) small files. One shuffle buys one
+    // file per partition per commit — the layout compaction would
+    // otherwise have to repair. (Heavily skewed partition values would
+    // serialize on one task here; bucket counts are chosen to spread.)
+    val clustered =
+      if (pcols.nonEmpty) df.repartition(pcols.map(col): _*) else df
+    val writer = clustered.write.mode("overwrite")
       .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
     (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
       .parquet(dir.toString)

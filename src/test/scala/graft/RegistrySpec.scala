@@ -33,17 +33,18 @@ class RegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
-  test("compaction of a partitioned table reduces files per partition") {
+  test("partitioned commits cluster to one file per partition; compaction preserves it") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-p-").toString
     val tbl = graft.table.SnapshotTable.at(root)
     val df = (1 to 400).map(i => (i.toLong, i % 4)).toDF("id", "p")
-      .repartition(8)
+      .repartition(8) // deliberately scattered input
     tbl.createOrReplace(df, partitionColumns = Seq("p"))
-    val before = tbl.currentManifest.files.size
-    assert(before > 4) // 8 tasks × up to 4 partition values
+    // the commit clusters by partition value: exactly one file per value,
+    // not tasks × partitions
+    assert(tbl.currentManifest.files.size == 4,
+      s"got ${tbl.currentManifest.files}")
     tbl.compact(spark)
-    val after = tbl.currentManifest.files
-    assert(after.size == 4, s"expected one file per partition, got $after")
+    assert(tbl.currentManifest.files.size == 4)
     assert(tbl.read(spark).count() == 400)
   }
 }
