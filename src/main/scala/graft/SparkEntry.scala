@@ -317,6 +317,15 @@ object SparkEntry {
         .filter(TextAnalysis.sampleDeterministic("doc_id", perMille = 100))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    "q48_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // fixture: docs with id % 97 == 0 play the benchmark/eval set
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+    }),
+
     "q45_image_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.decodeImages(s,
@@ -598,6 +607,23 @@ object SparkEntry {
     "q47_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin,
+
+    "q48_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |    list_distinct(list_transform(range(1, len(t) - 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT d.doc_id, count(*) AS n_hits
+        |FROM grams d JOIN bench b ON d.g = b.g
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q45_image_resize" ->
       """WITH img AS (SELECT doc_id AS id,

@@ -160,6 +160,30 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: count, per corpus document, the distinct
+    * word n-grams it shares with a benchmark/eval document set — the
+    * training-data hygiene check that keeps eval data out of the corpus.
+    *
+    * Scale shape: the benchmark's distinct n-gram hash set is usually
+    * small → broadcast; the corpus side explodes to (doc, gram) pairs and
+    * the hash join is map-side, so cost is one pass over the corpus
+    * shingles plus a (doc_id)-keyed count. Hashes are 64-bit (collision
+    * odds negligible); only flagged docs are returned.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    ngramN: Int = 3): DataFrame = {
+    def grams(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(wordShingles(col(textCol), ngramN),
+          s => xxhash64(s)))).as("g"))
+    val benchGrams = broadcast(grams(benchmark).select("g").distinct())
+    grams(docs)
+      .join(benchGrams, "g")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
     * Candidates are bounded by LSH over random hyperplane signs when
     * `signBits > 0` (same skew-bounded self-join shape as simhash);
