@@ -317,6 +317,15 @@ object SparkEntry {
         .filter(TextAnalysis.sampleDeterministic("doc_id", perMille = 100))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    "q49_embed_top_pairs" -> ((s, d) =>
+      // embedding-cosine near-dup surface: the corpus has no true dups, so
+      // rank ALL pairs and keep the 20 most similar (deterministic order)
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = -1.0)
+        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+        .limit(20)
+        .select(col("id_a"), col("id_b"))),
+
     "q48_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       // fixture: docs with id % 97 == 0 play the benchmark/eval set
@@ -607,6 +616,14 @@ object SparkEntry {
     "q47_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin,
+
+    "q49_embed_top_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.v, b.v) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p
+        |ORDER BY c DESC, id_a ASC, id_b ASC LIMIT 20""".stripMargin,
 
     "q48_decontaminate" ->
       """WITH toks AS (
