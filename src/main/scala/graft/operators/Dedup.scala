@@ -191,13 +191,22 @@ object Dedup {
     */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, signBits: Int = 0): DataFrame = {
-    val base = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = spread(embeddings.select(col(idCol).as("id"), col(vecCol).as("v")))
       .withColumn("nrm", vectorNorm(col("v")))
-    val withKey =
-      if (signBits <= 0) base.withColumn("bkey", lit(0L))
-      else base.withColumn("bkey", Similarity.hyperplaneKey(col("v"), signBits))
-    withKey.alias("a").join(withKey.alias("b"),
-        col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+    val paired =
+      if (signBits <= 0)
+        // exact all-pairs: broadcast one side and let the (spread) stream
+        // side parallelize — a constant-bucket equi-join would funnel
+        // every pair through one shuffle partition
+        base.alias("a").crossJoin(broadcast(base.alias("b")))
+          .filter(col("a.id") < col("b.id"))
+      else {
+        val withKey = base.withColumn("bkey",
+          Similarity.hyperplaneKey(col("v"), signBits))
+        withKey.alias("a").join(withKey.alias("b"),
+          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
+      }
+    paired
       .withColumn("cosine",
         round(vectorDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cosine") >= threshold)
