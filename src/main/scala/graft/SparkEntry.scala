@@ -321,7 +321,7 @@ object SparkEntry {
       // embedding-cosine near-dup surface: the corpus has no true dups, so
       // rank ALL pairs and keep the 20 most similar (deterministic order)
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = -1.0)
+          threshold = -1.0, signBits = 0)
         .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
         .limit(20)
         .select(col("id_a"), col("id_b"))),

@@ -189,19 +189,28 @@ object Dedup {
     * `signBits > 0` (same skew-bounded self-join shape as simhash);
     * signBits = 0 means exact all-pairs (test scale only).
     */
+  /** @param signBits hyperplane-LSH bucket bits bounding the self-join —
+    *   the scalable default. Pass 0 for EXACT all-pairs, which broadcasts
+    *   one full side: test/small-corpus scale only (hard 8 GB broadcast
+    *   ceiling).
+    */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, signBits: Int = 0): DataFrame = {
-    val base = spread(embeddings.select(col(idCol).as("id"), col(vecCol).as("v")))
+                        threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+    // zero-norm vectors (padding/empty rows) have no defined cosine; NaN
+    // compares GREATER than any double in Spark ordering, so they would
+    // otherwise pair with everything and crowd out real results
+    val raw = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", vectorNorm(col("v")))
+      .filter(col("nrm") > 0.0)
     val paired =
       if (signBits <= 0)
-        // exact all-pairs: broadcast one side and let the (spread) stream
-        // side parallelize — a constant-bucket equi-join would funnel
-        // every pair through one shuffle partition
-        base.alias("a").crossJoin(broadcast(base.alias("b")))
+        // exact all-pairs: broadcast one (un-spread, single-scan) side and
+        // let the spread stream side parallelize — a constant-bucket
+        // equi-join would funnel every pair through one shuffle partition
+        spread(raw).alias("a").crossJoin(broadcast(raw.alias("b")))
           .filter(col("a.id") < col("b.id"))
       else {
-        val withKey = base.withColumn("bkey",
+        val withKey = spread(raw).withColumn("bkey",
           Similarity.hyperplaneKey(col("v"), signBits))
         withKey.alias("a").join(withKey.alias("b"),
           col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))

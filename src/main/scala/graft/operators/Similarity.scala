@@ -90,10 +90,11 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // zero-norm vectors have no defined cosine (NaN would sort first)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qn", vectorNorm(col("qv")))
+      .withColumn("qn", vectorNorm(col("qv"))).filter(col("qn") > 0.0)
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cn", vectorNorm(col("cv")))
+      .withColumn("cn", vectorNorm(col("cv"))).filter(col("cn") > 0.0)
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -122,6 +123,7 @@ object Similarity {
       val w = Window.partitionBy(col(id))
         .orderBy(col("cent_sim").desc, col("cell_id").asc)
       df.select(col(id), col(v)).withColumn("vn", vectorNorm(col(v)))
+        .filter(col("vn") > 0.0)
         .crossJoin(cent)
         .withColumn("cent_sim",
           vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))

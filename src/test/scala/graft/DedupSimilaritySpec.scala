@@ -77,7 +77,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val dup = emb.filter($"vec_id" === 0)
       .withColumn("vec_id", lit(9999L))
     val pairs = Dedup.embeddingNearDups(emb.unionByName(dup),
+      "vec_id", "embedding", threshold = 0.999, signBits = 0)
+    // and the scalable LSH mode finds the planted duplicate too (identical
+    // vectors share every hyperplane bucket)
+    val lshPairs = Dedup.embeddingNearDups(emb.unionByName(dup),
       "vec_id", "embedding", threshold = 0.999)
+    assert(lshPairs.filter($"id_a" === 0 && $"id_b" === 9999).count() == 1)
     assert(pairs.filter($"id_a" === 0 && $"id_b" === 9999).count() == 1)
   }
 
