@@ -139,11 +139,13 @@ object Ingestion {
         val allowDeletes = cfg.mode == IngestMode.Full
         val (src, tgt) = alignSchemas(source, table.read(spark))
         val target = tgt.cache()
-        val changes = ChangeSet.build(src, target, cfg.naturalKeys,
-          cfg.updatedAtFields, cfg.flags, allowDeletes, Some(ingestionTs))
-        table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
-          targetTransform = t => alignSchemas(source, t)._2,
-          partitionStableByKey = cfg.partitionStableByKey)
+        try {
+          val changes = ChangeSet.build(src, target, cfg.naturalKeys,
+            cfg.updatedAtFields, cfg.flags, allowDeletes, Some(ingestionTs))
+          table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
+            targetTransform = t => alignSchemas(source, t)._2,
+            partitionStableByKey = cfg.partitionStableByKey)
+        } finally target.unpersist() // merge committed eagerly; release now
     }
   }
 

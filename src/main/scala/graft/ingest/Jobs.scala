@@ -45,14 +45,27 @@ abstract class IngestionJob(
 
   def ingestionTs: Timestamp = Timestamp.from(runDatetime.toInstant)
 
-  /** Full run: ingest, cleanup, monthly compaction, JSON outputs. */
+  /** Full run: ingest, cleanup, monthly compaction, JSON outputs.
+    * Maintenance honors the TABLE PROPERTIES the ingest recorded (the
+    * reference's cleanup procedures read retention/file-size from table
+    * properties, common/iceberg.py:54-59) rather than hardcoded defaults.
+    */
   def run(): Unit = {
     Ingestion.run(spark, table, dataframe(), config, ingestionTs)
+    val props = table.currentManifest.properties
+    def longProp(k: String, default: Long) =
+      props.get(k).map(_.toLong).getOrElse(default)
     // cleanup every run (reference: salesforce.py:64-65)
-    table.expireSnapshots()
+    table.expireSnapshots(
+      maxAgeMs = longProp("history.expire.max-snapshot-age-ms",
+        90L * 24 * 3600 * 1000),
+      minSnapshotsToKeep = longProp("history.expire.min-snapshots-to-keep", 90).toInt)
     table.removeOrphanFiles()
     // compaction monthly on the 1st (reference: salesforce.py:67-69)
-    if (runDatetime.getDayOfMonth == 1) table.compact(spark)
+    if (runDatetime.getDayOfMonth == 1)
+      table.compact(spark,
+        targetFileBytes = longProp("write.target-file-size-bytes",
+          64L * 1024 * 1024))
     writeOutputs()
   }
 

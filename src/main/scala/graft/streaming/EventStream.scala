@@ -48,10 +48,10 @@ object StreamingIngest {
         val source = Ingestion.stamp(Ingestion.lowercaseColumns(batch),
           ingestionTs, cfg.flags.keepDeletes)
         if (!table.exists) {
-          val deduped = ChangeSet.dedupLatest(source, cfg.naturalKeys,
-            cfg.updatedAtFields)
-          table.createOrReplace(
-            deduped.filter(col(MetaColumns.Op) =!= "D").drop(MetaColumns.Op),
+          // bootstrap parity with the batch cdc path (and the reference,
+          // iceberg.py:130-132): the raw history is written verbatim with
+          // only the op column dropped — no dedup, D rows kept as rows
+          table.createOrReplace(source.drop(MetaColumns.Op),
             cfg.partitionColumns)
         } else {
           val (src, _) = Ingestion.alignSchemas(source, table.read(spark),
@@ -190,8 +190,11 @@ object EventStream {
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
+        // microsecond-precision gap: unix_timestamp truncates to seconds
+        // and would disagree with the stateful twin (and the oracle's
+        // fractional epoch()) on sub-second boundary gaps
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1)
           .otherwise(0))
       .withColumn("session_seq",
         sum(col("new_session")).over(

@@ -66,11 +66,13 @@ final class SnapshotTable(val root: Path) {
 
   def manifestVersions: Seq[Long] =
     if (!Files.exists(metaDir)) Nil
-    else Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
 
   /** Read the current snapshot. With `partitionFilter`, only files whose
     * partition values pass are read at all — manifest-level pruning, no
@@ -144,7 +146,9 @@ final class SnapshotTable(val root: Path) {
 
   /** Rollback: move the commit pointer to an older retained snapshot
     * (Iceberg `rollback_to_snapshot` procedure). Data files are untouched;
-    * later versions become unreferenced and fall to the GC.
+    * the rolled-back-over versions stay retained (still time-travelable)
+    * until snapshot expiry reclaims them by age, and new commits continue
+    * from the highest version number so nothing is overwritten.
     */
   def rollbackTo(version: Long): Unit = {
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -158,12 +162,19 @@ final class SnapshotTable(val root: Path) {
     * REPLACE TABLE ... AS SELECT). Data is hash-distributed on the
     * partition columns (if any) and written one directory per snapshot.
     */
+  /** Next commit version: one past the HIGHEST retained manifest, not the
+    * current pointer — after a rollback, committing currentVersion+1 would
+    * overwrite a stale-but-retained snapshot's manifest and data dir.
+    */
+  private def nextVersion: Long = {
+    val vs = manifestVersions
+    if (vs.isEmpty) 1L else vs.max + 1
+  }
+
   def createOrReplace(df: DataFrame, partitionColumns: Seq[String] = Nil,
                       properties: Map[String, String] = Map.empty,
-                      nowMs: Long = System.currentTimeMillis()): Manifest = {
-    val v = if (exists) currentVersion + 1 else 1L
-    commitData(df, v, partitionColumns, properties, nowMs)
-  }
+                      nowMs: Long = System.currentTimeMillis()): Manifest =
+    commitData(df, nextVersion, partitionColumns, properties, nowMs)
 
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new
     * snapshot. When the table is partitioned and the change set is small,
@@ -186,7 +197,7 @@ final class SnapshotTable(val root: Path) {
     val m = currentManifest
     if (m.partitionColumns.isEmpty) {
       val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
-      commitData(merged, m.version + 1, m.partitionColumns, m.properties, nowMs)
+      commitData(merged, nextVersion, m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
       // partition values that must be rewritten — one row per partition,
@@ -205,8 +216,16 @@ final class SnapshotTable(val root: Path) {
       val pcols = m.partitionColumns
       val cached = changes.cache()
       try {
+        // the census must produce EXACTLY the representation partitionOf
+        // parses out of the written paths: Spark escapes path-special
+        // characters and writes nulls as the default partition name, so
+        // align through the same codec rather than raw cast-to-string
         def toSet(rows: Array[org.apache.spark.sql.Row]): Set[Map[String, String]] =
-          rows.map(r => pcols.zipWithIndex.map { case (c, i) => c -> r.getString(i) }.toMap).toSet
+          rows.map(r => pcols.zipWithIndex.map { case (c, i) =>
+            c -> (Option(r.getString(i))
+              .getOrElse(org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
+          }.toMap).toSet
         val changePartitions = toSet(
           cached.select(pcols.map(c => col(c).cast("string")): _*)
             .distinct().collect())
@@ -224,7 +243,7 @@ final class SnapshotTable(val root: Path) {
         val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
         val carried = m.files.filterNot(f => touched.contains(f.partition))
-        commitData(merged, m.version + 1, pcols, m.properties, nowMs,
+        commitData(merged, nextVersion, pcols, m.properties, nowMs,
           carryForward = carried)
       } finally cached.unpersist()
     }
@@ -241,14 +260,20 @@ final class SnapshotTable(val root: Path) {
     val m = currentManifest
     val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // partitioned tables cluster by partition value first — otherwise a
-    // partitionBy write fans every task out across all partition dirs and
-    // compaction MULTIPLIES the file count instead of reducing it
-    val df =
-      if (m.partitionColumns.isEmpty) read(spark).repartition(nFiles)
-      else read(spark).repartition(nFiles,
-        m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-    commitData(df, m.version + 1, m.partitionColumns, m.properties, nowMs)
+    // size control: unpartitioned tables bin-pack via repartition; for
+    // partitioned tables commitData clusters one task per partition value,
+    // so oversized partitions are split by record count instead
+    // (maxRecordsPerFile, derived from the observed compressed row size)
+    if (m.partitionColumns.isEmpty) {
+      commitData(read(spark).repartition(nFiles), nextVersion,
+        m.partitionColumns, m.properties, nowMs)
+    } else {
+      val rowCount = math.max(1L, read(spark).count())
+      val bytesPerRow = math.max(1L, totalBytes / rowCount)
+      val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+      commitData(read(spark), nextVersion, m.partitionColumns, m.properties,
+        nowMs, writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
+    }
   }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259
@@ -286,11 +311,13 @@ final class SnapshotTable(val root: Path) {
     val live: Set[String] =
       manifestVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
     if (!Files.exists(dataDir)) return Nil
-    val all = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.toString.endsWith(".parquet") &&
-        !p.getFileName.toString.startsWith("."))
-      .map(p => root.relativize(p).toString).toSeq
+    val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => root.relativize(p).toString).toSeq
+    }
     val orphans = all.filterNot(live)
     orphans.foreach(deleteWithSidecars)
     pruneEmptyDirs()
@@ -309,15 +336,18 @@ final class SnapshotTable(val root: Path) {
     */
   private def pruneEmptyDirs(): Unit = {
     if (!Files.exists(dataDir)) return
-    val dirs = Files.walk(dataDir).iterator().asScala
-      .filter(Files.isDirectory(_)).toSeq.sortBy(-_.getNameCount)
+    val dirs = scala.util.Using.resource(Files.walk(dataDir))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .toSeq.sortBy(-_.getNameCount))
     dirs.filter(_ != dataDir).foreach { d =>
-      val hasData = Files.walk(d).iterator().asScala
-        .exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")
-          && !p.getFileName.toString.startsWith("."))
+      val hasData = scala.util.Using.resource(Files.walk(d))(
+        _.iterator().asScala.exists(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet")
+            && !p.getFileName.toString.startsWith(".")))
       if (!hasData) {
         // delete markers then the dir itself (deepest-first ordering)
-        Files.walk(d).iterator().asScala.toSeq
+        scala.util.Using.resource(Files.walk(d))(
+          _.iterator().asScala.toSeq)
           .sortBy(-_.getNameCount)
           .foreach(p => Files.deleteIfExists(p))
       }
@@ -328,7 +358,8 @@ final class SnapshotTable(val root: Path) {
 
   private def commitData(df: DataFrame, v: Long, pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
-                         carryForward: Seq[FileEntry] = Nil): Manifest = {
+                         carryForward: Seq[FileEntry] = Nil,
+                         writerOptions: Map[String, String] = Map.empty): Manifest = {
     val dir = dataDir.resolve(s"v$v")
     // cluster by partition value before a partitioned write: otherwise
     // every task fans out across every partition dir and each commit
@@ -339,6 +370,7 @@ final class SnapshotTable(val root: Path) {
     val clustered =
       if (pcols.nonEmpty) df.repartition(pcols.map(col): _*) else df
     val writer = clustered.write.mode("overwrite")
+      .options(writerOptions)
       .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
     (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
       .parquet(dir.toString)
@@ -366,16 +398,23 @@ final class SnapshotTable(val root: Path) {
   }
 
   private def listParquet(dir: Path): Seq[Path] =
-    Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    scala.util.Using.resource(Files.walk(dir)) { st =>
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.toString)
+    }
 
-  /** Parse hive-style `k=v` partition dirs out of a relative file path. */
+  /** Parse hive-style `k=v` partition dirs out of a relative file path,
+    * using Spark's own path unescaping (the exact inverse of what its
+    * partitioned writer produces — URLDecoder would corrupt '+' and miss
+    * the null-partition sentinel).
+    */
   private def partitionOf(rel: String, pcols: Seq[String]): Map[String, String] = {
     val parts = rel.split('/').filter(_.contains('='))
       .map { seg =>
         val Array(k, v) = seg.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, "UTF-8")
+        k -> org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(v)
       }.toMap
     pcols.flatMap(c => parts.get(c).map(c -> _)).toMap
   }

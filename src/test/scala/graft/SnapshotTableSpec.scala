@@ -181,6 +181,40 @@ class SnapshotTableSpec extends SparkSpec {
     assert(metas.forall(m => m.width == 64 + (m.n_bytes % 512).toInt))
   }
 
+  test("commits after rollback never overwrite retained snapshots") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)  // v1
+    Ingestion.run(spark, tbl, batch(1 to 20, t0, 1.0), cfg, t0)  // v2
+    Ingestion.run(spark, tbl, batch(1 to 30, t1, 2.0), cfg, t1)  // v3
+    tbl.rollbackTo(1)
+    Ingestion.run(spark, tbl, batch(1 to 12, t1, 3.0), cfg, t1)
+    // the new commit takes v4 — v2/v3 manifests and data stay intact
+    assert(tbl.currentVersion == 4)
+    assert(tbl.manifestVersions == Seq(1L, 2L, 3L, 4L))
+    assert(tbl.readVersion(spark, 3).count() == 30)
+    assert(tbl.read(spark).count() == 12)
+  }
+
+  test("escaped and null partition values round-trip through the census") {
+    val tbl = freshTable()
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    def mk(v: Double) = Seq(
+      (1L, t0, v, "a+b"),       // '+' must not decode to space
+      (2L, t0, v, "x y"),       // space escapes to %20 in the path
+      (3L, t0, v, null: String) // null → __HIVE_DEFAULT_PARTITION__
+    ).toDF("id", "updated_at", "v", "p")
+    Ingestion.run(spark, tbl, mk(1.0), pcfg, t0)
+    // update every row: a census/path mismatch would leave the old file
+    // carried forward AND write new rows → duplicated keys
+    val upd = mk(2.0).withColumn("updated_at", lit(t1))
+    Ingestion.run(spark, tbl, upd, pcfg.copy(mode = IngestMode.Incremental), t1)
+    val out = tbl.read(spark)
+    assert(out.count() == 3, out.collect().mkString(","))
+    assert(out.filter(col("v") === 2.0).count() == 3)
+    assert(out.filter(col("p") === "a+b").count() == 1)
+    assert(out.filter(col("p").isNull).count() == 1)
+  }
+
   test("files() metadata relation lists live files with partitions") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl,

@@ -31,14 +31,16 @@ class StreamingIngestSpec extends SparkSpec {
     cdcRows(Seq(
       (1L, "2026-01-01 00:00:00", 1.0, "I"),
       (2L, "2026-01-01 00:00:00", 2.0, "I"),
-      (1L, "2026-01-02 00:00:00", 1.5, "U"))) // same key twice → dedup
+      (1L, "2026-01-02 00:00:00", 1.5, "U"))) // same key twice in history
       .write.parquet(s"$cdc/2026/01/02")
     StreamingIngest.run(spark, tbl, cdc, cfg,
       Timestamp.valueOf("2026-01-02 00:00:00"), ckpt)
 
+    // bootstrap = raw history verbatim minus op (batch/reference parity):
+    // duplicate history rows for key 1 are both present
     val after1 = tbl.read(spark).select("id", "v").as[(Long, Double)]
-      .collect().toMap
-    assert(after1 == Map(1L -> 1.5, 2L -> 2.0))
+      .collect().toSet
+    assert(after1 == Set((1L, 1.0), (1L, 1.5), (2L, 2.0)))
     val v1 = tbl.currentVersion
 
     // second run with the SAME checkpoint: only the new file is processed
@@ -50,8 +52,8 @@ class StreamingIngestSpec extends SparkSpec {
       Timestamp.valueOf("2026-01-03 00:00:00"), ckpt)
 
     val after2 = tbl.read(spark).select("id", "v").as[(Long, Double)]
-      .collect().toMap
-    assert(after2 == Map(1L -> 1.5, 3L -> 3.0))
+      .collect().toSet
+    assert(after2 == Set((1L, 1.0), (1L, 1.5), (3L, 3.0)))
     assert(tbl.currentVersion > v1)
   }
 }
