@@ -33,6 +33,22 @@ class RegistrySpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("partitioned compaction splits oversized partitions by target size") {
+    val root = java.nio.file.Files.createTempDirectory("graft-split-p-").toString
+    val tbl = graft.table.SnapshotTable.at(root)
+    // one hot partition (p=0 gets ~9000 rows), one small
+    val df = (1 to 10000).map(i => (i.toLong, s"payload-$i-${"x" * 50}",
+      if (i % 10 == 0) 1 else 0)).toDF("id", "payload", "p")
+    tbl.createOrReplace(df, partitionColumns = Seq("p"))
+    val before = tbl.currentManifest.files.count(_.partition("p") == "0")
+    assert(before == 1) // clustered commit: one file for the hot partition
+    // compact to a target far below the hot partition's size → split
+    tbl.compact(spark, targetFileBytes = 64 * 1024)
+    val hot = tbl.currentManifest.files.filter(_.partition("p") == "0")
+    assert(hot.size > 1, s"expected hot partition split, got ${hot.size} file(s)")
+    assert(tbl.read(spark).count() == 10000)
+  }
+
   test("partitioned commits cluster to one file per partition; compaction preserves it") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact-p-").toString
     val tbl = graft.table.SnapshotTable.at(root)
