@@ -36,6 +36,28 @@ class SchemaDriftSpec extends SparkSpec {
     assert(byId(2L) == (None, Some(8.5)))  // inserted
   }
 
+  test("storage path: type widening reads carried int files under the long schema") {
+    val root = Files.createTempDirectory("graft-widen-").toString
+    val tbl = SnapshotTable.at(root)
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    // v1: v is INT across two partitions
+    Ingestion.run(spark, tbl,
+      (1 to 20).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i, i % 2))
+        .toDF("id", "upd", "v", "p"), pcfg, ts("2026-01-01 00:00:00"))
+    // v2: v arrives as LONG, touches only partition 0 → partition 1 files
+    // carry forward with their INT32 physical type under the widened schema
+    Ingestion.run(spark, tbl,
+      (2 to 20 by 2).map(i => (i.toLong, ts("2026-02-01 00:00:00"), i.toLong * 10, 0))
+        .toDF("id", "upd", "v", "p"),
+      pcfg.copy(mode = IngestMode.Incremental), ts("2026-02-01 00:00:00"))
+    val out = tbl.read(spark)
+    assert(out.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.count() == 20)
+    // carried partition-1 rows upcast correctly (parquet INT32 → bigint)
+    assert(out.filter(col("p") === 1 && col("v") === 1L).count() == 1)
+    assert(out.filter(col("p") === 0 && col("v") === 20L).count() == 1)
+  }
+
   test("storage path: new column lands; carried partitions read as null") {
     val root = Files.createTempDirectory("graft-drift-").toString
     val tbl = SnapshotTable.at(root)
