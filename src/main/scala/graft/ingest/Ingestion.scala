@@ -118,9 +118,15 @@ object Ingestion {
     val props = Map(
       "write.parquet.compression-codec" -> cfg.optimize.codec,
       "write.target-file-size-bytes" -> (64L * 1024 * 1024).toString,
+      // full reference property set (common/iceberg.py:53-80) including
+      // format-version; graft.physical-write-mode records that storage-mode
+      // tables are physically CoW here (SURVEY.md §7.5 deviation) so the
+      // recorded MoR intent is never mistaken for delete-file semantics
+      "format-version" -> "2",
       "write.update.mode" -> writeMode,
       "write.delete.mode" -> writeMode,
       "write.merge.mode" -> writeMode,
+      "graft.physical-write-mode" -> "copy-on-write",
       "history.expire.max-snapshot-age-ms" -> (90L * 24 * 3600 * 1000).toString,
       "history.expire.min-snapshots-to-keep" -> "90")
     if (cfg.mode == IngestMode.Replace || !table.exists) {

@@ -184,41 +184,108 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Hyperplane-LSH candidate pairs over `tables` independent hyperplane
+    * families of `signBits` bits each. Same skew-bounded shape as the
+    * MinHash band join: only (table, bucket-key, id) triples flow into the
+    * self-join, degenerate buckets are capped, vectors stay out until the
+    * verify/rerank join. Per-pair candidate probability for vectors at
+    * angle θ is `1 - (1 - (1-θ/π)^signBits)^tables` — add tables for
+    * recall, add bits to shrink buckets.
+    */
+  private def hyperplaneCandidates(sigs: DataFrame, signBits: Int,
+                                   tables: Int, maxBucketSize: Int): DataFrame = {
+    val keyRows = sigs
+      .select(col("id"), posexplode(array((0 until tables).map(t =>
+        Similarity.hyperplaneKey(col("v"), signBits, seed = t)): _*)))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("bkey"))
+    val okBuckets = keyRows.groupBy("tbl", "bkey").count()
+      .filter(col("count") <= maxBucketSize && col("count") >= 2)
+      .select("tbl", "bkey")
+    val inBuckets = keyRows.join(okBuckets, Seq("tbl", "bkey"))
+    inBuckets.alias("a").join(inBuckets.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
-    * Candidates are bounded by LSH over random hyperplane signs when
-    * `signBits > 0` (same skew-bounded self-join shape as simhash);
-    * signBits = 0 means exact all-pairs (test scale only).
+    * Candidates are bounded by multi-table LSH over random hyperplane
+    * signs when `signBits > 0` (same skew-bounded self-join shape as
+    * simhash); signBits = 0 means exact all-pairs (test scale only).
     */
   /** @param signBits hyperplane-LSH bucket bits bounding the self-join —
     *   the scalable default. Pass 0 for EXACT all-pairs, which broadcasts
     *   one full side: test/small-corpus scale only (hard 8 GB broadcast
     *   ceiling).
+    * @param tables   independent hyperplane families unioned for recall
+    *   (signBits > 0 only). At the 0.95-cosine default, 8×8 bits gives
+    *   ~99% per-pair recall.
     */
   def embeddingNearDups(embeddings: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, signBits: Int = 8): DataFrame = {
+                        threshold: Double = 0.95, signBits: Int = 8,
+                        tables: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     // zero-norm vectors (padding/empty rows) have no defined cosine; NaN
     // compares GREATER than any double in Spark ordering, so they would
     // otherwise pair with everything and crowd out real results
     val raw = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", vectorNorm(col("v")))
       .filter(col("nrm") > 0.0)
-    val paired =
-      if (signBits <= 0)
-        // exact all-pairs: broadcast one (un-spread, single-scan) side and
-        // let the spread stream side parallelize — a constant-bucket
-        // equi-join would funnel every pair through one shuffle partition
-        spread(raw).alias("a").crossJoin(broadcast(raw.alias("b")))
-          .filter(col("a.id") < col("b.id"))
-      else {
-        val withKey = spread(raw).withColumn("bkey",
-          Similarity.hyperplaneKey(col("v"), signBits))
-        withKey.alias("a").join(withKey.alias("b"),
-          col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id"))
-      }
-    paired
+    if (signBits <= 0) {
+      // exact all-pairs: broadcast one (un-spread, single-scan) side and
+      // let the spread stream side parallelize — a constant-bucket
+      // equi-join would funnel every pair through one shuffle partition
+      spread(raw).alias("a").crossJoin(broadcast(raw.alias("b")))
+        .filter(col("a.id") < col("b.id"))
+        .withColumn("cosine",
+          round(vectorDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+    } else {
+      // key computation is the CPU-bound stage and feeds both the census
+      // and the rerank joins — compute once
+      val sigs = spread(raw).cache()
+      val cands = hyperplaneCandidates(sigs, signBits, tables, maxBucketSize)
+      val side = sigs.select(col("id"), col("v"), col("nrm"))
+      cands
+        .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+        .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+        .withColumn("cosine",
+          round(vectorDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+  }
+
+  /** Top-k most-similar embedding pairs via multi-table hyperplane LSH
+    * candidates → exact cosine rerank → global top-k. The scalable
+    * replacement for ranking ALL pairs: the self-join is bounded by
+    * bucket size and only candidate ids shuffle; no side is broadcast.
+    *
+    * Recall is probabilistic in general — on a corpus whose "most
+    * similar" pairs sit at cosine c, per-pair candidate probability is
+    * `1 - (1 - (1-acos(c)/π)^signBits)^tables`; size `tables` to the
+    * corpus (defaults cover cosine ≥ ~0.4 pairs with ~99.9% recall).
+    * For near-random corpora a sublinear method cannot guarantee exact
+    * top-k; the brute-force path remains the exactness baseline.
+    */
+  def embeddingTopPairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+                           k: Int, signBits: Int = 4, tables: Int = 32,
+                           maxBucketSize: Int = 100000): DataFrame = {
+    require(signBits > 0 && tables > 0, "LSH path needs signBits, tables > 0")
+    val raw = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", vectorNorm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val sigs = spread(raw).cache()
+    val cands = hyperplaneCandidates(sigs, signBits, tables, maxBucketSize)
+    val side = sigs.select(col("id"), col("v"), col("nrm"))
+    cands
+      .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine",
-        round(vectorDot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+        round(vectorDot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .orderBy(col("cosine").desc, col("id_a").asc, col("id_b").asc)
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

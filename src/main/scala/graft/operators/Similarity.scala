@@ -26,15 +26,17 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane sign key: `bits` sign bits of
     * projections onto fixed hash-derived hyperplanes. Used as the LSH
-    * bucket key for cosine candidates. Pure column expressions.
+    * bucket key for cosine candidates. Pure column expressions. `seed`
+    * selects an independent hyperplane family, enabling multi-table LSH
+    * (union of candidates over several seeds trades compute for recall).
     */
-  def hyperplaneKey(vec: Column, bits: Int): Column = {
-    // hyperplane j component i = ((hash(i,j) mod 1001) - 500) / 500.0
+  def hyperplaneKey(vec: Column, bits: Int, seed: Int = 0): Column = {
+    // hyperplane j component i = ((hash(i,j,seed) mod 1001) - 500) / 500.0
     def proj(j: Int): Column =
       aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
           (x, i) => x.cast("double") *
-            ((pmod(hash(i, lit(j)).cast("long"), lit(1001L)) - 500L).cast("double") / 500.0)),
+            ((pmod(hash(i, lit(j), lit(seed)).cast("long"), lit(1001L)) - 500L).cast("double") / 500.0)),
         lit(0.0), (acc, x) => acc + x)
     (0 until bits).map(j => when(proj(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -44,7 +46,13 @@ object Similarity {
     * entirely in DataFrame ops — the trained coarse quantizer for
     * [[ivfTopK]].
     *
-    * Init: every ⌊n/k⌋-th vector in id order (deterministic spread).
+    * Init: deterministic hash reservoir — keep rows whose xxhash64(vid)
+    * lands on a ~8k-row sample, hash each sampled row into one of k cells,
+    * take the min-vid row per cell. Every step is map-side or a
+    * cell-partitioned window, so init never funnels the corpus through a
+    * single task (the old row_number-over-global-order init did exactly
+    * that). A cell left empty by hash chance (P ≈ e^-8 per cell) just
+    * yields < k centroids; Lloyd proceeds identically.
     * Iterate: assign by max cosine against broadcast centroids (map-side),
     * recompute centroids as the element-wise mean via posexplode →
     * avg(cell, pos) → reassemble. Per iteration: one broadcast join + one
@@ -56,13 +64,15 @@ object Similarity {
                      k: Int, iters: Int): DataFrame = {
     val base = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val n = base.count()
-    val step = math.max(1L, n / k)
-    val wInit = Window.orderBy(col("vid"))
+    // ~8 sampled rows per cell so every cell is occupied w.h.p.
+    val step = math.max(1L, n / math.max(1L, 8L * k))
+    val wCell = Window.partitionBy(col("cell_id")).orderBy(col("vid"))
     var cent = base
-      .withColumn("rn", row_number().over(wInit))
-      .filter((col("rn") - 1) % step === 0)
-      .limit(k)
-      .select(((col("rn") - 1) / step).cast("int").as("cell_id"), col("v").as("cent_v"))
+      .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
+      .withColumn("cell_id", pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("v").as("cent_v"))
     for (_ <- 0 until iters) {
       val c = broadcast(cent.withColumn("cent_n", vectorNorm(col("cent_v"))))
       val w = Window.partitionBy("vid")

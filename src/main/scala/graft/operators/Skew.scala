@@ -23,6 +23,13 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
+    // Right-side replication is only result-identical for left-preserving
+    // join types; a right/full outer join would emit each unmatched right
+    // row saltFactor times.
+    val leftPreserving = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti", "cross")
+    require(leftPreserving.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports left-preserving join types only, got '$joinType'")
     // salt derives from the whole left row hash — uniform, deterministic
     val salted = left.withColumn(SaltCol,
       pmod(hash(left.columns.map(col).toSeq: _*), lit(saltFactor)))

@@ -356,11 +356,21 @@ final class SnapshotTable(val root: Path) {
 
   // ---- commit machinery ----
 
-  private def commitData(df: DataFrame, v: Long, pcols: Seq[String],
+  // private[graft] so the concurrent-commit abort path is testable with a
+  // deliberately stale version number
+  private[graft] def commitData(df: DataFrame, v: Long, pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil,
                          writerOptions: Map[String, String] = Map.empty): Manifest = {
     val dir = dataDir.resolve(s"v$v")
+    // optimistic-concurrency fail-fast #1, BEFORE any data is written: a
+    // commit built against a stale version would otherwise "overwrite" the
+    // retained snapshot's data/v<N> dir — destroying committed data even
+    // though the commit itself aborts later
+    if (exists && currentVersion >= v)
+      throw new IllegalStateException(
+        s"concurrent commit detected: pointer already at v${currentVersion}, " +
+          s"aborting commit of v$v for $root")
     // cluster by partition value before a partitioned write: otherwise
     // every task fans out across every partition dir and each commit
     // writes O(tasks × partitions) small files. One shuffle buys one
@@ -381,15 +391,17 @@ final class SnapshotTable(val root: Path) {
     val m = Manifest(v, nowMs, df.schema.toDDL, written ++ carryForward,
       pcols, props)
     Files.createDirectories(metaDir)
-    ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
-    // optimistic-concurrency fail-fast: we operate single-writer (like the
-    // reference's max_active_runs=1), but if another writer advanced the
-    // pointer while this commit was building, abort rather than clobber —
-    // the orphaned v-dir falls to removeOrphanFiles
+    // fail-fast #2, BEFORE the manifest lands: we operate single-writer
+    // (like the reference's max_active_runs=1), but if another writer
+    // advanced the pointer during the data write above, abort pre-manifest —
+    // the just-written data/v<N> dir stays unreferenced by ANY manifest (a
+    // retained manifest would make its files count as live forever), so
+    // removeOrphanFiles reclaims it.
     if (exists && currentVersion >= v)
       throw new IllegalStateException(
         s"concurrent commit detected: pointer already at v${currentVersion}, " +
           s"aborting commit of v$v for $root")
+    ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
     val tmp = metaDir.resolve(s"_current.tmp$v")
     Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,

@@ -23,6 +23,24 @@ class SkewSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("saltedJoin rejects right-preserving join types") {
+    // right-side replication would emit unmatched right rows saltFactor
+    // times under right/full outer — result-identity only holds for
+    // left-preserving types, so those must be refused loudly
+    for (jt <- Seq("right", "right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8, joinType = jt)
+      }
+      assert(e.getMessage.contains("left-preserving"))
+    }
+    // left outer still works and matches the plain join
+    val plain = skewed.join(dim, Seq("k"), "left")
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), saltFactor = 8, joinType = "left")
+      .select("k", "v", "name").as[(Long, Long, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("saltedAggregate equals plain aggregation") {
     val plain = skewed.groupBy("k")
       .agg(count(lit(1)).as("n"), sum("v").as("s"))

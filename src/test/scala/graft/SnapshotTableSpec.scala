@@ -72,6 +72,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 1000)
   }
 
+  test("stale-version commit aborts before touching data or manifests") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 20, t0, 1.0), cfg, t0)
+    Ingestion.run(spark, tbl, batch(1 to 20, t1, 2.0), cfg, t1)
+    assert(tbl.currentVersion == 2)
+    val v2Json = new String(Files.readAllBytes(
+      tbl.root.resolve("meta/v2.json")))
+    // a commit built against a stale version must abort BEFORE writing
+    // anything: its mode("overwrite") data write into the COLLIDING
+    // data/v2 dir would destroy the retained snapshot's files, and a
+    // retained manifest must never be overwritten
+    val e = intercept[IllegalStateException] {
+      tbl.commitData(batch(1 to 5, t1, 9.0), 2L, Nil, Map.empty,
+        System.currentTimeMillis())
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    assert(new String(Files.readAllBytes(tbl.root.resolve("meta/v2.json"))) == v2Json,
+      "retained manifest must not be clobbered by the aborted commit")
+    assert(tbl.removeOrphanFiles().isEmpty,
+      "nothing may be written (the colliding data dir is live data)")
+    assert(tbl.read(spark).count() == 20)
+    assert(tbl.read(spark).filter(col("v") === 2.0).count() == 20)
+  }
+
+  test("ingestion records the full reference property set in the manifest") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0),
+      cfg.copy(optimize = Optimize.Storage), t0)
+    val props = tbl.currentManifest.properties
+    // reference: default_iceberg_table_properties (common/iceberg.py:53-80)
+    assert(props("format-version") == "2")
+    assert(props("write.update.mode") == "merge-on-read")
+    assert(props("write.merge.mode") == "merge-on-read")
+    assert(props("write.delete.mode") == "merge-on-read")
+    assert(props("write.parquet.compression-codec") == "gzip")
+    assert(props("history.expire.min-snapshots-to-keep") == "90")
+    // documented SURVEY §7.5 deviation: MoR is recorded, physically CoW
+    assert(props("graft.physical-write-mode") == "copy-on-write")
+  }
+
   test("expireSnapshots + removeOrphanFiles GC old data, keep current") {
     val tbl = freshTable()
     val now = System.currentTimeMillis()

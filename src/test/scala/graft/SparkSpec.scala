@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared session base for all suites — one JVM-wide SparkSession. */
+/** Shared session base for all suites — one JVM-wide SparkSession, built
+  * through the production GraftSession.builder so tests run under the
+  * exact confs shipped entry points use (nanosAsLong, AQE, UTC, ...).
+  */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
@@ -11,13 +14,8 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val s = graft.core.GraftSession
+      .builder(appName = "graft-test", master = "local[4]", shufflePartitions = 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
