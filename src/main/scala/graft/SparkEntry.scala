@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.ingest.Ingestion
+import graft.ingest.{AppflowStyleJob, DmsStyleJob, Ingestion}
 import graft.merge.ChangeSet
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
@@ -213,6 +213,80 @@ object SparkEntry {
       Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
       Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
       table.read(s).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    "q23_maintenance" -> ((s, d) => {
+      // maintenance lifecycle (M1/M2/M3): CTAS v1 → CoW merge v2 →
+      // age-expire v1 (simulated clock beyond retention) → orphan removal
+      // → bin-pack compaction → read back. The data must be INVARIANT
+      // under maintenance, so the oracle is q21's merge SQL.
+      // (reference: expire/remove_orphans every run + monthly compaction,
+      // ingestion/salesforce.py:64-69, common/iceberg.py:253-270)
+      val root = Files.createTempDirectory("graft-maint-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      val cfg = ordersCfg.copy(mode = IngestMode.Full,
+        partitionColumns = Seq("part_bucket"))
+      Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
+      Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
+      val expired = table.expireSnapshots(minSnapshotsToKeep = 1,
+        nowMs = System.currentTimeMillis() + 250L * 24 * 3600 * 1000)
+      require(expired.nonEmpty, "expiry must reclaim the pre-merge snapshot")
+      table.removeOrphanFiles()
+      table.compact(s)
+      table.read(s).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    "q24_ingest_job" -> ((s, d) => {
+      // end-to-end job path (S5/K3/X1/F2/F3/A1): stage raw day-dirs, run
+      // AppflowStyleJob.run() twice — ingest + cleanup + monthly
+      // compaction (both dates are the 1st) + JSON outputs — then the
+      // reference's own --test oracle (diffCount == 0), then read back.
+      // (reference lifecycle: ingestion/salesforce.py:60-83)
+      val base = Files.createTempDirectory("graft-job-").toString
+      val (raw, wh, out) = (s"$base/raw", s"$base/wh", s"$base/out")
+      ordersTarget(s, d).write.parquet(s"$raw/sales/orders/2026-01-01")
+      ordersSource(s, d).write.parquet(s"$raw/sales/orders/2026-02-01")
+      val cfg = ordersCfg.copy(mode = IngestMode.Full)
+      def job(day: String) = new AppflowStyleJob(s, cfg, "sales", raw, wh, out,
+        java.time.OffsetDateTime.parse(s"${day}T00:00:00Z"))
+      job("2026-01-01").run()
+      val j2 = job("2026-02-01")
+      j2.run()
+      j2.test() // A1: count()-based symmetric-diff oracle must be zero
+      j2.table.read(s).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    "q25_dms_cdc_job" -> ((s, d) => {
+      // DMS CDC job path (S2/P5/F1): stage a mixed-case cdc history tree,
+      // run DmsStyleJob twice — run 1 bootstraps from the WHOLE history
+      // (table absent → recursive read, op dropped, CTAS), run 2 picks up
+      // the day folder and merges it (dedup-latest per key, matched-U
+      // update / matched-D delete / unconditional not-matched insert).
+      // (reference: ingestion/dmsdatabase1.py:35-63)
+      val base = Files.createTempDirectory("graft-dms-").toString
+      val (raw, wh, out) = (s"$base/raw", s"$base/wh", s"$base/out")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      // DMS feeds arrive mixed-case; the job must lowercase them
+      def mixedCase(df: DataFrame) = df.toDF(
+        "USER_ID", "EVENT_ID", "TS", "EVENT_TYPE", "VALUE", "Op")
+      val cdcRoot = s"$raw/sales/dms/cdc/public/EVENTS_CDC"
+      mixedCase(ev.filter(col("event_id") % 3 =!= 0).withColumn("op", lit("I")))
+        .write.parquet(s"$cdcRoot/2026/01/01")
+      mixedCase(ev.filter(col("event_id") % 3 === 0).withColumn("op",
+          when(col("event_id") % 10 === 0, "D").otherwise("U")))
+        .write.parquet(s"$cdcRoot/2026/02/01")
+      val cfg = SourceConfig("graft", "events_cdc", Seq("user_id"),
+        Seq("ts", "event_id"), mode = IngestMode.Cdc)
+      def job(day: String) = new DmsStyleJob(s, cfg, "sales", "public", raw,
+        wh, out, java.time.OffsetDateTime.parse(s"${day}T00:00:00Z"))
+      job("2026-01-01").run() // bootstrap: reads the whole cdc tree
+      job("2026-02-01").run() // incremental: reads only the day folder
+      SnapshotTable.at(s"$wh/graft/events_cdc").read(s)
+        .drop(MetaColumns.IngestionDatetime)
     }),
 
     "q22_bucket_transform" -> ((s, d) =>
@@ -495,6 +569,53 @@ object SparkEntry {
         |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // maintenance must be a data no-op: same oracle as the lifecycle merge
+    "q23_maintenance" -> (withFixtures +
+      """ SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // the job's two runs land exactly the full-mode merge of src into tgt
+    "q24_ingest_job" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // bootstrap CTASes the WHOLE cdc history verbatim (op dropped, no
+    // dedup — faithful to the reference's create-from-history), then the
+    // day-folder merge applies latest-per-key: matched U update, matched D
+    // delete, unconditional not-matched insert
+    "q25_dms_cdc_job" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |hist AS (SELECT * FROM ev),
+        |batch AS (SELECT *, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM ev WHERE event_id % 3 = 0),
+        |latest AS (SELECT * FROM batch QUALIFY row_number()
+        |  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT h.* FROM hist h
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = h.user_id)
+        |UNION ALL
+        |SELECT user_id, event_id, ts, event_type, value FROM latest l
+        |  WHERE op = 'U'
+        |    OR NOT EXISTS (SELECT 1 FROM hist h WHERE h.user_id = l.user_id)""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
