@@ -427,8 +427,7 @@ object SparkEntry {
       EventStream.sessionize(events(s, d))),
 
     "q52_sessionize_stateful" -> ((s, d) =>
-      EventStream.sessionizeStateful(s, s"$d/events.parquet",
-        s"graft_sess_${System.nanoTime()}"))
+      EventStream.sessionizeStateful(s, s"$d/events.parquet"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -212,6 +212,104 @@ object Simhash64Expr {
   }
 }
 
+/** All `tables` hyperplane-LSH sign keys of an `array<float>` vector in
+  * ONE codegen'd pass — value-identical to the higher-order-function
+  * formulation [[graft.operators.Similarity.hyperplaneKey]] applied per
+  * seed (which stays as the executable specification). The HOF form costs
+  * tables×bits interpreted `zip_with`+`aggregate` evaluations per row (a
+  * fresh 64-element array allocation each); this expression resolves the
+  * hash-derived hyperplane components once per (bits, tables, dim) into a
+  * cached matrix and runs tables×bits×dim fused multiply-adds per row.
+  */
+case class HyperplaneKeysExpr(child: Expression, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits > 0 && bits <= 63 && tables > 0, "need 0 < bits <= 63, tables > 0")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
+  override def prettyName: String = "hyperplane_keys"
+
+  override def nullSafeEval(v: Any): Any =
+    HyperplaneKeys.keys(v.asInstanceOf[ArrayData], bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HyperplaneKeys.keys($c, $bits, $tables)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneKeys {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int), Array[Array[Double]]]()
+
+  /** Spark's Murmur3_x86_32.hashInt (seed-chained by the `hash()`
+    * expression as h = hashInt(x1, 42); h = hashInt(x2, h); ...) —
+    * replicated so components equal `hash(i, lit(j), lit(seed))` exactly.
+    */
+  private def hashInt(input: Int, seed: Int): Int = {
+    var k1 = input * 0xcc9e2d51
+    k1 = Integer.rotateLeft(k1, 15); k1 *= 0x1b873593
+    var h1 = seed ^ k1
+    h1 = Integer.rotateLeft(h1, 13); h1 = h1 * 5 + 0xe6546b64
+    h1 ^= 4 // fmix length = 4 bytes
+    h1 ^= h1 >>> 16; h1 *= 0x85ebca6b
+    h1 ^= h1 >>> 13; h1 *= 0xc2b2ae35
+    h1 ^= h1 >>> 16
+    h1
+  }
+
+  /** hyperplane (t, j) component i = ((hash(i,j,t) pmod 1001) - 500)/500.0
+    * — identical to the column formulation in Similarity.hyperplaneKey.
+    */
+  private def components(bits: Int, tables: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((bits, tables, dim), _ => {
+      val out = Array.ofDim[Array[Double]](tables * bits)
+      var t = 0
+      while (t < tables) {
+        var j = 0
+        while (j < bits) {
+          val c = new Array[Double](dim)
+          var i = 0
+          while (i < dim) {
+            val h = hashInt(t, hashInt(j, hashInt(i, 42))).toLong
+            val pm = ((h % 1001L) + 1001L) % 1001L
+            c(i) = (pm - 500L).toDouble / 500.0
+            i += 1
+          }
+          out(t * bits + j) = c
+          j += 1
+        }
+        t += 1
+      }
+      out
+    })
+
+  /** static so generated code can call it directly */
+  def keys(arr: ArrayData, bits: Int, tables: Int): ArrayData = {
+    val dim = arr.numElements()
+    val cs = components(bits, tables, dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val c = cs(t * bits + j)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += arr.getFloat(i).toDouble * c(i); i += 1 }
+        if (acc >= 0.0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Iceberg-spec bucket transform as a codegen'd unary expression
   * (see [[Bucket]] for the hash; reference:
   * src/data_ingestion/ingestion/dmsdatabase1.py:18-24).
@@ -259,4 +357,11 @@ object VectorFunctions {
   /** Codegen'd 64-bit SimHash of an array<long> (see [[Simhash64Expr]]). */
   def simhash64Native(a: Column): Column =
     GraftBridge.column(Simhash64Expr(expr(a)))
+
+  /** All multi-table hyperplane-LSH keys in one codegen'd pass
+    * (see [[HyperplaneKeysExpr]]); equals
+    * `array(hyperplaneKey(v, bits, 0), ..., hyperplaneKey(v, bits, T-1))`.
+    */
+  def hyperplaneKeysNative(v: Column, bits: Int, tables: Int): Column =
+    GraftBridge.column(HyperplaneKeysExpr(expr(v), bits, tables))
 }

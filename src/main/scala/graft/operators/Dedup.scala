@@ -66,8 +66,7 @@ object Dedup {
     // it to a single input partition
     val withShingles = spread(docs)
       .select(col(idCol).as("id"),
-        array_sort(array_distinct(transform(wordShingles(col(textCol), shingleN),
-          s => xxhash64(s)))).as("shingles"))
+        array_sort(shingleHashes(col(textCol), shingleN)).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), k))
       .cache()
     val bandRows = withShingles
@@ -148,8 +147,7 @@ object Dedup {
     // hashed-long shingle sets, sorted once per row: Jaccard identical up
     // to 64-bit collisions, per-pair cost is a codegen'd merge scan
     val sh = spread(docs).select((col(idCol).as("id") +: blockCols.map(col)) :+
-      array_sort(array_distinct(transform(wordShingles(col(textCol), shingleN),
-        s => xxhash64(s)))).as("shingles"): _*)
+      array_sort(shingleHashes(col(textCol), shingleN)).as("shingles"): _*)
       .cache()
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.id") < col("b.id")
@@ -175,8 +173,7 @@ object Dedup {
                     ngramN: Int = 3): DataFrame = {
     def grams(df: DataFrame) = spread(df)
       .select(col(idCol).as("id"),
-        explode(array_distinct(transform(wordShingles(col(textCol), ngramN),
-          s => xxhash64(s)))).as("g"))
+        explode(shingleHashes(col(textCol), ngramN)).as("g"))
     val benchGrams = broadcast(grams(benchmark).select("g").distinct())
     grams(docs)
       .join(benchGrams, "g")
@@ -195,8 +192,8 @@ object Dedup {
   private def hyperplaneCandidates(sigs: DataFrame, signBits: Int,
                                    tables: Int, maxBucketSize: Int): DataFrame = {
     val keyRows = sigs
-      .select(col("id"), posexplode(array((0 until tables).map(t =>
-        Similarity.hyperplaneKey(col("v"), signBits, seed = t)): _*)))
+      .select(col("id"),
+        posexplode(hyperplaneKeysNative(col("v"), signBits, tables)))
       .select(col("id"), col("pos").as("tbl"), col("col").as("bkey"))
     val okBuckets = keyRows.groupBy("tbl", "bkey").count()
       .filter(col("count") <= maxBucketSize && col("count") >= 2)

@@ -16,6 +16,13 @@ final case class Session(user_id: Long, session_seq: Long, n_events: Long,
 /** Event projection for the stateful sessionizer. */
 final case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
 
+/** Per-user sessionizer state carried ACROSS micro-batches: the running
+  * session counter, last-seen event time, and the open session's
+  * aggregates (top-level public class for the Catalyst encoder).
+  */
+final case class SessState(seq: Long, lastTs: Long, n: Long,
+                           first: Long, last: Long)
+
 /** Streaming CDC ingestion: a Structured Streaming file source over the
   * CDC landing directory, merged into a [[graft.table.SnapshotTable]] once
   * per micro-batch via foreachBatch — the continuous twin of the daily
@@ -118,65 +125,144 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Sentinel event id marking end-of-stream for a user: closes and emits
+    * the open session. Real event ids in the corpus are non-negative.
+    */
+  val SentinelEventId: Long = -1L
+
   /** STATEFUL STREAMING sessionization: the `flatMapGroupsWithState` twin
     * of [[sessionize]], run with `Trigger.AvailableNow` over the same
-    * parquet (how a stateful backfill runs on a cluster). State is one
-    * (session counter, last ts) pair per user. With a single AvailableNow
-    * micro-batch each group sees all its events; they are sorted in-group
-    * so output is deterministic and equal to the batch form.
+    * parquet (how a stateful backfill runs on a cluster).
+    *
+    * Genuinely stateful: per-user state carries (session counter, last
+    * event time, open-session aggregates) ACROSS micro-batches — a session
+    * spanning two batches merges, and session_seq never restarts. Closed
+    * sessions are emitted as soon as the closing gap is observed; the
+    * still-open final session is held in state and flushed by a SENTINEL
+    * pass: after the data pass drains, one sentinel row per user is staged
+    * and processed under the same checkpoint. (A processing-time timeout
+    * cannot do this flush — with AvailableNow no further batch runs after
+    * the last data batch, so a timeout would never fire; the sentinel
+    * batch is the mechanism that works for bounded backfills.)
+    *
+    * Events must arrive time-ordered per user ACROSS batches (each batch
+    * is sorted in-group); the file source's modification-time ordering
+    * provides this for date-partitioned landing dirs.
     */
   def sessionizeStateful(spark: SparkSession, eventsParquet: String,
-                         queryName: String, gapMinutes: Int = 30): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(eventsParquet).schema
+                         gapMinutes: Int = 30): DataFrame = {
     val srcDir = Files.createTempDirectory("graft-stream-sess-")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
-    val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-    val evs = (schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts_us", expr("ts DIV 1000"))
-      case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
-    }).select(col("user_id").cast("long"), col("event_id").cast("long"),
-      col("ts_us").as("tsMicros")).as[Ev]
+    sessionizeStatefulDir(spark, srcDir.toString, gapMinutes)
+  }
 
+  /** Core of [[sessionizeStateful]] over a prepared source directory.
+    * `maxFilesPerTrigger` splits the data pass into one micro-batch per
+    * file (tests use it to prove cross-batch state carry).
+    */
+  def sessionizeStatefulDir(spark: SparkSession, srcDir: String,
+                            gapMinutes: Int = 30,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(srcDir).schema
     val gapMicros = gapMinutes * 60L * 1000000L
-    val sessions = evs.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Long, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[Ev], state: GroupState[Long]) =>
-          val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          var seq = 0L; var lastTs = Long.MinValue
-          var n = 0L; var first = 0L; var last = 0L
-          def flush(): Unit =
-            if (n > 0) out += Session(user, seq, n, first, last)
-          sorted.foreach { e =>
-            if (lastTs == Long.MinValue || e.tsMicros - lastTs > gapMicros) {
-              flush(); seq += 1; n = 0
-            }
-            // min/max ids to match the batch aggregation exactly
-            if (n == 0) { first = e.event_id; last = e.event_id }
-            else {
-              first = math.min(first, e.event_id)
-              last = math.max(last, e.event_id)
-            }
-            n += 1; lastTs = e.tsMicros
-          }
-          flush()
-          state.update(seq)
-          out.iterator
-      }
     val ckpt = Files.createTempDirectory("graft-ckpt-sess-").toString
-    val q = sessions.writeStream
-      .outputMode("append").format("memory").queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val outDir = Files.createTempDirectory("graft-sess-out-").toString
+
+    def runPass(): Unit = {
+      val reader = spark.readStream.schema(schema)
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val raw = reader.parquet(srcDir)
+      val evs = (schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts_us", expr("ts DIV 1000"))
+        case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
+      }).select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts_us").as("tsMicros")).as[Ev]
+      val sessions = evs.groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, Session](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+            val sorted = it.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            // restore the open session from state: counter, last event
+            // time, and aggregates all survive the batch boundary
+            val st = state.getOption.getOrElse(
+              SessState(0L, Long.MinValue, 0L, 0L, 0L))
+            var seq = st.seq; var lastTs = st.lastTs
+            var n = st.n; var first = st.first; var last = st.last
+            def close(): Unit = {
+              if (n > 0) out += Session(user, seq, n, first, last)
+              n = 0
+            }
+            sorted.foreach { e =>
+              if (e.event_id == SentinelEventId) {
+                close() // end-of-stream flush marker
+              } else {
+                if (lastTs == Long.MinValue || e.tsMicros - lastTs > gapMicros) {
+                  close(); seq += 1
+                }
+                // min/max ids to match the batch aggregation exactly
+                if (n == 0) { first = e.event_id; last = e.event_id }
+                else {
+                  first = math.min(first, e.event_id)
+                  last = math.max(last, e.event_id)
+                }
+                n += 1; lastTs = e.tsMicros
+              }
+            }
+            if (n > 0) state.update(SessState(seq, lastTs, n, first, last))
+            else state.remove()
+            out.iterator
+        }
+      val q = sessions.writeStream
+        .outputMode("append").format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runPass() // data pass(es)
+    stageSentinelFile(spark, srcDir, schema)
+    runPass() // sentinel pass: flush open sessions
+    spark.read.parquet(outDir)
+  }
+
+  /** Write one sentinel row per user as a single parquet FILE (newest
+    * mtime) in the source dir, matching the source schema so the file
+    * stream picks it up as the final micro-batch.
+    */
+  private def stageSentinelFile(spark: SparkSession, srcDir: String,
+                                schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sentinelTs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        lit(Long.MaxValue / 2) // nanos-as-long
+      case dt => lit(new java.sql.Timestamp(Long.MaxValue / 4000)).cast(dt)
+    }
+    val rows = spark.read.parquet(srcDir).select(col("user_id")).distinct()
+      .select(schema.fields.toSeq.map { f =>
+        f.name match {
+          case "user_id"  => col("user_id").cast(f.dataType).as(f.name)
+          case "event_id" => lit(SentinelEventId).cast(f.dataType).as(f.name)
+          case "ts"       => sentinelTs.cast(f.dataType).as(f.name)
+          case _          => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    val tmp = Files.createTempDirectory("graft-sentinel-")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    val dest = java.nio.file.Paths.get(srcDir, "zz-graft-sentinel.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
   }
 
   /** Gap-based sessionization (30-min inactivity): batch formulation with

@@ -101,6 +101,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(empty == Seq.fill(4)(TextFunctions.MinHashPrime))
   }
 
+  test("codegen'd hyperplane keys equal the HOF specification per seed") {
+    import graft.functions.VectorFunctions.hyperplaneKeysNative
+    import graft.operators.Similarity.hyperplaneKey
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("id", "v")
+    val (bits, tables) = (4, 48)
+    val both = vecs.select($"id",
+      hyperplaneKeysNative($"v", bits, tables).as("fast"),
+      array((0 until tables).map(t => hyperplaneKey($"v", bits, seed = t)): _*).as("spec"))
+    assert(both.filter(expr("fast <> spec")).count() == 0)
+  }
+
   test("murmur3 bucket matches Spark's Murmur3_x86_32 and stays in range") {
     val rnd = new scala.util.Random(42)
     (0 until 1000).map(_ => rnd.nextLong()).foreach { v =>

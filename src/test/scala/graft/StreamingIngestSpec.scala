@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 
 import graft.core._
-import graft.streaming.StreamingIngest
+import graft.streaming.{EventStream, StreamingIngest}
 import graft.table.SnapshotTable
 
 /** Streaming CDC ingestion: AvailableNow over the landing dir, one
@@ -55,5 +55,65 @@ class StreamingIngestSpec extends SparkSpec {
       .collect().toSet
     assert(after2 == Set((1L, 1.0), (1L, 1.5), (3L, 3.0)))
     assert(tbl.currentVersion > v1)
+  }
+
+  private def eventRows(tuples: Seq[(Long, Long, String)]) =
+    tuples.map { case (u, e, ts) => (u, e, Timestamp.valueOf(ts), "click", 1.0) }
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+  /** Stage a DataFrame as a single plain parquet FILE with a controlled
+    * mtime so the file stream processes files in a known order.
+    */
+  private def stageFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                        name: String, mtimeMs: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft-stage-")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    val dest = java.nio.file.Paths.get(dir, name)
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
+  test("stateful sessionize carries open sessions and counters across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sess-x-").toString
+    val t0 = System.currentTimeMillis()
+    // file 1: user 1 opens a session (2 events); user 2 completes one
+    // session and opens another
+    stageFile(eventRows(Seq(
+      (1L, 10L, "2026-01-01 00:00:00"),
+      (1L, 11L, "2026-01-01 00:10:00"),
+      (2L, 20L, "2026-01-01 00:00:00"),
+      (2L, 21L, "2026-01-01 02:00:00"))), dir, "01-batch1.parquet", t0)
+    // file 2 (later mtime → later micro-batch): user 1's events continue
+    // WITHIN the 30-min gap (must merge into the open session, not split),
+    // then a post-gap event opens session 2; user 2's event is post-gap
+    // (session 3 — the counter must not restart at 1)
+    stageFile(eventRows(Seq(
+      (1L, 12L, "2026-01-01 00:20:00"),
+      (1L, 13L, "2026-01-01 03:00:00"),
+      (2L, 22L, "2026-01-01 04:00:00"))), dir, "02-batch2.parquet", t0 + 5000)
+
+    val got = EventStream.sessionizeStatefulDir(spark, dir,
+        maxFilesPerTrigger = Some(1))
+      .select("user_id", "session_seq", "n_events", "first_event", "last_event")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (1L, 1L, 3L, 10L, 12L), // spans both micro-batches, merged
+      (1L, 2L, 1L, 13L, 13L),
+      (2L, 1L, 1L, 20L, 20L),
+      (2L, 2L, 1L, 21L, 21L),
+      (2L, 3L, 1L, 22L, 22L)) // counter continued across the batch boundary
+    assert(got == expected)
+    // and it must agree with the batch formulation over the union
+    val union = spark.read.parquet(s"$dir/01-batch1.parquet",
+      s"$dir/02-batch2.parquet")
+    val batch = EventStream.sessionize(union)
+      .select("user_id", "session_seq", "n_events", "first_event", "last_event")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
   }
 }
