@@ -69,7 +69,9 @@ final class SnapshotTable(val root: Path) {
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        // strictly v<digits>.json: chunk side files (v<N>-files-<i>.json)
+        // are not manifests
+        .collect { case s if s.matches("v\\d+\\.json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq.sorted
     }
@@ -296,7 +298,7 @@ final class SnapshotTable(val root: Path) {
     expired.foreach { v =>
       manifest(v).files.filterNot(f => live(f.path))
         .foreach(f => deleteWithSidecars(f.path))
-      Files.deleteIfExists(metaDir.resolve(s"v$v.json"))
+      ManifestJson.delete(metaDir.resolve(s"v$v.json"))
     }
     pruneEmptyDirs()
     expired
@@ -436,8 +438,22 @@ object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
 }
 
-/** Minimal JSON codec for manifests — flat structure, no external deps. */
+/** Minimal JSON codec for manifests — flat structure, no external deps.
+  *
+  * Scalability: up to [[ManifestJson.ChunkThreshold]] file entries the
+  * manifest is one JSON document. Beyond that the file list is CHUNKED
+  * into `v<N>-files-<i>.json` side files of [[ManifestJson.ChunkSize]]
+  * entries each, referenced from the main manifest — no single JSON
+  * document grows unboundedly with table size, and a million-file table
+  * commits 100 bounded documents instead of one gigantic string build.
+  * (Commit cost remains O(live files); Iceberg-style reuse of unchanged
+  * chunk files across commits is the next step if that ever dominates.)
+  */
 private[graft] object ManifestJson {
+  /** Max file entries inlined in the manifest document (and per chunk). */
+  val ChunkThreshold = 10000
+  val ChunkSize = 10000
+
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case '\r' => "\\r"; case '\t' => "\\t"
@@ -449,34 +465,74 @@ private[graft] object ManifestJson {
     m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
 
-  def write(p: Path, m: Manifest): Unit = {
-    val files = m.files.map(f => s"""{"path":${q(f.path)},"partition":${obj(f.partition)}}""")
+  private def fileArr(files: Seq[FileEntry]): String =
+    files.map(f => s"""{"path":${q(f.path)},"partition":${obj(f.partition)}}""")
       .mkString("[", ",", "]")
+
+  private def base(p: Path): String =
+    p.getFileName.toString.stripSuffix(".json")
+
+  def write(p: Path, m: Manifest): Unit = {
+    val (filesJson, chunksJson) =
+      if (m.files.size <= ChunkThreshold) (fileArr(m.files), "[]")
+      else {
+        val names = m.files.grouped(ChunkSize).zipWithIndex.map { case (fs, i) =>
+          val name = s"${base(p)}-files-$i.json"
+          Files.write(p.resolveSibling(name),
+            s"""{"files":${fileArr(fs)}}""".getBytes(StandardCharsets.UTF_8))
+          name
+        }.toSeq
+        ("[]", names.map(q).mkString("[", ",", "]"))
+      }
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
       s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
-      s""""properties":${obj(m.properties)},"files":$files}"""
+      s""""properties":${obj(m.properties)},"fileChunks":$chunksJson,"files":$filesJson}"""
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
+
+  private def parseFiles(v: Any): Seq[FileEntry] =
+    v.asInstanceOf[List[Any]].map { f =>
+      val fm = f.asInstanceOf[Map[String, Any]]
+      FileEntry(fm("path").asInstanceOf[String],
+        fm("partition").asInstanceOf[Map[String, Any]]
+          .map { case (k, v) => k -> v.asInstanceOf[String] })
+    }
 
   // hand-rolled parser for exactly the JSON `write` produces
   def read(p: Path): Manifest = {
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+    val chunkNames = parsed.get("fileChunks") // absent in pre-chunking manifests
+      .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+      .getOrElse(Nil)
+    val chunked = chunkNames.flatMap { name =>
+      val cs = new String(Files.readAllBytes(p.resolveSibling(name)),
+        StandardCharsets.UTF_8)
+      parseFiles(JsonLite.parse(cs).asInstanceOf[Map[String, Any]]("files"))
+    }
     Manifest(
       version = parsed("version").asInstanceOf[Double].toLong,
       timestampMs = parsed("timestampMs").asInstanceOf[Double].toLong,
       schemaDdl = parsed("schemaDdl").asInstanceOf[String],
-      files = parsed("files").asInstanceOf[List[Any]].map { f =>
-        val fm = f.asInstanceOf[Map[String, Any]]
-        FileEntry(fm("path").asInstanceOf[String],
-          fm("partition").asInstanceOf[Map[String, Any]]
-            .map { case (k, v) => k -> v.asInstanceOf[String] })
-      },
+      files = chunked ++ parseFiles(parsed("files")),
       partitionColumns = parsed("partitionColumns").asInstanceOf[List[Any]]
         .map(_.asInstanceOf[String]),
       properties = parsed("properties").asInstanceOf[Map[String, Any]]
         .map { case (k, v) => k -> v.asInstanceOf[String] })
+  }
+
+  /** Delete a manifest AND its chunk side files (snapshot expiry). */
+  def delete(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+      parsed.get("fileChunks")
+        .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+        .getOrElse(Nil)
+        .foreach(name => Files.deleteIfExists(p.resolveSibling(name)))
+    }
+    Files.deleteIfExists(p)
   }
 }
 

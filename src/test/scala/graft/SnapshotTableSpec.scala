@@ -112,6 +112,30 @@ class SnapshotTableSpec extends SparkSpec {
     assert(props("graft.physical-write-mode") == "copy-on-write")
   }
 
+  test("manifests beyond the chunk threshold round-trip via chunk files") {
+    import graft.table.{FileEntry, Manifest, ManifestJson}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-chunk-")
+    val n = 25000 // > 2 chunks at the 10k threshold
+    val files = (0 until n).map(i =>
+      FileEntry(s"data/v1/p=${i % 7}/part-$i.parquet", Map("p" -> (i % 7).toString)))
+    val m = Manifest(1L, 123L, "id BIGINT", files, Seq("p"), Map("k" -> "v"))
+    val p = dir.resolve("v1.json")
+    ManifestJson.write(p, m)
+    // main document stays bounded; the list lives in side chunks
+    assert(Files.size(p) < 64 * 1024, "main manifest must stay small")
+    val chunks = scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v1-files-")).toSeq)
+    assert(chunks.size == 3) // 25000 / 10000 → 3 chunks
+    val back = ManifestJson.read(p)
+    assert(back == m, "chunked manifest must round-trip exactly")
+    // expiry-style delete removes the chunks together with the manifest
+    ManifestJson.delete(p)
+    assert(scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala.isEmpty), "delete must remove manifest + chunks")
+  }
+
   test("expireSnapshots + removeOrphanFiles GC old data, keep current") {
     val tbl = freshTable()
     val now = System.currentTimeMillis()
