@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.ingest.{AppflowStyleJob, DmsStyleJob, Ingestion}
 import graft.merge.ChangeSet
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import graft.table.SnapshotTable
 
@@ -417,6 +417,54 @@ object SparkEntry {
           Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
           .toDF(), factor = 2)),
 
+    "q53_dedup_clusters" -> ((s, d) => {
+      // near-dup pair edges → connected components → one canonical doc
+      // per cluster (transitive near-duplication: A~B, B~C ⇒ one cluster)
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, d, "documents").withColumn("len_bucket", (col("n_chars") / lit(100)).cast("long")),
+        "doc_id", "text", blockCols = Seq("lang", "len_bucket"),
+        threshold = 0.5)
+      Graph.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id_a").as("doc_id"), col("component"))
+    }),
+
+    "q54_pii_scrub" -> ((s, d) => {
+      // deterministic PII fixture: every 7th doc gains an email, every
+      // 11th a phone number — the oracle builds the same augmented text
+      val aug = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" Contact: user"), col("doc_id").cast("string"),
+              lit("@example.com now."))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Call +1 (555) 123-4567.")).otherwise(lit(""))))
+      TextAnalysis.piiScrub(aug, "doc_id", "text")
+    }),
+
+    "q55_repetition_quality" -> ((s, d) =>
+      TextAnalysis.repetitionMetrics(t(s, d, "documents"), "doc_id", "text")),
+
+    "q56_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
+        tokenBudget = 512, nShards = 8)),
+
+    "q57_asof_join" -> ((s, d) => {
+      // every 5th event is a "profile update"; attach the latest update
+      // at-or-before each remaining event (backward as-of, inclusive)
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val right = ev.filter(col("event_id") % 5 === 0)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1) // unique per (user, ts) for determinism
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("ref_event"), col("value").as("ref_value"))
+      val left = ev.filter(col("event_id") % 5 =!= 0).drop("value")
+      AsOfJoin.backward(left, right, Seq("user_id"), "ts",
+        Seq("ref_event", "ref_value"))
+    }),
+
     // ---- streaming (§7.6) ----
 
     "q50_stream_hourly" -> ((s, d) =>
@@ -774,6 +822,73 @@ object SparkEntry {
         |  CAST(width // 2 AS BIGINT) * CAST(height // 2 AS BIGINT) * 3 AS out_bytes
         |FROM img""".stripMargin,
 
+    "q53_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, len_bucket,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+
+    "q54_pii_scrub" -> piiScrubOracle,
+
+    "q55_repetition_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct_tokens,
+        |  CAST(floor((1.0 - count(*) / CAST(sum(cnt) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dup_token_e6,
+        |  CAST(floor(max(cnt) / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS top_token_share_e6
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    "q56_seq_pack" ->
+      """WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+        |  FROM tk)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(start_tok // 512 AS BIGINT) AS pack_idx,
+        |  CAST(start_tok % 512 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
+
+    "q57_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |r AS (SELECT user_id, ts, event_id AS ref_event, value AS ref_value
+        |  FROM ev WHERE event_id % 5 = 0
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+        |l AS (SELECT user_id, event_id, ts FROM ev WHERE event_id % 5 <> 0)
+        |SELECT l.user_id, l.event_id, l.ts, r.ref_event, r.ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
     "q50_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value
@@ -783,6 +898,28 @@ object SparkEntry {
 
     "q52_sessionize_stateful" -> sessionizeOracle
   )
+
+  /** SQL twin of TextAnalysis.piiScrub over the same augmented fixture.
+    * The regex patterns are shared constants (dialect-neutral subset);
+    * DuckDB string literals don't process backslashes, so the patterns
+    * embed verbatim.
+    */
+  private def piiScrubOracle: String = {
+    val e = TextAnalysis.EmailPattern
+    val p = TextAnalysis.PhonePattern
+    s"""WITH aug AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 7 = 0
+       |       THEN ' Contact: user' || doc_id || '@example.com now.' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0
+       |       THEN ' Call +1 (555) 123-4567.' ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+       | md5(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+       |   '$p', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM aug""".stripMargin
+  }
 
   private def sessionizeOracle: String =
     """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

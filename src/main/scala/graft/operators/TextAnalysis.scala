@@ -125,4 +125,79 @@ object TextAnalysis {
     */
   def sampleDeterministic(idCol: String, perMille: Int): Column =
     pmod(col(idCol) * lit(2654435761L), lit(1000L)) < perMille
+
+  /** Conservative email pattern shared by Spark (Java regex) and the
+    * DuckDB oracle (RE2) — character classes and bounded quantifiers
+    * only, no dialect-specific syntax.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-ish pattern: 7+ digit runs with optional separators. */
+  val PhonePattern = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing: replace emails/phones with typed placeholders and
+    * count the redactions. Map-side regex over codegen'd built-ins —
+    * linear scan, no shuffle; the corpus-hygiene pass a training pipeline
+    * runs before anything else. Email replacement runs first so phone
+    * patterns never match inside an already-redacted address.
+    */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t, lit(PhonePattern)).as("n_phones"),
+      md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>")).as("scrubbed_fp"))
+  }
+
+  /** Repetition metrics (the MassiveText/Gopher-style quality signals):
+    * per document, the fraction of duplicate tokens and the share of the
+    * single most frequent token. Formulated RELATIONALLY — explode to
+    * (doc, token), count, re-aggregate — so the shuffle is keyed by
+    * (doc, token) with map-side partial aggregation; no per-row
+    * frequency map allocation, and the same SQL runs in the oracle.
+    * Micro-unit outputs sidestep cross-engine double rounding. Documents
+    * with zero tokens are omitted (no defined ratio).
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(trim(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9]+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max("cnt").as("top_cnt"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        floor((lit(1.0) - col("n_distinct_tokens").cast("double") /
+          col("n_tokens").cast("double")) * 1000000.0 + 0.5).cast("long")
+          .as("dup_token_e6"),
+        floor(col("top_cnt").cast("double") /
+          col("n_tokens").cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("top_token_share_e6"))
+  }
+
+  /** Token-stream sequence packing (GPT-style): documents are concatenated
+    * shard-by-shard in id order and chopped into fixed token budgets;
+    * each document learns which packed sequence it starts in and at what
+    * offset. Sharding bounds every window partition (shard = id mod
+    * nShards) so the running sum never funnels through one task — the
+    * packing a 100 TB tokenization job would emit, with per-shard
+    * determinism and no global sort.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    tokenBudget: Int, nShards: Int = 8): DataFrame = {
+    require(tokenBudget > 0 && nShards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("start_tok",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("start_tok") / tokenBudget).cast("long").as("pack_idx"),
+        pmod(col("start_tok"), lit(tokenBudget.toLong)).as("pack_offset"))
+  }
 }

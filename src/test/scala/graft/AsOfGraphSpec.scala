@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Graph, TextAnalysis}
+
+/** Edge-case pins for the round-2 operators: as-of join boundaries,
+  * connected-components convergence, PII counting, repetition math, and
+  * sequence-packing offsets.
+  */
+class AsOfGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof backward: inclusive boundary, carry-forward, and pre-history nulls") {
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100L),
+      (1L, ts("2026-01-01 12:00:00"), 200L),
+      (2L, ts("2026-01-01 11:00:00"), 900L))
+      .toDF("user_id", "ts", "ref")
+    val left = Seq(
+      (1L, 1L, ts("2026-01-01 09:00:00")), // before any right → null
+      (1L, 2L, ts("2026-01-01 10:00:00")), // EQUAL ts → inclusive match
+      (1L, 3L, ts("2026-01-01 11:59:59")), // carries the 10:00 row
+      (1L, 4L, ts("2026-01-01 23:00:00")), // carries the 12:00 row
+      (3L, 5L, ts("2026-01-01 10:00:00"))) // user with no right rows
+      .toDF("user_id", "event_id", "ts")
+    val got = AsOfJoin.backward(left, right, Seq("user_id"), "ts", Seq("ref"))
+      .select("event_id", "ref").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> None, 2L -> Some(100L), 3L -> Some(100L),
+      4L -> Some(200L), 5L -> None))
+  }
+
+  test("connected components: chains merge transitively, singletons keep edges only") {
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1..5
+      (10L, 11L), (20L, 21L), (21L, 20L)) // dup/reversed edges collapse
+      .toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("piiScrub counts emails and phones deterministically") {
+    val docs = Seq(
+      (1L, "reach me at a.b+c@mail.example.org or x@y.io thanks"),
+      (2L, "call +1 (555) 123-4567 or 555 987 6543 today"),
+      (3L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .select("doc_id", "n_emails", "n_phones")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => a -> (b, c) }.toMap
+    assert(got(1L) == (2L, 0L))
+    assert(got(2L)._2 >= 1L && got(2L)._1 == 0L)
+    assert(got(3L) == (0L, 0L))
+  }
+
+  test("repetitionMetrics: hand-computed duplicate and top-token shares") {
+    val docs = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // "a a a b": 4 tokens, 2 distinct → dup = 0.5, top share = 0.75
+    assert(got(1L) == (4L, 2L, 500000L, 750000L))
+    assert(got(2L) == (3L, 3L, 0L, 333333L))
+    assert(!got.contains(3L), "empty docs have no defined ratios")
+  }
+
+  test("packSequences: shard-local cumulative offsets and pack indices") {
+    // token counts: id 0 → 2 tokens, id 2 → 3, id 4 → 2 (shard 0);
+    //               id 1 → 4 tokens, id 3 → 1 (shard 1); budget 4
+    val docs = Seq(
+      (0L, "w w"), (1L, "w w w w"), (2L, "w w w"), (3L, "w"), (4L, "w w"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, "doc_id", "text",
+        tokenBudget = 4, nShards = 2)
+      .select("doc_id", "shard", "pack_idx", "pack_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(0L) == (0L, 0L, 0L)) // starts pack 0 offset 0
+    assert(got(2L) == (0L, 0L, 2L)) // starts in pack 0 at offset 2
+    assert(got(4L) == (0L, 1L, 1L)) // cumulative 5 → pack 1 offset 1
+    assert(got(1L) == (1L, 0L, 0L))
+    assert(got(3L) == (1L, 1L, 0L)) // starts exactly at the budget edge
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+}
