@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
+
+/** Local scale probe for the LLM-pipeline operators: amplifies the sf0.1
+  * corpus (documents ×K with id remap + a shard token appended so
+  * near-dup structure survives but exact fingerprints differ; embeddings
+  * ×K with a deterministic per-copy perturbation) and times the operators
+  * whose 100 TB behavior matters. Prints one JSON line per stage.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [docCopies] [embCopies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val docCopies = if (args.length > 1) args(1).toInt else 100
+    val embCopies = if (args.length > 2) args(2).toInt else 50
+    val spark = graft.core.GraftSession.get("graft-scale-probe")
+    import spark.implicits._
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"""{"stage":"$name","sec":$dt%.2f,"rows":$rows}""")
+      spark.catalog.clearCache()
+    }
+
+    // documents ×K: copy c of doc d gets id d*K+c and a copy-marker token
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "n_chars")
+    val docs = docs0
+      .withColumn("c", explode(sequence(lit(0), lit(docCopies - 1))))
+      .select((col("doc_id") * docCopies + col("c")).as("doc_id"),
+        concat(col("text"), lit(" copymarker"), col("c").cast("string")).as("text"),
+        col("lang"), col("n_chars"))
+      .repartition(64)
+      .cache()
+    val nDocs = docs.count()
+    println(s"""{"stage":"amplify_docs","rows":$nDocs}""")
+
+    timed("exact_dedup") {
+      Dedup.exact(docs, "doc_id", "text").count()
+    }
+    timed("minhash_neardup") {
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = 200).count()
+    }
+    timed("dedup_clusters_cc") {
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 200)
+      Graph.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+    timed("quality_scores") {
+      TextAnalysis.qualityScore(docs, "text").count()
+    }
+    timed("repetition_metrics") {
+      TextAnalysis.repetitionMetrics(docs, "doc_id", "text").count()
+    }
+    timed("seq_pack") {
+      TextAnalysis.packSequences(docs, "doc_id", "text", 512, nShards = 64).count()
+    }
+    docs.unpersist()
+
+    // embeddings ×K: deterministic per-copy perturbation of one dimension
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val emb = emb0
+      .withColumn("c", explode(sequence(lit(0), lit(embCopies - 1))))
+      .select((col("vec_id") * embCopies + col("c")).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === pmod(col("c"), lit(64)),
+            x + (col("c") % 7).cast("float") * 0.01f).otherwise(x))
+          .as("embedding"))
+      .repartition(64)
+      .cache()
+    val nEmb = emb.count()
+    println(s"""{"stage":"amplify_embeddings","rows":$nEmb}""")
+
+    timed("kmeans_train_k64x2") {
+      Similarity.trainCentroids(emb, "vec_id", "embedding", k = 64, iters = 2)
+        .count()
+    }
+    timed("ivf_ann_topk") {
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 64, iters = 2)
+      Similarity.ivfTopK(emb, cents,
+        emb.filter(col("vec_id") % 1000 === 0), "vec_id", "embedding",
+        k = 10, nProbe = 4).count()
+    }
+    timed("embed_neardup_lsh") {
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        threshold = 0.98, signBits = 12, tables = 8, maxBucketSize = 2000)
+        .count()
+    }
+    emb.unpersist()
+    spark.stop()
+  }
+}

@@ -448,6 +448,14 @@ object SparkEntry {
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
 
+    "q58_embed_neardup_lsh" -> ((s, d) =>
+      // thresholded embedding near-dup on the multi-table LSH path (the
+      // production shape; q49 is the top-k variant). Table count sized so
+      // pairs at cosine >= 0.5 are covered with ~1e-5 per-pair miss.
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.5, signBits = 4, tables = 48)
+        .select(col("id_a"), col("id_b"))),
+
     "q57_asof_join" -> ((s, d) => {
       // every 5th event is a "profile update"; attach the latest update
       // at-or-before each remaining event (backward as-of, inclusive)
@@ -879,6 +887,12 @@ object SparkEntry {
         |  CAST(start_tok // 512 AS BIGINT) AS pack_idx,
         |  CAST(start_tok % 512 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin,
+
+    "q58_embed_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5""".stripMargin,
 
     "q57_asof_join" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

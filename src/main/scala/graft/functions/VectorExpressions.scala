@@ -212,6 +212,52 @@ object Simhash64Expr {
   }
 }
 
+/** Fraction of positions where two equal-length `array<long>` columns
+  * agree — the MinHash Jaccard ESTIMATOR (k agreeing slots / k). Used as
+  * a cheap candidate pre-filter before exact shingle-set verification:
+  * signatures are ~3× smaller than shingle arrays, so low-similarity
+  * bucket-collision candidates are pruned without ever shipping their
+  * shingle sets through the verify join.
+  */
+case class EqualSlotFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "equal_slot_fraction"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = $n == 0 ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** All `tables` hyperplane-LSH sign keys of an `array<float>` vector in
   * ONE codegen'd pass — value-identical to the higher-order-function
   * formulation [[graft.operators.Similarity.hyperplaneKey]] applied per
@@ -357,6 +403,10 @@ object VectorFunctions {
   /** Codegen'd 64-bit SimHash of an array<long> (see [[Simhash64Expr]]). */
   def simhash64Native(a: Column): Column =
     GraftBridge.column(Simhash64Expr(expr(a)))
+
+  /** Fraction of agreeing slots of two long arrays (MinHash estimator). */
+  def equalSlotFraction(a: Column, b: Column): Column =
+    GraftBridge.column(EqualSlotFraction(expr(a), expr(b)))
 
   /** All multi-table hyperplane-LSH keys in one codegen'd pass
     * (see [[HyperplaneKeysExpr]]); equals

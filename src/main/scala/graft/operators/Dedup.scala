@@ -83,8 +83,23 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // candidate pre-filter on the signature-estimated Jaccard BEFORE the
+    // shingle arrays ship: the estimator's std is sqrt(J(1-J)/k) ≤
+    // 0.5/√k, and only pairs estimated > 4σ BELOW threshold are pruned
+    // (per-pair false-prune odds ~3e-5 at the threshold; exact Jaccard
+    // still decides membership for everything that passes). In
+    // boilerplate-heavy corpora the candidate mass sits at low true
+    // Jaccard, so most candidates die on the 512-byte signatures instead
+    // of dragging their ~kB shingle sets through the verify join.
+    val estCutoff = math.max(0.0, threshold - 4 * 0.5 / math.sqrt(k))
+    val sg = withShingles.select(col("id"), col("sig"))
+    val prefiltered = candidates
+      .join(sg.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sg.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .filter(equalSlotFraction(col("sig_a"), col("sig_b")) >= estCutoff)
+      .select("id_a", "id_b")
     val sh = withShingles.select(col("id"), col("shingles"))
-    candidates
+    prefiltered
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
       .withColumn("jaccard", round(sortedLongJaccard(col("sh_a"), col("sh_b")), 6))
