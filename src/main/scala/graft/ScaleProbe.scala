@@ -50,9 +50,15 @@ object ScaleProbe {
         maxBucketSize = 200).count()
     }
     timed("dedup_clusters_cc") {
+      // materialize the pair edges first, as a real pipeline would —
+      // CC should be timed on its own work, not on re-running LSH
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        threshold = 0.5, maxBucketSize = 200)
-      Graph.connectedComponents(pairs, "id_a", "id_b").count()
+          threshold = 0.5, maxBucketSize = 200)
+        .select("id_a", "id_b").cache()
+      try {
+        pairs.count()
+        Graph.connectedComponents(pairs, "id_a", "id_b").count()
+      } finally pairs.unpersist()
     }
     timed("quality_scores") {
       TextAnalysis.qualityScore(docs, "text").count()

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.ingest.{AppflowStyleJob, DmsStyleJob, Ingestion}
 import graft.merge.ChangeSet
-import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, RangeJoin, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import graft.table.SnapshotTable
 
@@ -473,6 +473,20 @@ object SparkEntry {
         Seq("ref_event", "ref_value"))
     }),
 
+    "q59_range_join" -> ((s, d) => {
+      // every 997th event opens a 30-minute observation window; find the
+      // events inside each window via the bucketized range join (bucket
+      // width = window length → each window explodes to ≤ 2 buckets)
+      val ev = events(s, d).select(col("user_id"), col("event_id"), col("ts"))
+      val windows = ev.filter(col("event_id") % 997 === 0)
+        .select(col("event_id").as("window_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("win_end"))
+      RangeJoin.pointInInterval(
+          ev.filter(col("event_id") % 997 =!= 0), windows,
+          "ts", "win_start", "win_end", bucketSeconds = 1800)
+        .select(col("window_id"), col("event_id"), col("user_id"))
+    }),
+
     // ---- streaming (§7.6) ----
 
     "q50_stream_hourly" -> ((s, d) =>
@@ -902,6 +916,15 @@ object SparkEntry {
         |l AS (SELECT user_id, event_id, ts FROM ev WHERE event_id % 5 <> 0)
         |SELECT l.user_id, l.event_id, l.ts, r.ref_event, r.ref_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q59_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |w AS (SELECT event_id AS window_id, ts AS win_start,
+        |    ts + INTERVAL 30 MINUTE AS win_end
+        |  FROM ev WHERE event_id % 997 = 0)
+        |SELECT w.window_id, e.event_id, e.user_id
+        |FROM ev e JOIN w ON e.ts >= w.win_start AND e.ts <= w.win_end
+        |WHERE e.event_id % 997 <> 0""".stripMargin,
 
     "q50_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,

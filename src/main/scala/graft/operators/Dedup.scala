@@ -35,6 +35,25 @@ object Dedup {
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
+  /** Corpus side tables above this row count must never be broadcast
+    * (see [[noBroadcastWhenLarge]]). ~100k array rows ≈ 50-150 MB
+    * deserialized — below it a broadcast is safe and fast, above it the
+    * relation build is the failure mode.
+    */
+  private val BroadcastSafeRows = 100000L
+
+  /** Guard a CACHED corpus-derived side table against adaptive broadcast.
+    * These tables carry long/float arrays whose shuffle bytes COMPRESS
+    * 10-20× below their in-memory size (minhash minima share structure;
+    * embedding floats share exponents), so AQE's compressed-size estimate
+    * can flip the join to broadcast and then blow up building the
+    * deserialized relation. The row count is exact and cheap — the caller
+    * just materialized the cache — so the hint is applied only when the
+    * relation is genuinely too big, keeping small-corpus broadcasts.
+    */
+  private def noBroadcastWhenLarge(df: DataFrame, cachedRows: Long): DataFrame =
+    if (cachedRows > BroadcastSafeRows) df.hint("shuffle_hash") else df
+
   /** Exact dedup: keep the lowest-id document per normalized-text
     * fingerprint (deterministic representative).
     */
@@ -92,13 +111,16 @@ object Dedup {
     // Jaccard, so most candidates die on the 512-byte signatures instead
     // of dragging their ~kB shingle sets through the verify join.
     val estCutoff = math.max(0.0, threshold - 4 * 0.5 / math.sqrt(k))
-    val sg = withShingles.select(col("id"), col("sig"))
+    val corpusRows = withShingles.count() // materializes the cache anyway
+    val sg = noBroadcastWhenLarge(
+      withShingles.select(col("id"), col("sig")), corpusRows)
     val prefiltered = candidates
       .join(sg.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sg.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .filter(equalSlotFraction(col("sig_a"), col("sig_b")) >= estCutoff)
       .select("id_a", "id_b")
-    val sh = withShingles.select(col("id"), col("shingles"))
+    val sh = noBroadcastWhenLarge(
+      withShingles.select(col("id"), col("shingles")), corpusRows)
     prefiltered
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
@@ -258,7 +280,9 @@ object Dedup {
       // and the rerank joins — compute once
       val sigs = spread(raw).cache()
       val cands = hyperplaneCandidates(sigs, signBits, tables, maxBucketSize)
-      val side = sigs.select(col("id"), col("v"), col("nrm"))
+      val corpusRows = sigs.count() // materializes the cache anyway
+      val side = noBroadcastWhenLarge(
+        sigs.select(col("id"), col("v"), col("nrm")), corpusRows).hint("shuffle_hash")
       cands
         .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
         .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
@@ -290,7 +314,9 @@ object Dedup {
       .filter(col("nrm") > 0.0)
     val sigs = spread(raw).cache()
     val cands = hyperplaneCandidates(sigs, signBits, tables, maxBucketSize)
-    val side = sigs.select(col("id"), col("v"), col("nrm"))
+    val corpusRows = sigs.count() // materializes the cache anyway
+    val side = noBroadcastWhenLarge(
+      sigs.select(col("id"), col("v"), col("nrm")), corpusRows)
     cands
       .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

@@ -11,20 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative hash-min label propagation:
-    * every node repeatedly adopts the minimum component id among itself
-    * and its neighbors until fixpoint. Each iteration is one equi-join +
-    * one aggregation, both hash-partitioned on node id — no single-task
-    * funnels. Converges in O(graph diameter) iterations; near-dup
-    * clusters are short chains, so the practical count is ~3-5. (For
-    * adversarial long-path graphs at extreme scale the large-star/
-    * small-star variant [Kiveris et al., "Connected Components in
-    * MapReduce"] halves diameter per round; hash-min is the right
-    * simplicity/perf point for dedup workloads.)
+  /** Connected components by hash-min label propagation WITH edge
+    * contraction: each round, every component id adopts the minimum
+    * neighboring component id, the node→component labels are updated
+    * through that mapping, and the edge set is REWRITTEN onto the new
+    * component ids (self-loops dropped, duplicates collapsed). Dense
+    * clusters — the near-dup shape, where LSH emits ~all pairs of a
+    * duplicate group — contract to nothing after the first round, so
+    * later rounds run on a vanishing residual graph instead of
+    * re-joining the full edge set O(diameter) times. Every step is a
+    * hash-partitioned join/aggregate; nothing funnels through one task.
+    * (The large-star/small-star variant [Kiveris et al., "Connected
+    * Components in MapReduce"] additionally halves path lengths per
+    * round; contraction alone is the right simplicity/perf point for
+    * dedup workloads, whose components are cliques and short chains.)
     *
-    * Lineage is truncated every iteration with an eager localCheckpoint —
+    * Lineage is truncated every round with an eager localCheckpoint —
     * an iterative DataFrame loop otherwise compounds the plan and
-    * re-executes every prior round at each action.
+    * re-executes every prior round at each action. On a cluster, point
+    * `spark.checkpoint.dir` at durable storage and swap in `checkpoint`
+    * if executor loss matters mid-computation.
     *
     * @return (id, component) for every node appearing in `edges`, where
     *   component = the minimum node id in the connected component.
@@ -32,30 +38,39 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var compEdges = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
+    var labels = compEdges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
-    var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
-      // min component among neighbors, then keep own if smaller
-      val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "b"), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min("comp").as("nbr_comp"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+    var done = false
+    while (!done && it < maxIters) {
+      // one hash-min round over the CONTRACTED graph: component ids are
+      // self-representing nodes here, so the neighbor minimum IS the
+      // neighbor id — no label join needed inside the round
+      val mapping = compEdges
+        .groupBy("a").agg(min("b").as("m"))
+        .filter(col("m") < col("a"))
         .localCheckpoint(true)
-      // comp values only ever decrease; fixpoint ⇔ no row changed
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
-      labels = next
+      done = mapping.isEmpty
+      if (!done) {
+        labels = labels
+          .join(mapping.withColumnRenamed("a", "comp"), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("m"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        def remap(df: DataFrame, c: String): DataFrame =
+          df.join(mapping.withColumnRenamed("a", c)
+              .withColumnRenamed("m", s"__m_$c"), Seq(c), "left")
+            .withColumn(c, coalesce(col(s"__m_$c"), col(c)))
+            .drop(s"__m_$c")
+        compEdges = remap(remap(compEdges, "a"), "b")
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .localCheckpoint(true)
+      }
       it += 1
     }
     labels.withColumnRenamed("id", srcCol).withColumnRenamed("comp", "component")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Graph, TextAnalysis}
+import graft.operators.{AsOfJoin, Graph, RangeJoin, TextAnalysis}
 
 /** Edge-case pins for the round-2 operators: as-of join boundaries,
   * connected-components convergence, PII counting, repetition math, and
@@ -83,6 +83,25 @@ class AsOfGraphSpec extends SparkSpec {
     assert(got(4L) == (0L, 1L, 1L)) // cumulative 5 → pack 1 offset 1
     assert(got(1L) == (1L, 0L, 0L))
     assert(got(3L) == (1L, 1L, 0L)) // starts exactly at the budget edge
+  }
+
+  test("range join: inclusive bounds, bucket-straddling intervals, no duplicates") {
+    val points = Seq(
+      (1L, ts("2026-01-01 10:00:00")), // exactly at a window start
+      (2L, ts("2026-01-01 10:29:59")),
+      (3L, ts("2026-01-01 10:30:00")), // exactly at a window end
+      (4L, ts("2026-01-01 10:30:01")), // just outside
+      (5L, ts("2026-01-01 11:45:00"))) // inside the bucket-straddling window
+      .toDF("event_id", "ts")
+    val windows = Seq(
+      (100L, ts("2026-01-01 10:00:00"), ts("2026-01-01 10:30:00")),
+      // straddles a 30-min bucket boundary (starts mid-bucket)
+      (200L, ts("2026-01-01 11:40:00"), ts("2026-01-01 12:10:00")))
+      .toDF("window_id", "win_start", "win_end")
+    val got = RangeJoin.pointInInterval(points, windows,
+        "ts", "win_start", "win_end", bucketSeconds = 1800)
+      .select("window_id", "event_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 5L)))
   }
 
   private def ts(s: String) = Timestamp.valueOf(s)
