@@ -497,7 +497,31 @@ object SparkEntry {
       EventStream.sessionize(events(s, d))),
 
     "q52_sessionize_stateful" -> ((s, d) =>
-      EventStream.sessionizeStateful(s, s"$d/events.parquet"))
+      EventStream.sessionizeStateful(s, s"$d/events.parquet")),
+
+    "q60_stream_cdc_ingest" -> ((s, d) => {
+      // streaming CDC ingestion driver-visibly: two AvailableNow runs over
+      // a growing landing dir with one checkpoint — run 1 bootstraps the
+      // table from the first file batch (CTAS, op dropped), run 2 picks up
+      // only the NEW file and merges it (dedup-latest per key; matched-U
+      // update, matched-D delete, unconditional not-matched insert)
+      val base = Files.createTempDirectory("graft-scdc-").toString
+      val (cdc, ckpt) = (s"$base/cdc", s"$base/ckpt")
+      val table = SnapshotTable.at(s"$base/wh/events_cdc")
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("value"))
+      val cfg = SourceConfig("graft", "events_cdc", Seq("user_id"),
+        Seq("ts", "event_id"), mode = IngestMode.Cdc)
+      ev.filter(col("event_id") % 3 =!= 0).withColumn("op", lit("I"))
+        .write.parquet(s"$cdc/day1")
+      graft.streaming.StreamingIngest.run(s, table, cdc, cfg, tsTarget, ckpt)
+      ev.filter(col("event_id") % 3 === 0).withColumn("op",
+          when(col("event_id") % 10 === 0, "D").otherwise("U"))
+        .write.parquet(s"$cdc/day2")
+      graft.streaming.StreamingIngest.run(s, table, cdc, cfg, tsSource, ckpt)
+      table.read(s).drop(MetaColumns.IngestionDatetime)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -933,7 +957,24 @@ object SparkEntry {
 
     "q51_sessionize" -> sessionizeOracle,
 
-    "q52_sessionize_stateful" -> sessionizeOracle
+    "q52_sessionize_stateful" -> sessionizeOracle,
+
+    // bootstrap = day-1 verbatim (op dropped); day-2 merge is
+    // latest-per-key with the unconditional not-matched insert
+    "q60_stream_cdc_ingest" ->
+      """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |hist AS (SELECT * FROM ev WHERE event_id % 3 <> 0),
+        |batch AS (SELECT *, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM ev WHERE event_id % 3 = 0),
+        |latest AS (SELECT * FROM batch QUALIFY row_number()
+        |  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT h.* FROM hist h
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = h.user_id)
+        |UNION ALL
+        |SELECT user_id, event_id, ts, event_type, value FROM latest l
+        |  WHERE op = 'U'
+        |    OR NOT EXISTS (SELECT 1 FROM hist h WHERE h.user_id = l.user_id)""".stripMargin
   )
 
   /** SQL twin of TextAnalysis.piiScrub over the same augmented fixture.

@@ -136,6 +136,24 @@ final class SnapshotTable(val root: Path) {
   def readVersion(spark: SparkSession, version: Long): DataFrame =
     readManifest(spark, manifest(version))
 
+  /** Incremental read: rows of data files PRESENT in the current snapshot
+    * but ABSENT from snapshot `sinceVersion` (Iceberg incremental-scan
+    * analog). Under partition-scoped copy-on-write this is exactly the
+    * current contents of the partitions touched since `sinceVersion`
+    * (rewritten partitions' files are new; carried files are excluded) —
+    * the input a downstream incremental consumer wants, computed from two
+    * manifests with no data-file diffing. Note CoW semantics: a rewritten
+    * partition's rows ALL reappear, including unchanged rows that shared
+    * a file with changed ones.
+    */
+  def readIncremental(spark: SparkSession, sinceVersion: Long): DataFrame = {
+    val old = manifest(sinceVersion).files.map(_.path).toSet
+    val cur = currentManifest
+    val fresh = cur.files.filterNot(f => old(f.path)).map(_.path).toSet
+    readManifest(spark, cur.copy(files = cur.files.filter(f => fresh(f.path))),
+      _ => true)
+  }
+
   /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -85,6 +85,30 @@ class AsOfGraphSpec extends SparkSpec {
     assert(got(3L) == (1L, 1L, 0L)) // starts exactly at the budget edge
   }
 
+  test("asof backward equals an independent in-memory reference on random data") {
+    val rnd = new scala.util.Random(11)
+    // random timestamps with deliberate collisions (coarse grid) so the
+    // equal-ts inclusive path is exercised repeatedly
+    def randTs() = new Timestamp(1700000000000L + rnd.nextInt(500) * 60000L)
+    val rightRows = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, randTs(), i.toLong))
+      // unique per (key, ts): keep the max ref like the operator requires
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+    val leftRows = (1 to 500).map(i => (rnd.nextInt(10).toLong, i.toLong, randTs()))
+    val right = rightRows.toDF("user_id", "ts", "ref")
+    val left = leftRows.toDF("user_id", "event_id", "ts")
+    val got = AsOfJoin.backward(left, right, Seq("user_id"), "ts", Seq("ref"))
+      .select("event_id", "ref").as[(Long, Option[Long])].collect().toMap
+    // reference: per left row, latest right at-or-before, scala-side
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (k, id, t) =>
+      val cand = byKey.getOrElse(k, Nil).filter(!_._2.after(t))
+      id -> (if (cand.isEmpty) None
+             else Some(cand.maxBy(r => (r._2.getTime, r._3))._3))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("range join: inclusive bounds, bucket-straddling intervals, no duplicates") {
     val points = Seq(
       (1L, ts("2026-01-01 10:00:00")), // exactly at a window start

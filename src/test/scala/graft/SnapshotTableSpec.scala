@@ -136,6 +136,26 @@ class SnapshotTableSpec extends SparkSpec {
       _.iterator().asScala.isEmpty), "delete must remove manifest + chunks")
   }
 
+  test("incremental read returns only partitions touched since a version") {
+    val tbl = freshTable()
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("id") % 4)
+    Ingestion.run(spark, tbl, withP(batch(1 to 100, t0, 1.0)), pcfg, t0)
+    val v1 = tbl.currentVersion
+    // touch only partition p=0
+    Ingestion.run(spark, tbl,
+      withP(batch(1 to 100, t1, 2.0)).filter(col("p") === 0),
+      pcfg.copy(mode = IngestMode.Incremental), t1)
+    val inc = tbl.readIncremental(spark, v1)
+    // CoW semantics: the touched partition's CURRENT rows, nothing else
+    assert(inc.select("p").distinct().as[Long].collect().toSeq == Seq(0L))
+    assert(inc.count() == 25)
+    assert(inc.filter(col("v") === 2.0).count() == 25)
+    // no changes since current version → empty
+    assert(tbl.readIncremental(spark, tbl.currentVersion).isEmpty)
+  }
+
   test("expireSnapshots + removeOrphanFiles GC old data, keep current") {
     val tbl = freshTable()
     val now = System.currentTimeMillis()
