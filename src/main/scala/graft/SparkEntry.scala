@@ -521,7 +521,12 @@ object SparkEntry {
         .write.parquet(s"$cdc/day2")
       graft.streaming.StreamingIngest.run(s, table, cdc, cfg, tsSource, ckpt)
       table.read(s).drop(MetaColumns.IngestionDatetime)
-    })
+    }),
+
+    "q61_stream_dedup" -> ((s, d) =>
+      // continuous exact dedup: one AvailableNow batch over the corpus ⇒
+      // representative = min doc id per fingerprint, same as the batch op
+      EventStream.streamingDedup(s, s"$d/documents.parquet"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -974,7 +979,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, event_id, ts, event_type, value FROM latest l
         |  WHERE op = 'U'
-        |    OR NOT EXISTS (SELECT 1 FROM hist h WHERE h.user_id = l.user_id)""".stripMargin
+        |    OR NOT EXISTS (SELECT 1 FROM hist h WHERE h.user_id = l.user_id)""".stripMargin,
+
+    "q61_stream_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        | min(doc_id) AS doc_id
+        |FROM documents GROUP BY 1""".stripMargin
   )
 
   /** SQL twin of TextAnalysis.piiScrub over the same augmented fixture.

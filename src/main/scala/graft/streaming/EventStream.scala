@@ -23,6 +23,9 @@ final case class Ev(user_id: Long, event_id: Long, tsMicros: Long)
 final case class SessState(seq: Long, lastTs: Long, n: Long,
                            first: Long, last: Long)
 
+/** (fingerprint, doc id) pair for the streaming dedup operator. */
+final case class DocFp(fp: String, doc_id: Long)
+
 /** Streaming CDC ingestion: a Structured Streaming file source over the
   * CDC landing directory, merged into a [[graft.table.SnapshotTable]] once
   * per micro-batch via foreachBatch — the continuous twin of the daily
@@ -263,6 +266,65 @@ object EventStream {
     Files.move(part, dest)
     Files.setLastModifiedTime(dest,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
+  }
+
+  /** STREAMING exact dedup: first-seen document per normalized-text
+    * fingerprint wins; later arrivals of the same fingerprint — in the
+    * same micro-batch or ANY later one — are suppressed via per-key
+    * GroupState. This is the continuous form of [[
+    * graft.operators.Dedup.exact]]: at ingest time a dedup filter runs as
+    * a stream over the landing dir, with state bounded by one boolean per
+    * distinct fingerprint (Spark partitions state by key — scales
+    * horizontally like any keyed state).
+    *
+    * Within one micro-batch the minimum doc id represents the group
+    * (deterministic); across batches the FIRST batch's representative
+    * sticks (arrival order wins — the streaming semantic).
+    */
+  def streamingDedup(spark: SparkSession, docsParquet: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val srcDir = Files.createTempDirectory("graft-stream-dedup-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(docsParquet).toAbsolutePath)
+    streamingDedupDir(spark, srcDir.toString)
+  }
+
+  /** Core of [[streamingDedup]] over a prepared source directory (tests
+    * stage multiple files + maxFilesPerTrigger to prove cross-batch
+    * suppression).
+    */
+  def streamingDedupDir(spark: SparkSession, srcDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(srcDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val docs = reader.parquet(srcDir)
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id").cast("long").as("doc_id")).as[DocFp]
+    val reps = docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, DocFp](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[DocFp], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // fingerprint already represented
+          else {
+            state.update(true)
+            Iterator.single(DocFp(fp, it.map(_.doc_id).min))
+          }
+      }
+    val ckpt = Files.createTempDirectory("graft-ckpt-dedup-").toString
+    val outDir = Files.createTempDirectory("graft-dedup-out-").toString
+    val q = reps.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   /** Gap-based sessionization (30-min inactivity): batch formulation with

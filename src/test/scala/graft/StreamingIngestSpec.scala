@@ -78,6 +78,23 @@ class StreamingIngestSpec extends SparkSpec {
       java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
+  test("streaming dedup suppresses duplicate fingerprints across micro-batches") {
+    val dir = Files.createTempDirectory("graft-sdedup-").toString
+    val t0 = System.currentTimeMillis()
+    // batch 1: two distinct texts (ids 1, 2) + an in-batch duplicate of
+    // text A (id 5 — min is 1, so 1 represents)
+    stageFile(Seq((5L, "text aaa"), (1L, "text aaa"), (2L, "text bbb"))
+      .toDF("doc_id", "text"), dir, "01.parquet", t0)
+    // batch 2: duplicate of A again (suppressed by state), one new text
+    stageFile(Seq((3L, "text aaa"), (4L, "text ccc"))
+      .toDF("doc_id", "text"), dir, "02.parquet", t0 + 5000)
+    val got = graft.streaming.EventStream.streamingDedupDir(spark, dir,
+        maxFilesPerTrigger = Some(1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L),
+      "first batch's min-id representative must stick; later dupes suppressed")
+  }
+
   test("stateful sessionize carries open sessions and counters across micro-batches") {
     val dir = Files.createTempDirectory("graft-sess-x-").toString
     val t0 = System.currentTimeMillis()
