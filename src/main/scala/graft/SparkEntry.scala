@@ -453,7 +453,7 @@ object SparkEntry {
       // production shape; q49 is the top-k variant). Table count sized so
       // pairs at cosine >= 0.5 are covered with ~1e-5 per-pair miss.
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.5, signBits = 4, tables = 48)
+          threshold = 0.5, signBits = 5, tables = 64)
         .select(col("id_a"), col("id_b"))),
 
     "q57_asof_join" -> ((s, d) => {

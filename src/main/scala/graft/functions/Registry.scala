@@ -17,7 +17,9 @@ object Registry {
   }
 
   /** Registers: graft_bucket(key, n), graft_simhash(array<long>),
-    * graft_jaccard(sortedA, sortedB), graft_vector_dot(a, b).
+    * graft_jaccard(sortedA, sortedB), graft_vector_dot(a, b),
+    * graft_minhash(array<long>, k), graft_hyperplane_keys(vec, bits,
+    * tables), graft_sig_overlap(sigA, sigB).
     */
   def registerAll(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "graft_bucket",
@@ -28,5 +30,12 @@ object Registry {
       exprs => SortedLongJaccard(exprs.head, exprs(1)))
     GraftBridge.registerFunction(spark, "graft_vector_dot",
       exprs => FloatVectorDot(exprs.head, exprs(1)))
+    GraftBridge.registerFunction(spark, "graft_minhash",
+      exprs => MinHashSignatureExpr(exprs.head, intArg(exprs(1), "signature length")))
+    GraftBridge.registerFunction(spark, "graft_hyperplane_keys",
+      exprs => HyperplaneKeysExpr(exprs.head,
+        intArg(exprs(1), "sign bits"), intArg(exprs(2), "tables")))
+    GraftBridge.registerFunction(spark, "graft_sig_overlap",
+      exprs => EqualSlotFraction(exprs.head, exprs(1)))
   }
 }

@@ -31,6 +31,16 @@ class RegistrySpec extends SparkSpec {
       spark.sql("SELECT graft_bucket(id, CAST(id AS INT)) FROM range(1)").collect()
     }
     assert(e.getMessage.contains("integer literal"))
+
+    // round-2 registrations: minhash, hyperplane keys, signature overlap
+    val r2 = spark.sql(
+      """SELECT graft_minhash(array(1L, 2L, 3L), 8) AS mh,
+        |  graft_hyperplane_keys(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 4, 3) AS hk,
+        |  graft_sig_overlap(array(1L, 2L, 3L, 9L), array(1L, 5L, 3L, 9L)) AS ov
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r2.getSeq[Long](0).size == 8)
+    assert(r2.getSeq[Long](1).size == 3)
+    assert(r2.getDouble(2) == 0.75)
   }
 
   test("partitioned compaction splits oversized partitions by target size") {
