@@ -289,6 +289,30 @@ object SparkEntry {
         .drop(MetaColumns.IngestionDatetime)
     }),
 
+    "q62_mor_lifecycle" -> ((s, d) => {
+      // merge-on-read lifecycle (the reference's --optimize storage
+      // physical path): CTAS v1 → MoR merge v2 (appended data +
+      // equality-delete files, every v1 file carried) → read resolves by
+      // sequence → compact folds deletes. Data must equal the CoW merge.
+      val root = Files.createTempDirectory("graft-mor-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      val cfg = ordersCfg.copy(mode = IngestMode.Full,
+        optimize = Optimize.Storage, partitionColumns = Seq("part_bucket"))
+      Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
+      val v1Files = table.currentManifest.files.map(_.path).toSet
+      Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
+      val m2 = table.currentManifest
+      require(m2.deleteFiles.nonEmpty, "MoR merge must write equality deletes")
+      require(v1Files.subsetOf(m2.files.map(_.path).toSet),
+        "MoR merge must carry every v1 data file")
+      table.compact(s)
+      require(table.currentManifest.deleteFiles.isEmpty,
+        "compaction must fold deletes")
+      table.read(s).drop(MetaColumns.IngestionDatetime)
+    }),
+
     "q22_bucket_transform" -> ((s, d) =>
       // Iceberg-spec bucket transform (UD1) + write-clustering sort (X2):
       // murmur-based so no SQL oracle; self-consistency is in ScalaTest
@@ -670,6 +694,20 @@ object SparkEntry {
 
     // maintenance must be a data no-op: same oracle as the lifecycle merge
     "q23_maintenance" -> (withFixtures +
+      """ SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // MoR must resolve to exactly the CoW merge result (same oracle)
+    "q62_mor_lifecycle" -> (withFixtures +
       """ SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t
         |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
         |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey

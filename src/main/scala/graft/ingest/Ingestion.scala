@@ -108,9 +108,10 @@ object Ingestion {
     // their dataframe(); batches arriving here are taken as-is
     val source = stamp(rawBatch, ingestionTs, cfg.flags.keepDeletes)
     // M4 property sets (reference: default_iceberg_table_properties,
-    // common/iceberg.py:53-80): speed → CoW + snappy, storage → "MoR" +
-    // gzip. We implement MoR physically as CoW (SURVEY.md §7.5) but record
-    // the selected mode so the trade-off is visible in table metadata.
+    // common/iceberg.py:53-80): speed → CoW + snappy, storage → MoR +
+    // gzip. Storage-mode merges are PHYSICALLY merge-on-read (appended
+    // data + equality-delete files, SnapshotTable.mergeMoR);
+    // graft.physical-write-mode records the executed mode.
     val writeMode = cfg.optimize match {
       case Optimize.Speed   => "copy-on-write"
       case Optimize.Storage => "merge-on-read"
@@ -118,40 +119,52 @@ object Ingestion {
     val props = Map(
       "write.parquet.compression-codec" -> cfg.optimize.codec,
       "write.target-file-size-bytes" -> (64L * 1024 * 1024).toString,
-      // full reference property set (common/iceberg.py:53-80) including
-      // format-version; graft.physical-write-mode records that storage-mode
-      // tables are physically CoW here (SURVEY.md §7.5 deviation) so the
-      // recorded MoR intent is never mistaken for delete-file semantics
       "format-version" -> "2",
       "write.update.mode" -> writeMode,
       "write.delete.mode" -> writeMode,
       "write.merge.mode" -> writeMode,
-      "graft.physical-write-mode" -> "copy-on-write",
+      "graft.physical-write-mode" -> writeMode,
       "history.expire.max-snapshot-age-ms" -> (90L * 24 * 3600 * 1000).toString,
       "history.expire.min-snapshots-to-keep" -> "90")
     if (cfg.mode == IngestMode.Replace || !table.exists) {
       val initial =
         if (cfg.mode == IngestMode.Cdc) source.drop(Op) else source
       table.createOrReplace(initial, cfg.partitionColumns, props)
-    } else cfg.mode match {
-      case IngestMode.Cdc =>
-        val (src, _) = alignSchemas(source, table.read(spark),
-          keepSourceCols = Seq(Op))
-        val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys, cfg.updatedAtFields)
-        table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
-          targetTransform = t => alignSchemas(source.drop(Op), t)._2,
-          partitionStableByKey = cfg.partitionStableByKey)
-      case _ =>
-        val allowDeletes = cfg.mode == IngestMode.Full
-        val (src, tgt) = alignSchemas(source, table.read(spark))
-        val target = tgt.cache()
-        try {
-          val changes = ChangeSet.build(src, target, cfg.naturalKeys,
-            cfg.updatedAtFields, cfg.flags, allowDeletes, Some(ingestionTs))
-          table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
-            targetTransform = t => alignSchemas(source, t)._2,
-            partitionStableByKey = cfg.partitionStableByKey)
-        } finally target.unpersist() // merge committed eagerly; release now
+    } else {
+      // storage-optimized tables merge merge-on-read (appended data +
+      // equality deletes, no partition rewrite); speed-optimized tables
+      // merge copy-on-write with the partition-scoped rewrite
+      val mor = cfg.optimize == Optimize.Storage
+      cfg.mode match {
+        case IngestMode.Cdc =>
+          val (src, _) = alignSchemas(source, table.read(spark),
+            keepSourceCols = Seq(Op))
+          val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys, cfg.updatedAtFields)
+          val tt = (t: DataFrame) => alignSchemas(source.drop(Op), t)._2
+          if (mor)
+            table.mergeMoR(spark, deduped, cfg.naturalKeys,
+              cfg.flags.keepDeletes, targetTransform = tt)
+          else
+            table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
+              targetTransform = tt,
+              partitionStableByKey = cfg.partitionStableByKey)
+        case _ =>
+          val allowDeletes = cfg.mode == IngestMode.Full
+          val (src, tgt) = alignSchemas(source, table.read(spark))
+          val target = tgt.cache()
+          try {
+            val changes = ChangeSet.build(src, target, cfg.naturalKeys,
+              cfg.updatedAtFields, cfg.flags, allowDeletes, Some(ingestionTs))
+            val tt = (t: DataFrame) => alignSchemas(source, t)._2
+            if (mor)
+              table.mergeMoR(spark, changes, cfg.naturalKeys,
+                cfg.flags.keepDeletes, targetTransform = tt)
+            else
+              table.merge(spark, changes, cfg.naturalKeys, cfg.flags.keepDeletes,
+                targetTransform = tt,
+                partitionStableByKey = cfg.partitionStableByKey)
+          } finally target.unpersist() // merge committed eagerly; release now
+      }
     }
   }
 

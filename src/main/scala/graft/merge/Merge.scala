@@ -56,6 +56,26 @@ object Merge {
             keepDeletes: Boolean,
             insertsPreverified: Boolean = false): DataFrame = {
     val outCols = target.columns.toSeq
+    val (applied, evictKeys) =
+      resolve(target, changes, keys, keepDeletes, insertsPreverified)
+    // target rows keyed by a matched U or D change are replaced/deleted;
+    // everything else (incl. keys of matched-I changes) is untouched
+    val untouched = target.join(evictKeys, keys, "left_anti")
+    untouched.unionByName(applied.select(outCols.map(col): _*))
+  }
+
+  /** The clause resolution shared by copy-on-write [[apply]] and the
+    * merge-on-read path ([[graft.table.SnapshotTable.mergeMoR]]):
+    * returns (applied, evictKeys) where `applied` holds the rows the
+    * merge ADDS (inserts of any op when not matched, matched updates,
+    * and with keepDeletes the flagged matched deletes) and `evictKeys`
+    * the distinct keys whose PRE-merge target rows must disappear. CoW
+    * materializes `target anti evictKeys ∪ applied`; MoR appends
+    * `applied` as data files and `evictKeys` as an equality-delete file.
+    */
+  def resolve(target: DataFrame, changes: DataFrame, keys: Seq[String],
+              keepDeletes: Boolean,
+              insertsPreverified: Boolean = false): (DataFrame, DataFrame) = {
     // pre-merge soft-delete flagging (reference does this on the changes
     // frame BEFORE the merge, so not-matched D inserts arrive flagged)
     val flagged =
@@ -77,11 +97,8 @@ object Merge {
         }
         notMatched.unionByName(matchedApplied)
       }
-    // target rows keyed by a matched U or D change are replaced/deleted;
-    // everything else (incl. keys of matched-I changes) is untouched
     val evictKeys = flagged.filter(col(Op) =!= "I")
       .select(keys.map(col): _*).distinct()
-    val untouched = target.join(evictKeys, keys, "left_anti")
-    untouched.unionByName(applied.select(outCols.map(col): _*))
+    (applied, evictKeys)
   }
 }

@@ -24,9 +24,24 @@ final case class Manifest(
     // data files relative to the table root, each with its partition values
     files: Seq[FileEntry],
     partitionColumns: Seq[String],
-    properties: Map[String, String])
+    properties: Map[String, String],
+    // merge-on-read equality-delete files: keys written at `version` kill
+    // matching rows of data files from OLDER versions (Iceberg v2
+    // equality deletes, sequence-number semantics)
+    deleteFiles: Seq[DeleteEntry] = Nil)
 
-final case class FileEntry(path: String, partition: Map[String, String])
+final case class FileEntry(path: String, partition: Map[String, String]) {
+  /** Commit version the file was written at (`data/v<N>/...`) — the
+    * sequence number equality deletes compare against.
+    */
+  def seq: Long =
+    path.split('/')(1).stripPrefix("v").takeWhile(_.isDigit) match {
+      case "" => 0L
+      case s  => s.toLong
+    }
+}
+
+final case class DeleteEntry(path: String, version: Long)
 
 /** A versioned Parquet table with a tiny snapshot log.
   *
@@ -99,21 +114,51 @@ final class SnapshotTable(val root: Path) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
-    if (m.partitionColumns.isEmpty) {
-      spark.read.schema(schema)
-        .parquet(sel.map(f => root.resolve(f.path).toString): _*)
-        .select(cols: _*)
-    } else {
-      sel.groupBy(_.path.split('/').take(2).mkString("/")) // data/vN
-        .map { case (base, fs) =>
-          spark.read.schema(schema)
-            .option("basePath", root.resolve(base).toString)
-            .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        }
-        .reduce(_ unionByName _)
-        .select(cols: _*)
-    }
+    val needSeq = m.deleteFiles.nonEmpty
+    // group by snapshot data dir: partitioned reads need a per-group
+    // basePath to reconstruct hive-style partition columns, and the MoR
+    // path needs the group's commit version as the row sequence number
+    val base =
+      if (m.partitionColumns.isEmpty && !needSeq) {
+        spark.read.schema(schema)
+          .parquet(sel.map(f => root.resolve(f.path).toString): _*)
+      } else {
+        sel.groupBy(_.seq)
+          .map { case (seqNo, fs) =>
+            val dir = fs.head.path.split('/').take(2).mkString("/")
+            val reader = spark.read.schema(schema)
+            val df =
+              (if (m.partitionColumns.isEmpty) reader
+               else reader.option("basePath", root.resolve(dir).toString))
+                .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+            if (needSeq) df.withColumn(SeqCol, lit(seqNo)) else df
+          }
+          .reduce(_ unionByName _)
+      }
+    if (!needSeq) return base.select(cols: _*)
+    // equality deletes: a delete written at version V kills rows of data
+    // files with seq < V whose key columns match. Delete files are small
+    // (changed keys only); the anti join is key-equi with the sequence
+    // comparison as a join-side filter.
+    val dels = m.deleteFiles.groupBy(_.version)
+      .map { case (v, fs) =>
+        spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
+          .withColumn(DelVerCol, lit(v))
+      }
+      .reduce(_ unionByName _)
+    val keyCols = dels.columns.filterNot(_ == DelVerCol).toSeq
+    val cond = keyCols.map(c =>
+      org.apache.spark.sql.functions.col(s"r.$c") ===
+        org.apache.spark.sql.functions.col(s"d.$c"))
+      .reduce(_ && _) &&
+      org.apache.spark.sql.functions.col(s"d.$DelVerCol") >
+        org.apache.spark.sql.functions.col(s"r.$SeqCol")
+    base.alias("r").join(dels.alias("d"), cond, "left_anti")
+      .select(cols: _*)
   }
+
+  private val SeqCol = "__graft_seq"
+  private val DelVerCol = "__graft_delete_version"
 
   /** `.files` metadata relation (reference: common/iceberg.py:272-278
     * `SELECT file_path FROM db.table.files`), with per-file size — the
@@ -269,10 +314,80 @@ final class SnapshotTable(val root: Path) {
     }
   }
 
+  /** Merge-on-read MERGE: instead of rewriting touched files (CoW), the
+    * commit APPENDS the change outcome — the applied rows as new data
+    * files and the evicted keys as an equality-delete file — and carries
+    * every existing file forward untouched. Write amplification is
+    * O(changes), not O(touched partitions): the write mode the reference
+    * selects with `--optimize storage` (common/iceberg.py:70-79). Reads
+    * resolve deletes by sequence number (a delete at version V kills
+    * matching rows of files written before V); [[compact]] folds deletes
+    * back into pure data files.
+    *
+    * Clause semantics are identical to [[merge]] — both paths share
+    * [[graft.merge.Merge.resolve]] — including the unconditional
+    * not-matched insert and matched-'I' no-op.
+    */
+  def mergeMoR(spark: SparkSession, changes: DataFrame, keys: Seq[String],
+               keepDeletes: Boolean,
+               nowMs: Long = System.currentTimeMillis(),
+               targetTransform: DataFrame => DataFrame = identity): Manifest = {
+    val m = currentManifest
+    val v = nextVersion
+    if (exists && currentVersion >= v)
+      throw new IllegalStateException(
+        s"concurrent commit detected: pointer already at v${currentVersion}, " +
+          s"aborting commit of v$v for $root")
+    val target = targetTransform(read(spark))
+    val (applied, evictKeys) =
+      Merge.resolve(target, changes, keys, keepDeletes)
+    val dataDirV = dataDir.resolve(s"v$v")
+    val clustered =
+      if (m.partitionColumns.nonEmpty)
+        applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          .repartition(m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      else applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    val writer = clustered.write.mode("overwrite")
+      .option("compression",
+        m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
+    (if (m.partitionColumns.nonEmpty)
+       writer.partitionBy(m.partitionColumns: _*)
+     else writer).parquet(dataDirV.toString)
+    val newData = listParquet(dataDirV).map { p =>
+      val rel = root.relativize(p).toString
+      FileEntry(rel, partitionOf(rel, m.partitionColumns))
+    }
+    // equality-delete file: just the key columns, one small parquet
+    val delDir = dataDir.resolve(s"v${v}d")
+    evictKeys.repartition(1).write.mode("overwrite").parquet(delDir.toString)
+    val newDeletes = listParquet(delDir)
+      .map(p => DeleteEntry(root.relativize(p).toString, v))
+    // schema may have drifted through targetTransform (column adds are
+    // metadata-only; carried files null-fill on read under the superset)
+    val out = Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
+      m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
+    Files.createDirectories(metaDir)
+    if (exists && currentVersion >= v)
+      throw new IllegalStateException(
+        s"concurrent commit detected: pointer already at v${currentVersion}, " +
+          s"aborting commit of v$v for $root")
+    ManifestJson.write(metaDir.resolve(s"v$v.json"), out)
+    val tmp = metaDir.resolve(s"_current.tmp$v")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    out
+  }
+
   /** Bin-pack compaction toward the target file size (reference:
     * rewrite_data_files, common/iceberg.py:264-270; 64 MB target
     * common/iceberg.py:59). Rewrites the whole current snapshot into
     * ceil(totalBytes / target) files.
+    */
+  /** Compaction also FOLDS merge-on-read deletes: the rewrite reads the
+    * delete-resolved view, and the committed manifest carries no delete
+    * files — the MoR read-cost debt is repaid here (Iceberg's
+    * rewrite_data_files + rewrite_position_delete_files in one step).
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 64L * 1024 * 1024,
@@ -312,10 +427,15 @@ final class SnapshotTable(val root: Path) {
     val expired = byAge.dropRight(math.max(0, keepCount - (candidates.size - byAge.size)))
     if (expired.isEmpty) return Nil
     val retained = versions.diff(expired)
-    val live: Set[String] = retained.flatMap(v => manifest(v).files.map(_.path)).toSet
+    val live: Set[String] = retained.flatMap { v =>
+      val m = manifest(v)
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+    }.toSet
     expired.foreach { v =>
-      manifest(v).files.filterNot(f => live(f.path))
-        .foreach(f => deleteWithSidecars(f.path))
+      val m = manifest(v)
+      (m.files.map(_.path) ++ m.deleteFiles.map(_.path))
+        .filterNot(live)
+        .foreach(deleteWithSidecars)
       ManifestJson.delete(metaDir.resolve(s"v$v.json"))
     }
     pruneEmptyDirs()
@@ -329,7 +449,10 @@ final class SnapshotTable(val root: Path) {
     */
   def removeOrphanFiles(): Seq[String] = {
     val live: Set[String] =
-      manifestVersions.flatMap(v => manifest(v).files.map(_.path)).toSet
+      manifestVersions.flatMap { v =>
+        val m = manifest(v)
+        m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+      }.toSet
     if (!Files.exists(dataDir)) return Nil
     val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
       st.iterator().asScala
@@ -502,10 +625,14 @@ private[graft] object ManifestJson {
         }.toSeq
         ("[]", names.map(q).mkString("[", ",", "]"))
       }
+    val delJson = m.deleteFiles
+      .map(d => s"""{"path":${q(d.path)},"version":${d.version}}""")
+      .mkString("[", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
       s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
-      s""""properties":${obj(m.properties)},"fileChunks":$chunksJson,"files":$filesJson}"""
+      s""""properties":${obj(m.properties)},"deleteFiles":$delJson,""" +
+      s""""fileChunks":$chunksJson,"files":$filesJson}"""
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -537,7 +664,14 @@ private[graft] object ManifestJson {
       partitionColumns = parsed("partitionColumns").asInstanceOf[List[Any]]
         .map(_.asInstanceOf[String]),
       properties = parsed("properties").asInstanceOf[Map[String, Any]]
-        .map { case (k, v) => k -> v.asInstanceOf[String] })
+        .map { case (k, v) => k -> v.asInstanceOf[String] },
+      deleteFiles = parsed.get("deleteFiles") // absent in pre-MoR manifests
+        .map(_.asInstanceOf[List[Any]].map { d =>
+          val dm = d.asInstanceOf[Map[String, Any]]
+          DeleteEntry(dm("path").asInstanceOf[String],
+            dm("version").asInstanceOf[Double].toLong)
+        })
+        .getOrElse(Nil))
   }
 
   /** Delete a manifest AND its chunk side files (snapshot expiry). */

@@ -108,8 +108,81 @@ class SnapshotTableSpec extends SparkSpec {
     assert(props("write.delete.mode") == "merge-on-read")
     assert(props("write.parquet.compression-codec") == "gzip")
     assert(props("history.expire.min-snapshots-to-keep") == "90")
-    // documented SURVEY §7.5 deviation: MoR is recorded, physically CoW
-    assert(props("graft.physical-write-mode") == "copy-on-write")
+    // storage mode is physically merge-on-read since round 2
+    assert(props("graft.physical-write-mode") == "merge-on-read")
+  }
+
+  test("merge-on-read merge equals copy-on-write and carries every old file") {
+    val cow = freshTable(); val mor = freshTable()
+    val scfg = cfg.copy(optimize = Optimize.Storage)
+    Ingestion.run(spark, cow, batch(1 to 100, t0, 1.0), cfg, t0)
+    Ingestion.run(spark, mor, batch(1 to 100, t0, 1.0), scfg, t0)
+    val v1Files = mor.currentManifest.files.map(_.path).toSet
+    // 10 inserts, 100 updates, 0 deletes vs incremental
+    val b2 = batch(1 to 110, t1, 2.0)
+    Ingestion.run(spark, cow, b2, cfg, t1)
+    Ingestion.run(spark, mor, b2, scfg, t1)
+    val m2 = mor.currentManifest
+    assert(m2.deleteFiles.nonEmpty, "MoR merge must write equality deletes")
+    assert(v1Files.subsetOf(m2.files.map(_.path).toSet),
+      "MoR merge must carry every pre-merge data file untouched")
+    val a = cow.read(spark).drop(MetaColumns.IngestionDatetime)
+      .as[(Long, java.sql.Timestamp, Double)].collect().sorted.toSeq
+    val b = mor.read(spark).drop(MetaColumns.IngestionDatetime)
+      .as[(Long, java.sql.Timestamp, Double)].collect().sorted.toSeq
+    assert(a == b, "MoR and CoW must resolve to identical contents")
+    // reference --test oracle passes against the MoR table too
+    assert(Ingestion.diffCount(spark, mor, b2, keepDeletes = false) == 0)
+  }
+
+  test("MoR update chains resolve by sequence; compact folds deletes away") {
+    val tbl = freshTable()
+    val scfg = cfg.copy(optimize = Optimize.Storage)
+    Ingestion.run(spark, tbl, batch(1 to 50, t0, 1.0), scfg, t0)
+    Ingestion.run(spark, tbl, batch(1 to 50, t1, 2.0), scfg, t1) // update all
+    val t2 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    // incremental: absent keys are NOT deletes — update half, keep rest
+    Ingestion.run(spark, tbl, batch(1 to 25, t2, 3.0),
+      scfg.copy(mode = IngestMode.Incremental), t2)
+    assert(tbl.currentManifest.deleteFiles.size >= 2)
+    val out = tbl.read(spark)
+    assert(out.count() == 50)
+    assert(out.filter(col("v") === 3.0).count() == 25)
+    assert(out.filter(col("v") === 2.0).count() == 25)
+    assert(out.filter(col("v") === 1.0).count() == 0,
+      "rows superseded twice must not resurface")
+    // compact folds the deletes into plain data files, contents invariant
+    tbl.compact(spark)
+    assert(tbl.currentManifest.deleteFiles.isEmpty)
+    val after = tbl.read(spark)
+    assert(after.count() == 50)
+    assert(after.filter(col("v") === 3.0).count() == 25)
+    // once pre-compact snapshots age out, their delete files leave disk
+    tbl.expireSnapshots(minSnapshotsToKeep = 1,
+      nowMs = System.currentTimeMillis() + 250L * 24 * 3600 * 1000)
+    tbl.removeOrphanFiles()
+    val leftoverDeletes = java.nio.file.Files.walk(tbl.root.resolve("data"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(!leftoverDeletes.iterator().asScala.exists(p =>
+        p.toString.contains("d/") && p.toString.endsWith(".parquet") &&
+          p.getParent.getFileName.toString.matches("v\\d+d")),
+        "expired delete files must be reclaimed")
+    } finally leftoverDeletes.close()
+    assert(tbl.read(spark).count() == 50)
+  }
+
+  test("MoR soft-delete keeps flagged rows via appended files") {
+    val tbl = freshTable()
+    val scfg = cfg.copy(optimize = Optimize.Storage,
+      flags = IngestFlags(keepDeletes = true))
+    Ingestion.run(spark, tbl, batch(1 to 30, t0, 1.0), scfg, t0)
+    Ingestion.run(spark, tbl, batch(1 to 20, t1, 2.0), scfg, t1) // 21..30 deleted
+    val out = tbl.read(spark)
+    assert(out.count() == 30)
+    assert(out.filter(col(MetaColumns.HardDeleted) === true).count() == 10)
+    assert(out.filter(col(MetaColumns.HardDeleted) === false &&
+      col("v") === 2.0).count() == 20)
   }
 
   test("manifests beyond the chunk threshold round-trip via chunk files") {
