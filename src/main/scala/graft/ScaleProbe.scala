@@ -71,6 +71,47 @@ object ScaleProbe {
     }
     docs.unpersist()
 
+    // write amplification: merge a 1% change batch into a 600k-row table
+    // under copy-on-write vs merge-on-read and report bytes written
+    {
+      import graft.table.SnapshotTable
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val changes = li.filter(col("l_orderkey") % 97 === 0)
+        .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+        .withColumn("op", lit("U"))
+      def bytesUnder(p: java.nio.file.Path): Long = {
+        val st = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(f => java.nio.file.Files.isRegularFile(f) &&
+              f.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size).sum
+        } finally st.close()
+      }
+      def mergeProbe(name: String, mor: Boolean): Unit = {
+        val tbl = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory(s"graft-wamp-$name").toString)
+        tbl.createOrReplace(li)
+        val before = bytesUnder(tbl.root)
+        val t0 = System.nanoTime()
+        if (mor)
+          tbl.mergeMoR(spark, changes, Seq("l_orderkey", "l_linenumber"),
+            keepDeletes = false)
+        else
+          tbl.merge(spark, changes, Seq("l_orderkey", "l_linenumber"),
+            keepDeletes = false)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val written = bytesUnder(tbl.root) - before
+        val rows = tbl.read(spark).count()
+        println(f"""{"stage":"$name","sec":$dt%.2f,"rows":$rows,"bytes_written":$written}""")
+        spark.catalog.clearCache()
+      }
+      mergeProbe("cow_merge_1pct", mor = false)
+      mergeProbe("mor_merge_1pct", mor = true)
+    }
+
     // embeddings ×K: deterministic per-copy perturbation of one dimension
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = emb0
