@@ -133,8 +133,15 @@ object Ingestion {
     } else {
       // storage-optimized tables merge merge-on-read (appended data +
       // equality deletes, no partition rewrite); speed-optimized tables
-      // merge copy-on-write with the partition-scoped rewrite
-      val mor = cfg.optimize == Optimize.Storage
+      // merge copy-on-write with the partition-scoped rewrite. The
+      // RECORDED table property wins over this run's cfg — a config flip
+      // mid-life must not silently change an existing table's physical
+      // merge mode (same round-1 lesson as maintenance honoring recorded
+      // properties).
+      val mor = table.currentManifest.properties
+        .get("graft.physical-write-mode")
+        .map(_ == "merge-on-read")
+        .getOrElse(cfg.optimize == Optimize.Storage)
       cfg.mode match {
         case IngestMode.Cdc =>
           val (src, _) = alignSchemas(source, table.read(spark),

@@ -28,9 +28,9 @@ object Dedup {
   /** Spread a (possibly few-input-split) relation across the cluster's
     * parallelism before a CPU-bound per-row stage. A compact parquet
     * source arrives as one split; shingling 100 TB or 100 MB on one task
-    * is the same mistake.
+    * is the same mistake. (Shared with TextAnalysis' regex-heavy ops.)
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
@@ -282,7 +282,7 @@ object Dedup {
       val cands = hyperplaneCandidates(sigs, signBits, tables, maxBucketSize)
       val corpusRows = sigs.count() // materializes the cache anyway
       val side = noBroadcastWhenLarge(
-        sigs.select(col("id"), col("v"), col("nrm")), corpusRows).hint("shuffle_hash")
+        sigs.select(col("id"), col("v"), col("nrm")), corpusRows)
       cands
         .join(side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
         .join(side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")

@@ -36,7 +36,7 @@ object Graph {
     *   component = the minimum node id in the connected component.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     var compEdges = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
@@ -73,6 +73,14 @@ object Graph {
       }
       it += 1
     }
+    // exiting via the iteration cap means labels are WRONG (a component
+    // split across labels), not merely slow — fail loudly, never return
+    // silently incorrect clusters. Contraction shortens chains by ~1-2
+    // hops per round, so the cap bounds component diameter.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          s"component diameter exceeds the cap; raise maxIters")
     labels.withColumnRenamed("id", srcCol).withColumnRenamed("comp", "component")
   }
 }

@@ -143,7 +143,9 @@ object TextAnalysis {
     */
   def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    df.select(col(idCol),
+    // regex-heavy map-side op with NO shuffle of its own: spread off
+    // single-split sources or the whole scan runs in one task
+    Dedup.spread(df).select(col(idCol),
       regexp_count(t, lit(EmailPattern)).as("n_emails"),
       regexp_count(t, lit(PhonePattern)).as("n_phones"),
       md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
@@ -160,7 +162,8 @@ object TextAnalysis {
     * with zero tokens are omitted (no defined ratio).
     */
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
+    // tokenization runs BEFORE the (doc, token) shuffle — spread it
+    val toks = Dedup.spread(df).select(col(idCol),
         explode(split(trim(regexp_replace(lower(col(textCol)),
           "[^a-z0-9]+", " ")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -192,7 +195,9 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // token counting runs before the shard shuffle — spread it
+    Dedup.spread(df)
+      .select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
       .withColumn("start_tok",
         sum("n_tokens").over(w) - col("n_tokens"))

@@ -261,6 +261,8 @@ final class SnapshotTable(val root: Path) {
             partitionStableByKey: Boolean = false): Manifest = {
     val m = currentManifest
     if (m.partitionColumns.isEmpty) {
+      // full rewrite materializes the delete-resolved view, so pending
+      // MoR deletes fold away here (commitData drops them)
       val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
       commitData(merged, nextVersion, m.partitionColumns, m.properties, nowMs)
     } else {
@@ -308,8 +310,14 @@ final class SnapshotTable(val root: Path) {
         val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
         val carried = m.files.filterNot(f => touched.contains(f.partition))
+        // pending MoR equality-deletes still mask rows of CARRIED files
+        // and must survive this commit (dropping them would resurrect
+        // superseded rows in untouched partitions). They cannot affect
+        // the rewritten files: those get seq = this commit's version,
+        // newer than every pending delete. The rewritten partitions'
+        // reads above already resolved the deletes.
         commitData(merged, nextVersion, pcols, m.properties, nowMs,
-          carryForward = carried)
+          carryForward = carried, carryDeletes = m.deleteFiles)
       } finally cached.unpersist()
     }
   }
@@ -357,11 +365,17 @@ final class SnapshotTable(val root: Path) {
       val rel = root.relativize(p).toString
       FileEntry(rel, partitionOf(rel, m.partitionColumns))
     }
-    // equality-delete file: just the key columns, one small parquet
-    val delDir = dataDir.resolve(s"v${v}d")
-    evictKeys.repartition(1).write.mode("overwrite").parquet(delDir.toString)
-    val newDeletes = listParquet(delDir)
-      .map(p => DeleteEntry(root.relativize(p).toString, v))
+    // equality-delete file: just the key columns, one small parquet.
+    // Insert-only batches have no evictions — registering an empty delete
+    // file would put every future read on the seq-resolution path for
+    // nothing, so skip it entirely.
+    val newDeletes =
+      if (evictKeys.isEmpty) Nil
+      else {
+        val delDir = dataDir.resolve(s"v${v}d")
+        evictKeys.repartition(1).write.mode("overwrite").parquet(delDir.toString)
+        listParquet(delDir).map(p => DeleteEntry(root.relativize(p).toString, v))
+      }
     // schema may have drifted through targetTransform (column adds are
     // metadata-only; carried files null-fill on read under the superset)
     val out = Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
@@ -504,6 +518,7 @@ final class SnapshotTable(val root: Path) {
   private[graft] def commitData(df: DataFrame, v: Long, pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil,
+                         carryDeletes: Seq[DeleteEntry] = Nil,
                          writerOptions: Map[String, String] = Map.empty): Manifest = {
     val dir = dataDir.resolve(s"v$v")
     // optimistic-concurrency fail-fast #1, BEFORE any data is written: a
@@ -532,7 +547,7 @@ final class SnapshotTable(val root: Path) {
       FileEntry(rel, partitionOf(rel, pcols))
     }
     val m = Manifest(v, nowMs, df.schema.toDDL, written ++ carryForward,
-      pcols, props)
+      pcols, props, deleteFiles = carryDeletes)
     Files.createDirectories(metaDir)
     // fail-fast #2, BEFORE the manifest lands: we operate single-writer
     // (like the reference's max_active_runs=1), but if another writer

@@ -172,6 +172,58 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 50)
   }
 
+  test("partition-scoped CoW merge carries pending MoR deletes forward") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("id") % 4)
+    tbl.createOrReplace(withP(batch(1 to 100, t0, 1.0)), Seq("p"))
+    // MoR merge updates EVERY key → deletes mask all v1 rows
+    tbl.mergeMoR(spark, withP(batch(1 to 100, t1, 2.0)).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    assert(tbl.currentManifest.deleteFiles.nonEmpty)
+    // CoW merge touching ONLY partition 0: carried partitions 1..3 hold
+    // both v1 raw rows and v2 applied rows — the pending deletes must
+    // survive the commit or superseded v1 rows resurrect
+    val t2 = java.sql.Timestamp.valueOf("2026-03-01 00:00:00")
+    tbl.merge(spark,
+      withP(batch(1 to 100, t2, 3.0)).filter(col("p") === 0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    assert(tbl.currentManifest.deleteFiles.nonEmpty,
+      "pending equality deletes must be carried by the CoW commit")
+    val out = tbl.read(spark)
+    assert(out.count() == 100, "no superseded row may resurface")
+    assert(out.filter(col("v") === 3.0).count() == 25)
+    assert(out.filter(col("v") === 2.0).count() == 75)
+    assert(out.filter(col("v") === 1.0).count() == 0)
+  }
+
+  test("insert-only MoR merge registers no delete file") {
+    val tbl = freshTable()
+    val scfg = cfg.copy(optimize = Optimize.Storage,
+      mode = IngestMode.Incremental)
+    Ingestion.run(spark, tbl, batch(1 to 20, t0, 1.0), scfg, t0)
+    Ingestion.run(spark, tbl, batch(21 to 40, t0, 1.0), scfg, t0) // pure inserts
+    assert(tbl.currentManifest.deleteFiles.isEmpty,
+      "no evictions → no delete file → reads stay on the fast path")
+    assert(tbl.read(spark).count() == 40)
+  }
+
+  test("recorded physical-write-mode wins over a flipped run config") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 30, t0, 1.0),
+      cfg.copy(optimize = Optimize.Storage), t0)
+    // later run arrives with the default (speed) config: the table's
+    // recorded merge-on-read mode must still be honored
+    Ingestion.run(spark, tbl, batch(1 to 30, t1, 2.0),
+      cfg.copy(optimize = Optimize.Speed), t1)
+    assert(tbl.currentManifest.deleteFiles.nonEmpty,
+      "existing MoR table must keep merging merge-on-read")
+    val out = tbl.read(spark)
+    assert(out.count() == 30)
+    assert(out.filter(col("v") === 2.0).count() == 30)
+  }
+
   test("MoR soft-delete keeps flagged rows via appended files") {
     val tbl = freshTable()
     val scfg = cfg.copy(optimize = Optimize.Storage,
