@@ -289,6 +289,31 @@ object SparkEntry {
         .drop(MetaColumns.IngestionDatetime)
     }),
 
+    "q26_stats_pruned_scan" -> ((s, d) => {
+      // file-level column min/max stats + scan-time file skipping (the
+      // Iceberg manifest-pruning analog the reference gets implicitly on
+      // every table scan, common/iceberg.py:154): commit the target
+      // range-clustered on o_orderdate so files carry disjoint date
+      // bounds, then a time-range predicate must PROVE-skip files — the
+      // require() fails the query if pruning ever regresses.
+      val root = Files.createTempDirectory("graft-stats-").toString
+      val table = SnapshotTable.at(root)
+      val tgt = ordersTarget(s, d)
+      table.createOrReplace(tgt.repartitionByRange(8, col("o_orderdate")))
+      // literal typed to the column: the testdata timestamps are NTZ
+      // (isAdjustedToUTC=false), and pruning is deliberately strict about
+      // not comparing instants against wall-clock values
+      val cutoff = tgt.schema("o_orderdate").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+        case _ => lit(Timestamp.valueOf("1997-01-01 00:00:00"))
+      }
+      val cond = col("o_orderdate") >= cutoff
+      val (kept, total) = table.pruneCounts(cond)
+      require(kept < total, s"stats pruning must skip files ($kept/$total)")
+      table.readWhere(s, cond)
+    }),
+
     "q62_mor_lifecycle" -> ((s, d) => {
       // merge-on-read lifecycle (the reference's --optimize storage
       // physical path): CTAS v1 → MoR merge v2 (appended data +
@@ -705,6 +730,10 @@ object SparkEntry {
         |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // the pruned scan must return exactly the unpruned filter result
+    "q26_stats_pruned_scan" -> (withFixtures +
+      " SELECT * FROM tgt WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"),
 
     // MoR must resolve to exactly the CoW merge result (same oracle)
     "q62_mor_lifecycle" -> (withFixtures +

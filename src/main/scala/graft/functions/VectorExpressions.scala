@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product of two `array<float>` columns,
   * accumulated in double. This is the inner loop of similarity search
@@ -14,8 +14,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * back to interpreted lambda evaluation per element.
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // strict input typing: without it, an array<double> argument would be
+  // read through ArrayData.getFloat as garbage instead of failing analysis
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
 
@@ -58,8 +62,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * caller guarantees sortedness (`array_sort` once per row, not per pair).
   */
 case class SortedLongJaccard(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_long_jaccard"
 
@@ -109,8 +115,10 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   * expression is the hot-loop form of the same exact function.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
   override def prettyName: String = "minhash_signature"
@@ -168,8 +176,10 @@ object MinHash {
   * UDF here pays Seq[Long] boxing for every feature of every row).
   */
 case class Simhash64Expr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "simhash64"
 
@@ -220,8 +230,10 @@ object Simhash64Expr {
   * shingle sets through the verify join.
   */
 case class EqualSlotFraction(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "equal_slot_fraction"
 
@@ -268,9 +280,11 @@ case class EqualSlotFraction(left: Expression, right: Expression)
   * cached matrix and runs tables×bits×dim fused multiply-adds per row.
   */
 case class HyperplaneKeysExpr(child: Expression, bits: Int, tables: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
   require(bits > 0 && bits <= 63 && tables > 0, "need 0 < bits <= 63, tables > 0")
 
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, false)
   override def prettyName: String = "hyperplane_keys"
@@ -361,8 +375,10 @@ object HyperplaneKeys {
   * src/data_ingestion/ingestion/dmsdatabase1.py:18-24).
   */
 case class IcebergBucketExpr(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
   require(n > 0, "bucket count must be positive")
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "iceberg_bucket"
   override def nullSafeEval(v: Any): Any =

@@ -18,6 +18,13 @@ import graft.table.JsonLite
   * set-difference test ONLY for `full`/`replace` ingests (incremental/cdc
   * raw windows no longer equal the table).
   *
+  * Tables run CONCURRENTLY on a bounded pool, mirroring the DAG's
+  * parallel per-table task fan-out (data_ingestion_dms.py:165-176,
+  * Airflow scheduler slots ≙ the pool bound). Safe because each table
+  * owns a disjoint warehouse root and output dir, and Spark schedules
+  * jobs from multiple threads natively; results keep config order and
+  * the first failure propagates after the pool drains.
+  *
   * Config format is JSON (this build is offline — no YAML dependency);
   * the structure mirrors the reference's YAML one-to-one.
   */
@@ -28,45 +35,64 @@ object FlowRunner {
 
   def run(spark: SparkSession, configPath: String, rawRoot: String,
           warehouseRoot: String, outputRoot: String,
-          runDatetime: OffsetDateTime): Seq[FlowResult] = {
+          runDatetime: OffsetDateTime,
+          parallelism: Int = 4): Seq[FlowResult] = {
     val json = new String(Files.readAllBytes(Paths.get(configPath)),
       StandardCharsets.UTF_8)
     val flows = JsonLite.parse(json).asInstanceOf[Map[String, Any]]
-    flows.toSeq.sortBy(_._1).flatMap { case (source, tablesAny) =>
+    val specs = flows.toSeq.sortBy(_._1).flatMap { case (source, tablesAny) =>
       val tables = tablesAny.asInstanceOf[Map[String, Any]]
       tables.toSeq.sortBy(_._1).map { case (tableName, specAny) =>
-        val spec = specAny.asInstanceOf[Map[String, Any]]
-        def str(k: String, default: String) =
-          spec.get(k).map(_.asInstanceOf[String]).getOrElse(default)
-        def bool(k: String) =
-          spec.get(k).exists(_.asInstanceOf[Boolean])
-        val isDms = source.startsWith("dms")
-        val mode = IngestMode.parse(str("type", "full"))
-        val cfg = SourceConfig(
-          database = str("database", source),
-          table = tableName,
-          naturalKeys = str("keys", if (isDms) "recid" else "Id")
-            .split(',').toSeq,
-          updatedAtFields = str("updated_at",
-            if (isDms) "modifieddatetime" else "SystemModstamp").split(',').toSeq,
-          partitionColumns = spec.get("partition_by")
-            .map(_.asInstanceOf[String].split(',').toSeq).getOrElse(Nil),
-          mode = mode,
-          flags = IngestFlags(keepDeletes = bool("keep_deletes")),
-          optimize = Optimize.parse(str("optimize", "speed")))
-        val job: IngestionJob =
-          if (isDms)
-            new DmsStyleJob(spark, cfg, source, str("schema", "schema1"),
-              rawRoot, warehouseRoot, outputRoot, runDatetime)
-          else
-            new AppflowStyleJob(spark, cfg, source,
-              rawRoot, warehouseRoot, outputRoot, runDatetime)
-        job.run()
-        val tested =
-          mode == IngestMode.Full || mode == IngestMode.Replace
-        if (tested) job.test()
-        FlowResult(source, tableName, mode, tested)
+        (source, tableName, specAny.asInstanceOf[Map[String, Any]])
       }
     }
+    def runOne(source: String, tableName: String,
+               spec: Map[String, Any]): FlowResult = {
+      def str(k: String, default: String) =
+        spec.get(k).map(_.asInstanceOf[String]).getOrElse(default)
+      def bool(k: String) =
+        spec.get(k).exists(_.asInstanceOf[Boolean])
+      val isDms = source.startsWith("dms")
+      val mode = IngestMode.parse(str("type", "full"))
+      val cfg = SourceConfig(
+        database = str("database", source),
+        table = tableName,
+        naturalKeys = str("keys", if (isDms) "recid" else "Id")
+          .split(',').toSeq,
+        updatedAtFields = str("updated_at",
+          if (isDms) "modifieddatetime" else "SystemModstamp").split(',').toSeq,
+        partitionColumns = spec.get("partition_by")
+          .map(_.asInstanceOf[String].split(',').toSeq).getOrElse(Nil),
+        mode = mode,
+        flags = IngestFlags(keepDeletes = bool("keep_deletes")),
+        optimize = Optimize.parse(str("optimize", "speed")))
+      val job: IngestionJob =
+        if (isDms)
+          new DmsStyleJob(spark, cfg, source, str("schema", "schema1"),
+            rawRoot, warehouseRoot, outputRoot, runDatetime)
+        else
+          new AppflowStyleJob(spark, cfg, source,
+            rawRoot, warehouseRoot, outputRoot, runDatetime)
+      job.run()
+      val tested =
+        mode == IngestMode.Full || mode == IngestMode.Replace
+      if (tested) job.test()
+      FlowResult(source, tableName, mode, tested)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, specs.size)))
+    try {
+      val futures = specs.map { case (s, t, sp) =>
+        pool.submit(new java.util.concurrent.Callable[FlowResult] {
+          override def call(): FlowResult = runOne(s, t, sp)
+        })
+      }
+      // .get preserves config order and rethrows the first table failure
+      futures.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        })
+    } finally pool.shutdown()
   }
 }

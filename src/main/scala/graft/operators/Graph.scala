@@ -51,11 +51,37 @@ object Graph {
       // one hash-min round over the CONTRACTED graph: component ids are
       // self-representing nodes here, so the neighbor minimum IS the
       // neighbor id — no label join needed inside the round
-      val mapping = compEdges
+      val rawMapping = compEdges
         .groupBy("a").agg(min("b").as("m"))
         .filter(col("m") < col("a"))
         .localCheckpoint(true)
-      done = mapping.isEmpty
+      done = rawMapping.isEmpty
+      // POINTER JUMPING on the mapping: compose it with itself (m := m∘m,
+      // doubling the chase depth each pass) until idempotent — a
+      // path-shaped component's mapping i→i-1 collapses to i→root in
+      // log2(diameter) passes, where plain contraction shortens paths
+      // only ~1 hop/round and a long chain exhausts maxIters (a runtime
+      // failure, not just slowness). Each pass self-joins the SMALL
+      // mapping relation (changed nodes only), never the edge set.
+      val mapping = if (done) rawMapping else {
+        var mp = rawMapping
+        var jumping = true
+        while (jumping) {
+          val composed = resetStats(mp.alias("x")
+            .join(mp.alias("y").withColumnRenamed("a", "ya")
+                .withColumnRenamed("m", "ym"),
+              col("x.m") === col("ya"), "left")
+            .select(col("x.a").as("a"),
+              coalesce(col("ym"), col("x.m")).as("m"))
+            .localCheckpoint(true))
+          // fixpoint test on the small relation: any target still mapped?
+          jumping = !composed.alias("c")
+            .join(mp.alias("o"), col("c.a") === col("o.a"))
+            .filter(col("c.m") =!= col("o.m")).isEmpty
+          mp = composed
+        }
+        mp
+      }
       if (!done) {
         labels = labels
           .join(mapping.withColumnRenamed("a", "comp"), Seq("comp"), "left")
@@ -83,4 +109,15 @@ object Graph {
           s"component diameter exceeds the cap; raise maxIters")
     labels.withColumnRenamed("id", srcCol).withColumnRenamed("comp", "component")
   }
+
+  /** Rebuild a (checkpointed) DataFrame on its materialized RDD so plan
+    * statistics restart from defaults. Catalyst's size estimate for a
+    * join is the PRODUCT of its children's BigInt sizes, and
+    * localCheckpoint preserves the origin stats — an iterative self-join
+    * loop therefore SQUARES the estimate per pass until the BigInt
+    * itself overflows. Resetting the tiny mapping relation's lineage
+    * keeps estimates bounded (and conversion cost negligible).
+    */
+  private def resetStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 }

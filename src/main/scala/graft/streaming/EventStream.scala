@@ -89,43 +89,90 @@ object StreamingIngest {
   */
 object EventStream {
 
-  /** Hourly windowed counts/sums per event type, computed as a STREAM with
-    * a watermark and materialized to a memory sink. `AvailableNow`
-    * processes the existing files then stops — deterministic, testable,
-    * and the same code path a continuous deployment would run.
+  /** Hourly windowed counts/sums per event type, computed as a STREAM
+    * with a watermark in APPEND mode to a parquet sink — each window is
+    * emitted exactly once, when the watermark closes it, so neither the
+    * driver nor the sink ever re-materializes the full aggregate (the
+    * complete-mode/memory-sink shape would re-emit every window every
+    * batch: fine for a demo, unbounded at a 100× event-span scale-up).
+    * `AvailableNow` processes the existing files then stops.
+    *
+    * Bounded-backfill flush: with AvailableNow no batch runs after the
+    * last data batch, so windows inside the final watermark delay would
+    * never close. A SENTINEL pass stages one far-future row (null
+    * event_type) under the same checkpoint; its event time pushes the
+    * watermark past every real window and the trailing no-data batch
+    * emits them. Sentinel rows are filtered from the result (their own
+    * window stays open forever and is never emitted anyway).
     */
   def hourlyWindowed(spark: SparkSession, eventsParquet: String,
                      queryName: String): DataFrame = {
     val schema = spark.read.parquet(eventsParquet).schema
-    val ckpt = Files.createTempDirectory("graft-ckpt-").toString
+    val ckpt = Files.createTempDirectory(s"graft-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-hourly-out-").toString
     // the streaming file source requires a directory; the testdata is a
     // single file — stage a symlink in a temp dir (no copy)
     val srcDir = Files.createTempDirectory("graft-stream-src-")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
-    val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-    // nanos-as-long parquet timestamps → microsecond TimestampType
-    val withTs = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case _ => raw
+
+    def runPass(): Unit = {
+      val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+      // nanos-as-long parquet timestamps → microsecond TimestampType
+      val withTs = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case _ => raw
+      }
+      val stream = withTs
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
-    val stream = withTs
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+
+    runPass() // data pass: emits all windows older than (max ts - delay)
+    stageWatermarkSentinel(spark, srcDir.toString, schema)
+    runPass() // sentinel pass: watermark jumps, remaining windows close
+    spark.read.parquet(outDir).filter(col("event_type").isNotNull)
+  }
+
+  /** Stage ONE far-future row (null event_type/value) as a new parquet
+    * file in the source dir: the watermark is global, so a single row
+    * advances it past every real window.
+    */
+  private def stageWatermarkSentinel(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sentinelTs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(Long.MaxValue / 2)
+      case dt => lit(new java.sql.Timestamp(Long.MaxValue / 4000)).cast(dt)
+    }
+    val row = spark.range(1).select(schema.fields.toSeq.map { f =>
+      (f.name match {
+        case "ts" => sentinelTs
+        case _    => lit(null)
+      }).cast(f.dataType).as(f.name)
+    }: _*)
+    val tmp = Files.createTempDirectory("graft-wm-sentinel-")
+    row.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = scala.util.Using.resource(Files.list(tmp)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+    }
+    val dest = java.nio.file.Paths.get(srcDir, "zz-graft-wm-sentinel.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000))
   }
 
   /** Sentinel event id marking end-of-stream for a user: closes and emits

@@ -1,0 +1,318 @@
+package graft.table
+
+import java.nio.file.Path
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.types._
+
+/** Per-file column bounds, stored in the manifest as strings and decoded
+  * against the table schema at prune time. Mirrors what Iceberg keeps in
+  * its manifests (`lower_bounds`/`upper_bounds` per data file) and what
+  * the reference gets for free on every table scan through the Iceberg
+  * runtime (reference: src/data_ingestion/common/iceberg.py:154) — scans
+  * skip whole files whose bounds exclude the predicate, so a selective
+  * query on a 100 TB table reads only the files that can match.
+  */
+final case class ColBounds(min: String, max: String)
+
+/** Collects per-file column min/max from parquet FOOTERS — no data read;
+  * one footer fetch per freshly-written file at commit time. Columns are
+  * kept only when every row group carries usable statistics and the
+  * physical type matches what the logical type implies (INT96 timestamps,
+  * decimals, nested types are skipped — conservative absence, never a
+  * wrong bound).
+  */
+object FileStats {
+
+  /** Scalar types we collect bounds for. Strings are capped at
+    * [[MaxStringBound]] chars (parquet's own truncation keeps min a lower
+    * and max an upper bound, so stored bounds stay valid regardless).
+    */
+  val MaxStringBound = 96
+
+  def collect(file: Path, schema: StructType): Map[String, ColBounds] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      // per column: running (min, max) across row groups; None = dropped
+      val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        types.get(name).foreach { dt =>
+          if (acc.getOrElse(name, Some(null)) != None) {
+            val phys = c.getPrimitiveType.getPrimitiveTypeName
+            val stats = c.getStatistics
+            val ok = stats != null && !stats.isEmpty && stats.hasNonNullValue
+            val pair: Option[(Any, Any)] =
+              if (!ok) None
+              else (dt, phys) match {
+                case (ByteType | ShortType | IntegerType | DateType, INT32) =>
+                  Some((stats.genericGetMin, stats.genericGetMax))
+                case (LongType | TimestampType | TimestampNTZType, INT64) =>
+                  Some((stats.genericGetMin, stats.genericGetMax))
+                case (FloatType, FLOAT) =>
+                  val (mn, mx) = (stats.genericGetMin.asInstanceOf[java.lang.Float],
+                    stats.genericGetMax.asInstanceOf[java.lang.Float])
+                  if (java.lang.Float.isFinite(mn) && java.lang.Float.isFinite(mx))
+                    Some((mn, mx)) else None
+                case (DoubleType, DOUBLE) =>
+                  val (mn, mx) = (stats.genericGetMin.asInstanceOf[java.lang.Double],
+                    stats.genericGetMax.asInstanceOf[java.lang.Double])
+                  if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+                    Some((mn, mx)) else None
+                case (StringType, BINARY) =>
+                  val mn = stats.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  val mx = stats.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+                  if (mn.length <= MaxStringBound && mx.length <= MaxStringBound)
+                    Some((mn, mx)) else None
+                case _ => None
+              }
+            val merged = (acc.get(name), pair) match {
+              case (None, Some(p))          => Some(p) // first row group
+              case (Some(Some((a, b))), Some((c2, d2))) =>
+                Some((minOf(dt, a, c2), maxOf(dt, b, d2)))
+              case _                        => None // any gap drops the column
+            }
+            acc(name) = merged
+          }
+        }
+      }
+      acc.collect { case (name, Some((mn, mx))) =>
+        name -> ColBounds(encode(mn), encode(mx))
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: Number, y: Number) => java.lang.Long.compare(x.longValue, y.longValue)
+    case _ => 0
+  }
+  private def minOf(dt: DataType, a: Any, b: Any): Any = if (cmp(dt, a, b) <= 0) a else b
+  private def maxOf(dt: DataType, a: Any, b: Any): Any = if (cmp(dt, a, b) >= 0) a else b
+
+  private def encode(v: Any): String = v.toString
+}
+
+/** Conservative file-level predicate evaluation over manifest bounds.
+  * Walks an (unresolved) Catalyst expression and answers "may any row of
+  * this file satisfy it?" — `false` only when the file's column bounds
+  * (or exact partition values) PROVE no row can match; anything the
+  * analysis doesn't understand answers `true`, so pruning is always
+  * correctness-preserving and the predicate is re-applied row-level after
+  * the scan.
+  */
+object StatsPruning {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+  import org.apache.spark.sql.catalyst.expressions._
+
+  /** A decoded bound: numeric comparisons run in BigDecimal (exact — no
+    * long-vs-double precision traps), strings lexicographically (ASCII
+    * only: UTF8String binary order equals String order there; non-ASCII
+    * bounds decline to prune).
+    */
+  sealed trait Bound
+  final case class NumB(v: BigDecimal) extends Bound
+  final case class StrB(v: String) extends Bound
+
+  private def ascii(s: String): Boolean = s.forall(_ < 128)
+
+  /** Decode a stored bound string for a column of `dt`. */
+  def decode(dt: DataType, s: String): Option[Bound] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType =>
+      try Some(NumB(BigDecimal(s))) catch { case _: NumberFormatException => None }
+    case StringType => if (ascii(s)) Some(StrB(s)) else None
+    case _ => None
+  }
+
+  /** Decode a hive-style partition-path VALUE for a column of `dt` into
+    * an exact point bound. Timestamps/dates parse the writer's formats;
+    * unparseable or null-sentinel values decline.
+    */
+  def decodePartitionValue(dt: DataType, s: String): Option[Bound] = {
+    if (s == org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return None
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(NumB(BigDecimal(s)))
+      case FloatType | DoubleType => Some(NumB(BigDecimal(s)))
+      case DateType =>
+        Some(NumB(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)))
+      case TimestampType | TimestampNTZType =>
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+        Some(NumB(BigDecimal(micros)))
+      case StringType => if (ascii(s)) Some(StrB(s)) else None
+      case _ => None
+    } catch { case _: RuntimeException => None }
+  }
+
+  /** Literal → bound in the column's comparison domain. Temporal columns
+    * only compare against literals of the same Catalyst type (their Long
+    * payloads are micros/days, not plain numbers); numeric columns accept
+    * any numeric literal exactly via BigDecimal.
+    */
+  def literalBound(colType: DataType, lit: Literal): Option[Bound] = {
+    if (lit.value == null) return None
+    (colType, lit.dataType) match {
+      case (DateType, DateType) |
+           (TimestampType, TimestampType) |
+           (TimestampNTZType, TimestampNTZType) =>
+        Some(NumB(BigDecimal(lit.value.asInstanceOf[Number].longValue)))
+      case (DateType | TimestampType | TimestampNTZType, _) => None
+      case (_: NumericType, _) =>
+        lit.value match {
+          case n: java.lang.Byte    => Some(NumB(BigDecimal(n.longValue)))
+          case n: java.lang.Short   => Some(NumB(BigDecimal(n.longValue)))
+          case n: java.lang.Integer => Some(NumB(BigDecimal(n.longValue)))
+          case n: java.lang.Long    => Some(NumB(BigDecimal(n.longValue)))
+          case n: java.lang.Float if java.lang.Float.isFinite(n) =>
+            Some(NumB(BigDecimal(n.doubleValue)))
+          case n: java.lang.Double if java.lang.Double.isFinite(n) =>
+            Some(NumB(BigDecimal(n.doubleValue)))
+          case d: org.apache.spark.sql.types.Decimal =>
+            Some(NumB(d.toBigDecimal))
+          case _ => None
+        }
+      case (StringType, StringType) =>
+        val s = lit.value.toString
+        if (ascii(s)) Some(StrB(s)) else None
+      case _ => None
+    }
+  }
+
+  private def le(a: Bound, b: Bound): Boolean = (a, b) match {
+    case (NumB(x), NumB(y)) => x <= y
+    case (StrB(x), StrB(y)) => x.compareTo(y) <= 0
+    case _ => true // mixed domains: never claim impossibility
+  }
+  private def lt(a: Bound, b: Bound): Boolean = (a, b) match {
+    case (NumB(x), NumB(y)) => x < y
+    case (StrB(x), StrB(y)) => x.compareTo(y) < 0
+    case _ => true
+  }
+
+  /** Do [aMin,aMax] and [bMin,bMax] overlap? (same-domain bounds) */
+  def rangesOverlap(aMin: Bound, aMax: Bound, bMin: Bound, bMax: Bound): Boolean =
+    le(aMin, bMax) && le(bMin, aMax)
+
+  /** May two files share a row on EVERY common stats column? `false` only
+    * when some column both sides carry bounds for has provably disjoint
+    * ranges — the test that lets MoR reads and compaction skip data files
+    * a delete file cannot touch. Missing stats ⇒ conservative `true`.
+    */
+  def boundsMayIntersect(a: Map[String, ColBounds], b: Map[String, ColBounds],
+                         colType: String => Option[DataType]): Boolean =
+    !a.keySet.intersect(b.keySet).exists { c =>
+      (for {
+        dt <- colType(c)
+        amn <- decode(dt, a(c).min); amx <- decode(dt, a(c).max)
+        bmn <- decode(dt, b(c).min); bmx <- decode(dt, b(c).max)
+      } yield !rangesOverlap(amn, amx, bmn, bmx)).getOrElse(false)
+    }
+
+  /** The Spark 4 Column API builds comparison/boolean nodes as
+    * `UnresolvedFunction("<=", ...)` etc. rather than the Catalyst
+    * classes; rewrite the recognized names so the bounds walk below sees
+    * canonical nodes. Unknown functions stay as-is (→ conservative true).
+    */
+  private def normalize(e: Expression): Expression = e match {
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if uf.nameParts.size == 1 && !uf.isDistinct =>
+      val as = uf.arguments.map(normalize)
+      uf.nameParts.head.toLowerCase match {
+        case "and" if as.size == 2  => And(as(0), as(1))
+        case "or" if as.size == 2   => Or(as(0), as(1))
+        case "=" | "==" if as.size == 2 => EqualTo(as(0), as(1))
+        case "<" if as.size == 2    => LessThan(as(0), as(1))
+        case "<=" if as.size == 2   => LessThanOrEqual(as(0), as(1))
+        case ">" if as.size == 2    => GreaterThan(as(0), as(1))
+        case ">=" if as.size == 2   => GreaterThanOrEqual(as(0), as(1))
+        case "<=>" if as.size == 2  => EqualNullSafe(as(0), as(1))
+        case "in" if as.size >= 2   => In(as.head, as.tail)
+        case _ => uf.copy(arguments = as)
+      }
+    case other => other.mapChildren(normalize)
+  }
+
+  /** May any row of a file with `bounds(col) = Some((min, max))` satisfy
+    * `expr`? `bounds` returning None means "unknown" for that column.
+    */
+  def mayMatch(expr: Expression,
+               colType: String => Option[DataType],
+               bounds: String => Option[(Bound, Bound)]): Boolean =
+    mayMatchNorm(normalize(expr), colType, bounds)
+
+  private def mayMatchNorm(expr: Expression,
+               colType: String => Option[DataType],
+               bounds: String => Option[(Bound, Bound)]): Boolean = expr match {
+    case And(l, r) =>
+      mayMatchNorm(l, colType, bounds) && mayMatchNorm(r, colType, bounds)
+    case Or(l, r) =>
+      mayMatchNorm(l, colType, bounds) || mayMatchNorm(r, colType, bounds)
+    case Literal(false, BooleanType) => false
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      attrName(a) match {
+        case Some(n) =>
+          vs.exists(v => mayCompare(n, v.asInstanceOf[Literal], "=", colType, bounds))
+        case None => true
+      }
+    case c: BinaryComparison =>
+      val (op, a, l) = (c, c.left, c.right) match {
+        case (_: EqualTo, x, y)            => ("=", x, y)
+        case (_: EqualNullSafe, x, y)      => ("=", x, y)
+        case (_: GreaterThan, x, y)        => (">", x, y)
+        case (_: GreaterThanOrEqual, x, y) => (">=", x, y)
+        case (_: LessThan, x, y)           => ("<", x, y)
+        case (_: LessThanOrEqual, x, y)    => ("<=", x, y)
+        case _                             => ("?", c.left, c.right)
+      }
+      (attrName(a), l, attrName(l), a) match {
+        case (Some(n), lit: Literal, _, _) => mayCompare(n, lit, op, colType, bounds)
+        case (_, _, Some(n), lit: Literal) => // literal on the left: flip
+          mayCompare(n, lit, flip(op), colType, bounds)
+        case _ => true
+      }
+    case _ => true
+  }
+
+  private def flip(op: String): String = op match {
+    case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
+    case o => o
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+    case ar: AttributeReference  => Some(ar.name)
+    case _ => None
+  }
+
+  private def mayCompare(name: String, lit: Literal, op: String,
+                         colType: String => Option[DataType],
+                         bounds: String => Option[(Bound, Bound)]): Boolean = {
+    val r = for {
+      dt <- colType(name)
+      v <- literalBound(dt, lit)
+      (mn, mx) <- bounds(name)
+    } yield op match {
+      case "="  => le(mn, v) && le(v, mx)
+      case ">"  => lt(v, mx)
+      case ">=" => le(v, mx)
+      case "<"  => lt(mn, v)
+      case "<=" => le(mn, v)
+      case _    => true
+    }
+    r.getOrElse(true)
+  }
+}

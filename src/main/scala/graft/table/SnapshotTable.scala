@@ -4,8 +4,9 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.core.MetaColumns
 import graft.merge.Merge
@@ -30,37 +31,63 @@ final case class Manifest(
     // equality deletes, sequence-number semantics)
     deleteFiles: Seq[DeleteEntry] = Nil)
 
-final case class FileEntry(path: String, partition: Map[String, String]) {
-  /** Commit version the file was written at (`data/v<N>/...`) — the
-    * sequence number equality deletes compare against.
+/** One live data file.
+  *
+  * @param seq commit version the file entered the table at — the sequence
+  *   number equality deletes compare against. Persisted explicitly in the
+  *   manifest (like Iceberg's data_sequence_number); legacy manifests
+  *   without the field fall back to parsing the `data/v<N>/...` path.
+  * @param stats per-column min/max from the file's parquet footer,
+  *   recorded at commit time; scans prune on them ([[SnapshotTable.readWhere]]).
+  */
+final case class FileEntry(path: String, partition: Map[String, String],
+                           seq: Long = 0L,
+                           stats: Map[String, ColBounds] = Map.empty)
+
+object FileEntry {
+  /** Legacy sequence number: parse the commit version out of a
+    * `data/v<N>/...` path (pre-round-3 manifests only).
     */
-  def seq: Long =
-    path.split('/')(1).stripPrefix("v").takeWhile(_.isDigit) match {
-      case "" => 0L
-      case s  => s.toLong
+  def legacySeq(path: String): Long =
+    path.split('/').lift(1).map(_.stripPrefix("v").takeWhile(_.isDigit)) match {
+      case Some(s) if s.nonEmpty => s.toLong
+      case _ => 0L
     }
 }
 
-final case class DeleteEntry(path: String, version: Long)
+/** An equality-delete file: `stats` holds the key columns' bounds so reads
+  * and compaction can prove a data file CANNOT be affected (no key-range
+  * overlap) and skip the anti-join for it entirely.
+  */
+final case class DeleteEntry(path: String, version: Long,
+                             stats: Map[String, ColBounds] = Map.empty)
 
 /** A versioned Parquet table with a tiny snapshot log.
   *
   * Layout under `root/`:
   * {{{
-  *   data/v<N>/[p=<v>/]part-*.parquet    -- files written at snapshot N
+  *   data/v<N>/[p=<v>/]part-*.parquet    -- files of one commit (dir claimed atomically)
   *   meta/v<N>.json                      -- manifest (full live-file list)
+  *   meta/files-<hash>.json              -- content-addressed manifest chunks (shared)
   *   meta/_current                       -- commit pointer (version number)
   * }}}
   *
-  * Commit = write data dir + manifest, then atomically move a temp pointer
-  * over `_current` — single-writer, same assumption as the reference
-  * (Airflow `max_active_runs=1`, dags/data_ingestion_dms.py:85).
+  * Commit = claim a fresh data dir (atomic createDirectory), write data,
+  * then — under a per-root lock — allocate the commit version, write the
+  * manifest, and atomically move a temp pointer over `_current`. The lock
+  * serializes same-JVM writers; across processes the deployment assumption
+  * is single-writer per table, as in the reference (Airflow
+  * `max_active_runs=1`, dags/data_ingestion_dms.py:85). A cluster catalog
+  * would swap the lock for a CAS on the pointer.
   *
   * A manifest may reference files from OLDER data dirs: a partition-scoped
   * copy-on-write merge rewrites only the files of partitions touched by
   * the change set and carries the rest forward — the property that makes
   * CoW merge viable at 100 TB (rewriting only affected partitions, like
-  * Iceberg CoW, instead of the whole table).
+  * Iceberg CoW, instead of the whole table). Concurrent partition-scoped
+  * merges on DISJOINT partitions both land: the second detects the moved
+  * pointer and REBASES its carried-file list onto the new manifest
+  * (Iceberg-style optimistic retry) instead of aborting.
   */
 final class SnapshotTable(val root: Path) {
   private def metaDir = root.resolve("meta")
@@ -84,8 +111,7 @@ final class SnapshotTable(val root: Path) {
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala
         .map(_.getFileName.toString)
-        // strictly v<digits>.json: chunk side files (v<N>-files-<i>.json)
-        // are not manifests
+        // strictly v<digits>.json: chunk side files are not manifests
         .collect { case s if s.matches("v\\d+\\.json") =>
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq.sorted
@@ -97,7 +123,7 @@ final class SnapshotTable(val root: Path) {
     *
     * Partitioned snapshots are written hive-style (`k=v` dirs), so the
     * partition column values live in the path, not the files; reads group
-    * the file list by snapshot data dir and set `basePath` per group so
+    * the file list by commit sequence and set `basePath` per group so
     * Spark reconstructs the partition columns, then union the groups (a
     * manifest can reference files from several snapshot dirs after a
     * partition-scoped merge).
@@ -106,56 +132,146 @@ final class SnapshotTable(val root: Path) {
            partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame =
     readManifest(spark, currentManifest, partitionFilter)
 
+  /** Predicate-pruned scan: files whose manifest column bounds (footer
+    * min/max recorded at commit) or exact partition values PROVE the
+    * predicate can't match are never read — the manifest-level analog of
+    * Iceberg's scan-time file skipping (reference gets this implicitly on
+    * every `spark.read.table`, common/iceberg.py:154). The predicate is
+    * re-applied row-level, so pruning is purely an IO optimization;
+    * anything the bounds analysis doesn't understand scans normally.
+    */
+  def readWhere(spark: SparkSession, cond: Column): DataFrame = {
+    val m = currentManifest
+    readManifest(spark, m.copy(files = selectFiles(m, cond))).filter(cond)
+  }
+
+  /** Files of `m` that may satisfy `cond` (exposed for tests/inspection). */
+  private[graft] def selectFiles(m: Manifest, cond: Column): Seq[FileEntry] = {
+    val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    m.files.filter { f =>
+      StatsPruning.mayMatch(expr, types, boundsFor(f, types))
+    }
+  }
+
+  /** (files that may match, total files) for a predicate — the pruning
+    * census tests and callers assert on.
+    */
+  private[graft] def pruneCounts(cond: Column): (Int, Int) = {
+    val m = currentManifest
+    (selectFiles(m, cond).size, m.files.size)
+  }
+
+  private def typeLookup(schema: StructType): String => Option[DataType] = {
+    val byLower = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    name => byLower.get(name.toLowerCase)
+  }
+
+  /** Bounds of a column within one file: exact partition value if the
+    * column is a partition column, else the footer stats captured in the
+    * manifest; None = unknown (never prune).
+    */
+  private def boundsFor(f: FileEntry, types: String => Option[DataType])
+      : String => Option[(StatsPruning.Bound, StatsPruning.Bound)] = { name =>
+    types(name).flatMap { dt =>
+      f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
+        case Some(pv) => StatsPruning.decodePartitionValue(dt, pv).map(b => (b, b))
+        case None =>
+          f.stats.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+            .flatMap { cb =>
+              for {
+                mn <- StatsPruning.decode(dt, cb.min)
+                mx <- StatsPruning.decode(dt, cb.max)
+              } yield (mn, mx)
+            }
+      }
+    }
+  }
+
+  /** Data files a pending equality delete MIGHT affect: delete version
+    * newer than the file's sequence AND key-column bounds overlap (when
+    * both sides carry stats; missing stats are conservatively "overlap").
+    * Clean files skip the delete anti-join entirely — the stats-aware MoR
+    * read path.
+    */
+  private[graft] def morDirtyFiles(m: Manifest): Seq[FileEntry] = {
+    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    m.files.filter(f => m.deleteFiles.exists(d =>
+      d.version > f.seq &&
+        StatsPruning.boundsMayIntersect(f.stats, d.stats, types)))
+  }
+
   private def readManifest(spark: SparkSession, m: Manifest,
       partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val schema = StructType.fromDDL(m.schemaDdl)
     val sel = m.files.filter(f => partitionFilter(f.partition))
     if (sel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
-    val needSeq = m.deleteFiles.nonEmpty
-    // group by snapshot data dir: partitioned reads need a per-group
-    // basePath to reconstruct hive-style partition columns, and the MoR
-    // path needs the group's commit version as the row sequence number
-    val base =
-      if (m.partitionColumns.isEmpty && !needSeq) {
-        spark.read.schema(schema)
-          .parquet(sel.map(f => root.resolve(f.path).toString): _*)
-      } else {
-        sel.groupBy(_.seq)
-          .map { case (seqNo, fs) =>
-            val dir = fs.head.path.split('/').take(2).mkString("/")
-            val reader = spark.read.schema(schema)
-            val df =
-              (if (m.partitionColumns.isEmpty) reader
-               else reader.option("basePath", root.resolve(dir).toString))
-                .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-            if (needSeq) df.withColumn(SeqCol, lit(seqNo)) else df
+    // split data files into those a pending equality delete might affect
+    // (need the sequence-resolved anti-join) and clean ones (plain scan):
+    // a delete at version V kills only rows of files with seq < V whose
+    // keys fall inside the delete file's key bounds
+    val dirtySet =
+      if (m.deleteFiles.isEmpty) Set.empty[String]
+      else morDirtyFiles(m.copy(files = sel)).map(_.path).toSet
+    val (dirty, clean) = sel.partition(f => dirtySet(f.path))
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(readFileGroup(spark, m, schema, clean, withSeq = false)
+        .select(cols: _*))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val base = readFileGroup(spark, m, schema, dirty, withSeq = true)
+        // equality deletes: delete files are small (changed keys only);
+        // the anti join is key-equi with the sequence comparison as a
+        // join-side filter.
+        val dels = m.deleteFiles.groupBy(_.version)
+          .map { case (v, fs) =>
+            spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
+              .withColumn(DelVerCol, lit(v))
           }
           .reduce(_ unionByName _)
+        val keyCols = dels.columns.filterNot(_ == DelVerCol).toSeq
+        val cond = keyCols.map(c =>
+          org.apache.spark.sql.functions.col(s"r.$c") ===
+            org.apache.spark.sql.functions.col(s"d.$c"))
+          .reduce(_ && _) &&
+          org.apache.spark.sql.functions.col(s"d.$DelVerCol") >
+            org.apache.spark.sql.functions.col(s"r.$SeqCol")
+        Some(base.alias("r").join(dels.alias("d"), cond, "left_anti")
+          .select(cols: _*))
       }
-    if (!needSeq) return base.select(cols: _*)
-    // equality deletes: a delete written at version V kills rows of data
-    // files with seq < V whose key columns match. Delete files are small
-    // (changed keys only); the anti join is key-equi with the sequence
-    // comparison as a join-side filter.
-    val dels = m.deleteFiles.groupBy(_.version)
-      .map { case (v, fs) =>
-        spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
-          .withColumn(DelVerCol, lit(v))
-      }
-      .reduce(_ unionByName _)
-    val keyCols = dels.columns.filterNot(_ == DelVerCol).toSeq
-    val cond = keyCols.map(c =>
-      org.apache.spark.sql.functions.col(s"r.$c") ===
-        org.apache.spark.sql.functions.col(s"d.$c"))
-      .reduce(_ && _) &&
-      org.apache.spark.sql.functions.col(s"d.$DelVerCol") >
-        org.apache.spark.sql.functions.col(s"r.$SeqCol")
-    base.alias("r").join(dels.alias("d"), cond, "left_anti")
-      .select(cols: _*)
+    (cleanDf, dirtyDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, b)          => b.get
+    }
   }
+
+  /** Read a set of manifest files, reconstructing hive partition columns
+    * via a per-commit-group basePath, optionally tagging rows with their
+    * file's sequence number for MoR delete resolution.
+    */
+  private def readFileGroup(spark: SparkSession, m: Manifest,
+      schema: StructType, fs: Seq[FileEntry], withSeq: Boolean): DataFrame =
+    if (m.partitionColumns.isEmpty && !withSeq)
+      spark.read.schema(schema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+    else
+      fs.groupBy(_.seq)
+        .map { case (seqNo, g) =>
+          val dir = g.head.path.split('/').take(2).mkString("/")
+          val reader = spark.read.schema(schema)
+          val df =
+            (if (m.partitionColumns.isEmpty) reader
+             else reader.option("basePath", root.resolve(dir).toString))
+              .parquet(g.map(f => root.resolve(f.path).toString): _*)
+          if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
+        }
+        .reduce(_ unionByName _)
 
   private val SeqCol = "__graft_seq"
   private val DelVerCol = "__graft_delete_version"
@@ -223,10 +339,6 @@ final class SnapshotTable(val root: Path) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** CTAS create-or-replace (reference: common/iceberg.py:111-119 CREATE OR
-    * REPLACE TABLE ... AS SELECT). Data is hash-distributed on the
-    * partition columns (if any) and written one directory per snapshot.
-    */
   /** Next commit version: one past the HIGHEST retained manifest, not the
     * current pointer — after a rollback, committing currentVersion+1 would
     * overwrite a stale-but-retained snapshot's manifest and data dir.
@@ -236,18 +348,23 @@ final class SnapshotTable(val root: Path) {
     if (vs.isEmpty) 1L else vs.max + 1
   }
 
+  /** CTAS create-or-replace (reference: common/iceberg.py:111-119 CREATE OR
+    * REPLACE TABLE ... AS SELECT). Data is hash-distributed on the
+    * partition columns (if any) and written one directory per snapshot.
+    */
   def createOrReplace(df: DataFrame, partitionColumns: Seq[String] = Nil,
                       properties: Map[String, String] = Map.empty,
                       nowMs: Long = System.currentTimeMillis()): Manifest =
-    commitData(df, nextVersion, partitionColumns, properties, nowMs)
+    commitData(df, if (exists) Some(currentManifest) else None,
+      partitionColumns, properties, nowMs)
 
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new
     * snapshot. When the table is partitioned and the change set is small,
     * only files of AFFECTED partitions are rewritten; all other files are
     * carried into the new manifest untouched — at 100 TB this is the
     * difference between rewriting gigabytes and rewriting everything.
-    */
-  /** @param partitionStableByKey caller-declared invariant: every
+    *
+    * @param partitionStableByKey caller-declared invariant: every
     *   partition column is a pure function of the natural keys (identity
     *   or bucket transforms), so a row can never change partitions. When
     *   true, the moved-row census scan is skipped — the steady-state fast
@@ -264,7 +381,7 @@ final class SnapshotTable(val root: Path) {
       // full rewrite materializes the delete-resolved view, so pending
       // MoR deletes fold away here (commitData drops them)
       val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
-      commitData(merged, nextVersion, m.partitionColumns, m.properties, nowMs)
+      commitData(merged, Some(m), m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
       // partition values that must be rewritten — one row per partition,
@@ -316,8 +433,9 @@ final class SnapshotTable(val root: Path) {
         // the rewritten files: those get seq = this commit's version,
         // newer than every pending delete. The rewritten partitions'
         // reads above already resolved the deletes.
-        commitData(merged, nextVersion, pcols, m.properties, nowMs,
-          carryForward = carried, carryDeletes = m.deleteFiles)
+        commitData(merged, Some(m), pcols, m.properties, nowMs,
+          carryForward = carried, carryDeletes = m.deleteFiles,
+          rebaseTouched = Some(touched))
       } finally cached.unpersist()
     }
   }
@@ -341,94 +459,132 @@ final class SnapshotTable(val root: Path) {
                nowMs: Long = System.currentTimeMillis(),
                targetTransform: DataFrame => DataFrame = identity): Manifest = {
     val m = currentManifest
-    val v = nextVersion
-    if (exists && currentVersion >= v)
-      throw new IllegalStateException(
-        s"concurrent commit detected: pointer already at v${currentVersion}, " +
-          s"aborting commit of v$v for $root")
     val target = targetTransform(read(spark))
     val (applied, evictKeys) =
       Merge.resolve(target, changes, keys, keepDeletes)
-    val dataDirV = dataDir.resolve(s"v$v")
-    val clustered =
-      if (m.partitionColumns.nonEmpty)
-        applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-          .repartition(m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-      else applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
-    val writer = clustered.write.mode("overwrite")
-      .option("compression",
-        m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
-    (if (m.partitionColumns.nonEmpty)
-       writer.partitionBy(m.partitionColumns: _*)
-     else writer).parquet(dataDirV.toString)
-    val newData = listParquet(dataDirV).map { p =>
-      val rel = root.relativize(p).toString
-      FileEntry(rel, partitionOf(rel, m.partitionColumns))
+    // fail-fast BEFORE spending the write; authoritative check re-runs
+    // under the publish lock (MoR appends resolve against the base
+    // target, so a moved pointer always aborts — no rebase)
+    if (currentVersion != m.version)
+      throw concurrentCommit(currentVersion)
+    val dataDirV = claimDataDir()
+    val (written, delWritten) = withParquetWriteConfs(spark) {
+      val clustered =
+        if (m.partitionColumns.nonEmpty)
+          applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+            .repartition(m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+        else applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      // append into the claimed (empty) dir: no overwrite-delete window, so
+      // a concurrent writer can never alias this commit's directory
+      val writer = clustered.write.mode("append")
+        .option("compression",
+          m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
+      (if (m.partitionColumns.nonEmpty)
+         writer.partitionBy(m.partitionColumns: _*)
+       else writer).parquet(dataDirV.toString)
+      // equality-delete file: just the key columns, one small parquet.
+      // Insert-only batches have no evictions — registering an empty delete
+      // file would put every future read on the seq-resolution path for
+      // nothing, so skip it entirely.
+      val dels =
+        if (evictKeys.isEmpty) Nil
+        else {
+          val delDir = Files.createDirectory(
+            dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
+          evictKeys.repartition(1).write.mode("append").parquet(delDir.toString)
+          listParquet(delDir)
+        }
+      (listParquet(dataDirV), dels)
     }
-    // equality-delete file: just the key columns, one small parquet.
-    // Insert-only batches have no evictions — registering an empty delete
-    // file would put every future read on the seq-resolution path for
-    // nothing, so skip it entirely.
-    val newDeletes =
-      if (evictKeys.isEmpty) Nil
-      else {
-        val delDir = dataDir.resolve(s"v${v}d")
-        evictKeys.repartition(1).write.mode("overwrite").parquet(delDir.toString)
-        listParquet(delDir).map(p => DeleteEntry(root.relativize(p).toString, v))
+    val delSchema = StructType(
+      target.schema.fields.filter(f => keys.contains(f.name)))
+    publishCommit { (v, cur) =>
+      if (cur.map(_.version) != Some(m.version))
+        throw concurrentCommit(cur.map(_.version).getOrElse(0L))
+      val newData = written.map { p =>
+        val rel = root.relativize(p).toString
+        FileEntry(rel, partitionOf(rel, m.partitionColumns), v,
+          FileStats.collect(p, target.schema))
       }
-    // schema may have drifted through targetTransform (column adds are
-    // metadata-only; carried files null-fill on read under the superset)
-    val out = Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
-      m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
-    Files.createDirectories(metaDir)
-    if (exists && currentVersion >= v)
-      throw new IllegalStateException(
-        s"concurrent commit detected: pointer already at v${currentVersion}, " +
-          s"aborting commit of v$v for $root")
-    ManifestJson.write(metaDir.resolve(s"v$v.json"), out)
-    val tmp = metaDir.resolve(s"_current.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    out
+      val newDeletes = delWritten.map(p =>
+        DeleteEntry(root.relativize(p).toString, v,
+          FileStats.collect(p, delSchema)))
+      // schema may have drifted through targetTransform (column adds are
+      // metadata-only; carried files null-fill on read under the superset)
+      Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
+        m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
+    }
   }
 
-  /** Bin-pack compaction toward the target file size (reference:
+  /** Selective bin-pack compaction toward the target file size (reference:
     * rewrite_data_files, common/iceberg.py:264-270; 64 MB target
-    * common/iceberg.py:59). Rewrites the whole current snapshot into
-    * ceil(totalBytes / target) files.
-    */
-  /** Compaction also FOLDS merge-on-read deletes: the rewrite reads the
-    * delete-resolved view, and the committed manifest carries no delete
-    * files — the MoR read-cost debt is repaid here (Iceberg's
-    * rewrite_data_files + rewrite_position_delete_files in one step).
+    * common/iceberg.py:59). Unlike a full-snapshot rewrite, only file
+    * GROUPS (one per partition value; one group for unpartitioned tables)
+    * that need work are rewritten:
+    *   - groups holding ≥ 2 under-target files (bin-pack opportunity), or
+    *   - groups holding an oversized file (> 1.25× target — split it), or
+    *   - groups holding any file a pending equality delete might affect
+    *     (delete version > file seq AND key bounds overlap).
+    * Every other group's files are carried by reference — at a monthly
+    * cadence on a 100 TB table this is the difference between a bounded
+    * touch-up and rewriting the world.
+    *
+    * Compaction also FOLDS merge-on-read deletes: delete-affected files
+    * are always selected, their rewrite reads the delete-resolved view,
+    * and the committed manifest carries no delete files — the MoR
+    * read-cost debt is repaid here (Iceberg's rewrite_data_files +
+    * rewrite_position_delete_files in one step). No-op (no commit) when
+    * nothing needs rewriting and no deletes are pending.
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 64L * 1024 * 1024,
               nowMs: Long = System.currentTimeMillis()): Manifest = {
     val m = currentManifest
-    val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    // size control: unpartitioned tables bin-pack via repartition; for
-    // partitioned tables commitData clusters one task per partition value,
-    // so oversized partitions are split by record count instead
-    // (maxRecordsPerFile, derived from the observed compressed row size)
+    val sizes = m.files.map(f =>
+      f.path -> Files.size(root.resolve(f.path))).toMap
+    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    def deleteAffected(f: FileEntry): Boolean =
+      m.deleteFiles.exists(d => d.version > f.seq &&
+        StatsPruning.boundsMayIntersect(f.stats, d.stats, types))
+    val smallBytes = targetFileBytes * 3 / 4
+    val overBytes = targetFileBytes * 5 / 4
+    val rewrite: Seq[FileEntry] = m.files.groupBy(_.partition).collect {
+      case (_, fs) if fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
+          fs.exists(f => sizes(f.path) > overBytes) ||
+          fs.exists(deleteAffected) => fs
+    }.flatten.toSeq
+    if (rewrite.isEmpty && m.deleteFiles.isEmpty) return m
+    val rewriteSet = rewrite.map(_.path).toSet
+    val carried = m.files.filterNot(f => rewriteSet(f.path))
+    // read ONLY the rewrite set (delete-resolved); carried groups are
+    // proven unaffected by any pending delete, so dropping the deletes
+    // from the committed manifest is safe
+    val sub = m.copy(files = rewrite)
+    val df = readManifest(spark, sub)
+    val rewriteBytes = math.max(1L, rewrite.map(f => sizes(f.path)).sum)
     if (m.partitionColumns.isEmpty) {
-      commitData(read(spark).repartition(nFiles), nextVersion,
-        m.partitionColumns, m.properties, nowMs)
+      val nFiles = math.max(1,
+        math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
+      commitData(df.repartition(nFiles), Some(m),
+        m.partitionColumns, m.properties, nowMs, carryForward = carried)
     } else {
-      val rowCount = math.max(1L, read(spark).count())
-      val bytesPerRow = math.max(1L, totalBytes / rowCount)
+      // size control: commitData clusters one task per partition value,
+      // so oversized partitions are split by record count instead
+      // (maxRecordsPerFile, derived from the observed compressed row size)
+      val rowCount = math.max(1L, df.count())
+      val bytesPerRow = math.max(1L, rewriteBytes / rowCount)
       val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
-      commitData(read(spark), nextVersion, m.partitionColumns, m.properties,
-        nowMs, writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
+      commitData(df, Some(m), m.partitionColumns, m.properties,
+        nowMs, carryForward = carried,
+        writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
     }
   }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259
     * with 90-day / keep-≥90 retention from table properties :54-58).
-    * Removes expired manifests and any data files no retained manifest
-    * references.
+    * Removes expired manifests, any data files no retained manifest
+    * references, and manifest chunk documents no retained manifest
+    * references (chunks are content-addressed and SHARED across commits).
     */
   def expireSnapshots(maxAgeMs: Long = 90L * 24 * 3600 * 1000,
                       minSnapshotsToKeep: Int = 90,
@@ -452,14 +608,18 @@ final class SnapshotTable(val root: Path) {
         .foreach(deleteWithSidecars)
       ManifestJson.delete(metaDir.resolve(s"v$v.json"))
     }
+    sweepOrphanChunks()
     pruneEmptyDirs()
     expired
   }
 
   /** Orphan-file removal (reference: remove_orphan_files,
     * common/iceberg.py:260-262): deletes data files under data/ that no
-    * retained manifest references. Only visible `*.parquet` files count as
-    * data; Hadoop sidecars (`.crc`, `_SUCCESS`) follow their data file.
+    * retained manifest references, and manifest chunk documents under
+    * meta/ that no retained manifest references (e.g. left by a crash
+    * between chunk and manifest writes). Only visible `*.parquet` files
+    * count as data; Hadoop sidecars (`.crc`, `_SUCCESS`) follow their
+    * data file.
     */
   def removeOrphanFiles(): Seq[String] = {
     val live: Set[String] =
@@ -467,7 +627,8 @@ final class SnapshotTable(val root: Path) {
         val m = manifest(v)
         m.files.map(_.path) ++ m.deleteFiles.map(_.path)
       }.toSet
-    if (!Files.exists(dataDir)) return Nil
+    val chunkOrphans = sweepOrphanChunks()
+    if (!Files.exists(dataDir)) return chunkOrphans
     val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
       st.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
@@ -478,7 +639,30 @@ final class SnapshotTable(val root: Path) {
     val orphans = all.filterNot(live)
     orphans.foreach(deleteWithSidecars)
     pruneEmptyDirs()
-    orphans
+    orphans ++ chunkOrphans
+  }
+
+  /** Delete manifest chunk documents referenced by NO retained manifest.
+    * Content-addressed chunks are shared across commits, so chunk GC is
+    * global (set difference), not per-manifest. Safe under the same
+    * single-writer assumption as every other maintenance op: a chunk
+    * written by an in-flight commit becomes referenced when its manifest
+    * lands, and maintenance doesn't run concurrently with ingest
+    * (reference: sequential Airflow tasks).
+    */
+  private def sweepOrphanChunks(): Seq[String] = {
+    if (!Files.exists(metaDir)) return Nil
+    val referenced = manifestVersions.flatMap(v =>
+      ManifestJson.chunkNames(metaDir.resolve(s"v$v.json"))).toSet
+    val orphans = scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => (n.startsWith("files-") || n.matches("v\\d+-files-\\d+\\.json"))
+          && n.endsWith(".json") && !referenced(n))
+        .toSeq
+    }
+    orphans.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+    orphans.map(n => s"meta/$n")
   }
 
   /** Delete a data file plus its Hadoop `.crc` sidecar. */
@@ -513,58 +697,143 @@ final class SnapshotTable(val root: Path) {
 
   // ---- commit machinery ----
 
-  // private[graft] so the concurrent-commit abort path is testable with a
-  // deliberately stale version number
-  private[graft] def commitData(df: DataFrame, v: Long, pcols: Seq[String],
+  private def concurrentCommit(curV: Long): IllegalStateException =
+    new IllegalStateException(
+      s"concurrent commit detected: pointer at v$curV no longer matches " +
+        s"the planned base for $root")
+
+  /** Claim a fresh data directory with an atomic createDirectory — two
+    * concurrent committers can never write into the same dir. Directory
+    * names share the v<N> shape with commit versions but are allocated
+    * independently; the authoritative sequence number of each file is the
+    * explicit `seq` persisted in the manifest.
+    */
+  private def claimDataDir(): Path = {
+    Files.createDirectories(dataDir)
+    val existing = scala.util.Using.resource(Files.list(dataDir))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d+d?") =>
+          s.stripPrefix("v").takeWhile(_.isDigit).toLong }
+        .toSeq)
+    var n = math.max((existing :+ 0L).max + 1, nextVersion)
+    while (true) {
+      try return Files.createDirectory(dataDir.resolve(s"v$n"))
+      catch { case _: java.nio.file.FileAlreadyExistsException => n += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Publish a commit under the per-root lock: allocate the commit
+    * version, build the manifest (the builder sees the CURRENT manifest
+    * and may rebase or throw on staleness), write it, advance the
+    * pointer. If the builder throws, the just-written data dir stays
+    * unreferenced by any manifest and removeOrphanFiles reclaims it.
+    */
+  private def publishCommit(build: (Long, Option[Manifest]) => Manifest): Manifest =
+    SnapshotTable.lockFor(root).synchronized {
+      val cur = if (exists) Some(currentManifest) else None
+      val v = nextVersion
+      val m = build(v, cur)
+      Files.createDirectories(metaDir)
+      ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
+      val tmp = metaDir.resolve(s"_current.tmp$v")
+      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      m
+    }
+
+  /** Run `f` with timestamps written as INT64 micros so footers carry
+    * usable min/max statistics (Spark's INT96 default has none), then
+    * RESTORE the session conf — leaking the setting would silently flip
+    * the parquet type of every unrelated write on the shared session.
+    * Concurrent commits (parallel FlowRunner tables) may interleave
+    * set/restore: the worst case is a commit written under the restored
+    * default, whose files simply carry no timestamp stats — pruning is
+    * conservative about absent stats, correctness unaffected.
+    */
+  private def withParquetWriteConfs[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Write `df` as a new snapshot.
+    *
+    * @param base the manifest this commit was planned against (None when
+    *   creating a new table). If the pointer has moved past it by publish
+    *   time the commit aborts — unless `rebaseTouched` is set, in which
+    *   case the commit REBASES: it re-reads the current manifest, verifies
+    *   the concurrent commits did not touch any of this commit's
+    *   partitions (file lists identical there, delete files and schema
+    *   unchanged), and carries the CURRENT manifest's other files instead.
+    *   Two partition-scoped merges on disjoint partitions both land.
+    */
+  private[graft] def commitData(df: DataFrame, base: Option[Manifest],
+                         pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil,
                          carryDeletes: Seq[DeleteEntry] = Nil,
-                         writerOptions: Map[String, String] = Map.empty): Manifest = {
-    val dir = dataDir.resolve(s"v$v")
-    // optimistic-concurrency fail-fast #1, BEFORE any data is written: a
-    // commit built against a stale version would otherwise "overwrite" the
-    // retained snapshot's data/v<N> dir — destroying committed data even
-    // though the commit itself aborts later
-    if (exists && currentVersion >= v)
-      throw new IllegalStateException(
-        s"concurrent commit detected: pointer already at v${currentVersion}, " +
-          s"aborting commit of v$v for $root")
-    // cluster by partition value before a partitioned write: otherwise
-    // every task fans out across every partition dir and each commit
-    // writes O(tasks × partitions) small files. One shuffle buys one
-    // file per partition per commit — the layout compaction would
-    // otherwise have to repair. (Heavily skewed partition values would
-    // serialize on one task here; bucket counts are chosen to spread.)
-    val clustered =
-      if (pcols.nonEmpty) df.repartition(pcols.map(col): _*) else df
-    val writer = clustered.write.mode("overwrite")
-      .options(writerOptions)
-      .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
-    (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
-      .parquet(dir.toString)
-    val written = listParquet(dir).map { p =>
-      val rel = root.relativize(p).toString
-      FileEntry(rel, partitionOf(rel, pcols))
+                         writerOptions: Map[String, String] = Map.empty,
+                         rebaseTouched: Option[Set[Map[String, String]]] = None): Manifest = {
+    val baseV = base.map(_.version).getOrElse(0L)
+    // fail-fast BEFORE any data is written: a commit planned against a
+    // stale snapshot must not spend the write (and without rebase rights
+    // could never publish anyway). The authoritative check runs again
+    // under the publish lock.
+    if (exists && currentVersion != baseV && rebaseTouched.isEmpty)
+      throw concurrentCommit(currentVersion)
+    val dir = claimDataDir()
+    val written = withParquetWriteConfs(df.sparkSession) {
+      // cluster by partition value before a partitioned write: otherwise
+      // every task fans out across every partition dir and each commit
+      // writes O(tasks × partitions) small files. One shuffle buys one
+      // file per partition per commit — the layout compaction would
+      // otherwise have to repair. (Heavily skewed partition values would
+      // serialize on one task here; bucket counts are chosen to spread.)
+      val clustered =
+        if (pcols.nonEmpty) df.repartition(pcols.map(col): _*) else df
+      // append into the claimed (empty) dir — see mergeMoR for why
+      val writer = clustered.write.mode("append")
+        .options(writerOptions)
+        .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
+      (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
+        .parquet(dir.toString)
+      listParquet(dir)
     }
-    val m = Manifest(v, nowMs, df.schema.toDDL, written ++ carryForward,
-      pcols, props, deleteFiles = carryDeletes)
-    Files.createDirectories(metaDir)
-    // fail-fast #2, BEFORE the manifest lands: we operate single-writer
-    // (like the reference's max_active_runs=1), but if another writer
-    // advanced the pointer during the data write above, abort pre-manifest —
-    // the just-written data/v<N> dir stays unreferenced by ANY manifest (a
-    // retained manifest would make its files count as live forever), so
-    // removeOrphanFiles reclaims it.
-    if (exists && currentVersion >= v)
-      throw new IllegalStateException(
-        s"concurrent commit detected: pointer already at v${currentVersion}, " +
-          s"aborting commit of v$v for $root")
-    ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
-    val tmp = metaDir.resolve(s"_current.tmp$v")
-    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-    m
+    publishCommit { (v, curOpt) =>
+      val curV = curOpt.map(_.version).getOrElse(0L)
+      val (carriedFiles, carriedDeletes) =
+        if (curV == baseV) (carryForward, carryDeletes)
+        else rebaseTouched match {
+          case Some(touched) =>
+            val cur = curOpt.get
+            val b = base.get
+            val sameTouched =
+              cur.files.filter(f => touched(f.partition)).map(_.path).toSet ==
+                b.files.filter(f => touched(f.partition)).map(_.path).toSet
+            // schema compared ignoring nullability: joins/unions flip
+            // nullable flags without changing the physical schema
+            def canon(ddl: String) = StructType.fromDDL(ddl).fields
+              .map(f => (f.name, f.dataType.catalogString)).toSeq
+            val sameSchema = canon(cur.schemaDdl) == canon(b.schemaDdl)
+            if (!sameTouched || cur.deleteFiles != b.deleteFiles || !sameSchema)
+              throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+            (cur.files.filterNot(f => touched(f.partition)), cur.deleteFiles)
+          case None => throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+        }
+      val entries = written.map { p =>
+        val rel = root.relativize(p).toString
+        FileEntry(rel, partitionOf(rel, pcols), v, FileStats.collect(p, df.schema))
+      }
+      Manifest(v, nowMs, df.schema.toDDL, entries ++ carriedFiles,
+        pcols, props, deleteFiles = carriedDeletes)
+    }
   }
 
   private def listParquet(dir: Path): Seq[Path] =
@@ -592,18 +861,31 @@ final class SnapshotTable(val root: Path) {
 
 object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
+
+  // per-root publish locks: serialize same-JVM commit publication so two
+  // threads can rebase against each other deterministically (a cluster
+  // catalog would use a CAS on the pointer instead)
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[table] def lockFor(root: Path): Object =
+    locks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new Object)
 }
 
 /** Minimal JSON codec for manifests — flat structure, no external deps.
   *
   * Scalability: up to [[ManifestJson.ChunkThreshold]] file entries the
-  * manifest is one JSON document. Beyond that the file list is CHUNKED
-  * into `v<N>-files-<i>.json` side files of [[ManifestJson.ChunkSize]]
-  * entries each, referenced from the main manifest — no single JSON
-  * document grows unboundedly with table size, and a million-file table
-  * commits 100 bounded documents instead of one gigantic string build.
-  * (Commit cost remains O(live files); Iceberg-style reuse of unchanged
-  * chunk files across commits is the next step if that ever dominates.)
+  * manifest is one JSON document. Beyond that the file list is split into
+  * CONTENT-ADDRESSED chunk documents (`files-<hash>.json`) grouped by a
+  * stable partition-hash bucketing, referenced by name from the main
+  * manifest. Buckets are stable across commits, so a commit that changes
+  * files of a few partitions produces a few NEW chunk documents and
+  * reuses every other chunk by reference — commit IO is O(changed), like
+  * Iceberg's manifest reuse. (Serialization to discover a chunk's hash is
+  * still O(live files) CPU; IO — the cost that matters on object storage
+  * — is O(changed).) Chunks are garbage-collected by reachability over
+  * retained manifests ([[SnapshotTable.removeOrphanFiles]]), never
+  * per-manifest: two snapshots routinely share chunks.
   */
 private[graft] object ManifestJson {
   /** Max file entries inlined in the manifest document (and per chunk). */
@@ -621,27 +903,66 @@ private[graft] object ManifestJson {
     m.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
       .mkString("{", ",", "}")
 
-  private def fileArr(files: Seq[FileEntry]): String =
-    files.map(f => s"""{"path":${q(f.path)},"partition":${obj(f.partition)}}""")
-      .mkString("[", ",", "]")
+  private def statsObj(stats: Map[String, ColBounds]): String =
+    stats.toSeq.sortBy(_._1)
+      .map { case (k, b) => s"${q(k)}:[${q(b.min)},${q(b.max)}]" }
+      .mkString("{", ",", "}")
 
-  private def base(p: Path): String =
-    p.getFileName.toString.stripSuffix(".json")
+  private def fileJson(f: FileEntry): String = {
+    val statsPart =
+      if (f.stats.isEmpty) "" else s""","stats":${statsObj(f.stats)}"""
+    s"""{"path":${q(f.path)},"partition":${obj(f.partition)},"seq":${f.seq}$statsPart}"""
+  }
+
+  private def fileArr(files: Seq[FileEntry]): String =
+    files.map(fileJson).mkString("[", ",", "]")
+
+  /** Stable chunk bucket of a file: partition-value hash for partitioned
+    * tables (a partition's files always land in the same bucket, so
+    * commits touching few partitions dirty few chunks); writer sequence
+    * for unpartitioned (a commit's files stay together). Bucket count is
+    * the smallest power of two covering the file count — it changes only
+    * when the table doubles, the rare full-rechunk commit.
+    */
+  private def bucketOf(f: FileEntry, nBuckets: Int): Int = {
+    val key =
+      if (f.partition.nonEmpty)
+        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+      else s"v${f.seq}"
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), nBuckets)
+  }
+
+  private def sha1Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    d.map(b => f"$b%02x").mkString
+  }
 
   def write(p: Path, m: Manifest): Unit = {
     val (filesJson, chunksJson) =
       if (m.files.size <= ChunkThreshold) (fileArr(m.files), "[]")
       else {
-        val names = m.files.grouped(ChunkSize).zipWithIndex.map { case (fs, i) =>
-          val name = s"${base(p)}-files-$i.json"
-          Files.write(p.resolveSibling(name),
-            s"""{"files":${fileArr(fs)}}""".getBytes(StandardCharsets.UTF_8))
-          name
-        }.toSeq
+        var nBuckets = 1
+        while (nBuckets.toLong * ChunkSize < m.files.size) nBuckets *= 2
+        val names = m.files.groupBy(bucketOf(_, nBuckets)).toSeq.sortBy(_._1)
+          .map { case (_, fs) =>
+            val content = s"""{"files":${fileArr(fs.sortBy(_.path))}}"""
+            val name = s"files-${sha1Hex(content).take(32)}.json"
+            val cp = p.resolveSibling(name)
+            // content-addressed: same name ⇔ same content — an existing
+            // chunk is this exact file set, reuse it without writing
+            if (!Files.exists(cp))
+              Files.write(cp, content.getBytes(StandardCharsets.UTF_8))
+            name
+          }
         ("[]", names.map(q).mkString("[", ",", "]"))
       }
     val delJson = m.deleteFiles
-      .map(d => s"""{"path":${q(d.path)},"version":${d.version}}""")
+      .map { d =>
+        val statsPart =
+          if (d.stats.isEmpty) "" else s""","stats":${statsObj(d.stats)}"""
+        s"""{"path":${q(d.path)},"version":${d.version}$statsPart}"""
+      }
       .mkString("[", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
@@ -651,13 +972,35 @@ private[graft] object ManifestJson {
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
 
+  private def parseStats(v: Any): Map[String, ColBounds] =
+    v.asInstanceOf[Map[String, Any]].map { case (k, b) =>
+      val l = b.asInstanceOf[List[Any]]
+      k -> ColBounds(l(0).asInstanceOf[String], l(1).asInstanceOf[String])
+    }
+
   private def parseFiles(v: Any): Seq[FileEntry] =
     v.asInstanceOf[List[Any]].map { f =>
       val fm = f.asInstanceOf[Map[String, Any]]
-      FileEntry(fm("path").asInstanceOf[String],
+      val path = fm("path").asInstanceOf[String]
+      FileEntry(path,
         fm("partition").asInstanceOf[Map[String, Any]]
-          .map { case (k, v) => k -> v.asInstanceOf[String] })
+          .map { case (k, v) => k -> v.asInstanceOf[String] },
+        seq = fm.get("seq").map(_.asInstanceOf[Double].toLong)
+          .getOrElse(FileEntry.legacySeq(path)),
+        stats = fm.get("stats").map(parseStats).getOrElse(Map.empty))
     }
+
+  /** Chunk documents a manifest references (Nil for inline manifests or
+    * missing files) — the reachability input for chunk GC.
+    */
+  def chunkNames(p: Path): Seq[String] = {
+    if (!Files.exists(p)) return Nil
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+      .get("fileChunks")
+      .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
+      .getOrElse(Nil)
+  }
 
   // hand-rolled parser for exactly the JSON `write` produces
   def read(p: Path): Manifest = {
@@ -684,23 +1027,19 @@ private[graft] object ManifestJson {
         .map(_.asInstanceOf[List[Any]].map { d =>
           val dm = d.asInstanceOf[Map[String, Any]]
           DeleteEntry(dm("path").asInstanceOf[String],
-            dm("version").asInstanceOf[Double].toLong)
+            dm("version").asInstanceOf[Double].toLong,
+            dm.get("stats").map(parseStats).getOrElse(Map.empty))
         })
         .getOrElse(Nil))
   }
 
-  /** Delete a manifest AND its chunk side files (snapshot expiry). */
-  def delete(p: Path): Unit = {
-    if (Files.exists(p)) {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
-      parsed.get("fileChunks")
-        .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
-        .getOrElse(Nil)
-        .foreach(name => Files.deleteIfExists(p.resolveSibling(name)))
-    }
+  /** Delete a manifest DOCUMENT. Chunk documents are NOT deleted here —
+    * they are content-addressed and may be shared with other retained
+    * manifests; reachability GC ([[SnapshotTable.removeOrphanFiles]] /
+    * snapshot expiry) reclaims unreferenced ones.
+    */
+  def delete(p: Path): Unit =
     Files.deleteIfExists(p)
-  }
 }
 
 /** Tiny recursive-descent JSON parser (objects → Map, arrays → List,

@@ -15,6 +15,14 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Fully convert a Column to a Catalyst expression tree (unresolved
+    * attributes, but REAL comparison/boolean nodes, not ColumnNode
+    * wrappers) — what plan-level analysis like manifest stats pruning
+    * needs to pattern-match on.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Register an expression builder for SQL usage. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

@@ -42,6 +42,20 @@ class AsOfGraphSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components converge on a long chain within few rounds") {
+    // a 301-node path has diameter 300: plain hash-min contraction
+    // shortens it ~1-2 hops/round and would blow a 15-round cap; the
+    // pointer-doubled mapping collapses 2^k hops/round, so this pins the
+    // O(log diameter) convergence the scale path needs
+    val n = 300
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val comps = Graph.connectedComponents(edges, "id_a", "id_b", maxIters = 15)
+      .as[(Long, Long)].collect()
+    assert(comps.length == n + 1)
+    assert(comps.forall(_._2 == 0L), "every node joins component 0")
+  }
+
   test("piiScrub counts emails and phones deterministically") {
     val docs = Seq(
       (1L, "reach me at a.b+c@mail.example.org or x@y.io thanks"),

@@ -75,23 +75,22 @@ class SnapshotTableSpec extends SparkSpec {
   test("stale-version commit aborts before touching data or manifests") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl, batch(1 to 20, t0, 1.0), cfg, t0)
+    val stale = tbl.currentManifest // v1 — another writer then advances
     Ingestion.run(spark, tbl, batch(1 to 20, t1, 2.0), cfg, t1)
     assert(tbl.currentVersion == 2)
     val v2Json = new String(Files.readAllBytes(
       tbl.root.resolve("meta/v2.json")))
-    // a commit built against a stale version must abort BEFORE writing
-    // anything: its mode("overwrite") data write into the COLLIDING
-    // data/v2 dir would destroy the retained snapshot's files, and a
-    // retained manifest must never be overwritten
+    // a commit planned against a stale snapshot (and without rebase
+    // rights) must abort BEFORE spending the data write
     val e = intercept[IllegalStateException] {
-      tbl.commitData(batch(1 to 5, t1, 9.0), 2L, Nil, Map.empty,
+      tbl.commitData(batch(1 to 5, t1, 9.0), Some(stale), Nil, Map.empty,
         System.currentTimeMillis())
     }
     assert(e.getMessage.contains("concurrent commit"))
     assert(new String(Files.readAllBytes(tbl.root.resolve("meta/v2.json"))) == v2Json,
       "retained manifest must not be clobbered by the aborted commit")
     assert(tbl.removeOrphanFiles().isEmpty,
-      "nothing may be written (the colliding data dir is live data)")
+      "the abort must land before any file is written")
     assert(tbl.read(spark).count() == 20)
     assert(tbl.read(spark).filter(col("v") === 2.0).count() == 20)
   }
@@ -237,28 +236,53 @@ class SnapshotTableSpec extends SparkSpec {
       col("v") === 2.0).count() == 20)
   }
 
-  test("manifests beyond the chunk threshold round-trip via chunk files") {
-    import graft.table.{FileEntry, Manifest, ManifestJson}
+  test("chunked manifests round-trip and REUSE unchanged chunks across commits") {
+    import graft.table.{FileEntry, Manifest, ManifestJson, SnapshotTable}
     import scala.jdk.CollectionConverters._
-    val dir = Files.createTempDirectory("graft-chunk-")
-    val n = 25000 // > 2 chunks at the 10k threshold
-    val files = (0 until n).map(i =>
-      FileEntry(s"data/v1/p=${i % 7}/part-$i.parquet", Map("p" -> (i % 7).toString)))
-    val m = Manifest(1L, 123L, "id BIGINT", files, Seq("p"), Map("k" -> "v"))
-    val p = dir.resolve("v1.json")
-    ManifestJson.write(p, m)
-    // main document stays bounded; the list lives in side chunks
-    assert(Files.size(p) < 64 * 1024, "main manifest must stay small")
-    val chunks = scala.util.Using.resource(Files.list(dir))(
+    val tbl = SnapshotTable.at(Files.createTempDirectory("graft-chunk-").toString)
+    val dir = tbl.root.resolve("meta")
+    Files.createDirectories(dir)
+    def listChunks() = scala.util.Using.resource(Files.list(dir))(
       _.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v1-files-")).toSeq)
-    assert(chunks.size == 3) // 25000 / 10000 → 3 chunks
-    val back = ManifestJson.read(p)
-    assert(back == m, "chunked manifest must round-trip exactly")
-    // expiry-style delete removes the chunks together with the manifest
-    ManifestJson.delete(p)
-    assert(scala.util.Using.resource(Files.list(dir))(
-      _.iterator().asScala.isEmpty), "delete must remove manifest + chunks")
+        .filter(_.startsWith("files-")).toSeq.sorted)
+    val n = 25000 // > chunk threshold; 64 partitions spread over buckets
+    def entry(i: Int, ver: Int) = FileEntry(
+      s"data/v$ver/p=${i % 64}/part-$i.parquet",
+      Map("p" -> (i % 64).toString), seq = ver.toLong)
+    val files1 = (0 until n).map(entry(_, 1))
+    val m1 = Manifest(1L, 123L, "id BIGINT", files1, Seq("p"), Map("k" -> "v"))
+    val p1 = dir.resolve("v1.json")
+    ManifestJson.write(p1, m1)
+    // main document stays bounded; the list lives in side chunks
+    assert(Files.size(p1) < 64 * 1024, "main manifest must stay small")
+    val chunks1 = listChunks()
+    assert(chunks1.size >= 2 && chunks1.size <= 4) // 25000 / 10000 → ≤4 buckets
+    val back = ManifestJson.read(p1)
+    assert(back.copy(files = Nil) == m1.copy(files = Nil))
+    assert(back.files.toSet == m1.files.toSet,
+      "chunked manifest must round-trip exactly (bucketed order)")
+    // commit 2 rewrites ONE partition: only the chunk holding that
+    // partition's bucket changes — every other chunk is reused by name
+    val files2 = files1.filterNot(_.partition("p") == "3") ++
+      (0 until n).filter(_ % 64 == 3).map(entry(_, 2))
+    val m2 = m1.copy(version = 2L, files = files2)
+    ManifestJson.write(dir.resolve("v2.json"), m2)
+    val chunks2 = listChunks()
+    assert(chunks2.size == chunks1.size + 1,
+      s"a one-partition commit must write exactly one new chunk " +
+        s"(${chunks1.size} → ${chunks2.size})")
+    assert(ManifestJson.read(dir.resolve("v2.json")).files.toSet == files2.toSet)
+    // chunk GC is by reachability: shared chunks survive one manifest's
+    // expiry, unreferenced ones are swept
+    ManifestJson.delete(p1)
+    val sweptAfterV1 = tbl.removeOrphanFiles()
+    assert(listChunks().toSet ==
+      ManifestJson.chunkNames(dir.resolve("v2.json")).toSet,
+      "chunks shared with v2 must survive v1 expiry; v1-only ones are swept")
+    assert(sweptAfterV1.nonEmpty, "v1's dirty-partition chunk is unreferenced")
+    ManifestJson.delete(dir.resolve("v2.json"))
+    tbl.removeOrphanFiles()
+    assert(listChunks().isEmpty, "no manifests → all chunks swept")
   }
 
   test("incremental read returns only partitions touched since a version") {
@@ -288,7 +312,9 @@ class SnapshotTableSpec extends SparkSpec {
     Ingestion.run(spark, tbl, batch(1 to 50, t0, 1.0), cfg, t0)
     // backdate v1 so it is age-expired
     val m1 = tbl.manifest(1).copy(timestampMs = old)
-    tbl.compact(spark, nowMs = now) // v2 references only new files
+    // v2 references only new files (a replace; selective compaction on an
+    // already-compact table is deliberately a no-op)
+    tbl.createOrReplace(batch(1 to 50, t0, 1.0), nowMs = now)
     // rewrite the backdated manifest for v1
     val metaPath = java.nio.file.Paths.get(tbl.root.toString, "meta", "v1.json")
     graft.table.ManifestJson.write(metaPath, m1)
@@ -422,6 +448,145 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out.filter(col("v") === 2.0).count() == 3)
     assert(out.filter(col("p") === "a+b").count() == 1)
     assert(out.filter(col("p").isNull).count() == 1)
+  }
+
+  test("footer stats land in the manifest and prune predicate scans") {
+    val tbl = freshTable()
+    // range-cluster on id so files carry disjoint id bounds
+    tbl.createOrReplace(
+      batch(1 to 1000, t0, 1.0).repartitionByRange(5, col("id")))
+    val m = tbl.currentManifest
+    assert(m.files.size == 5)
+    assert(m.files.forall(_.seq == 1L), "seq is persisted explicitly")
+    assert(m.files.forall(_.stats.contains("id")), "footer bounds recorded")
+    assert(m.files.forall(_.stats.contains("updated_at")),
+      "timestamp bounds recorded (INT64 micros footers)")
+    val cond = col("id") <= 100L
+    val (kept, total) = tbl.pruneCounts(cond)
+    assert(kept < total, s"id<=100 must skip files ($kept/$total)")
+    assert(tbl.readWhere(spark, cond).count() == 100)
+    // timestamp predicate prunes when files are time-clustered
+    val tt = freshTable()
+    val tsData = (1 to 1000).map(i =>
+      (i.toLong, Timestamp.valueOf(f"2026-01-${i % 27 + 1}%02d 00:00:00"), 1.0))
+      .toDF("id", "updated_at", "v")
+    tt.createOrReplace(tsData.repartitionByRange(5, col("updated_at")))
+    val tcond = col("updated_at") >= lit(Timestamp.valueOf("2026-01-25 00:00:00"))
+    val (tk, ttot) = tt.pruneCounts(tcond)
+    assert(tk < ttot, s"time-range filter must skip files ($tk/$ttot)")
+    assert(tt.readWhere(spark, tcond).count() ==
+      (1 to 1000).count(i => i % 27 + 1 >= 25))
+    // compound predicates: AND tightens, OR widens, unknown columns scan
+    assert(tbl.pruneCounts(col("id") <= 100L && col("v") === 1.0)._1 == kept)
+    assert(tbl.pruneCounts(col("id") <= 100L || col("id") > 900L)._1 > kept)
+    assert(tbl.pruneCounts(upper(col("updated_at").cast("string")) === "X")._1
+      == total, "unanalyzable predicates must never prune")
+  }
+
+  test("partition values prune through readWhere like column stats") {
+    val tbl = freshTable()
+    tbl.createOrReplace(
+      batch(1 to 100, t0, 1.0).withColumn("p", col("id") % 4), Seq("p"))
+    val (kept, total) = tbl.pruneCounts(col("p") === 1L)
+    assert(total >= 4 && kept < total)
+    assert(tbl.readWhere(spark, col("p") === 1L).count() == 25)
+    assert(tbl.readWhere(spark, col("p") === 1L && col("id") <= 10L).count() == 3)
+  }
+
+  test("stats-aware MoR read skips the delete join for non-overlapping files") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    tbl.createOrReplace(
+      batch(1 to 1000, t0, 1.0).repartitionByRange(4, col("id")))
+    // MoR update touching only ids 1..50: the delete file's key bounds
+    // exonerate every data file whose id range lies beyond them
+    tbl.mergeMoR(spark,
+      batch(1 to 50, t1, 2.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    val m = tbl.currentManifest
+    assert(m.deleteFiles.nonEmpty)
+    assert(m.deleteFiles.forall(_.stats.contains("id")),
+      "delete files must carry key-column bounds")
+    val dirty = tbl.morDirtyFiles(m)
+    assert(dirty.size == 1,
+      s"only the v1 file covering ids 1..50 needs the anti-join, got " +
+        dirty.map(_.path).mkString(", "))
+    val out = tbl.read(spark)
+    assert(out.count() == 1000)
+    assert(out.filter(col("v") === 2.0).count() == 50)
+    assert(out.filter(col("v") === 1.0).count() == 950)
+  }
+
+  test("selective compaction rewrites only groups that need it and folds deletes") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    // contiguous id ranges per partition so delete bounds can exonerate
+    // the untouched partitions
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", ((col("id") - 1) / lit(100)).cast("long"))
+    tbl.createOrReplace(withP(batch(1 to 400, t0, 1.0)), Seq("p"))
+    tbl.mergeMoR(spark,
+      withP(batch(1 to 100, t1, 2.0)).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    val before = tbl.currentManifest
+    assert(before.deleteFiles.nonEmpty)
+    val untouched = before.files.filter(_.partition("p") != "0").map(_.path).toSet
+    assert(untouched.nonEmpty)
+    tbl.compact(spark)
+    val after = tbl.currentManifest
+    assert(after.deleteFiles.isEmpty, "compaction folds deletes")
+    assert(untouched.subsetOf(after.files.map(_.path).toSet),
+      "already-compact unaffected partitions must be carried by reference")
+    assert(after.files.count(_.partition("p") == "0") == 1,
+      "the fragmented + delete-affected partition is rewritten")
+    val out = tbl.read(spark)
+    assert(out.count() == 400)
+    assert(out.filter(col("v") === 2.0).count() == 100)
+    assert(out.filter(col("v") === 1.0).count() == 300)
+    // nothing left to do → compaction is a metadata no-op (no new commit)
+    val v = tbl.currentVersion
+    tbl.compact(spark)
+    assert(tbl.currentVersion == v, "no-op compaction must not commit")
+  }
+
+  test("concurrent partition-scoped merges on disjoint partitions both land") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("id") % 4)
+    tbl.createOrReplace(withP(batch(1 to 100, t0, 1.0)), Seq("p"))
+    val base = tbl.currentVersion
+    val changesA = withP(batch(1 to 100, t1, 2.0)).filter(col("p") === 0)
+      .withColumn("op", lit("U"))
+    val changesB = withP(batch(1 to 100, t1, 2.0)).filter(col("p") === 1)
+      .withColumn("op", lit("U"))
+    // writer A lands INSIDE writer B's merge window (after B planned
+    // against the base manifest): B must detect the moved pointer and
+    // rebase its carried files onto A's manifest instead of aborting
+    tbl.merge(spark, changesB, Seq("id"), keepDeletes = false,
+      targetTransform = t => {
+        tbl.merge(spark, changesA, Seq("id"), keepDeletes = false)
+        t
+      })
+    assert(tbl.currentVersion == base + 2, "both merges must commit")
+    val out = tbl.read(spark)
+    assert(out.count() == 100)
+    assert(out.filter(col("p") === 0 && col("v") === 2.0).count() == 25)
+    assert(out.filter(col("p") === 1 && col("v") === 2.0).count() == 25)
+    assert(out.filter(col("v") === 1.0).count() == 50)
+    // OVERLAPPING concurrent merges still abort (second writer's
+    // partitions were rewritten under it)
+    val e = intercept[IllegalStateException] {
+      tbl.merge(spark, changesA, Seq("id"), keepDeletes = false,
+        targetTransform = t => {
+          tbl.merge(spark,
+            withP(batch(1 to 100, Timestamp.valueOf("2026-03-01 00:00:00"), 3.0))
+              .filter(col("p") === 0).withColumn("op", lit("U")),
+            Seq("id"), keepDeletes = false)
+          t
+        })
+    }
+    assert(e.getMessage.contains("concurrent commit"))
   }
 
   test("files() metadata relation lists live files with partitions") {
