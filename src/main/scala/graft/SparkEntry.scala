@@ -398,6 +398,43 @@ object SparkEntry {
           expr("percentile(n_tokens, 0.9)").as("p90_tokens"))
     }),
 
+    "q63_token_percentiles_approx" -> ((s, d) => {
+      // production profile of q44: exact `percentile` is HOLISTIC (buffers
+      // every value per group — memory O(group size)); approx_percentile
+      // is a mergeable Greenwald-Khanna sketch with bounded memory, the
+      // only viable shape when a group holds billions of rows. Sketch
+      // OUTPUTS aren't portable across engines, so the query emits the
+      // sketch's rank-error CONTRACT instead: the approx value's true rank
+      // interval (counted exactly against the data) must intersect the
+      // guaranteed window p·n ± (ε·n + 1). Oracle = constant TRUE per
+      // group — hash-checkable in any engine.
+      val acc = 1000
+      val eps = 1.0 / acc
+      val tk = t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val ap = tk.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr(s"approx_percentile(n_tokens, 0.5, $acc)").as("a50"),
+          expr(s"approx_percentile(n_tokens, 0.9, $acc)").as("a90"))
+      // rank census of each approx value: one broadcast of the tiny
+      // per-group sketch results, one map-side pass over the tokens
+      val ranks = tk.join(broadcast(ap), "lang")
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("n_tokens") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("n_tokens") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("n_tokens") < col("a90"), 1L).otherwise(0L)).as("lt90"),
+          sum(when(col("n_tokens") <= col("a90"), 1L).otherwise(0L)).as("le90"))
+      def inBound(p: Double, lt: Column, le: Column): Column = {
+        val n = col("n_docs").cast("double")
+        (lt + lit(1) <= n * (p + eps) + 1) && (le >= n * (p - eps) - 1)
+      }
+      ap.join(ranks, "lang")
+        .select(col("lang"), col("n_docs"),
+          inBound(0.5, col("lt50"), col("le50")).as("p50_in_bound"),
+          inBound(0.9, col("lt90"), col("le90")).as("p90_in_bound"))
+    }),
+
     "q38_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -891,6 +928,13 @@ object SparkEntry {
         |  quantile_cont(n_tokens, 0.5) AS p50_tokens,
         |  quantile_cont(n_tokens, 0.9) AS p90_tokens
         |FROM tk GROUP BY lang""".stripMargin,
+
+    // the Spark side asserts the sketch's rank-error bound against the
+    // exact data census; the oracle only needs to agree it always holds
+    "q63_token_percentiles_approx" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "q46_chunking" ->
       """WITH c AS (SELECT doc_id, text,

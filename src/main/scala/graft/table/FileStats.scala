@@ -15,6 +15,17 @@ import org.apache.spark.sql.types._
   */
 final case class ColBounds(min: String, max: String)
 
+/** Everything `collect` reads out of one file's footer: column bounds,
+  * per-column null counts (only columns where every row group reports
+  * one), and the file's row count. Null counts drive `IS NULL` /
+  * `IS NOT NULL` pruning and let comparisons prune all-null columns the
+  * bounds (which need a non-null value) can't speak for — the analog of
+  * Iceberg's `null_value_counts`/`record_count` manifest fields.
+  */
+final case class CollectedStats(bounds: Map[String, ColBounds],
+                                nulls: Map[String, Long],
+                                rows: Long)
+
 /** Collects per-file column min/max from parquet FOOTERS — no data read;
   * one footer fetch per freshly-written file at commit time. Columns are
   * kept only when every row group carries usable statistics and the
@@ -30,7 +41,7 @@ object FileStats {
     */
   val MaxStringBound = 96
 
-  def collect(file: Path, schema: StructType): Map[String, ColBounds] = {
+  def collect(file: Path, schema: StructType): CollectedStats = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -38,12 +49,25 @@ object FileStats {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
       val types = schema.fields.map(f => f.name -> f.dataType).toMap
       // per column: running (min, max) across row groups; None = dropped
       val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
+      // per column: running null count; None = some row group didn't
+      // report one (unknown — never used to prune)
+      val nullAcc = scala.collection.mutable.Map[String, Option[Long]]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         types.get(name).foreach { dt =>
+          val st = c.getStatistics
+          val blockNulls =
+            if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+              Some(st.getNumNulls)
+            else None
+          nullAcc(name) = for {
+            prev <- nullAcc.getOrElse(name, Some(0L))
+            n <- blockNulls
+          } yield prev + n
           if (acc.getOrElse(name, Some(null)) != None) {
             val phys = c.getPrimitiveType.getPrimitiveTypeName
             val stats = c.getStatistics
@@ -84,9 +108,12 @@ object FileStats {
           }
         }
       }
-      acc.collect { case (name, Some((mn, mx))) =>
-        name -> ColBounds(encode(mn), encode(mx))
-      }.toMap
+      CollectedStats(
+        acc.collect { case (name, Some((mn, mx))) =>
+          name -> ColBounds(encode(mn), encode(mx))
+        }.toMap,
+        nullAcc.collect { case (name, Some(n)) => name -> n }.toMap,
+        rows)
     } finally reader.close()
   }
 
@@ -100,7 +127,19 @@ object FileStats {
   private def minOf(dt: DataType, a: Any, b: Any): Any = if (cmp(dt, a, b) <= 0) a else b
   private def maxOf(dt: DataType, a: Any, b: Any): Any = if (cmp(dt, a, b) >= 0) a else b
 
-  private def encode(v: Any): String = v.toString
+  /** Float bounds are encoded as the shortest decimal of their DOUBLE
+    * value, not `Float.toString`: predicates compare a float column
+    * against double literals in the double domain (Spark widens the
+    * column), and the float's shortest decimal ("0.1") parses to a
+    * BigDecimal below the float's true double value (0.10000000149…) —
+    * `f > 0.1d` would wrongly prune a file whose max is 0.1f. Shortest
+    * double decimals are monotone in the underlying double, so encoding
+    * both bounds and literals that way keeps every comparison exact.
+    */
+  private def encode(v: Any): String = v match {
+    case f: java.lang.Float => java.lang.Double.toString(f.doubleValue)
+    case other => other.toString
+  }
 }
 
 /** Conservative file-level predicate evaluation over manifest bounds.
@@ -135,17 +174,29 @@ object StatsPruning {
     case _ => None
   }
 
+  /** Is `s` the hive null-partition sentinel? (Every row of such a file
+    * has a NULL partition-column value — an exact null census.)
+    */
+  def isNullPartitionValue(s: String): Boolean =
+    s == org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
   /** Decode a hive-style partition-path VALUE for a column of `dt` into
     * an exact point bound. Timestamps/dates parse the writer's formats;
     * unparseable or null-sentinel values decline.
     */
   def decodePartitionValue(dt: DataType, s: String): Option[Bound] = {
-    if (s == org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return None
+    if (isNullPartitionValue(s)) return None
     try dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         Some(NumB(BigDecimal(s)))
-      case FloatType | DoubleType => Some(NumB(BigDecimal(s)))
+      // floats enter the double comparison domain via their exact widened
+      // value (see FileStats.encode); the path string is a FLOAT decimal
+      case FloatType =>
+        val f = java.lang.Float.parseFloat(s)
+        if (java.lang.Float.isFinite(f)) Some(NumB(BigDecimal(f.doubleValue)))
+        else None
+      case DoubleType => Some(NumB(BigDecimal(s)))
       case DateType =>
         Some(NumB(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)))
       case TimestampType | TimestampNTZType =>
@@ -234,6 +285,8 @@ object StatsPruning {
       uf.nameParts.head.toLowerCase match {
         case "and" if as.size == 2  => And(as(0), as(1))
         case "or" if as.size == 2   => Or(as(0), as(1))
+        case "isnull" if as.size == 1    => IsNull(as(0))
+        case "isnotnull" if as.size == 1 => IsNotNull(as(0))
         case "=" | "==" if as.size == 2 => EqualTo(as(0), as(1))
         case "<" if as.size == 2    => LessThan(as(0), as(1))
         case "<=" if as.size == 2   => LessThanOrEqual(as(0), as(1))
@@ -248,24 +301,42 @@ object StatsPruning {
 
   /** May any row of a file with `bounds(col) = Some((min, max))` satisfy
     * `expr`? `bounds` returning None means "unknown" for that column.
+    * `nulls` is the file's per-column null count where known; `rows` the
+    * file's row count, or -1 when unknown. They add three prune forms the
+    * bounds can't express: `IS NULL` on a null-free column, `IS NOT NULL`
+    * on an all-null column, and any comparison on an all-null column
+    * (NULL compares to nothing).
     */
   def mayMatch(expr: Expression,
                colType: String => Option[DataType],
-               bounds: String => Option[(Bound, Bound)]): Boolean =
-    mayMatchNorm(normalize(expr), colType, bounds)
+               bounds: String => Option[(Bound, Bound)],
+               nulls: String => Option[Long] = _ => None,
+               rows: Long = -1L): Boolean =
+    rows != 0L && mayMatchNorm(normalize(expr), colType, bounds, nulls, rows)
 
   private def mayMatchNorm(expr: Expression,
                colType: String => Option[DataType],
-               bounds: String => Option[(Bound, Bound)]): Boolean = expr match {
+               bounds: String => Option[(Bound, Bound)],
+               nulls: String => Option[Long],
+               rows: Long): Boolean = expr match {
     case And(l, r) =>
-      mayMatchNorm(l, colType, bounds) && mayMatchNorm(r, colType, bounds)
+      mayMatchNorm(l, colType, bounds, nulls, rows) &&
+        mayMatchNorm(r, colType, bounds, nulls, rows)
     case Or(l, r) =>
-      mayMatchNorm(l, colType, bounds) || mayMatchNorm(r, colType, bounds)
+      mayMatchNorm(l, colType, bounds, nulls, rows) ||
+        mayMatchNorm(r, colType, bounds, nulls, rows)
     case Literal(false, BooleanType) => false
+    case IsNull(a) =>
+      // a null-free column can't satisfy IS NULL
+      attrName(a).forall(n => !nulls(n).contains(0L))
+    case IsNotNull(a) =>
+      // an all-null column can't satisfy IS NOT NULL
+      attrName(a).forall(n => !(rows > 0 && nulls(n).contains(rows)))
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       attrName(a) match {
         case Some(n) =>
-          vs.exists(v => mayCompare(n, v.asInstanceOf[Literal], "=", colType, bounds))
+          vs.exists(v => mayCompare(n, v.asInstanceOf[Literal], "=",
+            colType, bounds, nulls, rows))
         case None => true
       }
     case c: BinaryComparison =>
@@ -279,9 +350,10 @@ object StatsPruning {
         case _                             => ("?", c.left, c.right)
       }
       (attrName(a), l, attrName(l), a) match {
-        case (Some(n), lit: Literal, _, _) => mayCompare(n, lit, op, colType, bounds)
+        case (Some(n), lit: Literal, _, _) =>
+          mayCompare(n, lit, op, colType, bounds, nulls, rows)
         case (_, _, Some(n), lit: Literal) => // literal on the left: flip
-          mayCompare(n, lit, flip(op), colType, bounds)
+          mayCompare(n, lit, flip(op), colType, bounds, nulls, rows)
         case _ => true
       }
     case _ => true
@@ -300,7 +372,13 @@ object StatsPruning {
 
   private def mayCompare(name: String, lit: Literal, op: String,
                          colType: String => Option[DataType],
-                         bounds: String => Option[(Bound, Bound)]): Boolean = {
+                         bounds: String => Option[(Bound, Bound)],
+                         nulls: String => Option[Long],
+                         rows: Long): Boolean = {
+    // NULL compares to nothing: a comparison on an all-null column never
+    // matches, bounds or not (note `col <=> NULL` never reaches here —
+    // null literals decline in literalBound → conservative true)
+    if (rows > 0 && nulls(name).contains(rows)) return false
     val r = for {
       dt <- colType(name)
       v <- literalBound(dt, lit)

@@ -39,10 +39,16 @@ final case class Manifest(
   *   without the field fall back to parsing the `data/v<N>/...` path.
   * @param stats per-column min/max from the file's parquet footer,
   *   recorded at commit time; scans prune on them ([[SnapshotTable.readWhere]]).
+  * @param nulls per-column null counts where the footer reports them
+  *   (Iceberg's null_value_counts analog) — IS NULL / IS NOT NULL and
+  *   all-null-column pruning.
+  * @param rows the file's row count (-1 in legacy manifests).
   */
 final case class FileEntry(path: String, partition: Map[String, String],
                            seq: Long = 0L,
-                           stats: Map[String, ColBounds] = Map.empty)
+                           stats: Map[String, ColBounds] = Map.empty,
+                           nulls: Map[String, Long] = Map.empty,
+                           rows: Long = -1L)
 
 object FileEntry {
   /** Legacy sequence number: parse the commit version out of a
@@ -150,7 +156,8 @@ final class SnapshotTable(val root: Path) {
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     m.files.filter { f =>
-      StatsPruning.mayMatch(expr, types, boundsFor(f, types))
+      StatsPruning.mayMatch(expr, types, boundsFor(f, types),
+        nullsFor(f), f.rows)
     }
   }
 
@@ -185,6 +192,22 @@ final class SnapshotTable(val root: Path) {
               } yield (mn, mx)
             }
       }
+    }
+  }
+
+  /** Null count of a column within one file: a partition column's count
+    * is exact from its path value (hive null sentinel = all rows null,
+    * anything else = none); data columns use the footer counts captured
+    * in the manifest. None = unknown (never prune).
+    */
+  private def nullsFor(f: FileEntry): String => Option[Long] = { name =>
+    f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
+      case Some(pv) =>
+        if (!StatsPruning.isNullPartitionValue(pv)) Some(0L)
+        else if (f.rows >= 0) Some(f.rows)
+        else None
+      case None =>
+        f.nulls.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     }
   }
 
@@ -503,12 +526,13 @@ final class SnapshotTable(val root: Path) {
         throw concurrentCommit(cur.map(_.version).getOrElse(0L))
       val newData = written.map { p =>
         val rel = root.relativize(p).toString
+        val cs = FileStats.collect(p, target.schema)
         FileEntry(rel, partitionOf(rel, m.partitionColumns), v,
-          FileStats.collect(p, target.schema))
+          cs.bounds, cs.nulls, cs.rows)
       }
       val newDeletes = delWritten.map(p =>
         DeleteEntry(root.relativize(p).toString, v,
-          FileStats.collect(p, delSchema)))
+          FileStats.collect(p, delSchema).bounds))
       // schema may have drifted through targetTransform (column adds are
       // metadata-only; carried files null-fill on read under the superset)
       Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
@@ -829,7 +853,8 @@ final class SnapshotTable(val root: Path) {
         }
       val entries = written.map { p =>
         val rel = root.relativize(p).toString
-        FileEntry(rel, partitionOf(rel, pcols), v, FileStats.collect(p, df.schema))
+        val cs = FileStats.collect(p, df.schema)
+        FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls, cs.rows)
       }
       Manifest(v, nowMs, df.schema.toDDL, entries ++ carriedFiles,
         pcols, props, deleteFiles = carriedDeletes)
@@ -911,7 +936,13 @@ private[graft] object ManifestJson {
   private def fileJson(f: FileEntry): String = {
     val statsPart =
       if (f.stats.isEmpty) "" else s""","stats":${statsObj(f.stats)}"""
-    s"""{"path":${q(f.path)},"partition":${obj(f.partition)},"seq":${f.seq}$statsPart}"""
+    val nullsPart =
+      if (f.nulls.isEmpty) ""
+      else f.nulls.toSeq.sortBy(_._1).map { case (k, n) => s"${q(k)}:$n" }
+        .mkString(""","nulls":{""", ",", "}")
+    val rowsPart = if (f.rows >= 0) s""","rows":${f.rows}""" else ""
+    s"""{"path":${q(f.path)},"partition":${obj(f.partition)},"seq":${f.seq}""" +
+      s"""$statsPart$nullsPart$rowsPart}"""
   }
 
   private def fileArr(files: Seq[FileEntry]): String =
@@ -987,7 +1018,12 @@ private[graft] object ManifestJson {
           .map { case (k, v) => k -> v.asInstanceOf[String] },
         seq = fm.get("seq").map(_.asInstanceOf[Double].toLong)
           .getOrElse(FileEntry.legacySeq(path)),
-        stats = fm.get("stats").map(parseStats).getOrElse(Map.empty))
+        stats = fm.get("stats").map(parseStats).getOrElse(Map.empty),
+        nulls = fm.get("nulls")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+            k -> v.asInstanceOf[Double].toLong })
+          .getOrElse(Map.empty),
+        rows = fm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L))
     }
 
   /** Chunk documents a manifest references (Nil for inline manifests or

@@ -483,6 +483,50 @@ class SnapshotTableSpec extends SparkSpec {
       == total, "unanalyzable predicates must never prune")
   }
 
+  test("float bounds prune in the double domain, not the float decimal") {
+    val tbl = freshTable()
+    // two files with constant float values: 0.1f's double value is
+    // 0.10000000149…, ABOVE the double literal 0.1 — the float-decimal
+    // encoding ("0.1") would wrongly prune the first file for f > 0.1d
+    val df = (1 to 100).map(i =>
+        (i.toLong, if (i <= 50) 0.1f else 0.9f))
+      .toDF("id", "f")
+    tbl.createOrReplace(df.repartitionByRange(2, col("id")))
+    assert(tbl.currentManifest.files.size == 2)
+    assert(tbl.pruneCounts(col("f") > 0.1)._1 == 2,
+      "0.1f > 0.1d is TRUE in the double domain — neither file prunable")
+    assert(tbl.readWhere(spark, col("f") > 0.1).count() == 100)
+    // and the converse stays prunable: nothing is below 0.1d
+    assert(tbl.pruneCounts(col("f") < 0.1)._1 == 0)
+    assert(tbl.readWhere(spark, col("f") < 0.1).count() == 0)
+  }
+
+  test("null counts prune IS NULL / IS NOT NULL and all-null comparisons") {
+    val tbl = freshTable()
+    // file 1 (ids 1-100): s entirely null; file 2 (ids 101-200): no nulls
+    val df = (1 to 200).map(i =>
+        (i.toLong, if (i <= 100) null else "x"))
+      .toDF("id", "s")
+    tbl.createOrReplace(df.repartitionByRange(2, col("id")))
+    val m = tbl.currentManifest
+    assert(m.files.size == 2)
+    assert(m.files.forall(_.rows == 100L), "row counts recorded")
+    assert(m.files.forall(_.nulls.contains("s")), "null counts recorded")
+    assert(tbl.pruneCounts(col("s").isNull)._1 == 1,
+      "the null-free file can't satisfy IS NULL")
+    assert(tbl.readWhere(spark, col("s").isNull).count() == 100)
+    assert(tbl.pruneCounts(col("s").isNotNull)._1 == 1,
+      "the all-null file can't satisfy IS NOT NULL")
+    assert(tbl.readWhere(spark, col("s").isNotNull).count() == 100)
+    // comparisons never match NULL: the all-null file prunes even though
+    // it has no bounds for s
+    assert(tbl.pruneCounts(col("s") === "x")._1 == 1)
+    assert(tbl.readWhere(spark, col("s") === "x").count() == 100)
+    // manifest round-trip: a re-opened table prunes identically
+    val reopened = SnapshotTable.at(tbl.root.toString)
+    assert(reopened.pruneCounts(col("s").isNull)._1 == 1)
+  }
+
   test("partition values prune through readWhere like column stats") {
     val tbl = freshTable()
     tbl.createOrReplace(
