@@ -314,6 +314,31 @@ object SparkEntry {
       table.readWhere(s, cond)
     }),
 
+    "q27_zorder_scan" -> ((s, d) => {
+      // z-order layout rewrite (Iceberg rewrite_data_files sort/zorder
+      // strategy): after clustering on the Morton curve over
+      // (l_orderkey, l_partkey), file bounds prune predicates on EITHER
+      // column — a linear sort would leave the second column unprunable.
+      // The require()s fail the query if either dimension regresses.
+      val root = Files.createTempDirectory("graft-zorder-").toString
+      val table = SnapshotTable.at(root)
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      table.createOrReplace(li)
+      table.rewriteZOrder(s, Seq("l_orderkey", "l_partkey"), minFiles = 8)
+      // cutoffs at ~5% of each key range, derived (not hardcoded) so the
+      // query is meaningful at every scale factor
+      val r = li.agg(max("l_orderkey"), max("l_partkey")).head
+      val oCut = r.get(0).asInstanceOf[Number].longValue / 20
+      val pCut = r.get(1).asInstanceOf[Number].longValue / 20
+      val (keptO, total) = table.pruneCounts(col("l_orderkey") <= oCut)
+      val (keptP, _) = table.pruneCounts(col("l_partkey") <= pCut)
+      require(total >= 8, s"z-order rewrite must produce several files ($total)")
+      require(keptO < total, s"orderkey dim must prune ($keptO/$total)")
+      require(keptP < total, s"partkey dim must prune ($keptP/$total)")
+      table.readWhere(s, col("l_orderkey") <= oCut || col("l_partkey") <= pCut)
+    }),
+
     "q62_mor_lifecycle" -> ((s, d) => {
       // merge-on-read lifecycle (the reference's --optimize storage
       // physical path): CTAS v1 → MoR merge v2 (appended data +
@@ -771,6 +796,13 @@ object SparkEntry {
     // the pruned scan must return exactly the unpruned filter result
     "q26_stats_pruned_scan" -> (withFixtures +
       " SELECT * FROM tgt WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"),
+
+    // the z-ordered pruned scan must return exactly the plain filter
+    // result (pruning is IO-only; the curve changes layout, not rows)
+    "q27_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        |WHERE l_orderkey <= (SELECT max(l_orderkey) // 20 FROM lineitem)
+        |   OR l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)""".stripMargin,
 
     // MoR must resolve to exactly the CoW merge result (same oracle)
     "q62_mor_lifecycle" -> (withFixtures +

@@ -19,7 +19,7 @@ object Registry {
   /** Registers: graft_bucket(key, n), graft_simhash(array<long>),
     * graft_jaccard(sortedA, sortedB), graft_vector_dot(a, b),
     * graft_minhash(array<long>, k), graft_hyperplane_keys(vec, bits,
-    * tables), graft_sig_overlap(sigA, sigB).
+    * tables), graft_sig_overlap(sigA, sigB), graft_zvalue(cols...).
     */
   def registerAll(spark: SparkSession): Unit = {
     GraftBridge.registerFunction(spark, "graft_bucket",
@@ -37,5 +37,7 @@ object Registry {
         intArg(exprs(1), "sign bits"), intArg(exprs(2), "tables")))
     GraftBridge.registerFunction(spark, "graft_sig_overlap",
       exprs => EqualSlotFraction(exprs.head, exprs(1)))
+    GraftBridge.registerFunction(spark, "graft_zvalue",
+      exprs => ZValueExpr(exprs))
   }
 }

@@ -309,8 +309,9 @@ final class SnapshotTable(val root: Path) {
       val p = root.resolve(f.path)
       (p.toString,
         f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-        if (Files.exists(p)) Files.size(p) else -1L)
-    }.toDF("file_path", "partition", "file_size_bytes")
+        if (Files.exists(p)) Files.size(p) else -1L,
+        f.rows)
+    }.toDF("file_path", "partition", "file_size_bytes", "record_count")
   }
 
   /** Time travel: read a specific retained snapshot version (Iceberg
@@ -602,6 +603,60 @@ final class SnapshotTable(val root: Path) {
         nowMs, carryForward = carried,
         writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
     }
+  }
+
+  /** Z-ORDER layout rewrite: the whole table rewritten clustered on the
+    * Morton curve over `cols` ([[graft.functions.ZValueExpr]]), so the
+    * per-file bounds in the manifest become selective on EVERY listed
+    * column — a linear sort (what `repartitionByRange` on one column
+    * gives) makes only its leading column prunable. This is Iceberg's
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(…)')`,
+    * reachable from the reference's maintenance path
+    * (common/iceberg.py:264-270).
+    *
+    * A full rewrite by design (it's a layout change, unlike [[compact]]'s
+    * selective bin-pack); run it once to establish the layout, then
+    * selective compaction maintains file sizes without disturbing it
+    * beyond the partitions it touches. Pending MoR deletes fold away
+    * (the rewrite reads the resolved view). Unpartitioned tables only:
+    * partitioned tables already prune on their partition values, and the
+    * partition-clustered writer would destroy the curve order.
+    *
+    * @param minFiles floor on the output file count — pruning tests at
+    *   tiny scale need several files regardless of `targetFileBytes`.
+    */
+  def rewriteZOrder(spark: SparkSession, cols: Seq[String],
+                    targetFileBytes: Long = 64L * 1024 * 1024,
+                    minFiles: Int = 1,
+                    nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    require(m.partitionColumns.isEmpty,
+      "z-order rewrite supports unpartitioned tables (partitioned tables " +
+        "prune on partition values; z-order the columns within one partition)")
+    require(cols.nonEmpty, "need at least one column to cluster on")
+    val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
+    val nFiles = math.max(minFiles,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val z = "__graft_z"
+    val df = read(spark)
+    // per-column key bounds (one map-side-combined agg pass): the curve
+    // normalizes each column to its observed range, else a wide-magnitude
+    // column monopolizes the leading interleaved bits and narrow columns
+    // never become prunable (see ZValue.leftAlign)
+    val aggs = cols.flatMap(c => Seq(
+      min(graft.functions.ZOrder.zkey(col(c))),
+      max(graft.functions.ZOrder.zkey(col(c)))))
+    // row layout: min(c0), max(c0), min(c1), max(c1), ...
+    val boundsRow = df.agg(aggs.head, aggs.tail: _*).head
+    val lows = cols.indices.map(i => boundsRow.getLong(2 * i) ^ Long.MinValue)
+    val highs = cols.indices.map(i => boundsRow.getLong(2 * i + 1) ^ Long.MinValue)
+    val clustered = df
+      .withColumn(z, graft.functions.ZOrder.zvalueScaled(
+        cols.map(col), lows, highs))
+      .repartitionByRange(nFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+    commitData(clustered, Some(m), Nil, m.properties, nowMs)
   }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ZOrder, ZValue}
+import graft.table.SnapshotTable
+
+/** Z-order kernels and the layout rewrite: key-mapping monotonicity,
+  * interleave bit math, expression ≡ kernel under codegen, and the
+  * property the feature exists for — after `rewriteZOrder` on two
+  * columns, file bounds prune on BOTH, where a linear sort leaves the
+  * trailing column unprunable.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  // keys live in the UNSIGNED 64-bit domain (interleave reads raw bits)
+  private def unsignedSorted(xs: Seq[Long]): Boolean =
+    xs.zip(xs.tail).forall { case (a, b) =>
+      java.lang.Long.compareUnsigned(a, b) < 0 }
+
+  test("key mappings preserve order per type (unsigned domain)") {
+    val longs = Seq(Long.MinValue, -5L, -1L, 0L, 1L, 42L, Long.MaxValue)
+    assert(unsignedSorted(longs.map(ZValue.fromLong)))
+    val doubles = Seq(Double.NegativeInfinity, -1e300, -1.5, -0.0, 0.0,
+      1e-300, 2.5, Double.PositiveInfinity)
+    assert(unsignedSorted(doubles.map(ZValue.fromDouble)))
+    val strings = Seq("", "a", "ab", "b", "ba", "zz").map(
+      org.apache.spark.unsafe.types.UTF8String.fromString)
+    assert(unsignedSorted(strings.map(ZValue.fromUTF8)))
+  }
+
+  test("interleave round-robins bits across columns, MSB first") {
+    // column 0's MSB is the first output bit, column 1's the second
+    assert(ZValue.interleave(Array(1L << 63, 0L)).toSeq ==
+      (Array[Byte](0x80.toByte) ++ Array.fill[Byte](15)(0)).toSeq)
+    assert(ZValue.interleave(Array(0L, 1L << 63)).toSeq ==
+      (Array[Byte](0x40.toByte) ++ Array.fill[Byte](15)(0)).toSeq)
+    // all-ones keys fill every output bit
+    assert(ZValue.interleave(Array(-1L, -1L)).toSeq ==
+      Array.fill[Byte](16)(0xff.toByte).toSeq)
+    // lowest bit of the LAST column is the final output bit
+    assert(ZValue.interleave(Array(0L, 1L)).toSeq ==
+      (Array.fill[Byte](15)(0) ++ Array[Byte](0x01)).toSeq)
+  }
+
+  test("expression matches the kernel under codegen and maps nulls low") {
+    val rows = Seq((5L, 3.5, "abc"), (-2L, -0.5, "zz"), (0L, 0.0, ""))
+    val df = rows.toDF("a", "b", "c")
+    val got = df.select(ZOrder.zvalue(col("a"), col("b"), col("c")))
+      .as[Array[Byte]].collect().toSeq
+    val want = rows.map { case (a, b, c) =>
+      ZValue.interleave(Array(
+        ZValue.fromLong(a), ZValue.fromDouble(b),
+        ZValue.fromUTF8(org.apache.spark.unsafe.types.UTF8String.fromString(c))))
+    }
+    assert(got.zip(want).forall { case (g, w) => g.sameElements(w) })
+    // a null key sorts below every non-null key of its column: ordering
+    // by the z-value must put the null-a row first (binary sort order)
+    val ordered = Seq((Some(1L), 2L), (None, 2L)).toDF("a", "b")
+      .orderBy(ZOrder.zvalue(col("a"), col("b")))
+      .select("a").as[Option[Long]].collect()
+    assert(ordered.head.isEmpty && ordered(1).contains(1L))
+    // SQL registration
+    graft.functions.Registry.registerAll(spark)
+    val viaSql = df.selectExpr("graft_zvalue(a, b, c)")
+      .as[Array[Byte]].collect().toSeq
+    assert(viaSql.zip(want).forall { case (g, w) => g.sameElements(w) })
+  }
+
+  test("z-order rewrite makes BOTH dimensions prunable; rows unchanged") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-zorder-spec-").toString)
+    // a 64x64 grid: under any linear sort one of x/y is unprunable
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    tbl.createOrReplace(grid.repartitionByRange(8, col("x")))
+    // baseline: x-sorted layout prunes x but not y
+    assert(tbl.pruneCounts(col("x") < 8L)._1 < 8)
+    assert(tbl.pruneCounts(col("y") < 8L)._1 == 8,
+      "sanity: linear-on-x layout cannot prune y")
+    tbl.rewriteZOrder(spark, Seq("x", "y"), minFiles = 8)
+    val total = tbl.currentManifest.files.size
+    assert(total >= 8)
+    val keptX = tbl.pruneCounts(col("x") < 8L)._1
+    val keptY = tbl.pruneCounts(col("y") < 8L)._1
+    assert(keptX < total, s"x must prune after z-order ($keptX/$total)")
+    assert(keptY < total, s"y must prune after z-order ($keptY/$total)")
+    // layout change only: same rows, and pruned reads agree with filters
+    assert(tbl.read(spark).count() == 64L * 64)
+    assert(tbl.readWhere(spark, col("x") < 8L && col("y") < 8L).count() == 64)
+    assert(tbl.readWhere(spark, col("x") < 8L || col("y") < 8L).count() == 960)
+  }
+}
