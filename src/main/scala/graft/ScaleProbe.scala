@@ -112,6 +112,76 @@ object ScaleProbe {
       mergeProbe("mor_merge_1pct", mor = true)
     }
 
+    // storage-layer scale probes: stats pruning, z-order, selective
+    // compaction — the read/maintenance features whose value only shows
+    // against a table with many files
+    {
+      import graft.table.SnapshotTable
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("c", explode(sequence(lit(0), lit(3))))
+        .select((col("l_orderkey") * 4 + col("c")).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+
+      // data-derived 10% cutoffs (the testdata's key density is not
+      // TPC-H's — never hardcode range assumptions into a probe)
+      val mx = li.agg(max("l_orderkey"), max("l_partkey")).head
+      val oCut = mx.get(0).asInstanceOf[Number].longValue / 10
+      val pCut = mx.get(1).asInstanceOf[Number].longValue / 10
+
+      // stats-pruned scan vs full scan on a range-clustered 2.4M-row table
+      val st = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-statsprobe").toString)
+      st.createOrReplace(li.repartitionByRange(64, col("l_orderkey")))
+      val cond = col("l_orderkey") <= oCut
+      val (kept, total) = st.pruneCounts(cond)
+      timed(s"stats_pruned_scan_${kept}of$total") {
+        st.readWhere(spark, cond).count()
+      }
+      timed("full_scan_filter") {
+        st.read(spark).filter(cond).count()
+      }
+
+      // z-order rewrite cost + two-dimension prune census
+      timed("zorder_rewrite_2_4m") {
+        st.rewriteZOrder(spark, Seq("l_orderkey", "l_partkey"), minFiles = 64)
+        st.currentManifest.files.size.toLong
+      }
+      val zo = st.pruneCounts(col("l_orderkey") <= oCut)
+      val zp = st.pruneCounts(col("l_partkey") <= pCut)
+      println(s"""{"stage":"zorder_prune_census","orderkey_kept":${zo._1},""" +
+        s""""partkey_kept":${zp._1},"total":${zo._2}}""")
+
+      // selective compaction: partition by CONTIGUOUS orderkey blocks so
+      // MoR delete-file key bounds can exonerate untouched partitions,
+      // fragment block 0 with three MoR merges (each appends small delta
+      // files + an equality delete), then compact — only block 0's group
+      // should be rewritten, everything else carried by reference
+      val pt = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-compactprobe").toString)
+      val blockSize = math.max(1L,
+        mx.get(0).asInstanceOf[Number].longValue / 32)
+      val withP = li.withColumn("p", expr(s"(l_orderkey - 1) DIV $blockSize"))
+      pt.createOrReplace(withP, Seq("p"))
+      (1 to 3).foreach { i =>
+        pt.mergeMoR(spark,
+          withP.filter(col("p") === 0 && pmod(col("l_orderkey"), lit(100)) === i)
+            .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+            .withColumn("op", lit("U")),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), keepDeletes = false)
+      }
+      val beforeFiles = pt.currentManifest.files.map(_.path).toSet
+      timed("selective_compact") {
+        pt.compact(spark)
+        val after = pt.currentManifest.files.map(_.path).toSet
+        val carried = (after intersect beforeFiles).size
+        println(s"""{"stage":"selective_compact_census","carried":$carried,""" +
+          s""""rewritten":${(after diff beforeFiles).size},""" +
+          s""""before":${beforeFiles.size}}""")
+        pt.read(spark).count()
+      }
+    }
+
     // embeddings ×K: deterministic per-copy perturbation of one dimension
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = emb0

@@ -29,6 +29,11 @@ object Dedup {
     * parallelism before a CPU-bound per-row stage. A compact parquet
     * source arrives as one split; shingling 100 TB or 100 MB on one task
     * is the same mistake. (Shared with TextAnalysis' regex-heavy ops.)
+    *
+    * NEAR-SOURCE USE ONLY: `df.rdd.getNumPartitions` forces physical
+    * planning of the upstream plan outside AQE — harmless on a leaf scan
+    * (its only intended position), but on a derived plan it would both
+    * plan twice and bypass AQE's runtime coalescing.
     */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val parts = df.sparkSession.sparkContext.defaultParallelism

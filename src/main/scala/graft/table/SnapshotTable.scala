@@ -195,6 +195,18 @@ final class SnapshotTable(val root: Path) {
     }
   }
 
+  /** Metadata-only COUNT(*): the sum of per-file record counts, answered
+    * from the manifest without touching data — Iceberg's count pushdown
+    * analog. None when any file predates row-count stats (legacy
+    * manifest) or equality deletes are pending (the survivor count needs
+    * the sequence-resolved read).
+    */
+  def rowCount: Option[Long] = {
+    val m = currentManifest
+    if (m.deleteFiles.nonEmpty || m.files.exists(_.rows < 0)) None
+    else Some(m.files.map(_.rows).sum)
+  }
+
   /** Null count of a column within one file: a partition column's count
     * is exact from its path value (hive null sentinel = all rows null,
     * anything else = none); data columns use the footer counts captured

@@ -527,6 +527,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(reopened.pruneCounts(col("s").isNull)._1 == 1)
   }
 
+  test("metadata-only rowCount agrees with the data; declines under deletes") {
+    val tbl = freshTable()
+    tbl.createOrReplace(batch(1 to 500, t0, 1.0).repartitionByRange(3, col("id")))
+    assert(tbl.rowCount.contains(500L), "count answered from the manifest")
+    // pending equality deletes: metadata alone can't count survivors
+    tbl.mergeMoR(spark,
+      batch(1 to 20, t1, 2.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    assert(tbl.rowCount.isEmpty)
+    // compaction folds the deletes — the fast path returns
+    tbl.compact(spark)
+    assert(tbl.rowCount.contains(500L))
+    assert(tbl.read(spark).count() == 500L)
+  }
+
   test("partition values prune through readWhere like column stats") {
     val tbl = freshTable()
     tbl.createOrReplace(
