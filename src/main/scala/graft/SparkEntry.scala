@@ -460,6 +460,28 @@ object SparkEntry {
           inBound(0.9, col("lt90"), col("le90")).as("p90_in_bound"))
     }),
 
+    "q64_distinct_docs_approx" -> ((s, d) => {
+      // approx_count_distinct (HyperLogLog++): the COUNT DISTINCT shape
+      // that survives billion-row groups — a fixed-size mergeable sketch
+      // vs exact distinct's full shuffle of the distinct values. Like
+      // q63, sketch outputs aren't engine-portable, so the query emits
+      // the sketch's accuracy CONTRACT: |approx − exact| within 5× the
+      // configured relative standard error (floored at 5 for tiny
+      // groups). HLL++ is deterministic for fixed data, so the bound
+      // check is stable; oracle = the exact counts + constant TRUE.
+      val rsd = 0.01
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("exact_distinct"),
+          approx_count_distinct(col("fp"), rsd).as("approx"))
+        .select(col("lang"), col("n_docs"), col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")).cast("double") <=
+            greatest(col("exact_distinct").cast("double") * (5 * rsd), lit(5.0)))
+            .as("within_bound"))
+    }),
+
     "q38_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -966,6 +988,15 @@ object SparkEntry {
     "q63_token_percentiles_approx" ->
       """SELECT lang, count(*) AS n_docs,
         |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // same contract pattern: exact distinct is cross-engine-checkable,
+    // the HLL bound is asserted Spark-side
+    "q64_distinct_docs_approx" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |    AS exact_distinct,
+        |  TRUE AS within_bound
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q46_chunking" ->

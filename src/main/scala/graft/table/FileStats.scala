@@ -287,6 +287,7 @@ object StatsPruning {
         case "or" if as.size == 2   => Or(as(0), as(1))
         case "isnull" if as.size == 1    => IsNull(as(0))
         case "isnotnull" if as.size == 1 => IsNotNull(as(0))
+        case "startswith" if as.size == 2 => StartsWith(as(0), as(1))
         case "=" | "==" if as.size == 2 => EqualTo(as(0), as(1))
         case "<" if as.size == 2    => LessThan(as(0), as(1))
         case "<=" if as.size == 2   => LessThanOrEqual(as(0), as(1))
@@ -332,6 +333,12 @@ object StatsPruning {
     case IsNotNull(a) =>
       // an all-null column can't satisfy IS NOT NULL
       attrName(a).forall(n => !(rows > 0 && nulls(n).contains(rows)))
+    case sw: StartsWith =>
+      (attrName(sw.left), sw.right) match {
+        case (Some(n), Literal(p, StringType)) if p != null =>
+          mayStartWith(n, p.toString, colType, bounds, nulls, rows)
+        case _ => true
+      }
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       attrName(a) match {
         case Some(n) =>
@@ -368,6 +375,27 @@ object StatsPruning {
     case ua: UnresolvedAttribute => Some(ua.nameParts.last)
     case ar: AttributeReference  => Some(ar.name)
     case _ => None
+  }
+
+  /** May a file hold a string starting with `p`? Matching strings fill
+    * the interval [p, next(p)) where next(p) increments p's last char —
+    * prunable when that interval misses the file's [min, max] (Iceberg
+    * prunes startsWith the same way). ASCII-only like every string
+    * bound; a last char of 126 would need a multi-char carry, decline.
+    */
+  private def mayStartWith(name: String, p: String,
+                           colType: String => Option[DataType],
+                           bounds: String => Option[(Bound, Bound)],
+                           nulls: String => Option[Long],
+                           rows: Long): Boolean = {
+    if (rows > 0 && nulls(name).contains(rows)) return false // all null
+    if (p.isEmpty || !ascii(p) || p.last >= 126) return true
+    if (!colType(name).contains(StringType)) return true
+    val next = p.init + (p.last + 1).toChar
+    bounds(name) match {
+      case Some((mn, mx)) => le(StrB(p), mx) && lt(mn, StrB(next))
+      case None => true
+    }
   }
 
   private def mayCompare(name: String, lit: Literal, op: String,

@@ -668,7 +668,10 @@ final class SnapshotTable(val root: Path) {
       .repartitionByRange(nFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
-    commitData(clustered, Some(m), Nil, m.properties, nowMs)
+    // record the layout so operators (and future compactions) can see
+    // what the table is clustered by, like Iceberg's sort-order metadata
+    commitData(clustered, Some(m), Nil,
+      m.properties + ("write.graft.zorder-by" -> cols.mkString(",")), nowMs)
   }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259

@@ -527,6 +527,22 @@ class SnapshotTableSpec extends SparkSpec {
     assert(reopened.pruneCounts(col("s").isNull)._1 == 1)
   }
 
+  test("startsWith predicates prune on string bounds") {
+    val tbl = freshTable()
+    // file 1: strings a###..m###; file 2: n###..z###
+    val df = (0 until 260).map(i =>
+        (i.toLong, f"${('a' + i / 10).toChar}%c${i % 10}%03d"))
+      .toDF("id", "s")
+    tbl.createOrReplace(df.repartitionByRange(2, col("s")))
+    assert(tbl.currentManifest.files.size == 2)
+    assert(tbl.pruneCounts(col("s").startsWith("z"))._1 == 1)
+    assert(tbl.readWhere(spark, col("s").startsWith("z")).count() == 10)
+    assert(tbl.pruneCounts(col("s").startsWith("a0"))._1 == 1)
+    // a prefix spanning the split point keeps both files; empty never prunes
+    assert(tbl.pruneCounts(col("s").startsWith(""))._1 == 2)
+    assert(tbl.readWhere(spark, col("s").startsWith("m")).count() == 10)
+  }
+
   test("metadata-only rowCount agrees with the data; declines under deletes") {
     val tbl = freshTable()
     tbl.createOrReplace(batch(1 to 500, t0, 1.0).repartitionByRange(3, col("id")))

@@ -92,5 +92,8 @@ class ZOrderSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 64L * 64)
     assert(tbl.readWhere(spark, col("x") < 8L && col("y") < 8L).count() == 64)
     assert(tbl.readWhere(spark, col("x") < 8L || col("y") < 8L).count() == 960)
+    // the layout is recorded in table properties (sort-order metadata)
+    assert(tbl.currentManifest.properties.get("write.graft.zorder-by")
+      .contains("x,y"))
   }
 }
