@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Fuzz guard for manifest-stats file pruning: for a seeded stream of
+  * random predicates (comparisons, IN, AND/OR nests, IS [NOT] NULL,
+  * startsWith — over longs, doubles, strings-with-nulls, timestamps, and
+  * a partition column), `readWhere` must return EXACTLY the rows of the
+  * unpruned filter. A pruning bug is a silently-wrong-results bug, so
+  * this property runs over both an unpartitioned range-clustered table
+  * and a partitioned one.
+  */
+class StatsPruningPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+
+  private def mkData = (1 to 2000).map { i =>
+    (i.toLong,
+      Timestamp.valueOf(f"2026-01-${i % 27 + 1}%02d 10:00:00"),
+      i / 100.0,
+      if (i % 5 == 0) null else f"${('a' + i % 26).toChar}%c$i%05d",
+      (i % 4).toLong)
+  }.toDF("id", "ts", "v", "s", "p")
+
+  private val rnd = new scala.util.Random(42)
+
+  /** A (column, type-matched literal) pair — ANSI coercion rejects
+    * cross-type comparisons, and pruning declines them anyway.
+    */
+  private def colAndLit(): (Column, () => Column) =
+    Seq[(String, () => Column)](
+      "id" -> (() => lit(rnd.nextInt(2600).toLong - 100)), // in and out of range
+      "ts" -> (() => lit(Timestamp.valueOf(
+        f"2026-01-${rnd.nextInt(30) + 1}%02d ${rnd.nextInt(24)}%02d:00:00"))),
+      "v" -> (() => lit(rnd.nextDouble() * 25.0 - 2.0)),
+      "s" -> (() => lit(f"${('a' + rnd.nextInt(28)).toChar}%c${rnd.nextInt(2100)}%05d")),
+      "p" -> (() => lit(rnd.nextInt(6).toLong - 1))
+    )(rnd.nextInt(5)) match { case (n, g) => (col(n), g) }
+
+  private def atom(): Column = rnd.nextInt(10) match {
+    case 0 => colAndLit()._1.isNull
+    case 1 => colAndLit()._1.isNotNull
+    case 2 => col("s").startsWith(
+      Seq("", "a", "b9", "z", "m0", "é")(rnd.nextInt(6)))
+    case 3 =>
+      val (c, g) = colAndLit(); c.isin(g(), g(), g())
+    case n =>
+      val (c, g) = colAndLit(); val l = g()
+      (n % 5) match {
+        case 0 => c < l
+        case 1 => c <= l
+        case 2 => c === l
+        case 3 => c >= l
+        case _ => c > l
+      }
+  }
+
+  private def pred(depth: Int): Column =
+    if (depth == 0 || rnd.nextInt(3) == 0) atom()
+    else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
+    else pred(depth - 1) || pred(depth - 1)
+
+  private def check(tbl: SnapshotTable, what: String): Unit = {
+    (1 to 40).foreach { i =>
+      val cond = pred(2)
+      // count + id checksum: equal multisets of surviving rows
+      val got = tbl.readWhere(spark, cond)
+        .agg(count(lit(1)), coalesce(sum("id"), lit(0L))).head
+      val want = tbl.read(spark).filter(cond)
+        .agg(count(lit(1)), coalesce(sum("id"), lit(0L))).head
+      assert(got == want, s"$what predicate #$i diverged: $cond")
+    }
+  }
+
+  test("pruned scans equal unpruned filters on 40 random predicates (flat)") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-prune-prop-").toString)
+    tbl.createOrReplace(mkData.repartitionByRange(8, col("id")))
+    check(tbl, "flat")
+  }
+
+  test("pruned scans equal unpruned filters on 40 random predicates (partitioned)") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-prune-prop-p-").toString)
+    tbl.createOrReplace(mkData, Seq("p"))
+    check(tbl, "partitioned")
+  }
+}
