@@ -339,6 +339,87 @@ object SparkEntry {
       table.readWhere(s, col("l_orderkey") <= oCut || col("l_partkey") <= pCut)
     }),
 
+    "q28_time_travel" -> ((s, d) => {
+      // snapshot time travel (Iceberg VERSION AS OF, the read the
+      // reference gets from spark.read.option("snapshot-id", ...)):
+      // CTAS v1 → CoW merge v2 → read v1 back BYTE-IDENTICAL to the
+      // pre-merge target, proving retained snapshots stay readable
+      // after later commits rewrite their partitions.
+      val root = Files.createTempDirectory("graft-tt-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      val cfg = ordersCfg.copy(mode = IngestMode.Full,
+        partitionColumns = Seq("part_bucket"))
+      Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
+      Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
+      require(table.currentVersion == 2L, "merge must land v2")
+      table.readVersion(s, 1).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    "q29_incremental_read" -> ((s, d) => {
+      // incremental scan (Iceberg incremental-read analog,
+      // SnapshotTable.readIncremental): under partition-scoped CoW the
+      // rows NEW since v1 are exactly the merged contents of the
+      // partitions the merge touched. The source differs from the
+      // target only in buckets 0 and 3 (newer o_orderdate, price+1000
+      // on keys %5==0), so only those two partitions rewrite; if the
+      // merge ever stops carrying untouched partitions' files, extra
+      // rows appear here and the oracle hash catches it.
+      val root = Files.createTempDirectory("graft-incr-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      val all = t(s, d, "orders").select(orderCols.map(col): _*)
+      val mod = (col("o_orderkey") % 8).isin(0, 3) &&
+        col("o_orderkey") % 5 === 0
+      val changed = all
+        .withColumn("o_totalprice",
+          when(mod, col("o_totalprice") + 1000.0).otherwise(col("o_totalprice")))
+        .withColumn("o_orderdate",
+          when(mod, col("o_orderdate") + expr("INTERVAL 1 DAY"))
+            .otherwise(col("o_orderdate")))
+      val cfg = ordersCfg.copy(mode = IngestMode.Full,
+        partitionColumns = Seq("part_bucket"))
+      Ingestion.run(s, table, part(all), cfg, tsTarget)
+      Ingestion.run(s, table, part(changed), cfg, tsSource)
+      table.readIncremental(s, 1).drop(MetaColumns.IngestionDatetime)
+    }),
+
+    "q67_schema_evolution" -> ((s, d) => {
+      // Iceberg-style ADD-COLUMN schema evolution: v1 lacks o_note; the
+      // change batch carries it. The evolving merge is METADATA-ONLY
+      // for untouched partitions — their files keep the old physical
+      // schema (require() pins that they are carried, not rewritten)
+      // and null-fill on read under the superset manifest schema, like
+      // Iceberg's id-based column adds. Changes are restricted to
+      // buckets 0/3 so carried old-schema files definitely exist.
+      val root = Files.createTempDirectory("graft-evo-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) =>
+        df.withColumn("part_bucket", col("o_orderkey") % 8)
+      table.createOrReplace(part(ordersTarget(s, d)), Seq("part_bucket"))
+      val v1Files = table.currentManifest.files.map(_.path).toSet
+      val src = ordersSource(s, d)
+      val inBuckets = (col("o_orderkey") % 8).isin(0, 3)
+      val changes = part(
+        src.filter(col("o_orderkey") % 13 === 3 && inBuckets)
+          .withColumn("op", lit("I"))
+          .unionByName(
+            src.filter(col("o_orderkey") % 5 === 0 &&
+              col("o_orderkey") % 13 =!= 3 && inBuckets)
+              .withColumn("op", lit("U"))))
+        .withColumn("o_note",
+          concat(lit("n-"), (col("o_orderkey") % 7).cast("string")))
+      table.merge(s, changes, Seq("o_orderkey"), keepDeletes = false,
+        evolveSchema = true)
+      val m2 = table.currentManifest
+      require(m2.schemaDdl.contains("o_note"), "schema must evolve")
+      require(m2.files.map(_.path).toSet.intersect(v1Files).nonEmpty,
+        "untouched partitions' old-schema files must be carried")
+      table.read(s)
+    }),
+
     "q62_mor_lifecycle" -> ((s, d) => {
       // merge-on-read lifecycle (the reference's --optimize storage
       // physical path): CTAS v1 → MoR merge v2 (appended data +
@@ -480,6 +561,48 @@ object SparkEntry {
           (abs(col("approx") - col("exact_distinct")).cast("double") <=
             greatest(col("exact_distinct").cast("double") * (5 * rsd), lit(5.0)))
             .as("within_bound"))
+    }),
+
+    "q65_tfidf_topterm" -> ((s, d) => {
+      // TF-IDF: the classic corpus-statistics op a training pipeline
+      // uses for keyword extraction / quality features. Top term per
+      // document by tf·ln((N+1)/(df+1)), ties broken lexicographically.
+      // Plan shape for scale: two hash aggregations ((doc,term) then
+      // term) + one equi-join on term; the final per-doc argmax is a
+      // min(struct) aggregate — partial-agg friendly, NO window (a
+      // window would shuffle-sort every (doc,term) row by doc).
+      val docs = t(s, d, "documents")
+      val nDocs = docs.count() // one scalar agg job; corpus size for IDF
+      val tf = docs
+        .select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term")
+        .withColumn("s",
+          col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("s")).as("neg"), col("term").as("term"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("top_term"),
+          floor(-col("m.neg") * 1e6 + 0.5).cast("long").as("tfidf_e6"))
+    }),
+
+    "q66_shard_assign" -> ((s, d) => {
+      // deterministic training-shard export assignment: shard =
+      // md5(doc_id) mod 64. md5 (not hash()/xxhash64) because the
+      // assignment must be stable across engines, runs, and cluster
+      // sizes — a resumed or re-run export MUST land every document in
+      // the same shard. 15 hex digits = 60 bits, exact in a BIGINT in
+      // both engines. Map-side only: no shuffle until the writer's own
+      // partitionBy(shard) fan-out.
+      val shards = 64
+      t(s, d, "documents").select(
+        col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % shards).cast("int").as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
     "q38_embed_topk" -> ((s, d) => {
@@ -826,6 +949,39 @@ object SparkEntry {
         |WHERE l_orderkey <= (SELECT max(l_orderkey) // 20 FROM lineitem)
         |   OR l_partkey <= (SELECT max(l_partkey) // 20 FROM lineitem)""".stripMargin,
 
+    // time travel to v1 must return the pre-merge target exactly
+    "q28_time_travel" -> (withFixtures +
+      " SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t"),
+
+    // incremental read since v1 = merged contents of the touched
+    // partitions only (buckets 0 and 3; CoW rewrites whole partitions,
+    // so unchanged rows of touched partitions reappear — pinned here)
+    "q29_incremental_read" ->
+      """WITH cur AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate + INTERVAL 1 DAY ELSE o_orderdate END AS o_orderdate,
+        |  o_orderpriority FROM orders WHERE o_orderkey % 8 IN (0, 3))
+        |SELECT c.*, c.o_orderkey % 8 AS part_bucket FROM cur c""".stripMargin,
+
+    // evolved read: old rows null-fill the added column; matched-U rows
+    // are replaced (merge updates ANY matched U — no theta here),
+    // not-matched-I rows insert; both carry the new column's values
+    "q67_schema_evolution" -> (withFixtures +
+      """, u AS (SELECT s.* FROM src s WHERE s.o_orderkey % 5 = 0
+        |    AND s.o_orderkey % 13 <> 3 AND s.o_orderkey % 8 IN (0, 3)),
+        |i AS (SELECT s.* FROM src s WHERE s.o_orderkey % 13 = 3
+        |    AND s.o_orderkey % 8 IN (0, 3))
+        |SELECT t.*, t.o_orderkey % 8 AS part_bucket,
+        |    CAST(NULL AS VARCHAR) AS o_note FROM tgt t
+        |  WHERE NOT (t.o_orderkey % 5 = 0 AND t.o_orderkey % 13 <> 7
+        |    AND t.o_orderkey % 8 IN (0, 3))
+        |UNION ALL
+        |SELECT u.*, u.o_orderkey % 8 AS part_bucket,
+        |  'n-' || CAST(u.o_orderkey % 7 AS VARCHAR) AS o_note FROM u
+        |UNION ALL
+        |SELECT i.*, i.o_orderkey % 8 AS part_bucket,
+        |  'n-' || CAST(i.o_orderkey % 7 AS VARCHAR) AS o_note FROM i""".stripMargin),
+
     // MoR must resolve to exactly the CoW merge result (same oracle)
     "q62_mor_lifecycle" -> (withFixtures +
       """ SELECT t.*, t.o_orderkey % 8 AS part_bucket FROM tgt t
@@ -998,6 +1154,33 @@ object SparkEntry {
         |    AS exact_distinct,
         |  TRUE AS within_bound
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q65_tfidf_topterm" ->
+      """WITH terms AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    tf * ln((n.n + 1.0) / (df + 1.0)) AS s
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT doc_id, term, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, term AS top_term,
+        |  CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS tfidf_e6
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // md5-derived shard ids are engine-portable (unlike hash()); the
+    // token count mirrors q32's whitespace tokenizer
+    "q66_shard_assign" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS INT) AS shard,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents""".stripMargin,
 
     "q46_chunking" ->
       """WITH c AS (SELECT doc_id, text,

@@ -21,23 +21,25 @@ object Registry {
     * graft_minhash(array<long>, k), graft_hyperplane_keys(vec, bits,
     * tables), graft_sig_overlap(sigA, sigB), graft_zvalue(cols...).
     */
-  def registerAll(spark: SparkSession): Unit = {
-    GraftBridge.registerFunction(spark, "graft_bucket",
-      exprs => IcebergBucketExpr(exprs.head, intArg(exprs(1), "bucket count")))
-    GraftBridge.registerFunction(spark, "graft_simhash",
-      exprs => Simhash64Expr(exprs.head))
-    GraftBridge.registerFunction(spark, "graft_jaccard",
-      exprs => SortedLongJaccard(exprs.head, exprs(1)))
-    GraftBridge.registerFunction(spark, "graft_vector_dot",
-      exprs => FloatVectorDot(exprs.head, exprs(1)))
-    GraftBridge.registerFunction(spark, "graft_minhash",
-      exprs => MinHashSignatureExpr(exprs.head, intArg(exprs(1), "signature length")))
-    GraftBridge.registerFunction(spark, "graft_hyperplane_keys",
-      exprs => HyperplaneKeysExpr(exprs.head,
-        intArg(exprs(1), "sign bits"), intArg(exprs(2), "tables")))
-    GraftBridge.registerFunction(spark, "graft_sig_overlap",
-      exprs => EqualSlotFraction(exprs.head, exprs(1)))
-    GraftBridge.registerFunction(spark, "graft_zvalue",
-      exprs => ZValueExpr(exprs))
-  }
+  /** Name → expression builder for every engine function — shared by
+    * session-level registration here and cluster-level injection through
+    * [[graft.GraftExtensions]].
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_bucket" -> (exprs =>
+      IcebergBucketExpr(exprs.head, intArg(exprs(1), "bucket count"))),
+    "graft_simhash" -> (exprs => Simhash64Expr(exprs.head)),
+    "graft_jaccard" -> (exprs => SortedLongJaccard(exprs.head, exprs(1))),
+    "graft_vector_dot" -> (exprs => FloatVectorDot(exprs.head, exprs(1))),
+    "graft_minhash" -> (exprs =>
+      MinHashSignatureExpr(exprs.head, intArg(exprs(1), "signature length"))),
+    "graft_hyperplane_keys" -> (exprs => HyperplaneKeysExpr(exprs.head,
+      intArg(exprs(1), "sign bits"), intArg(exprs(2), "tables"))),
+    "graft_sig_overlap" -> (exprs => EqualSlotFraction(exprs.head, exprs(1))),
+    "graft_zvalue" -> (exprs => ZValueExpr(exprs)))
+
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      GraftBridge.registerFunction(spark, name, b)
+    }
 }

@@ -407,16 +407,38 @@ final class SnapshotTable(val root: Path) {
     *   path for bucket-partitioned tables. Declaring it falsely can
     *   duplicate moved keys; the default is the safe scan.
     */
+  /** Schema evolution (Iceberg add-column analog): null-typed columns for
+    * every change column the target lacks, appended to the target frame so
+    * the merge output — and therefore the committed manifest schema —
+    * carries them. Metadata-only for existing data: carried files keep
+    * their physical schema and null-fill on read under the superset
+    * schema ([[readFileGroup]] reads with the manifest schema), exactly
+    * like Iceberg's id-based column addition. The change-marker column is
+    * never promoted into the table schema.
+    */
+  private def withEvolvedColumns(target: DataFrame,
+                                 changes: DataFrame): DataFrame = {
+    val have = target.columns.toSet
+    changes.schema.fields
+      .filterNot(f => have(f.name) || f.name == MetaColumns.Op)
+      .foldLeft(target)((df, f) =>
+        df.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
             keepDeletes: Boolean,
             nowMs: Long = System.currentTimeMillis(),
             targetTransform: DataFrame => DataFrame = identity,
-            partitionStableByKey: Boolean = false): Manifest = {
+            partitionStableByKey: Boolean = false,
+            evolveSchema: Boolean = false): Manifest = {
     val m = currentManifest
+    val evolveT: DataFrame => DataFrame =
+      if (evolveSchema) t => withEvolvedColumns(targetTransform(t), changes)
+      else targetTransform
     if (m.partitionColumns.isEmpty) {
       // full rewrite materializes the delete-resolved view, so pending
       // MoR deletes fold away here (commitData drops them)
-      val merged = Merge(targetTransform(read(spark)), changes, keys, keepDeletes)
+      val merged = Merge(evolveT(read(spark)), changes, keys, keepDeletes)
       commitData(merged, Some(m), m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
@@ -460,7 +482,7 @@ final class SnapshotTable(val root: Path) {
                 .distinct().collect())
           }
         val touched = changePartitions ++ homePartitions
-        val affectedTarget = targetTransform(read(spark, p => touched.contains(p)))
+        val affectedTarget = evolveT(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
         val carried = m.files.filterNot(f => touched.contains(f.partition))
         // pending MoR equality-deletes still mask rows of CARRIED files
@@ -493,9 +515,12 @@ final class SnapshotTable(val root: Path) {
   def mergeMoR(spark: SparkSession, changes: DataFrame, keys: Seq[String],
                keepDeletes: Boolean,
                nowMs: Long = System.currentTimeMillis(),
-               targetTransform: DataFrame => DataFrame = identity): Manifest = {
+               targetTransform: DataFrame => DataFrame = identity,
+               evolveSchema: Boolean = false): Manifest = {
     val m = currentManifest
-    val target = targetTransform(read(spark))
+    val target0 = targetTransform(read(spark))
+    val target =
+      if (evolveSchema) withEvolvedColumns(target0, changes) else target0
     val (applied, evictKeys) =
       Merge.resolve(target, changes, keys, keepDeletes)
     // fail-fast BEFORE spending the write; authoritative check re-runs

@@ -81,4 +81,64 @@ class SchemaDriftSpec extends SparkSpec {
     val m = tbl.currentManifest
     assert(m.files.exists(_.path.startsWith("data/v1/")))
   }
+
+  test("evolveSchema merge: add-column is metadata-only for untouched partitions") {
+    val root = Files.createTempDirectory("graft-evo-cow-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 40).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i % 4))
+        .toDF("id", "upd", "p"),
+      Seq("p"))
+    val v1Files = tbl.currentManifest.files.map(_.path).toSet
+    // raw change batch (op column, no Ingestion alignment) carrying a NEW
+    // column; touches only partition 1
+    val changes = Seq(
+      (1L, ts("2026-02-01 00:00:00"), 1, "U", "note1"),
+      (101L, ts("2026-02-01 00:00:00"), 1, "I", "note101"))
+      .toDF("id", "upd", "p", "op", "note")
+    tbl.merge(spark, changes, Seq("id"), keepDeletes = false,
+      evolveSchema = true)
+    val m2 = tbl.currentManifest
+    assert(m2.schemaDdl.contains("note"))
+    assert(!m2.schemaDdl.contains("`op`"), "change marker must not evolve in")
+    val carried = m2.files.filter(f => v1Files(f.path))
+    assert(carried.nonEmpty, "untouched partitions must carry v1 files")
+    assert(carried.forall(_.partition("p") != "1"))
+    val out = tbl.read(spark)
+    assert(out.count() == 41)
+    assert(out.filter(col("note").isNotNull).count() == 2)
+    assert(out.filter(col("id") === 1L).select("note").head.getString(0) == "note1")
+    // pruning on the evolved column must KEEP stats-less old files
+    val (kept, total) = tbl.pruneCounts(col("note") === "note1")
+    assert(total == m2.files.size && kept >= carried.size)
+  }
+
+  test("evolveSchema mergeMoR: carried files null-fill; compact folds to evolved schema") {
+    val root = Files.createTempDirectory("graft-evo-mor-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 30).map(i => (i.toLong, ts("2026-01-01 00:00:00"))).toDF("id", "upd"))
+    val v1Files = tbl.currentManifest.files.map(_.path).toSet
+    val changes = Seq(
+      (5L, ts("2026-02-01 00:00:00"), "U", "n5"),
+      (99L, ts("2026-02-01 00:00:00"), "I", "n99"))
+      .toDF("id", "upd", "op", "note")
+    tbl.mergeMoR(spark, changes, Seq("id"), keepDeletes = false,
+      evolveSchema = true)
+    val m2 = tbl.currentManifest
+    assert(m2.schemaDdl.contains("note"))
+    assert(v1Files.subsetOf(m2.files.map(_.path).toSet),
+      "MoR evolution must carry every base file")
+    def check(): Unit = {
+      val out = tbl.read(spark)
+      assert(out.count() == 31)
+      assert(out.filter(col("note").isNotNull).count() == 2)
+      assert(out.filter(col("id") === 5L).select("note").head.getString(0) == "n5")
+      assert(out.filter(col("id") === 2L).select("note").head.get(0) == null)
+    }
+    check()
+    tbl.compact(spark) // folds the equality delete under the evolved schema
+    assert(tbl.currentManifest.deleteFiles.isEmpty)
+    check()
+  }
 }
