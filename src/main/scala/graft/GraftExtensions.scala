@@ -44,16 +44,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * happens to be called `graft` fall through to the normal resolver.
   * `transformUp` (not `resolveOperators`) keeps to public TreeNode API;
   * the match is idempotent — it only ever fires on unresolved relations.
+  *
+  * An `@` suffix selects time travel / metadata relations (the SQL-side
+  * analog of Iceberg's `VERSION AS OF` / `TIMESTAMP AS OF` and
+  * `db.table.history` / `db.table.files`):
+  *
+  *   - ``graft.`/path@v3` ``       — snapshot version 3
+  *   - ``graft.`/path@ts1700000000000` `` — latest snapshot ≤ epoch-millis
+  *   - ``graft.`/path@history` ``  — snapshot history relation
+  *   - ``graft.`/path@files` ``    — live data-file relation
+  *
+  * Unrecognized suffixes are treated as literal path characters.
   */
 case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
+
+  private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files)$".r
+
+  private def resolve(ident: String) = {
+    val (path, suffix) = ident match {
+      case Suffixed(p, s) if SnapshotTable.at(p).exists => (p, Some(s))
+      case _ => (ident, None)
+    }
+    val tbl = SnapshotTable.at(path)
+    if (!tbl.exists) None
+    else Some(suffix match {
+      case Some("history")                => tbl.history(session)
+      case Some("files")                  => tbl.files(session)
+      case Some(v) if v.startsWith("ts")  => tbl.readAsOf(session, v.drop(2).toLong)
+      case Some(v) if v.startsWith("v")   => tbl.readVersion(session, v.drop(1).toLong)
+      case None                           => tbl.read(session)
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case u: UnresolvedRelation
           if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
-            SnapshotTable.at(u.multipartIdentifier(1)).exists =>
-        SnapshotTable.at(u.multipartIdentifier(1)).read(session)
-          .queryExecution.analyzed
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        resolve(u.multipartIdentifier(1))
+          .map(_.queryExecution.analyzed).getOrElse(u)
     }
 }

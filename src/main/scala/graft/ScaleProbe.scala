@@ -180,6 +180,45 @@ object ScaleProbe {
           s""""before":${beforeFiles.size}}""")
         pt.read(spark).count()
       }
+
+      // partition-spec evolution at 2.4M rows: the evolve commit itself
+      // is metadata-only (no data IO); the first merge after it rewrites
+      // ONLY the legacy block it touches (migrating it to the new spec);
+      // compaction migrates the remaining legacy groups eagerly
+      val pe = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-pevoprobe").toString)
+      val withPQ = li
+        .withColumn("pa", expr(s"(l_orderkey - 1) DIV $blockSize"))
+        .withColumn("pb", pmod(col("l_orderkey"), lit(16)))
+      pe.createOrReplace(withPQ, Seq("pa"))
+      val peBefore = pe.currentManifest.files.map(_.path).toSet
+      timed("evolve_spec_metadata_only") {
+        pe.evolvePartitioning(spark, Seq("pb"))
+        pe.currentManifest.files.size.toLong
+      }
+      timed("merge_after_evolution_one_block") {
+        pe.merge(spark,
+          withPQ.filter(col("pa") === 0 &&
+              pmod(col("l_orderkey"), lit(100)) === 1)
+            .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+            .withColumn("op", lit("U")),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), keepDeletes = false)
+        val after = pe.currentManifest.files
+        val carried = after.count(f => peBefore(f.path))
+        val migrated = after.count(_.partition.keySet == Set("pb"))
+        println(s"""{"stage":"evolution_merge_census","carried":$carried,""" +
+          s""""migrated":$migrated,"total":${after.size}}""")
+        pe.read(spark).count()
+      }
+      timed("compact_migrates_legacy") {
+        pe.compact(spark)
+        val allMigrated =
+          pe.currentManifest.files.forall(_.partition.keySet == Set("pb"))
+        println(s"""{"stage":"evolution_compact_census",""" +
+          s""""all_migrated":$allMigrated,""" +
+          s""""files":${pe.currentManifest.files.size}}""")
+        pe.read(spark).count()
+      }
     }
 
     // embeddings ×K: deterministic per-copy perturbation of one dimension

@@ -420,6 +420,38 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q68_partition_evolution" -> ((s, d) => {
+      // Iceberg-style partition-spec evolution: a METADATA-ONLY commit
+      // switches the spec (pb8 → pb4) for future writes; existing files
+      // stay under their old layout. The follow-up merge touches only
+      // pb8 ∈ {0,3}, so the census (per spec) rewrites exactly those
+      // legacy partitions — migrated to pb4 — and carries the rest; the
+      // require()s pin the mixed-spec manifest the read must span.
+      val root = Files.createTempDirectory("graft-pspec-").toString
+      val table = SnapshotTable.at(root)
+      val part = (df: DataFrame) => df
+        .withColumn("pb8", col("o_orderkey") % 8)
+        .withColumn("pb4", col("o_orderkey") % 4)
+      table.createOrReplace(part(ordersTarget(s, d)), Seq("pb8"))
+      table.evolvePartitioning(s, Seq("pb4"))
+      val src = ordersSource(s, d)
+      val inBuckets = (col("o_orderkey") % 8).isin(0, 3)
+      val changes = part(
+        src.filter(col("o_orderkey") % 13 === 3 && inBuckets)
+          .withColumn("op", lit("I"))
+          .unionByName(
+            src.filter(col("o_orderkey") % 5 === 0 &&
+              col("o_orderkey") % 13 =!= 3 && inBuckets)
+              .withColumn("op", lit("U"))))
+      table.merge(s, changes, Seq("o_orderkey"), keepDeletes = false)
+      val m2 = table.currentManifest
+      require(m2.files.exists(_.partition.keySet == Set("pb8")),
+        "untouched legacy-spec files must be carried")
+      require(m2.files.exists(_.partition.keySet == Set("pb4")),
+        "touched files must migrate to the evolved spec")
+      table.read(s)
+    }),
+
     "q62_mor_lifecycle" -> ((s, d) => {
       // merge-on-read lifecycle (the reference's --optimize storage
       // physical path): CTAS v1 → MoR merge v2 (appended data +
@@ -981,6 +1013,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT i.*, i.o_orderkey % 8 AS part_bucket,
         |  'n-' || CAST(i.o_orderkey % 7 AS VARCHAR) AS o_note FROM i""".stripMargin),
+
+    // spec evolution is layout-only: the merged DATA is the same
+    // matched-U replace + not-matched-I insert as q67 (minus the new
+    // column), just spread across two partition layouts
+    "q68_partition_evolution" -> (withFixtures +
+      """, u AS (SELECT s.* FROM src s WHERE s.o_orderkey % 5 = 0
+        |    AND s.o_orderkey % 13 <> 3 AND s.o_orderkey % 8 IN (0, 3)),
+        |i AS (SELECT s.* FROM src s WHERE s.o_orderkey % 13 = 3
+        |    AND s.o_orderkey % 8 IN (0, 3))
+        |SELECT t.*, t.o_orderkey % 8 AS pb8, t.o_orderkey % 4 AS pb4
+        |  FROM tgt t
+        |  WHERE NOT (t.o_orderkey % 5 = 0 AND t.o_orderkey % 13 <> 7
+        |    AND t.o_orderkey % 8 IN (0, 3))
+        |UNION ALL
+        |SELECT u.*, u.o_orderkey % 8 AS pb8, u.o_orderkey % 4 AS pb4 FROM u
+        |UNION ALL
+        |SELECT i.*, i.o_orderkey % 8 AS pb8, i.o_orderkey % 4 AS pb4 FROM i""".stripMargin),
 
     // MoR must resolve to exactly the CoW merge result (same oracle)
     "q62_mor_lifecycle" -> (withFixtures +

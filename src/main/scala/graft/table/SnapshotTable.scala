@@ -288,11 +288,15 @@ final class SnapshotTable(val root: Path) {
 
   /** Read a set of manifest files, reconstructing hive partition columns
     * via a per-commit-group basePath, optionally tagging rows with their
-    * file's sequence number for MoR delete resolution.
+    * file's sequence number for MoR delete resolution. Whether a group is
+    * hive-encoded is decided by ITS OWN partition map, not the current
+    * spec — after [[evolvePartitioning]] a manifest mixes layouts, and a
+    * legacy group read under the wrong assumption would null out (or
+    * double-bind) its path-encoded columns.
     */
   private def readFileGroup(spark: SparkSession, m: Manifest,
       schema: StructType, fs: Seq[FileEntry], withSeq: Boolean): DataFrame =
-    if (m.partitionColumns.isEmpty && !withSeq)
+    if (fs.forall(_.partition.isEmpty) && !withSeq)
       spark.read.schema(schema)
         .parquet(fs.map(f => root.resolve(f.path).toString): _*)
     else
@@ -301,7 +305,7 @@ final class SnapshotTable(val root: Path) {
           val dir = g.head.path.split('/').take(2).mkString("/")
           val reader = spark.read.schema(schema)
           val df =
-            (if (m.partitionColumns.isEmpty) reader
+            (if (g.head.partition.isEmpty) reader
              else reader.option("basePath", root.resolve(dir).toString))
               .parquet(g.map(f => root.resolve(f.path).toString): _*)
           if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
@@ -349,6 +353,18 @@ final class SnapshotTable(val root: Path) {
     val fresh = cur.files.filterNot(f => old(f.path)).map(_.path).toSet
     readManifest(spark, cur.copy(files = cur.files.filter(f => fresh(f.path))),
       _ => true)
+  }
+
+  /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest
+    * retained snapshot committed at or before `tsMs`. Fails loudly when
+    * `tsMs` predates every retained snapshot (expiry may have reclaimed
+    * the era) rather than silently serving younger data.
+    */
+  def readAsOf(spark: SparkSession, tsMs: Long): DataFrame = {
+    val vs = manifestVersions.map(v => v -> manifest(v).timestampMs)
+      .filter(_._2 <= tsMs)
+    require(vs.nonEmpty, s"no retained snapshot at or before $tsMs")
+    readVersion(spark, vs.maxBy(_._2)._1)
   }
 
   /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */
@@ -452,6 +468,12 @@ final class SnapshotTable(val root: Path) {
       //      column-pruned scan of (keys, partition) joined semi against
       //      the change keys — cheap relative to any rewrite, and the
       //      same target-match scan Iceberg MERGE performs.
+      // After [[evolvePartitioning]], files can live under OLDER specs
+      // (a file's spec = its partition map's key set), so the census runs
+      // PER SPEC present in the manifest: a legacy file is rewritten only
+      // when the merge actually touches it under ITS OWN spec — merges
+      // stay bounded post-evolution, and touched legacy files migrate to
+      // the current spec as a side effect of their rewrite.
       // The change set feeds the census AND the merge, so cache it:
       // change detection is itself a multi-join plan that must not run
       // twice.
@@ -462,26 +484,47 @@ final class SnapshotTable(val root: Path) {
         // parses out of the written paths: Spark escapes path-special
         // characters and writes nulls as the default partition name, so
         // align through the same codec rather than raw cast-to-string
-        def toSet(rows: Array[org.apache.spark.sql.Row]): Set[Map[String, String]] =
-          rows.map(r => pcols.zipWithIndex.map { case (c, i) =>
+        def toSet(sp: Seq[String])(rows: Array[org.apache.spark.sql.Row])
+            : Set[Map[String, String]] =
+          rows.map(r => sp.zipWithIndex.map { case (c, i) =>
             c -> (Option(r.getString(i))
               .getOrElse(org.apache.spark.sql.catalyst.catalog
                 .ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
           }.toMap).toSet
-        val changePartitions = toSet(
-          cached.select(pcols.map(c => col(c).cast("string")): _*)
-            .distinct().collect())
-        val homePartitions =
-          if (partitionStableByKey) Set.empty[Map[String, String]]
+        val specs: Seq[Seq[String]] =
+          (m.files.map(_.partition.keySet).toSet + pcols.toSet)
+            .toSeq.map(_.toSeq.sorted)
+        // one column-pruned target scan serves every spec's home census
+        val homeBase =
+          if (partitionStableByKey) None
           else {
+            val allP = specs.flatten.distinct
             val changeKeys = cached.select(keys.map(col): _*).distinct()
-            toSet(
-              read(spark).select((keys ++ pcols).map(col): _*)
-                .join(changeKeys, keys, "left_semi")
-                .select(pcols.map(c => col(c).cast("string")): _*)
-                .distinct().collect())
+            Some(read(spark).select((keys ++ allP).distinct.map(col): _*)
+              .join(changeKeys, keys, "left_semi").cache())
           }
-        val touched = changePartitions ++ homePartitions
+        val touchedBySpec: Map[Set[String], Set[Map[String, String]]] =
+          try specs.map { sp =>
+            val vals: Set[Map[String, String]] =
+              if (sp.isEmpty) Set(Map.empty[String, String]) // legacy
+              // unpartitioned files can hold any key → always touched
+              else {
+                val cp = toSet(sp)(
+                  cached.select(sp.map(c => col(c).cast("string")): _*)
+                    .distinct().collect())
+                val hp = homeBase.fold(Set.empty[Map[String, String]])(df =>
+                  toSet(sp)(
+                    df.select(sp.map(c => col(c).cast("string")): _*)
+                      .distinct().collect()))
+                cp ++ hp
+              }
+            sp.toSet -> vals
+          }.toMap
+          finally homeBase.foreach(_.unpersist())
+        // maps from different specs have different key sets, so a flat
+        // union is unambiguous for membership tests (incl. commitData's
+        // rebase census)
+        val touched = touchedBySpec.values.flatten.toSet
         val affectedTarget = evolveT(read(spark, p => touched.contains(p)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
         val carried = m.files.filterNot(f => touched.contains(f.partition))
@@ -495,6 +538,31 @@ final class SnapshotTable(val root: Path) {
           carryForward = carried, carryDeletes = m.deleteFiles,
           rebaseTouched = Some(touched))
       } finally cached.unpersist()
+    }
+  }
+
+  /** Partition-spec evolution (Iceberg partition-evolution analog): a
+    * METADATA-ONLY commit switching the spec for FUTURE writes. Existing
+    * files stay exactly where they are under their old layout — each
+    * file's own partition map (and the per-spec merge census above) keeps
+    * reads, pruning, and merges correct across mixed specs; stats pruning
+    * keeps working on BOTH old and new partition columns because
+    * [[boundsFor]] consults the file's own map. Touched legacy files
+    * migrate to the new spec when a merge rewrites them; [[compact]]
+    * migrates the rest eagerly (legacy-spec groups are always selected).
+    * Every new partition column must already exist in the table schema —
+    * evolve the schema first if it doesn't.
+    */
+  def evolvePartitioning(spark: SparkSession, newCols: Seq[String],
+                         nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val fields = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+    newCols.foreach(c => require(fields.contains(c),
+      s"partition column $c is not in the table schema"))
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs, partitionColumns = newCols)
     }
   }
 
@@ -610,8 +678,13 @@ final class SnapshotTable(val root: Path) {
         StatsPruning.boundsMayIntersect(f.stats, d.stats, types))
     val smallBytes = targetFileBytes * 3 / 4
     val overBytes = targetFileBytes * 5 / 4
+    // legacy-spec groups (partition key set ≠ current spec, possible
+    // after evolvePartitioning) are always selected: compaction is the
+    // eager migration path to the current layout
+    val pcolSet = m.partitionColumns.toSet
     val rewrite: Seq[FileEntry] = m.files.groupBy(_.partition).collect {
-      case (_, fs) if fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
+      case (pv, fs) if pv.keySet != pcolSet ||
+          fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
           fs.exists(f => sizes(f.path) > overBytes) ||
           fs.exists(deleteAffected) => fs
     }.flatten.toSeq

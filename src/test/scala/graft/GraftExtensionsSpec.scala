@@ -47,6 +47,15 @@ class GraftExtensionsSpec extends SparkSpec {
       // function value matches the DataFrame-side expression in the base session
       val expected = graft.functions.Bucket.bucket(1L, 4)
       assert(out(1L)._2 == expected)
+      // @-suffixes: version time travel + metadata relations through SQL
+      assert(s2.sql(s"SELECT count(*) AS c FROM graft.`$root@v1`")
+        .head.getLong(0) == 20)
+      val hist = s2.sql(
+        s"SELECT version, is_current FROM graft.`$root@history` ORDER BY version")
+        .collect()
+      assert(hist.length == 2 && hist.last.getBoolean(1))
+      assert(s2.sql(s"SELECT count(*) AS c FROM graft.`$root@files`")
+        .head.getLong(0) == tbl.currentManifest.files.size)
       // a graft-database identifier over a NON-table path falls through
       // to the normal resolver (and therefore fails as table-not-found)
       intercept[Exception] {

@@ -341,6 +341,17 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.rollbackTo(99))
   }
 
+  test("readAsOf serves the latest snapshot at or before the timestamp") {
+    val tbl = freshTable()
+    tbl.createOrReplace(batch(1 to 10, t0, 1.0), nowMs = 1000L)
+    tbl.merge(spark, batch(1 to 20, t1, 2.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false, nowMs = 2000L)
+    assert(tbl.readAsOf(spark, 1000L).count() == 10) // boundary inclusive
+    assert(tbl.readAsOf(spark, 1999L).count() == 10)
+    assert(tbl.readAsOf(spark, 5000L).count() == 20)
+    intercept[IllegalArgumentException](tbl.readAsOf(spark, 999L))
+  }
+
   test("missing table and concurrent commits fail fast with clear errors") {
     val tbl = freshTable()
     val e = intercept[IllegalArgumentException](tbl.currentVersion)
