@@ -637,6 +637,14 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    "q69_editdist_neardup" -> ((s, d) =>
+      // edit-distance near-dup (the dedup family exact/minhash/simhash/
+      // jaccard/embedding don't cover: small in-place edits under a
+      // stable prefix). Prefix-blocked candidates → full Levenshtein;
+      // oracle-checkable because plain DP Levenshtein is engine-portable.
+      Dedup.editDistanceNearDups(t(s, d, "documents"), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), col("lev").cast("long"))),
+
     "q38_embed_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb,
@@ -1230,6 +1238,16 @@ object SparkEntry {
         |  CASE WHEN length(trim(text)) = 0 THEN 0
         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
         |FROM documents""".stripMargin,
+
+    // the testdata's blocks are far under the degenerate-bucket cap, so
+    // the capped Spark plan and this uncapped SQL agree exactly
+    "q69_editdist_neardup" ->
+      """WITH f AS (SELECT doc_id, md5(substr(text, 1, 64)) AS h, text
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS lev
+        |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 8""".stripMargin,
 
     "q46_chunking" ->
       """WITH c AS (SELECT doc_id, text,

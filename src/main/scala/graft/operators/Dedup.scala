@@ -183,6 +183,34 @@ object Dedup {
     * (lang, length bucket) bounds the quadratic comparison to same-group
     * pairs — the exactness baseline the LSH variants are tested against.
     */
+  /** Edit-distance near-duplicates, prefix-blocked: candidate pairs share
+    * an exact md5 of the first `prefixLen` chars (near-dup corpora —
+    * boilerplate headers, templated pages, small in-place edits — keep
+    * prefixes stable), then the full-text Levenshtein filter keeps pairs
+    * within `maxDist`. The quadratic work is bounded per block like
+    * [[ngramJaccardPairs]]; `maxBucket` drops degenerate blocks (an
+    * all-identical-prefix corpus must not explode the join) — dropped
+    * blocks are the exact-dedup regime anyway, not the edit-distance one.
+    * Levenshtein here is the plain DP both engines implement identically,
+    * so the whole operator is oracle-checkable cross-engine.
+    */
+  def editDistanceNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           prefixLen: Int = 64, maxDist: Int = 8,
+                           maxBucket: Int = 1000): DataFrame = {
+    val keyed = spread(docs).select(col(idCol).as("id"),
+      md5(substring(col(textCol), 1, prefixLen)).as("blk"),
+      col(textCol).as("txt"))
+    val small = keyed.groupBy(col("blk"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select("blk")
+    val sh = keyed.join(small, "blk").cache()
+    sh.alias("a").join(sh.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("lev", levenshtein(col("a.txt"), col("b.txt")))
+      .filter(col("lev") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("lev"))
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], shingleN: Int = 3,
                         threshold: Double = 0.5): DataFrame = {

@@ -37,6 +37,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("edit-distance near-dup finds planted edits, caps degenerate blocks") {
+    val base = "x" * 80 + " the quick brown fox jumps over the lazy dog"
+    val planted = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),       // lev 1, same 64-prefix
+      (3L, base + " with twenty extra trailing characters!"), // lev > 8
+      (4L, "completely different prefix " + base)) // different block
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistanceNearDups(planted, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // a degenerate block (every prefix identical) is dropped by the cap,
+    // not exploded into a quadratic join
+    val degenerate = (1 to 50).map(i => (i.toLong, base + s" tail$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.editDistanceNearDups(degenerate, "doc_id", "text",
+      maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+
   test("simhash of a near-identical document has small hamming distance") {
     val base = docs.limit(1).select($"text").as[String].head()
     val edited = base + " extra token"
