@@ -611,6 +611,11 @@ object SparkEntry {
         .filter(length(col("term")) > 0)
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        // both the score join and the df aggregate consume tf; without
+        // this, Catalyst re-runs the whole explode+agg for the df side
+        // (cleared per query by Verify/Bench; at extreme scale persist
+        // to disk instead of memory)
+        .cache()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(dfreq, "term")
         .withColumn("s",

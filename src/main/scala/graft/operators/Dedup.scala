@@ -203,7 +203,12 @@ object Dedup {
     val small = keyed.groupBy(col("blk"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select("blk")
-    val sh = keyed.join(small, "blk").cache()
+    val sh0 = keyed.join(small, "blk").cache()
+    // the join sides carry FULL document text — the corpus-side
+    // broadcast trap pinned in [[noBroadcastWhenLarge]] applies with
+    // extra force here (text compresses heavily in shuffle, so AQE's
+    // estimate is most wrong exactly when the side is biggest)
+    val sh = noBroadcastWhenLarge(sh0, sh0.count())
     sh.alias("a").join(sh.alias("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("lev", levenshtein(col("a.txt"), col("b.txt")))
