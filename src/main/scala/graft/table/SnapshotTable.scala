@@ -1014,7 +1014,12 @@ final class SnapshotTable(val root: Path) {
             def canon(ddl: String) = StructType.fromDDL(ddl).fields
               .map(f => (f.name, f.dataType.catalogString)).toSeq
             val sameSchema = canon(cur.schemaDdl) == canon(b.schemaDdl)
-            if (!sameTouched || cur.deleteFiles != b.deleteFiles || !sameSchema)
+            // a concurrent evolvePartitioning must abort the rebase: this
+            // commit planned (and wrote) under the OLD spec, and landing
+            // it would silently revert the evolved partitionColumns
+            val sameSpec = cur.partitionColumns == b.partitionColumns
+            if (!sameTouched || cur.deleteFiles != b.deleteFiles ||
+                !sameSchema || !sameSpec)
               throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
             (cur.files.filterNot(f => touched(f.partition)), cur.deleteFiles)
           case None => throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))

@@ -115,4 +115,20 @@ class PartitionEvolutionSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       tbl.evolvePartitioning(spark, Seq("nope")))
   }
+
+  test("concurrent spec evolution aborts a rebasing merge") {
+    val root = Files.createTempDirectory("graft-pevo3-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(rows(1 to 40, t0, 1.0), Seq("p"))
+    val base = tbl.currentManifest
+    tbl.evolvePartitioning(spark, Seq("q")) // pointer advances past base
+    // a merge planned (and written) under the OLD spec must not rebase
+    // over the evolution — landing it would revert partitionColumns
+    intercept[IllegalStateException] {
+      tbl.commitData(rows(Seq(4), t1, 2.0), Some(base), Seq("p"),
+        base.properties, System.currentTimeMillis(),
+        rebaseTouched = Some(Set(Map("p" -> "0"))))
+    }
+    assert(tbl.currentManifest.partitionColumns == Seq("q"))
+  }
 }
