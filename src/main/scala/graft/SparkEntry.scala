@@ -452,6 +452,24 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q70_drop_column" -> ((s, d) => {
+      // DROP-COLUMN schema evolution: metadata-only removal (require()s
+      // pin that no file moves); reads stop selecting the column and a
+      // post-drop merge ingests change batches without it.
+      val root = Files.createTempDirectory("graft-drop-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      val v1Files = table.currentManifest.files.map(_.path).toSet
+      table.dropColumns(Seq("o_orderpriority"))
+      val m2 = table.currentManifest
+      require(!m2.schemaDdl.contains("o_orderpriority"), "column must drop")
+      require(m2.files.map(_.path).toSet == v1Files, "drop is metadata-only")
+      val ins = ordersSource(s, d).filter(col("o_orderkey") % 13 === 3)
+        .drop("o_orderpriority").withColumn("op", lit("I"))
+      table.merge(s, ins, Seq("o_orderkey"), keepDeletes = false)
+      table.read(s)
+    }),
+
     "q62_mor_lifecycle" -> ((s, d) => {
       // merge-on-read lifecycle (the reference's --optimize storage
       // physical path): CTAS v1 → MoR merge v2 (appended data +
@@ -1043,6 +1061,15 @@ object SparkEntry {
         |SELECT u.*, u.o_orderkey % 8 AS pb8, u.o_orderkey % 4 AS pb4 FROM u
         |UNION ALL
         |SELECT i.*, i.o_orderkey % 8 AS pb8, i.o_orderkey % 4 AS pb4 FROM i""".stripMargin),
+
+    // post-drop state: the surviving five columns of the target plus the
+    // not-matched inserts, nothing else
+    "q70_drop_column" -> (withFixtures +
+      """ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |   o_orderdate FROM tgt
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate FROM src WHERE o_orderkey % 13 = 3""".stripMargin),
 
     // MoR must resolve to exactly the CoW merge result (same oracle)
     "q62_mor_lifecycle" -> (withFixtures +

@@ -448,6 +448,7 @@ final class SnapshotTable(val root: Path) {
             partitionStableByKey: Boolean = false,
             evolveSchema: Boolean = false): Manifest = {
     val m = currentManifest
+    if (evolveSchema) guardResurrection(m, changes)
     val evolveT: DataFrame => DataFrame =
       if (evolveSchema) t => withEvolvedColumns(targetTransform(t), changes)
       else targetTransform
@@ -541,6 +542,65 @@ final class SnapshotTable(val root: Path) {
     }
   }
 
+  /** DROP-COLUMN schema evolution: a metadata-only commit removing the
+    * column from the manifest schema — no file is touched; reads select
+    * the manifest schema so carried files' physical data for the column
+    * simply stops being read, and files written later lack it entirely.
+    *
+    * Name-based mapping caveat (unlike Iceberg's field ids): re-ADDING a
+    * same-named column while pre-drop files are still live would
+    * resurrect their old values instead of null-filling. A tombstone
+    * property (`graft.dropped.<col>` = drop version) records the drop,
+    * and the evolveSchema paths refuse the name until every live file
+    * postdates it (compaction rewrites files under the manifest schema,
+    * so a compact-then-evolve sequence is the safe re-add recipe).
+    * Refused while equality deletes are pending: their key columns must
+    * stay readable for sequence resolution — compact() first.
+    */
+  def dropColumns(cols: Seq[String],
+                  nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    require(cols.nonEmpty, "nothing to drop")
+    require(m.deleteFiles.isEmpty,
+      "cannot drop columns while equality deletes are pending — compact() first")
+    cols.foreach(c => require(!m.partitionColumns.contains(c),
+      s"cannot drop partition column $c — evolvePartitioning first"))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column $c"))
+    val keep = StructType(
+      schema.fields.filterNot(f => cols.contains(f.name)))
+    require(keep.nonEmpty, "cannot drop every column")
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs, schemaDdl = keep.toDDL,
+        properties = m.properties ++
+          cols.map(c => s"$DroppedPrefix$c" -> v.toString))
+    }
+  }
+
+  private val DroppedPrefix = "graft.dropped."
+
+  /** Columns whose re-addition would resurrect old values: tombstoned
+    * names whose drop version is NOT older than every live file.
+    */
+  private def resurrectableColumns(m: Manifest): Map[String, Long] =
+    m.properties.collect {
+      case (k, v) if k.startsWith(DroppedPrefix) &&
+          !m.files.forall(_.seq > v.toLong) =>
+        k.drop(DroppedPrefix.length) -> v.toLong
+    }
+
+  private def guardResurrection(m: Manifest, changes: DataFrame): Unit = {
+    val risky = resurrectableColumns(m)
+    val hit = changes.columns.filter(risky.contains)
+    require(hit.isEmpty,
+      s"re-adding dropped column(s) ${hit.mkString(", ")} would resurrect " +
+        "pre-drop values from carried files (name-based mapping); " +
+        "compact() so every live file postdates the drop, then evolve")
+  }
+
   /** Partition-spec evolution (Iceberg partition-evolution analog): a
     * METADATA-ONLY commit switching the spec for FUTURE writes. Existing
     * files stay exactly where they are under their old layout — each
@@ -586,6 +646,7 @@ final class SnapshotTable(val root: Path) {
                targetTransform: DataFrame => DataFrame = identity,
                evolveSchema: Boolean = false): Manifest = {
     val m = currentManifest
+    if (evolveSchema) guardResurrection(m, changes)
     val target0 = targetTransform(read(spark))
     val target =
       if (evolveSchema) withEvolvedColumns(target0, changes) else target0

@@ -113,6 +113,47 @@ class SchemaDriftSpec extends SparkSpec {
     assert(total == m2.files.size && kept >= carried.size)
   }
 
+  test("dropColumns is metadata-only; same-name re-add guarded against resurrection") {
+    val root = Files.createTempDirectory("graft-drop-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 30).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i % 3, s"x$i"))
+        .toDF("id", "upd", "p", "extra"),
+      Seq("p"))
+    val v1Files = tbl.currentManifest.files.map(_.path).toSet
+    tbl.dropColumns(Seq("extra"))
+    val m2 = tbl.currentManifest
+    assert(!m2.schemaDdl.contains("extra"))
+    assert(m2.files.map(_.path).toSet == v1Files, "drop must not touch data")
+    val out = tbl.read(spark)
+    assert(!out.columns.contains("extra") && out.count() == 30)
+    // merges keep working post-drop; p=2 rewrites, p∈{0,1} stay pre-drop
+    tbl.merge(spark,
+      Seq((5L, ts("2026-02-01 00:00:00"), 2, "U")).toDF("id", "upd", "p", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(tbl.read(spark).count() == 30)
+    // re-adding "extra" while pre-drop files are live would resurrect
+    // their old x<i> values (name-based mapping) → refused
+    val readd = Seq((99L, ts("2026-03-01 00:00:00"), 0, "I", "fresh"))
+      .toDF("id", "upd", "p", "op", "extra")
+    intercept[IllegalArgumentException] {
+      tbl.merge(spark, readd, Seq("id"), keepDeletes = false,
+        evolveSchema = true)
+    }
+    // compaction rewrites files under the manifest schema (physical
+    // column gone) → the same evolve is now safe and null-fills
+    tbl.compact(spark, targetFileBytes = 1) // force: every file oversized
+    tbl.merge(spark, readd, Seq("id"), keepDeletes = false,
+      evolveSchema = true)
+    val out2 = tbl.read(spark)
+    assert(out2.count() == 31)
+    assert(out2.filter(col("extra").isNotNull).count() == 1)
+    assert(out2.filter(col("id") === 99L).select("extra").head.getString(0) == "fresh")
+    // guards: partition column, pending deletes, unknown column
+    intercept[IllegalArgumentException](tbl.dropColumns(Seq("p")))
+    intercept[IllegalArgumentException](tbl.dropColumns(Seq("ghost")))
+  }
+
   test("evolveSchema mergeMoR: carried files null-fill; compact folds to evolved schema") {
     val root = Files.createTempDirectory("graft-evo-mor-").toString
     val tbl = SnapshotTable.at(root)
