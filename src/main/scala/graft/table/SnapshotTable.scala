@@ -565,6 +565,12 @@ final class SnapshotTable(val root: Path) {
       "cannot drop columns while equality deletes are pending — compact() first")
     cols.foreach(c => require(!m.partitionColumns.contains(c),
       s"cannot drop partition column $c — evolvePartitioning first"))
+    // a LEGACY spec's partition column is load-bearing too: the per-spec
+    // merge census selects it from change batches, and migration rewrites
+    // need it as data — migrate those files off the old spec first
+    cols.foreach(c => require(!m.files.exists(_.partition.contains(c)),
+      s"$c is a partition column of live legacy-spec files — compact() " +
+        "to migrate them to the current spec first"))
     val schema = StructType.fromDDL(m.schemaDdl)
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"no such column $c"))
@@ -583,18 +589,20 @@ final class SnapshotTable(val root: Path) {
   private val DroppedPrefix = "graft.dropped."
 
   /** Columns whose re-addition would resurrect old values: tombstoned
-    * names whose drop version is NOT older than every live file.
+    * names whose drop version is NOT older than every file in `carried`
+    * (a pre-drop file physically holds the old column, and a read under
+    * a schema containing the name would surface it again).
     */
-  private def resurrectableColumns(m: Manifest): Map[String, Long] =
+  private def resurrectableColumns(m: Manifest,
+      carried: Seq[FileEntry]): Set[String] =
     m.properties.collect {
       case (k, v) if k.startsWith(DroppedPrefix) &&
-          !m.files.forall(_.seq > v.toLong) =>
-        k.drop(DroppedPrefix.length) -> v.toLong
-    }
+          carried.exists(_.seq <= v.toLong) =>
+        k.drop(DroppedPrefix.length)
+    }.toSet
 
   private def guardResurrection(m: Manifest, changes: DataFrame): Unit = {
-    val risky = resurrectableColumns(m)
-    val hit = changes.columns.filter(risky.contains)
+    val hit = changes.columns.filter(resurrectableColumns(m, m.files))
     require(hit.isEmpty,
       s"re-adding dropped column(s) ${hit.mkString(", ")} would resurrect " +
         "pre-drop values from carried files (name-based mapping); " +
@@ -650,6 +658,15 @@ final class SnapshotTable(val root: Path) {
     val target0 = targetTransform(read(spark))
     val target =
       if (evolveSchema) withEvolvedColumns(target0, changes) else target0
+    // MoR carries EVERY base file, so any dropped column re-entering the
+    // target schema (evolveSchema or targetTransform) is a resurrection
+    locally {
+      val hit = target.schema.fieldNames.filter(
+        resurrectableColumns(m, m.files))
+      require(hit.isEmpty,
+        s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
+          "while carried files predate the drop — compact() first")
+    }
     val (applied, evictKeys) =
       Merge.resolve(target, changes, keys, keepDeletes)
     // fail-fast BEFORE spending the write; authoritative check re-runs
@@ -1041,6 +1058,17 @@ final class SnapshotTable(val root: Path) {
     // under the publish lock.
     if (exists && currentVersion != baseV && rebaseTouched.isEmpty)
       throw concurrentCommit(currentVersion)
+    // resurrection chokepoint for EVERY write path (evolveSchema,
+    // Ingestion's schema-drift align, raw targetTransforms): committing a
+    // schema that re-introduces a dropped column while CARRIED files
+    // predate the drop would surface their old values on read
+    base.foreach { b =>
+      val hit = df.schema.fieldNames.filter(
+        resurrectableColumns(b, carryForward))
+      require(hit.isEmpty,
+        s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
+          "while carried files predate the drop — compact() first")
+    }
     val dir = claimDataDir()
     val written = withParquetWriteConfs(df.sparkSession) {
       // cluster by partition value before a partitioned write: otherwise

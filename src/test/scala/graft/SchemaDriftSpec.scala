@@ -154,6 +154,37 @@ class SchemaDriftSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.dropColumns(Seq("ghost")))
   }
 
+  test("Ingestion batch re-growing a dropped column is refused until compaction") {
+    val root = Files.createTempDirectory("graft-drop-ing-").toString
+    val tbl = SnapshotTable.at(root)
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    Ingestion.run(spark, tbl,
+      (1 to 30).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i % 3, s"x$i"))
+        .toDF("id", "upd", "p", "extra"),
+      pcfg, ts("2026-01-01 00:00:00"))
+    tbl.dropColumns(Seq("extra"))
+    // the source re-grows `extra` and touches only partition 0 — the
+    // align transform would put the column back in the schema while
+    // pre-drop files in p∈{1,2} are carried: refused at the commit
+    // chokepoint, BEFORE any data is written
+    val day2 = (1 to 30).filter(_ % 3 == 0)
+      .map(i => (i.toLong, ts("2026-02-01 00:00:00"), i % 3, s"y$i"))
+      .toDF("id", "upd", "p", "extra")
+    intercept[IllegalArgumentException] {
+      Ingestion.run(spark, tbl, day2,
+        pcfg.copy(mode = IngestMode.Incremental), ts("2026-02-01 00:00:00"))
+    }
+    // compaction rewrites every file under the post-drop schema → safe
+    tbl.compact(spark, targetFileBytes = 1)
+    Ingestion.run(spark, tbl, day2,
+      pcfg.copy(mode = IngestMode.Incremental), ts("2026-02-01 00:00:00"))
+    val out = tbl.read(spark)
+    assert(out.count() == 30)
+    assert(out.filter(col("extra").isNotNull).count() == 10)
+    assert(out.filter(col("p") =!= 0 && col("extra").isNotNull).count() == 0,
+      "pre-drop values must NOT resurrect")
+  }
+
   test("evolveSchema mergeMoR: carried files null-fill; compact folds to evolved schema") {
     val root = Files.createTempDirectory("graft-evo-mor-").toString
     val tbl = SnapshotTable.at(root)
