@@ -87,12 +87,20 @@ object FlowRunner {
           override def call(): FlowResult = runOne(s, t, sp)
         })
       }
-      // .get preserves config order and rethrows the first table failure
-      futures.map(f =>
-        try f.get()
+      // await EVERY future before surfacing a failure: throwing at the
+      // first failed get() would return while later tables are still
+      // ingesting and committing in pool threads — the caller would see
+      // a failed run whose warehouse keeps mutating afterward. Outcomes
+      // stay in config order; the first failure (by that order) is
+      // rethrown once everything has stopped.
+      val outcomes = futures.map(f =>
+        try Right(f.get())
         catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
+          case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+          case e: InterruptedException => Left(e)
         })
+      outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
+      outcomes.collect { case Right(r) => r }
     } finally pool.shutdown()
   }
 }

@@ -199,7 +199,18 @@ object StatsPruning {
       case DoubleType => Some(NumB(BigDecimal(s)))
       case DateType =>
         Some(NumB(BigDecimal(java.time.LocalDate.parse(s).toEpochDay)))
-      case TimestampType | TimestampNTZType =>
+      case TimestampType =>
+        // Spark renders timestamp partition-path values in the SESSION
+        // timezone; parsing them as UTC would shift the instant and
+        // wrongly prune under any non-UTC session
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        val zone = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val inst = ldt.atZone(zone).toInstant
+        Some(NumB(BigDecimal(
+          inst.getEpochSecond * 1000000L + inst.getNano / 1000L)))
+      case TimestampNTZType =>
+        // NTZ is wall-clock: micros are timezone-free by definition
         val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
         val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
           ldt.getNano / 1000L
@@ -346,6 +357,13 @@ object StatsPruning {
             colType, bounds, nulls, rows))
         case None => true
       }
+    // `col <=> NULL` ≡ IS NULL — must be handled BEFORE the generic
+    // comparison dispatch: mayCompare's all-null shortcut would wrongly
+    // prune an all-null file whose every row satisfies it
+    case EqualNullSafe(a, Literal(null, _)) =>
+      attrName(a).forall(n => !nulls(n).contains(0L))
+    case EqualNullSafe(Literal(null, _), a) =>
+      attrName(a).forall(n => !nulls(n).contains(0L))
     case c: BinaryComparison =>
       val (op, a, l) = (c, c.left, c.right) match {
         case (_: EqualTo, x, y)            => ("=", x, y)

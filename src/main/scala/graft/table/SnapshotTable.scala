@@ -364,7 +364,10 @@ final class SnapshotTable(val root: Path) {
     val vs = manifestVersions.map(v => v -> manifest(v).timestampMs)
       .filter(_._2 <= tsMs)
     require(vs.nonEmpty, s"no retained snapshot at or before $tsMs")
-    readVersion(spark, vs.maxBy(_._2)._1)
+    // tie-break same-millisecond commits (metadata-only commits land in
+    // the same ms as their predecessor routinely) toward the LATEST
+    // version, like Iceberg's TIMESTAMP AS OF
+    readVersion(spark, vs.maxBy(p => (p._2, p._1))._1)
   }
 
   /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */
@@ -705,18 +708,20 @@ final class SnapshotTable(val root: Path) {
     }
     val delSchema = StructType(
       target.schema.fields.filter(f => keys.contains(f.name)))
+    // stats collected OUTSIDE the publish lock (see commitData)
+    val dataStats = written.map(p => p -> FileStats.collect(p, target.schema))
+    val delStats = delWritten.map(p => p -> FileStats.collect(p, delSchema))
     publishCommit { (v, cur) =>
       if (cur.map(_.version) != Some(m.version))
         throw concurrentCommit(cur.map(_.version).getOrElse(0L))
-      val newData = written.map { p =>
-        val rel = root.relativize(p).toString
-        val cs = FileStats.collect(p, target.schema)
-        FileEntry(rel, partitionOf(rel, m.partitionColumns), v,
+      val newData = dataStats.map { case (p, cs) =>
+        FileEntry(root.relativize(p).toString,
+          partitionOf(root.relativize(p).toString, m.partitionColumns), v,
           cs.bounds, cs.nulls, cs.rows)
       }
-      val newDeletes = delWritten.map(p =>
-        DeleteEntry(root.relativize(p).toString, v,
-          FileStats.collect(p, delSchema).bounds))
+      val newDeletes = delStats.map { case (p, cs) =>
+        DeleteEntry(root.relativize(p).toString, v, cs.bounds)
+      }
       // schema may have drifted through targetTransform (column adds are
       // metadata-only; carried files null-fill on read under the superset)
       Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
@@ -778,7 +783,16 @@ final class SnapshotTable(val root: Path) {
     if (m.partitionColumns.isEmpty) {
       val nFiles = math.max(1,
         math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
-      commitData(df.repartition(nFiles), Some(m),
+      // a z-ordered table must be re-CLUSTERED, not hash-repartitioned:
+      // hashing scatters rows so every output file's bounds span the
+      // full range and both curve dimensions stop pruning. Columns since
+      // dropped from the schema fall back to the hash path.
+      val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+      val zCols = m.properties.get(ZOrderProp)
+        .map(_.split(',').toSeq.filter(schemaCols)).filter(_.nonEmpty)
+      val clustered = zCols.flatMap(zClustered(df, _, nFiles))
+        .getOrElse(df.repartition(nFiles))
+      commitData(clustered, Some(m),
         m.partitionColumns, m.properties, nowMs, carryForward = carried)
     } else {
       // size control: commitData clusters one task per partition value,
@@ -825,29 +839,48 @@ final class SnapshotTable(val root: Path) {
     val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    zClustered(read(spark), cols, nFiles) match {
+      case None => m // empty table: nothing to cluster, no-op
+      case Some(clustered) =>
+        // record the layout so operators (and future compactions) can
+        // see what the table is clustered by, like Iceberg's sort-order
+        // metadata — [[compact]] re-clusters on it instead of hashing
+        // the rows apart
+        commitData(clustered, Some(m), Nil,
+          m.properties + (ZOrderProp -> cols.mkString(",")), nowMs)
+    }
+  }
+
+  private val ZOrderProp = "write.graft.zorder-by"
+
+  /** Range-cluster `df` on the scaled Morton key over `cols` into
+    * `nFiles` (shared by [[rewriteZOrder]] and z-aware [[compact]]).
+    * None when the frame has no rows to derive bounds from.
+    *
+    * Per-column key bounds come from one map-side-combined agg pass: the
+    * curve normalizes each column to its observed range, else a
+    * wide-magnitude column monopolizes the leading interleaved bits and
+    * narrow columns never become prunable (see ZValue.leftAlign).
+    */
+  private def zClustered(df: DataFrame, cols: Seq[String],
+                         nFiles: Int): Option[DataFrame] = {
     val z = "__graft_z"
-    val df = read(spark)
-    // per-column key bounds (one map-side-combined agg pass): the curve
-    // normalizes each column to its observed range, else a wide-magnitude
-    // column monopolizes the leading interleaved bits and narrow columns
-    // never become prunable (see ZValue.leftAlign)
     val aggs = cols.flatMap(c => Seq(
       min(graft.functions.ZOrder.zkey(col(c))),
       max(graft.functions.ZOrder.zkey(col(c)))))
     // row layout: min(c0), max(c0), min(c1), max(c1), ...
     val boundsRow = df.agg(aggs.head, aggs.tail: _*).head
-    val lows = cols.indices.map(i => boundsRow.getLong(2 * i) ^ Long.MinValue)
-    val highs = cols.indices.map(i => boundsRow.getLong(2 * i + 1) ^ Long.MinValue)
-    val clustered = df
-      .withColumn(z, graft.functions.ZOrder.zvalueScaled(
-        cols.map(col), lows, highs))
-      .repartitionByRange(nFiles, col(z))
-      .sortWithinPartitions(z)
-      .drop(z)
-    // record the layout so operators (and future compactions) can see
-    // what the table is clustered by, like Iceberg's sort-order metadata
-    commitData(clustered, Some(m), Nil,
-      m.properties + ("write.graft.zorder-by" -> cols.mkString(",")), nowMs)
+    if (boundsRow.isNullAt(0)) None
+    else {
+      val lows = cols.indices.map(i => boundsRow.getLong(2 * i) ^ Long.MinValue)
+      val highs = cols.indices.map(i => boundsRow.getLong(2 * i + 1) ^ Long.MinValue)
+      Some(df
+        .withColumn(z, graft.functions.ZOrder.zvalueScaled(
+          cols.map(col), lows, highs))
+        .repartitionByRange(nFiles, col(z))
+        .sortWithinPartitions(z)
+        .drop(z))
+    }
   }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259
@@ -1087,6 +1120,10 @@ final class SnapshotTable(val root: Path) {
         .parquet(dir.toString)
       listParquet(dir)
     }
+    // footer stats don't depend on the commit version — collect them
+    // BEFORE taking the publish lock, or a many-file commit serializes
+    // every concurrent writer behind its footer reads
+    val statsByPath = written.map(p => p -> FileStats.collect(p, df.schema))
     publishCommit { (v, curOpt) =>
       val curV = curOpt.map(_.version).getOrElse(0L)
       val (carriedFiles, carriedDeletes) =
@@ -1113,9 +1150,8 @@ final class SnapshotTable(val root: Path) {
             (cur.files.filterNot(f => touched(f.partition)), cur.deleteFiles)
           case None => throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
         }
-      val entries = written.map { p =>
+      val entries = statsByPath.map { case (p, cs) =>
         val rel = root.relativize(p).toString
-        val cs = FileStats.collect(p, df.schema)
         FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls, cs.rows)
       }
       Manifest(v, nowMs, df.schema.toDDL, entries ++ carriedFiles,

@@ -50,4 +50,24 @@ class FlowRunnerSpec extends SparkSpec {
     assert(Files.exists(java.nio.file.Paths.get(
       s"$out/dms1/txn/file_list_full/2026-06-02")))
   }
+
+  test("one failed table surfaces AFTER every other table has finished") {
+    val base = Files.createTempDirectory("graft-flow-fail-").toString
+    val (raw, wh, out) = (s"$base/raw", s"$base/wh", s"$base/out")
+    // `good` has data; `doomed` has no raw directory and will throw
+    Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("Id", "SystemModstamp", "payload")
+      .write.parquet(s"$raw/crm/good/2026-06-02")
+    val config = s"$base/flows.json"
+    Files.writeString(java.nio.file.Paths.get(config),
+      """{"crm": {"doomed": {"type": "full"}, "good": {"type": "full"}}}""")
+    intercept[Exception] {
+      FlowRunner.run(spark, config, raw, wh, out,
+        OffsetDateTime.parse("2026-06-02T00:00:00Z"))
+    }
+    // the failure must not abandon the other table mid-flight: by the
+    // time run() returns (exceptionally), `good` is fully committed —
+    // no background thread keeps mutating the warehouse afterward
+    assert(SnapshotTable.at(s"$wh/crm/good").read(spark).count() == 1)
+  }
 }

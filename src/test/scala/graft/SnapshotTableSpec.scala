@@ -350,6 +350,11 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.readAsOf(spark, 1999L).count() == 10)
     assert(tbl.readAsOf(spark, 5000L).count() == 20)
     intercept[IllegalArgumentException](tbl.readAsOf(spark, 999L))
+    // same-millisecond commits (routine for metadata-only commits that
+    // follow a data commit): the tie must break toward the LATEST version
+    tbl.merge(spark, batch(1 to 25, t1, 3.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false, nowMs = 2000L)
+    assert(tbl.readAsOf(spark, 2000L).count() == 25)
   }
 
   test("missing table and concurrent commits fail fast with clear errors") {
@@ -533,9 +538,38 @@ class SnapshotTableSpec extends SparkSpec {
     // it has no bounds for s
     assert(tbl.pruneCounts(col("s") === "x")._1 == 1)
     assert(tbl.readWhere(spark, col("s") === "x").count() == 100)
+    // null-safe equality against NULL ≡ IS NULL: the all-null file is
+    // exactly the one that matches and must be KEPT
+    assert(tbl.pruneCounts(col("s") <=> lit(null))._1 == 1)
+    assert(tbl.readWhere(spark, col("s") <=> lit(null)).count() == 100)
+    // ...and <=> against a value prunes like = (null rows match neither)
+    assert(tbl.pruneCounts(col("s") <=> "x")._1 == 1)
+    assert(tbl.readWhere(spark, col("s") <=> "x").count() == 100)
     // manifest round-trip: a re-opened table prunes identically
     val reopened = SnapshotTable.at(tbl.root.toString)
     assert(reopened.pruneCounts(col("s").isNull)._1 == 1)
+  }
+
+  test("timestamp partition values prune correctly under a non-UTC session") {
+    // Spark renders timestamp partition-path values in the SESSION
+    // timezone; decodePartitionValue must parse them back with the same
+    // zone or every instant-typed partition predicate shifts and prunes
+    // the wrong files
+    val tbl = freshTable()
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val df = Seq(
+        (1L, Timestamp.valueOf("2026-01-01 00:00:00")),
+        (2L, Timestamp.valueOf("2026-06-01 00:00:00")))
+        .toDF("id", "ts")
+      tbl.createOrReplace(df, Seq("ts"))
+      val cond = col("ts") === lit(Timestamp.valueOf("2026-01-01 00:00:00"))
+      val (kept, total) = tbl.pruneCounts(cond)
+      assert(total == 2 && kept == 1,
+        s"instant equality must keep exactly the matching file ($kept/$total)")
+      assert(tbl.readWhere(spark, cond).count() == 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
   test("startsWith predicates prune on string bounds") {

@@ -96,4 +96,40 @@ class ZOrderSpec extends SparkSpec {
     assert(tbl.currentManifest.properties.get("write.graft.zorder-by")
       .contains("x,y"))
   }
+
+  test("compaction re-clusters a z-ordered table instead of scattering it") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-zorder-compact-").toString)
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    tbl.createOrReplace(grid.repartitionByRange(8, col("x")))
+    tbl.rewriteZOrder(spark, Seq("x", "y"), minFiles = 8)
+    // a MoR merge leaves a pending delete → compaction must fold it, and
+    // the rewrite must preserve the curve layout (hash-scattering would
+    // make every file's bounds span the full range on both columns)
+    tbl.mergeMoR(spark,
+      Seq((0L, 0L)).toDF("x", "y").withColumn("op", lit("U")),
+      Seq("x", "y"), keepDeletes = false)
+    val bytes = tbl.currentManifest.files
+      .map(f => Files.size(tbl.root.resolve(f.path))).sum
+    tbl.compact(spark, targetFileBytes = math.max(1, bytes / 8))
+    val m = tbl.currentManifest
+    assert(m.deleteFiles.isEmpty, "compaction folds the delete")
+    val total = m.files.size
+    assert(total >= 4, s"re-clustered table must stay multi-file ($total)")
+    assert(tbl.pruneCounts(col("x") < 8L)._1 < total,
+      "x must still prune after compaction")
+    assert(tbl.pruneCounts(col("y") < 8L)._1 < total,
+      "y must still prune after compaction")
+    assert(tbl.read(spark).count() == 64L * 64)
+  }
+
+  test("z-order rewrite of an empty table is a no-op") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-zorder-empty-").toString)
+    tbl.createOrReplace(Seq.empty[(Long, Long)].toDF("x", "y"))
+    val v = tbl.currentVersion
+    tbl.rewriteZOrder(spark, Seq("x", "y")) // must not NPE on null bounds
+    assert(tbl.currentVersion == v)
+  }
 }
