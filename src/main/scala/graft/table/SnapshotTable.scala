@@ -109,10 +109,37 @@ final class SnapshotTable(val root: Path) {
 
   def currentManifest: Manifest = manifest(currentVersion)
 
-  def manifest(v: Long): Manifest =
-    ManifestJson.read(metaDir.resolve(s"v$v.json"))
+  // manifests are immutable once committed (ghosts — see manifestVersions
+  // — are never readable), so parse-once-per-instance is safe; metadata
+  // ops like readAsOf/history/expiry walk every retained version and
+  // would otherwise re-parse chunked manifests on every call
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Manifest]()
 
-  def manifestVersions: Seq[Long] =
+  def manifest(v: Long): Manifest =
+    manifestCache.computeIfAbsent(v,
+      _ => ManifestJson.read(metaDir.resolve(s"v$v.json")))
+
+  /** Highest version ever COMMITTED (pointer-published). A manifest file
+    * above both this and the current pointer is a GHOST — a crash landed
+    * between its write and the pointer move — and must stay invisible:
+    * it was never current, so readAsOf/history/rollback must not serve
+    * it, and [[nextVersion]] overwrites it. Legacy tables without the
+    * marker fall back to "everything on disk is committed" (which also
+    * preserves rolled-back-over snapshots from before the marker).
+    */
+  private def hwmFile = metaDir.resolve("_hwm")
+
+  private def highWaterMark: Long = {
+    val recorded =
+      if (Files.exists(hwmFile))
+        new String(Files.readAllBytes(hwmFile), StandardCharsets.UTF_8)
+          .trim.toLong
+      else onDiskVersions.maxOption.getOrElse(0L)
+    math.max(recorded, if (exists) currentVersion else 0L)
+  }
+
+  private def onDiskVersions: Seq[Long] =
     if (!Files.exists(metaDir)) Nil
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala
@@ -122,6 +149,11 @@ final class SnapshotTable(val root: Path) {
           s.stripPrefix("v").stripSuffix(".json").toLong }
         .toSeq.sorted
     }
+
+  def manifestVersions: Seq[Long] = {
+    val visible = highWaterMark
+    onDiskVersions.filter(_ <= visible)
+  }
 
   /** Read the current snapshot. With `partitionFilter`, only files whose
     * partition values pass are read at all — manifest-level pruning, no
@@ -334,8 +366,11 @@ final class SnapshotTable(val root: Path) {
     * `VERSION AS OF` equivalent — snapshot isolation falls out of the
     * manifest being the complete live-file list).
     */
-  def readVersion(spark: SparkSession, version: Long): DataFrame =
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    require(manifestVersions.contains(version),
+      s"no committed snapshot v$version (expired, or a never-published ghost)")
     readManifest(spark, manifest(version))
+  }
 
   /** Incremental read: rows of data files PRESENT in the current snapshot
     * but ABSENT from snapshot `sinceVersion` (Iceberg incremental-scan
@@ -437,9 +472,14 @@ final class SnapshotTable(val root: Path) {
     */
   private def withEvolvedColumns(target: DataFrame,
                                  changes: DataFrame): DataFrame = {
-    val have = target.columns.toSet
+    // membership MUST be case-insensitive: under Spark's default
+    // caseSensitive=false, withColumn("Email") REPLACES an existing
+    // "email" with the null literal — an exact-case check here would
+    // silently wipe the column table-wide on source casing drift
+    val have = target.columns.map(_.toLowerCase).toSet
     changes.schema.fields
-      .filterNot(f => have(f.name) || f.name == MetaColumns.Op)
+      .filterNot(f => have(f.name.toLowerCase) ||
+        f.name.equalsIgnoreCase(MetaColumns.Op))
       .foldLeft(target)((df, f) =>
         df.withColumn(f.name, lit(null).cast(f.dataType)))
   }
@@ -451,7 +491,11 @@ final class SnapshotTable(val root: Path) {
             partitionStableByKey: Boolean = false,
             evolveSchema: Boolean = false): Manifest = {
     val m = currentManifest
-    if (evolveSchema) guardResurrection(m, changes)
+    // early, friendlier error than commitData's chokepoint — but only on
+    // the partition-scoped path: the unpartitioned branch is a FULL
+    // rewrite carrying nothing, where re-adding a dropped column is safe
+    if (evolveSchema && m.partitionColumns.nonEmpty)
+      guardResurrection(m, changes)
     val evolveT: DataFrame => DataFrame =
       if (evolveSchema) t => withEvolvedColumns(targetTransform(t), changes)
       else targetTransform
@@ -495,12 +539,21 @@ final class SnapshotTable(val root: Path) {
               .getOrElse(org.apache.spark.sql.catalyst.catalog
                 .ExternalCatalogUtils.DEFAULT_PARTITION_NAME))
           }.toMap).toSet
+        val currentSpec = pcols.sorted
         val specs: Seq[Seq[String]] =
           (m.files.map(_.partition.keySet).toSet + pcols.toSet)
             .toSeq.map(_.toSeq.sorted)
+        // partitionStableByKey's invariant (partition value a pure
+        // function of the key) can only be asserted for the CURRENT
+        // spec: a legacy spec's columns may still be mutable, so an
+        // update could MOVE a row within that spec — skipping its home
+        // scan would carry the stale copy AND insert the new row
+        // (duplicate key). Legacy specs always run the home census.
+        val needHome = !partitionStableByKey ||
+          specs.exists(sp => sp.nonEmpty && sp != currentSpec)
         // one column-pruned target scan serves every spec's home census
         val homeBase =
-          if (partitionStableByKey) None
+          if (!needHome) None
           else {
             val allP = specs.flatten.distinct
             val changeKeys = cached.select(keys.map(col): _*).distinct()
@@ -516,10 +569,13 @@ final class SnapshotTable(val root: Path) {
                 val cp = toSet(sp)(
                   cached.select(sp.map(c => col(c).cast("string")): _*)
                     .distinct().collect())
-                val hp = homeBase.fold(Set.empty[Map[String, String]])(df =>
-                  toSet(sp)(
-                    df.select(sp.map(c => col(c).cast("string")): _*)
-                      .distinct().collect()))
+                val hp =
+                  if (partitionStableByKey && sp == currentSpec)
+                    Set.empty[Map[String, String]]
+                  else homeBase.fold(Set.empty[Map[String, String]])(df =>
+                    toSet(sp)(
+                      df.select(sp.map(c => col(c).cast("string")): _*)
+                        .distinct().collect()))
                 cp ++ hp
               }
             sp.toSet -> vals
@@ -566,46 +622,58 @@ final class SnapshotTable(val root: Path) {
     require(cols.nonEmpty, "nothing to drop")
     require(m.deleteFiles.isEmpty,
       "cannot drop columns while equality deletes are pending — compact() first")
-    cols.foreach(c => require(!m.partitionColumns.contains(c),
-      s"cannot drop partition column $c — evolvePartitioning first"))
+    // all name handling here is case-INSENSITIVE (Spark's default
+    // resolution): requested names resolve to the schema's actual
+    // spelling, and tombstone keys are lowercased so the guards can't be
+    // bypassed by casing drift
+    cols.foreach(c =>
+      require(!m.partitionColumns.exists(_.equalsIgnoreCase(c)),
+        s"cannot drop partition column $c — evolvePartitioning first"))
     // a LEGACY spec's partition column is load-bearing too: the per-spec
     // merge census selects it from change batches, and migration rewrites
     // need it as data — migrate those files off the old spec first
-    cols.foreach(c => require(!m.files.exists(_.partition.contains(c)),
+    cols.foreach(c => require(
+      !m.files.exists(_.partition.keys.exists(_.equalsIgnoreCase(c))),
       s"$c is a partition column of live legacy-spec files — compact() " +
         "to migrate them to the current spec first"))
     val schema = StructType.fromDDL(m.schemaDdl)
-    cols.foreach(c => require(schema.fieldNames.contains(c),
-      s"no such column $c"))
+    val byLower = schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
+    val actual = cols.map { c =>
+      require(byLower.contains(c.toLowerCase), s"no such column $c")
+      byLower(c.toLowerCase)
+    }
+    val dropSet = actual.map(_.toLowerCase).toSet
     val keep = StructType(
-      schema.fields.filterNot(f => cols.contains(f.name)))
+      schema.fields.filterNot(f => dropSet(f.name.toLowerCase)))
     require(keep.nonEmpty, "cannot drop every column")
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
       m.copy(version = v, timestampMs = nowMs, schemaDdl = keep.toDDL,
         properties = m.properties ++
-          cols.map(c => s"$DroppedPrefix$c" -> v.toString))
+          dropSet.map(c => s"$DroppedPrefix$c" -> v.toString))
     }
   }
 
   private val DroppedPrefix = "graft.dropped."
 
   /** Columns whose re-addition would resurrect old values: tombstoned
-    * names whose drop version is NOT older than every file in `carried`
-    * (a pre-drop file physically holds the old column, and a read under
-    * a schema containing the name would surface it again).
+    * names (stored lowercased) whose drop version is NOT older than every
+    * file in `carried` (a pre-drop file physically holds the old column,
+    * and Spark's case-insensitive parquet resolution would surface it
+    * under ANY casing of the name — so matching is by lowercase).
     */
   private def resurrectableColumns(m: Manifest,
       carried: Seq[FileEntry]): Set[String] =
     m.properties.collect {
       case (k, v) if k.startsWith(DroppedPrefix) &&
           carried.exists(_.seq <= v.toLong) =>
-        k.drop(DroppedPrefix.length)
+        k.drop(DroppedPrefix.length).toLowerCase
     }.toSet
 
   private def guardResurrection(m: Manifest, changes: DataFrame): Unit = {
-    val hit = changes.columns.filter(resurrectableColumns(m, m.files))
+    val risky = resurrectableColumns(m, m.files)
+    val hit = changes.columns.filter(c => risky(c.toLowerCase))
     require(hit.isEmpty,
       s"re-adding dropped column(s) ${hit.mkString(", ")} would resurrect " +
         "pre-drop values from carried files (name-based mapping); " +
@@ -664,14 +732,21 @@ final class SnapshotTable(val root: Path) {
     // MoR carries EVERY base file, so any dropped column re-entering the
     // target schema (evolveSchema or targetTransform) is a resurrection
     locally {
-      val hit = target.schema.fieldNames.filter(
-        resurrectableColumns(m, m.files))
+      val risky = resurrectableColumns(m, m.files)
+      val hit = target.schema.fieldNames.filter(c => risky(c.toLowerCase))
       require(hit.isEmpty,
         s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
           "while carried files predate the drop — compact() first")
     }
-    val (applied, evictKeys) =
-      Merge.resolve(target, changes, keys, keepDeletes)
+    // change detection is a multi-join plan consumed by FOUR actions
+    // here (applied's anti+semi legs, the evictKeys emptiness probe, the
+    // data write, the delete write) — cache it like the CoW path does,
+    // and cache the small evict-key set across its probe + write
+    val cached = changes.cache()
+    val (applied, evictKeys0) =
+      Merge.resolve(target, cached, keys, keepDeletes)
+    val evictKeys = evictKeys0.cache()
+    try {
     // fail-fast BEFORE spending the write; authoritative check re-runs
     // under the publish lock (MoR appends resolve against the base
     // target, so a moved pointer always aborts — no rebase)
@@ -727,6 +802,7 @@ final class SnapshotTable(val root: Path) {
       Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
         m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
     }
+    } finally { evictKeys.unpersist(); cached.unpersist() }
   }
 
   /** Selective bin-pack compaction toward the target file size (reference:
@@ -776,35 +852,39 @@ final class SnapshotTable(val root: Path) {
     val carried = m.files.filterNot(f => rewriteSet(f.path))
     // read ONLY the rewrite set (delete-resolved); carried groups are
     // proven unaffected by any pending delete, so dropping the deletes
-    // from the committed manifest is safe
+    // from the committed manifest is safe. Cached: the rewrite view is
+    // consumed twice (sizing/bounds action + the write), and re-running
+    // it would repeat the MoR anti-join over every rewritten file.
     val sub = m.copy(files = rewrite)
-    val df = readManifest(spark, sub)
-    val rewriteBytes = math.max(1L, rewrite.map(f => sizes(f.path)).sum)
-    if (m.partitionColumns.isEmpty) {
-      val nFiles = math.max(1,
-        math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
-      // a z-ordered table must be re-CLUSTERED, not hash-repartitioned:
-      // hashing scatters rows so every output file's bounds span the
-      // full range and both curve dimensions stop pruning. Columns since
-      // dropped from the schema fall back to the hash path.
-      val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
-      val zCols = m.properties.get(ZOrderProp)
-        .map(_.split(',').toSeq.filter(schemaCols)).filter(_.nonEmpty)
-      val clustered = zCols.flatMap(zClustered(df, _, nFiles))
-        .getOrElse(df.repartition(nFiles))
-      commitData(clustered, Some(m),
-        m.partitionColumns, m.properties, nowMs, carryForward = carried)
-    } else {
-      // size control: commitData clusters one task per partition value,
-      // so oversized partitions are split by record count instead
-      // (maxRecordsPerFile, derived from the observed compressed row size)
-      val rowCount = math.max(1L, df.count())
-      val bytesPerRow = math.max(1L, rewriteBytes / rowCount)
-      val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
-      commitData(df, Some(m), m.partitionColumns, m.properties,
-        nowMs, carryForward = carried,
-        writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
-    }
+    val df = readManifest(spark, sub).cache()
+    try {
+      val rewriteBytes = math.max(1L, rewrite.map(f => sizes(f.path)).sum)
+      if (m.partitionColumns.isEmpty) {
+        val nFiles = math.max(1,
+          math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
+        // a z-ordered table must be re-CLUSTERED, not hash-repartitioned:
+        // hashing scatters rows so every output file's bounds span the
+        // full range and both curve dimensions stop pruning. Columns since
+        // dropped from the schema fall back to the hash path.
+        val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+        val zCols = m.properties.get(ZOrderProp)
+          .map(_.split(',').toSeq.filter(schemaCols)).filter(_.nonEmpty)
+        val clustered = zCols.flatMap(zClustered(df, _, nFiles))
+          .getOrElse(df.repartition(nFiles))
+        commitData(clustered, Some(m),
+          m.partitionColumns, m.properties, nowMs, carryForward = carried)
+      } else {
+        // size control: commitData clusters one task per partition value,
+        // so oversized partitions are split by record count instead
+        // (maxRecordsPerFile, derived from the observed compressed row size)
+        val rowCount = math.max(1L, df.count())
+        val bytesPerRow = math.max(1L, rewriteBytes / rowCount)
+        val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
+        commitData(df, Some(m), m.partitionColumns, m.properties,
+          nowMs, carryForward = carried,
+          writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
+      }
+    } finally df.unpersist()
   }
 
   /** Z-ORDER layout rewrite: the whole table rewritten clustered on the
@@ -1043,6 +1123,16 @@ final class SnapshotTable(val root: Path) {
       Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
+      // high-water mark LAST: a crash after the manifest write but before
+      // the pointer move leaves v as a ghost (> hwm AND > pointer) that
+      // manifestVersions never surfaces and the next commit overwrites; a
+      // crash between pointer and hwm is covered by highWaterMark taking
+      // max(recorded, currentVersion)
+      val hwmTmp = metaDir.resolve(s"_hwm.tmp$v")
+      Files.write(hwmTmp, v.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(hwmTmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      manifestCache.put(v, m)
       m
     }
 
@@ -1096,8 +1186,8 @@ final class SnapshotTable(val root: Path) {
     // schema that re-introduces a dropped column while CARRIED files
     // predate the drop would surface their old values on read
     base.foreach { b =>
-      val hit = df.schema.fieldNames.filter(
-        resurrectableColumns(b, carryForward))
+      val risky = resurrectableColumns(b, carryForward)
+      val hit = df.schema.fieldNames.filter(c => risky(c.toLowerCase))
       require(hit.isEmpty,
         s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
           "while carried files predate the drop — compact() first")

@@ -154,6 +154,46 @@ class SchemaDriftSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.dropColumns(Seq("ghost")))
   }
 
+  test("evolveSchema casing drift neither wipes nor duplicates a column") {
+    val root = Files.createTempDirectory("graft-evo-case-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 10).map(i => (i.toLong, ts("2026-01-01 00:00:00"), s"e$i"))
+        .toDF("id", "upd", "email"))
+    // change batch arrives with "Email": under caseSensitive=false this
+    // is the SAME column — an exact-case evolution check would run
+    // withColumn("Email", null) and wipe every row's email
+    val changes = Seq((3L, ts("2026-02-01 00:00:00"), "changed", "U"))
+      .toDF("id", "upd", "Email", "op")
+    tbl.merge(spark, changes, Seq("id"), keepDeletes = false,
+      evolveSchema = true)
+    val out = tbl.read(spark)
+    assert(out.columns.count(_.equalsIgnoreCase("email")) == 1)
+    assert(out.filter(col("email").isNull).count() == 0,
+      "existing email values must survive the case-drifted evolve")
+    assert(out.filter(col("id") === 3L).select("email").head.getString(0)
+      == "changed")
+  }
+
+  test("resurrection guard matches case-insensitively") {
+    val root = Files.createTempDirectory("graft-drop-case-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 20).map(i => (i.toLong, ts("2026-01-01 00:00:00"), i % 2, s"x$i"))
+        .toDF("id", "upd", "p", "extra"),
+      Seq("p"))
+    tbl.dropColumns(Seq("extra"))
+    // re-add under DIFFERENT casing while pre-drop files are live: the
+    // parquet reader resolves case-insensitively, so "EXTRA" would bind
+    // to the old physical "extra" values — must be refused
+    val readd = Seq((99L, ts("2026-02-01 00:00:00"), 1, "I", "fresh"))
+      .toDF("id", "upd", "p", "op", "EXTRA")
+    intercept[IllegalArgumentException] {
+      tbl.merge(spark, readd, Seq("id"), keepDeletes = false,
+        evolveSchema = true)
+    }
+  }
+
   test("Ingestion batch re-growing a dropped column is refused until compaction") {
     val root = Files.createTempDirectory("graft-drop-ing-").toString
     val tbl = SnapshotTable.at(root)

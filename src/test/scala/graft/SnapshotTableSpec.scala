@@ -315,14 +315,17 @@ class SnapshotTableSpec extends SparkSpec {
     // v2 references only new files (a replace; selective compaction on an
     // already-compact table is deliberately a no-op)
     tbl.createOrReplace(batch(1 to 50, t0, 1.0), nowMs = now)
-    // rewrite the backdated manifest for v1
+    // rewrite the backdated manifest for v1, then RE-OPEN the table:
+    // manifests are immutable by contract (instances parse-once), so an
+    // external edit is only visible to a fresh handle
     val metaPath = java.nio.file.Paths.get(tbl.root.toString, "meta", "v1.json")
     graft.table.ManifestJson.write(metaPath, m1)
-    val expired = tbl.expireSnapshots(minSnapshotsToKeep = 1, nowMs = now)
+    val reopened = SnapshotTable.at(tbl.root.toString)
+    val expired = reopened.expireSnapshots(minSnapshotsToKeep = 1, nowMs = now)
     assert(expired == Seq(1L))
-    assert(tbl.manifestVersions == Seq(2L))
-    assert(tbl.read(spark).count() == 50)
-    assert(tbl.removeOrphanFiles().isEmpty) // expiry already removed them
+    assert(reopened.manifestVersions == Seq(2L))
+    assert(reopened.read(spark).count() == 50)
+    assert(reopened.removeOrphanFiles().isEmpty) // expiry already removed them
   }
 
   test("time travel, history, and rollback") {
@@ -339,6 +342,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 10)
     // rolled-back-over version is unreferenced → orphan GC can collect it
     intercept[IllegalArgumentException](tbl.rollbackTo(99))
+  }
+
+  test("a crash-orphaned ghost manifest is invisible and gets overwritten") {
+    val tbl = freshTable()
+    tbl.createOrReplace(batch(1 to 10, t0, 1.0), nowMs = 1000L)
+    tbl.merge(spark, batch(1 to 20, t1, 2.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false, nowMs = 2000L)
+    // simulate a writer killed between manifest write and pointer move:
+    // v3.json exists but was never pointer-published
+    val meta = tbl.root.resolve("meta")
+    Files.copy(meta.resolve("v2.json"), meta.resolve("v3.json"))
+    val fresh = SnapshotTable.at(tbl.root.toString) // no warm caches
+    assert(fresh.currentVersion == 2L)
+    assert(fresh.manifestVersions == Seq(1L, 2L), "ghost must stay hidden")
+    assert(fresh.history(spark).count() == 2)
+    assert(fresh.readAsOf(spark, Long.MaxValue / 2).count() == 20,
+      "readAsOf must not serve the never-committed snapshot")
+    intercept[IllegalArgumentException](fresh.readVersion(spark, 3L))
+    intercept[IllegalArgumentException](fresh.rollbackTo(3L))
+    // the next commit claims the ghost's slot and becomes visible
+    fresh.merge(spark, batch(1 to 25, t1, 3.0).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false, nowMs = 3000L)
+    assert(fresh.currentVersion == 3L)
+    assert(fresh.read(spark).count() == 25)
+    assert(fresh.readVersion(spark, 3L).count() == 25)
   }
 
   test("readAsOf serves the latest snapshot at or before the timestamp") {
