@@ -1411,9 +1411,12 @@ object SparkEntry {
         |FROM ev e JOIN w ON e.ts >= w.win_start AND e.ts <= w.win_end
         |WHERE e.event_id % 997 <> 0""".stripMargin,
 
+    // micro-unit sum (repo float-oracle rule): round(sum,2) on an
+    // engine-computed double flips at half boundaries between engines
     "q50_stream_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
-        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        | count(*) AS n_events,
+        | CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS sum_value_e6
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q51_sessionize" -> sessionizeOracle,

@@ -97,7 +97,12 @@ object FlowRunner {
         try Right(f.get())
         catch {
           case e: java.util.concurrent.ExecutionException => Left(e.getCause)
-          case e: InterruptedException => Left(e)
+          case e: InterruptedException =>
+            // the CALLER is being cancelled — don't keep blocking on the
+            // remaining tables; interrupt the workers and restore the flag
+            pool.shutdownNow()
+            Thread.currentThread().interrupt()
+            throw e
         })
       outcomes.collectFirst { case Left(e) => e }.foreach(throw _)
       outcomes.collect { case Right(r) => r }

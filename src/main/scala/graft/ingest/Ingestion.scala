@@ -42,21 +42,30 @@ object Ingestion {
     */
   def alignSchemas(source: DataFrame, target: DataFrame,
                    keepSourceCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
-    val sFields = source.schema.map(f => f.name -> f).toMap
-    val tFields = target.schema.map(f => f.name -> f).toMap
-    val dataCols = source.schema.map(_.name).filterNot(keepSourceCols.contains)
-    val newCols = dataCols.filterNot(tFields.contains)
-    val gone = target.schema.map(_.name).filterNot(sFields.contains)
+    // name matching is case-INSENSITIVE (Spark's default resolution):
+    // an exact-case map would classify a case-drifted source column
+    // ('Email' for an existing 'email') as NEW, null-fill the real one,
+    // and split the data across two case-variant columns — the silent
+    // wipe the storage layer's evolution guard also defends against.
+    // The target's spelling wins for shared columns.
+    val sFields = source.schema.map(f => f.name.toLowerCase -> f).toMap
+    val tFields = target.schema.map(f => f.name.toLowerCase -> f).toMap
+    val keepLower = keepSourceCols.map(_.toLowerCase).toSet
+    val dataCols = source.schema.map(_.name)
+      .filterNot(c => keepLower(c.toLowerCase))
+    val newCols = dataCols.filterNot(c => tFields.contains(c.toLowerCase))
+    val gone = target.schema.map(_.name)
+      .filterNot(c => sFields.contains(c.toLowerCase))
     if (newCols.isEmpty && gone.isEmpty && keepSourceCols.isEmpty)
       return (source, target)
     val order = target.schema.map(_.name) ++ newCols
     val s2 = source.select(order.map { c =>
-      sFields.get(c).map(f => col(f.name))
-        .getOrElse(lit(null).cast(tFields(c).dataType).as(c))
+      sFields.get(c.toLowerCase).map(f => col(f.name).as(c))
+        .getOrElse(lit(null).cast(tFields(c.toLowerCase).dataType).as(c))
     } ++ keepSourceCols.map(col): _*)
     val t2 = target.select(order.map { c =>
-      tFields.get(c).map(f => col(f.name))
-        .getOrElse(lit(null).cast(sFields(c).dataType).as(c))
+      tFields.get(c.toLowerCase).map(f => col(f.name).as(c))
+        .getOrElse(lit(null).cast(sFields(c.toLowerCase).dataType).as(c))
     }: _*)
     (s2, t2)
   }

@@ -32,7 +32,13 @@ abstract class IngestionJob(
     */
   def cleanTableName: String = config.table.replace('-', '_')
 
-  def table: SnapshotTable =
+  // one handle per job run: SnapshotTable memoizes manifest parses per
+  // instance, and run() touches the table from half a dozen call sites
+  // (ingest, census, expiry, orphan GC, compaction, outputs) — a fresh
+  // instance each access would re-parse chunked manifests every time.
+  // Safe because the commit POINTER is re-read on every operation; only
+  // immutable per-version manifests are cached.
+  lazy val table: SnapshotTable =
     SnapshotTable.at(s"$warehouseRoot/${config.database}/$cleanTableName")
 
   /** Where today's raw batch lands (source-family specific). */

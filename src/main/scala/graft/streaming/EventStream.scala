@@ -37,9 +37,8 @@ final case class DocFp(fp: String, doc_id: Long)
   */
 object StreamingIngest {
   import org.apache.spark.sql.streaming.Trigger
-  import graft.core.{IngestMode, MetaColumns, SourceConfig}
+  import graft.core.{IngestMode, SourceConfig}
   import graft.ingest.Ingestion
-  import graft.merge.ChangeSet
   import graft.table.SnapshotTable
 
   def run(spark: SparkSession, table: SnapshotTable, cdcDir: String,
@@ -55,24 +54,14 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val source = Ingestion.stamp(Ingestion.lowercaseColumns(batch),
-          ingestionTs, cfg.flags.keepDeletes)
-        if (!table.exists) {
-          // bootstrap parity with the batch cdc path (and the reference,
-          // iceberg.py:130-132): the raw history is written verbatim with
-          // only the op column dropped — no dedup, D rows kept as rows
-          table.createOrReplace(source.drop(MetaColumns.Op),
-            cfg.partitionColumns)
-        } else {
-          val (src, _) = Ingestion.alignSchemas(source, table.read(spark),
-            keepSourceCols = Seq(MetaColumns.Op))
-          val deduped = ChangeSet.dedupLatest(src, cfg.naturalKeys,
-            cfg.updatedAtFields)
-          table.merge(spark, deduped, cfg.naturalKeys, cfg.flags.keepDeletes,
-            targetTransform =
-              t => Ingestion.alignSchemas(source.drop(MetaColumns.Op), t)._2,
-            partitionStableByKey = cfg.partitionStableByKey)
-        }
+        // delegate each micro-batch to the BATCH ingestion core: one code
+        // path gives the stream everything the daily job has — bootstrap
+        // with the cfg-derived table properties, recorded-write-mode
+        // stickiness (a storage-optimized table keeps merging
+        // merge-on-read), CDC dedup-latest, schema-drift alignment —
+        // instead of a drifting re-implementation of the cdc branch
+        Ingestion.run(spark, table, Ingestion.lowercaseColumns(batch),
+          cfg, ingestionTs)
         ()
       }
       .start()
@@ -128,10 +117,15 @@ object EventStream {
       val stream = withTs
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        // micro-unit export, not round(sum, 2): summation order differs
+        // between engines, and rounding an engine-computed double flips
+        // at half boundaries (the repo-wide float-oracle rule)
+        .agg(count(lit(1)).as("n_events"),
+          floor(sum("value") * 1e6 + 0.5).cast("long").as("sum_value_e6"))
         .select(col("window.start").as("hour_start"), col("event_type"),
-          col("n_events"), col("sum_value"))
+          col("n_events"), col("sum_value_e6"))
       val q = stream.writeStream
+        .queryName(queryName)
         .outputMode("append")
         .format("parquet")
         .option("path", outDir)
@@ -144,7 +138,16 @@ object EventStream {
     runPass() // data pass: emits all windows older than (max ts - delay)
     stageWatermarkSentinel(spark, srcDir.toString, schema)
     runPass() // sentinel pass: watermark jumps, remaining windows close
-    spark.read.parquet(outDir).filter(col("event_type").isNotNull)
+    // exclude ONLY the sentinel's own window (it never closes, so this is
+    // defense in depth) by its exact hour bucket — filtering on a null
+    // event_type would also drop REAL null-typed event groups
+    val sentinelMicros = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => (Long.MaxValue / 2) / 1000L
+      case _ => (Long.MaxValue / 4000L) * 1000L
+    }
+    val sentinelHour = sentinelMicros - sentinelMicros % 3600000000L
+    spark.read.parquet(outDir)
+      .filter(col("hour_start") =!= expr(s"timestamp_micros(${sentinelHour}L)"))
   }
 
   /** Stage ONE far-future row (null event_type/value) as a new parquet

@@ -57,6 +57,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(tbl.currentVersion > v1)
   }
 
+  test("streaming ingest honors storage mode: bootstrap props + MoR merges") {
+    val base = Files.createTempDirectory("graft-sing-mor-").toString
+    val (cdc, ckpt) = (s"$base/cdc", s"$base/ckpt")
+    val tbl = SnapshotTable.at(s"$base/wh/t")
+    val cfg = SourceConfig("s", "t", Seq("id"), Seq("modstamp"),
+      mode = IngestMode.Cdc, optimize = graft.core.Optimize.Storage)
+    cdcRows(Seq((1L, "2026-01-01 00:00:00", 1.0, "I"),
+      (2L, "2026-01-01 00:00:00", 2.0, "I")))
+      .write.parquet(s"$cdc/2026/01/01")
+    StreamingIngest.run(spark, tbl, cdc, cfg,
+      Timestamp.valueOf("2026-01-01 00:00:00"), ckpt)
+    // bootstrap must record the cfg-derived table properties (the old
+    // streaming path wrote none, so maintenance and later batch runs
+    // fell back to speed defaults)
+    val props = tbl.currentManifest.properties
+    assert(props.get("graft.physical-write-mode").contains("merge-on-read"))
+    assert(props.get("write.parquet.compression-codec").contains("gzip"))
+    val v1Files = tbl.currentManifest.files.map(_.path).toSet
+    // incremental micro-batch: a storage table must merge MERGE-ON-READ
+    // (carry every base file + equality delete), not CoW-rewrite
+    cdcRows(Seq((1L, "2026-01-02 00:00:00", 9.0, "U")))
+      .write.parquet(s"$cdc/2026/01/02")
+    StreamingIngest.run(spark, tbl, cdc, cfg,
+      Timestamp.valueOf("2026-01-02 00:00:00"), ckpt)
+    val m = tbl.currentManifest
+    assert(m.deleteFiles.nonEmpty, "MoR merge must append an equality delete")
+    assert(v1Files.subsetOf(m.files.map(_.path).toSet),
+      "MoR merge must carry every base file")
+    val out = tbl.read(spark).select("id", "v").as[(Long, Double)]
+      .collect().toSet
+    assert(out == Set((1L, 9.0), (2L, 2.0)))
+  }
+
   private def eventRows(tuples: Seq[(Long, Long, String)]) =
     tuples.map { case (u, e, ts) => (u, e, Timestamp.valueOf(ts), "click", 1.0) }
       .toDF("user_id", "event_id", "ts", "event_type", "value")
