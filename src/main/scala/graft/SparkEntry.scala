@@ -1125,18 +1125,18 @@ object SparkEntry {
 
     "q31_quality" ->
       """SELECT doc_id, length(text) AS n_chars_m,
-        | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
-        | round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) AS digit_ratio,
-        | round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) AS punct_ratio,
-        | round(length(regexp_replace(text, '[^ ]', '', 'g')) / length(text), 6) AS space_ratio,
+        | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0), 6) AS alpha_ratio,
+        | round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1.0), 6) AS digit_ratio,
+        | round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0), 6) AS punct_ratio,
+        | round(length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1.0), 6) AS space_ratio,
         | CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
         | round(length(replace(text, ' ', '')) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1.0), 6) AS avg_word_len,
-        | CAST(floor(greatest(0.0, least(1.0,
-        |   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) * 0.6
-        |   + round(length(regexp_replace(text, '[^ ]', '', 'g')) / length(text), 6) * 1.2
-        |   - round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) * 0.8
-        |   - round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 6) * 0.5
-        |   + least(round(length(replace(text, ' ', '')) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1.0), 6), 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_e6
+        | CASE WHEN text IS NULL THEN 0 ELSE CAST(floor(greatest(0.0, least(1.0,
+        |   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1.0), 6) * 0.6
+        |   + round(length(regexp_replace(text, '[^ ]', '', 'g')) / greatest(length(text), 1.0), 6) * 1.2
+        |   - round(length(regexp_replace(text, '[^0-9]', '', 'g')) / greatest(length(text), 1.0), 6) * 0.8
+        |   - round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(length(text), 1.0), 6) * 0.5
+        |   + least(round(length(replace(text, ' ', '')) / greatest(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END, 1.0), 6), 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT) END AS quality_score_e6
         |FROM documents""".stripMargin,
 
     "q32_token_counts" ->
@@ -1292,7 +1292,7 @@ object SparkEntry {
 
     "q47_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 < 100""".stripMargin,
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000 < 100""".stripMargin,
 
     "q49_embed_top_pairs" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1459,13 +1459,15 @@ object SparkEntry {
        |       THEN ' Contact: user' || doc_id || '@example.com now.' ELSE '' END
        |  || CASE WHEN doc_id % 11 = 0
        |       THEN ' Call +1 (555) 123-4567.' ELSE '' END AS text
-       |  FROM documents)
+       |  FROM documents),
+       |es AS (SELECT doc_id, text,
+       |  regexp_replace(text, '$e', '<EMAIL>', 'g') AS email_scrubbed
+       |  FROM aug)
        |SELECT doc_id,
        | CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
-       | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
-       | md5(regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
-       |   '$p', '<PHONE>', 'g')) AS scrubbed_fp
-       |FROM aug""".stripMargin
+       | CAST(len(regexp_extract_all(email_scrubbed, '$p')) AS BIGINT) AS n_phones,
+       | md5(regexp_replace(email_scrubbed, '$p', '<PHONE>', 'g')) AS scrubbed_fp
+       |FROM es""".stripMargin
   }
 
   private def sessionizeOracle: String =
@@ -1483,15 +1485,16 @@ object SparkEntry {
   /** SQL twin of TextAnalysis.qualityScore's quality_score_e6 column. */
   private def sqlQualityE6: String = {
     def ratio(pattern: String) =
-      s"round(length(regexp_replace(text, '$pattern', '', 'g')) / length(text), 6)"
+      s"round(length(regexp_replace(text, '$pattern', '', 'g')) / greatest(length(text), 1.0), 6)"
     val nTokens =
       "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     val avgw =
       s"round(length(replace(text, ' ', '')) / greatest($nTokens, 1.0), 6)"
-    s"CAST(floor(greatest(0.0, least(1.0, ${ratio("[^A-Za-z]")} * 0.6" +
+    s"CASE WHEN text IS NULL THEN 0 ELSE " +
+      s"CAST(floor(greatest(0.0, least(1.0, ${ratio("[^A-Za-z]")} * 0.6" +
       s" + ${ratio("[^ ]")} * 1.2 - ${ratio("[^0-9]")} * 0.8" +
       s" - ${ratio("[^.,;:!?]")} * 0.5" +
-      s" + least($avgw, 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT)"
+      s" + least($avgw, 8.0) / 16.0)) * 1000000.0 + 0.5) AS BIGINT) END"
   }
 
   private def langIdOracle: String = {

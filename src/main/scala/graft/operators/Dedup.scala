@@ -80,6 +80,13 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.6,
                       maxBucketSize: Int = 200): DataFrame = {
+    // an inexact split silently weakens the operator: bands > k makes
+    // every band key constant (whole corpus in one bucket → the cap
+    // drops everything → ZERO pairs reported for a dirty corpus); a
+    // non-dividing bands leaves signature slots unused (recall silently
+    // below what k promises)
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val rowsPerBand = k / bands
     // shingle ONCE, as 64-bit hashes: signatures derive from the hashed
     // set, and candidate verification compares long arrays (an order of
@@ -137,6 +144,8 @@ object Dedup {
   /** LSH bucket-size distribution — observability for the skew cap. */
   def bucketStats(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands > 0 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide the signature length k ($k)")
     val rowsPerBand = k / bands
     docs.select(col(idCol).as("id"),
         minhashSignature(shingleHashes(col(textCol), shingleN), k).as("sig"))
@@ -148,6 +157,14 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signatures, candidates = equal 16-bit
     * sub-bands (any of 4), verified by Hamming distance <= maxHamming.
     * The sub-band trick bounds the self-join exactly like MinHash LSH.
+    *
+    * RECALL CONTRACT: by pigeonhole, 4 bands GUARANTEE candidate
+    * generation only for hamming <= 3 (one band must be clean); pairs at
+    * hamming 4..maxHamming are returned only when their diffs happen to
+    * leave some band equal — increasingly likely for clustered diffs,
+    * never certain. maxHamming is the VERIFY threshold, not a recall
+    * guarantee; for guaranteed recall at larger distances, use the
+    * MinHash path or lower the threshold to 3.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, maxHamming: Int = 8,

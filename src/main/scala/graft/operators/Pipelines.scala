@@ -22,14 +22,16 @@ object Pipelines {
                   minQualityE6: Long = 990000L,
                   langs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
     val survivors = Dedup.exact(docs, idCol, textCol).select(col(idCol))
-    val scored = TextAnalysis.qualityScore(
-        docs.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("quality_score_e6"))
-    val withLang = docs.select(col(idCol),
-      TextAnalysis.langId(col(textCol)).as("lang_pred"))
-    survivors
-      .join(scored, idCol)
-      .join(withLang, idCol)
+    // join survivors FIRST, then compute both regex-heavy feature sets in
+    // ONE projection over the pruned frame: Catalyst can't push a
+    // semi-join below projections, so scoring before the join would run
+    // the quality regexes and language markers over every duplicate the
+    // dedup stage exists to discard (most of the corpus, in the
+    // motivating case)
+    val pruned = docs.select(col(idCol), col(textCol)).join(survivors, idCol)
+    TextAnalysis.qualityScore(pruned, textCol)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .select(col(idCol), col("quality_score_e6"), col("lang_pred"))
       .filter(col("quality_score_e6") >= minQualityE6 &&
         col("lang_pred").isin(langs.map(x => x: Any): _*))
   }

@@ -62,7 +62,13 @@ object Similarity {
     */
   def trainCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                      k: Int, iters: Int): DataFrame = {
+    // zero-norm vectors have no direction and poison the whole run if one
+    // wins an init cell (0/0 cosine = NaN, which sorts ABOVE every real
+    // similarity, so every vector would assign to that cell) — excluded
+    // here exactly like the sibling operators' nrm > 0 filters
     val base = embeddings.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("vn", vectorNorm(col("v")))
+      .filter(col("vn") > 0.0)
     val n = base.count()
     // ~8 sampled rows per cell so every cell is occupied w.h.p.
     val step = math.max(1L, n / math.max(1L, 8L * k))
@@ -75,14 +81,21 @@ object Similarity {
       .select(col("cell_id"), col("v").as("cent_v"))
     for (_ <- 0 until iters) {
       val c = broadcast(cent.withColumn("cent_n", vectorNorm(col("cent_v"))))
-      val w = Window.partitionBy("vid")
-        .orderBy(col("sim").desc, col("cell_id").asc)
-      val assigned = base.withColumn("vn", vectorNorm(col("v")))
+      // per-vector argmax via max_by: partial-agg friendly — a window
+      // would shuffle-SORT all N·k scored rows every iteration, breaking
+      // the documented corpus-size-independent per-iteration cost. A
+      // degenerate zero centroid (possible mean of opposing vectors)
+      // scores -2 so it can never win.
+      val assigned = base
         .crossJoin(c)
-        .withColumn("sim", vectorDot(col("v"), col("cent_v")) / (col("vn") * col("cent_n")))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("cell_id"), col("v"))
+        .withColumn("sim",
+          when(col("cent_n") > 0.0,
+            vectorDot(col("v"), col("cent_v")) / (col("vn") * col("cent_n")))
+            .otherwise(lit(-2.0)))
+        .groupBy(col("vid"))
+        .agg(max_by(struct(col("cell_id"), col("v")),
+          struct(col("sim"), -col("cell_id"))).as("a"))
+        .select(col("a.cell_id").as("cell_id"), col("a.v").as("v"))
       cent = assigned
         .select(col("cell_id"), posexplode(col("v")))
         .groupBy(col("cell_id"), col("pos"))
@@ -128,18 +141,33 @@ object Similarity {
     val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cent_v"))
       .withColumn("cent_n", vectorNorm(col("cent_v"))))
 
-    // cell assignment: nearest centroid per vector (map-side: broadcast join + window)
+    // cell assignment: nearest centroid(s) per vector (broadcast join;
+    // keep=1 uses a partial-agg max_by instead of a window's full
+    // shuffle-sort of the N·k scored rows; keep>1 needs the ranked rows).
+    // A zero centroid scores -2 so it never wins a probe.
     def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("cent_sim").desc, col("cell_id").asc)
-      df.select(col(id), col(v)).withColumn("vn", vectorNorm(col(v)))
+      val scored = df.select(col(id), col(v))
+        .withColumn("vn", vectorNorm(col(v)))
         .filter(col("vn") > 0.0)
         .crossJoin(cent)
         .withColumn("cent_sim",
-          vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= keep)
-        .drop("cent_v", "cent_n", "cent_sim", "cell_rank")
+          when(col("cent_n") > 0.0,
+            vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))
+            .otherwise(lit(-2.0)))
+      if (keep == 1)
+        scored.groupBy(col(id))
+          .agg(max_by(struct(col("cell_id"), col(v), col("vn")),
+            struct(col("cent_sim"), -col("cell_id"))).as("a"))
+          .select(col(id), col(s"a.cell_id").as("cell_id"),
+            col(s"a.$v").as(v), col("a.vn").as("vn"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("cent_sim").desc, col("cell_id").asc)
+        scored
+          .withColumn("cell_rank", row_number().over(w))
+          .filter(col("cell_rank") <= keep)
+          .drop("cent_v", "cent_n", "cent_sim", "cell_rank")
+      }
     }
 
     val indexed = assign(embeddings, idCol, vecCol, 1)

@@ -32,7 +32,11 @@ object TextAnalysis {
     val es = markerScore(padded, Seq("el", "la", "de", "que", "los"))
     val de = markerScore(padded, Seq("der", "und", "die", "das", "ist"))
     val fr = markerScore(padded, Seq("le", "et", "les", "des", "est"))
-    when(en >= es && en >= de && en >= fr, lit("en"))
+    // null text FIRST: every score below is null, so every `when`
+    // predicate is null (not matched) and the otherwise() branch would
+    // confidently report null documents as "fr"
+    when(text.isNull, lit(null).cast("string"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
       .when(es >= de && es >= fr, lit("es"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
@@ -58,7 +62,10 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val n = length(t).cast("double")
+    // empty text: 0/0 is NaN, and NaN sorts ABOVE every double, so an
+    // unguarded ratio turns the least/greatest clamp in qualityScore
+    // into a PERFECT score for exactly the junk rows it should zero out
+    val n = greatest(length(t).cast("double"), lit(1.0))
     def classRatio(pattern: String): Column =
       round(length(regexp_replace(t, pattern, "")).cast("double") / n, 6)
     df.withColumn("n_chars_m", length(t))
@@ -80,13 +87,17 @@ object TextAnalysis {
     */
   def qualityScore(df: DataFrame, textCol: String): DataFrame =
     qualityFeatures(df, textCol).withColumn("quality_score_e6",
-      floor(greatest(lit(0.0), least(lit(1.0),
-        col("alpha_ratio") * 0.6
-          + col("space_ratio") * 1.2
-          - col("digit_ratio") * 0.8
-          - col("punct_ratio") * 0.5
-          + least(col("avg_word_len"), lit(8.0)) / 16.0)) * 1000000.0 + 0.5)
-        .cast("long"))
+      // null text scores 0 EXPLICITLY: the null ratios would otherwise
+      // be skipped by least/greatest (both engines ignore null args) and
+      // the clamp would hand null documents the maximum score
+      when(col(textCol).isNull, lit(0L)).otherwise(
+        floor(greatest(lit(0.0), least(lit(1.0),
+          col("alpha_ratio") * 0.6
+            + col("space_ratio") * 1.2
+            - col("digit_ratio") * 0.8
+            - col("punct_ratio") * 0.5
+            + least(col("avg_word_len"), lit(8.0)) / 16.0)) * 1000000.0 + 0.5)
+          .cast("long")))
 
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the exact-dedup key. (The rolling/locality-sensitive variants live
@@ -124,7 +135,12 @@ object TextAnalysis {
     * runs and engines (Knuth multiplicative hash, no RNG), map-side only.
     */
   def sampleDeterministic(idCol: String, perMille: Int): Column =
-    pmod(col(idCol) * lit(2654435761L), lit(1000L)) < perMille
+    // reduce mod a large prime BEFORE the Knuth multiply: ids above
+    // ~3.4e9 would overflow the long product, an ERROR under Spark 4's
+    // default ANSI mode (and in DuckDB) — exactly the id range a large
+    // corpus has. Identical selection for ids below the prime.
+    pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L), lit(1000L)) <
+      perMille
 
   /** Conservative email pattern shared by Spark (Java regex) and the
     * DuckDB oracle (RE2) — character classes and bounded quantifiers
@@ -145,11 +161,15 @@ object TextAnalysis {
     val t = col(textCol)
     // regex-heavy map-side op with NO shuffle of its own: spread off
     // single-split sources or the whole scan runs in one task
+    val emailScrubbed = regexp_replace(t, EmailPattern, "<EMAIL>")
     Dedup.spread(df).select(col(idCol),
       regexp_count(t, lit(EmailPattern)).as("n_emails"),
-      regexp_count(t, lit(PhonePattern)).as("n_phones"),
-      md5(regexp_replace(regexp_replace(t, EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>")).as("scrubbed_fp"))
+      // phones counted on the email-REDACTED text, like the fingerprint:
+      // counting on raw text reports a redaction that never happens when
+      // a phone-like digit run sits inside an email's local part
+      regexp_count(emailScrubbed, lit(PhonePattern)).as("n_phones"),
+      md5(regexp_replace(emailScrubbed, PhonePattern, "<PHONE>"))
+        .as("scrubbed_fp"))
   }
 
   /** Repetition metrics (the MassiveText/Gopher-style quality signals):
