@@ -15,6 +15,7 @@ import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("manifest")) { manifestProbe(); return }
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val docCopies = if (args.length > 1) args(1).toInt else 100
     val embCopies = if (args.length > 2) args(2).toInt else 50
@@ -253,5 +254,92 @@ object ScaleProbe {
     }
     emb.unpersist()
     spark.stop()
+  }
+
+  /** Manifest-at-scale probe (`runMain graft.ScaleProbe manifest`) — no
+    * data files, no Spark jobs: 2^20 file entries ≈ a 100 TB table at
+    * ~100 MB files. Proves the chunked manifest keeps planning and
+    * commits O(touched documents), not O(live files):
+    *   - opening the table parses the main document only (chunk refs);
+    *   - metadata row count answers from rollups with zero doc parses;
+    *   - a partition point-lookup plans from ONE bucket's document;
+    *   - a one-partition commit parses one bucket and writes one new
+    *     document — the full O(n) serialization happens once at table
+    *     birth, never per commit.
+    * A range predicate on an unclustered column is reported too: hash
+    * buckets mix partitions, so doc-level skipping honestly does NOT
+    * apply there (file-level stats still bound the data scan).
+    */
+  private def manifestProbe(): Unit = {
+    import graft.table._
+    import java.nio.file.{Files => JF}
+    import org.apache.spark.sql.functions.col
+    val nFiles = 1 << 20
+    val nParts = 4096
+    val root = JF.createTempDirectory("graft-manifest-probe")
+    val meta = JF.createDirectories(root.resolve("meta"))
+    def entry(i: Int, seq: Long): FileEntry = {
+      val p = i % nParts
+      val lo = i.toLong * 1000
+      FileEntry(s"data/v$seq/p=$p/part-$i.parquet",
+        Map("p" -> p.toString), seq,
+        stats = Map("id" -> ColBounds(lo.toString, (lo + 999).toString),
+          "p" -> ColBounds(p.toString, p.toString)),
+        nulls = Map("id" -> 0L), rows = 1000L)
+    }
+    def timed[T](name: String)(f: => T): T = {
+      val c0 = ManifestJson.chunkParses.get()
+      val t0 = System.nanoTime()
+      val r = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      val parses = ManifestJson.chunkParses.get() - c0
+      val usedMb = (Runtime.getRuntime.totalMemory -
+        Runtime.getRuntime.freeMemory) / (1 << 20)
+      println(f"""{"stage":"$name","sec":$dt%.3f,""" +
+        f""""chunk_doc_parses":$parses,"heap_used_mb":$usedMb}""")
+      r
+    }
+    timed(s"manifest_full_write_$nFiles") {
+      val entries = (0 until nFiles).map(entry(_, 1L))
+      ManifestJson.write(meta.resolve("v1.json"),
+        Manifest(1L, 1000L, "id BIGINT, p INT", entries, Seq("p"), Map.empty))
+      JF.write(meta.resolve("_current"),
+        "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    System.gc()
+    val tbl = SnapshotTable.at(root.toString)
+    val m1 = timed("manifest_open")(tbl.currentManifest)
+    val fl = m1.files.asInstanceOf[FileList]
+    println(s"""{"stage":"manifest_shape","docs":${fl.chunks.size},""" +
+      s""""files":${timed("file_census")(m1.files.size)},""" +
+      s""""rows":${timed("rowcount_rollup")(tbl.rowCount.getOrElse(-1L))}}""")
+    timed("point_lookup_planning") {
+      val (kept, total) = tbl.pruneCounts(col("p") === 7)
+      println(s"""{"stage":"point_lookup_kept","kept":$kept,"total":$total}""")
+    }
+    timed("range_planning_unclustered") {
+      val (kept, total) = tbl.pruneCounts(col("id") <= 100000)
+      println(s"""{"stage":"range_kept","kept":$kept,"total":$total}""")
+    }
+    // one-partition merge commit at the manifest layer: exactly what
+    // SnapshotTable.merge does after the data write — split off the
+    // touched bucket, rewrite it, carry 127 documents by reference
+    timed("one_partition_commit") {
+      val touched = Set(Map("p" -> "7"))
+      val (clean, loose, touchedFiles) = fl.splitTouched(touched)
+      val fresh = touchedFiles.indices.map(i => entry(7 + i * nParts, 2L))
+      ManifestJson.write(meta.resolve("v2.json"),
+        Manifest(2L, 2000L, "id BIGINT, p INT",
+          new FileList(loose ++ fresh, clean, fl.nBuckets, meta),
+          Seq("p"), Map.empty))
+      JF.write(meta.resolve("_current"),
+        "2".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val tbl2 = SnapshotTable.at(root.toString)
+    timed("reopen_after_commit") {
+      require(tbl2.currentManifest.files.size == nFiles,
+        s"expected $nFiles files after the one-partition commit")
+      require(tbl2.rowCount.contains(nFiles * 1000L))
+    }
   }
 }

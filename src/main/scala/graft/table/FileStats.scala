@@ -269,6 +269,20 @@ object StatsPruning {
   def rangesOverlap(aMin: Bound, aMax: Bound, bMin: Bound, bMax: Bound): Boolean =
     le(aMin, bMax) && le(bMin, aMax)
 
+  def minBound(a: Bound, b: Bound): Bound = if (le(a, b)) a else b
+  def maxBound(a: Bound, b: Bound): Bound = if (le(a, b)) b else a
+
+  /** Re-encode a decoded bound into the stats string domain (the inverse
+    * of [[decode]]): chunk-level rollups fold file bounds AND exact
+    * partition values (already widened to the column's comparison domain
+    * by [[decodePartitionValue]]) into one stored min/max per column, so
+    * they must serialize to something [[decode]] round-trips exactly.
+    */
+  def encodeBound(b: Bound): String = b match {
+    case NumB(v) => v.bigDecimal.toPlainString
+    case StrB(s) => s
+  }
+
   /** May two files share a row on EVERY common stats column? `false` only
     * when some column both sides carry bounds for has provably disjoint
     * ranges — the test that lets MoR reads and compaction skip data files
@@ -387,6 +401,42 @@ object StatsPruning {
   private def flip(op: String): String = op match {
     case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
     case o => o
+  }
+
+  /** Values `v` for which some TOP-LEVEL conjunct pins `colName = v`
+    * (equality or IN over literals) — the partition point-lookup shape.
+    * Returned as partition-path value strings, so callers can hash them
+    * straight to manifest chunk buckets; only literal types whose Spark
+    * string rendering is unambiguous (integers, strings) participate —
+    * anything else declines with None (never a wrong skip). Multiple
+    * binding conjuncts intersect.
+    */
+  private[table] def pointValues(expr: Expression,
+                                 colName: String): Option[Set[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def render(l: Literal): Option[String] = l.value match {
+      case null => None
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+           _: java.lang.Long => Some(l.value.toString)
+      case s if l.dataType == StringType => Some(s.toString)
+      case _ => None
+    }
+    def bind(e: Expression): Option[Set[String]] = e match {
+      case EqualTo(a, l: Literal) if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
+        render(l).map(Set(_))
+      case EqualTo(l: Literal, a) if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
+        render(l).map(Set(_))
+      case In(a, vs) if attrName(a).exists(_.equalsIgnoreCase(colName)) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
+        if (rendered.forall(_.isDefined)) Some(rendered.flatten.toSet) else None
+      case _ => None
+    }
+    val binds = conjuncts(normalize(expr)).flatMap(bind)
+    if (binds.isEmpty) None else Some(binds.reduce(_ intersect _))
   }
 
   private def attrName(e: Expression): Option[String] = e match {

@@ -68,6 +68,89 @@ object FileEntry {
 final case class DeleteEntry(path: String, version: Long,
                              stats: Map[String, ColBounds] = Map.empty)
 
+/** Reference to one manifest chunk DOCUMENT plus the rollups that let
+  * planning decide — without parsing the document — whether any of its
+  * files could match a predicate (`stats`/`nulls`/`rows`), be touched by a
+  * partition-scoped rewrite (`bucket`), predate a column drop (`minSeq`),
+  * or belong to a legacy partition spec (`specs`). The Iceberg analog is
+  * the manifest-list entry with its per-manifest partition summaries: the
+  * driver holds one small record per ~[[ManifestJson.ChunkSize]] files,
+  * not one per file.
+  *
+  * @param rows  sum of member row counts, -1 when any member is unknown
+  * @param stats per-column [min of mins, max of maxes] across members,
+  *   with exact partition values folded in; a column appears only when
+  *   EVERY member file contributes a usable bound
+  * @param nulls per-column null-count sums, only when every member reports
+  * @param specs the distinct partition-column sets present (sorted names)
+  */
+final case class ChunkRef(name: String, bucket: Int, count: Int, rows: Long,
+                          minSeq: Long, maxSeq: Long,
+                          stats: Map[String, ColBounds],
+                          nulls: Map[String, Long],
+                          specs: Seq[Seq[String]])
+
+/** One manifest's live-file list, lazily backed by chunk documents.
+  *
+  * Extends `Seq[FileEntry]` so every consumer of `Manifest.files` works
+  * unchanged — iterating parses all chunk documents, exactly the old
+  * behavior. Scale-sensitive paths use the chunk-aware members instead
+  * ([[splitTouched]], [[specKeySets]], [[totalRows]], chunk-pruned
+  * selection in [[SnapshotTable.readWhere]]) so the driver parses only
+  * the documents it actually needs: a predicate-pruned scan touches the
+  * chunks whose rollups survive, a partition-scoped merge touches the
+  * buckets its partitions hash to, and everything else rides along as an
+  * unread reference.
+  */
+final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
+                     val nBuckets: Int, docDir: Path)
+    extends scala.collection.immutable.Seq[FileEntry] {
+
+  def loadChunk(c: ChunkRef): Seq[FileEntry] =
+    ManifestJson.readChunkEntries(docDir.resolve(c.name))
+
+  lazy val all: Seq[FileEntry] = inline ++ chunks.flatMap(loadChunk)
+
+  override def iterator: Iterator[FileEntry] = all.iterator
+  override def apply(i: Int): FileEntry = all(i)
+  override def length: Int = inline.length + chunks.map(_.count).sum
+  override def isEmpty: Boolean = length == 0
+
+  /** Distinct partition-column key sets, from rollups — no chunk parse. */
+  def specKeySets: Set[Set[String]] =
+    inline.map(_.partition.keySet).toSet ++ chunks.flatMap(_.specs.map(_.toSet))
+
+  /** Does any file carry `seq <= v`? (resurrection guards) — no parse. */
+  def anySeqAtMost(v: Long): Boolean =
+    inline.exists(_.seq <= v) || chunks.exists(_.minSeq <= v)
+
+  /** Metadata-only total row count; None when any member is unknown. */
+  def totalRows: Option[Long] =
+    if (inline.exists(_.rows < 0) || chunks.exists(_.rows < 0)) None
+    else Some(inline.map(_.rows).sum + chunks.map(_.rows).sum)
+
+  /** Split for a partition-scoped rewrite: (chunks provably untouched —
+    * carried by REFERENCE, never parsed; loose untouched files from the
+    * inline list and dirty chunks; touched files). Exact, not
+    * conservative: a partition's files always land in the bucket its
+    * value hashes to, so only those buckets' documents are parsed. A
+    * touched EMPTY partition map (legacy unpartitioned spec) dirties the
+    * chunks whose spec rollup says they hold unpartitioned files.
+    */
+  def splitTouched(touched: Set[Map[String, String]])
+      : (Seq[ChunkRef], Seq[FileEntry], Seq[FileEntry]) = {
+    val dirtyBuckets = touched.filter(_.nonEmpty)
+      .map(p => ManifestJson.bucketOfKey(ManifestJson.partitionKey(p), nBuckets))
+    val emptyTouched = touched.contains(Map.empty[String, String])
+    val (dirty, clean) = chunks.partition(c =>
+      dirtyBuckets.contains(c.bucket) ||
+        (emptyTouched && c.specs.exists(_.isEmpty)))
+    val candidates = inline ++ dirty.flatMap(loadChunk)
+    val (t, u) = candidates.partition(f => touched.contains(f.partition))
+    (clean, u, t)
+  }
+}
+
 /** A versioned Parquet table with a tiny snapshot log.
   *
   * Layout under `root/`:
@@ -183,13 +266,54 @@ final class SnapshotTable(val root: Path) {
     readManifest(spark, m.copy(files = selectFiles(m, cond))).filter(cond)
   }
 
-  /** Files of `m` that may satisfy `cond` (exposed for tests/inspection). */
+  /** Files of `m` that may satisfy `cond` (exposed for tests/inspection).
+    * On a chunked manifest, whole chunk DOCUMENTS whose rollup bounds
+    * exclude the predicate are skipped without being parsed — the
+    * manifest-list level of pruning; surviving chunks' files then prune
+    * individually on their own stats.
+    */
   private[graft] def selectFiles(m: Manifest, cond: Column): Seq[FileEntry] = {
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
-    m.files.filter { f =>
+    def fileOk(f: FileEntry) =
       StatsPruning.mayMatch(expr, types, boundsFor(f, types),
         nullsFor(f), f.rows)
+    m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        def ci[T](mp: Map[String, T], n: String): Option[T] =
+          mp.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+        // EXACT bucket skip for the partition point-lookup shape
+        // (`p = v` / `p IN (...)` conjunct on a single-column spec): the
+        // matching partitions' files can only live in their hash buckets
+        // — hash bucketing defeats VALUE rollups (a bucket mixes
+        // arbitrary partitions), but point predicates don't need them.
+        // Only sound for chunks holding current-spec files exclusively:
+        // a legacy-spec file's bucket keys on ITS OWN partition map.
+        val pcolsSorted = m.partitionColumns.sorted
+        val pointBuckets: Option[Set[Int]] =
+          if (m.partitionColumns.size != 1) None
+          else StatsPruning.pointValues(expr, m.partitionColumns.head)
+            .map(_.map(v => ManifestJson.bucketOfKey(
+              ManifestJson.partitionKey(Map(m.partitionColumns.head -> v)),
+              fl.nBuckets)))
+        val live = fl.chunks.filter { c =>
+          val bucketAlive = pointBuckets match {
+            case Some(bs) if c.specs.forall(_ == pcolsSorted) =>
+              bs.contains(c.bucket)
+            case _ => true
+          }
+          bucketAlive && StatsPruning.mayMatch(expr, types,
+            name => for {
+              dt <- types(name)
+              cb <- ci(c.stats, name)
+              mn <- StatsPruning.decode(dt, cb.min)
+              mx <- StatsPruning.decode(dt, cb.max)
+            } yield (mn, mx),
+            name => ci(c.nulls, name),
+            c.rows)
+        }
+        (fl.inline ++ live.flatMap(fl.loadChunk)).filter(fileOk)
+      case s => s.filter(fileOk)
     }
   }
 
@@ -205,6 +329,40 @@ final class SnapshotTable(val root: Path) {
     val byLower = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     name => byLower.get(name.toLowerCase)
   }
+
+  /** Distinct partition-column key sets — from chunk rollups when the
+    * manifest is chunked, so no document is parsed.
+    */
+  private def specKeySetsOf(files: Seq[FileEntry]): Set[Set[String]] =
+    files match {
+      case fl: FileList => fl.specKeySets
+      case s => s.map(_.partition.keySet).toSet
+    }
+
+  /** Split a manifest's files for a partition-scoped rewrite:
+    * (chunk refs provably untouched + their bucket count — carried by
+    * reference, unparsed; loose untouched files; touched files).
+    */
+  private def splitTouchedOf(files: Seq[FileEntry],
+      touched: Set[Map[String, String]])
+      : (Option[(Seq[ChunkRef], Int)], Seq[FileEntry], Seq[FileEntry]) =
+    files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        val (clean, loose, t) = fl.splitTouched(touched)
+        (Some((clean, fl.nBuckets)), loose, t)
+      case s =>
+        val (t, u) = s.partition(f => touched.contains(f.partition))
+        (None, u, t)
+    }
+
+  /** Does any file carry `seq <= v`? Chunk seq-range rollups answer
+    * without parsing.
+    */
+  private def anySeqAtMost(files: Seq[FileEntry], v: Long): Boolean =
+    files match {
+      case fl: FileList if fl.chunks.nonEmpty => fl.anySeqAtMost(v)
+      case s => s.exists(_.seq <= v)
+    }
 
   /** Bounds of a column within one file: exact partition value if the
     * column is a partition column, else the footer stats captured in the
@@ -235,8 +393,11 @@ final class SnapshotTable(val root: Path) {
     */
   def rowCount: Option[Long] = {
     val m = currentManifest
-    if (m.deleteFiles.nonEmpty || m.files.exists(_.rows < 0)) None
-    else Some(m.files.map(_.rows).sum)
+    if (m.deleteFiles.nonEmpty) None
+    else m.files match {
+      case fl: FileList if fl.chunks.nonEmpty => fl.totalRows // rollups only
+      case s => if (s.exists(_.rows < 0)) None else Some(s.map(_.rows).sum)
+    }
   }
 
   /** Null count of a column within one file: a partition column's count
@@ -350,16 +511,39 @@ final class SnapshotTable(val root: Path) {
   /** `.files` metadata relation (reference: common/iceberg.py:272-278
     * `SELECT file_path FROM db.table.files`), with per-file size — the
     * input to size-aware compaction planning.
+    *
+    * On a chunked manifest this is a DISTRIBUTED scan: executors parse
+    * the chunk documents (and stat the files) in parallel, so the
+    * metadata table never materializes the full entry list on the driver
+    * — the analog of Iceberg planning scans from manifest files as a
+    * query (the reference's `.files` is itself a table).
     */
   def files(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    currentManifest.files.map { f =>
-      val p = root.resolve(f.path)
+    def rowOf(f: FileEntry, rootStr: String): (String, String, Long, Long) = {
+      val p = Paths.get(rootStr, f.path)
       (p.toString,
         f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
         if (Files.exists(p)) Files.size(p) else -1L,
         f.rows)
-    }.toDF("file_path", "partition", "file_size_bytes", "record_count")
+    }
+    val cols = Seq("file_path", "partition", "file_size_bytes", "record_count")
+    val rootStr = root.toString
+    currentManifest.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        val metaStr = metaDir.toString
+        val names = fl.chunks.map(_.name)
+        val chunkDf = spark.createDataset(names)
+          .repartition(math.min(names.size, 32))
+          .flatMap(name => ManifestJson
+            .readChunkEntries(Paths.get(metaStr, name))
+            .map(rowOf(_, rootStr)))
+          .toDF(cols: _*)
+        if (fl.inline.isEmpty) chunkDf
+        else chunkDf.unionByName(fl.inline.map(rowOf(_, rootStr)).toDF(cols: _*))
+      case s =>
+        s.map(rowOf(_, rootStr)).toDF(cols: _*)
+    }
   }
 
   /** Time travel: read a specific retained snapshot version (Iceberg
@@ -383,11 +567,26 @@ final class SnapshotTable(val root: Path) {
     * a file with changed ones.
     */
   def readIncremental(spark: SparkSession, sinceVersion: Long): DataFrame = {
-    val old = manifest(sinceVersion).files.map(_.path).toSet
+    val oldM = manifest(sinceVersion)
     val cur = currentManifest
-    val fresh = cur.files.filterNot(f => old(f.path)).map(_.path).toSet
-    readManifest(spark, cur.copy(files = cur.files.filter(f => fresh(f.path))),
-      _ => true)
+    // chunk shortcut: identical chunk documents hold identical file sets,
+    // so only the documents that DIFFER between the two snapshots (plus
+    // inline lists) can contribute or exclude fresh files. Sound because
+    // a path's bucket is stable (partition and seq never change for a
+    // committed file): a path inside a shared document cannot reappear
+    // inside a differing one.
+    val (oldFiles, curCandidates) = (oldM.files, cur.files) match {
+      case (a: FileList, c: FileList)
+          if a.chunks.nonEmpty && c.chunks.nonEmpty && a.nBuckets == c.nBuckets =>
+        val shared = a.chunks.map(_.name).toSet
+          .intersect(c.chunks.map(_.name).toSet)
+        (a.inline ++ a.chunks.filterNot(x => shared(x.name)).flatMap(a.loadChunk),
+         c.inline ++ c.chunks.filterNot(x => shared(x.name)).flatMap(c.loadChunk))
+      case (a, c) => (a: Seq[FileEntry], c: Seq[FileEntry])
+    }
+    val old = oldFiles.map(_.path).toSet
+    val fresh = curCandidates.filterNot(f => old(f.path))
+    readManifest(spark, cur.copy(files = fresh), _ => true)
   }
 
   /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest
@@ -541,7 +740,7 @@ final class SnapshotTable(val root: Path) {
           }.toMap).toSet
         val currentSpec = pcols.sorted
         val specs: Seq[Seq[String]] =
-          (m.files.map(_.partition.keySet).toSet + pcols.toSet)
+          (specKeySetsOf(m.files) + pcols.toSet)
             .toSeq.map(_.toSeq.sorted)
         // partitionStableByKey's invariant (partition value a pure
         // function of the key) can only be asserted for the CURRENT
@@ -585,9 +784,15 @@ final class SnapshotTable(val root: Path) {
         // union is unambiguous for membership tests (incl. commitData's
         // rebase census)
         val touched = touchedBySpec.values.flatten.toSet
-        val affectedTarget = evolveT(read(spark, p => touched.contains(p)))
+        // chunk-aware split: untouched chunk documents are carried by
+        // REFERENCE (never parsed); only the buckets the touched
+        // partitions hash to are read — merge planning is O(touched),
+        // not O(live files), on a chunked manifest
+        val (carriedChunks, looseCarried, touchedFiles) =
+          splitTouchedOf(m.files, touched)
+        val affectedTarget =
+          evolveT(readManifest(spark, m.copy(files = touchedFiles)))
         val merged = Merge(affectedTarget, cached, keys, keepDeletes)
-        val carried = m.files.filterNot(f => touched.contains(f.partition))
         // pending MoR equality-deletes still mask rows of CARRIED files
         // and must survive this commit (dropping them would resurrect
         // superseded rows in untouched partitions). They cannot affect
@@ -595,7 +800,8 @@ final class SnapshotTable(val root: Path) {
         // newer than every pending delete. The rewritten partitions'
         // reads above already resolved the deletes.
         commitData(merged, Some(m), pcols, m.properties, nowMs,
-          carryForward = carried, carryDeletes = m.deleteFiles,
+          carryForward = looseCarried, carryChunks = carriedChunks,
+          carryDeletes = m.deleteFiles,
           rebaseTouched = Some(touched))
       } finally cached.unpersist()
     }
@@ -632,8 +838,9 @@ final class SnapshotTable(val root: Path) {
     // a LEGACY spec's partition column is load-bearing too: the per-spec
     // merge census selects it from change batches, and migration rewrites
     // need it as data — migrate those files off the old spec first
+    val liveSpecCols = specKeySetsOf(m.files).flatten
     cols.foreach(c => require(
-      !m.files.exists(_.partition.keys.exists(_.equalsIgnoreCase(c))),
+      !liveSpecCols.exists(_.equalsIgnoreCase(c)),
       s"$c is a partition column of live legacy-spec files — compact() " +
         "to migrate them to the current spec first"))
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -662,12 +869,16 @@ final class SnapshotTable(val root: Path) {
     * file in `carried` (a pre-drop file physically holds the old column,
     * and Spark's case-insensitive parquet resolution would surface it
     * under ANY casing of the name — so matching is by lowercase).
+    * `carriedChunks` covers files carried by reference on chunked
+    * manifests (their seq-range rollups answer without a parse).
     */
   private def resurrectableColumns(m: Manifest,
-      carried: Seq[FileEntry]): Set[String] =
+      carried: Seq[FileEntry],
+      carriedChunks: Seq[ChunkRef] = Nil): Set[String] =
     m.properties.collect {
       case (k, v) if k.startsWith(DroppedPrefix) &&
-          carried.exists(_.seq <= v.toLong) =>
+          (anySeqAtMost(carried, v.toLong) ||
+            carriedChunks.exists(_.minSeq <= v.toLong)) =>
         k.drop(DroppedPrefix.length).toLowerCase
     }.toSet
 
@@ -797,9 +1008,16 @@ final class SnapshotTable(val root: Path) {
       val newDeletes = delStats.map { case (p, cs) =>
         DeleteEntry(root.relativize(p).toString, v, cs.bounds)
       }
+      // MoR carries EVERY base file: on a chunked manifest that's the
+      // chunk refs verbatim (zero parses) with the appended files inline
+      val allFiles: Seq[FileEntry] = m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          new FileList(fl.inline ++ newData, fl.chunks, fl.nBuckets, metaDir)
+        case s => s ++ newData
+      }
       // schema may have drifted through targetTransform (column adds are
       // metadata-only; carried files null-fill on read under the superset)
-      Manifest(v, nowMs, target.schema.toDDL, m.files ++ newData,
+      Manifest(v, nowMs, target.schema.toDDL, allFiles,
         m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
     }
     } finally { evictKeys.unpersist(); cached.unpersist() }
@@ -848,8 +1066,12 @@ final class SnapshotTable(val root: Path) {
           fs.exists(deleteAffected) => fs
     }.flatten.toSeq
     if (rewrite.isEmpty && m.deleteFiles.isEmpty) return m
-    val rewriteSet = rewrite.map(_.path).toSet
-    val carried = m.files.filterNot(f => rewriteSet(f.path))
+    // the rewrite set is whole partition GROUPS, so the carried remainder
+    // splits chunk-aware: untouched partitions' chunk documents ride into
+    // the new manifest by reference (the entries were already loaded for
+    // size planning; the saving is write-side serialization)
+    val touchedPvs = rewrite.map(_.partition).toSet
+    val (carriedChunks, carried, _) = splitTouchedOf(m.files, touchedPvs)
     // read ONLY the rewrite set (delete-resolved); carried groups are
     // proven unaffected by any pending delete, so dropping the deletes
     // from the committed manifest is safe. Cached: the rewrite view is
@@ -872,7 +1094,8 @@ final class SnapshotTable(val root: Path) {
         val clustered = zCols.flatMap(zClustered(df, _, nFiles))
           .getOrElse(df.repartition(nFiles))
         commitData(clustered, Some(m),
-          m.partitionColumns, m.properties, nowMs, carryForward = carried)
+          m.partitionColumns, m.properties, nowMs, carryForward = carried,
+          carryChunks = carriedChunks)
       } else {
         // size control: commitData clusters one task per partition value,
         // so oversized partitions are split by record count instead
@@ -881,7 +1104,7 @@ final class SnapshotTable(val root: Path) {
         val bytesPerRow = math.max(1L, rewriteBytes / rowCount)
         val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
         commitData(df, Some(m), m.partitionColumns, m.properties,
-          nowMs, carryForward = carried,
+          nowMs, carryForward = carried, carryChunks = carriedChunks,
           writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
       }
     } finally df.unpersist()
@@ -1132,8 +1355,13 @@ final class SnapshotTable(val root: Path) {
       Files.write(hwmTmp, v.toString.getBytes(StandardCharsets.UTF_8))
       Files.move(hwmTmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
-      manifestCache.put(v, m)
-      m
+      // cache the CANONICAL on-disk form (chunk refs + lazy FileList), not
+      // the builder's in-memory file list: follow-up commits and pruned
+      // reads must see the chunk structure the write produced. One main-
+      // document parse; chunk documents stay lazy.
+      val canonical = ManifestJson.read(metaDir.resolve(s"v$v.json"))
+      manifestCache.put(v, canonical)
+      canonical
     }
 
   /** Run `f` with timestamps written as INT64 micros so footers carry
@@ -1171,6 +1399,7 @@ final class SnapshotTable(val root: Path) {
                          pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil,
+                         carryChunks: Option[(Seq[ChunkRef], Int)] = None,
                          carryDeletes: Seq[DeleteEntry] = Nil,
                          writerOptions: Map[String, String] = Map.empty,
                          rebaseTouched: Option[Set[Map[String, String]]] = None): Manifest = {
@@ -1186,7 +1415,8 @@ final class SnapshotTable(val root: Path) {
     // schema that re-introduces a dropped column while CARRIED files
     // predate the drop would surface their old values on read
     base.foreach { b =>
-      val risky = resurrectableColumns(b, carryForward)
+      val risky = resurrectableColumns(b, carryForward,
+        carryChunks.map(_._1).getOrElse(Nil))
       val hit = df.schema.fieldNames.filter(c => risky(c.toLowerCase))
       require(hit.isEmpty,
         s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
@@ -1216,15 +1446,20 @@ final class SnapshotTable(val root: Path) {
     val statsByPath = written.map(p => p -> FileStats.collect(p, df.schema))
     publishCommit { (v, curOpt) =>
       val curV = curOpt.map(_.version).getOrElse(0L)
-      val (carriedFiles, carriedDeletes) =
-        if (curV == baseV) (carryForward, carryDeletes)
+      val (carriedFiles, carriedChunkInfo, carriedDeletes) =
+        if (curV == baseV) (carryForward, carryChunks, carryDeletes)
         else rebaseTouched match {
           case Some(touched) =>
             val cur = curOpt.get
             val b = base.get
+            // chunk-aware on both sides: only the touched partitions'
+            // buckets are parsed to prove the concurrent commits stayed
+            // disjoint — a rebase costs O(touched), not O(live files)
+            val (curChunks, curLoose, curTouched) =
+              splitTouchedOf(cur.files, touched)
+            val bTouched = splitTouchedOf(b.files, touched)._3
             val sameTouched =
-              cur.files.filter(f => touched(f.partition)).map(_.path).toSet ==
-                b.files.filter(f => touched(f.partition)).map(_.path).toSet
+              curTouched.map(_.path).toSet == bTouched.map(_.path).toSet
             // schema compared ignoring nullability: joins/unions flip
             // nullable flags without changing the physical schema
             def canon(ddl: String) = StructType.fromDDL(ddl).fields
@@ -1237,14 +1472,19 @@ final class SnapshotTable(val root: Path) {
             if (!sameTouched || cur.deleteFiles != b.deleteFiles ||
                 !sameSchema || !sameSpec)
               throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
-            (cur.files.filterNot(f => touched(f.partition)), cur.deleteFiles)
+            (curLoose, curChunks, cur.deleteFiles)
           case None => throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
         }
       val entries = statsByPath.map { case (p, cs) =>
         val rel = root.relativize(p).toString
         FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls, cs.rows)
       }
-      Manifest(v, nowMs, df.schema.toDDL, entries ++ carriedFiles,
+      val allFiles: Seq[FileEntry] = carriedChunkInfo match {
+        case Some((chunks, nB)) if chunks.nonEmpty =>
+          new FileList(entries ++ carriedFiles, chunks, nB, metaDir)
+        case _ => entries ++ carriedFiles
+      }
+      Manifest(v, nowMs, df.schema.toDDL, allFiles,
         pcols, props, deleteFiles = carriedDeletes)
     }
   }
@@ -1290,20 +1530,29 @@ object SnapshotTable {
   * Scalability: up to [[ManifestJson.ChunkThreshold]] file entries the
   * manifest is one JSON document. Beyond that the file list is split into
   * CONTENT-ADDRESSED chunk documents (`files-<hash>.json`) grouped by a
-  * stable partition-hash bucketing, referenced by name from the main
-  * manifest. Buckets are stable across commits, so a commit that changes
-  * files of a few partitions produces a few NEW chunk documents and
-  * reuses every other chunk by reference — commit IO is O(changed), like
-  * Iceberg's manifest reuse. (Serialization to discover a chunk's hash is
-  * still O(live files) CPU; IO — the cost that matters on object storage
-  * — is O(changed).) Chunks are garbage-collected by reachability over
-  * retained manifests ([[SnapshotTable.removeOrphanFiles]]), never
-  * per-manifest: two snapshots routinely share chunks.
+  * stable partition-hash bucketing, referenced from the main manifest by
+  * [[ChunkRef]]s that carry per-chunk rollups (bounds, null counts, row
+  * counts, seq range, partition specs). Buckets are stable across
+  * commits, so a commit that changes files of a few partitions parses and
+  * rewrites ONLY those buckets' documents — commit IO *and CPU* are
+  * O(changed), like Iceberg's manifest reuse — and reads parse only the
+  * documents whose rollups survive pruning ([[FileList]]). Chunks are
+  * garbage-collected by reachability over retained manifests
+  * ([[SnapshotTable.removeOrphanFiles]]), never per-manifest: two
+  * snapshots routinely share chunks.
   */
 private[graft] object ManifestJson {
-  /** Max file entries inlined in the manifest document (and per chunk). */
-  val ChunkThreshold = 10000
-  val ChunkSize = 10000
+  /** Max file entries inlined in the manifest document (and per chunk).
+    * `var` only so tests can lower them to exercise the chunked paths at
+    * small scale (the suites run sequentially in one forked JVM).
+    */
+  private[graft] var ChunkThreshold = 10000
+  private[graft] var ChunkSize = 10000
+
+  /** Chunk documents parsed since JVM start — scale probes and tests
+    * assert pruned operations touch few documents.
+    */
+  val chunkParses = new java.util.concurrent.atomic.AtomicLong
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -1336,6 +1585,13 @@ private[graft] object ManifestJson {
   private def fileArr(files: Seq[FileEntry]): String =
     files.map(fileJson).mkString("[", ",", "]")
 
+  /** Stable chunk-bucket key of a partition value map. */
+  def partitionKey(p: Map[String, String]): String =
+    p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  def bucketOfKey(key: String, nBuckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), nBuckets)
+
   /** Stable chunk bucket of a file: partition-value hash for partitioned
     * tables (a partition's files always land in the same bucket, so
     * commits touching few partitions dirty few chunks); writer sequence
@@ -1343,13 +1599,10 @@ private[graft] object ManifestJson {
     * the smallest power of two covering the file count — it changes only
     * when the table doubles, the rare full-rechunk commit.
     */
-  private def bucketOf(f: FileEntry, nBuckets: Int): Int = {
-    val key =
-      if (f.partition.nonEmpty)
-        f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
-      else s"v${f.seq}"
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), nBuckets)
-  }
+  private def bucketOf(f: FileEntry, nBuckets: Int): Int =
+    bucketOfKey(
+      if (f.partition.nonEmpty) partitionKey(f.partition) else s"v${f.seq}",
+      nBuckets)
 
   private def sha1Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-1")
@@ -1357,24 +1610,133 @@ private[graft] object ManifestJson {
     d.map(b => f"$b%02x").mkString
   }
 
-  def write(p: Path, m: Manifest): Unit = {
-    val (filesJson, chunksJson) =
-      if (m.files.size <= ChunkThreshold) (fileArr(m.files), "[]")
+  /** Rollups for one chunk's member files (see [[ChunkRef]]). Bounds per
+    * schema column only when EVERY member contributes one — footer stats,
+    * or the exact partition value widened into the same comparison domain
+    * — so chunk pruning is as sound as file pruning, just coarser.
+    */
+  private def chunkRef(name: String, bucket: Int, fs: Seq[FileEntry],
+                       schema: StructType): ChunkRef = {
+    def ci[T](m: Map[String, T], n: String): Option[T] =
+      m.collectFirst { case (k, v) if k.equalsIgnoreCase(n) => v }
+    val stats = schema.fields.flatMap { f =>
+      val per = fs.map { e =>
+        ci(e.partition, f.name) match {
+          case Some(pv) =>
+            StatsPruning.decodePartitionValue(f.dataType, pv).map(b => (b, b))
+          case None =>
+            ci(e.stats, f.name).flatMap { cb =>
+              for {
+                mn <- StatsPruning.decode(f.dataType, cb.min)
+                mx <- StatsPruning.decode(f.dataType, cb.max)
+              } yield (mn, mx)
+            }
+        }
+      }
+      if (per.isEmpty || per.exists(_.isEmpty)) None
       else {
-        var nBuckets = 1
-        while (nBuckets.toLong * ChunkSize < m.files.size) nBuckets *= 2
-        val names = m.files.groupBy(bucketOf(_, nBuckets)).toSeq.sortBy(_._1)
-          .map { case (_, fs) =>
-            val content = s"""{"files":${fileArr(fs.sortBy(_.path))}}"""
-            val name = s"files-${sha1Hex(content).take(32)}.json"
-            val cp = p.resolveSibling(name)
-            // content-addressed: same name ⇔ same content — an existing
-            // chunk is this exact file set, reuse it without writing
-            if (!Files.exists(cp))
-              Files.write(cp, content.getBytes(StandardCharsets.UTF_8))
-            name
-          }
-        ("[]", names.map(q).mkString("[", ",", "]"))
+        val bs = per.flatten
+        val mn = bs.map(_._1).reduce(StatsPruning.minBound)
+        val mx = bs.map(_._2).reduce(StatsPruning.maxBound)
+        Some(f.name -> ColBounds(StatsPruning.encodeBound(mn),
+          StatsPruning.encodeBound(mx)))
+      }
+    }.toMap
+    val nulls = schema.fields.flatMap { f =>
+      val per = fs.map { e =>
+        ci(e.partition, f.name) match {
+          case Some(pv) =>
+            if (!StatsPruning.isNullPartitionValue(pv)) Some(0L)
+            else if (e.rows >= 0) Some(e.rows)
+            else None
+          case None => ci(e.nulls, f.name)
+        }
+      }
+      if (per.isEmpty || per.exists(_.isEmpty)) None
+      else Some(f.name -> per.flatten.sum)
+    }.toMap
+    ChunkRef(name, bucket, fs.size,
+      if (fs.exists(_.rows < 0)) -1L else fs.map(_.rows).sum,
+      fs.map(_.seq).min, fs.map(_.seq).max, stats, nulls,
+      fs.map(_.partition.keySet).distinct.map(_.toSeq.sorted))
+  }
+
+  /** Write one bucket's files as chunk document(s) — split when a bucket
+    * outgrows 1.5× the target so documents stay boundedly parseable.
+    * Content-addressed: same name ⇔ same content — an existing document
+    * is this exact file set, reuse it without writing.
+    */
+  private def writeBucket(p: Path, bucket: Int, fs: Seq[FileEntry],
+                          schema: StructType): Seq[ChunkRef] = {
+    val sorted = fs.sortBy(_.path)
+    val groups =
+      if (sorted.size <= ChunkSize * 3 / 2) Seq(sorted)
+      else sorted.grouped(ChunkSize).toSeq
+    groups.map { g =>
+      val content = s"""{"files":${fileArr(g)}}"""
+      val name = s"files-${sha1Hex(content).take(32)}.json"
+      val cp = p.resolveSibling(name)
+      if (!Files.exists(cp))
+        Files.write(cp, content.getBytes(StandardCharsets.UTF_8))
+      chunkRef(name, bucket, g, schema)
+    }
+  }
+
+  private def chunkJson(c: ChunkRef): String = {
+    val statsPart =
+      if (c.stats.isEmpty) "" else s""","stats":${statsObj(c.stats)}"""
+    val nullsPart =
+      if (c.nulls.isEmpty) ""
+      else c.nulls.toSeq.sortBy(_._1).map { case (k, n) => s"${q(k)}:$n" }
+        .mkString(""","nulls":{""", ",", "}")
+    val specsJson = c.specs.map(_.map(q).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    s"""{"name":${q(c.name)},"bucket":${c.bucket},"count":${c.count},""" +
+      s""""rows":${c.rows},"minSeq":${c.minSeq},"maxSeq":${c.maxSeq}""" +
+      s"""$statsPart$nullsPart,"specs":$specsJson}"""
+  }
+
+  def write(p: Path, m: Manifest): Unit = {
+    val schema =
+      try StructType.fromDDL(m.schemaDdl)
+      catch { case scala.util.control.NonFatal(_) => new StructType() }
+    val (inline, carried, carriedBuckets) = m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        (fl.inline, fl.chunks, fl.nBuckets)
+      case s => (s: Seq[FileEntry], Nil, 0)
+    }
+    val total = inline.size.toLong + carried.map(_.count.toLong).sum
+    def targetBuckets(n: Long): Int = {
+      var b = 1
+      while (b.toLong * ChunkSize < n) b *= 2
+      b
+    }
+    val (filesJson, chunkRefs, nBucketsOut) =
+      if (carried.isEmpty && total <= ChunkThreshold)
+        (fileArr(inline), Nil: Seq[ChunkRef], 0)
+      else if (carried.isEmpty || total > carriedBuckets.toLong * ChunkSize * 2) {
+        // full (re)chunk: a fresh table crossing the threshold, or the
+        // table outgrew its bucket count — the rare O(live files) commit
+        val all = inline ++
+          carried.flatMap(c => readChunkEntries(p.resolveSibling(c.name)))
+        val nB = targetBuckets(total)
+        val refs = all.groupBy(bucketOf(_, nB)).toSeq.sortBy(_._1)
+          .flatMap { case (b, fs) => writeBucket(p, b, fs, schema) }
+        ("[]", refs, nB)
+      } else {
+        // incremental: new entries merge only into THEIR buckets' documents;
+        // every clean bucket is carried by reference, unread — the commit
+        // parses and serializes O(changed buckets), not O(live files)
+        val nB = carriedBuckets
+        val newByBucket = inline.groupBy(bucketOf(_, nB))
+        val (dirtyCarried, cleanCarried) =
+          carried.partition(c => newByBucket.contains(c.bucket))
+        val merged = newByBucket.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+          val prior = dirtyCarried.filter(_.bucket == b)
+            .flatMap(c => readChunkEntries(p.resolveSibling(c.name)))
+          writeBucket(p, b, fs ++ prior, schema)
+        }
+        ("[]", cleanCarried ++ merged, nB)
       }
     val delJson = m.deleteFiles
       .map { d =>
@@ -1387,7 +1749,9 @@ private[graft] object ManifestJson {
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
       s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
       s""""properties":${obj(m.properties)},"deleteFiles":$delJson,""" +
-      s""""fileChunks":$chunksJson,"files":$filesJson}"""
+      s""""nBuckets":$nBucketsOut,""" +
+      s""""chunks":${chunkRefs.map(chunkJson).mkString("[", ",", "]")},""" +
+      s""""files":$filesJson}"""
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -1415,34 +1779,74 @@ private[graft] object ManifestJson {
     }
 
   /** Chunk documents a manifest references (Nil for inline manifests or
-    * missing files) — the reachability input for chunk GC.
+    * missing files) — the reachability input for chunk GC. Reads both the
+    * current `chunks` field and the pre-round-4 `fileChunks` name list.
     */
   def chunkNames(p: Path): Seq[String] = {
     if (!Files.exists(p)) return Nil
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-    JsonLite.parse(s).asInstanceOf[Map[String, Any]]
-      .get("fileChunks")
+    val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
+    val legacy = parsed.get("fileChunks")
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
       .getOrElse(Nil)
+    val current = parsed.get("chunks")
+      .map(_.asInstanceOf[List[Any]]
+        .map(c => c.asInstanceOf[Map[String, Any]]("name").asInstanceOf[String]))
+      .getOrElse(Nil)
+    legacy ++ current
   }
 
-  // hand-rolled parser for exactly the JSON `write` produces
+  /** Parse one chunk document's file entries. Runs on the driver for
+    * lazy [[FileList]] loads and on EXECUTORS for the distributed
+    * `.files` metadata scan ([[SnapshotTable.files]]).
+    */
+  def readChunkEntries(p: Path): Seq[FileEntry] = {
+    chunkParses.incrementAndGet()
+    val cs = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    parseFiles(JsonLite.parse(cs).asInstanceOf[Map[String, Any]]("files"))
+  }
+
+  private def parseChunkRef(v: Any): ChunkRef = {
+    val cm = v.asInstanceOf[Map[String, Any]]
+    ChunkRef(
+      cm("name").asInstanceOf[String],
+      cm("bucket").asInstanceOf[Double].toInt,
+      cm("count").asInstanceOf[Double].toInt,
+      cm("rows").asInstanceOf[Double].toLong,
+      cm("minSeq").asInstanceOf[Double].toLong,
+      cm("maxSeq").asInstanceOf[Double].toLong,
+      cm.get("stats").map(parseStats).getOrElse(Map.empty),
+      cm.get("nulls")
+        .map(_.asInstanceOf[Map[String, Any]].map { case (k, n) =>
+          k -> n.asInstanceOf[Double].toLong })
+        .getOrElse(Map.empty),
+      cm("specs").asInstanceOf[List[Any]]
+        .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String])))
+  }
+
+  // hand-rolled parser for exactly the JSON `write` produces. Chunk
+  // documents are NOT parsed here: the returned manifest's FileList loads
+  // them lazily, and pruned paths never load the pruned ones at all.
   def read(p: Path): Manifest = {
     val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     val parsed = JsonLite.parse(s).asInstanceOf[Map[String, Any]]
-    val chunkNames = parsed.get("fileChunks") // absent in pre-chunking manifests
+    // pre-round-4 chunk format carried no rollups — load eagerly (the
+    // next write re-chunks into the rollup format)
+    val legacyChunked = parsed.get("fileChunks")
       .map(_.asInstanceOf[List[Any]].map(_.asInstanceOf[String]))
       .getOrElse(Nil)
-    val chunked = chunkNames.flatMap { name =>
-      val cs = new String(Files.readAllBytes(p.resolveSibling(name)),
-        StandardCharsets.UTF_8)
-      parseFiles(JsonLite.parse(cs).asInstanceOf[Map[String, Any]]("files"))
-    }
+      .flatMap(name => readChunkEntries(p.resolveSibling(name)))
+    val chunks = parsed.get("chunks")
+      .map(_.asInstanceOf[List[Any]].map(parseChunkRef))
+      .getOrElse(Nil)
+    val nBuckets = parsed.get("nBuckets")
+      .map(_.asInstanceOf[Double].toInt).getOrElse(0)
     Manifest(
       version = parsed("version").asInstanceOf[Double].toLong,
       timestampMs = parsed("timestampMs").asInstanceOf[Double].toLong,
       schemaDdl = parsed("schemaDdl").asInstanceOf[String],
-      files = chunked ++ parseFiles(parsed("files")),
+      files = new FileList(legacyChunked ++ parseFiles(parsed("files")),
+        chunks, nBuckets, p.getParent),
       partitionColumns = parsed("partitionColumns").asInstanceOf[List[Any]]
         .map(_.asInstanceOf[String]),
       properties = parsed("properties").asInstanceOf[Map[String, Any]]

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.table.{FileList, ManifestJson, SnapshotTable}
+
+/** Full-stack behavior of CHUNKED manifests — the representation a
+  * 100 TB table lives in (millions of files split into bucket-stable
+  * chunk documents with rollup stats). Chunk thresholds are lowered so a
+  * few hundred small files exercise every chunked path at test scale;
+  * suites run sequentially in one forked JVM, so mutating the knob is
+  * safe (restored in afterAll).
+  *
+  * The assertions pin the scale contracts, not just correctness:
+  *   - a predicate-pruned read parses only the chunk documents whose
+  *     rollups survive;
+  *   - a partition-scoped merge parses only the buckets its partitions
+  *     hash to and carries every other document by reference (same name
+  *     on disk, no rewrite);
+  *   - rowCount/history/spec censuses answer from rollups with ZERO
+  *     document parses;
+  *   - MoR appends carry all chunk refs verbatim.
+  */
+class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val savedThreshold = ManifestJson.ChunkThreshold
+  private val savedSize = ManifestJson.ChunkSize
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    ManifestJson.ChunkThreshold = 24
+    ManifestJson.ChunkSize = 24
+  }
+  override def afterAll(): Unit = {
+    ManifestJson.ChunkThreshold = savedThreshold
+    ManifestJson.ChunkSize = savedSize
+    super.afterAll()
+  }
+
+  private def parses[T](f: => T): (T, Long) = {
+    val before = ManifestJson.chunkParses.get()
+    val r = f
+    (r, ManifestJson.chunkParses.get() - before)
+  }
+
+  private def df(n: Int, v: Double) =
+    (1 to n).map(i => (i.toLong, i.toLong % 64, v))
+      .toDF("id", "p", "v")
+
+  private def chunkDocs(tbl: SnapshotTable): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.list(tbl.root.resolve("meta")))(
+      _.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("files-")).toSet)
+  }
+
+  test("chunked table: reads, pruned scans, and rollup-only metadata") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    val m = tbl.currentManifest
+    val fl = m.files.asInstanceOf[FileList]
+    assert(fl.chunks.nonEmpty, "64 files over a threshold of 24 must chunk")
+    assert(fl.inline.isEmpty)
+    val nDocs = fl.chunks.size
+
+    // full read is correct (loads everything, as it must)
+    assert(tbl.read(spark).count() == 1000)
+
+    // metadata-only row count: rollups, zero parses
+    val (rc, rcParses) = parses(tbl.rowCount)
+    assert(rc.contains(1000L))
+    assert(rcParses == 0, s"rowCount parsed $rcParses docs")
+
+    // history/file counts: rollups, zero parses
+    val (nf, hParses) = parses(tbl.currentManifest.files.size)
+    assert(nf == 64)
+    assert(hParses == 0)
+
+    // predicate-pruned scan: only the documents whose rollups survive
+    val cond = col("p") === 3
+    val ((kept, total), selParses) = parses(tbl.pruneCounts(cond))
+    assert(total == 64 && kept >= 1 && kept <= 8,
+      s"p=3 must prune to its partition's files, got $kept/$total")
+    // the point-lookup shape skips whole documents EXACTLY via the
+    // partition-hash bucket (value rollups can't — hash buckets mix
+    // arbitrary partitions); p=3's files live in one bucket's doc(s)
+    assert(selParses <= 2,
+      s"point lookup parsed $selParses of $nDocs docs — bucket skip broken")
+    assert(tbl.readWhere(spark, cond).count() ==
+      tbl.read(spark).filter(cond).count())
+  }
+
+  test("partition-scoped merge parses only dirty buckets and reuses docs") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    val docsBefore = chunkDocs(tbl)
+    val v1Paths = tbl.currentManifest.files.map(_.path).toSet
+    val nDocs = tbl.currentManifest.files.asInstanceOf[FileList].chunks.size
+
+    val changes = df(1000, 2.0).filter(col("p") === 3)
+      .withColumn("op", lit("U"))
+    // p = id % 64 is a pure function of the key → home census skipped;
+    // what remains is exactly the chunk-aware split
+    val (_, mergeParses) = parses {
+      tbl.merge(spark, changes, Seq("id"), keepDeletes = false,
+        partitionStableByKey = true)
+    }
+    assert(mergeParses <= 4,
+      s"one-partition merge parsed $mergeParses of $nDocs docs")
+
+    val m2 = tbl.currentManifest
+    val fl2 = m2.files.asInstanceOf[FileList]
+    assert(fl2.chunks.nonEmpty, "carried chunks must ride by reference")
+    // untouched partitions' files carried verbatim
+    val untouched = v1Paths.filter(!_.contains("/p=3/"))
+    assert(untouched.subsetOf(m2.files.map(_.path).toSet))
+    assert(!m2.files.map(_.path).toSet.exists(p =>
+      v1Paths(p) && p.contains("/p=3/")), "touched partition was rewritten")
+    // document reuse: at most the dirty bucket's docs (+ split) are new
+    val docsAfter = chunkDocs(tbl)
+    val newDocs = docsAfter -- docsBefore
+    assert(newDocs.size <= 3,
+      s"one-partition merge wrote ${newDocs.size} new chunk docs")
+    // correctness after the chunked merge
+    assert(tbl.read(spark).count() == 1000)
+    assert(tbl.read(spark).filter(col("p") === 3 && col("v") === 2.0).count() ==
+      tbl.read(spark).filter(col("p") === 3).count())
+  }
+
+  test("MoR append carries chunk refs verbatim; compact folds and re-chunks") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    val v1Chunks = tbl.currentManifest.files.asInstanceOf[FileList]
+      .chunks.map(_.name).toSet
+
+    val changes = df(1000, 3.0).filter(col("p") === 5)
+      .withColumn("op", lit("U"))
+    val nDocs = tbl.currentManifest.files.asInstanceOf[FileList].chunks.size
+    val (_, morParses) = parses {
+      tbl.mergeMoR(spark, changes, Seq("id"), keepDeletes = false)
+    }
+    // the full-target read legitimately parses every doc once (data-plane
+    // scan needs all paths); the COMMIT itself adds none on top
+    assert(morParses <= nDocs + 1,
+      s"MoR append parsed $morParses docs (census $nDocs)")
+    val m2 = tbl.currentManifest
+    val fl2 = m2.files.asInstanceOf[FileList]
+    // the appended file merges into ITS bucket's document (one doc per
+    // bucket); every other document is carried by name, unrewritten
+    assert((fl2.chunks.map(_.name).toSet intersect v1Chunks).size >=
+      v1Chunks.size - 1,
+      "MoR append must reuse all but the appended file's bucket doc")
+    assert(m2.deleteFiles.nonEmpty)
+    assert(tbl.read(spark).filter(col("p") === 5 && col("v") === 3.0).count() ==
+      tbl.read(spark).filter(col("p") === 5).count())
+    assert(tbl.read(spark).count() == 1000)
+
+    // compaction folds the deletes and keeps correctness (here the
+    // delete key bounds overlap every group, so most groups rewrite —
+    // selective carry is pinned by SnapshotTableSpec and ScaleProbe)
+    tbl.compact(spark)
+    val m3 = tbl.currentManifest
+    assert(m3.deleteFiles.isEmpty)
+    assert(tbl.read(spark).count() == 1000)
+  }
+
+  test("incremental read diffs only differing documents") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    val v1 = tbl.currentVersion
+    tbl.merge(spark,
+      df(1000, 2.0).filter(col("p") === 7).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false, partitionStableByKey = true)
+    val (inc, incParses) = parses {
+      tbl.readIncremental(spark, v1).collect()
+    }
+    assert(inc.map(_.getAs[Long]("p")).toSet == Set(7L))
+    assert(inc.length == tbl.read(spark).filter(col("p") === 7).count())
+    val nDocs = tbl.currentManifest.files.asInstanceOf[FileList].chunks.size
+    assert(incParses <= 6,
+      s"incremental read parsed $incParses docs of $nDocs + shared")
+  }
+
+  test("distributed .files metadata scan matches the manifest") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(500, 1.0), Seq("p"))
+    val viaDf = tbl.files(spark).collect()
+    val manifest = tbl.currentManifest.files
+    assert(viaDf.length == manifest.size)
+    assert(viaDf.map(_.getAs[String]("file_path")).toSet ==
+      manifest.map(f => tbl.root.resolve(f.path).toString).toSet)
+    assert(viaDf.forall(_.getAs[Long]("file_size_bytes") > 0))
+    assert(viaDf.map(_.getAs[Long]("record_count")).sum == 500L)
+  }
+
+  test("chunked rollups prune on data-column bounds, not just partitions") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    // unpartitioned, range-clustered: 64 files with disjoint id ranges,
+    // bucketed by writer seq — all in one commit, so rollups must come
+    // from footer stats
+    tbl.createOrReplace(
+      df(6400, 1.0).repartitionByRange(64, col("id")).drop("p"))
+    val fl = tbl.currentManifest.files.asInstanceOf[FileList]
+    assert(fl.chunks.nonEmpty)
+    val ((kept, total), selParses) = parses(tbl.pruneCounts(col("id") <= 100))
+    assert(kept < total, s"id<=100 kept $kept/$total")
+    assert(tbl.readWhere(spark, col("id") <= 100).count() == 100)
+  }
+}
