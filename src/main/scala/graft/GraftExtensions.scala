@@ -1,11 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StringType
 
 import graft.functions.Registry
 import graft.table.SnapshotTable
@@ -61,6 +64,19 @@ case class GraftPathRelations(session: SparkSession)
 
   private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files)$".r
 
+  private def isGraft(u: UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft")
+
+  /** Does the identifier (with or without an @ suffix) name a committed
+    * graft table?
+    */
+  private def existsFor(ident: String): Boolean =
+    SnapshotTable.at(ident).exists || (ident match {
+      case Suffixed(p, _) => SnapshotTable.at(p).exists
+      case _ => false
+    })
+
   private def resolve(ident: String) = {
     val (path, suffix) = ident match {
       case Suffixed(p, s) if SnapshotTable.at(p).exists => (p, Some(s))
@@ -77,12 +93,190 @@ case class GraftPathRelations(session: SparkSession)
     })
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  /** The snapshot table a DML statement targets, when it is a plain
+    * (unsuffixed) graft path identifier; a time-travel/metadata suffix on
+    * a WRITE target is rejected loudly.
+    */
+  private def dmlTarget(table: LogicalPlan): Option[SnapshotTable] =
+    table match {
+      case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) =>
+        dmlTarget(child)
+      case u: UnresolvedRelation if isGraft(u) =>
+        val ident = u.multipartIdentifier(1)
+        if (SnapshotTable.at(ident).exists) Some(SnapshotTable.at(ident))
+        else ident match {
+          case Suffixed(p, s) if SnapshotTable.at(p).exists =>
+            throw new UnsupportedOperationException(
+              s"cannot write through the @$s relation — DML targets the " +
+                "current snapshot only")
+          case _ => None
+        }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // SQL DML against graft tables: MERGE INTO / UPDATE / DELETE execute
+    // through the engine's merge/rewrite machinery and replace the
+    // statement with an empty relation (the DML-returns-nothing shape).
+    // Executed during analysis — the same session-extension slot Iceberg
+    // uses, without a DSv2 catalog to hang row-level-operation plans on.
+    GraftSqlDml.rewrite(session, plan, dmlTarget) match {
+      case Some(replaced) => return replaced
+      case None =>
+    }
+    // a DML TARGET must not silently become an analyzed read plan (the
+    // rewrite would surface as a confusing downstream analyzer error):
+    // fail loudly with the supported alternative instead. Relations in
+    // the INSERT's source query are genuine read positions and resolve
+    // normally below.
+    plan.foreach {
+      case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+        ins.table match {
+          case u: UnresolvedRelation
+              if isGraft(u) && existsFor(u.multipartIdentifier(1)) =>
+            throw new UnsupportedOperationException(
+              "INSERT INTO a graft table is not supported from SQL; " +
+                "write through SnapshotTable.merge/mergeMoR or MERGE INTO")
+          case _ =>
+        }
+      case _ =>
+    }
     plan.transformUp {
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+      case u: UnresolvedRelation if isGraft(u) =>
         resolve(u.multipartIdentifier(1))
           .map(_.queryExecution.analyzed).getOrElse(u)
     }
+  }
+}
+
+/** SQL DML → engine execution. The supported statement shapes map 1:1
+  * onto the engine's write surface (anything else fails loudly with the
+  * supported alternative — never a silent semantic change):
+  *
+  *   - `MERGE INTO graft.`/p` t USING src s ON t.k = s.k [AND ...]`
+  *     with the reference's clauses (common/iceberg.py:237-244)
+  *     `WHEN MATCHED AND s.op='D' THEN DELETE / WHEN MATCHED AND
+  *     s.op='U' THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`
+  *     → [[SnapshotTable.merge]] (or mergeMoR when the table's recorded
+  *     `graft.physical-write-mode` is merge-on-read), source as the
+  *     change set;
+  *   - the op-less upsert `WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+  *     MATCHED THEN INSERT *` → the same merge with every source row an
+  *     'U' (not-matched rows insert per the unconditional clause);
+  *   - `UPDATE graft.`/p` SET c = expr, ... [WHERE cond]` →
+  *     [[SnapshotTable.updateWhere]] (stats-scoped CoW rewrite);
+  *   - `DELETE FROM graft.`/p` [WHERE cond]` →
+  *     [[SnapshotTable.deleteWhere]].
+  *
+  * A handled statement is replaced by an empty relation — executed
+  * exactly once (the fixpoint's next pass sees the resolved
+  * replacement).
+  */
+private[graft] object GraftSqlDml {
+  private def attrLast(e: Expression): Option[String] = e match {
+    case ua: UnresolvedAttribute => Some(ua.nameParts.last)
+    case _ => None
+  }
+
+  /** ON-condition → merge keys: every conjunct must be `t.k = s.k` with
+    * the SAME column name both sides (the engine merges on shared
+    * natural-key columns).
+    */
+  private def equiKeys(cond: Expression): Option[Seq[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(a, b) =>
+        for {
+          an <- attrLast(a); bn <- attrLast(b)
+          if an.equalsIgnoreCase(bn)
+        } yield an
+      case _ => None
+    }
+    if (keys.forall(_.isDefined) && keys.nonEmpty) Some(keys.flatten)
+    else None
+  }
+
+  /** Is `c` the clause condition `op = '<v>'`? */
+  private def opEquals(c: Option[Expression], v: String): Boolean = c.exists {
+    case EqualTo(a, Literal(s, StringType)) =>
+      attrLast(a).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
+        s != null && s.toString == v
+    case EqualTo(Literal(s, StringType), a) =>
+      attrLast(a).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
+        s != null && s.toString == v
+    case _ => false
+  }
+
+  private val empty = LocalRelation(Nil)
+
+  private def unsupported(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"unsupported $what on a graft table; supported: MERGE INTO with " +
+        "the reference clauses (MATCHED AND op='D' DELETE / MATCHED AND " +
+        "op='U' UPDATE SET * / NOT MATCHED INSERT *) or the op-less " +
+        "upsert (MATCHED UPDATE SET * / NOT MATCHED INSERT *), " +
+        "UPDATE ... SET ... WHERE, DELETE FROM ... WHERE")
+
+  def rewrite(session: SparkSession, plan: LogicalPlan,
+              target: LogicalPlan => Option[SnapshotTable]): Option[LogicalPlan] =
+    plan match {
+      case m: MergeIntoTable =>
+        target(m.targetTable).map { tbl => runMerge(session, tbl, m); empty }
+      case u: UpdateTable =>
+        target(u.table).map { tbl =>
+          val assigns = u.assignments.map { a =>
+            val k = attrLast(a.key).getOrElse(unsupported("UPDATE assignment key"))
+            k -> GraftBridge.column(a.value)
+          }
+          val cond = u.condition.map(GraftBridge.column).getOrElse(lit(true))
+          tbl.updateWhere(session, assigns, cond)
+          empty
+        }
+      case d: DeleteFromTable =>
+        target(d.table).map { tbl =>
+          tbl.deleteWhere(session, GraftBridge.column(d.condition))
+          empty
+        }
+      case _ => None
+    }
+
+  private def runMerge(session: SparkSession, tbl: SnapshotTable,
+                       m: MergeIntoTable): Unit = {
+    val keys = equiKeys(m.mergeCondition)
+      .getOrElse(unsupported("MERGE ON condition (need t.k = s.k [AND ...])"))
+    if (m.notMatchedBySourceActions.nonEmpty)
+      unsupported("MERGE WHEN NOT MATCHED BY SOURCE")
+    val source = GraftBridge.ofRows(session, m.sourceTable)
+    val referenceShape =
+      m.matchedActions.size == 2 && m.notMatchedActions.size == 1 &&
+        m.matchedActions.exists {
+          case d: DeleteAction => opEquals(d.condition, "D"); case _ => false
+        } &&
+        m.matchedActions.exists {
+          case u: UpdateStarAction => opEquals(u.condition, "U"); case _ => false
+        } &&
+        (m.notMatchedActions.head match {
+          case i: InsertStarAction => i.condition.isEmpty; case _ => false
+        })
+    val upsertShape =
+      m.matchedActions.size == 1 && m.notMatchedActions.size == 1 &&
+        (m.matchedActions.head match {
+          case u: UpdateStarAction => u.condition.isEmpty; case _ => false
+        }) &&
+        (m.notMatchedActions.head match {
+          case i: InsertStarAction => i.condition.isEmpty; case _ => false
+        })
+    val changes =
+      if (referenceShape) source
+      else if (upsertShape)
+        source.withColumn(graft.core.MetaColumns.Op, lit("U"))
+      else unsupported("MERGE clause shape")
+    val mor = tbl.exists && tbl.currentManifest.properties
+      .get("graft.physical-write-mode").contains("merge-on-read")
+    if (mor) tbl.mergeMoR(session, changes, keys, keepDeletes = false)
+    else tbl.merge(session, changes, keys, keepDeletes = false)
+  }
 }

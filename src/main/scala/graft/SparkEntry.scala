@@ -163,6 +163,27 @@ object SparkEntry {
       Ingestion.applyMode(ordersSource(s, d), ordersTarget(s, d),
         ordersCfg.copy(mode = IngestMode.Incremental))),
 
+    "q71_sql_merge" -> ((s, d) => {
+      // the q14 merge surfaced through SQL: a real table, the change set
+      // as a view, and the reference's MERGE INTO clauses
+      // (common/iceberg.py:237-244) executed by GraftExtensions' DML
+      // rule — same oracle as q14
+      val root = Files.createTempDirectory("graft-sqlmerge-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      graft.merge.ChangeSet.build(ordersSource(s, d), table.read(s),
+          ordersCfg.naturalKeys, ordersCfg.updatedAtFields, ordersCfg.flags,
+          allowDeletes = true)
+        .createOrReplaceTempView("graft_q71_changes")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING graft_q71_changes s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      table.read(s)
+    }),
+
     "q16_merge_cdc" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -927,6 +948,20 @@ object SparkEntry {
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
 
+    // SQL MERGE INTO must equal the engine merge: q14's oracle verbatim
+    "q71_sql_merge" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
     "q16_merge_cdc" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |tgt AS (SELECT * FROM ev QUALIFY row_number()
@@ -1506,9 +1541,16 @@ object SparkEntry {
     val es = score("es", Seq("el", "la", "de", "que", "los"))
     val de = score("de", Seq("der", "und", "die", "das", "ist"))
     val fr = score("fr", Seq("le", "et", "les", "des", "est"))
-    s"""WITH padded AS (SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
-       |scored AS (SELECT doc_id, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr FROM padded)
+    // NULL text must stay NULL like the operator (TextAnalysis.langId):
+    // DuckDB's concat SKIPS null args, so without the explicit flag a
+    // null document would score 0 on every marker and fall out as 'en'
+    // — a latent Spark/oracle divergence (currently untriggered only
+    // because the testdata has no null-text rows)
+    s"""WITH padded AS (SELECT doc_id, concat(' ', lower(text), ' ') AS p,
+       |  text IS NULL AS tnull FROM documents),
+       |scored AS (SELECT doc_id, tnull, $en AS s_en, $es AS s_es, $de AS s_de, $fr AS s_fr FROM padded)
        |SELECT doc_id, CASE
+       |  WHEN tnull THEN NULL
        |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
        |  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
        |  WHEN s_de >= s_fr THEN 'de'

@@ -15,6 +15,11 @@ object GraftSession {
     SparkSession.builder()
       .appName(appName)
       .master(master)
+      // the full SQL surface on every session — graft_* functions,
+      // graft.`/path` relations (+@time-travel), MERGE/UPDATE/DELETE —
+      // exactly how the reference's sessions get Iceberg
+      // (spark.sql.extensions, common/spark.py:23-30)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

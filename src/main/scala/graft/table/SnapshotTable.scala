@@ -63,10 +63,17 @@ object FileEntry {
 
 /** An equality-delete file: `stats` holds the key columns' bounds so reads
   * and compaction can prove a data file CANNOT be affected (no key-range
-  * overlap) and skip the anti-join for it entirely.
+  * overlap) and skip the anti-join for it entirely. `partition` scopes the
+  * delete to the partition holding the rows it masks (Iceberg v2
+  * partition-scoped equality deletes): a dirty group anti-joins only ITS
+  * deletes, and after many MoR commits across partitions the per-read
+  * delete union stays bounded by that partition's history, not the
+  * table's. Empty = unscoped (unpartitioned tables, legacy manifests) —
+  * conservative, affects any file.
   */
 final case class DeleteEntry(path: String, version: Long,
-                             stats: Map[String, ColBounds] = Map.empty)
+                             stats: Map[String, ColBounds] = Map.empty,
+                             partition: Map[String, String] = Map.empty)
 
 /** Reference to one manifest chunk DOCUMENT plus the rollups that let
   * planning decide — without parsing the document — whether any of its
@@ -325,6 +332,71 @@ final class SnapshotTable(val root: Path) {
     (selectFiles(m, cond).size, m.files.size)
   }
 
+  /** Row-level DELETE (SQL `DELETE FROM ... WHERE cond`): copy-on-write
+    * rewrite of only the files the predicate's stats census can't
+    * exonerate — on a partitioned table, of only the touched partitions
+    * (chunk documents carried by reference). Rows where `cond` is false
+    * or NULL are kept, per SQL semantics. No-op when the census proves
+    * nothing matches.
+    */
+  def deleteWhere(spark: SparkSession, cond: Column,
+                  nowMs: Long = System.currentTimeMillis()): Manifest =
+    rewriteWhere(spark, cond, nowMs) { df =>
+      df.filter(coalesce(!cond, lit(true)))
+    }
+
+  /** Row-level UPDATE (SQL `UPDATE ... SET ... WHERE cond`): the same
+    * stats-scoped copy-on-write rewrite; assignments evaluate against the
+    * PRE-update row (simultaneous assignment, one select), applied only
+    * where `cond` is true. Assigning a partition column moves the row to
+    * its new partition on commit.
+    */
+  def updateWhere(spark: SparkSession, assignments: Seq[(String, Column)],
+                  cond: Column,
+                  nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    rewriteWhere(spark, cond, nowMs) { df =>
+      val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+      assignments.foreach { case (k, _) =>
+        require(df.columns.exists(_.equalsIgnoreCase(k)), s"no such column $k")
+      }
+      val hit = coalesce(cond, lit(false))
+      df.select(df.columns.toSeq.map { c =>
+        byLower.get(c.toLowerCase) match {
+          case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    }
+  }
+
+  /** Shared row-level rewrite: the predicate's file census picks the
+    * rewrite set; everything else — whole untouched partitions (chunk
+    * refs unparsed) on partitioned tables, unselected files otherwise —
+    * carries by reference. Pending MoR deletes resolve inside the
+    * rewritten read and keep masking carried files.
+    */
+  private def rewriteWhere(spark: SparkSession, cond: Column, nowMs: Long)(
+      transform: DataFrame => DataFrame): Manifest = {
+    val m = currentManifest
+    val candidates = selectFiles(m, cond)
+    if (candidates.isEmpty) return m
+    if (m.partitionColumns.nonEmpty) {
+      val touched = candidates.map(_.partition).toSet
+      val (carriedChunks, loose, touchedFiles) = splitTouchedOf(m.files, touched)
+      val rewritten = transform(readManifest(spark, m.copy(files = touchedFiles)))
+      commitData(rewritten, Some(m), m.partitionColumns, m.properties, nowMs,
+        carryForward = loose, carryChunks = carriedChunks,
+        carryDeletes = m.deleteFiles, rebaseTouched = Some(touched))
+    } else {
+      val candSet = candidates.map(_.path).toSet
+      val carried = m.files.filterNot(f => candSet(f.path))
+      val rewritten = transform(readManifest(spark, m.copy(files = candidates)))
+      commitData(rewritten, Some(m), Nil, m.properties, nowMs,
+        carryForward = carried, carryDeletes = m.deleteFiles)
+    }
+  }
+
   private def typeLookup(schema: StructType): String => Option[DataType] = {
     val byLower = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     name => byLower.get(name.toLowerCase)
@@ -416,17 +488,37 @@ final class SnapshotTable(val root: Path) {
     }
   }
 
+  /** Can a delete scoped to partition `dp` affect a file at partition
+    * `fp`? Disjoint only when they DISAGREE on a shared key; absent keys
+    * (unscoped legacy deletes, unpartitioned or other-spec files) are
+    * conservatively compatible.
+    */
+  private def partitionsCompatible(dp: Map[String, String],
+                                   fp: Map[String, String]): Boolean =
+    dp.forall { case (k, v) =>
+      fp.collectFirst { case (fk, fv) if fk.equalsIgnoreCase(k) => fv }
+        .forall(_ == v)
+    }
+
+  /** The full MoR exoneration test: sequence order, partition scope, and
+    * key-bound overlap — shared by reads and compaction planning.
+    */
+  private def deleteMayAffect(d: DeleteEntry, f: FileEntry,
+      types: String => Option[DataType]): Boolean =
+    d.version > f.seq &&
+      partitionsCompatible(d.partition, f.partition) &&
+      StatsPruning.boundsMayIntersect(f.stats, d.stats, types)
+
   /** Data files a pending equality delete MIGHT affect: delete version
-    * newer than the file's sequence AND key-column bounds overlap (when
-    * both sides carry stats; missing stats are conservatively "overlap").
-    * Clean files skip the delete anti-join entirely — the stats-aware MoR
-    * read path.
+    * newer than the file's sequence, delete partition scope compatible,
+    * AND key-column bounds overlap (when both sides carry stats; missing
+    * stats are conservatively "overlap"). Clean files skip the delete
+    * anti-join entirely — the stats-aware MoR read path.
     */
   private[graft] def morDirtyFiles(m: Manifest): Seq[FileEntry] = {
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
-    m.files.filter(f => m.deleteFiles.exists(d =>
-      d.version > f.seq &&
-        StatsPruning.boundsMayIntersect(f.stats, d.stats, types)))
+    m.files.filter(f =>
+      m.deleteFiles.exists(d => deleteMayAffect(d, f, types)))
   }
 
   private def readManifest(spark: SparkSession, m: Manifest,
@@ -455,8 +547,13 @@ final class SnapshotTable(val root: Path) {
         val base = readFileGroup(spark, m, schema, dirty, withSeq = true)
         // equality deletes: delete files are small (changed keys only);
         // the anti join is key-equi with the sequence comparison as a
-        // join-side filter.
-        val dels = m.deleteFiles.groupBy(_.version)
+        // join-side filter. Only the delete files that can affect THIS
+        // selection join — a partition-scoped read never unions the
+        // other partitions' deletes.
+        val delTypes = typeLookup(schema)
+        val relevant = m.deleteFiles.filter(d =>
+          dirty.exists(f => deleteMayAffect(d, f, delTypes)))
+        val dels = relevant.groupBy(_.version)
           .map { case (v, fs) =>
             spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
               .withColumn(DelVerCol, lit(v))
@@ -620,7 +717,7 @@ final class SnapshotTable(val root: Path) {
     * until snapshot expiry reclaims them by age, and new commits continue
     * from the highest version number so nothing is overwritten.
     */
-  def rollbackTo(version: Long): Unit = {
+  def rollbackTo(version: Long): Unit = withPublishLock {
     require(manifestVersions.contains(version), s"no snapshot v$version")
     val tmp = metaDir.resolve(s"_current.tmp.rb$version")
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
@@ -906,13 +1003,20 @@ final class SnapshotTable(val root: Path) {
   def evolvePartitioning(spark: SparkSession, newCols: Seq[String],
                          nowMs: Long = System.currentTimeMillis()): Manifest = {
     val m = currentManifest
-    val fields = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
-    newCols.foreach(c => require(fields.contains(c),
-      s"partition column $c is not in the table schema"))
+    // resolve case-insensitively (Spark's default resolution) and STORE
+    // the schema's canonical spelling: the recorded partitionColumns feed
+    // path parsing and census selects, which must agree with the schema
+    val byLower = StructType.fromDDL(m.schemaDdl).fieldNames
+      .map(n => n.toLowerCase -> n).toMap
+    val resolved = newCols.map { c =>
+      byLower.getOrElse(c.toLowerCase,
+        throw new IllegalArgumentException(
+          s"partition column $c is not in the table schema"))
+    }
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
-      m.copy(version = v, timestampMs = nowMs, partitionColumns = newCols)
+      m.copy(version = v, timestampMs = nowMs, partitionColumns = resolved)
     }
   }
 
@@ -978,7 +1082,7 @@ final class SnapshotTable(val root: Path) {
       (if (m.partitionColumns.nonEmpty)
          writer.partitionBy(m.partitionColumns: _*)
        else writer).parquet(dataDirV.toString)
-      // equality-delete file: just the key columns, one small parquet.
+      // equality-delete files: just the key columns, small parquet.
       // Insert-only batches have no evictions — registering an empty delete
       // file would put every future read on the seq-resolution path for
       // nothing, so skip it entirely.
@@ -987,7 +1091,33 @@ final class SnapshotTable(val root: Path) {
         else {
           val delDir = Files.createDirectory(
             dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
-          evictKeys.repartition(1).write.mode("append").parquet(delDir.toString)
+          // partition-scope the deletes (Iceberg v2 partition-scoped
+          // equality deletes): each evicted key is tagged with the
+          // partition of the PRE-merge target row it masks — one delete
+          // file per touched partition, recorded on DeleteEntry, so reads
+          // and compaction anti-join a dirty group only against ITS
+          // deletes. Keys matching no live row mask nothing and drop out
+          // (the target view is already delete-resolved, so an absent key
+          // has no live copy in ANY file). Unpartitioned tables — or a
+          // partition column that is itself a merge key (partitionBy
+          // would strip it from the file data the anti-join reads) —
+          // keep the single unscoped file.
+          val scoped = m.partitionColumns.nonEmpty &&
+            !m.partitionColumns.exists(pc =>
+              keys.exists(_.equalsIgnoreCase(pc)))
+          if (scoped)
+            target
+              .select((keys ++ m.partitionColumns)
+                .map(org.apache.spark.sql.functions.col): _*)
+              .join(evictKeys, keys, "left_semi")
+              .repartition(m.partitionColumns
+                .map(org.apache.spark.sql.functions.col): _*)
+              .write.mode("append")
+              .partitionBy(m.partitionColumns: _*)
+              .parquet(delDir.toString)
+          else
+            evictKeys.repartition(1).write.mode("append")
+              .parquet(delDir.toString)
           listParquet(delDir)
         }
       (listParquet(dataDirV), dels)
@@ -1006,7 +1136,8 @@ final class SnapshotTable(val root: Path) {
           cs.bounds, cs.nulls, cs.rows)
       }
       val newDeletes = delStats.map { case (p, cs) =>
-        DeleteEntry(root.relativize(p).toString, v, cs.bounds)
+        val rel = root.relativize(p).toString
+        DeleteEntry(rel, v, cs.bounds, partitionOf(rel, m.partitionColumns))
       }
       // MoR carries EVERY base file: on a chunked manifest that's the
       // chunk refs verbatim (zero parses) with the appended files inline
@@ -1051,8 +1182,7 @@ final class SnapshotTable(val root: Path) {
       f.path -> Files.size(root.resolve(f.path))).toMap
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     def deleteAffected(f: FileEntry): Boolean =
-      m.deleteFiles.exists(d => d.version > f.seq &&
-        StatsPruning.boundsMayIntersect(f.stats, d.stats, types))
+      m.deleteFiles.exists(d => deleteMayAffect(d, f, types))
     val smallBytes = targetFileBytes * 3 / 4
     val overBytes = targetFileBytes * 5 / 4
     // legacy-spec groups (partition key set ≠ current spec, possible
@@ -1226,25 +1356,37 @@ final class SnapshotTable(val root: Path) {
     * between chunk and manifest writes). Only visible `*.parquet` files
     * count as data; Hadoop sidecars (`.crc`, `_SUCCESS`) follow their
     * data file.
+    *
+    * @param olderThanMs only files last modified at least this long ago
+    *   are deleted (Iceberg's `older_than` 3-day default): an in-flight
+    *   writer's just-claimed data dir and just-written chunk documents
+    *   are unreferenced until its manifest lands, and maintenance must
+    *   not race them. Pass 0 to reclaim everything (safe only when no
+    *   writer can be in flight).
     */
-  def removeOrphanFiles(): Seq[String] = {
+  def removeOrphanFiles(olderThanMs: Long = 3L * 24 * 3600 * 1000,
+                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    def aged(p: Path): Boolean =
+      try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
+      catch { case _: java.io.IOException => false } // vanished: skip
     val live: Set[String] =
       manifestVersions.flatMap { v =>
         val m = manifest(v)
         m.files.map(_.path) ++ m.deleteFiles.map(_.path)
       }.toSet
-    val chunkOrphans = sweepOrphanChunks()
+    val chunkOrphans = sweepOrphanChunks(aged)
     if (!Files.exists(dataDir)) return chunkOrphans
     val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
       st.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet") &&
-          !p.getFileName.toString.startsWith("."))
+          !p.getFileName.toString.startsWith(".") &&
+          aged(p))
         .map(p => root.relativize(p).toString).toSeq
     }
     val orphans = all.filterNot(live)
     orphans.foreach(deleteWithSidecars)
-    pruneEmptyDirs()
+    pruneEmptyDirs(aged)
     orphans ++ chunkOrphans
   }
 
@@ -1256,7 +1398,8 @@ final class SnapshotTable(val root: Path) {
     * lands, and maintenance doesn't run concurrently with ingest
     * (reference: sequential Airflow tasks).
     */
-  private def sweepOrphanChunks(): Seq[String] = {
+  private def sweepOrphanChunks(
+      aged: Path => Boolean = _ => true): Seq[String] = {
     if (!Files.exists(metaDir)) return Nil
     val referenced = manifestVersions.flatMap(v =>
       ManifestJson.chunkNames(metaDir.resolve(s"v$v.json"))).toSet
@@ -1264,7 +1407,8 @@ final class SnapshotTable(val root: Path) {
       st.iterator().asScala
         .map(_.getFileName.toString)
         .filter(n => (n.startsWith("files-") || n.matches("v\\d+-files-\\d+\\.json"))
-          && n.endsWith(".json") && !referenced(n))
+          && n.endsWith(".json") && !referenced(n)
+          && aged(metaDir.resolve(n)))
         .toSeq
     }
     orphans.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
@@ -1279,9 +1423,10 @@ final class SnapshotTable(val root: Path) {
   }
 
   /** Remove data/vN dirs that hold no parquet files anymore (only
-    * `_SUCCESS`/crc markers), then any empty dirs.
+    * `_SUCCESS`/crc markers), then any empty dirs. `aged` guards a
+    * just-claimed (still empty) data dir of an in-flight writer.
     */
-  private def pruneEmptyDirs(): Unit = {
+  private def pruneEmptyDirs(aged: Path => Boolean = _ => true): Unit = {
     if (!Files.exists(dataDir)) return
     val dirs = scala.util.Using.resource(Files.walk(dataDir))(
       _.iterator().asScala.filter(Files.isDirectory(_))
@@ -1291,7 +1436,7 @@ final class SnapshotTable(val root: Path) {
         _.iterator().asScala.exists(p =>
           Files.isRegularFile(p) && p.toString.endsWith(".parquet")
             && !p.getFileName.toString.startsWith(".")))
-      if (!hasData) {
+      if (!hasData && aged(d)) {
         // delete markers then the dir itself (deepest-first ordering)
         scala.util.Using.resource(Files.walk(d))(
           _.iterator().asScala.toSeq)
@@ -1329,14 +1474,36 @@ final class SnapshotTable(val root: Path) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Publish a commit under the per-root lock: allocate the commit
+  /** Run `f` holding BOTH the per-root JVM monitor (serializes threads
+    * sharing this process) and an exclusive CROSS-PROCESS file lock on
+    * `meta/_lock` — the commit critical section. Two processes merging
+    * disjoint partitions therefore serialize their publishes and the
+    * second lands via the optimistic rebase, exactly like two threads;
+    * without the file lock they could allocate the same version and the
+    * loser's commit would silently vanish under the winner's pointer.
+    * (On object storage this slot is where a catalog CAS goes; on a
+    * filesystem, an advisory `FileChannel.lock` is the portable CAS.)
+    */
+  private def withPublishLock[T](f: => T): T =
+    SnapshotTable.lockFor(root).synchronized {
+      Files.createDirectories(metaDir)
+      val ch = java.nio.channels.FileChannel.open(metaDir.resolve("_lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
+
+  /** Publish a commit under the publish lock: allocate the commit
     * version, build the manifest (the builder sees the CURRENT manifest
     * and may rebase or throw on staleness), write it, advance the
     * pointer. If the builder throws, the just-written data dir stays
     * unreferenced by any manifest and removeOrphanFiles reclaims it.
     */
   private def publishCommit(build: (Long, Option[Manifest]) => Manifest): Manifest =
-    SnapshotTable.lockFor(root).synchronized {
+    withPublishLock {
       val cur = if (exists) Some(currentManifest) else None
       val v = nextVersion
       val m = build(v, cur)
@@ -1742,7 +1909,10 @@ private[graft] object ManifestJson {
       .map { d =>
         val statsPart =
           if (d.stats.isEmpty) "" else s""","stats":${statsObj(d.stats)}"""
-        s"""{"path":${q(d.path)},"version":${d.version}$statsPart}"""
+        val partPart =
+          if (d.partition.isEmpty) ""
+          else s""","partition":${obj(d.partition)}"""
+        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart}"""
       }
       .mkString("[", ",", "]")
     val json =
@@ -1856,7 +2026,11 @@ private[graft] object ManifestJson {
           val dm = d.asInstanceOf[Map[String, Any]]
           DeleteEntry(dm("path").asInstanceOf[String],
             dm("version").asInstanceOf[Double].toLong,
-            dm.get("stats").map(parseStats).getOrElse(Map.empty))
+            dm.get("stats").map(parseStats).getOrElse(Map.empty),
+            dm.get("partition")
+              .map(_.asInstanceOf[Map[String, Any]]
+                .map { case (k, v) => k -> v.asInstanceOf[String] })
+              .getOrElse(Map.empty))
         })
         .getOrElse(Nil))
   }

@@ -66,4 +66,89 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("SQL DML: MERGE INTO, UPDATE, DELETE execute through the engine") {
+    val base = spark
+    import base.implicits._
+
+    val root = Files.createTempDirectory("graft-dml-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace(
+      (1 to 20).map(i => (i.toLong, s"s$i", 1.0)).toDF("id", "s", "v"))
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits.{localSeqToDatasetHolder => s2Seq}
+      // reference-shape MERGE: op-column change set, the three clauses of
+      // common/iceberg.py:237-244
+      s2Seq(Seq((5L, "S5", 2.0, "U"), (6L, "x", 0.0, "D"), (99L, "S99", 9.0, "I")))
+        .toDF("id", "s", "v", "op").createOrReplaceTempView("changes")
+      s2.sql(
+        s"""MERGE INTO graft.`$root` t USING changes s ON t.id = s.id
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = s2.sql(s"SELECT id, s FROM graft.`$root`")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(afterMerge.size == 20) // 20 - 1 delete + 1 insert
+      assert(afterMerge(5L) == "S5")
+      assert(!afterMerge.contains(6L))
+      assert(afterMerge(99L) == "S99")
+
+      // upsert-shape MERGE (no op column in the source)
+      s2Seq(Seq((7L, "S7", 3.0), (100L, "S100", 3.0))).toDF("id", "s", "v")
+        .createOrReplaceTempView("ups")
+      s2.sql(
+        s"""MERGE INTO graft.`$root` t USING ups s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterUpsert = s2.sql(s"SELECT id, s FROM graft.`$root`")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(afterUpsert.size == 21)
+      assert(afterUpsert(7L) == "S7" && afterUpsert(100L) == "S100")
+
+      // UPDATE: simultaneous assignment against pre-update values
+      s2.sql(s"UPDATE graft.`$root` SET v = v + 10.0, s = concat(s, '!') " +
+        "WHERE id <= 3")
+      val afterUpdate = s2.sql(s"SELECT id, s, v FROM graft.`$root`")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2))))
+        .toMap
+      assert(afterUpdate(1L) == (("s1!", 11.0)))
+      assert(afterUpdate(3L) == (("s3!", 11.0)))
+      assert(afterUpdate(4L)._1 == "s4")
+
+      // DELETE with predicate
+      s2.sql(s"DELETE FROM graft.`$root` WHERE id > 90")
+      val ids = s2.sql(s"SELECT id FROM graft.`$root`")
+        .collect().map(_.getLong(0)).toSet
+      assert(!ids.exists(_ > 90) && ids.size == 19)
+
+      // INSERT INTO stays a loud, clear error (not a confusing rewrite)
+      val e = intercept[Exception] {
+        s2.sql(s"INSERT INTO graft.`$root` VALUES (1L, 'x', 1.0)")
+      }
+      assert(e.getMessage.contains("INSERT INTO a graft table"))
+
+      // DML through a time-travel suffix is rejected loudly
+      val e2 = intercept[Exception] {
+        s2.sql(s"DELETE FROM graft.`$root@v1` WHERE id = 1")
+      }
+      assert(e2.getMessage.contains("current snapshot"))
+
+      // unsupported MERGE shapes fail loudly, not silently differently
+      val e3 = intercept[Exception] {
+        s2.sql(
+          s"""MERGE INTO graft.`$root` t USING ups s ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      }
+      assert(e3.getMessage.contains("unsupported MERGE"))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
 }

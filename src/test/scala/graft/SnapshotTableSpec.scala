@@ -236,6 +236,35 @@ class SnapshotTableSpec extends SparkSpec {
       col("v") === 2.0).count() == 20)
   }
 
+  test("MoR delete files are partition-scoped and exonerate other partitions") {
+    val tbl = freshTable()
+    // ids interleave across partitions so KEY BOUNDS overlap: without
+    // partition scoping, p=1's files would be dirty after a p=0-only merge
+    val df0 = (1 to 100).map(i => (i.toLong, t0, 1.0, (i % 2).toLong))
+      .toDF("id", "updated_at", "v", "p")
+    tbl.createOrReplace(df0, Seq("p"))
+    val changes = (2 to 50 by 2).map(i => (i.toLong, t1, 2.0, 0L))
+      .toDF("id", "updated_at", "v", "p").withColumn("op", lit("U"))
+    tbl.mergeMoR(spark, changes, Seq("id"), keepDeletes = false)
+    val m = tbl.currentManifest
+    // per-partition delete entries with the partition value recorded
+    assert(m.deleteFiles.nonEmpty)
+    assert(m.deleteFiles.forall(_.partition.keySet == Set("p")),
+      s"deletes must be partition-scoped: ${m.deleteFiles}")
+    assert(m.deleteFiles.map(_.partition("p")).toSet == Set("0"))
+    // the other partition's files are NOT dirty even though the delete's
+    // id bounds [2,50] overlap p=1's id range [1,99]
+    val dirty = tbl.morDirtyFiles(m)
+    assert(dirty.nonEmpty)
+    assert(dirty.forall(_.partition("p") == "0"),
+      "a p=0-scoped delete must not dirty p=1 files")
+    // correctness: merged values visible, untouched partition untouched
+    val out = tbl.read(spark)
+    assert(out.count() == 100)
+    assert(out.filter(col("p") === 0 && col("v") === 2.0).count() === 25L)
+    assert(out.filter(col("p") === 1 && col("v") =!= 1.0).count() === 0L)
+  }
+
   test("chunked manifests round-trip and REUSE unchanged chunks across commits") {
     import graft.table.{FileEntry, Manifest, ManifestJson, SnapshotTable}
     import scala.jdk.CollectionConverters._
@@ -275,14 +304,66 @@ class SnapshotTableSpec extends SparkSpec {
     // chunk GC is by reachability: shared chunks survive one manifest's
     // expiry, unreferenced ones are swept
     ManifestJson.delete(p1)
-    val sweptAfterV1 = tbl.removeOrphanFiles()
+    val sweptAfterV1 = tbl.removeOrphanFiles(olderThanMs = 0L)
     assert(listChunks().toSet ==
       ManifestJson.chunkNames(dir.resolve("v2.json")).toSet,
       "chunks shared with v2 must survive v1 expiry; v1-only ones are swept")
     assert(sweptAfterV1.nonEmpty, "v1's dirty-partition chunk is unreferenced")
     ManifestJson.delete(dir.resolve("v2.json"))
-    tbl.removeOrphanFiles()
+    tbl.removeOrphanFiles(olderThanMs = 0L)
     assert(listChunks().isEmpty, "no manifests → all chunks swept")
+  }
+
+  test("orphan removal is age-gated: young files survive, aged ones go") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    // a stray file no manifest references — e.g. an in-flight writer's
+    // output whose commit hasn't landed yet
+    val strayDir = Files.createDirectories(tbl.root.resolve("data/v99"))
+    val stray = strayDir.resolve("part-stray.parquet")
+    Files.write(stray, Array[Byte](1, 2, 3))
+    // default 3-day threshold: the young file must survive maintenance
+    assert(tbl.removeOrphanFiles().isEmpty)
+    assert(Files.exists(stray), "young orphan must survive (in-flight writer)")
+    // pretend time passed: with 'now' beyond the threshold it is reclaimed
+    val later = System.currentTimeMillis() + 4L * 24 * 3600 * 1000
+    val removed = tbl.removeOrphanFiles(nowMs = later)
+    assert(removed == Seq("data/v99/part-stray.parquet"))
+    assert(!Files.exists(stray))
+    assert(tbl.read(spark).count() == 10)
+  }
+
+  test("publish lock serializes commits across PROCESSES") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    Ingestion.run(spark, tbl, batch(1 to 12, t1, 2.0), cfg, t1)
+    val lockPath = tbl.root.resolve("meta/_lock").toString
+    // a second JVM (no Spark — just java.nio) takes the cross-process
+    // publish lock and holds it; our pointer move must block until it
+    // releases (rollbackTo is the publish critical section with no Spark
+    // noise in the timing)
+    val testClasses = new java.io.File(LockHolder.getClass.getProtectionDomain
+      .getCodeSource.getLocation.toURI).getAbsolutePath
+    val scalaLib = new java.io.File(classOf[scala.Function0[_]]
+      .getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
+    val cp = testClasses + java.io.File.pathSeparator + scalaLib
+    val holdMs = 2000L
+    val proc = new ProcessBuilder(
+      System.getProperty("java.home") + "/bin/java", "-cp", cp,
+      "graft.LockHolder", lockPath, holdMs.toString)
+      .redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    assert(out.readLine() == "LOCKED", "helper process must take the lock")
+    val t0n = System.nanoTime()
+    tbl.rollbackTo(1)
+    val elapsedMs = (System.nanoTime() - t0n) / 1000000
+    proc.waitFor()
+    assert(elapsedMs >= holdMs - 600,
+      s"pointer moved after ${elapsedMs}ms while another process held " +
+        s"the lock for ${holdMs}ms — cross-process serialization broken")
+    assert(tbl.currentVersion == 1L)
+    assert(tbl.read(spark).count() == 10)
   }
 
   test("incremental read returns only partitions touched since a version") {
