@@ -29,11 +29,21 @@ object Bench {
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
     }
+    // storage-backed lifecycle queries (temp tables, commit IO) swing
+    // ±30% with machine load — their cost is filesystem commits, not plan
+    // execution — so they get 3 attempts and report the MEDIAN;
+    // plan-bound queries keep best-of-2 (min is the steady-state number).
+    val lifecycle = Set(
+      "q20_replace", "q21_snapshot_lifecycle", "q22_bucket_transform",
+      "q23_maintenance", "q24_ingest_job", "q25_dms_cdc_job",
+      "q26_stats_pruned_scan", "q27_zorder_scan", "q28_time_travel",
+      "q29_incremental_read", "q62_mor_lifecycle", "q67_schema_evolution",
+      "q68_partition_evolution", "q70_drop_column", "q71_sql_merge")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // best of 2, tracked PER ATTEMPT: a query is an error only when every
-      // attempt failed; one flaky attempt must neither masquerade as a fast
-      // success nor discard the other attempt's valid timing.
-      val attempts = (0 until 2).map { _ =>
+      // tracked PER ATTEMPT: a query is an error only when every attempt
+      // failed; one flaky attempt must neither masquerade as a fast
+      // success nor discard the other attempts' valid timings.
+      val attempts = (0 until (if (lifecycle(name)) 3 else 2)).map { _ =>
         val t0 = System.nanoTime()
         val outcome =
           try { fn(spark, sfDir).count(); None }
@@ -46,9 +56,11 @@ object Bench {
         spark.catalog.clearCache()
         (t, outcome)
       }
-      val good = attempts.collect { case (t, None) => t }
-      if (good.nonEmpty) (name, good.min, None)
-      else (name, 0.0, attempts.last._2)
+      val good = attempts.collect { case (t, None) => t }.sorted
+      if (good.nonEmpty) {
+        val t = if (lifecycle(name)) good(good.size / 2) else good.head
+        (name, t, None)
+      } else (name, 0.0, attempts.last._2)
     }
     val ok = results.filter(_._3.isEmpty)
     val qs = ok.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }

@@ -181,6 +181,24 @@ object StatsPruning {
     s == org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
+  /** Bounds a `days()` partition value implies for its SOURCE column: the
+    * day `s` (a `yyyy-MM-dd` partition-path value) covers
+    * `[day start, next day start)` in the source's domain. UTC day
+    * boundaries — the sessions this engine ships pin UTC, and a
+    * `days()`-derived partition column is only recorded for them.
+    */
+  def dayRange(srcType: DataType, s: String): Option[(Bound, Bound)] =
+    try {
+      val day = java.time.LocalDate.parse(s).toEpochDay
+      srcType match {
+        case DateType => Some((NumB(BigDecimal(day)), NumB(BigDecimal(day))))
+        case TimestampType | TimestampNTZType =>
+          val lo = day * 86400000000L
+          Some((NumB(BigDecimal(lo)), NumB(BigDecimal(lo + 86400000000L - 1))))
+        case _ => None
+      }
+    } catch { case _: RuntimeException => None }
+
   /** Decode a hive-style partition-path VALUE for a column of `dt` into
     * an exact point bound. Timestamps/dates parse the writer's formats;
     * unparseable or null-sentinel values decline.

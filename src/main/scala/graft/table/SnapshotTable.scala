@@ -282,9 +282,30 @@ final class SnapshotTable(val root: Path) {
   private[graft] def selectFiles(m: Manifest, cond: Column): Seq[FileEntry] = {
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    val transforms = partitionTransforms(m)
+    // bucket-transform pruning: a point predicate on the SOURCE column
+    // hashes to exactly one bucket value, so a file whose bucket
+    // partition value differs can't hold a matching row. Non-integer or
+    // unparsable literals decline conservatively.
+    def bucketOk(f: FileEntry): Boolean = transforms.forall {
+      case (pcol, BucketT(n, src)) =>
+        (for {
+          pv <- f.partition.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(pcol) &&
+              !StatsPruning.isNullPartitionValue(v) => v
+          }
+          b <- pv.toIntOption
+          vs <- StatsPruning.pointValues(expr, src)
+          longs = vs.flatMap(_.toLongOption)
+          if longs.size == vs.size // every literal must be integral
+        } yield longs.exists(v => graft.functions.Bucket.bucket(v, n) == b))
+          .getOrElse(true)
+      case _ => true
+    }
     def fileOk(f: FileEntry) =
-      StatsPruning.mayMatch(expr, types, boundsFor(f, types),
-        nullsFor(f), f.rows)
+      bucketOk(f) &&
+        StatsPruning.mayMatch(expr, types, boundsFor(f, types, transforms),
+          nullsFor(f), f.rows)
     m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
         def ci[T](mp: Map[String, T], n: String): Option[T] =
@@ -436,11 +457,41 @@ final class SnapshotTable(val root: Path) {
       case s => s.exists(_.seq <= v)
     }
 
+  /** A recorded partition TRANSFORM: the table property
+    * `graft.transform.<pcol> = bucket(<n>,<src>) | days(<src>)` declares
+    * that partition column `pcol` was derived from data column `src`
+    * (the reference's planned Iceberg partition transforms,
+    * dmsdatabase1.py:79-85), so predicates on the RAW source column
+    * prune at the manifest through the transformed partition value —
+    * `days`: the day value bounds the source's range; `bucket`: a point
+    * predicate on the source hashes to exactly one bucket.
+    */
+  private sealed trait PartTransform
+  private final case class BucketT(n: Int, src: String) extends PartTransform
+  private final case class DaysT(src: String) extends PartTransform
+
+  private val TransformPrefix = "graft.transform."
+  private val BucketRe = """bucket\((\d+)\s*,\s*([^)]+)\)""".r
+  private val DaysRe = """days\(([^)]+)\)""".r
+
+  private def partitionTransforms(m: Manifest): Seq[(String, PartTransform)] =
+    m.properties.toSeq.collect {
+      case (k, v) if k.startsWith(TransformPrefix) =>
+        val pcol = k.drop(TransformPrefix.length)
+        v.trim match {
+          case BucketRe(n, src) => Some(pcol -> BucketT(n.toInt, src.trim))
+          case DaysRe(src) => Some(pcol -> DaysT(src.trim))
+          case _ => None // unknown transform: no pruning, never an error
+        }
+    }.flatten
+
   /** Bounds of a column within one file: exact partition value if the
     * column is a partition column, else the footer stats captured in the
-    * manifest; None = unknown (never prune).
+    * manifest, else the range a `days()` partition value implies for its
+    * source column; None = unknown (never prune).
     */
-  private def boundsFor(f: FileEntry, types: String => Option[DataType])
+  private def boundsFor(f: FileEntry, types: String => Option[DataType],
+      transforms: Seq[(String, PartTransform)] = Nil)
       : String => Option[(StatsPruning.Bound, StatsPruning.Bound)] = { name =>
     types(name).flatMap { dt =>
       f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
@@ -453,6 +504,13 @@ final class SnapshotTable(val root: Path) {
                 mx <- StatsPruning.decode(dt, cb.max)
               } yield (mn, mx)
             }
+            .orElse(transforms.collectFirst {
+              case (pcol, DaysT(src)) if src.equalsIgnoreCase(name) =>
+                f.partition.collectFirst {
+                  case (k, v) if k.equalsIgnoreCase(pcol) &&
+                    !StatsPruning.isNullPartitionValue(v) => v
+                }.flatMap(StatsPruning.dayRange(dt, _))
+            }.flatten)
       }
     }
   }
@@ -1233,8 +1291,23 @@ final class SnapshotTable(val root: Path) {
         val rowCount = math.max(1L, df.count())
         val bytesPerRow = math.max(1L, rewriteBytes / rowCount)
         val maxRecords = math.max(1L, targetFileBytes / bytesPerRow)
-        commitData(df, Some(m), m.partitionColumns, m.properties,
-          nowMs, carryForward = carried, carryChunks = carriedChunks,
+        // a z-ordered partitioned table re-clusters its rewritten groups
+        // on (partition cols, curve) — hash repartitioning would destroy
+        // the within-partition pruning the layout bought
+        val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+        val zCols = m.properties.get(ZOrderProp)
+          .map(_.split(',').toSeq.filter(schemaCols)).filter(_.nonEmpty)
+        val zdf = zCols.flatMap(zKeyed(df, _)).map { case (keyed, z) =>
+          val rangeCols = m.partitionColumns.map(col) :+ col(z)
+          val nFiles = math.max(1,
+            math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
+          keyed.repartitionByRange(nFiles, rangeCols: _*)
+            .sortWithinPartitions(rangeCols: _*)
+            .drop(z)
+        }
+        commitData(zdf.getOrElse(df), Some(m), m.partitionColumns,
+          m.properties, nowMs, carryForward = carried,
+          carryChunks = carriedChunks, preclustered = zdf.isDefined,
           writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
       }
     } finally df.unpersist()
@@ -1265,38 +1338,55 @@ final class SnapshotTable(val root: Path) {
                     minFiles: Int = 1,
                     nowMs: Long = System.currentTimeMillis()): Manifest = {
     val m = currentManifest
-    require(m.partitionColumns.isEmpty,
-      "z-order rewrite supports unpartitioned tables (partitioned tables " +
-        "prune on partition values; z-order the columns within one partition)")
     require(cols.nonEmpty, "need at least one column to cluster on")
+    cols.foreach(c => require(
+      !m.partitionColumns.exists(_.equalsIgnoreCase(c)),
+      s"$c is a partition column — it already prunes via partition " +
+        "values; z-order the non-partition dimensions"))
     val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    zClustered(read(spark), cols, nFiles) match {
+    // Partitioned tables z-order WITHIN each partition: range-cluster on
+    // (partition columns, z) so every task holds one partition's
+    // z-contiguous run, and the hive writer splits on the partition dirs
+    // without disturbing the curve — per-file bounds become selective on
+    // every curve dimension INSIDE each partition, on top of the
+    // partition values' own pruning. The z key is normalized on GLOBAL
+    // column bounds (one agg pass): per-partition normalization would
+    // need a bounds map per value on the driver for no extra pruning
+    // power — the curve order within a partition is what matters.
+    zKeyed(read(spark), cols) match {
       case None => m // empty table: nothing to cluster, no-op
-      case Some(clustered) =>
+      case Some((keyed, z)) =>
+        val rangeCols = m.partitionColumns.map(col) :+ col(z)
+        val clustered = keyed
+          .repartitionByRange(nFiles, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
+          .drop(z)
         // record the layout so operators (and future compactions) can
         // see what the table is clustered by, like Iceberg's sort-order
         // metadata — [[compact]] re-clusters on it instead of hashing
         // the rows apart
-        commitData(clustered, Some(m), Nil,
-          m.properties + (ZOrderProp -> cols.mkString(",")), nowMs)
+        commitData(clustered, Some(m), m.partitionColumns,
+          m.properties + (ZOrderProp -> cols.mkString(",")), nowMs,
+          preclustered = true)
     }
   }
 
   private val ZOrderProp = "write.graft.zorder-by"
 
-  /** Range-cluster `df` on the scaled Morton key over `cols` into
-    * `nFiles` (shared by [[rewriteZOrder]] and z-aware [[compact]]).
-    * None when the frame has no rows to derive bounds from.
+  /** Attach the scaled Morton key over `cols` as a column (shared by
+    * [[rewriteZOrder]] and z-aware [[compact]]); returns the keyed frame
+    * and the key column's name, or None when the frame has no rows to
+    * derive bounds from.
     *
     * Per-column key bounds come from one map-side-combined agg pass: the
     * curve normalizes each column to its observed range, else a
     * wide-magnitude column monopolizes the leading interleaved bits and
     * narrow columns never become prunable (see ZValue.leftAlign).
     */
-  private def zClustered(df: DataFrame, cols: Seq[String],
-                         nFiles: Int): Option[DataFrame] = {
+  private def zKeyed(df: DataFrame,
+                     cols: Seq[String]): Option[(DataFrame, String)] = {
     val z = "__graft_z"
     val aggs = cols.flatMap(c => Seq(
       min(graft.functions.ZOrder.zkey(col(c))),
@@ -1307,14 +1397,19 @@ final class SnapshotTable(val root: Path) {
     else {
       val lows = cols.indices.map(i => boundsRow.getLong(2 * i) ^ Long.MinValue)
       val highs = cols.indices.map(i => boundsRow.getLong(2 * i + 1) ^ Long.MinValue)
-      Some(df
-        .withColumn(z, graft.functions.ZOrder.zvalueScaled(
-          cols.map(col), lows, highs))
-        .repartitionByRange(nFiles, col(z))
-        .sortWithinPartitions(z)
-        .drop(z))
+      Some((df.withColumn(z, graft.functions.ZOrder.zvalueScaled(
+        cols.map(col), lows, highs)), z))
     }
   }
+
+  /** Range-cluster `df` on the scaled Morton key into `nFiles`. */
+  private def zClustered(df: DataFrame, cols: Seq[String],
+                         nFiles: Int): Option[DataFrame] =
+    zKeyed(df, cols).map { case (keyed, z) =>
+      keyed.repartitionByRange(nFiles, col(z))
+        .sortWithinPartitions(z)
+        .drop(z)
+    }
 
   /** Snapshot expiry (reference: expire_snapshots common/iceberg.py:253-259
     * with 90-day / keep-≥90 retention from table properties :54-58).
@@ -1569,7 +1664,8 @@ final class SnapshotTable(val root: Path) {
                          carryChunks: Option[(Seq[ChunkRef], Int)] = None,
                          carryDeletes: Seq[DeleteEntry] = Nil,
                          writerOptions: Map[String, String] = Map.empty,
-                         rebaseTouched: Option[Set[Map[String, String]]] = None): Manifest = {
+                         rebaseTouched: Option[Set[Map[String, String]]] = None,
+                         preclustered: Boolean = false): Manifest = {
     val baseV = base.map(_.version).getOrElse(0L)
     // fail-fast BEFORE any data is written: a commit planned against a
     // stale snapshot must not spend the write (and without rebase rights
@@ -1597,8 +1693,12 @@ final class SnapshotTable(val root: Path) {
       // file per partition per commit — the layout compaction would
       // otherwise have to repair. (Heavily skewed partition values would
       // serialize on one task here; bucket counts are chosen to spread.)
+      // `preclustered` callers (z-order layouts) arrive already
+      // range-clustered on (partition cols, z) — re-hashing here would
+      // destroy the curve order the commit exists to establish.
       val clustered =
-        if (pcols.nonEmpty) df.repartition(pcols.map(col): _*) else df
+        if (pcols.nonEmpty && !preclustered) df.repartition(pcols.map(col): _*)
+        else df
       // append into the claimed (empty) dir — see mergeMoR for why
       val writer = clustered.write.mode("append")
         .options(writerOptions)

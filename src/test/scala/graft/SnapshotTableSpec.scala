@@ -314,6 +314,53 @@ class SnapshotTableSpec extends SparkSpec {
     assert(listChunks().isEmpty, "no manifests → all chunks swept")
   }
 
+  test("recorded partition transforms prune raw-column predicates") {
+    import graft.functions.Bucket
+    // bucket(8, id): the table is partitioned by the murmur bucket of the
+    // key (the reference's planned transform, dmsdatabase1.py:79-85); a
+    // point predicate on the RAW key must prune to that bucket's files
+    val tbl = freshTable()
+    val df0 = (1 to 512).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .withColumn("pb", expr("graft_bucket(id, 8)"))
+    tbl.createOrReplace(df0, Seq("pb"),
+      properties = Map("graft.transform.pb" -> "bucket(8,id)"))
+    val total = tbl.currentManifest.files.size
+    val (kept1, _) = tbl.pruneCounts(col("id") === 42L)
+    val perBucket = tbl.pruneCounts(col("pb") === Bucket.bucket(42L, 8))._1
+    assert(kept1 == perBucket && kept1 < total,
+      s"id=42 must keep only bucket ${Bucket.bucket(42L, 8)}'s files " +
+        s"($kept1/$total)")
+    assert(tbl.readWhere(spark, col("id") === 42L).count() == 1)
+    // IN over two keys keeps at most both buckets
+    val (keptIn, _) = tbl.pruneCounts(col("id").isin(42L, 99L))
+    assert(keptIn <= tbl.pruneCounts(col("pb") === Bucket.bucket(42L, 8))._1 +
+      tbl.pruneCounts(col("pb") === Bucket.bucket(99L, 8))._1)
+    assert(tbl.readWhere(spark, col("id").isin(42L, 99L)).count() == 2)
+    // range predicates on the key can't use the bucket (not monotonic)
+    assert(tbl.pruneCounts(col("id") <= 5L)._1 > 0)
+
+    // days(ts): a day-partitioned table prunes RANGE predicates on the
+    // raw timestamp through the day value
+    val tbl2 = freshTable()
+    val days = (0 until 8).flatMap(d => (0 until 10).map(h =>
+      (d.toLong * 10 + h, Timestamp.valueOf(f"2026-03-0${d + 1}%d $h%02d:00:00"))))
+      .toDF("id", "ts")
+      .withColumn("event_day", to_date(col("ts")))
+    tbl2.createOrReplace(days, Seq("event_day"),
+      properties = Map("graft.transform.event_day" -> "days(ts)"))
+    val total2 = tbl2.currentManifest.files.size
+    val cut = Timestamp.valueOf("2026-03-06 00:00:00")
+    val (keptTs, _) = tbl2.pruneCounts(col("ts") >= cut)
+    assert(keptTs < total2,
+      s"ts range must prune via the day partition ($keptTs/$total2)")
+    assert(keptTs <= 3, s"only days 06..08 can match ($keptTs)")
+    assert(tbl2.readWhere(spark, col("ts") >= cut).count() ==
+      tbl2.read(spark).filter(col("ts") >= cut).count())
+    // a mid-day cut keeps its own day too (boundaries are [start, next))
+    val mid = Timestamp.valueOf("2026-03-05 05:00:00")
+    assert(tbl2.readWhere(spark, col("ts") >= mid).count() == 35)
+  }
+
   test("orphan removal is age-gated: young files survive, aged ones go") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)

@@ -124,6 +124,54 @@ class ZOrderSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 64L * 64)
   }
 
+  test("PARTITIONED z-order: curve per partition, hive layout preserved") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-zorder-part-").toString)
+    // 4 partitions × a 32x32 grid each: partition values prune partition
+    // predicates, and within each partition both x and y must prune
+    val grid = (0 until 4).flatMap(p =>
+      (0 until 32).flatMap(x => (0 until 32).map(y =>
+        (p.toLong, x.toLong, y.toLong))))
+      .toDF("p", "x", "y")
+    tbl.createOrReplace(grid, Seq("p"))
+    // partition columns are rejected as curve dimensions
+    intercept[IllegalArgumentException] {
+      tbl.rewriteZOrder(spark, Seq("p", "x"))
+    }
+    tbl.rewriteZOrder(spark, Seq("x", "y"), minFiles = 16)
+    val m = tbl.currentManifest
+    val total = m.files.size
+    assert(total >= 16)
+    // hive layout preserved: every file still carries its partition value
+    assert(m.files.forall(_.partition.keySet == Set("p")))
+    assert(m.files.map(_.partition("p")).toSet == Set("0", "1", "2", "3"))
+    // per-dimension prune census WITHIN a partition: p=1 alone keeps only
+    // its files; adding an x (or y) range keeps only the curve's corner
+    val perPart = tbl.pruneCounts(col("p") === 1L)._1
+    assert(perPart < total, s"partition pruning must hold ($perPart/$total)")
+    val keptX = tbl.pruneCounts(col("p") === 1L && col("x") < 8L)._1
+    val keptY = tbl.pruneCounts(col("p") === 1L && col("y") < 8L)._1
+    assert(keptX < perPart,
+      s"x must prune within the partition ($keptX/$perPart)")
+    assert(keptY < perPart,
+      s"y must prune within the partition ($keptY/$perPart)")
+    // global x predicate prunes across every partition's files too
+    assert(tbl.pruneCounts(col("x") < 8L)._1 < total)
+    // layout change only
+    assert(tbl.read(spark).count() == 4L * 32 * 32)
+    assert(tbl.readWhere(spark,
+      col("p") === 1L && col("x") < 8L && col("y") < 8L).count() == 64)
+    // partition-scoped merge on the z-ordered table keeps the layout for
+    // untouched partitions and correctness everywhere
+    tbl.merge(spark,
+      Seq((1L, 0L, 0L)).toDF("p", "x", "y").withColumn("op", lit("U")),
+      Seq("p", "x", "y"), keepDeletes = false, partitionStableByKey = true)
+    assert(tbl.read(spark).count() == 4L * 32 * 32)
+    assert(tbl.pruneCounts(col("p") === 2L && col("x") < 8L)._1 <
+      tbl.pruneCounts(col("p") === 2L)._1,
+      "untouched partition keeps its curve pruning after a merge")
+  }
+
   test("z-order rewrite of an empty table is a no-op") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-zorder-empty-").toString)
