@@ -184,6 +184,20 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q72_sql_update_delete" -> ((s, d) => {
+      // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
+      // CoW rewrites (only files the predicate census can't exonerate are
+      // rewritten; the rest carry by reference)
+      val root = Files.createTempDirectory("graft-sqldml-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))
+      s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 5.0 " +
+        "WHERE l_returnflag = 'R'")
+      s.sql(s"DELETE FROM graft.`$root` WHERE l_linenumber = 3")
+      table.read(s)
+    }),
+
     "q16_merge_cdc" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -947,6 +961,12 @@ object SparkEntry {
         |SELECT s.* FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q72_sql_update_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | CASE WHEN l_returnflag = 'R' THEN l_quantity + 5.0
+        |      ELSE l_quantity END AS l_quantity
+        |FROM lineitem WHERE l_linenumber <> 3""".stripMargin,
 
     // SQL MERGE INTO must equal the engine merge: q14's oracle verbatim
     "q71_sql_merge" -> (withFixtures +

@@ -905,13 +905,31 @@ final class SnapshotTable(val root: Path) {
         // (duplicate key). Legacy specs always run the home census.
         val needHome = !partitionStableByKey ||
           specs.exists(sp => sp.nonEmpty && sp != currentSpec)
-        // one column-pruned target scan serves every spec's home census
+        // one column-pruned target scan serves every spec's home census.
+        // The scan is STATS-BOUNDED: only files whose key-column bounds
+        // overlap the change batch's key range can hold a home row, so a
+        // bounded change set census-scans a bounded slice of a 100 TB
+        // table instead of all of it (the semi join still decides rows —
+        // file selection is conservative). Exotic key types that the
+        // bounds machinery can't express fall back to the full scan.
         val homeBase =
           if (!needHome) None
           else {
             val allP = specs.flatten.distinct
             val changeKeys = cached.select(keys.map(col): _*).distinct()
-            Some(read(spark).select((keys ++ allP).distinct.map(col): _*)
+            val base =
+              try {
+                val aggs = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+                val r = cached.agg(aggs.head, aggs.tail: _*).head
+                if (keys.indices.exists(i => r.isNullAt(2 * i))) read(spark)
+                else {
+                  val cond = keys.zipWithIndex.map { case (k, i) =>
+                    col(k) >= lit(r.get(2 * i)) && col(k) <= lit(r.get(2 * i + 1))
+                  }.reduce(_ && _)
+                  readManifest(spark, m.copy(files = selectFiles(m, cond)))
+                }
+              } catch { case scala.util.control.NonFatal(_) => read(spark) }
+            Some(base.select((keys ++ allP).distinct.map(col): _*)
               .join(changeKeys, keys, "left_semi").cache())
           }
         val touchedBySpec: Map[Set[String], Set[Map[String, String]]] =
@@ -1428,10 +1446,7 @@ final class SnapshotTable(val root: Path) {
     val expired = byAge.dropRight(math.max(0, keepCount - (candidates.size - byAge.size)))
     if (expired.isEmpty) return Nil
     val retained = versions.diff(expired)
-    val live: Set[String] = retained.flatMap { v =>
-      val m = manifest(v)
-      m.files.map(_.path) ++ m.deleteFiles.map(_.path)
-    }.toSet
+    val live = livePaths(retained)
     expired.foreach { v =>
       val m = manifest(v)
       (m.files.map(_.path) ++ m.deleteFiles.map(_.path))
@@ -1464,11 +1479,7 @@ final class SnapshotTable(val root: Path) {
     def aged(p: Path): Boolean =
       try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: java.io.IOException => false } // vanished: skip
-    val live: Set[String] =
-      manifestVersions.flatMap { v =>
-        val m = manifest(v)
-        m.files.map(_.path) ++ m.deleteFiles.map(_.path)
-      }.toSet
+    val live = livePaths(manifestVersions)
     val chunkOrphans = sweepOrphanChunks(aged)
     if (!Files.exists(dataDir)) return chunkOrphans
     val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
@@ -1483,6 +1494,29 @@ final class SnapshotTable(val root: Path) {
     orphans.foreach(deleteWithSidecars)
     pruneEmptyDirs(aged)
     orphans ++ chunkOrphans
+  }
+
+  /** Every data/delete path some manifest in `versions` references.
+    * Snapshots share chunk documents (content-addressed), so each unique
+    * document is parsed ONCE across all versions — maintenance over 90
+    * retained snapshots of a million-file table costs O(unique docs),
+    * not O(versions × files).
+    */
+  private def livePaths(versions: Seq[Long]): Set[String] = {
+    val seenDocs = scala.collection.mutable.Set[String]()
+    val out = Set.newBuilder[String]
+    versions.foreach { v =>
+      val m = manifest(v)
+      m.deleteFiles.foreach(d => out += d.path)
+      m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          fl.inline.foreach(f => out += f.path)
+          fl.chunks.foreach(c =>
+            if (seenDocs.add(c.name)) fl.loadChunk(c).foreach(f => out += f.path))
+        case s => s.foreach(f => out += f.path)
+      }
+    }
+    out.result()
   }
 
   /** Delete manifest chunk documents referenced by NO retained manifest.
