@@ -271,9 +271,15 @@ private[graft] object GraftSqlDml {
         })
     val changes =
       if (referenceShape) source
-      else if (upsertShape)
+      else if (upsertShape) {
+        // the op column is the engine's change marker: an upsert source
+        // that happens to carry a DATA column named op would be silently
+        // clobbered (and a target op column mis-merged) — refuse instead
+        if (source.columns.exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)))
+          unsupported("upsert MERGE whose source has an 'op' column " +
+            "(use the op-conditioned reference clauses)")
         source.withColumn(graft.core.MetaColumns.Op, lit("U"))
-      else unsupported("MERGE clause shape")
+      } else unsupported("MERGE clause shape")
     val mor = tbl.exists && tbl.currentManifest.properties
       .get("graft.physical-write-mode").contains("merge-on-read")
     if (mor) tbl.mergeMoR(session, changes, keys, keepDeletes = false)

@@ -189,11 +189,28 @@ object StatsPruning {
     */
   def dayRange(srcType: DataType, s: String): Option[(Bound, Bound)] =
     try {
-      val day = java.time.LocalDate.parse(s).toEpochDay
+      val date = java.time.LocalDate.parse(s)
       srcType match {
-        case DateType => Some((NumB(BigDecimal(day)), NumB(BigDecimal(day))))
-        case TimestampType | TimestampNTZType =>
-          val lo = day * 86400000000L
+        case DateType =>
+          val day = date.toEpochDay
+          Some((NumB(BigDecimal(day)), NumB(BigDecimal(day))))
+        case TimestampType =>
+          // day boundaries in the SESSION timezone, like every other
+          // timestamp partition-value decode here: the day column was
+          // derived under the session zone, and UTC boundaries would
+          // mis-prune under any non-UTC session
+          val zone = java.time.ZoneId.of(
+            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+          def micros(d: java.time.LocalDate) = {
+            val i = d.atStartOfDay(zone).toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          // next day's start, not +24h: a DST-transition day is 23/25h
+          Some((NumB(BigDecimal(micros(date))),
+            NumB(BigDecimal(micros(date.plusDays(1)) - 1))))
+        case TimestampNTZType =>
+          // NTZ is wall-clock: days are timezone-free by definition
+          val lo = date.toEpochDay * 86400000000L
           Some((NumB(BigDecimal(lo)), NumB(BigDecimal(lo + 86400000000L - 1))))
         case _ => None
       }
@@ -424,22 +441,31 @@ object StatsPruning {
   /** Values `v` for which some TOP-LEVEL conjunct pins `colName = v`
     * (equality or IN over literals) — the partition point-lookup shape.
     * Returned as partition-path value strings, so callers can hash them
-    * straight to manifest chunk buckets; only literal types whose Spark
-    * string rendering is unambiguous (integers, strings) participate —
-    * anything else declines with None (never a wrong skip). Multiple
-    * binding conjuncts intersect.
+    * straight to manifest chunk buckets. The rendering must match the
+    * stored partition value EXACTLY, so a literal participates only when
+    * its type is unambiguous FOR THE COLUMN'S TYPE: integral literals
+    * against integral columns, string literals against string columns.
+    * (An integer literal against a STRING column would be wrong: Spark
+    * casts the column, so `p = 3` matches a row with p = '03' — which
+    * hashes to a different bucket than '3'.) Anything else declines with
+    * None — never a wrong skip. Multiple binding conjuncts intersect.
     */
-  private[table] def pointValues(expr: Expression,
-                                 colName: String): Option[Set[String]] = {
+  private[table] def pointValues(expr: Expression, colName: String,
+                                 colType: DataType): Option[Set[String]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    val integralCol = colType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     def render(l: Literal): Option[String] = l.value match {
       case null => None
       case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
-           _: java.lang.Long => Some(l.value.toString)
-      case s if l.dataType == StringType => Some(s.toString)
+           _: java.lang.Long if integralCol => Some(l.value.toString)
+      case s if l.dataType == StringType && colType == StringType =>
+        Some(s.toString)
       case _ => None
     }
     def bind(e: Expression): Option[Set[String]] = e match {

@@ -285,21 +285,25 @@ final class SnapshotTable(val root: Path) {
     val transforms = partitionTransforms(m)
     // bucket-transform pruning: a point predicate on the SOURCE column
     // hashes to exactly one bucket value, so a file whose bucket
-    // partition value differs can't hold a matching row. Non-integer or
+    // partition value differs can't hold a matching row. The matching
+    // bucket set per transform is computed ONCE (an expression walk per
+    // file would be O(files × predicate)); non-integral columns or
     // unparsable literals decline conservatively.
-    def bucketOk(f: FileEntry): Boolean = transforms.forall {
+    val bucketHits: Seq[(String, Option[Set[Int]])] = transforms.collect {
       case (pcol, BucketT(n, src)) =>
-        (for {
-          pv <- f.partition.collectFirst {
-            case (k, v) if k.equalsIgnoreCase(pcol) &&
-              !StatsPruning.isNullPartitionValue(v) => v
-          }
-          b <- pv.toIntOption
-          vs <- StatsPruning.pointValues(expr, src)
+        pcol -> (for {
+          dt <- types(src)
+          vs <- StatsPruning.pointValues(expr, src, dt)
           longs = vs.flatMap(_.toLongOption)
           if longs.size == vs.size // every literal must be integral
-        } yield longs.exists(v => graft.functions.Bucket.bucket(v, n) == b))
-          .getOrElse(true)
+        } yield longs.map(v => graft.functions.Bucket.bucket(v, n)))
+    }
+    def bucketOk(f: FileEntry): Boolean = bucketHits.forall {
+      case (pcol, Some(hits)) =>
+        f.partition.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(pcol) &&
+            !StatsPruning.isNullPartitionValue(v) => v
+        }.flatMap(_.toIntOption).forall(hits.contains)
       case _ => true
     }
     def fileOk(f: FileEntry) =
@@ -320,10 +324,12 @@ final class SnapshotTable(val root: Path) {
         val pcolsSorted = m.partitionColumns.sorted
         val pointBuckets: Option[Set[Int]] =
           if (m.partitionColumns.size != 1) None
-          else StatsPruning.pointValues(expr, m.partitionColumns.head)
-            .map(_.map(v => ManifestJson.bucketOfKey(
-              ManifestJson.partitionKey(Map(m.partitionColumns.head -> v)),
-              fl.nBuckets)))
+          else for {
+            dt <- types(m.partitionColumns.head)
+            vs <- StatsPruning.pointValues(expr, m.partitionColumns.head, dt)
+          } yield vs.map(v => ManifestJson.bucketOfKey(
+            ManifestJson.partitionKey(Map(m.partitionColumns.head -> v)),
+            fl.nBuckets))
         val live = fl.chunks.filter { c =>
           val bucketAlive = pointBuckets match {
             case Some(bs) if c.specs.forall(_ == pcolsSorted) =>

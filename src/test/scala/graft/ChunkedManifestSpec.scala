@@ -202,6 +202,31 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(viaDf.map(_.getAs[Long]("record_count")).sum == 500L)
   }
 
+  test("bucket skip declines on type-mismatched literals (p='03' vs p=3)") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    // STRING partition values including both "3" and "03": Spark's cast
+    // semantics make `p = 3` match BOTH — an int-literal bucket skip
+    // would wrongly drop the "03" document
+    val df = (1 to 620).map { i =>
+      val p = if (i % 31 == 30) "03" else (i % 31).toString
+      (i.toLong, p)
+    }.toDF("id", "p")
+    tbl.createOrReplace(df, Seq("p"))
+    assert(tbl.currentManifest.files.asInstanceOf[FileList].chunks.nonEmpty)
+    // int literal vs string column: cast semantics — skip must decline
+    assert(tbl.readWhere(spark, col("p") === 3).count() ==
+      tbl.read(spark).filter(col("p") === 3).count())
+    assert(tbl.read(spark).filter(col("p") === 3).count() == 40,
+      "sanity: '3' and '03' both cast-match 3")
+    // string literal vs string column: exact — skip engages and stays
+    // correct ('03' is NOT string-equal to '3')
+    val (kept, total) = tbl.pruneCounts(col("p") === "3")
+    assert(kept <= total / 2, s"string point lookup must skip docs ($kept/$total)")
+    assert(tbl.readWhere(spark, col("p") === "3").count() ==
+      tbl.read(spark).filter(col("p") === "3").count())
+  }
+
   test("chunked rollups prune on data-column bounds, not just partitions") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
