@@ -38,7 +38,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.Registry", name), builder))
     }
     ext.injectResolutionRule(GraftPathRelations)
+    // CTAS must be claimed BEFORE the Resolution batch:
+    // ResolveSessionCatalog converts CreateTableAsSelect into a session-
+    // catalog V1 command ahead of any injected resolution rule; the
+    // hint-resolution slot runs in the earlier Hints batch, where the
+    // statement still carries its unresolved graft identifier.
+    ext.injectHintResolutionRule(GraftCtas)
   }
+}
+
+/** Early (hints-batch) claim of CREATE [OR REPLACE] TABLE graft.`/path`
+  * ... AS SELECT — see [[GraftSqlDml.rewriteCtas]].
+  */
+case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftSqlDml.rewriteCtas(session, plan).getOrElse(plan)
 }
 
 /** Analyzer rule: `graft`.`<path>` → the table's read plan. Matches only
@@ -219,6 +233,78 @@ private[graft] object GraftSqlDml {
         "op='U' UPDATE SET * / NOT MATCHED INSERT *) or the op-less " +
         "upsert (MATCHED UPDATE SET * / NOT MATCHED INSERT *), " +
         "UPDATE ... SET ... WHERE, DELETE FROM ... WHERE")
+
+  /** A CTAS target `graft.</path>`: claimed only when the second part
+    * looks like a filesystem path (contains '/') — the table does not
+    * exist yet, so the read rule's exists-check can't disambiguate a
+    * genuine catalog database named `graft`.
+    */
+  private def graftPathIdent(name: LogicalPlan): Option[String] = name match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if u.nameParts.length == 2 &&
+          u.nameParts.head.equalsIgnoreCase("graft") &&
+          u.nameParts(1).contains("/") =>
+      Some(u.nameParts(1))
+    // ResolveCatalogs may have claimed the identifier for the session
+    // catalog before this rule runs in the fixpoint — the path shape is
+    // still unmistakably ours
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
+        if r.identifier.namespace.toSeq == Seq("graft") &&
+          r.identifier.name.contains("/") =>
+      Some(r.identifier.name)
+    case _ => None
+  }
+
+  private def runCtas(session: SparkSession, tbl: SnapshotTable,
+                      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                      tableSpec: Any, query: LogicalPlan): Unit = {
+    val pcols = partitioning.map { t =>
+      val ok = t.name == "identity" && t.arguments.length == 1
+      val field = if (ok) t.arguments.head match {
+        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+          nr.fieldNames match { case Array(one) => Some(one); case _ => None }
+        case _ => None
+      } else None
+      field.getOrElse(unsupported(s"partition transform $t (identity " +
+        "columns only; record bucket()/days() derivations of a " +
+        "materialized column via graft.transform.* TBLPROPERTIES)"))
+    }
+    val props = tableSpec match {
+      case u: UnresolvedTableSpec => u.properties
+      case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties
+      case _ => Map.empty[String, String]
+    }
+    tbl.createOrReplace(GraftBridge.ofRows(session, query), pcols, props)
+  }
+
+  /** CTAS claims, run from the HINTS batch (before ResolveSessionCatalog
+    * can turn the statement into a session-catalog V1 command).
+    */
+  def rewriteCtas(session: SparkSession,
+                  plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case c: CreateTableAsSelect =>
+        graftPathIdent(c.name).map { path =>
+          val tbl = SnapshotTable.at(path)
+          if (tbl.exists) {
+            if (!c.ignoreIfExists)
+              throw new UnsupportedOperationException(
+                s"graft table $path already exists — use CREATE OR REPLACE")
+            // IF NOT EXISTS on an existing table: no-op, per SQL
+          } else runCtas(session, tbl, c.partitioning, c.tableSpec, c.query)
+          empty
+        }
+      case r: ReplaceTableAsSelect =>
+        graftPathIdent(r.name).map { path =>
+          val tbl = SnapshotTable.at(path)
+          if (!tbl.exists && !r.orCreate)
+            throw new UnsupportedOperationException(
+              s"graft table $path does not exist — use CREATE OR REPLACE")
+          runCtas(session, tbl, r.partitioning, r.tableSpec, r.query)
+          empty
+        }
+      case _ => None
+    }
 
   def rewrite(session: SparkSession, plan: LogicalPlan,
               target: LogicalPlan => Option[SnapshotTable]): Option[LogicalPlan] =

@@ -146,6 +146,30 @@ class GraftExtensionsSpec extends SparkSpec {
              |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
       }
       assert(e3.getMessage.contains("unsupported MERGE"))
+
+      // CTAS: the full SQL lifecycle — create partitioned with recorded
+      // transform properties, read back, guard double-create, replace
+      val root2 = Files.createTempDirectory("graft-ctas-").toString + "/t"
+      s2.sql(
+        s"""CREATE TABLE graft.`$root2` PARTITIONED BY (pb)
+           |TBLPROPERTIES ('graft.transform.pb' = 'bucket(4,id)')
+           |AS SELECT id, s, graft_bucket(id, 4) AS pb FROM graft.`$root`""".stripMargin)
+      val ctasTbl = SnapshotTable.at(root2)
+      assert(ctasTbl.currentManifest.partitionColumns == Seq("pb"))
+      assert(ctasTbl.currentManifest.properties
+        .get("graft.transform.pb").contains("bucket(4,id)"))
+      assert(s2.sql(s"SELECT count(*) AS c FROM graft.`$root2`").head.getLong(0) ==
+        s2.sql(s"SELECT count(*) AS c FROM graft.`$root`").head.getLong(0))
+      val e4 = intercept[Exception] {
+        s2.sql(s"CREATE TABLE graft.`$root2` AS SELECT 1 AS one")
+      }
+      assert(e4.getMessage.contains("already exists"))
+      s2.sql(s"CREATE TABLE IF NOT EXISTS graft.`$root2` AS SELECT 1 AS one")
+      assert(ctasTbl.currentVersion == 1L, "IF NOT EXISTS must be a no-op")
+      s2.sql(s"CREATE OR REPLACE TABLE graft.`$root2` AS " +
+        s"SELECT id FROM graft.`$root` WHERE id <= 5")
+      assert(s2.sql(s"SELECT count(*) AS c FROM graft.`$root2`")
+        .head.getLong(0) == 5)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
