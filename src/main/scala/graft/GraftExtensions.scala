@@ -368,7 +368,11 @@ private[graft] object GraftSqlDml {
       } else unsupported("MERGE clause shape")
     val mor = tbl.exists && tbl.currentManifest.properties
       .get("graft.physical-write-mode").contains("merge-on-read")
-    if (mor) tbl.mergeMoR(session, changes, keys, keepDeletes = false)
-    else tbl.merge(session, changes, keys, keepDeletes = false)
+    // MERGE ... WITH SCHEMA EVOLUTION maps onto the engine's add-column
+    // evolution (metadata-only for carried files)
+    if (mor) tbl.mergeMoR(session, changes, keys, keepDeletes = false,
+      evolveSchema = m.withSchemaEvolution)
+    else tbl.merge(session, changes, keys, keepDeletes = false,
+      evolveSchema = m.withSchemaEvolution)
   }
 }

@@ -147,6 +147,19 @@ class GraftExtensionsSpec extends SparkSpec {
       }
       assert(e3.getMessage.contains("unsupported MERGE"))
 
+      // WITH SCHEMA EVOLUTION maps to the engine's add-column evolution
+      s2Seq(Seq((50L, "S50", 4.0, "extra"))).toDF("id", "s", "v", "note")
+        .createOrReplaceTempView("evo")
+      s2.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$root` t
+           |USING evo s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val evoRows = s2.sql(s"SELECT id, note FROM graft.`$root`").collect()
+      assert(evoRows.exists(r => r.getLong(0) == 50L && r.getString(1) == "extra"))
+      assert(evoRows.count(_.isNullAt(1)) == evoRows.length - 1,
+        "pre-evolution rows null-fill the added column")
+
       // CTAS: the full SQL lifecycle — create partitioned with recorded
       // transform properties, read back, guard double-create, replace
       val root2 = Files.createTempDirectory("graft-ctas-").toString + "/t"
