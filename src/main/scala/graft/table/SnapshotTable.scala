@@ -2254,6 +2254,11 @@ private[graft] object JsonLite {
       i += 1
       sb.toString
     }
+    // CAUTION: every number parses as Double, so integer fields round-trip
+    // exactly only below 2^53. Fine for everything stored today (versions,
+    // seqs, row counts, bucket ids — all far below), but a future field
+    // holding e.g. timestamp NANOS (~4.7e18) would silently lose precision:
+    // store such values as strings, or add an integral fast path here.
     private def numValue(): Double = {
       val start = i
       while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1

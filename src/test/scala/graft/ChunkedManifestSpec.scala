@@ -189,6 +189,44 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
       s"incremental read parsed $incParses docs of $nDocs + shared")
   }
 
+  test("partition-spec evolution on a CHUNKED table keeps merges bounded") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    val df0 = (1 to 1000).map(i =>
+      (i.toLong, i.toLong % 64, i.toLong % 16, 1.0))
+      .toDF("id", "p", "q", "v")
+    tbl.createOrReplace(df0, Seq("p"))
+    assert(tbl.currentManifest.files.asInstanceOf[FileList].chunks.nonEmpty)
+    val legacyPaths = tbl.currentManifest.files.map(_.path).toSet
+
+    // metadata-only spec switch, then a merge touching ONE new-spec value
+    tbl.evolvePartitioning(spark, Seq("q"))
+    val changes = df0.filter(col("q") === 3)
+      .withColumn("v", lit(2.0)).withColumn("op", lit("U"))
+    tbl.merge(spark, changes, Seq("id"), keepDeletes = false)
+    val m = tbl.currentManifest
+    // the touched keys live in 4 legacy partitions (id%64 of ids ≡3 mod
+    // 16) — only those migrate; the other 60 legacy partitions carry
+    val carried = m.files.filter(f => legacyPaths(f.path))
+    val migrated = m.files.filterNot(f => legacyPaths(f.path))
+    assert(carried.forall(_.partition.keySet == Set("p")))
+    assert(carried.map(_.partition("p")).toSet.size == 60,
+      s"60 legacy partitions must carry, got ${carried.map(_.partition("p")).toSet.size}")
+    assert(migrated.nonEmpty && migrated.forall(_.partition.keySet == Set("q")),
+      "rewritten files land under the NEW spec")
+    // correctness across the mixed-spec chunked manifest
+    val out = tbl.read(spark)
+    assert(out.count() == 1000)
+    assert(out.filter(col("q") === 3 && col("v") === 2.0).count() ==
+      out.filter(col("q") === 3).count())
+    assert(out.filter(col("q") =!= 3 && col("v") =!= 1.0).count() == 0)
+    // compaction migrates the remaining legacy groups, still chunk-aware
+    tbl.compact(spark)
+    val m2 = tbl.currentManifest
+    assert(m2.files.forall(_.partition.keySet == Set("q")))
+    assert(tbl.read(spark).count() == 1000)
+  }
+
   test("distributed .files metadata scan matches the manifest") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
