@@ -155,11 +155,59 @@ case class GraftPathRelations(session: SparkSession)
         }
       case _ =>
     }
-    plan.transformUp {
+    plan.transformDown {
+      // SELECT ... WHERE over a graft table prunes AT THE MANIFEST: the
+      // Filter directly above the relation resolves through the pruned
+      // scan (files whose bounds exclude the predicate are never listed),
+      // with the Filter itself kept on top for exact row-level semantics
+      // — selection is conservative, so this is purely an IO cut.
+      // transformDown so the Filter is seen before its child relation.
+      case f: Filter =>
+        f.child match {
+          case u: UnresolvedRelation
+              if isGraft(u) && SnapshotTable.at(u.multipartIdentifier(1)).exists =>
+            f.copy(child =
+              prunedRead(u.multipartIdentifier(1), f.condition, None))
+          case sa: SubqueryAlias =>
+            sa.child match {
+              case u: UnresolvedRelation
+                  if isGraft(u) &&
+                    SnapshotTable.at(u.multipartIdentifier(1)).exists =>
+                f.copy(child = sa.copy(child =
+                  prunedRead(u.multipartIdentifier(1), f.condition,
+                    Some(sa.alias))))
+              case _ => f
+            }
+          case _ => f
+        }
       case u: UnresolvedRelation if isGraft(u) =>
         resolve(u.multipartIdentifier(1))
           .map(_.queryExecution.analyzed).getOrElse(u)
     }
+  }
+
+  /** Pruned resolution of a filtered read. Column references the bounds
+    * analysis may act on must be PROVABLY the relation's own: an
+    * unqualified name resolves to the inner relation first, and a
+    * qualifier must equal the relation's alias. Anything else — a
+    * correlated outer reference whose name collides with one of our
+    * columns would otherwise prune our files on the OUTER table's
+    * predicate — is wrapped opaque, so the stats walk treats it as
+    * unprunable. The kept Filter enforces exact semantics either way.
+    */
+  private def prunedRead(ident: String, cond: Expression,
+                         alias: Option[String]): LogicalPlan = {
+    // transformUp: the wrapper's child is the attribute itself, and a
+    // top-down transform would re-match it inside the wrapper forever
+    val safe = cond.transformUp {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length > 1 &&
+            !alias.exists(a => ua.nameParts.init == Seq(a)) =>
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(ua))
+    }
+    SnapshotTable.at(ident)
+      .readPruned(session, GraftBridge.column(safe))
+      .queryExecution.analyzed
   }
 }
 

@@ -268,9 +268,16 @@ final class SnapshotTable(val root: Path) {
     * re-applied row-level, so pruning is purely an IO optimization;
     * anything the bounds analysis doesn't understand scans normally.
     */
-  def readWhere(spark: SparkSession, cond: Column): DataFrame = {
+  def readWhere(spark: SparkSession, cond: Column): DataFrame =
+    readPruned(spark, cond).filter(cond)
+
+  /** The pruned scan WITHOUT the row-level re-filter — for callers that
+    * keep their own Filter on top (the SQL relation rule): selection is
+    * conservative, so correctness needs exactly one of the two filters.
+    */
+  private[graft] def readPruned(spark: SparkSession, cond: Column): DataFrame = {
     val m = currentManifest
-    readManifest(spark, m.copy(files = selectFiles(m, cond))).filter(cond)
+    readManifest(spark, m.copy(files = selectFiles(m, cond)))
   }
 
   /** Files of `m` that may satisfy `cond` (exposed for tests/inspection).
@@ -324,12 +331,23 @@ final class SnapshotTable(val root: Path) {
         val pcolsSorted = m.partitionColumns.sorted
         val pointBuckets: Option[Set[Int]] =
           if (m.partitionColumns.size != 1) None
-          else for {
-            dt <- types(m.partitionColumns.head)
-            vs <- StatsPruning.pointValues(expr, m.partitionColumns.head, dt)
-          } yield vs.map(v => ManifestJson.bucketOfKey(
-            ManifestJson.partitionKey(Map(m.partitionColumns.head -> v)),
-            fl.nBuckets))
+          else {
+            val pcol = m.partitionColumns.head
+            val direct = for {
+              dt <- types(pcol)
+              vs <- StatsPruning.pointValues(expr, pcol, dt)
+            } yield vs
+            // a bucket-TRANSFORM partition column reaches the same skip
+            // through the raw key: id = 42 pins pb = bucket(42, n), and
+            // that partition value pins its hash bucket's documents
+            val viaTransform = bucketHits.collectFirst {
+              case (p, Some(hits)) if p.equalsIgnoreCase(pcol) =>
+                hits.map(_.toString)
+            }
+            direct.orElse(viaTransform).map(_.map(v =>
+              ManifestJson.bucketOfKey(
+                ManifestJson.partitionKey(Map(pcol -> v)), fl.nBuckets)))
+          }
         val live = fl.chunks.filter { c =>
           val bucketAlive = pointBuckets match {
             case Some(bs) if c.specs.forall(_ == pcolsSorted) =>

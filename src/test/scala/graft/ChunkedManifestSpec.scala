@@ -227,6 +227,41 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(tbl.read(spark).count() == 1000)
   }
 
+  test("SQL WHERE reads prune at the manifest — and never mis-prune") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    tbl.createOrReplace(df(1000, 7.0), Seq("p"))
+    val root = tbl.root.toString
+    val nDocs = tbl.currentManifest.files.asInstanceOf[FileList].chunks.size
+
+    // unqualified point predicate: whole documents skipped
+    val (c1, p1) = parses(
+      spark.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE p = 3")
+        .head.getLong(0))
+    assert(c1 == tbl.read(spark).filter(col("p") === 3).count())
+    assert(p1 <= 2, s"SQL point lookup parsed $p1 of $nDocs docs")
+
+    // alias-qualified predicate prunes the same way
+    val (c2, p2) = parses(
+      spark.sql(s"SELECT count(*) AS c FROM graft.`$root` g WHERE g.p = 3")
+        .head.getLong(0))
+    assert(c2 == c1)
+    assert(p2 <= 2, s"aliased SQL point lookup parsed $p2 docs")
+
+    // SAFETY: a correlated outer reference whose name collides with one
+    // of our columns must NOT prune our files on the outer predicate.
+    // Every outer row has v = 999.0; our table's v is never 999 — a
+    // naive prune on 'o.v = 999' would keep zero files and return 0.
+    spark.range(1, 11).toDF("id").withColumn("v", lit(999.0))
+      .createOrReplaceTempView("outer_side")
+    val n = spark.sql(
+      s"""SELECT count(*) AS c FROM outer_side o
+         |WHERE EXISTS (SELECT 1 FROM graft.`$root` g
+         |              WHERE g.id = o.id AND o.v = 999.0)""".stripMargin)
+      .head.getLong(0)
+    assert(n == 10, s"outer-reference collision mis-pruned: got $n of 10")
+  }
+
   test("distributed .files metadata scan matches the manifest") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
@@ -263,6 +298,26 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(kept <= total / 2, s"string point lookup must skip docs ($kept/$total)")
     assert(tbl.readWhere(spark, col("p") === "3").count() ==
       tbl.read(spark).filter(col("p") === "3").count())
+  }
+
+  test("bucket-transform point lookups skip chunk DOCUMENTS via the key") {
+    import graft.functions.Bucket
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    // 32 bucket partitions over a 24-entry chunk threshold → chunked
+    val df = (1 to 640).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .withColumn("pb", expr("graft_bucket(id, 32)"))
+    tbl.createOrReplace(df, Seq("pb"),
+      properties = Map("graft.transform.pb" -> "bucket(32,id)"))
+    val fl = tbl.currentManifest.files.asInstanceOf[FileList]
+    assert(fl.chunks.nonEmpty)
+    // a raw-key point predicate pins pb = bucket(42, 32), which pins the
+    // chunk documents that partition's files can live in
+    val ((kept, total), selParses) = parses(tbl.pruneCounts(col("id") === 42L))
+    assert(kept == tbl.pruneCounts(col("pb") === Bucket.bucket(42L, 32))._1)
+    assert(selParses <= 2,
+      s"key point lookup parsed $selParses of ${fl.chunks.size} docs")
+    assert(tbl.readWhere(spark, col("id") === 42L).count() == 1)
   }
 
   test("chunked rollups prune on data-column bounds, not just partitions") {
