@@ -233,18 +233,51 @@ case class GraftPathRelations(session: SparkSession)
   * A handled statement is replaced by an empty relation — executed
   * exactly once (the fixpoint's next pass sees the resolved
   * replacement).
+  *
+  * '''EXPLAIN executes DML.''' Because execution happens during ANALYSIS
+  * (the only injection slot without a DSv2 catalog to hang row-level
+  * plans on), `EXPLAIN MERGE/UPDATE/DELETE/CTAS` — or merely analyzing
+  * the statement without an action — PERFORMS the write. There is no
+  * reliable in-rule signal that analysis was triggered by an
+  * `ExplainCommand` (the command re-analyzes its stored plan through the
+  * ordinary entry point at run time). Dry-run a graft DML statement by
+  * reading the table instead; the same caveat is called out in
+  * README.md's SQL section.
   */
 private[graft] object GraftSqlDml {
-  private def attrLast(e: Expression): Option[String] = e match {
-    case ua: UnresolvedAttribute => Some(ua.nameParts.last)
-    case _ => None
+  /** Alias names under which a statement's columns may legitimately be
+    * qualified: every `SubqueryAlias` wrapped around the relation.
+    */
+  private def aliasesOf(plan: LogicalPlan): Set[String] = plan match {
+    case sa: SubqueryAlias => aliasesOf(sa.child) + sa.alias
+    case _ => Set.empty
   }
+
+  /** Bind an attribute reference to a bare engine column name. A
+    * single-part name binds directly; a two-part name binds ONLY when its
+    * qualifier is one of the statement's declared aliases. Anything else
+    * — a nested struct field (`SET a.b = 1`) or a stray qualifier — must
+    * NOT fall through to the leaf name: it would silently update a
+    * top-level column that happens to share it (r4 ADVICE).
+    */
+  private def attrKey(e: Expression, quals: Set[String]): Option[String] =
+    e match {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+        Some(ua.nameParts.head)
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length == 2 &&
+            quals.exists(_.equalsIgnoreCase(ua.nameParts.head)) =>
+        Some(ua.nameParts.last)
+      case _ => None
+    }
 
   /** ON-condition → merge keys: every conjunct must be `t.k = s.k` with
     * the SAME column name both sides (the engine merges on shared
-    * natural-key columns).
+    * natural-key columns) and qualifiers, when present, drawn from the
+    * statement's target/source aliases.
     */
-  private def equiKeys(cond: Expression): Option[Seq[String]] = {
+  private def equiKeys(cond: Expression,
+                       quals: Set[String]): Option[Seq[String]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case o => Seq(o)
@@ -252,7 +285,7 @@ private[graft] object GraftSqlDml {
     val keys = conjuncts(cond).map {
       case EqualTo(a, b) =>
         for {
-          an <- attrLast(a); bn <- attrLast(b)
+          an <- attrKey(a, quals); bn <- attrKey(b, quals)
           if an.equalsIgnoreCase(bn)
         } yield an
       case _ => None
@@ -262,12 +295,13 @@ private[graft] object GraftSqlDml {
   }
 
   /** Is `c` the clause condition `op = '<v>'`? */
-  private def opEquals(c: Option[Expression], v: String): Boolean = c.exists {
+  private def opEquals(c: Option[Expression], v: String,
+                       quals: Set[String]): Boolean = c.exists {
     case EqualTo(a, Literal(s, StringType)) =>
-      attrLast(a).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
+      attrKey(a, quals).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
         s != null && s.toString == v
     case EqualTo(Literal(s, StringType), a) =>
-      attrLast(a).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
+      attrKey(a, quals).exists(_.equalsIgnoreCase(graft.core.MetaColumns.Op)) &&
         s != null && s.toString == v
     case _ => false
   }
@@ -361,8 +395,11 @@ private[graft] object GraftSqlDml {
         target(m.targetTable).map { tbl => runMerge(session, tbl, m); empty }
       case u: UpdateTable =>
         target(u.table).map { tbl =>
+          val quals = aliasesOf(u.table)
           val assigns = u.assignments.map { a =>
-            val k = attrLast(a.key).getOrElse(unsupported("UPDATE assignment key"))
+            val k = attrKey(a.key, quals).getOrElse(unsupported(
+              "UPDATE assignment key (a qualified key must use the " +
+                "target's alias; nested struct fields are not updatable)"))
             k -> GraftBridge.column(a.value)
           }
           val cond = u.condition.map(GraftBridge.column).getOrElse(lit(true))
@@ -379,18 +416,20 @@ private[graft] object GraftSqlDml {
 
   private def runMerge(session: SparkSession, tbl: SnapshotTable,
                        m: MergeIntoTable): Unit = {
-    val keys = equiKeys(m.mergeCondition)
-      .getOrElse(unsupported("MERGE ON condition (need t.k = s.k [AND ...])"))
+    val quals = aliasesOf(m.targetTable) ++ aliasesOf(m.sourceTable)
+    val keys = equiKeys(m.mergeCondition, quals)
+      .getOrElse(unsupported("MERGE ON condition (need t.k = s.k [AND ...] " +
+        "with qualifiers drawn from the statement's aliases)"))
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("MERGE WHEN NOT MATCHED BY SOURCE")
     val source = GraftBridge.ofRows(session, m.sourceTable)
     val referenceShape =
       m.matchedActions.size == 2 && m.notMatchedActions.size == 1 &&
         m.matchedActions.exists {
-          case d: DeleteAction => opEquals(d.condition, "D"); case _ => false
+          case d: DeleteAction => opEquals(d.condition, "D", quals); case _ => false
         } &&
         m.matchedActions.exists {
-          case u: UpdateStarAction => opEquals(u.condition, "U"); case _ => false
+          case u: UpdateStarAction => opEquals(u.condition, "U", quals); case _ => false
         } &&
         (m.notMatchedActions.head match {
           case i: InsertStarAction => i.condition.isEmpty; case _ => false

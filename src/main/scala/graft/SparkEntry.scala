@@ -657,7 +657,6 @@ object SparkEntry {
       // min(struct) aggregate — partial-agg friendly, NO window (a
       // window would shuffle-sort every (doc,term) row by doc).
       val docs = t(s, d, "documents")
-      val nDocs = docs.count() // one scalar agg job; corpus size for IDF
       val tf = docs
         .select(col("doc_id"),
           explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -669,6 +668,10 @@ object SparkEntry {
         // (cleared per query by Verify/Bench; at extreme scale persist
         // to disk instead of memory)
         .cache()
+      // corpus N for IDF = documents contributing at least one term,
+      // derived from the cached tf aggregate — no separate corpus pass
+      // (a term-less doc has no tf row and no output row either way)
+      val nDocs = tf.agg(countDistinct(col("doc_id"))).head.getLong(0)
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(dfreq, "term")
         .withColumn("s",
@@ -1306,7 +1309,7 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
         |  WHERE length(term) > 0 GROUP BY doc_id, term),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |n AS (SELECT count(*) AS n FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
         |scored AS (SELECT doc_id, term,
         |    tf * ln((n.n + 1.0) / (df + 1.0)) AS s
         |  FROM tf JOIN df USING (term), n),

@@ -183,9 +183,10 @@ object StatsPruning {
 
   /** Bounds a `days()` partition value implies for its SOURCE column: the
     * day `s` (a `yyyy-MM-dd` partition-path value) covers
-    * `[day start, next day start)` in the source's domain. UTC day
-    * boundaries — the sessions this engine ships pin UTC, and a
-    * `days()`-derived partition column is only recorded for them.
+    * `[day start, next day start)` in the source's domain. Timestamp day
+    * boundaries are computed in the SESSION timezone (matching how the
+    * derived day column was computed); the sessions this engine ships pin
+    * UTC, so in practice these are UTC days.
     */
   def dayRange(srcType: DataType, s: String): Option[(Bound, Bound)] =
     try {

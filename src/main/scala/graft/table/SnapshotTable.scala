@@ -186,6 +186,7 @@ final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
   * (Iceberg-style optimistic retry) instead of aborting.
   */
 final class SnapshotTable(val root: Path) {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SnapshotTable])
   private def metaDir = root.resolve("meta")
   private def dataDir = root.resolve("data")
   private def pointer = metaDir.resolve("_current")
@@ -956,50 +957,80 @@ final class SnapshotTable(val root: Path) {
             Some(base.select((keys ++ allP).distinct.map(col): _*)
               .join(changeKeys, keys, "left_semi").cache())
           }
-        val touchedBySpec: Map[Set[String], Set[Map[String, String]]] =
-          try specs.map { sp =>
-            val vals: Set[Map[String, String]] =
-              if (sp.isEmpty) Set(Map.empty[String, String]) // legacy
-              // unpartitioned files can hold any key → always touched
-              else {
-                val cp = toSet(sp)(
-                  cached.select(sp.map(c => col(c).cast("string")): _*)
-                    .distinct().collect())
-                val hp =
-                  if (partitionStableByKey && sp == currentSpec)
-                    Set.empty[Map[String, String]]
-                  else homeBase.fold(Set.empty[Map[String, String]])(df =>
-                    toSet(sp)(
-                      df.select(sp.map(c => col(c).cast("string")): _*)
-                        .distinct().collect()))
-                cp ++ hp
-              }
-            sp.toSet -> vals
-          }.toMap
-          finally homeBase.foreach(_.unpersist())
-        // maps from different specs have different key sets, so a flat
-        // union is unambiguous for membership tests (incl. commitData's
-        // rebase census)
-        val touched = touchedBySpec.values.flatten.toSet
-        // chunk-aware split: untouched chunk documents are carried by
-        // REFERENCE (never parsed); only the buckets the touched
-        // partitions hash to are read — merge planning is O(touched),
-        // not O(live files), on a chunked manifest
-        val (carriedChunks, looseCarried, touchedFiles) =
-          splitTouchedOf(m.files, touched)
-        val affectedTarget =
-          evolveT(readManifest(spark, m.copy(files = touchedFiles)))
-        val merged = Merge(affectedTarget, cached, keys, keepDeletes)
-        // pending MoR equality-deletes still mask rows of CARRIED files
-        // and must survive this commit (dropping them would resurrect
-        // superseded rows in untouched partitions). They cannot affect
-        // the rewritten files: those get seq = this commit's version,
-        // newer than every pending delete. The rewritten partitions'
-        // reads above already resolved the deletes.
-        commitData(merged, Some(m), pcols, m.properties, nowMs,
-          carryForward = looseCarried, carryChunks = carriedChunks,
-          carryDeletes = m.deleteFiles,
-          rebaseTouched = Some(touched))
+        // Driver-memory guard: the census COLLECTS distinct touched-
+        // partition values. Bounded by the change batch, but a
+        // pathological batch spanning more than MaxCensusPartitions
+        // partitions must become a PLAN CHOICE (unscoped full rewrite,
+        // below), never a driver OOM — collect at most cap+1 rows and
+        // treat overflow as "census unavailable".
+        def censusCollect(df: DataFrame)
+            : Option[Array[org.apache.spark.sql.Row]] = {
+          val cap = SnapshotTable.MaxCensusPartitions
+          val rows = df.limit(cap + 1).collect()
+          if (rows.length > cap) None else Some(rows)
+        }
+        val touchedBySpecOpt: Option[Map[Set[String], Set[Map[String, String]]]] =
+          try {
+            val perSpec = specs.map { sp =>
+              val vals: Option[Set[Map[String, String]]] =
+                if (sp.isEmpty) Some(Set(Map.empty[String, String])) // legacy
+                // unpartitioned files can hold any key → always touched
+                else {
+                  val cp = censusCollect(
+                    cached.select(sp.map(c => col(c).cast("string")): _*)
+                      .distinct()).map(toSet(sp))
+                  val hp =
+                    if (partitionStableByKey && sp == currentSpec)
+                      Some(Set.empty[Map[String, String]])
+                    else homeBase match {
+                      case None => Some(Set.empty[Map[String, String]])
+                      case Some(df) => censusCollect(
+                        df.select(sp.map(c => col(c).cast("string")): _*)
+                          .distinct()).map(toSet(sp))
+                    }
+                  for (c <- cp; h <- hp) yield c ++ h
+                }
+              sp.toSet -> vals
+            }
+            if (perSpec.exists(_._2.isEmpty)) None
+            else Some(perSpec.map { case (k, v) => k -> v.get }.toMap)
+          } finally homeBase.foreach(_.unpersist())
+        touchedBySpecOpt match {
+          case Some(touchedBySpec) =>
+            // maps from different specs have different key sets, so a flat
+            // union is unambiguous for membership tests (incl. commitData's
+            // rebase census)
+            val touched = touchedBySpec.values.flatten.toSet
+            // chunk-aware split: untouched chunk documents are carried by
+            // REFERENCE (never parsed); only the buckets the touched
+            // partitions hash to are read — merge planning is O(touched),
+            // not O(live files), on a chunked manifest
+            val (carriedChunks, looseCarried, touchedFiles) =
+              splitTouchedOf(m.files, touched)
+            val affectedTarget =
+              evolveT(readManifest(spark, m.copy(files = touchedFiles)))
+            val merged = Merge(affectedTarget, cached, keys, keepDeletes)
+            // pending MoR equality-deletes still mask rows of CARRIED files
+            // and must survive this commit (dropping them would resurrect
+            // superseded rows in untouched partitions). They cannot affect
+            // the rewritten files: those get seq = this commit's version,
+            // newer than every pending delete. The rewritten partitions'
+            // reads above already resolved the deletes.
+            commitData(merged, Some(m), pcols, m.properties, nowMs,
+              carryForward = looseCarried, carryChunks = carriedChunks,
+              carryDeletes = m.deleteFiles,
+              rebaseTouched = Some(touched))
+          case None =>
+            // LOUD fallback: the change batch touches more partitions than
+            // the census may collect — rewrite the whole table (the
+            // unpartitioned branch's shape). The full read materializes
+            // the delete-resolved view, so pending MoR deletes fold away.
+            log.warn(s"merge census overflow (> " +
+              s"${SnapshotTable.MaxCensusPartitions} touched partitions) " +
+              s"at $root — falling back to an unscoped full rewrite")
+            val merged = Merge(evolveT(read(spark)), cached, keys, keepDeletes)
+            commitData(merged, Some(m), pcols, m.properties, nowMs)
+        }
       } finally cached.unpersist()
     }
   }
@@ -1840,6 +1871,14 @@ final class SnapshotTable(val root: Path) {
 object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
 
+  /** Hard cap on touched-partition values the merge census may collect to
+    * the driver (comment-pinned; VERDICT r4 item 7). ~1M string maps is
+    * tens of MB of driver heap — beyond it the merge falls back LOUDLY to
+    * the unscoped full rewrite, a plan choice instead of a driver OOM.
+    * `var` only so tests can lower it to exercise the fallback path.
+    */
+  private[graft] var MaxCensusPartitions = 1000000
+
   // per-root publish locks: serialize same-JVM commit publication so two
   // threads can rebase against each other deterministically (a cluster
   // catalog would use a CAS on the pointer instead)
@@ -2003,6 +2042,12 @@ private[graft] object ManifestJson {
       val cp = p.resolveSibling(name)
       if (!Files.exists(cp))
         Files.write(cp, content.getBytes(StandardCharsets.UTF_8))
+      else
+        // re-enter removeOrphanFiles' age window: a reused document that
+        // had already aged into orphan-eligibility must not be swept out
+        // from under this in-flight commit
+        Files.setLastModifiedTime(cp, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis()))
       chunkRef(name, bucket, g, schema)
     }
   }

@@ -62,6 +62,49 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.read(spark, p => p("p") == "1").count() == 25)
   }
 
+  test("census overflow falls back loudly to an unscoped full rewrite") {
+    val tbl = freshTable()
+    val pcfg = cfg.copy(partitionColumns = Seq("p"))
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", col("id") % 8)
+    Ingestion.run(spark, tbl, withP(batch(1 to 100, t0, 1.0)), pcfg, t0)
+    // the change batch touches 5 partitions > the (lowered) 4-value cap:
+    // the census must refuse to collect and the merge must degrade to a
+    // FULL rewrite — a plan choice, not a driver OOM. The scoped path
+    // would have carried partitions 5..7; fallback rewrites them too.
+    val prev = SnapshotTable.MaxCensusPartitions
+    SnapshotTable.MaxCensusPartitions = 4
+    try {
+      val changes = withP(batch(1 to 100, t1, 2.0)).filter(col("p") < 5)
+      Ingestion.run(spark, tbl, changes,
+        pcfg.copy(mode = IngestMode.Incremental), t1)
+    } finally SnapshotTable.MaxCensusPartitions = prev
+    val m2 = tbl.currentManifest
+    assert(m2.files.forall(_.path.startsWith("data/v2/")),
+      s"fallback must rewrite everything: ${m2.files.map(_.path)}")
+    val out = tbl.read(spark)
+    assert(out.count() == 100)
+    assert(out.filter(col("p") < 5).filter(col("v") =!= 2.0).count() == 0)
+    assert(out.filter(col("p") >= 5).filter(col("v") =!= 1.0).count() == 0)
+  }
+
+  test("qualified DML keys bind only through the statement's aliases") {
+    // r4 ADVICE: `SET x.v = ...` with a stray qualifier must fail loudly,
+    // never silently update the same-named top-level column
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    val p = tbl.root.toString
+    // target-alias-qualified assignment works
+    spark.sql(s"UPDATE graft.`$p` AS t SET t.v = 9.0 WHERE id <= 3")
+    assert(tbl.read(spark).filter(col("v") === 9.0).count() == 3)
+    // stray qualifier: loud refusal, no write
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE graft.`$p` AS t SET x.v = 7.0")
+    }
+    assert(e.getMessage.contains("assignment key"))
+    assert(tbl.read(spark).filter(col("v") === 7.0).count() == 0)
+  }
+
   test("compaction bin-packs to one file and preserves contents") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl,
