@@ -29,7 +29,12 @@ import graft.table.SnapshotTable
   *     turns them into snapshot-table reads (sequence-resolved under
   *     pending MoR deletes, superset-schema after evolution) so plain
   *     `spark.sql` can query engine tables without touching the Scala
-  *     API.
+  *     API;
+  *   - NAMED `catalog.db.table` identifiers for the same full surface
+  *     (SELECT/CTAS/MERGE/UPDATE/DELETE/INSERT + @ suffixes) when a
+  *     [[graft.catalog.GraftCatalog]] is registered
+  *     (`spark.sql.catalog.<name>` + `.warehouse`) — the reference's
+  *     Glue-style `database.table` addressing.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -78,18 +83,18 @@ case class GraftPathRelations(session: SparkSession)
 
   private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files)$".r
 
-  private def isGraft(u: UnresolvedRelation): Boolean =
-    u.multipartIdentifier.length == 2 &&
-      u.multipartIdentifier.head.equalsIgnoreCase("graft")
-
-  /** Does the identifier (with or without an @ suffix) name a committed
-    * graft table?
+  /** Candidate table paths for a relation identifier: the ``graft.`/p` ``
+    * literal and/or a registered [[graft.catalog.GraftCatalog]]'s
+    * warehouse mapping of `cat.db.table` ([[GraftCatalog.pathCandidates]]).
     */
-  private def existsFor(ident: String): Boolean =
-    SnapshotTable.at(ident).exists || (ident match {
-      case Suffixed(p, _) => SnapshotTable.at(p).exists
-      case _ => false
-    })
+  private def cands(u: UnresolvedRelation): Seq[String] =
+    graft.catalog.GraftCatalog.pathCandidates(session, u.multipartIdentifier)
+
+  /** The first candidate naming a committed CURRENT table (no suffix) —
+    * the shape pruned reads and DML may target.
+    */
+  private def existingPath(u: UnresolvedRelation): Option[String] =
+    cands(u).find(c => SnapshotTable.at(c).exists)
 
   private def resolve(ident: String) = {
     val (path, suffix) = ident match {
@@ -107,23 +112,32 @@ case class GraftPathRelations(session: SparkSession)
     })
   }
 
+  /** Resolve a relation through its first live candidate (current table
+    * or recognized @ suffix).
+    */
+  private def resolveAny(u: UnresolvedRelation) =
+    cands(u).iterator.map(resolve).collectFirst { case Some(df) => df }
+
   /** The snapshot table a DML statement targets, when it is a plain
-    * (unsuffixed) graft path identifier; a time-travel/metadata suffix on
-    * a WRITE target is rejected loudly.
+    * (unsuffixed) graft identifier; a time-travel/metadata suffix on a
+    * WRITE target is rejected loudly.
     */
   private def dmlTarget(table: LogicalPlan): Option[SnapshotTable] =
     table match {
       case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) =>
         dmlTarget(child)
-      case u: UnresolvedRelation if isGraft(u) =>
-        val ident = u.multipartIdentifier(1)
-        if (SnapshotTable.at(ident).exists) Some(SnapshotTable.at(ident))
-        else ident match {
-          case Suffixed(p, s) if SnapshotTable.at(p).exists =>
-            throw new UnsupportedOperationException(
-              s"cannot write through the @$s relation — DML targets the " +
-                "current snapshot only")
-          case _ => None
+      case u: UnresolvedRelation =>
+        existingPath(u) match {
+          case Some(p) => Some(SnapshotTable.at(p))
+          case None =>
+            cands(u).foreach {
+              case Suffixed(p, s) if SnapshotTable.at(p).exists =>
+                throw new UnsupportedOperationException(
+                  s"cannot write through the @$s relation — DML targets " +
+                    "the current snapshot only")
+              case _ =>
+            }
+            None
         }
       case _ => None
     }
@@ -138,23 +152,6 @@ case class GraftPathRelations(session: SparkSession)
       case Some(replaced) => return replaced
       case None =>
     }
-    // a DML TARGET must not silently become an analyzed read plan (the
-    // rewrite would surface as a confusing downstream analyzer error):
-    // fail loudly with the supported alternative instead. Relations in
-    // the INSERT's source query are genuine read positions and resolve
-    // normally below.
-    plan.foreach {
-      case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
-        ins.table match {
-          case u: UnresolvedRelation
-              if isGraft(u) && existsFor(u.multipartIdentifier(1)) =>
-            throw new UnsupportedOperationException(
-              "INSERT INTO a graft table is not supported from SQL; " +
-                "write through SnapshotTable.merge/mergeMoR or MERGE INTO")
-          case _ =>
-        }
-      case _ =>
-    }
     plan.transformDown {
       // SELECT ... WHERE over a graft table prunes AT THE MANIFEST: the
       // Filter directly above the relation resolves through the pruned
@@ -164,25 +161,21 @@ case class GraftPathRelations(session: SparkSession)
       // transformDown so the Filter is seen before its child relation.
       case f: Filter =>
         f.child match {
-          case u: UnresolvedRelation
-              if isGraft(u) && SnapshotTable.at(u.multipartIdentifier(1)).exists =>
-            f.copy(child =
-              prunedRead(u.multipartIdentifier(1), f.condition, None))
+          case u: UnresolvedRelation =>
+            existingPath(u).map(p =>
+              f.copy(child = prunedRead(p, f.condition, None))).getOrElse(f)
           case sa: SubqueryAlias =>
             sa.child match {
-              case u: UnresolvedRelation
-                  if isGraft(u) &&
-                    SnapshotTable.at(u.multipartIdentifier(1)).exists =>
-                f.copy(child = sa.copy(child =
-                  prunedRead(u.multipartIdentifier(1), f.condition,
-                    Some(sa.alias))))
+              case u: UnresolvedRelation =>
+                existingPath(u).map(p =>
+                  f.copy(child = sa.copy(child =
+                    prunedRead(p, f.condition, Some(sa.alias))))).getOrElse(f)
               case _ => f
             }
           case _ => f
         }
-      case u: UnresolvedRelation if isGraft(u) =>
-        resolve(u.multipartIdentifier(1))
-          .map(_.queryExecution.analyzed).getOrElse(u)
+      case u: UnresolvedRelation if cands(u).nonEmpty =>
+        resolveAny(u).map(_.queryExecution.analyzed).getOrElse(u)
     }
   }
 
@@ -314,26 +307,85 @@ private[graft] object GraftSqlDml {
         "the reference clauses (MATCHED AND op='D' DELETE / MATCHED AND " +
         "op='U' UPDATE SET * / NOT MATCHED INSERT *) or the op-less " +
         "upsert (MATCHED UPDATE SET * / NOT MATCHED INSERT *), " +
-        "UPDATE ... SET ... WHERE, DELETE FROM ... WHERE")
+        "UPDATE ... SET ... WHERE, DELETE FROM ... WHERE, " +
+        "INSERT INTO/OVERWRITE [BY NAME | (cols)]")
 
-  /** A CTAS target `graft.</path>`: claimed only when the second part
-    * looks like a filesystem path (contains '/') — the table does not
-    * exist yet, so the read rule's exists-check can't disambiguate a
-    * genuine catalog database named `graft`.
+  /** SQL `INSERT INTO` → append-only commit ([[SnapshotTable.append]]:
+    * nothing rewritten, all live files carried by reference);
+    * `INSERT OVERWRITE` → full replace under the current partition
+    * spec/properties. Column binding is strict-loud: a positional INSERT
+    * must match the table's arity; an explicit column list or BY NAME may
+    * omit columns (null-filled, standard SQL) but unknown names fail.
     */
-  private def graftPathIdent(name: LogicalPlan): Option[String] = name match {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-        if u.nameParts.length == 2 &&
-          u.nameParts.head.equalsIgnoreCase("graft") &&
-          u.nameParts(1).contains("/") =>
-      Some(u.nameParts(1))
-    // ResolveCatalogs may have claimed the identifier for the session
-    // catalog before this rule runs in the fixpoint — the path shape is
-    // still unmistakably ours
-    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier
-        if r.identifier.namespace.toSeq == Seq("graft") &&
-          r.identifier.name.contains("/") =>
-      Some(r.identifier.name)
+  private def runInsert(session: SparkSession, tbl: SnapshotTable,
+                        ins: InsertIntoStatement): Unit = {
+    if (ins.partitionSpec.nonEmpty)
+      unsupported("INSERT with a PARTITION clause (partition values ride " +
+        "in the rows)")
+    if (ins.ifPartitionNotExists) unsupported("INSERT ... IF NOT EXISTS")
+    val m = tbl.currentManifest
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val df = GraftBridge.ofRows(session, ins.query)
+    val named =
+      if (ins.userSpecifiedCols.nonEmpty) {
+        if (ins.userSpecifiedCols.length != df.columns.length)
+          unsupported(s"INSERT column list arity " +
+            s"(${ins.userSpecifiedCols.length} columns for " +
+            s"${df.columns.length} query outputs)")
+        val unknown = ins.userSpecifiedCols
+          .filterNot(c => schema.exists(_.name.equalsIgnoreCase(c)))
+        if (unknown.nonEmpty)
+          unsupported(s"INSERT columns not in the table schema: " +
+            unknown.mkString(", "))
+        df.toDF(ins.userSpecifiedCols: _*)
+      } else if (ins.byName) {
+        val unknown = df.columns
+          .filterNot(c => schema.exists(_.name.equalsIgnoreCase(c)))
+        if (unknown.nonEmpty)
+          unsupported(s"INSERT BY NAME columns not in the table schema: " +
+            unknown.mkString(", "))
+        df
+      } else {
+        if (df.columns.length != schema.length)
+          unsupported(s"positional INSERT arity (${df.columns.length} " +
+            s"query outputs for ${schema.length} table columns)")
+        df.toDF(schema.map(_.name).toSeq: _*)
+      }
+    val aligned = schema.toSeq.map { f =>
+      named.columns.find(_.equalsIgnoreCase(f.name)) match {
+        case Some(c) => named.col(c).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val data = named.select(aligned: _*)
+    if (ins.overwrite) tbl.createOrReplace(data, m.partitionColumns, m.properties)
+    else tbl.append(session, data)
+  }
+
+  /** A CTAS/CREATE target that is unmistakably ours even though the table
+    * does not exist yet (no exists-check can disambiguate): the
+    * `graft.</path>` literal (second part contains '/') or a registered
+    * [[graft.catalog.GraftCatalog]] named identifier
+    * ([[graft.catalog.GraftCatalog.createPath]]).
+    */
+  private def graftPathIdent(session: SparkSession,
+                             name: LogicalPlan): Option[String] = name match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      graft.catalog.GraftCatalog.createPath(session, u.nameParts)
+    // ResolveCatalogs may have claimed the identifier before this rule
+    // runs in the fixpoint — for the session catalog the path shape is
+    // still unmistakably ours; for our own plugin, the plugin says so
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      r.catalog match {
+        case g: graft.catalog.GraftCatalog =>
+          Some((r.identifier.namespace.toSeq :+ r.identifier.name)
+            .foldLeft(g.warehouse)(_.resolve(_)).toString)
+        case _
+            if r.identifier.namespace.toSeq == Seq("graft") &&
+              r.identifier.name.contains("/") =>
+          Some(r.identifier.name)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -366,7 +418,7 @@ private[graft] object GraftSqlDml {
                   plan: LogicalPlan): Option[LogicalPlan] =
     plan match {
       case c: CreateTableAsSelect =>
-        graftPathIdent(c.name).map { path =>
+        graftPathIdent(session, c.name).map { path =>
           val tbl = SnapshotTable.at(path)
           if (tbl.exists) {
             if (!c.ignoreIfExists)
@@ -377,7 +429,7 @@ private[graft] object GraftSqlDml {
           empty
         }
       case r: ReplaceTableAsSelect =>
-        graftPathIdent(r.name).map { path =>
+        graftPathIdent(session, r.name).map { path =>
           val tbl = SnapshotTable.at(path)
           if (!tbl.exists && !r.orCreate)
             throw new UnsupportedOperationException(
@@ -393,6 +445,8 @@ private[graft] object GraftSqlDml {
     plan match {
       case m: MergeIntoTable =>
         target(m.targetTable).map { tbl => runMerge(session, tbl, m); empty }
+      case ins: InsertIntoStatement =>
+        target(ins.table).map { tbl => runInsert(session, tbl, ins); empty }
       case u: UpdateTable =>
         target(u.table).map { tbl =>
           val quals = aliasesOf(u.table)

@@ -198,6 +198,49 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q73_catalog_merge" -> ((s, d) => {
+      // q71's SQL MERGE addressed through a NAMED identifier — the
+      // reference's db.table surface (its Glue catalog,
+      // common/iceberg.py:154,237-244) served by the V2 GraftCatalog
+      // over a warehouse root; q14's oracle. Tables created through the
+      // Scala API are immediately addressable by name and vice versa.
+      val wh = Files.createTempDirectory("graft-warehouse-").toString
+      s.conf.set("spark.sql.catalog.graft_wh",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_wh.warehouse", wh)
+      val table = SnapshotTable.at(s"$wh/clean_sales/orders")
+      table.createOrReplace(ordersTarget(s, d))
+      graft.merge.ChangeSet.build(ordersSource(s, d), table.read(s),
+          ordersCfg.naturalKeys, ordersCfg.updatedAtFields, ordersCfg.flags,
+          allowDeletes = true)
+        .createOrReplaceTempView("graft_q73_changes")
+      s.sql(
+        """MERGE INTO graft_wh.clean_sales.orders t
+          |USING graft_q73_changes s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("SELECT * FROM graft_wh.clean_sales.orders")
+    }),
+
+    "q74_sql_insert" -> ((s, d) => {
+      // SQL INSERT INTO = fast-append commit: the appended batch's files
+      // are ADDED, every live file carries by reference (asserted here —
+      // an append that rewrites is a bug), read back target ∪ appended.
+      val root = Files.createTempDirectory("graft-insert-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      val before = table.currentManifest.files.map(_.path).toSet
+      t(s, d, "orders").select(orderCols.map(col): _*)
+        .filter(col("o_orderkey") % 13 === 3)
+        .createOrReplaceTempView("graft_q74_extra")
+      s.sql(s"INSERT INTO graft.`$root` SELECT * FROM graft_q74_extra")
+      require(before.subsetOf(table.currentManifest.files.map(_.path).toSet),
+        "append must carry every live file by reference")
+      table.read(s)
+    }),
+
     "q16_merge_cdc" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -984,6 +1027,28 @@ object SparkEntry {
         |SELECT s.* FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // the same merged-state oracle as q14/q71 — the named-identifier
+    // surface must be semantically identical to the path surface
+    "q73_catalog_merge" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    "q74_sql_insert" -> (withFixtures +
+      """ SELECT * FROM tgt
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 13 = 3""".stripMargin),
 
     "q16_merge_cdc" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

@@ -827,6 +827,24 @@ final class SnapshotTable(val root: Path) {
     commitData(df, if (exists) Some(currentManifest) else None,
       partitionColumns, properties, nowMs)
 
+  /** Append-only commit (SQL `INSERT INTO`; the fast-append shape): the
+    * batch's files are ADDED under the current partition spec and every
+    * live data file and pending MoR delete carries forward BY REFERENCE —
+    * nothing is rewritten, and on a chunked manifest no untouched chunk
+    * document is parsed. Appended rows carry this commit's sequence
+    * number, so no pending equality delete can mask them; the empty
+    * touched set makes concurrent commits rebase trivially. Callers must
+    * align `df` to the table schema (the SQL path does).
+    */
+  def append(spark: SparkSession, df: DataFrame,
+             nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val (carriedChunks, loose, _) = splitTouchedOf(m.files, Set.empty)
+    commitData(df, Some(m), m.partitionColumns, m.properties, nowMs,
+      carryForward = loose, carryChunks = carriedChunks,
+      carryDeletes = m.deleteFiles, rebaseTouched = Some(Set.empty))
+  }
+
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new
     * snapshot. When the table is partitioned and the change set is small,
     * only files of AFFECTED partitions are rewritten; all other files are

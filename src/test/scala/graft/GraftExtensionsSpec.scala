@@ -127,11 +127,29 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(!ids.exists(_ > 90) && ids.size == 19)
 
-      // INSERT INTO stays a loud, clear error (not a confusing rewrite)
-      val e = intercept[Exception] {
-        s2.sql(s"INSERT INTO graft.`$root` VALUES (1L, 'x', 1.0)")
+      // INSERT INTO appends through the engine: new file added, every
+      // live file carried by reference, nothing rewritten
+      val filesBeforeIns = tbl.currentManifest.files.map(_.path).toSet
+      s2.sql(s"INSERT INTO graft.`$root` VALUES (300, 'i300', 1.0)")
+      assert(filesBeforeIns.subsetOf(tbl.currentManifest.files.map(_.path).toSet),
+        "append must carry all live files by reference")
+      assert(s2.sql(s"SELECT s FROM graft.`$root` WHERE id = 300")
+        .head.getString(0) == "i300")
+      // explicit column list: omitted columns null-fill (standard SQL)
+      s2.sql(s"INSERT INTO graft.`$root` (id, s) VALUES (301, 'i301')")
+      val r301 = s2.sql(s"SELECT v FROM graft.`$root` WHERE id = 301").head
+      assert(r301.isNullAt(0))
+      // arity mismatch and unknown columns stay loud
+      val eIns = intercept[Exception] {
+        s2.sql(s"INSERT INTO graft.`$root` VALUES (1, 'x')")
       }
-      assert(e.getMessage.contains("INSERT INTO a graft table"))
+      assert(eIns.getMessage.contains("INSERT"))
+      val eIns2 = intercept[Exception] {
+        s2.sql(s"INSERT INTO graft.`$root` (id, nope, v) VALUES (1, 'x', 1.0)")
+      }
+      assert(eIns2.getMessage.contains("nope"))
+      // clean up the appended rows so later assertions keep their counts
+      s2.sql(s"DELETE FROM graft.`$root` WHERE id >= 300")
 
       // DML through a time-travel suffix is rejected loudly
       val e2 = intercept[Exception] {
@@ -183,6 +201,91 @@ class GraftExtensionsSpec extends SparkSpec {
         s"SELECT id FROM graft.`$root` WHERE id <= 5")
       assert(s2.sql(s"SELECT count(*) AS c FROM graft.`$root2`")
         .head.getLong(0) == 5)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("V2 catalog: named db.table identifiers share the whole SQL surface") {
+    val base = spark
+    import base.implicits._
+
+    val wh = Files.createTempDirectory("graft-wh-").toString
+    // a table created through the Scala API is immediately addressable by
+    // name once the catalog points at the warehouse — and vice versa
+    val orders = SnapshotTable.at(s"$wh/db1/orders")
+    orders.createOrReplace(
+      (1 to 20).map(i => (i.toLong, s"s$i", 1.0)).toDF("id", "s", "v"))
+
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftCatalog].getName)
+      .config("spark.sql.catalog.graft.warehouse", wh)
+      .getOrCreate()
+    try {
+      import s2.implicits.{localSeqToDatasetHolder => s2Seq}
+      // name ↔ path parity: same rows through both spellings
+      def rows(q: String) = s2.sql(q).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows("SELECT id, s FROM graft.db1.orders ORDER BY id") ==
+        rows(s"SELECT id, s FROM graft.`$wh/db1/orders` ORDER BY id"))
+      assert(s2.sql(
+        "SELECT count(*) AS c FROM graft.db1.orders WHERE id <= 5")
+        .head.getLong(0) == 5)
+
+      // the reference-shape MERGE through the NAMED identifier
+      s2Seq(Seq((5L, "S5", 2.0, "U"), (6L, "x", 0.0, "D"),
+        (99L, "S99", 9.0, "I"))).toDF("id", "s", "v", "op")
+        .createOrReplaceTempView("chg")
+      s2.sql(
+        """MERGE INTO graft.db1.orders t USING chg s ON t.id = s.id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val afterMerge = s2.sql("SELECT id, s FROM graft.db1.orders")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(afterMerge.size == 20 && afterMerge(5L) == "S5" &&
+        !afterMerge.contains(6L) && afterMerge(99L) == "S99")
+
+      // UPDATE / DELETE / INSERT / time travel by name
+      s2.sql("UPDATE graft.db1.orders SET v = v + 10.0 WHERE id = 1")
+      s2.sql("DELETE FROM graft.db1.orders WHERE id > 90")
+      val before = orders.currentManifest.files.map(_.path).toSet
+      s2.sql("INSERT INTO graft.db1.orders VALUES (200, 'n', 1.5)")
+      assert(before.subsetOf(orders.currentManifest.files.map(_.path).toSet))
+      assert(s2.sql("SELECT count(*) AS c FROM graft.db1.`orders@v1`")
+        .head.getLong(0) == 20)
+
+      // CTAS by name into a created namespace
+      s2.sql("CREATE NAMESPACE graft.db2")
+      s2.sql("CREATE TABLE graft.db2.small AS " +
+        "SELECT id FROM graft.db1.orders WHERE id <= 3")
+      assert(SnapshotTable.at(s"$wh/db2/small").exists)
+      assert(s2.sql("SELECT count(*) AS c FROM graft.db2.small")
+        .head.getLong(0) == 3)
+
+      // catalog ops through the plugin
+      val nss = s2.sql("SHOW NAMESPACES IN graft").collect()
+        .map(_.getString(0)).toSet
+      assert(nss == Set("db1", "db2"), s"namespaces: $nss")
+      val tbls = s2.sql("SHOW TABLES IN graft.db1").collect()
+        .map(_.getString(1)).toSet
+      assert(tbls == Set("orders"), s"tables: $tbls")
+
+      // CREATE TABLE (no AS SELECT): empty table with declared schema and
+      // identity partitioning, then INSERT lands partitioned rows
+      s2.sql("CREATE TABLE graft.db2.fresh (id BIGINT, note STRING, pt INT) " +
+        "PARTITIONED BY (pt)")
+      val fresh = SnapshotTable.at(s"$wh/db2/fresh")
+      assert(fresh.exists && fresh.currentManifest.partitionColumns == Seq("pt"))
+      s2.sql("INSERT INTO graft.db2.fresh VALUES (1, 'a', 7), (2, 'b', 8)")
+      assert(s2.sql("SELECT count(*) AS c FROM graft.db2.fresh WHERE pt = 7")
+        .head.getLong(0) == 1)
+      assert(fresh.currentManifest.files.forall(_.partition.contains("pt")))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
