@@ -166,4 +166,41 @@ class StreamingIngestSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(got == batch)
   }
+
+  test("stateful sessionize spills a hot key instead of buffering its batch") {
+    val dir = Files.createTempDirectory("graft-sess-hot-").toString
+    val t0 = System.currentTimeMillis()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    def at(minutes: Long) = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusMinutes(minutes).format(fmt)
+    // hot user 9 carries 20× any other group's rows in ONE micro-batch:
+    // 2000 events ~1/min with a 3h jump every 400 → 5 sessions; cold
+    // users 1..4 have 100 events → 1 session each. Staged SHUFFLED so
+    // the bounded run sort is load-bearing, with the in-heap cap forced
+    // low so the hot key MUST take the spill-and-merge path (the skew
+    // shape that previously buffered the whole group on-heap).
+    val rnd = new scala.util.Random(42)
+    val hot = (0 until 2000).map(i =>
+      (9L, 10000L + i, at(i + (i / 400) * 180L)))
+    val cold = for (u <- 1L to 4L; i <- 0 until 100)
+      yield (u, u * 1000 + i, at(i.toLong))
+    stageFile(eventRows(rnd.shuffle(hot ++ cold)), dir, "01-hot.parquet", t0)
+
+    val prevCap = graft.streaming.SpillSort.MaxBufferedEvents
+    graft.streaming.SpillSort.MaxBufferedEvents = 256
+    val spillsBefore = graft.streaming.SpillSort.spilledRuns.get()
+    val got =
+      try EventStream.sessionizeStatefulDir(spark, dir)
+        .select("user_id", "session_seq", "n_events", "first_event", "last_event")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      finally graft.streaming.SpillSort.MaxBufferedEvents = prevCap
+    assert(graft.streaming.SpillSort.spilledRuns.get() > spillsBefore,
+      "the hot key must sort through spilled runs, not heap")
+    assert(got.count(_._1 == 9L) == 5)
+    val batch = EventStream.sessionize(
+        spark.read.parquet(s"$dir/01-hot.parquet"))
+      .select("user_id", "session_seq", "n_events", "first_event", "last_event")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == batch)
+  }
 }
