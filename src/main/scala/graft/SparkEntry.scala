@@ -604,12 +604,74 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         md5(substring(col("text"), 1, 64)).as("fp_head"))),
 
-    "q35_minhash_neardup" -> ((s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5)),
+    "q35_minhash_neardup" -> ((s, d) => {
+      // The LSH pair set is hash-dependent (no cross-engine twin), so the
+      // query emits the operator's CONTRACT instead (the q63/q64
+      // pattern): precision is exact BY CONSTRUCTION (reported pairs are
+      // verified by exact Jaccard — asserted in-query anyway), and recall
+      // is measured against an in-query brute-force truth both engines
+      // compute exactly: same-lang pairs passing the PROVABLY COMPLETE
+      // size prune (J >= t  ⟹  min(|A|,|B|) >= t·max(|A|,|B|)), then
+      // exact Jaccard >= t. Deterministic columns (doc/truth counts)
+      // hash-match DuckDB; the stochastic recall reduces to a boolean.
+      import graft.functions.TextFunctions.shingleHashes
+      import graft.functions.VectorFunctions.sortedLongJaccard
+      val th = 0.5
+      val docs = t(s, d, "documents")
+      val reported = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = th).cache()
+      val sh = docs.select(col("doc_id").as("id"), col("lang"),
+          array_sort(shingleHashes(col("text"), 3)).as("sh"))
+        .withColumn("n", size(col("sh"))).cache()
+      val truth = sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.id") < col("b.id") &&
+            least(col("a.n"), col("b.n")).cast("double") >=
+              lit(th) * greatest(col("a.n"), col("b.n")) &&
+            greatest(col("a.n"), col("b.n")) > 0)
+        .filter(sortedLongJaccard(col("a.sh"), col("b.sh")) >= th)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).cache()
+      val nTrue = truth.count()
+      val nHit = truth.join(reported.select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_semi").count()
+      val minJ = reported.agg(min(col("jaccard"))).head.get(0)
+      val nDocs = docs.count()
+      import s.implicits._
+      Seq((nDocs, nTrue,
+          nTrue == 0 || nHit.toDouble / nTrue >= 0.9,
+          minJ == null || minJ.asInstanceOf[Double] >= th))
+        .toDF("n_docs", "n_true_pairs", "recall_ok", "precision_ok")
+    }),
 
-    "q36_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text")),
+    "q36_simhash_neardup" -> ((s, d) => {
+      // SimHash's pair set is signature-dependent, so the query emits the
+      // operator's CONTRACT (Dedup.simhashNearDups scaladoc): by
+      // pigeonhole, 4 sub-bands GUARANTEE a shared band for any pair
+      // within hamming 3, so over non-degenerate docs (>= 1 shingle; an
+      // empty doc's signature is the zero word, not a content
+      // fingerprint) every hamming<=3 pair MUST be reported
+      // (recall_complete — exhaustiveness, not a sampled bar), and every
+      // reported pair passes the hamming<=8 verify (precision_ok).
+      import graft.functions.TextFunctions.{hamming64, shingleHashes}
+      import graft.functions.VectorFunctions.simhash64Native
+      val docs = t(s, d, "documents")
+      val reported = Dedup.simhashNearDups(docs, "doc_id", "text").cache()
+      val sigs = docs.select(col("doc_id").as("id"),
+          shingleHashes(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("id"), simhash64Native(col("sh")).as("sig")).cache()
+      val truth = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val missed = truth.join(reported.select("id_a", "id_b"),
+        Seq("id_a", "id_b"), "left_anti").count()
+      val maxHam = reported.agg(max(col("hamming"))).head.get(0)
+      val nDocs = docs.count()
+      val nSig = sigs.count()
+      import s.implicits._
+      Seq((nDocs, nSig, missed == 0L,
+          maxHam == null || maxHam.asInstanceOf[Int] <= 8))
+        .toDF("n_docs", "n_sig_docs", "recall_complete", "precision_ok")
+    }),
 
     "q37_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
@@ -757,14 +819,32 @@ object SparkEntry {
     }),
 
     "q39_embed_ann_ivf" -> ((s, d) => {
+      // IVF results ride on the trained quantizer, whose centroids vary
+      // with float summation order — not cross-engine reproducible. The
+      // query emits the ANN CONTRACT instead (q63/q64 pattern):
+      // recall@10 of the IVF top-k against the in-query EXACT
+      // brute-force top-10 (the q38 operator) must clear the 0.5 bar
+      // DedupSimilaritySpec pins (measured 0.63-0.66 at nProbe=8/32 on
+      // both SFs; nProbe=4 sits at 0.45, under the bar); deterministic
+      // corpus anchors (vector/query counts) hash-match the oracle.
       val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
       // trained coarse quantizer (2 Lloyd iterations), then probe 4 cells
       val centroids = Similarity.trainCentroids(emb, "vec_id", "embedding",
         k = 32, iters = 2)
-      Similarity.ivfTopK(emb, centroids,
-          emb.filter(col("vec_id") % 25 === 0),
-          "vec_id", "embedding", k = 10, nProbe = 4)
-        .drop("cosine")
+      val ann = Similarity.ivfTopK(emb, centroids, queries,
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10).cache()
+      val nExact = exact.count()
+      val nHit = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = exact.select("query_id").distinct().count()
+      val nVec = emb.count()
+      import s.implicits._
+      Seq((nVec, nQ, nExact == 0 || nHit.toDouble / nExact >= 0.5))
+        .toDF("n_vectors", "n_queries", "recall_at10_ok")
     }),
 
     "q40_image_meta" -> ((s, d) =>
@@ -1288,6 +1368,44 @@ object SparkEntry {
         | md5(substring(text, 1, 64)) AS fp_head
         |FROM documents""".stripMargin,
 
+    // q35's truth set is deterministic (same-lang + the provably complete
+    // size prune + exact Jaccard), so its count hash-matches; the LSH
+    // recall and the by-construction precision reduce to constant TRUE
+    "q35_minhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |truth AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(len(a.shingles), len(b.shingles)) >= 0.5 * greatest(len(a.shingles), len(b.shingles))
+        |    AND greatest(len(a.shingles), len(b.shingles)) > 0
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))) >= 0.5)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM truth) AS n_true_pairs,
+        |  TRUE AS recall_ok, TRUE AS precision_ok""".stripMargin,
+
+    // q36: deterministic anchors + the pigeonhole exhaustiveness contract
+    "q36_simhash_neardup" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents)
+        |SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  (SELECT count(*) FROM toks WHERE len(t) >= 3) AS n_sig_docs,
+        |  TRUE AS recall_complete, TRUE AS precision_ok""".stripMargin,
+
     "q37_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
@@ -1321,6 +1439,15 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS rnk FROM scored)
         |WHERE rnk <= 10""".stripMargin,
+
+    // q39: vector/query counts are deterministic (zero-norm queries are
+    // excluded, mirroring bruteForceTopK); the IVF recall@10-vs-exact
+    // contract reduces to constant TRUE
+    "q39_embed_ann_ivf" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
+        |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
+        |  TRUE AS recall_at10_ok""".stripMargin,
 
     "q40_image_meta" ->
       """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
