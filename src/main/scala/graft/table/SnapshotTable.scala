@@ -69,11 +69,14 @@ object FileEntry {
   * deletes, and after many MoR commits across partitions the per-read
   * delete union stays bounded by that partition's history, not the
   * table's. Empty = unscoped (unpartitioned tables, legacy manifests) —
-  * conservative, affects any file.
+  * conservative, affects any file. `rows` counts the masked key tuples
+  * (-1 on legacy manifests) and feeds compaction's delete-pressure
+  * selection — the rewrite_data_files delete-file-threshold analog.
   */
 final case class DeleteEntry(path: String, version: Long,
                              stats: Map[String, ColBounds] = Map.empty,
-                             partition: Map[String, String] = Map.empty)
+                             partition: Map[String, String] = Map.empty,
+                             rows: Long = -1L)
 
 /** Reference to one manifest chunk DOCUMENT plus the rollups that let
   * planning decide — without parsing the document — whether any of its
@@ -169,12 +172,13 @@ final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
   * }}}
   *
   * Commit = claim a fresh data dir (atomic createDirectory), write data,
-  * then — under a per-root lock — allocate the commit version, write the
-  * manifest, and atomically move a temp pointer over `_current`. The lock
-  * serializes same-JVM writers; across processes the deployment assumption
-  * is single-writer per table, as in the reference (Airflow
-  * `max_active_runs=1`, dags/data_ingestion_dms.py:85). A cluster catalog
-  * would swap the lock for a CAS on the pointer.
+  * then allocate the commit version, stage the manifest, and publish it
+  * through the table's [[AtomicPublish]]: by default an exclusive
+  * cross-process `meta/_lock` held over the whole section
+  * ([[FileLockPublish]]); optionally an optimistic expected-version
+  * publish with per-version claim markers ([[CasPublish]]) — the
+  * filesystem analog of the catalog-CAS commit the reference relies on
+  * (Glue conditional `metadata_location` update, common/iceberg.py:280-289).
   *
   * A manifest may reference files from OLDER data dirs: a partition-scoped
   * copy-on-write merge rewrites only the files of partitions touched by
@@ -185,18 +189,18 @@ final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
   * pointer and REBASES its carried-file list onto the new manifest
   * (Iceberg-style optimistic retry) instead of aborting.
   */
-final class SnapshotTable(val root: Path) {
+final class SnapshotTable(val root: Path,
+                          val publisher: AtomicPublish = AtomicPublish.default) {
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[SnapshotTable])
   private def metaDir = root.resolve("meta")
   private def dataDir = root.resolve("data")
-  private def pointer = metaDir.resolve("_current")
 
-  def exists: Boolean = Files.exists(pointer)
+  def exists: Boolean = publisher.current(metaDir).isDefined
 
-  def currentVersion: Long = {
-    require(exists, s"table at $root does not exist (no commit pointer)")
-    new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toLong
-  }
+  def currentVersion: Long =
+    publisher.current(metaDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: table at $root does not exist (no commit pointer)"))
 
   def currentManifest: Manifest = manifest(currentVersion)
 
@@ -800,20 +804,21 @@ final class SnapshotTable(val root: Path) {
     * until snapshot expiry reclaims them by age, and new commits continue
     * from the highest version number so nothing is overwritten.
     */
-  def rollbackTo(version: Long): Unit = withPublishLock {
-    require(manifestVersions.contains(version), s"no snapshot v$version")
-    val tmp = metaDir.resolve(s"_current.tmp.rb$version")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  def rollbackTo(version: Long): Unit =
+    publisher.critical(root, metaDir) {
+      require(manifestVersions.contains(version), s"no snapshot v$version")
+      publisher.forceCurrent(metaDir, version)
+    }
 
   /** Next commit version: one past the HIGHEST retained manifest, not the
     * current pointer — after a rollback, committing currentVersion+1 would
     * overwrite a stale-but-retained snapshot's manifest and data dir.
+    * Versions another committer CLAIMED but never finished publishing
+    * (CAS-mode crash) are skipped too: their claim marker can never be
+    * re-created, so reusing the number would wedge every later commit.
     */
   private def nextVersion: Long = {
-    val vs = manifestVersions
+    val vs = manifestVersions ++ publisher.claimedVersions(metaDir)
     if (vs.isEmpty) 1L else vs.max + 1
   }
 
@@ -1286,7 +1291,8 @@ final class SnapshotTable(val root: Path) {
       }
       val newDeletes = delStats.map { case (p, cs) =>
         val rel = root.relativize(p).toString
-        DeleteEntry(rel, v, cs.bounds, partitionOf(rel, m.partitionColumns))
+        DeleteEntry(rel, v, cs.bounds, partitionOf(rel, m.partitionColumns),
+          cs.rows)
       }
       // MoR carries EVERY base file: on a chunked manifest that's the
       // chunk refs verbatim (zero parses) with the appended files inline
@@ -1310,28 +1316,51 @@ final class SnapshotTable(val root: Path) {
     * that need work are rewritten:
     *   - groups holding ≥ 2 under-target files (bin-pack opportunity), or
     *   - groups holding an oversized file (> 1.25× target — split it), or
-    *   - groups holding any file a pending equality delete might affect
-    *     (delete version > file seq AND key bounds overlap).
+    *   - groups under DELETE PRESSURE: pending equality deletes may
+    *     affect their files (delete version > file seq AND key bounds
+    *     overlap) and the masked-row ratio (pending delete rows ÷ group
+    *     data rows) meets `deleteRatio` — the rewrite_data_files
+    *     delete-file-threshold analog. The default ratio 0 rewrites ANY
+    *     affected group; q62-style property-driven tables set
+    *     `write.graft.compact.delete-ratio` so the monthly maintenance
+    *     call self-heals exactly the groups whose MoR read debt is
+    *     material, instead of rewriting a 100 TB table's every group
+    *     that accumulated one masked row.
     * Every other group's files are carried by reference — at a monthly
     * cadence on a 100 TB table this is the difference between a bounded
     * touch-up and rewriting the world.
     *
-    * Compaction also FOLDS merge-on-read deletes: delete-affected files
-    * are always selected, their rewrite reads the delete-resolved view,
-    * and the committed manifest carries no delete files — the MoR
-    * read-cost debt is repaid here (Iceberg's rewrite_data_files +
-    * rewrite_position_delete_files in one step). No-op (no commit) when
-    * nothing needs rewriting and no deletes are pending.
+    * Compaction FOLDS merge-on-read deletes for the groups it rewrites
+    * (the rewrite reads the delete-resolved view — Iceberg's
+    * rewrite_data_files + rewrite_position_delete_files in one step);
+    * deletes that may still affect a CARRIED group (below the pressure
+    * bar) stay in the manifest and keep resolving on read until that
+    * group crosses the bar. No-op (no commit) when nothing needs
+    * rewriting and the delete set wouldn't shrink.
     */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 64L * 1024 * 1024,
-              nowMs: Long = System.currentTimeMillis()): Manifest = {
+              nowMs: Long = System.currentTimeMillis(),
+              deleteRatio: Option[Double] = None): Manifest = {
     val m = currentManifest
+    val ratio = deleteRatio
+      .orElse(m.properties.get(DeleteRatioProp).map(_.toDouble))
+      .getOrElse(0.0)
     val sizes = m.files.map(f =>
       f.path -> Files.size(root.resolve(f.path))).toMap
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
-    def deleteAffected(f: FileEntry): Boolean =
-      m.deleteFiles.exists(d => deleteMayAffect(d, f, types))
+    // delete pressure: masked rows ÷ data rows, unknown counts (legacy
+    // manifests, -1) conservatively select. A delete's rows count against
+    // every group it may affect — exact for partition-scoped deletes, an
+    // overestimate only for unscoped ones (which is the safe direction).
+    def underDeletePressure(fs: Seq[FileEntry]): Boolean = {
+      val affecting = m.deleteFiles.filter(d =>
+        fs.exists(f => deleteMayAffect(d, f, types)))
+      affecting.nonEmpty && (ratio <= 0.0 ||
+        affecting.exists(_.rows < 0) || fs.exists(_.rows < 0) ||
+        affecting.map(_.rows).sum.toDouble >=
+          ratio * math.max(1L, fs.map(_.rows).sum))
+    }
     val smallBytes = targetFileBytes * 3 / 4
     val overBytes = targetFileBytes * 5 / 4
     // legacy-spec groups (partition key set ≠ current spec, possible
@@ -1342,14 +1371,22 @@ final class SnapshotTable(val root: Path) {
       case (pv, fs) if pv.keySet != pcolSet ||
           fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
           fs.exists(f => sizes(f.path) > overBytes) ||
-          fs.exists(deleteAffected) => fs
+          underDeletePressure(fs) => fs
     }.flatten.toSeq
-    if (rewrite.isEmpty && m.deleteFiles.isEmpty) return m
     // the rewrite set is whole partition GROUPS, so the carried remainder
     // splits chunk-aware: untouched partitions' chunk documents ride into
     // the new manifest by reference (the entries were already loaded for
     // size planning; the saving is write-side serialization)
     val touchedPvs = rewrite.map(_.partition).toSet
+    // deletes still needed by a carried file keep resolving on read;
+    // everything else (only affected rewritten groups, or affects
+    // nothing) folds away with this commit
+    val keptDeletes = {
+      lazy val carriedAll = m.files.filterNot(f => touchedPvs.contains(f.partition))
+      m.deleteFiles.filter(d =>
+        carriedAll.exists(f => deleteMayAffect(d, f, types)))
+    }
+    if (rewrite.isEmpty && keptDeletes == m.deleteFiles) return m
     val (carriedChunks, carried, _) = splitTouchedOf(m.files, touchedPvs)
     // read ONLY the rewrite set (delete-resolved); carried groups are
     // proven unaffected by any pending delete, so dropping the deletes
@@ -1374,7 +1411,7 @@ final class SnapshotTable(val root: Path) {
           .getOrElse(df.repartition(nFiles))
         commitData(clustered, Some(m),
           m.partitionColumns, m.properties, nowMs, carryForward = carried,
-          carryChunks = carriedChunks)
+          carryChunks = carriedChunks, carryDeletes = keptDeletes)
       } else {
         // size control: commitData clusters one task per partition value,
         // so oversized partitions are split by record count instead
@@ -1398,7 +1435,8 @@ final class SnapshotTable(val root: Path) {
         }
         commitData(zdf.getOrElse(df), Some(m), m.partitionColumns,
           m.properties, nowMs, carryForward = carried,
-          carryChunks = carriedChunks, preclustered = zdf.isDefined,
+          carryChunks = carriedChunks, carryDeletes = keptDeletes,
+          preclustered = zdf.isDefined,
           writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
       }
     } finally df.unpersist()
@@ -1465,6 +1503,12 @@ final class SnapshotTable(val root: Path) {
   }
 
   private val ZOrderProp = "write.graft.zorder-by"
+
+  /** Table property: compaction's delete-pressure bar (e.g. "0.1" = a
+    * group rewrites once pending delete rows reach 10% of its data rows).
+    * Unset/0 = rewrite any delete-affected group (eager fold).
+    */
+  private val DeleteRatioProp = "write.graft.compact.delete-ratio"
 
   /** Attach the scaled Morton key over `cols` as a column (shared by
     * [[rewriteZOrder]] and z-aware [[compact]]); returns the keyed frame
@@ -1614,7 +1658,33 @@ final class SnapshotTable(val root: Path) {
         .toSeq
     }
     orphans.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
-    orphans.map(n => s"meta/$n")
+    // aged publish debris: staged manifests and chunk temps a crashed
+    // committer left behind (a LIVE committer's stage is younger than any
+    // sane age gate), and CAS claim markers whose manifest either never
+    // landed (crashed publish) or was expired — both no longer define
+    // `current`, and a swept dead claim frees its version number for reuse
+    val debris = scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala
+        .filter(p => {
+          val n = p.getFileName.toString
+          (n.startsWith("_stage-") || n.startsWith(".files-stage")) && aged(p)
+        })
+        .toSeq
+    }
+    debris.foreach(Files.deleteIfExists(_))
+    val claims = metaDir.resolve("_claims")
+    val deadClaims =
+      if (!Files.exists(claims)) Nil
+      else scala.util.Using.resource(Files.list(claims)) { st =>
+        st.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v\\d+")
+            && !Files.exists(metaDir.resolve(p.getFileName.toString + ".json"))
+            && aged(p))
+          .toSeq
+      }
+    deadClaims.foreach(Files.deleteIfExists(_))
+    orphans.map(n => s"meta/$n") ++
+      (debris ++ deadClaims).map(p => s"meta/${metaDir.relativize(p)}")
   }
 
   /** Delete a data file plus its Hadoop `.crc` sidecar. */
@@ -1676,61 +1746,61 @@ final class SnapshotTable(val root: Path) {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Run `f` holding BOTH the per-root JVM monitor (serializes threads
-    * sharing this process) and an exclusive CROSS-PROCESS file lock on
-    * `meta/_lock` — the commit critical section. Two processes merging
-    * disjoint partitions therefore serialize their publishes and the
-    * second lands via the optimistic rebase, exactly like two threads;
-    * without the file lock they could allocate the same version and the
-    * loser's commit would silently vanish under the winner's pointer.
-    * (On object storage this slot is where a catalog CAS goes; on a
-    * filesystem, an advisory `FileChannel.lock` is the portable CAS.)
-    */
-  private def withPublishLock[T](f: => T): T =
-    SnapshotTable.lockFor(root).synchronized {
-      Files.createDirectories(metaDir)
-      val ch = java.nio.channels.FileChannel.open(metaDir.resolve("_lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try f finally lock.release()
-      } finally ch.close()
-    }
-
-  /** Publish a commit under the publish lock: allocate the commit
+  /** Publish a commit through [[AtomicPublish]]: allocate the commit
     * version, build the manifest (the builder sees the CURRENT manifest
-    * and may rebase or throw on staleness), write it, advance the
-    * pointer. If the builder throws, the just-written data dir stays
+    * and may rebase or throw on staleness), STAGE it under a unique name,
+    * and conditionally install it. Under [[FileLockPublish]] the whole
+    * section runs holding the exclusive cross-process lock, so one
+    * attempt always suffices; under [[CasPublish]] a lost race deletes
+    * the staged manifest and retries the build against the refreshed
+    * current manifest — the builder's own rebase logic (carried files
+    * re-checked, disjoint partitions land, overlaps abort) applies
+    * unchanged. If the builder throws, the just-written data dir stays
     * unreferenced by any manifest and removeOrphanFiles reclaims it.
     */
   private def publishCommit(build: (Long, Option[Manifest]) => Manifest): Manifest =
-    withPublishLock {
-      val cur = if (exists) Some(currentManifest) else None
-      val v = nextVersion
-      val m = build(v, cur)
-      Files.createDirectories(metaDir)
-      ManifestJson.write(metaDir.resolve(s"v$v.json"), m)
-      val tmp = metaDir.resolve(s"_current.tmp$v")
-      Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      // high-water mark LAST: a crash after the manifest write but before
-      // the pointer move leaves v as a ghost (> hwm AND > pointer) that
-      // manifestVersions never surfaces and the next commit overwrites; a
-      // crash between pointer and hwm is covered by highWaterMark taking
-      // max(recorded, currentVersion)
-      val hwmTmp = metaDir.resolve(s"_hwm.tmp$v")
-      Files.write(hwmTmp, v.toString.getBytes(StandardCharsets.UTF_8))
-      Files.move(hwmTmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      // cache the CANONICAL on-disk form (chunk refs + lazy FileList), not
-      // the builder's in-memory file list: follow-up commits and pruned
-      // reads must see the chunk structure the write produced. One main-
-      // document parse; chunk documents stay lazy.
-      val canonical = ManifestJson.read(metaDir.resolve(s"v$v.json"))
-      manifestCache.put(v, canonical)
-      canonical
+    publisher.critical(root, metaDir) {
+      var attempt = 0
+      var out: Manifest = null
+      while (out == null) {
+        val curV = publisher.current(metaDir)
+        val cur = curV.map(manifest)
+        val v = nextVersion
+        val m = build(v, cur)
+        Files.createDirectories(metaDir)
+        // unique stage name: concurrent CAS-mode committers building the
+        // same version number must never write through the same path
+        // (chunk documents are content-addressed and collision-safe)
+        val staged = metaDir.resolve(
+          s"_stage-v$v-${java.util.UUID.randomUUID.toString.take(8)}.json")
+        ManifestJson.write(staged, m)
+        if (publisher.tryPublish(metaDir, curV, v, staged)) {
+          // high-water mark LAST: a crash after the manifest install but
+          // before the pointer move leaves v as a ghost (> hwm AND >
+          // pointer) that manifestVersions never surfaces and the next
+          // commit overwrites; a crash between pointer and hwm is covered
+          // by highWaterMark taking max(recorded, currentVersion)
+          val hwmTmp = metaDir.resolve(s"_hwm.tmp$v")
+          Files.write(hwmTmp, v.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(hwmTmp, hwmFile, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+          // cache the CANONICAL on-disk form (chunk refs + lazy FileList),
+          // not the builder's in-memory file list: follow-up commits and
+          // pruned reads must see the chunk structure the write produced.
+          // One main-document parse; chunk documents stay lazy.
+          val canonical = ManifestJson.read(metaDir.resolve(s"v$v.json"))
+          manifestCache.put(v, canonical)
+          out = canonical
+        } else {
+          attempt += 1
+          if (attempt >= SnapshotTable.MaxPublishAttempts)
+            throw new IllegalStateException(
+              s"publish contention: gave up after $attempt lost races at $root")
+          log.info(s"publish race lost for v$v at $root (attempt $attempt); " +
+            "rebuilding against the refreshed manifest")
+        }
+      }
+      out
     }
 
   /** Run `f` with timestamps written as INT64 micros so footers carry
@@ -1889,6 +1959,16 @@ final class SnapshotTable(val root: Path) {
 object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
 
+  def at(path: String, publisher: AtomicPublish): SnapshotTable =
+    new SnapshotTable(Paths.get(path), publisher)
+
+  /** Lost-race retry bound for optimistic publishers. Each retry rebuilds
+    * the manifest against the winner's, so progress is guaranteed as long
+    * as SOME committer keeps landing; the bound turns pathological
+    * contention into a loud error instead of an unbounded loop.
+    */
+  private[table] val MaxPublishAttempts = 50
+
   /** Hard cap on touched-partition values the merge census may collect to
     * the driver (comment-pinned; VERDICT r4 item 7). ~1M string maps is
     * tens of MB of driver heap — beyond it the merge falls back LOUDLY to
@@ -1898,8 +1978,8 @@ object SnapshotTable {
   private[graft] var MaxCensusPartitions = 1000000
 
   // per-root publish locks: serialize same-JVM commit publication so two
-  // threads can rebase against each other deterministically (a cluster
-  // catalog would use a CAS on the pointer instead)
+  // threads can rebase against each other deterministically (cross-process
+  // atomicity is the publisher impl's job — see [[AtomicPublish]])
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[table] def lockFor(root: Path): Object =
@@ -2058,9 +2138,16 @@ private[graft] object ManifestJson {
       val content = s"""{"files":${fileArr(g)}}"""
       val name = s"files-${sha1Hex(content).take(32)}.json"
       val cp = p.resolveSibling(name)
-      if (!Files.exists(cp))
-        Files.write(cp, content.getBytes(StandardCharsets.UTF_8))
-      else
+      if (!Files.exists(cp)) {
+        // temp + atomic move: CAS-mode committers build WITHOUT a held
+        // lock, so two of them can stage the same content-addressed
+        // document concurrently — a reader must never observe a partial
+        // write, and replacing with byte-identical content is harmless
+        val tmp = Files.createTempFile(cp.getParent, ".files-stage", ".tmp")
+        Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, cp, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } else
         // re-enter removeOrphanFiles' age window: a reused document that
         // had already aged into orphan-eligibility must not be swept out
         // from under this in-flight commit
@@ -2133,7 +2220,8 @@ private[graft] object ManifestJson {
         val partPart =
           if (d.partition.isEmpty) ""
           else s""","partition":${obj(d.partition)}"""
-        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart}"""
+        val rowsPart = if (d.rows < 0) "" else s""","rows":${d.rows}"""
+        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart$rowsPart}"""
       }
       .mkString("[", ",", "]")
     val json =
@@ -2251,7 +2339,8 @@ private[graft] object ManifestJson {
             dm.get("partition")
               .map(_.asInstanceOf[Map[String, Any]]
                 .map { case (k, v) => k -> v.asInstanceOf[String] })
-              .getOrElse(Map.empty))
+              .getOrElse(Map.empty),
+            dm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L))
         })
         .getOrElse(Nil))
   }

@@ -868,6 +868,54 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.currentVersion == v, "no-op compaction must not commit")
   }
 
+  test("delete-pressure compaction rewrites only groups over the ratio bar") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", ((col("id") - 1) / lit(100)).cast("long"))
+    // the table property drives the monthly maintenance cadence: compact()
+    // with no argument self-heals exactly the groups whose masked-row
+    // share crossed the bar
+    tbl.createOrReplace(withP(batch(1 to 400, t0, 1.0)), Seq("p"),
+      properties = Map("write.graft.compact.delete-ratio" -> "0.2"))
+    // accumulate MoR merges: 60 masked rows on p=0 (over the bar at
+    // 60/161), one masked row on p=1 (1/100, far under it — the updated
+    // row MOVES to p=0, so p=1 keeps a single data file and the delete)
+    tbl.mergeMoR(spark, withP(batch(1 to 30, t1, 2.0)).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    tbl.mergeMoR(spark, withP(batch(31 to 60, t1, 2.1)).withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    tbl.mergeMoR(spark,
+      Seq((101L, t1, 3.0, 0L)).toDF("id", "updated_at", "v", "p")
+        .withColumn("op", lit("U")),
+      Seq("id"), keepDeletes = false)
+    // masked-row counts round-trip the manifest (fresh handle re-parses)
+    val before = SnapshotTable.at(tbl.root.toString).currentManifest
+    assert(before.deleteFiles.map(_.rows).sorted == Seq(1L, 30L, 30L))
+    val carriedP1 = before.files.filter(_.partition("p") == "1").map(_.path)
+    assert(carriedP1.size == 1)
+    tbl.compact(spark)
+    val after = tbl.currentManifest
+    assert(after.files.count(_.partition("p") == "0") == 1,
+      "the over-pressure group is rewritten and bin-packed")
+    assert(after.deleteFiles.map(d => (d.partition("p"), d.rows)) ==
+      Seq(("1", 1L)),
+      "the under-pressure group keeps its delete resolving on read")
+    assert(carriedP1.toSet.subsetOf(after.files.map(_.path).toSet),
+      "the under-pressure group's data file is carried by reference")
+    val out = tbl.read(spark)
+    assert(out.count() == 400)
+    assert(out.filter(col("p") === 0).count() == 101)
+    assert(out.filter(col("p") === 1).count() == 99)
+    assert(out.filter(col("id") === 101 && col("v") === 3.0).count() == 1)
+    // an explicit eager fold (ratio 0) overrides the property and clears
+    // the remaining debt
+    tbl.compact(spark, deleteRatio = Some(0.0))
+    assert(tbl.currentManifest.deleteFiles.isEmpty)
+    assert(tbl.read(spark).count() == 400)
+    assert(tbl.read(spark).filter(col("id") === 101).count() == 1)
+  }
+
   test("concurrent partition-scoped merges on disjoint partitions both land") {
     import org.apache.spark.sql.functions.lit
     val tbl = freshTable()
