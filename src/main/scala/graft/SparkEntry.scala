@@ -620,11 +620,27 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val reported = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = th).cache()
-      val sh = docs.select(col("doc_id").as("id"), col("lang"),
+      // ONE fused project computes the shingles, and the cache is a plan
+      // BARRIER: deriving `n` (or filtering) on top of an uncached
+      // project would make CollapseProject duplicate the expensive
+      // shingle expression into every consumer (measured 85x on q36)
+      val sh0 = docs.repartition(32)
+        .select(col("doc_id").as("id"), col("lang"),
           array_sort(shingleHashes(col("text"), 3)).as("sh"))
-        .withColumn("n", size(col("sh"))).cache()
-      val truth = sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.id") < col("b.id") &&
+        .cache()
+      val sh = sh0.withColumn("n", size(col("sh")))
+      // the truth join's only equi key is lang — a handful of values, so
+      // one task per lang would serialize the quadratic Jaccard work.
+      // SALT it: the left leg keys each row to one of 32 buckets, the
+      // right leg replicates into every bucket — each pair still meets
+      // exactly once, but across langs×32 tasks instead of langs
+      val nSalt = 32
+      val shL = sh.withColumn("bkt", pmod(hash(col("id")), lit(nSalt)))
+      val shR = sh.withColumn("bkt",
+        explode(sequence(lit(0), lit(nSalt - 1))))
+      val truth = shL.as("a").join(shR.as("b"),
+          col("a.bkt") === col("b.bkt") &&
+            col("a.lang") === col("b.lang") && col("a.id") < col("b.id") &&
             least(col("a.n"), col("b.n")).cast("double") >=
               lit(th) * greatest(col("a.n"), col("b.n")) &&
             greatest(col("a.n"), col("b.n")) > 0)
@@ -655,13 +671,40 @@ object SparkEntry {
       import graft.functions.VectorFunctions.simhash64Native
       val docs = t(s, d, "documents")
       val reported = Dedup.simhashNearDups(docs, "doc_id", "text").cache()
-      val sigs = docs.select(col("doc_id").as("id"),
+      // cache BEFORE the size filter: a Filter between two Projects makes
+      // CollapseProject re-evaluate the shingle expression per consumer
+      // and drops it off the fused codegen path (measured 85x slower);
+      // the cached arrays make the filter + simhash a cheap second pass
+      val sh0 = docs.repartition(32)
+        .select(col("doc_id").as("id"),
           shingleHashes(col("text"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .cache()
+      val sigs = sh0.filter(size(col("sh")) > 0)
         .select(col("id"), simhash64Native(col("sh")).as("sig")).cache()
-      val truth = sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
-        .filter(hamming64(col("a.sig"), col("b.sig")) <= 3)
+      // exhaustive truth WITHOUT the all-pairs nested loop: band the
+      // 8-bit-ROTATED signature into four 16-bit blocks. Any 4-way
+      // partition of the 64 positions is pigeonhole-complete for
+      // hamming<=3 (three flips cannot touch all four blocks), and the
+      // rotation makes this an INDEPENDENT partition from the operator's
+      // unrotated bands — the truth side never reuses the blocking under
+      // test. Equi-join on (band, block), exact hamming filter, distinct
+      // (a pair may share several blocks). No bucket cap here: the truth
+      // must stay exhaustive even where the operator's cap may drop.
+      val rb = sigs
+        .withColumn("rsig", shiftleft(col("sig"), 8)
+          .bitwiseOR(shiftrightunsigned(col("sig"), 56)))
+        .select(col("id"), col("sig"),
+          posexplode(array((0 until 4).map(j =>
+            shiftrightunsigned(col("rsig"), j * 16)
+              .bitwiseAND(lit(0xffffL))): _*)))
+        .select(col("id"), col("sig"),
+          col("pos").as("band"), col("col").as("bkey"))
+      val truth = rb.as("a").join(rb.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bkey") === col("b.bkey") && col("a.id") < col("b.id") &&
+            hamming64(col("a.sig"), col("b.sig")) <= 3)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
       val missed = truth.join(reported.select("id_a", "id_b"),
         Seq("id_a", "id_b"), "left_anti").count()
       val maxHam = reported.agg(max(col("hamming"))).head.get(0)
