@@ -572,13 +572,27 @@ object SparkEntry {
       table.read(s).drop(MetaColumns.IngestionDatetime)
     }),
 
-    "q22_bucket_transform" -> ((s, d) =>
-      // Iceberg-spec bucket transform (UD1) + write-clustering sort (X2):
-      // murmur-based so no SQL oracle; self-consistency is in ScalaTest
-      t(s, d, "orders")
+    "q22_bucket_transform" -> ((s, d) => {
+      // Iceberg-spec bucket transform (UD1) + write-clustering sort (X2).
+      // Murmur bucket values have no DuckDB twin, so emit the transform's
+      // CONTRACT (q63/q64 pattern): the deterministic row count
+      // hash-matches; every bucket lands in [0, 8); and all 8 buckets are
+      // populated — with 1500+ sequential keys the chance of murmur
+      // missing a bucket is ~(7/8)^1500, so a miss means a broken hash.
+      // The murmur cross-check against reference vectors is in ScalaTest.
+      val bucketed = t(s, d, "orders")
         .select(col("o_orderkey"),
           graft.functions.VectorFunctions.icebergBucket(col("o_orderkey"), 8).as("bucket"))
-        .sortWithinPartitions(col("bucket"))),
+        .sortWithinPartitions(col("bucket"))
+      val a = bucketed.agg(count(lit(1)).as("n"),
+        min(col("bucket")).as("mn"), max(col("bucket")).as("mx"),
+        countDistinct(col("bucket")).as("nb")).head
+      import s.implicits._
+      Seq((a.getLong(0),
+          a.getInt(1) >= 0 && a.getInt(2) <= 7,
+          a.getLong(3) == 8L))
+        .toDF("n_rows", "in_range_ok", "all_buckets_ok")
+    }),
 
     // ---- LLM-pipeline extensions (§7.6) ----
 
@@ -1232,6 +1246,12 @@ object SparkEntry {
         |SELECT s.*, s.o_orderkey % 8 AS part_bucket FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // q22: the row count is deterministic; the murmur-bucket contract
+    // columns (range, full coverage) reduce to constant TRUE
+    "q22_bucket_transform" ->
+      """SELECT count(*) AS n_rows, TRUE AS in_range_ok,
+        | TRUE AS all_buckets_ok FROM orders""".stripMargin,
 
     // maintenance must be a data no-op: same oracle as the lifecycle merge
     "q23_maintenance" -> (withFixtures +
