@@ -16,7 +16,12 @@ import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("manifest")) { manifestProbe(); return }
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    // "storage": run only the storage-layer probes (stats pruning,
+    // z-order, compaction variants, spec evolution) — skips the long
+    // operator sweeps when iterating on the table layer
+    val storageOnly = args.headOption.contains("storage")
+    val sfDir =
+      if (args.length > 0 && !storageOnly) args(0) else "/root/testdata/sf0.1"
     val docCopies = if (args.length > 1) args(1).toInt else 100
     val embCopies = if (args.length > 2) args(2).toInt else 50
     val spark = graft.core.GraftSession.get("graft-scale-probe")
@@ -30,6 +35,7 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    if (!storageOnly) {
     // documents ×K: copy c of doc d gets id d*K+c and a copy-marker token
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang", "n_chars")
@@ -112,6 +118,7 @@ object ScaleProbe {
       mergeProbe("cow_merge_1pct", mor = false)
       mergeProbe("mor_merge_1pct", mor = true)
     }
+    }
 
     // storage-layer scale probes: stats pruning, z-order, selective
     // compaction — the read/maintenance features whose value only shows
@@ -182,6 +189,44 @@ object ScaleProbe {
         pt.read(spark).count()
       }
 
+      // delete-pressure compaction at 2.4M rows: block 0 accumulates 3%
+      // masked rows (three 1% MoR merges), block 1 only 1%; with the bar
+      // at 2% the selective compact must rewrite block 0, carry block 1
+      // WITH its delete still resolving on read, and touch nothing else
+      val dp = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-delpressure").toString)
+      dp.createOrReplace(withP, Seq("p"))
+      (1 to 3).foreach { i =>
+        dp.mergeMoR(spark,
+          withP.filter(col("p") === 0 && pmod(col("l_orderkey"), lit(100)) === i)
+            .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+            .withColumn("op", lit("U")),
+          Seq("l_orderkey", "l_partkey", "l_suppkey"), keepDeletes = false)
+      }
+      // block 1's updated rows MOVE to block 0 (mutable partition value),
+      // so block 1 keeps exactly one data file — its selection can only
+      // come from delete pressure, never the bin-pack criterion
+      dp.mergeMoR(spark,
+        withP.filter(col("p") === 1 && pmod(col("l_orderkey"), lit(100)) === 1)
+          .withColumn("l_quantity", col("l_quantity") + lit(1.0))
+          .withColumn("p", lit(0L))
+          .withColumn("op", lit("U")),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"), keepDeletes = false)
+      val dpBefore = dp.currentManifest.files.map(_.path).toSet
+      val delsBefore = dp.currentManifest.deleteFiles.size
+      timed("delete_pressure_compact") {
+        dp.compact(spark, deleteRatio = Some(0.02))
+        val m2 = dp.currentManifest
+        val rewrittenP = m2.files.filterNot(f => dpBefore(f.path))
+          .map(_.partition("p")).distinct.sorted
+        println(s"""{"stage":"delete_pressure_census",""" +
+          s""""deletes_before":$delsBefore,""" +
+          s""""deletes_kept":${m2.deleteFiles.size},""" +
+          s""""rewritten_partitions":${rewrittenP.mkString("[", ",", "]")},""" +
+          s""""carried":${m2.files.count(f => dpBefore(f.path))}}""")
+        dp.read(spark).count()
+      }
+
       // partition-spec evolution at 2.4M rows: the evolve commit itself
       // is metadata-only (no data IO); the first merge after it rewrites
       // ONLY the legacy block it touches (migrating it to the new spec);
@@ -222,6 +267,7 @@ object ScaleProbe {
       }
     }
 
+    if (!storageOnly) {
     // embeddings ×K: deterministic per-copy perturbation of one dimension
     val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val emb = emb0
@@ -253,6 +299,7 @@ object ScaleProbe {
         .count()
     }
     emb.unpersist()
+    }
     spark.stop()
   }
 
