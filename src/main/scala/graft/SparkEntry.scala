@@ -25,17 +25,26 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet has TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a nanos long —
-    * convert to a microsecond timestamp (integer division: nanos exceed
-    * double precision). The DuckDB oracles apply `CAST(ts AS TIMESTAMP)`
-    * for the same truncation.
+  /** events.parquet `ts` arrives in whatever encoding the generator used:
+    * TIMESTAMP(NANOS) reads as a nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong` — convert with integer
+    * division (nanos exceed double precision); micros-NTZ (the round-5
+    * generation) casts to TimestampType, value-preserving under the UTC
+    * session and required by unix_micros/watermarks downstream. The
+    * DuckDB oracles apply `CAST(ts AS TIMESTAMP)`, landing on the same
+    * microsecond values either way.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // micros-NTZ generator output: event-time math (unix_micros,
+        // watermarks) requires TimestampType; the session pins UTC, so
+        // the cast is value-preserving
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -17,8 +17,9 @@ object Verify {
       .withExtensions(new GraftExtensions) // SQL DML/relations (q71)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read as long and convert in the queries (SparkEntry.events)
+      // legacy nanos events.parquet reads as long under this flag (the
+      // vectorized reader rejects TIMESTAMP(NANOS)); the current micros-NTZ
+      // generation ignores it — queries adapt per schema (SparkEntry.events)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,9 +29,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-      // events.parquet carries TIMESTAMP(NANOS); without this every entry
-      // point that touches it throws. Kept here so Verify/Bench/tests/CLI
-      // all read it identically (convert with timestamp_micros(ts DIV 1000)).
+      // events.parquet carried TIMESTAMP(NANOS) in earlier test-data
+      // generations; without this, reading that encoding throws. The
+      // round-5 generator emits micros-NTZ (no flag needed), but the flag
+      // stays so EVERY encoding reads identically across Verify/Bench/
+      // tests/CLI — readers adapt per schema (SparkEntry.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

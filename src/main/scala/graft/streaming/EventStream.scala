@@ -186,10 +186,15 @@ object EventStream {
 
     def runPass(): Unit = {
       val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-      // nanos-as-long parquet timestamps → microsecond TimestampType
+      // nanos-as-long or micros-NTZ parquet timestamps → microsecond
+      // TimestampType (watermarks reject TIMESTAMP_NTZ; the UTC session
+      // makes the NTZ cast value-preserving)
       val withTs = schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
       val stream = withTs
@@ -310,7 +315,11 @@ object EventStream {
       val evs = (schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts_us", expr("ts DIV 1000"))
-        case _ => raw.withColumn("ts_us", unix_micros(col("ts")))
+        case _ =>
+          // cast is a no-op for TimestampType and lifts micros-NTZ to an
+          // instant (UTC session); unix_micros rejects NTZ directly
+          raw.withColumn("ts_us", unix_micros(
+            col("ts").cast(org.apache.spark.sql.types.TimestampType)))
       }).select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts_us").as("tsMicros")).as[Ev]
       val sessions = evs.groupByKey(_.user_id)
