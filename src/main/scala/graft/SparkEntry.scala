@@ -250,6 +250,40 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q75_stream_table_tail" -> ((s, d) => {
+      // STREAMING TAIL of a snapshot table (the graft-table source —
+      // Iceberg streaming-read analog): pass 1 bootstraps the created
+      // table through the stream; two appends commit; pass 2 under the
+      // SAME checkpoint emits exactly the appended files' rows (offsets
+      // are snapshot versions, batches plan from manifest doc diffs).
+      // Output = every stream-observed row ≡ the final table ≡ orders.
+      val root = Files.createTempDirectory("graft-tail-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      val extra = t(s, d, "orders").select(orderCols.map(col): _*)
+        .filter(col("o_orderkey") % 13 === 3)
+      val ckpt = Files.createTempDirectory("graft-tail-ckpt-").toString
+      val out = Files.createTempDirectory("graft-tail-out-").toString
+      def pass(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("startVersion", "0").load(root)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass()
+      val n1 = s.read.parquet(out).count()
+      table.append(s, extra.filter(col("o_orderkey") % 2 === 0))
+      table.append(s, extra.filter(col("o_orderkey") % 2 =!= 0))
+      pass()
+      val streamed = s.read.parquet(out)
+      require(streamed.count() - n1 == extra.count(),
+        "incremental pass must emit exactly the appended rows")
+      streamed
+    }),
+
     "q16_merge_cdc" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -1195,6 +1229,13 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 = 3""".stripMargin),
+
+    // q75: bootstrap batch (the pre-append table) + the two appended
+    // slices = every row the stream observed = orders, column-for-column
+    "q75_stream_table_tail" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "q16_merge_cdc" ->
       """WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),

@@ -751,26 +751,72 @@ final class SnapshotTable(val root: Path,
     * a file with changed ones.
     */
   def readIncremental(spark: SparkSession, sinceVersion: Long): DataFrame = {
-    val oldM = manifest(sinceVersion)
     val cur = currentManifest
-    // chunk shortcut: identical chunk documents hold identical file sets,
-    // so only the documents that DIFFER between the two snapshots (plus
-    // inline lists) can contribute or exclude fresh files. Sound because
-    // a path's bucket is stable (partition and seq never change for a
-    // committed file): a path inside a shared document cannot reappear
-    // inside a differing one.
-    val (oldFiles, curCandidates) = (oldM.files, cur.files) match {
-      case (a: FileList, c: FileList)
-          if a.chunks.nonEmpty && c.chunks.nonEmpty && a.nBuckets == c.nBuckets =>
-        val shared = a.chunks.map(_.name).toSet
-          .intersect(c.chunks.map(_.name).toSet)
-        (a.inline ++ a.chunks.filterNot(x => shared(x.name)).flatMap(a.loadChunk),
-         c.inline ++ c.chunks.filterNot(x => shared(x.name)).flatMap(c.loadChunk))
-      case (a, c) => (a: Seq[FileEntry], c: Seq[FileEntry])
+    readManifest(spark,
+      cur.copy(files = diffFiles(Some(manifest(sinceVersion)), cur)._1),
+      _ => true)
+  }
+
+  /** (files fresh in `toM`, any file of `fromM` gone from `toM`) — the
+    * chunk shortcut applies symmetrically: identical chunk documents hold
+    * identical file sets, so only the documents that DIFFER between the
+    * two snapshots (plus inline lists) can contribute or exclude files.
+    * Sound because a path's bucket is stable (partition and seq never
+    * change for a committed file): a path inside a shared document cannot
+    * reappear inside a differing one. `fromM = None` = diff against
+    * nothing (everything in `toM` is fresh, nothing removed).
+    */
+  private def diffFiles(fromM: Option[Manifest],
+                        toM: Manifest): (Seq[FileEntry], Boolean) =
+    fromM match {
+      case None => (toM.files, false)
+      case Some(oldM) =>
+        val (oldFiles, curCandidates) = (oldM.files, toM.files) match {
+          case (a: FileList, c: FileList)
+              if a.chunks.nonEmpty && c.chunks.nonEmpty && a.nBuckets == c.nBuckets =>
+            val shared = a.chunks.map(_.name).toSet
+              .intersect(c.chunks.map(_.name).toSet)
+            (a.inline ++ a.chunks.filterNot(x => shared(x.name)).flatMap(a.loadChunk),
+             c.inline ++ c.chunks.filterNot(x => shared(x.name)).flatMap(c.loadChunk))
+          case (a, c) => (a: Seq[FileEntry], c: Seq[FileEntry])
+        }
+        val old = oldFiles.map(_.path).toSet
+        val cur = curCandidates.map(_.path).toSet
+        (curCandidates.filterNot(f => old(f.path)),
+         oldFiles.exists(f => !cur(f.path)))
     }
-    val old = oldFiles.map(_.path).toSet
-    val fresh = curCandidates.filterNot(f => old(f.path))
-    readManifest(spark, cur.copy(files = fresh), _ => true)
+
+  /** Incremental read between two explicit snapshots: rows of data files
+    * present in `toVersion` but absent from `fromVersion` (0 = before the
+    * first commit — everything is fresh). The streaming tail
+    * ([[graft.streaming.GraftTableSource]]) drives this per micro-batch.
+    *
+    * `requireAppendOnly`: fail LOUDLY when the span rewrote or dropped a
+    * live file, or added equality deletes — a tailing consumer would
+    * otherwise silently double-count rewritten rows (CoW re-emits a
+    * touched partition wholesale) or miss deletions entirely. An
+    * append-only span (ingest appends, fast appends) streams exactly the
+    * appended rows.
+    */
+  def readIncrementalBetween(spark: SparkSession, fromVersion: Long,
+                             toVersion: Long,
+                             requireAppendOnly: Boolean = false): DataFrame = {
+    val fromM = if (fromVersion <= 0L) None else Some(manifest(fromVersion))
+    val toM = manifest(toVersion)
+    val (fresh, removedAny) = diffFiles(fromM, toM)
+    if (requireAppendOnly && fromM.isDefined) {
+      require(!removedAny,
+        s"snapshots v$fromVersion..v$toVersion of $root rewrote or removed " +
+          "live data files (merge/compaction/delete) — a streaming tail " +
+          "cannot represent that as appends; pass ignoreChanges=true to " +
+          "re-emit rewritten rows instead")
+      val oldDel = fromM.get.deleteFiles.map(_.path).toSet
+      require(toM.deleteFiles.forall(d => oldDel(d.path)),
+        s"snapshots v$fromVersion..v$toVersion of $root added equality " +
+          "deletes — a streaming tail cannot represent row removal; pass " +
+          "ignoreChanges=true to stream appends only")
+    }
+    readManifest(spark, toM.copy(files = fresh), _ => true)
   }
 
   /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest

@@ -35,4 +35,17 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as STREAMING (`isStreaming = true`) — the
+    * contract a DSv1 `Source.getBatch` result must satisfy
+    * (MicroBatchExecution asserts it). The physical rows are the batch
+    * plan's own `toRdd`; only the logical-plan flag changes. This is how
+    * [[graft.streaming.GraftTableSource]] serves a snapshot-table
+    * incremental read as a micro-batch.
+    */
+  def streamingDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }
