@@ -66,6 +66,35 @@ class TableStreamSpec extends SparkSpec {
       Seq(3L))
   }
 
+  test("tail feeds a downstream table: continuous table-to-table pipeline") {
+    import spark.implicits._
+    val srcRoot = tmp("graft-ts-src-")
+    val dstRoot = tmp("graft-ts-dst-")
+    val src = SnapshotTable.at(srcRoot)
+    val dst = SnapshotTable.at(dstRoot)
+    src.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val ckpt = tmp("graft-ts-ckpt-")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0").load(srcRoot)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!dst.exists) { dst.createOrReplace(batch); () }
+          else { dst.append(spark, batch.toDF()); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run() // bootstrap: dst created from the full source
+    src.append(spark, Seq((3L, "c")).toDF("id", "v"))
+    run() // tail: only the appended rows flow downstream
+    assert(dst.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L), "downstream table must equal the source exactly once")
+    assert(dst.currentVersion == 2L,
+      "pass 2 must land as ONE append commit on the downstream table")
+  }
+
   test("rewrite commits fail loudly; ignoreChanges re-emits rewrites") {
     import spark.implicits._
     val root = tmp("graft-ts-")
