@@ -440,9 +440,97 @@ private[graft] object GraftSqlDml {
       case _ => None
     }
 
+  /** Multipart identifier of a DESCRIBE/DROP target, whatever resolution
+    * stage the node reached before this rule saw it.
+    */
+  private def identParts(node: LogicalPlan): Option[Seq[String]] = node match {
+    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      Some(tv.multipartIdentifier)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      Some(u.nameParts)
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      r.catalog match {
+        // our plugin: rebuild the registered-name parts (createPath maps
+        // them back through the warehouse)
+        case g: graft.catalog.GraftCatalog =>
+          Some(g.name +: (r.identifier.namespace.toSeq :+ r.identifier.name))
+        // the session catalog may have claimed the `graft`.`/path` literal
+        // first (ResolveCatalogs runs before injected rules); the path
+        // shape is still unmistakably ours
+        case _ if r.identifier.namespace.toSeq == Seq("graft") &&
+            r.identifier.name.contains("/") =>
+          Some(Seq("graft", r.identifier.name))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** `DESCRIBE TABLE [EXTENDED]` over a graft identifier (path literal or
+    * registered-catalog name): answered directly from the manifest —
+    * columns, the partition-information block, and (extended) location/
+    * provider/properties — because the V2 DESCRIBE path resolves through
+    * `loadTable`, which [[graft.catalog.GraftCatalog]] deliberately does
+    * not serve (see its resolution-design note).
+    */
+  private def runDescribe(session: SparkSession, path: String,
+                          d: DescribeRelation): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = SnapshotTable.at(path).currentManifest
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    def row(a: String, b: String, c: String): InternalRow =
+      InternalRow.fromSeq(Seq(a, b, c).map(s =>
+        if (s == null) null else UTF8String.fromString(s)))
+    val cols = schema.toSeq.map(f => row(f.name, f.dataType.simpleString, null))
+    val parts =
+      if (m.partitionColumns.isEmpty) Nil
+      else row("# Partition Information", "", "") ::
+        row("# col_name", "data_type", "comment") ::
+        m.partitionColumns.toList.map { p =>
+          val t = schema.find(_.name.equalsIgnoreCase(p))
+            .map(_.dataType.simpleString).getOrElse("")
+          row(p, t, null)
+        }
+    val extended =
+      if (!d.isExtended) Nil
+      else row("", "", "") :: row("# Detailed Table Information", "", "") ::
+        row("Location", path, "") :: row("Provider", "graft", "") ::
+        row("Table Properties",
+          m.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString("[", ", ", "]"), "") ::
+        Nil
+    LocalRelation(d.output, cols ++ parts ++ extended)
+  }
+
   def rewrite(session: SparkSession, plan: LogicalPlan,
               target: LogicalPlan => Option[SnapshotTable]): Option[LogicalPlan] =
     plan match {
+      case d: DescribeRelation if d.partitionSpec.isEmpty =>
+        identParts(d.relation).flatMap(parts =>
+          graft.catalog.GraftCatalog.pathCandidates(session, parts)
+            .find(p => SnapshotTable.at(p).exists)
+            .map(p => runDescribe(session, p, d)))
+      case dt: DropTable =>
+        // claim only identifiers unmistakably ours (path literal with '/',
+        // or a registered GraftCatalog name); drop deletes the table DIR
+        // (data + metadata — purge semantics, the only meaning on a
+        // filesystem table)
+        identParts(dt.child).flatMap(parts =>
+          graft.catalog.GraftCatalog.createPath(session, parts).flatMap { p =>
+            val tbl = SnapshotTable.at(p)
+            if (tbl.exists) {
+              val dir = java.nio.file.Paths.get(p)
+              val s = java.nio.file.Files.walk(dir)
+              try s.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally s.close()
+              Some(empty)
+            } else if (dt.ifExists) Some(empty) // no-op, per SQL
+            else if (parts.length == 2 && parts.head.equalsIgnoreCase("graft"))
+              throw new UnsupportedOperationException(
+                s"no graft table at ${parts(1)} (DROP TABLE without IF EXISTS)")
+            else None // registered-catalog miss: let the V2 exec report it
+          })
       case m: MergeIntoTable =>
         target(m.targetTable).map { tbl => runMerge(session, tbl, m); empty }
       case ins: InsertIntoStatement =>

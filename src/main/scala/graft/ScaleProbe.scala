@@ -189,6 +189,36 @@ object ScaleProbe {
         pt.read(spark).count()
       }
 
+      // streaming tail at 2.4M rows: pass 1 pins `latest` (no emission);
+      // one ~1%-of-a-partition append lands; pass 2's micro-batch plans
+      // from the manifest doc diff and reads ONLY the appended files —
+      // the pass costs stream machinery + the appended rows, nowhere
+      // near the 2.4M-row scan a naive tail would pay
+      val ts = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-tailprobe").toString)
+      ts.createOrReplace(withP, Seq("p"))
+      val tailCkpt =
+        java.nio.file.Files.createTempDirectory("graft-tailprobe-ckpt").toString
+      val tailOut =
+        java.nio.file.Files.createTempDirectory("graft-tailprobe-out").toString
+      def tailPass(): Unit = {
+        val q = spark.readStream.format("graft-table").load(ts.root.toString)
+          .writeStream.format("parquet").option("path", tailOut)
+          .option("checkpointLocation", tailCkpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      timed("stream_tail_pin_pass") { tailPass(); 0L }
+      val appended = withP.filter(col("p") === 0 &&
+        pmod(col("l_orderkey"), lit(100)) === 7)
+        .withColumn("l_quantity", col("l_quantity") + lit(2.0))
+      ts.append(spark, appended)
+      timed("stream_tail_batch") {
+        tailPass()
+        spark.read.parquet(tailOut).count()
+      }
+
       // delete-pressure compaction at 2.4M rows: block 0 accumulates 3%
       // masked rows (three 1% MoR merges), block 1 only 1%; with the bar
       // at 2% the selective compact must rewrite block 0, carry block 1

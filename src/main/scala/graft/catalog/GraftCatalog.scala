@@ -40,10 +40,11 @@ import graft.table.SnapshotTable
   * MoR delete resolution, evolution superset schemas and manifest
   * pruning intact. A DSv2 `Table` would need a parallel Scan/Write
   * implementation and would hand MERGE/UPDATE/DELETE to Spark's
-  * row-level-operation planner instead of the engine's. Consequences:
-  * `DESCRIBE TABLE` and `DROP TABLE` (which resolve through
-  * `loadTable`) are not served — drop via [[dropTable]]'s SQL-less path
-  * or delete the directory.
+  * row-level-operation planner instead of the engine's. `DESCRIBE
+  * TABLE [EXTENDED]` and `DROP TABLE` — whose V2 paths resolve through
+  * `loadTable` — are instead claimed by the extensions' DML rule
+  * ([[graft.GraftSqlDml]]): DESCRIBE answers from the manifest, DROP
+  * deletes the table directory (purge semantics).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _

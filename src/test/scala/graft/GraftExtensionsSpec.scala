@@ -286,6 +286,28 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(s2.sql("SELECT count(*) AS c FROM graft.db2.fresh WHERE pt = 7")
         .head.getLong(0) == 1)
       assert(fresh.currentManifest.files.forall(_.partition.contains("pt")))
+
+      // DESCRIBE answers from the manifest (named and path spellings):
+      // columns, the partition block, and (EXTENDED) location/provider
+      val desc = s2.sql("DESCRIBE TABLE graft.db2.fresh").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(desc.take(3).toSeq ==
+        Seq(("id", "bigint"), ("note", "string"), ("pt", "int")), desc.toSeq)
+      assert(desc.contains(("# Partition Information", "")) &&
+        desc.last == (("pt", "int")), desc.toSeq)
+      val ext = s2.sql(s"DESCRIBE TABLE EXTENDED graft.`$wh/db2/fresh`")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(ext("Location") == s"$wh/db2/fresh" && ext("Provider") == "graft")
+
+      // DROP TABLE removes the table directory, both spellings; IF EXISTS
+      // on a missing table is a no-op
+      s2.sql("DROP TABLE graft.db2.small")
+      assert(!SnapshotTable.at(s"$wh/db2/small").exists &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$wh/db2/small")))
+      s2.sql(s"DROP TABLE graft.`$wh/db2/fresh`")
+      assert(!fresh.exists)
+      s2.sql("DROP TABLE IF EXISTS graft.db2.small") // no-op, no error
+      intercept[Exception] { s2.sql("DROP TABLE graft.db2.small") }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
