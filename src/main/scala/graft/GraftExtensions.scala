@@ -83,6 +83,20 @@ case class GraftPathRelations(session: SparkSession)
 
   private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files)$".r
 
+  /** ``@<name>`` where `<name>` is a live TAG on the prefix table (tag
+    * names cannot collide with the reserved [[Suffixed]] shapes —
+    * `SnapshotTable.tag` rejects them).
+    */
+  private object TagSuffixed {
+    private val Shape = "(.*)@([A-Za-z][A-Za-z0-9_-]*)$".r
+    def unapply(ident: String): Option[(String, String)] = ident match {
+      case Shape(p, s)
+          if SnapshotTable.at(p).exists && SnapshotTable.at(p).tags.contains(s) =>
+        Some((p, s))
+      case _ => None
+    }
+  }
+
   /** Candidate table paths for a relation identifier: the ``graft.`/p` ``
     * literal and/or a registered [[graft.catalog.GraftCatalog]]'s
     * warehouse mapping of `cat.db.table` ([[GraftCatalog.pathCandidates]]).
@@ -99,16 +113,18 @@ case class GraftPathRelations(session: SparkSession)
   private def resolve(ident: String) = {
     val (path, suffix) = ident match {
       case Suffixed(p, s) if SnapshotTable.at(p).exists => (p, Some(s))
+      case TagSuffixed(p, s)                            => (p, Some(s"tag:$s"))
       case _ => (ident, None)
     }
     val tbl = SnapshotTable.at(path)
     if (!tbl.exists) None
     else Some(suffix match {
-      case Some("history")                => tbl.history(session)
-      case Some("files")                  => tbl.files(session)
-      case Some(v) if v.startsWith("ts")  => tbl.readAsOf(session, v.drop(2).toLong)
-      case Some(v) if v.startsWith("v")   => tbl.readVersion(session, v.drop(1).toLong)
-      case None                           => tbl.read(session)
+      case Some("history")                 => tbl.history(session)
+      case Some("files")                   => tbl.files(session)
+      case Some(t) if t.startsWith("tag:") => tbl.readTag(session, t.drop(4))
+      case Some(v) if v.startsWith("ts")   => tbl.readAsOf(session, v.drop(2).toLong)
+      case Some(v) if v.startsWith("v")    => tbl.readVersion(session, v.drop(1).toLong)
+      case None                            => tbl.read(session)
     })
   }
 
@@ -135,6 +151,10 @@ case class GraftPathRelations(session: SparkSession)
                 throw new UnsupportedOperationException(
                   s"cannot write through the @$s relation — DML targets " +
                     "the current snapshot only")
+              case TagSuffixed(_, s) =>
+                throw new UnsupportedOperationException(
+                  s"cannot write through the @$s tag relation — DML " +
+                    "targets the current snapshot only")
               case _ =>
             }
             None

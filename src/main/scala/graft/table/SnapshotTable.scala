@@ -856,6 +856,48 @@ final class SnapshotTable(val root: Path,
       publisher.forceCurrent(metaDir, version)
     }
 
+  // ---- named tags (Iceberg refs analog) -------------------------------
+
+  private def tagFile(name: String) = metaDir.resolve(s"_ref-$name")
+
+  /** Pin `name` to a retained snapshot (Iceberg `create tag` / `replace
+    * tag` in one call — re-tagging an existing name moves it). A tagged
+    * snapshot is EXEMPT from [[expireSnapshots]]' age policy until the
+    * tag drops, exactly like Iceberg refs; reads resolve via [[readTag]]
+    * or the SQL ``@<name>`` suffix. Names are `[A-Za-z][A-Za-z0-9_-]*`
+    * minus the reserved suffix shapes (`v<n>`, `ts<n>`, `history`,
+    * `files`) so the SQL suffix grammar stays unambiguous.
+    */
+  def tag(name: String, version: Long = currentVersion): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
+      !name.matches("v[0-9]+|ts[0-9]+|history|files"),
+      s"invalid tag name '$name'")
+    require(manifestVersions.contains(version), s"no snapshot v$version")
+    val tmp = Files.createTempFile(metaDir, s".ref-$name", ".tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, tagFile(name), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def dropTag(name: String): Boolean = Files.deleteIfExists(tagFile(name))
+
+  /** All tags: name → pinned version. */
+  def tags: Map[String, Long] =
+    if (!Files.isDirectory(metaDir)) Map.empty
+    else scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_ref-"))
+        .map(n => n.stripPrefix("_ref-") ->
+          new String(Files.readAllBytes(metaDir.resolve(n)),
+            StandardCharsets.UTF_8).trim.toLong)
+        .toMap
+    }
+
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    readVersion(spark, tags.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"requirement failed: no tag '$name' on $root")))
+
   /** Next commit version: one past the HIGHEST retained manifest, not the
     * current pointer — after a rollback, committing currentVersion+1 would
     * overwrite a stale-but-retained snapshot's manifest and data dir.
@@ -1603,7 +1645,9 @@ final class SnapshotTable(val root: Path,
                       nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
     val versions = manifestVersions
     val cur = currentVersion
-    val candidates = versions.filter(_ != cur).sorted
+    // tagged snapshots are exempt while their ref lives (Iceberg refs)
+    val tagged = tags.values.toSet
+    val candidates = versions.filter(v => v != cur && !tagged(v)).sorted
     val keepCount = math.max(0, minSnapshotsToKeep - 1) // current always kept
     val byAge = candidates.filter(v => nowMs - manifest(v).timestampMs > maxAgeMs)
     val expired = byAge.dropRight(math.max(0, keepCount - (candidates.size - byAge.size)))
