@@ -249,8 +249,9 @@ case class GraftPathRelations(session: SparkSession)
   *
   * '''EXPLAIN executes DML.''' Because execution happens during ANALYSIS
   * (the only injection slot without a DSv2 catalog to hang row-level
-  * plans on), `EXPLAIN MERGE/UPDATE/DELETE/CTAS` — or merely analyzing
-  * the statement without an action — PERFORMS the write. There is no
+  * plans on), `EXPLAIN MERGE/UPDATE/DELETE/CTAS/INSERT/DROP TABLE` — or
+  * merely analyzing the statement without an action — PERFORMS the
+  * write (for DROP: the delete). There is no
   * reliable in-rule signal that analysis was triggered by an
   * `ExplainCommand` (the command re-analyzes its stored plan through the
   * ordinary entry point at run time). Dry-run a graft DML statement by

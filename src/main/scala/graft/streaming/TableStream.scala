@@ -72,8 +72,29 @@ final class GraftTableSourceProvider
 final class GraftTableSource(spark: SparkSession, path: String,
                              override val schema: StructType,
                              parameters: Map[String, String],
-                             metadataPath: String) extends Source {
+                             metadataPath: String)
+    extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   private val tbl = SnapshotTable.at(path)
+
+  /** `Trigger.AvailableNow` contract (implemented natively so the exec
+    * does not fall back to the single-batch wrapper): pin the version
+    * visible when the trigger fired; commits landing DURING the run wait
+    * for the next one.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(tbl.currentVersion)
+
+  /** Admission-control spelling of [[getOffset]] (the interface rides in
+    * with SupportsTriggerAvailableNow); read limits don't apply — a
+    * snapshot version is the only batch granularity.
+    */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
 
@@ -123,7 +144,7 @@ final class GraftTableSource(spark: SparkSession, path: String,
   }
 
   override def getOffset: Option[Offset] = {
-    val v = tbl.currentVersion
+    val v = availableNowCap.getOrElse(tbl.currentVersion)
     if (v <= startVersion) None else Some(LongOffset(v))
   }
 
