@@ -531,6 +531,26 @@ private[graft] object GraftSqlDml {
           graft.catalog.GraftCatalog.pathCandidates(session, parts)
             .find(p => SnapshotTable.at(p).exists)
             .map(p => runDescribe(session, p, d)))
+      case sp: ShowTableProperties =>
+        // same loadTable-resolution gap as DESCRIBE: answer from the
+        // manifest. With a key, Spark's semantics: one row, or an
+        // explanatory row when the key is absent.
+        identParts(sp.table).flatMap(parts =>
+          graft.catalog.GraftCatalog.pathCandidates(session, parts)
+            .find(p => SnapshotTable.at(p).exists).map { p =>
+              import org.apache.spark.sql.catalyst.InternalRow
+              import org.apache.spark.unsafe.types.UTF8String
+              val props = SnapshotTable.at(p).currentManifest.properties
+              def row(k: String, v: String) = InternalRow.fromSeq(
+                Seq(UTF8String.fromString(k), UTF8String.fromString(v)))
+              val rows = sp.propertyKey match {
+                case Some(k) => Seq(row(k, props.getOrElse(k,
+                  s"Table ${parts.mkString(".")} does not have property: $k")))
+                case None => props.toSeq.sortBy(_._1)
+                  .map { case (k, v) => row(k, v) }
+              }
+              LocalRelation(sp.output, rows)
+            })
       case dt: DropTable =>
         // claim only identifiers unmistakably ours (path literal with '/',
         // or a registered GraftCatalog name); drop deletes the table DIR

@@ -299,6 +299,16 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1))).toMap
       assert(ext("Location") == s"$wh/db2/fresh" && ext("Provider") == "graft")
 
+      // SHOW TBLPROPERTIES answers from the manifest (all / one key)
+      s2.sql("CREATE TABLE graft.db2.p2 TBLPROPERTIES ('a'='1','b'='2') AS " +
+        "SELECT id FROM graft.db1.orders WHERE id <= 2")
+      val shown = s2.sql("SHOW TBLPROPERTIES graft.db2.p2").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("a").contains("1") && shown.get("b").contains("2"), shown)
+      assert(s2.sql("SHOW TBLPROPERTIES graft.db2.p2 ('b')").head.getString(1)
+        == "2")
+      s2.sql("DROP TABLE graft.db2.p2")
+
       // DROP TABLE removes the table directory, both spellings; IF EXISTS
       // on a missing table is a no-op
       s2.sql("DROP TABLE graft.db2.small")
