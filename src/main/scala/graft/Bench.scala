@@ -39,7 +39,8 @@ object Bench {
       "q26_stats_pruned_scan", "q27_zorder_scan", "q28_time_travel",
       "q29_incremental_read", "q62_mor_lifecycle", "q67_schema_evolution",
       "q68_partition_evolution", "q70_drop_column", "q71_sql_merge",
-      "q72_sql_update_delete")
+      "q72_sql_update_delete", "q73_catalog_merge", "q74_sql_insert",
+      "q75_stream_table_tail")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // tracked PER ATTEMPT: a query is an error only when every attempt
       // failed; one flaky attempt must neither masquerade as a fast
