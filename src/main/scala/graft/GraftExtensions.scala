@@ -52,12 +52,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Early (hints-batch) claim of CREATE [OR REPLACE] TABLE graft.`/path`
-  * ... AS SELECT — see [[GraftSqlDml.rewriteCtas]].
+/** Early (hints-batch) claims of statements the Resolution batch would
+  * otherwise convert or fail before injected rules run: CTAS
+  * ([[GraftSqlDml.rewriteCtas]]), `CALL <cat>.system.<proc>` maintenance
+  * procedures ([[GraftSqlDml.rewriteCall]] — ResolveProcedures would
+  * demand a ProcedureCatalog), and `ALTER TABLE ADD/DROP COLUMNS`
+  * ([[GraftSqlDml.rewriteAlter]] — ResolveSessionCatalog would convert
+  * to a V1 command).
   */
 case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    GraftSqlDml.rewriteCtas(session, plan).getOrElse(plan)
+    GraftSqlDml.rewriteCtas(session, plan)
+      .orElse(GraftSqlDml.rewriteCall(session, plan))
+      .orElse(GraftSqlDml.rewriteAlter(session, plan))
+      .getOrElse(plan)
 }
 
 /** Analyzer rule: `graft`.`<path>` → the table's read plan. Matches only
@@ -460,6 +468,201 @@ private[graft] object GraftSqlDml {
         }
       case _ => None
     }
+
+  /** The committed table a maintenance/ALTER statement names. The string
+    * form mirrors the reference's procedure calls (`'db.table'`,
+    * common/iceberg.py:253-270): resolved through catalog `cat`'s
+    * warehouse; when `cat` is the `graft` literal the string may also be
+    * a table path.
+    */
+  private def namedTable(session: SparkSession, cat: String,
+                         t: String): SnapshotTable = {
+    val cands =
+      (if (cat.equalsIgnoreCase("graft")) Seq(t) else Nil) ++
+        graft.catalog.GraftCatalog.pathCandidates(
+          session, cat +: t.split("\\.").toSeq)
+    cands.find(p => SnapshotTable.at(p).exists)
+      .map(SnapshotTable.at)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft table '$t' under catalog $cat"))
+  }
+
+  /** `CALL <cat>.system.<proc>(...)` — the reference's entire maintenance
+    * surface is spelled this way (`CALL iceberg.system.expire_snapshots /
+    * remove_orphan_files / rewrite_data_files`, common/iceberg.py:253-270).
+    * Claimed for `cat` = the `graft` literal or a registered
+    * [[graft.catalog.GraftCatalog]]; routed to the engine ops
+    * ([[SnapshotTable.expireSnapshots]]/[[SnapshotTable.removeOrphanFiles]]/
+    * [[SnapshotTable.compact]]). Args follow the Iceberg procedure
+    * signatures: first positional (or `table =>`) names the table;
+    * optional named args `older_than` (TIMESTAMP or epoch millis),
+    * `retain_last`, `target_file_size_bytes`, `delete_ratio`. Unknown
+    * procedures and unknown/unevaluable args fail loudly. Like all graft
+    * SQL DML, the call executes during analysis and the statement
+    * resolves to an empty relation.
+    */
+  def rewriteCall(session: SparkSession,
+                  plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case c: Call =>
+      c.procedure match {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure(
+              Seq(cat, ns, proc))
+            if ns.equalsIgnoreCase("system") &&
+              (cat.equalsIgnoreCase("graft") ||
+                graft.catalog.GraftCatalog.isRegistered(session, cat)) =>
+          runCall(session, cat, proc.toLowerCase, c.args)
+          Some(empty)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Evaluate a procedure argument (foldable scalars only) to a JVM
+    * value, interpreting TIMESTAMP literals as epoch millis.
+    */
+  private def argValue(e: Expression): Any = {
+    val v = e match {
+      case f if f.foldable => f.eval()
+      case _ => throw new UnsupportedOperationException(
+        s"procedure argument must be a literal: $e")
+    }
+    (v, e.dataType) match {
+      case (null, _) => null
+      case (micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+        micros / 1000L // epoch millis
+      case (s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      case (other, _) => other
+    }
+  }
+
+  private def runCall(session: SparkSession, cat: String, proc: String,
+                      args: Seq[Expression]): Unit = {
+    // bind positional-then-named onto the procedure's declared parameters
+    val params: Seq[String] = proc match {
+      case "expire_snapshots" => Seq("table", "older_than", "retain_last")
+      case "remove_orphan_files" => Seq("table", "older_than")
+      case "rewrite_data_files" =>
+        Seq("table", "target_file_size_bytes", "delete_ratio")
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $cat.system.$other; supported: " +
+          "expire_snapshots, remove_orphan_files, rewrite_data_files")
+    }
+    val (named, positional) = args.partition(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
+    if (positional.length > params.length)
+      throw new UnsupportedOperationException(
+        s"$proc takes at most ${params.length} arguments")
+    val bound: Map[String, Any] =
+      positional.zip(params).map { case (e, p) => p -> argValue(e) }.toMap ++
+        named.map {
+          case n: org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression =>
+            val key = n.key.toLowerCase
+            if (!params.contains(key))
+              throw new UnsupportedOperationException(
+                s"unknown argument '${n.key}' for $proc " +
+                  s"(takes: ${params.mkString(", ")})")
+            key -> argValue(n.value)
+        }
+    val tableName = bound.getOrElse("table",
+      throw new UnsupportedOperationException(
+        s"$proc needs a table argument")) match {
+      case s: String => s
+      case o => throw new UnsupportedOperationException(
+        s"table argument must be a string, got $o")
+    }
+    val tbl = namedTable(session, cat, tableName)
+    val now = System.currentTimeMillis()
+    def longArg(k: String): Option[Long] = bound.get(k).map {
+      case l: Long => l
+      case i: Int => i.toLong
+      case o => throw new UnsupportedOperationException(
+        s"argument $k must be integral, got $o")
+    }
+    def doubleArg(k: String): Option[Double] = bound.get(k).map {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case o => throw new UnsupportedOperationException(
+        s"argument $k must be numeric, got $o")
+    }
+    // older_than is a point in time (Iceberg semantics); the engine ops
+    // take an age — convert against the same clock passed as nowMs
+    def ageOf(k: String): Option[Long] =
+      longArg(k).map(ts => math.max(0L, now - ts))
+    proc match {
+      case "expire_snapshots" =>
+        val age = ageOf("older_than").getOrElse(90L * 24 * 3600 * 1000)
+        val keep = longArg("retain_last").map(_.toInt).getOrElse(90)
+        tbl.expireSnapshots(age, keep, now)
+      case "remove_orphan_files" =>
+        val age = ageOf("older_than").getOrElse(3L * 24 * 3600 * 1000)
+        tbl.removeOrphanFiles(age, now)
+      case "rewrite_data_files" =>
+        tbl.compact(session,
+          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
+          now, doubleArg("delete_ratio"))
+    }
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS (...)` / `DROP COLUMN[S]` over a graft
+    * identifier → the engine's metadata-only schema evolution
+    * ([[SnapshotTable.addColumns]]/[[SnapshotTable.dropColumns]]).
+    * Claimed early, before ResolveSessionCatalog converts the statement
+    * to a V1 command; only simple top-level columns are supported —
+    * nested fields, positions, defaults and NOT NULL fail loudly (the
+    * engine cannot honor them on carried files).
+    */
+  def rewriteAlter(session: SparkSession,
+                   plan: LogicalPlan): Option[LogicalPlan] = {
+    def graftTable(node: LogicalPlan): Option[SnapshotTable] = node match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        graft.catalog.GraftCatalog
+          .pathCandidates(session, u.multipartIdentifier)
+          .find(p => SnapshotTable.at(p).exists).map(SnapshotTable.at)
+      case _ => None
+    }
+    plan match {
+      case a: AddColumns =>
+        graftTable(a.table).map { tbl =>
+          val fields = a.columnsToAdd.map { qc =>
+            if (qc.path.nonEmpty)
+              unsupported("ALTER TABLE ADD nested column (top-level only)")
+            if (qc.position.nonEmpty)
+              unsupported("ALTER TABLE ADD COLUMN FIRST/AFTER (columns append)")
+            if (qc.default.nonEmpty)
+              unsupported("ALTER TABLE ADD COLUMN with DEFAULT")
+            if (!qc.nullable)
+              unsupported("ALTER TABLE ADD COLUMN NOT NULL (existing rows " +
+                "can only read NULL)")
+            org.apache.spark.sql.types.StructField(qc.colName, qc.dataType)
+          }
+          tbl.addColumns(fields)
+          empty
+        }
+      case d: DropColumns =>
+        graftTable(d.table).map { tbl =>
+          val names = d.columnsToDrop.map { fn =>
+            if (fn.name.length != 1)
+              unsupported("ALTER TABLE DROP nested column (top-level only)")
+            fn.name.head
+          }
+          val todo =
+            if (!d.ifExists) names
+            else {
+              val have = org.apache.spark.sql.types.StructType
+                .fromDDL(tbl.currentManifest.schemaDdl)
+                .fieldNames.map(_.toLowerCase).toSet
+              names.filter(n => have(n.toLowerCase))
+            }
+          if (todo.nonEmpty) tbl.dropColumns(todo)
+          empty
+        }
+      case _ => None
+    }
+  }
 
   /** Multipart identifier of a DESCRIBE/DROP target, whatever resolution
     * stage the node reached before this rule saw it.

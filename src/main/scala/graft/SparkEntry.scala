@@ -193,6 +193,57 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q76_sql_maintenance" -> ((s, d) => {
+      // the reference's ENTIRE lifecycle spelled in SQL, maintenance
+      // included: CTAS → MERGE INTO → CALL expire_snapshots /
+      // remove_orphan_files / rewrite_data_files (the reference runs
+      // exactly these three procedures every ingest,
+      // common/iceberg.py:253-270) → SELECT. Maintenance must be
+      // data-invariant, so the oracle is q71's merge SQL.
+      val root = Files.createTempDirectory("graft-sqlmaint-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q76_target")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q76_target")
+      val table = SnapshotTable.at(root)
+      graft.merge.ChangeSet.build(ordersSource(s, d), table.read(s),
+          ordersCfg.naturalKeys, ordersCfg.updatedAtFields, ordersCfg.flags,
+          allowDeletes = true)
+        .createOrReplaceTempView("graft_q76_changes")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING graft_q76_changes s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"CALL graft.system.expire_snapshots('$root', " +
+        "older_than => TIMESTAMP '2031-01-01 00:00:00', retain_last => 1)")
+      require(table.manifestVersions.size == 1,
+        "expire_snapshots must reclaim the pre-merge snapshot")
+      s.sql(s"CALL graft.system.remove_orphan_files('$root')")
+      val nFiles = table.currentManifest.files.size
+      s.sql(s"CALL graft.system.rewrite_data_files('$root')")
+      require(table.currentManifest.files.size <= nFiles,
+        "rewrite_data_files must not grow the file count")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
+    "q77_sql_alter" -> ((s, d) => {
+      // SQL schema evolution: ADD COLUMNS is a metadata-only commit
+      // (carried files read NULL), UPDATE populates a slice, DROP COLUMN
+      // tombstones — the q67/q70 evolution semantics through ALTER TABLE.
+      val root = Files.createTempDirectory("graft-sqlalter-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      val before = table.currentManifest.files.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (o_note STRING)")
+      require(table.currentManifest.files.map(_.path).toSet == before,
+        "ADD COLUMNS must be metadata-only (all files carried by reference)")
+      s.sql(s"UPDATE graft.`$root` SET o_note = " +
+        "concat(o_orderstatus, '-', CAST(o_orderkey % 7 AS STRING)) " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql(s"ALTER TABLE graft.`$root` DROP COLUMN o_orderpriority")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1229,6 +1280,29 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 13 = 3""".stripMargin),
+
+    // maintenance (expire + orphan sweep + compaction) is data-invariant:
+    // the SQL-only lifecycle must land on q71's merged state exactly
+    "q76_sql_maintenance" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // ADD (null-fill) → UPDATE (populate a slice) → DROP o_orderpriority
+    "q77_sql_alter" -> (withFixtures +
+      """ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderkey % 3 = 0
+        |    THEN concat(o_orderstatus, '-', CAST(o_orderkey % 7 AS VARCHAR))
+        |    ELSE NULL END AS o_note
+        |FROM tgt""".stripMargin),
 
     // q75: bootstrap batch (the pre-append table) + the two appended
     // slices = every row the stream observed = orders, column-for-column

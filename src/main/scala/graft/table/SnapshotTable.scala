@@ -1201,6 +1201,55 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** ADD-COLUMN schema evolution: a metadata-only commit appending the
+    * columns to the manifest schema — no file is touched; reads select
+    * the manifest schema (`spark.read.schema`), so carried files that
+    * lack the column surface NULL, and files written later carry it
+    * physically. The SQL `ALTER TABLE ... ADD COLUMNS` surface routes
+    * here ([[graft.GraftSqlDml]]); the merge-time
+    * `evolveSchema` path reaches the same outcome through a data commit.
+    *
+    * Columns must be nullable (carried files can only answer NULL) and
+    * pass the same resurrection guard as merge-time evolution: a
+    * tombstoned name is refused while any live file predates its drop
+    * (name-based mapping would resurrect the old values — compact()
+    * first, see [[dropColumns]]).
+    */
+  def addColumns(cols: Seq[org.apache.spark.sql.types.StructField],
+                 nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    require(cols.nonEmpty, "nothing to add")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val have = schema.fieldNames.map(_.toLowerCase).toSet
+    cols.foreach { f =>
+      require(!have(f.name.toLowerCase), s"column ${f.name} already exists")
+      require(f.nullable,
+        s"new column ${f.name} must be nullable — existing rows can only " +
+          "read NULL for it")
+    }
+    val dupes = cols.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate new column(s): ${dupes.mkString(", ")}")
+    // resurrection guard over ALL live files (every file is carried by a
+    // metadata-only commit); chunked manifests answer from seq rollups
+    // without parsing documents
+    val risky = m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        resurrectableColumns(m, fl.inline, fl.chunks)
+      case s => resurrectableColumns(m, s)
+    }
+    val hit = cols.map(_.name).filter(c => risky(c.toLowerCase))
+    require(hit.isEmpty,
+      s"re-adding dropped column(s) ${hit.mkString(", ")} would resurrect " +
+        "pre-drop values from carried files (name-based mapping); " +
+        "compact() so every live file postdates the drop, then add")
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        schemaDdl = StructType(schema.fields ++ cols).toDDL)
+    }
+  }
+
   private val DroppedPrefix = "graft.dropped."
 
   /** Columns whose re-addition would resurrect old values: tombstoned

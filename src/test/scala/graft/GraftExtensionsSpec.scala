@@ -323,4 +323,117 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("SQL CALL maintenance procedures route to the engine ops") {
+    val base = spark
+    import base.implicits._
+
+    val root = Files.createTempDirectory("graft-call-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 40).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    tbl.append(base, Seq((41L, "s41")).toDF("id", "s"))
+    tbl.append(base, Seq((42L, "s42")).toDF("id", "s"))
+    assert(tbl.manifestVersions.size == 3)
+
+    // expire_snapshots with Iceberg-style named args: older_than is a
+    // POINT IN TIME (a future literal ⇒ every non-retained snapshot is
+    // old enough), retain_last keeps only the current one
+    base.sql(s"CALL graft.system.expire_snapshots('$root', " +
+      "older_than => TIMESTAMP '2031-01-01 00:00:00', retain_last => 1)")
+    assert(tbl.manifestVersions.size == 1)
+
+    // remove_orphan_files sweeps an aged stray file (positional table arg,
+    // default 3-day gate; the mtime is pushed 10 days back)
+    val stray = java.nio.file.Paths.get(root, "data", "stray.parquet")
+    java.nio.file.Files.createDirectories(stray.getParent)
+    java.nio.file.Files.write(stray, "junk".getBytes)
+    java.nio.file.Files.setLastModifiedTime(stray,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    base.sql(s"CALL graft.system.remove_orphan_files('$root')")
+    assert(!java.nio.file.Files.exists(stray))
+
+    // rewrite_data_files bin-packs the small commits into one file
+    assert(tbl.currentManifest.files.size > 1)
+    base.sql(s"CALL graft.system.rewrite_data_files('$root')")
+    assert(tbl.currentManifest.files.size == 1)
+    assert(tbl.read(base).count() == 42)
+
+    // the registered-catalog spelling takes 'db.table' like the reference
+    val wh = Files.createTempDirectory("graft-callwh-").toString
+    base.conf.set("spark.sql.catalog.graft_callwh",
+      classOf[graft.catalog.GraftCatalog].getName)
+    base.conf.set("spark.sql.catalog.graft_callwh.warehouse", wh)
+    val named = SnapshotTable.at(s"$wh/db1/t1")
+    named.createOrReplace((1 to 5).map(i => (i.toLong, i * 2)).toDF("id", "v"))
+    named.append(base, Seq((6L, 12)).toDF("id", "v"))
+    base.sql("CALL graft_callwh.system.rewrite_data_files('db1.t1')")
+    assert(named.currentManifest.files.size == 1 &&
+      named.read(base).count() == 6)
+
+    // loud failures: unknown procedure, unknown argument, missing table
+    val e1 = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.no_such_proc('$root')")
+    }
+    assert(e1.getMessage.contains("unknown procedure"))
+    val e2 = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.expire_snapshots('$root', nope => 1)")
+    }
+    assert(e2.getMessage.contains("unknown argument"))
+    intercept[IllegalArgumentException] {
+      base.sql("CALL graft.system.expire_snapshots('/no/such/table')")
+    }
+  }
+
+  test("SQL ALTER TABLE ADD/DROP COLUMNS = metadata-only evolution") {
+    val base = spark
+    import base.implicits._
+
+    val root = Files.createTempDirectory("graft-alter-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    val before = tbl.currentManifest.files.map(_.path).toSet
+
+    base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (v DOUBLE, note STRING)")
+    // metadata-only: every data file carried by reference
+    assert(tbl.currentManifest.files.map(_.path).toSet == before)
+    val df = base.sql(s"SELECT * FROM graft.`$root`")
+    assert(df.columns.toSeq == Seq("id", "s", "v", "note"))
+    assert(df.filter($"v".isNull && $"note".isNull).count() == 10)
+
+    // loud refusals: NOT NULL, existing name
+    intercept[UnsupportedOperationException] {
+      base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (x INT NOT NULL)")
+    }
+    intercept[IllegalArgumentException] {
+      base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (ID INT)")
+    }
+
+    base.sql(s"ALTER TABLE graft.`$root` DROP COLUMN s")
+    assert(base.sql(s"SELECT * FROM graft.`$root`").columns.toSeq ==
+      Seq("id", "v", "note"))
+    // IF EXISTS on a missing column no-ops; plain DROP fails loudly
+    base.sql(s"ALTER TABLE graft.`$root` DROP COLUMN IF EXISTS nope")
+    intercept[IllegalArgumentException] {
+      base.sql(s"ALTER TABLE graft.`$root` DROP COLUMN nope")
+    }
+    // re-adding the dropped name is refused while pre-drop files live
+    // (name-based mapping would resurrect the old values)
+    val e = intercept[IllegalArgumentException] {
+      base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (s STRING)")
+    }
+    assert(e.getMessage.contains("resurrect"))
+
+    // the drop tombstone round-trips through SHOW TBLPROPERTIES
+    val props = base.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.contains("graft.dropped.s"), props)
+
+    // after compaction rewrites every file under the post-drop schema,
+    // the re-add is safe and reads NULL (not resurrected values)
+    tbl.compact(base)
+    base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (s STRING)")
+    assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE s IS NULL")
+      .head.getLong(0) == 10)
+  }
 }
