@@ -763,11 +763,8 @@ private[graft] object GraftSqlDml {
           graft.catalog.GraftCatalog.createPath(session, parts).flatMap { p =>
             val tbl = SnapshotTable.at(p)
             if (tbl.exists) {
-              val dir = java.nio.file.Paths.get(p)
-              val s = java.nio.file.Files.walk(dir)
-              try s.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => java.nio.file.Files.deleteIfExists(f))
-              finally s.close()
+              // locked drop: exists flips false before data removal
+              tbl.drop()
               Some(empty)
             } else if (dt.ifExists) Some(empty) // no-op, per SQL
             else if (parts.length == 2 && parts.head.equalsIgnoreCase("graft"))

@@ -335,6 +335,44 @@ object SparkEntry {
       streamed
     }),
 
+    "q78_stream_table_sink" -> ((s, d) => {
+      // NATIVE streaming sink (graft-table writeStream — the
+      // Delta/Iceberg streaming-sink analog): tail one snapshot table
+      // into another through readStream→writeStream, no foreachBatch.
+      // Each micro-batch is one fast-append commit carrying the batchId
+      // marker in the SAME commit, so the restarted passes and the
+      // no-new-data pass must be exactly-once (asserted). Final
+      // downstream table ≡ source ≡ orders.
+      val srcRoot = Files.createTempDirectory("graft-sink-src-").toString
+      val dstRoot = Files.createTempDirectory("graft-sink-dst-").toString
+      val source = SnapshotTable.at(srcRoot)
+      val dest = SnapshotTable.at(dstRoot)
+      source.createOrReplace(ordersTarget(s, d))
+      val extra = t(s, d, "orders").select(orderCols.map(col): _*)
+        .filter(col("o_orderkey") % 13 === 3)
+      val ckpt = Files.createTempDirectory("graft-sink-ckpt-").toString
+      def pass(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("startVersion", "0").load(srcRoot)
+          .writeStream.format("graft-table")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(dstRoot)
+        q.awaitTermination()
+      }
+      pass() // bootstrap: the sink creates the downstream table
+      val v1 = dest.currentVersion
+      pass() // restart, no new commits: must not land anything
+      require(dest.currentVersion == v1,
+        "an empty restart must not commit (idempotent batch replay)")
+      source.append(s, extra.filter(col("o_orderkey") % 2 === 0))
+      source.append(s, extra.filter(col("o_orderkey") % 2 =!= 0))
+      pass() // tail: the appended rows land exactly once
+      require(dest.read(s).count() == source.read(s).count(),
+        "downstream must equal the source exactly once")
+      dest.read(s)
+    }),
+
     "q16_merge_cdc" -> ((s, d) => {
       val ev = events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -1307,6 +1345,13 @@ object SparkEntry {
     // q75: bootstrap batch (the pre-append table) + the two appended
     // slices = every row the stream observed = orders, column-for-column
     "q75_stream_table_tail" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    // q78: the native-sink pipeline lands the same rows downstream —
+    // bootstrap + the two appended slices, exactly once = orders
+    "q78_stream_table_sink" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,

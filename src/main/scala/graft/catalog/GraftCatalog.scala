@@ -136,11 +136,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "ALTER TABLE is not supported; use SnapshotTable.evolveSchema / " +
         "evolvePartitioning or MERGE ... WITH SCHEMA EVOLUTION")
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val d = dirOf(ident)
-    if (!SnapshotTable.at(d.toString).exists) false
-    else { deleteRecursively(d); true }
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    SnapshotTable.at(dirOf(ident).toString).drop()
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)

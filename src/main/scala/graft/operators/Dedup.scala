@@ -208,15 +208,23 @@ object Dedup {
     * [[ngramJaccardPairs]]; `maxBucket` drops degenerate blocks (an
     * all-identical-prefix corpus must not explode the join) — dropped
     * blocks are the exact-dedup regime anyway, not the edit-distance one.
-    * Levenshtein here is the plain DP both engines implement identically,
-    * so the whole operator is oracle-checkable cross-engine.
+    *
+    * Per-pair cost is O(len·maxDist), not O(len²): two cheap pre-filters
+    * (a pair whose lengths differ by more than `maxDist` cannot be within
+    * it; `maxDist` insertions cannot bridge a larger gap) run as join
+    * conditions before any DP, and the DP itself is the THRESHOLDED
+    * Levenshtein (`levenshtein(l, r, threshold)`) — a banded computation
+    * that abandons a pair the moment every cell in the current band
+    * exceeds the bound, returning -1. Kept pairs report the exact
+    * distance, so the operator stays oracle-checkable cross-engine
+    * (DedupSimilaritySpec pins banded ≡ plain DP under the filter).
     */
   def editDistanceNearDups(docs: DataFrame, idCol: String, textCol: String,
                            prefixLen: Int = 64, maxDist: Int = 8,
                            maxBucket: Int = 1000): DataFrame = {
     val keyed = spread(docs).select(col(idCol).as("id"),
       md5(substring(col(textCol), 1, prefixLen)).as("blk"),
-      col(textCol).as("txt"))
+      col(textCol).as("txt"), length(col(textCol)).as("len"))
     val small = keyed.groupBy(col("blk"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select("blk")
@@ -227,9 +235,10 @@ object Dedup {
     // estimate is most wrong exactly when the side is biggest)
     val sh = noBroadcastWhenLarge(sh0, sh0.count())
     sh.alias("a").join(sh.alias("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("lev", levenshtein(col("a.txt"), col("b.txt")))
-      .filter(col("lev") <= maxDist)
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("lev", levenshtein(col("a.txt"), col("b.txt"), maxDist + 1))
+      .filter(col("lev").between(0, maxDist))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("lev"))
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.table.SnapshotTable
@@ -39,7 +39,8 @@ import graft.table.SnapshotTable
   * horizons longer than consumer lag, as with Iceberg.
   */
 final class GraftTableSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -47,6 +48,24 @@ final class GraftTableSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-table source requires a table root: " +
         ".load(<path>) or .option(\"path\", <path>)"))
+
+  /** `writeStream.format("graft-table")` — the native streaming SINK
+    * (Delta/Iceberg streaming-write analog): each micro-batch is one
+    * fast-append snapshot commit, exactly once. See [[GraftTableSink]].
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    if (outputMode != org.apache.spark.sql.streaming.OutputMode.Append())
+      throw new UnsupportedOperationException(
+        s"graft-table sink is append-only ($outputMode given); aggregating " +
+          "or upserting streams go through foreachBatch + " +
+          "StreamingIngest/merge, which can express rewrites")
+    new GraftTableSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters, partitionColumns)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -109,30 +128,37 @@ final class GraftTableSource(spark: SparkSession, path: String,
   private val startVersion: Long = parameters.get("startVersion") match {
     case Some(v) if v != "latest" => v.toLong
     case _ =>
-      val dir = {
-        val uri = new java.net.URI(metadataPath)
-        java.nio.file.Paths.get(
-          if (uri.getScheme == null) metadataPath else uri.getPath)
+      // the pin lives NEXT TO the checkpoint, through the Hadoop
+      // FileSystem of the metadataPath's OWN scheme — a local-FS shortcut
+      // here would silently re-pin on a different machine when the
+      // checkpoint is on hdfs://s3a://, skipping the very commits the pin
+      // exists to protect (r5 ADVICE). FS contract relied on: create(tmp,
+      // overwrite=false) then rename(tmp, pin) where rename does NOT
+      // replace an existing destination — the winner of a
+      // same-checkpoint race rules, the loser reads the winner's pin.
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val dir = new org.apache.hadoop.fs.Path(metadataPath)
+      val fs = dir.getFileSystem(hadoopConf)
+      val pin = new org.apache.hadoop.fs.Path(dir, "graft-start-version")
+      def readPin(): Long = {
+        val in = fs.open(pin)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
       }
-      val pin = dir.resolve("graft-start-version")
-      if (java.nio.file.Files.exists(pin))
-        new String(java.nio.file.Files.readAllBytes(pin),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      if (fs.exists(pin)) readPin()
       else {
         val v = tbl.currentVersion
-        java.nio.file.Files.createDirectories(dir)
-        val tmp = java.nio.file.Files.createTempFile(dir, ".start", ".tmp")
-        java.nio.file.Files.write(tmp,
-          v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          java.nio.file.Files.move(tmp, pin,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          v
-        } catch { // lost a (same-checkpoint) race: the winner's pin rules
-          case _: java.nio.file.FileAlreadyExistsException =>
-            java.nio.file.Files.deleteIfExists(tmp)
-            new String(java.nio.file.Files.readAllBytes(pin),
-              java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        fs.mkdirs(dir)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".start-${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, pin)) v
+        else { // lost a (same-checkpoint) race: the winner's pin rules
+          fs.delete(tmp, false)
+          readPin()
         }
       }
   }
@@ -164,4 +190,81 @@ final class GraftTableSource(spark: SparkSession, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** Structured Streaming SINK over a [[SnapshotTable]]: each micro-batch
+  * is one fast-append snapshot commit (files added, everything else
+  * carried by reference), with EXACTLY-ONCE replay protection — the
+  * last committed batchId is recorded in the manifest's properties IN
+  * THE SAME COMMIT as the batch's files, so a batch replayed after a
+  * crash/restart (Structured Streaming's at-least-once redelivery) is
+  * recognized and skipped whole. The Delta/Iceberg streaming-sink
+  * analog; plain append streams no longer need a user-written
+  * foreachBatch function (merging/upserting streams still do — see
+  * [[StreamingIngest]]).
+  *
+  * {{{
+  * df.writeStream.format("graft-table")
+  *   .option("checkpointLocation", ckpt)   // also the stream's durable
+  *                                         // identity for the batch marker
+  *   .start("/path/to/table")              // created on first batch if absent
+  * }}}
+  *
+  * The stream's identity is its checkpoint location (stable across
+  * restarts — the same property FileStreamSink relies on); a second
+  * stream with a DIFFERENT checkpoint appending to the same table keeps
+  * its own marker, so concurrent producers do not corrupt each other's
+  * replay accounting.
+  */
+final class GraftTableSink(spark: SparkSession, path: String,
+                           parameters: Map[String, String],
+                           partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  private val tbl = SnapshotTable.at(path)
+
+  // durable stream identity: explicit option first, else the checkpoint
+  // location. Loud when neither is present — a session-default checkpoint
+  // dir is not visible here, and a random identity would silently lose
+  // replay protection across restarts.
+  private val streamId = parameters.get("streamId")
+    .orElse(parameters.get("checkpointLocation"))
+    .getOrElse(throw new IllegalArgumentException(
+      "graft-table sink needs .option(\"checkpointLocation\", ...) (its " +
+        "durable stream identity) or an explicit .option(\"streamId\", ...)"))
+
+  private val markerKey = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(streamId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"graft.stream.${md.map("%02x".format(_)).mkString.take(16)}.last-batch"
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val committed =
+      if (tbl.exists) tbl.currentManifest.properties.get(markerKey).map(_.toLong)
+      else None
+    if (committed.exists(_ >= batchId)) return // replayed batch: no-op
+    // the micro-batch frame is streaming-tagged; commit its physical rows
+    // through the batch append path
+    val batch = org.apache.spark.sql.GraftBridge.batchDataFrame(data)
+    if (!tbl.exists) {
+      tbl.createOrReplace(batch, partitionColumns,
+        Map(markerKey -> batchId.toString))
+    } else {
+      val m = tbl.currentManifest
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val unknown = batch.columns.filterNot(c =>
+        schema.exists(_.name.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"stream batch columns not in the table schema: " +
+          s"${unknown.mkString(", ")} (evolve the table first; the sink " +
+          "never evolves it implicitly)")
+      val aligned = batch.select(schema.toSeq.map { f =>
+        batch.columns.find(_.equalsIgnoreCase(f.name)) match {
+          case Some(c) => col(c).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+      tbl.append(spark, aligned, extraProps = Map(markerKey -> batchId.toString))
+    }
+  }
 }

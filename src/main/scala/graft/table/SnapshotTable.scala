@@ -204,6 +204,43 @@ final class SnapshotTable(val root: Path,
 
   def currentManifest: Manifest = manifest(currentVersion)
 
+  /** Drop the table (purge semantics — data and metadata both go). The
+    * commit-DEFINING artifacts (pointer, CAS claims, manifests) are
+    * removed first, inside the publisher's critical section: `exists`
+    * flips false atomically with respect to concurrent committers, which
+    * then fail their expected-version checks loudly instead of
+    * interleaving with a half-deleted directory (r5 ADVICE — the SQL
+    * DROP previously walked the tree with no lock). The remaining files
+    * (data, the lock file itself) are swept after release; a reader that
+    * raced the sweep sees a table that already reports not-exists.
+    */
+  def drop(): Boolean = {
+    if (!exists) return false
+    publisher.critical(root, metaDir) {
+      if (Files.isDirectory(metaDir))
+        scala.util.Using.resource(Files.list(metaDir)) { st =>
+          st.iterator().asScala
+            .filterNot(_.getFileName.toString == "_lock")
+            .foreach { p =>
+              if (Files.isDirectory(p)) { // _claims
+                scala.util.Using.resource(Files.list(p)) { cs =>
+                  cs.iterator().asScala.foreach(c => Files.deleteIfExists(c))
+                }
+                Files.deleteIfExists(p)
+              } else Files.deleteIfExists(p)
+            }
+        }
+    }
+    manifestCache.clear()
+    if (Files.exists(root)) {
+      val s = Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+    true
+  }
+
   // manifests are immutable once committed (ghosts — see manifestVersions
   // — are never readable), so parse-once-per-instance is safe; metadata
   // ops like readAsOf/history/expiry walk every retained version and
@@ -881,15 +918,22 @@ final class SnapshotTable(val root: Path,
 
   def dropTag(name: String): Boolean = Files.deleteIfExists(tagFile(name))
 
-  /** All tags: name → pinned version. */
+  /** All tags: name → pinned version. Runs during SQL analysis (the
+    * ``@<name>`` suffix rule) and inside expiry, so an entry whose ref
+    * file vanishes between the listing and the read — a concurrent
+    * [[dropTag]] — is skipped, not thrown: the drop is a legitimate
+    * outcome, and failing an unrelated query on it would be a spurious
+    * race (r5 ADVICE).
+    */
   def tags: Map[String, Long] =
     if (!Files.isDirectory(metaDir)) Map.empty
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("_ref-"))
-        .map(n => n.stripPrefix("_ref-") ->
-          new String(Files.readAllBytes(metaDir.resolve(n)),
-            StandardCharsets.UTF_8).trim.toLong)
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix("_ref-") ->
+            new String(Files.readAllBytes(metaDir.resolve(n)),
+              StandardCharsets.UTF_8).trim.toLong).toOption)
         .toMap
     }
 
@@ -929,12 +973,18 @@ final class SnapshotTable(val root: Path,
     * touched set makes concurrent commits rebase trivially. Callers must
     * align `df` to the table schema (the SQL path does).
     */
+  /** @param extraProps properties merged into the committed manifest in
+    *   the SAME commit as the appended files — the transactional marker
+    *   slot the streaming sink's batchId→snapshot idempotency rides on
+    *   (a replayed batch and its marker can never land separately).
+    */
   def append(spark: SparkSession, df: DataFrame,
-             nowMs: Long = System.currentTimeMillis()): Manifest = {
+             nowMs: Long = System.currentTimeMillis(),
+             extraProps: Map[String, String] = Map.empty): Manifest = {
     val m = currentManifest
     val (carriedChunks, loose, _) = splitTouchedOf(m.files, Set.empty)
-    commitData(df, Some(m), m.partitionColumns, m.properties, nowMs,
-      carryForward = loose, carryChunks = carriedChunks,
+    commitData(df, Some(m), m.partitionColumns, m.properties ++ extraProps,
+      nowMs, carryForward = loose, carryChunks = carriedChunks,
       carryDeletes = m.deleteFiles, rebaseTouched = Some(Set.empty))
   }
 

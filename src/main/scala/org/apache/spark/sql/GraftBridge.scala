@@ -48,4 +48,17 @@ object GraftBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse re-tag: a micro-batch DataFrame handed to a DSv1
+    * `Sink.addBatch` still carries `isStreaming = true`, which batch
+    * write paths reject — wrap its physical rows as a plain batch frame
+    * (same `toRdd`, only the flag changes). This is how
+    * [[graft.streaming.GraftTableSink]] feeds a micro-batch into the
+    * engine's batch append commit.
+    */
+  def batchDataFrame(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -57,6 +57,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("banded thresholded Levenshtein ≡ plain DP under the distance filter") {
+    // the operator's per-pair engine is levenshtein(l, r, threshold) —
+    // banded O(len·maxDist) with early abandon (-1 past the bound). Pin
+    // its equivalence to the plain O(len²) DP on random string pairs:
+    // same kept set, same distances, for every pair with plain lev <= 8
+    val rnd = new scala.util.Random(42)
+    def randStr(n: Int) =
+      (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    def mutate(s: String) = {
+      val i = rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 => s.updated(i, ('a' + rnd.nextInt(4)).toChar) // sub
+        case 1 => s.take(i) + s.drop(i + 1)                   // del
+        case _ => s.take(i) + ('a' + rnd.nextInt(4)).toChar + s.drop(i) // ins
+      }
+    }
+    val pairs = (1 to 200).map { i =>
+      val a = randStr(30 + rnd.nextInt(60))
+      val b = if (i % 2 == 0) (1 to rnd.nextInt(14)).foldLeft(a)((s, _) => mutate(s))
+              else randStr(30 + rnd.nextInt(60))
+      (a, b)
+    }.toDF("a", "b")
+    val maxDist = 8
+    val out = pairs.select(
+        levenshtein($"a", $"b").as("plain"),
+        levenshtein($"a", $"b", maxDist + 1).as("banded"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (plain, banded) =>
+      if (plain <= maxDist) assert(banded == plain,
+        s"banded $banded != plain $plain within the bound")
+      else assert(banded == -1 || banded > maxDist,
+        s"banded $banded leaked a pair with plain $plain")
+    }
+    assert(out.exists(_._1 <= maxDist) && out.exists(_._1 > maxDist))
+  }
+
   test("simhash of a near-identical document has small hamming distance") {
     val base = docs.limit(1).select($"text").as[String].head()
     val edited = base + " extra token"

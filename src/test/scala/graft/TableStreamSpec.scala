@@ -95,6 +95,63 @@ class TableStreamSpec extends SparkSpec {
       "pass 2 must land as ONE append commit on the downstream table")
   }
 
+  test("native sink: source→sink pipeline exactly-once; replayed batches no-op") {
+    import spark.implicits._
+    val srcRoot = tmp("graft-snk-src-")
+    val dstRoot = tmp("graft-snk-dst-")
+    val src = SnapshotTable.at(srcRoot)
+    val dst = SnapshotTable.at(dstRoot)
+    src.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val ckpt = tmp("graft-snk-ckpt-")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0").load(srcRoot)
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(dstRoot)
+      q.awaitTermination()
+    }
+    run() // bootstrap: the sink auto-creates the downstream table
+    assert(dst.exists && dst.read(spark).count() == 2)
+    val v1 = dst.currentVersion
+    run() // restart with no new source commits: nothing lands
+    assert(dst.currentVersion == v1, "empty restart must not commit")
+    src.append(spark, Seq((3L, "c")).toDF("id", "v"))
+    src.append(spark, Seq((4L, "d")).toDF("id", "v"))
+    run() // tail: appended rows land as ONE append commit
+    assert(dst.read(spark).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(dst.currentVersion == v1 + 1)
+
+    // direct replay probe (the crash-redelivery path): re-delivering an
+    // already-committed batchId is a whole-batch no-op; the next id lands
+    val marker = dst.currentManifest.properties
+      .find(_._1.matches("graft\\.stream\\..*\\.last-batch")).get
+    val sink = new graft.streaming.GraftTableSink(spark, dstRoot,
+      Map("checkpointLocation" -> ckpt), Nil)
+    val before = dst.currentVersion
+    sink.addBatch(marker._2.toLong, Seq((99L, "z")).toDF("id", "v"))
+    assert(dst.currentVersion == before, "replayed batch must no-op")
+    sink.addBatch(marker._2.toLong + 1, Seq((99L, "z")).toDF("id", "v"))
+    assert(dst.read(spark).count() == 5)
+
+    // loud guards: no durable identity; unknown batch column; non-append
+    intercept[IllegalArgumentException] {
+      new graft.streaming.GraftTableSink(spark, dstRoot,
+        Map("path" -> dstRoot), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      sink.addBatch(marker._2.toLong + 2,
+        Seq((1L, "x", 9.9)).toDF("id", "v", "extra"))
+    }
+    intercept[UnsupportedOperationException] {
+      new graft.streaming.GraftTableSourceProvider().createSink(
+        spark.sqlContext, Map("path" -> dstRoot,
+          "checkpointLocation" -> ckpt), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }
+  }
+
   test("rewrite commits fail loudly; ignoreChanges re-emits rewrites") {
     import spark.implicits._
     val root = tmp("graft-ts-")
