@@ -83,23 +83,28 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@ts1700000000000` `` — latest snapshot ≤ epoch-millis
   *   - ``graft.`/path@history` ``  — snapshot history relation
   *   - ``graft.`/path@files` ``    — live data-file relation
+  *   - ``graft.`/path@refs` ``     — named refs (main/tags/branches)
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
 case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files)$".r
+  private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs)$".r
 
-  /** ``@<name>`` where `<name>` is a live TAG on the prefix table (tag
-    * names cannot collide with the reserved [[Suffixed]] shapes —
-    * `SnapshotTable.tag` rejects them).
+  /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
+    * table (names cannot collide with the reserved [[Suffixed]] shapes —
+    * `SnapshotTable.tag`/`branch` reject them, and the two share one
+    * namespace so the suffix is unambiguous). A branch suffix reads the
+    * branch HEAD.
     */
   private object TagSuffixed {
     private val Shape = "(.*)@([A-Za-z][A-Za-z0-9_-]*)$".r
     def unapply(ident: String): Option[(String, String)] = ident match {
       case Shape(p, s)
-          if SnapshotTable.at(p).exists && SnapshotTable.at(p).tags.contains(s) =>
+          if SnapshotTable.at(p).exists &&
+            (SnapshotTable.at(p).tags.contains(s) ||
+              SnapshotTable.at(p).branches.contains(s)) =>
         Some((p, s))
       case _ => None
     }
@@ -129,7 +134,11 @@ case class GraftPathRelations(session: SparkSession)
     else Some(suffix match {
       case Some("history")                 => tbl.history(session)
       case Some("files")                   => tbl.files(session)
-      case Some(t) if t.startsWith("tag:") => tbl.readTag(session, t.drop(4))
+      case Some("refs")                    => tbl.refs(session)
+      case Some(t) if t.startsWith("tag:") =>
+        val n = t.drop(4)
+        if (tbl.tags.contains(n)) tbl.readTag(session, n)
+        else tbl.readBranch(session, n)
       case Some(v) if v.startsWith("ts")   => tbl.readAsOf(session, v.drop(2).toLong)
       case Some(v) if v.startsWith("v")    => tbl.readVersion(session, v.drop(1).toLong)
       case None                            => tbl.read(session)
@@ -257,9 +266,10 @@ case class GraftPathRelations(session: SparkSession)
   *
   * '''EXPLAIN executes DML.''' Because execution happens during ANALYSIS
   * (the only injection slot without a DSv2 catalog to hang row-level
-  * plans on), `EXPLAIN MERGE/UPDATE/DELETE/CTAS/INSERT/DROP TABLE` — or
+  * plans on), `EXPLAIN MERGE/UPDATE/DELETE/CTAS/INSERT/DROP TABLE/
+  * CALL/ALTER TABLE` — or
   * merely analyzing the statement without an action — PERFORMS the
-  * write (for DROP: the delete). There is no
+  * write (for DROP: the delete; for CALL: the procedure). There is no
   * reliable in-rule signal that analysis was triggered by an
   * `ExplainCommand` (the command re-analyzes its stored plan through the
   * ordinary entry point at run time). Dry-run a graft DML statement by
@@ -493,13 +503,15 @@ private[graft] object GraftSqlDml {
     * Claimed for `cat` = the `graft` literal or a registered
     * [[graft.catalog.GraftCatalog]]; routed to the engine ops
     * ([[SnapshotTable.expireSnapshots]]/[[SnapshotTable.removeOrphanFiles]]/
-    * [[SnapshotTable.compact]]). Args follow the Iceberg procedure
-    * signatures: first positional (or `table =>`) names the table;
-    * optional named args `older_than` (TIMESTAMP or epoch millis),
-    * `retain_last`, `target_file_size_bytes`, `delete_ratio`. Unknown
-    * procedures and unknown/unevaluable args fail loudly. Like all graft
-    * SQL DML, the call executes during analysis and the statement
-    * resolves to an empty relation.
+    * [[SnapshotTable.compact]]), plus the snapshot-management set Iceberg
+    * ships as procedures: `rollback_to_snapshot`, `create_tag`/`drop_tag`,
+    * `create_branch`/`drop_branch`, `fast_forward`. Args follow the
+    * Iceberg signatures: first positional (or `table =>`) names the
+    * table; optional named args `older_than` (TIMESTAMP or epoch
+    * millis), `retain_last`, `target_file_size_bytes`, `delete_ratio`,
+    * `version`, `name`. Unknown procedures and unknown/unevaluable args
+    * fail loudly. Like all graft SQL DML, the call executes during
+    * analysis and the statement resolves to an empty relation.
     */
   def rewriteCall(session: SparkSession,
                   plan: LogicalPlan): Option[LogicalPlan] = plan match {
@@ -543,9 +555,14 @@ private[graft] object GraftSqlDml {
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
         Seq("table", "target_file_size_bytes", "delete_ratio")
+      case "rollback_to_snapshot" => Seq("table", "version")
+      case "create_tag" | "create_branch" => Seq("table", "name", "version")
+      case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
-          "expire_snapshots, remove_orphan_files, rewrite_data_files")
+          "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
+          "rollback_to_snapshot, create_tag, drop_tag, create_branch, " +
+          "drop_branch, fast_forward")
     }
     val (named, positional) = args.partition(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
@@ -604,6 +621,29 @@ private[graft] object GraftSqlDml {
         tbl.compact(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
           now, doubleArg("delete_ratio"))
+      case "rollback_to_snapshot" =>
+        tbl.rollbackTo(longArg("version").getOrElse(
+          throw new UnsupportedOperationException(
+            "rollback_to_snapshot needs a version argument")))
+      case nameTaking =>
+        val refName = bound.getOrElse("name",
+          throw new UnsupportedOperationException(
+            s"$nameTaking needs a name argument")) match {
+          case s: String => s
+          case o => throw new UnsupportedOperationException(
+            s"name argument must be a string, got $o")
+        }
+        nameTaking match {
+          case "create_tag" =>
+            tbl.tag(refName,
+              longArg("version").getOrElse(tbl.currentVersion))
+          case "drop_tag" => tbl.dropTag(refName)
+          case "create_branch" =>
+            tbl.branch(refName,
+              longArg("version").getOrElse(tbl.currentVersion))
+          case "drop_branch" => tbl.dropBranch(refName)
+          case "fast_forward" => tbl.fastForward(refName)
+        }
     }
   }
 

@@ -244,6 +244,40 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
+    "q79_branch_wap" -> ((s, d) => {
+      // WRITE-AUDIT-PUBLISH through a writable branch (the Iceberg WAP
+      // pattern, branches completing r5's tags): stage q14's merge on an
+      // 'audit' branch — main still serves the PRE-merge snapshot
+      // (asserted) — audit the staged state through the SQL @suffix,
+      // then CALL fast_forward to publish. Final main state = q14's
+      // merge oracle; the audit isolation and the refs relation are
+      // asserted in-query.
+      val root = Files.createTempDirectory("graft-wap-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(ordersTarget(s, d))
+      s.sql(s"CALL graft.system.create_branch('$root', 'audit')")
+      val staged = table.atBranch("audit")
+      staged.merge(s,
+        graft.merge.ChangeSet.build(ordersSource(s, d), staged.read(s),
+          ordersCfg.naturalKeys, ordersCfg.updatedAtFields, ordersCfg.flags,
+          allowDeletes = true),
+        ordersCfg.naturalKeys, keepDeletes = false)
+      // isolation: main is untouched while the branch holds the merge
+      require(table.currentVersion == 1L &&
+        table.read(s).count() == ordersTarget(s, d).count(),
+        "main must keep serving the pre-merge snapshot")
+      val audited = s.sql(
+        s"SELECT count(*) AS c FROM graft.`$root@audit`").head.getLong(0)
+      require(audited > 0, "audit read must see the staged merge")
+      val nRefs = s.sql(s"SELECT count(*) AS c FROM graft.`$root@refs` " +
+        "WHERE name = 'audit' AND type = 'branch'").head.getLong(0)
+      require(nRefs == 1, "the refs relation must list the branch")
+      s.sql(s"CALL graft.system.fast_forward('$root', 'audit')")
+      require(table.read(s).count() == audited,
+        "fast-forward must publish the audited state")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1322,6 +1356,20 @@ object SparkEntry {
     // maintenance (expire + orphan sweep + compaction) is data-invariant:
     // the SQL-only lifecycle must land on q71's merged state exactly
     "q76_sql_maintenance" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // write-audit-publish lands exactly the merged state on main
+    "q79_branch_wap" -> (withFixtures +
       """ SELECT t.* FROM tgt t
         |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
         |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey

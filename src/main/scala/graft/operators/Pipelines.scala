@@ -10,6 +10,25 @@ import org.apache.spark.sql.functions._
   */
 object Pipelines {
 
+  /** Near-dup CLUSTER resolution at scale: MinHash-LSH pair edges →
+    * connected components → `(doc_id, component)` per document appearing
+    * in any near-dup pair. The LSH-fed variant of q53's pipeline: the
+    * blocked-brute pair source stays the oracle-checkable baseline (its
+    * quadratic-within-block cost is the point of the check), this is the
+    * 100 TB swap — banded bucket joins bounded by `maxBucketSize`, never
+    * all-pairs. AsOfGraphSpec pins cluster equality between the two pair
+    * sources on a planted corpus; ScaleProbe's `dedup_clusters_cc` stage
+    * times exactly this composition at 500k docs.
+    */
+  def dedupClustersLsh(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.5,
+                       maxBucketSize: Int = 200): DataFrame =
+    Graph.connectedComponents(
+      Dedup.minhashNearDups(docs, idCol, textCol, threshold = threshold,
+        maxBucketSize = maxBucketSize),
+      "id_a", "id_b")
+      .select(col("id_a").as(idCol), col("component"))
+
   /** Corpus cleaning: exact-dedup survivors that pass a quality threshold
     * and a language allowlist. Returns one row per surviving document with
     * its quality score and predicted language.

@@ -152,17 +152,39 @@ object CasPublish extends AtomicPublish {
     }
   }
 
-  /** Newest claimed version whose manifest is installed; the pointer file
-    * (maintained as a best-effort cache, and the source of truth for
-    * tables last written by [[FileLockPublish]]) participates in the max,
-    * so histories are readable across impl switches. A claim whose
-    * manifest install never completed (crash) is skipped here but still
-    * blocks version reuse via [[claimedVersions]].
+  /** Newest MAIN-lineage claimed version whose manifest is installed; the
+    * pointer file (maintained as a best-effort cache, and the source of
+    * truth for tables last written by [[FileLockPublish]]) participates
+    * in the max, so histories are readable across impl switches. A claim
+    * whose manifest install never completed (crash) is skipped here but
+    * still blocks version reuse via [[claimedVersions]]; a claim with
+    * CONTENT is a BRANCH commit ([[BranchPublish]]) — it reserves its
+    * version number globally but must never define main's current.
     */
   def current(metaDir: Path): Option[Long] = {
     val claimed = claimedVersions(metaDir)
-      .filter(v => Files.exists(metaDir.resolve(s"v$v.json")))
+      .filter { v =>
+        val c = claimsDir(metaDir).resolve(s"v$v")
+        Files.exists(metaDir.resolve(s"v$v.json")) &&
+          (try Files.size(c) == 0L
+           catch { case _: java.io.IOException => false })
+      }
     (claimed ++ readPointer(metaDir)).maxOption
+  }
+
+  /** Claim `v` for a non-main (branch) lineage: atomic create with the
+    * branch name as content, so [[current]] skips it while
+    * [[claimedVersions]] still blocks version reuse. False = claim lost.
+    */
+  private[table] def claimForBranch(metaDir: Path, v: Long,
+                                    branch: String): Boolean = {
+    Files.createDirectories(claimsDir(metaDir))
+    try {
+      Files.write(claimsDir(metaDir).resolve(s"v$v"),
+        branch.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+      true
+    } catch { case _: FileAlreadyExistsException => false }
   }
 
   def critical[T](root: Path, metaDir: Path)(f: => T): T =
@@ -193,15 +215,100 @@ object CasPublish extends AtomicPublish {
     true
   }
 
-  /** Rollback: claims above `v` stop defining `current` by deleting their
-    * markers; their manifests stay retained for time travel, and version
-    * reuse is prevented by the high-water mark exactly as with the lock
-    * impl.
+  /** Rollback: MAIN claims above `v` stop defining `current` by deleting
+    * their markers; their manifests stay retained for time travel, and
+    * version reuse is prevented by the high-water mark exactly as with
+    * the lock impl. BRANCH claims (content-ful) are left alone — their
+    * lineages are independent of main's rollback, and deleting one would
+    * re-open its version number for reuse under a still-live ref.
     */
   def forceCurrent(metaDir: Path, v: Long): Unit = {
     claimedVersions(metaDir).filter(_ > v)
-      .foreach(c => Files.deleteIfExists(claimsDir(metaDir).resolve(s"v$c")))
+      .foreach { c =>
+        val p = claimsDir(metaDir).resolve(s"v$c")
+        val isMain = try Files.size(p) == 0L
+                     catch { case _: java.io.IOException => false }
+        if (isMain) Files.deleteIfExists(p)
+      }
     writePointer(metaDir, v, ".rb")
+  }
+}
+
+/** A writable branch ref: `head` is the branch's current snapshot,
+  * `base` the main version the lineage last diverged from (what
+  * fast-forward validates against). Persisted as `meta/_branch-<name>`
+  * containing `"<head> <base>"`, written via temp + atomic move.
+  */
+private[table] final case class BranchRef(head: Long, base: Long)
+
+private[table] object BranchRefs {
+  def file(metaDir: Path, name: String): Path =
+    metaDir.resolve(s"_branch-$name")
+
+  def read(p: Path): Option[BranchRef] =
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .trim.split("\\s+")
+      BranchRef(parts(0).toLong, parts(1).toLong)
+    }.toOption
+
+  def write(p: Path, ref: BranchRef): Unit = {
+    val tmp = p.resolveSibling(
+      s".${p.getFileName}.tmp${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.write(tmp, s"${ref.head} ${ref.base}".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Publisher for commits THROUGH A BRANCH (Iceberg write-to-branch
+  * analog): `current` is the branch head, publication advances the
+  * branch ref and never touches main's pointer. Version numbers come
+  * from the shared sequence — under [[FileLockPublish]] the held lock
+  * makes allocation race-free; under [[CasPublish]] the branch claims
+  * its version with a CONTENT-ful marker ([[CasPublish.claimForBranch]])
+  * that blocks reuse globally while staying invisible to main's
+  * `current`. Manifests land in the same `meta/` as main's (they ARE
+  * retained snapshots: global version time travel, orphan protection and
+  * expiry see them), only the ref differs.
+  */
+private[table] final class BranchPublish(inner: AtomicPublish,
+                                         branch: String) extends AtomicPublish {
+  val name = s"${inner.name}+branch($branch)"
+
+  private def ref(metaDir: Path) = BranchRefs.file(metaDir, branch)
+
+  def current(metaDir: Path): Option[Long] =
+    BranchRefs.read(ref(metaDir)).map(_.head)
+
+  def critical[T](root: Path, metaDir: Path)(f: => T): T =
+    inner.critical(root, metaDir)(f)
+
+  def claimedVersions(metaDir: Path): Seq[Long] = inner.claimedVersions(metaDir)
+
+  def tryPublish(metaDir: Path, expected: Option[Long], v: Long,
+                 staged: Path): Boolean = {
+    val r = BranchRefs.read(ref(metaDir))
+    if (r.map(_.head) != expected) { Files.deleteIfExists(staged); return false }
+    inner match {
+      case CasPublish =>
+        if (!CasPublish.claimForBranch(metaDir, v, branch)) {
+          Files.deleteIfExists(staged); return false
+        }
+      case _ => // FileLockPublish: the held exclusive lock already
+                // serializes allocation and installation
+    }
+    Files.move(staged, metaDir.resolve(s"v$v.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    BranchRefs.write(ref(metaDir),
+      BranchRef(v, r.map(_.base).getOrElse(v)))
+    true
+  }
+
+  def forceCurrent(metaDir: Path, v: Long): Unit = {
+    val base = BranchRefs.read(ref(metaDir)).map(_.base).getOrElse(v)
+    BranchRefs.write(ref(metaDir), BranchRef(v, base))
   }
 }
 

@@ -881,6 +881,18 @@ final class SnapshotTable(val root: Path,
     }.toDF("version", "timestamp_ms", "n_files", "is_current")
   }
 
+  /** `.refs` metadata relation (Iceberg's `db.table.refs`): every named
+    * ref — `main`, tags, branches — with the version it points at.
+    * Served through SQL as ``graft.`/path@refs` ``.
+    */
+  def refs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ((("main", "branch", currentVersion) +:
+      branches.toSeq.sortBy(_._1).map { case (n, v) => (n, "branch", v) }) ++
+      tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) })
+      .toDF("name", "type", "version")
+  }
+
   /** Rollback: move the commit pointer to an older retained snapshot
     * (Iceberg `rollback_to_snapshot` procedure). Data files are untouched;
     * the rolled-back-over versions stay retained (still time-travelable)
@@ -907,8 +919,9 @@ final class SnapshotTable(val root: Path,
     */
   def tag(name: String, version: Long = currentVersion): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs"),
       s"invalid tag name '$name'")
+    require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
     val tmp = Files.createTempFile(metaDir, s".ref-$name", ".tmp")
     Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
@@ -941,6 +954,96 @@ final class SnapshotTable(val root: Path,
     readVersion(spark, tags.getOrElse(name,
       throw new IllegalArgumentException(
         s"requirement failed: no tag '$name' on $root")))
+
+  // ---- branches (writable refs — Iceberg branch analog) ---------------
+
+  /** Create branch `name` at a retained snapshot (default: current).
+    * A branch is a WRITABLE ref: commits through [[atBranch]]'s handle
+    * advance the branch head without moving `main`'s pointer, and
+    * [[fastForward]] publishes the head back to main. Heads are exempt
+    * from [[expireSnapshots]] while the ref lives, like tags. Names
+    * share the tag namespace (the SQL ``@<name>`` suffix must stay
+    * unambiguous), so a name cannot be both.
+    */
+  /** Ref-management ops run on the MAIN handle: through a branch handle
+    * `currentVersion` is the branch head and the semantics would silently
+    * shift (nested branching is not a thing — refs are flat, like
+    * Iceberg's).
+    */
+  private def requireMainHandle(op: String): Unit =
+    require(!publisher.isInstanceOf[BranchPublish],
+      s"$op must run on the main table handle, not a branch handle")
+
+  def branch(name: String, version: Long = currentVersion): Unit = {
+    requireMainHandle("branch")
+    require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs"),
+      s"invalid branch name '$name'")
+    require(!tags.contains(name), s"'$name' is already a tag on $root")
+    require(manifestVersions.contains(version), s"no snapshot v$version")
+    BranchRefs.write(BranchRefs.file(metaDir, name),
+      BranchRef(version, version))
+  }
+
+  def dropBranch(name: String): Boolean =
+    Files.deleteIfExists(BranchRefs.file(metaDir, name))
+
+  /** All branches: name → head version. Same delete-tolerance as
+    * [[tags]] (a ref dropped between list and read is skipped).
+    */
+  def branches: Map[String, Long] =
+    if (!Files.isDirectory(metaDir)) Map.empty
+    else scala.util.Using.resource(Files.list(metaDir)) { st =>
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_branch-"))
+        .flatMap(n => BranchRefs.read(metaDir.resolve(n))
+          .map(r => n.stripPrefix("_branch-") -> r.head))
+        .toMap
+    }
+
+  /** A handle whose COMMITS land on the branch: same table, same data
+    * and version sequence, but `current` is the branch head and
+    * publication moves the branch ref (see [[graft.table.BranchPublish]]).
+    * Reads through it see the branch's state; main's readers are
+    * isolated until [[fastForward]].
+    */
+  def atBranch(name: String): SnapshotTable = {
+    requireMainHandle("atBranch")
+    require(branches.contains(name), s"no branch '$name' on $root")
+    new SnapshotTable(root, new BranchPublish(publisher, name))
+  }
+
+  def readBranch(spark: SparkSession, name: String): DataFrame =
+    readVersion(spark, branches.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"requirement failed: no branch '$name' on $root")))
+
+  /** Publish the branch head to `main` (Iceberg `fast_forward`): only
+    * legal while main still sits at the version the branch lineage
+    * diverged from — if main advanced independently, the histories
+    * conflict and a fast-forward would silently discard main's commits;
+    * merge through the write paths instead. The branch ref survives,
+    * rebased onto the new main head.
+    */
+  def fastForward(name: String): Long = {
+    requireMainHandle("fastForward")
+    publisher.critical(root, metaDir) {
+    val ref = BranchRefs.read(BranchRefs.file(metaDir, name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no branch '$name' on $root"))
+    val main = currentVersion
+    if (main == ref.head) return ref.head // nothing to publish
+    require(main == ref.base,
+      s"main advanced to v$main since branch '$name' diverged at " +
+        s"v${ref.base} — not a fast-forward; merge the branch instead")
+    // a plain pointer move, NOT forceCurrent: rollback's claim pruning
+    // must not run here (the branch's own claims sit above main and are
+    // still live)
+    PublishFiles.writePointer(metaDir, ref.head, ".ff")
+    BranchRefs.write(BranchRefs.file(metaDir, name),
+      BranchRef(ref.head, ref.head))
+    ref.head
+  } }
 
   /** Next commit version: one past the HIGHEST retained manifest, not the
     * current pointer — after a rollback, committing currentVersion+1 would
@@ -1744,8 +1847,9 @@ final class SnapshotTable(val root: Path,
                       nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
     val versions = manifestVersions
     val cur = currentVersion
-    // tagged snapshots are exempt while their ref lives (Iceberg refs)
-    val tagged = tags.values.toSet
+    // tagged snapshots and branch HEADS are exempt while their ref lives
+    // (Iceberg refs — a branch's non-head history ages out normally)
+    val tagged = tags.values.toSet ++ branches.values
     val candidates = versions.filter(v => v != cur && !tagged(v)).sorted
     val keepCount = math.max(0, minSnapshotsToKeep - 1) // current always kept
     val byAge = candidates.filter(v => nowMs - manifest(v).timestampMs > maxAgeMs)

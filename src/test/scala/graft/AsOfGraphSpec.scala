@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Graph, RangeJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Graph, Pipelines, RangeJoin, TextAnalysis}
 
 /** Edge-case pins for the round-2 operators: as-of join boundaries,
   * connected-components convergence, PII counting, repetition math, and
@@ -54,6 +54,50 @@ class AsOfGraphSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(comps.length == n + 1)
     assert(comps.forall(_._2 == 0L), "every node joins component 0")
+  }
+
+  test("LSH-fed dedup clusters equal brute-force clusters on a planted corpus") {
+    // the 100 TB pair source (minhash-LSH banded buckets,
+    // Pipelines.dedupClustersLsh) must resolve the SAME clusters as the
+    // oracle-checkable brute pair source on a corpus with planted
+    // near-dup chains: 12 chains of 4 variants (adjacent jaccard ~0.85)
+    // + 20 unrelated singletons. Deterministic seed; LSH pairs are
+    // exact-jaccard-verified so candidates ⊆ brute, and chain adjacency
+    // carries the components even where a marginal bridge pair misses.
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 400).map(i => s"w$i")
+    def doc(): Seq[String] = Seq.fill(80)(vocab(rnd.nextInt(vocab.size)))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    for (_ <- 1 to 12) {
+      var cur = doc()
+      for (_ <- 0 until 4) {
+        rows += ((id, cur.mkString(" "))); id += 1
+        cur = cur.map(w => // ~2 of 80 words mutate per chain step
+          if (rnd.nextInt(40) == 0) vocab(rnd.nextInt(vocab.size)) else w)
+      }
+    }
+    for (_ <- 1 to 20) { rows += ((id, doc().mkString(" "))); id += 1 }
+    val docs = rows.toSeq.toDF("doc_id", "text")
+
+    // brute truth: ALL-pairs word-shingle jaccard (the q53 oracle shape)
+    val sh = docs.select($"doc_id".as("id"),
+      array_distinct(
+        graft.functions.TextFunctions.wordShingles($"text", 3)).as("s"))
+    val brutePairs = sh.as("a").join(sh.as("b"), $"a.id" < $"b.id")
+      .withColumn("j",
+        graft.functions.TextFunctions.jaccard($"a.s", $"b.s"))
+      .filter($"j" >= 0.5)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    def canon(cc: org.apache.spark.sql.DataFrame): Set[Set[Long]] = cc
+      .as[(Long, Long)].collect().groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSet
+    val brute = canon(Graph.connectedComponents(brutePairs, "id_a", "id_b"))
+    val lsh = canon(
+      Pipelines.dedupClustersLsh(docs, "doc_id", "text", threshold = 0.5))
+    assert(brute.nonEmpty && brute.exists(_.size >= 4))
+    assert(lsh == brute,
+      s"LSH clusters ${lsh.size} must equal brute clusters ${brute.size}")
   }
 
   test("piiScrub counts emails and phones deterministically") {

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.{CasPublish, SnapshotTable}
+
+/** Writable branches (Iceberg branch analog, completing r5's tags):
+  * write-through-branch commits advance the branch head without moving
+  * main, fast-forward publishes, heads are expiry-exempt, and the CAS
+  * publisher keeps branch claims invisible to main's `current` while
+  * still blocking version reuse.
+  */
+class BranchSpec extends SparkSpec {
+
+  test("branch write isolates main; fast-forward publishes; expiry exempts the head") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-branch-").toString
+    val t = SnapshotTable.at(root)
+    val day = 24L * 3600 * 1000
+    t.createOrReplace((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "s"),
+      nowMs = 1000L)
+    t.branch("audit")
+    assert(t.branches == Map("audit" -> 1L))
+
+    // two commits THROUGH the branch: head advances, main does not move
+    val b = t.atBranch("audit")
+    b.append(spark, Seq((11L, "b1")).toDF("id", "s"), nowMs = 1000L + day)
+    b.append(spark, Seq((12L, "b2")).toDF("id", "s"), nowMs = 1000L + day)
+    assert(t.currentVersion == 1L, "main must not move on branch commits")
+    assert(t.read(spark).count() == 10)
+    assert(b.read(spark).count() == 12)
+    assert(t.branches("audit") == 3L)
+    assert(t.readBranch(spark, "audit").count() == 12)
+    // SQL @suffix reads the branch head; DML through it is refused
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root@audit`")
+      .head.getLong(0) == 12)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$root@audit` WHERE id = 1")
+    }
+
+    // names share the tag namespace, both directions
+    intercept[IllegalArgumentException] { t.tag("audit") }
+    t.tag("pin1")
+    intercept[IllegalArgumentException] { t.branch("pin1") }
+    t.dropTag("pin1")
+
+    // aggressive expiry spares the branch HEAD (and main's current);
+    // the branch's intermediate commit ages out normally
+    val expired = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = 1000L + 10 * day)
+    assert(expired == Seq(2L), s"expired: $expired")
+    assert(t.readBranch(spark, "audit").count() == 12)
+
+    // fast-forward: main jumps to the head, the branch rebases onto it
+    assert(t.fastForward("audit") == 3L)
+    assert(t.currentVersion == 3L && t.read(spark).count() == 12)
+    assert(t.branches("audit") == 3L)
+
+    // main and branch now advance independently again — a diverged main
+    // refuses the next fast-forward
+    t.append(spark, Seq((13L, "m")).toDF("id", "s"), nowMs = 1000L + day)
+    t.atBranch("audit").append(spark,
+      Seq((14L, "b3")).toDF("id", "s"), nowMs = 1000L + day)
+    val e = intercept[IllegalArgumentException] { t.fastForward("audit") }
+    assert(e.getMessage.contains("not a fast-forward"))
+
+    // dropping the ref releases the head to the age policy
+    assert(t.dropBranch("audit"))
+    intercept[IllegalArgumentException] { t.readBranch(spark, "audit") }
+    intercept[IllegalArgumentException] { t.atBranch("audit") }
+  }
+
+  test("CAS publisher: branch claims reserve versions but never define main") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-branch-cas-").toString
+    val t = SnapshotTable.at(root, CasPublish)
+    t.createOrReplace((1 to 5).map(i => (i.toLong, "v1")).toDF("id", "s"))
+    t.branch("dev")
+    val b = t.atBranch("dev")
+    b.append(spark, Seq((6L, "b")).toDF("id", "s"))
+    // the branch claimed v2 with a content-ful marker: main's current
+    // must stay 1 even though v2.json exists and is claimed
+    assert(t.currentVersion == 1L,
+      "a branch claim must not define main's current under CAS")
+    assert(b.currentVersion == 2L)
+    // the claim still blocks version reuse: main's next commit skips v2
+    t.append(spark, Seq((7L, "m")).toDF("id", "s"))
+    assert(t.currentVersion == 3L, "main must allocate past the branch claim")
+    assert(t.read(spark).count() == 6 && b.read(spark).count() == 6)
+    // main rollback leaves the branch claim (and its manifest) alone
+    t.rollbackTo(1L)
+    assert(t.currentVersion == 1L && b.currentVersion == 2L)
+    assert(b.read(spark).count() == 6)
+  }
+}

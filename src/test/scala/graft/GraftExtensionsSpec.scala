@@ -371,6 +371,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(named.currentManifest.files.size == 1 &&
       named.read(base).count() == 6)
 
+    // snapshot-management procedures: tag lifecycle + rollback
+    val preTag = tbl.currentVersion
+    base.sql(s"CALL graft.system.create_tag('$root', 'rel-1')")
+    assert(tbl.tags == Map("rel-1" -> preTag))
+    tbl.append(base, Seq((43L, "s43")).toDF("id", "s"))
+    base.sql(s"CALL graft.system.rollback_to_snapshot('$root', $preTag)")
+    assert(tbl.currentVersion == preTag && tbl.read(base).count() == 42)
+    base.sql(s"CALL graft.system.drop_tag('$root', 'rel-1')")
+    assert(tbl.tags.isEmpty)
+    // branch procedures: create → fast_forward → drop (the full WAP
+    // lifecycle through SQL is q79's query)
+    base.sql(s"CALL graft.system.create_branch('$root', 'wap')")
+    tbl.atBranch("wap").append(base, Seq((44L, "s44")).toDF("id", "s"))
+    assert(tbl.read(base).count() == 42) // main isolated
+    base.sql(s"CALL graft.system.fast_forward('$root', 'wap')")
+    assert(tbl.read(base).count() == 43)
+    base.sql(s"CALL graft.system.drop_branch('$root', 'wap')")
+    assert(tbl.branches.isEmpty)
+
     // loud failures: unknown procedure, unknown argument, missing table
     val e1 = intercept[UnsupportedOperationException] {
       base.sql(s"CALL graft.system.no_such_proc('$root')")
