@@ -84,13 +84,16 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@history` ``  — snapshot history relation
   *   - ``graft.`/path@files` ``    — live data-file relation
   *   - ``graft.`/path@refs` ``     — named refs (main/tags/branches)
+  *   - ``graft.`/path@snapshots` `` — per-snapshot commit summaries
+  *   - ``graft.`/path@partitions` `` — per-partition file/row/byte totals
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
 case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  private val Suffixed = "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs)$".r
+  private val Suffixed =
+    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions)$".r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -135,6 +138,8 @@ case class GraftPathRelations(session: SparkSession)
       case Some("history")                 => tbl.history(session)
       case Some("files")                   => tbl.files(session)
       case Some("refs")                    => tbl.refs(session)
+      case Some("snapshots")               => tbl.snapshots(session)
+      case Some("partitions")              => tbl.partitions(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)
@@ -555,14 +560,15 @@ private[graft] object GraftSqlDml {
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
         Seq("table", "target_file_size_bytes", "delete_ratio")
+      case "rewrite_manifests" => Seq("table")
       case "rollback_to_snapshot" => Seq("table", "version")
       case "create_tag" | "create_branch" => Seq("table", "name", "version")
       case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
-          "rollback_to_snapshot, create_tag, drop_tag, create_branch, " +
-          "drop_branch, fast_forward")
+          "rewrite_manifests, rollback_to_snapshot, create_tag, drop_tag, " +
+          "create_branch, drop_branch, fast_forward")
     }
     val (named, positional) = args.partition(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
@@ -621,6 +627,7 @@ private[graft] object GraftSqlDml {
         tbl.compact(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
           now, doubleArg("delete_ratio"))
+      case "rewrite_manifests" => tbl.rewriteManifests(now)
       case "rollback_to_snapshot" =>
         tbl.rollbackTo(longArg("version").getOrElse(
           throw new UnsupportedOperationException(

@@ -223,6 +223,10 @@ object SparkEntry {
       s.sql(s"CALL graft.system.rewrite_data_files('$root')")
       require(table.currentManifest.files.size <= nFiles,
         "rewrite_data_files must not grow the file count")
+      val paths = table.currentManifest.files.map(_.path).toSet
+      s.sql(s"CALL graft.system.rewrite_manifests('$root')")
+      require(table.currentManifest.files.map(_.path).toSet == paths,
+        "rewrite_manifests must be metadata-only")
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
@@ -276,6 +280,39 @@ object SparkEntry {
       require(table.read(s).count() == audited,
         "fast-forward must publish the audited state")
       s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
+    "q80_metadata_tables" -> ((s, d) => {
+      // the @snapshots / @partitions metadata relations (Iceberg's
+      // db.table.snapshots / db.table.partitions): build a partitioned
+      // table in two commits, assert the snapshot summaries reconcile
+      // in-query (an append adds files and removes none; the current
+      // snapshot's rollup total equals the data), then serve the
+      // per-partition row totals — which the oracle recomputes from the
+      // raw data with a GROUP BY. record_count comes from chunk rollups
+      // and the distributed doc scan, never a data-file read.
+      val root = Files.createTempDirectory("graft-meta-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders")
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_orderpriority"))
+      table.append(s, orders.filter(col("o_orderkey") % 2 === 1))
+      val snaps = s.sql(
+        s"""SELECT version, parent_version, added_files, removed_files,
+           |  total_records, is_current
+           |FROM graft.`$root@snapshots` ORDER BY version""".stripMargin)
+        .collect()
+      require(snaps.length == 2, "two retained snapshots expected")
+      require(snaps(0).getLong(1) == -1L && snaps(0).getBoolean(5) == false &&
+        snaps(1).getLong(1) == 1L && snaps(1).getBoolean(5),
+        "parent/current wiring must hold")
+      require(snaps(1).getLong(2) > 0 && snaps(1).getLong(3) == 0,
+        "a fast append adds files and removes none")
+      require(snaps(1).getLong(4) == orders.count(),
+        "the current snapshot's rollup total must equal the data")
+      s.sql(
+        s"""SELECT partition, file_count > 0 AS has_files, record_count
+           |FROM graft.`$root@partitions`""".stripMargin)
     }),
 
     "q72_sql_update_delete" -> ((s, d) => {
@@ -1381,6 +1418,13 @@ object SparkEntry {
         |SELECT s.* FROM src s
         |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
         |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // q80: @partitions answers per-partition row totals from manifest
+    // rollups; the oracle recomputes them from the raw data
+    "q80_metadata_tables" ->
+      """SELECT 'o_orderpriority=' || o_orderpriority AS partition,
+        |  TRUE AS has_files, count(*) AS record_count
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // ADD (null-fill) → UPDATE (populate a slice) → DROP o_orderpriority
     "q77_sql_alter" -> (withFixtures +

@@ -881,6 +881,56 @@ final class SnapshotTable(val root: Path,
     }.toDF("version", "timestamp_ms", "n_files", "is_current")
   }
 
+  /** `.snapshots` metadata relation (Iceberg's `db.table.snapshots`):
+    * one row per RETAINED snapshot with its commit summary — file and
+    * row totals from the chunk rollups (zero document parses) and
+    * added/removed file counts against the previous retained snapshot
+    * (the chunk shortcut in [[diffFiles]] parses only documents that
+    * DIFFER between the two manifests). `total_records` is -1 when any
+    * member file predates row-count recording. Served through SQL as
+    * ``graft.`/path@snapshots` ``.
+    */
+  def snapshots(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    val vs = manifestVersions
+    vs.zip(None +: vs.init.map(Some(_))).map { case (v, parent) =>
+      val m = manifest(v)
+      val pm = parent.map(manifest)
+      val added = diffFiles(pm, m)._1.size.toLong
+      val removed = pm match {
+        case None       => 0L
+        case Some(prev) => diffFiles(Some(m), prev)._1.size.toLong
+      }
+      val total = m.files match {
+        case fl: FileList => fl.totalRows.getOrElse(-1L)
+        case s            => if (s.exists(_.rows < 0)) -1L else s.map(_.rows).sum
+      }
+      (v, parent.getOrElse(-1L), m.timestampMs, m.files.size.toLong, total,
+        added, removed, m.deleteFiles.size.toLong, v == cur)
+    }.toDF("version", "parent_version", "timestamp_ms", "n_files",
+      "total_records", "added_files", "removed_files", "n_delete_files",
+      "is_current")
+  }
+
+  /** `.partitions` metadata relation (Iceberg's `db.table.partitions`):
+    * per-partition file count, row count and on-disk bytes of the CURRENT
+    * snapshot. Like [[files]] this is a DISTRIBUTED scan over the chunk
+    * documents (executors parse them), so a million-file table never
+    * funnels its entries through the driver; `record_count` is -1 when
+    * any member file of the partition predates row-count recording.
+    * Served through SQL as ``graft.`/path@partitions` ``.
+    */
+  def partitions(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    files(spark)
+      .groupBy(col("partition"))
+      .agg(count(lit(1)).as("file_count"),
+        when(min(col("record_count")) < 0, lit(-1L))
+          .otherwise(sum(col("record_count"))).as("record_count"),
+        sum(col("file_size_bytes")).as("total_size_bytes"))
+  }
+
   /** `.refs` metadata relation (Iceberg's `db.table.refs`): every named
     * ref — `main`, tags, branches — with the version it points at.
     * Served through SQL as ``graft.`/path@refs` ``.
@@ -891,6 +941,35 @@ final class SnapshotTable(val root: Path,
       branches.toSeq.sortBy(_._1).map { case (n, v) => (n, "branch", v) }) ++
       tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) })
       .toDF("name", "type", "version")
+  }
+
+  /** Force a manifest rewrite (Iceberg `rewrite_manifests` procedure
+    * analog): fold inline entries into chunk documents and rebuild the
+    * chunk layout at the bucket count the CURRENT live-file total calls
+    * for. The write path grows the bucket count automatically when a
+    * table outgrows it but never shrinks it — after heavy deletion or
+    * compaction a table can carry far more (near-empty) chunk documents
+    * than its size warrants, and every planning pass pays for the extra
+    * rollup records. Metadata-only: data files, delete files, schema and
+    * properties all carry unchanged; only the chunk layout is rebuilt
+    * (an explicit O(live files) commit — the on-demand twin of the rare
+    * automatic full rechunk). Superseded chunk documents become orphans
+    * and age out through [[removeOrphanFiles]].
+    */
+  def rewriteManifests(nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    // materialize every entry as a plain inline list: the serializer then
+    // re-derives the chunk shape from scratch (inline under the
+    // threshold, else a full rechunk at the size-appropriate bucket count)
+    val all: Seq[FileEntry] = m.files match {
+      case fl: FileList => fl.all
+      case s            => s
+    }
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs, files = all.toVector)
+    }
   }
 
   /** Rollback: move the commit pointer to an older retained snapshot
@@ -919,7 +998,7 @@ final class SnapshotTable(val root: Path,
     */
   def tag(name: String, version: Long = currentVersion): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -977,7 +1056,7 @@ final class SnapshotTable(val root: Path,
   def branch(name: String, version: Long = currentVersion): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions"),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")

@@ -334,4 +334,58 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(kept < total, s"id<=100 kept $kept/$total")
     assert(tbl.readWhere(spark, col("id") <= 100).count() == 100)
   }
+
+  test("rewrite_manifests shrinks an outgrown chunk layout, data untouched") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-").toString)
+    // 128 partitions → 8 buckets at ChunkSize 24
+    tbl.createOrReplace((1 to 2000).map(i => (i.toLong, i.toLong % 128, 1.0))
+      .toDF("id", "p", "v"), Seq("p"))
+    val buckets0 = tbl.currentManifest.files.asInstanceOf[FileList].nBuckets
+    assert(buckets0 >= 8, s"128 files over ChunkSize 24 must spread buckets")
+
+    // delete every partition whose chunk bucket is NOT 0, 1 or 2 — as a
+    // positive IN list, which the stats census exonerates kept files
+    // from, so the clean buckets carry by reference and the incremental
+    // write path keeps the (now oversized) bucket count — only a
+    // rewrite can shrink it
+    val keepP = (0L until 128L).filter(v => ManifestJson.bucketOfKey(
+      ManifestJson.partitionKey(Map("p" -> v.toString)), buckets0) <= 2)
+    assert(keepP.size >= 25 && keepP.size <= 72, s"kept ${keepP.size}")
+    val delP = (0L until 128L).filterNot(keepP.contains)
+    tbl.deleteWhere(spark, col("p").isin(delP: _*))
+    val fl1 = tbl.currentManifest.files.asInstanceOf[FileList]
+    assert(fl1.nBuckets == buckets0,
+      "clean-carried buckets must pin the old layout")
+    val dataPaths = fl1.map(_.path).toSet
+    val rows = tbl.read(spark).count()
+
+    // explicit rewrite via the SQL procedure: metadata-only, data files
+    // carried verbatim, chunk layout rebuilt for the CURRENT size
+    val vBefore = tbl.currentVersion
+    spark.sql(s"CALL graft.system.rewrite_manifests('${tbl.root}')")
+    assert(tbl.currentVersion == vBefore + 1)
+    val m2 = tbl.currentManifest
+    assert(m2.files.map(_.path).toSet == dataPaths,
+      "rewrite_manifests must not touch data files")
+    val fl2 = m2.files.asInstanceOf[FileList]
+    assert(fl2.chunks.nonEmpty && fl2.nBuckets < buckets0,
+      s"${dataPaths.size} files want fewer buckets than $buckets0, " +
+        s"got ${fl2.nBuckets}")
+    assert(tbl.read(spark).count() == rows)
+    // planning on the rebuilt layout still bucket-skips point lookups
+    val (_, selParses) = parses(tbl.pruneCounts(col("p") === keepP.head))
+    assert(selParses <= 2, s"point lookup parsed $selParses docs after rewrite")
+
+    // shrinking below the chunk threshold folds back to an inline list
+    val keep8 = keepP.take(8)
+    tbl.deleteWhere(spark, !col("p").isin(keep8: _*))
+    tbl.rewriteManifests()
+    tbl.currentManifest.files match {
+      case f: FileList => assert(f.chunks.isEmpty && f.inline.size == 8)
+      case s           => assert(s.size == 8)
+    }
+    val expect8 = (1 to 2000).count(i => keep8.contains(i.toLong % 128))
+    assert(tbl.read(spark).count() == expect8)
+  }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** `@snapshots` / `@partitions` metadata relations (Iceberg's
+  * `db.table.snapshots` / `.partitions` analogs): commit summaries from
+  * chunk rollups + manifest diffs, per-partition totals from the
+  * distributed doc scan — never a data-file read.
+  */
+class MetadataRelationsSpec extends SparkSpec {
+
+  test("@snapshots summarizes commits; @partitions totals match the data") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-metarel-").toString
+    val t = SnapshotTable.at(root)
+    val rows = (1 to 300).map(i => (i.toLong, s"p${i % 3}", s"x$i"))
+      .toDF("id", "p", "s")
+    t.createOrReplace(rows.filter(col("id") <= 200), Seq("p"), nowMs = 1000L)
+    t.append(spark, rows.filter(col("id") > 200), nowMs = 2000L)
+
+    // snapshots: v1 (root commit) + v2 (fast append)
+    val snaps = spark.sql(s"SELECT * FROM graft.`$root@snapshots` " +
+      "ORDER BY version").collect()
+    assert(snaps.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L))
+    assert(snaps.map(_.getAs[Long]("parent_version")).toSeq == Seq(-1L, 1L))
+    assert(snaps.map(_.getAs[Boolean]("is_current")).toSeq ==
+      Seq(false, true))
+    assert(snaps(0).getAs[Long]("total_records") == 200L)
+    assert(snaps(1).getAs[Long]("total_records") == 300L)
+    assert(snaps(1).getAs[Long]("added_files") > 0)
+    assert(snaps(1).getAs[Long]("removed_files") == 0L,
+      "a fast append removes nothing")
+    assert(snaps.map(_.getAs[Long]("timestamp_ms")).toSeq == Seq(1000L, 2000L))
+
+    // a replace REMOVES the old files — visible in its summary row
+    t.createOrReplace(rows.filter(col("id") <= 50), Seq("p"), nowMs = 3000L)
+    val v3 = spark.sql(s"SELECT * FROM graft.`$root@snapshots` " +
+      "WHERE version = 3").head
+    assert(v3.getAs[Long]("removed_files") > 0)
+    assert(v3.getAs[Long]("total_records") == 50L)
+
+    // partitions: per-partition totals equal the data's GROUP BY
+    val parts = spark.sql(s"SELECT * FROM graft.`$root@partitions`")
+      .collect().map(r => r.getAs[String]("partition") ->
+        (r.getAs[Long]("file_count"), r.getAs[Long]("record_count"),
+          r.getAs[Long]("total_size_bytes"))).toMap
+    val expected = t.read(spark).groupBy("p").count().collect()
+      .map(r => s"p=${r.getString(0)}" -> r.getLong(1)).toMap
+    assert(parts.keySet == expected.keySet)
+    expected.foreach { case (k, n) =>
+      val (fc, rc, bytes) = parts(k)
+      assert(rc == n, s"$k record_count")
+      assert(fc > 0 && bytes > 0, s"$k file/byte totals")
+    }
+
+    // the relation names are reserved: refs cannot shadow them
+    intercept[IllegalArgumentException] { t.tag("snapshots") }
+    intercept[IllegalArgumentException] { t.branch("partitions") }
+  }
+}
