@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.ingest.{AppflowStyleJob, DmsStyleJob, Ingestion}
 import graft.merge.ChangeSet
-import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, RangeJoin, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Graph, Multimodal, Pipelines, RangeJoin, Sampling, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import graft.table.SnapshotTable
 
@@ -314,6 +314,45 @@ object SparkEntry {
         s"""SELECT partition, file_count > 0 AS has_files, record_count
            |FROM graft.`$root@partitions`""".stripMargin)
     }),
+
+    "q81_exact_quota_sample" -> ((s, d) => {
+      // exact-count stratified sampling: per language, EXACTLY the 100
+      // rows with the smallest deterministic permutation keys (strata
+      // under 100 taken whole) — selected via the histogram threshold,
+      // never a whole-stratum window (Sampling.stratifiedSampleExact).
+      // The oracle recomputes the identical selection with a ranking
+      // window over the shared multiplicative-hash key.
+      val docs = t(s, d, "documents")
+      val quotas = docs.select(col("lang")).distinct()
+        .withColumn("quota", lit(100L))
+      Sampling.stratifiedSampleExact(docs, "doc_id", "lang", quotas)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q82_temperature_mix" -> ((s, d) => {
+      // temperature (α=0.5) mixture sampling: stratum quotas grow with
+      // the SQUARE ROOT of stratum size (the multilingual-LM
+      // low-resource up-weighting rule), spelled in exact integer
+      // arithmetic — floor(sqrt(n))·8 capped at n — so the oracle's
+      // allocation is bit-identical; the generic float-α path is
+      // Sampling.temperatureQuotas (spec-pinned)
+      val docs = t(s, d, "documents")
+      val quotas = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .select(col("lang"),
+          least(col("n"), floor(sqrt(col("n"))).cast("long") * lit(8L))
+            .as("quota"))
+      Sampling.stratifiedSampleExact(docs, "doc_id", "lang", quotas)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q83_semantic_dedup" -> ((s, d) =>
+      // SemDeDup-shaped sweep: embedding-cosine pair edges (q58's LSH
+      // path, exact-equal to the all-pairs truth at this threshold) →
+      // connected components → keep the min-id representative per
+      // semantic cluster; one output row per input id. The oracle
+      // recomputes components with a recursive CTE over the exact pairs.
+      Pipelines.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.5, signBits = 5, tables = 64)),
 
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
@@ -1425,6 +1464,48 @@ object SparkEntry {
       """SELECT 'o_orderpriority=' || o_orderpriority AS partition,
         |  TRUE AS has_files, count(*) AS record_count
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q81/q82: the deterministic permutation key is shared integer
+    // arithmetic — (doc_id % 2^31)·2654435761 % 2^32 — so both engines
+    // rank the identical total order (ties broken by doc_id)
+    "q81_exact_quota_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |      doc_id) AS rn
+        |  FROM documents) WHERE rn <= 100""".stripMargin,
+
+    "q82_temperature_mix" ->
+      """WITH q AS (SELECT lang,
+        |    least(count(*), CAST(floor(sqrt(count(*))) AS BIGINT) * 8)
+        |      AS quota
+        |  FROM documents GROUP BY lang),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE r.rn <= q.quota""".stripMargin,
+
+    // q83: exact pairs (q58's truth) → recursive-CTE components →
+    // min-id representative per semantic cluster, one row per input id
+    "q83_semantic_dedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+        |comp AS (SELECT src AS vec_id, min(dst) AS component
+        |  FROM reach GROUP BY src)
+        |SELECT emb.vec_id, COALESCE(c.component, emb.vec_id) AS component,
+        |  COALESCE(c.component, emb.vec_id) = emb.vec_id AS kept
+        |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
 
     // ADD (null-fill) → UPDATE (populate a slice) → DROP o_orderpriority
     "q77_sql_alter" -> (withFixtures +

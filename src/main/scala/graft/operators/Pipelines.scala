@@ -29,6 +29,36 @@ object Pipelines {
       "id_a", "id_b")
       .select(col("id_a").as(idCol), col("component"))
 
+  /** Semantic deduplication (the SemDeDup shape): embedding-cosine
+    * near-dup pair edges → connected components → keep ONE representative
+    * (minimum id) per semantic cluster. Near-duplication chains, so the
+    * sweep is component-based: A≈B and B≈C drop B AND C for A even when
+    * A·C sits below the threshold. Returns one row per INPUT id —
+    * `(id, component, kept)` — the full sweep map a downstream filter
+    * joins against.
+    *
+    * At scale: pairs come from the multi-table hyperplane LSH path
+    * (bucketed, never all-pairs — [[Dedup.embeddingNearDups]]'s design
+    * notes), components contract through [[Graph.connectedComponents]],
+    * and the final left join is a hash join on the id. The pair recall
+    * story is q58's: table count sized to the threshold's per-pair miss
+    * probability.
+    */
+  def semanticDedup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.5, signBits: Int = 5,
+                    tables: Int = 64): DataFrame = {
+    val pairs = Dedup.embeddingNearDups(embeddings, idCol, vecCol,
+      threshold = threshold, signBits = signBits, tables = tables)
+      .select("id_a", "id_b")
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id_a", idCol)
+    embeddings.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("kept", col("component") === col(idCol))
+  }
+
   /** Corpus cleaning: exact-dedup survivors that pass a quality threshold
     * and a language allowlist. Returns one row per surviving document with
     * its quality score and predicted language.

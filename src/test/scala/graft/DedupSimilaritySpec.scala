@@ -142,6 +142,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.filter($"id_a" === 0 && $"id_b" === 9999).count() == 1)
   }
 
+  test("semanticDedup keeps one representative per planted chain") {
+    import graft.operators.Pipelines
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
+    // plant two exact copies of vector 0: {0, 9998, 9999} must form ONE
+    // component kept by id 0, whatever else the corpus pairs up
+    val dups = emb.filter($"vec_id" === 0)
+      .withColumn("vec_id", lit(9998L))
+      .unionByName(emb.filter($"vec_id" === 0)
+        .withColumn("vec_id", lit(9999L)))
+    val sweep = Pipelines.semanticDedup(emb.unionByName(dups),
+      "vec_id", "embedding", threshold = 0.999)
+    assert(sweep.count() == 52, "one row per input id")
+    val cluster = sweep.filter($"vec_id".isin(0L, 9998L, 9999L))
+      .select("vec_id", "component", "kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (a, b, c) => a -> (b, c) }.toMap
+    assert(cluster(0L) == (0L, true))
+    assert(cluster(9998L) == (0L, false) && cluster(9999L) == (0L, false))
+    // untouched singletons keep themselves
+    val singles = sweep.filter($"component" === $"vec_id")
+    assert(singles.filter(!$"kept").count() == 0)
+  }
+
   test("codegen'd minhash signature equals the HOF specification") {
     import graft.functions.TextFunctions
     val sh = docs.select($"doc_id",
