@@ -216,8 +216,54 @@ case class GraftPathRelations(session: SparkSession)
             }
           case _ => f
         }
+      // standard SQL time travel — `FROM t VERSION AS OF 3` /
+      // `FROM t TIMESTAMP AS OF '...'` (the Iceberg spellings; the
+      // `@v3`/`@ts<millis>` suffixes remain as the compact form).
+      // VERSION takes the numeric snapshot version; TIMESTAMP takes any
+      // foldable expression castable to a timestamp, evaluated in the
+      // session time zone.
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            u: UnresolvedRelation, tsOpt, verOpt) =>
+        existingPath(u).map { p =>
+          val tbl = SnapshotTable.at(p)
+          val df = (verOpt, tsOpt) match {
+            case (Some(v), _) =>
+              val ver =
+                try v.toLong
+                catch {
+                  case _: NumberFormatException =>
+                    throw new UnsupportedOperationException(
+                      s"VERSION AS OF takes the numeric snapshot version, " +
+                        s"got '$v'")
+                }
+              tbl.readVersion(session, ver)
+            case (_, Some(ts)) => tbl.readAsOf(session, tsMillis(ts))
+            case _             => tbl.read(session)
+          }
+          df.queryExecution.analyzed
+        }.getOrElse(tt)
       case u: UnresolvedRelation if cands(u).nonEmpty =>
         resolveAny(u).map(_.queryExecution.analyzed).getOrElse(u)
+    }
+  }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: foldable
+    * only, cast through TimestampType in the session zone.
+    */
+  private def tsMillis(e: Expression): Long = {
+    if (!e.foldable)
+      throw new UnsupportedOperationException(
+        s"TIMESTAMP AS OF takes a literal expression, got $e")
+    val cast =
+      if (e.dataType == org.apache.spark.sql.types.TimestampType) e
+      else org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.TimestampType,
+        Some(session.sessionState.conf.sessionLocalTimeZone))
+    cast.eval() match {
+      case micros: java.lang.Long => micros / 1000L
+      case _ =>
+        throw new UnsupportedOperationException(
+          s"TIMESTAMP AS OF expression does not evaluate to a timestamp: $e")
     }
   }
 

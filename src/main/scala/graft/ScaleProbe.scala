@@ -328,7 +328,33 @@ object ScaleProbe {
         threshold = 0.98, signBits = 12, tables = 8, maxBucketSize = 2000)
         .count()
     }
+    timed("semantic_dedup_sweep") {
+      // pair edges → components → per-id sweep map (SemDeDup shape); at
+      // 0.98 the amplified copies of each base vector form one cluster
+      val sweep = graft.operators.Pipelines.semanticDedup(emb,
+        "vec_id", "embedding", threshold = 0.98, signBits = 12, tables = 8)
+      val kept = sweep.filter(col("kept")).count()
+      println(s"""{"stage":"semantic_dedup_census","kept":$kept}""")
+      sweep.count()
+    }
     emb.unpersist()
+    }
+    if (!storageOnly) {
+      // deterministic exact-quota sampling over the amplified corpus:
+      // histogram threshold selection, no whole-stratum window
+      val docsS = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang")
+        .withColumn("c", explode(sequence(lit(0), lit(docCopies - 1))))
+        .select((col("doc_id") * docCopies + col("c")).as("doc_id"), col("lang"))
+        .repartition(64).cache()
+      val nS = docsS.count()
+      timed(s"stratified_sample_${nS}") {
+        val quotas = docsS.select(col("lang")).distinct()
+          .withColumn("quota", lit(10000L))
+        graft.operators.Sampling
+          .stratifiedSampleExact(docsS, "doc_id", "lang", quotas).count()
+      }
+      docsS.unpersist()
     }
     spark.stop()
   }
@@ -417,6 +443,13 @@ object ScaleProbe {
       require(tbl2.currentManifest.files.size == nFiles,
         s"expected $nFiles files after the one-partition commit")
       require(tbl2.rowCount.contains(nFiles * 1000L))
+    }
+    // explicit manifest rewrite at 2^20 entries: the deliberate
+    // O(live files) commit — bounds what a CALL rewrite_manifests costs
+    // on a 100 TB table (everything else above stays O(touched docs))
+    timed(s"rewrite_manifests_$nFiles") {
+      tbl2.rewriteManifests(3000L)
+      require(tbl2.currentManifest.files.size == nFiles)
     }
   }
 }

@@ -674,7 +674,13 @@ object SparkEntry {
       Ingestion.run(s, table, part(ordersTarget(s, d)), cfg, tsTarget)
       Ingestion.run(s, table, part(ordersSource(s, d)), cfg, tsSource)
       require(table.currentVersion == 2L, "merge must land v2")
-      table.readVersion(s, 1).drop(MetaColumns.IngestionDatetime)
+      // the standard SQL spelling serves the same snapshot (r6): both
+      // VERSION AS OF and the @v suffix must agree with the API read
+      val v1 = table.readVersion(s, 1).drop(MetaColumns.IngestionDatetime)
+      require(s.sql(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1")
+        .head.getLong(0) == v1.count(),
+        "SQL VERSION AS OF must serve snapshot v1")
+      v1
     }),
 
     "q29_incremental_read" -> ((s, d) => {

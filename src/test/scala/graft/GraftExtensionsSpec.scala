@@ -455,4 +455,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE s IS NULL")
       .head.getLong(0) == 10)
   }
+
+  test("standard SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-tt-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "s"),
+      nowMs = 1000L)
+    tbl.createOrReplace((1 to 15).map(i => (i.toLong, "v2")).toDF("id", "s"),
+      nowMs = 5000L)
+
+    def c(sql: String): Long = base.sql(sql).head.getLong(0)
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1") == 10)
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 2") == 15)
+    // session zone is UTC: epoch 2s falls between the commits → v1
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:02'") == 10)
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "TIMESTAMP AS OF '1970-01-01 00:00:05'") == 15)
+    // aliases and joins against the travelled relation resolve normally
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` VERSION AS OF 1 t " +
+      s"JOIN graft.`$root` cur ON t.id = cur.id") == 10)
+    // loud failures: ghost version, pre-history timestamp, non-numeric
+    intercept[Exception] {
+      base.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 99").collect()
+    }
+    intercept[Exception] {
+      base.sql(s"SELECT * FROM graft.`$root` " +
+        "TIMESTAMP AS OF '1969-12-31 00:00:00'").collect()
+    }
+  }
 }
