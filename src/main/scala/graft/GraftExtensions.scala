@@ -884,7 +884,15 @@ private[graft] object GraftSqlDml {
         }
       case d: DeleteFromTable =>
         target(d.table).map { tbl =>
-          tbl.deleteWhere(session, GraftBridge.column(d.condition))
+          // Iceberg's write.delete.mode property decides the physical
+          // shape: merge-on-read writes position-delete tombstones and
+          // carries every data file; the default is the copy-on-write
+          // stats-census-scoped rewrite
+          val mor = tbl.exists && tbl.currentManifest.properties
+            .get("write.graft.delete.mode").contains("merge-on-read")
+          if (mor)
+            tbl.deleteWherePositional(session, GraftBridge.column(d.condition))
+          else tbl.deleteWhere(session, GraftBridge.column(d.condition))
           empty
         }
       case _ => None

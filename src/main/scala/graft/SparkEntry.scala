@@ -354,6 +354,28 @@ object SparkEntry {
       Pipelines.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.5, signBits = 5, tables = 64)),
 
+    "q84_positional_delete" -> ((s, d) => {
+      // Iceberg v2 POSITION deletes (write.delete.mode=merge-on-read):
+      // SQL DELETE writes exact (path, pos) tombstones — every data file
+      // carried by reference (asserted in-query) — and reads resolve
+      // them through the (file, row-ordinal) anti-join, scoped by the
+      // tombstone's referenced-path range.
+      val root = Files.createTempDirectory("graft-posdel-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(
+        t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        properties = Map("write.graft.delete.mode" -> "merge-on-read"))
+      val paths = table.currentManifest.files.map(_.path).toSet
+      s.sql(s"DELETE FROM graft.`$root` " +
+        "WHERE l_returnflag = 'R' AND l_orderkey % 7 = 0")
+      require(table.currentManifest.files.map(_.path).toSet == paths,
+        "merge-on-read DELETE must carry every data file by reference")
+      require(table.currentManifest.deleteFiles.exists(_.positional),
+        "the commit must be position-delete tombstones")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1512,6 +1534,12 @@ object SparkEntry {
         |SELECT emb.vec_id, COALESCE(c.component, emb.vec_id) AS component,
         |  COALESCE(c.component, emb.vec_id) = emb.vec_id AS kept
         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
+
+    // q84: position-delete MoR DELETE = the predicate's complement
+    "q84_positional_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 0)""".stripMargin,
 
     // ADD (null-fill) → UPDATE (populate a slice) → DROP o_orderpriority
     "q77_sql_alter" -> (withFixtures +

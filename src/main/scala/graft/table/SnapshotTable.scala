@@ -61,22 +61,32 @@ object FileEntry {
     }
 }
 
-/** An equality-delete file: `stats` holds the key columns' bounds so reads
-  * and compaction can prove a data file CANNOT be affected (no key-range
-  * overlap) and skip the anti-join for it entirely. `partition` scopes the
-  * delete to the partition holding the rows it masks (Iceberg v2
-  * partition-scoped equality deletes): a dirty group anti-joins only ITS
-  * deletes, and after many MoR commits across partitions the per-read
-  * delete union stays bounded by that partition's history, not the
-  * table's. Empty = unscoped (unpartitioned tables, legacy manifests) —
-  * conservative, affects any file. `rows` counts the masked key tuples
-  * (-1 on legacy manifests) and feeds compaction's delete-pressure
-  * selection — the rewrite_data_files delete-file-threshold analog.
+/** An equality- or position-delete file: `stats` holds the key columns'
+  * bounds so reads and compaction can prove a data file CANNOT be
+  * affected (no key-range overlap) and skip the anti-join for it
+  * entirely. `partition` scopes the delete to the partition holding the
+  * rows it masks (Iceberg v2 partition-scoped equality deletes): a dirty
+  * group anti-joins only ITS deletes, and after many MoR commits across
+  * partitions the per-read delete union stays bounded by that partition's
+  * history, not the table's. Empty = unscoped (unpartitioned tables,
+  * legacy manifests) — conservative, affects any file. `rows` counts the
+  * masked key tuples (-1 on legacy manifests) and feeds compaction's
+  * delete-pressure selection — the rewrite_data_files
+  * delete-file-threshold analog.
+  *
+  * `positional = true` marks an Iceberg v2 POSITION delete (columns
+  * `path STRING, pos BIGINT`: exact (data file, row ordinal) tombstones
+  * written by predicate MoR DELETEs — [[SnapshotTable.deleteWherePositional]]).
+  * For those, `stats` carries the referenced-path range under
+  * [[SnapshotTable.PosPathKey]] (Iceberg's `referenced_data_file` bounds
+  * analog) so reads exonerate files outside it without opening the
+  * delete file.
   */
 final case class DeleteEntry(path: String, version: Long,
                              stats: Map[String, ColBounds] = Map.empty,
                              partition: Map[String, String] = Map.empty,
-                             rows: Long = -1L)
+                             rows: Long = -1L,
+                             positional: Boolean = false)
 
 /** Reference to one manifest chunk DOCUMENT plus the rollups that let
   * planning decide — without parsing the document — whether any of its
@@ -463,6 +473,65 @@ final class SnapshotTable(val root: Path,
     * carries by reference. Pending MoR deletes resolve inside the
     * rewritten read and keep masking carried files.
     */
+  /** Merge-on-read predicate DELETE via POSITION delete files (Iceberg
+    * v2 `write.delete.mode=merge-on-read`): instead of rewriting every
+    * file the predicate census can't exonerate ([[deleteWhere]]'s
+    * copy-on-write), write one tiny `(path, pos)` tombstone file naming
+    * the exact rows and carry EVERY data file by reference — a 100 TB
+    * table deletes a handful of rows with a KB-sized commit. Reads
+    * anti-join only files inside the delete's referenced-path range
+    * ([[SnapshotTable.PosPathKey]]); compaction folds the tombstones
+    * under the same delete-pressure policy as equality deletes.
+    *
+    * The predicate is evaluated over the RAW candidate files (position
+    * identity must index physical rows); rows already masked by pending
+    * deletes may be tombstoned again — harmless, the anti-join is
+    * idempotent.
+    */
+  def deleteWherePositional(spark: SparkSession, cond: Column,
+      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val candidates = selectFiles(m, cond)
+    if (candidates.isEmpty) return m
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val hits = readFileGroup(spark, m, schema, candidates,
+        withSeq = false, withPos = true)
+      .filter(cond)
+      .select(org.apache.spark.sql.functions.col(PosFileCol).as("path"),
+        org.apache.spark.sql.functions.col(PosPosCol).as("pos"))
+      .cache()
+    try {
+      val n = hits.count()
+      if (n == 0) return m
+      if (currentVersion != m.version) throw concurrentCommit(currentVersion)
+      val dataDirV = claimDataDir()
+      val delDir = Files.createDirectory(
+        dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
+      withParquetWriteConfs(spark) {
+        hits.repartition(1).sortWithinPartitions("path", "pos")
+          .write.mode("append").parquet(delDir.toString)
+      }
+      val written = listParquet(delDir)
+      val b = hits.agg(org.apache.spark.sql.functions.min("path"),
+        org.apache.spark.sql.functions.max("path")).head
+      val pathBounds = ColBounds(b.getString(0), b.getString(1))
+      publishCommit { (v, cur) =>
+        if (cur.map(_.version) != Some(m.version))
+          throw concurrentCommit(cur.map(_.version).getOrElse(0L))
+        val entries = written.map { p =>
+          DeleteEntry(root.relativize(p).toString, v,
+            stats = Map(SnapshotTable.PosPathKey -> pathBounds),
+            rows = n, positional = true)
+        }
+        // every data file (and chunk document) carries by reference —
+        // the commit writes tombstones plus a manifest pointer, nothing
+        // else
+        m.copy(version = v, timestampMs = nowMs,
+          deleteFiles = m.deleteFiles ++ entries)
+      }
+    } finally hits.unpersist()
+  }
+
   private def rewriteWhere(spark: SparkSession, cond: Column, nowMs: Long)(
       transform: DataFrame => DataFrame): Manifest = {
     val m = currentManifest
@@ -631,7 +700,15 @@ final class SnapshotTable(val root: Path,
       types: String => Option[DataType]): Boolean =
     d.version > f.seq &&
       partitionsCompatible(d.partition, f.partition) &&
-      StatsPruning.boundsMayIntersect(f.stats, d.stats, types)
+      (if (d.positional)
+         // position deletes name exact data-file paths: a file outside
+         // the recorded path range is provably untouched (absent bounds
+         // = legacy conservatism). The seq guard above is still load-
+         // bearing — paths compare lexicographically, so data/v10 sorts
+         // BELOW data/v9 and younger files could otherwise false-hit.
+         d.stats.get(SnapshotTable.PosPathKey)
+           .forall(b => f.path >= b.min && f.path <= b.max)
+       else StatsPruning.boundsMayIntersect(f.stats, d.stats, types))
 
   /** Data files a pending equality delete MIGHT affect: delete version
     * newer than the file's sequence, delete partition scope compatible,
@@ -653,14 +730,26 @@ final class SnapshotTable(val root: Path,
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
-    // split data files into those a pending equality delete might affect
-    // (need the sequence-resolved anti-join) and clean ones (plain scan):
-    // a delete at version V kills only rows of files with seq < V whose
-    // keys fall inside the delete file's key bounds
-    val dirtySet =
-      if (m.deleteFiles.isEmpty) Set.empty[String]
-      else morDirtyFiles(m.copy(files = sel)).map(_.path).toSet
-    val (dirty, clean) = sel.partition(f => dirtySet(f.path))
+    // split data files into those a pending delete might affect and clean
+    // ones (plain scan). Equality deletes need the sequence-resolved
+    // key anti-join (a delete at version V kills only rows of files with
+    // seq < V whose keys fall inside the delete file's key bounds);
+    // position deletes need the (file, row-ordinal) anti-join, and only
+    // for files inside a delete's referenced-path range.
+    val delTypes = typeLookup(schema)
+    val (posAll, eqAll) = m.deleteFiles.partition(_.positional)
+    def affecting(dels: Seq[DeleteEntry], fs: Seq[FileEntry]) =
+      dels.filter(d => fs.exists(f => deleteMayAffect(d, f, delTypes)))
+    val eqDirty =
+      if (eqAll.isEmpty) Set.empty[String]
+      else morDirtyFiles(m.copy(files = sel, deleteFiles = eqAll))
+        .map(_.path).toSet
+    val posDirty =
+      if (posAll.isEmpty) Set.empty[String]
+      else morDirtyFiles(m.copy(files = sel, deleteFiles = posAll))
+        .map(_.path).toSet
+    val (dirty, clean) = sel.partition(f =>
+      eqDirty(f.path) || posDirty(f.path))
     val cleanDf =
       if (clean.isEmpty) None
       else Some(readFileGroup(spark, m, schema, clean, withSeq = false)
@@ -668,30 +757,46 @@ final class SnapshotTable(val root: Path,
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
-        val base = readFileGroup(spark, m, schema, dirty, withSeq = true)
-        // equality deletes: delete files are small (changed keys only);
-        // the anti join is key-equi with the sequence comparison as a
-        // join-side filter. Only the delete files that can affect THIS
-        // selection join — a partition-scoped read never unions the
-        // other partitions' deletes.
-        val delTypes = typeLookup(schema)
-        val relevant = m.deleteFiles.filter(d =>
-          dirty.exists(f => deleteMayAffect(d, f, delTypes)))
-        val dels = relevant.groupBy(_.version)
-          .map { case (v, fs) =>
-            spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
-              .withColumn(DelVerCol, lit(v))
-          }
-          .reduce(_ unionByName _)
-        val keyCols = dels.columns.filterNot(_ == DelVerCol).toSeq
-        val cond = keyCols.map(c =>
-          org.apache.spark.sql.functions.col(s"r.$c") ===
-            org.apache.spark.sql.functions.col(s"d.$c"))
-          .reduce(_ && _) &&
-          org.apache.spark.sql.functions.col(s"d.$DelVerCol") >
-            org.apache.spark.sql.functions.col(s"r.$SeqCol")
-        Some(base.alias("r").join(dels.alias("d"), cond, "left_anti")
-          .select(cols: _*))
+        val eqRelevant = affecting(eqAll, dirty.filter(f => eqDirty(f.path)))
+        val posRelevant =
+          affecting(posAll, dirty.filter(f => posDirty(f.path)))
+        var base = readFileGroup(spark, m, schema, dirty,
+          withSeq = eqRelevant.nonEmpty, withPos = posRelevant.nonEmpty)
+        if (posRelevant.nonEmpty) {
+          // position deletes: exact (path, pos) anti-join — tiny delete
+          // relation, no version predicate needed (paths are unique per
+          // commit and the masked rows' files carry those exact paths)
+          val pdels = spark.read.parquet(
+            posRelevant.map(d => root.resolve(d.path).toString): _*)
+          base = base.alias("r").join(pdels.alias("p"),
+            org.apache.spark.sql.functions.col(s"r.$PosFileCol") ===
+              org.apache.spark.sql.functions.col("p.path") &&
+              org.apache.spark.sql.functions.col(s"r.$PosPosCol") ===
+                org.apache.spark.sql.functions.col("p.pos"),
+            "left_anti")
+        }
+        if (eqRelevant.nonEmpty) {
+          // equality deletes: delete files are small (changed keys only);
+          // the anti join is key-equi with the sequence comparison as a
+          // join-side filter. Only the delete files that can affect THIS
+          // selection join — a partition-scoped read never unions the
+          // other partitions' deletes.
+          val dels = eqRelevant.groupBy(_.version)
+            .map { case (v, fs) =>
+              spark.read.parquet(fs.map(f => root.resolve(f.path).toString): _*)
+                .withColumn(DelVerCol, lit(v))
+            }
+            .reduce(_ unionByName _)
+          val keyCols = dels.columns.filterNot(_ == DelVerCol).toSeq
+          val cond = keyCols.map(c =>
+            org.apache.spark.sql.functions.col(s"r.$c") ===
+              org.apache.spark.sql.functions.col(s"d.$c"))
+            .reduce(_ && _) &&
+            org.apache.spark.sql.functions.col(s"d.$DelVerCol") >
+              org.apache.spark.sql.functions.col(s"r.$SeqCol")
+          base = base.alias("r").join(dels.alias("d"), cond, "left_anti")
+        }
+        Some(base.select(cols: _*))
       }
     (cleanDf, dirtyDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -709,25 +814,44 @@ final class SnapshotTable(val root: Path,
     * double-bind) its path-encoded columns.
     */
   private def readFileGroup(spark: SparkSession, m: Manifest,
-      schema: StructType, fs: Seq[FileEntry], withSeq: Boolean): DataFrame =
+      schema: StructType, fs: Seq[FileEntry], withSeq: Boolean,
+      withPos: Boolean = false): DataFrame = {
+    // parquet `_metadata` is a per-scan hidden column — it must be
+    // projected BEFORE any union, so the position identity is attached
+    // inside each group's scan. The relative path is recovered from the
+    // scheme-qualified absolute path by its stable `data/v<N>/...` tail
+    // (every committed path starts there — the layout contract).
+    def posCols(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df
+        .withColumn(PosFileCol, org.apache.spark.sql.functions
+          .regexp_extract(org.apache.spark.sql.functions
+            .col("_metadata.file_path"), "(data/v[0-9]+[a-z]?/.*)$", 1))
+        .withColumn(PosPosCol,
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
     if (fs.forall(_.partition.isEmpty) && !withSeq)
-      spark.read.schema(schema)
-        .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+      posCols(spark.read.schema(schema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*))
     else
       fs.groupBy(_.seq)
         .map { case (seqNo, g) =>
           val dir = g.head.path.split('/').take(2).mkString("/")
           val reader = spark.read.schema(schema)
-          val df =
+          val df = posCols(
             (if (g.head.partition.isEmpty) reader
              else reader.option("basePath", root.resolve(dir).toString))
-              .parquet(g.map(f => root.resolve(f.path).toString): _*)
+              .parquet(g.map(f => root.resolve(f.path).toString): _*))
           if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
         }
         .reduce(_ unionByName _)
+  }
 
   private val SeqCol = "__graft_seq"
   private val DelVerCol = "__graft_delete_version"
+  // row identity for position-delete resolution: the file's table-root-
+  // relative path + the row's ordinal within it (parquet `_metadata`)
+  private val PosFileCol = "__graft_file"
+  private val PosPosCol = "__graft_pos"
 
   /** `.files` metadata relation (reference: common/iceberg.py:272-278
     * `SELECT file_path FROM db.table.files`), with per-file size — the
@@ -2349,6 +2473,14 @@ object SnapshotTable {
     */
   private[graft] var MaxCensusPartitions = 1000000
 
+  /** Synthetic stats key carrying a position delete's referenced-path
+    * range (min/max data-file path it tombstones rows of) — the Iceberg
+    * `referenced_data_file` bounds analog. Lexicographic path compare is
+    * exact containment-or-not; the anti-join on exact (path, pos) pairs
+    * keeps correctness either way.
+    */
+  private[graft] val PosPathKey = "__graft_path"
+
   // per-root publish locks: serialize same-JVM commit publication so two
   // threads can rebase against each other deterministically (cross-process
   // atomicity is the publisher impl's job — see [[AtomicPublish]])
@@ -2593,7 +2725,8 @@ private[graft] object ManifestJson {
           if (d.partition.isEmpty) ""
           else s""","partition":${obj(d.partition)}"""
         val rowsPart = if (d.rows < 0) "" else s""","rows":${d.rows}"""
-        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart$rowsPart}"""
+        val posPart = if (d.positional) s""","positional":true""" else ""
+        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart$rowsPart$posPart}"""
       }
       .mkString("[", ",", "]")
     val json =
@@ -2712,7 +2845,8 @@ private[graft] object ManifestJson {
               .map(_.asInstanceOf[Map[String, Any]]
                 .map { case (k, v) => k -> v.asInstanceOf[String] })
               .getOrElse(Map.empty),
-            dm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L))
+            dm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L),
+            dm.get("positional").exists(_.asInstanceOf[Boolean]))
         })
         .getOrElse(Nil))
   }

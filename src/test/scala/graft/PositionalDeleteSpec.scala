@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Iceberg-v2 POSITION deletes: predicate MoR DELETE writes exact
+  * (path, pos) tombstones and carries every data file by reference;
+  * reads resolve them alongside equality deletes; compaction folds them.
+  */
+class PositionalDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() = {
+    val root = Files.createTempDirectory("graft-posdel-").toString
+    val t = SnapshotTable.at(root)
+    val rows = (1 to 400).map(i => (i.toLong, i.toLong % 4, s"s$i"))
+      .toDF("id", "p", "s")
+    t.createOrReplace(rows.filter(col("id") <= 300), Seq("p"), nowMs = 1000L)
+    t.append(spark, rows.filter(col("id") > 300), nowMs = 2000L)
+    (root, t)
+  }
+
+  test("positional delete: tombstones only, carried files, exact reads") {
+    val (root, t) = freshTable()
+    val pathsBefore = t.currentManifest.files.map(_.path).toSet
+
+    t.deleteWherePositional(spark, col("id") % 10 === 3 && col("p") === 1)
+    val m = t.currentManifest
+    assert(m.files.map(_.path).toSet == pathsBefore,
+      "no data file may be rewritten or dropped")
+    val dels = m.deleteFiles
+    assert(dels.size == 1 && dels.head.positional)
+    // id%10==3 AND id%4==1 → id%20 ∈ {13} → 20 of 400
+    assert(dels.head.rows == 20)
+    assert(t.read(spark).count() == 380)
+    assert(t.read(spark).filter(col("id") === 13).count() == 0)
+    assert(t.read(spark).filter(col("id") === 3).count() == 1,
+      "id=3 is p=3 — other partitions' rows stay")
+    // metadata count declines under pending deletes (can't be exact)
+    assert(t.rowCount.isEmpty)
+    // time travel to the pre-delete snapshot still shows every row
+    assert(t.readVersion(spark, 2).count() == 400)
+    // manifest JSON round-trip preserves the positional flag
+    val reopened = SnapshotTable.at(root)
+    assert(reopened.currentManifest.deleteFiles.head.positional)
+    assert(reopened.read(spark).count() == 380)
+
+    // stacking a second positional delete composes
+    t.deleteWherePositional(spark, col("id") <= 5)
+    assert(t.read(spark).count() == 375)
+
+    // a no-hit predicate is a no-op commit
+    val v = t.currentVersion
+    t.deleteWherePositional(spark, col("id") > 100000)
+    assert(t.currentVersion == v)
+
+    // compaction folds the tombstones: affected groups rewrite, entries
+    // drop, results unchanged
+    t.compact(spark)
+    assert(t.currentManifest.deleteFiles.isEmpty)
+    assert(t.read(spark).count() == 375)
+    // id 13 (first delete) and id 3 (second, id<=5) stay gone; 7 lives
+    assert(t.read(spark).filter(col("id").isin(13L, 3L)).count() == 0)
+    assert(t.read(spark).filter(col("id") === 7).count() == 1)
+    assert(t.rowCount.contains(375L))
+  }
+
+  test("positional + equality deletes resolve together") {
+    val (_, t) = freshTable()
+    // equality-delete path: MoR update masks old copies of ids %50==0
+    t.mergeMoR(spark,
+      (1 to 400).filter(_ % 50 == 0)
+        .map(i => (i.toLong, i.toLong % 4, s"NEW$i", "U"))
+        .toDF("id", "p", "s", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(t.currentManifest.deleteFiles.exists(!_.positional))
+    assert(t.read(spark).count() == 400)
+    // positional delete evaluated over RAW files also tombstones masked
+    // originals — the resolved read must still agree exactly
+    t.deleteWherePositional(spark, col("id") % 50 === 0)
+    assert(t.currentManifest.deleteFiles.exists(_.positional))
+    assert(t.read(spark).count() == 392)
+    assert(t.read(spark).filter(col("s").startsWith("NEW")).count() == 0,
+      "the MoR replacements match the predicate too")
+    assert(t.read(spark).filter(col("id") === 7).count() == 1)
+  }
+
+  test("SQL DELETE routes to position deletes under merge-on-read mode") {
+    val base = spark
+    val root = Files.createTempDirectory("graft-posdel-sql-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      properties = Map("write.graft.delete.mode" -> "merge-on-read"))
+    val paths = t.currentManifest.files.map(_.path).toSet
+    base.sql(s"DELETE FROM graft.`$root` WHERE id % 10 = 0")
+    assert(t.currentManifest.files.map(_.path).toSet == paths,
+      "merge-on-read DELETE must not rewrite data files")
+    assert(t.currentManifest.deleteFiles.exists(_.positional))
+    assert(t.read(spark).count() == 90)
+    assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .head.getLong(0) == 90)
+  }
+}
