@@ -879,7 +879,12 @@ private[graft] object GraftSqlDml {
             k -> GraftBridge.column(a.value)
           }
           val cond = u.condition.map(GraftBridge.column).getOrElse(lit(true))
-          tbl.updateWhere(session, assigns, cond)
+          // write.graft.update.mode=merge-on-read → position-tombstone +
+          // replacement append; default = the CoW census rewrite
+          val mor = tbl.exists && tbl.currentManifest.properties
+            .get("write.graft.update.mode").contains("merge-on-read")
+          if (mor) tbl.updateWherePositional(session, assigns, cond)
+          else tbl.updateWhere(session, assigns, cond)
           empty
         }
       case d: DeleteFromTable =>

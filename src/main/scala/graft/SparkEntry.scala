@@ -365,7 +365,8 @@ object SparkEntry {
       table.createOrReplace(
         t(s, d, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
-        properties = Map("write.graft.delete.mode" -> "merge-on-read"))
+        properties = Map("write.graft.delete.mode" -> "merge-on-read",
+          "write.graft.update.mode" -> "merge-on-read"))
       val paths = table.currentManifest.files.map(_.path).toSet
       s.sql(s"DELETE FROM graft.`$root` " +
         "WHERE l_returnflag = 'R' AND l_orderkey % 7 = 0")
@@ -373,6 +374,11 @@ object SparkEntry {
         "merge-on-read DELETE must carry every data file by reference")
       require(table.currentManifest.deleteFiles.exists(_.positional),
         "the commit must be position-delete tombstones")
+      // MoR UPDATE: tombstone + replacement append, originals carried
+      s.sql(s"UPDATE graft.`$root` SET l_quantity = l_quantity + 100.0 " +
+        "WHERE l_linenumber = 2")
+      require(paths.subsetOf(table.currentManifest.files.map(_.path).toSet),
+        "merge-on-read UPDATE must carry the original files")
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
@@ -1535,9 +1541,11 @@ object SparkEntry {
         |  COALESCE(c.component, emb.vec_id) = emb.vec_id AS kept
         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.vec_id""".stripMargin,
 
-    // q84: position-delete MoR DELETE = the predicate's complement
+    // q84: MoR DELETE = predicate complement; MoR UPDATE = CASE over it
     "q84_positional_delete" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_linenumber = 2 THEN l_quantity + 100.0
+        |       ELSE l_quantity END AS l_quantity
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'R' AND l_orderkey % 7 = 0)""".stripMargin,
 

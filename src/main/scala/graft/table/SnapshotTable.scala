@@ -532,6 +532,96 @@ final class SnapshotTable(val root: Path,
     } finally hits.unpersist()
   }
 
+  /** Merge-on-read predicate UPDATE (Iceberg v2
+    * `write.update.mode=merge-on-read`): position-tombstone the matched
+    * rows and append their updated replacements in ONE commit — every
+    * untouched data file carries by reference, so updating a handful of
+    * rows on a 100 TB table writes the replacement rows plus a KB of
+    * tombstones instead of rewriting whole files.
+    *
+    * Unlike [[deleteWherePositional]] (raw-file evaluation is safe for
+    * deletes), the predicate here runs over the RESOLVED view with row
+    * identity kept ([[readManifest]]'s `keepPos`): a row already masked
+    * by a pending delete must never resurrect as an updated replacement.
+    * Replacement rows take this commit's sequence number and fresh
+    * paths, so no pending tombstone can touch them.
+    */
+  def updateWherePositional(spark: SparkSession,
+      assignments: Seq[(String, Column)], cond: Column,
+      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    assignments.foreach { case (k, _) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"no such column $k")
+    }
+    val hits = readManifest(spark, m, keepPos = true).filter(cond).cache()
+    try {
+      val n = hits.count()
+      if (n == 0) return m
+      if (currentVersion != m.version) throw concurrentCommit(currentVersion)
+      val dataDirV = claimDataDir()
+      val delDir = Files.createDirectory(
+        dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
+      val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
+      val outCols = schema.fieldNames.toSeq.map { c =>
+        byLower.get(c.toLowerCase) match {
+          case Some(v) => v.as(c)
+          case None    => org.apache.spark.sql.functions.col(c)
+        }
+      }
+      withParquetWriteConfs(spark) {
+        val replaced = hits.select(outCols: _*)
+        val clustered =
+          if (m.partitionColumns.nonEmpty)
+            replaced.repartition(
+              m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+          else replaced
+        val writer = clustered.write.mode("append")
+          .option("compression",
+            m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
+        (if (m.partitionColumns.nonEmpty)
+           writer.partitionBy(m.partitionColumns: _*)
+         else writer).parquet(dataDirV.toString)
+        hits.select(org.apache.spark.sql.functions.col(PosFileCol).as("path"),
+            org.apache.spark.sql.functions.col(PosPosCol).as("pos"))
+          .repartition(1).sortWithinPartitions("path", "pos")
+          .write.mode("append").parquet(delDir.toString)
+      }
+      val written = listParquet(dataDirV)
+      val delWritten = listParquet(delDir)
+      val b = hits.agg(
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col(PosFileCol)),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(PosFileCol))).head
+      val pathBounds = ColBounds(b.getString(0), b.getString(1))
+      val dataStats = written.map(p => p -> FileStats.collect(p, schema))
+      publishCommit { (v, cur) =>
+        if (cur.map(_.version) != Some(m.version))
+          throw concurrentCommit(cur.map(_.version).getOrElse(0L))
+        val newData = dataStats.map { case (p, cs) =>
+          FileEntry(root.relativize(p).toString,
+            partitionOf(root.relativize(p).toString, m.partitionColumns), v,
+            cs.bounds, cs.nulls, cs.rows)
+        }
+        val entries = delWritten.map { p =>
+          DeleteEntry(root.relativize(p).toString, v,
+            stats = Map(SnapshotTable.PosPathKey -> pathBounds),
+            rows = n, positional = true)
+        }
+        val allFiles: Seq[FileEntry] = m.files match {
+          case fl: FileList if fl.chunks.nonEmpty =>
+            new FileList(fl.inline ++ newData, fl.chunks, fl.nBuckets, metaDir)
+          case s => s ++ newData
+        }
+        m.copy(version = v, timestampMs = nowMs, files = allFiles,
+          deleteFiles = m.deleteFiles ++ entries)
+      }
+    } finally hits.unpersist()
+  }
+
   private def rewriteWhere(spark: SparkSession, cond: Column, nowMs: Long)(
       transform: DataFrame => DataFrame): Manifest = {
     val m = currentManifest
@@ -722,14 +812,22 @@ final class SnapshotTable(val root: Path,
       m.deleteFiles.exists(d => deleteMayAffect(d, f, types)))
   }
 
+  /** @param keepPos keep the `(file, row-ordinal)` identity columns on
+    *   every returned row — [[updateWherePositional]] needs the RESOLVED
+    *   view (pending deletes applied) with the physical position of each
+    *   surviving row, so it can tombstone exactly what it replaces.
+    */
   private def readManifest(spark: SparkSession, m: Manifest,
-      partitionFilter: Map[String, String] => Boolean = _ => true): DataFrame = {
+      partitionFilter: Map[String, String] => Boolean = _ => true,
+      keepPos: Boolean = false): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     val sel = m.files.filter(f => partitionFilter(f.partition))
     if (sel.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    val cols = (schema.fieldNames.toSeq ++
+        (if (keepPos) Seq(PosFileCol, PosPosCol) else Nil))
+      .map(org.apache.spark.sql.functions.col)
     // split data files into those a pending delete might affect and clean
     // ones (plain scan). Equality deletes need the sequence-resolved
     // key anti-join (a delete at version V kills only rows of files with
@@ -752,8 +850,8 @@ final class SnapshotTable(val root: Path,
       eqDirty(f.path) || posDirty(f.path))
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(readFileGroup(spark, m, schema, clean, withSeq = false)
-        .select(cols: _*))
+      else Some(readFileGroup(spark, m, schema, clean, withSeq = false,
+        withPos = keepPos).select(cols: _*))
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
@@ -761,7 +859,8 @@ final class SnapshotTable(val root: Path,
         val posRelevant =
           affecting(posAll, dirty.filter(f => posDirty(f.path)))
         var base = readFileGroup(spark, m, schema, dirty,
-          withSeq = eqRelevant.nonEmpty, withPos = posRelevant.nonEmpty)
+          withSeq = eqRelevant.nonEmpty,
+          withPos = keepPos || posRelevant.nonEmpty)
         if (posRelevant.nonEmpty) {
           // position deletes: exact (path, pos) anti-join — tiny delete
           // relation, no version predicate needed (paths are unique per

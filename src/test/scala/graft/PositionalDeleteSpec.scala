@@ -88,12 +88,49 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("id") === 7).count() == 1)
   }
 
+  test("positional UPDATE: tombstone + replacement append, one commit") {
+    val (_, t) = freshTable()
+    val dataBefore = t.currentManifest.files.map(_.path).toSet
+    val v = t.currentVersion
+
+    t.updateWherePositional(spark,
+      Seq("s" -> concat(lit("UPD-"), col("id").cast("string"))),
+      col("id") % 100 === 7)
+    assert(t.currentVersion == v + 1, "one commit")
+    val m = t.currentManifest
+    assert(dataBefore.subsetOf(m.files.map(_.path).toSet),
+      "every pre-update data file carries by reference")
+    assert(m.deleteFiles.count(_.positional) == 1)
+    assert(t.read(spark).count() == 400, "updates never change row count")
+    val upd = t.read(spark).filter(col("s").startsWith("UPD-"))
+    assert(upd.count() == 4)
+    assert(upd.filter(col("id") % 100 =!= 7).count() == 0)
+    // replacement rows are NOT masked by their own tombstones
+    assert(t.read(spark).filter(col("id") === 7).count() == 1)
+
+    // a row masked by a pending delete must never resurrect via UPDATE
+    t.deleteWherePositional(spark, col("id") === 107)
+    assert(t.read(spark).count() == 399)
+    t.updateWherePositional(spark, Seq("s" -> lit("GHOST")),
+      col("id") === 107)
+    assert(t.read(spark).filter(col("s") === "GHOST").count() == 0,
+      "masked rows stay dead through an update")
+    assert(t.read(spark).count() == 399)
+
+    // compaction folds everything back to plain files
+    t.compact(spark)
+    assert(t.currentManifest.deleteFiles.isEmpty)
+    assert(t.read(spark).count() == 399)
+    assert(t.read(spark).filter(col("s").startsWith("UPD-")).count() == 3)
+  }
+
   test("SQL DELETE routes to position deletes under merge-on-read mode") {
     val base = spark
     val root = Files.createTempDirectory("graft-posdel-sql-").toString
     val t = SnapshotTable.at(root)
     t.createOrReplace((1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
-      properties = Map("write.graft.delete.mode" -> "merge-on-read"))
+      properties = Map("write.graft.delete.mode" -> "merge-on-read",
+        "write.graft.update.mode" -> "merge-on-read"))
     val paths = t.currentManifest.files.map(_.path).toSet
     base.sql(s"DELETE FROM graft.`$root` WHERE id % 10 = 0")
     assert(t.currentManifest.files.map(_.path).toSet == paths,
@@ -102,5 +139,12 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.read(spark).count() == 90)
     assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root`")
       .head.getLong(0) == 90)
+    // UPDATE under merge-on-read mode: original files still carried
+    base.sql(s"UPDATE graft.`$root` SET s = concat('U', s) WHERE id <= 3")
+    assert(paths.subsetOf(t.currentManifest.files.map(_.path).toSet),
+      "merge-on-read UPDATE must carry the original files")
+    assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "WHERE s LIKE 'U%'").head.getLong(0) == 3)
+    assert(t.read(spark).count() == 90)
   }
 }
