@@ -610,11 +610,14 @@ private[graft] object GraftSqlDml {
       case "rollback_to_snapshot" => Seq("table", "version")
       case "create_tag" | "create_branch" => Seq("table", "name", "version")
       case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
+      case "create_changelog_view" =>
+        Seq("table", "view", "from_version", "to_version",
+          "identifier_columns")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
           "rewrite_manifests, rollback_to_snapshot, create_tag, drop_tag, " +
-          "create_branch, drop_branch, fast_forward")
+          "create_branch, drop_branch, fast_forward, create_changelog_view")
     }
     val (named, positional) = args.partition(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
@@ -674,6 +677,27 @@ private[graft] object GraftSqlDml {
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
           now, doubleArg("delete_ratio"))
       case "rewrite_manifests" => tbl.rewriteManifests(now)
+      case "create_changelog_view" =>
+        // Iceberg's create_changelog_view analog: registers a session
+        // temp view over [[SnapshotTable.readChangelog]]'s row-level
+        // net changes. `identifier_columns` (comma-separated) turns
+        // matched delete/insert pairs into update pre/post images.
+        val viewName = bound.getOrElse("view",
+          throw new UnsupportedOperationException(
+            "create_changelog_view needs a view argument")) match {
+          case s: String => s
+          case o => throw new UnsupportedOperationException(
+            s"view argument must be a string, got $o")
+        }
+        val keys = bound.get("identifier_columns").map {
+          case s: String => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          case o => throw new UnsupportedOperationException(
+            s"identifier_columns must be a comma-separated string, got $o")
+        }.getOrElse(Nil)
+        tbl.readChangelog(session,
+          longArg("from_version").getOrElse(0L),
+          longArg("to_version").getOrElse(tbl.currentVersion),
+          keys).createOrReplaceTempView(viewName)
       case "rollback_to_snapshot" =>
         tbl.rollbackTo(longArg("version").getOrElse(
           throw new UnsupportedOperationException(

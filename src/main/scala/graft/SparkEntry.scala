@@ -382,6 +382,37 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
+    "q85_changelog" -> ((s, d) => {
+      // row-level CHANGELOG between snapshots (Iceberg
+      // create_changelog_view / Delta CDF analog): CTAS (v1) → SQL
+      // DELETE (v2, CoW partition-file rewrite) → SQL UPDATE (v3) →
+      // rewrite_data_files (a data-preserving 'replace' step the
+      // changelog must SKIP) → CALL create_changelog_view with
+      // identifier_columns. A CoW rewrite re-emits whole touched files,
+      // so the engine nets each step over the touched set only —
+      // the oracle reconstructs the exact insert/delete/update-image
+      // rows per version from the fixture algebra.
+      val root = Files.createTempDirectory("graft-changelog-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q85_target")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q85_target")
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 13 = 7")
+      s.sql(s"UPDATE graft.`$root` SET o_totalprice = o_totalprice + 1000.0" +
+        " WHERE o_orderkey % 5 = 0")
+      val preCompact = SnapshotTable.at(root).currentVersion
+      s.sql(s"CALL graft.system.rewrite_data_files('$root')")
+      val after = SnapshotTable.at(root)
+      require(after.currentVersion == preCompact ||
+        after.currentManifest.operation == "replace",
+        "a compaction commit must be recorded as a 'replace' snapshot")
+      s.sql(s"CALL graft.system.create_changelog_view('$root', " +
+        "view => 'graft_q85_changes', identifier_columns => 'o_orderkey')")
+      val cl = s.sql("SELECT o_orderkey, o_totalprice, _change_type, " +
+        "_commit_version FROM graft_q85_changes")
+      require(cl.filter(col("_commit_version") > 3).isEmpty,
+        "steps past the update (incl. any replace) must emit no rows")
+      cl
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1565,6 +1596,24 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     // q78: the native-sink pipeline lands the same rows downstream —
+    // q85: per-version net changes reconstructed from the fixture
+    // algebra — v1 CTAS inserts every target row, v2 deletes %13==7,
+    // v3 pairs update images for the %5==0 survivors (prices shift by
+    // exactly +1000.0 — double-exact in both engines); the 'replace'
+    // compaction step contributes nothing
+    "q85_changelog" -> (withFixtures +
+      """ SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+        |  CAST(1 AS BIGINT) AS _commit_version FROM tgt
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'delete', 2 FROM tgt
+        |  WHERE o_orderkey % 13 = 7
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'update_preimage', 3 FROM tgt
+        |  WHERE o_orderkey % 13 <> 7 AND o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 3
+        |  FROM tgt WHERE o_orderkey % 13 <> 7 AND o_orderkey % 5 = 0""".stripMargin),
+
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -29,7 +29,15 @@ final case class Manifest(
     // merge-on-read equality-delete files: keys written at `version` kill
     // matching rows of data files from OLDER versions (Iceberg v2
     // equality deletes, sequence-number semantics)
-    deleteFiles: Seq[DeleteEntry] = Nil)
+    deleteFiles: Seq[DeleteEntry] = Nil,
+    // what kind of commit produced this snapshot (Iceberg snapshot-summary
+    // `operation` analog): "append" | "overwrite" | "delete" | "replace"
+    // (data-preserving reorganization — compaction, z-order, manifest
+    // rewrite; the CHANGELOG skips these steps outright) |
+    // "evolve-schema" | "evolve-partition" (metadata-only) | "" (legacy
+    // manifests written before the field existed — treated as unknown,
+    // diffed normally). Recorded at publish; surfaced in [[snapshots]].
+    operation: String = "")
 
 /** One live data file.
   *
@@ -527,7 +535,7 @@ final class SnapshotTable(val root: Path,
         // the commit writes tombstones plus a manifest pointer, nothing
         // else
         m.copy(version = v, timestampMs = nowMs,
-          deleteFiles = m.deleteFiles ++ entries)
+          deleteFiles = m.deleteFiles ++ entries, operation = "delete")
       }
     } finally hits.unpersist()
   }
@@ -617,7 +625,7 @@ final class SnapshotTable(val root: Path,
           case s => s ++ newData
         }
         m.copy(version = v, timestampMs = nowMs, files = allFiles,
-          deleteFiles = m.deleteFiles ++ entries)
+          deleteFiles = m.deleteFiles ++ entries, operation = "overwrite")
       }
     } finally hits.unpersist()
   }
@@ -1079,6 +1087,132 @@ final class SnapshotTable(val root: Path,
     readManifest(spark, toM.copy(files = fresh), _ => true)
   }
 
+  /** Row-level CHANGELOG between two snapshots (Iceberg
+    * `create_changelog_view` / Delta CDF analog): every row the span
+    * inserted or deleted, tagged `_change_type` ('insert' | 'delete' —
+    * with `keys`, matched delete/insert pairs become 'update_preimage' /
+    * 'update_postimage' instead), `_commit_version` and
+    * `_commit_timestamp_ms`. Output schema is `toVersion`'s; rows from
+    * pre-evolution steps null-fill columns they predate.
+    *
+    * Mechanics, per retained step v-1→v:
+    *  - `operation == "replace"` steps (compaction, z-order, manifest
+    *    rewrite) are SKIPPED outright — they reorganize bytes, not rows,
+    *    and diffing one would shuffle the whole table to prove a no-op.
+    *  - pure appends emit the added files' rows directly — O(added
+    *    files), no shuffle; the steady-state ingest path.
+    *  - rewrites and MoR deletes compute NET changes over the touched
+    *    files only: `before` = the step's removed files plus carried
+    *    files a NEW delete file may mask, resolved as of v-1; `after` =
+    *    the added files plus those same carried files, resolved as of v;
+    *    inserts = after \ before, deletes = before \ after (multiset
+    *    semantics via exceptAll). A CoW merge that rewrites a partition
+    *    wholesale therefore emits only the rows that actually changed —
+    *    Iceberg's net_changes semantics — at a shuffle bounded by the
+    *    touched files, never the table.
+    *
+    * Candidate selection for newly-masked carried files is
+    * partition-scoped when every new delete file is (equality deletes
+    * from partitioned MoR merges); unscoped position deletes fall back
+    * to a metadata walk with per-file stats exoneration — still zero
+    * data-file reads for exonerated files.
+    *
+    * `keys` (Iceberg's `identifier_columns`): natural keys assumed
+    * unique per snapshot; a delete and an insert sharing a key within
+    * one step pair into an update's pre/post images.
+    */
+  def readChangelog(spark: SparkSession, fromVersion: Long,
+                    toVersion: Long,
+                    keys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ChangeType = "_change_type"
+    val CommitVer = "_commit_version"
+    val CommitTs = "_commit_timestamp_ms"
+    val toM = manifest(toVersion)
+    val target = StructType.fromDDL(toM.schemaDdl)
+    require(!target.fieldNames.exists(n =>
+      Set(ChangeType, CommitVer, CommitTs)(n)),
+      s"table schema collides with changelog metadata columns")
+    val vs = manifestVersions.filter(v => v > fromVersion && v <= toVersion)
+      .sorted
+    require(fromVersion == 0L || manifestVersions.contains(fromVersion),
+      s"no retained snapshot v$fromVersion (expired?) — changelog needs " +
+        "its FROM boundary manifest to diff against")
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.map(_.toLowerCase).toSet
+      df.select(target.fields.toSeq.map { f =>
+        if (have(f.name.toLowerCase)) col(f.name).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    def tag(df: DataFrame, tpe: String, v: Long, ts: Long): DataFrame =
+      df.withColumn(ChangeType, lit(tpe))
+        .withColumn(CommitVer, lit(v)).withColumn(CommitTs, lit(ts))
+    val emptyOut = tag(align(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)),
+      "insert", 0L, 0L).limit(0)
+    if (vs.isEmpty) return emptyOut
+    val steps = ((if (fromVersion == 0L) None
+                  else Some(manifest(fromVersion))) +:
+      vs.init.map(v => Some(manifest(v)))).zip(vs.map(manifest))
+    val parts = steps.flatMap { case (prevOpt, curM) =>
+      if (curM.operation == "replace") None
+      else {
+        val fAdd = diffFiles(prevOpt, curM)._1
+        val fRem = prevOpt.map(p => diffFiles(Some(curM), p)._1)
+          .getOrElse(Nil)
+        val prevDelPaths =
+          prevOpt.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty)
+        val newDeletes =
+          curM.deleteFiles.filterNot(d => prevDelPaths(d.path))
+        val dirty: Seq[FileEntry] =
+          if (newDeletes.isEmpty || prevOpt.isEmpty) Nil
+          else {
+            val addPaths = fAdd.map(_.path).toSet
+            val candidates =
+              if (newDeletes.forall(_.partition.nonEmpty))
+                splitTouchedOf(curM.files,
+                  newDeletes.map(_.partition).toSet)._3
+              else curM.files
+            val types = typeLookup(StructType.fromDDL(curM.schemaDdl))
+            candidates.filterNot(f => addPaths(f.path))
+              .filter(f => newDeletes.exists(d => deleteMayAffect(d, f, types)))
+          }
+        val ts = curM.timestampMs
+        val v = curM.version
+        if (fRem.isEmpty && dirty.isEmpty) {
+          // pure append (or metadata-only: nothing added either)
+          if (fAdd.isEmpty) None
+          else Some(tag(align(
+            readManifest(spark, curM.copy(files = fAdd))), "insert", v, ts))
+        } else {
+          val before = align(readManifest(spark,
+            prevOpt.get.copy(files = fRem ++ dirty)))
+          val after = align(readManifest(spark,
+            curM.copy(files = fAdd ++ dirty)))
+          val ins = after.exceptAll(before)
+          val del = before.exceptAll(after)
+          if (keys.isEmpty)
+            Some(tag(ins, "insert", v, ts)
+              .unionByName(tag(del, "delete", v, ts)))
+          else {
+            val insKeys = ins.select(keys.map(col): _*)
+            val delKeys = del.select(keys.map(col): _*)
+            Some(Seq(
+              tag(ins.join(delKeys, keys, "left_anti"), "insert", v, ts),
+              tag(ins.join(delKeys, keys, "left_semi"),
+                "update_postimage", v, ts),
+              tag(del.join(insKeys, keys, "left_anti"), "delete", v, ts),
+              tag(del.join(insKeys, keys, "left_semi"),
+                "update_preimage", v, ts)).reduce(_ unionByName _))
+          }
+        }
+      }
+    }
+    if (parts.isEmpty) emptyOut else parts.reduce(_ unionByName _)
+  }
+
   /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest
     * retained snapshot committed at or before `tsMs`. Fails loudly when
     * `tsMs` predates every retained snapshot (expiry may have reclaimed
@@ -1129,11 +1263,12 @@ final class SnapshotTable(val root: Path,
         case fl: FileList => fl.totalRows.getOrElse(-1L)
         case s            => if (s.exists(_.rows < 0)) -1L else s.map(_.rows).sum
       }
-      (v, parent.getOrElse(-1L), m.timestampMs, m.files.size.toLong, total,
+      (v, parent.getOrElse(-1L), m.timestampMs, m.operation,
+        m.files.size.toLong, total,
         added, removed, m.deleteFiles.size.toLong, v == cur)
-    }.toDF("version", "parent_version", "timestamp_ms", "n_files",
-      "total_records", "added_files", "removed_files", "n_delete_files",
-      "is_current")
+    }.toDF("version", "parent_version", "timestamp_ms", "operation",
+      "n_files", "total_records", "added_files", "removed_files",
+      "n_delete_files", "is_current")
   }
 
   /** `.partitions` metadata relation (Iceberg's `db.table.partitions`):
@@ -1191,7 +1326,8 @@ final class SnapshotTable(val root: Path,
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
-      m.copy(version = v, timestampMs = nowMs, files = all.toVector)
+      m.copy(version = v, timestampMs = nowMs, files = all.toVector,
+        operation = "replace")
     }
   }
 
@@ -1367,7 +1503,8 @@ final class SnapshotTable(val root: Path,
                       properties: Map[String, String] = Map.empty,
                       nowMs: Long = System.currentTimeMillis()): Manifest =
     commitData(df, if (exists) Some(currentManifest) else None,
-      partitionColumns, properties, nowMs)
+      partitionColumns, properties, nowMs,
+      operation = if (exists) "overwrite" else "append")
 
   /** Append-only commit (SQL `INSERT INTO`; the fast-append shape): the
     * batch's files are ADDED under the current partition spec and every
@@ -1390,7 +1527,8 @@ final class SnapshotTable(val root: Path,
     val (carriedChunks, loose, _) = splitTouchedOf(m.files, Set.empty)
     commitData(df, Some(m), m.partitionColumns, m.properties ++ extraProps,
       nowMs, carryForward = loose, carryChunks = carriedChunks,
-      carryDeletes = m.deleteFiles, rebaseTouched = Some(Set.empty))
+      carryDeletes = m.deleteFiles, rebaseTouched = Some(Set.empty),
+      operation = "append")
   }
 
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new
@@ -1652,7 +1790,8 @@ final class SnapshotTable(val root: Path,
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
       m.copy(version = v, timestampMs = nowMs, schemaDdl = keep.toDDL,
         properties = m.properties ++
-          dropSet.map(c => s"$DroppedPrefix$c" -> v.toString))
+          dropSet.map(c => s"$DroppedPrefix$c" -> v.toString),
+        operation = "evolve-schema")
     }
   }
 
@@ -1701,7 +1840,8 @@ final class SnapshotTable(val root: Path,
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
       m.copy(version = v, timestampMs = nowMs,
-        schemaDdl = StructType(schema.fields ++ cols).toDDL)
+        schemaDdl = StructType(schema.fields ++ cols).toDDL,
+        operation = "evolve-schema")
     }
   }
 
@@ -1762,7 +1902,8 @@ final class SnapshotTable(val root: Path,
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
-      m.copy(version = v, timestampMs = nowMs, partitionColumns = resolved)
+      m.copy(version = v, timestampMs = nowMs, partitionColumns = resolved,
+        operation = "evolve-partition")
     }
   }
 
@@ -1896,7 +2037,8 @@ final class SnapshotTable(val root: Path,
       // schema may have drifted through targetTransform (column adds are
       // metadata-only; carried files null-fill on read under the superset)
       Manifest(v, nowMs, target.schema.toDDL, allFiles,
-        m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes)
+        m.partitionColumns, m.properties, m.deleteFiles ++ newDeletes,
+        operation = "overwrite")
     }
     } finally { evictKeys.unpersist(); cached.unpersist() }
   }
@@ -2003,7 +2145,8 @@ final class SnapshotTable(val root: Path,
           .getOrElse(df.repartition(nFiles))
         commitData(clustered, Some(m),
           m.partitionColumns, m.properties, nowMs, carryForward = carried,
-          carryChunks = carriedChunks, carryDeletes = keptDeletes)
+          carryChunks = carriedChunks, carryDeletes = keptDeletes,
+          operation = "replace")
       } else {
         // size control: commitData clusters one task per partition value,
         // so oversized partitions are split by record count instead
@@ -2029,7 +2172,8 @@ final class SnapshotTable(val root: Path,
           m.properties, nowMs, carryForward = carried,
           carryChunks = carriedChunks, carryDeletes = keptDeletes,
           preclustered = zdf.isDefined,
-          writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString))
+          writerOptions = Map("maxRecordsPerFile" -> maxRecords.toString),
+          operation = "replace")
       }
     } finally df.unpersist()
   }
@@ -2090,7 +2234,7 @@ final class SnapshotTable(val root: Path,
         // the rows apart
         commitData(clustered, Some(m), m.partitionColumns,
           m.properties + (ZOrderProp -> cols.mkString(",")), nowMs,
-          preclustered = true)
+          preclustered = true, operation = "replace")
     }
   }
 
@@ -2437,7 +2581,8 @@ final class SnapshotTable(val root: Path,
                          carryDeletes: Seq[DeleteEntry] = Nil,
                          writerOptions: Map[String, String] = Map.empty,
                          rebaseTouched: Option[Set[Map[String, String]]] = None,
-                         preclustered: Boolean = false): Manifest = {
+                         preclustered: Boolean = false,
+                         operation: String = "overwrite"): Manifest = {
     val baseV = base.map(_.version).getOrElse(0L)
     // fail-fast BEFORE any data is written: a commit planned against a
     // stale snapshot must not spend the write (and without rebase rights
@@ -2524,7 +2669,7 @@ final class SnapshotTable(val root: Path,
         case _ => entries ++ carriedFiles
       }
       Manifest(v, nowMs, df.schema.toDDL, allFiles,
-        pcols, props, deleteFiles = carriedDeletes)
+        pcols, props, deleteFiles = carriedDeletes, operation = operation)
     }
   }
 
@@ -2832,6 +2977,7 @@ private[graft] object ManifestJson {
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
       s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
       s""""properties":${obj(m.properties)},"deleteFiles":$delJson,""" +
+      s""""operation":${q(m.operation)},""" +
       s""""nBuckets":$nBucketsOut,""" +
       s""""chunks":${chunkRefs.map(chunkJson).mkString("[", ",", "]")},""" +
       s""""files":$filesJson}"""
@@ -2947,7 +3093,9 @@ private[graft] object ManifestJson {
             dm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L),
             dm.get("positional").exists(_.asInstanceOf[Boolean]))
         })
-        .getOrElse(Nil))
+        .getOrElse(Nil),
+      operation = parsed.get("operation") // absent pre-round-6
+        .map(_.asInstanceOf[String]).getOrElse(""))
   }
 
   /** Delete a manifest DOCUMENT. Chunk documents are NOT deleted here —

@@ -404,6 +404,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("CALL create_changelog_view registers the CDC view") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-cdcview-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 30).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    base.sql(s"DELETE FROM graft.`$root` WHERE id <= 5")
+    base.sql(s"CALL graft.system.create_changelog_view('$root', " +
+      "view => 'cdc_spec_view', from_version => 1)")
+    val rows = base.sql("SELECT _change_type, count(*) AS n " +
+      "FROM cdc_spec_view GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("delete" -> 5L))
+    // the view argument is mandatory — loud failure, not a silent no-op
+    val e = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.create_changelog_view('$root')")
+    }
+    assert(e.getMessage.contains("view argument"))
+  }
+
   test("SQL ALTER TABLE ADD/DROP COLUMNS = metadata-only evolution") {
     val base = spark
     import base.implicits._
