@@ -777,6 +777,39 @@ private[graft] object GraftSqlDml {
           if (todo.nonEmpty) tbl.dropColumns(todo)
           empty
         }
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        graftTable(r.table).map { tbl =>
+          if (r.column.name.length != 1)
+            unsupported("ALTER TABLE RENAME nested column (top-level only)")
+          tbl.renameColumn(r.column.name.head, r.newName)
+          empty
+        }
+      case ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        graftTable(ac.table).map { tbl =>
+          ac.specs.foreach { sp =>
+            if (sp.column.name.length != 1)
+              unsupported("ALTER TABLE ALTER nested column (top-level only)")
+            if (sp.newNullability.nonEmpty || sp.newComment.nonEmpty ||
+                sp.newPosition.nonEmpty || sp.newDefaultExpression.nonEmpty)
+              unsupported("ALTER COLUMN supports TYPE widening only")
+            sp.newDataType match {
+              case Some(dt) => tbl.widenColumn(sp.column.name.head, dt)
+              case None =>
+                unsupported("ALTER COLUMN without a TYPE change")
+            }
+          }
+          empty
+        }
+      case sp: org.apache.spark.sql.catalyst.plans.logical.SetTableProperties =>
+        graftTable(sp.table).map { tbl =>
+          tbl.setProperties(sp.properties)
+          empty
+        }
+      case up: org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties =>
+        graftTable(up.table).map { tbl =>
+          tbl.unsetProperties(up.propertyKeys, up.ifExists)
+          empty
+        }
       case _ => None
     }
   }

@@ -413,6 +413,31 @@ object SparkEntry {
       cl
     }),
 
+    "q86_sql_rename_widen" -> ((s, d) => {
+      // RENAME COLUMN + ALTER COLUMN TYPE widening (Iceberg's metadata-
+      // only schema promotions, spelled without field IDs): seq-keyed
+      // evolution chains read pre-evolution files under their physical
+      // (name, type) and cast/alias up. The UPDATE after the evolution
+      // mixes epochs in one table — old int/old-name files plus new
+      // bigint/new-name files — and the scan resolves both.
+      val root = Files.createTempDirectory("graft-renwide-").toString
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("int").as("line_no"),
+          col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("graft_q86_src")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q86_src")
+      val before = SnapshotTable.at(root).currentManifest.files.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN l_quantity TO qty")
+      s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN line_no TYPE BIGINT")
+      require(SnapshotTable.at(root).currentManifest.files.map(_.path).toSet
+        == before, "rename/widen must be metadata-only (files carried)")
+      s.sql(s"UPDATE graft.`$root` SET qty = qty + 50.0 " +
+        "WHERE l_orderkey % 10 = 0")
+      s.sql(s"SELECT l_orderkey, line_no, l_returnflag, qty " +
+        s"FROM graft.`$root`")
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1272,6 +1297,39 @@ object SparkEntry {
         .select(col("id_a").as("doc_id"), col("component"))
     }),
 
+    "q87_chunk_dedup" -> ((s, d) =>
+      // cross-corpus chunk-level exact dedup with reassembly (the
+      // repeated-passage removal pass of a training pipeline): globally
+      // keep-first on 64-char chunks, rebuild every doc from survivors
+      Dedup.chunkDedup(t(s, d, "documents"), "doc_id", "text", 64)
+        .select(col("id").as("doc_id"), col("clean_text"),
+          col("n_chunks"), col("n_kept"))),
+
+    "q88_dedup_canonical" -> ((s, d) => {
+      // cluster-canonical mapping over the full corpus: q53's near-dup
+      // components, singletons folded in as their own cluster, one
+      // representative per cluster = the LONGEST member (ties to the
+      // larger id) via a partial-agg max(struct) — the keep-best rule a
+      // dedup pass applies before dropping the rest. No window over the
+      // corpus: argmax is one hash agg + an equi-join back.
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.withColumn("len_bucket", (col("n_chars") / lit(100)).cast("long")),
+        "doc_id", "text", blockCols = Seq("lang", "len_bucket"),
+        threshold = 0.5)
+      val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+        .withColumnRenamed("id_a", "doc_id")
+      val all = docs.select(col("doc_id"), col("n_chars"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val canon = all.groupBy(col("component"))
+        .agg(max(struct(col("n_chars"), col("doc_id"))).as("mx"))
+        .select(col("component"), col("mx.doc_id").as("canonical_id"))
+      all.join(canon, Seq("component"))
+        .select(col("doc_id"), col("component"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+    }),
+
     "q54_pii_scrub" -> ((s, d) => {
       // deterministic PII fixture: every 7th doc gains an email, every
       // 11th a phone number — the oracle builds the same augmented text
@@ -1613,6 +1671,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice + 1000.0, 'update_postimage', 3
         |  FROM tgt WHERE o_orderkey % 13 <> 7 AND o_orderkey % 5 = 0""".stripMargin),
+
+    // q86: the evolved table equals the source with the rename/widen/
+    // update applied algebraically (qty +50.0 is double-exact)
+    "q86_sql_rename_widen" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        |  l_returnflag,
+        |  CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 50.0
+        |       ELSE l_quantity END AS qty
+        |FROM lineitem""".stripMargin,
 
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->
@@ -2104,6 +2171,67 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+
+    // q87: identical keep-first rule — min (doc_id, start) per chunk
+    // text (Spark's min(struct) ≡ the ordered row_number here), rebuild
+    // by offset order with an empty separator
+    "q87_chunk_dedup" ->
+      """WITH ch AS (SELECT doc_id, text,
+        |  CAST(unnest(range(0, greatest(length(text) - 1, 0) + 1, 64)) AS INT) AS start
+        |  FROM documents),
+        |c2 AS (SELECT doc_id, start,
+        |  substring(text, start + 1, 64) AS chunk_text FROM ch),
+        |k AS (SELECT doc_id, start, chunk_text,
+        |  row_number() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, start) AS rn FROM c2)
+        |SELECT doc_id,
+        |  coalesce(string_agg(chunk_text, '' ORDER BY start)
+        |    FILTER (WHERE rn = 1), '') AS clean_text,
+        |  count(*) AS n_chunks,
+        |  count(*) FILTER (WHERE rn = 1) AS n_kept
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // q88: q53's components extended to the full corpus (singletons =
+    // their own cluster) with the longest-member representative
+    "q88_dedup_canonical" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, len_bucket,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+        |    ELSE [] END AS shingles
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |    AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE jaccard >= 0.5
+        |  UNION
+        |  SELECT id_b, id_a FROM pairs WHERE jaccard >= 0.5),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+        |allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |canon AS (SELECT component, doc_id AS canonical_id,
+        |    row_number() OVER (PARTITION BY component
+        |      ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM allc)
+        |SELECT a.doc_id, a.component, c.canonical_id,
+        |  a.doc_id = c.canonical_id AS is_canonical
+        |FROM allc a JOIN canon c ON a.component = c.component AND c.rn = 1""".stripMargin,
 
     "q54_pii_scrub" -> piiScrubOracle,
 

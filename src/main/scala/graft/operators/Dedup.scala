@@ -390,4 +390,47 @@ object Dedup {
       .limit(k)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Cross-corpus CHUNK-level exact dedup with reassembly (the
+    * MassiveText/C4 repeated-passage removal shape): every document is
+    * split into fixed non-overlapping character chunks, a chunk KEEPS
+    * only its globally FIRST occurrence (ordered by (doc id, offset) —
+    * deterministic and engine-portable), and each document is rebuilt
+    * from its surviving chunks in offset order. Repeated boilerplate
+    * shared across documents (and exact self-repetition within one)
+    * disappears from every copy but the first.
+    *
+    * Scale shape: chunking is map-side Catalyst HOFs (sequence +
+    * substring — no explode of words); the only shuffles are the
+    * keep-first hash aggregation on the chunk text and the per-document
+    * rebuild aggregation. No windows over the corpus, no sort. At 100 TB
+    * hash the chunk text to a 128-bit digest for the group key and carry
+    * the text only on the winner — the group-by stays the same shape.
+    *
+    * Output: (id, clean_text, n_chunks, n_kept) — one row per input
+    * document; a fully-duplicated document survives with empty text.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkChars: Int = 64): DataFrame = {
+    require(chunkChars > 0, "chunkChars must be positive")
+    val base = spread(docs.select(col(idCol).as("id"), col(textCol).as("text")))
+    val chunks = base
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(length(col("text")) - 1, lit(0)), lit(chunkChars))))
+      .withColumn("chunk_text",
+        expr(s"substring(text, start + 1, $chunkChars)"))
+      .select(col("id"), col("start"), col("chunk_text"))
+    val firsts = chunks.groupBy(col("chunk_text"))
+      .agg(min(struct(col("id"), col("start"))).as("keep"))
+    val flagged = chunks.join(firsts, Seq("chunk_text"))
+      .withColumn("kept", col("keep.id") === col("id") &&
+        col("keep.start") === col("start"))
+    flagged.groupBy(col("id"))
+      .agg(
+        concat_ws("", array_sort(collect_list(
+          when(col("kept"), struct(col("start"), col("chunk_text")))))
+          .getField("chunk_text")).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+  }
 }

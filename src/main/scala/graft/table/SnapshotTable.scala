@@ -350,6 +350,7 @@ final class SnapshotTable(val root: Path,
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     val transforms = partitionTransforms(m)
+    val chains = evoChains(m)
     // bucket-transform pruning: a point predicate on the SOURCE column
     // hashes to exactly one bucket value, so a file whose bucket
     // partition value differs can't hold a matching row. The matching
@@ -375,8 +376,9 @@ final class SnapshotTable(val root: Path,
     }
     def fileOk(f: FileEntry) =
       bucketOk(f) &&
-        StatsPruning.mayMatch(expr, types, boundsFor(f, types, transforms),
-          nullsFor(f), f.rows)
+        StatsPruning.mayMatch(expr, types,
+          boundsFor(f, types, transforms, chains),
+          nullsFor(f, chains), f.rows)
     m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
         def ci[T](mp: Map[String, T], n: String): Option[T] =
@@ -724,13 +726,19 @@ final class SnapshotTable(val root: Path,
     * source column; None = unknown (never prune).
     */
   private def boundsFor(f: FileEntry, types: String => Option[DataType],
-      transforms: Seq[(String, PartTransform)] = Nil)
+      transforms: Seq[(String, PartTransform)] = Nil,
+      chains: Map[String, Seq[(Long, String, DataType)]] = Map.empty)
       : String => Option[(StatsPruning.Bound, StatsPruning.Bound)] = { name =>
     types(name).flatMap { dt =>
+      // a pre-rename file recorded its stats under the name IT had; the
+      // decode stays in the CURRENT (possibly widened) type domain —
+      // int stats parse as long, and float stats are encoded
+      // double-safe by FileStats
+      val phys = physAt(chains, name, dt, f.seq)._1
       f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
         case Some(pv) => StatsPruning.decodePartitionValue(dt, pv).map(b => (b, b))
         case None =>
-          f.stats.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+          f.stats.collectFirst { case (k, v) if k.equalsIgnoreCase(phys) => v }
             .flatMap { cb =>
               for {
                 mn <- StatsPruning.decode(dt, cb.min)
@@ -768,14 +776,20 @@ final class SnapshotTable(val root: Path,
     * anything else = none); data columns use the footer counts captured
     * in the manifest. None = unknown (never prune).
     */
-  private def nullsFor(f: FileEntry): String => Option[Long] = { name =>
+  private def nullsFor(f: FileEntry,
+      chains: Map[String, Seq[(Long, String, DataType)]] = Map.empty)
+      : String => Option[Long] = { name =>
     f.partition.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
       case Some(pv) =>
         if (!StatsPruning.isNullPartitionValue(pv)) Some(0L)
         else if (f.rows >= 0) Some(f.rows)
         else None
       case None =>
-        f.nulls.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+        val phys = chains.get(name.toLowerCase)
+          .map(_ => physAt(chains, name,
+            org.apache.spark.sql.types.NullType, f.seq)._1)
+          .getOrElse(name)
+        f.nulls.collectFirst { case (k, v) if k.equalsIgnoreCase(phys) => v }
     }
   }
 
@@ -936,18 +950,44 @@ final class SnapshotTable(val root: Path,
             .col("_metadata.file_path"), "(data/v[0-9]+[a-z]?/.*)$", 1))
         .withColumn(PosPosCol,
           org.apache.spark.sql.functions.col("_metadata.row_index"))
-    if (fs.forall(_.partition.isEmpty) && !withSeq)
+    val chains = evoChains(m)
+    // rename/widen epochs: a pre-evolution file reads its columns under
+    // the OLD physical (name, type) — selected by the file's sequence
+    // number — then aliases/casts to the current schema. Un-evolved
+    // tables take the single-scan fast paths unchanged.
+    def remap(df: DataFrame, seqNo: Long,
+              phys: Array[org.apache.spark.sql.types.StructField]): DataFrame = {
+      val mapped = schema.fields.zip(phys).map { case (cur, ph) =>
+        val c = org.apache.spark.sql.functions.col(ph.name)
+        (if (ph.dataType == cur.dataType) c else c.cast(cur.dataType))
+          .as(cur.name)
+      }
+      val extras =
+        if (withPos) Seq(PosFileCol, PosPosCol)
+          .map(org.apache.spark.sql.functions.col)
+        else Nil
+      df.select(mapped.toSeq ++ extras: _*)
+    }
+    def physFieldsAt(seqNo: Long) = schema.fields.map { f =>
+      val (n, t) = physAt(chains, f.name, f.dataType, seqNo)
+      org.apache.spark.sql.types.StructField(n, t, f.nullable, f.metadata)
+    }
+    if (fs.forall(_.partition.isEmpty) && !withSeq && chains.isEmpty)
       posCols(spark.read.schema(schema)
         .parquet(fs.map(f => root.resolve(f.path).toString): _*))
     else
       fs.groupBy(_.seq)
         .map { case (seqNo, g) =>
+          val phys = physFieldsAt(seqNo)
+          val evolved = !phys.sameElements(schema.fields)
+          val readSchema = if (evolved) StructType(phys) else schema
           val dir = g.head.path.split('/').take(2).mkString("/")
-          val reader = spark.read.schema(schema)
-          val df = posCols(
+          val reader = spark.read.schema(readSchema)
+          val df0 = posCols(
             (if (g.head.partition.isEmpty) reader
              else reader.option("basePath", root.resolve(dir).toString))
               .parquet(g.map(f => root.resolve(f.path).toString): _*))
+          val df = if (evolved) remap(df0, seqNo, phys) else df0
           if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
         }
         .reduce(_ unionByName _)
@@ -1847,6 +1887,188 @@ final class SnapshotTable(val root: Path,
 
   private val DroppedPrefix = "graft.dropped."
 
+  /** RENAME-COLUMN schema evolution (Iceberg `ALTER TABLE RENAME COLUMN`
+    * analog, without field IDs): a metadata-only commit that renames the
+    * schema field and records the prior physical state in the column's
+    * EVOLUTION CHAIN (`graft.evolution.<new> = old:oldType@v;...`). Data
+    * files are never touched: a file's sequence number selects its epoch,
+    * and [[readFileGroup]] reads pre-rename files under the old physical
+    * name (aliasing to the new), while [[boundsFor]]/[[nullsFor]] consult
+    * the file's stats under the name IT recorded — pruning keeps working
+    * across the rename.
+    *
+    * Refused loudly when the column is a partition column or a recorded
+    * partition-transform source (path layouts and transform pruning key
+    * on the physical name), when a pending equality delete references it
+    * (delete files carry key columns by name), or when the NEW name
+    * would capture a historical physical column of carried files
+    * (double-bind — same hazard class as resurrecting a drop).
+    */
+  def renameColumn(oldName: String, newName: String,
+                   nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column $oldName"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column $newName already exists")
+    require(!m.partitionColumns.exists(_.equalsIgnoreCase(field.name)),
+      s"${field.name} is a partition column — its name is baked into " +
+        "file paths and partition maps; rewrite the table instead")
+    partitionTransforms(m).foreach {
+      case (p, BucketT(_, src)) => require(!src.equalsIgnoreCase(field.name),
+        s"${field.name} is the bucket() source of partition column $p")
+      case (p, DaysT(src)) => require(!src.equalsIgnoreCase(field.name),
+        s"${field.name} is the days() source of partition column $p")
+    }
+    require(!m.deleteFiles.exists(d => !d.positional &&
+      d.stats.keys.exists(_.equalsIgnoreCase(field.name))),
+      s"pending equality-delete files reference ${field.name} by name — " +
+        "compact() to fold them, then rename")
+    val risky = m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        resurrectableColumns(m, fl.inline, fl.chunks)
+      case s => resurrectableColumns(m, s)
+    }
+    require(!risky(newName.toLowerCase),
+      s"renaming to $newName would capture a historical physical column " +
+        "of carried files; compact() first")
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val entry = s"${field.name}:${field.dataType.catalogString}@$v"
+      val oldKey = EvoPrefix + field.name.toLowerCase
+      val chain = m.properties.get(oldKey) match {
+        case Some(prior) => s"$entry;$prior"
+        case None => entry
+      }
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == field.name) f.copy(name = newName) else f))
+      m.copy(version = v, timestampMs = nowMs, schemaDdl = newSchema.toDDL,
+        properties = m.properties - oldKey +
+          (EvoPrefix + newName.toLowerCase -> chain),
+        operation = "evolve-schema")
+    }
+  }
+
+  /** TYPE-WIDENING schema evolution (Iceberg's int→long / float→double
+    * promotions): metadata-only; pre-widen files read under their old
+    * physical type (the epoch chain again) and CAST up. Only the two
+    * information-preserving widenings are accepted — anything else would
+    * corrupt carried rows or silently truncate.
+    */
+  def widenColumn(name: String, to: DataType,
+                  nowMs: Long = System.currentTimeMillis()): Manifest = {
+    import org.apache.spark.sql.types._
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(s"no such column $name"))
+    val ok = (field.dataType, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a, b) if a == b => return m // no-op
+      case _ => false
+    }
+    require(ok, s"cannot change ${field.name}: ${field.dataType.catalogString}" +
+      s" -> ${to.catalogString}; only int->bigint and float->double widen")
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val entry = s"${field.name}:${field.dataType.catalogString}@$v"
+      val key = EvoPrefix + field.name.toLowerCase
+      val chain = m.properties.get(key) match {
+        case Some(prior) => s"$entry;$prior"
+        case None => entry
+      }
+      val newSchema = StructType(schema.fields.map(f =>
+        if (f.name == field.name) f.copy(dataType = to) else f))
+      m.copy(version = v, timestampMs = nowMs, schemaDdl = newSchema.toDDL,
+        properties = m.properties + (key -> chain),
+        operation = "evolve-schema")
+    }
+  }
+
+  /** SQL `ALTER TABLE SET TBLPROPERTIES`: a metadata-only commit merging
+    * the pairs into the manifest properties — the runtime switch for
+    * write modes (CoW/MoR), compaction bars, codecs, transforms. The
+    * engine-internal bookkeeping prefixes (drop tombstones, evolution
+    * chains) are refused: hand-editing them would corrupt the name
+    * mapping carried files depend on.
+    */
+  def setProperties(props: Map[String, String],
+                    nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(props.nonEmpty, "nothing to set")
+    val bad = props.keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
+      k.toLowerCase.startsWith(EvoPrefix))
+    require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
+    val m = currentManifest
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        properties = m.properties ++ props, operation = "properties")
+    }
+  }
+
+  /** SQL `ALTER TABLE UNSET TBLPROPERTIES` — same rules as
+    * [[setProperties]]; unknown keys are a silent no-op per SQL
+    * `IF EXISTS`, a loud error otherwise.
+    */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false,
+                      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(keys.nonEmpty, "nothing to unset")
+    val bad = keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
+      k.toLowerCase.startsWith(EvoPrefix))
+    require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
+    val m = currentManifest
+    val missing = keys.filterNot(m.properties.contains)
+    if (!ifExists)
+      require(missing.isEmpty, s"no such propert${
+        if (missing.size == 1) "y" else "ies"}: ${missing.mkString(", ")}")
+    if (keys.forall(missing.contains)) return m // nothing to remove
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        properties = m.properties -- keys, operation = "properties")
+    }
+  }
+
+  private val EvoPrefix = "graft.evolution."
+
+  /** Evolution chains by CURRENT lowercased column name: entries
+    * (version, physName, physType) newest-first; a file with sequence
+    * number `s` sees the column under the state of the FIRST run of
+    * entries with `s < version` (versions strictly decrease along the
+    * chain, so the walk stops at the first non-applicable entry).
+    */
+  private def evoChains(m: Manifest)
+      : Map[String, Seq[(Long, String, DataType)]] =
+    m.properties.collect {
+      case (k, v) if k.startsWith(EvoPrefix) =>
+        k.drop(EvoPrefix.length) -> v.split(';').toSeq.map { e =>
+          val at = e.lastIndexOf('@')
+          val colon = e.indexOf(':')
+          (e.substring(at + 1).toLong, e.substring(0, colon),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(e.substring(colon + 1, at)))
+        }
+    }
+
+  /** The physical (name, type) of `curName` inside a file committed at
+    * `seq`, per the evolution chains; identity when un-evolved.
+    */
+  private def physAt(chains: Map[String, Seq[(Long, String, DataType)]],
+      curName: String, curType: DataType, seq: Long): (String, DataType) =
+    chains.get(curName.toLowerCase) match {
+      case None => (curName, curType)
+      case Some(entries) =>
+        entries.takeWhile(seq < _._1).lastOption
+          .map { case (_, n, t) => (n, t) }
+          .getOrElse((curName, curType))
+    }
+
   /** Columns whose re-addition would resurrect old values: tombstoned
     * names (stored lowercased) whose drop version is NOT older than every
     * file in `carried` (a pre-drop file physically holds the old column,
@@ -1857,13 +2079,26 @@ final class SnapshotTable(val root: Path,
     */
   private def resurrectableColumns(m: Manifest,
       carried: Seq[FileEntry],
-      carriedChunks: Seq[ChunkRef] = Nil): Set[String] =
-    m.properties.collect {
-      case (k, v) if k.startsWith(DroppedPrefix) &&
-          (anySeqAtMost(carried, v.toLong) ||
-            carriedChunks.exists(_.minSeq <= v.toLong)) =>
+      carriedChunks: Seq[ChunkRef] = Nil): Set[String] = {
+    def anyFilePredates(v: Long): Boolean =
+      anySeqAtMost(carried, v) || carriedChunks.exists(_.minSeq <= v)
+    val dropped = m.properties.collect {
+      case (k, v) if k.startsWith(DroppedPrefix) && anyFilePredates(v.toLong) =>
         k.drop(DroppedPrefix.length).toLowerCase
-    }.toSet
+    }
+    // historical PHYSICAL names from evolution chains: while any carried
+    // file predates the rename, a new column under the old name would
+    // double-bind against those files' physical data — same hazard as a
+    // resurrected drop
+    val inSchema = StructType.fromDDL(m.schemaDdl)
+      .fieldNames.map(_.toLowerCase).toSet
+    val historical = evoChains(m).values.flatten.collect {
+      case (v, physName, _) if anyFilePredates(v - 1) &&
+          !inSchema(physName.toLowerCase) =>
+        physName.toLowerCase
+    }
+    (dropped ++ historical).toSet
+  }
 
   private def guardResurrection(m: Manifest, changes: DataFrame): Unit = {
     val risky = resurrectableColumns(m, m.files)

@@ -226,4 +226,23 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(math.abs(d - expected) < 1e-9)
     }
   }
+
+  test("chunkDedup keeps first occurrence globally and reassembles") {
+    val shared = "A" * 64           // exact chunk shared by docs 1 and 2
+    val docs = Seq(
+      (1L, shared + ("B" * 64)),    // keeps both chunks (first occurrence)
+      (2L, shared + ("C" * 64)),    // loses the shared chunk
+      (3L, "D" * 40),               // short single chunk, unique
+      (4L, shared)                  // fully duplicated -> empty text
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", 64)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == shared + ("B" * 64) && got(1L)._4 == 2L)
+    assert(got(2L)._2 == "C" * 64,
+      "doc 2 must lose the chunk doc 1 already owns")
+    assert(got(2L)._3 == 2L && got(2L)._4 == 1L)
+    assert(got(3L)._2 == "D" * 40)
+    assert(got(4L)._2 == "" && got(4L)._4 == 0L,
+      "a fully-duplicated doc survives with empty text")
+  }
 }

@@ -404,6 +404,35 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES round-trips through SQL") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-props-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 10).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    base.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES (" +
+      "'write.graft.compact.delete-ratio' = '0.2', 'team' = 'etl')")
+    val props = base.sql(s"SHOW TBLPROPERTIES graft.`$root`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.graft.compact.delete-ratio").contains("0.2"))
+    assert(props.get("team").contains("etl"))
+    assert(tbl.currentManifest.operation == "properties")
+    base.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('team')")
+    assert(!tbl.currentManifest.properties.contains("team"))
+    // unknown key without IF EXISTS is loud; with it, a no-op
+    intercept[IllegalArgumentException] {
+      base.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES ('nope')")
+    }
+    val v = tbl.currentVersion
+    base.sql(s"ALTER TABLE graft.`$root` UNSET TBLPROPERTIES IF EXISTS ('nope')")
+    assert(tbl.currentVersion == v)
+    // engine bookkeeping prefixes are fenced off
+    intercept[IllegalArgumentException] {
+      base.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES (" +
+        "'graft.evolution.x' = 'boom')")
+    }
+  }
+
   test("CALL create_changelog_view registers the CDC view") {
     val base = spark
     import base.implicits._
