@@ -49,7 +49,8 @@ object Bench {
       "q72_sql_update_delete", "q73_catalog_merge", "q74_sql_insert",
       "q75_stream_table_tail", "q76_sql_maintenance", "q77_sql_alter",
       "q78_stream_table_sink", "q79_branch_wap", "q80_metadata_tables",
-      "q84_positional_delete", "q85_changelog", "q86_sql_rename_widen")
+      "q84_positional_delete", "q85_changelog", "q86_sql_rename_widen",
+      "q89_stream_changelog")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

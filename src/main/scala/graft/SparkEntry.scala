@@ -438,6 +438,39 @@ object SparkEntry {
         s"FROM graft.`$root`")
     }),
 
+    "q89_stream_changelog" -> ((s, d) => {
+      // STREAMING CDC feed (Delta CDF / Iceberg changelog-scan analog):
+      // readChangeFeed micro-batches are net row-level changelog spans.
+      // Pass 1 streams the CTAS+DELETE+UPDATE history; a further DELETE
+      // commits; pass 2 under the SAME checkpoint emits exactly that
+      // step's deletes — restart-exactly-once over snapshot-version
+      // offsets. Output = every CDC row observed ≡ the fixture algebra.
+      val root = Files.createTempDirectory("graft-cdcstream-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q89_target")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q89_target")
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 13 = 7")
+      s.sql(s"UPDATE graft.`$root` SET o_totalprice = o_totalprice + 1000.0" +
+        " WHERE o_orderkey % 5 = 0")
+      val ckpt = Files.createTempDirectory("graft-cdcstream-ckpt-").toString
+      val out = Files.createTempDirectory("graft-cdcstream-out-").toString
+      def pass(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("startVersion", "0").option("readChangeFeed", "true")
+          .load(root)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("_change_type"), col("_commit_version"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass()
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 7 = 0")
+      pass()
+      s.read.parquet(out)
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1680,6 +1713,27 @@ object SparkEntry {
         |  CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 50.0
         |       ELSE l_quantity END AS qty
         |FROM lineitem""".stripMargin,
+
+    // q89: the streamed CDC history, keyless (insert/delete rows; the
+    // v3 update appears as its delete+insert pair); v4 deletes carry the
+    // post-update price
+    "q89_stream_changelog" -> (withFixtures +
+      """ SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+        |  CAST(1 AS BIGINT) AS _commit_version FROM tgt
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'delete', 2 FROM tgt
+        |  WHERE o_orderkey % 13 = 7
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, 'delete', 3 FROM tgt
+        |  WHERE o_orderkey % 13 <> 7 AND o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice + 1000.0, 'insert', 3 FROM tgt
+        |  WHERE o_orderkey % 13 <> 7 AND o_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END, 'delete', 4 FROM tgt
+        |  WHERE o_orderkey % 13 <> 7 AND o_orderkey % 7 = 0""".stripMargin),
 
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->

@@ -74,9 +74,13 @@ final class GraftTableSourceProvider
     val tbl = SnapshotTable.at(path)
     require(tbl.exists, s"no committed graft table at $path")
     // the stream's schema is pinned at start; later evolution null-fills
-    // (added columns are invisible to an already-running stream)
-    (s"graft-table[$path]",
-      schema.getOrElse(StructType.fromDDL(tbl.currentManifest.schemaDdl)))
+    // (added columns are invisible to an already-running stream). The
+    // CDC feed appends the changelog metadata columns.
+    val base = schema.getOrElse(StructType.fromDDL(tbl.currentManifest.schemaDdl))
+    val out =
+      if (!GraftTableSource.cdcMode(parameters)) base
+      else StructType(base.fields ++ GraftTableSource.CdcFields)
+    (s"graft-table[$path]", out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -116,6 +120,20 @@ final class GraftTableSource(spark: SparkSession, path: String,
     getOffset.orNull
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
+
+  /** `readChangeFeed=true` (the Delta CDF / Iceberg changelog-scan
+    * streaming analog): micro-batches are [[SnapshotTable.readChangelog]]
+    * spans instead of appended-file reads — net row-level inserts AND
+    * deletes, tagged `_change_type`/`_commit_version`/
+    * `_commit_timestamp_ms`, with data-preserving `replace` commits
+    * (compaction, z-order) skipped. Rewrites and MoR deletes are
+    * REPRESENTABLE here, so `ignoreChanges` is refused — it would
+    * silently re-emit rewrites the changelog already nets out.
+    */
+  private val cdc = GraftTableSource.cdcMode(parameters)
+  require(!(cdc && ignoreChanges),
+    "readChangeFeed already represents rewrites and deletes exactly; " +
+      "ignoreChanges would double-represent them — drop one option")
 
   /** Version streaming starts AFTER: `startVersion=0` bootstraps (first
     * batch = the full table), an explicit version tails commits after it,
@@ -176,8 +194,10 @@ final class GraftTableSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startVersion)
-    val df = tbl.readIncrementalBetween(spark, from, ver(end),
-      requireAppendOnly = !ignoreChanges)
+    val df =
+      if (cdc) tbl.readChangelog(spark, from, ver(end))
+      else tbl.readIncrementalBetween(spark, from, ver(end),
+        requireAppendOnly = !ignoreChanges)
     // align to the pinned stream schema: evolution during the stream may
     // have added columns (dropped here) or removed some (null-filled)
     val aligned = df.select(schema.toSeq.map { f =>
@@ -190,6 +210,19 @@ final class GraftTableSource(spark: SparkSession, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+object GraftTableSource {
+  private[streaming] def cdcMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private[streaming] val CdcFields = Array(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("_commit_timestamp_ms",
+      org.apache.spark.sql.types.LongType))
 }
 
 /** Structured Streaming SINK over a [[SnapshotTable]]: each micro-batch

@@ -152,6 +152,53 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("readChangeFeed streams net CDC rows; replace steps stay silent") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-cdcfeed-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s"))
+    base.sql(s"DELETE FROM graft.`$root` WHERE id <= 10")
+
+    val ckpt = tmp("graft-cdcfeed-ckpt-")
+    val out = tmp("graft-cdcfeed-out-")
+    def cdcPass(): Unit = {
+      val q = base.readStream.format("graft-table")
+        .option("startVersion", "0").option("readChangeFeed", "true")
+        .load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    cdcPass()
+    val p1 = base.read.parquet(out)
+    assert(p1.filter($"_change_type" === "insert").count() == 100)
+    assert(p1.filter($"_change_type" === "delete").count() == 10)
+
+    // a compaction commit between passes must emit NOTHING; a further
+    // delete arrives exactly once
+    t.compact(spark)
+    base.sql(s"DELETE FROM graft.`$root` WHERE id > 95")
+    cdcPass()
+    val p2 = base.read.parquet(out)
+    assert(p2.count() == p1.count() + 5,
+      "second pass = exactly the new delete's rows, no replace noise")
+    assert(p2.filter($"_change_type" === "delete" && $"id" > 95).count() == 5)
+
+    // cdc + ignoreChanges is contradictory — refused at stream start
+    val e = intercept[Exception] {
+      base.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("ignoreChanges", "true")
+        .load(root)
+        .writeStream.format("noop")
+        .option("checkpointLocation", tmp("graft-cdcfeed-bad-"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e.getMessage.contains("readChangeFeed") ||
+      e.getCause != null && e.getCause.getMessage.contains("readChangeFeed"))
+  }
+
   test("rewrite commits fail loudly; ignoreChanges re-emits rewrites") {
     import spark.implicits._
     val root = tmp("graft-ts-")
