@@ -50,7 +50,7 @@ object Bench {
       "q75_stream_table_tail", "q76_sql_maintenance", "q77_sql_alter",
       "q78_stream_table_sink", "q79_branch_wap", "q80_metadata_tables",
       "q84_positional_delete", "q85_changelog", "q86_sql_rename_widen",
-      "q89_stream_changelog")
+      "q89_stream_changelog", "q90_stream_interval_join")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -295,6 +295,35 @@ object ScaleProbe {
           s""""files":${pe.currentManifest.files.size}}""")
         pe.read(spark).count()
       }
+
+      // CHANGELOG at 2.4M rows: an append step diffs in O(appended
+      // files); a one-partition CoW update nets over ONLY the touched
+      // partition's files (the exceptAll is bounded by the rewrite, not
+      // the table); a rename's epoch read costs ~the plain scan
+      val cl = SnapshotTable.at(
+        java.nio.file.Files.createTempDirectory("graft-clprobe").toString)
+      cl.createOrReplace(withP, Seq("p"))
+      cl.append(spark,
+        withP.filter(col("p") === 3 && pmod(col("l_orderkey"), lit(100)) === 7)
+          .withColumn("l_quantity", col("l_quantity") + lit(2.0)))
+      timed("changelog_append_step") {
+        cl.readChangelog(spark, 1L, 2L).count()
+      }
+      cl.updateWhere(spark, Seq("l_quantity" -> lit(1.0)),
+        col("p") === 0 && pmod(col("l_orderkey"), lit(100)) === 1)
+      timed("changelog_cow_net_step") {
+        val net = cl.readChangelog(spark, 2L, 3L)
+        val n = net.count()
+        val byType = net.groupBy(col("_change_type")).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"""{"stage":"changelog_cow_census",""" +
+          s""""inserts":${byType.getOrElse("insert", 0L)},""" +
+          s""""deletes":${byType.getOrElse("delete", 0L)}}""")
+        n
+      }
+      timed("scan_before_rename") { cl.read(spark).count() }
+      cl.renameColumn("l_quantity", "qty")
+      timed("scan_after_rename_epochs") { cl.read(spark).count() }
     }
 
     if (!storageOnly) {

@@ -1431,6 +1431,13 @@ object SparkEntry {
     "q51_sessionize" -> ((s, d) =>
       EventStream.sessionize(events(s, d))),
 
+    "q90_stream_interval_join" -> ((s, d) =>
+      // stream-stream interval join (watermarked dual-stream state):
+      // clicks attributed to same-user purchases within 6 hours;
+      // bounded AvailableNow pass emits the complete inner join
+      EventStream.intervalJoin(s, s"$d/events.parquet",
+        "click", "purchase", horizonMinutes = 360)),
+
     "q52_sessionize_stateful" -> ((s, d) =>
       EventStream.sessionizeStateful(s, s"$d/events.parquet")),
 
@@ -2348,6 +2355,18 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q51_sessionize" -> sessionizeOracle,
+
+    // q90: the complete inner interval join — DuckDB recomputes it as a
+    // batch inequality self-join; delta_sec is exact integer floor
+    "q90_stream_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events)
+        |SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delta_sec
+        |FROM ev c JOIN ev p
+        |  ON c.user_id = p.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE""".stripMargin,
 
     "q52_sessionize_stateful" -> sessionizeOracle,
 

@@ -518,4 +518,58 @@ object EventStream {
         min(col("event_id")).as("first_event"),
         max(col("event_id")).as("last_event"))
   }
+
+  /** STREAM-STREAM interval join (watermarked dual-stream state — the
+    * attribution shape): every `leftType` event joined to the same
+    * user's `rightType` events inside `[l.ts, l.ts + horizon]`. Both
+    * sides carry watermarks and the join condition bounds event time on
+    * BOTH streams, so Spark can age buffered state out — the unbounded
+    * alternative buffers one side forever. Inner join in append mode:
+    * a match emits in the micro-batch where both rows are present, so a
+    * bounded `AvailableNow` pass emits the complete join — no sentinel
+    * needed (nothing waits on a watermark close to emit).
+    *
+    * At 100 TB the state size is bounded by horizon × per-user event
+    * rate per side, not the stream length; the join keys hash-partition
+    * both streams on user_id so matching is local to a task.
+    */
+  def intervalJoin(spark: SparkSession, eventsParquet: String,
+                   leftType: String = "click", rightType: String = "purchase",
+                   horizonMinutes: Int = 30): DataFrame = {
+    val schema = spark.read.parquet(eventsParquet).schema
+    val ckpt = Files.createTempDirectory("graft-ij-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-ij-out-").toString
+    val srcDir = Files.createTempDirectory("graft-ij-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
+    def side(tpe: String, alias: String) = {
+      val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
+      val withTs = schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
+      withTs.filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour").alias(alias)
+    }
+    val joined = side(leftType, "l").join(side(rightType, "r"),
+      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
+        s"r.ts <= l.ts + INTERVAL $horizonMinutes MINUTES"))
+      .select(col("l.event_id").as("left_id"),
+        col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"),
+        expr("(unix_micros(r.ts) - unix_micros(l.ts)) DIV 1000000")
+          .as("delta_sec"))
+    val q = joined.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }
