@@ -471,6 +471,57 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    "q91_sort_order_scan" -> ((s, d) => {
+      // declared WRITE SORT ORDER (Iceberg sort-order analog via
+      // TBLPROPERTIES): an unsorted CTAS leaves overlapping per-file key
+      // ranges; SET TBLPROPERTIES + rewrite_data_files range-clusters
+      // the rewrite on the sort column, after which a key-range scan
+      // prunes most files at the manifest (asserted in-query). Result =
+      // the filtered rows, schema-invariant under the layout change.
+      val root = Files.createTempDirectory("graft-sorted-").toString
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .repartition(8) // unsorted, overlapping ranges in every file
+        .createOrReplaceTempView("graft_q91_src")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q91_src")
+      s.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES (" +
+        "'write.graft.sort-order' = 'l_orderkey')")
+      val table = SnapshotTable.at(root)
+      // target ~16 output files at every scale factor
+      val bytes = table.currentManifest.files.map(f =>
+        Files.size(java.nio.file.Paths.get(root).resolve(f.path))).sum
+      s.sql(s"CALL graft.system.rewrite_data_files('$root', " +
+        s"target_file_size_bytes => ${math.max(1L, bytes / 16)})")
+      val maxKey = table.read(s).agg(max("l_orderkey")).head.getLong(0)
+      val cond = col("l_orderkey") <= maxKey / 20L
+      val (kept, total) = table.pruneCounts(cond)
+      require(total >= 8 && kept * 2 <= total,
+        s"sort-order clustering must make key ranges prunable " +
+          s"($kept/$total files kept)")
+      table.readWhere(s, cond)
+    }),
+
+    "q92_cdc_apply" -> ((s, d) => {
+      // CDC REPLICATION end-to-end: the source table's full changelog
+      // feed (CTAS → DELETE → UPDATE history) applied to an EMPTY
+      // target reconstructs the source content exactly — update images
+      // decompose into delete/insert halves, multiset arithmetic folds
+      // them order-independently. Oracle = the source's final algebra.
+      val src = Files.createTempDirectory("graft-cdcsrc-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q92_target")
+      s.sql(s"CREATE TABLE graft.`$src` AS SELECT * FROM graft_q92_target")
+      s.sql(s"DELETE FROM graft.`$src` WHERE o_orderkey % 13 = 7")
+      s.sql(s"UPDATE graft.`$src` SET o_totalprice = o_totalprice + 1000.0" +
+        " WHERE o_orderkey % 5 = 0")
+      val srcTable = SnapshotTable.at(src)
+      val feed = srcTable.readChangelog(s, 0L, srcTable.currentVersion,
+        keys = Seq("o_orderkey"))
+      val dst = Files.createTempDirectory("graft-cdcdst-").toString
+      val dstTable = SnapshotTable.at(dst)
+      dstTable.applyChangelog(s, feed)
+      dstTable.read(s)
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1741,6 +1792,22 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END, 'delete', 4 FROM tgt
         |  WHERE o_orderkey % 13 <> 7 AND o_orderkey % 7 = 0""".stripMargin),
+
+    // q91: layout changes are data-invariant — the oracle recomputes
+    // the key-range filter over the 5%-quantile threshold directly
+    "q91_sort_order_scan" ->
+      """WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    l_quantity FROM lineitem),
+        |mx AS (SELECT max(l_orderkey) AS m FROM src)
+        |SELECT s.* FROM src s, mx WHERE s.l_orderkey <= mx.m // 20""".stripMargin,
+
+    // q92: replicated content = the source's final state algebra
+    "q92_cdc_apply" -> (withFixtures +
+      """ SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM tgt WHERE o_orderkey % 13 <> 7""".stripMargin),
 
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->

@@ -1253,6 +1253,39 @@ final class SnapshotTable(val root: Path,
     if (parts.isEmpty) emptyOut else parts.reduce(_ unionByName _)
   }
 
+  /** Apply a CHANGELOG feed to this table — the CDC-replication
+    * consumer of [[readChangelog]] (and its streaming twin): update
+    * images decompose into their delete/insert halves and the new
+    * content is `current ⊎ inserts ∖ deletes` by MULTISET arithmetic —
+    * exact and order-independent because a changelog is a complete
+    * multiset accounting of every row's appearance and removal (a row
+    * deleted at v3 cancels exactly one copy inserted earlier). One
+    * resolved read, one shuffle (`exceptAll`), one commit; partitioning
+    * and properties carry. Feeds from a DIFFERENT table replicate it:
+    * applying a table's full changelog to an empty target reconstructs
+    * the source content exactly.
+    */
+  def applyChangelog(spark: SparkSession, feed: DataFrame,
+                     nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val meta = Set("_change_type", "_commit_version", "_commit_timestamp_ms")
+    require(meta.subsetOf(feed.columns.toSet),
+      s"not a changelog feed — expected columns ${meta.mkString(", ")}")
+    val dataCols = feed.columns.filterNot(meta).toSeq
+    val ins = feed.filter(col("_change_type")
+        .isin("insert", "update_postimage"))
+      .select(dataCols.map(col): _*)
+    val del = feed.filter(col("_change_type")
+        .isin("delete", "update_preimage"))
+      .select(dataCols.map(col): _*)
+    val (base, pcols, props) =
+      if (!exists) (ins.limit(0), Nil, Map.empty[String, String])
+      else {
+        val m = currentManifest
+        (read(spark), m.partitionColumns, m.properties)
+      }
+    createOrReplace(base.unionByName(ins).exceptAll(del), pcols, props, nowMs)
+  }
+
   /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest
     * retained snapshot committed at or before `tsMs`. Fails loudly when
     * `tsMs` predates every retained snapshot (expiry may have reclaimed
@@ -2376,7 +2409,11 @@ final class SnapshotTable(val root: Path,
         val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
         val zCols = m.properties.get(ZOrderProp)
           .map(_.split(',').toSeq.filter(schemaCols)).filter(_.nonEmpty)
+        val srt = sortOrderCols(m.properties, df.columns.toSeq)
         val clustered = zCols.flatMap(zClustered(df, _, nFiles))
+          .orElse(if (srt.isEmpty) None
+            else Some(df.repartitionByRange(nFiles, srt.map(col): _*)
+              .sortWithinPartitions(srt.map(col): _*)))
           .getOrElse(df.repartition(nFiles))
         commitData(clustered, Some(m),
           m.partitionColumns, m.properties, nowMs, carryForward = carried,
@@ -2402,6 +2439,19 @@ final class SnapshotTable(val root: Path,
           keyed.repartitionByRange(nFiles, rangeCols: _*)
             .sortWithinPartitions(rangeCols: _*)
             .drop(z)
+        }.orElse {
+          // declared linear sort order: range-cluster the rewrite set on
+          // (partition cols, sort cols) — the hash path would scatter the
+          // rows the layout exists to keep together
+          val srt = sortOrderCols(m.properties, df.columns.toSeq)
+          if (srt.isEmpty) None
+          else {
+            val rangeCols = (m.partitionColumns ++ srt).map(col)
+            val nFiles = math.max(1,
+              math.ceil(rewriteBytes.toDouble / targetFileBytes).toInt)
+            Some(df.repartitionByRange(nFiles, rangeCols: _*)
+              .sortWithinPartitions(rangeCols: _*))
+          }
         }
         commitData(zdf.getOrElse(df), Some(m), m.partitionColumns,
           m.properties, nowMs, carryForward = carried,
@@ -2474,6 +2524,24 @@ final class SnapshotTable(val root: Path,
   }
 
   private val ZOrderProp = "write.graft.zorder-by"
+
+  /** Table property: linear WRITE SORT ORDER (Iceberg sort-order
+    * analog) — `write.graft.sort-order = colA[,colB]`. Commits sort
+    * rows on it within each written task (after the per-partition
+    * clustering shuffle — no extra exchange), and compaction
+    * range-clusters the rewrite set on it, so per-file manifest bounds
+    * become selective on the LEADING sort column. One column of
+    * pruning; multi-dimension layouts use the z-order rewrite instead.
+    * Declared via SQL `ALTER TABLE SET TBLPROPERTIES`; columns since
+    * dropped from the schema are skipped.
+    */
+  private val SortOrderProp = "write.graft.sort-order"
+
+  private def sortOrderCols(props: Map[String, String],
+                            have: Seq[String]): Seq[String] =
+    props.get(SortOrderProp).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(c => have.exists(_.equalsIgnoreCase(c)))
 
   /** Table property: compaction's delete-pressure bar (e.g. "0.1" = a
     * group rewrites once pending delete rows reach 10% of its data rows).
@@ -2848,9 +2916,17 @@ final class SnapshotTable(val root: Path,
       // `preclustered` callers (z-order layouts) arrive already
       // range-clustered on (partition cols, z) — re-hashing here would
       // destroy the curve order the commit exists to establish.
-      val clustered =
+      val clustered0 =
         if (pcols.nonEmpty && !preclustered) df.repartition(pcols.map(col): _*)
         else df
+      // declared linear sort order: in-task sort AFTER the clustering
+      // shuffle (no extra exchange) — per-file bounds turn selective on
+      // the leading sort column
+      val sortCols =
+        if (preclustered) Nil else sortOrderCols(props, df.columns.toSeq)
+      val clustered =
+        if (sortCols.isEmpty) clustered0
+        else clustered0.sortWithinPartitions(sortCols.map(col): _*)
       // append into the claimed (empty) dir — see mergeMoR for why
       val writer = clustered.write.mode("append")
         .options(writerOptions)

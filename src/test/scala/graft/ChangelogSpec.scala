@@ -103,4 +103,56 @@ class ChangelogSpec extends SparkSpec {
       .select("operation").as[String].collect().toSeq
     assert(ops == Seq("append", "evolve-schema", "append"))
   }
+
+  test("applyChangelog replicates a table and folds onto a non-empty base") {
+    val (_, src) = fresh("graft-cdc-src-")
+    src.createOrReplace(rows(1 to 300), Seq("p"), nowMs = 1000L)     // v1
+    src.updateWhere(spark, Seq("s" -> lit("u")), col("id") <= 20,
+      nowMs = 2000L)                                                 // v2
+    src.deleteWherePositional(spark, col("id") > 290, nowMs = 3000L) // v3
+
+    // full-history feed onto an EMPTY target reconstructs the source
+    val (_, dst) = fresh("graft-cdc-dst-")
+    dst.applyChangelog(spark, src.readChangelog(spark, 0L, 3L))
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
+      src.read(spark).exceptAll(dst.read(spark)).isEmpty,
+      "replica content must equal the source exactly")
+
+    // an incremental feed folds onto the replica (base v3 -> v4)
+    src.append(spark, rows(301 to 310), nowMs = 4000L)               // v4
+    dst.applyChangelog(spark, src.readChangelog(spark, 3L, 4L))
+    assert(dst.read(spark).count() == src.read(spark).count())
+    assert(dst.read(spark).filter(col("id") === 305).count() == 1)
+
+    // a non-changelog frame is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      dst.applyChangelog(spark, rows(1 to 3))
+    }
+    assert(e.getMessage.contains("changelog"))
+  }
+
+  test("declared sort order tightens per-file bounds on the append path") {
+    val (_, t) = fresh("graft-sort-")
+    val data = rows(1 to 4000).orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(8) // shuffled: every file spans the whole key range
+    t.createOrReplace(data, Nil, nowMs = 1000L,
+      properties = Map("write.graft.sort-order" -> "id"))
+    val (kept0, total0) = t.pruneCounts(col("id") <= 100)
+    // createOrReplace writes df partitions as files; the in-task sort
+    // cannot narrow ranges of hash-shuffled tasks — compaction range-
+    // clusters and the scan prunes
+    t.setProperties(Map("write.graft.sort-order" -> "id"))
+    val bytes = t.currentManifest.files.map(f =>
+      Files.size(java.nio.file.Paths.get(t.root.toString).resolve(f.path))).sum
+    t.compact(spark, targetFileBytes = math.max(1L, bytes / 4))
+    val (kept, total) = t.pruneCounts(col("id") <= 100)
+    assert(total >= 3 && kept * 2 <= total,
+      s"range-clustered rewrite must prune ($kept/$total vs $kept0/$total0)")
+    // appends AFTER the rewrite sort in-task: a single-task append
+    // yields one file whose bounds are exact
+    t.append(spark, rows(4001 to 4100).coalesce(1), nowMs = 2000L)
+    val newFile = t.currentManifest.files.maxBy(_.seq)
+    assert(newFile.stats.get("id").exists(b =>
+      b.min.toLong == 4001L && b.max.toLong == 4100L))
+  }
 }
