@@ -1414,6 +1414,21 @@ object SparkEntry {
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
     }),
 
+    "q93_bloom_ref_dedup" -> ((s, d) => {
+      // incremental-ingest dedup against a HISTORY corpus: a broadcast
+      // Bloom over the reference's text fingerprints rejects most new
+      // rows map-side (no false negatives — a Bloom-negative row is
+      // provably absent), and only suspects take the exact anti-join
+      // shuffle. Result ≡ the plain anti-join; the Bloom only cuts
+      // shuffle volume — which is why the oracle can be exact.
+      val docs = t(s, d, "documents")
+      Dedup.dedupAgainstReference(
+        docs.select(col("doc_id"), col("text"), col("lang")),
+        docs.filter(col("doc_id") % 2 === 0).select(col("text")),
+        "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     "q54_pii_scrub" -> ((s, d) => {
       // deterministic PII fixture: every 7th doc gains an email, every
       // 11th a phone number — the oracle builds the same augmented text
@@ -2360,6 +2375,13 @@ object SparkEntry {
         |SELECT a.doc_id, a.component, c.canonical_id,
         |  a.doc_id = c.canonical_id AS is_canonical
         |FROM allc a JOIN canon c ON a.component = c.component AND c.rn = 1""".stripMargin,
+
+    // q93: the Bloom is invisible to correctness — the result is the
+    // exact anti-join against the even-id reference texts
+    "q93_bloom_ref_dedup" ->
+      """SELECT d.doc_id, d.lang FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 2 = 0 AND r.text = d.text)""".stripMargin,
 
     "q54_pii_scrub" -> piiScrubOracle,
 

@@ -391,6 +391,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Exact dedup of an INCOMING batch against a REFERENCE corpus via a
+    * broadcast Bloom prefilter — the incremental-ingest shape at scale:
+    * the reference's fingerprint set is folded into a fixed-size Bloom
+    * filter (built distributed, merged on the driver, broadcast once),
+    * so the overwhelming majority of genuinely-new rows drop out of the
+    * anti-join MAP-SIDE without shuffling; only Bloom-positive rows
+    * (true dups + the fpp share of false positives) take the exact
+    * anti-join shuffle. No false negatives: a row the Bloom rejects is
+    * PROVABLY absent from the reference, so the result is exactly the
+    * plain anti-join's — the filter only cuts shuffle volume.
+    *
+    * At a 100 TB history the Bloom is sized by the reference's DISTINCT
+    * fingerprint count (~1.2 GB per 10^9 keys at 1% fpp) and built once
+    * per maintenance cycle, amortized over every incoming batch.
+    */
+  def dedupAgainstReference(incoming: DataFrame, reference: DataFrame,
+                            textCol: String,
+                            fpp: Double = 0.01): DataFrame = {
+    val in = spread(incoming).withColumn("__fp",
+      md5(col(textCol)).substr(1, 16))
+    val ref = spread(reference)
+      .select(md5(col(textCol)).substr(1, 16).as("__fp"))
+    val n = math.max(1000L, ref.count())
+    val bloom = ref.stat.bloomFilter("__fp", n, fpp)
+    val b = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val might = org.apache.spark.sql.functions.udf(
+      (fp: String) => fp != null && b.value.mightContain(fp))
+    // bloom-negative rows are provably new — they skip the shuffle
+    val provablyNew = in.filter(!might(col("__fp")))
+    val suspects = in.filter(might(col("__fp")))
+      .join(ref, Seq("__fp"), "left_anti") // exact confirm for the rest
+    provablyNew.unionByName(suspects).drop("__fp")
+  }
+
   /** Cross-corpus CHUNK-level exact dedup with reassembly (the
     * MassiveText/C4 repeated-passage removal shape): every document is
     * split into fixed non-overlapping character chunks, a chunk KEEPS

@@ -227,6 +227,21 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedupAgainstReference equals the plain anti-join at any fpp") {
+    val ref = (1 to 300).map(i => s"ref text $i").toDF("text")
+    val incoming = (1 to 600).map(i =>
+      (i.toLong, if (i % 2 == 0) s"ref text ${i / 2}" else s"new text $i"))
+      .toDF("id", "text")
+    val expected = incoming.join(ref, Seq("text"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even a terrible filter stays exact
+      val got = Dedup.dedupAgainstReference(incoming, ref, "text", fpp)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp")
+    }
+    assert(expected.size == 300 && expected.forall(_ % 2 == 1))
+  }
+
   test("chunkDedup keeps first occurrence globally and reassembles") {
     val shared = "A" * 64           // exact chunk shared by docs 1 and 2
     val docs = Seq(
