@@ -1178,10 +1178,17 @@ final class SnapshotTable(val root: Path,
     require(fromVersion == 0L || manifestVersions.contains(fromVersion),
       s"no retained snapshot v$fromVersion (expired?) — changelog needs " +
         "its FROM boundary manifest to diff against")
-    def align(df: DataFrame): DataFrame = {
+    // align a step's rows to the target schema. A column's NAME (and
+    // type) in an older step may differ — the rename/widen evolution
+    // chains give the physical state at that step's version, so a span
+    // crossing a rename still carries the values (not nulls) and a
+    // widened column casts up before the union
+    val chains = evoChains(toM)
+    def align(df: DataFrame, atVersion: Long): DataFrame = {
       val have = df.columns.map(_.toLowerCase).toSet
       df.select(target.fields.toSeq.map { f =>
-        if (have(f.name.toLowerCase)) col(f.name).as(f.name)
+        val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
+        if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
     }
@@ -1190,7 +1197,8 @@ final class SnapshotTable(val root: Path,
         .withColumn(CommitVer, lit(v)).withColumn(CommitTs, lit(ts))
     val emptyOut = tag(align(
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)),
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target),
+      toVersion),
       "insert", 0L, 0L).limit(0)
     if (vs.isEmpty) return emptyOut
     val steps = ((if (fromVersion == 0L) None
@@ -1225,12 +1233,12 @@ final class SnapshotTable(val root: Path,
           // pure append (or metadata-only: nothing added either)
           if (fAdd.isEmpty) None
           else Some(tag(align(
-            readManifest(spark, curM.copy(files = fAdd))), "insert", v, ts))
+            readManifest(spark, curM.copy(files = fAdd)), v), "insert", v, ts))
         } else {
           val before = align(readManifest(spark,
-            prevOpt.get.copy(files = fRem ++ dirty)))
+            prevOpt.get.copy(files = fRem ++ dirty)), prevOpt.get.version)
           val after = align(readManifest(spark,
-            curM.copy(files = fAdd ++ dirty)))
+            curM.copy(files = fAdd ++ dirty)), v)
           val ins = after.exceptAll(before)
           val del = before.exceptAll(after)
           if (keys.isEmpty)

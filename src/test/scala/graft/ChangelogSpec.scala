@@ -104,6 +104,29 @@ class ChangelogSpec extends SparkSpec {
     assert(ops == Seq("append", "evolve-schema", "append"))
   }
 
+  test("changelog spans a rename/widen: old steps carry values, not nulls") {
+    val (_, t) = fresh("graft-cdc-ren-")
+    t.createOrReplace((1 to 40).map(i => (i.toLong, i))
+      .toDF("id", "n"), Nil, nowMs = 1000L)                     // v1 (n: int)
+    t.renameColumn("n", "cnt", nowMs = 2000L)                   // v2
+    t.widenColumn("cnt", org.apache.spark.sql.types.LongType,
+      nowMs = 3000L)                                            // v3
+    t.append(spark, Seq((41L, 9000000000L)).toDF("id", "cnt"),
+      nowMs = 4000L)                                            // v4
+
+    val cl = t.readChangelog(spark, 0L, 4L)
+    assert(cl.columns.take(2).toSeq == Seq("id", "cnt"))
+    assert(cl.schema("cnt").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // v1's inserts surface their values under the NEW name and type
+    assert(cl.filter(col("_commit_version") === 1 &&
+      col("cnt").isNotNull).count() == 40)
+    assert(cl.filter(col("_commit_version") === 1)
+      .agg(sum("cnt")).head.getLong(0) == (1 to 40).map(_.toLong).sum)
+    assert(cl.filter(col("_commit_version") === 4)
+      .head.getAs[Long]("cnt") == 9000000000L)
+  }
+
   test("applyChangelog replicates a table and folds onto a non-empty base") {
     val (_, src) = fresh("graft-cdc-src-")
     src.createOrReplace(rows(1 to 300), Seq("p"), nowMs = 1000L)     // v1
