@@ -93,7 +93,7 @@ case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   private val Suffixed =
-    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions)$".r
+    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests)$".r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -140,6 +140,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("refs")                    => tbl.refs(session)
       case Some("snapshots")               => tbl.snapshots(session)
       case Some("partitions")              => tbl.partitions(session)
+      case Some("manifests")               => tbl.manifests(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)

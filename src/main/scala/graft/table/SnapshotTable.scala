@@ -1370,6 +1370,37 @@ final class SnapshotTable(val root: Path,
         sum(col("file_size_bytes")).as("total_size_bytes"))
   }
 
+  /** `.manifests` metadata relation (Iceberg's `db.table.manifests`):
+    * one row per manifest CHUNK DOCUMENT of the current snapshot with
+    * its planning rollups (file/row counts, seq range, partition
+    * specs), plus one `<inline>` row for entries carried in the main
+    * document. Answered from the rollups alone — zero chunk parses —
+    * so it is the cheap way to see how planning metadata is laid out
+    * (bucket spread, rechunk pressure) on a million-file table.
+    */
+  def manifests(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val m = currentManifest
+    def inlineRow(s: Seq[FileEntry]) = {
+      val rows = if (s.exists(_.rows < 0)) -1L else s.map(_.rows).sum
+      ("<inline>", -1, s.size.toLong, rows,
+        if (s.isEmpty) 0L else s.map(_.seq).min,
+        if (s.isEmpty) 0L else s.map(_.seq).max,
+        s.map(_.partition.keySet.toSeq.sorted.mkString(","))
+          .distinct.sorted.mkString(";"))
+    }
+    val rows = m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        fl.chunks.map(c => (c.name, c.bucket, c.count.toLong, c.rows,
+          c.minSeq, c.maxSeq,
+          c.specs.map(_.mkString(",")).sorted.mkString(";"))) ++
+          (if (fl.inline.nonEmpty) Seq(inlineRow(fl.inline)) else Nil)
+      case s => Seq(inlineRow(s))
+    }
+    rows.toDF("manifest", "bucket", "file_count", "record_count",
+      "min_seq", "max_seq", "specs")
+  }
+
   /** `.refs` metadata relation (Iceberg's `db.table.refs`): every named
     * ref — `main`, tags, branches — with the version it points at.
     * Served through SQL as ``graft.`/path@refs` ``.
@@ -1438,7 +1469,7 @@ final class SnapshotTable(val root: Path,
     */
   def tag(name: String, version: Long = currentVersion): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -1496,7 +1527,7 @@ final class SnapshotTable(val root: Path,
   def branch(name: String, version: Long = currentVersion): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests"),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")

@@ -59,6 +59,15 @@ class MetadataRelationsSpec extends SparkSpec {
     }
 
     // the relation names are reserved: refs cannot shadow them
+    // @manifests answers from rollups: small table = one inline row
+    // whose totals reconcile with the data
+    val mf = spark.sql(s"SELECT * FROM graft.`$root@manifests`").collect()
+    assert(mf.nonEmpty)
+    assert(mf.map(_.getAs[Long]("file_count")).sum ==
+      t.currentManifest.files.size.toLong)
+    assert(mf.map(_.getAs[Long]("record_count")).sum ==
+      t.read(spark).count())
+
     intercept[IllegalArgumentException] { t.tag("snapshots") }
     intercept[IllegalArgumentException] { t.branch("partitions") }
   }
