@@ -411,8 +411,12 @@ object Dedup {
                             fpp: Double = 0.01): DataFrame = {
     val in = spread(incoming).withColumn("__fp",
       md5(col(textCol)).substr(1, 16))
+    // cached: the fingerprint projection feeds three passes (count,
+    // Bloom build, exact anti-join); Verify/Bench clear per-query
+    // caches, and the broadcast Bloom itself lives until the session
+    // releases it — per maintenance cycle by design, not per batch
     val ref = spread(reference)
-      .select(md5(col(textCol)).substr(1, 16).as("__fp"))
+      .select(md5(col(textCol)).substr(1, 16).as("__fp")).cache()
     val n = math.max(1000L, ref.count())
     val bloom = ref.stat.bloomFilter("__fp", n, fpp)
     val b = incoming.sparkSession.sparkContext.broadcast(bloom)

@@ -167,16 +167,51 @@ final class GraftTableSource(spark: SparkSession, path: String,
       else {
         val v = tbl.currentVersion
         fs.mkdirs(dir)
-        val tmp = new org.apache.hadoop.fs.Path(dir,
-          s".start-${java.util.UUID.randomUUID()}.tmp")
-        val out = fs.create(tmp, false)
-        try out.write(v.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        if (fs.rename(tmp, pin)) v
-        else { // lost a (same-checkpoint) race: the winner's pin rules
-          fs.delete(tmp, false)
-          readPin()
+        val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+        if (local) {
+          // RawLocalFileSystem.rename is rename(2) and OVERWRITES an
+          // existing destination (a documented violation of the HDFS
+          // rename contract) — and POSIX rename makes ATOMIC_MOVE
+          // replace too. O_EXCL creation (CREATE_NEW) is the local
+          // primitive that actually loses a race loudly; the loser
+          // adopts the winner's pin (retrying the read past the
+          // winner's sub-millisecond create-to-write window).
+          val pinNio = java.nio.file.Paths.get(pin.toUri.getPath)
+          try {
+            java.nio.file.Files.write(pinNio, v.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            v
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              var got: Option[Long] = None
+              var tries = 0
+              while (got.isEmpty) {
+                try got = Some(readPin())
+                catch {
+                  case scala.util.control.NonFatal(e) =>
+                    tries += 1
+                    if (tries > 50) throw e
+                    Thread.sleep(20)
+                }
+              }
+              got.get
+          }
+        } else {
+          // HDFS/object-store FS honor rename-fails-if-destination-exists
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s".start-${java.util.UUID.randomUUID()}.tmp")
+          val out = fs.create(tmp, false)
+          try out.write(v.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (fs.rename(tmp, pin)) v
+          else { // lost a (same-checkpoint) race: the winner's pin rules
+            fs.delete(tmp, false)
+            readPin()
+          }
         }
       }
   }

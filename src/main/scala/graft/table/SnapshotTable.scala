@@ -37,7 +37,14 @@ final case class Manifest(
     // "evolve-schema" | "evolve-partition" (metadata-only) | "" (legacy
     // manifests written before the field existed — treated as unknown,
     // diffed normally). Recorded at publish; surfaced in [[snapshots]].
-    operation: String = "")
+    operation: String = "",
+    // LINEAGE parent version (0 = root commit, -1 = legacy manifest
+    // predating the field). Set centrally by publishCommit from the
+    // publisher's current head, so branch commits chain on their branch
+    // while sharing the table-wide version sequence. The changelog and
+    // [[SnapshotTable.snapshots]] walk THIS chain — the retained-version
+    // list alone cannot tell a main commit from a branch commit.
+    parent: Long = -1L)
 
 /** One live data file.
   *
@@ -566,7 +573,15 @@ final class SnapshotTable(val root: Path,
       require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
         s"no such column $k")
     }
-    val hits = readManifest(spark, m, keepPos = true).filter(cond).cache()
+    // stats-census-scoped like the CoW paths and the positional DELETE:
+    // only files the predicate's bounds can't exonerate are read (still
+    // DELETE-RESOLVED — an already-masked row must not resurrect as an
+    // updated copy), so a few-row update on a large table scans
+    // O(candidate files), not O(table)
+    val candidates = selectFiles(m, cond)
+    if (candidates.isEmpty) return m
+    val hits = readManifest(spark, m.copy(files = candidates),
+      keepPos = true).filter(cond).cache()
     try {
       val n = hits.count()
       if (n == 0) return m
@@ -947,7 +962,13 @@ final class SnapshotTable(val root: Path,
       else df
         .withColumn(PosFileCol, org.apache.spark.sql.functions
           .regexp_extract(org.apache.spark.sql.functions
-            .col("_metadata.file_path"), "(data/v[0-9]+[a-z]?/.*)$", 1))
+            // GREEDY leading .* anchors the group at the LAST
+            // `data/v<N>/` segment: a table ROOT containing one (e.g.
+            // /warehouse/data/v1/mytable) would otherwise match at the
+            // root's segment, and the recovered path would never equal
+            // the manifest's relative path — every position delete
+            // silently exonerated
+            .col("_metadata.file_path"), "^.*(data/v[0-9]+[a-z]?/.*)$", 1))
         .withColumn(PosPosCol,
           org.apache.spark.sql.functions.col("_metadata.row_index"))
     val chains = evoChains(m)
@@ -1173,11 +1194,39 @@ final class SnapshotTable(val root: Path,
     require(!target.fieldNames.exists(n =>
       Set(ChangeType, CommitVer, CommitTs)(n)),
       s"table schema collides with changelog metadata columns")
-    val vs = manifestVersions.filter(v => v > fromVersion && v <= toVersion)
-      .sorted
     require(fromVersion == 0L || manifestVersions.contains(fromVersion),
       s"no retained snapshot v$fromVersion (expired?) — changelog needs " +
         "its FROM boundary manifest to diff against")
+    // steps follow the LINEAGE chain (parent pointers), not the shared
+    // version sequence: branch commits interleave their versions with
+    // main's, and diffing across them would emit rows that never
+    // happened on this lineage. Legacy manifests (parent unrecorded)
+    // fall back to previous-retained linking — correct for the
+    // single-lineage tables that predate branches.
+    val retainedSorted = manifestVersions.sorted
+    val retained = retainedSorted.toSet
+    def parentOf(m: Manifest): Long = m.parent match {
+      case -1L => retainedSorted.takeWhile(_ < m.version).lastOption
+        .getOrElse(0L)
+      case p => p
+    }
+    val vs: Seq[Long] = {
+      var chain = List.empty[Long]
+      var v = toVersion
+      var done = v == fromVersion
+      while (!done) {
+        require(v > fromVersion && v > 0,
+          s"v$fromVersion is not an ancestor of v$toVersion on this " +
+            "lineage (a branch commit?) — changelog spans one lineage")
+        require(retained(v),
+          s"snapshot v$v expired from the v$toVersion lineage — extend " +
+            "retention past consumer lag")
+        chain = v :: chain
+        v = parentOf(manifest(v))
+        if (v == fromVersion || (v == 0L && fromVersion == 0L)) done = true
+      }
+      chain
+    }
     // align a step's rows to the target schema. A column's NAME (and
     // type) in an older step may differ — the rename/widen evolution
     // chains give the physical state at that step's version, so a span
@@ -1332,8 +1381,17 @@ final class SnapshotTable(val root: Path,
     import spark.implicits._
     val cur = currentVersion
     val vs = manifestVersions
-    vs.zip(None +: vs.init.map(Some(_))).map { case (v, parent) =>
+    val retained = vs.toSet
+    vs.map { v =>
       val m = manifest(v)
+      // diff against the REAL lineage parent (recorded at publish);
+      // legacy manifests fall back to the previous retained version.
+      // An expired or root parent diffs against nothing.
+      val parent = m.parent match {
+        case -1L => vs.takeWhile(_ < v).lastOption
+        case 0L => None
+        case p => Some(p).filter(retained)
+      }
       val pm = parent.map(manifest)
       val added = diffFiles(pm, m)._1.size.toLong
       val removed = pm match {
@@ -2847,7 +2905,13 @@ final class SnapshotTable(val root: Path,
         val curV = publisher.current(metaDir)
         val cur = curV.map(manifest)
         val v = nextVersion
+        // lineage parent recorded CENTRALLY (0 = root): under a branch
+        // publisher `cur` is the branch head, so branch commits chain on
+        // their branch — @snapshots and the changelog walk this chain
+        // instead of the shared version sequence, which interleaves
+        // other branches' commits
         val m = build(v, cur)
+          .copy(parent = cur.map(_.version).getOrElse(0L))
         Files.createDirectories(metaDir)
         // unique stage name: concurrent CAS-mode committers building the
         // same version number must never write through the same path
@@ -3009,6 +3073,20 @@ final class SnapshotTable(val root: Path,
             (curLoose, curChunks, cur.deleteFiles)
           case None => throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
         }
+      // a rebase must not clobber PROPERTIES committed concurrently
+      // (a streaming sink's batch marker, a SET TBLPROPERTIES): apply
+      // this commit's intended DELTA against base onto the winner's
+      // properties instead of writing the stale captured map. Same-key
+      // concurrent writes resolve last-publisher-wins.
+      val effectiveProps =
+        if (curV == baseV) props
+        else {
+          val baseProps = base.map(_.properties).getOrElse(Map.empty)
+          val removed = baseProps.keySet -- props.keySet
+          val delta = props.filter { case (k, pv) =>
+            !baseProps.get(k).contains(pv) }
+          (curOpt.get.properties -- removed) ++ delta
+        }
       val entries = statsByPath.map { case (p, cs) =>
         val rel = root.relativize(p).toString
         FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls, cs.rows)
@@ -3019,7 +3097,8 @@ final class SnapshotTable(val root: Path,
         case _ => entries ++ carriedFiles
       }
       Manifest(v, nowMs, df.schema.toDDL, allFiles,
-        pcols, props, deleteFiles = carriedDeletes, operation = operation)
+        pcols, effectiveProps, deleteFiles = carriedDeletes,
+        operation = operation)
     }
   }
 
@@ -3327,7 +3406,7 @@ private[graft] object ManifestJson {
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},""" +
       s""""schemaDdl":${q(m.schemaDdl)},"partitionColumns":${m.partitionColumns.map(q).mkString("[", ",", "]")},""" +
       s""""properties":${obj(m.properties)},"deleteFiles":$delJson,""" +
-      s""""operation":${q(m.operation)},""" +
+      s""""operation":${q(m.operation)},"parent":${m.parent},""" +
       s""""nBuckets":$nBucketsOut,""" +
       s""""chunks":${chunkRefs.map(chunkJson).mkString("[", ",", "]")},""" +
       s""""files":$filesJson}"""
@@ -3445,7 +3524,9 @@ private[graft] object ManifestJson {
         })
         .getOrElse(Nil),
       operation = parsed.get("operation") // absent pre-round-6
-        .map(_.asInstanceOf[String]).getOrElse(""))
+        .map(_.asInstanceOf[String]).getOrElse(""),
+      parent = parsed.get("parent") // absent pre-round-6
+        .map(_.asInstanceOf[Double].toLong).getOrElse(-1L))
   }
 
   /** Delete a manifest DOCUMENT. Chunk documents are NOT deleted here —

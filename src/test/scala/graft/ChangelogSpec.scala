@@ -127,6 +127,54 @@ class ChangelogSpec extends SparkSpec {
       .head.getAs[Long]("cnt") == 9000000000L)
   }
 
+  test("changelog and @snapshots follow the lineage, not the version sequence") {
+    val (_, t) = fresh("graft-cdc-branch-")
+    t.createOrReplace(rows(1 to 100), Nil, nowMs = 1000L)       // v1
+    t.branch("b")
+    t.atBranch("b").append(spark, rows(101 to 120), nowMs = 2000L) // v2 (branch)
+    t.append(spark, rows(201 to 210), nowMs = 3000L)            // v3 (main, parent v1)
+
+    // main's changelog must NOT see the branch commit — neither its
+    // rows as inserts nor phantom deletes when v3 diffs across it
+    val cl = t.readChangelog(spark, 0L, t.currentVersion)
+    assert(cl.count() == 110)
+    assert(cl.filter(col("id").between(101, 120)).count() == 0,
+      "branch rows must not appear on main's lineage")
+    assert(cl.filter(col("_change_type") === "delete").count() == 0)
+
+    // the branch's own changelog sees exactly its append
+    val bt = t.atBranch("b")
+    val bcl = bt.readChangelog(spark, 1L, bt.currentVersion)
+    assert(bcl.count() == 20)
+
+    // @snapshots parent wiring follows the recorded lineage
+    val snaps = t.snapshots(spark).collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[Long]("parent_version"), r.getAs[Long]("added_files"))).toMap
+    assert(snaps(3L)._1 == 1L, "main v3's parent is v1, not the branch v2")
+    assert(snaps(2L)._1 == 1L)
+  }
+
+  test("a rebasing commit preserves properties committed concurrently") {
+    val (_, t) = fresh("graft-cdc-props-")
+    t.createOrReplace(rows(1 to 50), Nil, nowMs = 1000L)        // v1
+    val base = t.currentManifest
+    // a concurrent producer lands its replay marker at v2
+    t.append(spark, rows(51 to 55), nowMs = 2000L,
+      extraProps = Map("stream.batch" -> "8"))
+    // a commit PLANNED against v1 rebases over it — the sink's marker
+    // (and any concurrent SET TBLPROPERTIES) must survive, plus this
+    // commit's own property delta
+    val m2 = t.commitData(rows(56 to 60).toDF("id", "p", "s"),
+      Some(base), Nil, base.properties + ("mine" -> "1"), 3000L,
+      carryForward = base.files, rebaseTouched = Some(Set.empty),
+      operation = "append")
+    assert(m2.properties.get("stream.batch").contains("8"),
+      "rebase must not clobber the concurrent marker")
+    assert(m2.properties.get("mine").contains("1"))
+    assert(t.read(spark).count() == 60)
+  }
+
   test("applyChangelog replicates a table and folds onto a non-empty base") {
     val (_, src) = fresh("graft-cdc-src-")
     src.createOrReplace(rows(1 to 300), Seq("p"), nowMs = 1000L)     // v1
