@@ -67,6 +67,15 @@ object ScaleProbe {
         Graph.connectedComponents(pairs, "id_a", "id_b").count()
       } finally pairs.unpersist()
     }
+    timed("chunk_dedup") {
+      Dedup.chunkDedup(docs, "doc_id", "text", 64).count()
+    }
+    timed("bloom_ref_dedup") {
+      // half the corpus as "history": the Bloom rejects most of the
+      // other half map-side; result = exact anti-join
+      Dedup.dedupAgainstReference(docs,
+        docs.filter(col("doc_id") % 2 === 0).select("text"), "text").count()
+    }
     timed("quality_scores") {
       TextAnalysis.qualityScore(docs, "text").count()
     }

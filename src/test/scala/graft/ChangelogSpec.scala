@@ -83,6 +83,33 @@ class ChangelogSpec extends SparkSpec {
     assert(cl.filter(col("_change_type") === "delete").count() == 20)
   }
 
+  test("MoR merge and positional UPDATE steps net to row-level changes") {
+    val (_, t) = fresh("graft-cdc-mormerge-")
+    t.createOrReplace(rows(1 to 200), Seq("p"), nowMs = 1000L)   // v1
+    // storage-optimized MERGE: replacement appends + equality deletes
+    t.mergeMoR(spark,
+      Seq((5L, 1L, "u5", "U"), (300L, 0L, "i300", "I"), (8L, 0L, "x", "D"))
+        .toDF("id", "p", "s", "op"),
+      Seq("id"), keepDeletes = false, nowMs = 2000L)             // v2
+    val cl = t.readChangelog(spark, 1L, 2L, keys = Seq("id"))
+    val byType = cl.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.getOrElse("insert", 0L) == 1L)       // 300
+    assert(byType.getOrElse("delete", 0L) == 1L)       // 8
+    assert(byType.getOrElse("update_preimage", 0L) == 1L)  // 5 old
+    assert(byType.getOrElse("update_postimage", 0L) == 1L) // 5 new
+    assert(cl.filter(col("_change_type") === "update_postimage")
+      .head.getAs[String]("s") == "u5")
+
+    // positional UPDATE: tombstones + replacement in ONE commit
+    t.updateWherePositional(spark, Seq("s" -> lit("pos")),
+      col("id") === 9L, nowMs = 3000L)                            // v3
+    val cl3 = t.readChangelog(spark, 2L, 3L, keys = Seq("id"))
+    assert(cl3.count() == 2)
+    assert(cl3.filter(col("_change_type") === "update_postimage" &&
+      col("s") === "pos").count() == 1)
+  }
+
   test("schema evolution: old steps null-fill; operations are recorded") {
     val (_, t) = fresh("graft-cdc-evo-")
     t.createOrReplace(rows(1 to 50), Nil, nowMs = 1000L)         // v1
