@@ -403,8 +403,10 @@ private[graft] object GraftSqlDml {
 
   /** SQL `INSERT INTO` → append-only commit ([[SnapshotTable.append]]:
     * nothing rewritten, all live files carried by reference);
-    * `INSERT OVERWRITE` → full replace under the current partition
-    * spec/properties. Column binding is strict-loud: a positional INSERT
+    * `INSERT OVERWRITE` → DYNAMIC partition overwrite
+    * ([[SnapshotTable.overwritePartitions]] — Iceberg's semantics: only
+    * the partitions the query produced replace, the rest carry;
+    * unpartitioned tables full-replace). Column binding is strict-loud: a positional INSERT
     * must match the table's arity; an explicit column list or BY NAME may
     * omit columns (null-filled, standard SQL) but unknown names fail.
     */
@@ -449,7 +451,10 @@ private[graft] object GraftSqlDml {
       }
     }
     val data = named.select(aligned: _*)
-    if (ins.overwrite) tbl.createOrReplace(data, m.partitionColumns, m.properties)
+    // INSERT OVERWRITE on a partitioned table = DYNAMIC partition
+    // overwrite (Iceberg's default): only the partitions the query
+    // produced replace; the rest carry by reference
+    if (ins.overwrite) tbl.overwritePartitions(session, data)
     else tbl.append(session, data)
   }
 

@@ -522,6 +522,36 @@ object SparkEntry {
       dstTable.read(s)
     }),
 
+    "q94_dynamic_overwrite" -> ((s, d) => {
+      // DYNAMIC partition overwrite (Iceberg INSERT OVERWRITE): the
+      // query produces rows for ONE priority partition; exactly that
+      // partition replaces — every other partition's files carry by
+      // reference (asserted in-query). The daily re-load shape: rewrite
+      // today's partition, never touch history.
+      val root = Files.createTempDirectory("graft-dynover-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q94_target")
+      s.sql(s"CREATE TABLE graft.`$root` " +
+        "PARTITIONED BY (o_orderpriority) AS SELECT * FROM graft_q94_target")
+      val table = SnapshotTable.at(root)
+      val untouched = table.currentManifest.files
+        .filterNot(_.partition.get("o_orderpriority").contains("1-URGENT"))
+        .map(_.path).toSet
+      s.sql(
+        s"""INSERT OVERWRITE graft.`$root`
+           |SELECT o_orderkey, o_custkey, o_orderstatus,
+           |  o_totalprice + 5000.0 AS o_totalprice, o_orderdate,
+           |  o_orderpriority
+           |FROM graft_q94_target WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      val after = table.currentManifest.files
+      require(untouched.subsetOf(after.map(_.path).toSet),
+        "untouched partitions must carry by reference")
+      require(!after.exists(f =>
+        f.partition.get("o_orderpriority").contains("1-URGENT") &&
+          untouched.contains(f.path)),
+        "the overwritten partition must hold only new files")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1823,6 +1853,16 @@ object SparkEntry {
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM tgt WHERE o_orderkey % 13 <> 7""".stripMargin),
+
+    // q94: one partition's rows replaced (+5000.0 exact), the rest
+    // verbatim
+    "q94_dynamic_overwrite" -> (withFixtures +
+      """ SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT'
+        |       THEN o_totalprice + 5000.0 ELSE o_totalprice END
+        |    AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM tgt""".stripMargin),
 
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->

@@ -1701,6 +1701,48 @@ final class SnapshotTable(val root: Path,
       operation = "append")
   }
 
+  /** DYNAMIC partition overwrite (Iceberg's `INSERT OVERWRITE` semantics
+    * on partitioned tables): replaces EXACTLY the partitions `df` holds
+    * rows for — their old files drop, every other partition carries by
+    * reference (chunk-aware, untouched buckets unparsed) — in one
+    * commit. Pending MoR deletes scoped to a replaced partition drop
+    * with it; all others carry. Falls back LOUDLY-CORRECTLY to a full
+    * overwrite when partition-scoped carry cannot be proven: legacy
+    * mixed partition specs (their files cannot be exonerated by
+    * current-spec values) or a partition census over the driver cap.
+    * Unpartitioned tables degenerate to the full replace.
+    */
+  def overwritePartitions(spark: SparkSession, df: DataFrame,
+                          nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val pcols = m.partitionColumns
+    if (pcols.isEmpty)
+      return commitData(df, Some(m), Nil, m.properties, nowMs,
+        operation = "overwrite")
+    val cap = SnapshotTable.MaxCensusPartitions
+    val rows = df.select(pcols.map(c => col(c).cast("string")): _*)
+      .distinct().limit(cap + 1).collect()
+    val singleSpec = specKeySetsOf(m.files).subsetOf(Set(pcols.toSet))
+    if (!singleSpec || rows.length > cap) {
+      log.warn(s"dynamic overwrite of $root falls back to full replace: " +
+        (if (!singleSpec) "legacy partition specs present (compact() to migrate)"
+         else s"partition census exceeds $cap"))
+      return commitData(df, Some(m), pcols, m.properties, nowMs,
+        operation = "overwrite")
+    }
+    val touched: Set[Map[String, String]] = rows.map(r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        c -> Option(r.getString(i)).getOrElse(
+          org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+      }.toMap).toSet
+    val (carriedChunks, loose, _) = splitTouchedOf(m.files, touched)
+    commitData(df, Some(m), pcols, m.properties, nowMs,
+      carryForward = loose, carryChunks = carriedChunks,
+      carryDeletes = m.deleteFiles.filterNot(d => touched.contains(d.partition)),
+      operation = "overwrite")
+  }
+
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new
     * snapshot. When the table is partitioned and the change set is small,
     * only files of AFFECTED partitions are rewritten; all other files are
