@@ -826,6 +826,8 @@ private[graft] object GraftSqlDml {
   private def identParts(node: LogicalPlan): Option[Seq[String]] = node match {
     case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       Some(tv.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(t.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
       Some(u.nameParts)
     case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
@@ -928,6 +930,46 @@ private[graft] object GraftSqlDml {
                 s"no graft table at ${parts(1)} (DROP TABLE without IF EXISTS)")
             else None // registered-catalog miss: let the V2 exec report it
           })
+      case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
+        // reconstructed from the manifest (schema, partitioning, user
+        // properties); engine bookkeeping prefixes are elided
+        identParts(sct.child).flatMap(parts =>
+          graft.catalog.GraftCatalog.pathCandidates(session, parts)
+            .find(p => SnapshotTable.at(p).exists).map { p =>
+              import org.apache.spark.sql.catalyst.InternalRow
+              import org.apache.spark.unsafe.types.UTF8String
+              val m = SnapshotTable.at(p).currentManifest
+              val schema = org.apache.spark.sql.types.StructType
+                .fromDDL(m.schemaDdl)
+              val cols = schema.fields
+                .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+              val partClause =
+                if (m.partitionColumns.isEmpty) ""
+                else m.partitionColumns
+                  .mkString("\nPARTITIONED BY (", ", ", ")")
+              val userProps = m.properties.filterNot { case (k, _) =>
+                k.startsWith("graft.dropped.") ||
+                  k.startsWith("graft.evolution.") }
+              val propsClause =
+                if (userProps.isEmpty) ""
+                else userProps.toSeq.sortBy(_._1)
+                  .map { case (k, v) => s"  '$k' = '$v'" }
+                  .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
+              val stmt = s"CREATE TABLE graft.`$p` (\n$cols)\n" +
+                s"USING graft$partClause$propsClause"
+              LocalRelation(sct.output,
+                Seq(InternalRow(UTF8String.fromString(stmt))))
+            })
+      case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        // one empty-overwrite commit: schema, partition spec and
+        // properties survive; every row (and pending delete) drops.
+        // Time travel still reaches the pre-truncate snapshots.
+        identParts(tt.table).flatMap(parts =>
+          graft.catalog.GraftCatalog.pathCandidates(session, parts)
+            .find(p => SnapshotTable.at(p).exists).map { p =>
+              SnapshotTable.at(p).truncate(session)
+              empty
+            })
       case m: MergeIntoTable =>
         target(m.targetTable).map { tbl => runMerge(session, tbl, m); empty }
       case ins: InsertIntoStatement =>

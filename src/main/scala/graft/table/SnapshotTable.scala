@@ -1701,6 +1701,21 @@ final class SnapshotTable(val root: Path,
       operation = "append")
   }
 
+  /** SQL `TRUNCATE TABLE`: one commit removing every row — schema,
+    * partition spec and properties survive, pending MoR deletes drop
+    * (nothing left to mask). Time travel still reaches the pre-truncate
+    * snapshots until expiry; the changelog reports the rows as deletes.
+    */
+  def truncate(spark: SparkSession,
+               nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    commitData(emptyDf, Some(m), m.partitionColumns, m.properties, nowMs,
+      operation = "delete")
+  }
+
   /** DYNAMIC partition overwrite (Iceberg's `INSERT OVERWRITE` semantics
     * on partitioned tables): replaces EXACTLY the partitions `df` holds
     * rows for — their old files drop, every other partition carries by

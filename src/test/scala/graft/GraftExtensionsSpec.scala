@@ -433,6 +433,34 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SHOW CREATE TABLE and TRUNCATE TABLE answer from the engine") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-sct-").toString
+    val tbl = SnapshotTable.at(root)
+    tbl.createOrReplace((1 to 30).map(i => (i.toLong, s"p${i % 3}", s"s$i"))
+      .toDF("id", "p", "s"), Seq("p"))
+    tbl.setProperties(Map("write.graft.sort-order" -> "id"))
+
+    val stmt = base.sql(s"SHOW CREATE TABLE graft.`$root`")
+      .head.getString(0)
+    assert(stmt.contains("id BIGINT") && stmt.contains("s STRING"))
+    assert(stmt.contains("PARTITIONED BY (p)"))
+    assert(stmt.contains("'write.graft.sort-order' = 'id'"))
+
+    val vBefore = tbl.currentVersion
+    base.sql(s"TRUNCATE TABLE graft.`$root`")
+    assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+      .head.getLong(0) == 0L)
+    val m = tbl.currentManifest
+    assert(m.partitionColumns == Seq("p") &&
+      m.properties.get("write.graft.sort-order").contains("id"),
+      "spec and properties must survive a truncate")
+    assert(m.operation == "delete")
+    // time travel still reaches the pre-truncate rows
+    assert(tbl.readVersion(base, vBefore).count() == 30)
+  }
+
   test("CALL create_changelog_view registers the CDC view") {
     val base = spark
     import base.implicits._
