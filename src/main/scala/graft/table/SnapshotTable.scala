@@ -1322,12 +1322,31 @@ final class SnapshotTable(val root: Path,
     * applying a table's full changelog to an empty target reconstructs
     * the source content exactly.
     */
+  /** @param keys identifier columns (unique per snapshot). With keys
+    *   and an EXISTING target, the apply routes through the
+    *   partition-scoped MERGE — write amplification O(touched
+    *   partitions), the 100 TB path — instead of the keyless multiset
+    *   fold's whole-table exceptAll: update postimages become 'U' rows,
+    *   inserts 'I', deletes 'D' (preimages are implied by their
+    *   postimage twin and drop out).
+    */
   def applyChangelog(spark: SparkSession, feed: DataFrame,
+                     keys: Seq[String] = Nil,
                      nowMs: Long = System.currentTimeMillis()): Manifest = {
     val meta = Set("_change_type", "_commit_version", "_commit_timestamp_ms")
     require(meta.subsetOf(feed.columns.toSet),
       s"not a changelog feed — expected columns ${meta.mkString(", ")}")
     val dataCols = feed.columns.filterNot(meta).toSeq
+    if (keys.nonEmpty && exists) {
+      val changes = feed
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn(graft.core.MetaColumns.Op,
+          when(col("_change_type") === "delete", lit("D"))
+            .when(col("_change_type") === "update_postimage", lit("U"))
+            .otherwise(lit("I")))
+        .select((dataCols.map(col) :+ col(graft.core.MetaColumns.Op)): _*)
+      return merge(spark, changes, keys, keepDeletes = false, nowMs)
+    }
     val ins = feed.filter(col("_change_type")
         .isin("insert", "update_postimage"))
       .select(dataCols.map(col): _*)

@@ -216,11 +216,19 @@ class ChangelogSpec extends SparkSpec {
       src.read(spark).exceptAll(dst.read(spark)).isEmpty,
       "replica content must equal the source exactly")
 
-    // an incremental feed folds onto the replica (base v3 -> v4)
+    // an incremental feed folds onto the replica (base v3 -> v4) —
+    // WITH identifier keys it routes through the partition-scoped merge
+    // (the 100 TB path), landing on the identical content
     src.append(spark, rows(301 to 310), nowMs = 4000L)               // v4
-    dst.applyChangelog(spark, src.readChangelog(spark, 3L, 4L))
+    src.updateWhere(spark, Seq("s" -> lit("u2")), col("id") === 30,
+      nowMs = 5000L)                                                 // v5
+    dst.applyChangelog(spark,
+      src.readChangelog(spark, 3L, 5L, keys = Seq("id")), keys = Seq("id"))
     assert(dst.read(spark).count() == src.read(spark).count())
     assert(dst.read(spark).filter(col("id") === 305).count() == 1)
+    assert(dst.read(spark).filter(col("id") === 30).select("s")
+      .head.getString(0) == "u2")
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty)
 
     // a non-changelog frame is refused loudly
     val e = intercept[IllegalArgumentException] {
