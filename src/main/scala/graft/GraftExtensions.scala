@@ -941,19 +941,27 @@ private[graft] object GraftSqlDml {
               val m = SnapshotTable.at(p).currentManifest
               val schema = org.apache.spark.sql.types.StructType
                 .fromDDL(m.schemaDdl)
+              // identifiers backquoted when not simple, literal quotes
+              // doubled — the emitted statement must REPARSE
+              def ident(n: String) =
+                if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n
+                else "`" + n.replace("`", "``") + "`"
+              def strLit(s: String) = "'" + s.replace("'", "''") + "'"
               val cols = schema.fields
-                .map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
+                .map(f => s"  ${ident(f.name)} ${f.dataType.sql}")
+                .mkString(",\n")
               val partClause =
                 if (m.partitionColumns.isEmpty) ""
-                else m.partitionColumns
+                else m.partitionColumns.map(ident)
                   .mkString("\nPARTITIONED BY (", ", ", ")")
               val userProps = m.properties.filterNot { case (k, _) =>
                 k.startsWith("graft.dropped.") ||
-                  k.startsWith("graft.evolution.") }
+                  k.startsWith("graft.evolution.") ||
+                  k.startsWith("graft.stream.") } // sink replay markers
               val propsClause =
                 if (userProps.isEmpty) ""
                 else userProps.toSeq.sortBy(_._1)
-                  .map { case (k, v) => s"  '$k' = '$v'" }
+                  .map { case (k, v) => s"  ${strLit(k)} = ${strLit(v)}" }
                   .mkString("\nTBLPROPERTIES (\n", ",\n", ")")
               val stmt = s"CREATE TABLE graft.`$p` (\n$cols)\n" +
                 s"USING graft$partClause$propsClause"

@@ -533,21 +533,21 @@ object SparkEntry {
       s.sql(s"CREATE TABLE graft.`$root` " +
         "PARTITIONED BY (o_orderpriority) AS SELECT * FROM graft_q94_target")
       val table = SnapshotTable.at(root)
-      val untouched = table.currentManifest.files
-        .filterNot(_.partition.get("o_orderpriority").contains("1-URGENT"))
-        .map(_.path).toSet
+      val byPart = table.currentManifest.files
+        .partition(_.partition.get("o_orderpriority").contains("1-URGENT"))
+      val oldUrgent = byPart._1.map(_.path).toSet
+      val untouched = byPart._2.map(_.path).toSet
+      require(oldUrgent.nonEmpty, "fixture must populate 1-URGENT")
       s.sql(
         s"""INSERT OVERWRITE graft.`$root`
            |SELECT o_orderkey, o_custkey, o_orderstatus,
            |  o_totalprice + 5000.0 AS o_totalprice, o_orderdate,
            |  o_orderpriority
            |FROM graft_q94_target WHERE o_orderpriority = '1-URGENT'""".stripMargin)
-      val after = table.currentManifest.files
-      require(untouched.subsetOf(after.map(_.path).toSet),
+      val after = table.currentManifest.files.map(_.path).toSet
+      require(untouched.subsetOf(after),
         "untouched partitions must carry by reference")
-      require(!after.exists(f =>
-        f.partition.get("o_orderpriority").contains("1-URGENT") &&
-          untouched.contains(f.path)),
+      require(oldUrgent.intersect(after).isEmpty,
         "the overwritten partition must hold only new files")
       s.sql(s"SELECT * FROM graft.`$root`")
     }),

@@ -1210,6 +1210,14 @@ final class SnapshotTable(val root: Path,
         .getOrElse(0L)
       case p => p
     }
+    // Walk stops in three ways: reaching fromVersion (stepwise history),
+    // reaching the root with fromVersion=0 (bootstrap), or hitting an
+    // EXPIRED parent — expiry legitimately reclaims early history (and
+    // punches gaps around tagged survivors), so the deepest reached
+    // manifest diffs directly against the FROM boundary as one NET step
+    // (fromVersion=0: served whole as the bootstrap step, the
+    // pre-lineage behavior). A RETAINED parent below fromVersion proves
+    // fromVersion is not an ancestor (a branch commit) — loud.
     val vs: Seq[Long] = {
       var chain = List.empty[Long]
       var v = toVersion
@@ -1218,12 +1226,16 @@ final class SnapshotTable(val root: Path,
         require(v > fromVersion && v > 0,
           s"v$fromVersion is not an ancestor of v$toVersion on this " +
             "lineage (a branch commit?) — changelog spans one lineage")
-        require(retained(v),
-          s"snapshot v$v expired from the v$toVersion lineage — extend " +
-            "retention past consumer lag")
         chain = v :: chain
-        v = parentOf(manifest(v))
-        if (v == fromVersion || (v == 0L && fromVersion == 0L)) done = true
+        val p = parentOf(manifest(v))
+        if (p == fromVersion || (p == 0L && fromVersion == 0L)) done = true
+        else if (!retained(p)) done = true // expired gap: net-collapse
+        else {
+          require(p > fromVersion,
+            s"v$fromVersion is not an ancestor of v$toVersion on this " +
+              "lineage (a branch commit?) — changelog spans one lineage")
+          v = p
+        }
       }
       chain
     }
@@ -1338,8 +1350,26 @@ final class SnapshotTable(val root: Path,
       s"not a changelog feed — expected columns ${meta.mkString(", ")}")
     val dataCols = feed.columns.filterNot(meta).toSeq
     if (keys.nonEmpty && exists) {
-      val changes = feed
-        .filter(col("_change_type") =!= "update_preimage")
+      // merge requires ONE change per key, and its reference semantics
+      // insert not-matched rows of ANY op — so a multi-commit feed must
+      // first collapse to each key's LATEST state (argmax over commit
+      // version; at most one non-preimage row per key per version when
+      // keys are identifiers), and a key whose latest state is 'delete'
+      // but which never reached the target (appeared and vanished
+      // within the feed) must DROP, or the unconditional not-matched
+      // insert would materialize its deleted row
+      val nonPre = feed.filter(col("_change_type") =!= "update_preimage")
+      val latest = nonPre.groupBy(keys.map(col): _*)
+        .agg(max(struct((col("_commit_version") +:
+          (col("_change_type") +: dataCols.map(col))): _*)).as("w"))
+        .select(keys.map(col) ++
+          Seq(col("w._change_type").as("_change_type")) ++
+          dataCols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+            .map(c => col(s"w.$c").as(c)): _*)
+      val dels = latest.filter(col("_change_type") === "delete")
+        .join(read(spark).select(keys.map(col): _*), keys, "left_semi")
+      val changes = latest.filter(col("_change_type") =!= "delete")
+        .unionByName(dels)
         .withColumn(graft.core.MetaColumns.Op,
           when(col("_change_type") === "delete", lit("D"))
             .when(col("_change_type") === "update_postimage", lit("U"))
@@ -1740,11 +1770,12 @@ final class SnapshotTable(val root: Path,
     * rows for — their old files drop, every other partition carries by
     * reference (chunk-aware, untouched buckets unparsed) — in one
     * commit. Pending MoR deletes scoped to a replaced partition drop
-    * with it; all others carry. Falls back LOUDLY-CORRECTLY to a full
-    * overwrite when partition-scoped carry cannot be proven: legacy
-    * mixed partition specs (their files cannot be exonerated by
-    * current-spec values) or a partition census over the driver cap.
-    * Unpartitioned tables degenerate to the full replace.
+    * with it; all others carry. REFUSED LOUDLY when partition-scoped
+    * carry cannot be proven — legacy mixed partition specs (compact()
+    * migrates them) or a partition census over the driver cap — rather
+    * than silently degrading to a full replace that would delete
+    * untouched partitions. Unpartitioned tables full-replace (the only
+    * meaning of OVERWRITE without partitions).
     */
   def overwritePartitions(spark: SparkSession, df: DataFrame,
                           nowMs: Long = System.currentTimeMillis()): Manifest = {
@@ -1753,28 +1784,39 @@ final class SnapshotTable(val root: Path,
     if (pcols.isEmpty)
       return commitData(df, Some(m), Nil, m.properties, nowMs,
         operation = "overwrite")
-    val cap = SnapshotTable.MaxCensusPartitions
-    val rows = df.select(pcols.map(c => col(c).cast("string")): _*)
-      .distinct().limit(cap + 1).collect()
-    val singleSpec = specKeySetsOf(m.files).subsetOf(Set(pcols.toSet))
-    if (!singleSpec || rows.length > cap) {
-      log.warn(s"dynamic overwrite of $root falls back to full replace: " +
-        (if (!singleSpec) "legacy partition specs present (compact() to migrate)"
-         else s"partition census exceeds $cap"))
-      return commitData(df, Some(m), pcols, m.properties, nowMs,
+    // cached: the partition census and the write BOTH execute the
+    // batch — an uncached non-deterministic query could census {A} and
+    // then write rows into B, leaving B's old and new rows mixed (the
+    // merge path caches for the same reason)
+    val cached = df.cache()
+    try {
+      val cap = SnapshotTable.MaxCensusPartitions
+      val rows = cached.select(pcols.map(c => col(c).cast("string")): _*)
+        .distinct().limit(cap + 1).collect()
+      val singleSpec = specKeySetsOf(m.files).subsetOf(Set(pcols.toSet))
+      // LOUD, never silently-different semantics (repo invariant): a
+      // user expecting dynamic overwrite must not get a full replace
+      require(singleSpec,
+        s"dynamic overwrite of $root: legacy partition specs present — " +
+          "their files cannot be proven disjoint from the new partitions;" +
+          " compact() to migrate them, or createOrReplace for a full" +
+          " replace")
+      require(rows.length <= cap,
+        s"dynamic overwrite of $root touches more than $cap partitions " +
+          "— use createOrReplace for a full replace")
+      val touched: Set[Map[String, String]] = rows.map(r =>
+        pcols.zipWithIndex.map { case (c, i) =>
+          c -> Option(r.getString(i)).getOrElse(
+            org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        }.toMap).toSet
+      val (carriedChunks, loose, _) = splitTouchedOf(m.files, touched)
+      commitData(cached, Some(m), pcols, m.properties, nowMs,
+        carryForward = loose, carryChunks = carriedChunks,
+        carryDeletes =
+          m.deleteFiles.filterNot(d => touched.contains(d.partition)),
         operation = "overwrite")
-    }
-    val touched: Set[Map[String, String]] = rows.map(r =>
-      pcols.zipWithIndex.map { case (c, i) =>
-        c -> Option(r.getString(i)).getOrElse(
-          org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-      }.toMap).toSet
-    val (carriedChunks, loose, _) = splitTouchedOf(m.files, touched)
-    commitData(df, Some(m), pcols, m.properties, nowMs,
-      carryForward = loose, carryChunks = carriedChunks,
-      carryDeletes = m.deleteFiles.filterNot(d => touched.contains(d.partition)),
-      operation = "overwrite")
+    } finally cached.unpersist()
   }
 
   /** Copy-on-write MERGE of an I/U/D change set, committed as a new

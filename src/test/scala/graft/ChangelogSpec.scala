@@ -230,6 +230,23 @@ class ChangelogSpec extends SparkSpec {
       .head.getString(0) == "u2")
     assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty)
 
+    // a key that appears AND vanishes within one feed must not
+    // materialize (merge's unconditional not-matched insert would
+    // otherwise resurrect the deleted row), and a multi-commit
+    // update→delete of an existing key must end deleted — the keyed
+    // path collapses to each key's LATEST state first
+    src.append(spark, rows(500 to 500), nowMs = 6000L)               // v6
+    src.deleteWhere(spark, col("id") === 500L, nowMs = 7000L)        // v7
+    src.updateWhere(spark, Seq("s" -> lit("tmp")), col("id") === 40L,
+      nowMs = 8000L)                                                 // v8
+    src.deleteWhere(spark, col("id") === 40L, nowMs = 9000L)         // v9
+    dst.applyChangelog(spark,
+      src.readChangelog(spark, 5L, 9L, keys = Seq("id")), keys = Seq("id"))
+    assert(dst.read(spark).filter(col("id").isin(40L, 500L)).count() == 0,
+      "insert-then-delete and update-then-delete must both end absent")
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
+      src.read(spark).exceptAll(dst.read(spark)).isEmpty)
+
     // a non-changelog frame is refused loudly
     val e = intercept[IllegalArgumentException] {
       dst.applyChangelog(spark, rows(1 to 3))
