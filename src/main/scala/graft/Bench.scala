@@ -51,7 +51,8 @@ object Bench {
       "q78_stream_table_sink", "q79_branch_wap", "q80_metadata_tables",
       "q84_positional_delete", "q85_changelog", "q86_sql_rename_widen",
       "q89_stream_changelog", "q90_stream_interval_join",
-      "q91_sort_order_scan", "q92_cdc_apply", "q94_dynamic_overwrite")
+      "q91_sort_order_scan", "q92_cdc_apply", "q94_dynamic_overwrite",
+      "q95_cdc_keyed_replication")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

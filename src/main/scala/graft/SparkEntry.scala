@@ -552,6 +552,43 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
+    "q95_cdc_keyed_replication" -> ((s, d) => {
+      // keyed INCREMENTAL CDC replication: bootstrap the replica from
+      // the source's v1 changelog, run a multi-commit history —
+      // UPDATE (v2), DELETE overlapping the updated keys (v3, forcing
+      // update-then-delete collapse), INSERT (v4), DELETE of some
+      // inserted keys (v5, insert-then-delete collapse — those rows
+      // must NEVER land) — then apply the v1..v5 feed with identifier
+      // keys: the partition-scoped merge path, write amplification
+      // O(touched), and the replica equals the source exactly
+      // (asserted both directions in-query; the oracle recomputes the
+      // final algebra).
+      val srcRoot = Files.createTempDirectory("graft-repl-src-").toString
+      val dstRoot = Files.createTempDirectory("graft-repl-dst-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q95_target")
+      s.sql(s"CREATE TABLE graft.`$srcRoot` AS SELECT * FROM graft_q95_target")
+      val src = SnapshotTable.at(srcRoot)
+      val dst = SnapshotTable.at(dstRoot)
+      dst.applyChangelog(s, src.readChangelog(s, 0L, 1L))
+      s.sql(s"UPDATE graft.`$srcRoot` SET o_totalprice = o_totalprice " +
+        "+ 1000.0 WHERE o_orderkey % 5 = 0")
+      s.sql(s"DELETE FROM graft.`$srcRoot` WHERE o_orderkey % 7 = 0")
+      t(s, d, "orders").select(orderCols.map(col): _*)
+        .filter(col("o_orderkey") % 13 === 3)
+        .createOrReplaceTempView("graft_q95_ins")
+      s.sql(s"INSERT INTO graft.`$srcRoot` SELECT * FROM graft_q95_ins")
+      s.sql(s"DELETE FROM graft.`$srcRoot` " +
+        "WHERE o_orderkey % 13 = 3 AND o_orderkey % 2 = 0")
+      dst.applyChangelog(s,
+        src.readChangelog(s, 1L, src.currentVersion,
+          keys = Seq("o_orderkey")),
+        keys = Seq("o_orderkey"))
+      require(dst.read(s).exceptAll(src.read(s)).isEmpty &&
+        src.read(s).exceptAll(dst.read(s)).isEmpty,
+        "replica must equal the source exactly after the keyed apply")
+      dst.read(s)
+    }),
+
     "q72_sql_update_delete" -> ((s, d) => {
       // row-level SQL DML: UPDATE/DELETE WHERE run as stats-census-scoped
       // CoW rewrites (only files the predicate census can't exonerate are
@@ -1863,6 +1900,21 @@ object SparkEntry {
         |    AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM tgt""".stripMargin),
+
+    // q95: the replicated final state — survivors of the delete with
+    // the update applied, plus the odd-keyed inserts (even-keyed ones
+    // were inserted and deleted inside the feed and never land)
+    "q95_cdc_keyed_replication" -> (withFixtures +
+      """ SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM tgt WHERE o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 13 = 3 AND o_orderkey % 2 = 1""".stripMargin),
 
     // bootstrap + the two appended slices, exactly once = orders
     "q78_stream_table_sink" ->
