@@ -700,9 +700,23 @@ private[graft] object GraftSqlDml {
           case o => throw new UnsupportedOperationException(
             s"identifier_columns must be a comma-separated string, got $o")
         }.getOrElse(Nil)
+        // version boundaries also accept a TAG or BRANCH name (the
+        // Iceberg SCAN boundaries-by-ref shape): 'audit-2026' pins the
+        // version the ref points at
+        def versionArg(k: String, default: Long): Long = bound.get(k) match {
+          case None => default
+          case Some(l: Long) => l
+          case Some(i: Int) => i.toLong
+          case Some(s: String) =>
+            tbl.tags.get(s).orElse(tbl.branches.get(s)).getOrElse(
+              throw new UnsupportedOperationException(
+                s"$k: no tag or branch named '$s'"))
+          case Some(o) => throw new UnsupportedOperationException(
+            s"$k must be a version number or a ref name, got $o")
+        }
         tbl.readChangelog(session,
-          longArg("from_version").getOrElse(0L),
-          longArg("to_version").getOrElse(tbl.currentVersion),
+          versionArg("from_version", 0L),
+          versionArg("to_version", tbl.currentVersion),
           keys).createOrReplaceTempView(viewName)
       case "rollback_to_snapshot" =>
         tbl.rollbackTo(longArg("version").getOrElse(

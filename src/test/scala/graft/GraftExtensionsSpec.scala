@@ -479,6 +479,18 @@ class GraftExtensionsSpec extends SparkSpec {
       base.sql(s"CALL graft.system.create_changelog_view('$root')")
     }
     assert(e.getMessage.contains("view argument"))
+
+    // version boundaries accept tag/branch names; unknown refs are loud
+    tbl.tag("baseline", 1L)
+    base.sql(s"CALL graft.system.create_changelog_view('$root', " +
+      "view => 'cdc_ref_view', from_version => 'baseline')")
+    assert(base.sql("SELECT count(*) AS n FROM cdc_ref_view")
+      .head.getLong(0) == 5L) // just the v2 delete
+    val e2 = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.create_changelog_view('$root', " +
+        "view => 'x', from_version => 'nope')")
+    }
+    assert(e2.getMessage.contains("no tag or branch"))
   }
 
   test("SQL ALTER TABLE ADD/DROP COLUMNS = metadata-only evolution") {
