@@ -409,14 +409,18 @@ object Dedup {
   def dedupAgainstReference(incoming: DataFrame, reference: DataFrame,
                             textCol: String,
                             fpp: Double = 0.01): DataFrame = {
-    val in = spread(incoming).withColumn("__fp",
-      md5(col(textCol)).substr(1, 16))
+    // FULL 128-bit md5 as the join fingerprint — a 64-bit truncation
+    // collides at the advertised 10^9-key scale (birthday bound ~3%)
+    // and a collision wrongly DROPS a genuinely-new row, breaking the
+    // "exactly the plain anti-join's result" contract. The Bloom hashes
+    // the string internally, so its size is unchanged by digest width.
+    val in = spread(incoming).withColumn("__fp", md5(col(textCol)))
     // cached: the fingerprint projection feeds three passes (count,
     // Bloom build, exact anti-join); Verify/Bench clear per-query
     // caches, and the broadcast Bloom itself lives until the session
     // releases it — per maintenance cycle by design, not per batch
     val ref = spread(reference)
-      .select(md5(col(textCol)).substr(1, 16).as("__fp")).cache()
+      .select(md5(col(textCol)).as("__fp")).cache()
     val n = math.max(1000L, ref.count())
     val bloom = ref.stat.bloomFilter("__fp", n, fpp)
     val b = incoming.sparkSession.sparkContext.broadcast(bloom)

@@ -553,9 +553,13 @@ object EventStream {
             col("ts").cast(org.apache.spark.sql.types.TimestampType))
         case _ => raw
       }
+      // the watermark must cover the JOIN HORIZON: state retention below
+      // the interval bound would silently drop matches whose partner
+      // arrives in a later micro-batch more than the watermark behind
       withTs.filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
-        .withWatermark("ts", "1 hour").alias(alias)
+        .withWatermark("ts", s"${math.max(horizonMinutes, 60)} minutes")
+        .alias(alias)
     }
     val joined = side(leftType, "l").join(side(rightType, "r"),
       expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +

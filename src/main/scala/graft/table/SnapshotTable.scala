@@ -1368,12 +1368,18 @@ final class SnapshotTable(val root: Path,
             .map(c => col(s"w.$c").as(c)): _*)
       val dels = latest.filter(col("_change_type") === "delete")
         .join(read(spark).select(keys.map(col): _*), keys, "left_semi")
+      // ALL non-delete latest states map to 'U', never 'I': merge's
+      // unconditional not-matched INSERT lands new keys either way, but
+      // matched-'I' is a reference-semantics NO-OP — a key deleted and
+      // RE-INSERTED within the feed would collapse to latest='insert'
+      // and, when the target still holds the key (synced before the
+      // delete), an 'I' would silently keep the stale pre-delete row.
+      // 'U' updates matched keys to the re-inserted values.
       val changes = latest.filter(col("_change_type") =!= "delete")
         .unionByName(dels)
         .withColumn(graft.core.MetaColumns.Op,
           when(col("_change_type") === "delete", lit("D"))
-            .when(col("_change_type") === "update_postimage", lit("U"))
-            .otherwise(lit("I")))
+            .otherwise(lit("U")))
         .select((dataCols.map(col) :+ col(graft.core.MetaColumns.Op)): _*)
       return merge(spark, changes, keys, keepDeletes = false, nowMs)
     }

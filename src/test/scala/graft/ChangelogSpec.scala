@@ -247,6 +247,21 @@ class ChangelogSpec extends SparkSpec {
     assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
       src.read(spark).exceptAll(dst.read(spark)).isEmpty)
 
+    // delete-then-REINSERT of a key the synced target still holds:
+    // the collapse lands on latest='insert', which must reach the
+    // target as 'U' — merge's matched-'I' is a reference-semantics
+    // no-op and would silently keep the stale pre-delete row
+    src.deleteWhere(spark, col("id") === 50L, nowMs = 10000L)        // v10
+    src.append(spark, rows(50 to 50)
+      .withColumn("s", lit("reborn")), nowMs = 11000L)               // v11
+    dst.applyChangelog(spark,
+      src.readChangelog(spark, 9L, 11L, keys = Seq("id")), keys = Seq("id"))
+    assert(dst.read(spark).filter(col("id") === 50L).select("s")
+      .head.getString(0) == "reborn",
+      "delete-then-reinsert must land the re-inserted values, not the stale row")
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
+      src.read(spark).exceptAll(dst.read(spark)).isEmpty)
+
     // a non-changelog frame is refused loudly
     val e = intercept[IllegalArgumentException] {
       dst.applyChangelog(spark, rows(1 to 3))
