@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.Registry", name), builder))
     }
     ext.injectResolutionRule(GraftPathRelations)
+    // Iceberg-style partition-evolution / write-order DDL has no Spark
+    // grammar — a delegating parser adds exactly those statements
+    ext.injectParser((_, parser) => new GraftSqlParser(parser))
     // CTAS must be claimed BEFORE the Resolution batch:
     // ResolveSessionCatalog converts CreateTableAsSelect into a session-
     // catalog V1 command ahead of any injected resolution rule; the
@@ -830,6 +833,24 @@ private[graft] object GraftSqlDml {
           tbl.unsetProperties(up.propertyKeys, up.ifExists)
           empty
         }
+      // the parser extension's own statements (no Spark grammar exists,
+      // so an unclaimed one can only mean "not a graft table" — loud)
+      case g: GraftAlterTableStatement =>
+        val tbl = graft.catalog.GraftCatalog.pathCandidates(session, g.ident)
+          .find(p => SnapshotTable.at(p).exists).map(SnapshotTable.at)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE ${g.ident.mkString(".")}: no graft table — " +
+              "PARTITION FIELD / WRITE ORDERED BY are graft statements"))
+        g.op match {
+          case AddPartitionFieldOp(spec, name) =>
+            tbl.addPartitionField(spec, name)
+          case DropPartitionFieldOp(spec) => tbl.dropPartitionField(spec)
+          case WriteOrderedByOp(cols) =>
+            tbl.setProperties(Map("write.graft.sort-order" -> cols.mkString(",")))
+          case WriteUnorderedOp =>
+            tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
+        }
+        Some(empty)
       case _ => None
     }
   }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The graft DDL statements Spark's grammar does not know — Iceberg's
+  * partition-evolution and write-order spellings:
+  *
+  *   - `ALTER TABLE t ADD PARTITION FIELD <col | bucket(n,src) |
+  *     days(src) | months(src) | years(src) | hours(src) |
+  *     truncate(w,src)> [AS <name>]`
+  *   - `ALTER TABLE t DROP PARTITION FIELD <col | transform>`
+  *   - `ALTER TABLE t WRITE ORDERED BY [(]c1[, c2...][)]`
+  *   - `ALTER TABLE t WRITE UNORDERED`
+  *
+  * Parsed here into [[GraftAlterTableStatement]] (executed during analysis
+  * by the same hints-batch rule as every other graft DML — the statement
+  * resolves to an empty relation); EVERYTHING else delegates verbatim to
+  * Spark's parser, so the injection is invisible outside these shapes.
+  * Iceberg ships the exact same surface as a parser extension
+  * (`IcebergSparkSqlExtensionsParser`); the reference's users reach
+  * partition DDL through partitioned CTAS (common/iceberg.py:116,144) —
+  * this completes the DDL-first story for evolution.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseGraftStatement(sqlText, delegate)
+      .getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlanWithParameters(sqlText: String,
+                                       ctx: ParameterContext): LogicalPlan =
+    GraftSqlParser.parseGraftStatement(sqlText, delegate)
+      .getOrElse(delegate.parsePlanWithParameters(sqlText, ctx))
+  override def parseExpression(s: String): Expression =
+    delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType =
+    delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType =
+    delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}
+
+sealed trait GraftAlterOp
+final case class AddPartitionFieldOp(spec: String,
+                                     name: Option[String]) extends GraftAlterOp
+final case class DropPartitionFieldOp(spec: String) extends GraftAlterOp
+final case class WriteOrderedByOp(cols: Seq[String]) extends GraftAlterOp
+case object WriteUnorderedOp extends GraftAlterOp
+
+/** Unresolved carrier for a parsed graft ALTER statement; the hints-batch
+  * rule executes it and substitutes an empty relation. Never resolved —
+  * if no rule claims it (extensions not installed) analysis fails loudly
+  * instead of silently dropping the statement.
+  */
+final case class GraftAlterTableStatement(ident: Seq[String],
+                                          op: GraftAlterOp) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
+object GraftSqlParser {
+  // the table identifier is captured raw (backquoted path literals hold
+  // '/', '.', spaces) and re-parsed by the DELEGATE's identifier grammar
+  private val AddRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*;?\s*$""".r
+  private val DropRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*$""".r
+  private val OrderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val UnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+
+  private[graft] def parseGraftStatement(
+      sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
+    def ident(t: String): Seq[String] = delegate.parseMultipartIdentifier(t)
+    sqlText match {
+      case AddRe(t, spec, name) =>
+        Some(GraftAlterTableStatement(ident(t),
+          AddPartitionFieldOp(spec.trim, Option(name))))
+      case DropRe(t, spec) =>
+        Some(GraftAlterTableStatement(ident(t),
+          DropPartitionFieldOp(spec.trim)))
+      case OrderedRe(t, colsRaw) =>
+        val inner = colsRaw.trim.stripPrefix("(").stripSuffix(")")
+        val cols = inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
+        val bad = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        require(bad.isEmpty,
+          s"WRITE ORDERED BY supports plain ascending columns only, got: " +
+            bad.mkString(", "))
+        Some(GraftAlterTableStatement(ident(t), WriteOrderedByOp(cols)))
+      case UnorderedRe(t) =>
+        Some(GraftAlterTableStatement(ident(t), WriteUnorderedOp))
+      case _ => None
+    }
+  }
+}

@@ -1013,6 +1013,89 @@ object SparkEntry {
       table.read(s)
     }),
 
+    "q96_sql_partition_ddl" -> ((s, d) => {
+      // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
+      // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
+      // (the parser extension's Iceberg spelling) → MERGE INTO under the
+      // evolved spec with HIDDEN partitioning (the change view never
+      // carries the derived column; the engine materializes it at
+      // commit) → prune-census assert on the raw key → SELECT. Final
+      // data = q71's merge oracle (the derived bucket column is dropped
+      // from the output — murmur is not DuckDB-expressible).
+      val root = Files.createTempDirectory("graft-q96-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q96_target")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q96_target")
+      s.sql(s"ALTER TABLE graft.`$root` ADD PARTITION FIELD " +
+        "bucket(8, o_orderkey) AS pb")
+      val table = SnapshotTable.at(root)
+      require(table.currentManifest.partitionColumns == Seq("pb") &&
+        table.currentManifest.properties.get("graft.transform.pb")
+          .contains("bucket(8,o_orderkey)"),
+        "ALTER must land the spec and the transform property")
+      graft.merge.ChangeSet.build(ordersSource(s, d),
+          table.read(s).drop("pb"), ordersCfg.naturalKeys,
+          ordersCfg.updatedAtFields, ordersCfg.flags, allowDeletes = true)
+        .createOrReplaceTempView("graft_q96_changes")
+      s.sql(
+        s"""MERGE INTO graft.`$root` t USING graft_q96_changes s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val m = table.currentManifest
+      require(m.files.exists(_.partition.contains("pb")),
+        "merged files must land under the evolved bucket spec")
+      val probe = s.sql(s"SELECT max(o_orderkey) AS k FROM graft.`$root`")
+        .head.getLong(0)
+      val (kept, total) = table.pruneCounts(col("o_orderkey") === probe)
+      require(kept < total,
+        s"raw-key point predicate must prune through the bucket ($kept/$total)")
+      s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        s"o_orderdate, o_orderpriority FROM graft.`$root`")
+    }),
+
+    "q97_transform_prune" -> ((s, d) => {
+      // the completed hidden-partitioning transform set (r6 verdict #3):
+      // months() over the order timestamp and truncate() over the
+      // priority string, both added DDL-first, derived by the engine at
+      // write (the appended frame carries neither), both pruning
+      // raw-column predicates at the manifest — censuses asserted
+      // in-query, result = a month-bounded aggregate DuckDB recomputes
+      // from the raw table.
+      val root = Files.createTempDirectory("graft-q97m-").toString
+      val orders = t(s, d, "orders")
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(orders.limit(0))
+      s.sql(s"ALTER TABLE graft.`$root` ADD PARTITION FIELD months(o_orderdate)")
+      table.append(s, orders)
+      val cut = java.time.LocalDateTime.parse("2000-01-01T00:00")
+      val (kept, total) = table.pruneCounts(col("o_orderdate") >= lit(cut))
+      require(kept < total,
+        s"months() must prune the pre-cut months ($kept/$total)")
+      require(table.currentManifest.files
+        .exists(_.partition.get("o_orderdate_month").exists(_.matches("\\d{4}-\\d{2}"))),
+        "files must land under yyyy-MM month partitions")
+
+      val root2 = Files.createTempDirectory("graft-q97t-").toString
+      val t2 = SnapshotTable.at(root2)
+      t2.createOrReplace(orders.limit(0))
+      s.sql(s"ALTER TABLE graft.`$root2` ADD PARTITION FIELD " +
+        "truncate(2, o_orderpriority)")
+      t2.append(s, orders)
+      val (kp, tp) = t2.pruneCounts(col("o_orderpriority") === "1-URGENT")
+      require(kp < tp,
+        s"truncate() must prune to the '1-' prefix partition ($kp/$tp)")
+      require(t2.readWhere(s, col("o_orderpriority") === "1-URGENT").count() ==
+        orders.filter(col("o_orderpriority") === "1-URGENT").count(),
+        "pruned read must equal the plain filter")
+
+      table.readWhere(s, col("o_orderdate") >= lit(cut))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+            .as("price_cents"))
+    }),
+
     "q70_drop_column" -> ((s, d) => {
       // DROP-COLUMN schema evolution: metadata-only removal (require()s
       // pin that no file moves); reads stop selecting the column and a
@@ -2062,6 +2145,29 @@ object SparkEntry {
         |SELECT u.*, u.o_orderkey % 8 AS pb8, u.o_orderkey % 4 AS pb4 FROM u
         |UNION ALL
         |SELECT i.*, i.o_orderkey % 8 AS pb8, i.o_orderkey % 4 AS pb4 FROM i""".stripMargin),
+
+    // SQL partition-evolution lifecycle lands exactly the q14/q71 merge
+    // (the derived bucket column is internal layout, dropped on output)
+    "q96_sql_partition_ddl" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
+
+    // pruning is an IO optimization only: the month-bounded aggregate
+    // equals the raw-table filter
+    "q97_transform_prune" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS price_cents
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
 
     // post-drop state: the surviving five columns of the target plus the
     // not-matched inserts, nothing else

@@ -109,9 +109,9 @@ final class GraftTableSource(spark: SparkSession, path: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(tbl.currentVersion)
 
-  /** Admission-control spelling of [[getOffset]] (the interface rides in
-    * with SupportsTriggerAvailableNow); read limits don't apply — a
-    * snapshot version is the only batch granularity.
+  /** DSv2 spelling of [[getOffset]] (the interface rides in with
+    * SupportsTriggerAvailableNow); admission control lives in
+    * [[getOffset]] itself, DSv1-style, so both spellings honor it.
     */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -120,6 +120,34 @@ final class GraftTableSource(spark: SparkSession, path: String,
     getOffset.orNull
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
+
+  /** ADMISSION CONTROL (the Delta/Iceberg `maxFilesPerTrigger` /
+    * `maxOffsetsPerTrigger` analog — without it a 100 TB table bootstrap
+    * is ONE unbounded batch):
+    *
+    *   - `maxVersionsPerTrigger=N` advances the offset at most N
+    *     RETAINED snapshot versions per micro-batch (tail throttling;
+    *     also bounds a version-granular bootstrap).
+    *   - `maxFilesPerTrigger=N` splits the `startVersion=0` BOOTSTRAP of
+    *     the pinned first snapshot into batches of at most N data files
+    *     (stable path order, [[SnapshotTable.readFileSlice]]); the
+    *     bootstrap version is pinned durably in the stream's metadata
+    *     dir, so a restart mid-bootstrap resumes the SAME file
+    *     enumeration exactly once. After the bootstrap completes the
+    *     stream tails versions as usual.
+    *
+    * Bootstrap progress rides in the offset itself (`b:<filesEmitted>`
+    * vs a plain version number), so the checkpoint log remains the
+    * single source of truth; the small admission pin only remembers the
+    * last OFFERED offset across restarts (throttling state, never
+    * correctness — batch content is a pure function of its two offsets).
+    */
+  private val maxVersions: Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map(_.toInt)
+  private val maxFiles: Option[Int] =
+    parameters.get("maxFilesPerTrigger").map(_.toInt)
+  require(maxVersions.forall(_ > 0) && maxFiles.forall(_ > 0),
+    "maxVersionsPerTrigger / maxFilesPerTrigger must be positive")
 
   /** `readChangeFeed=true` (the Delta CDF / Iceberg changelog-scan
     * streaming analog): micro-batches are [[SnapshotTable.readChangelog]]
@@ -143,96 +171,202 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * no batch ever committed an offset, so "latest" cannot silently skip
     * commits that landed between two runs of the same checkpoint.
     */
+  /** A value pinned durably next to the checkpoint, computed exactly
+    * once per stream lifetime — through the Hadoop FileSystem of the
+    * metadataPath's OWN scheme (a local-FS shortcut would silently
+    * re-pin on a different machine when the checkpoint is on
+    * hdfs://s3a://, skipping the very commits the pin exists to protect
+    * — r5 ADVICE). FS contract relied on: create(tmp, overwrite=false)
+    * then rename(tmp, pin) where rename does NOT replace an existing
+    * destination — the winner of a same-checkpoint race rules, the
+    * loser reads the winner's pin. RawLocalFileSystem violates that
+    * contract (rename(2) overwrites; so does POSIX ATOMIC_MOVE), so the
+    * local primitive is O_EXCL creation, the loser retrying the read
+    * past the winner's sub-millisecond create-to-write window.
+    */
+  private def durablePin(name: String)(compute: => Long): Long = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(hadoopConf)
+    val pin = new org.apache.hadoop.fs.Path(dir, name)
+    def readPin(): Long = {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+    if (fs.exists(pin)) readPin()
+    else {
+      val v = compute
+      fs.mkdirs(dir)
+      val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+      if (local) {
+        val pinNio = java.nio.file.Paths.get(pin.toUri.getPath)
+        try {
+          java.nio.file.Files.write(pinNio, v.toString.getBytes(
+            java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            var got: Option[Long] = None
+            var tries = 0
+            while (got.isEmpty) {
+              try got = Some(readPin())
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  tries += 1
+                  if (tries > 50) throw e
+                  Thread.sleep(20)
+              }
+            }
+            got.get
+        }
+      } else {
+        // HDFS/object-store FS honor rename-fails-if-destination-exists
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".start-${java.util.UUID.randomUUID()}.tmp")
+        val out = fs.create(tmp, false)
+        try out.write(v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (fs.rename(tmp, pin)) v
+        else { // lost a (same-checkpoint) race: the winner's pin rules
+          fs.delete(tmp, false)
+          readPin()
+        }
+      }
+    }
+  }
+
   private val startVersion: Long = parameters.get("startVersion") match {
     case Some(v) if v != "latest" => v.toLong
-    case _ =>
-      // the pin lives NEXT TO the checkpoint, through the Hadoop
-      // FileSystem of the metadataPath's OWN scheme — a local-FS shortcut
-      // here would silently re-pin on a different machine when the
-      // checkpoint is on hdfs://s3a://, skipping the very commits the pin
-      // exists to protect (r5 ADVICE). FS contract relied on: create(tmp,
-      // overwrite=false) then rename(tmp, pin) where rename does NOT
-      // replace an existing destination — the winner of a
-      // same-checkpoint race rules, the loser reads the winner's pin.
+    case _ => durablePin("graft-start-version")(tbl.currentVersion)
+  }
+
+  private val splitBootstrap = startVersion == 0L && maxFiles.isDefined
+  require(!(cdc && maxFiles.isDefined),
+    "maxFilesPerTrigger splits the bootstrap snapshot by data files; the " +
+      "CDC feed batches by version — use maxVersionsPerTrigger")
+
+  /** The snapshot a SPLIT bootstrap enumerates: pinned at first need and
+    * durable, so a restart mid-bootstrap replays the SAME file list.
+    */
+  private lazy val bootVersion: Long = durablePin("graft-bootstrap-version")(
+    availableNowCap.getOrElse(tbl.currentVersion))
+  private lazy val bootFileCount: Int = tbl.fileCount(bootVersion)
+
+  /** Stream position: mid-bootstrap (files emitted so far of the pinned
+    * snapshot) or a snapshot version.
+    */
+  private sealed trait Pos
+  private final case class BootPos(filesEmitted: Int) extends Pos
+  private final case class VerPos(v: Long) extends Pos
+
+  private def encode(p: Pos): Offset = p match {
+    case BootPos(k) => GraftBootstrapOffset(k)
+    case VerPos(v) => LongOffset(v)
+  }
+  private def decode(o: Offset): Pos = o match {
+    case l: LongOffset => VerPos(l.offset)
+    case GraftBootstrapOffset(k) => BootPos(k)
+    case other =>
+      val j = other.json.trim // checkpoint-recovered SerializedOffset
+      if (j.startsWith("b:")) BootPos(j.drop(2).toInt) else VerPos(j.toLong)
+  }
+
+  /** Last offset OFFERED to the engine (throttle state). Persisted so a
+    * restart after fully-committed batches keeps throttling from where
+    * it left off instead of re-offering one unbounded catch-up batch;
+    * never correctness-bearing — getBatch is a pure function of its two
+    * offsets and the engine's own log decides what committed.
+    */
+  @volatile private var offered: Option[Pos] = None
+  private def persistOffered(p: Pos): Unit =
+    try {
       val hadoopConf = spark.sessionState.newHadoopConf()
       val dir = new org.apache.hadoop.fs.Path(metadataPath)
       val fs = dir.getFileSystem(hadoopConf)
-      val pin = new org.apache.hadoop.fs.Path(dir, "graft-start-version")
-      def readPin(): Long = {
-        val in = fs.open(pin)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
-      if (fs.exists(pin)) readPin()
+      fs.mkdirs(dir)
+      val f = new org.apache.hadoop.fs.Path(dir, "graft-admission-state")
+      val out = fs.create(f, true)
+      try out.write(encode(p).json.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  private def restoreOffered(): Option[Pos] =
+    try {
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val f = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(metadataPath), "graft-admission-state")
+      val fs = f.getFileSystem(hadoopConf)
+      if (!fs.exists(f)) None
       else {
-        val v = tbl.currentVersion
-        fs.mkdirs(dir)
-        val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-          fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-        if (local) {
-          // RawLocalFileSystem.rename is rename(2) and OVERWRITES an
-          // existing destination (a documented violation of the HDFS
-          // rename contract) — and POSIX rename makes ATOMIC_MOVE
-          // replace too. O_EXCL creation (CREATE_NEW) is the local
-          // primitive that actually loses a race loudly; the loser
-          // adopts the winner's pin (retrying the read past the
-          // winner's sub-millisecond create-to-write window).
-          val pinNio = java.nio.file.Paths.get(pin.toUri.getPath)
-          try {
-            java.nio.file.Files.write(pinNio, v.toString.getBytes(
-              java.nio.charset.StandardCharsets.UTF_8),
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            v
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              var got: Option[Long] = None
-              var tries = 0
-              while (got.isEmpty) {
-                try got = Some(readPin())
-                catch {
-                  case scala.util.control.NonFatal(e) =>
-                    tries += 1
-                    if (tries > 50) throw e
-                    Thread.sleep(20)
-                }
-              }
-              got.get
-          }
-        } else {
-          // HDFS/object-store FS honor rename-fails-if-destination-exists
-          val tmp = new org.apache.hadoop.fs.Path(dir,
-            s".start-${java.util.UUID.randomUUID()}.tmp")
-          val out = fs.create(tmp, false)
-          try out.write(v.toString.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          if (fs.rename(tmp, pin)) v
-          else { // lost a (same-checkpoint) race: the winner's pin rules
-            fs.delete(tmp, false)
-            readPin()
-          }
-        }
+        val in = fs.open(f)
+        val j = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        if (j.isEmpty) None
+        else Some(decode(new SerializedOffset(j)))
       }
-  }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def ver(o: Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => s.json.trim.toLong // checkpoint-recovered
-    case other => other.json.trim.toLong
+  /** One admission step from `cur` toward `cap`. */
+  private def advance(cur: Pos, cap: Long): Pos = cur match {
+    case BootPos(k) =>
+      val n = bootFileCount
+      val nk = math.min(k + maxFiles.get.toLong, n.toLong).toInt
+      if (nk >= n) VerPos(bootVersion) else BootPos(nk)
+    case VerPos(v) =>
+      maxVersions match {
+        case None => VerPos(math.max(v, cap))
+        case Some(mv) =>
+          // "at most N versions" counts RETAINED snapshots (versions can
+          // be sparse after expiry / branch interleaving)
+          val vs = tbl.manifestVersions.filter(x => x > v && x <= cap).sorted
+          if (vs.isEmpty) cur else VerPos(vs.take(mv).last)
+      }
   }
 
   override def getOffset: Option[Offset] = {
-    val v = availableNowCap.getOrElse(tbl.currentVersion)
-    if (v <= startVersion) None else Some(LongOffset(v))
+    val cap = availableNowCap.getOrElse(tbl.currentVersion)
+    val cur = offered.orElse(restoreOffered()).getOrElse(
+      if (splitBootstrap) BootPos(0) else VerPos(startVersion))
+    val next = advance(cur, cap)
+    if (next == cur && offered.isEmpty && restoreOffered().isEmpty)
+      None // nothing ever to stream yet (no commits past startVersion)
+    else {
+      if (!offered.contains(next)) { offered = Some(next); persistOffered(next) }
+      Some(encode(next))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startVersion)
-    val df =
-      if (cdc) tbl.readChangelog(spark, from, ver(end))
-      else tbl.readIncrementalBetween(spark, from, ver(end),
-        requireAppendOnly = !ignoreChanges)
+    val endPos = decode(end)
+    val startPos = start.map(decode).getOrElse(
+      if (splitBootstrap) BootPos(0) else VerPos(startVersion))
+    val df = (startPos, endPos) match {
+      case (BootPos(k1), BootPos(k2)) =>
+        tbl.readFileSlice(spark, bootVersion, k1, k2)
+      case (BootPos(k1), VerPos(v)) =>
+        // the bootstrap-completing batch: the pinned snapshot's tail
+        require(v == bootVersion,
+          s"bootstrap batch must end at the pinned v$bootVersion, got v$v")
+        tbl.readFileSlice(spark, bootVersion, k1, bootFileCount)
+      case (VerPos(v1), VerPos(v2)) =>
+        if (cdc) tbl.readChangelog(spark, v1, v2)
+        else tbl.readIncrementalBetween(spark, v1, v2,
+          requireAppendOnly = !ignoreChanges)
+      case (VerPos(_), BootPos(_)) =>
+        throw new IllegalStateException(
+          "offset regression: a version offset cannot precede a bootstrap one")
+    }
+    // getBatch is also the recovery path: sync the throttle state so the
+    // next getOffset advances from what the engine actually replayed
+    offered match {
+      case Some(p) if p == endPos => ()
+      case _ => offered = Some(endPos)
+    }
     // align to the pinned stream schema: evolution during the stream may
     // have added columns (dropped here) or removed some (null-filled)
     val aligned = df.select(schema.toSeq.map { f =>
@@ -245,6 +379,13 @@ final class GraftTableSource(spark: SparkSession, path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** Bootstrap-progress offset (`b:<filesEmitted>` in the checkpoint log);
+  * completed bootstraps and tail batches use plain version offsets.
+  */
+final case class GraftBootstrapOffset(filesEmitted: Int) extends Offset {
+  override def json: String = s"b:$filesEmitted"
 }
 
 object GraftTableSource {

@@ -189,32 +189,81 @@ object StatsPruning {
     * UTC, so in practice these are UTC days.
     */
   def dayRange(srcType: DataType, s: String): Option[(Bound, Bound)] =
+    timeRange("day", srcType, s)
+
+  /** Bounds a TIME-UNIT partition value implies for its source column:
+    * unit ∈ day|month|year|hour; value formats are the write side's
+    * ([[graft.functions.Transforms.expr]] — `yyyy-MM-dd`, `yyyy-MM`,
+    * `yyyy`, `yyyy-MM-dd-HH`) covering `[unit start, next unit start)`.
+    * Timestamp boundaries are computed in the SESSION timezone (matching
+    * how the derived column was computed; next-unit start, not +NhH — a
+    * DST-transition day is 23/25h); NTZ is wall-clock; DateType ranges in
+    * epoch days (hours never derive from a date — decline).
+    */
+  def timeRange(unit: String, srcType: DataType,
+                s: String): Option[(Bound, Bound)] =
     try {
-      val date = java.time.LocalDate.parse(s)
-      srcType match {
-        case DateType =>
-          val day = date.toEpochDay
-          Some((NumB(BigDecimal(day)), NumB(BigDecimal(day))))
-        case TimestampType =>
-          // day boundaries in the SESSION timezone, like every other
-          // timestamp partition-value decode here: the day column was
-          // derived under the session zone, and UTC boundaries would
-          // mis-prune under any non-UTC session
-          val zone = java.time.ZoneId.of(
-            org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-          def micros(d: java.time.LocalDate) = {
-            val i = d.atStartOfDay(zone).toInstant
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
-          }
-          // next day's start, not +24h: a DST-transition day is 23/25h
-          Some((NumB(BigDecimal(micros(date))),
-            NumB(BigDecimal(micros(date.plusDays(1)) - 1))))
-        case TimestampNTZType =>
-          // NTZ is wall-clock: days are timezone-free by definition
-          val lo = date.toEpochDay * 86400000000L
-          Some((NumB(BigDecimal(lo)), NumB(BigDecimal(lo + 86400000000L - 1))))
+      import java.time.{LocalDate, LocalDateTime}
+      // [start, end) as local date-times of the unit's span
+      val span: Option[(LocalDateTime, LocalDateTime)] = unit match {
+        case "day" =>
+          val d = LocalDate.parse(s)
+          Some((d.atStartOfDay, d.plusDays(1).atStartOfDay))
+        case "month" =>
+          val d = LocalDate.parse(s + "-01")
+          Some((d.atStartOfDay, d.plusMonths(1).atStartOfDay))
+        case "year" =>
+          val d = LocalDate.of(s.trim.toInt, 1, 1)
+          Some((d.atStartOfDay, d.plusYears(1).atStartOfDay))
+        case "hour" =>
+          // yyyy-MM-dd-HH
+          val (dPart, hPart) = (s.take(10), s.drop(11))
+          val start = LocalDate.parse(dPart).atStartOfDay
+            .plusHours(hPart.toInt)
+          Some((start, start.plusHours(1)))
         case _ => None
       }
+      span.flatMap { case (lo, hi) =>
+        srcType match {
+          case DateType if unit != "hour" =>
+            Some((NumB(BigDecimal(lo.toLocalDate.toEpochDay)),
+              NumB(BigDecimal(hi.toLocalDate.toEpochDay - 1))))
+          case TimestampType =>
+            val zone = java.time.ZoneId.of(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+            def micros(d: LocalDateTime) = {
+              val i = d.atZone(zone).toInstant
+              i.getEpochSecond * 1000000L + i.getNano / 1000L
+            }
+            Some((NumB(BigDecimal(micros(lo))),
+              NumB(BigDecimal(micros(hi) - 1))))
+          case TimestampNTZType =>
+            def micros(d: LocalDateTime) =
+              d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                d.getNano / 1000L
+            Some((NumB(BigDecimal(micros(lo))),
+              NumB(BigDecimal(micros(hi) - 1))))
+          case _ => None
+        }
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Bounds a `truncate(w)` partition value implies for its source:
+    * integers cover `[t, t + w - 1]` (the value is the floor of its
+    * block); strings cover every ASCII continuation of the prefix —
+    * `"\uffff"` caps the range because ASCII continuations compare below
+    * it at the first post-prefix position (the predicate-literal side
+    * declines non-ASCII before reaching the comparison).
+    */
+  def truncRange(srcType: DataType, w: Int,
+                 s: String): Option[(Bound, Bound)] =
+    try srcType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val t = BigDecimal(s)
+        Some((NumB(t), NumB(t + w - 1)))
+      case StringType =>
+        if (ascii(s)) Some((StrB(s), StrB(s + "\uffff"))) else None
+      case _ => None
     } catch { case _: RuntimeException => None }
 
   /** Decode a hive-style partition-path VALUE for a column of `dt` into

@@ -365,7 +365,7 @@ final class SnapshotTable(val root: Path,
     // file would be O(files × predicate)); non-integral columns or
     // unparsable literals decline conservatively.
     val bucketHits: Seq[(String, Option[Set[Int]])] = transforms.collect {
-      case (pcol, BucketT(n, src)) =>
+      case (pcol, graft.functions.Transforms.Bucket(n, src)) =>
         pcol -> (for {
           dt <- types(src)
           vs <- StatsPruning.pointValues(expr, src, dt)
@@ -708,31 +708,26 @@ final class SnapshotTable(val root: Path,
     }
 
   /** A recorded partition TRANSFORM: the table property
-    * `graft.transform.<pcol> = bucket(<n>,<src>) | days(<src>)` declares
-    * that partition column `pcol` was derived from data column `src`
-    * (the reference's planned Iceberg partition transforms,
-    * dmsdatabase1.py:79-85), so predicates on the RAW source column
-    * prune at the manifest through the transformed partition value —
-    * `days`: the day value bounds the source's range; `bucket`: a point
-    * predicate on the source hashes to exactly one bucket.
+    * `graft.transform.<pcol> = bucket(<n>,<src>) | days(<src>) |
+    * months(<src>) | years(<src>) | hours(<src>) | truncate(<w>,<src>)`
+    * declares that partition column `pcol` was derived from data column
+    * `src` (the reference's planned Iceberg partition transforms,
+    * dmsdatabase1.py:79-85; model shared with the write side in
+    * [[graft.functions.Transforms]]), so predicates on the RAW source
+    * column prune at the manifest through the transformed partition
+    * value — time units and truncate: the partition value bounds the
+    * source's range; `bucket`: a point predicate on the source hashes to
+    * exactly one bucket.
     */
-  private sealed trait PartTransform
-  private final case class BucketT(n: Int, src: String) extends PartTransform
-  private final case class DaysT(src: String) extends PartTransform
-
   private val TransformPrefix = "graft.transform."
-  private val BucketRe = """bucket\((\d+)\s*,\s*([^)]+)\)""".r
-  private val DaysRe = """days\(([^)]+)\)""".r
 
-  private def partitionTransforms(m: Manifest): Seq[(String, PartTransform)] =
+  private def partitionTransforms(m: Manifest)
+      : Seq[(String, graft.functions.Transforms.Spec)] =
     m.properties.toSeq.collect {
       case (k, v) if k.startsWith(TransformPrefix) =>
-        val pcol = k.drop(TransformPrefix.length)
-        v.trim match {
-          case BucketRe(n, src) => Some(pcol -> BucketT(n.toInt, src.trim))
-          case DaysRe(src) => Some(pcol -> DaysT(src.trim))
-          case _ => None // unknown transform: no pruning, never an error
-        }
+        // unknown transform: no pruning, never an error
+        graft.functions.Transforms.parse(v)
+          .map(k.drop(TransformPrefix.length) -> _)
     }.flatten
 
   /** Bounds of a column within one file: exact partition value if the
@@ -741,7 +736,7 @@ final class SnapshotTable(val root: Path,
     * source column; None = unknown (never prune).
     */
   private def boundsFor(f: FileEntry, types: String => Option[DataType],
-      transforms: Seq[(String, PartTransform)] = Nil,
+      transforms: Seq[(String, graft.functions.Transforms.Spec)] = Nil,
       chains: Map[String, Seq[(Long, String, DataType)]] = Map.empty)
       : String => Option[(StatsPruning.Bound, StatsPruning.Bound)] = { name =>
     types(name).flatMap { dt =>
@@ -761,11 +756,20 @@ final class SnapshotTable(val root: Path,
               } yield (mn, mx)
             }
             .orElse(transforms.collectFirst {
-              case (pcol, DaysT(src)) if src.equalsIgnoreCase(name) =>
+              case (pcol, t) if t.src.equalsIgnoreCase(name) &&
+                  !t.isInstanceOf[graft.functions.Transforms.Bucket] =>
                 f.partition.collectFirst {
                   case (k, v) if k.equalsIgnoreCase(pcol) &&
                     !StatsPruning.isNullPartitionValue(v) => v
-                }.flatMap(StatsPruning.dayRange(dt, _))
+                }.flatMap { v =>
+                  t match {
+                    case graft.functions.Transforms.TimeUnit(unit, _) =>
+                      StatsPruning.timeRange(unit, dt, v)
+                    case graft.functions.Transforms.Truncate(w, _) =>
+                      StatsPruning.truncRange(dt, w, v)
+                    case _ => None
+                  }
+                }
             }.flatten)
       }
     }
@@ -1147,6 +1151,27 @@ final class SnapshotTable(val root: Path,
     }
     readManifest(spark, toM.copy(files = fresh), _ => true)
   }
+
+  /** Deterministic FILE-SLICE read of one snapshot — the unit of the
+    * streaming source's size-bounded bootstrap (Delta/Iceberg honor
+    * `maxFilesPerTrigger` the same way): live data files sorted by path
+    * (stable across restarts — paths never change after commit), the
+    * `[from, until)` slice read under the snapshot's schema with its
+    * pending deletes resolved per file (equality and position deletes
+    * mask rows file-locally, so the union of disjoint slices equals the
+    * full resolved read). Pair with [[fileCount]] to enumerate.
+    */
+  def readFileSlice(spark: SparkSession, version: Long,
+                    from: Int, until: Int): DataFrame = {
+    val m = manifest(version)
+    val slice = m.files.toSeq.sortBy(_.path).slice(from, until)
+    readManifest(spark, m.copy(files = slice))
+  }
+
+  /** Live data-file count of snapshot `version` (chunk rollups answer
+    * without parsing documents when available).
+    */
+  def fileCount(version: Long): Int = manifest(version).files.size
 
   /** Row-level CHANGELOG between two snapshots (Iceberg
     * `create_changelog_view` / Delta CDF analog): every row the span
@@ -1903,7 +1928,10 @@ final class SnapshotTable(val root: Path,
       // change detection is itself a multi-join plan that must not run
       // twice.
       val pcols = m.partitionColumns
-      val cached = changes.cache()
+      // derive hidden-partition columns BEFORE the census: after an
+      // ALTER ADD PARTITION FIELD the change batch never carries the
+      // derived column, and the census selects it
+      val cached = materializeTransforms(changes, pcols, m.properties).cache()
       try {
         // the census must produce EXACTLY the representation partitionOf
         // parses out of the written paths: Spark escapes path-special
@@ -2169,11 +2197,9 @@ final class SnapshotTable(val root: Path,
     require(!m.partitionColumns.exists(_.equalsIgnoreCase(field.name)),
       s"${field.name} is a partition column — its name is baked into " +
         "file paths and partition maps; rewrite the table instead")
-    partitionTransforms(m).foreach {
-      case (p, BucketT(_, src)) => require(!src.equalsIgnoreCase(field.name),
-        s"${field.name} is the bucket() source of partition column $p")
-      case (p, DaysT(src)) => require(!src.equalsIgnoreCase(field.name),
-        s"${field.name} is the days() source of partition column $p")
+    partitionTransforms(m).foreach { case (p, t) =>
+      require(!t.src.equalsIgnoreCase(field.name),
+        s"${field.name} is the transform source of partition column $p")
     }
     require(!m.deleteFiles.exists(d => !d.positional &&
       d.stats.keys.exists(_.equalsIgnoreCase(field.name))),
@@ -2396,6 +2422,127 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** `ALTER TABLE ... ADD PARTITION FIELD` (Iceberg DDL): appends ONE
+    * field to the partition spec in a single metadata-only commit.
+    * `spec` is an identity column name or a transform
+    * (`bucket(n,src)`/`days(src)`/`months(src)`/`years(src)`/
+    * `hours(src)`/`truncate(w,src)`); a transform field gets Iceberg's
+    * default derived name (`<src>_bucket`, `<src>_day`, …) unless
+    * `fieldName` overrides it. When the derived column is not yet in the
+    * table schema it is added in the SAME commit (nullable — legacy rows
+    * read NULL until a rewrite heals them) and future writes derive it
+    * from the source automatically (hidden partitioning,
+    * [[materializeTransforms]]); an already-materialized column of the
+    * right type is adopted as-is. Existing files stay under their old
+    * spec — the per-spec merge census and per-file partition maps keep
+    * everything correct across mixed specs, exactly like
+    * [[evolvePartitioning]].
+    */
+  def addPartitionField(spec: String, fieldName: Option[String] = None,
+                        nowMs: Long = System.currentTimeMillis()): Manifest = {
+    import graft.functions.Transforms
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def existingField(c: String) =
+      schema.fields.find(_.name.equalsIgnoreCase(c))
+    val (newPcol, schemaAdd, propAdd) = Transforms.parse(spec) match {
+      case None =>
+        val name = spec.trim
+        require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+          s"unrecognized partition field spec '$spec'")
+        val f = existingField(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition column $name is not in the table schema"))
+        require(fieldName.forall(_.equalsIgnoreCase(f.name)),
+          "AS <name> must match the column for identity partition fields")
+        (f.name, None, Map.empty[String, String])
+      case Some(t0) =>
+        val srcF = existingField(t0.src).getOrElse(
+          throw new IllegalArgumentException(
+            s"transform source ${t0.src} is not in the table schema"))
+        // canonical source spelling in the recorded property: pruning
+        // lookups and the write-side derivation both resolve through it
+        val t = t0 match {
+          case b: Transforms.Bucket => b.copy(src = srcF.name)
+          case u: Transforms.TimeUnit => u.copy(src = srcF.name)
+          case tr: Transforms.Truncate => tr.copy(src = srcF.name)
+        }
+        val dt = Transforms.derivedType(t, srcF.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"${t.canonical} is undefined over " +
+              s"${srcF.dataType.simpleString} source ${srcF.name}"))
+        val name = fieldName.getOrElse(t.defaultName)
+        existingField(name) match {
+          case Some(f) =>
+            require(f.dataType == dt,
+              s"existing column ${f.name} is ${f.dataType.simpleString} " +
+                s"but ${t.canonical} derives ${dt.simpleString} — pick " +
+                "another field name")
+            (f.name, None, Map(TransformPrefix + f.name -> t.canonical))
+          case None =>
+            (name, Some(org.apache.spark.sql.types.StructField(name, dt)),
+              Map(TransformPrefix + name -> t.canonical))
+        }
+    }
+    require(!m.partitionColumns.exists(_.equalsIgnoreCase(newPcol)),
+      s"$newPcol is already a partition field")
+    schemaAdd.foreach { f =>
+      // same resurrection guard as addColumns: every live file is
+      // carried by this metadata-only commit
+      val risky = m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          resurrectableColumns(m, fl.inline, fl.chunks)
+        case s => resurrectableColumns(m, s)
+      }
+      require(!risky(f.name.toLowerCase),
+        s"partition field ${f.name} would resurrect a dropped column of " +
+          "carried files — compact() first or pick another name (AS)")
+    }
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        schemaDdl = schemaAdd
+          .map(f => StructType(schema.fields :+ f).toDDL)
+          .getOrElse(m.schemaDdl),
+        partitionColumns = m.partitionColumns :+ newPcol,
+        properties = m.properties ++ propAdd,
+        operation = "evolve-partition")
+    }
+  }
+
+  /** `ALTER TABLE ... DROP PARTITION FIELD` (Iceberg DDL): removes one
+    * field from the spec for FUTURE writes — `spec` names either the
+    * partition column or the transform that derived it. The column and
+    * its `graft.transform.*` property REMAIN (existing files keep their
+    * layout and keep pruning through them, Iceberg's void-transform
+    * analog); only the spec for new writes changes.
+    */
+  def dropPartitionField(spec: String,
+                         nowMs: Long = System.currentTimeMillis()): Manifest = {
+    import graft.functions.Transforms
+    val m = currentManifest
+    val target = Transforms.parse(spec) match {
+      case None => m.partitionColumns.find(_.equalsIgnoreCase(spec.trim))
+      case Some(t) => m.partitionColumns.find { p =>
+        m.properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(TransformPrefix + p) => v
+        }.flatMap(Transforms.parse)
+          .exists(_.canonical.equalsIgnoreCase(t.canonical))
+      }
+    }
+    val p = target.getOrElse(throw new IllegalArgumentException(
+      s"no partition field matching '$spec' " +
+        s"(current spec: ${m.partitionColumns.mkString(", ")})"))
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        partitionColumns = m.partitionColumns.filterNot(_.equalsIgnoreCase(p)),
+        operation = "evolve-partition")
+    }
+  }
+
   /** Merge-on-read MERGE: instead of rewriting touched files (CoW), the
     * commit APPENDS the change outcome — the applied rows as new data
     * files and the evicted keys as an equality-delete file — and carries
@@ -2433,7 +2580,10 @@ final class SnapshotTable(val root: Path,
     // here (applied's anti+semi legs, the evictKeys emptiness probe, the
     // data write, the delete write) — cache it like the CoW path does,
     // and cache the small evict-key set across its probe + write
-    val cached = changes.cache()
+    // (hidden-partition columns derived first — MoR writes data files
+    // directly, not through commitData's chokepoint)
+    val cached =
+      materializeTransforms(changes, m.partitionColumns, m.properties).cache()
     val (applied, evictKeys0) =
       Merge.resolve(target, cached, keys, keepDeletes)
     val evictKeys = evictKeys0.cache()
@@ -3092,6 +3242,43 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** HIDDEN partitioning (Iceberg semantics): every partition column with
+    * a recorded `graft.transform.*` derivation whose SOURCE column is
+    * present in `df` is (re)computed from the source — writers never
+    * supply a derived partition value, and a stale or null-filled one
+    * (legacy rows read under an evolved spec) heals on rewrite. The
+    * derivation is deterministic, so recomputing a correctly-supplied
+    * column is the identity; when the column already exists its declared
+    * type is kept (cast), so the table schema never drifts. Map-side
+    * only — safe on preclustered input.
+    */
+  private def materializeTransforms(df: DataFrame, pcols: Seq[String],
+                                    props: Map[String, String]): DataFrame = {
+    import graft.functions.Transforms
+    pcols.foldLeft(df) { (acc, pcol) =>
+      val spec = props.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(TransformPrefix + pcol) => v
+      }.flatMap(Transforms.parse)
+      spec match {
+        case Some(t) =>
+          val srcField = acc.schema.fields
+            .find(_.name.equalsIgnoreCase(t.src))
+          val existing = acc.schema.fields
+            .find(_.name.equalsIgnoreCase(pcol))
+          srcField.flatMap(sf => Transforms.expr(t, sf.dataType)) match {
+            case Some(derived) =>
+              val cast = existing match {
+                case Some(f) => derived.cast(f.dataType)
+                case None => derived
+              }
+              acc.withColumn(existing.map(_.name).getOrElse(pcol), cast)
+            case None => acc // source absent or transform undefined: as-is
+          }
+        case None => acc
+      }
+    }
+  }
+
   /** Write `df` as a new snapshot.
     *
     * @param base the manifest this commit was planned against (None when
@@ -3103,7 +3290,7 @@ final class SnapshotTable(val root: Path,
     *   unchanged), and carries the CURRENT manifest's other files instead.
     *   Two partition-scoped merges on disjoint partitions both land.
     */
-  private[graft] def commitData(df: DataFrame, base: Option[Manifest],
+  private[graft] def commitData(dfIn: DataFrame, base: Option[Manifest],
                          pcols: Seq[String],
                          props: Map[String, String], nowMs: Long,
                          carryForward: Seq[FileEntry] = Nil,
@@ -3113,6 +3300,9 @@ final class SnapshotTable(val root: Path,
                          rebaseTouched: Option[Set[Map[String, String]]] = None,
                          preclustered: Boolean = false,
                          operation: String = "overwrite"): Manifest = {
+    // hidden-partitioning chokepoint: EVERY data write derives recorded
+    // transform columns here (see materializeTransforms)
+    val df = materializeTransforms(dfIn, pcols, props)
     val baseV = base.map(_.version).getOrElse(0L)
     // fail-fast BEFORE any data is written: a commit planned against a
     // stale snapshot must not spend the write (and without rebase rights

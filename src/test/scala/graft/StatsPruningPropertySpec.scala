@@ -92,4 +92,34 @@ class StatsPruningPropertySpec extends SparkSpec {
     tbl.createOrReplace(mkData, Seq("p"))
     check(tbl, "partitioned")
   }
+
+  test("time-unit and truncate partition-value ranges are exact") {
+    import graft.table.StatsPruning._
+    import org.apache.spark.sql.types._
+    def micros(s: String): BigDecimal = {
+      val i = java.time.LocalDateTime.parse(s)
+        .toInstant(java.time.ZoneOffset.UTC) // session TZ is UTC
+      BigDecimal(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    }
+    // month over timestamps: [Mar 1, Apr 1) minus a micro
+    assert(timeRange("month", TimestampType, "2026-03").contains(
+      (NumB(micros("2026-03-01T00:00")), NumB(micros("2026-04-01T00:00") - 1))))
+    // year over dates: epoch-day closed range
+    val d0 = java.time.LocalDate.of(2025, 1, 1).toEpochDay
+    val d1 = java.time.LocalDate.of(2026, 1, 1).toEpochDay - 1
+    assert(timeRange("year", DateType, "2025").contains(
+      (NumB(BigDecimal(d0)), NumB(BigDecimal(d1)))))
+    // hour over NTZ wall-clock
+    assert(timeRange("hour", TimestampNTZType, "2026-02-28-23").contains(
+      (NumB(micros("2026-02-28T23:00")), NumB(micros("2026-03-01T00:00") - 1))))
+    // hours never derive from a date; garbage declines
+    assert(timeRange("hour", DateType, "2026-02-28-23").isEmpty)
+    assert(timeRange("month", TimestampType, "not-a-month").isEmpty)
+    // truncate: integer block, string prefix cap
+    assert(truncRange(LongType, 5, "-10").contains(
+      (NumB(BigDecimal(-10)), NumB(BigDecimal(-6)))))
+    assert(truncRange(StringType, 4, "beta").contains(
+      (StrB("beta"), StrB("beta￿"))))
+    assert(truncRange(StringType, 4, "béta").isEmpty, "non-ASCII declines")
+  }
 }

@@ -152,6 +152,80 @@ class TableStreamSpec extends SparkSpec {
     }
   }
 
+  test("admission control: maxFilesPerTrigger splits the bootstrap exactly once") {
+    import spark.implicits._
+    val root = tmp("graft-ts-adm-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 600).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(6))
+    val nFiles = t.currentManifest.files.size
+    assert(nFiles >= 4, s"need several files to split ($nFiles)")
+    t.append(spark, Seq((601L, "w")).toDF("id", "v")) // a tail commit too
+
+    val (ckpt, out) = (tmp("graft-ts-adm-ckpt-"), tmp("graft-ts-adm-out-"))
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def run(trigger: Trigger): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val c = df.count()
+          batches.synchronized { batches += ((id, c)) }
+          df.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination()
+    }
+    // ONE batch (Trigger.Once), then a crash-shaped restart: the second
+    // run must resume the SAME pinned file enumeration, no dupes/gaps
+    run(Trigger.Once())
+    val afterOne = spark.read.parquet(out).count()
+    assert(afterOne > 0 && afterOne < 600,
+      s"first batch must be a bounded bootstrap slice ($afterOne rows)")
+    run(Trigger.AvailableNow())
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 601, s"exactly-once across the restart")
+    assert(rows.select("id").distinct().count() == 601)
+    val bootstrapBatches = math.ceil(nFiles / 2.0).toInt
+    assert(batches.size >= bootstrapBatches + 1,
+      s"bootstrap must split into >= $bootstrapBatches batches + tail " +
+        s"(got ${batches.size}: $batches)")
+    assert(batches.map(_._2).max <= 2L * 600 / nFiles + 200,
+      "no batch may blow past the per-trigger file bound")
+  }
+
+  test("admission control: maxVersionsPerTrigger bounds the tail catch-up") {
+    import spark.implicits._
+    val root = tmp("graft-ts-admv-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace(Seq((0L, "z")).toDF("id", "v"))
+    (1 to 6).foreach(i => t.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val (ckpt, out) = (tmp("graft-ts-admv-ckpt-"), tmp("graft-ts-admv-out-"))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-table")
+      .option("startVersion", "1") // tail the six appends
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = df.count()
+        batches.synchronized { batches += c }
+        df.write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 6)
+    assert(batches.count(_ > 0) >= 3,
+      s"six versions at <=2/trigger need >=3 batches (got $batches)")
+    assert(batches.forall(_ <= 2), s"a batch exceeded 2 versions' rows: $batches")
+  }
+
   test("readChangeFeed streams net CDC rows; replace steps stay silent") {
     val base = spark
     import base.implicits._
