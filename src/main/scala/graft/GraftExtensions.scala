@@ -68,6 +68,7 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
     GraftSqlDml.rewriteCtas(session, plan)
       .orElse(GraftSqlDml.rewriteCall(session, plan))
       .orElse(GraftSqlDml.rewriteAlter(session, plan))
+      .orElse(GraftSqlDml.rewriteMetaCount(session, plan))
       .getOrElse(plan)
 }
 
@@ -160,9 +161,14 @@ case class GraftPathRelations(session: SparkSession)
   private def resolveAny(u: UnresolvedRelation) =
     cands(u).iterator.map(resolve).collectFirst { case Some(df) => df }
 
-  /** The snapshot table a DML statement targets, when it is a plain
-    * (unsuffixed) graft identifier; a time-travel/metadata suffix on a
-    * WRITE target is rejected loudly.
+  /** The snapshot table a DML statement targets. Plain identifiers write
+    * `main` — unless the session conf `graft.wap.branch` names a branch,
+    * in which case every DML commit stages THERE (Iceberg's
+    * `spark.wap.branch` write-audit-publish session mode; loud when the
+    * branch doesn't exist on the target). A `@<branch>` suffix stages on
+    * that branch explicitly; `@<tag>` and time-travel/metadata suffixes
+    * are rejected loudly — tags are immutable and DML can only move a
+    * lineage HEAD.
     */
   private def dmlTarget(table: LogicalPlan): Option[SnapshotTable] =
     table match {
@@ -170,20 +176,37 @@ case class GraftPathRelations(session: SparkSession)
         dmlTarget(child)
       case u: UnresolvedRelation =>
         existingPath(u) match {
-          case Some(p) => Some(SnapshotTable.at(p))
-          case None =>
-            cands(u).foreach {
-              case Suffixed(p, s) if SnapshotTable.at(p).exists =>
-                throw new UnsupportedOperationException(
-                  s"cannot write through the @$s relation — DML targets " +
-                    "the current snapshot only")
-              case TagSuffixed(_, s) =>
-                throw new UnsupportedOperationException(
-                  s"cannot write through the @$s tag relation — DML " +
-                    "targets the current snapshot only")
-              case _ =>
+          case Some(p) =>
+            val tbl = SnapshotTable.at(p)
+            session.conf.getOption("graft.wap.branch")
+              .filter(_.nonEmpty) match {
+              case Some(b) =>
+                require(tbl.branches.contains(b),
+                  s"graft.wap.branch='$b' but $p has no such branch — " +
+                    "CALL graft.system.create_branch first")
+                Some(tbl.atBranch(b))
+              case None => Some(tbl)
             }
-            None
+          case None =>
+            cands(u).collectFirst {
+              case TagSuffixed(p, s)
+                  if SnapshotTable.at(p).branches.contains(s) =>
+                // explicit branch write (WAP staging through the suffix)
+                SnapshotTable.at(p).atBranch(s)
+            }.orElse {
+              cands(u).foreach {
+                case Suffixed(p, s) if SnapshotTable.at(p).exists =>
+                  throw new UnsupportedOperationException(
+                    s"cannot write through the @$s relation — DML targets " +
+                      "a lineage head only")
+                case TagSuffixed(_, s) =>
+                  throw new UnsupportedOperationException(
+                    s"cannot write through the @$s tag relation — tags are " +
+                      "immutable; write to a branch or main")
+                case _ =>
+              }
+              None
+            }
         }
       case _ => None
     }
@@ -744,6 +767,58 @@ private[graft] object GraftSqlDml {
           case "drop_branch" => tbl.dropBranch(refName)
           case "fast_forward" => tbl.fastForward(refName)
         }
+    }
+  }
+
+  /** Metadata-only `SELECT count(*) FROM <graft table>` (Iceberg pushes
+    * this to manifests; a 100 TB table answers without touching a data
+    * file): claimed BEFORE resolution while the child is still the bare
+    * unresolved relation — no filter, no grouping, every projected item
+    * a plain `count(*)`/`count(1)` — and only when
+    * [[SnapshotTable.rowCount]] can answer exactly from chunk rollups
+    * (no pending MoR deletes, no pre-rowcount legacy files); everything
+    * else falls through to the normal scan plan. Time-travel/metadata
+    * suffixes never match (their literal paths don't exist as tables).
+    */
+  def rewriteMetaCount(session: SparkSession,
+                       plan: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    def isCountStar(e: Expression): Boolean = e match {
+      case uf: UnresolvedFunction =>
+        uf.nameParts.map(_.toLowerCase) == Seq("count") && !uf.isDistinct &&
+          uf.filter.isEmpty &&
+          (uf.arguments match {
+            case Seq(_: UnresolvedStar) => true
+            case Seq(Literal(1, _)) => true
+            case _ => false
+          })
+      case _ => false
+    }
+    plan match {
+      case p: Project => p.child match {
+        case u: UnresolvedRelation if u.options.isEmpty =>
+          val names: Seq[Option[String]] = p.projectList.map {
+            case a: Alias if isCountStar(a.child) => Some(a.name)
+            case ua: UnresolvedAlias if isCountStar(ua.child) =>
+              Some("count(1)")
+            case _ => None
+          }
+          if (names.isEmpty || names.exists(_.isEmpty)) None
+          else
+            graft.catalog.GraftCatalog
+              .pathCandidates(session, u.multipartIdentifier)
+              .find(c => SnapshotTable.at(c).exists)
+              .flatMap(c => SnapshotTable.at(c).rowCount)
+              .map { n =>
+                Project(names.map(nm =>
+                  Alias(Literal(n, org.apache.spark.sql.types.LongType),
+                    nm.get)()),
+                  org.apache.spark.sql.catalyst.plans.logical.OneRowRelation())
+              }
+        case _ => None
+      }
+      case _ => None
     }
   }
 

@@ -282,6 +282,47 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
+    "q99_sql_branch_wap" -> ((s, d) => {
+      // q79's write-audit-publish, now ENTIRELY in SQL (r6 verdict #5):
+      // CTAS → CALL create_branch → MERGE INTO the @branch suffix (the
+      // staged commit moves the BRANCH head only — isolation asserted)
+      // → audit via SELECT @branch → CALL fast_forward publishes. Tags
+      // stay refused as write targets (asserted loudly). Final main
+      // state = the q14/q71 merge oracle.
+      val root = Files.createTempDirectory("graft-q99-").toString
+      ordersTarget(s, d).createOrReplaceTempView("graft_q99_target")
+      s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q99_target")
+      s.sql(s"CALL graft.system.create_branch('$root', 'audit')")
+      val table = SnapshotTable.at(root)
+      graft.merge.ChangeSet.build(ordersSource(s, d), table.read(s),
+          ordersCfg.naturalKeys, ordersCfg.updatedAtFields, ordersCfg.flags,
+          allowDeletes = true)
+        .createOrReplaceTempView("graft_q99_changes")
+      s.sql(
+        s"""MERGE INTO graft.`$root@audit` t USING graft_q99_changes s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(table.currentVersion == 1L &&
+        table.read(s).count() == ordersTarget(s, d).count(),
+        "the @branch MERGE must stage on the branch; main stays put")
+      val audited = s.sql(
+        s"SELECT count(*) AS c FROM graft.`$root@audit`").head.getLong(0)
+      require(audited > 0 && audited != table.read(s).count(),
+        "audit must see the staged merge")
+      // immutability: a tag is never a write target
+      s.sql(s"CALL graft.system.create_tag('$root', 'frozen')")
+      val refused = try {
+        s.sql(s"DELETE FROM graft.`$root@frozen` WHERE o_orderkey = 1"); false
+      } catch { case _: Exception => true }
+      require(refused, "DML through a tag must refuse loudly")
+      s.sql(s"CALL graft.system.fast_forward('$root', 'audit')")
+      require(table.read(s).count() == audited,
+        "fast-forward must publish the audited state")
+      s.sql(s"SELECT * FROM graft.`$root`")
+    }),
+
     "q80_metadata_tables" -> ((s, d) => {
       // the @snapshots / @partitions metadata relations (Iceberg's
       // db.table.snapshots / db.table.partitions): build a partitioned
@@ -1011,6 +1052,37 @@ object SparkEntry {
       require(m2.files.exists(_.partition.keySet == Set("pb4")),
         "touched files must migrate to the evolved spec")
       table.read(s)
+    }),
+
+    "q98_meta_count" -> ((s, d) => {
+      // metadata-only COUNT(*) (Iceberg's manifest count pushdown): a
+      // two-commit table answers SELECT count(*) from chunk rollups —
+      // the in-query plan assert proves ZERO file scans (every leaf of
+      // the optimized plan is literal/local) — and the value equals
+      // DuckDB's count over the same content. A filtered or grouped
+      // count falls through to the scan plan (asserted too).
+      val root = Files.createTempDirectory("graft-q98-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders")
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0))
+      table.append(s, orders.filter(col("o_orderkey") % 2 === 1))
+      val df = s.sql(s"SELECT count(*) AS n FROM graft.`$root`")
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"count(*) must answer from metadata, got leaves: $leaves")
+      // a filtered count must NOT take the metadata path (and must agree)
+      val filtered = s.sql(
+        s"SELECT count(*) AS n FROM graft.`$root` WHERE o_orderkey % 2 = 0")
+      require(filtered.queryExecution.optimizedPlan.collectLeaves().exists(l =>
+        !l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] &&
+        !l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "filtered count must fall through to the scan")
+      require(filtered.head.getLong(0) ==
+        orders.filter(col("o_orderkey") % 2 === 0).count(),
+        "fall-through count must agree with the data")
+      df
     }),
 
     "q96_sql_partition_ddl" -> ((s, d) => {
@@ -2145,6 +2217,23 @@ object SparkEntry {
         |SELECT u.*, u.o_orderkey % 8 AS pb8, u.o_orderkey % 4 AS pb4 FROM u
         |UNION ALL
         |SELECT i.*, i.o_orderkey % 8 AS pb8, i.o_orderkey % 4 AS pb4 FROM i""".stripMargin),
+
+    // the metadata count must equal the real count
+    "q98_meta_count" -> "SELECT count(*) AS n FROM orders",
+
+    // SQL-only WAP publishes exactly the q14/q71 merged state
+    "q99_sql_branch_wap" -> (withFixtures +
+      """ SELECT t.* FROM tgt t
+        |  WHERE EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+        |    AND NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey
+        |      AND s.o_orderdate > t.o_orderdate)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)
+        |UNION ALL
+        |SELECT s.* FROM src s
+        |  WHERE EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey
+        |    AND s.o_orderdate > t.o_orderdate)""".stripMargin),
 
     // SQL partition-evolution lifecycle lands exactly the q14/q71 merge
     // (the derived bucket column is internal layout, dropped on output)

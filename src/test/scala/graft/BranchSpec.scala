@@ -32,12 +32,10 @@ class BranchSpec extends SparkSpec {
     assert(b.read(spark).count() == 12)
     assert(t.branches("audit") == 3L)
     assert(t.readBranch(spark, "audit").count() == 12)
-    // SQL @suffix reads the branch head; DML through it is refused
+    // SQL @suffix reads the branch head (DML through it now STAGES on
+    // the branch — covered by the dedicated SQL-branch-writes test)
     assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root@audit`")
       .head.getLong(0) == 12)
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.`$root@audit` WHERE id = 1")
-    }
 
     // names share the tag namespace, both directions
     intercept[IllegalArgumentException] { t.tag("audit") }
@@ -93,5 +91,43 @@ class BranchSpec extends SparkSpec {
     t.rollbackTo(1L)
     assert(t.currentVersion == 1L && b.currentVersion == 2L)
     assert(b.read(spark).count() == 6)
+  }
+
+  test("SQL branch writes: @branch suffix and graft.wap.branch stage off-main") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-branch-sql-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 20).map(i => (i.toLong, "a")).toDF("id", "s"))
+    t.branch("stage")
+    // explicit @branch DML: INSERT + UPDATE land on the branch head
+    spark.sql(s"INSERT INTO graft.`$root@stage` VALUES (21, 'b')")
+    spark.sql(s"UPDATE graft.`$root@stage` SET s = 'u' WHERE id <= 2")
+    assert(t.currentVersion == 1L && t.read(spark).count() == 20,
+      "main must not see staged commits")
+    assert(t.atBranch("stage").read(spark).count() == 21)
+    assert(t.atBranch("stage").read(spark)
+      .filter(col("s") === "u").count() == 2)
+    // session WAP mode: plain-identifier DML stages on the conf's branch
+    spark.conf.set("graft.wap.branch", "stage")
+    try {
+      spark.sql(s"DELETE FROM graft.`$root` WHERE id = 21")
+      assert(t.currentVersion == 1L, "WAP-mode DML must stay off main")
+      assert(t.atBranch("stage").read(spark).count() == 20)
+      // a nonexistent WAP branch refuses loudly, never a silent main write
+      spark.conf.set("graft.wap.branch", "ghost")
+      intercept[Exception](
+        spark.sql(s"DELETE FROM graft.`$root` WHERE id = 1"))
+      assert(t.currentVersion == 1L)
+    } finally spark.conf.unset("graft.wap.branch")
+    // tags stay immutable through SQL
+    t.tag("pin")
+    intercept[Exception](
+      spark.sql(s"DELETE FROM graft.`$root@pin` WHERE id = 1"))
+    // publish: main adopts the staged lineage
+    t.fastForward("stage")
+    assert(t.read(spark).count() == 20 &&
+      t.read(spark).filter(col("s") === "u").count() == 2)
   }
 }

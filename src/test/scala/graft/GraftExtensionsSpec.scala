@@ -545,6 +545,33 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getLong(0) == 10)
   }
 
+  test("metadata count(*) falls through under pending MoR deletes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-metacount-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    def leaves(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+    def isMeta(sql: String) = leaves(sql).forall(l =>
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val q = s"SELECT count(*) AS n FROM graft.`$root`"
+    assert(isMeta(q), "clean table: metadata path")
+    assert(spark.sql(q).head.getLong(0) == 100L)
+    // pending equality deletes: rowCount declines, the scan answers with
+    // the sequence-RESOLVED survivor count
+    t.mergeMoR(spark,
+      Seq((5L, "x", "D"), (6L, "x", "D")).toDF("id", "v", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(t.currentManifest.deleteFiles.nonEmpty)
+    assert(!isMeta(q), "pending deletes: must fall through to the scan")
+    assert(spark.sql(q).head.getLong(0) == 98L,
+      "fall-through must count the delete-resolved view")
+    // compaction folds the deletes: the metadata path returns
+    t.compact(spark)
+    assert(isMeta(q) && spark.sql(q).head.getLong(0) == 98L)
+  }
+
   test("standard SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
     val base = spark
     import base.implicits._
