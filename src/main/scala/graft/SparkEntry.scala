@@ -309,8 +309,10 @@ object SparkEntry {
         "the @branch MERGE must stage on the branch; main stays put")
       val audited = s.sql(
         s"SELECT count(*) AS c FROM graft.`$root@audit`").head.getLong(0)
-      require(audited > 0 && audited != table.read(s).count(),
-        "audit must see the staged merge")
+      // (insert and delete counts can coincide at some SFs — the staged
+      // head VERSION is the isolation witness, not the row count)
+      require(audited > 0 && table.branches("audit") > table.currentVersion,
+        "audit must see the staged merge ahead of main")
       // immutability: a tag is never a write target
       s.sql(s"CALL graft.system.create_tag('$root', 'frozen')")
       val refused = try {
