@@ -638,6 +638,8 @@ private[graft] object GraftSqlDml {
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
         Seq("table", "target_file_size_bytes", "delete_ratio")
+      case "rewrite_position_delete_files" =>
+        Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
       case "rollback_to_snapshot" => Seq("table", "version")
       case "create_tag" | "create_branch" => Seq("table", "name", "version")
@@ -648,7 +650,8 @@ private[graft] object GraftSqlDml {
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
-          "rewrite_manifests, rollback_to_snapshot, create_tag, drop_tag, " +
+          "rewrite_position_delete_files, rewrite_manifests, " +
+          "rollback_to_snapshot, create_tag, drop_tag, " +
           "create_branch, drop_branch, fast_forward, create_changelog_view")
     }
     val (named, positional) = args.partition(
@@ -708,6 +711,9 @@ private[graft] object GraftSqlDml {
         tbl.compact(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
           now, doubleArg("delete_ratio"))
+      case "rewrite_position_delete_files" =>
+        tbl.rewritePositionDeletes(session,
+          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)
       case "rewrite_manifests" => tbl.rewriteManifests(now)
       case "create_changelog_view" =>
         // Iceberg's create_changelog_view analog: registers a session

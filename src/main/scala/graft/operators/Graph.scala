@@ -37,7 +37,19 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // partition-local spanning-forest CONTRACTION before the global
+    // propagation (the r6-verdict ask): near-dup pair sources emit ~all
+    // pairs of every duplicate group, so a k-clique contributes k(k-1)/2
+    // edges — a per-partition union-find replaces each partition's slice
+    // of them with ≤(nodes-1) star edges to the local root, preserving
+    // connectivity exactly (every original edge lives in one partition,
+    // where its endpoints share a root). The global rounds then start
+    // from O(V)-ish edges instead of O(pairs). Long-typed node ids only
+    // (the dedup shape); anything else skips the pre-pass unchanged.
+    val e = if (e0.schema.fields.forall(
+        _.dataType == org.apache.spark.sql.types.LongType))
+      localSpanningForest(e0) else e0
     var compEdges = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
@@ -108,6 +120,38 @@ object Graph {
         s"connectedComponents did not converge within $maxIters rounds — " +
           s"component diameter exceeds the cap; raise maxIters")
     labels.withColumnRenamed("id", srcCol).withColumnRenamed("comp", "component")
+  }
+
+  /** Per-partition union-find contraction: each task folds its slice of
+    * the edge list into a forest and emits one `(node, localRoot)` star
+    * edge per non-root node — connectivity-equivalent to the slice, at
+    * most `nodes-1` edges regardless of how many pairs came in. Pure
+    * map-side (no shuffle added); memory is O(distinct nodes per
+    * partition), the same order the downstream distinct() would hold.
+    */
+  private def localSpanningForest(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      it.foreach { case (a, b) =>
+        seen.update(a, ()); seen.update(b, ())
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      seen.keysIterator.flatMap { x =>
+        val r = find(x)
+        if (r != x) Iterator((x, r)) else Iterator.empty
+      }
+    }.toDF("a", "b")
   }
 
   /** Rebuild a (checkpointed) DataFrame on its materialized RDD so plan

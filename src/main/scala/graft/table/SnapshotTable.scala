@@ -2746,6 +2746,74 @@ final class SnapshotTable(val root: Path,
           fs.exists(f => sizes(f.path) > overBytes) ||
           underDeletePressure(fs) => fs
     }.flatten.toSeq
+    rewriteSelectedGroups(spark, m, rewrite, targetFileBytes, nowMs)
+  }
+
+  /** `CALL rewrite_position_delete_files` (Iceberg's targeted delete-file
+    * maintenance): folds pending POSITION-delete tombstones by rewriting
+    * EXACTLY the partition groups they may affect — no size-based
+    * selection, nothing else moves. Deletes (of either kind) still
+    * needed by carried files survive; those resolved into the rewrite
+    * drop. A no-op without pending position deletes.
+    */
+  def rewritePositionDeletes(spark: SparkSession,
+                             targetFileBytes: Long = 64L * 1024 * 1024,
+                             nowMs: Long = System.currentTimeMillis())
+      : Manifest = {
+    val m = currentManifest
+    val pos = m.deleteFiles.filter(_.positional)
+    if (pos.isEmpty) return m
+    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    // EXACT affected-file census from the tombstones themselves (they
+    // record the `data/vN/...` relative path per masked row): distinct
+    // referenced paths, driver-capped like every census — the capped or
+    // failing case falls back to the conservative path-range bounds
+    // check (the min/max range can straddle commit-dir boundaries and
+    // swallow unrelated partitions; still correct, just wider).
+    val refPaths: Option[Set[String]] =
+      try {
+        val cap = SnapshotTable.MaxCensusPartitions
+        val rows = spark.read
+          .parquet(pos.map(d => root.resolve(d.path).toString): _*)
+          .select("path").distinct().limit(cap + 1).collect()
+        if (rows.length > cap) None
+        else Some(rows.map(_.getString(0)).toSet)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val affected: FileEntry => Boolean = refPaths match {
+      case Some(ps) => f => ps.contains(f.path)
+      case None => f => pos.exists(d => deleteMayAffect(d, f, types))
+    }
+    val rewrite: Seq[FileEntry] = m.files.groupBy(_.partition).collect {
+      case (_, fs) if fs.exists(affected) => fs
+    }.flatten.toSeq
+    // with the exact census, every live file any tombstone references is
+    // in the rewrite set, so the tombstones provably mask nothing carried
+    val provablyFolded =
+      if (refPaths.isDefined) pos.map(_.path).toSet else Set.empty[String]
+    rewriteSelectedGroups(spark, m, rewrite, targetFileBytes, nowMs,
+      forceDropDeletes = provablyFolded)
+  }
+
+  /** Rewrite whole partition GROUPS (delete-resolved) and carry the rest
+    * by reference — the shared tail of [[compact]] and
+    * [[rewritePositionDeletes]]. Declared z-order / sort-order layouts
+    * re-cluster rather than hash-scatter; oversized partitions split by
+    * record count.
+    */
+  /** @param forceDropDeletes delete-file paths the CALLER has proven
+    *   reference only rewritten files (exact tombstone census) — dropped
+    *   even when the conservative path-range bounds can't exonerate the
+    *   carried files.
+    */
+  private def rewriteSelectedGroups(spark: SparkSession, m: Manifest,
+                                    rewrite: Seq[FileEntry],
+                                    targetFileBytes: Long,
+                                    nowMs: Long,
+                                    forceDropDeletes: Set[String] = Set.empty)
+      : Manifest = {
+    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    val sizes = rewrite.map(f =>
+      f.path -> Files.size(root.resolve(f.path))).toMap
     // the rewrite set is whole partition GROUPS, so the carried remainder
     // splits chunk-aware: untouched partitions' chunk documents ride into
     // the new manifest by reference (the entries were already loaded for
@@ -2756,7 +2824,7 @@ final class SnapshotTable(val root: Path,
     // nothing) folds away with this commit
     val keptDeletes = {
       lazy val carriedAll = m.files.filterNot(f => touchedPvs.contains(f.partition))
-      m.deleteFiles.filter(d =>
+      m.deleteFiles.filter(d => !forceDropDeletes(d.path) &&
         carriedAll.exists(f => deleteMayAffect(d, f, types)))
     }
     if (rewrite.isEmpty && keptDeletes == m.deleteFiles) return m

@@ -100,6 +100,41 @@ class AsOfGraphSpec extends SparkSpec {
       s"LSH clusters ${lsh.size} must equal brute clusters ${brute.size}")
   }
 
+  test("connected components equal a driver union-find on random dense graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      // dense planted cliques + random noise edges — the near-dup shape
+      // the partition-local contraction pre-pass exists for
+      val cliques = (0 until 10).flatMap { c =>
+        val members = (0 until 5 + rnd.nextInt(20))
+          .map(_ => (c * 1000 + rnd.nextInt(400)).toLong).distinct
+        for (i <- members; j <- members if i < j) yield (i, j)
+      }
+      val noise = (0 until 300).map(_ =>
+        (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))
+        .filter { case (a, b) => a != b }
+      val edges = (cliques ++ noise).toDF("id_a", "id_b")
+        .repartition(7) // several partitions → real per-partition forests
+      val got = Graph.connectedComponents(edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+      // driver reference union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      (cliques ++ noise).foreach { case (a, b) =>
+        if (a != b) {
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == want, s"trial $trial: components diverged")
+    }
+  }
+
   test("piiScrub counts emails and phones deterministically") {
     val docs = Seq(
       (1L, "reach me at a.b+c@mail.example.org or x@y.io thanks"),

@@ -88,6 +88,38 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("id") === 7).count() == 1)
   }
 
+  test("rewrite_position_delete_files folds only tombstone-affected groups") {
+    val (root, t) = freshTable()
+    // tombstones scoped to partition p=1; p∈{0,2,3} must not move
+    t.deleteWherePositional(spark, col("id") % 10 === 3 && col("p") === 1)
+    val before = t.currentManifest
+    val untouched = before.files
+      .filter(_.partition.get("p").exists(_ != "1")).map(_.path).toSet
+    assert(before.deleteFiles.exists(_.positional))
+    spark.sql(s"CALL graft.system.rewrite_position_delete_files('$root')")
+    val after = t.currentManifest
+    assert(after.deleteFiles.isEmpty, "tombstones must fold away")
+    assert(untouched.subsetOf(after.files.map(_.path).toSet),
+      "groups no tombstone touches carry by reference")
+    assert(after.files.exists(f => !before.files.map(_.path).toSet(f.path)),
+      "the affected group must be rewritten")
+    assert(t.read(spark).count() == 380)
+    assert(t.read(spark).filter(col("id") === 13).count() == 0)
+    // a second call is a no-op (no pending position deletes)
+    val v = t.currentVersion
+    spark.sql(s"CALL graft.system.rewrite_position_delete_files('$root')")
+    assert(t.currentVersion == v)
+    // an equality delete alone does NOT trigger the targeted rewrite
+    t.mergeMoR(spark,
+      Seq((4L, 0L, "NEW4", "U")).toDF("id", "p", "s", "op"),
+      Seq("id"), keepDeletes = false)
+    val v2 = t.currentVersion
+    spark.sql(s"CALL graft.system.rewrite_position_delete_files('$root')")
+    assert(t.currentVersion == v2 &&
+      t.currentManifest.deleteFiles.exists(!_.positional),
+      "equality deletes are rewrite_data_files' business, not this one's")
+  }
+
   test("positional UPDATE: tombstone + replacement append, one commit") {
     val (_, t) = freshTable()
     val dataBefore = t.currentManifest.files.map(_.path).toSet
