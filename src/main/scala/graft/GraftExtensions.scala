@@ -1028,6 +1028,44 @@ private[graft] object GraftSqlDml {
               }
               LocalRelation(sp.output, rows)
             })
+      case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+        // the standard spelling of the `@partitions` relation: distinct
+        // live partition values, hive-rendered and sorted (Spark's
+        // semantics; the distributed `.files` scan does the work and the
+        // driver holds only the distinct partition strings). Spec'd
+        // `SHOW PARTITIONS t PARTITION (...)` filters, like Spark's.
+        identParts(sp.table).flatMap(parts =>
+          graft.catalog.GraftCatalog.pathCandidates(session, parts)
+            .find(p => SnapshotTable.at(p).exists).map { p =>
+              import org.apache.spark.unsafe.types.UTF8String
+              val tbl = SnapshotTable.at(p)
+              if (tbl.currentManifest.partitionColumns.isEmpty)
+                throw new UnsupportedOperationException(
+                  s"SHOW PARTITIONS is not allowed on a table that is " +
+                    s"not partitioned: $p")
+              val wanted: Map[String, String] = sp.pattern match {
+                case Some(org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedPartitionSpec(spec, _)) =>
+                  spec.map { case (k, v) => k.toLowerCase -> v }
+                case None => Map.empty
+                case other => throw new UnsupportedOperationException(
+                  s"unsupported partition spec $other")
+              }
+              val vals = tbl.partitions(session)
+                .select("partition").distinct().collect()
+                .map(_.getString(0)).filter(_.nonEmpty)
+                .filter { s =>
+                  val kv = s.split('/').flatMap(_.split("=", 2) match {
+                    case Array(k, v) => Some(k.toLowerCase -> v)
+                    case _ => None
+                  }).toMap
+                  wanted.forall { case (k, v) => kv.get(k).contains(v) }
+                }
+                .sorted
+              LocalRelation(sp.output, vals.toIndexedSeq.map(s =>
+                org.apache.spark.sql.catalyst.InternalRow(
+                  UTF8String.fromString(s))))
+            })
       case dt: DropTable =>
         // claim only identifiers unmistakably ours (path literal with '/',
         // or a registered GraftCatalog name); drop deletes the table DIR

@@ -155,7 +155,7 @@ class GraftExtensionsSpec extends SparkSpec {
       val e2 = intercept[Exception] {
         s2.sql(s"DELETE FROM graft.`$root@v1` WHERE id = 1")
       }
-      assert(e2.getMessage.contains("current snapshot"))
+      assert(e2.getMessage.contains("lineage head"))
 
       // unsupported MERGE shapes fail loudly, not silently differently
       val e3 = intercept[Exception] {
@@ -543,6 +543,29 @@ class GraftExtensionsSpec extends SparkSpec {
     base.sql(s"ALTER TABLE graft.`$root` ADD COLUMNS (s STRING)")
     assert(base.sql(s"SELECT count(*) AS c FROM graft.`$root` WHERE s IS NULL")
       .head.getLong(0) == 10)
+  }
+
+  test("SHOW PARTITIONS lists live partitions, filtered and sorted") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-showpart-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 40).map(i => (i.toLong, i % 3, i % 2)).toDF("id", "p", "q"),
+      Seq("p", "q"))
+    val rows = spark.sql(s"SHOW PARTITIONS graft.`$root`")
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == rows.sorted && rows.size == 6 &&
+      rows.contains("p=1/q=0"))
+    val filtered = spark.sql(
+      s"SHOW PARTITIONS graft.`$root` PARTITION (p = 2)")
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered == Seq("p=2/q=0", "p=2/q=1"))
+    // unpartitioned tables refuse, like Spark
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-showpart2-").toString
+    SnapshotTable.at(root2)
+      .createOrReplace(Seq((1L, "a")).toDF("id", "v"))
+    intercept[Exception](spark.sql(s"SHOW PARTITIONS graft.`$root2`").collect())
   }
 
   test("metadata count(*) falls through under pending MoR deletes") {
