@@ -151,7 +151,17 @@ case class GraftPathRelations(session: SparkSession)
         else tbl.readBranch(session, n)
       case Some(v) if v.startsWith("ts")   => tbl.readAsOf(session, v.drop(2).toLong)
       case Some(v) if v.startsWith("v")    => tbl.readVersion(session, v.drop(1).toLong)
-      case None                            => tbl.read(session)
+      case None =>
+        // WAP session mode reads the STAGED branch when it exists on
+        // this table (Iceberg `spark.wap.branch` read semantics: the
+        // session audits what it writes); explicit suffixes above win,
+        // and tables without the branch serve main — a session may stage
+        // one pipeline's table while reading reference tables normally.
+        session.conf.getOption("graft.wap.branch").filter(_.nonEmpty) match {
+          case Some(b) if tbl.branches.contains(b) =>
+            tbl.readBranch(session, b)
+          case _ => tbl.read(session)
+        }
     })
   }
 
@@ -313,8 +323,15 @@ case class GraftPathRelations(session: SparkSession)
             !alias.exists(a => ua.nameParts.init == Seq(a)) =>
         org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(ua))
     }
-    SnapshotTable.at(ident)
-      .readPruned(session, GraftBridge.column(safe))
+    // WAP session mode prunes against the STAGED branch head too — the
+    // filtered and unfiltered reads must serve the same snapshot
+    val tbl0 = SnapshotTable.at(ident)
+    val tbl = session.conf.getOption("graft.wap.branch")
+      .filter(_.nonEmpty) match {
+      case Some(b) if tbl0.branches.contains(b) => tbl0.atBranch(b)
+      case _ => tbl0
+    }
+    tbl.readPruned(session, GraftBridge.column(safe))
       .queryExecution.analyzed
   }
 }
@@ -815,7 +832,17 @@ private[graft] object GraftSqlDml {
             graft.catalog.GraftCatalog
               .pathCandidates(session, u.multipartIdentifier)
               .find(c => SnapshotTable.at(c).exists)
-              .flatMap(c => SnapshotTable.at(c).rowCount)
+              .flatMap { c =>
+                // WAP session mode counts the staged branch (matching
+                // what a read of the same relation serves)
+                val t0 = SnapshotTable.at(c)
+                val t = session.conf.getOption("graft.wap.branch")
+                  .filter(_.nonEmpty) match {
+                  case Some(b) if t0.branches.contains(b) => t0.atBranch(b)
+                  case _ => t0
+                }
+                t.rowCount
+              }
               .map { n =>
                 Project(names.map(nm =>
                   Alias(Literal(n, org.apache.spark.sql.types.LongType),

@@ -20,8 +20,12 @@ object ScaleProbe {
     // z-order, compaction variants, spec evolution) — skips the long
     // operator sweeps when iterating on the table layer
     val storageOnly = args.headOption.contains("storage")
+    // "cc": only the minhash-pairs → connected-components stage (the r7
+    // contraction evidence loop — the full sweep costs ~15 min)
+    val ccOnly = args.headOption.contains("cc")
     val sfDir =
-      if (args.length > 0 && !storageOnly) args(0) else "/root/testdata/sf0.1"
+      if (args.length > 0 && !storageOnly && !ccOnly) args(0)
+      else "/root/testdata/sf0.1"
     val docCopies = if (args.length > 1) args(1).toInt else 100
     val embCopies = if (args.length > 2) args(2).toInt else 50
     val spark = graft.core.GraftSession.get("graft-scale-probe")
@@ -48,6 +52,23 @@ object ScaleProbe {
       .cache()
     val nDocs = docs.count()
     println(s"""{"stage":"amplify_docs","rows":$nDocs}""")
+
+    if (ccOnly) {
+      // NOT timed(): timed clears the cache between stages, which would
+      // silently re-run the whole MinHash plan TWICE inside CC's
+      // symmetrize union — the r7 980s red herring
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 200)
+        .select("id_a", "id_b").cache()
+      val t0 = System.nanoTime()
+      val nPairs = pairs.count()
+      println(f"""{"stage":"cc_pairs_materialize","sec":${(System.nanoTime() - t0) / 1e9}%.2f,"rows":$nPairs}""")
+      val t1 = System.nanoTime()
+      val nodes = Graph.connectedComponents(pairs, "id_a", "id_b").count()
+      println(f"""{"stage":"cc_only","sec":${(System.nanoTime() - t1) / 1e9}%.2f,"rows":$nodes}""")
+      pairs.unpersist(); docs.unpersist()
+      spark.stop(); return
+    }
 
     timed("exact_dedup") {
       Dedup.exact(docs, "doc_id", "text").count()

@@ -325,6 +325,24 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root`")
     }),
 
+    "q100_show_partitions" -> ((s, d) => {
+      // the standard SHOW PARTITIONS spelling over a two-commit
+      // partitioned table — answered by the distributed .files scan
+      // (distinct hive-rendered partition values), which the oracle
+      // recomputes from the raw data
+      val root = Files.createTempDirectory("graft-q100-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders")
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_orderpriority"))
+      table.append(s, orders.filter(col("o_orderkey") % 2 === 1))
+      val filtered = s.sql(s"SHOW PARTITIONS graft.`$root` " +
+        "PARTITION (o_orderpriority = '1-URGENT')").collect()
+      require(filtered.map(_.getString(0)).toSeq ==
+        Seq("o_orderpriority=1-URGENT"), "spec filter must narrow to one")
+      s.sql(s"SHOW PARTITIONS graft.`$root`")
+    }),
+
     "q80_metadata_tables" -> ((s, d) => {
       // the @snapshots / @partitions metadata relations (Iceberg's
       // db.table.snapshots / db.table.partitions): build a partitioned
@@ -2222,6 +2240,11 @@ object SparkEntry {
 
     // the metadata count must equal the real count
     "q98_meta_count" -> "SELECT count(*) AS n FROM orders",
+
+    // live partitions = the distinct partition values of the data
+    "q100_show_partitions" ->
+      """SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS partition
+        |FROM orders""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

@@ -47,16 +47,32 @@ object Graph {
     // where its endpoints share a root). The global rounds then start
     // from O(V)-ish edges instead of O(pairs). Long-typed node ids only
     // (the dedup shape); anything else skips the pre-pass unchanged.
-    val e = if (e0.schema.fields.forall(
+    // Measured (ScaleProbe cc, 27M pairs / 500k nodes, CACHED pair
+    // input): CC net 95.2s → 42.7s. GRAFT_CC_CONTRACT=false disables
+    // for A/B. (Probe caveat that cost a day: clearing the session cache
+    // between pair materialization and CC re-runs the whole LSH plan
+    // TWICE inside the symmetrize union — measure with the cache warm.)
+    val contractOn = sys.env.get("GRAFT_CC_CONTRACT")
+      .orElse(sys.props.get("graft.cc.contract")).forall(_.toBoolean)
+    val debug = sys.env.get("GRAFT_CC_DEBUG").exists(_ == "1")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      println(f"[cc] $name: ${(now - tPhase) / 1e9}%.1fs")
+      tPhase = now
+    }
+    val e = if (contractOn && e0.schema.fields.forall(
         _.dataType == org.apache.spark.sql.types.LongType))
       localSpanningForest(e0) else e0
     var compEdges = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+    phase("symmetrize+distinct")
     var labels = compEdges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    phase("labels-init")
     var it = 0
     var done = false
     while (!done && it < maxIters) {
@@ -67,6 +83,7 @@ object Graph {
         .groupBy("a").agg(min("b").as("m"))
         .filter(col("m") < col("a"))
         .localCheckpoint(true)
+      phase(s"round$it-mapping")
       done = rawMapping.isEmpty
       // POINTER JUMPING on the mapping: compose it with itself (m := m∘m,
       // doubling the chase depth each pass) until idempotent — a
@@ -78,6 +95,7 @@ object Graph {
       val mapping = if (done) rawMapping else {
         var mp = rawMapping
         var jumping = true
+        var pass = 0
         while (jumping) {
           val composed = resetStats(mp.alias("x")
             .join(mp.alias("y").withColumnRenamed("a", "ya")
@@ -91,6 +109,8 @@ object Graph {
             .join(mp.alias("o"), col("c.a") === col("o.a"))
             .filter(col("c.m") =!= col("o.m")).isEmpty
           mp = composed
+          pass += 1
+          phase(s"round$it-jump$pass")
         }
         mp
       }
@@ -99,6 +119,7 @@ object Graph {
           .join(mapping.withColumnRenamed("a", "comp"), Seq("comp"), "left")
           .select(col("id"), coalesce(col("m"), col("comp")).as("comp"))
           .localCheckpoint(true)
+        phase(s"round$it-labels")
         def remap(df: DataFrame, c: String): DataFrame =
           df.join(mapping.withColumnRenamed("a", c)
               .withColumnRenamed("m", s"__m_$c"), Seq(c), "left")
@@ -108,6 +129,7 @@ object Graph {
           .filter(col("a") =!= col("b"))
           .distinct()
           .localCheckpoint(true)
+        phase(s"round$it-remap")
       }
       it += 1
     }

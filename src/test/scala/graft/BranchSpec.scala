@@ -115,6 +115,13 @@ class BranchSpec extends SparkSpec {
       spark.sql(s"DELETE FROM graft.`$root` WHERE id = 21")
       assert(t.currentVersion == 1L, "WAP-mode DML must stay off main")
       assert(t.atBranch("stage").read(spark).count() == 20)
+      // WAP-mode READS audit the staged state — plain, filtered, and
+      // metadata count all serve the branch head (Iceberg spark.wap.branch)
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+        .head.getLong(0) == 20)
+      assert(spark.sql(
+        s"SELECT count(*) AS c FROM graft.`$root` WHERE s = 'u'")
+        .head.getLong(0) == 2)
       // a nonexistent WAP branch refuses loudly, never a silent main write
       spark.conf.set("graft.wap.branch", "ghost")
       intercept[Exception](
