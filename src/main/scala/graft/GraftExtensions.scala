@@ -528,27 +528,92 @@ private[graft] object GraftSqlDml {
     case _ => None
   }
 
+  /** CTAS with the FULL transform vocabulary in `PARTITIONED BY` —
+    * Iceberg's main table-creation path (the reference planned
+    * `bucket`/`days` partitioned CTAS, dmsdatabase1.py:79-85): identity
+    * columns partition directly; `bucket(n, src)` / `days`/`months`/
+    * `years`/`hours(src)` / `truncate(w, src)` become HIDDEN-partitioned
+    * derived columns (Iceberg default names) — recorded as
+    * `graft.transform.*` properties and materialized by the write
+    * chokepoint, never supplied by the query.
+    */
   private def runCtas(session: SparkSession, tbl: SnapshotTable,
                       partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
                       tableSpec: Any, query: LogicalPlan): Unit = {
-    val pcols = partitioning.map { t =>
-      val ok = t.name == "identity" && t.arguments.length == 1
-      val field = if (ok) t.arguments.head match {
-        case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
-          nr.fieldNames match { case Array(one) => Some(one); case _ => None }
-        case _ => None
-      } else None
-      field.getOrElse(unsupported(s"partition transform $t (identity " +
-        "columns only; record bucket()/days() derivations of a " +
-        "materialized column via graft.transform.* TBLPROPERTIES)"))
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => VLiteral}
+    import graft.functions.Transforms
+    val df = GraftBridge.ofRows(session, query)
+    def refOf(as: Seq[org.apache.spark.sql.connector.expressions.Expression])
+        : Option[String] = as.collectFirst {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        nr.fieldNames.head
     }
+    def intOf(as: Seq[org.apache.spark.sql.connector.expressions.Expression])
+        : Option[Int] = as.collectFirst {
+      case l: VLiteral[_] => l.value match {
+        case i: java.lang.Integer => i.intValue
+        case l2: java.lang.Long => l2.intValue
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toInt
+        case o => o.toString.toInt
+      }
+    }
+    // canonical source spelling from the query schema; loud when absent
+    def srcField(c: String) = df.schema.fields
+      .find(_.name.equalsIgnoreCase(c)).getOrElse(unsupported(
+        s"partition transform source $c is not in the CTAS output"))
+    val resolved: Seq[(String, Option[(String, String)])] = partitioning.map { t =>
+      val args = t.arguments.toSeq
+      t.name.toLowerCase match {
+        case "identity" =>
+          val c = refOf(args).getOrElse(unsupported(
+            s"partition transform $t (unsupported reference shape)"))
+          (srcField(c).name, None)
+        case other =>
+          val spec: Transforms.Spec = other match {
+            case "bucket" =>
+              Transforms.Bucket(intOf(args).getOrElse(unsupported(
+                s"bucket() needs an integer bucket count: $t")),
+                refOf(args).getOrElse(unsupported(s"bucket() needs a column: $t")))
+            case "days" | "day" | "months" | "month" | "years" | "year" |
+                 "hours" | "hour" =>
+              Transforms.TimeUnit(other.stripSuffix("s"),
+                refOf(args).getOrElse(unsupported(s"$other() needs a column: $t")))
+            case "truncate" =>
+              Transforms.Truncate(intOf(args).getOrElse(unsupported(
+                s"truncate() needs an integer width: $t")),
+                refOf(args).getOrElse(unsupported(s"truncate() needs a column: $t")))
+            case _ => unsupported(s"partition transform $t")
+          }
+          val sf = srcField(spec.src)
+          val canon = spec match {
+            case b: Transforms.Bucket => b.copy(src = sf.name)
+            case u: Transforms.TimeUnit => u.copy(src = sf.name)
+            case tr: Transforms.Truncate => tr.copy(src = sf.name)
+          }
+          val dt = Transforms.derivedType(canon, sf.dataType).getOrElse(
+            unsupported(s"${canon.canonical} is undefined over " +
+              s"${sf.dataType.simpleString} source ${sf.name}"))
+          val name = canon.defaultName
+          df.schema.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
+            if (f.dataType != dt) unsupported(
+              s"CTAS output column ${f.name} collides with the derived " +
+                s"partition field (${f.dataType.simpleString} vs " +
+                s"${dt.simpleString})")
+          }
+          (name, Some(TransformPropPrefix + name -> canon.canonical))
+      }
+    }
+    val pcols = resolved.map(_._1)
+    val transformProps = resolved.flatMap(_._2).toMap
     val props = tableSpec match {
       case u: UnresolvedTableSpec => u.properties
       case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties
       case _ => Map.empty[String, String]
     }
-    tbl.createOrReplace(GraftBridge.ofRows(session, query), pcols, props)
+    tbl.createOrReplace(df, pcols, props ++ transformProps)
   }
+
+  private val TransformPropPrefix = "graft.transform."
 
   /** CTAS claims, run from the HINTS batch (before ResolveSessionCatalog
     * can turn the statement into a session-catalog V1 command).

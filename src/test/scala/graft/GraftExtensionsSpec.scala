@@ -545,6 +545,44 @@ class GraftExtensionsSpec extends SparkSpec {
       .head.getLong(0) == 10)
   }
 
+  test("partitioned CTAS accepts the transform vocabulary (hidden partitioning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ctas-tr-").toString
+    (1 to 400).map(i => (i.toLong,
+        java.time.LocalDateTime.of(2026, 1 + i % 6, 1 + i % 27, i % 24, 0),
+        s"v$i"))
+      .toDF("id", "ts", "s").createOrReplaceTempView("graft_ctas_tr_src")
+    spark.sql(s"CREATE TABLE graft.`$root` " +
+      "PARTITIONED BY (bucket(8, id), months(ts)) " +
+      "AS SELECT * FROM graft_ctas_tr_src")
+    val t = SnapshotTable.at(root)
+    val m = t.currentManifest
+    assert(m.partitionColumns == Seq("id_bucket", "ts_month"))
+    assert(m.properties.get("graft.transform.id_bucket").contains("bucket(8,id)"))
+    assert(m.properties.get("graft.transform.ts_month").contains("months(ts)"))
+    assert(m.files.forall(f => f.partition.contains("id_bucket") &&
+      f.partition("ts_month").matches("2026-0[1-6]")))
+    assert(t.read(spark).count() == 400)
+    // raw-column predicates prune through both hidden fields
+    val (kb, tb) = t.pruneCounts(col("id") === 42L)
+    assert(kb < tb)
+    val (km, _) = t.pruneCounts(
+      col("ts") >= lit(java.time.LocalDateTime.parse("2026-06-01T00:00")))
+    assert(km < tb)
+    // hidden fields keep deriving on appends (the writer never supplies them)
+    t.append(spark, Seq((1000L,
+      java.time.LocalDateTime.parse("2026-03-02T10:00"), "x"))
+      .toDF("id", "ts", "s"))
+    assert(t.read(spark).filter(col("id") === 1000L)
+      .select("ts_month").head.getString(0) == "2026-03")
+    // an unsupported transform fails loudly
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.`${root}2` PARTITIONED BY (bucket(8, s)) " +
+        "AS SELECT * FROM graft_ctas_tr_src"))
+  }
+
   test("SHOW PARTITIONS lists live partitions, filtered and sorted") {
     import spark.implicits._
     val root = java.nio.file.Files
