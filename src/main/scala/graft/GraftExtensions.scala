@@ -68,7 +68,7 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
     GraftSqlDml.rewriteCtas(session, plan)
       .orElse(GraftSqlDml.rewriteCall(session, plan))
       .orElse(GraftSqlDml.rewriteAlter(session, plan))
-      .orElse(GraftSqlDml.rewriteMetaCount(session, plan))
+      .orElse(GraftSqlDml.rewriteMetaAgg(session, plan))
       .getOrElse(plan)
 }
 
@@ -858,20 +858,31 @@ private[graft] object GraftSqlDml {
     }
   }
 
-  /** Metadata-only `SELECT count(*) FROM <graft table>` (Iceberg pushes
-    * this to manifests; a 100 TB table answers without touching a data
-    * file): claimed BEFORE resolution while the child is still the bare
-    * unresolved relation — no filter, no grouping, every projected item
-    * a plain `count(*)`/`count(1)` — and only when
-    * [[SnapshotTable.rowCount]] can answer exactly from chunk rollups
-    * (no pending MoR deletes, no pre-rowcount legacy files); everything
-    * else falls through to the normal scan plan. Time-travel/metadata
-    * suffixes never match (their literal paths don't exist as tables).
+  /** Metadata-only aggregates over a graft table (Iceberg's aggregate
+    * pushdown analog; a 100 TB table answers without touching a data
+    * file), claimed BEFORE resolution while the child is still the bare
+    * unresolved relation. Three exact-only shapes, anything else falls
+    * through to the normal scan plan:
+    *
+    *  - `SELECT count(*) FROM t` — [[SnapshotTable.rowCount]] from chunk
+    *    rollups (no pending MoR deletes, no pre-rowcount legacy files);
+    *  - `SELECT min(c), max(c), count(*) ... FROM t` —
+    *    [[SnapshotTable.columnMinMax]] per column (witnessed per-file
+    *    extremes; integral/date/timestamp columns only — see there);
+    *  - `SELECT count(*) FROM t WHERE <partition predicate>` —
+    *    [[SnapshotTable.partitionFilteredCount]] when the predicate
+    *    references ONLY partition columns through a deterministic
+    *    whitelist of comparison shapes (each file is decided wholesale
+    *    by its identity partition values).
+    *
+    * Time-travel/metadata suffixes never match (their literal paths
+    * don't exist as tables).
     */
-  def rewriteMetaCount(session: SparkSession,
-                       plan: LogicalPlan): Option[LogicalPlan] = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction, UnresolvedStar}
-    import org.apache.spark.sql.catalyst.expressions.Alias
+  def rewriteMetaAgg(session: SparkSession,
+                     plan: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, And, Or, Not, In, IsNull, IsNotNull, EqualTo, EqualNullSafe, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StartsWith, Like, Cast, BinaryComparison}
+    import org.apache.spark.sql.types._
     def isCountStar(e: Expression): Boolean = e match {
       case uf: UnresolvedFunction =>
         uf.nameParts.map(_.toLowerCase) == Seq("count") && !uf.isDistinct &&
@@ -883,37 +894,128 @@ private[graft] object GraftSqlDml {
           })
       case _ => false
     }
+    // min/max over a bare single-part column
+    def minMaxOf(e: Expression): Option[(String, String)] = e match {
+      case uf: UnresolvedFunction
+          if !uf.isDistinct && uf.filter.isEmpty &&
+            (uf.nameParts.map(_.toLowerCase) == Seq("min") ||
+              uf.nameParts.map(_.toLowerCase) == Seq("max")) =>
+        uf.arguments match {
+          case Seq(ua: UnresolvedAttribute) if ua.nameParts.size == 1 =>
+            Some((uf.nameParts.head.toLowerCase, ua.nameParts.head))
+          case _ => None
+        }
+      case _ => None
+    }
+    sealed trait Item
+    case class CountItem(name: String) extends Item
+    case class MinMaxItem(name: String, fn: String, col: String) extends Item
+    def itemOf(e: Expression): Option[Item] = e match {
+      case a: Alias if isCountStar(a.child) => Some(CountItem(a.name))
+      case ua: UnresolvedAlias if isCountStar(ua.child) =>
+        Some(CountItem("count(1)"))
+      case a: Alias => minMaxOf(a.child).map { case (fn, c) =>
+        MinMaxItem(a.name, fn, c) }
+      case ua: UnresolvedAlias => minMaxOf(ua.child).map { case (fn, c) =>
+        MinMaxItem(s"$fn($c)", fn, c) }
+      case _ => None
+    }
+    def tableOf(u: UnresolvedRelation): Option[SnapshotTable] =
+      graft.catalog.GraftCatalog
+        .pathCandidates(session, u.multipartIdentifier)
+        .find(c => SnapshotTable.at(c).exists)
+        .map { c =>
+          // WAP session mode answers from the staged branch (matching
+          // what a read of the same relation serves)
+          val t0 = SnapshotTable.at(c)
+          session.conf.getOption("graft.wap.branch")
+            .filter(_.nonEmpty) match {
+            case Some(b) if t0.branches.contains(b) => t0.atBranch(b)
+            case _ => t0
+          }
+        }
+    // exact internal value of a decoded bound in the column's type
+    def literalOf(dt: DataType,
+                  b: Option[graft.table.StatsPruning.Bound]): Option[Literal] =
+      b match {
+        case None => Some(Literal(null, dt))
+        case Some(graft.table.StatsPruning.NumB(v)) =>
+          try Some(dt match {
+            case ByteType => Literal(v.toByteExact, dt)
+            case ShortType => Literal(v.toShortExact, dt)
+            case IntegerType => Literal(v.toIntExact, dt)
+            case LongType => Literal(v.toLongExact, dt)
+            case DateType => Literal(v.toIntExact, dt)
+            case TimestampType | TimestampNTZType =>
+              Literal(v.toLongExact, dt)
+            case _ => return None
+          }) catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+    def answer(t: SnapshotTable, items: Seq[Item]): Option[LogicalPlan] = {
+      val lits = items.map {
+        case CountItem(nm) =>
+          t.rowCount.map(n => Alias(Literal(n, LongType), nm)())
+        case MinMaxItem(nm, fn, c) =>
+          t.columnMinMax(c).flatMap { case (dt, bounds) =>
+            literalOf(dt, bounds.map(b => if (fn == "min") b._1 else b._2))
+              .map(l => Alias(l, nm)())
+          }
+      }
+      if (lits.exists(_.isEmpty)) None
+      else Some(Project(lits.map(_.get),
+        org.apache.spark.sql.catalyst.plans.logical.OneRowRelation()))
+    }
+    // deterministic partition-predicate whitelist: comparison shapes over
+    // single-part attributes and literals only — anything else declines
+    def whitelisted(e: Expression): Boolean = e match {
+      case _: Literal => true
+      case ua: UnresolvedAttribute => ua.nameParts.size == 1
+      case _: And | _: Or | _: Not | _: In | _: IsNull | _: IsNotNull |
+           _: EqualNullSafe | _: StartsWith | _: Like | _: Cast |
+           _: BinaryComparison =>
+        e.children.forall(whitelisted)
+      case _ => false
+    }
     plan match {
       case p: Project => p.child match {
         case u: UnresolvedRelation if u.options.isEmpty =>
-          val names: Seq[Option[String]] = p.projectList.map {
-            case a: Alias if isCountStar(a.child) => Some(a.name)
-            case ua: UnresolvedAlias if isCountStar(ua.child) =>
-              Some("count(1)")
+          val items = p.projectList.map(itemOf)
+          if (items.isEmpty || items.exists(_.isEmpty)) None
+          else tableOf(u).flatMap(t => answer(t, items.map(_.get)))
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.child match {
+            case u: UnresolvedRelation if u.options.isEmpty =>
+              val items = p.projectList.map(itemOf)
+              // filtered form: COUNT items only (a min/max under a
+              // filter needs witnessed extremes per matching file —
+              // future work, falls through)
+              if (items.isEmpty ||
+                  items.exists(!_.exists(_.isInstanceOf[CountItem]))) None
+              else if (!whitelisted(f.condition)) None
+              else {
+                val refs = f.condition.collect {
+                  case ua: UnresolvedAttribute => ua.nameParts.head
+                }.distinct
+                if (refs.isEmpty) None
+                else tableOf(u).flatMap { t =>
+                  val pcols = t.currentManifest.partitionColumns
+                    .map(_.toLowerCase).toSet
+                  if (!refs.forall(r => pcols(r.toLowerCase))) None
+                  else t.partitionFilteredCount(session, refs,
+                    org.apache.spark.sql.GraftBridge.column(f.condition))
+                    .map { n =>
+                      Project(items.map(_.get).map {
+                        case CountItem(nm) =>
+                          Alias(Literal(n, LongType), nm)()
+                        case other => sys.error(s"unreachable: $other")
+                      }, org.apache.spark.sql.catalyst.plans.logical
+                        .OneRowRelation())
+                    }
+                }
+              }
             case _ => None
           }
-          if (names.isEmpty || names.exists(_.isEmpty)) None
-          else
-            graft.catalog.GraftCatalog
-              .pathCandidates(session, u.multipartIdentifier)
-              .find(c => SnapshotTable.at(c).exists)
-              .flatMap { c =>
-                // WAP session mode counts the staged branch (matching
-                // what a read of the same relation serves)
-                val t0 = SnapshotTable.at(c)
-                val t = session.conf.getOption("graft.wap.branch")
-                  .filter(_.nonEmpty) match {
-                  case Some(b) if t0.branches.contains(b) => t0.atBranch(b)
-                  case _ => t0
-                }
-                t.rowCount
-              }
-              .map { n =>
-                Project(names.map(nm =>
-                  Alias(Literal(n, org.apache.spark.sql.types.LongType),
-                    nm.get)()),
-                  org.apache.spark.sql.catalyst.plans.logical.OneRowRelation())
-              }
         case _ => None
       }
       case _ => None

@@ -6,7 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType,
+  FloatType, DoubleType, StringType, BooleanType, DateType, TimestampType,
+  TimestampNTZType, DataType, StructField, StructType}
 
 import graft.core.MetaColumns
 import graft.merge.Merge
@@ -790,6 +792,153 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** Metadata-only MIN/MAX of a column (Iceberg's aggregate pushdown
+    * analog): exact extremes assembled from per-file WITNESSED values —
+    * identity partition values (every row of the file holds exactly that
+    * value) and footer min/max stats (true values of some row). Transform
+    * -derived ranges are deliberately NOT used: a file in month partition
+    * `2026-03` proves a row inside the month, not one at its boundary.
+    *
+    * Answerable only when the answer is provably exact:
+    *  - no pending delete files (a masked row could hold the extreme);
+    *  - the column's type is integral/date/timestamp — parquet footer
+    *    stats are exact witnessed values there; float/double stats are
+    *    unreliable under NaN (a writer may record finite bounds for a
+    *    file containing NaN, which Spark's `max` would return), and
+    *    string footer stats may be writer-truncated (valid as BOUNDS,
+    *    not as values);
+    *  - every live file either contributes a witnessed (min, max), is
+    *    provably empty/all-null (contributes nothing), or the whole
+    *    query declines (None — fall through to a scan).
+    *
+    * Returns the column's current type and `None` bounds when every row
+    * is NULL or the table is empty (SQL min/max = NULL), decoded in the
+    * stats comparison domain ([[StatsPruning.Bound]] — integral/temporal
+    * values are exact integers there). Rename/widen chains look stats up
+    * under each file's own physical name, widened into the current type.
+    */
+  def columnMinMax(name: String)
+      : Option[(DataType, Option[(StatsPruning.Bound, StatsPruning.Bound)])] = {
+    val m = currentManifest
+    if (m.deleteFiles.nonEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(return None)
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case _ => return None
+    }
+    val chains = evoChains(m)
+    var acc: Option[(StatsPruning.Bound, StatsPruning.Bound)] = None
+    for (f <- m.files) {
+      if (f.rows != 0L) {
+        if (f.rows < 0L) return None // legacy: could be empty OR populated
+        val phys = physAt(chains, field.name, field.dataType, f.seq)._1
+        val contrib: Option[Option[(StatsPruning.Bound, StatsPruning.Bound)]] =
+          f.partition.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(field.name) => v
+          } match {
+            case Some(pv) if StatsPruning.isNullPartitionValue(pv) =>
+              Some(None) // every row NULL here
+            case Some(pv) =>
+              StatsPruning.decodePartitionValue(field.dataType, pv)
+                .map(b => Some((b, b)))
+            case None =>
+              val allNull = f.nulls.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(phys) => v
+              }.contains(f.rows)
+              if (allNull) Some(None)
+              else f.stats.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(phys) => v
+              }.flatMap { cb =>
+                for {
+                  mn <- StatsPruning.decode(field.dataType, cb.min)
+                  mx <- StatsPruning.decode(field.dataType, cb.max)
+                } yield Some((mn, mx))
+              }
+          }
+        contrib match {
+          case None => return None // this file's extreme is unknowable
+          case Some(None) => ()
+          case Some(Some((mn, mx))) =>
+            acc = acc match {
+              case None => Some((mn, mx))
+              case Some((amn, amx)) =>
+                Some((StatsPruning.minBound(amn, mn),
+                  StatsPruning.maxBound(amx, mx)))
+            }
+        }
+      }
+    }
+    Some((field.dataType, acc))
+  }
+
+  /** Metadata-only COUNT(*) under a PARTITION-COLUMN predicate: every
+    * row of a file holds exactly its identity partition values, so a
+    * predicate referencing only partition columns decides each file
+    * wholesale — the count is the row-count sum over files whose
+    * partition tuple satisfies it. The tuples are evaluated through a
+    * tiny driver-built DataFrame (one row per file) so Spark's own
+    * comparison/coercion semantics apply, never a re-implementation.
+    * None (fall through to a scan) unless every live file carries all
+    * referenced partition keys with decodable values and a known row
+    * count, and no deletes are pending. Caller guarantees `cond` only
+    * references the returned columns and is deterministic.
+    */
+  def partitionFilteredCount(spark: SparkSession, refs: Seq[String],
+                             cond: Column): Option[Long] = {
+    val m = currentManifest
+    if (m.deleteFiles.nonEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val fields = refs.map(r => schema.fields
+      .find(_.name.equalsIgnoreCase(r)).getOrElse(return None))
+    // external (Row-compatible) value of a partition-path string
+    def decodeExternal(dt: DataType, s: String): Option[Any] =
+      if (StatsPruning.isNullPartitionValue(s)) Some(null)
+      else try dt match {
+        case ByteType => Some(java.lang.Byte.valueOf(s))
+        case ShortType => Some(java.lang.Short.valueOf(s))
+        case IntegerType => Some(java.lang.Integer.valueOf(s))
+        case LongType => Some(java.lang.Long.valueOf(s))
+        case FloatType => Some(java.lang.Float.valueOf(s))
+        case DoubleType => Some(java.lang.Double.valueOf(s))
+        case StringType => Some(s)
+        case BooleanType => Some(java.lang.Boolean.valueOf(s))
+        case DateType => Some(java.sql.Date.valueOf(
+          java.time.LocalDate.parse(s)))
+        case TimestampType =>
+          // partition-path timestamps render in the SESSION timezone
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          val zone = java.time.ZoneId.of(org.apache.spark.sql.internal
+            .SQLConf.get.sessionLocalTimeZone)
+          Some(java.sql.Timestamp.from(ldt.atZone(zone).toInstant))
+        case TimestampNTZType =>
+          Some(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+        case _ => None
+      } catch { case _: RuntimeException => None }
+    val rows = m.files.map { f =>
+      if (f.rows < 0L) return None
+      val vs = fields.map { fd =>
+        f.partition.collectFirst {
+          case (k, v) if k.equalsIgnoreCase(fd.name) => v
+        } match {
+          case None => return None // pre-evolution file: column is data here
+          case Some(pv) => decodeExternal(fd.dataType, pv).getOrElse(return None)
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(vs :+ java.lang.Long.valueOf(f.rows))
+    }
+    val tinySchema = StructType(fields.map(fd =>
+      StructField(fd.name, fd.dataType)) :+
+      StructField("_graft_rows", LongType, nullable = false))
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), tinySchema)
+    Some(df.filter(cond)
+      .agg(coalesce(sum("_graft_rows"), lit(0L))).head.getLong(0))
+  }
+
   /** Null count of a column within one file: a partition column's count
     * is exact from its path value (hive null sentinel = all rows null,
     * anything else = none); data columns use the footer counts captured
@@ -1192,7 +1341,9 @@ final class SnapshotTable(val root: Path,
     *    files a NEW delete file may mask, resolved as of v-1; `after` =
     *    the added files plus those same carried files, resolved as of v;
     *    inserts = after \ before, deletes = before \ after (multiset
-    *    semantics via exceptAll). A CoW merge that rewrites a partition
+    *    semantics via [[NetDiff.diff]] — a fingerprint pre-pass bounds
+    *    the shuffle to changed-row volume instead of hashing full wide
+    *    rows). A CoW merge that rewrites a partition
     *    wholesale therefore emits only the rows that actually changed —
     *    Iceberg's net_changes semantics — at a shuffle bounded by the
     *    touched files, never the table.
@@ -1325,8 +1476,7 @@ final class SnapshotTable(val root: Path,
             prevOpt.get.copy(files = fRem ++ dirty)), prevOpt.get.version)
           val after = align(readManifest(spark,
             curM.copy(files = fAdd ++ dirty)), v)
-          val ins = after.exceptAll(before)
-          val del = before.exceptAll(after)
+          val (ins, del) = NetDiff.diff(before, after)
           if (keys.isEmpty)
             Some(tag(ins, "insert", v, ts)
               .unionByName(tag(del, "delete", v, ts)))

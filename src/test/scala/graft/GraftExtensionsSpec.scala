@@ -633,6 +633,82 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(isMeta(q) && spark.sql(q).head.getLong(0) == 98L)
   }
 
+  test("metadata min/max answers witnessed extremes, declines unsafe types") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-metamm-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 50).map(i =>
+        (i.toLong, java.sql.Date.valueOf(f"2026-01-${i % 28 + 1}%02d"),
+          i.toDouble, s"s$i", if (i <= 25) Some(i * 10L) else None))
+      .toDF("id", "d", "x", "s", "opt"), Seq())
+    t.append(spark, Seq((100L, java.sql.Date.valueOf("2026-03-05"), 1.0,
+      "z", None: Option[Long])).toDF("id", "d", "x", "s", "opt"))
+    def leaves(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+    def isMeta(sql: String) = leaves(sql).forall(l =>
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val q = s"SELECT min(id) AS lo, max(id) AS hi, count(*) AS n, " +
+      s"max(d) AS dmax, min(opt) AS omin FROM graft.`$root`"
+    assert(isMeta(q), "integral/date min-max: metadata path")
+    val r = spark.sql(q).head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 100L && r.getLong(2) == 51L)
+    assert(r.getDate(3).toString == "2026-03-05" && r.getLong(4) == 10L)
+    // double column: NaN-unsafe → scan path, same answer as the engine read
+    val qd = s"SELECT max(x) AS m FROM graft.`$root`"
+    assert(!isMeta(qd), "double max must fall through")
+    assert(spark.sql(qd).head.getDouble(0) == 50.0)
+    // string column: truncation-unsafe → scan path
+    assert(!isMeta(s"SELECT max(s) AS m FROM graft.`$root`"))
+    // pending deletes: declines (a masked row could hold the extreme)
+    t.mergeMoR(spark, Seq((100L, java.sql.Date.valueOf("2026-03-05"), 1.0,
+      "z", null.asInstanceOf[java.lang.Long], "D"))
+      .toDF("id", "d", "x", "s", "opt", "op"), Seq("id"), keepDeletes = false)
+    val qi = s"SELECT max(id) AS m FROM graft.`$root`"
+    assert(!isMeta(qi) && spark.sql(qi).head.getLong(0) == 50L)
+    // all-null column answers NULL from metadata
+    t.compact(spark)
+    val root2 = java.nio.file.Files.createTempDirectory("graft-metamm2-").toString
+    SnapshotTable.at(root2).createOrReplace(
+      Seq((1L, null.asInstanceOf[java.lang.Long]),
+        (2L, null.asInstanceOf[java.lang.Long])).toDF("id", "o"))
+    val qn = s"SELECT min(o) AS m FROM graft.`$root2`"
+    assert(isMeta(qn) && spark.sql(qn).head.isNullAt(0))
+  }
+
+  test("partition-predicate count(*) answers from the manifest") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-metapc-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 120).map(i =>
+        (i.toLong, i % 4, if (i % 10 == 0) null else s"g${i % 3}"))
+      .toDF("id", "p", "g"), Seq("p", "g"))
+    def leaves(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+    def isMeta(sql: String) = leaves(sql).forall(l =>
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    def check(where: String): Unit = {
+      val q = s"SELECT count(*) AS n FROM graft.`$root` WHERE $where"
+      assert(isMeta(q), s"expected metadata path for $where")
+      val scan = t.read(spark).filter(where).count()
+      assert(spark.sql(q).head.getLong(0) == scan, s"wrong count for $where")
+    }
+    check("p = 2")
+    check("p IN (1, 3)")
+    check("p >= 1 AND g = 'g1'")
+    check("g IS NULL")
+    check("g IS NOT NULL OR p = 0")
+    check("p = 2 AND g LIKE 'g%'")
+    // predicates over data columns fall through to the scan
+    val qd = s"SELECT count(*) AS n FROM graft.`$root` WHERE id > 100"
+    assert(!isMeta(qd) && spark.sql(qd).head.getLong(0) == 20L)
+    // nondeterministic / un-whitelisted shapes fall through
+    assert(!isMeta(s"SELECT count(*) AS n FROM graft.`$root` " +
+      "WHERE p = CAST(rand() * 4 AS INT)"))
+  }
+
   test("standard SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
     val base = spark
     import base.implicits._

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.table.NetDiff
+
+/** NetDiff must be EXACTLY exceptAll's multiset semantics — the
+  * fingerprint pre-pass is a shuffle-volume optimization, never a
+  * semantics change. Property: for arbitrary overlapping multisets
+  * (duplicates, nulls, arrays, wide strings), NetDiff.diff ≡
+  * (exceptAll, exceptAll).
+  */
+class NetDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertSame(before: DataFrame, after: DataFrame): Unit = {
+    val (ins, del) = NetDiff.diff(before, after)
+    val insRef = after.exceptAll(before)
+    val delRef = before.exceptAll(after)
+    assert(ins.exceptAll(insRef).isEmpty && insRef.exceptAll(ins).isEmpty,
+      "inserts diverge from exceptAll")
+    assert(del.exceptAll(delRef).isEmpty && delRef.exceptAll(del).isEmpty,
+      "deletes diverge from exceptAll")
+  }
+
+  test("netdiff equals exceptAll on overlapping multisets with dupes and nulls") {
+    val before = Seq(
+      (1L, Option("a"), 1.5), (1L, Option("a"), 1.5), // dup kept as multiset
+      (2L, Option("b"), 2.0), (3L, None, 3.0), (4L, Option("d"), 4.0))
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Option("a"), 1.5),                          // one copy removed
+      (2L, Option("b"), 2.5),                          // changed
+      (3L, None, 3.0),                                 // unchanged null
+      (5L, Option("e"), 5.0), (5L, Option("e"), 5.0))  // new dup
+      .toDF("k", "s", "v")
+    assertSame(before, after)
+    val (ins, del) = NetDiff.diff(before, after)
+    assert(ins.count() == 3 && del.count() == 3)
+  }
+
+  test("netdiff handles wide rows and array columns") {
+    val before = spark.range(0, 500).select(
+      col("id"),
+      concat(lit("txt-"), col("id"), lit("x" * 2000)).as("text"),
+      array((0 to 15).map(i => (col("id") * i).cast("float")): _*).as("emb"))
+    // change exactly 3 rows, drop 2, add 2
+    val after = before
+      .filter(col("id") =!= 10 && col("id") =!= 11)
+      .withColumn("text",
+        when(col("id").isin(20, 21, 22), lit("changed")).otherwise(col("text")))
+      .unionByName(spark.range(1000, 1002).select(
+        col("id"), lit("new").as("text"),
+        array(lit(1f)).as("emb")))
+    assertSame(before, after)
+    val (ins, del) = NetDiff.diff(before, after)
+    assert(ins.count() == 5 && del.count() == 5)
+  }
+
+  test("identical sides produce empty diffs") {
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("g"))
+    val (ins, del) = NetDiff.diff(df, df)
+    assert(ins.isEmpty && del.isEmpty)
+  }
+
+  test("map columns fall back to plain exceptAll") {
+    val before = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("k", "m")
+    val after = Seq((1L, Map("a" -> 1)), (3L, Map("c" -> 3)))
+      .toDF("k", "m")
+    val (ins, del) = NetDiff.diff(before, after)
+    assert(ins.count() == 1 && del.count() == 1)
+    assert(ins.select("k").as[Long].head() == 3L)
+    assert(del.select("k").as[Long].head() == 2L)
+  }
+}
