@@ -28,13 +28,6 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith)) }
-    // JVM/codegen warm-up on the smallest sf so steady-state throughput is
-    // measured, not first-call classloading
-    selected.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-    }
     // storage-backed lifecycle queries (temp tables, commit IO) swing
     // ±30% with machine load — their cost is filesystem commits, not plan
     // execution — so they get 3 attempts and report the MEDIAN;
@@ -57,13 +50,33 @@ object Bench {
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")
-    // SPARK_GRAFT_ISOLATE=1: run each LIFECYCLE query in a fresh child
+    // plan-bound queries that swung hardest with driver-JVM state in the
+    // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
+    // 5.3s same-code isolated) — isolated alongside the lifecycle set
+    val heavy = Set(
+      "q35_minhash_neardup", "q36_simhash_neardup", "q37_ngram_jaccard",
+      "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
+      "q83_semantic_dedup")
+    // Isolation mode: run each lifecycle/heavy query in a fresh child
     // JVM (classpath + JVM flags inherited) — the accumulated-driver-
-    // state swings (q60 r5 / q84 r6: 3-4× in-suite vs isolated) vanish,
-    // making round-over-round numbers comparable. Off by default: the
-    // ~35 JVM launches cost real wall-clock.
-    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE")
-      .exists(v => Set("1", "true", "lifecycle").contains(v.toLowerCase))
+    // state swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12×
+    // in-suite vs isolated) vanish, making round-over-round numbers
+    // comparable. ON BY DEFAULT since r8 (the r7 round-of-record
+    // measured driver-JVM entropy, not the engine); SPARK_GRAFT_ISOLATE=0
+    // opts out for quick local iteration.
+    val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE")
+      .exists(v => Set("0", "false", "off").contains(v.toLowerCase))
+    // JVM/codegen warm-up on the smallest sf so steady-state throughput is
+    // measured, not first-call classloading. Isolated-bound queries warm
+    // up inside their own child JVM (BenchOne) — warming them here too
+    // would only burn wall-clock in a JVM that never times them.
+    selected.foreach { case (name, fn) =>
+      if (!(isolate && (lifecycle(name) || heavy(name)))) {
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    }
     def runIsolated(name: String, attempts: Int): Seq[(Double, Option[String])] = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
@@ -96,7 +109,8 @@ object Bench {
       // success nor discard the other attempts' valid timings.
       val nAttempts = if (lifecycle(name) || extraAttempt(name)) 3 else 2
       val attempts: Seq[(Double, Option[String])] =
-        if (isolate && lifecycle(name)) runIsolated(name, nAttempts)
+        if (isolate && (lifecycle(name) || heavy(name)))
+          runIsolated(name, nAttempts)
         else (0 until nAttempts).map { _ =>
           val t0 = System.nanoTime()
           val outcome =
@@ -120,7 +134,7 @@ object Bench {
       "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val mode = if (isolate) "isolated-lifecycle" else "in-process"
+    val mode = if (isolate) "isolated-lifecycle+heavy" else "in-process"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode"}""")
     spark.stop()
   }

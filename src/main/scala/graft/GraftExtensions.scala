@@ -987,11 +987,10 @@ private[graft] object GraftSqlDml {
           f.child match {
             case u: UnresolvedRelation if u.options.isEmpty =>
               val items = p.projectList.map(itemOf)
-              // filtered form: COUNT items only (a min/max under a
-              // filter needs witnessed extremes per matching file —
-              // future work, falls through)
-              if (items.isEmpty ||
-                  items.exists(!_.exists(_.isInstanceOf[CountItem]))) None
+              // filtered form: COUNT from the partition census row sums;
+              // MIN/MAX from witnessed extremes over the SAME matching
+              // files (chunk-skipped candidates, exact tuple evaluation)
+              if (items.isEmpty || items.exists(_.isEmpty)) None
               else if (!whitelisted(f.condition)) None
               else {
                 val refs = f.condition.collect {
@@ -1002,16 +1001,26 @@ private[graft] object GraftSqlDml {
                   val pcols = t.currentManifest.partitionColumns
                     .map(_.toLowerCase).toSet
                   if (!refs.forall(r => pcols(r.toLowerCase))) None
-                  else t.partitionFilteredCount(session, refs,
-                    org.apache.spark.sql.GraftBridge.column(f.condition))
-                    .map { n =>
-                      Project(items.map(_.get).map {
-                        case CountItem(nm) =>
-                          Alias(Literal(n, LongType), nm)()
-                        case other => sys.error(s"unreachable: $other")
-                      }, org.apache.spark.sql.catalyst.plans.logical
-                        .OneRowRelation())
+                  else {
+                    val cond =
+                      org.apache.spark.sql.GraftBridge.column(f.condition)
+                    val lits = items.map(_.get).map {
+                      case CountItem(nm) =>
+                        t.partitionFilteredCount(session, refs, cond)
+                          .map(n => Alias(Literal(n, LongType), nm)())
+                      case MinMaxItem(nm, fn, c) =>
+                        t.partitionFilteredMinMax(session, refs, cond, c)
+                          .flatMap { case (dt, bounds) =>
+                            literalOf(dt, bounds.map(b =>
+                              if (fn == "min") b._1 else b._2))
+                              .map(l => Alias(l, nm)())
+                          }
                     }
+                    if (lits.exists(_.isEmpty)) None
+                    else Some(Project(lits.map(_.get),
+                      org.apache.spark.sql.catalyst.plans.logical
+                        .OneRowRelation()))
+                  }
                 }
               }
             case _ => None
@@ -1124,6 +1133,26 @@ private[graft] object GraftSqlDml {
             tbl.setProperties(Map("write.graft.sort-order" -> cols.mkString(",")))
           case WriteUnorderedOp =>
             tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
+          case CreateRefOp(isBranch, name, ver, ifNotExists) =>
+            val exists =
+              if (isBranch) tbl.branches.contains(name)
+              else tbl.tags.contains(name)
+            if (exists && !ifNotExists)
+              throw new IllegalArgumentException(
+                s"${if (isBranch) "branch" else "tag"} '$name' already " +
+                  s"exists on ${g.ident.mkString(".")} (use IF NOT EXISTS, " +
+                  "or CALL fast_forward / drop the ref first)")
+            else if (!exists) {
+              val v = ver.getOrElse(tbl.currentVersion)
+              if (isBranch) tbl.branch(name, v) else tbl.tag(name, v)
+            }
+          case DropRefOp(isBranch, name, ifExists) =>
+            val dropped =
+              if (isBranch) tbl.dropBranch(name) else tbl.dropTag(name)
+            if (!dropped && !ifExists)
+              throw new IllegalArgumentException(
+                s"no ${if (isBranch) "branch" else "tag"} '$name' on " +
+                  s"${g.ident.mkString(".")} (use IF EXISTS for a no-op)")
         }
         Some(empty)
       case _ => None
@@ -1245,16 +1274,11 @@ private[graft] object GraftSqlDml {
                 case other => throw new UnsupportedOperationException(
                   s"unsupported partition spec $other")
               }
-              val vals = tbl.partitions(session)
-                .select("partition").distinct().collect()
-                .map(_.getString(0)).filter(_.nonEmpty)
-                .filter { s =>
-                  val kv = s.split('/').flatMap(_.split("=", 2) match {
-                    case Array(k, v) => Some(k.toLowerCase -> v)
-                    case _ => None
-                  }).toMap
-                  wanted.forall { case (k, v) => kv.get(k).contains(v) }
-                }
+              // filtered against the FileEntry partition MAPS (never by
+              // re-parsing the rendered k=v string, which is ambiguous
+              // for values containing '/' or '=' — r7 ADVICE)
+              val vals = tbl.partitionStringsMatching(session, wanted)
+                .filter(_.nonEmpty)
                 .sorted
               LocalRelation(sp.output, vals.toIndexedSeq.map(s =>
                 org.apache.spark.sql.catalyst.InternalRow(

@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `ALTER TABLE t DROP PARTITION FIELD <col | transform>`
   *   - `ALTER TABLE t WRITE ORDERED BY [(]c1[, c2...][)]`
   *   - `ALTER TABLE t WRITE UNORDERED`
+  *   - `ALTER TABLE t CREATE BRANCH|TAG [IF NOT EXISTS] x
+  *     [AS OF VERSION n]` / `DROP BRANCH|TAG [IF EXISTS] x`
   *
   * Parsed here into [[GraftAlterTableStatement]] (executed during analysis
   * by the same hints-batch rule as every other graft DML — the statement
@@ -55,6 +57,15 @@ final case class AddPartitionFieldOp(spec: String,
 final case class DropPartitionFieldOp(spec: String) extends GraftAlterOp
 final case class WriteOrderedByOp(cols: Seq[String]) extends GraftAlterOp
 case object WriteUnorderedOp extends GraftAlterOp
+/** `ALTER TABLE t CREATE BRANCH|TAG [IF NOT EXISTS] x [AS OF VERSION n]`
+  * — the Iceberg SQL ref spellings, routed to the existing branch/tag
+  * API (the CALL create_branch/create_tag surface stays).
+  */
+final case class CreateRefOp(isBranch: Boolean, name: String,
+                             version: Option[Long],
+                             ifNotExists: Boolean) extends GraftAlterOp
+final case class DropRefOp(isBranch: Boolean, name: String,
+                           ifExists: Boolean) extends GraftAlterOp
 
 /** Unresolved carrier for a parsed graft ALTER statement; the hints-batch
   * rule executes it and substitutes an empty relation. Never resolved —
@@ -78,6 +89,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val UnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  private val CreateRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val DropRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
 
   private[graft] def parseGraftStatement(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
@@ -100,6 +115,14 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t), WriteOrderedByOp(cols)))
       case UnorderedRe(t) =>
         Some(GraftAlterTableStatement(ident(t), WriteUnorderedOp))
+      case CreateRefRe(t, kind, ine, name, ver) =>
+        Some(GraftAlterTableStatement(ident(t),
+          CreateRefOp(kind.equalsIgnoreCase("branch"), name,
+            Option(ver).map(_.toLong), ifNotExists = ine != null)))
+      case DropRefRe(t, kind, ie, name) =>
+        Some(GraftAlterTableStatement(ident(t),
+          DropRefOp(kind.equalsIgnoreCase("branch"), name,
+            ifExists = ie != null)))
       case _ => None
     }
   }

@@ -2279,7 +2279,7 @@ object SparkEntry {
     // equals the raw-table filter
     "q97_transform_prune" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS price_cents
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
 

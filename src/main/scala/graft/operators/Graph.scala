@@ -61,9 +61,14 @@ object Graph {
       println(f"[cc] $name: ${(now - tPhase) / 1e9}%.1fs")
       tPhase = now
     }
-    val e = if (contractOn && e0.schema.fields.forall(
-        _.dataType == org.apache.spark.sql.types.LongType))
-      localSpanningForest(e0) else e0
+    val longIds = e0.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    // null endpoints: the typed contraction encoder would NPE on them,
+    // where the un-contracted path's `a =!= b` filter silently drops
+    // them — drop them explicitly first, preserving that semantics
+    val e = if (contractOn && longIds)
+      localSpanningForest(e0.filter(col("a").isNotNull && col("b").isNotNull))
+    else e0
     var compEdges = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .filter(col("a") =!= col("b"))
       .distinct()
@@ -125,8 +130,16 @@ object Graph {
               .withColumnRenamed("m", s"__m_$c"), Seq(c), "left")
             .withColumn(c, coalesce(col(s"__m_$c"), col(c)))
             .drop(s"__m_$c")
-        compEdges = remap(remap(compEdges, "a"), "b")
+        val remapped = remap(remap(compEdges, "a"), "b")
           .filter(col("a") =!= col("b"))
+        // RE-contract each round (r8): remapping can re-densify the edge
+        // set (many nodes collapsing onto one representative turn a
+        // sparse forest back into a star-burst of parallel paths on
+        // pathological chain graphs) — the same map-side union-find
+        // bounds it back to ≤(nodes-1) edges per partition before the
+        // distinct() shuffle, so intermediate edge volume stays O(V).
+        compEdges = (if (contractOn && longIds) localSpanningForest(remapped)
+          else remapped)
           .distinct()
           .localCheckpoint(true)
         phase(s"round$it-remap")

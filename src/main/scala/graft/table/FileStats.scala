@@ -24,7 +24,8 @@ final case class ColBounds(min: String, max: String)
   */
 final case class CollectedStats(bounds: Map[String, ColBounds],
                                 nulls: Map[String, Long],
-                                rows: Long)
+                                rows: Long,
+                                bytes: Long = -1L)
 
 /** Collects per-file column min/max from parquet FOOTERS — no data read;
   * one footer fetch per freshly-written file at commit time. Columns are
@@ -113,7 +114,13 @@ object FileStats {
           name -> ColBounds(encode(mn), encode(mx))
         }.toMap,
         nullAcc.collect { case (name, Some(n)) => name -> n }.toMap,
-        rows)
+        rows,
+        // recorded in the manifest (Iceberg's file_size_in_bytes analog)
+        // so planning — byte-based stream admission, compaction targets —
+        // never stats the filesystem per file
+        try java.nio.file.Files.size(file) catch {
+          case scala.util.control.NonFatal(_) => -1L
+        })
     } finally reader.close()
   }
 

@@ -32,20 +32,75 @@ import org.apache.spark.sql.types._
   * accepted and documented here (Iceberg's own changelog reads
   * net-diff via row hashes too).
   *
-  * Inputs are re-read once more than plain `exceptAll` (counts + semi
-  * join) — reads of columnar files scale linearly and prune nothing
-  * here anyway, while the avoided full-row shuffle is the 100 TB
-  * bottleneck. Types the hash functions reject (maps, and anything
-  * containing them) fall back to plain `exceptAll`.
+  * MAP columns: Spark 4 refuses BOTH hashing and set operations on
+  * MapType (`UNSUPPORTED_FEATURE.SET_OPERATION_ON_MAP_TYPE`), so there
+  * is no `exceptAll` to fall back to. Instead every map is CANONICALIZED
+  * to `array_sort(map_entries(m))` (recursively — maps nested in
+  * structs/arrays/values too) before the diff and rebuilt with
+  * `map_from_entries` on the way out. Sorted-entry equality IS map
+  * equality (Spark maps carry unique keys), so the diff stays exact.
+  * VARIANT has no equality at all — refused loudly.
   */
 object NetDiff {
 
-  private def hashable(dt: DataType): Boolean = dt match {
-    case _: MapType => false
-    case s: StructType => s.fields.forall(f => hashable(f.dataType))
-    case a: ArrayType => hashable(a.elementType)
-    case _: VariantType => false
-    case _ => true
+  /** Does this type contain a map anywhere (needs the canonical twin)? */
+  private def hasMap(dt: DataType): Boolean = dt match {
+    case _: MapType    => true
+    case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: ArrayType  => hasMap(a.elementType)
+    case _             => false
+  }
+
+  private def hasVariant(dt: DataType): Boolean = dt match {
+    case _: VariantType => true
+    case m: MapType     => hasVariant(m.keyType) || hasVariant(m.valueType)
+    case s: StructType  => s.fields.exists(f => hasVariant(f.dataType))
+    case a: ArrayType   => hasVariant(a.elementType)
+    case _              => false
+  }
+
+  /** map<k,v> → array<struct<key,value>> (entry-sorted), recursively. */
+  private def canonType(dt: DataType): DataType = dt match {
+    case m: MapType =>
+      ArrayType(
+        StructType(Seq(
+          StructField("key", canonType(m.keyType), nullable = false),
+          StructField("value", canonType(m.valueType), m.valueContainsNull))),
+        containsNull = false)
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = canonType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = canonType(a.elementType))
+    case other        => other
+  }
+
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case m: MapType =>
+      array_sort(transform(map_entries(c), e =>
+        struct(
+          canon(e.getField("key"), m.keyType).as("key"),
+          canon(e.getField("value"), m.valueType).as("value"))))
+    case s: StructType if hasMap(s) =>
+      when(c.isNull, lit(null).cast(canonType(s))).otherwise(
+        struct(s.fields.toSeq.map(f =>
+          canon(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case a: ArrayType if hasMap(a.elementType) =>
+      transform(c, e => canon(e, a.elementType))
+    case _ => c
+  }
+
+  private def restore(c: Column, dt: DataType): Column = dt match {
+    case m: MapType =>
+      map_from_entries(transform(c, e =>
+        struct(
+          restore(e.getField("key"), m.keyType).as("key"),
+          restore(e.getField("value"), m.valueType).as("value"))))
+    case s: StructType if hasMap(s) =>
+      when(c.isNull, lit(null).cast(dt)).otherwise(
+        struct(s.fields.toSeq.map(f =>
+          restore(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case a: ArrayType if hasMap(a.elementType) =>
+      transform(c, e => restore(e, a.elementType))
+    case _ => c
   }
 
   /** (after \ before, before \ after), multiset semantics — exactly
@@ -54,8 +109,27 @@ object NetDiff {
     * (same columns, same order), as exceptAll requires.
     */
   def diff(before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
-    if (!before.schema.fields.forall(f => hashable(f.dataType)))
-      return (after.exceptAll(before), before.exceptAll(after))
+    val schema = before.schema
+    val variantCols = schema.fields.filter(f => hasVariant(f.dataType))
+    require(variantCols.isEmpty,
+      s"NetDiff: column(s) ${variantCols.map(_.name).mkString(", ")} contain " +
+        "VARIANT, which defines no equality — a row diff over them is " +
+        "meaningless. Project them away (or cast to a comparable type) first.")
+    if (schema.fields.exists(f => hasMap(f.dataType))) {
+      def canonDf(df: DataFrame): DataFrame =
+        df.select(schema.fields.toSeq.map(f =>
+          canon(col(f.name), f.dataType).as(f.name)): _*)
+      val (ins, del) = diffHashable(canonDf(before), canonDf(after))
+      def restoreDf(df: DataFrame): DataFrame =
+        df.select(schema.fields.toSeq.map(f =>
+          restore(col(f.name), f.dataType).as(f.name)): _*)
+      (restoreDf(ins), restoreDf(del))
+    } else diffHashable(before, after)
+  }
+
+  /** The fingerprint pre-pass proper; callers guarantee map-free inputs. */
+  private def diffHashable(
+      before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
     val outCols = before.columns.toSeq
     val fp1 = "_graft_fp1"
     val fp2 = "_graft_fp2"

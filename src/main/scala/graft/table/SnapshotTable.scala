@@ -65,7 +65,8 @@ final case class FileEntry(path: String, partition: Map[String, String],
                            seq: Long = 0L,
                            stats: Map[String, ColBounds] = Map.empty,
                            nulls: Map[String, Long] = Map.empty,
-                           rows: Long = -1L)
+                           rows: Long = -1L,
+                           bytes: Long = -1L)
 
 object FileEntry {
   /** Legacy sequence number: parse the commit version out of a
@@ -631,7 +632,7 @@ final class SnapshotTable(val root: Path,
         val newData = dataStats.map { case (p, cs) =>
           FileEntry(root.relativize(p).toString,
             partitionOf(root.relativize(p).toString, m.partitionColumns), v,
-            cs.bounds, cs.nulls, cs.rows)
+            cs.bounds, cs.nulls, cs.rows, cs.bytes)
         }
         val entries = delWritten.map { p =>
           DeleteEntry(root.relativize(p).toString, v,
@@ -824,14 +825,29 @@ final class SnapshotTable(val root: Path,
     val schema = StructType.fromDDL(m.schemaDdl)
     val field = schema.fields.find(_.name.equalsIgnoreCase(name))
       .getOrElse(return None)
-    field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType => ()
-      case _ => return None
-    }
+    if (!witnessableType(field.dataType)) return None
+    witnessedExtremes(m, m.files, field).map(acc => (field.dataType, acc))
+  }
+
+  /** Types whose footer stats are exact witnessed values (see
+    * [[columnMinMax]] — float/NaN and string truncation exclusions).
+    */
+  private def witnessableType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Exact (min, max) witnessed over `files`: outer None = some file's
+    * extreme is unknowable (decline wholesale); Some(None) = every row
+    * NULL / no rows (SQL min/max = NULL).
+    */
+  private def witnessedExtremes(m: Manifest, files: Iterable[FileEntry],
+      field: StructField)
+      : Option[Option[(StatsPruning.Bound, StatsPruning.Bound)]] = {
     val chains = evoChains(m)
     var acc: Option[(StatsPruning.Bound, StatsPruning.Bound)] = None
-    for (f <- m.files) {
+    for (f <- files) {
       if (f.rows != 0L) {
         if (f.rows < 0L) return None // legacy: could be empty OR populated
         val phys = physAt(chains, field.name, field.dataType, f.seq)._1
@@ -871,7 +887,7 @@ final class SnapshotTable(val root: Path,
         }
       }
     }
-    Some((field.dataType, acc))
+    Some(acc)
   }
 
   /** Metadata-only COUNT(*) under a PARTITION-COLUMN predicate: every
@@ -887,7 +903,44 @@ final class SnapshotTable(val root: Path,
     * references the returned columns and is deterministic.
     */
   def partitionFilteredCount(spark: SparkSession, refs: Seq[String],
-                             cond: Column): Option[Long] = {
+                             cond: Column): Option[Long] =
+    matchingFiles(spark, refs, cond).flatMap { fs =>
+      if (fs.exists(_.rows < 0L)) None // legacy file: row count unknown
+      else Some(fs.map(_.rows).sum)
+    }
+
+  /** Metadata-only MIN/MAX under a PARTITION-COLUMN predicate: the
+    * [[columnMinMax]] witnessed-extreme rules applied to exactly the
+    * files whose partition tuple satisfies the predicate (the
+    * [[matchingFiles]] census — chunk-skipped candidates, then exact
+    * tuple evaluation). None = fall through to a scan; `Some((dt,
+    * None))` = no matching rows / all NULL (SQL min/max = NULL).
+    */
+  def partitionFilteredMinMax(spark: SparkSession, refs: Seq[String],
+      cond: Column, name: String)
+      : Option[(DataType, Option[(StatsPruning.Bound, StatsPruning.Bound)])] = {
+    val m = currentManifest
+    if (m.deleteFiles.nonEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(return None)
+    if (!witnessableType(field.dataType)) return None
+    matchingFiles(spark, refs, cond).flatMap(fs =>
+      witnessedExtremes(m, fs, field).map(acc => (field.dataType, acc)))
+  }
+
+  /** Live files whose identity-partition tuple SATISFIES `cond` — the
+    * shared census under metadata-only filtered aggregates. Candidates
+    * come from [[selectFiles]] (sound pruning: an excluded file provably
+    * holds no matching row, so chunk point-skips apply); survivors'
+    * tuples are then evaluated EXACTLY through a tiny driver-built
+    * DataFrame so Spark's own comparison/coercion semantics decide,
+    * never a re-implementation. None unless every candidate carries all
+    * referenced partition keys with decodable values and no deletes are
+    * pending.
+    */
+  private def matchingFiles(spark: SparkSession, refs: Seq[String],
+                            cond: Column): Option[Seq[FileEntry]] = {
     val m = currentManifest
     if (m.deleteFiles.nonEmpty) return None
     val schema = StructType.fromDDL(m.schemaDdl)
@@ -917,8 +970,15 @@ final class SnapshotTable(val root: Path,
           Some(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
         case _ => None
       } catch { case _: RuntimeException => None }
-    val rows = m.files.map { f =>
-      if (f.rows < 0L) return None
+    // Candidate census via selectFiles, NOT m.files: on a chunked
+    // manifest that path point-skips whole chunk documents (bucket hash +
+    // rollup bounds) without parsing them. Pruning is SOUND — an excluded
+    // file provably holds no matching row — which keeps the filtered
+    // aggregates exact while planning O(touched docs). Survivors still
+    // evaluate `cond` exactly below; any survivor where a referenced
+    // column is data (pre-evolution) falls through to a real scan.
+    val candidates = selectFiles(m, cond)
+    val rows = candidates.zipWithIndex.map { case (f, i) =>
       val vs = fields.map { fd =>
         f.partition.collectFirst {
           case (k, v) if k.equalsIgnoreCase(fd.name) => v
@@ -927,16 +987,16 @@ final class SnapshotTable(val root: Path,
           case Some(pv) => decodeExternal(fd.dataType, pv).getOrElse(return None)
         }
       }
-      org.apache.spark.sql.Row.fromSeq(vs :+ java.lang.Long.valueOf(f.rows))
+      org.apache.spark.sql.Row.fromSeq(vs :+ java.lang.Integer.valueOf(i))
     }
     val tinySchema = StructType(fields.map(fd =>
       StructField(fd.name, fd.dataType)) :+
-      StructField("_graft_rows", LongType, nullable = false))
-    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+      StructField("_graft_idx", IntegerType, nullable = false))
     val df = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), tinySchema)
-    Some(df.filter(cond)
-      .agg(coalesce(sum("_graft_rows"), lit(0L))).head.getLong(0))
+    val keep = df.filter(cond).select("_graft_idx")
+      .collect().map(_.getInt(0)).toSet
+    Some(candidates.zipWithIndex.collect { case (f, i) if keep(i) => f })
   }
 
   /** Null count of a column within one file: a partition column's count
@@ -1190,7 +1250,9 @@ final class SnapshotTable(val root: Path,
       val p = Paths.get(rootStr, f.path)
       (p.toString,
         f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-        if (Files.exists(p)) Files.size(p) else -1L,
+        // recorded at commit; legacy entries (bytes absent) stat live
+        if (f.bytes >= 0) f.bytes
+        else if (Files.exists(p)) Files.size(p) else -1L,
         f.rows)
     }
     val cols = Seq("file_path", "partition", "file_size_bytes", "record_count")
@@ -1209,6 +1271,48 @@ final class SnapshotTable(val root: Path,
         else chunkDf.unionByName(fl.inline.map(rowOf(_, rootStr)).toDF(cols: _*))
       case s =>
         s.map(rowOf(_, rootStr)).toDF(cols: _*)
+    }
+  }
+
+  /** Distinct hive-rendered partition strings whose FileEntry partition
+    * MAP satisfies `wanted` (keys case-insensitive, values exact) — the
+    * SHOW PARTITIONS [PARTITION(spec)] answer. Filtering happens on the
+    * maps themselves, never by re-parsing the rendered display string:
+    * a partition VALUE containing '/' or '=' renders ambiguously, and a
+    * split-based re-parse would silently match nothing (r7 ADVICE).
+    * Distributed over chunk documents like [[files]].
+    */
+  private[graft] def partitionStringsMatching(spark: SparkSession,
+      wanted: Map[String, String]): Seq[String] = {
+    import spark.implicits._
+    def keep(p: Map[String, String]): Boolean =
+      wanted.forall { case (k, v) =>
+        p.collectFirst { case (fk, fv) if fk.equalsIgnoreCase(k) => fv }
+          .contains(v)
+      }
+    def render(p: Map[String, String]): String =
+      p.map { case (k, v) => s"$k=$v" }.mkString("/")
+    currentManifest.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        val metaStr = metaDir.toString
+        val names = fl.chunks.map(_.name)
+        val wantedB = wanted // stable capture for the closure
+        val fromChunks = spark.createDataset(names)
+          .repartition(math.min(names.size, 32))
+          .flatMap { name =>
+            ManifestJson.readChunkEntries(Paths.get(metaStr, name))
+              .collect { case f if wantedB.forall { case (k, v) =>
+                f.partition.collectFirst {
+                  case (fk, fv) if fk.equalsIgnoreCase(k) => fv
+                }.contains(v) } => render(f.partition) }
+          }
+          .distinct().collect().toSeq
+        (fromChunks ++
+          fl.inline.collect { case f if keep(f.partition) =>
+            render(f.partition) }).distinct
+      case s =>
+        s.collect { case f if keep(f.partition) => render(f.partition) }
+          .distinct
     }
   }
 
@@ -1322,6 +1426,21 @@ final class SnapshotTable(val root: Path,
     */
   def fileCount(version: Long): Int = manifest(version).files.size
 
+  /** Per-file byte sizes of snapshot `version` in the same stable path
+    * order [[readFileSlice]] slices — the byte-based stream-admission
+    * input. Sizes recorded at commit (`FileEntry.bytes`) answer from
+    * metadata alone; legacy entries (pre-bytes manifests) stat the
+    * filesystem once, 0 when missing (conservative: admits more).
+    */
+  def fileSizesInPathOrder(version: Long): IndexedSeq[Long] =
+    manifest(version).files.toSeq.sortBy(_.path).map { f =>
+      if (f.bytes >= 0) f.bytes
+      else {
+        val p = root.resolve(f.path)
+        if (Files.exists(p)) Files.size(p) else 0L
+      }
+    }.toIndexedSeq
+
   /** Row-level CHANGELOG between two snapshots (Iceberg
     * `create_changelog_view` / Delta CDF analog): every row the span
     * inserted or deleted, tagged `_change_type` ('insert' | 'delete' —
@@ -1358,6 +1477,37 @@ final class SnapshotTable(val root: Path,
     * unique per snapshot; a delete and an insert sharing a key within
     * one step pair into an update's pre/post images.
     */
+  /** Retained MAIN-lineage ancestor versions of `cap` strictly above
+    * `floor`, ascending — the same parent-chain walk [[readChangelog]]
+    * uses. Versions share ONE sequence across branches, so slicing the
+    * flat retained-version list can land on a branch snapshot; a
+    * throttled stream endpoint must never do that (r7 ADVICE — it would
+    * diff across lineages). The walk stops at an expired (unretained)
+    * parent: the versions above the gap are still valid endpoints, and
+    * the span below nets against the caller's own floor.
+    */
+  private[graft] def lineageVersionsBetween(floor: Long, cap: Long): Seq[Long] = {
+    if (cap <= floor) return Nil
+    val retainedSorted = manifestVersions.sorted
+    val retained = retainedSorted.toSet
+    if (!retained.contains(cap)) return Nil
+    def parentOf(m: Manifest): Long = m.parent match {
+      case -1L => retainedSorted.takeWhile(_ < m.version).lastOption
+        .getOrElse(0L)
+      case p => p
+    }
+    var chain = List.empty[Long]
+    var v = cap
+    var walking = true
+    while (walking && v > floor) {
+      chain = v :: chain
+      val p = parentOf(manifest(v))
+      if (p <= floor || !retained(p)) walking = false
+      else v = p
+    }
+    chain
+  }
+
   def readChangelog(spark: SparkSession, fromVersion: Long,
                     toVersion: Long,
                     keys: Seq[String] = Nil): DataFrame = {
@@ -2809,7 +2959,7 @@ final class SnapshotTable(val root: Path,
       val newData = dataStats.map { case (p, cs) =>
         FileEntry(root.relativize(p).toString,
           partitionOf(root.relativize(p).toString, m.partitionColumns), v,
-          cs.bounds, cs.nulls, cs.rows)
+          cs.bounds, cs.nulls, cs.rows, cs.bytes)
       }
       val newDeletes = delStats.map { case (p, cs) =>
         val rel = root.relativize(p).toString
@@ -3621,7 +3771,8 @@ final class SnapshotTable(val root: Path,
         }
       val entries = statsByPath.map { case (p, cs) =>
         val rel = root.relativize(p).toString
-        FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls, cs.rows)
+        FileEntry(rel, partitionOf(rel, pcols), v, cs.bounds, cs.nulls,
+          cs.rows, cs.bytes)
       }
       val allFiles: Seq[FileEntry] = carriedChunkInfo match {
         case Some((chunks, nB)) if chunks.nonEmpty =>
@@ -3749,8 +3900,9 @@ private[graft] object ManifestJson {
       else f.nulls.toSeq.sortBy(_._1).map { case (k, n) => s"${q(k)}:$n" }
         .mkString(""","nulls":{""", ",", "}")
     val rowsPart = if (f.rows >= 0) s""","rows":${f.rows}""" else ""
+    val bytesPart = if (f.bytes >= 0) s""","bytes":${f.bytes}""" else ""
     s"""{"path":${q(f.path)},"partition":${obj(f.partition)},"seq":${f.seq}""" +
-      s"""$statsPart$nullsPart$rowsPart}"""
+      s"""$statsPart$nullsPart$rowsPart$bytesPart}"""
   }
 
   private def fileArr(files: Seq[FileEntry]): String =
@@ -3965,7 +4117,9 @@ private[graft] object ManifestJson {
           .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) =>
             k -> v.asInstanceOf[Double].toLong })
           .getOrElse(Map.empty),
-        rows = fm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L))
+        rows = fm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L),
+        bytes = fm.get("bytes").map(_.asInstanceOf[Double].toLong)
+          .getOrElse(-1L))
     }
 
   /** Chunk documents a manifest references (Nil for inline manifests or

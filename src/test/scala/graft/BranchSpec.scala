@@ -137,4 +137,38 @@ class BranchSpec extends SparkSpec {
     assert(t.read(spark).count() == 20 &&
       t.read(spark).filter(col("s") === "u").count() == 2)
   }
+
+  test("Iceberg ref DDL: CREATE/DROP BRANCH|TAG [AS OF VERSION n]") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-refddl-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 10).map(i => (i.toLong, "a")).toDF("id", "s")) // v1
+    t.append(spark, Seq((11L, "b")).toDF("id", "s"))                      // v2
+    spark.sql(s"ALTER TABLE graft.`$root` CREATE TAG pin AS OF VERSION 1")
+    spark.sql(s"ALTER TABLE graft.`$root` CREATE BRANCH dev")
+    assert(t.tags == Map("pin" -> 1L))
+    assert(t.branches == Map("dev" -> 2L))
+    // the created refs serve reads / branch writes like API-made ones
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$root@pin`")
+      .head.getLong(0) == 10L)
+    spark.sql(s"INSERT INTO graft.`$root@dev` VALUES (12, 'c')")
+    assert(t.atBranch("dev").read(spark).count() == 12 &&
+      t.read(spark).count() == 11)
+    // duplicate: loud without IF NOT EXISTS; no-op (ref unmoved) with it
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$root` CREATE TAG pin"))
+    spark.sql(
+      s"ALTER TABLE graft.`$root` CREATE TAG IF NOT EXISTS pin AS OF VERSION 2")
+    assert(t.tags("pin") == 1L, "IF NOT EXISTS must never move a ref")
+    // drops: loud on a missing name, silent with IF EXISTS; DROP TAG on
+    // a branch name must not delete the branch (kinds are distinct refs)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH nope"))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH IF EXISTS nope")
+    intercept[Exception](spark.sql(s"ALTER TABLE graft.`$root` DROP TAG dev"))
+    assert(t.branches.contains("dev"), "kind-mismatched drop must not fire")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP TAG pin")
+    spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH dev")
+    assert(t.tags.isEmpty && t.branches.isEmpty)
+  }
 }

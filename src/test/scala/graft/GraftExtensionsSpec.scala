@@ -709,6 +709,50 @@ class GraftExtensionsSpec extends SparkSpec {
       "WHERE p = CAST(rand() * 4 AS INT)"))
   }
 
+  test("partition-predicate min/max answers witnessed extremes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-metapm-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 120).map(i => (i.toLong, i % 4))
+      .toDF("id", "p"), Seq("p"))
+    def leaves(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+    def isMeta(sql: String) = leaves(sql).forall(l =>
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // data-column extremes under a partition predicate: witnessed from
+    // the matching files' footer stats, with scan-parity asserted
+    val q1 = s"SELECT min(id) AS lo, max(id) AS hi, count(*) AS n " +
+      s"FROM graft.`$root` WHERE p = 2"
+    assert(isMeta(q1), "filtered min/max: metadata path")
+    val r1 = spark.sql(q1).head
+    val ref = t.read(spark).filter("p = 2")
+      .agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).head
+    assert(r1.getLong(0) == ref.getLong(0) && r1.getLong(1) == ref.getLong(1)
+      && r1.getLong(2) == ref.getLong(2), s"scan parity: $r1 vs $ref")
+    // the partition column's own extremes under IN
+    val q2 = s"SELECT max(p) AS m FROM graft.`$root` WHERE p IN (0, 1)"
+    assert(isMeta(q2) && spark.sql(q2).head.getInt(0) == 1)
+    // zero matching partitions: SQL NULL min, zero count
+    val q3 = s"SELECT min(id) AS m, count(*) AS n FROM graft.`$root` " +
+      "WHERE p = 99"
+    assert(isMeta(q3))
+    val r3 = spark.sql(q3).head
+    assert(r3.isNullAt(0) && r3.getLong(1) == 0L)
+    // predicates over data columns still fall through to the scan
+    val q4 = s"SELECT max(id) AS m FROM graft.`$root` WHERE id < 50"
+    assert(!isMeta(q4) && spark.sql(q4).head.getLong(0) == 49L)
+    // pending deletes decline (a masked row could hold the extreme)
+    t.mergeMoR(spark, Seq((118L, 2, "D")).toDF("id", "p", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(!isMeta(q1))
+    assert(spark.sql(q1).head.getLong(1) == 114L,
+      "fall-through must answer from the delete-resolved view")
+  }
+
   test("standard SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
     val base = spark
     import base.implicits._

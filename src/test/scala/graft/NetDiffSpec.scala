@@ -64,14 +64,46 @@ class NetDiffSpec extends SparkSpec {
     assert(ins.isEmpty && del.isEmpty)
   }
 
-  test("map columns fall back to plain exceptAll") {
-    val before = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+  test("map columns diff via sorted-entry canonicalization") {
+    // Spark 4 refuses set ops AND hashing on MapType outright, so there
+    // is no exceptAll reference to compare against — the diff must
+    // canonicalize maps itself and restore them on output.
+    val before = Seq((1L, Map("a" -> 1, "b" -> 2)), (2L, Map("b" -> 2)))
       .toDF("k", "m")
-    val after = Seq((1L, Map("a" -> 1)), (3L, Map("c" -> 3)))
+    // same entries, opposite insertion order: MUST compare equal
+    val after = Seq((1L, Map("b" -> 2, "a" -> 1)), (3L, Map("c" -> 3)))
       .toDF("k", "m")
     val (ins, del) = NetDiff.diff(before, after)
     assert(ins.count() == 1 && del.count() == 1)
     assert(ins.select("k").as[Long].head() == 3L)
     assert(del.select("k").as[Long].head() == 2L)
+    // output schema restores the MAP type and its values
+    assert(ins.schema("m").dataType.typeName == "map")
+    assert(ins.select("m").as[Map[String, Int]].head() == Map("c" -> 3))
+  }
+
+  test("maps nested in structs and arrays, and null maps, diff exactly") {
+    val before = Seq(
+      (1L, Some(Map("x" -> 10L)), Seq(Map("p" -> 1))),
+      (2L, None, Seq.empty[Map[String, Int]]),
+      (3L, Some(Map("y" -> 30L)), Seq(Map("q" -> 2), Map("r" -> 3))))
+      .toDF("k", "m", "arr")
+      .withColumn("nested", struct(col("k").as("id"), col("m").as("inner")))
+    val changed = before.withColumn("m",
+      when(col("k") === 3, map(lit("y"), lit(31L))).otherwise(col("m")))
+      .withColumn("nested", struct(col("k").as("id"), col("m").as("inner")))
+    val (ins, del) = NetDiff.diff(before, changed)
+    assert(ins.count() == 1 && del.count() == 1)
+    assert(ins.select("k").as[Long].head() == 3L)
+    // identical sides (incl. null map + empty array) produce empty diffs
+    val (i2, d2) = NetDiff.diff(before, before)
+    assert(i2.isEmpty && d2.isEmpty)
+  }
+
+  test("variant columns are refused loudly") {
+    val df = Seq((1L, """{"a":1}""")).toDF("k", "j")
+      .select(col("k"), parse_json(col("j")).as("v"))
+    val e = intercept[IllegalArgumentException](NetDiff.diff(df, df))
+    assert(e.getMessage.contains("VARIANT"))
   }
 }

@@ -16,6 +16,26 @@ def norm(v):
         return f"{v:.6g}"
     return str(v)
 
+# Deliberate cross-engine equivalences ONLY — calibrated against what the
+# driver's hasher actually tolerates (r1-r7 evidence): machine-int widths
+# collapse (q31/q32/q46/q54/q66 ship Spark INTEGER vs DuckDB BIGINT and
+# have always hash-matched — both convert to the same Python int), and
+# timestamp/VARCHAR spellings collapse. HUGEINT does NOT collapse: DuckDB's
+# int128 SUM result leaves the machine-int domain in the arrow/pandas
+# conversion and broke q97's hash in r7 while being value-identical.
+import re
+def norm_type(t):
+    t = t.upper()
+    t = re.sub(r"TIMESTAMP(_NS|_MS|_S)?( WITH TIME ZONE)?", "TIMESTAMP", t)
+    t = re.sub(r"\b(STRING|TEXT)\b", "VARCHAR", t)
+    t = re.sub(r"\bREAL\b", "FLOAT", t)
+    t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER)\b", "BIGINT", t)
+    return t
+
+def coltypes(con, query):
+    rows = con.execute(f"DESCRIBE {query}").fetchall()
+    return {r[0]: norm_type(r[1]) for r in rows}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -37,6 +57,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(exp_cols)}")
             failures += 1
             continue
+        try:
+            got_types = coltypes(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            exp_types = coltypes(con, sql)
+            bad = {c: (got_types.get(c), exp_types.get(c))
+                   for c in got_cols
+                   if got_types.get(c) != exp_types.get(c)}
+            if bad:
+                print(f"FAIL {name}: column TYPES diverge {bad} "
+                      f"(driver hash is type-sensitive)")
+                failures += 1
+                continue
+        except Exception as e:
+            print(f"WARN {name}: type check skipped: {e}")
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
         g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
