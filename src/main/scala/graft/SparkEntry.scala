@@ -1105,6 +1105,112 @@ object SparkEntry {
       df
     }),
 
+    "q101_meta_minmax_filtered" -> ((s, d) => {
+      // FILTERED metadata-aggregate pushdown (r7 verdict #5): a
+      // partition-column predicate decides files wholesale, so COUNT
+      // answers from the matching files' recorded row sums and MIN/MAX
+      // from their witnessed footer extremes — zero data-file reads,
+      // asserted on the optimized plan (every leaf literal/local). A
+      // data-column predicate still falls through to the scan, with
+      // engine parity asserted in-query.
+      val root = Files.createTempDirectory("graft-q101-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders, Seq("o_orderstatus"))
+      val df = s.sql(
+        s"""SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+           |  count(*) AS n
+           |FROM graft.`$root` WHERE o_orderstatus = 'F'""".stripMargin)
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"filtered min/max must answer from metadata, got leaves: $leaves")
+      // fall-through parity: a data-column predicate scans and agrees
+      val scan = s.sql(s"SELECT max(o_orderkey) AS hi FROM graft.`$root` " +
+        "WHERE o_orderkey % 2 = 0")
+      require(scan.queryExecution.optimizedPlan.collectLeaves().exists(l =>
+        !l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] &&
+        !l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "data-column predicate must fall through to the scan")
+      require(scan.head.getLong(0) ==
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .agg(max("o_orderkey")).head.getLong(0),
+        "fall-through extreme must agree with the data")
+      df
+    }),
+
+    "q102_ref_ddl" -> ((s, d) => {
+      // Iceberg REF DDL (r7 verdict #6): CREATE TAG pins v1 against
+      // later commits; CREATE BRANCH + @branch INSERT stages rows
+      // off-main (asserted); DROP BRANCH discards the staging; the tag
+      // read answers v1 byte-identically — the oracle is v1's content.
+      val root = Files.createTempDirectory("graft-q102-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0))
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0))
+      s.sql(s"ALTER TABLE graft.`$root` CREATE TAG asv1 AS OF VERSION 1")
+      s.sql(s"ALTER TABLE graft.`$root` CREATE BRANCH work")
+      orders.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .createOrReplaceTempView("graft_q102_extra")
+      s.sql(s"INSERT INTO graft.`$root@work` SELECT * FROM graft_q102_extra")
+      require(table.read(s).count() == orders.count(),
+        "branch staging must not touch main")
+      require(table.atBranch("work").read(s).count() >
+        orders.count(), "the @branch INSERT must land on the branch head")
+      s.sql(s"ALTER TABLE graft.`$root` DROP BRANCH work")
+      require(table.branches.isEmpty, "DROP BRANCH must remove the ref")
+      s.sql(s"SELECT * FROM graft.`$root@asv1`")
+    }),
+
+    "q103_stream_bytes_admission" -> ((s, d) => {
+      // BYTE-based bootstrap admission (r7 verdict #4): the manifest's
+      // recorded per-file sizes split the pinned snapshot greedily at
+      // maxBytesPerTrigger; the expected batch count is recomputed
+      // in-query from those sizes and pinned, and the streamed union is
+      // exactly-once = orders (the oracle).
+      val root = Files.createTempDirectory("graft-q103-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.repartition(8))
+      val sizes = table.fileSizesInPathOrder(table.currentVersion)
+      require(sizes.forall(_ > 0), "commit must record file bytes")
+      val cap = sizes.max // a few files per batch, the largest alone
+      var expected = 0
+      var i = 0
+      while (i < sizes.size) { // same greedy rule as the source
+        var acc = 0L
+        var first = true
+        while (i < sizes.size && (first || acc + sizes(i) <= cap)) {
+          acc += sizes(i); first = false; i += 1
+        }
+        expected += 1
+      }
+      val ckpt = Files.createTempDirectory("graft-q103-ckpt-").toString
+      val out = Files.createTempDirectory("graft-q103-out-").toString
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("graft-table")
+        .option("startVersion", "0")
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (b.count() > 0) seen.incrementAndGet()
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(seen.get() == expected,
+        s"byte-greedy split must plan $expected batches, saw ${seen.get()}")
+      require(expected >= 2, "the cap must actually split the bootstrap")
+      s.read.parquet(out)
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2240,6 +2346,25 @@ object SparkEntry {
 
     // the metadata count must equal the real count
     "q98_meta_count" -> "SELECT count(*) AS n FROM orders",
+
+    // filtered metadata aggregates = the real filtered aggregates
+    // (min/max of BIGINT stay BIGINT in both engines; no HUGEINT sum)
+    "q101_meta_minmax_filtered" ->
+      """SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  count(*) AS n
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // the tag pinned at v1 serves exactly v1's content (even-key half)
+    "q102_ref_ddl" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // the byte-split bootstrap re-assembles the full table exactly once
+    "q103_stream_bytes_admission" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     // live partitions = the distinct partition values of the data
     "q100_show_partitions" ->

@@ -1426,6 +1426,12 @@ final class SnapshotTable(val root: Path,
     */
   def fileCount(version: Long): Int = manifest(version).files.size
 
+  /** A file's byte size: recorded at commit (manifest metadata, the
+    * 100 TB path) or one live stat for legacy entries.
+    */
+  private def sizeOf(f: FileEntry): Long =
+    if (f.bytes >= 0) f.bytes else Files.size(root.resolve(f.path))
+
   /** Per-file byte sizes of snapshot `version` in the same stable path
     * order [[readFileSlice]] slices — the byte-based stream-admission
     * input. Sizes recorded at commit (`FileEntry.bytes`) answer from
@@ -3019,8 +3025,7 @@ final class SnapshotTable(val root: Path,
     val ratio = deleteRatio
       .orElse(m.properties.get(DeleteRatioProp).map(_.toDouble))
       .getOrElse(0.0)
-    val sizes = m.files.map(f =>
-      f.path -> Files.size(root.resolve(f.path))).toMap
+    val sizes = m.files.map(f => f.path -> sizeOf(f)).toMap
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     // delete pressure: masked rows ÷ data rows, unknown counts (legacy
     // manifests, -1) conservatively select. A delete's rows count against
@@ -3112,8 +3117,7 @@ final class SnapshotTable(val root: Path,
                                     forceDropDeletes: Set[String] = Set.empty)
       : Manifest = {
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
-    val sizes = rewrite.map(f =>
-      f.path -> Files.size(root.resolve(f.path))).toMap
+    val sizes = rewrite.map(f => f.path -> sizeOf(f)).toMap
     // the rewrite set is whole partition GROUPS, so the carried remainder
     // splits chunk-aware: untouched partitions' chunk documents ride into
     // the new manifest by reference (the entries were already loaded for
@@ -3232,7 +3236,7 @@ final class SnapshotTable(val root: Path,
       !m.partitionColumns.exists(_.equalsIgnoreCase(c)),
       s"$c is a partition column — it already prunes via partition " +
         "values; z-order the non-partition dimensions"))
-    val totalBytes = m.files.map(f => Files.size(root.resolve(f.path))).sum
+    val totalBytes = m.files.map(sizeOf).sum
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // Partitioned tables z-order WITHIN each partition: range-cluster on
