@@ -1296,16 +1296,11 @@ final class SnapshotTable(val root: Path,
       case fl: FileList if fl.chunks.nonEmpty =>
         val metaStr = metaDir.toString
         val names = fl.chunks.map(_.name)
-        val wantedB = wanted // stable capture for the closure
+        val wantedB = wanted // the task captures ONLY strings + this map
         val fromChunks = spark.createDataset(names)
           .repartition(math.min(names.size, 32))
-          .flatMap { name =>
-            ManifestJson.readChunkEntries(Paths.get(metaStr, name))
-              .collect { case f if wantedB.forall { case (k, v) =>
-                f.partition.collectFirst {
-                  case (fk, fv) if fk.equalsIgnoreCase(k) => fv
-                }.contains(v) } => render(f.partition) }
-          }
+          .flatMap(n =>
+            SnapshotTable.chunkPartitionStrings(metaStr, wantedB, n))
           .distinct().collect().toSeq
         (fromChunks ++
           fl.inline.collect { case f if keep(f.partition) =>
@@ -3814,6 +3809,20 @@ final class SnapshotTable(val root: Path,
 
 object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
+
+  /** Executor-side body of [[SnapshotTable.partitionStringsMatching]]'s
+    * chunk scan — static on purpose: an instance-method closure would
+    * drag the table handle (a non-serializable `Path`) into the task.
+    */
+  private[table] def chunkPartitionStrings(metaDir: String,
+      wanted: Map[String, String], chunkName: String): Seq[String] =
+    ManifestJson.readChunkEntries(Paths.get(metaDir, chunkName))
+      .collect { case f if wanted.forall { case (k, v) =>
+          f.partition.collectFirst {
+            case (fk, fv) if fk.equalsIgnoreCase(k) => fv
+          }.contains(v) } =>
+        f.partition.map { case (k, v) => s"$k=$v" }.mkString("/")
+      }
 
   def at(path: String, publisher: AtomicPublish): SnapshotTable =
     new SnapshotTable(Paths.get(path), publisher)

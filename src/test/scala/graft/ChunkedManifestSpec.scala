@@ -262,6 +262,21 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(n == 10, s"outer-reference collision mis-pruned: got $n of 10")
   }
 
+  test("SHOW PARTITIONS answers from the distributed chunk scan") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-sp-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    assert(tbl.currentManifest.files.asInstanceOf[FileList].chunks.nonEmpty)
+    val root = tbl.root.toString
+    val all = spark.sql(s"SHOW PARTITIONS graft.`$root`")
+      .collect().map(_.getString(0)).toSeq
+    assert(all.size == 64 && all == all.sorted && all.contains("p=7"))
+    // the spec filter matches on the partition MAPS across chunk docs
+    val one = spark.sql(s"SHOW PARTITIONS graft.`$root` PARTITION (p = 7)")
+      .collect().map(_.getString(0)).toSeq
+    assert(one == Seq("p=7"), s"spec filter over chunked docs: $one")
+  }
+
   test("distributed .files metadata scan matches the manifest") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
