@@ -100,6 +100,19 @@ class NetDiffSpec extends SparkSpec {
     assert(i2.isEmpty && d2.isEmpty)
   }
 
+  test("map values may be null; entry order still canonicalizes") {
+    val before = spark.sql(
+      "SELECT 1L AS k, map('a', CAST(NULL AS INT), 'b', 2) AS m " +
+        "UNION ALL SELECT 2L, map('c', 3)")
+    val after = spark.sql(
+      "SELECT 1L AS k, map('b', 2, 'a', CAST(NULL AS INT)) AS m " + // reordered
+        "UNION ALL SELECT 3L, map('d', CAST(NULL AS INT))")
+    val (ins, del) = NetDiff.diff(before, after)
+    assert(ins.count() == 1 && del.count() == 1)
+    assert(ins.select("k").as[Long].head() == 3L)
+    assert(del.select("k").as[Long].head() == 2L)
+  }
+
   test("variant columns are refused loudly") {
     val df = Seq((1L, """{"a":1}""")).toDF("k", "j")
       .select(col("k"), parse_json(col("j")).as("v"))
