@@ -978,6 +978,11 @@ final class SnapshotTable(val root: Path,
     // evaluate `cond` exactly below; any survivor where a referenced
     // column is data (pre-evolution) falls through to a real scan.
     val candidates = selectFiles(m, cond)
+    // driver-heap cap, same bound as the merge census: a near-universal
+    // predicate over a million-file table would otherwise build a
+    // million Rows here — past the cap the scan plan answers instead
+    // (correct either way; this is a plan choice, not a failure)
+    if (candidates.size > SnapshotTable.MaxCensusPartitions) return None
     val rows = candidates.zipWithIndex.map { case (f, i) =>
       val vs = fields.map { fd =>
         f.partition.collectFirst {

@@ -324,20 +324,27 @@ class TableStreamSpec extends SparkSpec {
     assert(expected.size >= 2, "cap must actually split the bootstrap")
     val (ckpt, out) = (tmp("graft-ts-admb-ckpt-"), tmp("graft-ts-admb-out-"))
     val batches = scala.collection.mutable.ArrayBuffer[Long]()
-    val q = spark.readStream.format("graft-table")
-      .option("startVersion", "0")
-      .option("maxBytesPerTrigger", cap.toString)
-      .load(root)
-      .writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        val c = b.count()
-        batches.synchronized { batches += c }
-        b.write.mode("append").parquet(out)
-        ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    def run(trigger: Trigger): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0")
+        .option("maxBytesPerTrigger", cap.toString)
+        .load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val c = b.count()
+          batches.synchronized { batches += c }
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(trigger).start()
+      q.awaitTermination()
+    }
+    // one batch, then a crash-shaped restart: the byte-greedy boundaries
+    // are a pure function of the pinned manifest, so the resumed run
+    // must produce the SAME batch plan with no dupes or gaps
+    run(Trigger.Once())
+    run(Trigger.AvailableNow())
     assert(spark.read.parquet(out).count() == 4080, "exactly-once bootstrap")
     assert(batches.filter(_ > 0).toSeq == expected.toSeq,
       s"byte-greedy batch rows must match the manifest-size plan " +
