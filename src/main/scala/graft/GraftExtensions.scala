@@ -1133,16 +1133,21 @@ private[graft] object GraftSqlDml {
             tbl.setProperties(Map("write.graft.sort-order" -> cols.mkString(",")))
           case WriteUnorderedOp =>
             tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
-          case CreateRefOp(isBranch, name, ver, ifNotExists) =>
+          case CreateRefOp(isBranch, name, ver, ifNotExists, orReplace,
+              replaceOnly) =>
+            val kind = if (isBranch) "branch" else "tag"
             val exists =
               if (isBranch) tbl.branches.contains(name)
               else tbl.tags.contains(name)
-            if (exists && !ifNotExists)
+            if (replaceOnly && !exists)
               throw new IllegalArgumentException(
-                s"${if (isBranch) "branch" else "tag"} '$name' already " +
-                  s"exists on ${g.ident.mkString(".")} (use IF NOT EXISTS, " +
-                  "or CALL fast_forward / drop the ref first)")
-            else if (!exists) {
+                s"no $kind '$name' on ${g.ident.mkString(".")} to replace " +
+                  s"(use CREATE $kind to make one)")
+            if (exists && !orReplace && !ifNotExists)
+              throw new IllegalArgumentException(
+                s"$kind '$name' already exists on ${g.ident.mkString(".")} " +
+                  "(use IF NOT EXISTS, CREATE OR REPLACE, or drop it first)")
+            else if (!exists || orReplace) {
               val v = ver.getOrElse(tbl.currentVersion)
               if (isBranch) tbl.branch(name, v) else tbl.tag(name, v)
             }

@@ -57,13 +57,17 @@ final case class AddPartitionFieldOp(spec: String,
 final case class DropPartitionFieldOp(spec: String) extends GraftAlterOp
 final case class WriteOrderedByOp(cols: Seq[String]) extends GraftAlterOp
 case object WriteUnorderedOp extends GraftAlterOp
-/** `ALTER TABLE t CREATE BRANCH|TAG [IF NOT EXISTS] x [AS OF VERSION n]`
-  * — the Iceberg SQL ref spellings, routed to the existing branch/tag
-  * API (the CALL create_branch/create_tag surface stays).
+/** `ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] x
+  * [AS OF VERSION n]` / `REPLACE BRANCH|TAG x [AS OF VERSION n]` — the
+  * Iceberg SQL ref spellings, routed to the existing branch/tag API
+  * (the CALL create_branch/create_tag surface stays). `orReplace` moves
+  * an existing ref; `replaceOnly` additionally requires it to exist.
   */
 final case class CreateRefOp(isBranch: Boolean, name: String,
                              version: Option[Long],
-                             ifNotExists: Boolean) extends GraftAlterOp
+                             ifNotExists: Boolean,
+                             orReplace: Boolean = false,
+                             replaceOnly: Boolean = false) extends GraftAlterOp
 final case class DropRefOp(isBranch: Boolean, name: String,
                            ifExists: Boolean) extends GraftAlterOp
 
@@ -90,7 +94,9 @@ object GraftSqlParser {
   private val UnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
   private val CreateRefRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(?:(OR\s+REPLACE)\s+)?(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  private val ReplaceRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+(BRANCH|TAG)\s+([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
 
@@ -115,10 +121,18 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t), WriteOrderedByOp(cols)))
       case UnorderedRe(t) =>
         Some(GraftAlterTableStatement(ident(t), WriteUnorderedOp))
-      case CreateRefRe(t, kind, ine, name, ver) =>
+      case CreateRefRe(t, orr, kind, ine, name, ver) =>
+        require(orr == null || ine == null,
+          "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive")
         Some(GraftAlterTableStatement(ident(t),
           CreateRefOp(kind.equalsIgnoreCase("branch"), name,
-            Option(ver).map(_.toLong), ifNotExists = ine != null)))
+            Option(ver).map(_.toLong), ifNotExists = ine != null,
+            orReplace = orr != null)))
+      case ReplaceRefRe(t, kind, name, ver) =>
+        Some(GraftAlterTableStatement(ident(t),
+          CreateRefOp(kind.equalsIgnoreCase("branch"), name,
+            Option(ver).map(_.toLong), ifNotExists = false,
+            orReplace = true, replaceOnly = true)))
       case DropRefRe(t, kind, ie, name) =>
         Some(GraftAlterTableStatement(ident(t),
           DropRefOp(kind.equalsIgnoreCase("branch"), name,

@@ -167,6 +167,16 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH IF EXISTS nope")
     intercept[Exception](spark.sql(s"ALTER TABLE graft.`$root` DROP TAG dev"))
     assert(t.branches.contains("dev"), "kind-mismatched drop must not fire")
+    // OR REPLACE / REPLACE move refs; REPLACE requires existence
+    spark.sql(
+      s"ALTER TABLE graft.`$root` CREATE OR REPLACE TAG pin AS OF VERSION 2")
+    assert(t.tags("pin") == 2L, "CREATE OR REPLACE must move the ref")
+    spark.sql(s"ALTER TABLE graft.`$root` REPLACE TAG pin AS OF VERSION 1")
+    assert(t.tags("pin") == 1L)
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$root` REPLACE BRANCH ghost AS OF VERSION 1"))
+    spark.sql(s"ALTER TABLE graft.`$root` REPLACE BRANCH dev AS OF VERSION 1")
+    assert(t.branches("dev") == 1L, "REPLACE BRANCH must reset the head")
     spark.sql(s"ALTER TABLE graft.`$root` DROP TAG pin")
     spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH dev")
     assert(t.tags.isEmpty && t.branches.isEmpty)
