@@ -46,7 +46,9 @@ object Bench {
       "q89_stream_changelog", "q90_stream_interval_join",
       "q91_sort_order_scan", "q92_cdc_apply", "q94_dynamic_overwrite",
       "q95_cdc_keyed_replication", "q96_sql_partition_ddl",
-      "q97_transform_prune", "q98_meta_count", "q99_sql_branch_wap")
+      "q97_transform_prune", "q98_meta_count", "q99_sql_branch_wap",
+      "q100_show_partitions", "q101_meta_minmax_filtered", "q102_ref_ddl",
+      "q103_stream_bytes_admission")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")
