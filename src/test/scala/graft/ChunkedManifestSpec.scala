@@ -66,6 +66,9 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     val fl = m.files.asInstanceOf[FileList]
     assert(fl.chunks.nonEmpty, "64 files over a threshold of 24 must chunk")
     assert(fl.inline.isEmpty)
+    // recorded byte sizes survive the chunk-document round-trip
+    assert(m.files.forall(_.bytes > 0),
+      "FileEntry.bytes must round-trip through chunk docs")
     val nDocs = fl.chunks.size
 
     // full read is correct (loads everything, as it must)
