@@ -175,7 +175,12 @@ case class GraftPathRelations(session: SparkSession)
     * `main` — unless the session conf `graft.wap.branch` names a branch,
     * in which case every DML commit stages THERE (Iceberg's
     * `spark.wap.branch` write-audit-publish session mode; loud when the
-    * branch doesn't exist on the target). A `@<branch>` suffix stages on
+    * branch doesn't exist on the target), or `graft.wap.id` names a
+    * write-audit-publish id, in which case commits stage on an
+    * auto-created `wap_<id>` branch that READS NEVER SERVE (Iceberg's
+    * `spark.wap.id` semantics: staged snapshots stay invisible until
+    * `CALL publish_changes`) — setting both confs is refused, they are
+    * contradictory audit models. A `@<branch>` suffix stages on
     * that branch explicitly; `@<tag>` and time-travel/metadata suffixes
     * are rejected loudly — tags are immutable and DML can only move a
     * lineage HEAD.
@@ -188,14 +193,24 @@ case class GraftPathRelations(session: SparkSession)
         existingPath(u) match {
           case Some(p) =>
             val tbl = SnapshotTable.at(p)
-            session.conf.getOption("graft.wap.branch")
-              .filter(_.nonEmpty) match {
-              case Some(b) =>
+            val wapBranch = session.conf.getOption("graft.wap.branch")
+              .filter(_.nonEmpty)
+            val wapId = session.conf.getOption("graft.wap.id")
+              .filter(_.nonEmpty)
+            require(wapBranch.isEmpty || wapId.isEmpty,
+              "both graft.wap.branch and graft.wap.id are set — the " +
+                "branch-audit and id-audit modes are mutually exclusive")
+            (wapBranch, wapId) match {
+              case (Some(b), _) =>
                 require(tbl.branches.contains(b),
                   s"graft.wap.branch='$b' but $p has no such branch — " +
                     "CALL graft.system.create_branch first")
                 Some(tbl.atBranch(b))
-              case None => Some(tbl)
+              case (_, Some(id)) =>
+                val b = SnapshotTable.wapBranchName(id)
+                if (!tbl.branches.contains(b)) tbl.branch(b)
+                Some(tbl.atBranch(b))
+              case _ => Some(tbl)
             }
           case None =>
             cands(u).collectFirst {
@@ -724,6 +739,12 @@ private[graft] object GraftSqlDml {
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
       case "rollback_to_snapshot" => Seq("table", "version")
+      case "rollback_to_timestamp" => Seq("table", "timestamp")
+      case "set_current_snapshot" => Seq("table", "snapshot_id", "version")
+      case "cherrypick_snapshot" => Seq("table", "snapshot_id", "version")
+      case "add_files" => Seq("table", "source_table", "source_dir")
+      case "snapshot" => Seq("source_table", "table", "source_dir")
+      case "publish_changes" => Seq("table", "wap_id")
       case "create_tag" | "create_branch" => Seq("table", "name", "version")
       case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
       case "create_changelog_view" =>
@@ -733,8 +754,11 @@ private[graft] object GraftSqlDml {
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
           "rewrite_position_delete_files, rewrite_manifests, " +
-          "rollback_to_snapshot, create_tag, drop_tag, " +
-          "create_branch, drop_branch, fast_forward, create_changelog_view")
+          "rollback_to_snapshot, rollback_to_timestamp, " +
+          "set_current_snapshot, cherrypick_snapshot, add_files, " +
+          "snapshot, publish_changes, create_tag, drop_tag, " +
+          "create_branch, drop_branch, fast_forward, " +
+          "create_changelog_view")
     }
     val (named, positional) = args.partition(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
@@ -759,7 +783,15 @@ private[graft] object GraftSqlDml {
       case o => throw new UnsupportedOperationException(
         s"table argument must be a string, got $o")
     }
-    val tbl = namedTable(session, cat, tableName)
+    // `snapshot` CREATES its table — every other procedure requires it
+    lazy val tbl =
+      if (proc == "snapshot") {
+        val cands =
+          (if (cat.equalsIgnoreCase("graft")) Seq(tableName) else Nil) ++
+            graft.catalog.GraftCatalog.pathCandidates(
+              session, cat +: tableName.split("\\.").toSeq)
+        SnapshotTable.at(cands.headOption.getOrElse(tableName))
+      } else namedTable(session, cat, tableName)
     val now = System.currentTimeMillis()
     def longArg(k: String): Option[Long] = bound.get(k).map {
       case l: Long => l
@@ -836,6 +868,50 @@ private[graft] object GraftSqlDml {
         tbl.rollbackTo(longArg("version").getOrElse(
           throw new UnsupportedOperationException(
             "rollback_to_snapshot needs a version argument")))
+      case "rollback_to_timestamp" =>
+        tbl.rollbackToTimestamp(longArg("timestamp").getOrElse(
+          throw new UnsupportedOperationException(
+            "rollback_to_timestamp needs a timestamp argument")))
+      case "set_current_snapshot" =>
+        // Iceberg spells the version `snapshot_id`; accept both. Unlike
+        // rollback this may also move FORWARD to any retained snapshot.
+        tbl.rollbackTo(longArg("snapshot_id").orElse(longArg("version"))
+          .getOrElse(throw new UnsupportedOperationException(
+            "set_current_snapshot needs a snapshot_id argument")))
+      case "cherrypick_snapshot" =>
+        tbl.cherrypick(longArg("snapshot_id").orElse(longArg("version"))
+          .getOrElse(throw new UnsupportedOperationException(
+            "cherrypick_snapshot needs a snapshot_id argument")), now)
+      case "add_files" | "snapshot" =>
+        // Iceberg's spelling is source_table => 'parquet.`/dir`'; accept
+        // that form or a plain source_dir path
+        val rawSrc = bound.get("source_dir").orElse(bound.get("source_table"))
+          .getOrElse(throw new UnsupportedOperationException(
+            s"$proc needs source_dir (or Iceberg-style source_table" +
+              " => 'parquet.`/dir`'")) match {
+          case s: String => s
+          case o => throw new UnsupportedOperationException(
+            s"source must be a string, got $o")
+        }
+        val srcDir = {
+          val t0 = rawSrc.trim
+          val t1 = if (t0.toLowerCase.startsWith("parquet."))
+            t0.substring("parquet.".length) else t0
+          t1.stripPrefix("`").stripSuffix("`")
+        }
+        if (proc == "snapshot") tbl.snapshotFrom(session, srcDir, now)
+        else tbl.addFiles(session, srcDir, now)
+      case "publish_changes" =>
+        val id = bound.getOrElse("wap_id",
+          throw new UnsupportedOperationException(
+            "publish_changes needs a wap_id argument")) match {
+          case s: String => s
+          case l: Long => l.toString
+          case i: Int => i.toString
+          case o => throw new UnsupportedOperationException(
+            s"wap_id must be a string, got $o")
+        }
+        tbl.publishChanges(id, now)
       case nameTaking =>
         val refName = bound.getOrElse("name",
           throw new UnsupportedOperationException(

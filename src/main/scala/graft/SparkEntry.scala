@@ -1211,6 +1211,144 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    "q104_add_files" -> ((s, d) => {
+      // METADATA-ONLY parquet adoption (Iceberg `add_files`): slice A is
+      // managed; slice B lives in an external hive-layout dir and is
+      // registered BY REFERENCE — one footer read per file, no data
+      // copied (asserted: the adopted entries keep their absolute source
+      // paths). At 100 TB adoption is the only sane on-boarding path.
+      // Result = A ∪ B per partition; the oracle recomputes it from the
+      // raw table.
+      val root = Files.createTempDirectory("graft-q104-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 4 === 0),
+        Seq("o_orderstatus"))
+      val ext = Files.createTempDirectory("graft-q104-ext-").toString
+      orders.filter(col("o_orderkey") % 4 === 1)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(ext)
+      s.sql(s"CALL graft.system.add_files(table => '$root', " +
+        s"source_table => 'parquet.`$ext`')")
+      require(table.currentManifest.files.exists(_.path.startsWith(ext)),
+        "adoption must reference the external files, not copy them")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents
+           |FROM graft.`$root` GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "q105_cherrypick" -> ((s, d) => {
+      // Iceberg `cherrypick_snapshot`: a branch stages an append (WAP),
+      // MAIN ADVANCES PAST the branch point, and the staged append is
+      // replayed onto the moved head as a metadata-only commit —
+      // something fast_forward (q76/q99) cannot do. Asserted: staged
+      // rows are invisible on main before the pick; final state is the
+      // three slices' union (the oracle).
+      val root = Files.createTempDirectory("graft-q105-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 4 === 0))
+      table.branch("wap")
+      table.atBranch("wap")
+        .append(s, orders.filter(col("o_orderkey") % 4 === 1))
+      val staged = table.branches("wap")
+      table.append(s, orders.filter(col("o_orderkey") % 4 === 2))
+      val beforePick = table.read(s).count()
+      s.sql(s"CALL graft.system.cherrypick_snapshot(table => '$root', " +
+        s"snapshot_id => $staged)")
+      require(table.read(s).count() > beforePick,
+        "the cherry-picked append must land on the moved head")
+      s.sql(s"SELECT ${orderCols.mkString(", ")} FROM graft.`$root`")
+    }),
+
+    "q106_snapshot_mgmt" -> ((s, d) => {
+      // Snapshot-pointer management lifecycle: rollback_to_timestamp
+      // walks the MAIN lineage to the latest snapshot at-or-before the
+      // cutoff; set_current_snapshot moves the head to any retained
+      // version — forward too. Both are metadata-only pointer moves
+      // (nothing rewritten; asserted by the row counts at each step).
+      // Final head = v2, so the oracle is the full table per status.
+      val root = Files.createTempDirectory("graft-q106-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        nowMs = 1000000L)
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0),
+        nowMs = 2000000L)
+      val all = table.read(s).count()
+      s.sql(s"CALL graft.system.rollback_to_timestamp('$root', 1500000)")
+      require(table.read(s).count() < all,
+        "rollback_to_timestamp must land on the v1 state")
+      s.sql(s"CALL graft.system.set_current_snapshot('$root', 2)")
+      require(table.read(s).count() == all,
+        "set_current_snapshot must move the head forward again")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n
+           |FROM graft.`$root` GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "q107_snapshot_table" -> ((s, d) => {
+      // Iceberg `snapshot` procedure (path flavor): a hive-layout
+      // parquet dir becomes a graft table BY REFERENCE — schema AND
+      // partition spec inferred from the `k=v` layout, zero bytes
+      // copied (asserted), and the engine surface works over the
+      // adopted files at once (partition pruning asserted via the
+      // manifest census). The 100 TB on-boarding story: one
+      // metadata-only commit per source directory.
+      val ext = Files.createTempDirectory("graft-q107-ext-").toString
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(ext)
+      val root = Files.createTempDirectory("graft-q107-").toString + "/tbl"
+      s.sql(s"CALL graft.system.snapshot(" +
+        s"source_table => 'parquet.`$ext`', table => '$root')")
+      val table = SnapshotTable.at(root)
+      require(table.currentManifest.partitionColumns == Seq("o_orderstatus"),
+        "snapshot must infer the partition spec from the hive layout")
+      require(table.currentManifest.files.forall(_.path.startsWith(ext)),
+        "snapshot must adopt by reference, never copy")
+      val (kept, total) = table.pruneCounts(col("o_orderstatus") === "F")
+      require(kept < total,
+        "adopted entries must carry partition values the manifest prunes on")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+           |    AS BIGINT) AS cents
+           |FROM graft.`$root` GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "q108_wap_publish" -> ((s, d) => {
+      // Iceberg `spark.wap.id` session semantics end-to-end: with
+      // graft.wap.id set, SQL DML stages on an auto-created branch that
+      // READS NEVER SERVE (asserted — the exact contrast with q99's
+      // wap.branch mode, which routes reads to the audit branch), main
+      // then advances independently, and CALL publish_changes replays
+      // the staged append onto the moved head (the cherrypick path;
+      // plain fast-forward when main never moved) and retires the id.
+      // Final state = the three slices' union.
+      val root = Files.createTempDirectory("graft-q108-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      val base = orders.filter(col("o_orderkey") % 4 === 0)
+      table.createOrReplace(base)
+      val baseCount = table.read(s).count()
+      orders.filter(col("o_orderkey") % 4 === 1)
+        .createOrReplaceTempView("graft_q108_staged")
+      s.conf.set("graft.wap.id", "q108audit")
+      try {
+        s.sql(s"INSERT INTO graft.`$root` " +
+          "SELECT * FROM graft_q108_staged")
+        require(table.read(s).count() == baseCount,
+          "wap.id-staged rows must stay invisible to reads")
+      } finally s.conf.unset("graft.wap.id")
+      table.append(s, orders.filter(col("o_orderkey") % 4 === 2))
+      s.sql(s"CALL graft.system.publish_changes('$root', 'q108audit')")
+      require(!table.branches.contains("wap_q108audit"),
+        "a published wap id is retired with its staging branch")
+      s.sql(s"SELECT ${orderCols.mkString(", ")} FROM graft.`$root`")
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2370,6 +2508,39 @@ object SparkEntry {
     "q100_show_partitions" ->
       """SELECT DISTINCT 'o_orderpriority=' || o_orderpriority AS partition
         |FROM orders""".stripMargin,
+
+    // adoption = managed slice ∪ external slice, per partition (the
+    // outer CAST collapses DuckDB's HUGEINT sum to the BIGINT Spark
+    // emits — the q97 lesson)
+    "q104_add_files" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // base ∪ staged (cherry-picked) ∪ main-advance slices
+    "q105_cherrypick" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders
+         |WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin,
+
+    // the head ends back at v2 = the full table
+    "q106_snapshot_mgmt" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // the snapshotted dir held the even-key half, per partition
+    "q107_snapshot_table" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // base ∪ wap-staged (published) ∪ main-advance slices
+    "q108_wap_publish" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders
+         |WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

@@ -1175,7 +1175,7 @@ final class SnapshotTable(val root: Path,
     // inside each group's scan. The relative path is recovered from the
     // scheme-qualified absolute path by its stable `data/v<N>/...` tail
     // (every committed path starts there — the layout contract).
-    def posCols(df: DataFrame): DataFrame =
+    def posCols(df: DataFrame, adopted: Boolean = false): DataFrame =
       if (!withPos) df
       else df
         .withColumn(PosFileCol, org.apache.spark.sql.functions
@@ -1185,8 +1185,14 @@ final class SnapshotTable(val root: Path,
             // /warehouse/data/v1/mytable) would otherwise match at the
             // root's segment, and the recovered path would never equal
             // the manifest's relative path — every position delete
-            // silently exonerated
-            .col("_metadata.file_path"), "^.*(data/v[0-9]+[a-z]?/.*)$", 1))
+            // silently exonerated. ADOPTED files ([[addFiles]]) are
+            // recorded under their absolute path instead: strip the
+            // scan's URI scheme (`file:///x` → `/x`) — decided per
+            // GROUP, never per row, because an adopted absolute path
+            // may itself contain a `data/v<N>/` segment
+            .col("_metadata.file_path"),
+            if (adopted) "^[a-zA-Z][a-zA-Z0-9+.-]*:(?://)?(/.*)$"
+            else "^.*(data/v[0-9]+[a-z]?/.*)$", 1))
         .withColumn(PosPosCol,
           org.apache.spark.sql.functions.col("_metadata.row_index"))
     val chains = evoChains(m)
@@ -1211,25 +1217,51 @@ final class SnapshotTable(val root: Path,
       val (n, t) = physAt(chains, f.name, f.dataType, seqNo)
       org.apache.spark.sql.types.StructField(n, t, f.nullable, f.metadata)
     }
-    if (fs.forall(_.partition.isEmpty) && !withSeq && chains.isEmpty)
+    if (fs.forall(f => f.partition.isEmpty && !isAdopted(f.path)) &&
+        !withSeq && chains.isEmpty)
       posCols(spark.read.schema(schema)
         .parquet(fs.map(f => root.resolve(f.path).toString): _*))
     else
-      fs.groupBy(_.seq)
-        .map { case (seqNo, g) =>
+      // grouped by (seq, hive base): one commit's files share a base
+      // (`data/v<N>` internal, the source dir for adopted absolute
+      // paths), but one ADOPTION may span several source dirs — basePath
+      // must be per-base, not per-seq
+      fs.groupBy(f => (f.seq, hiveBaseOf(f.path)))
+        .map { case ((seqNo, dir), g) =>
           val phys = physFieldsAt(seqNo)
           val evolved = !phys.sameElements(schema.fields)
           val readSchema = if (evolved) StructType(phys) else schema
-          val dir = g.head.path.split('/').take(2).mkString("/")
           val reader = spark.read.schema(readSchema)
           val df0 = posCols(
             (if (g.head.partition.isEmpty) reader
              else reader.option("basePath", root.resolve(dir).toString))
-              .parquet(g.map(f => root.resolve(f.path).toString): _*))
+              .parquet(g.map(f => root.resolve(f.path).toString): _*),
+            adopted = isAdopted(g.head.path))
           val df = if (evolved) remap(df0, seqNo, phys) else df0
           if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
         }
         .reduce(_ unionByName _)
+  }
+
+  /** An adopted file ([[addFiles]]): recorded under its ABSOLUTE path
+    * (internal files are table-root-relative, `data/v<N>/...`).
+    */
+  private def isAdopted(path: String): Boolean = path.startsWith("/")
+
+  /** Base directory a hive-encoded group's partition dirs hang off: the
+    * path segments BEFORE the first `k=v` segment — `data/v<N>` for
+    * internal files (the writer layout), the adoption source dir for
+    * adopted absolute paths. Partition VALUES containing '=' are
+    * path-escaped by the writer (%3D), so the first '='-bearing segment
+    * is always the first partition dir; [[addFiles]] refuses source dirs
+    * whose own path contains one. Unpartitioned paths (no `k=v`) key on
+    * their parent dir — grouping only, basePath is unused for them.
+    */
+  private def hiveBaseOf(path: String): String = {
+    val segs = path.split('/')
+    val base = segs.takeWhile(!_.contains('='))
+    (if (base.length == segs.length) base.dropRight(1) else base)
+      .mkString("/")
   }
 
   private val SeqCol = "__graft_seq"
@@ -1252,7 +1284,10 @@ final class SnapshotTable(val root: Path,
   def files(spark: SparkSession): DataFrame = {
     import spark.implicits._
     def rowOf(f: FileEntry, rootStr: String): (String, String, Long, Long) = {
-      val p = Paths.get(rootStr, f.path)
+      // adopted entries carry absolute paths; Paths.get(root, "/abs")
+      // would wrongly nest them under the root
+      val p = if (f.path.startsWith("/")) Paths.get(f.path)
+              else Paths.get(rootStr, f.path)
       (p.toString,
         f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
         // recorded at commit; legacy entries (bytes absent) stat live
@@ -1899,6 +1934,25 @@ final class SnapshotTable(val root: Path,
       publisher.forceCurrent(metaDir, version)
     }
 
+  /** Roll the head back to the latest MAIN-LINEAGE snapshot committed at
+    * or before `tsMs` (Iceberg `rollback_to_timestamp`). Walks the
+    * parent chain, never the flat retained-version list — that list
+    * interleaves branch commits, and landing on one would silently swap
+    * lineages. Returns the version rolled back to.
+    */
+  def rollbackToTimestamp(tsMs: Long): Long =
+    publisher.critical(root, metaDir) {
+      var cur = currentManifest
+      while (cur.timestampMs > tsMs) {
+        require(cur.parent > 0 && manifestVersions.contains(cur.parent),
+          s"rollback_to_timestamp: no retained snapshot of $root at or " +
+            s"before ${java.time.Instant.ofEpochMilli(tsMs)}")
+        cur = manifest(cur.parent)
+      }
+      publisher.forceCurrent(metaDir, cur.version)
+      cur.version
+    }
+
   // ---- named tags (Iceberg refs analog) -------------------------------
 
   private def tagFile(name: String) = metaDir.resolve(s"_ref-$name")
@@ -2085,6 +2139,272 @@ final class SnapshotTable(val root: Path,
       nowMs, carryForward = loose, carryChunks = carriedChunks,
       carryDeletes = m.deleteFiles, rebaseTouched = Some(Set.empty),
       operation = "append")
+  }
+
+  /** METADATA-ONLY adoption of existing parquet files (Iceberg's
+    * `add_files` procedure analog): the files under `sourceDir` are
+    * registered as live data files of a new append snapshot — one footer
+    * read each for bounds/rows/bytes, no data copied or rewritten — and
+    * the entries carry the files' ABSOLUTE paths, so reads resolve them
+    * in place. Everything already in the table carries by reference
+    * (untouched chunk documents unparsed). At 100 TB this is the only
+    * sane way to bring existing data under table management: an INSERT
+    * would be a full copy of the corpus.
+    *
+    * Contract (violations LOUD — repo invariant, never silently
+    * different semantics):
+    *  - the source dir lies OUTSIDE the table root (internal files are
+    *    already managed or staged);
+    *  - the source schema (footers + hive path inference) carries
+    *    EXACTLY the table's columns with equal non-partition types — a
+    *    missing column would silently null-fill on read, an extra one
+    *    silently drop;
+    *  - partitioned tables require hive-layout sources (`k=v` dirs) for
+    *    every partition column, identity transforms only: a
+    *    transform-derived column (bucket/days/…) inside foreign files
+    *    cannot be re-derived without rewriting the data
+    *    (hidden-partitioning invariant), so adoption is refused;
+    *  - already-referenced paths are refused (Iceberg's
+    *    `check_duplicate_files`), via the DISTRIBUTED `.files` scan —
+    *    never a driver materialization of the manifest.
+    *
+    * Adopted files are first-class afterwards: stats pruning (footer
+    * bounds recorded at adoption), MoR deletes (position-delete path
+    * recovery understands absolute paths), changelog, streaming tails.
+    * `compact()` rewrites them into the managed layout; the originals
+    * are never deleted — they live outside the root, which orphan GC
+    * never walks.
+    */
+  def addFiles(spark: SparkSession, sourceDir: String,
+               nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(exists, s"add_files: no table at $root")
+    val m = currentManifest
+    val src = Paths.get(sourceDir).toAbsolutePath.normalize
+    require(Files.isDirectory(src), s"add_files: no directory $src")
+    require(!src.startsWith(root.toAbsolutePath.normalize),
+      s"add_files: $src is inside the table root — its files are " +
+        "already managed (or staged); adoption is for external data")
+    require(!src.toString.split('/').exists(_.contains('=')),
+      s"add_files: source dir path $src contains a 'k=v' segment — the " +
+        "hive-layout base could not be told apart from partition dirs")
+    val pcols = m.partitionColumns
+    pcols.foreach { pc =>
+      require(
+        !m.properties.keys.exists(_.equalsIgnoreCase(TransformPrefix + pc)),
+        s"add_files: partition column $pc is transform-derived (hidden " +
+          "partitioning) — foreign files cannot prove their derived " +
+          "values; INSERT INTO to rewrite through the derivation instead")
+    }
+    val srcFiles = listParquet(src)
+    require(srcFiles.nonEmpty, s"add_files: no parquet files under $src")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    // schema gate: footer + path-inferred columns must be exactly the
+    // table's (case-insensitive), non-partition types equal
+    val inferred = spark.read.parquet(src.toString).schema
+    val byName = inferred.fields.map(f => f.name.toLowerCase -> f).toMap
+    val pset = pcols.map(_.toLowerCase).toSet
+    schema.fields.foreach { f =>
+      byName.get(f.name.toLowerCase) match {
+        case None => throw new IllegalArgumentException(
+          s"add_files: source lacks column ${f.name} (${f.dataType.sql})")
+        case Some(g) if !pset(f.name.toLowerCase) && g.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"add_files: column ${f.name} is ${g.dataType.sql} in the " +
+              s"source but ${f.dataType.sql} in the table")
+        case _ => ()
+      }
+    }
+    val tset = schema.fields.map(_.name.toLowerCase).toSet
+    inferred.fields.foreach { g =>
+      require(tset(g.name.toLowerCase),
+        s"add_files: source column ${g.name} is not in the table schema " +
+          "— it would silently drop on read")
+    }
+    // per-file partition values from the hive path (identity only)
+    val withPartitions = srcFiles.map { p =>
+      val pv = partitionOf(src.relativize(p).toString, pcols)
+      require(pv.keySet == pcols.toSet,
+        s"add_files: $p lacks hive 'k=v' segments for partition " +
+          s"column(s) ${(pcols.toSet -- pv.keySet).mkString(", ")}")
+      (p, pv)
+    }
+    // duplicate-adoption gate over the distributed .files scan
+    val dupCount: Long = {
+      import spark.implicits._
+      val pathsDf = spark
+        .createDataset(withPartitions.map(_._1.toString)).toDF("p")
+      files(spark)
+        .join(broadcast(pathsDf), col("file_path") === col("p"))
+        .limit(1).count()
+    }
+    require(dupCount == 0L,
+      s"add_files: source file(s) already referenced by $root — " +
+        "adopting twice would double their rows")
+    // footer stats BEFORE the publish lock (same rationale as commitData)
+    val statted = withPartitions.map { case (p, pv) =>
+      (p.toString, pv, FileStats.collect(p, schema))
+    }
+    val (carriedChunks, loose, _) = splitTouchedOf(m.files, Set.empty)
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val entries = statted.map { case (p, pv, cs) =>
+        FileEntry(p, pv, v, cs.bounds, cs.nulls, cs.rows, cs.bytes)
+      }
+      val all: Seq[FileEntry] = carriedChunks match {
+        case Some((chunks, nB)) if chunks.nonEmpty =>
+          new FileList(entries ++ loose, chunks, nB, metaDir)
+        case _ => entries ++ loose
+      }
+      m.copy(version = v, timestampMs = nowMs, files = all,
+        operation = "append")
+    }
+  }
+
+  /** Apply the ADDED files of snapshot `version` (an append — e.g. a
+    * branch's staged fast-append, the WAP shape) onto the CURRENT head
+    * as a new append commit, metadata-only: Iceberg's
+    * `cherrypick_snapshot`. Unlike [[fastForward]], the head may have
+    * advanced past the picked snapshot's lineage. The added-file set is
+    * the chunk-doc diff against the snapshot's parent (O(changed docs)),
+    * and the head's own files carry by reference.
+    *
+    * Refused loudly when: the snapshot is not an `append` (a rewrite's
+    * removals cannot replay against a moved head); it is already an
+    * ancestor of the head or was already cherry-picked (double rows);
+    * schema, partition spec, or evolution/transform properties differ
+    * between snapshot and head (the picked files' physical layout would
+    * be misread under the head's epochs); or its parent snapshot has
+    * been expired (the added set would be incomputable).
+    *
+    * Picked files are stamped with the NEW commit's sequence number
+    * (Iceberg assigns cherry-picked appends a fresh data sequence the
+    * same way), so equality deletes committed before the pick do not
+    * mask them — the semantics of "this data is appended NOW".
+    */
+  def cherrypick(version: Long,
+                 nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val head = currentManifest
+    require(manifestVersions.contains(version), s"no snapshot v$version")
+    val src = manifest(version)
+    require(src.operation == "append",
+      s"cherrypick_snapshot: v$version is '${src.operation}' — only " +
+        "append snapshots replay cleanly against a moved head")
+    var cur = head
+    var walking = true
+    while (walking) {
+      require(cur.version != version,
+        s"cherrypick_snapshot: v$version is already an ancestor of the " +
+          s"current head v${head.version} — its rows are live")
+      if (cur.parent > 0 && manifestVersions.contains(cur.parent))
+        cur = manifest(cur.parent)
+      else walking = false
+    }
+    val prop = s"graft.cherrypicked.v$version"
+    require(!head.properties.contains(prop),
+      s"cherrypick_snapshot: v$version was already cherry-picked " +
+        s"(as v${head.properties.getOrElse(prop, "?")})")
+    def canon(ddl: String) = StructType.fromDDL(ddl).fields
+      .map(f => (f.name, f.dataType.catalogString)).toSeq
+    require(canon(src.schemaDdl) == canon(head.schemaDdl),
+      "cherrypick_snapshot: schema changed since the snapshot — its " +
+        "files would be misread under the head's schema")
+    require(src.partitionColumns == head.partitionColumns,
+      "cherrypick_snapshot: partition spec changed since the snapshot")
+    def layoutProps(p: Map[String, String]) = p.filter { case (k, _) =>
+      k.startsWith("graft.evolution.") ||
+        k.toLowerCase.startsWith(TransformPrefix)
+    }
+    require(layoutProps(src.properties) == layoutProps(head.properties),
+      "cherrypick_snapshot: rename/widen or transform history diverged " +
+        "since the snapshot — its files' physical layout is not the " +
+        "head's epoch")
+    require(src.parent <= 0 || manifestVersions.contains(src.parent),
+      s"cherrypick_snapshot: parent v${src.parent} of v$version has " +
+        "been expired — the added-file set cannot be computed")
+    val parentM = if (src.parent <= 0) None else Some(manifest(src.parent))
+    val (added, removedAny) = diffFiles(parentM, src)
+    require(!removedAny,
+      s"cherrypick_snapshot: v$version removed live files despite its " +
+        "'append' operation tag — refusing to replay")
+    require(added.nonEmpty,
+      s"cherrypick_snapshot: v$version added no files")
+    val (carriedChunks, loose, _) = splitTouchedOf(head.files, Set.empty)
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(head.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val entries = added.map(_.copy(seq = v)).toVector
+      val all: Seq[FileEntry] = carriedChunks match {
+        case Some((chunks, nB)) if chunks.nonEmpty =>
+          new FileList(entries ++ loose, chunks, nB, metaDir)
+        case _ => entries ++ loose
+      }
+      head.copy(version = v, timestampMs = nowMs, files = all,
+        properties = head.properties + (prop -> v.toString),
+        operation = "append")
+    }
+  }
+
+  /** Publish the commits staged under write-audit-publish id `wapId`
+    * (session conf `graft.wap.id` — see the extensions' `dmlTarget`) to
+    * main: Iceberg's `publish_changes`. Staged commits live on the
+    * auto-created `wap_<id>` branch; if main still sits at the branch
+    * point this is a pointer fast-forward, otherwise every staged
+    * commit replays in lineage order as a metadata-only [[cherrypick]]
+    * (each must be an append — the pick's own refusals apply). The
+    * branch is dropped after publication either way: a wap id is
+    * single-use, like Iceberg's.
+    */
+  def publishChanges(wapId: String,
+                     nowMs: Long = System.currentTimeMillis()): Long = {
+    requireMainHandle("publishChanges")
+    val b = SnapshotTable.wapBranchName(wapId)
+    val ref = BranchRefs.read(BranchRefs.file(metaDir, b)).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: no staged changes for wap id '$wapId' on " +
+          s"$root — write with graft.wap.id='$wapId' set first"))
+    require(ref.head != ref.base,
+      s"wap id '$wapId' staged no commits on $root")
+    val published =
+      if (currentVersion == ref.base) fastForward(b)
+      else {
+        // main advanced past the branch point: replay each staged
+        // append, oldest first (the same order they were committed)
+        val staged = lineageVersionsBetween(ref.base, ref.head)
+        require(staged.nonEmpty,
+          s"wap id '$wapId': staged lineage v${ref.base}..v${ref.head} " +
+            "is no longer retained — expired before publication")
+        staged.foreach(cherrypick(_, nowMs))
+        currentVersion
+      }
+    dropBranch(b)
+    published
+  }
+
+  /** Create THIS table from an existing parquet directory BY REFERENCE
+    * (Iceberg's `snapshot` procedure, path flavor): infer the schema —
+    * and the partition spec from the hive `k=v` layout — then adopt
+    * every file via [[addFiles]] without copying a byte. The source
+    * stays authoritative on disk; `compact()` later migrates entries
+    * into the managed layout if the user wants the engine to own them.
+    * Refused when the table already exists (snapshot creates, it never
+    * appends — use `add_files` on an existing table).
+    */
+  def snapshotFrom(spark: SparkSession, sourceDir: String,
+                   nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(!exists, s"snapshot: table $root already exists — use " +
+      "add_files to adopt into an existing table")
+    val src = Paths.get(sourceDir).toAbsolutePath.normalize
+    require(Files.isDirectory(src), s"snapshot: no directory $src")
+    val srcFiles = listParquet(src)
+    require(srcFiles.nonEmpty, s"snapshot: no parquet files under $src")
+    // partition columns = the k=v segment names of the first file, in
+    // path order; addFiles re-verifies every file carries the full set
+    val pcols = src.relativize(srcFiles.head).toString.split('/')
+      .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    val inferred = spark.read.parquet(src.toString)
+    createOrReplace(inferred.limit(0), pcols, nowMs = nowMs)
+    addFiles(spark, sourceDir, nowMs)
   }
 
   /** SQL `TRUNCATE TABLE`: one commit removing every row — schema,
@@ -3472,8 +3792,14 @@ final class SnapshotTable(val root: Path,
       (debris ++ deadClaims).map(p => s"meta/${metaDir.relativize(p)}")
   }
 
-  /** Delete a data file plus its Hadoop `.crc` sidecar. */
+  /** Delete a data file plus its Hadoop `.crc` sidecar. ADOPTED files
+    * ([[addFiles]], absolute paths) are never deleted: the engine does
+    * not own them — snapshot expiry simply drops the reference and the
+    * external original stays where it was adopted from. Deleting it
+    * would destroy data the user may share with other systems.
+    */
   private def deleteWithSidecars(rel: String): Unit = {
+    if (isAdopted(rel)) return
     val p = root.resolve(rel)
     Files.deleteIfExists(p)
     Files.deleteIfExists(p.resolveSibling("." + p.getFileName.toString + ".crc"))
@@ -3814,6 +4140,16 @@ final class SnapshotTable(val root: Path,
 
 object SnapshotTable {
   def at(path: String): SnapshotTable = new SnapshotTable(Paths.get(path))
+
+  /** Branch name backing a `graft.wap.id` staged-write session: ids are
+    * restricted to branch-name-safe characters so the id round-trips
+    * through the ref file name unambiguously.
+    */
+  def wapBranchName(wapId: String): String = {
+    require(wapId.matches("[A-Za-z0-9_-]+"),
+      s"wap id '$wapId' must match [A-Za-z0-9_-]+")
+    s"wap_$wapId"
+  }
 
   /** Executor-side body of [[SnapshotTable.partitionStringsMatching]]'s
     * chunk scan — static on purpose: an instance-method closure would

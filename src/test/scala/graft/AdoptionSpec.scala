@@ -1,0 +1,340 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Metadata-only snapshot surgery: `addFiles` (external parquet adoption,
+  * Iceberg `add_files`), `cherrypick` (append replay onto a moved head,
+  * Iceberg `cherrypick_snapshot`), `rollbackToTimestamp`, and their SQL
+  * CALL spellings. Adopted files must be first-class afterwards — stats
+  * pruning, positional deletes, compaction, orphan GC safety.
+  */
+class AdoptionSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("add_files adopts an unpartitioned dir in place: union read, " +
+      "absolute .files entries, recorded stats prune, time travel") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-adopt-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    val ext = tmp("graft-adopt-ext-")
+    (101 to 160).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+      .repartition(3).write.mode("overwrite").parquet(ext)
+
+    val m = t.addFiles(spark, ext)
+    assert(m.operation == "append")
+    assert(t.read(spark).count() == 160)
+    assert(t.read(spark).agg(sum("id")).head.getLong(0) ==
+      (1L to 160L).sum)
+    // .files: adopted entries surface their absolute path with recorded
+    // bytes and rows (no filesystem stat)
+    val files = t.files(spark).collect()
+    val adopted = files.filter(_.getString(0).startsWith(ext))
+    assert(adopted.length == 3, s"adopted rows: ${adopted.length}")
+    assert(adopted.forall(r => r.getLong(2) > 0 && r.getLong(3) > 0))
+    // footer stats recorded at adoption: a predicate outside the adopted
+    // range prunes those files at the manifest
+    val (kept, total) = t.pruneCounts(col("id") <= 100L)
+    assert(total == kept + 3,
+      s"adopted files must prune on their own bounds ($kept of $total)")
+    // time travel: the pre-adoption snapshot is intact
+    assert(t.readVersion(spark, 1).count() == 100)
+    // the changelog reports the adoption as plain inserts
+    val cl = t.readChangelog(spark, 1, t.currentVersion)
+    assert(cl.count() == 60 &&
+      cl.select("_change_type").distinct().head.getString(0) == "insert")
+  }
+
+  test("add_files on a partitioned table requires hive layout and " +
+      "reconstructs partition values; refusals are loud") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-adopt-p-")
+    val t = SnapshotTable.at(root)
+    val a = (1 to 90).map(i => (i.toLong, i % 3, s"a$i")).toDF("id", "p", "s")
+    t.createOrReplace(a, Seq("p"))
+    val ext = tmp("graft-adopt-pext-")
+    val b = (91 to 150).map(i => (i.toLong, i % 3, s"b$i")).toDF("id", "p", "s")
+    b.write.mode("overwrite").partitionBy("p").parquet(ext)
+
+    t.addFiles(spark, ext)
+    val got = t.read(spark)
+    assert(got.count() == 150)
+    // partition column reconstructed via the adopted group's basePath
+    assert(got.filter(col("p") === 1).count() ==
+      (1 to 150).count(_ % 3 == 1))
+    // partition-scoped manifest pruning covers adopted entries
+    val (kept, total) = t.pruneCounts(col("p") === 2)
+    assert(kept < total)
+    // SHOW PARTITIONS sees the adopted partitions (map-based filter)
+    val parts = spark.sql(s"SHOW PARTITIONS graft.`$root`")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("p=0", "p=1", "p=2"))
+
+    // non-hive source for a partitioned table: refused
+    val flat = tmp("graft-adopt-flat-")
+    b.write.mode("overwrite").parquet(flat)
+    val e1 = intercept[IllegalArgumentException] { t.addFiles(spark, flat) }
+    assert(e1.getMessage.contains("k=v"), e1.getMessage)
+    // duplicate adoption: refused
+    val e2 = intercept[IllegalArgumentException] { t.addFiles(spark, ext) }
+    assert(e2.getMessage.contains("already referenced"), e2.getMessage)
+    // schema drift: missing and extra columns refused
+    val missing = tmp("graft-adopt-miss-")
+    b.drop("s").write.mode("overwrite").partitionBy("p").parquet(missing)
+    assert(intercept[IllegalArgumentException] {
+      t.addFiles(spark, missing)
+    }.getMessage.contains("lacks column"))
+    val extra = tmp("graft-adopt-extra-")
+    b.withColumn("zz", lit(1)).write.mode("overwrite")
+      .partitionBy("p").parquet(extra)
+    assert(intercept[IllegalArgumentException] {
+      t.addFiles(spark, extra)
+    }.getMessage.contains("not in the table schema"))
+    // type mismatch refused
+    val badType = tmp("graft-adopt-type-")
+    b.withColumn("id", col("id").cast("int")).write.mode("overwrite")
+      .partitionBy("p").parquet(badType)
+    assert(intercept[IllegalArgumentException] {
+      t.addFiles(spark, badType)
+    }.getMessage.contains("in the table"))
+    // source inside the table root refused
+    assert(intercept[IllegalArgumentException] {
+      t.addFiles(spark, s"$root/data")
+    }.getMessage.contains("inside the table root"))
+  }
+
+  test("add_files refuses transform-derived partition columns") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-adopt-tf-")
+    val t = SnapshotTable.at(root)
+    val df = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s")
+    t.createOrReplace(df, Nil)
+    t.addPartitionField("bucket(4, id)", Some("pb"))
+    val ext = tmp("graft-adopt-tfext-")
+    df.write.mode("overwrite").parquet(ext)
+    val e = intercept[IllegalArgumentException] { t.addFiles(spark, ext) }
+    assert(e.getMessage.contains("transform-derived"), e.getMessage)
+  }
+
+  test("adopted files take positional deletes, compaction rewrites them " +
+      "into the managed layout, orphan GC never touches the originals") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-adopt-mor-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 40).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    val ext = tmp("graft-adopt-morext-")
+    (41 to 80).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    t.addFiles(spark, ext)
+
+    // positional delete whose census lands on the ADOPTED file: the
+    // absolute-path recovery must round-trip (write census == read
+    // anti-join), or these rows would silently survive
+    t.deleteWherePositional(spark, col("id") === 50L || col("id") === 60L)
+    assert(t.read(spark).count() == 78)
+    assert(!t.read(spark).filter(col("id") === 50L).head(1).nonEmpty)
+
+    // compaction folds the tombstones and rewrites adopted data into
+    // managed files; the external originals stay on disk untouched
+    t.compact(spark, targetFileBytes = 64L * 1024 * 1024)
+    assert(t.currentManifest.deleteFiles.isEmpty)
+    assert(t.read(spark).count() == 78)
+    assert(t.currentManifest.files.forall(f => !f.path.startsWith("/")),
+      "compaction must migrate adopted entries into the managed layout")
+    val extFiles = Files.list(Paths.get(ext)).toArray.length
+    assert(extFiles > 0, "external originals must survive compaction")
+
+    // orphan GC: aggressive expiry + removal must not delete the
+    // external files (they are outside the root walk)
+    t.expireSnapshots(maxAgeMs = 0, minSnapshotsToKeep = 1,
+      nowMs = System.currentTimeMillis() + 1000000)
+    t.removeOrphanFiles(olderThanMs = 0,
+      nowMs = System.currentTimeMillis() + 2000000)
+    assert(Files.list(Paths.get(ext)).toArray.length == extFiles,
+      "orphan GC must never walk outside the table root")
+    assert(t.read(spark).count() == 78)
+  }
+
+  test("cherrypick replays a branch append onto a moved head; " +
+      "non-append, ancestor, double-pick and drift are refused") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-pick-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 50).map(i => (i.toLong, "base")).toDF("id", "s"))
+    t.branch("wap")
+    val wap = t.atBranch("wap")
+    wap.append(spark, (51 to 70).map(i => (i.toLong, "staged")).toDF("id", "s"))
+    val staged = t.branches("wap")
+    // main advances past the branch point
+    t.append(spark, (71 to 90).map(i => (i.toLong, "main")).toDF("id", "s"))
+    assert(t.read(spark).count() == 70) // branch rows not on main
+
+    val picked = t.cherrypick(staged)
+    assert(picked.operation == "append")
+    assert(t.read(spark).count() == 90)
+    assert(t.read(spark).filter(col("s") === "staged").count() == 20)
+    // the changelog step for the pick is exactly the staged rows
+    val cl = t.readChangelog(spark, picked.version - 1, picked.version)
+    // (versions are a shared sequence; the step from the pick's parent)
+    assert(cl.filter(col("_change_type") === "insert").count() == 20)
+
+    // double-pick refused (property guard)
+    assert(intercept[IllegalArgumentException] { t.cherrypick(staged) }
+      .getMessage.contains("already cherry-picked"))
+    // ancestor refused
+    assert(intercept[IllegalArgumentException] { t.cherrypick(1L) }
+      .getMessage.contains("ancestor"))
+    // non-append refused (branch overwrite)
+    val wap2Name = "wap2"
+    t.branch(wap2Name)
+    val wap2 = t.atBranch(wap2Name)
+    wap2.createOrReplace((1 to 5).map(i => (i.toLong, "x")).toDF("id", "s"))
+    assert(intercept[IllegalArgumentException] {
+      t.cherrypick(t.branches(wap2Name))
+    }.getMessage.contains("only append snapshots"))
+    // schema drift refused: evolve main AFTER staging another append
+    t.branch("wap3")
+    val wap3 = t.atBranch("wap3")
+    wap3.append(spark, (91 to 95).map(i => (i.toLong, "late")).toDF("id", "s"))
+    val staged3 = t.branches("wap3")
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("extra",
+      org.apache.spark.sql.types.IntegerType)))
+    assert(intercept[IllegalArgumentException] { t.cherrypick(staged3) }
+      .getMessage.contains("schema changed"))
+  }
+
+  test("rollback_to_timestamp walks the main lineage; SQL CALL surface " +
+      "for the snapshot-management procedures") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-rbts-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 10).map(i => (i.toLong, "v1")).toDF("id", "s"),
+      nowMs = 1000L)
+    t.append(spark, (11 to 20).map(i => (i.toLong, "v2")).toDF("id", "s"),
+      nowMs = 2000L)
+    t.append(spark, (21 to 30).map(i => (i.toLong, "v3")).toDF("id", "s"),
+      nowMs = 3000L)
+
+    assert(t.rollbackToTimestamp(2500L) == 2L)
+    assert(t.read(spark).count() == 20)
+    // before the first commit: loud
+    assert(intercept[IllegalArgumentException] {
+      t.rollbackToTimestamp(500L)
+    }.getMessage.contains("no retained snapshot"))
+    // set_current_snapshot moves FORWARD too (SQL spelling)
+    spark.sql(s"CALL graft.system.set_current_snapshot('$root', 3)")
+    assert(t.read(spark).count() == 30)
+    // rollback_to_timestamp SQL spelling with a TIMESTAMP literal
+    spark.sql(s"CALL graft.system.rollback_to_timestamp('$root', " +
+      "TIMESTAMP '1970-01-01 00:00:02.500')")
+    assert(t.read(spark).count() == 20)
+    spark.sql(s"CALL graft.system.set_current_snapshot(" +
+      s"table => '$root', snapshot_id => 3)")
+
+    // add_files + cherrypick SQL spellings (Iceberg arg names)
+    val ext = tmp("graft-rbts-ext-")
+    (31 to 40).map(i => (i.toLong, "ext")).toDF("id", "s")
+      .write.mode("overwrite").parquet(ext)
+    spark.sql(s"CALL graft.system.add_files(table => '$root', " +
+      s"source_table => 'parquet.`$ext`')")
+    assert(t.read(spark).count() == 40)
+    t.branch("sqlwap")
+    t.atBranch("sqlwap").append(spark,
+      (41 to 45).map(i => (i.toLong, "wap")).toDF("id", "s"))
+    spark.sql(s"CALL graft.system.cherrypick_snapshot('$root', " +
+      s"${t.branches("sqlwap")})")
+    assert(t.read(spark).count() == 45)
+  }
+
+  test("snapshot procedure creates a table by reference with an " +
+      "inferred partition spec; existing tables are refused") {
+    val base = spark
+    import base.implicits._
+    val ext = tmp("graft-snapext-")
+    (1 to 120).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "p", "s")
+      .write.mode("overwrite").partitionBy("p").parquet(ext)
+    val root = tmp("graft-snap-") + "/tbl"
+    val m = SnapshotTable.at(root).snapshotFrom(spark, ext)
+    val t = SnapshotTable.at(root)
+    assert(m.partitionColumns == Seq("p"))
+    assert(t.read(spark).count() == 120)
+    assert(t.currentManifest.files.forall(_.path.startsWith(ext)),
+      "snapshot must adopt by reference")
+    val (kept, total) = t.pruneCounts(col("p") === 1)
+    assert(kept < total)
+    // snapshot never appends to an existing table
+    assert(intercept[IllegalArgumentException] {
+      t.snapshotFrom(spark, ext)
+    }.getMessage.contains("already exists"))
+    // SQL spelling creates a second table from the same source
+    val root2 = tmp("graft-snap2-") + "/tbl"
+    spark.sql(s"CALL graft.system.snapshot(" +
+      s"source_table => 'parquet.`$ext`', table => '$root2')")
+    assert(SnapshotTable.at(root2).read(spark).count() == 120)
+  }
+
+  test("wap.id session mode: DML stages invisibly, publish_changes " +
+      "fast-forwards or cherry-picks, the id is single-use") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-wapid-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 30).map(i => (i.toLong, "base")).toDF("id", "s"))
+    (31 to 40).map(i => (i.toLong, "staged")).toDF("id", "s")
+      .createOrReplaceTempView("wapid_staged")
+    // both confs set: contradictory, refused
+    spark.conf.set("graft.wap.branch", "x")
+    spark.conf.set("graft.wap.id", "a1")
+    val both = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM wapid_staged")
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    spark.conf.unset("graft.wap.branch")
+    try {
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM wapid_staged")
+      // staged on the auto-branch; READS serve main (the wap.id contract)
+      assert(t.read(spark).count() == 30)
+      assert(spark.sql(s"SELECT count(*) AS c FROM graft.`$root`")
+        .head.getLong(0) == 30)
+      assert(t.branches.contains("wap_a1"))
+    } finally spark.conf.unset("graft.wap.id")
+    // main never moved → fast-forward publish; branch retired
+    assert(t.publishChanges("a1") == t.currentVersion)
+    assert(t.read(spark).count() == 40)
+    assert(!t.branches.contains("wap_a1"))
+    // single-use: republishing the id is loud
+    assert(intercept[IllegalArgumentException] { t.publishChanges("a1") }
+      .getMessage.contains("no staged changes"))
+
+    // cherrypick path: stage, advance main, publish via SQL
+    spark.conf.set("graft.wap.id", "a2")
+    try {
+      (41 to 50).map(i => (i.toLong, "staged2")).toDF("id", "s")
+        .createOrReplaceTempView("wapid_staged2")
+      spark.sql(s"INSERT INTO graft.`$root` SELECT * FROM wapid_staged2")
+    } finally spark.conf.unset("graft.wap.id")
+    t.append(spark, (51 to 60).map(i => (i.toLong, "main")).toDF("id", "s"))
+    assert(t.read(spark).count() == 50)
+    spark.sql(s"CALL graft.system.publish_changes('$root', 'a2')")
+    assert(t.read(spark).count() == 60)
+    assert(t.read(spark).filter(col("s") === "staged2").count() == 10)
+    // a bad id never creates state
+    assert(intercept[IllegalArgumentException] { t.publishChanges("nope") }
+      .getMessage.contains("no staged changes"))
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.wapBranchName("has space")
+    }.getMessage.contains("must match"))
+  }
+}
