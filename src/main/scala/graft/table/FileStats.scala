@@ -567,6 +567,88 @@ object StatsPruning {
     }
   }
 
+  /** Must EVERY row of the file satisfy `expr`? `true` only when the
+    * bounds/null census PROVES it — the dual of [[mayMatch]], powering
+    * DELETE's metadata-only whole-file drop. Anything unproven answers
+    * `false`: the caller falls back to the copy-on-write rewrite, which
+    * is always correct, just slower. Soundness notes:
+    *
+    *  - stored bounds are OUTER bounds (string truncation keeps min a
+    *    lower and max an upper bound; transform-derived partition ranges
+    *    cover their unit) — exactly the direction "every row inside
+    *    [min,max] satisfies op" needs;
+    *  - a comparison proves only on a ZERO-null column: rows where the
+    *    predicate evaluates to NULL satisfy neither it nor its negation,
+    *    and SQL DELETE must keep them;
+    *  - `Or` proves when EITHER side does (TRUE OR anything = TRUE);
+    *    `And` needs both.
+    */
+  def alwaysMatch(expr: Expression,
+                  colType: String => Option[DataType],
+                  bounds: String => Option[(Bound, Bound)],
+                  nulls: String => Option[Long] = _ => None,
+                  rows: Long = -1L): Boolean =
+    alwaysNorm(normalize(expr), colType, bounds, nulls, rows)
+
+  private def alwaysNorm(expr: Expression,
+                         colType: String => Option[DataType],
+                         bounds: String => Option[(Bound, Bound)],
+                         nulls: String => Option[Long],
+                         rows: Long): Boolean = expr match {
+    case And(l, r) =>
+      alwaysNorm(l, colType, bounds, nulls, rows) &&
+        alwaysNorm(r, colType, bounds, nulls, rows)
+    case Or(l, r) =>
+      alwaysNorm(l, colType, bounds, nulls, rows) ||
+        alwaysNorm(r, colType, bounds, nulls, rows)
+    case Literal(true, BooleanType) => true
+    case IsNull(a) => // every row null: the exact all-null census
+      attrName(a).exists(n => rows > 0 && nulls(n).contains(rows))
+    case IsNotNull(a) =>
+      attrName(a).exists(n => nulls(n).contains(0L))
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      // provable only through a pinned value: min = max = some member
+      attrName(a).exists(n => vs.exists(v => alwaysCompare(n,
+        v.asInstanceOf[Literal], "=", colType, bounds, nulls)))
+    case c: BinaryComparison =>
+      val (op, a, l) = (c, c.left, c.right) match {
+        case (_: EqualTo, x, y)            => ("=", x, y)
+        case (_: EqualNullSafe, x, y)      => ("=", x, y)
+        case (_: GreaterThan, x, y)        => (">", x, y)
+        case (_: GreaterThanOrEqual, x, y) => (">=", x, y)
+        case (_: LessThan, x, y)           => ("<", x, y)
+        case (_: LessThanOrEqual, x, y)    => ("<=", x, y)
+        case _                             => ("?", c.left, c.right)
+      }
+      (attrName(a), l, attrName(l), a) match {
+        case (Some(n), lit: Literal, _, _) =>
+          alwaysCompare(n, lit, op, colType, bounds, nulls)
+        case (_, _, Some(n), lit: Literal) =>
+          alwaysCompare(n, lit, flip(op), colType, bounds, nulls)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  private def alwaysCompare(name: String, lit: Literal, op: String,
+                            colType: String => Option[DataType],
+                            bounds: String => Option[(Bound, Bound)],
+                            nulls: String => Option[Long]): Boolean = {
+    if (!nulls(name).contains(0L)) return false // NULL rows break totality
+    (for {
+      dt <- colType(name)
+      v <- literalBound(dt, lit)
+      (mn, mx) <- bounds(name)
+    } yield op match {
+      case "="  => le(v, mn) && le(mx, v) // range pinned to exactly v
+      case ">"  => lt(v, mn)
+      case ">=" => le(v, mn)
+      case "<"  => lt(mx, v)
+      case "<=" => le(mx, v)
+      case _    => false
+    }).getOrElse(false)
+  }
+
   private def mayCompare(name: String, lit: Literal, op: String,
                          colType: String => Option[DataType],
                          bounds: String => Option[(Bound, Bound)],

@@ -455,12 +455,64 @@ final class SnapshotTable(val root: Path,
     * (chunk documents carried by reference). Rows where `cond` is false
     * or NULL are kept, per SQL semantics. No-op when the census proves
     * nothing matches.
+    *
+    * Files the predicate PROVABLY covers wholly drop from the manifest
+    * without being read (Iceberg's metadata delete — see
+    * [[metadataDroppable]]); a `DELETE WHERE p = 'x'` of whole
+    * partitions is a pure metadata commit, no Spark job at all — at
+    * 100 TB, dropping a day of data costs O(manifest), not O(data).
     */
   def deleteWhere(spark: SparkSession, cond: Column,
                   nowMs: Long = System.currentTimeMillis()): Manifest =
-    rewriteWhere(spark, cond, nowMs) { df =>
+    rewriteWhere(spark, cond, nowMs,
+      droppable = m => metadataDroppable(m, cond)) { df =>
       df.filter(coalesce(!cond, lit(true)))
     }
+
+  /** Candidate files of `cond`'s census whose EVERY physical row
+    * provably satisfies the predicate, so a DELETE can drop them from
+    * the manifest without reading a byte. The proof is two-sided and
+    * sound-by-construction on the existing prune evaluator:
+    *
+    *  1. [[selectFiles]] under the NEGATED predicate excludes the file —
+    *     pruning only ever excludes when no row can match, so exclusion
+    *     under `!cond` proves no row satisfies `NOT cond`;
+    *  2. every column the predicate references records ZERO nulls in the
+    *     file — closing the three-valued gap: rows where `cond`
+    *     evaluates to NULL satisfy neither `cond` nor `!cond`, and SQL
+    *     DELETE must KEEP them.
+    *
+    * A predicate referencing anything that is not a plain schema column
+    * declines wholesale (conservative — the rewrite path stays correct,
+    * just slower). Pending MoR deletes never block a drop: they only
+    * mask rows the predicate is deleting anyway.
+    */
+  private def metadataDroppable(m: Manifest, cond: Column): Set[String] = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val refs = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+      .collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.name
+      }.map(_.toLowerCase).distinct
+    if (refs.isEmpty) return Set.empty
+    val names = refs.flatMap(r => schema.fields.find(_.name.toLowerCase == r))
+      .map(_.name)
+    if (names.size != refs.size) return Set.empty
+    val candidates = selectFiles(m, cond)
+    if (candidates.isEmpty) return Set.empty
+    val chains = evoChains(m)
+    val mayHoldKept =
+      selectFiles(m.copy(files = candidates.toVector), !cond)
+        .map(_.path).toSet
+    candidates.iterator
+      .filter { f =>
+        !mayHoldKept(f.path) &&
+          names.forall(n => nullsFor(f, chains)(n).contains(0L))
+      }
+      .map(_.path).toSet
+  }
 
   /** Row-level UPDATE (SQL `UPDATE ... SET ... WHERE cond`): the same
     * stats-scoped copy-on-write rewrite; assignments evaluate against the
@@ -650,26 +702,60 @@ final class SnapshotTable(val root: Path,
     } finally hits.unpersist()
   }
 
-  private def rewriteWhere(spark: SparkSession, cond: Column, nowMs: Long)(
+  private def rewriteWhere(spark: SparkSession, cond: Column, nowMs: Long,
+      droppable: Manifest => Set[String] = _ => Set.empty)(
       transform: DataFrame => DataFrame): Manifest = {
     val m = currentManifest
     val candidates = selectFiles(m, cond)
     if (candidates.isEmpty) return m
+    // whole-file metadata drops (DELETE only): provably-all-matching
+    // files leave the rewrite read — when nothing else needs rewriting
+    // the commit is pure metadata (no Spark job)
+    val dropped = droppable(m)
     if (m.partitionColumns.nonEmpty) {
       val touched = candidates.map(_.partition).toSet
       val (carriedChunks, loose, touchedFiles) = splitTouchedOf(m.files, touched)
-      val rewritten = transform(readManifest(spark, m.copy(files = touchedFiles)))
-      commitData(rewritten, Some(m), m.partitionColumns, m.properties, nowMs,
-        carryForward = loose, carryChunks = carriedChunks,
-        carryDeletes = m.deleteFiles, rebaseTouched = Some(touched))
+      val readSet = touchedFiles.filterNot(f => dropped(f.path))
+      if (readSet.isEmpty)
+        metadataOnlyDrop(m, carriedChunks, loose, nowMs)
+      else {
+        val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
+        commitData(rewritten, Some(m), m.partitionColumns, m.properties, nowMs,
+          carryForward = loose, carryChunks = carriedChunks,
+          carryDeletes = m.deleteFiles, rebaseTouched = Some(touched))
+      }
     } else {
       val candSet = candidates.map(_.path).toSet
       val carried = m.files.filterNot(f => candSet(f.path))
-      val rewritten = transform(readManifest(spark, m.copy(files = candidates)))
-      commitData(rewritten, Some(m), Nil, m.properties, nowMs,
-        carryForward = carried, carryDeletes = m.deleteFiles)
+      val readSet = candidates.filterNot(f => dropped(f.path))
+      if (readSet.isEmpty)
+        metadataOnlyDrop(m, None, carried, nowMs)
+      else {
+        val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
+        commitData(rewritten, Some(m), Nil, m.properties, nowMs,
+          carryForward = carried, carryDeletes = m.deleteFiles)
+      }
     }
   }
+
+  /** Commit a DELETE that removed whole files only: survivors (untouched
+    * chunk refs + loose entries) carry by reference, pending MoR delete
+    * files stay (they mask carried files), nothing is read or written.
+    */
+  private def metadataOnlyDrop(m: Manifest,
+      carriedChunks: Option[(Seq[ChunkRef], Int)], loose: Seq[FileEntry],
+      nowMs: Long): Manifest =
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val all: Seq[FileEntry] = carriedChunks match {
+        case Some((chunks, nB)) if chunks.nonEmpty =>
+          new FileList(loose.toVector, chunks, nB, metaDir)
+        case _ => loose
+      }
+      m.copy(version = v, timestampMs = nowMs, files = all,
+        operation = "delete")
+    }
 
   private def typeLookup(schema: StructType): String => Option[DataType] = {
     val byLower = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap

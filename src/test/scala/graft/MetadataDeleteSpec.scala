@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Metadata-only DELETE (Iceberg's metadata delete): files the
+  * predicate provably covers wholly drop from the manifest without a
+  * read — a whole-partition DELETE is a pure metadata commit, no Spark
+  * job. The proof rides the prune evaluator (negated-predicate
+  * exclusion) plus a zero-null gate on every referenced column; this
+  * suite pins both the fast path and the three-valued-logic safety
+  * rail that keeps NULL-condition rows alive.
+  */
+class MetadataDeleteSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def dataDirExists(root: String, v: Long) =
+    Files.isDirectory(Paths.get(root, "data", s"v$v"))
+
+  test("whole-partition DELETE is a pure metadata commit; survivors " +
+      "carry by reference; the changelog reports the drops") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-")
+    val t = SnapshotTable.at(root)
+    val df = (1 to 300).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "p", "s")
+    t.createOrReplace(df, Seq("p"))
+    val before = t.currentManifest
+    val keptPaths = before.files.filter(_.partition("p") != "1")
+      .map(_.path).toSet
+
+    spark.sql(s"DELETE FROM graft.`$root` WHERE p = 1")
+    val after = t.currentManifest
+    assert(after.operation == "delete")
+    assert(!dataDirExists(root, after.version),
+      "a whole-partition delete must not write a data directory")
+    assert(t.read(spark).count() == 200)
+    assert(t.read(spark).filter(col("p") === 1).count() == 0)
+    assert(after.files.map(_.path).toSet == keptPaths,
+      "surviving partitions must carry their files by reference")
+    // the metadata commit still yields row-level change rows
+    val cl = t.readChangelog(spark, before.version, after.version)
+    assert(cl.count() == 100 &&
+      cl.select("_change_type").distinct().head.getString(0) == "delete")
+  }
+
+  test("range DELETE drops wholly-covered files without reading and " +
+      "rewrites only the straddler") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-r-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
+    t.append(spark, (101 to 200).map(i => (i.toLong, s"b$i")).toDF("id", "s"))
+    t.append(spark, (201 to 300).map(i => (i.toLong, s"c$i")).toDF("id", "s"))
+
+    // covers ALL of commit 1's files, none of the others: pure metadata
+    t.deleteWhere(spark, col("id") <= 100L)
+    assert(t.currentManifest.operation == "delete")
+    assert(!dataDirExists(root, t.currentVersion),
+      "a file-aligned range delete must not write data")
+    assert(t.read(spark).count() == 200)
+
+    // straddles commit 2's range: its files rewrite, commit 3 carries
+    val keep3 = t.currentManifest.files
+      .filter(f => f.seq == 3L).map(_.path).toSet
+    t.deleteWhere(spark, col("id") <= 150L)
+    assert(t.read(spark).count() == 150)
+    assert(t.read(spark).agg(min("id")).head.getLong(0) == 151L)
+    assert(keep3.subsetOf(t.currentManifest.files.map(_.path).toSet),
+      "the uncovered commit's files must carry by reference")
+    assert(dataDirExists(root, t.currentVersion),
+      "a straddling delete rewrites the partial file")
+  }
+
+  test("rows where the predicate is NULL survive — files with nulls in " +
+      "referenced columns never metadata-drop") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-n-")
+    val t = SnapshotTable.at(root)
+    val rows = Seq((1L, Some(5L)), (2L, Some(5L)), (3L, None))
+    t.createOrReplace(rows.toDF("id", "c").coalesce(1))
+    t.deleteWhere(spark, col("c") === 5L)
+    // c=5 rows go; the NULL-condition row stays (SQL three-valued DELETE)
+    val left = t.read(spark).collect()
+    assert(left.length == 1 && left.head.getLong(0) == 3L,
+      s"NULL-cond row must survive, got ${left.mkString(",")}")
+    assert(dataDirExists(root, t.currentVersion),
+      "a null-bearing file must take the rewrite path, not the drop")
+  }
+
+  test("pending MoR deletes never block a metadata drop") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-m-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 200).map(i => (i.toLong, i % 2, s"r$i"))
+      .toDF("id", "p", "s"), Seq("p"))
+    // position-tombstone two rows inside partition 0, then drop the
+    // whole partition by metadata — the masked rows were dying anyway
+    t.deleteWherePositional(spark, col("id") === 2L || col("id") === 4L)
+    assert(t.read(spark).count() == 198)
+    t.deleteWhere(spark, col("p") === 0)
+    assert(!dataDirExists(root, t.currentVersion),
+      "the partition drop must stay metadata-only under pending deletes")
+    assert(t.read(spark).count() == 100)
+    assert(t.read(spark).filter(col("p") === 0).count() == 0)
+  }
+
+  test("a predicate on a non-column expression declines the fast path " +
+      "but deletes correctly") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-x-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // the prune evaluator declines length(); the fast path must too
+    t.deleteWhere(spark, length(col("s")) >= 3)
+    assert(t.read(spark).count() == 9, "r1..r9 survive")
+  }
+}
