@@ -49,7 +49,8 @@ object Bench {
       "q97_transform_prune", "q98_meta_count", "q99_sql_branch_wap",
       "q100_show_partitions", "q101_meta_minmax_filtered", "q102_ref_ddl",
       "q103_stream_bytes_admission", "q104_add_files", "q105_cherrypick",
-      "q106_snapshot_mgmt", "q107_snapshot_table", "q108_wap_publish")
+      "q106_snapshot_mgmt", "q107_snapshot_table", "q108_wap_publish",
+      "q109_metadata_delete")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -1349,6 +1349,31 @@ object SparkEntry {
       s.sql(s"SELECT ${orderCols.mkString(", ")} FROM graft.`$root`")
     }),
 
+    "q109_metadata_delete" -> ((s, d) => {
+      // Iceberg's METADATA DELETE: a whole-partition SQL DELETE drops
+      // the partition's files from the manifest without reading a byte.
+      // The proof rides the prune evaluator's NNF rewrite — every
+      // candidate file is excluded under the NEGATED predicate, and a
+      // zero-null gate on the referenced column closes the three-valued
+      // hole (NULL-condition rows must survive). Asserted in-query:
+      // operation == "delete" and NO data directory written for the
+      // commit — at 100 TB, dropping a day of data costs O(manifest),
+      // not O(data). Result = the surviving rows (the oracle).
+      val root = Files.createTempDirectory("graft-q109-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders, Seq("o_orderstatus"))
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderstatus = 'F'")
+      val m = table.currentManifest
+      require(m.operation == "delete",
+        s"whole-partition DELETE must commit as a metadata delete, " +
+          s"got '${m.operation}'")
+      require(!Files.isDirectory(
+          java.nio.file.Paths.get(root, "data", s"v${m.version}")),
+        "a metadata delete must not write a data directory")
+      s.sql(s"SELECT ${orderCols.mkString(", ")} FROM graft.`$root`")
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2541,6 +2566,11 @@ object SparkEntry {
     "q108_wap_publish" ->
       s"""SELECT ${orderCols.mkString(", ")} FROM orders
          |WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin,
+
+    // the metadata delete leaves exactly the non-'F' partitions
+    "q109_metadata_delete" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders
+         |WHERE o_orderstatus <> 'F'""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

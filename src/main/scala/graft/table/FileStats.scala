@@ -395,17 +395,21 @@ object StatsPruning {
     * classes; rewrite the recognized names so the bounds walk below sees
     * canonical nodes. Unknown functions stay as-is (→ conservative true).
     */
-  private def normalize(e: Expression): Expression = e match {
+  private def normalize(e: Expression): Expression = nnf(canon(e))
+
+  private def canon(e: Expression): Expression = e match {
     case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if uf.nameParts.size == 1 && !uf.isDistinct =>
-      val as = uf.arguments.map(normalize)
+      val as = uf.arguments.map(canon)
       uf.nameParts.head.toLowerCase match {
         case "and" if as.size == 2  => And(as(0), as(1))
         case "or" if as.size == 2   => Or(as(0), as(1))
+        case "not" | "!" if as.size == 1 => Not(as(0))
         case "isnull" if as.size == 1    => IsNull(as(0))
         case "isnotnull" if as.size == 1 => IsNotNull(as(0))
         case "startswith" if as.size == 2 => StartsWith(as(0), as(1))
         case "=" | "==" if as.size == 2 => EqualTo(as(0), as(1))
+        case "!=" | "<>" if as.size == 2 => Not(EqualTo(as(0), as(1)))
         case "<" if as.size == 2    => LessThan(as(0), as(1))
         case "<=" if as.size == 2   => LessThanOrEqual(as(0), as(1))
         case ">" if as.size == 2    => GreaterThan(as(0), as(1))
@@ -414,7 +418,54 @@ object StatsPruning {
         case "in" if as.size >= 2   => In(as.head, as.tail)
         case _ => uf.copy(arguments = as)
       }
-    case other => other.mapChildren(normalize)
+    case other => other.mapChildren(canon)
+  }
+
+  /** Negation-normal form: push `Not` through And/Or (De Morgan) and
+    * invert comparisons so the bounds walk below sees positive nodes.
+    * Every rewrite here is EXACT under SQL three-valued logic (Kleene
+    * logic satisfies De Morgan exactly; comparisons require non-null
+    * operands to evaluate true, so `Not(a = v)` ≡ `a < v OR a > v`
+    * row-for-row). Soundness only needs the rewritten form NO STRONGER
+    * than the original — true on a superset-or-equal of rows — both for
+    * ordinary pruning (a kept row must keep its file) and for the
+    * metadata-delete proof (exclusion under a weaker form of `!cond`
+    * still proves no row survives the delete); exactness gives margin.
+    * An unrecognized negation keeps its `Not` wrapper and falls to
+    * [[mayMatch]]'s conservative `true`.
+    */
+  private def nnf(e: Expression): Expression = e match {
+    case Not(inner) => negate(inner)
+    case And(l, r)  => And(nnf(l), nnf(r))
+    case Or(l, r)   => Or(nnf(l), nnf(r))
+    case other      => other
+  }
+
+  private def negate(e: Expression): Expression = e match {
+    case Not(x)                  => nnf(x)
+    case And(l, r)               => Or(negate(l), negate(r))
+    case Or(l, r)                => And(negate(l), negate(r))
+    case EqualTo(a, b)           => Or(LessThan(a, b), GreaterThan(a, b))
+    case LessThan(a, b)          => GreaterThanOrEqual(a, b)
+    case LessThanOrEqual(a, b)   => GreaterThan(a, b)
+    case GreaterThan(a, b)       => LessThanOrEqual(a, b)
+    case GreaterThanOrEqual(a, b) => LessThan(a, b)
+    case IsNull(a)               => IsNotNull(a)
+    case IsNotNull(a)            => IsNull(a)
+    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.map(v => Or(LessThan(a, v), GreaterThan(a, v)): Expression)
+        .reduceLeft(And(_, _))
+    case EqualNullSafe(a, Literal(null, _)) => IsNotNull(a)
+    case EqualNullSafe(Literal(null, _), a) => IsNotNull(a)
+    case EqualNullSafe(a, b) =>
+      // true iff exactly one side null, or both non-null and unequal —
+      // the disjunction below is that case split verbatim (a plain
+      // Or(IsNull(a), IsNull(b), ...) would wrongly cover both-null)
+      Or(And(IsNull(a), IsNotNull(b)),
+        Or(And(IsNotNull(a), IsNull(b)),
+          Or(LessThan(a, b), GreaterThan(a, b))))
+    case Literal(b: Boolean, BooleanType) => Literal(!b, BooleanType)
+    case other => Not(other)
   }
 
   /** May any row of a file with `bounds(col) = Some((min, max))` satisfy
@@ -567,87 +618,6 @@ object StatsPruning {
     }
   }
 
-  /** Must EVERY row of the file satisfy `expr`? `true` only when the
-    * bounds/null census PROVES it — the dual of [[mayMatch]], powering
-    * DELETE's metadata-only whole-file drop. Anything unproven answers
-    * `false`: the caller falls back to the copy-on-write rewrite, which
-    * is always correct, just slower. Soundness notes:
-    *
-    *  - stored bounds are OUTER bounds (string truncation keeps min a
-    *    lower and max an upper bound; transform-derived partition ranges
-    *    cover their unit) — exactly the direction "every row inside
-    *    [min,max] satisfies op" needs;
-    *  - a comparison proves only on a ZERO-null column: rows where the
-    *    predicate evaluates to NULL satisfy neither it nor its negation,
-    *    and SQL DELETE must keep them;
-    *  - `Or` proves when EITHER side does (TRUE OR anything = TRUE);
-    *    `And` needs both.
-    */
-  def alwaysMatch(expr: Expression,
-                  colType: String => Option[DataType],
-                  bounds: String => Option[(Bound, Bound)],
-                  nulls: String => Option[Long] = _ => None,
-                  rows: Long = -1L): Boolean =
-    alwaysNorm(normalize(expr), colType, bounds, nulls, rows)
-
-  private def alwaysNorm(expr: Expression,
-                         colType: String => Option[DataType],
-                         bounds: String => Option[(Bound, Bound)],
-                         nulls: String => Option[Long],
-                         rows: Long): Boolean = expr match {
-    case And(l, r) =>
-      alwaysNorm(l, colType, bounds, nulls, rows) &&
-        alwaysNorm(r, colType, bounds, nulls, rows)
-    case Or(l, r) =>
-      alwaysNorm(l, colType, bounds, nulls, rows) ||
-        alwaysNorm(r, colType, bounds, nulls, rows)
-    case Literal(true, BooleanType) => true
-    case IsNull(a) => // every row null: the exact all-null census
-      attrName(a).exists(n => rows > 0 && nulls(n).contains(rows))
-    case IsNotNull(a) =>
-      attrName(a).exists(n => nulls(n).contains(0L))
-    case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-      // provable only through a pinned value: min = max = some member
-      attrName(a).exists(n => vs.exists(v => alwaysCompare(n,
-        v.asInstanceOf[Literal], "=", colType, bounds, nulls)))
-    case c: BinaryComparison =>
-      val (op, a, l) = (c, c.left, c.right) match {
-        case (_: EqualTo, x, y)            => ("=", x, y)
-        case (_: EqualNullSafe, x, y)      => ("=", x, y)
-        case (_: GreaterThan, x, y)        => (">", x, y)
-        case (_: GreaterThanOrEqual, x, y) => (">=", x, y)
-        case (_: LessThan, x, y)           => ("<", x, y)
-        case (_: LessThanOrEqual, x, y)    => ("<=", x, y)
-        case _                             => ("?", c.left, c.right)
-      }
-      (attrName(a), l, attrName(l), a) match {
-        case (Some(n), lit: Literal, _, _) =>
-          alwaysCompare(n, lit, op, colType, bounds, nulls)
-        case (_, _, Some(n), lit: Literal) =>
-          alwaysCompare(n, lit, flip(op), colType, bounds, nulls)
-        case _ => false
-      }
-    case _ => false
-  }
-
-  private def alwaysCompare(name: String, lit: Literal, op: String,
-                            colType: String => Option[DataType],
-                            bounds: String => Option[(Bound, Bound)],
-                            nulls: String => Option[Long]): Boolean = {
-    if (!nulls(name).contains(0L)) return false // NULL rows break totality
-    (for {
-      dt <- colType(name)
-      v <- literalBound(dt, lit)
-      (mn, mx) <- bounds(name)
-    } yield op match {
-      case "="  => le(v, mn) && le(mx, v) // range pinned to exactly v
-      case ">"  => lt(v, mn)
-      case ">=" => le(v, mn)
-      case "<"  => lt(mx, v)
-      case "<=" => le(mx, v)
-      case _    => false
-    }).getOrElse(false)
-  }
 
   private def mayCompare(name: String, lit: Literal, op: String,
                          colType: String => Option[DataType],

@@ -55,9 +55,15 @@ class MetadataDeleteSpec extends SparkSpec {
     import base.implicits._
     val root = tmp("graft-metadel-r-")
     val t = SnapshotTable.at(root)
-    t.createOrReplace((1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s"))
-    t.append(spark, (101 to 200).map(i => (i.toLong, s"b$i")).toDF("id", "s"))
-    t.append(spark, (201 to 300).map(i => (i.toLong, s"c$i")).toDF("id", "s"))
+    // ONE file per commit — so id <= 150 genuinely straddles commit 2's
+    // file (a multi-file commit would split at the 150 boundary and the
+    // whole delete would legitimately stay metadata-only)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .coalesce(1))
+    t.append(spark, (101 to 200).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+      .coalesce(1))
+    t.append(spark, (201 to 300).map(i => (i.toLong, s"c$i")).toDF("id", "s")
+      .coalesce(1))
 
     // covers ALL of commit 1's files, none of the others: pure metadata
     t.deleteWhere(spark, col("id") <= 100L)

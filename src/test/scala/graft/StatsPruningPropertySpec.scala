@@ -44,13 +44,15 @@ class StatsPruningPropertySpec extends SparkSpec {
       "p" -> (() => lit(rnd.nextInt(6).toLong - 1))
     )(rnd.nextInt(5)) match { case (n, g) => (col(n), g) }
 
-  private def atom(): Column = rnd.nextInt(10) match {
+  private def atom(): Column = rnd.nextInt(11) match {
     case 0 => colAndLit()._1.isNull
     case 1 => colAndLit()._1.isNotNull
     case 2 => col("s").startsWith(
       Seq("", "a", "b9", "z", "m0", "é")(rnd.nextInt(6)))
     case 3 =>
       val (c, g) = colAndLit(); c.isin(g(), g(), g())
+    case 4 =>
+      val (c, g) = colAndLit(); c =!= g()
     case n =>
       val (c, g) = colAndLit(); val l = g()
       (n % 5) match {
@@ -62,10 +64,15 @@ class StatsPruningPropertySpec extends SparkSpec {
       }
   }
 
-  private def pred(depth: Int): Column =
-    if (depth == 0 || rnd.nextInt(3) == 0) atom()
-    else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
-    else pred(depth - 1) || pred(depth - 1)
+  // a third of subtrees negate — exercising the NNF rewrite the prune
+  // evaluator runs (De Morgan + comparison inversion) against row truth
+  private def pred(depth: Int): Column = {
+    val p =
+      if (depth == 0 || rnd.nextInt(3) == 0) atom()
+      else if (rnd.nextBoolean()) pred(depth - 1) && pred(depth - 1)
+      else pred(depth - 1) || pred(depth - 1)
+    if (rnd.nextInt(3) == 0) !p else p
+  }
 
   private def check(tbl: SnapshotTable, what: String): Unit = {
     (1 to 40).foreach { i =>
@@ -91,6 +98,38 @@ class StatsPruningPropertySpec extends SparkSpec {
       Files.createTempDirectory("graft-prune-prop-p-").toString)
     tbl.createOrReplace(mkData, Seq("p"))
     check(tbl, "partitioned")
+  }
+
+  test("negated predicates prune at the manifest: != point, NOT BETWEEN, NOT IN") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-prune-not-").toString)
+    // 8 range-clustered files over id 1..2000 → ~250-wide id ranges
+    tbl.createOrReplace(mkData.repartitionByRange(8, col("id")))
+    val (total, all) = (tbl.pruneCounts(lit(true))._2, 8)
+    assert(total == all)
+    // != keeps every file EXCEPT ones whose range is pinned to the value —
+    // here no file pins, so the real assertion is NOT BETWEEN / De Morgan:
+    // NOT(500 <= id <= 1600) keeps only the head and tail files
+    val (keptNotBetween, _) =
+      tbl.pruneCounts(!(col("id") >= 500L && col("id") <= 1600L))
+    assert(keptNotBetween < total,
+      s"NOT BETWEEN must prune interior files, kept $keptNotBetween/$total")
+    // NOT(id < 1800): only tail files survive
+    val (keptNotLt, _) = tbl.pruneCounts(!(col("id") < 1800L))
+    assert(keptNotLt <= 2, s"NOT < must prune the head, kept $keptNotLt")
+    // != against a single-value file: pin one file to a constant column
+    val tbl2 = SnapshotTable.at(
+      Files.createTempDirectory("graft-prune-ne-").toString)
+    tbl2.createOrReplace(
+      (1 to 100).map(i => (i.toLong, 7L)).toDF("id", "k").coalesce(1))
+    tbl2.append(spark,
+      (101 to 200).map(i => (i.toLong, 9L)).toDF("id", "k").coalesce(1))
+    assert(tbl2.pruneCounts(col("k") =!= 7L) == ((1, 2)),
+      "!= must skip the file whose bounds pin k = 7")
+    assert(tbl2.pruneCounts(!col("k").isin(7L, 9L)) == ((0, 2)),
+      "NOT IN covering both pinned files must prune everything")
+    // and row truth still holds through the pruned read
+    assert(tbl2.readWhere(spark, col("k") =!= 7L).count() == 100)
   }
 
   test("time-unit and truncate partition-value ranges are exact") {
