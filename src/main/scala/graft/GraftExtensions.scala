@@ -1031,7 +1031,9 @@ private[graft] object GraftSqlDml {
     def answer(t: SnapshotTable, items: Seq[Item]): Option[LogicalPlan] = {
       val lits = items.map {
         case CountItem(nm) =>
-          t.rowCount.map(n => Alias(Literal(n, LongType), nm)())
+          // spark-assisted: pending positional deletes subtract their
+          // tombstone census instead of forcing the scan plan
+          t.rowCount(session).map(n => Alias(Literal(n, LongType), nm)())
         case MinMaxItem(nm, fn, c) =>
           t.columnMinMax(c).flatMap { case (dt, bounds) =>
             literalOf(dt, bounds.map(b => if (fn == "min") b._1 else b._2))

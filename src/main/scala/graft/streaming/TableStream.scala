@@ -23,6 +23,9 @@ import graft.table.SnapshotTable
   *   .option("startVersion", "0")      // 0 = bootstrap: first batch is the
   *                                     //     whole table; "latest" (default)
   *                                     //     = only commits after stream start
+  *   .option("startTimestamp", "1700000000000") // epoch ms: commits after
+  *                                     //     the latest snapshot at-or-before
+  *                                     //     it (excl. startVersion)
   *   .option("ignoreChanges", "true")  // permit non-append commits (CoW
   *                                     //     merge/compaction): rewritten
   *                                     //     partitions RE-EMIT wholesale
@@ -264,10 +267,29 @@ final class GraftTableSource(spark: SparkSession, path: String,
     }
   }
 
-  private val startVersion: Long = parameters.get("startVersion") match {
-    case Some(v) if v != "latest" => v.toLong
-    case _ => durablePin("graft-start-version")(tbl.currentVersion)
-  }
+  /** `startTimestamp` (epoch millis — Iceberg's `stream-from-timestamp`):
+    * stream every MAIN-lineage commit AFTER the latest snapshot at or
+    * before the timestamp, resolved through the same parent-chain walk
+    * as `rollback_to_timestamp`. A timestamp predating the table's
+    * genesis resolves to 0 — the full-table bootstrap, Iceberg's
+    * older-than-oldest behavior; a timestamp falling in an EXPIRED gap
+    * refuses loudly (the resolver cannot place it). Resolution happens
+    * once per stream lifetime and lands in the same durable pin as
+    * `latest`, so restarts replay the identical start even after more
+    * history expires.
+    */
+  private val startVersion: Long =
+    (parameters.get("startVersion"), parameters.get("startTimestamp")) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "startVersion and startTimestamp are mutually exclusive — " +
+            "pick the version pin or the timestamp resolver, not both")
+      case (Some(v), None) if v != "latest" => v.toLong
+      case (None, Some(ts)) =>
+        durablePin("graft-start-version")(
+          tbl.versionAtOrBefore(ts.toLong).getOrElse(0L))
+      case _ => durablePin("graft-start-version")(tbl.currentVersion)
+    }
 
   private val bootCaps = maxFiles.isDefined || maxBytes.isDefined
   private val splitBootstrap = startVersion == 0L && bootCaps

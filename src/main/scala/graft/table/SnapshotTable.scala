@@ -867,16 +867,68 @@ final class SnapshotTable(val root: Path,
   /** Metadata-only COUNT(*): the sum of per-file record counts, answered
     * from the manifest without touching data — Iceberg's count pushdown
     * analog. None when any file predates row-count stats (legacy
-    * manifest) or equality deletes are pending (the survivor count needs
-    * the sequence-resolved read).
+    * manifest) or ANY deletes are pending; the spark-assisted overload
+    * below additionally tolerates pending POSITIONAL deletes.
     */
   def rowCount: Option[Long] = {
     val m = currentManifest
-    if (m.deleteFiles.nonEmpty) None
-    else m.files match {
-      case fl: FileList if fl.chunks.nonEmpty => fl.totalRows // rollups only
-      case s => if (s.exists(_.rows < 0)) None else Some(s.map(_.rows).sum)
-    }
+    if (m.deleteFiles.nonEmpty) None else baseRowCount(m)
+  }
+
+  /** [[rowCount]] that survives pending POSITIONAL deletes: the base sum
+    * minus the masked-tombstone census ([[positionalMaskedCount]] — one
+    * tiny job over the delete files, O(tombstones), never O(data)).
+    * Equality deletes still decline: their keys may mask zero rows, and
+    * only the sequence-resolved read knows. A table taking steady
+    * positional deletes keeps its metadata-only COUNT between
+    * compactions instead of paying a full scan.
+    */
+  def rowCount(spark: SparkSession): Option[Long] = {
+    val m = currentManifest
+    if (m.deleteFiles.isEmpty) baseRowCount(m)
+    else for {
+      base <- baseRowCount(m)
+      masked <- positionalMaskedCount(spark, m, m.files)
+    } yield base - masked
+  }
+
+  private def baseRowCount(m: Manifest): Option[Long] = m.files match {
+    case fl: FileList if fl.chunks.nonEmpty => fl.totalRows // rollups only
+    case s => if (s.exists(_.rows < 0)) None else Some(s.map(_.rows).sum)
+  }
+
+  /** Rows masked by pending POSITIONAL deletes inside `live` files: the
+    * DISTINCT (path, pos) tombstone census semi-joined against the live
+    * paths. Distinct because re-tombstoning an already-masked row is
+    * legal (`deleteWherePositional` reads the raw file group — its doc
+    * calls the anti-join idempotent); live-filtered because compaction
+    * keeps a delete file while ANY carried group still needs it, so
+    * tombstones naming since-rewritten files go stale. Exact against
+    * the read path: the MoR anti-join matches tombstones to rows by
+    * exact recovered path, and a path-matching live file is always
+    * dirty (path bounds contain their own members; positional entries
+    * carry no partition scope; a live file with a pending tombstone's
+    * path always predates the delete — [[cherrypick]] refuses ancestor
+    * re-adoption, so resequencing can't resurrect a path). None when
+    * any pending delete is an equality delete.
+    */
+  private def positionalMaskedCount(spark: SparkSession, m: Manifest,
+      live: Seq[FileEntry]): Option[Long] = {
+    if (m.deleteFiles.isEmpty) return Some(0L)
+    if (m.deleteFiles.exists(!_.positional)) return None
+    // driver cap, same bound as the census paths: enumerating a
+    // million-file manifest's paths here would trade a scan for a
+    // driver-heap spike — past the cap the scan plan answers instead
+    if (live.size > SnapshotTable.MaxCensusPartitions) return None
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val liveDf = live.map(_.path).toDF("lp")
+    Some(spark.read.parquet(
+        m.deleteFiles.map(d => root.resolve(d.path).toString): _*)
+      .select("path", "pos").distinct()
+      .join(liveDf, col("path") === col("lp"), "left_semi")
+      .count())
   }
 
   /** Metadata-only MIN/MAX of a column (Iceberg's aggregate pushdown
@@ -992,7 +1044,8 @@ final class SnapshotTable(val root: Path,
                              cond: Column): Option[Long] =
     matchingFiles(spark, refs, cond).flatMap { fs =>
       if (fs.exists(_.rows < 0L)) None // legacy file: row count unknown
-      else Some(fs.map(_.rows).sum)
+      else positionalMaskedCount(spark, currentManifest, fs)
+        .map(fs.map(_.rows).sum - _) // masked rows sit in matching files
     }
 
   /** Metadata-only MIN/MAX under a PARTITION-COLUMN predicate: the
@@ -1028,7 +1081,11 @@ final class SnapshotTable(val root: Path,
   private def matchingFiles(spark: SparkSession, refs: Seq[String],
                             cond: Column): Option[Seq[FileEntry]] = {
     val m = currentManifest
-    if (m.deleteFiles.nonEmpty) return None
+    // pending POSITIONAL deletes don't change WHICH files match a
+    // partition predicate (tombstones mask rows, not partition tuples) —
+    // the COUNT caller subtracts their census, MIN/MAX has its own
+    // stricter gate above. Equality deletes still decline everything.
+    if (m.deleteFiles.exists(!_.positional)) return None
     val schema = StructType.fromDDL(m.schemaDdl)
     val fields = refs.map(r => schema.fields
       .find(_.name.equalsIgnoreCase(r)).getOrElse(return None))
@@ -2038,6 +2095,38 @@ final class SnapshotTable(val root: Path,
       publisher.forceCurrent(metaDir, cur.version)
       cur.version
     }
+
+  /** Latest MAIN-lineage snapshot committed at or before `tsMs`:
+    * `Some(version)`, or `None` when the timestamp predates the table's
+    * genesis (the caller decides — [[rollbackToTimestamp]] refuses, a
+    * stream's `startTimestamp` bootstraps from 0). Same parent-chain
+    * walk as rollback — never the flat retained-version list, which
+    * interleaves branch commits. Legacy manifests (parent unrecorded)
+    * link to the previous retained version, the single-lineage shape
+    * that predates branches. An EXPIRED parent met while still above
+    * `tsMs` refuses loudly: the history needed to place the timestamp
+    * is gone, and guessing would silently skip or replay commits.
+    */
+  private[graft] def versionAtOrBefore(tsMs: Long): Option[Long] = {
+    val retainedSorted = manifestVersions.sorted
+    val retained = retainedSorted.toSet
+    def parentOf(m: Manifest): Long = m.parent match {
+      case -1L => retainedSorted.takeWhile(_ < m.version).lastOption
+        .getOrElse(0L)
+      case p => p
+    }
+    var cur = currentManifest
+    while (cur.timestampMs > tsMs) {
+      val p = parentOf(cur)
+      if (p == 0L) return None // genesis reached: all history is after
+      require(retained(p),
+        s"no retained snapshot of $root at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMs)} — history below " +
+          s"v${cur.version} is expired, the timestamp cannot be placed")
+      cur = manifest(p)
+    }
+    Some(cur.version)
+  }
 
   // ---- named tags (Iceberg refs analog) -------------------------------
 

@@ -182,6 +182,56 @@ class ChangelogSpec extends SparkSpec {
     assert(snaps(2L)._1 == 1L)
   }
 
+  test("changelog across a cherrypick reports the picked rows as " +
+      "inserts exactly once") {
+    val (_, t) = fresh("graft-cdc-pick-")
+    t.createOrReplace(rows(1 to 100), nowMs = 1000L)       // v1
+    t.branch("wap")
+    t.atBranch("wap").append(spark, rows(101 to 150), nowMs = 2000L) // v2 (branch)
+    val staged = t.branches("wap")
+    t.append(spark, rows(151 to 200), nowMs = 3000L)       // v3 (main)
+    val head = t.currentVersion
+    t.cherrypick(staged, nowMs = 4000L)                    // v4 = pick of v2
+    val picked = t.readChangelog(spark, head, t.currentVersion)
+    assert(picked.count() == 50 &&
+      picked.filter(col("_change_type") =!= "insert").count() == 0,
+      "the pick step is exactly the staged rows, as inserts")
+    // and the full-history walk counts every row ONCE (no double-report
+    // of the picked rows through the branch's own commit)
+    val full = t.readChangelog(spark, 0L, t.currentVersion)
+    assert(full.count() == 200)
+    assert(full.groupBy("id").count().filter(col("count") > 1).count() == 0,
+      "no row may appear twice across the lineage walk")
+  }
+
+  test("changelog after rollback + new commits follows the NEW lineage; " +
+      "abandoned snapshots neither report nor serve as FROM boundaries") {
+    val (_, t) = fresh("graft-cdc-rb-")
+    t.createOrReplace(rows(1 to 100), nowMs = 1000L)   // v1
+    t.append(spark, rows(101 to 160), nowMs = 2000L)   // v2 (to abandon)
+    t.rollbackTo(1L)
+    t.append(spark, rows(201 to 250), nowMs = 3000L)   // v3, parent = v1
+    val full = t.readChangelog(spark, 0L, t.currentVersion)
+    assert(full.count() == 150,
+      "rolled-over rows must not appear on the new lineage")
+    assert(full.filter(col("id").between(101, 160)).count() == 0)
+    // v2 still exists (retained for time travel) but is NOT an ancestor:
+    // using it as a FROM boundary must refuse, not silently diff
+    val e = intercept[IllegalArgumentException] {
+      t.readChangelog(spark, 2L, t.currentVersion).count()
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    // pointer moves themselves commit nothing: set_current_snapshot
+    // (rollbackTo moves either direction) and the changelog still
+    // reports each step exactly once afterwards
+    t.rollbackTo(2L)
+    assert(t.read(spark).count() == 160)
+    t.rollbackTo(3L)
+    val again = t.readChangelog(spark, 1L, 3L)
+    assert(again.count() == 50 &&
+      again.filter(col("_change_type") =!= "insert").count() == 0)
+  }
+
   test("a rebasing commit preserves properties committed concurrently") {
     val (_, t) = fresh("graft-cdc-props-")
     t.createOrReplace(rows(1 to 50), Nil, nowMs = 1000L)        // v1

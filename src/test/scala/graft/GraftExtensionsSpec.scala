@@ -631,6 +631,51 @@ class GraftExtensionsSpec extends SparkSpec {
     // compaction folds the deletes: the metadata path returns
     t.compact(spark)
     assert(isMeta(q) && spark.sql(q).head.getLong(0) == 98L)
+    // pending POSITIONAL deletes keep the metadata plan: the count
+    // subtracts the tombstone census (O(tombstones), not a table scan)
+    t.deleteWherePositional(spark,
+      org.apache.spark.sql.functions.col("id").isin(10L, 11L, 12L))
+    assert(t.currentManifest.deleteFiles.exists(_.positional))
+    assert(isMeta(q), "positional deletes must not force the scan plan")
+    assert(spark.sql(q).head.getLong(0) == 95L)
+    // re-tombstoning an already-masked row must not double-subtract
+    t.deleteWherePositional(spark, org.apache.spark.sql.functions
+      .col("id").between(10L, 13L)) // 10-12 re-masked, 13 new
+    assert(isMeta(q) && spark.sql(q).head.getLong(0) == 94L,
+      "distinct (path,pos) census: re-masked rows count once")
+    // an equality delete arriving on top still declines everything
+    t.mergeMoR(spark, Seq((20L, "x", "D")).toDF("id", "v", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(!isMeta(q), "mixed pending deletes must fall through")
+    assert(spark.sql(q).head.getLong(0) == 93L)
+  }
+
+  test("partition-filtered metadata COUNT survives pending positional " +
+      "deletes; MIN/MAX still declines") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft-metapcd-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 120).map(i => (i.toLong, i % 3))
+      .toDF("id", "p"), Seq("p"))
+    def leaves(sql: String) =
+      spark.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+    def isMeta(sql: String) = leaves(sql).forall(l =>
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+      l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val q = s"SELECT count(*) AS n FROM graft.`$root` WHERE p = 1"
+    assert(isMeta(q) && spark.sql(q).head.getLong(0) == 40L)
+    // mask two rows inside p=1 and one outside: only the in-partition
+    // tombstones subtract from the filtered count
+    t.deleteWherePositional(spark,
+      org.apache.spark.sql.functions.col("id").isin(1L, 4L, 3L)) // 1,4∈p=1; 3∈p=0
+    assert(isMeta(q), "positional deletes keep the filtered metadata path")
+    assert(spark.sql(q).head.getLong(0) == 38L)
+    val mm = s"SELECT max(id) AS m FROM graft.`$root` WHERE p = 1"
+    assert(!isMeta(mm),
+      "MIN/MAX must decline under pending deletes — a masked row could " +
+        "hold the extreme")
+    assert(spark.sql(mm).head.getLong(0) == 118L)
   }
 
   test("metadata min/max answers witnessed extremes, declines unsafe types") {

@@ -48,6 +48,54 @@ class TableStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 4)
   }
 
+  test("startTimestamp: tails after the at-or-before snapshot, " +
+      "bootstraps when predating genesis, pins durably, refuses " +
+      "alongside startVersion") {
+    import spark.implicits._
+    val root = tmp("graft-ts-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace(Seq((1L, "a")).toDF("id", "v"), nowMs = 1000000L)
+    t.append(spark, Seq((2L, "b")).toDF("id", "v"), nowMs = 2000000L)
+    t.append(spark, Seq((3L, "c")).toDF("id", "v"), nowMs = 3000000L)
+    def run(opts: Map[String, String], ckpt: String, out: String): Unit = {
+      var r = spark.readStream.format("graft-table")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(root).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ids(out: String): Seq[Long] =
+      try spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      catch { case _: Throwable => Nil }
+    // cutoff between v2 and v3 → exactly the commits after v2
+    val (c1, o1) = (tmp("graft-ts-ckpt-"), tmp("graft-ts-out-"))
+    run(Map("startTimestamp" -> "2500000"), c1, o1)
+    assert(ids(o1) == Seq(3L), "commits after the cutoff snapshot only")
+    // cutoff EXACTLY at v2's commit: at-or-before → v2 excluded too
+    val (c2, o2) = (tmp("graft-ts-ckpt-"), tmp("graft-ts-out-"))
+    run(Map("startTimestamp" -> "2000000"), c2, o2)
+    assert(ids(o2) == Seq(3L), "an exact-match snapshot is the start, " +
+      "not part of the stream")
+    // predates genesis → Iceberg's older-than-oldest: full bootstrap
+    val (c3, o3) = (tmp("graft-ts-ckpt-"), tmp("graft-ts-out-"))
+    run(Map("startTimestamp" -> "500000"), c3, o3)
+    assert(ids(o3) == Seq(1L, 2L, 3L))
+    // the resolution is pinned: the same checkpoint tails on, exactly once
+    t.append(spark, Seq((4L, "d")).toDF("id", "v"), nowMs = 4000000L)
+    run(Map("startTimestamp" -> "2500000"), c1, o1)
+    assert(ids(o1) == Seq(3L, 4L), "restart must tail from the pin")
+    // both start options set → loud, at stream construction
+    val e = intercept[Throwable] {
+      run(Map("startTimestamp" -> "2500000", "startVersion" -> "0"),
+        tmp("graft-ts-ckpt-"), tmp("graft-ts-out-"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("mutually exclusive")))
+  }
+
   test("default start=latest tails only post-creation commits") {
     import spark.implicits._
     val root = tmp("graft-ts-")
