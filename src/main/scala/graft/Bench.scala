@@ -125,6 +125,15 @@ object Bench {
           spark.catalog.clearCache()
           (t, outcome)
         }
+      // per-attempt detail on STDERR (the driver parses stdout's JSON):
+      // the raw evidence a min/median hides — attempt degradation inside
+      // one child JVM vs a uniformly slow machine read differently when
+      // a round-over-round regression needs a root cause
+      System.err.println(("BENCH_ATTEMPTS\t" + name + "\t" +
+        attempts.map {
+          case (t, None) => f"$t%.3f"
+          case (_, Some(e)) => s"err:$e"
+        }.mkString("\t")))
       val good = attempts.collect { case (t, None) => t }.sorted
       if (good.nonEmpty) {
         val t = if (lifecycle(name)) good(good.size / 2) else good.head
