@@ -287,6 +287,70 @@ object ScaleProbe {
         dp.read(spark).count()
       }
 
+      // NEGATED-predicate pruning at 2.4M rows (the NNF rewrite): a
+      // NOT BETWEEN over the range-clustered key must keep only the
+      // head/tail files — before the rewrite every NOT/!= predicate
+      // scanned all 64
+      {
+        val inner = col("l_orderkey") >= oCut && col("l_orderkey") <= oCut * 9
+        val (keptNot, totalNot) = st.pruneCounts(!inner)
+        println(s"""{"stage":"not_prune_census","kept":$keptNot,""" +
+          s""""total":$totalNot}""")
+        timed("not_pruned_scan") { st.readWhere(spark, !inner).count() }
+      }
+
+      // metadata DELETE at 2.4M rows: dropping a whole partition is a
+      // pure manifest commit — zero parquet bytes written, no Spark job
+      // — while an intra-partition predicate pays exactly one
+      // partition's copy-on-write. The 100 TB story: retiring a day of
+      // data costs O(manifest), not O(data).
+      {
+        def pBytes(p: java.nio.file.Path): Long = {
+          val s = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(f => java.nio.file.Files.isRegularFile(f) &&
+                f.toString.endsWith(".parquet"))
+              .map(java.nio.file.Files.size).sum
+          } finally s.close()
+        }
+        val md = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-metadelprobe").toString)
+        md.createOrReplace(withP, Seq("p"))
+        val before = pBytes(md.root)
+        timed("metadata_delete_whole_partition") {
+          md.deleteWhere(spark, col("p") === 0)
+          require(md.currentManifest.operation == "delete" &&
+            pBytes(md.root) == before,
+            "whole-partition delete must write zero parquet bytes")
+          md.read(spark).count()
+        }
+        timed("cow_delete_intra_partition") {
+          md.deleteWhere(spark,
+            col("p") === 1 && pmod(col("l_orderkey"), lit(100)) === 5)
+          md.read(spark).count()
+        }
+      }
+
+      // metadata COUNT under pending POSITIONAL deletes: the tombstone
+      // census subtracts in O(tombstones) while the fallback scan pays
+      // the full table — the r8-verdict "steady MoR delete workload"
+      // evidence
+      {
+        val mc = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-metacountprobe").toString)
+        mc.createOrReplace(withP, Seq("p"))
+        mc.deleteWherePositional(spark,
+          pmod(col("l_orderkey"), lit(1000)) === 3) // ~0.1% tombstoned
+        require(mc.currentManifest.deleteFiles.exists(_.positional))
+        timed("meta_count_pending_pos_deletes") {
+          mc.rowCount(spark).getOrElse(
+            sys.error("positional deletes must not decline the meta count"))
+        }
+        timed("scan_count_pending_pos_deletes") { mc.read(spark).count() }
+      }
+
       // partition-spec evolution at 2.4M rows: the evolve commit itself
       // is metadata-only (no data IO); the first merge after it rewrites
       // ONLY the legacy block it touches (migrating it to the new spec);
