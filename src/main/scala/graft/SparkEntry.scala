@@ -1374,6 +1374,62 @@ object SparkEntry {
       s.sql(s"SELECT ${orderCols.mkString(", ")} FROM graft.`$root`")
     }),
 
+    "q110_stream_from_timestamp" -> ((s, d) => {
+      // Iceberg's stream-from-timestamp: the stream starts AFTER the
+      // latest main-lineage snapshot at or before the cutoff, resolved
+      // through the rollback_to_timestamp parent-chain walk and pinned
+      // durably next to the checkpoint. Three pinned-timestamp commits
+      // slice orders by key mod 3; a cutoff between commits 1 and 2
+      // streams exactly slices 2 ∪ 3 (the oracle); the pre-cutoff slice
+      // is asserted absent in-query.
+      val root = Files.createTempDirectory("graft-q110-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 3 === 0),
+        nowMs = 1000000L)
+      table.append(s, orders.filter(col("o_orderkey") % 3 === 1),
+        nowMs = 2000000L)
+      table.append(s, orders.filter(col("o_orderkey") % 3 === 2),
+        nowMs = 3000000L)
+      val ckpt = Files.createTempDirectory("graft-q110-ckpt-").toString
+      val out = Files.createTempDirectory("graft-q110-out-").toString
+      val q = s.readStream.format("graft-table")
+        .option("startTimestamp", "1500000")
+        .load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val got = s.read.parquet(out).select(orderCols.map(col): _*)
+      require(got.filter(col("o_orderkey") % 3 === 0).isEmpty,
+        "the at-or-before snapshot's rows must not stream")
+      got
+    }),
+
+    "q111_meta_count_pending_deletes" -> ((s, d) => {
+      // Metadata-only COUNT(*) surviving pending POSITIONAL deletes:
+      // the count subtracts the distinct live-path tombstone census —
+      // one tiny job over the delete files, never a table scan — where
+      // equality deletes (whose keys may mask nothing) still decline.
+      // Asserted in-query: the optimized plan's leaves stay
+      // metadata-shaped. Result = the survivor count (the oracle).
+      val root = Files.createTempDirectory("graft-q111-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders)
+      table.deleteWherePositional(s, col("o_orderkey") % 10 === 3)
+      require(table.currentManifest.deleteFiles.exists(_.positional),
+        "the positional delete must register a pending tombstone file")
+      val sql = s"SELECT count(*) AS n FROM graft.`$root`"
+      val leaves = s.sql(sql).queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.forall(l =>
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.OneRowRelation] ||
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        "pending positional deletes must keep the metadata COUNT plan")
+      s.sql(sql)
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2571,6 +2627,16 @@ object SparkEntry {
     "q109_metadata_delete" ->
       s"""SELECT ${orderCols.mkString(", ")} FROM orders
          |WHERE o_orderstatus <> 'F'""".stripMargin,
+
+    // commits after the cutoff = the mod-3 slices 1 and 2
+    "q110_stream_from_timestamp" ->
+      s"""SELECT ${orderCols.mkString(", ")} FROM orders
+         |WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
+
+    // the tombstone-census count = the survivors
+    "q111_meta_count_pending_deletes" ->
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_orderkey % 10 <> 3""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +
