@@ -749,7 +749,7 @@ private[graft] object GraftSqlDml {
       case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
       case "create_changelog_view" =>
         Seq("table", "view", "from_version", "to_version",
-          "identifier_columns")
+          "identifier_columns", "from_timestamp", "to_timestamp")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
@@ -860,9 +860,31 @@ private[graft] object GraftSqlDml {
           case Some(o) => throw new UnsupportedOperationException(
             s"$k must be a version number or a ref name, got $o")
         }
+        // timestamp boundaries (epoch ms) resolve through the same
+        // main-lineage walk as rollback_to_timestamp: `from` is the
+        // latest snapshot at-or-before the cutoff (its own rows are
+        // excluded — the changelog reports what changed AFTER it;
+        // predating genesis means the full history), `to` must land on
+        // a retained snapshot or the range is unanswerable — loud
+        def tsArg(k: String): Option[Long] = bound.get(k).map {
+          case l: Long => l
+          case i: Int => i.toLong
+          case o => throw new UnsupportedOperationException(
+            s"$k must be an epoch-millis number, got $o")
+        }
+        def boundary(verKey: String, tsKey: String, default: Long,
+                     genesis: => Long): Long =
+          (bound.contains(verKey), tsArg(tsKey)) match {
+            case (true, Some(_)) => throw new UnsupportedOperationException(
+              s"$verKey and $tsKey are mutually exclusive")
+            case (_, Some(ts)) => tbl.versionAtOrBefore(ts).getOrElse(genesis)
+            case _ => versionArg(verKey, default)
+          }
         tbl.readChangelog(session,
-          versionArg("from_version", 0L),
-          versionArg("to_version", tbl.currentVersion),
+          boundary("from_version", "from_timestamp", 0L, 0L),
+          boundary("to_version", "to_timestamp", tbl.currentVersion,
+            throw new UnsupportedOperationException(
+              "to_timestamp predates the table's first retained snapshot")),
           keys).createOrReplaceTempView(viewName)
       case "rollback_to_snapshot" =>
         tbl.rollbackTo(longArg("version").getOrElse(

@@ -491,6 +491,34 @@ class GraftExtensionsSpec extends SparkSpec {
         "view => 'x', from_version => 'nope')")
     }
     assert(e2.getMessage.contains("no tag or branch"))
+
+    // timestamp boundaries resolve via the main-lineage walk: the table
+    // above committed v1 (create) then v2 (delete); re-pin both commits'
+    // timestamps through a fresh table so the cutoffs are known
+    val root2 = Files.createTempDirectory("graft-cdcview-ts-").toString
+    val t2 = SnapshotTable.at(root2)
+    t2.createOrReplace((1 to 20).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      nowMs = 1000000L)
+    t2.append(spark, Seq((21L, "x")).toDF("id", "s"), nowMs = 2000000L)
+    base.sql(s"CALL graft.system.create_changelog_view('$root2', " +
+      "view => 'cdc_ts_view', from_timestamp => 1500000)")
+    assert(base.sql("SELECT count(*) AS n FROM cdc_ts_view")
+      .head.getLong(0) == 1L, "only the post-cutoff append reports")
+    // predating genesis = full history; both-boundary forms refuse
+    base.sql(s"CALL graft.system.create_changelog_view('$root2', " +
+      "view => 'cdc_ts_all', from_timestamp => 500)")
+    assert(base.sql("SELECT count(*) AS n FROM cdc_ts_all")
+      .head.getLong(0) == 21L)
+    val e3 = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.create_changelog_view('$root2', " +
+        "view => 'x', from_version => 1, from_timestamp => 1500000)")
+    }
+    assert(e3.getMessage.contains("mutually exclusive"))
+    val e4 = intercept[UnsupportedOperationException] {
+      base.sql(s"CALL graft.system.create_changelog_view('$root2', " +
+        "view => 'x', to_timestamp => 500)")
+    }
+    assert(e4.getMessage.contains("predates"))
   }
 
   test("SQL ALTER TABLE ADD/DROP COLUMNS = metadata-only evolution") {
