@@ -418,6 +418,28 @@ object StatsPruning {
         case "in" if as.size >= 2   => In(as.head, as.tail)
         case _ => uf.copy(arguments = as)
       }
+    // fold literal casts with Catalyst's OWN evaluation — the Column
+    // API spells timestamp/date cutoffs as `lit("...").cast("timestamp")`
+    // and SQL as `CAST('...' AS T)`, both a Cast(Literal) the bounds
+    // walk would otherwise decline (it only compares against literals).
+    // Session timezone attaches exactly as the runtime cast would get
+    // it; any eval failure (ANSI malformed string) keeps the Cast node,
+    // which falls to the conservative cases
+    case c: Cast =>
+      canon(c.child) match {
+        case l: Literal =>
+          try {
+            val tzc = (if (c.timeZoneId.isEmpty && c.needsTimeZone)
+              c.withTimeZone(org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone)
+            else c).withNewChildren(Seq(l))
+            if (tzc.resolved) Literal(tzc.eval(null), c.dataType)
+            else c.withNewChildren(Seq(l))
+          } catch {
+            case scala.util.control.NonFatal(_) => c.withNewChildren(Seq(l))
+          }
+        case other => c.withNewChildren(Seq(other))
+      }
     case other => other.mapChildren(canon)
   }
 

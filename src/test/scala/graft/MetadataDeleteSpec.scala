@@ -119,6 +119,34 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("p") === 0).count() == 0)
   }
 
+  test("retiring a whole day from a days()-partitioned table is a " +
+      "metadata commit — the range predicate drops day-aligned files " +
+      "via footer bounds") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-d-")
+    val t = SnapshotTable.at(root)
+    val rows = (0 until 300).map { i =>
+      (i.toLong,
+        java.sql.Timestamp.valueOf(f"2026-03-${i % 3 + 1}%02d 10:${i % 60}%02d:00"),
+        s"r$i")
+    }.toDF("id", "ts", "s")
+    t.createOrReplace(rows, Seq("pd"),
+      properties = Map("graft.transform.pd" -> "days(ts)"))
+    require(t.currentManifest.files.nonEmpty)
+    val before = t.currentManifest.files.map(_.path).toSet
+    // the user spells the day as a timestamp range — the shape a
+    // pipeline retiring day partitions actually writes
+    t.deleteWhere(spark, col("ts") >= lit("2026-03-02 00:00:00").cast("timestamp")
+      && col("ts") < lit("2026-03-03 00:00:00").cast("timestamp"))
+    assert(t.currentManifest.operation == "delete",
+      "a day-aligned range delete must be a metadata commit")
+    assert(!dataDirExists(root, t.currentVersion))
+    assert(t.read(spark).count() == 200)
+    assert(t.currentManifest.files.map(_.path).toSet.subsetOf(before),
+      "survivors carry by reference")
+  }
+
   test("a predicate on a non-column expression declines the fast path " +
       "but deletes correctly") {
     val base = spark
