@@ -505,6 +505,22 @@ object StatsPruning {
                rows: Long = -1L): Boolean =
     rows != 0L && mayMatchNorm(normalize(expr), colType, bounds, nulls, rows)
 
+  /** Hoist [[normalize]] out of a per-file loop: canonicalization now
+    * includes NNF rewriting and literal-cast FOLDING (a timestamp parse)
+    * — once per predicate, not once per million manifest entries. Pair
+    * with [[mayMatchNormalized]].
+    */
+  def normalized(expr: Expression): Expression = normalize(expr)
+
+  /** [[mayMatch]] over an expression already put through [[normalized]].
+    */
+  def mayMatchNormalized(nExpr: Expression,
+               colType: String => Option[DataType],
+               bounds: String => Option[(Bound, Bound)],
+               nulls: String => Option[Long] = _ => None,
+               rows: Long = -1L): Boolean =
+    rows != 0L && mayMatchNorm(nExpr, colType, bounds, nulls, rows)
+
   private def mayMatchNorm(expr: Expression,
                colType: String => Option[DataType],
                bounds: String => Option[(Bound, Bound)],

@@ -358,6 +358,10 @@ final class SnapshotTable(val root: Path,
     */
   private[graft] def selectFiles(m: Manifest, cond: Column): Seq[FileEntry] = {
     val expr = org.apache.spark.sql.GraftBridge.catalystExpression(cond)
+    // canonicalize ONCE per predicate (NNF rewrite + literal-cast
+    // folding — the latter parses timestamps), not once per manifest
+    // entry; the per-file test below only walks the canonical tree
+    val nExpr = StatsPruning.normalized(expr)
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     val transforms = partitionTransforms(m)
     val chains = evoChains(m)
@@ -386,7 +390,7 @@ final class SnapshotTable(val root: Path,
     }
     def fileOk(f: FileEntry) =
       bucketOk(f) &&
-        StatsPruning.mayMatch(expr, types,
+        StatsPruning.mayMatchNormalized(nExpr, types,
           boundsFor(f, types, transforms, chains),
           nullsFor(f, chains), f.rows)
     m.files match {
@@ -426,7 +430,7 @@ final class SnapshotTable(val root: Path,
               bs.contains(c.bucket)
             case _ => true
           }
-          bucketAlive && StatsPruning.mayMatch(expr, types,
+          bucketAlive && StatsPruning.mayMatchNormalized(nExpr, types,
             name => for {
               dt <- types(name)
               cb <- ci(c.stats, name)
