@@ -98,6 +98,35 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
       tbl.read(spark).filter(cond).count())
   }
 
+  test("metadata DELETE on a chunked manifest: untouched chunk docs " +
+      "carry by reference, the dropped partition's doc rewrites") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-mdel-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    val docsBefore = chunkDocs(tbl)
+    val (_, delParses) = parses {
+      tbl.deleteWhere(spark, col("p") === 3)
+    }
+    assert(tbl.currentManifest.operation == "delete")
+    assert(!Files.isDirectory(
+      tbl.root.resolve("data").resolve(s"v${tbl.currentVersion}")),
+      "a whole-partition chunked delete must not write data")
+    // planning + the touched bucket's doc rewrite — never a full rechunk
+    assert(delParses <= 4,
+      s"chunked metadata delete parsed $delParses docs — should be " +
+        "bounded by the touched bucket")
+    val docsAfter = chunkDocs(tbl)
+    assert((docsBefore intersect docsAfter).size >= docsBefore.size - 2,
+      "untouched chunk documents must be reused verbatim")
+    assert(tbl.read(spark).count() ==
+      1000 - (1 to 1000).count(_ % 64 == 3))
+    assert(tbl.readWhere(spark, col("p") === 3).count() == 0)
+    // rollup metadata stays zero-parse after the surgery
+    val (rc, rcParses) = parses(tbl.rowCount)
+    assert(rc.contains(1000L - (1 to 1000).count(_ % 64 == 3)))
+    assert(rcParses == 0)
+  }
+
   test("partition-scoped merge parses only dirty buckets and reuses docs") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
