@@ -90,6 +90,7 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@refs` ``     — named refs (main/tags/branches)
   *   - ``graft.`/path@snapshots` `` — per-snapshot commit summaries
   *   - ``graft.`/path@partitions` `` — per-partition file/row/byte totals
+  *   - ``graft.`/path@delete_files` `` — pending MoR delete files
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
@@ -97,7 +98,7 @@ case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   private val Suffixed =
-    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests)$".r
+    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files)$".r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -145,6 +146,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("snapshots")               => tbl.snapshots(session)
       case Some("partitions")              => tbl.partitions(session)
       case Some("manifests")               => tbl.manifests(session)
+      case Some("delete_files")            => tbl.deleteFilesRelation(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)

@@ -487,6 +487,21 @@ object StatsPruning {
         Or(And(IsNotNull(a), IsNull(b)),
           Or(LessThan(a, b), GreaterThan(a, b))))
     case Literal(b: Boolean, BooleanType) => Literal(!b, BooleanType)
+    // strings starting with p fill [p, next(p)) — the same interval
+    // mayStartWith prunes on — so the negation is its exact complement,
+    // under the same ASCII/last-char guards (next(p) needs a single-char
+    // increment; non-ASCII or 0x7e+ keeps the conservative Not)
+    case sw @ StartsWith(a, Literal(p, StringType))
+        if p != null && {
+          val s = p.toString
+          s.nonEmpty && s.forall(c => c >= 0x20 && c < 0x7f) && s.last < 126
+        } =>
+      val s = p.toString
+      val next = s.init + (s.last + 1).toChar
+      Or(LessThan(a, sw.right),
+        GreaterThanOrEqual(a, Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(next),
+          StringType)))
     case other => Not(other)
   }
 

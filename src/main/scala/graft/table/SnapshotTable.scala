@@ -1461,6 +1461,30 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** ``@delete_files`` metadata relation (Iceberg's `delete_files`
+    * table analog): one row per PENDING delete file — content kind
+    * (`position`/`equality`), the commit version that wrote it, its
+    * partition scope, the recorded tombstone/key row count, and the
+    * on-disk size. Empty once compaction folds the debt. Delete lists
+    * are O(pending debt) and never chunked, so a driver-built relation
+    * is the right shape.
+    */
+  def deleteFilesRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rootStr = root.toString
+    currentManifest.deleteFiles.map { d =>
+      val p = if (d.path.startsWith("/")) Paths.get(d.path)
+              else Paths.get(rootStr, d.path)
+      (p.toString,
+        if (d.positional) "position" else "equality",
+        d.version,
+        d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        d.rows,
+        if (Files.exists(p)) Files.size(p) else -1L)
+    }.toDF("file_path", "content", "commit_version", "partition",
+      "record_count", "file_size_bytes")
+  }
+
   /** Distinct hive-rendered partition strings whose FileEntry partition
     * MAP satisfies `wanted` (keys case-insensitive, values exact) — the
     * SHOW PARTITIONS [PARTITION(spec)] answer. Filtering happens on the
@@ -2146,7 +2170,7 @@ final class SnapshotTable(val root: Path,
     */
   def tag(name: String, version: Long = currentVersion): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -2204,7 +2228,7 @@ final class SnapshotTable(val root: Path,
   def branch(name: String, version: Long = currentVersion): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")

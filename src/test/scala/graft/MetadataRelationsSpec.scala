@@ -71,4 +71,31 @@ class MetadataRelationsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.tag("snapshots") }
     intercept[IllegalArgumentException] { t.branch("partitions") }
   }
+
+  test("@delete_files lists pending MoR debt by kind and empties on compact") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-metadel-rel-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, i % 2, s"s$i"))
+      .toDF("id", "p", "s"), Seq("p"))
+    val q = s"SELECT * FROM graft.`$root@delete_files`"
+    assert(spark.sql(q).count() == 0, "a clean table has no delete debt")
+    t.mergeMoR(spark, Seq((2L, 0, "x", "D"), (4L, 0, "x", "D"))
+      .toDF("id", "p", "s", "op"), Seq("id"), keepDeletes = false)
+    t.deleteWherePositional(spark, col("id").isin(7L, 9L))
+    val rows = spark.sql(q).collect()
+    assert(rows.length >= 2)
+    val byContent = rows.groupBy(_.getAs[String]("content"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("record_count")).sum }
+    assert(byContent.get("equality").exists(_ == 2L),
+      s"equality keys recorded, got $byContent")
+    assert(byContent.get("position").exists(_ == 2L),
+      s"position tombstones recorded, got $byContent")
+    assert(rows.forall(_.getAs[Long]("file_size_bytes") > 0))
+    assert(rows.forall(_.getAs[Long]("commit_version") >= 2L))
+    t.compact(spark)
+    assert(spark.sql(q).count() == 0, "compaction folds the debt")
+    intercept[IllegalArgumentException] { t.tag("delete_files") }
+  }
 }
