@@ -719,13 +719,23 @@ final class SnapshotTable(val root: Path,
     if (m.partitionColumns.nonEmpty) {
       val touched = candidates.map(_.partition).toSet
       val (carriedChunks, loose, touchedFiles) = splitTouchedOf(m.files, touched)
-      val readSet = touchedFiles.filterNot(f => dropped(f.path))
+      // FILE-level scoping inside touched partitions: a same-partition
+      // file the stats census EXCLUDED provably holds no matching row —
+      // rewriting it copies it verbatim. Bystanders carry by reference
+      // instead; the rebase census stays partition-level (they appear
+      // identically on both sides of the touched-set comparison). A
+      // selective `DELETE WHERE id < k` now rewrites only the files the
+      // bounds implicate, not every file of the implicated partitions.
+      val candSet = candidates.map(_.path).toSet
+      val (inScope, bystanders) = touchedFiles.partition(f => candSet(f.path))
+      val readSet = inScope.filterNot(f => dropped(f.path))
       if (readSet.isEmpty)
-        metadataOnlyDrop(m, carriedChunks, loose, nowMs)
+        metadataOnlyDrop(m, carriedChunks, loose ++ bystanders, nowMs,
+          touched = Some(touched), droppedPaths = inScope.map(_.path).toSet)
       else {
         val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
         commitData(rewritten, Some(m), m.partitionColumns, m.properties, nowMs,
-          carryForward = loose, carryChunks = carriedChunks,
+          carryForward = loose ++ bystanders, carryChunks = carriedChunks,
           carryDeletes = m.deleteFiles, rebaseTouched = Some(touched))
       }
     } else {
@@ -733,7 +743,8 @@ final class SnapshotTable(val root: Path,
       val carried = m.files.filterNot(f => candSet(f.path))
       val readSet = candidates.filterNot(f => dropped(f.path))
       if (readSet.isEmpty)
-        metadataOnlyDrop(m, None, carried, nowMs)
+        metadataOnlyDrop(m, None, carried, nowMs,
+          touched = None, droppedPaths = candSet)
       else {
         val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
         commitData(rewritten, Some(m), Nil, m.properties, nowMs,
@@ -745,20 +756,62 @@ final class SnapshotTable(val root: Path,
   /** Commit a DELETE that removed whole files only: survivors (untouched
     * chunk refs + loose entries) carry by reference, pending MoR delete
     * files stay (they mask carried files), nothing is read or written.
+    *
+    * Concurrent commits REBASE under the same rules as [[commitData]]:
+    * when the winner left the drop's evidence untouched — schema, spec,
+    * pending deletes, and the touched partitions' file sets unchanged
+    * (unpartitioned: the dropped paths still live) — the survivors
+    * re-derive from the WINNER's manifest, so a metadata delete racing
+    * an append to other partitions lands without manual retry. Anything
+    * that could invalidate the per-file proof aborts loudly.
     */
   private def metadataOnlyDrop(m: Manifest,
       carriedChunks: Option[(Seq[ChunkRef], Int)], loose: Seq[FileEntry],
-      nowMs: Long): Manifest =
+      nowMs: Long,
+      touched: Option[Set[Map[String, String]]],
+      droppedPaths: Set[String]): Manifest =
     publishCommit { (v, curOpt) =>
-      if (curOpt.map(_.version) != Some(m.version))
-        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
-      val all: Seq[FileEntry] = carriedChunks match {
+      val curV = curOpt.map(_.version).getOrElse(0L)
+      val (chunks2, loose2): (Option[(Seq[ChunkRef], Int)], Seq[FileEntry]) =
+        if (curOpt.map(_.version) == Some(m.version)) (carriedChunks, loose)
+        else {
+          val cur = curOpt.getOrElse(throw concurrentCommit(0L))
+          def canon(ddl: String) = StructType.fromDDL(ddl).fields
+            .map(f => (f.name, f.dataType.catalogString)).toSeq
+          if (canon(cur.schemaDdl) != canon(m.schemaDdl) ||
+              cur.partitionColumns != m.partitionColumns ||
+              cur.deleteFiles != m.deleteFiles)
+            throw concurrentCommit(curV)
+          touched match {
+            case Some(t) =>
+              val (curChunks, curLoose, curTouched) =
+                splitTouchedOf(cur.files, t)
+              val bTouched = splitTouchedOf(m.files, t)._3
+              if (curTouched.map(_.path).toSet != bTouched.map(_.path).toSet)
+                throw concurrentCommit(curV)
+              (curChunks,
+                curLoose ++ curTouched.filterNot(f => droppedPaths(f.path)))
+            case None =>
+              val curPaths = cur.files.map(_.path).toSet
+              if (!droppedPaths.subsetOf(curPaths))
+                throw concurrentCommit(curV)
+              (None,
+                cur.files.filterNot(f => droppedPaths(f.path)).toVector)
+          }
+        }
+      val all: Seq[FileEntry] = chunks2 match {
         case Some((chunks, nB)) if chunks.nonEmpty =>
-          new FileList(loose.toVector, chunks, nB, metaDir)
-        case _ => loose
+          new FileList(loose2.toVector, chunks, nB, metaDir)
+        case _ => loose2
       }
+      // a rebase intends no property change — the winner's properties
+      // rule (a concurrent SET TBLPROPERTIES / sink marker must survive,
+      // the r6 rebase-clobber lesson)
+      val effectiveProps =
+        if (curOpt.map(_.version) == Some(m.version)) m.properties
+        else curOpt.get.properties
       m.copy(version = v, timestampMs = nowMs, files = all,
-        operation = "delete")
+        properties = effectiveProps, operation = "delete")
     }
 
   private def typeLookup(schema: StructType): String => Option[DataType] = {

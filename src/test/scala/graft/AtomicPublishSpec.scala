@@ -133,6 +133,39 @@ class AtomicPublishSpec extends SparkSpec {
     assert(stages == 0, "lost publish attempts must clean their staged manifest")
   }
 
+  test("cas: a metadata delete racing an append rebases and lands; an " +
+      "append into the dropped partition aborts it") {
+    val dir = Files.createTempDirectory("graft-pub-").toString
+    val rival = SnapshotTable.at(dir, CasPublish)
+    rival.createOrReplace(withP(batch(1 to 100, t0, 1.0)), Seq("p"))
+    // rival appends to OTHER partitions right before the drop's publish:
+    // the drop must rebase onto the winner's manifest — its survivors
+    // include the freshly-appended files, and the commit stays metadata
+    val racePub = new RaceOnce(CasPublish, () =>
+      rival.append(spark,
+        withP(batch(101 to 120, t0, 1.0)).filter(col("p") =!= 0)))
+    val tbl = SnapshotTable.at(dir, racePub)
+    tbl.deleteWhere(spark, col("p") === 0)
+    assert(tbl.currentManifest.operation == "delete")
+    val out = tbl.read(spark)
+    assert(out.filter(col("p") === 0).count() == 0)
+    assert(out.count() ==
+      75L + (101 to 120).count(_ % 4 != 0),
+      "the rival's appended rows must survive the rebased drop")
+    // an append INTO the partition being dropped invalidates the census:
+    // the rebase must refuse, never silently drop the new rows
+    val racePub2 = new RaceOnce(CasPublish, () =>
+      rival.append(spark,
+        withP(batch(200 to 203, t0, 1.0)).filter(col("p") === 1)))
+    val tbl2 = SnapshotTable.at(dir, racePub2)
+    intercept[IllegalStateException] {
+      tbl2.deleteWhere(spark, col("p") === 1)
+    }
+    assert(SnapshotTable.at(dir, CasPublish).read(spark)
+      .filter(col("p") === 1).count() > 0,
+      "the aborted drop must leave the rival's rows visible")
+  }
+
   test("cas: exactly one of two JVMs wins a simultaneous version claim") {
     val dir = Files.createTempDirectory("graft-pub-")
     val claim = dir.resolve("meta/_claims/v7")

@@ -119,6 +119,40 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("p") === 0).count() == 0)
   }
 
+  test("file-level scoping: same-partition files the census excludes " +
+      "carry by reference — through metadata drops AND rewrites") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-metadel-b-")
+    val t = SnapshotTable.at(root)
+    def slice(r: Range, tag: String) =
+      r.map(i => (i.toLong, i % 2, s"$tag$i")).toDF("id", "p", "s")
+    t.createOrReplace(slice(1 to 100, "a"), Seq("p"))
+    t.append(spark, slice(101 to 200, "b"))
+    val before = t.currentManifest.files.map(_.path).toSet
+    // covers commit 1's p=1 file wholly; commit 2's p=1 file is a
+    // same-partition BYSTANDER (excluded by id bounds) → pure metadata
+    t.deleteWhere(spark, col("id") <= 100L && col("p") === 1)
+    assert(t.currentManifest.operation == "delete",
+      "a bystander must not force the rewrite path")
+    assert(!dataDirExists(root, t.currentVersion))
+    assert(t.read(spark).count() == 150)
+    assert(t.currentManifest.files.map(_.path).toSet.subsetOf(before))
+    // now a REWRITE with a bystander: commit 3 lands more p=1 files;
+    // a mid-range delete implicates only commit 2's file — commit 3's
+    // p=1 file must carry by reference through the rewrite
+    val beforeC3 = t.currentManifest.files.map(_.path).toSet
+    t.append(spark, slice(201 to 300, "c"))
+    val c3p1 = t.currentManifest.files.map(_.path).toSet -- beforeC3
+    assert(c3p1.nonEmpty)
+    t.deleteWhere(spark, col("id").between(120L, 160L) && col("p") === 1)
+    assert(dataDirExists(root, t.currentVersion), "a straddler rewrites")
+    assert(t.read(spark).count() == 230)
+    assert(c3p1.subsetOf(t.currentManifest.files.map(_.path).toSet),
+      "stats-excluded same-partition files must survive the rewrite " +
+        "by reference, not by copy")
+  }
+
   test("retiring a whole day from a days()-partitioned table is a " +
       "metadata commit — the range predicate drops day-aligned files " +
       "via footer bounds") {
