@@ -326,11 +326,33 @@ object ScaleProbe {
             "whole-partition delete must write zero parquet bytes")
           md.read(spark).count()
         }
+        val cowBefore = pBytes(md.root)
         timed("cow_delete_intra_partition") {
           md.deleteWhere(spark,
             col("p") === 1 && pmod(col("l_orderkey"), lit(100)) === 5)
           md.read(spark).count()
         }
+        println(s"""{"stage":"cow_delete_bytes_written",""" +
+          s""""bytes":${pBytes(md.root) - cowBefore}}""")
+        // file-scoped DELETE: append a second file into partition 2,
+        // then delete a range implicating only the ORIGINAL file — the
+        // bystander carries by reference, so the rewrite's write cost
+        // is one file, not the partition
+        md.append(spark, withP.filter(col("p") === 2)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L)))
+        val fsBefore = pBytes(md.root)
+        val filesBefore = md.currentManifest.files.map(_.path).toSet
+        timed("cow_delete_file_scoped") {
+          md.deleteWhere(spark,
+            col("p") === 2 && col("l_orderkey") < 100000000L &&
+              pmod(col("l_orderkey"), lit(100)) === 5)
+          md.read(spark).count()
+        }
+        val carried = md.currentManifest.files.map(_.path)
+          .count(filesBefore)
+        println(s"""{"stage":"cow_delete_file_scoped_census",""" +
+          s""""bytes":${pBytes(md.root) - fsBefore},""" +
+          s""""carried":$carried}""")
       }
 
       // metadata COUNT under pending POSITIONAL deletes: the tombstone
