@@ -88,6 +88,31 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out.filter(col("p") >= 5).filter(col("v") =!= 1.0).count() == 0)
   }
 
+  test("partition-moving UPDATE with same-partition bystanders: the " +
+      "excluded file carries, moved rows land in their new partition") {
+    val base = spark
+    import base.implicits._
+    val tbl = SnapshotTable.at(
+      java.nio.file.Files.createTempDirectory("graft-upd-bys-").toString)
+    def slice(r: Range, tag: String) =
+      r.map(i => (i.toLong, 1L, s"$tag$i")).toDF("id", "p", "s")
+    tbl.createOrReplace(slice(1 to 100, "a"), Seq("p"))
+    tbl.append(spark, slice(101 to 200, "b")) // second p=1 file, ids 101+
+    val bFiles = tbl.currentManifest.files.filter(_.seq == 2L)
+      .map(_.path).toSet
+    assert(bFiles.nonEmpty)
+    // moves ids 1..50 to partition 2; commit 2's file is excluded by
+    // the id bounds — it must carry by reference, NOT be rewritten
+    tbl.updateWhere(spark, Seq("p" -> lit(2L)),
+      col("id") <= 50L && col("p") === 1L)
+    val out = tbl.read(spark)
+    assert(out.filter(col("p") === 2L).select("id").as[Long]
+      .collect().sorted.toSeq == (1L to 50L))
+    assert(out.filter(col("p") === 1L).count() == 150)
+    assert(bFiles.subsetOf(tbl.currentManifest.files.map(_.path).toSet),
+      "the census-excluded same-partition file must survive by reference")
+  }
+
   test("qualified DML keys bind only through the statement's aliases") {
     // r4 ADVICE: `SET x.v = ...` with a stray qualifier must fail loudly,
     // never silently update the same-named top-level column
