@@ -1994,13 +1994,20 @@ final class SnapshotTable(val root: Path,
     * the era) rather than silently serving younger data.
     */
   def readAsOf(spark: SparkSession, tsMs: Long): DataFrame = {
-    val vs = manifestVersions.map(v => v -> manifest(v).timestampMs)
-      .filter(_._2 <= tsMs)
-    require(vs.nonEmpty, s"no retained snapshot at or before $tsMs")
-    // tie-break same-millisecond commits (metadata-only commits land in
-    // the same ms as their predecessor routinely) toward the LATEST
-    // version, like Iceberg's TIMESTAMP AS OF
-    readVersion(spark, vs.maxBy(p => (p._2, p._1))._1)
+    // MAIN-lineage walk, never the flat retained-version list: versions
+    // share one sequence across branches, so the flat list interleaves
+    // branch-staged commits (and rollback-abandoned ones) whose
+    // timestamps qualify — serving one would silently time-travel onto
+    // a different lineage. The walk lands on the latest main ancestor
+    // at-or-before the cutoff (same-millisecond runs resolve to the
+    // child met first — the latest, like Iceberg's TIMESTAMP AS OF); a
+    // timestamp the walk cannot place (predates genesis, or falls under
+    // an expired gap) refuses loudly — tagged survivor islands stay
+    // reachable explicitly via `@<tag>` or `@v<n>`.
+    val v = versionAtOrBefore(tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained main-lineage snapshot of $root at or before $tsMs"))
+    readVersion(spark, v)
   }
 
   /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */

@@ -138,6 +138,35 @@ class BranchSpec extends SparkSpec {
       t.read(spark).filter(col("s") === "u").count() == 2)
   }
 
+  test("@ts time travel follows the MAIN lineage: branch-staged and " +
+      "rollback-abandoned snapshots never serve") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-ts-lineage-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace(Seq((1L, "main-v1")).toDF("id", "s"), nowMs = 1000L)
+    t.branch("wap")
+    t.atBranch("wap").append(spark,
+      Seq((2L, "branch-v2")).toDF("id", "s"), nowMs = 2000L)
+    t.append(spark, Seq((3L, "main-v3")).toDF("id", "s"), nowMs = 3000L)
+    // ts between the branch commit and main's next commit: main's state
+    // at that instant was v1 — the branch snapshot's qualifying
+    // timestamp must not hijack the travel
+    assert(t.readAsOf(spark, 2500L).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L), "a branch-staged snapshot must never serve @ts")
+    assert(t.readAsOf(spark, 3500L).count() == 2)
+    // abandon v3, continue on a new lineage: the abandoned snapshot's
+    // timestamp window must not serve either
+    t.rollbackTo(1L)
+    t.append(spark, Seq((4L, "main-v4")).toDF("id", "s"), nowMs = 4000L)
+    assert(t.readAsOf(spark, 3500L).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L), "a rollback-abandoned snapshot must never serve @ts")
+    assert(t.readAsOf(spark, 4000L).count() == 2)
+    // predating genesis refuses loudly
+    val e = intercept[IllegalArgumentException] { t.readAsOf(spark, 500L) }
+    assert(e.getMessage.contains("main-lineage"))
+  }
+
   test("Iceberg ref DDL: CREATE/DROP BRANCH|TAG [AS OF VERSION n]") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-refddl-").toString
