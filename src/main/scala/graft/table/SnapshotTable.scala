@@ -2010,14 +2010,22 @@ final class SnapshotTable(val root: Path,
     readVersion(spark, v)
   }
 
-  /** Snapshot history: (version, timestampMs, nFiles, isCurrent). */
+  /** Snapshot history: every RETAINED snapshot (branch-staged and
+    * rollback-abandoned ones included — they stay `@v`-travelable until
+    * expiry), flagged with Iceberg's `is_current_ancestor`: provable
+    * membership in the current head's parent chain. Below an expired
+    * gap the proof is gone, so islands flag false even when they were
+    * genuine ancestors — honest, never a guess.
+    */
   def history(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val cur = currentVersion
+    val ancestors = lineageVersionsBetween(0L, cur).toSet + cur
     manifestVersions.map { v =>
       val m = manifest(v)
-      (v, m.timestampMs, m.files.size.toLong, v == cur)
-    }.toDF("version", "timestamp_ms", "n_files", "is_current")
+      (v, m.timestampMs, m.files.size.toLong, v == cur, ancestors(v))
+    }.toDF("version", "timestamp_ms", "n_files", "is_current",
+      "is_current_ancestor")
   }
 
   /** `.snapshots` metadata relation (Iceberg's `db.table.snapshots`):

@@ -165,6 +165,13 @@ class BranchSpec extends SparkSpec {
     // predating genesis refuses loudly
     val e = intercept[IllegalArgumentException] { t.readAsOf(spark, 500L) }
     assert(e.getMessage.contains("main-lineage"))
+    // @history flags lineage membership: v1/v4 are ancestors, the
+    // branch-staged v2 and abandoned v3 list but flag false
+    val flags = t.history(spark).collect().map(r =>
+      r.getAs[Long]("version") -> r.getAs[Boolean]("is_current_ancestor"))
+      .toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true),
+      s"is_current_ancestor wrong: $flags")
   }
 
   test("Iceberg ref DDL: CREATE/DROP BRANCH|TAG [AS OF VERSION n]") {
