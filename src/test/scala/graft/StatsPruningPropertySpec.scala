@@ -132,6 +132,52 @@ class StatsPruningPropertySpec extends SparkSpec {
     assert(tbl2.readWhere(spark, col("k") =!= 7L).count() == 100)
   }
 
+  test("sequential random DELETEs equal the three-valued row filter " +
+      "(metadata drops, rewrites, and bystanders included)") {
+    // a DELETE bug is silent data LOSS, so the fuzz drives the real
+    // mutation path: before each delete the expected survivors are
+    // computed from the LIVE table (rows where cond is false or NULL),
+    // the delete runs, and the table must agree exactly. Sequential
+    // deletes walk the table through metadata drops, straddler
+    // rewrites, bystander carries, and no-op censuses.
+    def drive(tbl: SnapshotTable, what: String, seed: Column): Unit = {
+      var drops = 0
+      // the seeded predicate aligns with whole files, so the sequence
+      // provably exercises the metadata-drop path before the random
+      // straddlers take over
+      (0 to 12).foreach { i =>
+        val cond = if (i == 0) seed else pred(2)
+        val want = tbl.read(spark)
+          .filter(coalesce(!cond, lit(true)))
+          .agg(count(lit(1)), coalesce(sum("id"), lit(0L))).head
+        val vBefore = tbl.currentVersion
+        tbl.deleteWhere(spark, cond)
+        if (tbl.currentVersion != vBefore &&
+            tbl.currentManifest.operation == "delete") drops += 1
+        val got = tbl.read(spark)
+          .agg(count(lit(1)), coalesce(sum("id"), lit(0L))).head
+        assert(got == want, s"$what DELETE #$i diverged on: $cond")
+      }
+      assert(drops >= 1, s"$what: the seeded whole-file delete must land " +
+        "as a metadata commit")
+      info(s"$what: $drops of 13 deletes were pure metadata commits")
+    }
+    val flat = SnapshotTable.at(
+      Files.createTempDirectory("graft-del-prop-").toString)
+    // two single-file commits with disjoint id ranges: the seed aligns
+    // with commit 1's file EXACTLY (quantile-split range files wouldn't
+    // guarantee the boundary)
+    flat.createOrReplace(mkData.filter(col("id") <= 1000L).coalesce(1))
+    flat.append(spark, mkData.filter(col("id") > 1000L).coalesce(1))
+    drive(flat, "flat", col("id") <= 1000L)
+    val part = SnapshotTable.at(
+      Files.createTempDirectory("graft-del-prop-p-").toString)
+    part.createOrReplace(mkData, Seq("p"))
+    // a second commit per partition seeds same-partition bystanders
+    part.append(spark, mkData.withColumn("id", col("id") + 10000L))
+    drive(part, "partitioned", col("p") === 2L) // whole-partition drop
+  }
+
   test("time-unit and truncate partition-value ranges are exact") {
     import graft.table.StatsPruning._
     import org.apache.spark.sql.types._
