@@ -178,6 +178,51 @@ class StatsPruningPropertySpec extends SparkSpec {
     drive(part, "partitioned", col("p") === 2L) // whole-partition drop
   }
 
+  test("sequential random UPDATEs equal the when(cond)-otherwise row " +
+      "map — partition-moving assignments included") {
+    // UPDATE's contract: assignments evaluate against the PRE-update row
+    // exactly where cond is TRUE (null/false rows untouched). The fuzz
+    // mirrors that as a when/otherwise projection computed from the
+    // LIVE table before each update; on the partitioned table every
+    // third update reassigns the partition column itself, driving the
+    // moved-rows census and same-partition bystander carries.
+    def drive(tbl: SnapshotTable, what: String, movable: Boolean): Unit = {
+      (1 to 10).foreach { i =>
+        val cond = pred(2)
+        val moves = movable && i % 3 == 0
+        val assigns: Seq[(String, Column)] =
+          if (moves) Seq("p" -> pmod(col("p") + 1, lit(4)))
+          else Seq("v" -> (col("v") + 1.0))
+        val hit = coalesce(cond, lit(false))
+        val wantDf = tbl.read(spark).select(
+          col("id"),
+          when(hit, pmod(col("p") + (if (moves) 1 else 0), lit(4)))
+            .otherwise(col("p")).as("p"),
+          when(hit, col("v") + (if (moves) 0.0 else 1.0))
+            .otherwise(col("v")).as("v"))
+        val want = wantDf.agg(count(lit(1)), coalesce(sum("id"), lit(0L)),
+          coalesce(sum(col("p") * 1000000 + col("v").cast("long")), lit(0L)))
+          .head
+        tbl.updateWhere(spark, assigns, cond)
+        val got = tbl.read(spark)
+          .agg(count(lit(1)), coalesce(sum("id"), lit(0L)),
+            coalesce(sum(col("p") * 1000000 + col("v").cast("long")), lit(0L)))
+          .head
+        assert(got == want,
+          s"$what UPDATE #$i (moves=$moves) diverged on: $cond")
+      }
+    }
+    val flat = SnapshotTable.at(
+      Files.createTempDirectory("graft-upd-prop-").toString)
+    flat.createOrReplace(mkData.repartitionByRange(8, col("id")))
+    drive(flat, "flat", movable = false)
+    val part = SnapshotTable.at(
+      Files.createTempDirectory("graft-upd-prop-p-").toString)
+    part.createOrReplace(mkData, Seq("p"))
+    part.append(spark, mkData.withColumn("id", col("id") + 10000L))
+    drive(part, "partitioned", movable = true)
+  }
+
   test("time-unit and truncate partition-value ranges are exact") {
     import graft.table.StatsPruning._
     import org.apache.spark.sql.types._
