@@ -127,6 +127,20 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rcParses == 0)
   }
 
+  test("positional-delete-tolerant COUNT works on a chunked manifest") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-pdc-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    tbl.deleteWherePositional(spark, col("id").isin(5L, 6L, 7L))
+    assert(tbl.currentManifest.deleteFiles.exists(_.positional))
+    // the metadata-only nullary form declines under ANY pending deletes
+    assert(tbl.rowCount.isEmpty)
+    // the spark-assisted form subtracts the tombstone census — live
+    // paths enumerate from the chunk docs, bounded by the census cap
+    assert(tbl.rowCount(spark).contains(997L))
+    assert(tbl.read(spark).count() == 997L)
+  }
+
   test("partition-scoped merge parses only dirty buckets and reuses docs") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-chunked-").toString)
