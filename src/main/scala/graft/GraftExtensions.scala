@@ -1236,7 +1236,7 @@ private[graft] object GraftSqlDml {
           case WriteUnorderedOp =>
             tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
           case CreateRefOp(isBranch, name, ver, ifNotExists, orReplace,
-              replaceOnly) =>
+              replaceOnly, maxRefAge, minKeep, snapAge) =>
             val kind = if (isBranch) "branch" else "tag"
             val exists =
               if (isBranch) tbl.branches.contains(name)
@@ -1251,7 +1251,12 @@ private[graft] object GraftSqlDml {
                   "(use IF NOT EXISTS, CREATE OR REPLACE, or drop it first)")
             else if (!exists || orReplace) {
               val v = ver.getOrElse(tbl.currentVersion)
-              if (isBranch) tbl.branch(name, v) else tbl.tag(name, v)
+              if (isBranch)
+                tbl.branch(name, v, graft.table.RefRetention(
+                  maxRefAgeMs = maxRefAge,
+                  minSnapshotsToKeep = minKeep.getOrElse(1),
+                  maxSnapshotAgeMs = snapAge))
+              else tbl.tag(name, v, maxRefAge)
             }
           case DropRefOp(isBranch, name, ifExists) =>
             val dropped =

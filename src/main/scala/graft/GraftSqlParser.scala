@@ -58,16 +58,24 @@ final case class DropPartitionFieldOp(spec: String) extends GraftAlterOp
 final case class WriteOrderedByOp(cols: Seq[String]) extends GraftAlterOp
 case object WriteUnorderedOp extends GraftAlterOp
 /** `ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] x
-  * [AS OF VERSION n]` / `REPLACE BRANCH|TAG x [AS OF VERSION n]` — the
+  * [AS OF VERSION n] [RETAIN n DAYS|HOURS|MINUTES]
+  * [WITH SNAPSHOT RETENTION n SNAPSHOTS [m DAYS|HOURS|MINUTES] |
+  *  m DAYS|HOURS|MINUTES]` / `REPLACE BRANCH|TAG x [...]` — the
   * Iceberg SQL ref spellings, routed to the existing branch/tag API
   * (the CALL create_branch/create_tag surface stays). `orReplace` moves
   * an existing ref; `replaceOnly` additionally requires it to exist.
+  * `RETAIN` sets the ref's own max age; `WITH SNAPSHOT RETENTION`
+  * (branches only) protects lineage snapshots from expiry.
   */
 final case class CreateRefOp(isBranch: Boolean, name: String,
                              version: Option[Long],
                              ifNotExists: Boolean,
                              orReplace: Boolean = false,
-                             replaceOnly: Boolean = false) extends GraftAlterOp
+                             replaceOnly: Boolean = false,
+                             maxRefAgeMs: Option[Long] = None,
+                             minSnapshotsToKeep: Option[Int] = None,
+                             maxSnapshotAgeMs: Option[Long] = None)
+    extends GraftAlterOp
 final case class DropRefOp(isBranch: Boolean, name: String,
                            ifExists: Boolean) extends GraftAlterOp
 
@@ -93,12 +101,50 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val UnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  // shared optional tail: [RETAIN n UNIT] [WITH SNAPSHOT RETENTION ...]
+  private val RefTail =
+    """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(.+?))?"""
   private val CreateRefRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(?:(OR\s+REPLACE)\s+)?(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+CREATE\s+(?:(OR\s+REPLACE)\s+)?(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
+      RefTail + """\s*;?\s*$""").r
   private val ReplaceRefRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+(BRANCH|TAG)\s+([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+REPLACE\s+(BRANCH|TAG)\s+([A-Za-z][A-Za-z0-9_-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
+      RefTail + """\s*;?\s*$""").r
+  private val SnapRetSnapshots =
+    """(?is)^(\d+)\s+SNAPSHOTS(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?$""".r
+  private val SnapRetAge = """(?is)^(\d+)\s+(DAYS|HOURS|MINUTES)$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
+
+  private def unitMs(n: String, unit: String): Long =
+    n.toLong * (unit.toUpperCase match {
+      case "DAYS"    => 86400000L
+      case "HOURS"   => 3600000L
+      case "MINUTES" => 60000L
+    })
+
+  private def retainMs(n: String, unit: String): Option[Long] =
+    if (n == null) None else Some(unitMs(n, unit))
+
+  /** The `WITH SNAPSHOT RETENTION` tail: `n SNAPSHOTS [m UNIT]` or
+    * `m UNIT` alone (Iceberg's grammar). Branches only — a tag has no
+    * lineage of its own to retain.
+    */
+  private def parseSnapshotRetention(kind: String,
+      raw: String): (Option[Int], Option[Long]) = raw match {
+    case null => (None, None)
+    case _ =>
+      require(kind.equalsIgnoreCase("branch"),
+        "WITH SNAPSHOT RETENTION applies to branches only")
+      raw.trim match {
+        case SnapRetSnapshots(n, m, u) =>
+          (Some(n.toInt), if (m == null) None else Some(unitMs(m, u)))
+        case SnapRetAge(m, u) => (None, Some(unitMs(m, u)))
+        case other => throw new IllegalArgumentException(
+          s"WITH SNAPSHOT RETENTION expects 'n SNAPSHOTS [m DAYS|HOURS|" +
+            s"MINUTES]' or 'm DAYS|HOURS|MINUTES', got: $other")
+      }
+  }
 
   private[graft] def parseGraftStatement(
       sqlText: String, delegate: ParserInterface): Option[LogicalPlan] = {
@@ -121,18 +167,24 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t), WriteOrderedByOp(cols)))
       case UnorderedRe(t) =>
         Some(GraftAlterTableStatement(ident(t), WriteUnorderedOp))
-      case CreateRefRe(t, orr, kind, ine, name, ver) =>
+      case CreateRefRe(t, orr, kind, ine, name, ver, retN, retU, snapRet) =>
         require(orr == null || ine == null,
           "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive")
+        val (minKeep, snapAge) = parseSnapshotRetention(kind, snapRet)
         Some(GraftAlterTableStatement(ident(t),
           CreateRefOp(kind.equalsIgnoreCase("branch"), name,
             Option(ver).map(_.toLong), ifNotExists = ine != null,
-            orReplace = orr != null)))
-      case ReplaceRefRe(t, kind, name, ver) =>
+            orReplace = orr != null,
+            maxRefAgeMs = retainMs(retN, retU),
+            minSnapshotsToKeep = minKeep, maxSnapshotAgeMs = snapAge)))
+      case ReplaceRefRe(t, kind, name, ver, retN, retU, snapRet) =>
+        val (minKeep, snapAge) = parseSnapshotRetention(kind, snapRet)
         Some(GraftAlterTableStatement(ident(t),
           CreateRefOp(kind.equalsIgnoreCase("branch"), name,
             Option(ver).map(_.toLong), ifNotExists = false,
-            orReplace = true, replaceOnly = true)))
+            orReplace = true, replaceOnly = true,
+            maxRefAgeMs = retainMs(retN, retU),
+            minSnapshotsToKeep = minKeep, maxSnapshotAgeMs = snapAge)))
       case DropRefRe(t, kind, ie, name) =>
         Some(GraftAlterTableStatement(ident(t),
           DropRefOp(kind.equalsIgnoreCase("branch"), name,

@@ -1430,6 +1430,49 @@ object SparkEntry {
       s.sql(sql)
     }),
 
+    "q112_ref_retention" -> ((s, d) => {
+      // Iceberg per-ref retention, SQL-first: RETAIN ages a ref out of
+      // expire_snapshots (its snapshot releases in the SAME pass); WITH
+      // SNAPSHOT RETENTION n SNAPSHOTS protects a branch's newest
+      // lineage snapshots where head-only protection used to hold.
+      // Retention-free refs keep the old never-age behavior. Asserted
+      // in-query at controlled clocks; the surviving tag answers v1 —
+      // the even-key half, the oracle.
+      val day = 24L * 3600 * 1000
+      val root = Files.createTempDirectory("graft-q112-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        nowMs = 1000L)                                              // v1
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0),
+        nowMs = 1000L + day)                                        // v2
+      s.sql(s"ALTER TABLE graft.`$root` CREATE TAG keeper AS OF VERSION 1")
+      s.sql(s"ALTER TABLE graft.`$root` CREATE TAG ephemeral " +
+        "AS OF VERSION 1 RETAIN 7 DAYS")
+      s.sql(s"ALTER TABLE graft.`$root` CREATE BRANCH dev " +
+        "RETAIN 30 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS")
+      val dev = table.atBranch("dev")
+      val extra = orders.filter(col("o_orderkey") % 101 === 0)
+      dev.append(s, extra, nowMs = 1000L + day)                     // v3
+      dev.append(s, extra, nowMs = 1000L + day)                     // v4
+      dev.append(s, extra, nowMs = 1000L + day)                     // v5
+      require(table.branches("dev") == 5L, "three branch commits")
+      // day 10 (wall-clock offset: SQL stamps ref `created` with the
+      // real clock): `ephemeral` ages out; `keeper` pins v1; the branch
+      // keeps its 2 newest lineage snapshots, so exactly v3 expires
+      val exp1 = table.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+        nowMs = System.currentTimeMillis() + 10 * day)
+      require(exp1 == Seq(3L), s"day-10 expire must drop only v3: $exp1")
+      require(table.tags.keySet == Set("keeper"),
+        "RETAIN 7 DAYS must age the ephemeral tag out")
+      // day 40: the branch ref itself ages out and releases v4/v5
+      val exp2 = table.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+        nowMs = System.currentTimeMillis() + 40 * day)
+      require(exp2 == Seq(4L, 5L), s"day-40 expire must drop v4+v5: $exp2")
+      require(table.branches.isEmpty, "RETAIN 30 DAYS must drop the branch")
+      s.sql(s"SELECT * FROM graft.`$root@keeper`")
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2637,6 +2680,13 @@ object SparkEntry {
     "q111_meta_count_pending_deletes" ->
       """SELECT count(*) AS n FROM orders
         |WHERE o_orderkey % 10 <> 3""".stripMargin,
+
+    // the retention lifecycle's surviving tag serves exactly v1 — the
+    // even-key half (ref aging and lineage retention assert in-query)
+    "q112_ref_retention" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

@@ -237,9 +237,16 @@ object CasPublish extends AtomicPublish {
 /** A writable branch ref: `head` is the branch's current snapshot,
   * `base` the main version the lineage last diverged from (what
   * fast-forward validates against). Persisted as `meta/_branch-<name>`
-  * containing `"<head> <base>"`, written via temp + atomic move.
+  * containing `"<head> <base>[ key=value ...]"`, written via temp +
+  * atomic move. The optional trailing pairs carry Iceberg's per-ref
+  * retention knobs (`RETAIN` / `WITH SNAPSHOT RETENTION`); a legacy
+  * two-token file reads as the defaults — no retention, head-only
+  * snapshot protection — so pre-retention refs keep their exact old
+  * expiry behavior (never age, exempt head).
   */
-private[table] final case class BranchRef(head: Long, base: Long)
+private[table] final case class BranchRef(head: Long, base: Long,
+    createdMs: Long = -1L, maxRefAgeMs: Long = -1L,
+    minSnapshotsToKeep: Int = 1, maxSnapshotAgeMs: Long = -1L)
 
 private[table] object BranchRefs {
   def file(metaDir: Path, name: String): Path =
@@ -250,13 +257,32 @@ private[table] object BranchRefs {
     else scala.util.Try {
       val parts = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         .trim.split("\\s+")
-      BranchRef(parts(0).toLong, parts(1).toLong)
+      val kv = parts.drop(2).flatMap { t =>
+        t.split("=", 2) match {
+          case Array(k, v) => Some(k -> v.toLong)
+          case _           => None
+        }
+      }.toMap
+      BranchRef(parts(0).toLong, parts(1).toLong,
+        createdMs = kv.getOrElse("created", -1L),
+        maxRefAgeMs = kv.getOrElse("max-ref-age-ms", -1L),
+        minSnapshotsToKeep =
+          kv.getOrElse("min-snapshots-to-keep", 1L).toInt,
+        maxSnapshotAgeMs = kv.getOrElse("max-snapshot-age-ms", -1L))
     }.toOption
 
   def write(p: Path, ref: BranchRef): Unit = {
     val tmp = p.resolveSibling(
       s".${p.getFileName}.tmp${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.write(tmp, s"${ref.head} ${ref.base}".getBytes(StandardCharsets.UTF_8))
+    val extras = Seq(
+      Option.when(ref.createdMs >= 0)(s"created=${ref.createdMs}"),
+      Option.when(ref.maxRefAgeMs >= 0)(s"max-ref-age-ms=${ref.maxRefAgeMs}"),
+      Option.when(ref.minSnapshotsToKeep > 1)(
+        s"min-snapshots-to-keep=${ref.minSnapshotsToKeep}"),
+      Option.when(ref.maxSnapshotAgeMs >= 0)(
+        s"max-snapshot-age-ms=${ref.maxSnapshotAgeMs}")).flatten
+    val body = (s"${ref.head} ${ref.base}" +: extras).mkString(" ")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -301,14 +327,17 @@ private[table] final class BranchPublish(inner: AtomicPublish,
     }
     Files.move(staged, metaDir.resolve(s"v$v.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    // copy, not reconstruct: the ref's retention settings survive
+    // every head advance
     BranchRefs.write(ref(metaDir),
-      BranchRef(v, r.map(_.base).getOrElse(v)))
+      r.map(_.copy(head = v)).getOrElse(BranchRef(v, v)))
     true
   }
 
   def forceCurrent(metaDir: Path, v: Long): Unit = {
-    val base = BranchRefs.read(ref(metaDir)).map(_.base).getOrElse(v)
-    BranchRefs.write(ref(metaDir), BranchRef(v, base))
+    val next = BranchRefs.read(ref(metaDir))
+      .map(_.copy(head = v)).getOrElse(BranchRef(v, v))
+    BranchRefs.write(ref(metaDir), next)
   }
 }
 

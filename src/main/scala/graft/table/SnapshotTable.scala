@@ -189,6 +189,25 @@ final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
   }
 }
 
+/** Per-ref retention settings (Iceberg's branch/tag retention — the
+  * `RETAIN n DAYS` / `WITH SNAPSHOT RETENTION n SNAPSHOTS m DAYS` SQL
+  * clauses and the `max-ref-age-ms` / `min-snapshots-to-keep` /
+  * `max-snapshot-age-ms` ref fields):
+  *
+  *   - `maxRefAgeMs`: the REF itself expires — [[SnapshotTable
+  *     .expireSnapshots]] drops a ref older than this before computing
+  *     protection, so its snapshots become expirable in the same pass.
+  *     None (default) = the ref never ages, the pre-retention behavior.
+  *   - `minSnapshotsToKeep` (branches only): protect at least this many
+  *     newest snapshots of the branch's lineage (head inclusive) from
+  *     expiry while the ref lives. 1 = head-only, the default.
+  *   - `maxSnapshotAgeMs` (branches only): additionally protect every
+  *     lineage snapshot younger than this.
+  */
+final case class RefRetention(maxRefAgeMs: Option[Long] = None,
+                              minSnapshotsToKeep: Int = 1,
+                              maxSnapshotAgeMs: Option[Long] = None)
+
 /** A versioned Parquet table with a tiny snapshot log.
   *
   * Layout under `root/`:
@@ -2125,10 +2144,20 @@ final class SnapshotTable(val root: Path,
     */
   def refs(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    ((("main", "branch", currentVersion) +:
-      branches.toSeq.sortBy(_._1).map { case (n, v) => (n, "branch", v) }) ++
-      tags.toSeq.sortBy(_._1).map { case (n, v) => (n, "tag", v) })
-      .toDF("name", "type", "version")
+    def opt(l: Long): Option[Long] = if (l >= 0) Some(l) else None
+    ((("main", "branch", currentVersion, None: Option[Long],
+        None: Option[Long], None: Option[Long]) +:
+      branchRefs.toSeq.sortBy(_._1).map { case (n, r) =>
+        (n, "branch", r.head, opt(r.maxRefAgeMs),
+          if (r.minSnapshotsToKeep > 1) Some(r.minSnapshotsToKeep.toLong)
+          else None,
+          opt(r.maxSnapshotAgeMs))
+      }) ++
+      tagRefs.toSeq.sortBy(_._1).map { case (n, (v, _, maxAge)) =>
+        (n, "tag", v, opt(maxAge), None: Option[Long], None: Option[Long])
+      })
+      .toDF("name", "type", "version", "max_ref_age_ms",
+        "min_snapshots_to_keep", "max_snapshot_age_ms")
   }
 
   /** Force a manifest rewrite (Iceberg `rewrite_manifests` procedure
@@ -2236,14 +2265,24 @@ final class SnapshotTable(val root: Path,
     * minus the reserved suffix shapes (`v<n>`, `ts<n>`, `history`,
     * `files`) so the SQL suffix grammar stays unambiguous.
     */
-  def tag(name: String, version: Long = currentVersion): Unit = {
+  def tag(name: String, version: Long = currentVersion,
+          maxRefAgeMs: Option[Long] = None,
+          nowMs: Long = System.currentTimeMillis()): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
       !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
     val tmp = Files.createTempFile(metaDir, s".ref-$name", ".tmp")
-    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    // `"<version>[ created=<ms> max-ref-age-ms=<ms>]"` — the trailing
+    // pairs exist only on retention-carrying tags, so legacy files (a
+    // bare version) and retention-free tags stay byte-identical to the
+    // pre-retention format and never age
+    val body = maxRefAgeMs match {
+      case Some(a) => s"$version created=$nowMs max-ref-age-ms=$a"
+      case None    => version.toString
+    }
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, tagFile(name), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }
@@ -2257,15 +2296,30 @@ final class SnapshotTable(val root: Path,
     * outcome, and failing an unrelated query on it would be a spurious
     * race (r5 ADVICE).
     */
-  def tags: Map[String, Long] =
+  def tags: Map[String, Long] = tagRefs.map { case (n, r) => n -> r._1 }
+
+  /** Tags with their retention metadata: name → (version, createdMs,
+    * maxRefAgeMs); -1 for absent (a legacy or retention-free tag never
+    * ages). Same delete-tolerance as the plain listing.
+    */
+  private def tagRefs: Map[String, (Long, Long, Long)] =
     if (!Files.isDirectory(metaDir)) Map.empty
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("_ref-"))
-        .flatMap(n => scala.util.Try(
-          n.stripPrefix("_ref-") ->
-            new String(Files.readAllBytes(metaDir.resolve(n)),
-              StandardCharsets.UTF_8).trim.toLong).toOption)
+        .flatMap { n =>
+          scala.util.Try {
+            val parts = new String(Files.readAllBytes(metaDir.resolve(n)),
+              StandardCharsets.UTF_8).trim.split("\\s+")
+            val kv = parts.drop(1).flatMap(t => t.split("=", 2) match {
+              case Array(k, v) => Some(k -> v.toLong)
+              case _           => None
+            }).toMap
+            n.stripPrefix("_ref-") -> ((parts(0).toLong,
+              kv.getOrElse("created", -1L),
+              kv.getOrElse("max-ref-age-ms", -1L)))
+          }.toOption
+        }
         .toMap
     }
 
@@ -2293,15 +2347,23 @@ final class SnapshotTable(val root: Path,
     require(!publisher.isInstanceOf[BranchPublish],
       s"$op must run on the main table handle, not a branch handle")
 
-  def branch(name: String, version: Long = currentVersion): Unit = {
+  def branch(name: String, version: Long = currentVersion,
+             retention: RefRetention = RefRetention(),
+             nowMs: Long = System.currentTimeMillis()): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
       !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
+    require(retention.minSnapshotsToKeep >= 1,
+      "min-snapshots-to-keep must be at least 1 (the head)")
     BranchRefs.write(BranchRefs.file(metaDir, name),
-      BranchRef(version, version))
+      BranchRef(version, version,
+        createdMs = if (retention.maxRefAgeMs.isDefined) nowMs else -1L,
+        maxRefAgeMs = retention.maxRefAgeMs.getOrElse(-1L),
+        minSnapshotsToKeep = retention.minSnapshotsToKeep,
+        maxSnapshotAgeMs = retention.maxSnapshotAgeMs.getOrElse(-1L)))
   }
 
   def dropBranch(name: String): Boolean =
@@ -2311,12 +2373,16 @@ final class SnapshotTable(val root: Path,
     * [[tags]] (a ref dropped between list and read is skipped).
     */
   def branches: Map[String, Long] =
+    branchRefs.map { case (n, r) => n -> r.head }
+
+  /** Branches with their full ref records (head, base, retention). */
+  private def branchRefs: Map[String, BranchRef] =
     if (!Files.isDirectory(metaDir)) Map.empty
     else scala.util.Using.resource(Files.list(metaDir)) { st =>
       st.iterator().asScala.map(_.getFileName.toString)
         .filter(_.startsWith("_branch-"))
         .flatMap(n => BranchRefs.read(metaDir.resolve(n))
-          .map(r => n.stripPrefix("_branch-") -> r.head))
+          .map(r => n.stripPrefix("_branch-") -> r))
         .toMap
     }
 
@@ -2360,7 +2426,7 @@ final class SnapshotTable(val root: Path,
     // still live)
     PublishFiles.writePointer(metaDir, ref.head, ".ff")
     BranchRefs.write(BranchRefs.file(metaDir, name),
-      BranchRef(ref.head, ref.head))
+      ref.copy(base = ref.head)) // retention settings survive the publish
     ref.head
   } }
 
@@ -3928,11 +3994,37 @@ final class SnapshotTable(val root: Path,
   def expireSnapshots(maxAgeMs: Long = 90L * 24 * 3600 * 1000,
                       minSnapshotsToKeep: Int = 90,
                       nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    // retention-aged refs drop FIRST (Iceberg `max-ref-age-ms`): an aged
+    // ref stops protecting its snapshots in the same expire pass. Refs
+    // without a recorded age (legacy, or created without RETAIN) never
+    // age — the pre-retention behavior.
+    tagRefs.foreach { case (n, (_, created, maxAge)) =>
+      if (maxAge >= 0 && created >= 0 && nowMs - created > maxAge) dropTag(n)
+    }
+    branchRefs.foreach { case (n, r) =>
+      if (r.maxRefAgeMs >= 0 && r.createdMs >= 0 &&
+          nowMs - r.createdMs > r.maxRefAgeMs) dropBranch(n)
+    }
     val versions = manifestVersions
     val cur = currentVersion
     // tagged snapshots and branch HEADS are exempt while their ref lives
-    // (Iceberg refs — a branch's non-head history ages out normally)
-    val tagged = tags.values.toSet ++ branches.values
+    // (Iceberg refs — a branch's non-head history ages out normally,
+    // unless the branch carries WITH SNAPSHOT RETENTION settings: then
+    // its newest `minSnapshotsToKeep` lineage snapshots and every
+    // lineage snapshot younger than `maxSnapshotAgeMs` are exempt too)
+    val branchProtected: Set[Long] = branchRefs.values.flatMap { r =>
+      if (r.minSnapshotsToKeep <= 1 && r.maxSnapshotAgeMs < 0) Seq(r.head)
+      else {
+        val lineage = lineageVersionsBetween(0L, r.head) // ascending, ends at head
+        val byCount = lineage.takeRight(r.minSnapshotsToKeep)
+        val byAge =
+          if (r.maxSnapshotAgeMs < 0) Nil
+          else lineage.filter(v =>
+            nowMs - manifest(v).timestampMs <= r.maxSnapshotAgeMs)
+        r.head +: (byCount ++ byAge)
+      }
+    }.toSet
+    val tagged = tags.values.toSet ++ branchProtected
     val candidates = versions.filter(v => v != cur && !tagged(v)).sorted
     val keepCount = math.max(0, minSnapshotsToKeep - 1) // current always kept
     val byAge = candidates.filter(v => nowMs - manifest(v).timestampMs > maxAgeMs)

@@ -217,4 +217,53 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE graft.`$root` DROP BRANCH dev")
     assert(t.tags.isEmpty && t.branches.isEmpty)
   }
+
+  test("branch snapshot retention protects lineage; RETAIN ages the ref") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-branchret-").toString
+    val t = SnapshotTable.at(root)
+    val day = 24L * 3600 * 1000
+    t.createOrReplace((1 to 5).map(i => (i.toLong, "v1")).toDF("id", "s"),
+      nowMs = 1000L)
+    spark.sql(s"ALTER TABLE graft.`$root` CREATE BRANCH dev " +
+      "RETAIN 30 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS 3 DAYS")
+    // WITH SNAPSHOT RETENTION on a tag refuses at parse time
+    intercept[Exception](spark.sql(s"ALTER TABLE graft.`$root` " +
+      "CREATE TAG bad WITH SNAPSHOT RETENTION 2 SNAPSHOTS"))
+
+    val b = t.atBranch("dev")
+    b.append(spark, Seq((6L, "b1")).toDF("id", "s"), nowMs = 1000L + day)
+    b.append(spark, Seq((7L, "b2")).toDF("id", "s"), nowMs = 1000L + 2 * day)
+    b.append(spark, Seq((8L, "b3")).toDF("id", "s"), nowMs = 1000L + 3 * day)
+    assert(t.branches("dev") == 4L)
+
+    // retention settings survive every head advance (@refs surfaces them)
+    val r = spark.sql(s"SELECT max_ref_age_ms, min_snapshots_to_keep, " +
+      s"max_snapshot_age_ms FROM graft.`$root@refs` WHERE name = 'dev'").head
+    assert(r.getLong(0) == 30 * day && r.getLong(1) == 2L &&
+      r.getLong(2) == 3 * day)
+
+    // age-based lineage protection: at day 3.5 every branch snapshot is
+    // younger than 3 days (v2 is 2.5d old) — nothing expires even under
+    // an aggressive policy
+    assert(t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = 1000L + (3.5 * day).toLong).isEmpty)
+
+    // count-based: at day 10 only the 2 newest lineage snapshots (v3,
+    // v4) are protected; v2 ages out, v1 is main's current
+    val expired = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = 1000L + 10 * day)
+    assert(expired == Seq(2L), s"expired: $expired")
+    assert(t.readBranch(spark, "dev").count() == 8)
+
+    // past RETAIN 30 DAYS the ref itself drops and its lineage is
+    // released in the SAME pass (ref age runs off the wall-clock
+    // `created` the SQL CREATE stamped)
+    val expired2 = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = System.currentTimeMillis() + 40 * day)
+    assert(expired2 == Seq(3L, 4L), s"expired: $expired2")
+    assert(t.branches.isEmpty)
+    assert(t.read(spark).count() == 5) // main current untouched
+  }
 }

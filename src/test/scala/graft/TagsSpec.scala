@@ -46,4 +46,40 @@ class TagsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readTag(spark, "release-1") }
     assert(t.read(spark).count() == 15) // current untouched throughout
   }
+
+  test("RETAIN ages the tag out; retention-free tags never age") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-tagret-").toString
+    val t = SnapshotTable.at(root)
+    val day = 24L * 3600 * 1000
+    t.createOrReplace((1 to 5).map(i => (i.toLong, "v1")).toDF("id", "s"),
+      nowMs = 1000L)
+    t.createOrReplace((1 to 7).map(i => (i.toLong, "v2")).toDF("id", "s"),
+      nowMs = 1000L + day)
+    t.createOrReplace((1 to 9).map(i => (i.toLong, "v3")).toDF("id", "s"),
+      nowMs = 1000L + 2 * day)
+    spark.sql(s"ALTER TABLE graft.`$root` CREATE TAG aged AS OF VERSION 1 " +
+      "RETAIN 7 DAYS")
+    t.tag("forever", 2L) // no retention: the pre-retention behavior
+
+    // @refs surfaces the retention
+    val refRow = spark.sql(
+      s"SELECT max_ref_age_ms FROM graft.`$root@refs` WHERE name = 'aged'")
+      .head
+    assert(refRow.getLong(0) == 7 * day)
+
+    // before the ref ages: both tags protect their snapshots
+    assert(t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = 1000L + 5 * day).isEmpty)
+
+    // past RETAIN: the aged tag drops and v1 expires in the SAME pass;
+    // the retention-free tag still protects v2. The SQL CREATE stamps
+    // `created` with the wall clock, so ref age is measured from it
+    val expired = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = System.currentTimeMillis() + 10 * day)
+    assert(expired == Seq(1L), s"expired: $expired")
+    assert(t.tags.keySet == Set("forever"))
+    assert(t.readTag(spark, "forever").count() == 7)
+  }
 }
