@@ -91,6 +91,7 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@snapshots` `` — per-snapshot commit summaries
   *   - ``graft.`/path@partitions` `` — per-partition file/row/byte totals
   *   - ``graft.`/path@delete_files` `` — pending MoR delete files
+  *   - ``graft.`/path@stats` ``    — stored per-column NDV estimates
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
@@ -98,7 +99,7 @@ case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   private val Suffixed =
-    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files)$".r
+    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats)$".r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -147,6 +148,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("partitions")              => tbl.partitions(session)
       case Some("manifests")               => tbl.manifests(session)
       case Some("delete_files")            => tbl.deleteFilesRelation(session)
+      case Some("stats")                   => tbl.statsRelation(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)
@@ -740,6 +742,7 @@ private[graft] object GraftSqlDml {
       case "rewrite_position_delete_files" =>
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
+      case "compute_table_stats" => Seq("table", "columns")
       case "rollback_to_snapshot" => Seq("table", "version")
       case "rollback_to_timestamp" => Seq("table", "timestamp")
       case "set_current_snapshot" => Seq("table", "snapshot_id", "version")
@@ -756,6 +759,7 @@ private[graft] object GraftSqlDml {
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
           "rewrite_position_delete_files, rewrite_manifests, " +
+          "compute_table_stats, " +
           "rollback_to_snapshot, rollback_to_timestamp, " +
           "set_current_snapshot, cherrypick_snapshot, add_files, " +
           "snapshot, publish_changes, create_tag, drop_tag, " +
@@ -831,6 +835,16 @@ private[graft] object GraftSqlDml {
         tbl.rewritePositionDeletes(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)
       case "rewrite_manifests" => tbl.rewriteManifests(now)
+      case "compute_table_stats" =>
+        // columns: comma-separated names; absent = every column
+        val cols = bound.get("columns") match {
+          case Some(s: String) =>
+            s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          case Some(o) => throw new UnsupportedOperationException(
+            s"columns must be a comma-separated string, got $o")
+          case None => Nil
+        }
+        tbl.computeTableStats(session, cols)
       case "create_changelog_view" =>
         // Iceberg's create_changelog_view analog: registers a session
         // temp view over [[SnapshotTable.readChangelog]]'s row-level

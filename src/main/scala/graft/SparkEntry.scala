@@ -1473,6 +1473,38 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$root@keeper`")
     }),
 
+    "q113_table_stats_ndv" -> ((s, d) => {
+      // NDV table stats (Iceberg compute_table_stats/Puffin analog):
+      // CALL computes per-column HLL sketches; a pure append recomputes
+      // INCREMENTALLY — only the delta files are scanned and their
+      // sketches union with the stored ones (asserted in-query via the
+      // recorded mode: the O(new data) path a 100 TB table needs).
+      // Output contract: per column the EXACT distinct count (DuckDB
+      // recomputes it — the hash anchor) plus a constant-TRUE 5%-error
+      // bound on the sketch estimate.
+      val root = Files.createTempDirectory("graft-q113-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0))
+      s.sql(s"CALL graft.system.compute_table_stats(table => '$root', " +
+        "columns => 'o_custkey,o_orderstatus,o_orderpriority')")
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0))
+      s.sql(s"CALL graft.system.compute_table_stats(table => '$root', " +
+        "columns => 'o_custkey,o_orderstatus,o_orderpriority')")
+      val (ver, mode, ndv) = table.tableStats.getOrElse(
+        sys.error("stats must exist after CALL"))
+      require(mode == "incremental" && ver == table.currentVersion,
+        s"the append-only recompute must be incremental ($mode @ v$ver)")
+      val statCols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      val exact = table.read(s).select(
+        statCols.map(c => countDistinct(col(c)).as(c)): _*).head
+      import s.implicits._
+      statCols.zipWithIndex.map { case (c, i) =>
+        val ex = exact.getLong(i)
+        (c, ex, math.abs(ndv(c) - ex) <= math.max(1L, (0.05 * ex).toLong))
+      }.toDF("column_name", "exact_ndv", "within_5pct")
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2687,6 +2719,21 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+
+    // exact NDV anchors the hash; the sketch estimate's 5% bound is a
+    // constant-TRUE contract (incremental-mode assert lives in-query)
+    "q113_table_stats_ndv" ->
+      """SELECT column_name, exact_ndv, TRUE AS within_5pct FROM (
+        |  SELECT 'o_custkey' AS column_name,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_ndv
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus',
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        |)""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType,
-  FloatType, DoubleType, StringType, BooleanType, DateType, TimestampType,
-  TimestampNTZType, DataType, StructField, StructType}
+  FloatType, DoubleType, StringType, BinaryType, BooleanType, DateType,
+  TimestampType, TimestampNTZType, DataType, StructField, StructType}
 
 import graft.core.MetaColumns
 import graft.merge.Merge
@@ -2160,6 +2160,161 @@ final class SnapshotTable(val root: Path,
         "min_snapshots_to_keep", "max_snapshot_age_ms")
   }
 
+  // ---- NDV table stats (Iceberg compute_table_stats / Puffin analog) --
+
+  private def statsFile: Path = metaDir.resolve("_stats.json")
+
+  /** Compute per-column NDV sketches for the CURRENT snapshot and store
+    * them in `meta/_stats.json` (Iceberg's `compute_table_stats`
+    * procedure writing Puffin theta sketches; ours are Spark's built-in
+    * DataSketches HLL — `hll_sketch_agg`, mergeable via `hll_union`).
+    * Returns column → NDV estimate (of NON-NULL values, like Iceberg).
+    *
+    * The 100 TB path is INCREMENTAL: when the stored stats' snapshot is
+    * a pure-append ancestor of the current one (no file removed, no new
+    * delete files — [[readIncrementalBetween]]'s append-only proof, a
+    * FILE-SET argument so even a rollback that re-appended is handled
+    * correctly), only the DELTA files are scanned and their sketches
+    * union with the stored ones — O(new data), never O(table). Any
+    * rewrite (compaction, CoW DML, MoR delete) falls back to one full
+    * scan. Requested columns missing from the stored record, or whose
+    * type changed (widening rehashes), also force the full pass.
+    *
+    * Columns default to every top-level column; non-natively-sketchable
+    * types (dates, decimals, doubles, …) hash their canonical string
+    * form — consistent across full and incremental passes.
+    */
+  def computeTableStats(spark: SparkSession,
+                        columns: Seq[String] = Nil): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{base64, col, expr}
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val cols: Seq[String] =
+      if (columns.nonEmpty)
+        columns.map(c => schema.fields
+          .find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$c' on $root")).name)
+      else schema.fields.map(_.name).toSeq
+    def typeOf(c: String) = schema.fields.find(_.name == c).get.dataType
+    def sketchInput(c: String): String = typeOf(c) match {
+      case IntegerType | LongType | StringType | BinaryType => s"`$c`"
+      case _ => s"CAST(`$c` AS STRING)"
+    }
+    val stored = readTableStats()
+    val incrementalFrom: Option[Long] = stored match {
+      case Some((sv, _, sketches))
+          if sv != m.version &&
+            manifestVersions.contains(sv) &&
+            cols.forall(c => sketches.contains(c)) &&
+            cols.forall { c =>
+              val old = StructType.fromDDL(manifest(sv).schemaDdl)
+              old.fields.exists(f => f.name == c &&
+                f.dataType == typeOf(c))
+            } &&
+            scala.util.Try(readIncrementalBetween(spark, sv, m.version,
+              requireAppendOnly = true)).isSuccess =>
+        Some(sv)
+      case Some((sv, _, sketches))
+          if sv == m.version && cols.forall(sketches.contains) =>
+        return cols.map(c => c -> stored.get._3(c)._1).toMap // fresh
+      case _ => None
+    }
+    val (mode, source) = incrementalFrom match {
+      case Some(sv) => ("incremental",
+        readIncrementalBetween(spark, sv, m.version, requireAppendOnly = true))
+      case None => ("full", read(spark))
+    }
+    val agg = source.agg(
+      expr(s"hll_sketch_agg(${sketchInput(cols.head)})").as(cols.head),
+      cols.tail.map(c =>
+        expr(s"hll_sketch_agg(${sketchInput(c)})").as(c)): _*)
+    // fold the stored sketch in (incremental); a null delta sketch
+    // (zero delta rows) keeps the stored one, an absent/empty stored
+    // sketch keeps the delta
+    val merged = agg.select(cols.map { c =>
+      val storedB64 = incrementalFrom
+        .flatMap(_ => stored.get._3(c)._2).getOrElse("")
+      val u =
+        if (storedB64.isEmpty) s"`$c`"
+        else s"CASE WHEN `$c` IS NULL THEN unbase64('$storedB64') " +
+          s"ELSE hll_union(`$c`, unbase64('$storedB64')) END"
+      expr(u).as(c)
+    }: _*)
+    val row = merged.select(cols.flatMap(c => Seq(
+      base64(col(c)).as(s"${c}__sk"),
+      expr(s"CASE WHEN `$c` IS NULL THEN 0L " +
+        s"ELSE hll_sketch_estimate(`$c`) END").as(s"${c}__ndv"))): _*)
+      .head
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      c -> ((row.getLong(2 * i + 1),
+        Option(row.getString(2 * i)).filter(_.nonEmpty)))
+    }
+    writeTableStats(m.version, mode, out.toMap)
+    out.map { case (c, (ndv, _)) => c -> ndv }.toMap
+  }
+
+  /** Stored stats: (snapshot version, mode, column → (ndv, sketch b64)).
+    */
+  private def readTableStats()
+      : Option[(Long, String, Map[String, (Long, Option[String])])] =
+    if (!Files.exists(statsFile)) None
+    else scala.util.Try {
+      val o = JsonLite.parse(new String(Files.readAllBytes(statsFile),
+        StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+      val cols = o("columns").asInstanceOf[Map[String, Any]].map {
+        case (c, v) =>
+          val cv = v.asInstanceOf[Map[String, Any]]
+          c -> ((cv("ndv").asInstanceOf[Number].longValue(),
+            cv.get("sketch").collect { case s: String if s.nonEmpty => s }))
+      }
+      (o("version").asInstanceOf[Number].longValue(),
+        o.getOrElse("mode", "full").asInstanceOf[String], cols)
+    }.toOption
+
+  private def writeTableStats(version: Long, mode: String,
+      cols: Map[String, (Long, Option[String])]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val body = cols.toSeq.sortBy(_._1).map { case (c, (ndv, sk)) =>
+      s""""${esc(c)}":{"ndv":$ndv,"sketch":"${sk.getOrElse("")}"}"""
+    }.mkString(",")
+    val json =
+      s"""{"version":$version,"mode":"$mode","columns":{$body}}"""
+    val tmp = Files.createTempFile(metaDir, "._stats", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, statsFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stored NDV estimates: (stats snapshot version, mode of the last
+    * compute, column → NDV). None before any [[computeTableStats]].
+    * Staleness is the CALLER's judgment — compare the version against
+    * [[currentVersion]] (the `@stats` relation's `is_current` flag).
+    */
+  def tableStats: Option[(Long, String, Map[String, Long])] =
+    readTableStats().map { case (v, mode, cols) =>
+      (v, mode, cols.map { case (c, (ndv, _)) => c -> ndv })
+    }
+
+  /** ``@stats`` metadata relation: one row per sketched column —
+    * NDV estimate, the snapshot it covers, and whether that is still
+    * the current snapshot.
+    */
+  def statsRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    readTableStats().toSeq.flatMap { case (v, mode, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (ndv, _)) =>
+        (c, ndv, v, v == cur, mode)
+      }
+    }.toDF("column_name", "ndv", "stats_version", "is_current", "mode")
+  }
+
   /** Force a manifest rewrite (Iceberg `rewrite_manifests` procedure
     * analog): fold inline entries into chunk documents and rebuild the
     * chunk layout at the bucket count the CURRENT live-file total calls
@@ -2269,7 +2424,7 @@ final class SnapshotTable(val root: Path,
           maxRefAgeMs: Option[Long] = None,
           nowMs: Long = System.currentTimeMillis()): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -2352,7 +2507,7 @@ final class SnapshotTable(val root: Path,
              nowMs: Long = System.currentTimeMillis()): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files"),
+      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
