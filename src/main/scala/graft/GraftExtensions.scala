@@ -706,8 +706,8 @@ private[graft] object GraftSqlDml {
             if ns.equalsIgnoreCase("system") &&
               (cat.equalsIgnoreCase("graft") ||
                 graft.catalog.GraftCatalog.isRegistered(session, cat)) =>
-          runCall(session, cat, proc.toLowerCase, c.args)
-          Some(empty)
+          Some(runCall(session, cat, proc.toLowerCase, c.args)
+            .getOrElse(empty))
         case _ => None
       }
     case _ => None
@@ -731,8 +731,12 @@ private[graft] object GraftSqlDml {
     }
   }
 
+  /** Run one procedure. Most are side-effecting and return None (the
+    * CALL resolves to an empty relation); row-returning procedures —
+    * `ancestors_of` — return the result plan instead, like Iceberg.
+    */
   private def runCall(session: SparkSession, cat: String, proc: String,
-                      args: Seq[Expression]): Unit = {
+                      args: Seq[Expression]): Option[LogicalPlan] = {
     // bind positional-then-named onto the procedure's declared parameters
     val params: Seq[String] = proc match {
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
@@ -743,6 +747,7 @@ private[graft] object GraftSqlDml {
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
       case "compute_table_stats" => Seq("table", "columns")
+      case "ancestors_of" => Seq("table", "snapshot_id")
       case "rollback_to_snapshot" => Seq("table", "version")
       case "rollback_to_timestamp" => Seq("table", "timestamp")
       case "set_current_snapshot" => Seq("table", "snapshot_id", "version")
@@ -759,7 +764,7 @@ private[graft] object GraftSqlDml {
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
           "rewrite_position_delete_files, rewrite_manifests, " +
-          "compute_table_stats, " +
+          "compute_table_stats, ancestors_of, " +
           "rollback_to_snapshot, rollback_to_timestamp, " +
           "set_current_snapshot, cherrypick_snapshot, add_files, " +
           "snapshot, publish_changes, create_tag, drop_tag, " +
@@ -819,6 +824,9 @@ private[graft] object GraftSqlDml {
     // take an age — convert against the same clock passed as nowMs
     def ageOf(k: String): Option[Long] =
       longArg(k).map(ts => math.max(0L, now - ts))
+    if (proc == "ancestors_of")
+      return Some(tbl.ancestorsOf(session, longArg("snapshot_id"))
+        .queryExecution.analyzed)
     proc match {
       case "expire_snapshots" =>
         val age = ageOf("older_than").getOrElse(90L * 24 * 3600 * 1000)
@@ -970,6 +978,7 @@ private[graft] object GraftSqlDml {
           case "fast_forward" => tbl.fastForward(refName)
         }
     }
+    None
   }
 
   /** Metadata-only aggregates over a graft table (Iceberg's aggregate

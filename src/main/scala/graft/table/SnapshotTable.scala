@@ -2160,6 +2160,22 @@ final class SnapshotTable(val root: Path,
         "min_snapshots_to_keep", "max_snapshot_age_ms")
   }
 
+  /** Iceberg's `ancestors_of` procedure: the MAIN-lineage parent chain
+    * of `version` (default: the current head), NEWEST FIRST —
+    * (version, timestamp_ms). Branch-staged and rollback-abandoned
+    * snapshots never appear (they are not ancestors); below an expired
+    * gap the chain simply ends, like the `@history` ancestor flag.
+    */
+  def ancestorsOf(spark: SparkSession,
+                  version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.getOrElse(currentVersion)
+    require(manifestVersions.contains(v), s"no snapshot v$v on $root")
+    lineageVersionsBetween(0L, v).reverse
+      .map(x => (x, manifest(x).timestampMs))
+      .toDF("version", "timestamp_ms")
+  }
+
   // ---- NDV table stats (Iceberg compute_table_stats / Puffin analog) --
 
   private def statsFile: Path = metaDir.resolve("_stats.json")

@@ -98,4 +98,31 @@ class MetadataRelationsSpec extends SparkSpec {
     assert(spark.sql(q).count() == 0, "compaction folds the debt")
     intercept[IllegalArgumentException] { t.tag("delete_files") }
   }
+
+  test("CALL ancestors_of returns the lineage, newest first") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-ancestors-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 5).map(i => (i.toLong, "a")).toDF("id", "s"))
+    t.append(spark, Seq((6L, "b")).toDF("id", "s"))     // v2
+    t.append(spark, Seq((7L, "c")).toDF("id", "s"))     // v3
+    t.rollbackTo(2L)
+    t.append(spark, Seq((8L, "d")).toDF("id", "s"))     // v4, parent v2
+    // the CALL RETURNS rows (not an empty relation): v3 is abandoned
+    // and never appears; order is newest-first like Iceberg's
+    val rows = spark.sql(
+      s"CALL graft.system.ancestors_of(table => '$root')").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 2L, 1L),
+      s"lineage: ${rows.mkString(",")}")
+    assert(rows.forall(_.getLong(1) > 0L), "timestamps recorded")
+    // explicit snapshot_id walks from there — the abandoned head's
+    // own lineage is still answerable while retained
+    val old = spark.sql(s"CALL graft.system.ancestors_of(" +
+      s"table => '$root', snapshot_id => 3)").collect()
+    assert(old.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.ancestors_of('$root', 99)").collect()
+    }
+  }
 }
