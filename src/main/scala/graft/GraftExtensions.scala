@@ -755,7 +755,10 @@ private[graft] object GraftSqlDml {
       case "add_files" => Seq("table", "source_table", "source_dir")
       case "snapshot" => Seq("source_table", "table", "source_dir")
       case "publish_changes" => Seq("table", "wap_id")
-      case "create_tag" | "create_branch" => Seq("table", "name", "version")
+      case "create_tag" | "create_branch" =>
+        // retention args mirror Iceberg's ref fields (all epoch-ms ages)
+        Seq("table", "name", "version", "max_ref_age_ms",
+          "min_snapshots_to_keep", "max_snapshot_age_ms")
       case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
       case "create_changelog_view" =>
         Seq("table", "view", "from_version", "to_version",
@@ -968,12 +971,22 @@ private[graft] object GraftSqlDml {
         }
         nameTaking match {
           case "create_tag" =>
+            if (bound.contains("min_snapshots_to_keep") ||
+                bound.contains("max_snapshot_age_ms"))
+              throw new UnsupportedOperationException(
+                "snapshot retention applies to branches only")
             tbl.tag(refName,
-              longArg("version").getOrElse(tbl.currentVersion))
+              longArg("version").getOrElse(tbl.currentVersion),
+              longArg("max_ref_age_ms"))
           case "drop_tag" => tbl.dropTag(refName)
           case "create_branch" =>
             tbl.branch(refName,
-              longArg("version").getOrElse(tbl.currentVersion))
+              longArg("version").getOrElse(tbl.currentVersion),
+              graft.table.RefRetention(
+                maxRefAgeMs = longArg("max_ref_age_ms"),
+                minSnapshotsToKeep =
+                  longArg("min_snapshots_to_keep").map(_.toInt).getOrElse(1),
+                maxSnapshotAgeMs = longArg("max_snapshot_age_ms")))
           case "drop_branch" => tbl.dropBranch(refName)
           case "fast_forward" => tbl.fastForward(refName)
         }

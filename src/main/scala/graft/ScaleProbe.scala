@@ -373,6 +373,42 @@ object ScaleProbe {
         timed("scan_count_pending_pos_deletes") { mc.read(spark).count() }
       }
 
+      // NDV stats at 2.4M rows: the full compute pays one scan; after a
+      // ~1% append the recompute unions sketches over ONLY the delta
+      // files (the O(new data) path) — compare against the exact
+      // count-distinct scan both in cost and estimate
+      {
+        val nv = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-ndvprobe").toString)
+        nv.createOrReplace(withP, Seq("p"))
+        val statCols = Seq("l_orderkey", "l_partkey")
+        var full: Map[String, Long] = Map.empty
+        timed("ndv_stats_full") {
+          full = nv.computeTableStats(spark, statCols)
+          full("l_orderkey")
+        }
+        nv.append(spark, withP.filter(
+          pmod(col("l_orderkey"), lit(100)) === 7)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(100000000L)))
+        var incr: Map[String, Long] = Map.empty
+        timed("ndv_stats_incremental_1pct_append") {
+          incr = nv.computeTableStats(spark, statCols)
+          incr("l_orderkey")
+        }
+        require(nv.tableStats.exists(_._2 == "incremental"),
+          "the append-only recompute must take the delta path")
+        var exact = 0L
+        timed("ndv_exact_scan") {
+          exact = nv.read(spark)
+            .select(countDistinct(col("l_orderkey"))).head.getLong(0)
+          exact
+        }
+        println(s"""{"stage":"ndv_accuracy","estimate":${incr("l_orderkey")},""" +
+          s""""exact":$exact}""")
+        require(math.abs(incr("l_orderkey") - exact).toDouble /
+          math.max(1L, exact) < 0.05, "sketch estimate within 5%")
+      }
+
       // partition-spec evolution at 2.4M rows: the evolve commit itself
       // is metadata-only (no data IO); the first merge after it rewrites
       // ONLY the legacy block it touches (migrating it to the new spec);

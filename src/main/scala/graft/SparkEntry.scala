@@ -1505,6 +1505,25 @@ object SparkEntry {
       }.toDF("column_name", "exact_ndv", "within_5pct")
     }),
 
+    "q114_ancestors_of" -> ((s, d) => {
+      // CALL ancestors_of RETURNS the main-lineage chain as rows (the
+      // first row-returning procedure): after rollback+append the
+      // abandoned head never appears, and commit timestamps come back
+      // verbatim — the whole lifecycle runs on pinned clocks so the
+      // oracle is a VALUES literal.
+      val root = Files.createTempDirectory("graft-q114-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        nowMs = 1000L)                                             // v1
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0),
+        nowMs = 2000L)                                             // v2
+      table.append(s, orders.limit(1), nowMs = 3000L)              // v3
+      table.rollbackTo(2L)
+      table.append(s, orders.limit(2), nowMs = 5000L)              // v4
+      s.sql(s"CALL graft.system.ancestors_of(table => '$root')")
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2734,6 +2753,13 @@ object SparkEntry {
         |  SELECT 'o_orderpriority',
         |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
         |)""".stripMargin,
+
+    // the pinned-clock lineage after rollback+append: v3 abandoned,
+    // newest first (row order is immaterial — the gate sorts)
+    "q114_ancestors_of" ->
+      """SELECT CAST(v AS BIGINT) AS version,
+        |  CAST(ts AS BIGINT) AS timestamp_ms
+        |FROM (VALUES (4, 5000), (2, 2000), (1, 1000)) AS t(v, ts)""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +

@@ -265,5 +265,21 @@ class BranchSpec extends SparkSpec {
     assert(expired2 == Seq(3L, 4L), s"expired: $expired2")
     assert(t.branches.isEmpty)
     assert(t.read(spark).count() == 5) // main current untouched
+
+    // the CALL procedure spellings carry the same retention args
+    spark.sql(s"CALL graft.system.create_branch(table => '$root', " +
+      "name => 'ops', min_snapshots_to_keep => 3, " +
+      s"max_snapshot_age_ms => ${2 * day})")
+    spark.sql(s"CALL graft.system.create_tag(table => '$root', " +
+      s"name => 'pin', max_ref_age_ms => ${7 * day})")
+    val refs = spark.sql(s"SELECT name, min_snapshots_to_keep, " +
+      s"max_snapshot_age_ms, max_ref_age_ms FROM graft.`$root@refs` " +
+      "WHERE name IN ('ops', 'pin')").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(refs("ops").getLong(1) == 3L && refs("ops").getLong(2) == 2 * day)
+    assert(refs("pin").getLong(3) == 7 * day)
+    intercept[Exception](spark.sql(
+      s"CALL graft.system.create_tag(table => '$root', name => 'bad', " +
+        "min_snapshots_to_keep => 2)"))
   }
 }

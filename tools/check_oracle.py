@@ -2,6 +2,8 @@
 """Local replica of the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracle SQL and compare (column-name-sorted,
 row-sorted) values. Usage: check_oracle.py <sfDir> <verifyOutDir>
+[qPrefix[,qPrefix...]] — the optional third arg checks only matching
+queries (pair with Verify's same filter when iterating on one query).
 """
 import json, math, sys
 import duckdb
@@ -36,13 +38,15 @@ def coltypes(con, query):
     rows = con.execute(f"DESCRIBE {query}").fetchall()
     return {r[0]: norm_type(r[1]) for r in rows}
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
@@ -86,4 +90,5 @@ def main(sf_dir, out_dir):
     return failures
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], only) else 0)
