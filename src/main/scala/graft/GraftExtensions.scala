@@ -832,12 +832,18 @@ private[graft] object GraftSqlDml {
         .queryExecution.analyzed)
     proc match {
       case "expire_snapshots" =>
+        // row-returning like Iceberg's: one row per expired snapshot
         val age = ageOf("older_than").getOrElse(90L * 24 * 3600 * 1000)
         val keep = longArg("retain_last").map(_.toInt).getOrElse(90)
-        tbl.expireSnapshots(age, keep, now)
+        import session.implicits._
+        return Some(tbl.expireSnapshots(age, keep, now)
+          .toDF("expired_version").queryExecution.analyzed)
       case "remove_orphan_files" =>
+        // one row per reclaimed path, like Iceberg's orphan_file_location
         val age = ageOf("older_than").getOrElse(3L * 24 * 3600 * 1000)
-        tbl.removeOrphanFiles(age, now)
+        import session.implicits._
+        return Some(tbl.removeOrphanFiles(age, now)
+          .toDF("orphan_path").queryExecution.analyzed)
       case "rewrite_data_files" =>
         tbl.compact(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),

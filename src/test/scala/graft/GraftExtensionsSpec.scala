@@ -338,9 +338,12 @@ class GraftExtensionsSpec extends SparkSpec {
     // expire_snapshots with Iceberg-style named args: older_than is a
     // POINT IN TIME (a future literal ⇒ every non-retained snapshot is
     // old enough), retain_last keeps only the current one
-    base.sql(s"CALL graft.system.expire_snapshots('$root', " +
+    val expiredRows = base.sql(s"CALL graft.system.expire_snapshots('$root', " +
       "older_than => TIMESTAMP '2031-01-01 00:00:00', retain_last => 1)")
+      .collect()
     assert(tbl.manifestVersions.size == 1)
+    // row-returning like Iceberg: one row per expired snapshot
+    assert(expiredRows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
 
     // remove_orphan_files sweeps an aged stray file (positional table arg,
     // default 3-day gate; the mtime is pushed 10 days back)
@@ -350,8 +353,11 @@ class GraftExtensionsSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(stray,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
-    base.sql(s"CALL graft.system.remove_orphan_files('$root')")
+    val orphanRows =
+      base.sql(s"CALL graft.system.remove_orphan_files('$root')").collect()
     assert(!java.nio.file.Files.exists(stray))
+    assert(orphanRows.exists(_.getString(0).endsWith("stray.parquet")),
+      s"reclaimed paths returned as rows: ${orphanRows.mkString(",")}")
 
     // rewrite_data_files bin-packs the small commits into one file
     assert(tbl.currentManifest.files.size > 1)
