@@ -742,7 +742,7 @@ private[graft] object GraftSqlDml {
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
-        Seq("table", "target_file_size_bytes", "delete_ratio")
+        Seq("table", "target_file_size_bytes", "delete_ratio", "where")
       case "rewrite_position_delete_files" =>
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
@@ -845,9 +845,17 @@ private[graft] object GraftSqlDml {
         return Some(tbl.removeOrphanFiles(age, now)
           .toDF("orphan_path").queryExecution.analyzed)
       case "rewrite_data_files" =>
+        // where => '<predicate>' scopes the rewrite to partition groups
+        // the manifest can't exonerate (Iceberg's filter arg)
+        val whereCol = bound.get("where").map {
+          case str: String => org.apache.spark.sql.GraftBridge.column(
+            session.sessionState.sqlParser.parseExpression(str))
+          case o => throw new UnsupportedOperationException(
+            s"where must be a predicate string, got $o")
+        }
         tbl.compact(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
-          now, doubleArg("delete_ratio"))
+          now, doubleArg("delete_ratio"), whereCol)
       case "rewrite_position_delete_files" =>
         tbl.rewritePositionDeletes(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)

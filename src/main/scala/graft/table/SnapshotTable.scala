@@ -3845,14 +3845,28 @@ final class SnapshotTable(val root: Path,
     * group crosses the bar. No-op (no commit) when nothing needs
     * rewriting and the delete set wouldn't shrink.
     */
+  /** @param where Iceberg's `rewrite_data_files(where => ...)` scope:
+    *   only partition groups holding at least one file the predicate MAY
+    *   match (manifest stats/partition pruning — [[selectFiles]]) are
+    *   candidates; at 100 TB this turns the monthly compaction into a
+    *   targeted touch-up of the hot partitions instead of a full-table
+    *   census. Selection rules within candidates are unchanged.
+    */
   def compact(spark: SparkSession,
               targetFileBytes: Long = 64L * 1024 * 1024,
               nowMs: Long = System.currentTimeMillis(),
-              deleteRatio: Option[Double] = None): Manifest = {
+              deleteRatio: Option[Double] = None,
+              where: Option[Column] = None): Manifest = {
     val m = currentManifest
     val ratio = deleteRatio
       .orElse(m.properties.get(DeleteRatioProp).map(_.toDouble))
       .getOrElse(0.0)
+    val scoped: Set[Map[String, String]] = where match {
+      case Some(cond) => selectFiles(m, cond).map(_.partition).toSet
+      case None => Set.empty
+    }
+    def inScope(pv: Map[String, String]): Boolean =
+      where.isEmpty || scoped(pv)
     val sizes = m.files.map(f => f.path -> sizeOf(f)).toMap
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     // delete pressure: masked rows ÷ data rows, unknown counts (legacy
@@ -3874,10 +3888,10 @@ final class SnapshotTable(val root: Path,
     // eager migration path to the current layout
     val pcolSet = m.partitionColumns.toSet
     val rewrite: Seq[FileEntry] = m.files.groupBy(_.partition).collect {
-      case (pv, fs) if pv.keySet != pcolSet ||
+      case (pv, fs) if inScope(pv) && (pv.keySet != pcolSet ||
           fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
           fs.exists(f => sizes(f.path) > overBytes) ||
-          underDeletePressure(fs) => fs
+          underDeletePressure(fs)) => fs
     }.flatten.toSeq
     rewriteSelectedGroups(spark, m, rewrite, targetFileBytes, nowMs)
   }

@@ -893,6 +893,34 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.currentVersion == v, "no-op compaction must not commit")
   }
 
+  test("where-scoped rewrite_data_files compacts only matching partitions") {
+    import org.apache.spark.sql.functions.lit
+    val tbl = freshTable()
+    def withP(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("p", ((col("id") - 1) / lit(100)).cast("long"))
+    // two small files per partition: every group is a bin-pack candidate
+    tbl.createOrReplace(withP(batch(1 to 400, t0, 1.0)), Seq("p"))
+    tbl.append(spark, withP(batch(401 to 800, t0, 1.0))
+      .withColumn("p", ((col("id") - 401) / lit(100)).cast("long")))
+    val before = tbl.currentManifest
+    assert(before.files.count(_.partition("p") == "2") == 2)
+    spark.sql(s"CALL graft.system.rewrite_data_files(" +
+      s"table => '${tbl.root}', where => 'p = 2')")
+    val after = tbl.currentManifest
+    assert(after.files.count(_.partition("p") == "2") == 1,
+      "the scoped partition bin-packs")
+    val others = before.files.filterNot(_.partition("p") == "2")
+      .map(_.path).toSet
+    assert(others.subsetOf(after.files.map(_.path).toSet),
+      "out-of-scope bin-pack candidates carry by reference")
+    assert(tbl.read(spark).count() == 800)
+    // the scope itself prunes at the manifest: a predicate matching
+    // nothing is a no-op commit-wise
+    val v = tbl.currentVersion
+    tbl.compact(spark, where = Some(col("p") === 99L))
+    assert(tbl.currentVersion == v, "empty scope must not commit")
+  }
+
   test("delete-pressure compaction rewrites only groups over the ratio bar") {
     import org.apache.spark.sql.functions.lit
     val tbl = freshTable()
