@@ -742,7 +742,8 @@ private[graft] object GraftSqlDml {
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
       case "remove_orphan_files" => Seq("table", "older_than")
       case "rewrite_data_files" =>
-        Seq("table", "target_file_size_bytes", "delete_ratio", "where")
+        Seq("table", "target_file_size_bytes", "delete_ratio", "where",
+          "strategy", "sort_order")
       case "rewrite_position_delete_files" =>
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
@@ -853,9 +854,43 @@ private[graft] object GraftSqlDml {
           case o => throw new UnsupportedOperationException(
             s"where must be a predicate string, got $o")
         }
-        tbl.compact(session,
-          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024),
-          now, doubleArg("delete_ratio"), whereCol)
+        val target =
+          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024)
+        def str(k: String): Option[String] = bound.get(k).map {
+          case v: String => v
+          case o => throw new UnsupportedOperationException(
+            s"$k must be a string, got $o")
+        }
+        val ZOrderSpec = """(?i)zorder\s*\((.*)\)""".r
+        (str("strategy").map(_.toLowerCase), str("sort_order")) match {
+          case (Some("binpack") | None, None) =>
+            tbl.compact(session, target, now,
+              doubleArg("delete_ratio"), whereCol)
+          case (Some("sort") | None, Some(order)) =>
+            // layout rewrites are whole-table by design — a where scope
+            // would leave the table half-clustered, refuse loudly
+            if (whereCol.isDefined)
+              throw new UnsupportedOperationException(
+                "strategy => 'sort' rewrites the whole layout; " +
+                  "where does not compose with it")
+            order.trim match {
+              case ZOrderSpec(inner) =>
+                tbl.rewriteZOrder(session,
+                  inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+                  target, nowMs = now)
+              case linear =>
+                tbl.rewriteSorted(session,
+                  linear.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
+                  target, nowMs = now)
+            }
+          case (Some("sort"), None) =>
+            throw new UnsupportedOperationException(
+              "strategy => 'sort' needs sort_order => " +
+                "'zorder(c1, c2)' or 'c1[, c2...]'")
+          case (Some(other), _) =>
+            throw new UnsupportedOperationException(
+              s"unknown strategy '$other' (binpack or sort)")
+        }
       case "rewrite_position_delete_files" =>
         tbl.rewritePositionDeletes(session,
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)

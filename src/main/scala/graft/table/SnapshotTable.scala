@@ -4103,9 +4103,45 @@ final class SnapshotTable(val root: Path,
         // metadata — [[compact]] re-clusters on it instead of hashing
         // the rows apart
         commitData(clustered, Some(m), m.partitionColumns,
-          m.properties + (ZOrderProp -> cols.mkString(",")), nowMs,
-          preclustered = true, operation = "replace")
+          m.properties - SortOrderProp + (ZOrderProp -> cols.mkString(",")),
+          nowMs, preclustered = true, operation = "replace")
     }
+  }
+
+  /** LINEAR-SORT layout rewrite (Iceberg `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'c1, c2')`): the whole table range-clustered
+    * on (partition columns, sort columns) and re-sorted within tasks, so
+    * per-file manifest bounds become selective on the LEADING sort
+    * column. Records `write.graft.sort-order` so later compactions
+    * re-cluster instead of hash-scattering the layout apart (the same
+    * contract as the z-order rewrite; multi-dimension pruning wants
+    * [[rewriteZOrder]] instead). Pending MoR deletes fold away — the
+    * rewrite reads the resolved view. Ascending only, like the write
+    * sort-order property.
+    */
+  def rewriteSorted(spark: SparkSession, cols: Seq[String],
+                    targetFileBytes: Long = 64L * 1024 * 1024,
+                    minFiles: Int = 1,
+                    nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    require(cols.nonEmpty, "need at least one sort column")
+    val schemaCols = StructType.fromDDL(m.schemaDdl).fieldNames
+    val resolved = cols.map(c => schemaCols
+      .find(_.equalsIgnoreCase(c)).getOrElse(throw new
+        IllegalArgumentException(s"no column '$c' on $root")))
+    val df = read(spark)
+    val totalBytes = m.files.map(sizeOf).sum
+    val nFiles = math.max(minFiles,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val rangeCols = (m.partitionColumns ++ resolved).map(col)
+    val clustered = df.repartitionByRange(nFiles, rangeCols: _*)
+      .sortWithinPartitions(rangeCols: _*)
+    // the two layout properties are mutually exclusive: leaving a stale
+    // zorder-by would make the next compaction re-cluster on the OLD
+    // curve and scatter this layout apart
+    commitData(clustered, Some(m), m.partitionColumns,
+      m.properties - ZOrderProp + (SortOrderProp -> resolved.mkString(",")),
+      nowMs, preclustered = true, operation = "replace")
   }
 
   private val ZOrderProp = "write.graft.zorder-by"

@@ -172,6 +172,45 @@ class ZOrderSpec extends SparkSpec {
       "untouched partition keeps its curve pruning after a merge")
   }
 
+  test("CALL rewrite_data_files strategy=sort reaches zorder and linear") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-sortcall-spec-").toString)
+    val grid = (0 until 64).flatMap(x => (0 until 64)
+      .map(y => (x.toLong, y.toLong))).toDF("x", "y")
+    tbl.createOrReplace(grid.repartition(8))
+    // hash layout prunes neither dimension
+    assert(tbl.pruneCounts(col("x") < 8L)._1 == 8)
+    spark.sql("CALL graft.system.rewrite_data_files(" +
+      s"table => '${tbl.root}', strategy => 'sort', " +
+      "sort_order => 'zorder(x, y)', target_file_size_bytes => 4096)")
+    val total = tbl.currentManifest.files.size
+    assert(tbl.pruneCounts(col("x") < 8L)._1 < total &&
+      tbl.pruneCounts(col("y") < 8L)._1 < total,
+      "the Iceberg zorder spelling must reach rewriteZOrder")
+    assert(tbl.read(spark).count() == 64L * 64)
+
+    // linear sort order: leading column prunes, property recorded
+    spark.sql("CALL graft.system.rewrite_data_files(" +
+      s"table => '${tbl.root}', strategy => 'sort', " +
+      "sort_order => 'y', target_file_size_bytes => 4096)")
+    val total2 = tbl.currentManifest.files.size
+    assert(tbl.pruneCounts(col("y") < 8L)._1 < total2,
+      "linear sort must make the leading column prunable")
+    assert(tbl.currentManifest.properties
+      .get("write.graft.sort-order").contains("y"))
+    assert(!tbl.currentManifest.properties.contains("write.graft.zorder-by"),
+      "layout properties are exclusive: the stale curve must clear, or " +
+        "the next compaction re-clusters on it and scatters this layout")
+    assert(tbl.read(spark).count() == 64L * 64)
+
+    // guard rails: sort + where refuses; unknown strategy refuses
+    intercept[Exception](spark.sql("CALL graft.system.rewrite_data_files(" +
+      s"table => '${tbl.root}', strategy => 'sort', sort_order => 'x', " +
+      "where => 'x = 1')"))
+    intercept[Exception](spark.sql("CALL graft.system.rewrite_data_files(" +
+      s"table => '${tbl.root}', strategy => 'shuffle')"))
+  }
+
   test("z-order rewrite of an empty table is a no-op") {
     val tbl = SnapshotTable.at(
       Files.createTempDirectory("graft-zorder-empty-").toString)
