@@ -887,6 +887,10 @@ private[graft] object GraftSqlDml {
             throw new UnsupportedOperationException(
               "strategy => 'sort' needs sort_order => " +
                 "'zorder(c1, c2)' or 'c1[, c2...]'")
+          case (Some("binpack"), Some(_)) =>
+            throw new UnsupportedOperationException(
+              "sort_order needs strategy => 'sort' " +
+                "(binpack does not re-order rows)")
           case (Some(other), _) =>
             throw new UnsupportedOperationException(
               s"unknown strategy '$other' (binpack or sort)")

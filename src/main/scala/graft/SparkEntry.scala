@@ -1457,17 +1457,18 @@ object SparkEntry {
       dev.append(s, extra, nowMs = 1000L + day)                     // v4
       dev.append(s, extra, nowMs = 1000L + day)                     // v5
       require(table.branches("dev") == 5L, "three branch commits")
-      // day 10 (wall-clock offset: SQL stamps ref `created` with the
-      // real clock): `ephemeral` ages out; `keeper` pins v1; the branch
-      // keeps its 2 newest lineage snapshots, so exactly v3 expires
+      // day 10: `ephemeral` ages out (ref age = its PINNED snapshot's
+      // age, Iceberg semantics); `keeper` pins v1; the branch keeps its
+      // 2 newest lineage snapshots, so exactly v3 expires
       val exp1 = table.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
-        nowMs = System.currentTimeMillis() + 10 * day)
+        nowMs = 1000L + 10 * day)
       require(exp1 == Seq(3L), s"day-10 expire must drop only v3: $exp1")
       require(table.tags.keySet == Set("keeper"),
         "RETAIN 7 DAYS must age the ephemeral tag out")
-      // day 40: the branch ref itself ages out and releases v4/v5
+      // day 40: the branch ref itself ages out (its head stopped
+      // advancing at day 1 — an ABANDONED branch) and releases v4/v5
       val exp2 = table.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
-        nowMs = System.currentTimeMillis() + 40 * day)
+        nowMs = 1000L + 40 * day)
       require(exp2 == Seq(4L, 5L), s"day-40 expire must drop v4+v5: $exp2")
       require(table.branches.isEmpty, "RETAIN 30 DAYS must drop the branch")
       s.sql(s"SELECT * FROM graft.`$root@keeper`")

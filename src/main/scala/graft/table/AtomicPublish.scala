@@ -245,7 +245,7 @@ object CasPublish extends AtomicPublish {
   * expiry behavior (never age, exempt head).
   */
 private[table] final case class BranchRef(head: Long, base: Long,
-    createdMs: Long = -1L, maxRefAgeMs: Long = -1L,
+    maxRefAgeMs: Long = -1L,
     minSnapshotsToKeep: Int = 1, maxSnapshotAgeMs: Long = -1L)
 
 private[table] object BranchRefs {
@@ -264,7 +264,6 @@ private[table] object BranchRefs {
         }
       }.toMap
       BranchRef(parts(0).toLong, parts(1).toLong,
-        createdMs = kv.getOrElse("created", -1L),
         maxRefAgeMs = kv.getOrElse("max-ref-age-ms", -1L),
         minSnapshotsToKeep =
           kv.getOrElse("min-snapshots-to-keep", 1L).toInt,
@@ -275,7 +274,6 @@ private[table] object BranchRefs {
     val tmp = p.resolveSibling(
       s".${p.getFileName}.tmp${java.util.UUID.randomUUID.toString.take(8)}")
     val extras = Seq(
-      Option.when(ref.createdMs >= 0)(s"created=${ref.createdMs}"),
       Option.when(ref.maxRefAgeMs >= 0)(s"max-ref-age-ms=${ref.maxRefAgeMs}"),
       Option.when(ref.minSnapshotsToKeep > 1)(
         s"min-snapshots-to-keep=${ref.minSnapshotsToKeep}"),

@@ -195,9 +195,13 @@ final class FileList(val inline: Seq[FileEntry], val chunks: Seq[ChunkRef],
   * `max-snapshot-age-ms` ref fields):
   *
   *   - `maxRefAgeMs`: the REF itself expires — [[SnapshotTable
-  *     .expireSnapshots]] drops a ref older than this before computing
-  *     protection, so its snapshots become expirable in the same pass.
-  *     None (default) = the ref never ages, the pre-retention behavior.
+  *     .expireSnapshots]] drops a ref whose REFERENCED snapshot (the
+  *     tag's pin, the branch's head) is older than this, before
+  *     computing protection, so its snapshots become expirable in the
+  *     same pass. Measured from the snapshot timestamp like Iceberg:
+  *     an actively-committing branch keeps refreshing its head and
+  *     never ages out from under its writers. None (default) = the ref
+  *     never ages, the pre-retention behavior.
   *   - `minSnapshotsToKeep` (branches only): protect at least this many
   *     newest snapshots of the branch's lineage (head inclusive) from
   *     expiry while the ref lives. 1 = head-only, the default.
@@ -2218,27 +2222,30 @@ final class SnapshotTable(val root: Path,
       case _ => s"CAST(`$c` AS STRING)"
     }
     val stored = readTableStats()
-    val incrementalFrom: Option[Long] = stored match {
-      case Some((sv, _, sketches))
-          if sv != m.version &&
-            manifestVersions.contains(sv) &&
-            cols.forall(c => sketches.contains(c)) &&
-            cols.forall { c =>
-              val old = StructType.fromDDL(manifest(sv).schemaDdl)
-              old.fields.exists(f => f.name == c &&
-                f.dataType == typeOf(c))
-            } &&
-            scala.util.Try(readIncrementalBetween(spark, sv, m.version,
-              requireAppendOnly = true)).isSuccess =>
-        Some(sv)
+    stored match {
       case Some((sv, _, sketches))
           if sv == m.version && cols.forall(sketches.contains) =>
-        return cols.map(c => c -> stored.get._3(c)._1).toMap // fresh
+        return cols.map(c => c -> sketches(c)._1).toMap // fresh: answered
+      case _ =>
+    }
+    // eligibility work hoisted: ONE old-schema parse, ONE incremental
+    // plan (the Try both proves append-only and IS the delta source)
+    val incremental: Option[(Long, DataFrame)] = stored.flatMap {
+      case (sv, _, sketches)
+          if sv != m.version &&
+            manifestVersions.contains(sv) &&
+            cols.forall(sketches.contains) && {
+              val old = StructType.fromDDL(manifest(sv).schemaDdl)
+              cols.forall(c => old.fields.exists(f =>
+                f.name == c && f.dataType == typeOf(c)))
+            } =>
+        scala.util.Try(readIncrementalBetween(spark, sv, m.version,
+          requireAppendOnly = true)).toOption.map(sv -> _)
       case _ => None
     }
-    val (mode, source) = incrementalFrom match {
-      case Some(sv) => ("incremental",
-        readIncrementalBetween(spark, sv, m.version, requireAppendOnly = true))
+    val incrementalFrom = incremental.map(_._1)
+    val (mode, source) = incremental match {
+      case Some((_, delta)) => ("incremental", delta)
       case None => ("full", read(spark))
     }
     val agg = source.agg(
@@ -2437,20 +2444,20 @@ final class SnapshotTable(val root: Path,
     * `files`) so the SQL suffix grammar stays unambiguous.
     */
   def tag(name: String, version: Long = currentVersion,
-          maxRefAgeMs: Option[Long] = None,
-          nowMs: Long = System.currentTimeMillis()): Unit = {
+          maxRefAgeMs: Option[Long] = None): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
       !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
     val tmp = Files.createTempFile(metaDir, s".ref-$name", ".tmp")
-    // `"<version>[ created=<ms> max-ref-age-ms=<ms>]"` — the trailing
-    // pairs exist only on retention-carrying tags, so legacy files (a
-    // bare version) and retention-free tags stay byte-identical to the
-    // pre-retention format and never age
+    // `"<version>[ max-ref-age-ms=<ms>]"` — the trailing pair exists
+    // only on retention-carrying tags, so legacy files (a bare version)
+    // and retention-free tags stay byte-identical to the pre-retention
+    // format and never age. Age is measured against the PINNED
+    // snapshot's timestamp at expiry, like Iceberg — no creation stamp
     val body = maxRefAgeMs match {
-      case Some(a) => s"$version created=$nowMs max-ref-age-ms=$a"
+      case Some(a) => s"$version max-ref-age-ms=$a"
       case None    => version.toString
     }
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -2469,9 +2476,10 @@ final class SnapshotTable(val root: Path,
     */
   def tags: Map[String, Long] = tagRefs.map { case (n, r) => n -> r._1 }
 
-  /** Tags with their retention metadata: name → (version, createdMs,
+  /** Tags with their retention metadata: name → (version, reserved,
     * maxRefAgeMs); -1 for absent (a legacy or retention-free tag never
-    * ages). Same delete-tolerance as the plain listing.
+    * ages; age runs off the pinned snapshot's timestamp). Same
+    * delete-tolerance as the plain listing.
     */
   private def tagRefs: Map[String, (Long, Long, Long)] =
     if (!Files.isDirectory(metaDir)) Map.empty
@@ -2519,8 +2527,7 @@ final class SnapshotTable(val root: Path,
       s"$op must run on the main table handle, not a branch handle")
 
   def branch(name: String, version: Long = currentVersion,
-             retention: RefRetention = RefRetention(),
-             nowMs: Long = System.currentTimeMillis()): Unit = {
+             retention: RefRetention = RefRetention()): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
       !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
@@ -2531,7 +2538,6 @@ final class SnapshotTable(val root: Path,
       "min-snapshots-to-keep must be at least 1 (the head)")
     BranchRefs.write(BranchRefs.file(metaDir, name),
       BranchRef(version, version,
-        createdMs = if (retention.maxRefAgeMs.isDefined) nowMs else -1L,
         maxRefAgeMs = retention.maxRefAgeMs.getOrElse(-1L),
         minSnapshotsToKeep = retention.minSnapshotsToKeep,
         maxSnapshotAgeMs = retention.maxSnapshotAgeMs.getOrElse(-1L)))
@@ -3862,12 +3868,26 @@ final class SnapshotTable(val root: Path,
       .orElse(m.properties.get(DeleteRatioProp).map(_.toDouble))
       .getOrElse(0.0)
     val scoped: Set[Map[String, String]] = where match {
-      case Some(cond) => selectFiles(m, cond).map(_.partition).toSet
+      case Some(cond) =>
+        // a typo'd column must fail LOUDLY: the prune walk declines
+        // unknown names conservatively, which would silently widen the
+        // "targeted touch-up" back to a full-table rewrite
+        val schemaCols = StructType.fromDDL(m.schemaDdl)
+          .fieldNames.map(_.toLowerCase).toSet
+        val refs = org.apache.spark.sql.GraftBridge
+          .catalystExpression(cond).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name
+          }
+        val bad = refs.filterNot(r => schemaCols(r.toLowerCase))
+        require(bad.isEmpty,
+          s"where references unknown column(s) ${bad.mkString(", ")} " +
+            s"on $root")
+        selectFiles(m, cond).map(_.partition).toSet
       case None => Set.empty
     }
     def inScope(pv: Map[String, String]): Boolean =
       where.isEmpty || scoped(pv)
-    val sizes = m.files.map(f => f.path -> sizeOf(f)).toMap
     val types = typeLookup(StructType.fromDDL(m.schemaDdl))
     // delete pressure: masked rows ÷ data rows, unknown counts (legacy
     // manifests, -1) conservatively select. A delete's rows count against
@@ -3887,11 +3907,17 @@ final class SnapshotTable(val root: Path,
     // after evolvePartitioning) are always selected: compaction is the
     // eager migration path to the current layout
     val pcolSet = m.partitionColumns.toSet
+    // sizes stat lazily PER IN-SCOPE GROUP: a where-scoped touch-up of
+    // one partition on a legacy manifest (bytes unrecorded) must not
+    // stat the other 999 partitions' files
     val rewrite: Seq[FileEntry] = m.files.groupBy(_.partition).collect {
-      case (pv, fs) if inScope(pv) && (pv.keySet != pcolSet ||
-          fs.count(f => sizes(f.path) < smallBytes) >= 2 ||
-          fs.exists(f => sizes(f.path) > overBytes) ||
-          underDeletePressure(fs)) => fs
+      case (pv, fs) if inScope(pv) && {
+        lazy val sz = fs.map(f => f.path -> sizeOf(f)).toMap
+        pv.keySet != pcolSet ||
+          fs.count(f => sz(f.path) < smallBytes) >= 2 ||
+          fs.exists(f => sz(f.path) > overBytes) ||
+          underDeletePressure(fs)
+      } => fs
     }.flatten.toSeq
     rewriteSelectedGroups(spark, m, rewrite, targetFileBytes, nowMs)
   }
@@ -4102,8 +4128,13 @@ final class SnapshotTable(val root: Path,
         // see what the table is clustered by, like Iceberg's sort-order
         // metadata — [[compact]] re-clusters on it instead of hashing
         // the rows apart
+        // write.graft.sort-order SURVIVES: it is user DDL driving the
+        // per-task sort of future appends, and compact re-clusters on
+        // the curve first (zCols win over sortOrderCols) so it cannot
+        // scatter this layout. The reverse direction does clear (see
+        // rewriteSorted): a stale curve WOULD win the re-cluster.
         commitData(clustered, Some(m), m.partitionColumns,
-          m.properties - SortOrderProp + (ZOrderProp -> cols.mkString(",")),
+          m.properties + (ZOrderProp -> cols.mkString(",")),
           nowMs, preclustered = true, operation = "replace")
     }
   }
@@ -4216,15 +4247,21 @@ final class SnapshotTable(val root: Path,
                       minSnapshotsToKeep: Int = 90,
                       nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
     // retention-aged refs drop FIRST (Iceberg `max-ref-age-ms`): an aged
-    // ref stops protecting its snapshots in the same expire pass. Refs
-    // without a recorded age (legacy, or created without RETAIN) never
-    // age — the pre-retention behavior.
-    tagRefs.foreach { case (n, (_, created, maxAge)) =>
-      if (maxAge >= 0 && created >= 0 && nowMs - created > maxAge) dropTag(n)
+    // ref stops protecting its snapshots in the same expire pass. Age is
+    // measured from the REFERENCED snapshot's timestamp — Iceberg's
+    // semantics (SnapshotRef stores no creation time): an
+    // actively-committing branch keeps refreshing its head and never
+    // ages; a tag ages with the snapshot it pins. Refs without RETAIN
+    // never age — the pre-retention behavior.
+    def snapAge(v: Long): Long =
+      if (manifestVersions.contains(v)) nowMs - manifest(v).timestampMs
+      else Long.MinValue // unplaceable: never age on a guess
+    tagRefs.foreach { case (n, (v, _, maxAge)) =>
+      if (maxAge >= 0 && snapAge(v) > maxAge) dropTag(n)
     }
     branchRefs.foreach { case (n, r) =>
-      if (r.maxRefAgeMs >= 0 && r.createdMs >= 0 &&
-          nowMs - r.createdMs > r.maxRefAgeMs) dropBranch(n)
+      if (r.maxRefAgeMs >= 0 && snapAge(r.head) > r.maxRefAgeMs)
+        dropBranch(n)
     }
     val versions = manifestVersions
     val cur = currentVersion

@@ -258,10 +258,11 @@ class BranchSpec extends SparkSpec {
     assert(t.readBranch(spark, "dev").count() == 8)
 
     // past RETAIN 30 DAYS the ref itself drops and its lineage is
-    // released in the SAME pass (ref age runs off the wall-clock
-    // `created` the SQL CREATE stamped)
+    // released in the SAME pass. Branch ref age runs off the HEAD's
+    // commit timestamp (day 3) — an actively-committing branch never
+    // ages out from under its writers, only an ABANDONED one does
     val expired2 = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
-      nowMs = System.currentTimeMillis() + 40 * day)
+      nowMs = 1000L + 40 * day)
     assert(expired2 == Seq(3L, 4L), s"expired: $expired2")
     assert(t.branches.isEmpty)
     assert(t.read(spark).count() == 5) // main current untouched

@@ -74,10 +74,10 @@ class TagsSpec extends SparkSpec {
       nowMs = 1000L + 5 * day).isEmpty)
 
     // past RETAIN: the aged tag drops and v1 expires in the SAME pass;
-    // the retention-free tag still protects v2. The SQL CREATE stamps
-    // `created` with the wall clock, so ref age is measured from it
+    // the retention-free tag still protects v2. Ref age runs off the
+    // PINNED snapshot's timestamp (v1 committed at 1000), like Iceberg
     val expired = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
-      nowMs = System.currentTimeMillis() + 10 * day)
+      nowMs = 1000L + 10 * day)
     assert(expired == Seq(1L), s"expired: $expired")
     assert(t.tags.keySet == Set("forever"))
     assert(t.readTag(spark, "forever").count() == 7)
