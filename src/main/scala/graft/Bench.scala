@@ -52,7 +52,8 @@ object Bench {
       "q106_snapshot_mgmt", "q107_snapshot_table", "q108_wap_publish",
       "q109_metadata_delete", "q110_stream_from_timestamp",
       "q111_meta_count_pending_deletes", "q112_ref_retention",
-      "q113_table_stats_ndv", "q114_ancestors_of")
+      "q113_table_stats_ndv", "q114_ancestors_of",
+      "q115_sort_strategy_rewrite")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -373,6 +373,30 @@ object ScaleProbe {
         timed("scan_count_pending_pos_deletes") { mc.read(spark).count() }
       }
 
+      // where-scoped compaction at 2.4M rows: fragment every partition,
+      // then touch up ONE — the scoped rewrite stats and rewrites only
+      // the implicated group while the full call pays for all of them
+      {
+        val wc = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-wherecompact").toString)
+        wc.createOrReplace(withP, Seq("p"))
+        wc.append(spark, withP.filter(
+          pmod(col("l_orderkey"), lit(50)) === 3)) // fragment all groups
+        val frag = wc.currentManifest.files.size
+        var scopedAfter = 0
+        timed("compact_where_scoped_one_partition") {
+          wc.compact(spark, where = Some(col("p") === 0L))
+          scopedAfter = wc.currentManifest.files.size
+          scopedAfter.toLong
+        }
+        println(s"""{"stage":"compact_where_census","before":$frag,""" +
+          s""""after_scoped":$scopedAfter}""")
+        timed("compact_full_remaining") {
+          wc.compact(spark)
+          wc.currentManifest.files.size.toLong
+        }
+      }
+
       // NDV stats at 2.4M rows: the full compute pays one scan; after a
       // ~1% append the recompute unions sketches over ONLY the delta
       // files (the O(new data) path) — compare against the exact

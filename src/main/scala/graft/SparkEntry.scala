@@ -1525,6 +1525,50 @@ object SparkEntry {
       s.sql(s"CALL graft.system.ancestors_of(table => '$root')")
     }),
 
+    "q115_sort_strategy_rewrite" -> ((s, d) => {
+      // rewrite_data_files' FULL Iceberg signature end-to-end: a
+      // where-scoped binpack touches only the implicated partition
+      // group (bystander files carry by reference — asserted), then
+      // strategy='sort' with the zorder spelling re-lays the table so
+      // BOTH curve dimensions prune (census assert). Layout changes
+      // only: the output is the untouched full orders — the oracle.
+      val root = Files.createTempDirectory("graft-q115-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(4)))
+      table.createOrReplace(orders, Seq("bucket"))
+      table.append(s, orders.filter(col("o_orderkey") % 37 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+      val before = table.currentManifest.files
+      s.sql(s"CALL graft.system.rewrite_data_files(table => '$root', " +
+        "where => 'bucket = 1')")
+      val after = table.currentManifest.files
+      require(after.count(_.partition("bucket") == "1") == 1,
+        "the scoped group must bin-pack")
+      val bystanders = before.filterNot(_.partition("bucket") == "1")
+        .map(_.path).toSet
+      require(bystanders.subsetOf(after.map(_.path).toSet),
+        "out-of-scope groups carry by reference")
+      // drop the synthetic rows + partitioning for a clean layout pass
+      // (>=: the generator ships an o_orderkey = 0, whose synthetic
+      // copy sits exactly ON the 20000000 boundary)
+      table.deleteWhere(s, col("o_orderkey") >= 20000000L)
+      val flat = SnapshotTable.at(
+        Files.createTempDirectory("graft-q115b-").toString)
+      flat.createOrReplace(table.read(s).drop("bucket").repartition(8))
+      s.sql(s"CALL graft.system.rewrite_data_files(table => " +
+        s"'${flat.root}', strategy => 'sort', " +
+        "sort_order => 'zorder(o_custkey, o_orderkey)', " +
+        "target_file_size_bytes => 16384)")
+      val total = flat.currentManifest.files.size
+      val probe = flat.read(s).selectExpr("max(o_custkey) AS m").head.getLong(0)
+      val (keptC, _) = flat.pruneCounts(col("o_custkey") === probe)
+      val (keptK, _) = flat.pruneCounts(col("o_orderkey") === 1L)
+      require(total > 1 && keptC < total && keptK < total,
+        s"both curve dimensions must prune ($keptC/$keptK of $total)")
+      flat.read(s)
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2761,6 +2805,13 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS version,
         |  CAST(ts AS BIGINT) AS timestamp_ms
         |FROM (VALUES (4, 5000), (2, 2000), (1, 1000)) AS t(v, ts)""".stripMargin,
+
+    // layout rewrites move bytes, never rows: the z-ordered table is
+    // exactly orders (scope/prune census asserts live in-query)
+    "q115_sort_strategy_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
 
     // SQL-only WAP publishes exactly the q14/q71 merged state
     "q99_sql_branch_wap" -> (withFixtures +
