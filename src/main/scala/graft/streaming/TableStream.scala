@@ -136,8 +136,13 @@ final class GraftTableSource(spark: SparkSession, path: String,
     *     (stable path order, [[SnapshotTable.readFileSlice]]); the
     *     bootstrap version is pinned durably in the stream's metadata
     *     dir, so a restart mid-bootstrap resumes the SAME file
-    *     enumeration exactly once. After the bootstrap completes the
-    *     stream tails versions as usual.
+    *     enumeration exactly once. On the TAIL the same caps split each
+    *     lineage STEP's fresh files (Iceberg's
+    *     streaming-max-files-per-micro-batch): a 10k-file backfill
+    *     commit streams as many bounded batches (`s:<v>:<k>` offsets,
+    *     [[SnapshotTable.readIncrementalSlice]]) instead of one
+    *     unbounded one; with caps set, each batch covers at most one
+    *     lineage step.
     *
     * Bootstrap progress rides in the offset itself (`b:<filesEmitted>`
     * vs a plain version number), so the checkpoint log remains the
@@ -156,9 +161,7 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * admitting at least one. Sizes come from the manifest's recorded
     * `bytes` (zero filesystem stats on bytes-recording tables).
     * Composable with maxFilesPerTrigger: a batch stops at whichever cap
-    * binds first. Tail commits stay version-granular
-    * (maxVersionsPerTrigger) — a committed version is the atomic unit of
-    * exactly-once replay.
+    * binds first, on the bootstrap and on tail steps alike.
     */
   private val maxBytes: Option[Long] =
     parameters.get("maxBytesPerTrigger").map { s =>
@@ -297,13 +300,7 @@ final class GraftTableSource(spark: SparkSession, path: String,
     "maxFilesPerTrigger/maxBytesPerTrigger split the bootstrap snapshot " +
       "by data files; the CDC feed batches by version — use " +
       "maxVersionsPerTrigger")
-  // loud, not silently ignored (r7 ADVICE): only the startVersion=0
-  // bootstrap has a single-snapshot batch to split by files
-  require(!bootCaps || startVersion == 0L,
-    s"maxFilesPerTrigger/maxBytesPerTrigger apply only with " +
-      s"startVersion=0 (they split the bootstrap snapshot); " +
-      s"startVersion=$startVersion tails commits — use " +
-      "maxVersionsPerTrigger to throttle the tail")
+
 
   /** The snapshot a SPLIT bootstrap enumerates: pinned at first need and
     * durable, so a restart mid-bootstrap replays the SAME file list.
@@ -320,17 +317,62 @@ final class GraftTableSource(spark: SparkSession, path: String,
   private sealed trait Pos
   private final case class BootPos(filesEmitted: Int) extends Pos
   private final case class VerPos(v: Long) extends Pos
+  /** Mid-step tail position: lineage fully emitted BELOW `v`, plus the
+    * first `filesEmitted` fresh files of the step ending at `v`.
+    */
+  private final case class StepPos(v: Long, filesEmitted: Int) extends Pos
 
   private def encode(p: Pos): Offset = p match {
     case BootPos(k) => GraftBootstrapOffset(k)
     case VerPos(v) => LongOffset(v)
+    case StepPos(v, k) => GraftStepOffset(v, k)
   }
   private def decode(o: Offset): Pos = o match {
     case l: LongOffset => VerPos(l.offset)
     case GraftBootstrapOffset(k) => BootPos(k)
+    case GraftStepOffset(v, k) => StepPos(v, k)
     case other =>
       val j = other.json.trim // checkpoint-recovered SerializedOffset
-      if (j.startsWith("b:")) BootPos(j.drop(2).toInt) else VerPos(j.toLong)
+      if (j.startsWith("b:")) BootPos(j.drop(2).toInt)
+      else if (j.startsWith("s:")) {
+        val parts = j.drop(2).split(":")
+        StepPos(parts(0).toLong, parts(1).toInt)
+      } else VerPos(j.toLong)
+  }
+
+  /** Fresh-file sizes of the CURRENT step, memoized — admission polls
+    * re-derive the same list until the step completes.
+    */
+  @volatile private var stepCache: Option[(Long, Long, IndexedSeq[Long])] =
+    None
+  private def stepSizes(from: Long, to: Long): IndexedSeq[Long] =
+    stepCache match {
+      case Some((f, t, sz)) if f == from && t == to => sz
+      case _ =>
+        val sz = tbl.incrementalFileSizesInPathOrder(from, to,
+          requireAppendOnly = !ignoreChanges)
+        stepCache = Some((from, to, sz))
+        sz
+    }
+
+  /** Greedy admission from index `k` over `n` files: stop at whichever
+    * cap binds first; the first file of a batch is always admitted.
+    */
+  private def admit(k: Int, n: Int, sizes: => IndexedSeq[Long]): Int = {
+    val byFiles = maxFiles.map(mf =>
+      math.min(k + mf.toLong, n.toLong).toInt).getOrElse(n)
+    val byBytes = maxBytes.map { mb =>
+      val sz = sizes
+      var i = k
+      var acc = 0L
+      var open = true
+      while (i < n && open) {
+        if (i == k || acc + sz(i) <= mb) { acc += sz(i); i += 1 }
+        else open = false
+      }
+      i
+    }.getOrElse(n)
+    math.min(byFiles, byBytes)
   }
 
   /** Last offset OFFERED to the engine (throttle state). Persisted so a
@@ -378,23 +420,31 @@ final class GraftTableSource(spark: SparkSession, path: String,
           "created this checkpoint; the bootstrap file enumeration is " +
           "only resumable under them")
       val n = bootFileCount
-      val byFiles = maxFiles.map(mf => math.min(k + mf.toLong, n.toLong).toInt)
-        .getOrElse(n)
-      val byBytes = maxBytes.map { mb =>
-        val sizes = bootFileSizes
-        var i = k
-        var acc = 0L
-        var open = true
-        while (i < n && open) {
-          // always admit the batch's first file, even oversized — a
-          // single file above the cap must not stall the stream
-          if (i == k || acc + sizes(i) <= mb) { acc += sizes(i); i += 1 }
-          else open = false
-        }
-        i
-      }.getOrElse(n)
-      val nk = math.min(byFiles, byBytes)
+      val nk = admit(k, n, bootFileSizes)
       if (nk >= n) VerPos(bootVersion) else BootPos(nk)
+    case StepPos(v, k) =>
+      if (!bootCaps) throw new IllegalStateException(
+        s"checkpoint holds a mid-step offset (s:$v:$k) but neither " +
+          "maxFilesPerTrigger nor maxBytesPerTrigger is set — restart " +
+          "with the same admission options that created this " +
+          "checkpoint; the step file enumeration is only resumable " +
+          "under them")
+      val from = tbl.lineageParent(v)
+      val sz = stepSizes(from, v)
+      val nk = admit(k, sz.size, sz)
+      if (nk >= sz.size) VerPos(v) else StepPos(v, nk)
+    case VerPos(v) if bootCaps =>
+      // file/byte caps on the tail: one lineage step at a time, its
+      // fresh files admitted greedily — a huge backfill commit streams
+      // as bounded slices instead of one unbounded batch
+      if (v >= cap) cur
+      else tbl.lineageVersionsBetween(v, cap).headOption match {
+        case None => cur
+        case Some(nv) =>
+          val sz = stepSizes(v, nv)
+          val nk = admit(0, sz.size, sz)
+          if (nk >= sz.size) VerPos(nv) else StepPos(nv, nk)
+      }
     case VerPos(v) =>
       maxVersions match {
         case None => VerPos(math.max(v, cap))
@@ -432,13 +482,13 @@ final class GraftTableSource(spark: SparkSession, path: String,
     // checkpoint recovery with a mid-bootstrap offset but no admission
     // options: the b:<k> enumeration is only resumable under the options
     // that created it — same instructive failure as the offer path
-    if (!bootCaps &&
-        (startPos.isInstanceOf[BootPos] || endPos.isInstanceOf[BootPos]))
+    def capped(p: Pos) =
+      p.isInstanceOf[BootPos] || p.isInstanceOf[StepPos]
+    if (!bootCaps && (capped(startPos) || capped(endPos)))
       throw new IllegalStateException(
-        "checkpoint holds a mid-bootstrap offset but neither " +
+        "checkpoint holds a mid-bootstrap/mid-step offset but neither " +
           "maxFilesPerTrigger nor maxBytesPerTrigger is set — restart " +
-          "with the same admission options (and startVersion=0) that " +
-          "created this checkpoint")
+          "with the same admission options that created this checkpoint")
     val df = (startPos, endPos) match {
       case (BootPos(k1), BootPos(k2)) =>
         tbl.readFileSlice(spark, bootVersion, k1, k2)
@@ -451,9 +501,24 @@ final class GraftTableSource(spark: SparkSession, path: String,
         if (cdc) tbl.readChangelog(spark, v1, v2)
         else tbl.readIncrementalBetween(spark, v1, v2,
           requireAppendOnly = !ignoreChanges)
-      case (VerPos(_), BootPos(_)) =>
+      case (VerPos(v1), StepPos(v2, k)) =>
+        tbl.readIncrementalSlice(spark, v1, v2, 0, k,
+          requireAppendOnly = !ignoreChanges)
+      case (StepPos(v1, k1), StepPos(v2, k2)) =>
+        require(v1 == v2,
+          s"mid-step batches stay within one step (v$v1 vs v$v2)")
+        tbl.readIncrementalSlice(spark, tbl.lineageParent(v1), v1, k1, k2,
+          requireAppendOnly = !ignoreChanges)
+      case (StepPos(v1, k1), VerPos(v2)) =>
+        // the step-completing batch: its own version's fresh tail
+        require(v2 == v1,
+          s"step batch must end at its own v$v1, got v$v2")
+        tbl.readIncrementalSlice(spark, tbl.lineageParent(v1), v1, k1,
+          Int.MaxValue, requireAppendOnly = !ignoreChanges)
+      case (VerPos(_), BootPos(_)) | (BootPos(_), StepPos(_, _)) |
+           (StepPos(_, _), BootPos(_)) =>
         throw new IllegalStateException(
-          "offset regression: a version offset cannot precede a bootstrap one")
+          "offset regression: incompatible adjacent stream positions")
     }
     // getBatch is also the recovery path: sync the throttle state so the
     // next getOffset advances from what the engine actually replayed
@@ -476,10 +541,21 @@ final class GraftTableSource(spark: SparkSession, path: String,
 }
 
 /** Bootstrap-progress offset (`b:<filesEmitted>` in the checkpoint log);
-  * completed bootstraps and tail batches use plain version offsets.
+  * completed bootstraps and unbounded tail batches use plain version
+  * offsets.
   */
 final case class GraftBootstrapOffset(filesEmitted: Int) extends Offset {
   override def json: String = s"b:$filesEmitted"
+}
+
+/** Mid-step tail offset (`s:<version>:<filesEmitted>`): the lineage is
+  * fully emitted below `version`, plus the first `filesEmitted` fresh
+  * files of the step ending at it — how file/byte admission caps split
+  * a large tail commit into bounded micro-batches.
+  */
+final case class GraftStepOffset(version: Long, filesEmitted: Int)
+    extends Offset {
+  override def json: String = s"s:$version:$filesEmitted"
 }
 
 object GraftTableSource {

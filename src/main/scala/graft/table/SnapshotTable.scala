@@ -1669,6 +1669,19 @@ final class SnapshotTable(val root: Path,
   def readIncrementalBetween(spark: SparkSession, fromVersion: Long,
                              toVersion: Long,
                              requireAppendOnly: Boolean = false): DataFrame = {
+    val fresh = incrementalFreshFiles(fromVersion, toVersion,
+      requireAppendOnly)
+    readManifest(spark, manifest(toVersion).copy(files = fresh.toVector),
+      _ => true)
+  }
+
+  /** The fresh-file list [[readIncrementalBetween]] reads, with the same
+    * append-only guards — factored out so the streaming tail can SPLIT a
+    * large commit into size-bounded micro-batches (admission caps slice
+    * this list in stable path order).
+    */
+  private[graft] def incrementalFreshFiles(fromVersion: Long,
+      toVersion: Long, requireAppendOnly: Boolean): Seq[FileEntry] = {
     val fromM = if (fromVersion <= 0L) None else Some(manifest(fromVersion))
     val toM = manifest(toVersion)
     val (fresh, removedAny) = diffFiles(fromM, toM)
@@ -1684,8 +1697,37 @@ final class SnapshotTable(val root: Path,
           "deletes — a streaming tail cannot represent row removal; pass " +
           "ignoreChanges=true to stream appends only")
     }
-    readManifest(spark, toM.copy(files = fresh), _ => true)
+    fresh
   }
+
+  /** One lineage-step slice for the size-bounded streaming tail: the
+    * step `fromVersion → toVersion`'s fresh files in stable path order,
+    * rows of `[from, until)` only, read under `toVersion`'s schema with
+    * its pending deletes resolved per file — the union of disjoint
+    * slices equals [[readIncrementalBetween]] of the step exactly.
+    */
+  private[graft] def readIncrementalSlice(spark: SparkSession,
+      fromVersion: Long, toVersion: Long, from: Int, until: Int,
+      requireAppendOnly: Boolean): DataFrame = {
+    val fresh = incrementalFreshFiles(fromVersion, toVersion,
+      requireAppendOnly).sortBy(_.path).slice(from, until)
+    readManifest(spark, manifest(toVersion).copy(files = fresh.toVector),
+      _ => true)
+  }
+
+  /** Per-file byte sizes of a lineage step's fresh files in the same
+    * stable path order [[readIncrementalSlice]] slices (recorded bytes;
+    * legacy entries stat once, 0 when missing — admits more, the safe
+    * direction).
+    */
+  private[graft] def incrementalFileSizesInPathOrder(fromVersion: Long,
+      toVersion: Long, requireAppendOnly: Boolean): IndexedSeq[Long] =
+    incrementalFreshFiles(fromVersion, toVersion, requireAppendOnly)
+      .sortBy(_.path).map { f =>
+        if (f.bytes >= 0) f.bytes
+        else try Files.size(root.resolve(f.path))
+        catch { case _: java.io.IOException => 0L }
+      }.toIndexedSeq
 
   /** Deterministic FILE-SLICE read of one snapshot — the unit of the
     * streaming source's size-bounded bootstrap (Delta/Iceberg honor
@@ -2410,6 +2452,18 @@ final class SnapshotTable(val root: Path,
     * `tsMs` refuses loudly: the history needed to place the timestamp
     * is gone, and guessing would silently skip or replay commits.
     */
+  /** Lineage parent of one retained snapshot (legacy manifests link to
+    * the previous retained version, the pre-branch single-lineage
+    * shape) — the step boundary the size-bounded streaming tail slices
+    * against.
+    */
+  private[graft] def lineageParent(v: Long): Long =
+    manifest(v).parent match {
+      case -1L => manifestVersions.sorted.takeWhile(_ < v).lastOption
+        .getOrElse(0L)
+      case p => p
+    }
+
   private[graft] def versionAtOrBefore(tsMs: Long): Option[Long] = {
     val retainedSorted = manifestVersions.sorted
     val retained = retainedSorted.toSet

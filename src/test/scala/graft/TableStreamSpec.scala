@@ -246,6 +246,68 @@ class TableStreamSpec extends SparkSpec {
       "no batch may blow past the per-trigger file bound")
   }
 
+  test("admission control: file caps split a large TAIL commit into slices") {
+    import spark.implicits._
+    val root = tmp("graft-ts-tailsplit-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 10).map(i => (i.toLong, "base")).toDF("id", "v"))
+    // pin the stream at v1, THEN land a wide backfill commit (8 files)
+    val (ckpt, out) = (tmp("graft-ts-tailsplit-ckpt-"),
+      tmp("graft-ts-tailsplit-out-"))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "1")
+        .option("maxFilesPerTrigger", "3")
+        .load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val c = df.count()
+          if (c > 0) batches.synchronized { batches += c }
+          df.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    t.append(spark, (11 to 810).map(i => (i.toLong, "backfill"))
+      .toDF("id", "v").repartition(8))                              // v2
+    val stepFiles = t.currentManifest.files.count(_.seq == 2L)
+    assert(stepFiles == 8, s"the backfill must land 8 files ($stepFiles)")
+    run()
+    // the 8-file step streams as ceil(8/3)=3 bounded slices, union exact
+    assert(batches.size == 3, s"tail step must split: $batches")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 800 && rows.select("id").distinct().count() == 800,
+      "the sliced step re-assembles the backfill exactly once")
+    // a later small commit streams normally after the split step
+    t.append(spark, Seq((900L, "tail")).toDF("id", "v"))            // v3
+    run()
+    assert(spark.read.parquet(out).count() == 801, "exactly-once tail")
+    // restarting WITHOUT the caps against a mid-step checkpoint is the
+    // same instructive failure as the bootstrap's (checkpoint from a
+    // fresh mid-step stop)
+    val ckpt2 = tmp("graft-ts-tailsplit-ckpt2-")
+    val out2 = tmp("graft-ts-tailsplit-out2-")
+    val q2 = spark.readStream.format("graft-table")
+      .option("startVersion", "1").option("maxFilesPerTrigger", "3")
+      .load(root).writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.Once()).start()
+    q2.awaitTermination() // exactly one bounded slice → s:2:3 in the log
+    val e = intercept[StreamingQueryException] {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "1") // caps dropped
+        .load(root).writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getCause.getMessage.contains("mid-"),
+      s"unexpected: ${e.getCause}")
+  }
+
   test("admission control: maxVersionsPerTrigger bounds the tail catch-up") {
     import spark.implicits._
     val root = tmp("graft-ts-admv-")
@@ -436,18 +498,20 @@ class TableStreamSpec extends SparkSpec {
     t.createOrReplace((1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .repartition(4))
     t.append(spark, Seq((101L, "w")).toDF("id", "v"))
-    // maxFilesPerTrigger with a non-bootstrap startVersion: refused
-    val e1 = intercept[StreamingQueryException] {
+    // file/byte caps with the CDC feed: refused (version-granular only)
+    val e1 = intercept[Exception] {
       val q = spark.readStream.format("graft-table")
-        .option("startVersion", "1").option("maxFilesPerTrigger", "2")
+        .option("readChangeFeed", "true").option("maxFilesPerTrigger", "2")
         .load(root).writeStream.format("parquet")
         .option("path", tmp("graft-ts-admx-o1-"))
         .option("checkpointLocation", tmp("graft-ts-admx-c1-"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    assert(e1.getCause.getMessage.contains("startVersion=0"),
-      s"unexpected: ${e1.getCause}")
+    assert(e1.getMessage.contains("maxVersionsPerTrigger") ||
+      Option(e1.getCause).exists(_.getMessage
+        .contains("maxVersionsPerTrigger")),
+      s"unexpected: $e1")
     // a checkpoint holding a mid-bootstrap b:<k> offset restarted WITHOUT
     // the admission options: loud, with the recovery instruction
     val (ckpt, out) = (tmp("graft-ts-admx-ckpt-"), tmp("graft-ts-admx-out-"))
