@@ -174,10 +174,17 @@ final class GraftTableSource(spark: SparkSession, path: String,
       }
       num.toLong * mult
     }
+  /** `maxRowsPerTrigger=N` — the recorded-ROW-count cap (Iceberg's
+    * streaming-max-rows-per-micro-batch): same greedy split over the
+    * same stable path order, weights from the manifest's per-file row
+    * counts (legacy -1 admits as 0). Composable with the other caps.
+    */
+  private val maxRows: Option[Long] =
+    parameters.get("maxRowsPerTrigger").map(_.toLong)
   require(maxVersions.forall(_ > 0) && maxFiles.forall(_ > 0) &&
-    maxBytes.forall(_ > 0),
-    "maxVersionsPerTrigger / maxFilesPerTrigger / maxBytesPerTrigger " +
-      "must be positive")
+    maxBytes.forall(_ > 0) && maxRows.forall(_ > 0),
+    "maxVersionsPerTrigger / maxFilesPerTrigger / maxBytesPerTrigger / " +
+      "maxRowsPerTrigger must be positive")
 
   /** `readChangeFeed=true` (the Delta CDF / Iceberg changelog-scan
     * streaming analog): micro-batches are [[SnapshotTable.readChangelog]]
@@ -294,7 +301,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
       case _ => durablePin("graft-start-version")(tbl.currentVersion)
     }
 
-  private val bootCaps = maxFiles.isDefined || maxBytes.isDefined
+  private val bootCaps =
+    maxFiles.isDefined || maxBytes.isDefined || maxRows.isDefined
   private val splitBootstrap = startVersion == 0L && bootCaps
   require(!(cdc && bootCaps),
     "maxFilesPerTrigger/maxBytesPerTrigger split the bootstrap snapshot " +
@@ -310,6 +318,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
   private lazy val bootFileCount: Int = tbl.fileCount(bootVersion)
   private lazy val bootFileSizes: IndexedSeq[Long] =
     tbl.fileSizesInPathOrder(bootVersion)
+  private lazy val bootFileRows: IndexedSeq[Long] =
+    tbl.fileRowsInPathOrder(bootVersion)
 
   /** Stream position: mid-bootstrap (files emitted so far of the pinned
     * snapshot) or a snapshot version.
@@ -343,36 +353,46 @@ final class GraftTableSource(spark: SparkSession, path: String,
   /** Fresh-file sizes of the CURRENT step, memoized — admission polls
     * re-derive the same list until the step completes.
     */
-  @volatile private var stepCache: Option[(Long, Long, IndexedSeq[Long])] =
-    None
-  private def stepSizes(from: Long, to: Long): IndexedSeq[Long] =
+  @volatile private var stepCache
+      : Option[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])] = None
+  private def stepWeights(from: Long, to: Long)
+      : (IndexedSeq[Long], IndexedSeq[Long]) =
     stepCache match {
-      case Some((f, t, sz)) if f == from && t == to => sz
+      case Some((f, t, sz, rw)) if f == from && t == to => (sz, rw)
       case _ =>
         val sz = tbl.incrementalFileSizesInPathOrder(from, to,
           requireAppendOnly = !ignoreChanges)
-        stepCache = Some((from, to, sz))
-        sz
+        val rw = tbl.incrementalFileRowsInPathOrder(from, to,
+          requireAppendOnly = !ignoreChanges)
+        stepCache = Some((from, to, sz, rw))
+        (sz, rw)
     }
 
-  /** Greedy admission from index `k` over `n` files: stop at whichever
-    * cap binds first; the first file of a batch is always admitted.
+  /** Greedy cap over one weight sequence: accumulate from `k` until
+    * adding the next file would exceed `cap`; the first file of a batch
+    * is always admitted (an oversized file must not stall the stream).
     */
-  private def admit(k: Int, n: Int, sizes: => IndexedSeq[Long]): Int = {
+  private def greedy(k: Int, n: Int, w: IndexedSeq[Long], cap: Long): Int = {
+    var i = k
+    var acc = 0L
+    var open = true
+    while (i < n && open) {
+      if (i == k || acc + w(i) <= cap) { acc += w(i); i += 1 }
+      else open = false
+    }
+    i
+  }
+
+  /** Admission from index `k` over `n` files: whichever configured cap
+    * binds first (files / bytes / rows).
+    */
+  private def admit(k: Int, n: Int, sizes: => IndexedSeq[Long],
+                    rows: => IndexedSeq[Long]): Int = {
     val byFiles = maxFiles.map(mf =>
       math.min(k + mf.toLong, n.toLong).toInt).getOrElse(n)
-    val byBytes = maxBytes.map { mb =>
-      val sz = sizes
-      var i = k
-      var acc = 0L
-      var open = true
-      while (i < n && open) {
-        if (i == k || acc + sz(i) <= mb) { acc += sz(i); i += 1 }
-        else open = false
-      }
-      i
-    }.getOrElse(n)
-    math.min(byFiles, byBytes)
+    val byBytes = maxBytes.map(greedy(k, n, sizes, _)).getOrElse(n)
+    val byRows = maxRows.map(greedy(k, n, rows, _)).getOrElse(n)
+    math.min(byFiles, math.min(byBytes, byRows))
   }
 
   /** Last offset OFFERED to the engine (throttle state). Persisted so a
@@ -420,7 +440,7 @@ final class GraftTableSource(spark: SparkSession, path: String,
           "created this checkpoint; the bootstrap file enumeration is " +
           "only resumable under them")
       val n = bootFileCount
-      val nk = admit(k, n, bootFileSizes)
+      val nk = admit(k, n, bootFileSizes, bootFileRows)
       if (nk >= n) VerPos(bootVersion) else BootPos(nk)
     case StepPos(v, k) =>
       if (!bootCaps) throw new IllegalStateException(
@@ -430,8 +450,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
           "checkpoint; the step file enumeration is only resumable " +
           "under them")
       val from = tbl.lineageParent(v)
-      val sz = stepSizes(from, v)
-      val nk = admit(k, sz.size, sz)
+      val (sz, rw) = stepWeights(from, v)
+      val nk = admit(k, sz.size, sz, rw)
       if (nk >= sz.size) VerPos(v) else StepPos(v, nk)
     case VerPos(v) if bootCaps =>
       // file/byte caps on the tail: one lineage step at a time, its
@@ -441,8 +461,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
       else tbl.lineageVersionsBetween(v, cap).headOption match {
         case None => cur
         case Some(nv) =>
-          val sz = stepSizes(v, nv)
-          val nk = admit(0, sz.size, sz)
+          val (sz, rw) = stepWeights(v, nv)
+          val nk = admit(0, sz.size, sz, rw)
           if (nk >= sz.size) VerPos(nv) else StepPos(nv, nk)
       }
     case VerPos(v) =>

@@ -1729,6 +1729,18 @@ final class SnapshotTable(val root: Path,
         catch { case _: java.io.IOException => 0L }
       }.toIndexedSeq
 
+  /** Per-file recorded ROW counts, same stable path orders as the size
+    * helpers (legacy -1 counts as 0 — admits more, the safe direction).
+    */
+  private[graft] def fileRowsInPathOrder(version: Long): IndexedSeq[Long] =
+    manifest(version).files.toSeq.sortBy(_.path)
+      .map(f => math.max(0L, f.rows)).toIndexedSeq
+
+  private[graft] def incrementalFileRowsInPathOrder(fromVersion: Long,
+      toVersion: Long, requireAppendOnly: Boolean): IndexedSeq[Long] =
+    incrementalFreshFiles(fromVersion, toVersion, requireAppendOnly)
+      .sortBy(_.path).map(f => math.max(0L, f.rows)).toIndexedSeq
+
   /** Deterministic FILE-SLICE read of one snapshot — the unit of the
     * streaming source's size-bounded bootstrap (Delta/Iceberg honor
     * `maxFilesPerTrigger` the same way): live data files sorted by path

@@ -308,6 +308,38 @@ class TableStreamSpec extends SparkSpec {
       s"unexpected: ${e.getCause}")
   }
 
+  test("admission control: maxRowsPerTrigger splits by recorded row counts") {
+    import spark.implicits._
+    val root = tmp("graft-ts-admr-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 900).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v").repartition(6)) // ~150 rows per file
+    val rowsPerFile = t.currentManifest.files.map(_.rows)
+    assert(rowsPerFile.forall(_ > 0), "commit must record row counts")
+    val (ckpt, out) = (tmp("graft-ts-admr-ckpt-"), tmp("graft-ts-admr-out-"))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-table")
+      .option("startVersion", "0")
+      .option("maxRowsPerTrigger", "400")
+      .load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = df.count()
+        if (c > 0) batches.synchronized { batches += c }
+        df.write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.size >= 3, s"900 rows under a 400-row cap: $batches")
+    // every batch respects the cap, except one carrying an oversized
+    // first file (none here: files are ~150 rows)
+    assert(batches.forall(_ <= 400), s"row cap must bind: $batches")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 900 && rows.select("id").distinct().count() == 900)
+  }
+
   test("admission control: maxVersionsPerTrigger bounds the tail catch-up") {
     import spark.implicits._
     val root = tmp("graft-ts-admv-")
