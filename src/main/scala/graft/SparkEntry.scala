@@ -1569,6 +1569,43 @@ object SparkEntry {
       flat.read(s)
     }),
 
+    "q116_stream_tail_split" -> ((s, d) => {
+      // Admission caps on the TAIL (Iceberg's
+      // streaming-max-files-per-micro-batch): the stream pins at v1,
+      // then a wide backfill commit lands — maxFilesPerTrigger splits
+      // its fresh files into bounded slices (batch count recomputed
+      // in-query and pinned), and the sliced union re-assembles the
+      // backfill exactly once. Oracle = the odd-key half (the backfill).
+      val root = Files.createTempDirectory("graft-q116-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0))
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0)
+        .repartition(8))                                  // the backfill
+      val stepFiles = table.currentManifest.files.count(_.seq == 2L)
+      require(stepFiles == 8, s"backfill must land 8 files ($stepFiles)")
+      val ckpt = Files.createTempDirectory("graft-q116-ckpt-").toString
+      val out = Files.createTempDirectory("graft-q116-out-").toString
+      val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = s.readStream.format("graft-table")
+        .option("startVersion", "1") // tail: the backfill only
+        .option("maxFilesPerTrigger", "3")
+        .load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (b.count() > 0) seen.incrementAndGet()
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(seen.get() == 3, // ceil(8/3)
+        s"the 8-file step must stream as 3 bounded slices (${seen.get()})")
+      s.read.parquet(out)
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2805,6 +2842,12 @@ object SparkEntry {
       """SELECT CAST(v AS BIGINT) AS version,
         |  CAST(ts AS BIGINT) AS timestamp_ms
         |FROM (VALUES (4, 5000), (2, 2000), (1, 1000)) AS t(v, ts)""".stripMargin,
+
+    // the tail-split slices re-assemble the backfill exactly once
+    "q116_stream_tail_split" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
 
     // layout rewrites move bytes, never rows: the z-ordered table is
     // exactly orders (scope/prune census asserts live in-query)
