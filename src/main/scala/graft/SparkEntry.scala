@@ -1537,8 +1537,11 @@ object SparkEntry {
       val orders = t(s, d, "orders").select(orderCols.map(col): _*)
         .withColumn("bucket", pmod(col("o_orderkey"), lit(4)))
       table.createOrReplace(orders, Seq("bucket"))
+      // the synthetic-key offset derives from the ACTUAL key range —
+      // a fixed constant would collide with real keys at higher sfs
+      val keyBase = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
       table.append(s, orders.filter(col("o_orderkey") % 37 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + keyBase))
       val before = table.currentManifest.files
       s.sql(s"CALL graft.system.rewrite_data_files(table => '$root', " +
         "where => 'bucket = 1')")
@@ -1551,8 +1554,8 @@ object SparkEntry {
         "out-of-scope groups carry by reference")
       // drop the synthetic rows + partitioning for a clean layout pass
       // (>=: the generator ships an o_orderkey = 0, whose synthetic
-      // copy sits exactly ON the 20000000 boundary)
-      table.deleteWhere(s, col("o_orderkey") >= 20000000L)
+      // copy sits exactly ON the keyBase boundary)
+      table.deleteWhere(s, col("o_orderkey") >= keyBase)
       val flat = SnapshotTable.at(
         Files.createTempDirectory("graft-q115b-").toString)
       flat.createOrReplace(table.read(s).drop("bucket").repartition(8))

@@ -305,8 +305,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
     maxFiles.isDefined || maxBytes.isDefined || maxRows.isDefined
   private val splitBootstrap = startVersion == 0L && bootCaps
   require(!(cdc && bootCaps),
-    "maxFilesPerTrigger/maxBytesPerTrigger split the bootstrap snapshot " +
-      "by data files; the CDC feed batches by version — use " +
+    "maxFilesPerTrigger/maxBytesPerTrigger/maxRowsPerTrigger split " +
+      "batches by data files; the CDC feed batches by version — use " +
       "maxVersionsPerTrigger")
 
 
@@ -327,46 +327,61 @@ final class GraftTableSource(spark: SparkSession, path: String,
   private sealed trait Pos
   private final case class BootPos(filesEmitted: Int) extends Pos
   private final case class VerPos(v: Long) extends Pos
-  /** Mid-step tail position: lineage fully emitted BELOW `v`, plus the
-    * first `filesEmitted` fresh files of the step ending at `v`.
+  /** Mid-step tail position: lineage fully emitted through `from`,
+    * plus the first `filesEmitted` fresh files of the step `from → v`.
+    * The FLOOR rides in the offset: a batch must be a pure function of
+    * its two offsets, and re-deriving the floor from the parent chain
+    * would disagree with the offer-time walk whenever an expiry gap
+    * sits under `v` — duplicating or dropping rows on replay.
     */
-  private final case class StepPos(v: Long, filesEmitted: Int) extends Pos
+  private final case class StepPos(from: Long, v: Long,
+                                   filesEmitted: Int) extends Pos
 
   private def encode(p: Pos): Offset = p match {
     case BootPos(k) => GraftBootstrapOffset(k)
     case VerPos(v) => LongOffset(v)
-    case StepPos(v, k) => GraftStepOffset(v, k)
+    case StepPos(f, v, k) => GraftStepOffset(f, v, k)
   }
   private def decode(o: Offset): Pos = o match {
     case l: LongOffset => VerPos(l.offset)
     case GraftBootstrapOffset(k) => BootPos(k)
-    case GraftStepOffset(v, k) => StepPos(v, k)
+    case GraftStepOffset(f, v, k) => StepPos(f, v, k)
     case other =>
       val j = other.json.trim // checkpoint-recovered SerializedOffset
       if (j.startsWith("b:")) BootPos(j.drop(2).toInt)
       else if (j.startsWith("s:")) {
         val parts = j.drop(2).split(":")
-        StepPos(parts(0).toLong, parts(1).toInt)
+        StepPos(parts(0).toLong, parts(1).toLong, parts(2).toInt)
       } else VerPos(j.toLong)
   }
 
-  /** Fresh-file sizes of the CURRENT step, memoized — admission polls
-    * re-derive the same list until the step completes.
+  /** Fresh-file list of the CURRENT step (stable path order), memoized
+    * — admission polls run ONE manifest diff per step, not one per
+    * weight kind per poll; weights derive lazily from it so a
+    * files-only cap never stats a legacy manifest's bytes.
     */
   @volatile private var stepCache
-      : Option[(Long, Long, IndexedSeq[Long], IndexedSeq[Long])] = None
-  private def stepWeights(from: Long, to: Long)
-      : (IndexedSeq[Long], IndexedSeq[Long]) =
+      : Option[(Long, Long, IndexedSeq[graft.table.FileEntry])] = None
+  private def stepFresh(from: Long, to: Long)
+      : IndexedSeq[graft.table.FileEntry] =
     stepCache match {
-      case Some((f, t, sz, rw)) if f == from && t == to => (sz, rw)
+      case Some((f, t, fs)) if f == from && t == to => fs
       case _ =>
-        val sz = tbl.incrementalFileSizesInPathOrder(from, to,
+        val fs = tbl.incrementalFreshFiles(from, to,
           requireAppendOnly = !ignoreChanges)
-        val rw = tbl.incrementalFileRowsInPathOrder(from, to,
-          requireAppendOnly = !ignoreChanges)
-        stepCache = Some((from, to, sz, rw))
-        (sz, rw)
+          .sortBy(_.path).toIndexedSeq
+        stepCache = Some((from, to, fs))
+        fs
     }
+  private def sizesOf(fs: IndexedSeq[graft.table.FileEntry])
+      : IndexedSeq[Long] =
+    fs.map { f =>
+      if (f.bytes >= 0) f.bytes
+      else try java.nio.file.Files.size(tbl.root.resolve(f.path))
+      catch { case _: java.io.IOException => 0L }
+    }
+  private def rowsOf(fs: IndexedSeq[graft.table.FileEntry])
+      : IndexedSeq[Long] = fs.map(f => math.max(0L, f.rows))
 
   /** Greedy cap over one weight sequence: accumulate from `k` until
     * adding the next file would exceed `cap`; the first file of a batch
@@ -434,25 +449,24 @@ final class GraftTableSource(spark: SparkSession, path: String,
   private def advance(cur: Pos, cap: Long): Pos = cur match {
     case BootPos(k) =>
       if (!bootCaps) throw new IllegalStateException(
-        s"checkpoint holds a mid-bootstrap offset (b:$k) but neither " +
-          "maxFilesPerTrigger nor maxBytesPerTrigger is set — restart " +
-          "with the same admission options (and startVersion=0) that " +
-          "created this checkpoint; the bootstrap file enumeration is " +
-          "only resumable under them")
+        s"checkpoint holds a mid-bootstrap offset (b:$k) but none of " +
+          "maxFilesPerTrigger / maxBytesPerTrigger / maxRowsPerTrigger " +
+          "is set — restart with the same admission options (and " +
+          "startVersion=0) that created this checkpoint; the bootstrap " +
+          "file enumeration is only resumable under them")
       val n = bootFileCount
       val nk = admit(k, n, bootFileSizes, bootFileRows)
       if (nk >= n) VerPos(bootVersion) else BootPos(nk)
-    case StepPos(v, k) =>
+    case StepPos(from, v, k) =>
       if (!bootCaps) throw new IllegalStateException(
-        s"checkpoint holds a mid-step offset (s:$v:$k) but neither " +
-          "maxFilesPerTrigger nor maxBytesPerTrigger is set — restart " +
-          "with the same admission options that created this " +
-          "checkpoint; the step file enumeration is only resumable " +
-          "under them")
-      val from = tbl.lineageParent(v)
-      val (sz, rw) = stepWeights(from, v)
-      val nk = admit(k, sz.size, sz, rw)
-      if (nk >= sz.size) VerPos(v) else StepPos(v, nk)
+        s"checkpoint holds a mid-step offset (s:$from:$v:$k) but none " +
+          "of maxFilesPerTrigger / maxBytesPerTrigger / " +
+          "maxRowsPerTrigger is set — restart with the same admission " +
+          "options that created this checkpoint; the step file " +
+          "enumeration is only resumable under them")
+      val fresh = stepFresh(from, v)
+      val nk = admit(k, fresh.size, sizesOf(fresh), rowsOf(fresh))
+      if (nk >= fresh.size) VerPos(v) else StepPos(from, v, nk)
     case VerPos(v) if bootCaps =>
       // file/byte caps on the tail: one lineage step at a time, its
       // fresh files admitted greedily — a huge backfill commit streams
@@ -461,9 +475,9 @@ final class GraftTableSource(spark: SparkSession, path: String,
       else tbl.lineageVersionsBetween(v, cap).headOption match {
         case None => cur
         case Some(nv) =>
-          val (sz, rw) = stepWeights(v, nv)
-          val nk = admit(0, sz.size, sz, rw)
-          if (nk >= sz.size) VerPos(nv) else StepPos(nv, nk)
+          val fresh = stepFresh(v, nv)
+          val nk = admit(0, fresh.size, sizesOf(fresh), rowsOf(fresh))
+          if (nk >= fresh.size) VerPos(nv) else StepPos(v, nv, nk)
       }
     case VerPos(v) =>
       maxVersions match {
@@ -506,9 +520,10 @@ final class GraftTableSource(spark: SparkSession, path: String,
       p.isInstanceOf[BootPos] || p.isInstanceOf[StepPos]
     if (!bootCaps && (capped(startPos) || capped(endPos)))
       throw new IllegalStateException(
-        "checkpoint holds a mid-bootstrap/mid-step offset but neither " +
-          "maxFilesPerTrigger nor maxBytesPerTrigger is set — restart " +
-          "with the same admission options that created this checkpoint")
+        "checkpoint holds a mid-bootstrap/mid-step offset but none of " +
+          "maxFilesPerTrigger / maxBytesPerTrigger / maxRowsPerTrigger " +
+          "is set — restart with the same admission options that " +
+          "created this checkpoint")
     val df = (startPos, endPos) match {
       case (BootPos(k1), BootPos(k2)) =>
         tbl.readFileSlice(spark, bootVersion, k1, k2)
@@ -521,22 +536,25 @@ final class GraftTableSource(spark: SparkSession, path: String,
         if (cdc) tbl.readChangelog(spark, v1, v2)
         else tbl.readIncrementalBetween(spark, v1, v2,
           requireAppendOnly = !ignoreChanges)
-      case (VerPos(v1), StepPos(v2, k)) =>
-        tbl.readIncrementalSlice(spark, v1, v2, 0, k,
+      case (VerPos(v1), StepPos(f, v2, k)) =>
+        require(f == v1,
+          s"step floor v$f must be the previous offset v$v1")
+        tbl.readIncrementalSlice(spark, f, v2, 0, k,
           requireAppendOnly = !ignoreChanges)
-      case (StepPos(v1, k1), StepPos(v2, k2)) =>
-        require(v1 == v2,
-          s"mid-step batches stay within one step (v$v1 vs v$v2)")
-        tbl.readIncrementalSlice(spark, tbl.lineageParent(v1), v1, k1, k2,
+      case (StepPos(f1, v1, k1), StepPos(f2, v2, k2)) =>
+        require(f1 == f2 && v1 == v2,
+          s"mid-step batches stay within one step " +
+            s"(v$f1→v$v1 vs v$f2→v$v2)")
+        tbl.readIncrementalSlice(spark, f1, v1, k1, k2,
           requireAppendOnly = !ignoreChanges)
-      case (StepPos(v1, k1), VerPos(v2)) =>
+      case (StepPos(f, v1, k1), VerPos(v2)) =>
         // the step-completing batch: its own version's fresh tail
         require(v2 == v1,
           s"step batch must end at its own v$v1, got v$v2")
-        tbl.readIncrementalSlice(spark, tbl.lineageParent(v1), v1, k1,
+        tbl.readIncrementalSlice(spark, f, v1, k1,
           Int.MaxValue, requireAppendOnly = !ignoreChanges)
-      case (VerPos(_), BootPos(_)) | (BootPos(_), StepPos(_, _)) |
-           (StepPos(_, _), BootPos(_)) =>
+      case (VerPos(_), BootPos(_)) | (BootPos(_), StepPos(_, _, _)) |
+           (StepPos(_, _, _), BootPos(_)) =>
         throw new IllegalStateException(
           "offset regression: incompatible adjacent stream positions")
     }
@@ -568,14 +586,16 @@ final case class GraftBootstrapOffset(filesEmitted: Int) extends Offset {
   override def json: String = s"b:$filesEmitted"
 }
 
-/** Mid-step tail offset (`s:<version>:<filesEmitted>`): the lineage is
-  * fully emitted below `version`, plus the first `filesEmitted` fresh
-  * files of the step ending at it — how file/byte admission caps split
-  * a large tail commit into bounded micro-batches.
+/** Mid-step tail offset (`s:<from>:<version>:<filesEmitted>`): the
+  * lineage is fully emitted through `from`, plus the first
+  * `filesEmitted` fresh files of the step `from → version` — how the
+  * admission caps split a large tail commit into bounded micro-batches.
+  * The floor rides in the offset so replays slice the exact list the
+  * offer counted over, even after history under `version` expires.
   */
-final case class GraftStepOffset(version: Long, filesEmitted: Int)
-    extends Offset {
-  override def json: String = s"s:$version:$filesEmitted"
+final case class GraftStepOffset(from: Long, version: Long,
+                                 filesEmitted: Int) extends Offset {
+  override def json: String = s"s:$from:$version:$filesEmitted"
 }
 
 object GraftTableSource {

@@ -1715,31 +1715,14 @@ final class SnapshotTable(val root: Path,
       _ => true)
   }
 
-  /** Per-file byte sizes of a lineage step's fresh files in the same
-    * stable path order [[readIncrementalSlice]] slices (recorded bytes;
-    * legacy entries stat once, 0 when missing — admits more, the safe
-    * direction).
-    */
-  private[graft] def incrementalFileSizesInPathOrder(fromVersion: Long,
-      toVersion: Long, requireAppendOnly: Boolean): IndexedSeq[Long] =
-    incrementalFreshFiles(fromVersion, toVersion, requireAppendOnly)
-      .sortBy(_.path).map { f =>
-        if (f.bytes >= 0) f.bytes
-        else try Files.size(root.resolve(f.path))
-        catch { case _: java.io.IOException => 0L }
-      }.toIndexedSeq
 
-  /** Per-file recorded ROW counts, same stable path orders as the size
-    * helpers (legacy -1 counts as 0 — admits more, the safe direction).
+  /** Per-file recorded ROW counts of one snapshot, same stable path
+    * order as [[fileSizesInPathOrder]] (legacy -1 counts as 0 — admits
+    * more, the safe direction) — the bootstrap's row-cap weights.
     */
   private[graft] def fileRowsInPathOrder(version: Long): IndexedSeq[Long] =
     manifest(version).files.toSeq.sortBy(_.path)
       .map(f => math.max(0L, f.rows)).toIndexedSeq
-
-  private[graft] def incrementalFileRowsInPathOrder(fromVersion: Long,
-      toVersion: Long, requireAppendOnly: Boolean): IndexedSeq[Long] =
-    incrementalFreshFiles(fromVersion, toVersion, requireAppendOnly)
-      .sortBy(_.path).map(f => math.max(0L, f.rows)).toIndexedSeq
 
   /** Deterministic FILE-SLICE read of one snapshot — the unit of the
     * streaming source's size-bounded bootstrap (Delta/Iceberg honor
@@ -2464,18 +2447,6 @@ final class SnapshotTable(val root: Path,
     * `tsMs` refuses loudly: the history needed to place the timestamp
     * is gone, and guessing would silently skip or replay commits.
     */
-  /** Lineage parent of one retained snapshot (legacy manifests link to
-    * the previous retained version, the pre-branch single-lineage
-    * shape) — the step boundary the size-bounded streaming tail slices
-    * against.
-    */
-  private[graft] def lineageParent(v: Long): Long =
-    manifest(v).parent match {
-      case -1L => manifestVersions.sorted.takeWhile(_ < v).lastOption
-        .getOrElse(0L)
-      case p => p
-    }
-
   private[graft] def versionAtOrBefore(tsMs: Long): Option[Long] = {
     val retainedSorted = manifestVersions.sorted
     val retained = retainedSorted.toSet

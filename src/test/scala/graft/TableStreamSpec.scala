@@ -308,6 +308,46 @@ class TableStreamSpec extends SparkSpec {
       s"unexpected: ${e.getCause}")
   }
 
+  test("split tail step spans an EXPIRY GAP: the offset carries its floor") {
+    import spark.implicits._
+    val root = tmp("graft-ts-gap-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 10).map(i => (i.toLong, "base")).toDF("id", "v"),
+      nowMs = 1000L)                                                // v1
+    t.tag("keep", 1L) // the stream's floor must survive expiry
+    t.append(spark, (11 to 20).map(i => (i.toLong, "mid")).toDF("id", "v"),
+      nowMs = 2000L)                                                // v2
+    t.append(spark, (21 to 620).map(i => (i.toLong, "wide"))
+      .toDF("id", "v").repartition(6), nowMs = 3000L)               // v3
+    // expire v2: the parent chain under v3 now has a gap — a step floor
+    // re-derived from manifest(v3).parent would read the missing v2
+    val expired = t.expireSnapshots(maxAgeMs = 1, minSnapshotsToKeep = 1,
+      nowMs = 10000L)
+    assert(expired == Seq(2L), s"v2 must expire: $expired")
+    val (ckpt, out) = (tmp("graft-ts-gap-ckpt-"), tmp("graft-ts-gap-out-"))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-table")
+      .option("startVersion", "1")
+      .option("maxFilesPerTrigger", "3")
+      .load(root)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val c = df.count()
+        if (c > 0) batches.synchronized { batches += c }
+        df.write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the 1→3 step (v2's + v3's files) streams sliced, exactly once
+    assert(batches.size >= 2, s"the wide step must split: $batches")
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == 610 &&
+      rows.select("id").distinct().count() == 610,
+      "the gap-spanning step re-assembles both commits exactly once")
+  }
+
   test("admission control: maxRowsPerTrigger splits by recorded row counts") {
     import spark.implicits._
     val root = tmp("graft-ts-admr-")
