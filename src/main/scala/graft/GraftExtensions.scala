@@ -900,7 +900,8 @@ private[graft] object GraftSqlDml {
           longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)
       case "rewrite_manifests" => tbl.rewriteManifests(now)
       case "compute_table_stats" =>
-        // columns: comma-separated names; absent = every column
+        // columns: comma-separated names; absent = every column.
+        // Row-returning: (column_name, ndv), like the other procedures
         val cols = bound.get("columns") match {
           case Some(s: String) =>
             s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -908,7 +909,10 @@ private[graft] object GraftSqlDml {
             s"columns must be a comma-separated string, got $o")
           case None => Nil
         }
-        tbl.computeTableStats(session, cols)
+        val ndv = tbl.computeTableStats(session, cols)
+        import session.implicits._
+        return Some(ndv.toSeq.sortBy(_._1).toDF("column_name", "ndv")
+          .queryExecution.analyzed)
       case "create_changelog_view" =>
         // Iceberg's create_changelog_view analog: registers a session
         // temp view over [[SnapshotTable.readChangelog]]'s row-level

@@ -397,6 +397,41 @@ object ScaleProbe {
         }
       }
 
+      // tail-split stream admission at 2.4M rows: a 32-file backfill
+      // commit streams as 32/8 = 4 bounded micro-batches — per-slice
+      // planning is a manifest diff + slice, never a table scan
+      {
+        val ts = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-tailsplit").toString)
+        ts.createOrReplace(withP.limit(1000))
+        ts.append(spark, withP.repartition(32)) // the wide backfill
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft-tailsplit-ckpt").toString
+        val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+        val got = new java.util.concurrent.atomic.AtomicLong(0L)
+        timed("stream_tail_split_32files_8cap") {
+          val q = spark.readStream.format("graft-table")
+            .option("startVersion", "1")
+            .option("maxFilesPerTrigger", "8")
+            .load(ts.root.toString)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                val c = b.count()
+                if (c > 0) { seen.incrementAndGet(); got.addAndGet(c) }
+                ()
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming
+              .Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          got.get()
+        }
+        println(s"""{"stage":"stream_tail_split_census","batches":${seen.get()}}""")
+        require(seen.get() == 4, s"32 files under an 8-file cap: ${seen.get()}")
+      }
+
       // NDV stats at 2.4M rows: the full compute pays one scan; after a
       // ~1% append the recompute unions sketches over ONLY the delta
       // files (the O(new data) path) — compare against the exact

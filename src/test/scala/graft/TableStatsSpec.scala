@@ -68,8 +68,11 @@ class TableStatsSpec extends SparkSpec {
     val t = SnapshotTable.at(root)
     t.createOrReplace((1 to 200).map(i => (i.toLong, i % 11))
       .toDF("id", "m11"))
-    spark.sql(s"CALL graft.system.compute_table_stats(table => '$root', " +
-      "columns => 'm11')")
+    val callRows = spark.sql(
+      s"CALL graft.system.compute_table_stats(table => '$root', " +
+        "columns => 'm11')").collect()
+    assert(callRows.map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("m11" -> 11L), "the CALL returns (column_name, ndv) rows")
     val st = t.tableStats.get
     assert(st._3 == Map("m11" -> 11L), s"subset stats: $st")
     // widening the requested set past the stored one forces full
