@@ -833,9 +833,19 @@ private[graft] object GraftSqlDml {
         .queryExecution.analyzed)
     proc match {
       case "expire_snapshots" =>
-        // row-returning like Iceberg's: one row per expired snapshot
-        val age = ageOf("older_than").getOrElse(90L * 24 * 3600 * 1000)
-        val keep = longArg("retain_last").map(_.toInt).getOrElse(90)
+        // row-returning like Iceberg's: one row per expired snapshot.
+        // Unset args fall back to Iceberg's TABLE-PROPERTY defaults
+        // (history.expire.max-snapshot-age-ms / min-snapshots-to-keep)
+        // before the built-in 90d/90
+        val props = tbl.currentManifest.properties
+        val age = ageOf("older_than")
+          .orElse(props.get("history.expire.max-snapshot-age-ms")
+            .map(_.toLong))
+          .getOrElse(90L * 24 * 3600 * 1000)
+        val keep = longArg("retain_last").map(_.toInt)
+          .orElse(props.get("history.expire.min-snapshots-to-keep")
+            .map(_.toInt))
+          .getOrElse(90)
         import session.implicits._
         return Some(tbl.expireSnapshots(age, keep, now)
           .toDF("expired_version").queryExecution.analyzed)
@@ -854,8 +864,12 @@ private[graft] object GraftSqlDml {
           case o => throw new UnsupportedOperationException(
             s"where must be a predicate string, got $o")
         }
-        val target =
-          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024)
+        // Iceberg's write.target-file-size-bytes table property is the
+        // default when the arg is unset
+        val target = longArg("target_file_size_bytes")
+          .orElse(tbl.currentManifest.properties
+            .get("write.target-file-size-bytes").map(_.toLong))
+          .getOrElse(64L * 1024 * 1024)
         def str(k: String): Option[String] = bound.get(k).map {
           case v: String => v
           case o => throw new UnsupportedOperationException(
@@ -897,7 +911,10 @@ private[graft] object GraftSqlDml {
         }
       case "rewrite_position_delete_files" =>
         tbl.rewritePositionDeletes(session,
-          longArg("target_file_size_bytes").getOrElse(64L * 1024 * 1024), now)
+          longArg("target_file_size_bytes")
+            .orElse(tbl.currentManifest.properties
+              .get("write.target-file-size-bytes").map(_.toLong))
+            .getOrElse(64L * 1024 * 1024), now)
       case "rewrite_manifests" => tbl.rewriteManifests(now)
       case "compute_table_stats" =>
         // columns: comma-separated names; absent = every column.

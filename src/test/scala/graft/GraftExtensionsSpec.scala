@@ -365,6 +365,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(tbl.currentManifest.files.size == 1)
     assert(tbl.read(base).count() == 42)
 
+
     // the registered-catalog spelling takes 'db.table' like the reference
     val wh = Files.createTempDirectory("graft-callwh-").toString
     base.conf.set("spark.sql.catalog.graft_callwh",
@@ -395,6 +396,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(tbl.read(base).count() == 43)
     base.sql(s"CALL graft.system.drop_branch('$root', 'wap')")
     assert(tbl.branches.isEmpty)
+
+    // Iceberg table-property defaults drive argless maintenance calls:
+    // history.expire.* feed expire_snapshots, and the aged snapshots
+    // come back as rows
+    tbl.append(base, Seq((43L, "s43")).toDF("id", "s"))
+    tbl.append(base, Seq((44L, "s44")).toDF("id", "s"))
+    tbl.setProperties(Map(
+      "history.expire.max-snapshot-age-ms" -> "1",
+      "history.expire.min-snapshots-to-keep" -> "2"))
+    val before = tbl.manifestVersions.sorted
+    val aged = base.sql(s"CALL graft.system.expire_snapshots('$root')")
+      .collect().map(_.getLong(0)).sorted
+    val kept = tbl.manifestVersions.sorted
+    assert(kept.size == 2 && kept.last == tbl.currentVersion,
+      s"min-snapshots-to-keep=2 must keep current+1 ($before -> $kept)")
+    assert(aged.toSeq == before.diff(kept),
+      s"expired rows must name the aged snapshots ($aged)")
 
     // loud failures: unknown procedure, unknown argument, missing table
     val e1 = intercept[UnsupportedOperationException] {
