@@ -308,6 +308,55 @@ class TableStreamSpec extends SparkSpec {
       s"unexpected: ${e.getCause}")
   }
 
+  test("admission fuzz: random caps and commit shapes stay exactly-once") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L) // deterministic
+    (1 to 3).foreach { trial =>
+      val root = tmp(s"graft-ts-fuzz$trial-")
+      val t = SnapshotTable.at(root)
+      var next = 1L
+      def commit(rows: Int, files: Int): Unit = {
+        val df = (next until next + rows).map(i => (i, s"t$trial"))
+          .toDF("id", "v").repartition(files)
+        if (next == 1L) t.createOrReplace(df) else t.append(spark, df)
+        next += rows
+      }
+      commit(50 + rnd.nextInt(200), 1 + rnd.nextInt(4))
+      val startAfterV1 = rnd.nextBoolean()
+      val expectedFrom = if (startAfterV1) next else 1L
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        commit(50 + rnd.nextInt(300), 1 + rnd.nextInt(6))
+      }
+      val total = next - 1
+      val expected = total - (expectedFrom - 1)
+      val reader = spark.readStream.format("graft-table")
+        .option("startVersion", if (startAfterV1) "1" else "0")
+      val capped = rnd.nextInt(3) match {
+        case 0 => reader.option("maxFilesPerTrigger",
+          (1 + rnd.nextInt(4)).toString)
+        case 1 => reader.option("maxRowsPerTrigger",
+          (40 + rnd.nextInt(200)).toString)
+        case _ => reader
+          .option("maxFilesPerTrigger", (1 + rnd.nextInt(4)).toString)
+          .option("maxBytesPerTrigger", (1 + rnd.nextInt(8)).toString + "k")
+      }
+      val out = tmp(s"graft-ts-fuzz$trial-out-")
+      val q = capped.load(root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", tmp(s"graft-ts-fuzz$trial-ckpt-"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rows = spark.read.parquet(out)
+      assert(rows.count() == expected &&
+        rows.select("id").distinct().count() == expected,
+        s"trial $trial: caps must stay exactly-once " +
+          s"(${rows.count()} vs $expected)")
+      assert(rows.agg(org.apache.spark.sql.functions.min(col("id")))
+        .head.getLong(0) == expectedFrom,
+        s"trial $trial: the stream must start at the pinned boundary")
+    }
+  }
+
   test("split tail step spans an EXPIRY GAP: the offset carries its floor") {
     import spark.implicits._
     val root = tmp("graft-ts-gap-")
