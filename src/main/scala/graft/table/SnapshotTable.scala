@@ -4430,7 +4430,8 @@ final class SnapshotTable(val root: Path,
       st.iterator().asScala
         .filter(p => {
           val n = p.getFileName.toString
-          (n.startsWith("_stage-") || n.startsWith(".files-stage")) && aged(p)
+          (n.startsWith("_stage-") || n.startsWith(".files-stage") ||
+            n.startsWith("._stats")) && aged(p)
         })
         .toSeq
     }
