@@ -760,7 +760,11 @@ private[graft] object GraftSqlDml {
         // retention args mirror Iceberg's ref fields (all epoch-ms ages)
         Seq("table", "name", "version", "max_ref_age_ms",
           "min_snapshots_to_keep", "max_snapshot_age_ms")
-      case "drop_tag" | "drop_branch" | "fast_forward" => Seq("table", "name")
+      case "drop_tag" | "drop_branch" => Seq("table", "name")
+      case "fast_forward" =>
+        // Iceberg's (table, branch, to); the two-arg legacy spelling
+        // (forward MAIN to <branch>) binds its positional as `branch`
+        Seq("table", "branch", "to", "name")
       case "create_changelog_view" =>
         Seq("table", "view", "from_version", "to_version",
           "identifier_columns", "from_timestamp", "to_timestamp")
@@ -1035,6 +1039,23 @@ private[graft] object GraftSqlDml {
             s"wap_id must be a string, got $o")
         }
         tbl.publishChanges(id, now)
+      case "fast_forward" =>
+        def strOf(k: String): Option[String] = bound.get(k).map {
+          case v: String => v
+          case o => throw new UnsupportedOperationException(
+            s"$k must be a string, got $o")
+        }
+        val branchName = strOf("branch").orElse(strOf("name")).getOrElse(
+          throw new UnsupportedOperationException(
+            "fast_forward needs a branch argument"))
+        strOf("to") match {
+          // legacy two-arg spelling: publish <branch> to MAIN
+          case None => tbl.fastForward(branchName)
+          // Iceberg three-arg: forward `branch` to `to`'s head
+          case Some(to) if branchName.equalsIgnoreCase("main") =>
+            tbl.fastForward(to)
+          case Some(to) => tbl.fastForwardBranch(branchName, to)
+        }
       case nameTaking =>
         val refName = bound.getOrElse("name",
           throw new UnsupportedOperationException(
@@ -1062,7 +1083,6 @@ private[graft] object GraftSqlDml {
                   longArg("min_snapshots_to_keep").map(_.toInt).getOrElse(1),
                 maxSnapshotAgeMs = longArg("max_snapshot_age_ms")))
           case "drop_branch" => tbl.dropBranch(refName)
-          case "fast_forward" => tbl.fastForward(refName)
         }
     }
     None

@@ -2624,6 +2624,45 @@ final class SnapshotTable(val root: Path,
     * merge through the write paths instead. The branch ref survives,
     * rebased onto the new main head.
     */
+  /** Iceberg's TWO-REF fast_forward: move branch `target`'s head to
+    * branch `source`'s head, allowed only when target's head is an
+    * ANCESTOR of source's head (the fast-forward condition — anything
+    * else would silently discard target's own commits; merge through
+    * the write paths instead). Target keeps its ref record (base,
+    * retention) with only the head moved. The `('main', source)`
+    * spelling is [[fastForward]].
+    */
+  def fastForwardBranch(target: String, source: String): Long = {
+    requireMainHandle("fastForwardBranch")
+    publisher.critical(root, metaDir) {
+      val tRef = branchRefs.getOrElse(target,
+        throw new IllegalArgumentException(
+          s"requirement failed: no branch '$target' on $root"))
+      val sHead = branches.getOrElse(source,
+        throw new IllegalArgumentException(
+          s"requirement failed: no branch '$source' on $root"))
+      if (sHead == tRef.head) return tRef.head // nothing to publish
+      val retainedSorted = manifestVersions.sorted
+      val retained = retainedSorted.toSet
+      def parentOf(v: Long): Long = manifest(v).parent match {
+        case -1L => retainedSorted.takeWhile(_ < v).lastOption.getOrElse(0L)
+        case p => p
+      }
+      var cur = sHead
+      var isAncestor = false
+      while (!isAncestor && cur > tRef.head && retained(cur)) {
+        val p = parentOf(cur)
+        if (p == tRef.head) isAncestor = true else cur = p
+      }
+      require(isAncestor,
+        s"'$target' head v${tRef.head} is not an ancestor of '$source' " +
+          s"head v$sHead — not a fast-forward; merge the branches instead")
+      BranchRefs.write(BranchRefs.file(metaDir, target),
+        tRef.copy(head = sHead))
+      sHead
+    }
+  }
+
   def fastForward(name: String): Long = {
     requireMainHandle("fastForward")
     publisher.critical(root, metaDir) {

@@ -283,4 +283,36 @@ class BranchSpec extends SparkSpec {
       s"CALL graft.system.create_tag(table => '$root', name => 'bad', " +
         "min_snapshots_to_keep => 2)"))
   }
+
+  test("two-ref fast_forward: branch adopts an ancestor-descendant head") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-ff2-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 5).map(i => (i.toLong, "a")).toDF("id", "s"))
+    t.branch("release")                    // pinned at v1
+    t.branch("dev")                        // also v1
+    val dev = t.atBranch("dev")
+    dev.append(spark, Seq((6L, "d1")).toDF("id", "s"))  // v2
+    dev.append(spark, Seq((7L, "d2")).toDF("id", "s"))  // v3
+    // release's head (v1) is an ancestor of dev's (v3): fast-forward
+    spark.sql(s"CALL graft.system.fast_forward(table => '$root', " +
+      "branch => 'release', to => 'dev')")
+    assert(t.branches("release") == 3L &&
+      t.readBranch(spark, "release").count() == 7)
+    assert(t.currentVersion == 1L, "main must not move")
+    // diverged refs refuse: release and a fresh fork of main share no
+    // fast-forward relation once both advance
+    t.branch("hotfix")                     // v1
+    t.atBranch("hotfix").append(spark, Seq((8L, "h")).toDF("id", "s")) // v4
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.fast_forward(table => '$root', " +
+        "branch => 'release', to => 'hotfix')"))
+    assert(e.getMessage.contains("not a fast-forward") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a fast-forward")))
+    // the 'main' spelling is the classic publish
+    spark.sql(s"CALL graft.system.fast_forward(table => '$root', " +
+      "branch => 'main', to => 'hotfix')")
+    assert(t.currentVersion == 4L && t.read(spark).count() == 6)
+  }
 }
