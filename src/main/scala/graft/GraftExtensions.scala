@@ -946,11 +946,13 @@ private[graft] object GraftSqlDml {
           case o => throw new UnsupportedOperationException(
             s"view argument must be a string, got $o")
         }
+        // explicit arg wins; otherwise the table's declared
+        // IDENTIFIER FIELDS key the update pre/post collapse
         val keys = bound.get("identifier_columns").map {
           case s: String => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
           case o => throw new UnsupportedOperationException(
             s"identifier_columns must be a comma-separated string, got $o")
-        }.getOrElse(Nil)
+        }.getOrElse(tbl.identifierFields)
         // version boundaries also accept a TAG or BRANCH name (the
         // Iceberg SCAN boundaries-by-ref shape): 'audit-2026' pins the
         // version the ref points at
@@ -1388,6 +1390,8 @@ private[graft] object GraftSqlDml {
                   maxSnapshotAgeMs = snapAge))
               else tbl.tag(name, v, maxRefAge)
             }
+          case SetIdentifierFieldsOp(cols) => tbl.setIdentifierFields(cols)
+          case DropIdentifierFieldsOp(cols) => tbl.dropIdentifierFields(cols)
           case DropRefOp(isBranch, name, ifExists) =>
             val dropped =
               if (isBranch) tbl.dropBranch(name) else tbl.dropTag(name)

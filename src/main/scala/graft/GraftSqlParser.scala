@@ -78,6 +78,12 @@ final case class CreateRefOp(isBranch: Boolean, name: String,
     extends GraftAlterOp
 final case class DropRefOp(isBranch: Boolean, name: String,
                            ifExists: Boolean) extends GraftAlterOp
+/** `ALTER TABLE t SET|DROP IDENTIFIER FIELDS a[, b...]` — Iceberg's
+  * row-identity DDL, recorded as an engine-fenced table property the
+  * changelog machinery defaults its keys from.
+  */
+final case class SetIdentifierFieldsOp(cols: Seq[String]) extends GraftAlterOp
+final case class DropIdentifierFieldsOp(cols: Seq[String]) extends GraftAlterOp
 
 /** Unresolved carrier for a parsed graft ALTER statement; the hints-batch
   * rule executes it and substitutes an empty relation. Never resolved —
@@ -113,8 +119,21 @@ object GraftSqlParser {
   private val SnapRetSnapshots =
     """(?is)^(\d+)\s+SNAPSHOTS(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?$""".r
   private val SnapRetAge = """(?is)^(\d+)\s+(DAYS|HOURS|MINUTES)$""".r
+  private val SetIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
+  private val DropIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
+
+  private def identifierCols(raw: String): Seq[String] = {
+    val cols = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, "IDENTIFIER FIELDS needs at least one column")
+    val bad = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(bad.isEmpty,
+      s"IDENTIFIER FIELDS takes plain column names, got: ${bad.mkString(", ")}")
+    cols
+  }
 
   private def unitMs(n: String, unit: String): Long =
     n.toLong * (unit.toUpperCase match {
@@ -185,6 +204,12 @@ object GraftSqlParser {
             orReplace = true, replaceOnly = true,
             maxRefAgeMs = retainMs(retN, retU),
             minSnapshotsToKeep = minKeep, maxSnapshotAgeMs = snapAge)))
+      case SetIdFieldsRe(t, colsRaw) =>
+        Some(GraftAlterTableStatement(ident(t),
+          SetIdentifierFieldsOp(identifierCols(colsRaw))))
+      case DropIdFieldsRe(t, colsRaw) =>
+        Some(GraftAlterTableStatement(ident(t),
+          DropIdentifierFieldsOp(identifierCols(colsRaw))))
       case DropRefRe(t, kind, ie, name) =>
         Some(GraftAlterTableStatement(ident(t),
           DropRefOp(kind.equalsIgnoreCase("branch"), name,

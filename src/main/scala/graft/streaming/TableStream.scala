@@ -533,7 +533,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
           s"bootstrap batch must end at the pinned v$bootVersion, got v$v")
         tbl.readFileSlice(spark, bootVersion, k1, bootFileCount)
       case (VerPos(v1), VerPos(v2)) =>
-        if (cdc) tbl.readChangelog(spark, v1, v2)
+        // declared IDENTIFIER FIELDS key the CDC feed's update images
+        if (cdc) tbl.readChangelog(spark, v1, v2, tbl.identifierFields)
         else tbl.readIncrementalBetween(spark, v1, v2,
           requireAppendOnly = !ignoreChanges)
       case (VerPos(v1), StepPos(f, v2, k)) =>

@@ -3421,6 +3421,10 @@ final class SnapshotTable(val root: Path,
       d.stats.keys.exists(_.equalsIgnoreCase(field.name))),
       s"pending equality-delete files reference ${field.name} by name — " +
         "compact() to fold them, then rename")
+    require(!m.properties.get(IdentifierFieldsProp).toSeq
+        .flatMap(_.split(',')).exists(_.equalsIgnoreCase(field.name)),
+      s"${field.name} is an IDENTIFIER FIELD — drop it from the " +
+        "identity set first (DROP IDENTIFIER FIELDS), then rename")
     val risky = m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
         resurrectableColumns(m, fl.inline, fl.chunks)
@@ -3492,11 +3496,74 @@ final class SnapshotTable(val root: Path,
     * chains) are refused: hand-editing them would corrupt the name
     * mapping carried files depend on.
     */
+  /** Iceberg's `ALTER TABLE ... SET IDENTIFIER FIELDS`: record the
+    * columns that identify a ROW across snapshots
+    * (`graft.identifier-fields`). Changelog machinery defaults to them
+    * — `create_changelog_view` without `identifier_columns` and the
+    * streaming CDC feed collapse matched delete/insert pairs into
+    * update pre/post images keyed on these. Columns must exist; the
+    * property is engine-fenced (DDL only) and identifier columns refuse
+    * rename like partition columns do.
+    */
+  def setIdentifierFields(cols: Seq[String],
+                          nowMs: Long = System.currentTimeMillis())
+      : Manifest = {
+    require(cols.nonEmpty, "SET IDENTIFIER FIELDS needs at least one column")
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val resolved = cols.map(c => schema.fields
+      .find(_.name.equalsIgnoreCase(c))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$c' on $root")).name)
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        properties = m.properties +
+          (IdentifierFieldsProp -> resolved.mkString(",")),
+        operation = "properties")
+    }
+  }
+
+  /** `ALTER TABLE ... DROP IDENTIFIER FIELDS`: remove listed fields
+    * from the identity set (a field not currently an identifier refuses
+    * loudly, like Iceberg); dropping the last one clears the property.
+    */
+  def dropIdentifierFields(cols: Seq[String],
+                           nowMs: Long = System.currentTimeMillis())
+      : Manifest = {
+    require(cols.nonEmpty, "DROP IDENTIFIER FIELDS needs at least one column")
+    val m = currentManifest
+    val cur = m.properties.get(IdentifierFieldsProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+    cols.foreach(c => require(cur.exists(_.equalsIgnoreCase(c)),
+      s"'$c' is not an identifier field on $root (has: " +
+        s"${cur.mkString(", ")})"))
+    val remaining = cur.filterNot(f => cols.exists(_.equalsIgnoreCase(f)))
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val props =
+        if (remaining.isEmpty) m.properties - IdentifierFieldsProp
+        else m.properties + (IdentifierFieldsProp -> remaining.mkString(","))
+      m.copy(version = v, timestampMs = nowMs, properties = props,
+        operation = "properties")
+    }
+  }
+
+  /** The recorded row-identity columns (empty = none declared). */
+  def identifierFields: Seq[String] =
+    currentManifest.properties.get(IdentifierFieldsProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+
+  private val IdentifierFieldsProp = "graft.identifier-fields"
+
   def setProperties(props: Map[String, String],
                     nowMs: Long = System.currentTimeMillis()): Manifest = {
     require(props.nonEmpty, "nothing to set")
     val bad = props.keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
-      k.toLowerCase.startsWith(EvoPrefix))
+      k.toLowerCase.startsWith(EvoPrefix) ||
+      k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
     val m = currentManifest
     publishCommit { (v, curOpt) =>
@@ -3515,7 +3582,8 @@ final class SnapshotTable(val root: Path,
                       nowMs: Long = System.currentTimeMillis()): Manifest = {
     require(keys.nonEmpty, "nothing to unset")
     val bad = keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
-      k.toLowerCase.startsWith(EvoPrefix))
+      k.toLowerCase.startsWith(EvoPrefix) ||
+      k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
     val m = currentManifest
     val missing = keys.filterNot(m.properties.contains)

@@ -343,4 +343,47 @@ class ChangelogSpec extends SparkSpec {
     assert(newFile.stats.get("id").exists(b =>
       b.min.toLong == 4001L && b.max.toLong == 4100L))
   }
+
+  test("SET IDENTIFIER FIELDS keys the changelog by default") {
+    val (root, t) = fresh("graft-idfields-")
+    t.createOrReplace(rows(1 to 200), nowMs = 1000L)            // v1
+    spark.sql(s"ALTER TABLE graft.`$root` SET IDENTIFIER FIELDS id")
+    assert(t.identifierFields == Seq("id"))
+    // an UPDATE under declared identity: the view shows pre/post images
+    // WITHOUT an identifier_columns argument
+    spark.sql(s"UPDATE graft.`$root` SET s = 'u' WHERE id = 7")
+    spark.sql(s"CALL graft.system.create_changelog_view(" +
+      s"table => '$root', view => 'idf_cdc')")
+    val types = spark.sql(
+      "SELECT DISTINCT _change_type FROM idf_cdc ORDER BY 1")
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains("update_preimage") &&
+      types.contains("update_postimage"),
+      s"declared identity must key the collapse: $types")
+    // an explicit argument still wins; dropping the identity reverts
+    // the default to raw delete/insert rows
+    spark.sql(s"ALTER TABLE graft.`$root` DROP IDENTIFIER FIELDS id")
+    assert(t.identifierFields.isEmpty)
+    spark.sql(s"CALL graft.system.create_changelog_view(" +
+      s"table => '$root', view => 'idf_cdc2')")
+    val types2 = spark.sql(
+      "SELECT DISTINCT _change_type FROM idf_cdc2").collect()
+      .map(_.getString(0)).toSet
+    assert(!types2.exists(_.startsWith("update_")),
+      s"without identity the changelog stays delete/insert: $types2")
+    // guard rails: unknown column, non-identifier drop, fenced
+    // property spelling, rename of a live identifier field
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$root` SET IDENTIFIER FIELDS ghost"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graft.`$root` DROP IDENTIFIER FIELDS id"))
+    intercept[Exception](t.setProperties(
+      Map("graft.identifier-fields" -> "id")))
+    spark.sql(s"ALTER TABLE graft.`$root` SET IDENTIFIER FIELDS id, s")
+    assert(t.identifierFields == Seq("id", "s"))
+    intercept[Exception](t.renameColumn("s", "s2"))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP IDENTIFIER FIELDS s")
+    assert(t.identifierFields == Seq("id"))
+    t.renameColumn("s", "s2") // released from the identity set
+  }
 }
