@@ -221,14 +221,17 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * local primitive is O_EXCL creation, the loser retrying the read
     * past the winner's sub-millisecond create-to-write window.
     */
-  private def durablePin(name: String)(compute: => Long): Long = {
+  private def durablePin(name: String)(compute: => Long): Long =
+    durablePinStr(name)(compute.toString).toLong
+
+  private def durablePinStr(name: String)(compute: => String): String = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(metadataPath)
     val fs = dir.getFileSystem(hadoopConf)
     val pin = new org.apache.hadoop.fs.Path(dir, name)
-    def readPin(): Long = {
+    def readPin(): String = {
       val in = fs.open(pin)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     }
     if (fs.exists(pin)) readPin()
@@ -240,14 +243,14 @@ final class GraftTableSource(spark: SparkSession, path: String,
       if (local) {
         val pinNio = java.nio.file.Paths.get(pin.toUri.getPath)
         try {
-          java.nio.file.Files.write(pinNio, v.toString.getBytes(
+          java.nio.file.Files.write(pinNio, v.getBytes(
             java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
           v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            var got: Option[Long] = None
+            var got: Option[String] = None
             var tries = 0
             while (got.isEmpty) {
               try got = Some(readPin())
@@ -265,7 +268,7 @@ final class GraftTableSource(spark: SparkSession, path: String,
         val tmp = new org.apache.hadoop.fs.Path(dir,
           s".start-${java.util.UUID.randomUUID()}.tmp")
         val out = fs.create(tmp, false)
-        try out.write(v.toString.getBytes(
+        try out.write(v.getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         if (fs.rename(tmp, pin)) v
@@ -301,6 +304,23 @@ final class GraftTableSource(spark: SparkSession, path: String,
       case _ => durablePin("graft-start-version")(tbl.currentVersion)
     }
 
+  /** CDC update-image keys, pinned durably next to the checkpoint at the
+    * stream's first start: `getBatch` is also the REPLAY path, so reading
+    * `identifierFields` live would let a crash plus a concurrent
+    * `ALTER ... SET IDENTIFIER FIELDS` re-tag a replayed span differently
+    * (update pre/post images vs raw delete/insert) — an exactly-once
+    * determinism hole. Encoded `keys=<comma-joined>` (the property's own
+    * join); the prefix makes a torn read of a racing writer fail loudly
+    * (the stream restarts and re-reads) instead of parsing as keyless.
+    */
+  private lazy val cdcKeys: Seq[String] = {
+    val s = durablePinStr("graft-cdc-keys")(
+      "keys=" + tbl.identifierFields.mkString(","))
+    require(s.startsWith("keys="),
+      s"malformed graft-cdc-keys pin under $metadataPath: '$s'")
+    s.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
+  }
+
   private val bootCaps =
     maxFiles.isDefined || maxBytes.isDefined || maxRows.isDefined
   private val splitBootstrap = startVersion == 0L && bootCaps
@@ -308,6 +328,15 @@ final class GraftTableSource(spark: SparkSession, path: String,
     "maxFilesPerTrigger/maxBytesPerTrigger/maxRowsPerTrigger split " +
       "batches by data files; the CDC feed batches by version — use " +
       "maxVersionsPerTrigger")
+  // With file/byte/row caps, the tail advances exactly ONE lineage step
+  // per batch (the step offsets carry their own floor); a version cap
+  // on top would silently degenerate to one-version batches rather than
+  // be honored — refuse, like the CDC+caps case above.
+  require(!(bootCaps && maxVersions.isDefined),
+    "maxVersionsPerTrigger batches by versions; " +
+      "maxFilesPerTrigger/maxBytesPerTrigger/maxRowsPerTrigger split " +
+      "single lineage steps (one version per batch) — the combination " +
+      "cannot honor both; pick one admission family")
 
 
   /** The snapshot a SPLIT bootstrap enumerates: pinned at first need and
@@ -533,8 +562,10 @@ final class GraftTableSource(spark: SparkSession, path: String,
           s"bootstrap batch must end at the pinned v$bootVersion, got v$v")
         tbl.readFileSlice(spark, bootVersion, k1, bootFileCount)
       case (VerPos(v1), VerPos(v2)) =>
-        // declared IDENTIFIER FIELDS key the CDC feed's update images
-        if (cdc) tbl.readChangelog(spark, v1, v2, tbl.identifierFields)
+        // declared IDENTIFIER FIELDS key the CDC feed's update images —
+        // via the checkpoint-pinned copy, never a live read (replay
+        // determinism; see cdcKeys)
+        if (cdc) tbl.readChangelog(spark, v1, v2, cdcKeys)
         else tbl.readIncrementalBetween(spark, v1, v2,
           requireAppendOnly = !ignoreChanges)
       case (VerPos(v1), StepPos(f, v2, k)) =>

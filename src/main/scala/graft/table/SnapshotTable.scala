@@ -815,8 +815,15 @@ final class SnapshotTable(val root: Path,
               (curChunks,
                 curLoose ++ curTouched.filterNot(f => droppedPaths(f.path)))
             case None =>
+              // Unpartitioned analog of the touched-set comparison above:
+              // the WHOLE table is the touched scope, so ANY concurrent
+              // file change (an append whose rows could match the DELETE
+              // predicate included) invalidates the per-file proof and
+              // aborts — same isolation as the CoW rewrite path, which
+              // commits via commitData without rebaseTouched and aborts
+              // on any concurrent commit.
               val curPaths = cur.files.map(_.path).toSet
-              if (!droppedPaths.subsetOf(curPaths))
+              if (curPaths != m.files.map(_.path).toSet)
                 throw concurrentCommit(curV)
               (None,
                 cur.files.filterNot(f => droppedPaths(f.path)).toVector)
@@ -2039,6 +2046,23 @@ final class SnapshotTable(val root: Path,
     val del = feed.filter(col("_change_type")
         .isin("delete", "update_preimage"))
       .select(dataCols.map(col): _*)
+    // INSERT-ONLY FAST PATH (the replication-bootstrap shape): when the
+    // feed carries no deletes/preimages, the exceptAll below subtracts
+    // nothing — yet it shuffles the ENTIRE table to prove it. Catalyst
+    // cannot see `del` is empty (it's a runtime property of the feed),
+    // so probe it with a take(1) — a shuffle-free partial scan of the
+    // feed — and commit the insert side as a fast-append: every live
+    // file carries BY REFERENCE, write amplification is O(feed), the
+    // 100 TB bootstrap path. Column-set mismatch (evolution drift
+    // between feed and target) falls through to the general rewrite,
+    // whose unionByName resolves it.
+    if (del.isEmpty) {
+      if (!exists) return createOrReplace(ins, Nil, Map.empty, nowMs)
+      val tgtCols = StructType.fromDDL(currentManifest.schemaDdl).fieldNames
+      if (tgtCols.map(_.toLowerCase).toSet ==
+          dataCols.map(_.toLowerCase).toSet)
+        return append(spark, ins.select(tgtCols.map(col): _*), nowMs)
+    }
     val (base, pcols, props) =
       if (!exists) (ins.limit(0), Nil, Map.empty[String, String])
       else {
@@ -2638,9 +2662,14 @@ final class SnapshotTable(val root: Path,
       val tRef = branchRefs.getOrElse(target,
         throw new IllegalArgumentException(
           s"requirement failed: no branch '$target' on $root"))
-      val sHead = branches.getOrElse(source,
-        throw new IllegalArgumentException(
-          s"requirement failed: no branch '$source' on $root"))
+      // Iceberg accepts main as the SOURCE ref (catch a feature branch
+      // up to main) — main has no branch-ref file, its head is the
+      // current pointer; the ancestor check below is identical
+      val sHead =
+        if (source.equalsIgnoreCase("main")) currentVersion
+        else branches.getOrElse(source,
+          throw new IllegalArgumentException(
+            s"requirement failed: no branch '$source' on $root"))
       if (sHead == tRef.head) return tRef.head // nothing to publish
       val retainedSorted = manifestVersions.sorted
       val retained = retainedSorted.toSet
@@ -3313,6 +3342,14 @@ final class SnapshotTable(val root: Path,
       !liveSpecCols.exists(_.equalsIgnoreCase(c)),
       s"$c is a partition column of live legacy-spec files — compact() " +
         "to migrate them to the current spec first"))
+    // same guard as renameColumn: a dropped identifier column would leave
+    // graft.identifier-fields dangling, and changelog/CDC paths that
+    // default keys from it would fail on an unresolvable column
+    val idFields = m.properties.get(IdentifierFieldsProp).toSeq
+      .flatMap(_.split(',')).filter(_.nonEmpty)
+    cols.foreach(c => require(!idFields.exists(_.equalsIgnoreCase(c)),
+      s"$c is an IDENTIFIER FIELD — drop it from the identity set first " +
+        "(DROP IDENTIFIER FIELDS), then drop the column"))
     val schema = StructType.fromDDL(m.schemaDdl)
     val byLower = schema.fields.map(f => f.name.toLowerCase -> f.name).toMap
     val actual = cols.map { c =>

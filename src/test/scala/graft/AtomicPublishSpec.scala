@@ -166,6 +166,29 @@ class AtomicPublishSpec extends SparkSpec {
       "the aborted drop must leave the rival's rows visible")
   }
 
+  test("cas: an UNPARTITIONED metadata delete racing any concurrent " +
+      "append aborts (the whole table is the touched scope)") {
+    val dir = Files.createTempDirectory("graft-pub-").toString
+    val rival = SnapshotTable.at(dir, CasPublish)
+    rival.createOrReplace(batch(1 to 50, t0, 1.0))
+    rival.append(spark, batch(51 to 100, t0, 1.0))
+    // rival appends rows that MATCH the delete predicate right before
+    // the drop's publish: an unpartitioned drop has no partition census
+    // to scope the race — ANY concurrent file change invalidates the
+    // per-file proof, same isolation as the CoW rewrite path
+    val racePub = new RaceOnce(CasPublish, () =>
+      rival.append(spark, batch(1 to 10, t1, 9.0)))
+    val tbl = SnapshotTable.at(dir, racePub)
+    val e = intercept[IllegalStateException] {
+      tbl.deleteWhere(spark, col("id") <= 50)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    val out = SnapshotTable.at(dir, CasPublish).read(spark)
+    assert(out.count() == 110, "the aborted drop must leave all rows visible")
+    assert(out.filter(col("v") === 9.0).count() == 10,
+      "the rival's matching rows must survive")
+  }
+
   test("cas: exactly one of two JVMs wins a simultaneous version claim") {
     val dir = Files.createTempDirectory("graft-pub-")
     val claim = dir.resolve("meta/_claims/v7")

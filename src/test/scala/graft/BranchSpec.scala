@@ -314,5 +314,19 @@ class BranchSpec extends SparkSpec {
     spark.sql(s"CALL graft.system.fast_forward(table => '$root', " +
       "branch => 'main', to => 'hotfix')")
     assert(t.currentVersion == 4L && t.read(spark).count() == 6)
+    // main as the SOURCE ref (Iceberg's catch-a-branch-up-to-main):
+    // main has no branch-ref file — its head is the current pointer
+    t.branch("lag")                                            // at v4
+    t.append(spark, Seq((9L, "m")).toDF("id", "s"))            // v5 main
+    spark.sql(s"CALL graft.system.fast_forward(table => '$root', " +
+      "branch => 'lag', to => 'main')")
+    assert(t.branches("lag") == 5L &&
+      t.readBranch(spark, "lag").count() == t.read(spark).count())
+    // a branch DIVERGED from main still refuses main as source
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft.system.fast_forward(table => '$root', " +
+        "branch => 'release', to => 'main')"))
+    assert(e2.getMessage.contains("not a fast-forward") ||
+      Option(e2.getCause).exists(_.getMessage.contains("not a fast-forward")))
   }
 }

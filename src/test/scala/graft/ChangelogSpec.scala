@@ -319,6 +319,49 @@ class ChangelogSpec extends SparkSpec {
     assert(e.getMessage.contains("changelog"))
   }
 
+  test("insert-only changelog feed applies as a fast-append, not a rewrite") {
+    val (_, src) = fresh("graft-cdc-ins-src-")
+    src.createOrReplace(rows(1 to 100), Seq("p"), nowMs = 1000L) // v1
+    src.append(spark, rows(101 to 150), nowMs = 2000L)           // v2
+
+    val (_, dst) = fresh("graft-cdc-ins-dst-")
+    dst.applyChangelog(spark, src.readChangelog(spark, 0L, 1L))  // bootstrap
+    val beforePaths = dst.currentManifest.files.map(_.path).toSet
+    assert(beforePaths.nonEmpty)
+
+    // the increment carries no deletes/preimages: every live file must
+    // carry BY REFERENCE (operation "append"), never a full-table
+    // rewrite — the 100 TB replication-bootstrap shape
+    val m = dst.applyChangelog(spark, src.readChangelog(spark, 1L, 2L))
+    assert(m.operation == "append",
+      s"insert-only feed must fast-append (got '${m.operation}')")
+    assert(beforePaths.subsetOf(m.files.map(_.path).toSet),
+      "live files must carry by reference through the insert-only apply")
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
+      src.read(spark).exceptAll(dst.read(spark)).isEmpty)
+
+    // a feed WITH deletes still takes the general multiset fold
+    src.deleteWhere(spark, col("id") <= 10, nowMs = 3000L)       // v3
+    dst.applyChangelog(spark, src.readChangelog(spark, 2L, 3L))
+    assert(dst.read(spark).exceptAll(src.read(spark)).isEmpty &&
+      src.read(spark).exceptAll(dst.read(spark)).isEmpty)
+  }
+
+  test("dropping a declared identifier column is refused") {
+    val (root, t) = fresh("graft-idguard-")
+    t.createOrReplace(rows(1 to 50), nowMs = 1000L)
+    spark.sql(s"ALTER TABLE graft.`$root` SET IDENTIFIER FIELDS id")
+    // a dropped identifier would leave graft.identifier-fields dangling:
+    // changelog/CDC defaulting would fail on an unresolvable column
+    val e = intercept[IllegalArgumentException] {
+      t.dropColumns(Seq("id"))
+    }
+    assert(e.getMessage.contains("IDENTIFIER FIELD"))
+    spark.sql(s"ALTER TABLE graft.`$root` DROP IDENTIFIER FIELDS id")
+    t.dropColumns(Seq("id")) // released, the drop proceeds
+    assert(!t.read(spark).columns.contains("id"))
+  }
+
   test("declared sort order tightens per-file bounds on the append path") {
     val (_, t) = fresh("graft-sort-")
     val data = rows(1 to 4000).orderBy(org.apache.spark.sql.functions.rand(7))

@@ -654,5 +654,56 @@ class TableStreamSpec extends SparkSpec {
     }
     assert(e2.getCause.getMessage.contains("mid-bootstrap"),
       s"unexpected: ${e2.getCause}")
+    // version caps batch by versions, file/byte/row caps split single
+    // lineage steps — the combination can honor only one; refused
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0")
+        .option("maxVersionsPerTrigger", "2")
+        .option("maxFilesPerTrigger", "2")
+        .load(root).writeStream.format("parquet")
+        .option("path", tmp("graft-ts-admx-o3-"))
+        .option("checkpointLocation", tmp("graft-ts-admx-c3-"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e3.getMessage.contains("admission family") ||
+      Option(e3.getCause).exists(_.getMessage.contains("admission family")),
+      s"unexpected: $e3")
+  }
+
+  test("CDC keys pin at first start: a later ALTER cannot re-tag the feed") {
+    import spark.implicits._
+    val root = tmp("graft-ts-cdckeys-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    def cdcPass(ck: String, o: String): Unit = {
+      val q = spark.readStream.format("graft-table")
+        .option("startVersion", "0").option("readChangeFeed", "true")
+        .load(root).writeStream.format("parquet").option("path", o)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (ckpt, out) = (tmp("graft-ts-cdck-ckpt-"), tmp("graft-ts-cdck-out-"))
+    cdcPass(ckpt, out) // first start pins the CURRENT (keyless) identity
+    spark.sql(s"ALTER TABLE graft.`$root` SET IDENTIFIER FIELDS id")
+    t.updateWhere(spark, Seq("v" -> lit("u")), col("id") === 1L)
+    cdcPass(ckpt, out)
+    val types = spark.read.parquet(out)
+      .select("_change_type").as[String].collect().toSet
+    assert(types("delete") && types("insert"))
+    assert(!types.contains("update_preimage") &&
+      !types.contains("update_postimage"),
+      "getBatch must read the checkpoint-pinned keys, never live table " +
+        "metadata — a crash-replayed span would otherwise re-tag after " +
+        "the ALTER (exactly-once determinism)")
+    // a FRESH checkpoint started after the ALTER pins the declared keys
+    val (ckpt2, out2) = (tmp("graft-ts-cdck-ckpt2-"), tmp("graft-ts-cdck-out2-"))
+    cdcPass(ckpt2, out2)
+    val types2 = spark.read.parquet(out2)
+      .select("_change_type").as[String].collect().toSet
+    assert(types2("update_preimage") && types2("update_postimage"),
+      s"fresh stream must pin the declared keys (got $types2)")
   }
 }
