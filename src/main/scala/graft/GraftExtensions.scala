@@ -854,10 +854,13 @@ private[graft] object GraftSqlDml {
         return Some(tbl.expireSnapshots(age, keep, now)
           .toDF("expired_version").queryExecution.analyzed)
       case "remove_orphan_files" =>
-        // one row per reclaimed path, like Iceberg's orphan_file_location
+        // one row per reclaimed path, like Iceberg's orphan_file_location;
+        // size-routed: big tables sweep distributed (live-path census and
+        // listing on executors), small tables on the driver
         val age = ageOf("older_than").getOrElse(3L * 24 * 3600 * 1000)
         import session.implicits._
-        return Some(tbl.removeOrphanFiles(age, now)
+        return Some(tbl.removeOrphanFiles(session, age, now,
+            graft.table.SnapshotTable.MaxDriverOrphanEntries)
           .toDF("orphan_path").queryExecution.analyzed)
       case "rewrite_data_files" =>
         // where => '<predicate>' scopes the rewrite to partition groups

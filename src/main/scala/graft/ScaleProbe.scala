@@ -468,6 +468,69 @@ object ScaleProbe {
           math.max(1L, exact) < 0.05, "sketch estimate within 5%")
       }
 
+      // keyed CDC replication at 2.4M rows (r9 verdict #3/#7): the
+      // replica bootstraps from an insert-only changelog feed as a
+      // FAST-APPEND (live files carry by reference — never the old
+      // full-table exceptAll shuffle), then a ~1% multi-commit keyed
+      // increment applies through the partition-scoped merge with keys
+      // taken from the TABLE's declared identifier fields. The census
+      // proves O(touched) write amplification with numbers.
+      {
+        def bytesUnder(p: java.nio.file.Path): Long = {
+          val s = java.nio.file.Files.walk(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala
+              .filter(f => java.nio.file.Files.isRegularFile(f) &&
+                f.toString.endsWith(".parquet"))
+              .map(java.nio.file.Files.size).sum
+          } finally s.close()
+        }
+        val src = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-cdcrepl-src").toString)
+        src.createOrReplace(withP, Seq("p"))                       // v1
+        src.setIdentifierFields(Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        val keys = src.identifierFields
+        val rep = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-cdcrepl-dst").toString)
+        rep.createOrReplace(withP.limit(0), Seq("p"))  // empty, partitioned
+        timed("cdc_replica_bootstrap_fast_append") {
+          rep.applyChangelog(spark, src.readChangelog(spark, 0L, 1L))
+          require(rep.currentManifest.operation == "append",
+            "insert-only bootstrap must fast-append, not rewrite")
+          rep.read(spark).count()
+        }
+        val syncedV = src.currentVersion
+        // multi-commit increment confined to partition 0: two keyed
+        // updates + one delete (collapses per key before the merge)
+        src.updateWhere(spark,
+          Seq("l_quantity" -> (col("l_quantity") + lit(1.0))),
+          col("p") === 0L && pmod(col("l_orderkey"), lit(100)) === 3)
+        src.updateWhere(spark,
+          Seq("l_quantity" -> (col("l_quantity") + lit(1.0))),
+          col("p") === 0L && pmod(col("l_orderkey"), lit(100)) === 4)
+        src.deleteWhere(spark,
+          col("p") === 0L && pmod(col("l_orderkey"), lit(1000)) === 5)
+        val repBefore = bytesUnder(rep.root)
+        val repFiles = rep.currentManifest.files.map(_.path).toSet
+        timed("cdc_replica_keyed_increment_1pct") {
+          rep.applyChangelog(spark,
+            src.readChangelog(spark, syncedV, src.currentVersion, keys), keys)
+          rep.read(spark).count()
+        }
+        val m2 = rep.currentManifest
+        val rewrittenP = m2.files.filterNot(f => repFiles(f.path))
+          .map(_.partition("p")).distinct.sorted
+        println(s"""{"stage":"cdc_replica_census",""" +
+          s""""bytes_written":${bytesUnder(rep.root) - repBefore},""" +
+          s""""rewritten_partitions":${rewrittenP.mkString("[", ",", "]")},""" +
+          s""""carried":${m2.files.count(f => repFiles(f.path))}}""")
+        require(rewrittenP == Seq("0"),
+          s"keyed apply must rewrite ONLY partition 0, got $rewrittenP")
+        require(rep.read(spark).exceptAll(src.read(spark)).isEmpty,
+          "replica must equal the source after the keyed increment")
+      }
+
       // partition-spec evolution at 2.4M rows: the evolve commit itself
       // is metadata-only (no data IO); the first merge after it rewrites
       // ONLY the legacy block it touches (migrating it to the new spec);
@@ -706,6 +769,62 @@ object ScaleProbe {
     timed(s"rewrite_manifests_$nFiles") {
       tbl2.rewriteManifests(3000L)
       require(tbl2.currentManifest.files.size == nFiles)
+    }
+    // orphan sweep at the 2^20-entry manifest (r9 verdict #1): the old
+    // driver path materializes EVERY live path of every retained
+    // snapshot into one Set and walks the whole data tree
+    // single-threaded — the 100 TB driver-memory/latency killer. The
+    // distributed path parses unique chunk docs and lists per-commit
+    // dirs on executors, anti-joins, and the driver holds only the
+    // answer. Stub a 2^16-file data tree (half live, half strays) so
+    // listing cost is real; the census cost comes from the full 2^20
+    // manifest either way. heap_used_mb prints with each stage.
+    locally {
+      val spark = graft.core.GraftSession.get("graft-scale-probe")
+      val nLive = 1 << 15
+      timed(s"orphan_fixture_write_${2 * nLive}") {
+        var i = 0
+        while (i < nLive) {
+          val p = root.resolve(entry(i, 1L).path)
+          JF.createDirectories(p.getParent)
+          JF.write(p, Array[Byte](1))
+          JF.write(p.resolveSibling(s"part-stray-$i.parquet"), Array[Byte](2))
+          i += 1
+        }
+      }
+      val sweepClock = System.currentTimeMillis() + 4L * 24 * 3600 * 1000
+      def strayCount: Long = {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(JF.walk(root.resolve("data")))(
+          _.iterator().asScala.count(
+            _.getFileName.toString.startsWith("part-stray-")).toLong)
+      }
+      System.gc()
+      timed("orphan_sweep_driver_walk") {
+        val removed = tbl2.removeOrphanFiles(nowMs = sweepClock)
+        require(removed.count(_.contains("part-stray-")) == nLive,
+          "driver sweep must reclaim every stray")
+      }
+      timed("orphan_restub") {
+        var i = 0
+        while (i < nLive) {
+          val p = root.resolve(entry(i, 1L).path)
+          JF.write(p.resolveSibling(s"part-stray-$i.parquet"), Array[Byte](2))
+          i += 1
+        }
+      }
+      System.gc()
+      timed("orphan_sweep_distributed") {
+        val removed = tbl2.removeOrphanFiles(spark,
+          3L * 24 * 3600 * 1000, sweepClock, 0L)
+        require(removed.count(_.contains("part-stray-")) == nLive,
+          "distributed sweep must reclaim every stray")
+      }
+      require(strayCount == 0L)
+      // live stubs survived both sweeps
+      require(JF.exists(root.resolve(entry(0, 1L).path)) &&
+        JF.exists(root.resolve(entry(nLive - 1, 1L).path)),
+        "live files must survive both sweeps")
     }
   }
 }

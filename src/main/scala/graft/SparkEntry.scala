@@ -849,7 +849,7 @@ object SparkEntry {
       val expired = table.expireSnapshots(minSnapshotsToKeep = 1,
         nowMs = System.currentTimeMillis() + 250L * 24 * 3600 * 1000)
       require(expired.nonEmpty, "expiry must reclaim the pre-merge snapshot")
-      table.removeOrphanFiles()
+      table.removeOrphanFiles(s)
       table.compact(s)
       table.read(s).drop(MetaColumns.IngestionDatetime)
     }),

@@ -66,7 +66,7 @@ abstract class IngestionJob(
       maxAgeMs = longProp("history.expire.max-snapshot-age-ms",
         90L * 24 * 3600 * 1000),
       minSnapshotsToKeep = longProp("history.expire.min-snapshots-to-keep", 90).toInt)
-    table.removeOrphanFiles()
+    table.removeOrphanFiles(spark)
     // compaction monthly on the 1st (reference: salesforce.py:67-69)
     if (runDatetime.getDayOfMonth == 1)
       table.compact(spark,

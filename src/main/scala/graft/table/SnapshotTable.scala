@@ -4520,6 +4520,173 @@ final class SnapshotTable(val root: Path,
     orphans ++ chunkOrphans
   }
 
+  /** Size-routed orphan removal: small tables keep the single-process
+    * driver sweep above; past `maxDriverEntries` live entries the sweep
+    * goes DISTRIBUTED — the driver's `livePaths` Set and `Files.walk`
+    * over the whole data tree are the two shapes that die at 100 TB /
+    * tens of millions of files (driver memory + single-threaded listing
+    * latency), the exact census shape `MaxCensusPartitions` caps
+    * everywhere else. The entry census routing on is exact-enough and
+    * FREE: chunk rollups carry per-doc counts, so no document is parsed
+    * to decide.
+    */
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long,
+                        nowMs: Long, maxDriverEntries: Long): Seq[String] =
+    if (approxLiveEntries <= maxDriverEntries)
+      removeOrphanFiles(olderThanMs, nowMs)
+    else removeOrphanFilesDistributed(spark, olderThanMs, nowMs)
+
+  def removeOrphanFiles(spark: SparkSession): Seq[String] =
+    removeOrphanFiles(spark, 3L * 24 * 3600 * 1000,
+      System.currentTimeMillis(), SnapshotTable.MaxDriverOrphanEntries)
+
+  /** Live data/delete entries across ALL retained snapshots, without
+    * parsing a single chunk document: unique docs count once via their
+    * rollup `count`, inline/loose/delete entries are already on the
+    * driver. Upper bound on distinct paths (shared loose entries double-
+    * count), which errs toward the distributed path — the safe side.
+    */
+  private def approxLiveEntries: Long = {
+    val seen = scala.collection.mutable.Set[String]()
+    manifestVersions.iterator.map { v =>
+      val m = manifest(v)
+      val files = m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          fl.inline.size.toLong +
+            fl.chunks.iterator.filter(c => seen.add(c.name))
+              .map(_.count.toLong).sum
+        case s => s.size.toLong
+      }
+      files + m.deleteFiles.size
+    }.sum
+  }
+
+  /** Distributed orphan sweep (the 100 TB shape): executors parse the
+    * retained snapshots' UNIQUE chunk documents into a live-path dataset
+    * (names dedup on the driver — free; content never does), executors
+    * walk the per-commit data directories into an age-gated listing
+    * dataset, and the orphans are their anti-join. The driver holds doc
+    * NAMES, commit-dir names, and the reclaimed paths (the answer) —
+    * never the live-path census. Deletion runs on the executors inside
+    * the same job. Directory pruning touches only dirs the deletions
+    * implicated plus aged top-level empty claim dirs — O(orphans +
+    * commits), never a tree walk.
+    *
+    * Reference semantics preserved (common/iceberg.py:260-262 analog):
+    * the `older_than` age gate applies per file at LISTING time, so an
+    * in-flight writer's just-claimed dir and fresh files survive.
+    */
+  private def removeOrphanFilesDistributed(spark: SparkSession,
+      olderThanMs: Long, nowMs: Long): Seq[String] = {
+    import spark.implicits._
+    def aged(p: Path): Boolean =
+      try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
+      catch { case _: java.io.IOException => false }
+    val chunkOrphans = sweepOrphanChunks(aged)
+    if (!Files.exists(dataDir)) return chunkOrphans
+    val metaStr = metaDir.toString
+    val rootStr = root.toString
+    val seen = scala.collection.mutable.Set[String]()
+    val docNamesB = Vector.newBuilder[String]
+    val looseB = Vector.newBuilder[String]
+    manifestVersions.foreach { v =>
+      val m = manifest(v)
+      m.deleteFiles.foreach(d => looseB += d.path)
+      m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          fl.inline.foreach(f => looseB += f.path)
+          fl.chunks.foreach(c => if (seen.add(c.name)) docNamesB += c.name)
+        case s => s.foreach(f => looseB += f.path)
+      }
+    }
+    val docs = docNamesB.result()
+    val loose = looseB.result().distinct
+    val chunkLive =
+      if (docs.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(docs)
+        .repartition(math.min(docs.size, 32))
+        .flatMap(n => ManifestJson
+          .readChunkEntries(Paths.get(metaStr, n)).map(_.path))
+    val liveDf =
+      (if (loose.isEmpty) chunkLive
+       else chunkLive.union(spark.createDataset(loose))).toDF("path")
+    val commitDirs = scala.util.Using.resource(Files.list(dataDir))(
+      _.iterator().asScala.filter(Files.isDirectory(_))
+        .map(_.toString).toVector)
+    if (commitDirs.isEmpty) return chunkOrphans
+    val listed = spark.createDataset(commitDirs)
+      .repartition(math.min(commitDirs.size, 32))
+      .flatMap { dirStr =>
+        val rootP = Paths.get(rootStr)
+        scala.util.Using.resource(Files.walk(Paths.get(dirStr))) { st =>
+          st.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet") &&
+              !p.getFileName.toString.startsWith(".") && {
+                try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
+                catch { case _: java.io.IOException => false }
+              })
+            .map(p => rootP.relativize(p).toString).toVector
+        }
+      }.toDF("path")
+    // deletion is idempotent (deleteIfExists), so a retried task re-runs
+    // safely; listed paths are always root-relative (adopted files carry
+    // absolute paths and live OUTSIDE the table — never listed here)
+    val orphans = listed.join(liveDf, Seq("path"), "left_anti")
+      .as[String]
+      .mapPartitions(_.map { rel =>
+        val p = Paths.get(rootStr).resolve(rel)
+        Files.deleteIfExists(p)
+        Files.deleteIfExists(
+          p.resolveSibling("." + p.getFileName.toString + ".crc"))
+        rel
+      }).collect().toSeq
+    pruneDirsOf(orphans, aged)
+    pruneEmptyClaimedDirs(aged)
+    orphans ++ chunkOrphans
+  }
+
+  /** Prune exactly the directories a distributed sweep implicated
+    * (ancestors of deleted files, deepest first): a dir left with no
+    * parquet content loses its markers and itself, like
+    * [[pruneEmptyDirs]] — but O(implicated dirs), never a tree walk.
+    */
+  private def pruneDirsOf(deleted: Seq[String], aged: Path => Boolean): Unit = {
+    val implicated = deleted.iterator.flatMap { rel =>
+      Iterator.iterate(root.resolve(rel).getParent)(_.getParent)
+        .takeWhile(d => d != null && d.startsWith(dataDir) && d != dataDir)
+    }.toSet
+    implicated.toSeq.sortBy(-_.getNameCount).foreach { d =>
+      if (Files.exists(d)) {
+        val hasData = scala.util.Using.resource(Files.walk(d))(
+          _.iterator().asScala.exists(p =>
+            Files.isRegularFile(p) && p.toString.endsWith(".parquet")
+              && !p.getFileName.toString.startsWith(".")))
+        if (!hasData && aged(d))
+          scala.util.Using.resource(Files.walk(d))(
+            _.iterator().asScala.toSeq)
+            .sortBy(-_.getNameCount)
+            .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  /** Aged, COMPLETELY empty top-level commit dirs (a crashed writer's
+    * claimed-but-never-filled data/vN): one cheap `Files.list` probe per
+    * commit dir — O(commits).
+    */
+  private def pruneEmptyClaimedDirs(aged: Path => Boolean): Unit = {
+    if (!Files.exists(dataDir)) return
+    scala.util.Using.resource(Files.list(dataDir))(
+      _.iterator().asScala.toSeq)
+      .filter(Files.isDirectory(_))
+      .foreach { d =>
+        val empty = scala.util.Using.resource(Files.list(d))(
+          !_.iterator().hasNext)
+        if (empty && aged(d)) Files.deleteIfExists(d)
+      }
+  }
+
   /** Every data/delete path some manifest in `versions` references.
     * Snapshots share chunk documents (content-addressed), so each unique
     * document is parsed ONCE across all versions — maintenance over 90
@@ -4985,6 +5152,14 @@ object SnapshotTable {
     * `var` only so tests can lower it to exercise the fallback path.
     */
   private[graft] var MaxCensusPartitions = 1000000
+
+  /** Live-entry count past which [[SnapshotTable.removeOrphanFiles]]
+    * routes to the distributed sweep: below it the driver Set +
+    * single-process walk is cheaper than a Spark job; above it the
+    * driver census is the 100 TB memory/latency bottleneck. `var` only
+    * so tests can lower it to run both paths on the same fixture.
+    */
+  private[graft] var MaxDriverOrphanEntries = 200000L
 
   /** Synthetic stats key carrying a position delete's referenced-path
     * range (min/max data-file path it tombstones rows of) — the Iceberg

@@ -448,6 +448,69 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl.read(spark).count() == 10)
   }
 
+  test("distributed orphan sweep = driver sweep, loose AND chunked layouts") {
+    import graft.table.ManifestJson
+    val threeDays = 3L * 24 * 3600 * 1000
+    val later = System.currentTimeMillis() + 4L * 24 * 3600 * 1000
+    def buildFixture(chunked: Boolean): SnapshotTable = {
+      val (savedT, savedS) = (ManifestJson.ChunkThreshold, ManifestJson.ChunkSize)
+      if (chunked) { ManifestJson.ChunkThreshold = 8; ManifestJson.ChunkSize = 8 }
+      try {
+        val t = SnapshotTable.at(
+          Files.createTempDirectory("graft-orphpar-").toString)
+        val df = (1 to 200).map(i => (i.toLong, i % 16, 1.0))
+          .toDF("id", "p", "v")
+        t.createOrReplace(df, Seq("p"))
+        t.append(spark, Seq((201L, 0, 2.0)).toDF("id", "p", "v"))
+        // a pending POSITIONAL delete file must count as live
+        t.deleteWherePositional(spark, col("id") === 5L)
+        // aged orphan debris: inside a live commit dir + a foreign dir
+        Files.write(t.root.resolve("data/v1/part-stray.parquet"),
+          Array[Byte](1, 2, 3))
+        Files.createDirectories(t.root.resolve("data/v99/sub"))
+        Files.write(t.root.resolve("data/v99/sub/part-x.parquet"),
+          Array[Byte](4, 5))
+        // a YOUNG stray (in-flight writer): mtime at the sweep clock
+        Files.write(t.root.resolve("data/v99/part-young.parquet"),
+          Array[Byte](6))
+        Files.setLastModifiedTime(
+          t.root.resolve("data/v99/part-young.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(later))
+        // an aged EMPTY claimed dir (crashed writer)
+        Files.createDirectories(t.root.resolve("data/v98"))
+        t
+      } finally {
+        ManifestJson.ChunkThreshold = savedT; ManifestJson.ChunkSize = savedS
+      }
+    }
+    for (chunked <- Seq(false, true)) {
+      val a = buildFixture(chunked)
+      val b = buildFixture(chunked)
+      if (chunked)
+        assert(a.currentManifest.files
+          .isInstanceOf[graft.table.FileList], "fixture must chunk")
+      val remA = a.removeOrphanFiles(nowMs = later)
+      // maxDriverEntries=0 forces the DISTRIBUTED path on the twin fixture
+      val remB = b.removeOrphanFiles(spark, threeDays, later, 0L)
+      def dataOrphans(s: Seq[String]) = s.filter(_.startsWith("data/")).toSet
+      val expected = Set("data/v1/part-stray.parquet",
+        "data/v99/sub/part-x.parquet")
+      assert(dataOrphans(remA) == expected, s"driver, chunked=$chunked")
+      assert(dataOrphans(remB) == expected, s"distributed, chunked=$chunked")
+      // live data, positional tombstones, and the young stray all survive
+      for (t <- Seq(a, b)) {
+        assert(t.read(spark).count() == 200, s"chunked=$chunked")
+        assert(t.read(spark).filter(col("id") === 5L).count() == 0)
+        assert(Files.exists(t.root.resolve("data/v99/part-young.parquet")),
+          "young orphan must survive (in-flight writer)")
+        assert(!Files.exists(t.root.resolve("data/v98")),
+          "aged empty claimed dir must be reclaimed")
+        assert(!Files.exists(t.root.resolve("data/v99/sub")),
+          "emptied orphan dir must be reclaimed")
+      }
+    }
+  }
+
   test("publish lock serializes commits across PROCESSES") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
