@@ -1609,6 +1609,78 @@ object SparkEntry {
       s.read.parquet(out)
     }),
 
+    "q118_bucket_string_prune" -> ((s, d) => {
+      // Iceberg Appendix-B bucket over a STRING natural key (the
+      // reference's UD1 registered LongType only,
+      // ingestion/dmsdatabase1.py:21-24; Iceberg's spec buckets strings
+      // by murmur3 of the UTF-8 bytes): hidden partitioning derives
+      // pb = bucket(8, c_mktsegment); a point predicate on the RAW
+      // string prunes to exactly that bucket's files (census assert —
+      // the five segment values spread over four buckets), and the
+      // pruned read equals the plain filter — the oracle.
+      val root = Files.createTempDirectory("graft-q118-").toString
+      val table = SnapshotTable.at(root)
+      val cust = t(s, d, "customer")
+      table.createOrReplace(cust, Seq("pb"),
+        properties = Map("graft.transform.pb" -> "bucket(8,c_mktsegment)"))
+      val total = table.currentManifest.files.size
+      val hit = graft.functions.Bucket.bucketUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString("BUILDING"), 8)
+      val (kept, _) = table.pruneCounts(col("c_mktsegment") === "BUILDING")
+      require(kept == table.pruneCounts(col("pb") === hit)._1 && kept < total,
+        s"string point predicate must prune to bucket $hit ($kept/$total)")
+      table.readWhere(s, col("c_mktsegment") === "BUILDING").drop("pb")
+    }),
+
+    "q117_struct_lifecycle" -> ((s, d) => {
+      // nested types PASS THROUGH the table layer (the reference never
+      // declares a schema — common/iceberg.py:45-54 carries whatever
+      // parquet ships, structs included): CTAS with a struct column,
+      // keyed MERGE updating struct values, changelog over the struct
+      // steps, footer stats recorded only for scalar leaves (graceful
+      // decline — pruning on the key still works), and type evolution on
+      // a struct refuses loudly. Output = the final state with the
+      // struct intact; the oracle rebuilds it with struct_pack.
+      val root = Files.createTempDirectory("graft-q117-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders")
+      val base = orders.select(col("o_orderkey"),
+        struct(col("o_totalprice").as("price"),
+          col("o_orderpriority").as("priority")).as("meta"))
+      table.createOrReplace(base)                                     // v1
+      val keyBase = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      val changes = base.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("meta", struct(
+          (col("meta.price") * 2).as("price"),
+          concat(col("meta.priority"), lit("+")).as("priority")))
+        .withColumn("op", lit("U"))
+        .unionByName(base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + keyBase)
+          .withColumn("op", lit("I")))
+      table.merge(s, changes, Seq("o_orderkey"), keepDeletes = false) // v2
+      // the changelog nets exactly the merged rows, struct payload intact
+      val nUpd = base.filter(col("o_orderkey") % 7 === 0).count()
+      val nIns = base.filter(col("o_orderkey") % 13 === 0).count()
+      val cdc = table.readChangelog(s, 1L, 2L)
+      require(cdc.filter(col("_change_type") === "insert").count() ==
+        nUpd + nIns &&
+        cdc.filter(col("_change_type") === "delete").count() == nUpd,
+        "struct changelog must net exactly the merged rows")
+      // stats decline gracefully on the nested column; the scalar key
+      // still records bounds
+      val m = table.currentManifest
+      require(m.files.forall(f =>
+        !f.stats.keys.exists(_.toLowerCase.startsWith("meta"))),
+        "no bounds may be recorded for a struct column")
+      require(m.files.exists(_.stats.contains("o_orderkey")),
+        "the scalar key must keep its footer bounds")
+      // evolution on the struct column refuses loudly, never silently
+      require(scala.util.Try(table.widenColumn("meta",
+        org.apache.spark.sql.types.LongType)).isFailure,
+        "widening a struct column must refuse")
+      table.read(s)
+    }),
+
     "q96_sql_partition_ddl" -> ((s, d) => {
       // the r6-verdict ask: partition evolution DDL-first, SQL-ONLY —
       // CTAS → ALTER TABLE ADD PARTITION FIELD bucket(8, o_orderkey)
@@ -2851,6 +2923,31 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+
+    // struct pass-through: merged state rebuilt with struct_pack (field
+    // order and names match Spark's struct() exactly — value hashing
+    // walks the nested dict)
+    "q117_struct_lifecycle" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0
+        |    THEN struct_pack(price := o_totalprice * 2,
+        |                     priority := o_orderpriority || '+')
+        |    ELSE struct_pack(price := o_totalprice,
+        |                     priority := o_orderpriority) END AS meta
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+        |    AS o_orderkey,
+        |  struct_pack(price := o_totalprice,
+        |              priority := o_orderpriority) AS meta
+        |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
+
+    // hidden bucket(8, c_mktsegment) partitioning is pure layout: the
+    // pruned read equals the plain filter (census asserts live in-query;
+    // the murmur hash itself is not DuckDB-expressible)
+    "q118_bucket_string_prune" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     // layout rewrites move bytes, never rows: the z-ordered table is
     // exactly orders (scope/prune census asserts live in-query)

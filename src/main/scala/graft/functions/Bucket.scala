@@ -35,4 +35,55 @@ object Bucket {
   }
 
   def bucket(v: Long, n: Int): Int = (murmur3Long(v) & Int.MaxValue) % n
+
+  /** murmur3_x86_32(data, seed=0) — the byte-input twin of
+    * [[murmur3Long]], for the NON-integral bucket sources Iceberg's spec
+    * defines (Appendix B): strings hash their UTF-8 bytes, decimals the
+    * minimal two's-complement big-endian bytes of their unscaled value.
+    */
+  def murmur3Bytes(data: Array[Byte]): Int = {
+    val len = data.length
+    var h = 0
+    val nblocks = len / 4
+    var i = 0
+    while (i < nblocks) {
+      val b = i * 4
+      var k = (data(b) & 0xff) | ((data(b + 1) & 0xff) << 8) |
+        ((data(b + 2) & 0xff) << 16) | ((data(b + 3) & 0xff) << 24)
+      k *= C1; k = Integer.rotateLeft(k, 15); k *= C2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    val tail = nblocks * 4
+    var k1 = 0
+    if ((len & 3) >= 3) k1 ^= (data(tail + 2) & 0xff) << 16
+    if ((len & 3) >= 2) k1 ^= (data(tail + 1) & 0xff) << 8
+    if ((len & 3) >= 1) {
+      k1 ^= data(tail) & 0xff
+      k1 *= C1; k1 = Integer.rotateLeft(k1, 15); k1 *= C2
+      h ^= k1
+    }
+    h ^= len
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h
+  }
+
+  def bucketBytes(data: Array[Byte], n: Int): Int =
+    (murmur3Bytes(data) & Int.MaxValue) % n
+
+  /** Codegen entry point for string sources (UTF8String carries the
+    * UTF-8 bytes directly — no transcoding).
+    */
+  def bucketUtf8(s: org.apache.spark.unsafe.types.UTF8String, n: Int): Int =
+    bucketBytes(s.getBytes, n)
+
+  /** Codegen entry point for decimal sources: Iceberg hashes the
+    * unscaled value at the column's DECLARED scale as minimal
+    * two's-complement big-endian bytes — exactly
+    * `BigInteger.toByteArray`.
+    */
+  def bucketDecimal(d: org.apache.spark.sql.types.Decimal, n: Int): Int =
+    bucketBytes(d.toJavaBigDecimal.unscaledValue.toByteArray, n)
 }

@@ -71,7 +71,12 @@ object Transforms {
     */
   def derivedType(spec: Spec, srcType: DataType): Option[DataType] = spec match {
     case Bucket(_, _) => srcType match {
-      case ByteType | ShortType | IntegerType | LongType => Some(IntegerType)
+      // the full Iceberg Appendix-B bucket source set (reference UD1 was
+      // LongType only): integrals/date/timestamp widen to the long hash,
+      // strings hash UTF-8 bytes, decimals their unscaled value
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | TimestampType | TimestampNTZType => Some(IntegerType)
+      case _: DecimalType => Some(IntegerType)
       case _ => None
     }
     case TimeUnit("day", _) => srcType match {

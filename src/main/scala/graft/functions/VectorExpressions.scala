@@ -382,21 +382,56 @@ object HyperplaneKeys {
   }
 }
 
-/** Iceberg-spec bucket transform as a codegen'd unary expression
-  * (see [[Bucket]] for the hash; reference:
-  * src/data_ingestion/ingestion/dmsdatabase1.py:18-24).
+/** Iceberg-spec bucket transform as a codegen'd unary expression over
+  * the full Appendix-B source-type set: integrals/date/timestamp hash
+  * their 8-byte little-endian long widening, strings their UTF-8 bytes,
+  * decimals the minimal two's-complement big-endian bytes of the
+  * unscaled value (see [[Bucket]]; reference UD1 registered LongType
+  * only, src/data_ingestion/ingestion/dmsdatabase1.py:18-24 — a string
+  * natural key couldn't use hidden bucket partitioning without this).
   */
 case class IcebergBucketExpr(child: Expression, n: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with ExpectsInputTypes {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
   require(n > 0, "bucket count must be positive")
-  override def inputTypes = Seq(LongType)
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  // strict input typing by hand (TypeCollection is private[sql]): an
+  // unsupported source must fail ANALYSIS, not hash garbage
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType | TimestampType | TimestampNTZType | _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"iceberg_bucket does not support ${other.catalogString} — " +
+            "Iceberg buckets int/long/string/date/timestamp/decimal")
+    }
+  override def dataType: DataType = IntegerType
   override def prettyName: String = "iceberg_bucket"
-  override def nullSafeEval(v: Any): Any =
-    Bucket.bucket(v.asInstanceOf[Long], n)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Bucket.bucket($c, $n)")
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case ByteType => Bucket.bucket(v.asInstanceOf[Byte].toLong, n)
+    case ShortType => Bucket.bucket(v.asInstanceOf[Short].toLong, n)
+    case IntegerType | DateType => Bucket.bucket(v.asInstanceOf[Int].toLong, n)
+    case LongType | TimestampType | TimestampNTZType =>
+      Bucket.bucket(v.asInstanceOf[Long], n)
+    case StringType => Bucket.bucketUtf8(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+    case _: DecimalType => Bucket.bucketDecimal(v.asInstanceOf[Decimal], n)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val call: String => String = child.dataType match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        c => s"graft.functions.Bucket.bucket((long)$c, $n)"
+      case LongType | TimestampType | TimestampNTZType =>
+        c => s"graft.functions.Bucket.bucket($c, $n)"
+      case StringType =>
+        c => s"graft.functions.Bucket.bucketUtf8($c, $n)"
+      case _: DecimalType =>
+        c => s"graft.functions.Bucket.bucketDecimal($c, $n)"
+    }
+    defineCodeGen(ctx, ev, call)
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -422,7 +457,10 @@ object VectorFunctions {
 
   /** Iceberg-style bucket(n, longCol) partition transform. */
   def icebergBucket(c: Column, n: Int): Column =
-    GraftBridge.column(IcebergBucketExpr(expr(c.cast("long")), n))
+    // no cast: the expression types per source (int/long widen to the
+    // same long hash; string/date/timestamp/decimal hash their own
+    // Appendix-B encodings — a cast-to-long would hash the WRONG bytes)
+    GraftBridge.column(IcebergBucketExpr(expr(c), n))
 
   /** Jaccard over sorted distinct long arrays (see [[SortedLongJaccard]]). */
   def sortedLongJaccard(a: Column, b: Column): Column =

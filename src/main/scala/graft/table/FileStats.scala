@@ -644,6 +644,62 @@ object StatsPruning {
     if (binds.isEmpty) None else Some(binds.reduce(_ intersect _))
   }
 
+  /** Bucket values pinned by TOP-LEVEL `colName = v` / IN conjuncts for a
+    * `bucket(n, colName)` transform — the typed twin of [[pointValues]]:
+    * instead of rendering partition-path strings, it hashes each literal
+    * VALUE per the Iceberg Appendix-B encoding of the COLUMN's type.
+    * A literal participates only when its type is unambiguous for the
+    * column (no implicit-cast drift — `p = 3` against a string column
+    * would hash 3L, not '3'); decimals rescale to the column's declared
+    * scale and decline on precision loss (such a predicate also can't
+    * match any stored value). None = no skip, never a wrong one.
+    */
+  private[table] def bucketPointHits(expr: Expression, colName: String,
+      colType: DataType, n: Int): Option[Set[Int]] = {
+    import graft.functions.Bucket
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def hash(l: Literal): Option[Int] = {
+      if (l.value == null) return None
+      (colType, l.dataType) match {
+        case (ByteType | ShortType | IntegerType | LongType,
+              ByteType | ShortType | IntegerType | LongType) =>
+          Some(Bucket.bucket(l.value.asInstanceOf[Number].longValue, n))
+        case (StringType, StringType) =>
+          Some(Bucket.bucketUtf8(
+            l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n))
+        case (DateType, DateType) =>
+          Some(Bucket.bucket(l.value.asInstanceOf[Int].toLong, n))
+        case (TimestampType, TimestampType) |
+             (TimestampNTZType, TimestampNTZType) =>
+          Some(Bucket.bucket(l.value.asInstanceOf[Long], n))
+        case (dt: DecimalType, _: DecimalType) =>
+          val bd = l.value.asInstanceOf[Decimal].toJavaBigDecimal
+          try Some(Bucket.bucketBytes(
+            bd.setScale(dt.scale).unscaledValue.toByteArray, n))
+          catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+    }
+    def bind(e: Expression): Option[Set[Int]] = e match {
+      case EqualTo(a, l: Literal)
+          if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
+        hash(l).map(Set(_))
+      case EqualTo(l: Literal, a)
+          if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
+        hash(l).map(Set(_))
+      case In(a, vs) if attrName(a).exists(_.equalsIgnoreCase(colName)) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val hashed = vs.map(v => hash(v.asInstanceOf[Literal]))
+        if (hashed.forall(_.isDefined)) Some(hashed.flatten.toSet) else None
+      case _ => None
+    }
+    val binds = conjuncts(normalize(expr)).flatMap(bind)
+    if (binds.isEmpty) None else Some(binds.reduce(_ intersect _))
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case ua: UnresolvedAttribute => Some(ua.nameParts.last)
     case ar: AttributeReference  => Some(ar.name)

@@ -396,12 +396,11 @@ final class SnapshotTable(val root: Path,
     // unparsable literals decline conservatively.
     val bucketHits: Seq[(String, Option[Set[Int]])] = transforms.collect {
       case (pcol, graft.functions.Transforms.Bucket(n, src)) =>
-        pcol -> (for {
-          dt <- types(src)
-          vs <- StatsPruning.pointValues(expr, src, dt)
-          longs = vs.flatMap(_.toLongOption)
-          if longs.size == vs.size // every literal must be integral
-        } yield longs.map(v => graft.functions.Bucket.bucket(v, n)))
+        // typed per-source hashing (int/long/string/date/timestamp/
+        // decimal — the full Appendix-B set); ambiguous literal types
+        // decline conservatively inside bucketPointHits
+        pcol -> types(src).flatMap(dt =>
+          StatsPruning.bucketPointHits(expr, src, dt, n))
     }
     def bucketOk(f: FileEntry): Boolean = bucketHits.forall {
       case (pcol, Some(hits)) =>

@@ -211,6 +211,48 @@ class DedupSimilaritySpec extends SparkSpec {
     out.foreach { case (id, b) => assert(b == Bucket.bucket(id, 16)) }
   }
 
+  test("bucket hashes match the published Iceberg spec Appendix-B vectors") {
+    // reference values straight from the Iceberg table spec's Appendix B
+    // examples (public), cross-checked against guava murmur3_32(seed 0)
+    assert(Bucket.murmur3Long(34L) == 2017239379)                // int/long 34
+    assert(Bucket.murmur3Bytes(
+      "iceberg".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      == 1210000089)                                             // string
+    assert(Bucket.murmur3Bytes(new java.math.BigDecimal("14.20")
+      .unscaledValue.toByteArray) == -500754589)                 // decimal(P,2)
+    assert(Bucket.murmur3Long(17486L) == -653330422)             // date 2017-11-16
+    assert(Bucket.murmur3Long(1510871468000000L) == -2047944441) // ts micros
+    // the byte hash IS the long hash on the long's little-endian bytes
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map(_ => rnd.nextLong()).foreach { v =>
+      val le = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+      assert(Bucket.murmur3Bytes(le) == Bucket.murmur3Long(v))
+    }
+    // expression path (whole-stage codegen) for every non-long source
+    val n = 32
+    def expect(h: Int) = (h & Int.MaxValue) % n
+    val got = spark.sql(
+      "SELECT CAST('iceberg' AS STRING) s, DATE'2017-11-16' d, " +
+        "TIMESTAMP_NTZ'2017-11-16 22:31:08' tn, " +
+        "CAST(14.20 AS DECIMAL(6,2)) dec, CAST(34 AS INT) i")
+      .select(icebergBucket(col("s"), n), icebergBucket(col("d"), n),
+        icebergBucket(col("tn"), n), icebergBucket(col("dec"), n),
+        icebergBucket(col("i"), n)).head
+    assert(got.getInt(0) == expect(1210000089))
+    assert(got.getInt(1) == expect(-653330422))
+    assert(got.getInt(2) == expect(-2047944441))
+    assert(got.getInt(3) == expect(-500754589))
+    assert(got.getInt(4) == expect(2017239379))
+    // unsupported sources fail analysis loudly, never hash garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT CAST(1.5 AS DOUBLE) x")
+        .select(icebergBucket(col("x"), n)).head
+    }
+    assert(e.getMessage.toLowerCase.contains("iceberg_bucket") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("vectorDot matches a scala-side dot product") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(20)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()

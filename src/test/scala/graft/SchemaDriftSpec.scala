@@ -36,6 +36,57 @@ class SchemaDriftSpec extends SparkSpec {
     assert(byId(2L) == (None, Some(8.5)))  // inserted
   }
 
+  test("nested columns: CTAS→merge→changelog pass-through, add-struct " +
+      "null-fills, struct evolution refuses") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = Files.createTempDirectory("graft-nested-").toString
+    val tbl = SnapshotTable.at(root)
+    // struct + array + map columns pass through untouched (the reference
+    // never declares a schema — whatever parquet ships flows through)
+    val base = (1 to 40).map(i => (i.toLong, i)).toDF("id", "x")
+      .select($"id",
+        struct(($"x" * 1.5).as("price"),
+          concat(lit("p"), $"x".cast("string")).as("tag")).as("meta"),
+        array($"x", $"x" + 1).as("arr"),
+        map(lit("k"), $"x").as("m"))
+    tbl.createOrReplace(base)                                        // v1
+    val changes = base.filter($"id" % 4 === 0)
+      .withColumn("meta", struct(($"meta.price" * 2).as("price"),
+        concat($"meta.tag", lit("+")).as("tag")))
+      .withColumn("op", lit("U"))
+    tbl.merge(spark, changes, Seq("id"), keepDeletes = false)        // v2
+    val out = tbl.read(spark)
+    assert(out.count() == 40)
+    assert(out.filter($"id" % 4 === 0 &&
+      $"meta.tag".endsWith("+")).count() == 10,
+      "merge must align and update the struct payload by name")
+    assert(out.filter($"id" % 4 =!= 0 &&
+      $"meta.tag".endsWith("+")).count() == 0)
+    // changelog NetDiff over struct+array+MAP columns nets exactly the
+    // merged rows (maps canonicalize via sorted entries — Spark refuses
+    // set-ops on MapType directly)
+    val cdc = tbl.readChangelog(spark, 1L, 2L)
+    assert(cdc.filter($"_change_type" === "insert").count() == 10)
+    assert(cdc.filter($"_change_type" === "delete").count() == 10)
+    // ADD COLUMNS with a nested type: metadata-only, carried files
+    // null-fill the whole struct
+    tbl.addColumns(Seq(StructField("extra",
+      StructType.fromDDL("a int, b string"), nullable = true)))
+    val evolved = tbl.read(spark)
+    assert(evolved.schema("extra").dataType.isInstanceOf[StructType])
+    assert(evolved.filter($"extra".isNull).count() == 40)
+    // stats: nothing recorded for nested columns, scalar key bounds live
+    val m = tbl.currentManifest
+    assert(m.files.forall(f => !f.stats.keys.exists(k =>
+      Seq("meta", "arr", "m", "extra").exists(k.equalsIgnoreCase))))
+    assert(m.files.exists(_.stats.contains("id")))
+    // struct evolution refuses loudly: widening is int→long/float→double
+    val e = intercept[IllegalArgumentException] {
+      tbl.widenColumn("meta", LongType)
+    }
+    assert(e.getMessage.nonEmpty)
+  }
+
   test("storage path: type widening reads carried int files under the long schema") {
     val root = Files.createTempDirectory("graft-widen-").toString
     val tbl = SnapshotTable.at(root)

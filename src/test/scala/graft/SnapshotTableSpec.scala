@@ -429,6 +429,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(tbl2.readWhere(spark, col("ts") >= mid).count() == 35)
   }
 
+  test("STRING-key bucket transform prunes point predicates (Appendix B)") {
+    import graft.functions.Bucket
+    // the reference's UD1 bucketed longs only; Iceberg's spec buckets
+    // strings too — a string natural key gets hidden bucket partitioning
+    val tbl = freshTable()
+    val df0 = (1 to 512).map(i => (i.toLong, s"name$i")).toDF("id", "s")
+      .withColumn("pb", expr("graft_bucket(s, 8)"))
+    tbl.createOrReplace(df0, Seq("pb"),
+      properties = Map("graft.transform.pb" -> "bucket(8,s)"))
+    val total = tbl.currentManifest.files.size
+    val hit = Bucket.bucketUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString("name42"), 8)
+    val (kept, _) = tbl.pruneCounts(col("s") === "name42")
+    val perBucket = tbl.pruneCounts(col("pb") === hit)._1
+    assert(kept == perBucket && kept < total,
+      s"s='name42' must keep only bucket $hit's files ($kept/$total)")
+    assert(tbl.readWhere(spark, col("s") === "name42").count() == 1)
+    // IN over literals intersects to at most the union of their buckets
+    assert(tbl.readWhere(spark, col("s").isin("name42", "name99")).count() == 2)
+    // writers never supply the derived column: an append re-derives pb
+    // from the string source identically (hidden-partitioning invariant)
+    tbl.append(spark, Seq((513L, "name513")).toDF("id", "s"))
+    assert(tbl.readWhere(spark, col("s") === "name513").count() == 1)
+    val hit513 = Bucket.bucketUtf8(
+      org.apache.spark.unsafe.types.UTF8String.fromString("name513"), 8)
+    assert(tbl.pruneCounts(col("s") === "name513")._1 ==
+      tbl.pruneCounts(col("pb") === hit513)._1)
+  }
+
   test("orphan removal is age-gated: young files survive, aged ones go") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
