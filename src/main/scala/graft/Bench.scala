@@ -151,7 +151,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val mode = if (isolate) "isolated-lifecycle+heavy" else "in-process"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode"}"""
+    println(line)
+    // durable copy: a truncated stdout capture (BENCH_r09 lost q01-q29)
+    // must never lose the round's numbers
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () } // stdout still rules
     spark.stop()
   }
 }

@@ -299,7 +299,22 @@ case class GraftPathRelations(session: SparkSession)
           df.queryExecution.analyzed
         }.getOrElse(tt)
       case u: UnresolvedRelation if cands(u).nonEmpty =>
-        resolveAny(u).map(_.queryExecution.analyzed).getOrElse(u)
+        resolveAny(u).map(_.queryExecution.analyzed).getOrElse {
+          // stored VIEW: substitute the current definition's parsed plan
+          // (Iceberg SQL-representation semantics — re-resolved in THIS
+          // session, so nested graft relations serve through these same
+          // rules on the next fixpoint pass; a table at the path always
+          // wins above). A self-referencing chain can't resolve and
+          // fails analysis loudly at the iteration limit.
+          cands(u).find(graft.table.ViewStore.exists) match {
+            case Some(p) =>
+              SubqueryAlias(
+                java.nio.file.Paths.get(p).getFileName.toString,
+                session.sessionState.sqlParser.parsePlan(
+                  graft.table.ViewStore.sql(p)))
+            case None => u
+          }
+        }
     }
   }
 
@@ -1404,6 +1419,31 @@ private[graft] object GraftSqlDml {
                   s"${g.ident.mkString(".")} (use IF EXISTS for a no-op)")
         }
         Some(empty)
+      // Iceberg-analog VIEW DDL over versioned stored metadata
+      // (graft.table.ViewStore; served at read by GraftPathRelations)
+      case v: GraftViewStatement =>
+        def pathOf(what: String): String =
+          graft.catalog.GraftCatalog.createPath(session, v.ident)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$what ${v.ident.mkString(".")}: not a graft path " +
+                "(use the graft.`/absolute/path` spelling)"))
+        v.op match {
+          case CreateViewOp(orReplace, ifNotExists, viewSql) =>
+            // the definition must PARSE now — storing garbage would fail
+            // every future read of the view instead of this statement
+            session.sessionState.sqlParser.parsePlan(viewSql)
+            graft.table.ViewStore.create(pathOf("CREATE VIEW"), viewSql,
+              orReplace, ifNotExists)
+            Some(empty)
+          case DropViewOp(ifExists) =>
+            graft.table.ViewStore.drop(pathOf("DROP VIEW"), ifExists)
+            Some(empty)
+          case ShowViewsOp =>
+            import session.implicits._
+            Some(graft.table.ViewStore.list(pathOf("SHOW VIEWS IN"))
+              .toDF("view_name", "current_version")
+              .queryExecution.analyzed)
+        }
       case _ => None
     }
   }

@@ -96,6 +96,29 @@ final case class GraftAlterTableStatement(ident: Seq[String],
   override lazy val resolved: Boolean = false
 }
 
+/** Iceberg-analog VIEW DDL over VERSIONED stored view metadata
+  * ([[graft.table.ViewStore]]):
+  *
+  *   - `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] graft.`<path>` AS <query>`
+  *   - `DROP VIEW [IF EXISTS] graft.`<path>``
+  *   - `SHOW VIEWS IN graft.`<dir>`` → (view_name, current_version) rows
+  *
+  * Only the unmistakable ``graft.`<path>` `` spelling is claimed —
+  * session-catalog and TEMPORARY view DDL delegates to Spark untouched
+  * (those spellings never carry the graft path literal).
+  */
+sealed trait GraftViewOp
+final case class CreateViewOp(orReplace: Boolean, ifNotExists: Boolean,
+                              sql: String) extends GraftViewOp
+final case class DropViewOp(ifExists: Boolean) extends GraftViewOp
+case object ShowViewsOp extends GraftViewOp
+
+final case class GraftViewStatement(ident: Seq[String],
+                                    op: GraftViewOp) extends LeafNode {
+  override def output: Seq[Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
 object GraftSqlParser {
   // the table identifier is captured raw (backquoted path literals hold
   // '/', '.', spaces) and re-parsed by the DELEGATE's identifier grammar
@@ -125,6 +148,18 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
+  // VIEW DDL claims the unambiguous graft.`<path>` spelling ONLY —
+  // anything else (temp views, session-catalog views) delegates verbatim
+  private val GraftIdent = """graft\s*\.\s*`[^`]+`"""
+  private val CreateViewRe =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + GraftIdent +
+      """)\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val DropViewRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(""" + GraftIdent +
+      """)\s*;?\s*$""").r
+  private val ShowViewsRe =
+    ("""(?is)^\s*SHOW\s+VIEWS\s+IN\s+(""" + GraftIdent + """)\s*;?\s*$""").r
 
   private def identifierCols(raw: String): Seq[String] = {
     val cols = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -214,6 +249,16 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t),
           DropRefOp(kind.equalsIgnoreCase("branch"), name,
             ifExists = ie != null)))
+      case CreateViewRe(orr, ine, t, viewSql) =>
+        require(orr == null || ine == null,
+          "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive")
+        Some(GraftViewStatement(ident(t),
+          CreateViewOp(orReplace = orr != null, ifNotExists = ine != null,
+            sql = viewSql.trim)))
+      case DropViewRe(ie, t) =>
+        Some(GraftViewStatement(ident(t), DropViewOp(ifExists = ie != null)))
+      case ShowViewsRe(t) =>
+        Some(GraftViewStatement(ident(t), ShowViewsOp))
       case _ => None
     }
   }

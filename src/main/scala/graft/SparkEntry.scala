@@ -1632,6 +1632,42 @@ object SparkEntry {
       table.readWhere(s, col("c_mktsegment") === "BUILDING").drop("pb")
     }),
 
+    "q119_view_lifecycle" -> ((s, d) => {
+      // Iceberg VIEW surface end-to-end in SQL: CREATE VIEW stores
+      // VERSIONED metadata under the path; reads re-parse the stored SQL
+      // in-session (the view tracks table changes — asserted);
+      // CREATE OR REPLACE lands version 2 keeping version 1 on disk;
+      // SHOW VIEWS reports (name, current_version) — pinned in-query.
+      // Output = the REPLACED view's rows — the oracle.
+      val dir = Files.createTempDirectory("graft-q119-").toString
+      val tbl = SnapshotTable.at(s"$dir/orders_t")
+      tbl.createOrReplace(t(s, d, "orders").select(orderCols.map(col): _*))
+      s.sql(s"CREATE VIEW graft.`$dir/big_orders` AS " +
+        s"SELECT o_orderkey, o_totalprice FROM graft.`$dir/orders_t` " +
+        "WHERE o_totalprice > 100000.0")
+      val n1 = s.sql(s"SELECT * FROM graft.`$dir/big_orders`").count()
+      require(n1 == tbl.read(s).filter(col("o_totalprice") > 100000.0).count(),
+        "the view must serve its stored definition")
+      // the view re-resolves per read: an append shows up without DDL
+      val keyBase = tbl.read(s).agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      tbl.append(s, t(s, d, "orders").select(orderCols.map(col): _*)
+        .filter(col("o_totalprice") > 100000.0).limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + keyBase))
+      require(s.sql(s"SELECT * FROM graft.`$dir/big_orders`").count() == n1 + 5,
+        "the view must track table changes (SQL representation)")
+      s.sql(s"CREATE OR REPLACE VIEW graft.`$dir/big_orders` AS " +
+        s"SELECT o_orderkey, o_orderstatus, o_totalprice " +
+        s"FROM graft.`$dir/orders_t` " +
+        s"WHERE o_orderkey % 3 = 0 AND o_orderkey < $keyBase")
+      val shown = s.sql(s"SHOW VIEWS IN graft.`$dir`").collect()
+      require(shown.exists(r =>
+        r.getString(0) == "big_orders" && r.getLong(1) == 2L),
+        s"REPLACE must land version 2 (${shown.mkString(",")})")
+      require(graft.table.ViewStore.versions(s"$dir/big_orders") ==
+        Seq(1L, 2L), "version 1 must stay on disk")
+      s.sql(s"SELECT * FROM graft.`$dir/big_orders`")
+    }),
+
     "q117_struct_lifecycle" -> ((s, d) => {
       // nested types PASS THROUGH the table layer (the reference never
       // declares a schema — common/iceberg.py:45-54 carries whatever
@@ -2923,6 +2959,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
+
+    // the REPLACED view definition over the unappended orders (the
+    // in-query synthetic append is excluded by the < keyBase bound)
+    "q119_view_lifecycle" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin,
 
     // struct pass-through: merged state rebuilt with struct_pack (field
     // order and names match Spark's struct() exactly — value hashing

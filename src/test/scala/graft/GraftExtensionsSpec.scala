@@ -629,9 +629,18 @@ class GraftExtensionsSpec extends SparkSpec {
       .toDF("id", "ts", "s"))
     assert(t.read(spark).filter(col("id") === 1000L)
       .select("ts_month").head.getString(0) == "2026-03")
-    // an unsupported transform fails loudly
+    // bucket over a STRING key is supported (Iceberg Appendix B — the
+    // r10 generalization; it used to refuse)
+    spark.sql(s"CREATE TABLE graft.`${root}2` PARTITIONED BY (bucket(8, s)) " +
+      "AS SELECT * FROM graft_ctas_tr_src")
+    val t2 = SnapshotTable.at(s"${root}2")
+    assert(t2.currentManifest.properties
+      .get("graft.transform.s_bucket").contains("bucket(8,s)"))
+    val (ks, ts2) = t2.pruneCounts(col("s") === "v42")
+    assert(ks < ts2, "string point predicate must prune through the bucket")
+    // a genuinely undefined transform still fails loudly
     intercept[Exception](spark.sql(
-      s"CREATE TABLE graft.`${root}2` PARTITIONED BY (bucket(8, s)) " +
+      s"CREATE TABLE graft.`${root}3` PARTITIONED BY (days(s)) " +
         "AS SELECT * FROM graft_ctas_tr_src"))
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.table.{SnapshotTable, ViewStore}
+
+/** Iceberg-analog VIEW surface: versioned stored metadata, SQL
+  * re-resolved per read (a view tracks table changes), REPLACE
+  * versioning, SHOW VIEWS, refusals, and non-interference with Spark's
+  * own temp-view DDL.
+  */
+class ViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("view lifecycle: create → read → replace (versioned) → drop") {
+    val dir = Files.createTempDirectory("graft-views-").toString
+    val tblRoot = s"$dir/base"
+    val t = SnapshotTable.at(tblRoot)
+    t.createOrReplace((1 to 100).map(i => (i.toLong, i % 5)).toDF("id", "p"))
+    val vPath = s"$dir/v_even"
+    spark.sql(s"CREATE VIEW graft.`$vPath` AS " +
+      s"SELECT id, p FROM graft.`$tblRoot` WHERE id % 2 = 0")
+    def n(path: String): Long =
+      spark.sql(s"SELECT count(*) AS n FROM graft.`$path`").head.getLong(0)
+    assert(n(vPath) == 50)
+    // SQL-representation semantics: the view tracks TABLE changes
+    t.append(spark, Seq((101L, 0), (102L, 0)).toDF("id", "p"))
+    assert(n(vPath) == 51)
+    // CREATE on an existing view refuses; IF NOT EXISTS no-ops
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE VIEW graft.`$vPath` AS SELECT 1 AS x"))
+    assert(e1.getMessage.contains("already exists"))
+    spark.sql(s"CREATE VIEW IF NOT EXISTS graft.`$vPath` AS SELECT 1 AS x")
+    assert(n(vPath) == 51, "IF NOT EXISTS must not replace the definition")
+    // REPLACE writes version 2 and keeps version 1 on disk (versioned
+    // view metadata — the Iceberg view-spec shape)
+    spark.sql(s"CREATE OR REPLACE VIEW graft.`$vPath` AS " +
+      s"SELECT id FROM graft.`$tblRoot` WHERE id % 2 = 1")
+    assert(ViewStore.currentVersion(vPath) == 2L)
+    assert(ViewStore.versions(vPath) == Seq(1L, 2L))
+    assert(ViewStore.sqlAt(vPath, 1L).contains("% 2 = 0"))
+    assert(n(vPath) == 51) // 1..102 odd
+    // SHOW VIEWS lists (view_name, current_version)
+    val rows = spark.sql(s"SHOW VIEWS IN graft.`$dir`").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("v_even", 2L)))
+    // a view over a view resolves transitively in the same session
+    val vTop = s"$dir/v_top"
+    spark.sql(s"CREATE VIEW graft.`$vTop` AS " +
+      s"SELECT count(*) AS n FROM graft.`$vPath`")
+    assert(spark.sql(s"SELECT n FROM graft.`$vTop`").head.getLong(0) == 51)
+    // DROP VIEW; IF EXISTS no-ops; a second plain drop refuses
+    spark.sql(s"DROP VIEW graft.`$vTop`")
+    intercept[Exception](spark.sql(s"SELECT * FROM graft.`$vTop`"))
+    spark.sql(s"DROP VIEW IF EXISTS graft.`$vTop`")
+    val e2 = intercept[Exception](spark.sql(s"DROP VIEW graft.`$vTop`"))
+    assert(e2.getMessage.contains("no view"))
+    // one path, one identity: a view cannot shadow an existing TABLE
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE VIEW graft.`$tblRoot` AS SELECT 1 AS x"))
+    assert(e3.getMessage.contains("TABLE"))
+    // an unparsable definition refuses at CREATE, not at first read
+    intercept[Exception](spark.sql(
+      s"CREATE VIEW graft.`$dir/v_bad` AS SELEKT nonsense"))
+    assert(!ViewStore.exists(s"$dir/v_bad"))
+    // Spark's own temp-view DDL delegates untouched
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tmp_v AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM graft_tmp_v").head.getInt(0) == 7)
+    spark.sql("DROP VIEW graft_tmp_v")
+  }
+}
