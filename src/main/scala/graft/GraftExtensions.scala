@@ -755,7 +755,7 @@ private[graft] object GraftSqlDml {
     // bind positional-then-named onto the procedure's declared parameters
     val params: Seq[String] = proc match {
       case "expire_snapshots" => Seq("table", "older_than", "retain_last")
-      case "remove_orphan_files" => Seq("table", "older_than")
+      case "remove_orphan_files" => Seq("table", "older_than", "dry_run")
       case "rewrite_data_files" =>
         Seq("table", "target_file_size_bytes", "delete_ratio", "where",
           "strategy", "sort_order")
@@ -871,11 +871,18 @@ private[graft] object GraftSqlDml {
       case "remove_orphan_files" =>
         // one row per reclaimed path, like Iceberg's orphan_file_location;
         // size-routed: big tables sweep distributed (live-path census and
-        // listing on executors), small tables on the driver
+        // listing on executors), small tables on the driver. dry_run
+        // (Iceberg's audit argument) lists without deleting.
         val age = ageOf("older_than").getOrElse(3L * 24 * 3600 * 1000)
+        val dry = bound.get("dry_run") match {
+          case None => false
+          case Some(b: Boolean) => b
+          case Some(o) => throw new UnsupportedOperationException(
+            s"dry_run must be a boolean, got $o")
+        }
         import session.implicits._
         return Some(tbl.removeOrphanFiles(session, age, now,
-            graft.table.SnapshotTable.MaxDriverOrphanEntries)
+            graft.table.SnapshotTable.MaxDriverOrphanEntries, dry)
           .toDF("orphan_path").queryExecution.analyzed)
       case "rewrite_data_files" =>
         // where => '<predicate>' scopes the rewrite to partition groups

@@ -4497,13 +4497,18 @@ final class SnapshotTable(val root: Path,
     *   not race them. Pass 0 to reclaim everything (safe only when no
     *   writer can be in flight).
     */
+  /** @param dryRun report the orphan paths WITHOUT deleting anything
+    *   (Iceberg's `dry_run` argument) — the audit-before-reclaim step
+    *   a cautious operator runs first.
+    */
   def removeOrphanFiles(olderThanMs: Long = 3L * 24 * 3600 * 1000,
-                        nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+                        nowMs: Long = System.currentTimeMillis(),
+                        dryRun: Boolean = false): Seq[String] = {
     def aged(p: Path): Boolean =
       try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: java.io.IOException => false } // vanished: skip
     val live = livePaths(manifestVersions)
-    val chunkOrphans = sweepOrphanChunks(aged)
+    val chunkOrphans = sweepOrphanChunks(aged, dryRun = dryRun)
     if (!Files.exists(dataDir)) return chunkOrphans
     val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
       st.iterator().asScala
@@ -4514,8 +4519,10 @@ final class SnapshotTable(val root: Path,
         .map(p => root.relativize(p).toString).toSeq
     }
     val orphans = all.filterNot(live)
-    orphans.foreach(deleteWithSidecars)
-    pruneEmptyDirs(aged)
+    if (!dryRun) {
+      orphans.foreach(deleteWithSidecars)
+      pruneEmptyDirs(aged)
+    }
     orphans ++ chunkOrphans
   }
 
@@ -4530,14 +4537,21 @@ final class SnapshotTable(val root: Path,
     * to decide.
     */
   def removeOrphanFiles(spark: SparkSession, olderThanMs: Long,
-                        nowMs: Long, maxDriverEntries: Long): Seq[String] =
+                        nowMs: Long, maxDriverEntries: Long,
+                        dryRun: Boolean): Seq[String] =
     if (approxLiveEntries <= maxDriverEntries)
-      removeOrphanFiles(olderThanMs, nowMs)
-    else removeOrphanFilesDistributed(spark, olderThanMs, nowMs)
+      removeOrphanFiles(olderThanMs, nowMs, dryRun)
+    else removeOrphanFilesDistributed(spark, olderThanMs, nowMs, dryRun)
+
+  def removeOrphanFiles(spark: SparkSession, olderThanMs: Long,
+                        nowMs: Long, maxDriverEntries: Long): Seq[String] =
+    removeOrphanFiles(spark, olderThanMs, nowMs, maxDriverEntries,
+      dryRun = false)
 
   def removeOrphanFiles(spark: SparkSession): Seq[String] =
     removeOrphanFiles(spark, 3L * 24 * 3600 * 1000,
-      System.currentTimeMillis(), SnapshotTable.MaxDriverOrphanEntries)
+      System.currentTimeMillis(), SnapshotTable.MaxDriverOrphanEntries,
+      dryRun = false)
 
   /** Live data/delete entries across ALL retained snapshots, without
     * parsing a single chunk document: unique docs count once via their
@@ -4576,12 +4590,12 @@ final class SnapshotTable(val root: Path,
     * in-flight writer's just-claimed dir and fresh files survive.
     */
   private def removeOrphanFilesDistributed(spark: SparkSession,
-      olderThanMs: Long, nowMs: Long): Seq[String] = {
+      olderThanMs: Long, nowMs: Long, dryRun: Boolean = false): Seq[String] = {
     import spark.implicits._
     def aged(p: Path): Boolean =
       try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: java.io.IOException => false }
-    val chunkOrphans = sweepOrphanChunks(aged)
+    val chunkOrphans = sweepOrphanChunks(aged, dryRun = dryRun)
     if (!Files.exists(dataDir)) return chunkOrphans
     val metaStr = metaDir.toString
     val rootStr = root.toString
@@ -4631,17 +4645,20 @@ final class SnapshotTable(val root: Path,
     // deletion is idempotent (deleteIfExists), so a retried task re-runs
     // safely; listed paths are always root-relative (adopted files carry
     // absolute paths and live OUTSIDE the table — never listed here)
-    val orphans = listed.join(liveDf, Seq("path"), "left_anti")
-      .as[String]
-      .mapPartitions(_.map { rel =>
+    val orphanDf = listed.join(liveDf, Seq("path"), "left_anti").as[String]
+    val orphans =
+      if (dryRun) orphanDf.collect().toSeq
+      else orphanDf.mapPartitions(_.map { rel =>
         val p = Paths.get(rootStr).resolve(rel)
         Files.deleteIfExists(p)
         Files.deleteIfExists(
           p.resolveSibling("." + p.getFileName.toString + ".crc"))
         rel
       }).collect().toSeq
-    pruneDirsOf(orphans, aged)
-    pruneEmptyClaimedDirs(aged)
+    if (!dryRun) {
+      pruneDirsOf(orphans, aged)
+      pruneEmptyClaimedDirs(aged)
+    }
     orphans ++ chunkOrphans
   }
 
@@ -4718,7 +4735,8 @@ final class SnapshotTable(val root: Path,
     * (reference: sequential Airflow tasks).
     */
   private def sweepOrphanChunks(
-      aged: Path => Boolean = _ => true): Seq[String] = {
+      aged: Path => Boolean = _ => true,
+      dryRun: Boolean = false): Seq[String] = {
     if (!Files.exists(metaDir)) return Nil
     val referenced = manifestVersions.flatMap(v =>
       ManifestJson.chunkNames(metaDir.resolve(s"v$v.json"))).toSet
@@ -4730,7 +4748,7 @@ final class SnapshotTable(val root: Path,
           && aged(metaDir.resolve(n)))
         .toSeq
     }
-    orphans.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
+    if (!dryRun) orphans.foreach(n => Files.deleteIfExists(metaDir.resolve(n)))
     // aged publish debris: staged manifests and chunk temps a crashed
     // committer left behind (a LIVE committer's stage is younger than any
     // sane age gate), and CAS claim markers whose manifest either never
@@ -4745,7 +4763,7 @@ final class SnapshotTable(val root: Path,
         })
         .toSeq
     }
-    debris.foreach(Files.deleteIfExists(_))
+    if (!dryRun) debris.foreach(Files.deleteIfExists(_))
     val claims = metaDir.resolve("_claims")
     val deadClaims =
       if (!Files.exists(claims)) Nil
@@ -4756,7 +4774,7 @@ final class SnapshotTable(val root: Path,
             && aged(p))
           .toSeq
       }
-    deadClaims.foreach(Files.deleteIfExists(_))
+    if (!dryRun) deadClaims.foreach(Files.deleteIfExists(_))
     orphans.map(n => s"meta/$n") ++
       (debris ++ deadClaims).map(p => s"meta/${metaDir.relativize(p)}")
   }

@@ -353,6 +353,12 @@ class GraftExtensionsSpec extends SparkSpec {
     java.nio.file.Files.setLastModifiedTime(stray,
       java.nio.file.attribute.FileTime.fromMillis(
         System.currentTimeMillis() - 10L * 24 * 3600 * 1000))
+    // dry_run (Iceberg's audit argument) reports the same rows WITHOUT
+    // deleting anything
+    val dryRows = base.sql(s"CALL graft.system.remove_orphan_files(" +
+      s"'$root', dry_run => true)").collect()
+    assert(java.nio.file.Files.exists(stray), "dry_run must not delete")
+    assert(dryRows.exists(_.getString(0).endsWith("stray.parquet")))
     val orphanRows =
       base.sql(s"CALL graft.system.remove_orphan_files('$root')").collect()
     assert(!java.nio.file.Files.exists(stray))

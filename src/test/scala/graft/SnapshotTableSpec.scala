@@ -471,6 +471,15 @@ class SnapshotTableSpec extends SparkSpec {
     assert(Files.exists(stray), "young orphan must survive (in-flight writer)")
     // pretend time passed: with 'now' beyond the threshold it is reclaimed
     val later = System.currentTimeMillis() + 4L * 24 * 3600 * 1000
+    // dry_run (Iceberg's audit argument) REPORTS without deleting —
+    // on the driver path and the distributed path alike
+    assert(tbl.removeOrphanFiles(nowMs = later, dryRun = true) ==
+      Seq("data/v99/part-stray.parquet"))
+    assert(Files.exists(stray), "dry run must not delete")
+    assert(tbl.removeOrphanFiles(spark, 3L * 24 * 3600 * 1000, later,
+      maxDriverEntries = 0L, dryRun = true)
+      .contains("data/v99/part-stray.parquet"))
+    assert(Files.exists(stray), "distributed dry run must not delete")
     val removed = tbl.removeOrphanFiles(nowMs = later)
     assert(removed == Seq("data/v99/part-stray.parquet"))
     assert(!Files.exists(stray))
