@@ -349,14 +349,6 @@ case class GraftPathRelations(session: SparkSession)
     */
   private def prunedRead(ident: String, cond: Expression,
                          alias: Option[String]): LogicalPlan = {
-    // transformUp: the wrapper's child is the attribute itself, and a
-    // top-down transform would re-match it inside the wrapper forever
-    val safe = cond.transformUp {
-      case ua: UnresolvedAttribute
-          if ua.nameParts.length > 1 &&
-            !alias.exists(a => ua.nameParts.init == Seq(a)) =>
-        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(ua))
-    }
     // WAP session mode prunes against the STAGED branch head too — the
     // filtered and unfiltered reads must serve the same snapshot
     val tbl0 = SnapshotTable.at(ident)
@@ -364,6 +356,27 @@ case class GraftPathRelations(session: SparkSession)
       .filter(_.nonEmpty) match {
       case Some(b) if tbl0.branches.contains(b) => tbl0.atBranch(b)
       case _ => tbl0
+    }
+    // nested STRUCT paths are provably ours too: Spark resolves the
+    // inner scope first, so a multi-part name that binds as one of this
+    // relation's struct leaf paths (directly, or with the relation's
+    // own alias stripped) cannot be an outer reference
+    val nestedPaths: Set[String] = graft.table.FileStats.leafTypes(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        tbl.currentManifest.schemaDdl))
+      .collect { case (n, _) if n.contains(".") => n.toLowerCase }.toSet
+    def innerStructPath(parts: Seq[String]): Boolean =
+      nestedPaths(parts.mkString(".").toLowerCase) ||
+        alias.exists(a => parts.length > 2 && parts.head == a &&
+          nestedPaths(parts.tail.mkString(".").toLowerCase))
+    // transformUp: the wrapper's child is the attribute itself, and a
+    // top-down transform would re-match it inside the wrapper forever
+    val safe = cond.transformUp {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length > 1 &&
+            !alias.exists(a => ua.nameParts.init == Seq(a)) &&
+            !innerStructPath(ua.nameParts) =>
+        org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(ua))
     }
     tbl.readPruned(session, GraftBridge.column(safe))
       .queryExecution.analyzed

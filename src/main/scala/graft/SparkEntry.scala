@@ -1673,8 +1673,8 @@ object SparkEntry {
       // declares a schema — common/iceberg.py:45-54 carries whatever
       // parquet ships, structs included): CTAS with a struct column,
       // keyed MERGE updating struct values, changelog over the struct
-      // steps, footer stats recorded only for scalar leaves (graceful
-      // decline — pruning on the key still works), and type evolution on
+      // steps, footer stats recorded per LEAF under its dotted path
+      // (struct fields prune like scalars — r10), and type evolution on
       // a struct refuses loudly. Output = the final state with the
       // struct intact; the oracle rebuilds it with struct_pack.
       val root = Files.createTempDirectory("graft-q117-").toString
@@ -1702,12 +1702,15 @@ object SparkEntry {
         nUpd + nIns &&
         cdc.filter(col("_change_type") === "delete").count() == nUpd,
         "struct changelog must net exactly the merged rows")
-      // stats decline gracefully on the nested column; the scalar key
-      // still records bounds
+      // struct LEAVES record bounds under their dotted footer path
+      // (r10 nested-leaf stats — Iceberg keeps nested-field bounds the
+      // same way); the container itself records nothing; the scalar key
+      // keeps its bounds
       val m = table.currentManifest
-      require(m.files.forall(f =>
-        !f.stats.keys.exists(_.toLowerCase.startsWith("meta"))),
-        "no bounds may be recorded for a struct column")
+      require(m.files.forall(f => !f.stats.contains("meta")),
+        "no bounds may be recorded for the struct container itself")
+      require(m.files.exists(_.stats.contains("meta.price")),
+        "struct leaf bounds must record under the dotted path")
       require(m.files.exists(_.stats.contains("o_orderkey")),
         "the scalar key must keep its footer bounds")
       // evolution on the struct column refuses loudly, never silently

@@ -42,6 +42,33 @@ object FileStats {
     */
   val MaxStringBound = 96
 
+  /** Scalar leaf columns of a schema, STRUCT leaves included under their
+    * DOTTED path ("meta.price") — exactly the spelling parquet footers
+    * use (`ColumnPath.toDotString`), so nested leaf bounds/null-counts
+    * record and prune like any scalar (Iceberg keeps nested-field bounds
+    * the same way). Array/map interiors are NOT flattened (their footer
+    * paths carry repetition segments like `list.element`, and element
+    * bounds can't answer row-level predicates); a struct component whose
+    * NAME contains a literal '.' is skipped below the top level — its
+    * dotted path would be ambiguous against the footer spelling.
+    */
+  def leafTypes(schema: StructType): Seq[(String, DataType)] = {
+    def flat(prefix: String, st: StructType): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val top = prefix.isEmpty
+        val p = if (top) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          // a dotted component anywhere makes the joined path collide
+          // with some other legal path — record nothing under it
+          case s: StructType if !f.name.contains(".") => flat(p, s)
+          case _: StructType => Nil
+          case dt if top || !f.name.contains(".") => Seq(p -> dt)
+          case _ => Nil
+        }
+      }
+    flat("", schema)
+  }
+
   def collect(file: Path, schema: StructType): CollectedStats = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val conf = new org.apache.hadoop.conf.Configuration()
@@ -51,7 +78,7 @@ object FileStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val types = schema.fields.map(f => f.name -> f.dataType).toMap
+      val types = leafTypes(schema).toMap
       // per column: running (min, max) across row groups; None = dropped
       val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
       // per column: running null count; None = some row group didn't
@@ -550,18 +577,18 @@ object StatsPruning {
     case Literal(false, BooleanType) => false
     case IsNull(a) =>
       // a null-free column can't satisfy IS NULL
-      attrName(a).forall(n => !nulls(n).contains(0L))
+      attrNameIn(a, colType).forall(n => !nulls(n).contains(0L))
     case IsNotNull(a) =>
       // an all-null column can't satisfy IS NOT NULL
-      attrName(a).forall(n => !(rows > 0 && nulls(n).contains(rows)))
+      attrNameIn(a, colType).forall(n => !(rows > 0 && nulls(n).contains(rows)))
     case sw: StartsWith =>
-      (attrName(sw.left), sw.right) match {
+      (attrNameIn(sw.left, colType), sw.right) match {
         case (Some(n), Literal(p, StringType)) if p != null =>
           mayStartWith(n, p.toString, colType, bounds, nulls, rows)
         case _ => true
       }
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      attrName(a) match {
+      attrNameIn(a, colType) match {
         case Some(n) =>
           vs.exists(v => mayCompare(n, v.asInstanceOf[Literal], "=",
             colType, bounds, nulls, rows))
@@ -571,9 +598,9 @@ object StatsPruning {
     // comparison dispatch: mayCompare's all-null shortcut would wrongly
     // prune an all-null file whose every row satisfies it
     case EqualNullSafe(a, Literal(null, _)) =>
-      attrName(a).forall(n => !nulls(n).contains(0L))
+      attrNameIn(a, colType).forall(n => !nulls(n).contains(0L))
     case EqualNullSafe(Literal(null, _), a) =>
-      attrName(a).forall(n => !nulls(n).contains(0L))
+      attrNameIn(a, colType).forall(n => !nulls(n).contains(0L))
     case c: BinaryComparison =>
       val (op, a, l) = (c, c.left, c.right) match {
         case (_: EqualTo, x, y)            => ("=", x, y)
@@ -584,7 +611,7 @@ object StatsPruning {
         case (_: LessThanOrEqual, x, y)    => ("<=", x, y)
         case _                             => ("?", c.left, c.right)
       }
-      (attrName(a), l, attrName(l), a) match {
+      (attrNameIn(a, colType), l, attrNameIn(l, colType), a) match {
         case (Some(n), lit: Literal, _, _) =>
           mayCompare(n, lit, op, colType, bounds, nulls, rows)
         case (_, _, Some(n), lit: Literal) => // literal on the left: flip
@@ -612,7 +639,9 @@ object StatsPruning {
     * None — never a wrong skip. Multiple binding conjuncts intersect.
     */
   private[table] def pointValues(expr: Expression, colName: String,
-                                 colType: DataType): Option[Set[String]] = {
+                                 colType: DataType,
+                                 lookup: String => Option[DataType])
+                                 : Option[Set[String]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
@@ -629,13 +658,12 @@ object StatsPruning {
         Some(s.toString)
       case _ => None
     }
+    def named(a: Expression): Boolean =
+      attrNameIn(a, lookup).exists(_.equalsIgnoreCase(colName))
     def bind(e: Expression): Option[Set[String]] = e match {
-      case EqualTo(a, l: Literal) if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
-        render(l).map(Set(_))
-      case EqualTo(l: Literal, a) if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
-        render(l).map(Set(_))
-      case In(a, vs) if attrName(a).exists(_.equalsIgnoreCase(colName)) &&
-          vs.forall(_.isInstanceOf[Literal]) =>
+      case EqualTo(a, l: Literal) if named(a) => render(l).map(Set(_))
+      case EqualTo(l: Literal, a) if named(a) => render(l).map(Set(_))
+      case In(a, vs) if named(a) && vs.forall(_.isInstanceOf[Literal]) =>
         val rendered = vs.map(v => render(v.asInstanceOf[Literal]))
         if (rendered.forall(_.isDefined)) Some(rendered.flatten.toSet) else None
       case _ => None
@@ -655,7 +683,8 @@ object StatsPruning {
     * match any stored value). None = no skip, never a wrong one.
     */
   private[table] def bucketPointHits(expr: Expression, colName: String,
-      colType: DataType, n: Int): Option[Set[Int]] = {
+      colType: DataType, n: Int,
+      lookup: String => Option[DataType]): Option[Set[Int]] = {
     import graft.functions.Bucket
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -683,15 +712,12 @@ object StatsPruning {
         case _ => None
       }
     }
+    def named(a: Expression): Boolean =
+      attrNameIn(a, lookup).exists(_.equalsIgnoreCase(colName))
     def bind(e: Expression): Option[Set[Int]] = e match {
-      case EqualTo(a, l: Literal)
-          if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
-        hash(l).map(Set(_))
-      case EqualTo(l: Literal, a)
-          if attrName(a).exists(_.equalsIgnoreCase(colName)) =>
-        hash(l).map(Set(_))
-      case In(a, vs) if attrName(a).exists(_.equalsIgnoreCase(colName)) &&
-          vs.forall(_.isInstanceOf[Literal]) =>
+      case EqualTo(a, l: Literal) if named(a) => hash(l).map(Set(_))
+      case EqualTo(l: Literal, a) if named(a) => hash(l).map(Set(_))
+      case In(a, vs) if named(a) && vs.forall(_.isInstanceOf[Literal]) =>
         val hashed = vs.map(v => hash(v.asInstanceOf[Literal]))
         if (hashed.forall(_.isDefined)) Some(hashed.flatten.toSet) else None
       case _ => None
@@ -703,6 +729,44 @@ object StatsPruning {
   private def attrName(e: Expression): Option[String] = e match {
     case ua: UnresolvedAttribute => Some(ua.nameParts.last)
     case ar: AttributeReference  => Some(ar.name)
+    case _ => None
+  }
+
+  /** Schema-aware attribute resolution — nested struct leaves render
+    * DOTTED ("meta.price"), matching [[FileStats.leafTypes]] recording.
+    * A multi-part reference `a.b` is AMBIGUOUS on its face: alias `a`
+    * qualifying column `b`, or struct `a`'s field `b`. Every dotted
+    * suffix is resolved against the schema and the reference binds only
+    * when EXACTLY ONE reading resolves; two readings decline (None) —
+    * a decline can only cost a prune, never correctness. (The previous
+    * last-part-unconditionally rule let a nested predicate whose leaf
+    * name collided with a top-level column consult the WRONG column's
+    * bounds.) `GetStructField` chains rooted at an attribute are
+    * unambiguous and render directly.
+    */
+  private def attrNameIn(e: Expression,
+      colType: String => Option[DataType]): Option[String] = e match {
+    case ar: AttributeReference => Some(ar.name)
+    case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+      Some(ua.nameParts.head)
+    case ua: UnresolvedAttribute =>
+      val parts = ua.nameParts
+      val readings = parts.indices.map(i => parts.drop(i).mkString("."))
+        .filter(s => colType(s).isDefined).distinct
+      readings match {
+        case Seq(one) => Some(one)
+        case _        => None // unresolvable or ambiguous: never guess
+      }
+    case g: GetStructField =>
+      def chain(x: Expression): Option[String] = x match {
+        case gg: GetStructField =>
+          chain(gg.child).map(p => p + "." + gg.extractFieldName)
+        case ar: AttributeReference => Some(ar.name)
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          Some(ua.nameParts.head)
+        case _ => None
+      }
+      chain(g)
     case _ => None
   }
 

@@ -400,7 +400,7 @@ final class SnapshotTable(val root: Path,
         // decimal — the full Appendix-B set); ambiguous literal types
         // decline conservatively inside bucketPointHits
         pcol -> types(src).flatMap(dt =>
-          StatsPruning.bucketPointHits(expr, src, dt, n))
+          StatsPruning.bucketPointHits(expr, src, dt, n, types))
     }
     def bucketOk(f: FileEntry): Boolean = bucketHits.forall {
       case (pcol, Some(hits)) =>
@@ -433,7 +433,7 @@ final class SnapshotTable(val root: Path,
             val pcol = m.partitionColumns.head
             val direct = for {
               dt <- types(pcol)
-              vs <- StatsPruning.pointValues(expr, pcol, dt)
+              vs <- StatsPruning.pointValues(expr, pcol, dt, types)
             } yield vs
             // a bucket-TRANSFORM partition column reaches the same skip
             // through the raw key: id = 42 pins pb = bucket(42, n), and
@@ -844,7 +844,12 @@ final class SnapshotTable(val root: Path,
     }
 
   private def typeLookup(schema: StructType): String => Option[DataType] = {
-    val byLower = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // top-level fields PLUS nested struct leaves under their dotted path
+    // (FileStats.leafTypes — the footer's own spelling), so predicates
+    // on struct fields decode bounds in the leaf's type domain
+    val byLower = (schema.fields.map(f => f.name -> f.dataType) ++
+      FileStats.leafTypes(schema))
+      .map { case (n, dt) => n.toLowerCase -> dt }.toMap
     name => byLower.get(name.toLowerCase)
   }
 

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.table.SnapshotTable
+
+/** Nested-leaf footer stats (Iceberg records bounds for struct fields):
+  * struct leaves land in the manifest under their DOTTED path and prune
+  * scalar predicates; multi-part name resolution is schema-aware and
+  * DECLINES on ambiguity — the latent wrong-prune (a nested predicate
+  * whose leaf name collides with a top-level column consulting the
+  * wrong bounds) is pinned here.
+  */
+class NestedStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable() =
+    SnapshotTable.at(Files.createTempDirectory("graft-nested-stats-").toString)
+
+  test("struct leaf bounds record, prune API + SQL reads, and stay exact") {
+    val t = freshTable()
+    val df = (1 to 4000).map(i => (i.toLong, s"t$i")).toDF("id", "tag")
+      .repartitionByRange(16, col("id"))
+      .select($"id",
+        struct($"id".cast("double").as("price"), $"tag").as("meta"))
+    t.createOrReplace(df)
+    val m = t.currentManifest
+    assert(m.files.exists(_.stats.contains("meta.price")),
+      "struct leaf bounds must record under the dotted footer path")
+    val total = m.files.size
+    assert(total >= 8)
+    // API path: the leaf predicate prunes via the dotted bounds
+    val (kept, _) = t.pruneCounts(col("meta.price") <= 100.0)
+    assert(kept < total, s"leaf predicate must prune ($kept/$total)")
+    assert(t.readWhere(spark, col("meta.price") <= 100.0).count() == 100)
+    // IS NULL prunes on a null-free leaf; IS NOT NULL keeps
+    assert(t.pruneCounts(col("meta.price").isNull)._1 == 0)
+    assert(t.readWhere(spark, col("meta.price").isNotNull).count() == 4000)
+    // STRUCTURAL proof the SQL path prunes too: delete every out-of-range
+    // file from disk — the queries below can only succeed by never
+    // listing them (ignoreMissingFiles is off)
+    val doomed = m.files.filter(f =>
+      f.stats.get("meta.price").exists(_.min.toDouble > 100.0))
+    assert(doomed.nonEmpty)
+    doomed.foreach(f => Files.delete(t.root.resolve(f.path)))
+    assert(t.readWhere(spark, col("meta.price") <= 100.0).count() == 100)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE meta.price <= 100.0").head.getLong(0) == 100,
+      "unqualified nested SQL predicate must prune (wrap relaxation)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` g " +
+      "WHERE g.meta.price <= 100.0").head.getLong(0) == 100,
+      "alias-qualified nested SQL predicate must prune")
+  }
+
+  test("leaf name colliding with a top-level column declines, never " +
+      "consults the wrong bounds") {
+    val t = freshTable()
+    // top-level `price` holds values 100k+; the NESTED meta.price holds
+    // ids — before schema-aware resolution, col(\"meta.price\") <= 100
+    // consulted TOP-LEVEL price's bounds (min > 100) and pruned away
+    // every matching file: a wrong empty result
+    val df = (1 to 2000).map(i => (i.toLong, i + 100000.0)).toDF("id", "price")
+      .repartitionByRange(8, col("id"))
+      .select($"id", $"price",
+        struct($"id".cast("double").as("price")).as("meta"))
+    t.createOrReplace(df)
+    val total = t.currentManifest.files.size
+    assert(t.readWhere(spark, col("meta.price") <= 100.0).count() == 100,
+      "the nested predicate must return its rows (the latent mis-prune)")
+    // ambiguity declines: no pruning on the nested spelling...
+    assert(t.pruneCounts(col("meta.price") <= 100.0)._1 == total)
+    // ...while the unambiguous top-level column still prunes
+    assert(t.pruneCounts(col("price") <= 100100.0)._1 < total)
+    assert(t.readWhere(spark, col("price") <= 100100.0).count() == 100)
+    // SQL: both spellings answer exactly
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE meta.price <= 100.0").head.getLong(0) == 100)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE price <= 100100.0").head.getLong(0) == 100)
+  }
+
+  test("metadata DELETE declines on nested predicates; CoW stays exact") {
+    val t = freshTable()
+    val df = (1 to 1000).map(i => i.toLong).toDF("id")
+      .repartitionByRange(8, col("id"))
+      .select($"id", struct($"id".cast("double").as("price")).as("meta"))
+    t.createOrReplace(df)
+    t.deleteWhere(spark, col("meta.price") <= 100.0)
+    assert(t.read(spark).count() == 900)
+    assert(t.read(spark).filter(col("meta.price") <= 100.0).count() == 0)
+  }
+}

@@ -75,10 +75,15 @@ class SchemaDriftSpec extends SparkSpec {
     val evolved = tbl.read(spark)
     assert(evolved.schema("extra").dataType.isInstanceOf[StructType])
     assert(evolved.filter($"extra".isNull).count() == 40)
-    // stats: nothing recorded for nested columns, scalar key bounds live
+    // stats: struct LEAVES record under dotted paths (r10), containers
+    // and array/map interiors record nothing, scalar key bounds live
     val m = tbl.currentManifest
     assert(m.files.forall(f => !f.stats.keys.exists(k =>
       Seq("meta", "arr", "m", "extra").exists(k.equalsIgnoreCase))))
+    assert(m.files.exists(_.stats.contains("meta.price")),
+      "struct leaf bounds must record under the dotted path")
+    assert(m.files.forall(f => !f.stats.keys.exists(_.startsWith("arr"))),
+      "array interiors must not record row-level bounds")
     assert(m.files.exists(_.stats.contains("id")))
     // struct evolution refuses loudly: widening is int→long/float→double
     val e = intercept[IllegalArgumentException] {
