@@ -154,8 +154,12 @@ object Bench {
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode"}"""
     println(line)
     // durable copy: a truncated stdout capture (BENCH_r09 lost q01-q29)
-    // must never lose the round's numbers
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_local.json"),
+    // must never lose the round's numbers. SPARK_GRAFT_BENCH_OUT
+    // overrides the destination; the default lands in the launch cwd
+    // (the repo root under the driver's invocation).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_local.json")),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () } // stdout still rules
     spark.stop()

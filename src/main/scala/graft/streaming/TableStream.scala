@@ -222,17 +222,30 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * past the winner's sub-millisecond create-to-write window.
     */
   private def durablePin(name: String)(compute: => Long): Long =
-    durablePinStr(name)(compute.toString).toLong
+    durablePinStr(name, s => s.nonEmpty && s.forall(c =>
+      c.isDigit || c == '-'))(compute.toString).toLong
 
-  private def durablePinStr(name: String)(compute: => String): String = {
+  /** @param valid torn-read detector: a pin file read DURING the
+    *   winner's create-to-write window yields partial content (usually
+    *   ""), which must READ AS INVALID so the loser's retry loop below
+    *   re-reads instead of accepting it — the Long pins validated this
+    *   implicitly via `.toLong` throwing; string pins need it explicit
+    *   (an empty string may be legal FINAL content for some encodings,
+    *   so each caller declares what a complete pin looks like).
+    */
+  private def durablePinStr(name: String, valid: String => Boolean)
+                           (compute: => String): String = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(metadataPath)
     val fs = dir.getFileSystem(hadoopConf)
     val pin = new org.apache.hadoop.fs.Path(dir, name)
     def readPin(): String = {
       val in = fs.open(pin)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(valid(s), s"torn or malformed pin $name: '$s'")
+      s
     }
     if (fs.exists(pin)) readPin()
     else {
@@ -314,10 +327,8 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * (the stream restarts and re-reads) instead of parsing as keyless.
     */
   private lazy val cdcKeys: Seq[String] = {
-    val s = durablePinStr("graft-cdc-keys")(
+    val s = durablePinStr("graft-cdc-keys", _.startsWith("keys="))(
       "keys=" + tbl.identifierFields.mkString(","))
-    require(s.startsWith("keys="),
-      s"malformed graft-cdc-keys pin under $metadataPath: '$s'")
     s.stripPrefix("keys=").split(',').toSeq.filter(_.nonEmpty)
   }
 

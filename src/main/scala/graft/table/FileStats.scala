@@ -66,7 +66,12 @@ object FileStats {
           case _ => Nil
         }
       }
-    flat("", schema)
+    // a TOP-LEVEL scalar literally named "meta.price" spells the same
+    // dot-string as struct meta's leaf price — merging two different
+    // parquet columns' stats under one key could decode garbage bounds
+    // and wrongly prune; drop every colliding key outright
+    flat("", schema).groupBy(_._1.toLowerCase).valuesIterator
+      .collect { case Seq(one) => one }.toSeq
   }
 
   def collect(file: Path, schema: StructType): CollectedStats = {
@@ -724,12 +729,6 @@ object StatsPruning {
     }
     val binds = conjuncts(normalize(expr)).flatMap(bind)
     if (binds.isEmpty) None else Some(binds.reduce(_ intersect _))
-  }
-
-  private def attrName(e: Expression): Option[String] = e match {
-    case ua: UnresolvedAttribute => Some(ua.nameParts.last)
-    case ar: AttributeReference  => Some(ar.name)
-    case _ => None
   }
 
   /** Schema-aware attribute resolution — nested struct leaves render

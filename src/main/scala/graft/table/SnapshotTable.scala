@@ -2054,12 +2054,15 @@ final class SnapshotTable(val root: Path,
     // feed carries no deletes/preimages, the exceptAll below subtracts
     // nothing — yet it shuffles the ENTIRE table to prove it. Catalyst
     // cannot see `del` is empty (it's a runtime property of the feed),
-    // so probe it with a take(1) — a shuffle-free partial scan of the
-    // feed — and commit the insert side as a fast-append: every live
-    // file carries BY REFERENCE, write amplification is O(feed), the
-    // 100 TB bootstrap path. Column-set mismatch (evolution drift
-    // between feed and target) falls through to the general rewrite,
-    // whose unionByName resolves it.
+    // so probe with take(1). Honest cost accounting: when a delete
+    // exists the probe finds it early and costs ~nothing; when the fast
+    // path FIRES, proving emptiness is one full shuffle-free pass over
+    // the feed, and the append re-evaluates the feed once more — two
+    // feed reads total, still far under the general path's full-TABLE
+    // shuffle + rewrite (the table dwarfs any one feed at scale).
+    // Callers with an expensive feed plan can persist it first. Column-
+    // set mismatch (evolution drift between feed and target) falls
+    // through to the general rewrite, whose unionByName resolves it.
     if (del.isEmpty) {
       if (!exists) return createOrReplace(ins, Nil, Map.empty, nowMs)
       val tgtCols = StructType.fromDDL(currentManifest.schemaDdl).fieldNames
@@ -4558,6 +4561,31 @@ final class SnapshotTable(val root: Path,
       System.currentTimeMillis(), SnapshotTable.MaxDriverOrphanEntries,
       dryRun = false)
 
+  /** THE single definition of "live" for every orphan census: one walk
+    * over the retained manifests yielding (unique chunk REFS — deduped
+    * by name, never parsed here; loose/inline/delete PATHS, duplicates
+    * across versions kept). livePaths, the sizing estimate, and the
+    * distributed sweep's builders all derive from this — they must
+    * never diverge on what counts as live, or a sweep deletes
+    * referenced data.
+    */
+  private def liveRefs(versions: Seq[Long]): (Vector[ChunkRef], Vector[String]) = {
+    val seen = scala.collection.mutable.Set[String]()
+    val chunks = Vector.newBuilder[ChunkRef]
+    val loose = Vector.newBuilder[String]
+    versions.foreach { v =>
+      val m = manifest(v)
+      m.deleteFiles.foreach(d => loose += d.path)
+      m.files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          fl.inline.foreach(f => loose += f.path)
+          fl.chunks.foreach(c => if (seen.add(c.name)) chunks += c)
+        case s => s.foreach(f => loose += f.path)
+      }
+    }
+    (chunks.result(), loose.result())
+  }
+
   /** Live data/delete entries across ALL retained snapshots, without
     * parsing a single chunk document: unique docs count once via their
     * rollup `count`, inline/loose/delete entries are already on the
@@ -4565,18 +4593,8 @@ final class SnapshotTable(val root: Path,
     * count), which errs toward the distributed path — the safe side.
     */
   private def approxLiveEntries: Long = {
-    val seen = scala.collection.mutable.Set[String]()
-    manifestVersions.iterator.map { v =>
-      val m = manifest(v)
-      val files = m.files match {
-        case fl: FileList if fl.chunks.nonEmpty =>
-          fl.inline.size.toLong +
-            fl.chunks.iterator.filter(c => seen.add(c.name))
-              .map(_.count.toLong).sum
-        case s => s.size.toLong
-      }
-      files + m.deleteFiles.size
-    }.sum
+    val (chunks, loose) = liveRefs(manifestVersions)
+    chunks.iterator.map(_.count.toLong).sum + loose.size
   }
 
   /** Distributed orphan sweep (the 100 TB shape): executors parse the
@@ -4604,21 +4622,9 @@ final class SnapshotTable(val root: Path,
     if (!Files.exists(dataDir)) return chunkOrphans
     val metaStr = metaDir.toString
     val rootStr = root.toString
-    val seen = scala.collection.mutable.Set[String]()
-    val docNamesB = Vector.newBuilder[String]
-    val looseB = Vector.newBuilder[String]
-    manifestVersions.foreach { v =>
-      val m = manifest(v)
-      m.deleteFiles.foreach(d => looseB += d.path)
-      m.files match {
-        case fl: FileList if fl.chunks.nonEmpty =>
-          fl.inline.foreach(f => looseB += f.path)
-          fl.chunks.foreach(c => if (seen.add(c.name)) docNamesB += c.name)
-        case s => s.foreach(f => looseB += f.path)
-      }
-    }
-    val docs = docNamesB.result()
-    val loose = looseB.result().distinct
+    val (chunkRefs, loosePaths) = liveRefs(manifestVersions)
+    val docs = chunkRefs.map(_.name)
+    val loose = loosePaths.distinct
     val chunkLive =
       if (docs.isEmpty) spark.emptyDataset[String]
       else spark.createDataset(docs)
@@ -4628,25 +4634,39 @@ final class SnapshotTable(val root: Path,
     val liveDf =
       (if (loose.isEmpty) chunkLive
        else chunkLive.union(spark.createDataset(loose))).toDF("path")
-    val commitDirs = scala.util.Using.resource(Files.list(dataDir))(
-      _.iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.toString).toVector)
-    if (commitDirs.isEmpty) return chunkOrphans
-    val listed = spark.createDataset(commitDirs)
-      .repartition(math.min(commitDirs.size, 32))
-      .flatMap { dirStr =>
-        val rootP = Paths.get(rootStr)
-        scala.util.Using.resource(Files.walk(Paths.get(dirStr))) { st =>
-          st.iterator().asScala
-            .filter(p => Files.isRegularFile(p) &&
-              p.toString.endsWith(".parquet") &&
-              !p.getFileName.toString.startsWith(".") && {
-                try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
-                catch { case _: java.io.IOException => false }
-              })
-            .map(p => rootP.relativize(p).toString).toVector
+    // one shallow listing splits the tree: commit DIRS walk on executors;
+    // stray files sitting directly under data/ (external debris — the
+    // driver walk sees them too, parity matters) ride from the driver
+    val (commitDirs, topFiles) = {
+      val all = scala.util.Using.resource(Files.list(dataDir))(
+        _.iterator().asScala.toVector)
+      (all.filter(Files.isDirectory(_)).map(_.toString),
+        all.filter(p => Files.isRegularFile(p) &&
+          p.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith(".") && aged(p))
+          .map(p => root.relativize(p).toString))
+    }
+    if (commitDirs.isEmpty && topFiles.isEmpty) return chunkOrphans
+    val walked =
+      if (commitDirs.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(commitDirs)
+        .repartition(math.min(commitDirs.size, 32))
+        .flatMap { dirStr =>
+          val rootP = Paths.get(rootStr)
+          scala.util.Using.resource(Files.walk(Paths.get(dirStr))) { st =>
+            st.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.toString.endsWith(".parquet") &&
+                !p.getFileName.toString.startsWith(".") && {
+                  try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
+                  catch { case _: java.io.IOException => false }
+                })
+              .map(p => rootP.relativize(p).toString).toVector
+          }
         }
-      }.toDF("path")
+    val listed =
+      (if (topFiles.isEmpty) walked
+       else walked.union(spark.createDataset(topFiles))).toDF("path")
     // deletion is idempotent (deleteIfExists), so a retried task re-runs
     // safely; listed paths are always root-relative (adopted files carry
     // absolute paths and live OUTSIDE the table — never listed here)
@@ -4679,11 +4699,17 @@ final class SnapshotTable(val root: Path,
     }.toSet
     implicated.toSeq.sortBy(-_.getNameCount).foreach { d =>
       if (Files.exists(d)) {
-        val hasData = scala.util.Using.resource(Files.walk(d))(
-          _.iterator().asScala.exists(p =>
-            Files.isRegularFile(p) && p.toString.endsWith(".parquet")
-              && !p.getFileName.toString.startsWith(".")))
-        if (!hasData && aged(d))
+        // never gate on the DIR's mtime: our own deletions just bumped
+        // it, and this sweep only ever revisits implicated dirs — a
+        // dir-mtime gate would leak every emptied dir forever under a
+        // real clock. Protect in-flight writers by CONTENT instead:
+        // keep the dir while any remaining file is parquet data or
+        // younger than the age gate (a writer's fresh temp/marker).
+        val keep = scala.util.Using.resource(Files.walk(d))(
+          _.iterator().asScala.exists(p => Files.isRegularFile(p) &&
+            ((p.toString.endsWith(".parquet") &&
+              !p.getFileName.toString.startsWith(".")) || !aged(p))))
+        if (!keep)
           scala.util.Using.resource(Files.walk(d))(
             _.iterator().asScala.toSeq)
             .sortBy(-_.getNameCount)
@@ -4715,19 +4741,11 @@ final class SnapshotTable(val root: Path,
     * not O(versions × files).
     */
   private def livePaths(versions: Seq[Long]): Set[String] = {
-    val seenDocs = scala.collection.mutable.Set[String]()
+    val (chunks, loose) = liveRefs(versions)
     val out = Set.newBuilder[String]
-    versions.foreach { v =>
-      val m = manifest(v)
-      m.deleteFiles.foreach(d => out += d.path)
-      m.files match {
-        case fl: FileList if fl.chunks.nonEmpty =>
-          fl.inline.foreach(f => out += f.path)
-          fl.chunks.foreach(c =>
-            if (seenDocs.add(c.name)) fl.loadChunk(c).foreach(f => out += f.path))
-        case s => s.foreach(f => out += f.path)
-      }
-    }
+    loose.foreach(out += _)
+    chunks.foreach(c => ManifestJson
+      .readChunkEntries(metaDir.resolve(c.name)).foreach(f => out += f.path))
     out.result()
   }
 

@@ -75,7 +75,6 @@ object ViewStore {
         s"view $root already exists (use CREATE OR REPLACE VIEW, " +
           "IF NOT EXISTS, or DROP VIEW first)")
     }
-    val v = versions(root).lastOption.getOrElse(0L) + 1
     Files.createDirectories(dir(rootP))
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -83,9 +82,25 @@ object ViewStore {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val json =
-      s"""{"version":$v,"timestampMs":$nowMs,"sql":"${esc(viewSql)}"}"""
-    Files.write(doc(rootP, v), json.getBytes(StandardCharsets.UTF_8))
+    // version docs claim with O_EXCL (CREATE_NEW) so concurrent creates
+    // can never truncate each other's definition — a lost race bumps to
+    // the next number and both docs survive; the pointer write is the
+    // publish (last writer wins, like a ref head). A crash between doc
+    // and pointer leaves an unreferenced doc the next create skips past.
+    var v = versions(root).lastOption.getOrElse(0L) + 1
+    var written = false
+    while (!written) {
+      val json =
+        s"""{"version":$v,"timestampMs":$nowMs,"sql":"${esc(viewSql)}"}"""
+      try {
+        Files.write(doc(rootP, v), json.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        written = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
     Files.write(pointer(rootP), v.toString.getBytes(StandardCharsets.UTF_8))
     v
   }
@@ -99,9 +114,11 @@ object ViewStore {
     val d = dir(Paths.get(root))
     scala.util.Using.resource(Files.walk(d))(_.iterator().asScala.toSeq)
       .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
-    // the view dir was the path's only content (tables refuse to share);
-    // remove the now-empty root dir too when possible
-    Files.deleteIfExists(Paths.get(root))
+    // best-effort: remove the root dir too when the view was its only
+    // content — a pre-existing dir holding other files stays (the drop
+    // itself already succeeded)
+    try Files.deleteIfExists(Paths.get(root))
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     true
   }
 

@@ -81,6 +81,19 @@ class NestedStatsSpec extends SparkSpec {
       "WHERE price <= 100100.0").head.getLong(0) == 100)
   }
 
+  test("a top-level column spelling a struct leaf's dotted path drops " +
+      "BOTH stats keys (merged bounds would decode garbage)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("meta.price", StringType),
+      StructField("meta", StructType(Seq(StructField("price", DoubleType)))),
+      StructField("id", LongType)))
+    val keys = graft.table.FileStats.leafTypes(schema).map(_._1)
+    assert(!keys.contains("meta.price"),
+      s"colliding dot-string keys must drop outright (got $keys)")
+    assert(keys.contains("id"))
+  }
+
   test("metadata DELETE declines on nested predicates; CoW stays exact") {
     val t = freshTable()
     val df = (1 to 1000).map(i => i.toLong).toDF("id")

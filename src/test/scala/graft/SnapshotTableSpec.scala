@@ -549,6 +549,43 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("distributed sweep under a REAL clock: emptied dirs prune by " +
+      "content, young files protect theirs, depth-1 strays reclaim") {
+    val tbl = freshTable()
+    Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)
+    val now = System.currentTimeMillis()
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      now - 10L * 24 * 3600 * 1000)
+    def stray(rel: String, backdate: Boolean): java.nio.file.Path = {
+      val p = tbl.root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte](1))
+      if (backdate) Files.setLastModifiedTime(p, old)
+      p
+    }
+    // aged orphan in a nested dir: deleting it bumps the DIR's mtime —
+    // the dir must still prune (content-based check, never dir mtime:
+    // the old gate leaked every emptied dir forever under a real clock)
+    stray("data/v77/sub/part-old.parquet", backdate = true)
+    // aged orphan next to a YOUNG non-parquet temp: the dir survives
+    // (an in-flight writer's claimed dir)
+    stray("data/v78/part-old2.parquet", backdate = true)
+    stray("data/v78/tmp-inflight", backdate = false)
+    // external debris directly under data/ (no commit dir): the driver
+    // walk reclaims these — the distributed listing must too
+    stray("data/top-stray.parquet", backdate = true)
+    val removed = tbl.removeOrphanFiles(spark,
+      3L * 24 * 3600 * 1000, now, maxDriverEntries = 0L, dryRun = false)
+    assert(removed.contains("data/v77/sub/part-old.parquet"))
+    assert(removed.contains("data/v78/part-old2.parquet"))
+    assert(removed.contains("data/top-stray.parquet"))
+    assert(!Files.exists(tbl.root.resolve("data/v77")),
+      "emptied dirs must prune despite their fresh mtime")
+    assert(Files.exists(tbl.root.resolve("data/v78/tmp-inflight")),
+      "a young temp file must protect its dir")
+    assert(tbl.read(spark).count() == 10)
+  }
+
   test("publish lock serializes commits across PROCESSES") {
     val tbl = freshTable()
     Ingestion.run(spark, tbl, batch(1 to 10, t0, 1.0), cfg, t0)

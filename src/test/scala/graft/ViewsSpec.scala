@@ -68,4 +68,30 @@ class ViewsSpec extends SparkSpec {
     assert(spark.sql("SELECT x FROM graft_tmp_v").head.getInt(0) == 7)
     spark.sql("DROP VIEW graft_tmp_v")
   }
+
+  test("view docs claim with O_EXCL; DROP leaves foreign dir content") {
+    val dir = Files.createTempDirectory("graft-views2-").toString
+    val vPath = s"$dir/v"
+    // a pre-existing unrelated file in the view's directory
+    Files.createDirectories(java.nio.file.Paths.get(vPath))
+    Files.write(java.nio.file.Paths.get(s"$vPath/unrelated.txt"),
+      "keep".getBytes)
+    spark.sql(s"CREATE VIEW graft.`$vPath` AS SELECT 1 AS x")
+    // simulate a crashed replace: an unreferenced v2 doc already on disk
+    // — the next create must SKIP past it (O_EXCL), never truncate it
+    val ghost = java.nio.file.Paths.get(s"$vPath/view/v2.json")
+    Files.write(ghost, """{"version":2,"timestampMs":1,"sql":"SELECT 9 AS x"}"""
+      .getBytes)
+    spark.sql(s"CREATE OR REPLACE VIEW graft.`$vPath` AS SELECT 3 AS x")
+    assert(ViewStore.currentVersion(vPath) == 3L,
+      "the create must bump past the ghost doc, not overwrite it")
+    assert(new String(Files.readAllBytes(ghost)).contains("SELECT 9"),
+      "the ghost doc's content must survive untouched")
+    assert(spark.sql(s"SELECT x FROM graft.`$vPath`").head.getInt(0) == 3)
+    // DROP removes the view but leaves the foreign file (and the dir)
+    spark.sql(s"DROP VIEW graft.`$vPath`")
+    assert(!ViewStore.exists(vPath))
+    assert(Files.exists(java.nio.file.Paths.get(s"$vPath/unrelated.txt")),
+      "DROP VIEW must not destroy unrelated directory content")
+  }
 }
