@@ -360,14 +360,19 @@ case class GraftPathRelations(session: SparkSession)
     // nested STRUCT paths are provably ours too: Spark resolves the
     // inner scope first, so a multi-part name that binds as one of this
     // relation's struct leaf paths (directly, or with the relation's
-    // own alias stripped) cannot be an outer reference
-    val nestedPaths: Set[String] = graft.table.FileStats.leafTypes(
+    // own alias stripped — compared case-insensitively, like Spark's
+    // identifier resolution) cannot be an outer reference. LAZY: the
+    // schema parse + flatten only runs when a multi-part attribute
+    // actually reaches the guard — never on the common flat-predicate
+    // read path.
+    lazy val nestedPaths: Set[String] = graft.table.FileStats.leafTypes(
       org.apache.spark.sql.types.StructType.fromDDL(
         tbl.currentManifest.schemaDdl))
       .collect { case (n, _) if n.contains(".") => n.toLowerCase }.toSet
     def innerStructPath(parts: Seq[String]): Boolean =
       nestedPaths(parts.mkString(".").toLowerCase) ||
-        alias.exists(a => parts.length > 2 && parts.head == a &&
+        alias.exists(a => parts.length > 2 &&
+          parts.head.equalsIgnoreCase(a) &&
           nestedPaths(parts.tail.mkString(".").toLowerCase))
     // transformUp: the wrapper's child is the attribute itself, and a
     // top-down transform would re-match it inside the wrapper forever

@@ -218,12 +218,13 @@ final class GraftTableSource(spark: SparkSession, path: String,
     * destination — the winner of a same-checkpoint race rules, the
     * loser reads the winner's pin. RawLocalFileSystem violates that
     * contract (rename(2) overwrites; so does POSIX ATOMIC_MOVE), so the
-    * local primitive is O_EXCL creation, the loser retrying the read
-    * past the winner's sub-millisecond create-to-write window.
+    * local primitive is write-temp-then-HARD-LINK: link(2) fails if the
+    * pin exists (the claim) and the pin is born with its full content
+    * (no torn-read window); the loser's validated retry read remains
+    * for pins written by older builds.
     */
   private def durablePin(name: String)(compute: => Long): Long =
-    durablePinStr(name, s => s.nonEmpty && s.forall(c =>
-      c.isDigit || c == '-'))(compute.toString).toLong
+    durablePinStr(name, _.matches("-?\\d+"))(compute.toString).toLong
 
   /** @param valid torn-read detector: a pin file read DURING the
     *   winner's create-to-write window yields partial content (usually
@@ -254,15 +255,23 @@ final class GraftTableSource(spark: SparkSession, path: String,
       val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
         fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
       if (local) {
+        // write the FULL content to a private temp, then claim the pin
+        // name with an atomic hard LINK (fails if it exists): the pin is
+        // born complete — no create-to-write window, so a reader can
+        // never see torn content at all (the `valid` retry loop below
+        // remains as belt-and-braces for pins written by older builds)
         val pinNio = java.nio.file.Paths.get(pin.toUri.getPath)
+        val tmpNio = pinNio.resolveSibling(
+          s".$name-${java.util.UUID.randomUUID()}.tmp")
+        java.nio.file.Files.write(tmpNio, v.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
         try {
-          java.nio.file.Files.write(pinNio, v.getBytes(
-            java.nio.charset.StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
+          java.nio.file.Files.createLink(pinNio, tmpNio)
+          java.nio.file.Files.deleteIfExists(tmpNio)
           v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
+            java.nio.file.Files.deleteIfExists(tmpNio)
             var got: Option[String] = None
             var tries = 0
             while (got.isEmpty) {

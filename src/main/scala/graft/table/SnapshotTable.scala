@@ -4709,14 +4709,23 @@ final class SnapshotTable(val root: Path,
           _.iterator().asScala.exists(p => Files.isRegularFile(p) &&
             ((p.toString.endsWith(".parquet") &&
               !p.getFileName.toString.startsWith(".")) || !aged(p))))
-        if (!keep)
-          scala.util.Using.resource(Files.walk(d))(
-            _.iterator().asScala.toSeq)
-            .sortBy(-_.getNameCount)
-            .foreach(p => Files.deleteIfExists(p))
+        if (!keep) deleteSubtree(d)
       }
     }
+    // Known margin: a sweep that crashes BETWEEN file deletion and this
+    // prune leaves empty nested dirs that later distributed sweeps never
+    // implicate again (no orphan files inside) — cosmetic debris, bounded
+    // by crash count, reclaimed by any driver-path sweep.
   }
+
+  /** Delete a directory subtree bottom-up (shared by the dir-prune
+    * paths; tolerant of entries vanishing mid-walk).
+    */
+  private def deleteSubtree(d: Path): Unit =
+    scala.util.Using.resource(Files.walk(d))(
+      _.iterator().asScala.toSeq)
+      .sortBy(-_.getNameCount)
+      .foreach(p => Files.deleteIfExists(p))
 
   /** Aged, COMPLETELY empty top-level commit dirs (a crashed writer's
     * claimed-but-never-filled data/vN): one cheap `Files.list` probe per
@@ -4829,13 +4838,8 @@ final class SnapshotTable(val root: Path,
         _.iterator().asScala.exists(p =>
           Files.isRegularFile(p) && p.toString.endsWith(".parquet")
             && !p.getFileName.toString.startsWith(".")))
-      if (!hasData && aged(d)) {
-        // delete markers then the dir itself (deepest-first ordering)
-        scala.util.Using.resource(Files.walk(d))(
-          _.iterator().asScala.toSeq)
-          .sortBy(-_.getNameCount)
-          .foreach(p => Files.deleteIfExists(p))
-      }
+      // delete markers then the dir itself (deepest-first ordering)
+      if (!hasData && aged(d)) deleteSubtree(d)
     }
   }
 
@@ -5008,6 +5012,13 @@ final class SnapshotTable(val root: Path,
                          rebaseTouched: Option[Set[Map[String, String]]] = None,
                          preclustered: Boolean = false,
                          operation: String = "overwrite"): Manifest = {
+    // one path, one identity — BOTH directions: ViewStore.create refuses
+    // a table path, and a table's BIRTH refuses a view path (the
+    // relation rule serves tables first, so a table landing here would
+    // silently shadow the view on every read)
+    require(exists || !ViewStore.exists(root.toString),
+      s"a graft VIEW exists at $root — a path is a table or a view, " +
+        "never both (DROP VIEW first)")
     // hidden-partitioning chokepoint: EVERY data write derives recorded
     // transform columns here (see materializeTransforms)
     val df = materializeTransforms(dfIn, pcols, props)

@@ -101,8 +101,20 @@ object ViewStore {
         case _: java.nio.file.FileAlreadyExistsException => v += 1
       }
     }
-    Files.write(pointer(rootP), v.toString.getBytes(StandardCharsets.UTF_8))
+    publishPointer(rootP, v)
     v
+  }
+
+  /** The pointer PUBLISH is atomic (tmp + ATOMIC_MOVE): a plain
+    * truncating write would let a concurrent reader see a torn/empty
+    * pointer mid-replace — crash or a silently stale version.
+    */
+  private def publishPointer(rootP: Path, v: Long): Unit = {
+    val tmp = dir(rootP).resolve(s"._current-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer(rootP),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Drop the view (all versions). Loud when absent unless `ifExists`. */

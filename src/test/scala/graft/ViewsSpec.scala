@@ -88,6 +88,12 @@ class ViewsSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(ghost)).contains("SELECT 9"),
       "the ghost doc's content must survive untouched")
     assert(spark.sql(s"SELECT x FROM graft.`$vPath`").head.getInt(0) == 3)
+    // exclusivity holds in BOTH directions: a table cannot be born at a
+    // view path (it would silently shadow the view on every read)
+    val eShadow = intercept[Exception] {
+      SnapshotTable.at(vPath).createOrReplace(Seq((1L, "a")).toDF("id", "s"))
+    }
+    assert(eShadow.getMessage.contains("VIEW"))
     // DROP removes the view but leaves the foreign file (and the dir)
     spark.sql(s"DROP VIEW graft.`$vPath`")
     assert(!ViewStore.exists(vPath))
