@@ -300,22 +300,37 @@ case class GraftPathRelations(session: SparkSession)
         }.getOrElse(tt)
       case u: UnresolvedRelation if cands(u).nonEmpty =>
         resolveAny(u).map(_.queryExecution.analyzed).getOrElse {
-          // stored VIEW: substitute the current definition's parsed plan
+          // stored VIEW: substitute the definition's parsed plan
           // (Iceberg SQL-representation semantics — re-resolved in THIS
           // session, so nested graft relations serve through these same
           // rules on the next fixpoint pass; a table at the path always
-          // wins above). A self-referencing chain can't resolve and
+          // wins above). `@v<n>` time-travels the VIEW METADATA: the
+          // archived definition re-parses against CURRENT table state —
+          // views version their SQL, not the data (the Iceberg view
+          // spec's model). A self-referencing chain can't resolve and
           // fails analysis loudly at the iteration limit.
-          cands(u).find(graft.table.ViewStore.exists) match {
-            case Some(p) =>
-              SubqueryAlias(
-                java.nio.file.Paths.get(p).getFileName.toString,
-                session.sessionState.sqlParser.parsePlan(
-                  graft.table.ViewStore.sql(p)))
-            case None => u
-          }
+          cands(u).iterator.map(viewPlan).collectFirst {
+            case Some(plan) => plan
+          }.getOrElse(u)
         }
     }
+  }
+
+  private val ViewVer = "(.*)@v([0-9]+)$".r
+
+  private def viewPlan(ident: String): Option[LogicalPlan] = {
+    import graft.table.ViewStore
+    val (path, ver) = ident match {
+      case ViewVer(p, v) if ViewStore.exists(p) => (p, Some(v.toLong))
+      case _ => (ident, None)
+    }
+    if (!ViewStore.exists(path)) None
+    else Some(SubqueryAlias(
+      java.nio.file.Paths.get(path).getFileName.toString,
+      session.sessionState.sqlParser.parsePlan(ver match {
+        case Some(v) => ViewStore.sqlAt(path, v)
+        case None => ViewStore.sql(path)
+      })))
   }
 
   /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: foldable

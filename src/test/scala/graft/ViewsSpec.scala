@@ -44,6 +44,15 @@ class ViewsSpec extends SparkSpec {
     val rows = spark.sql(s"SHOW VIEWS IN graft.`$dir`").collect()
     assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("v_even", 2L)))
+    // @v<n> time-travels the VIEW METADATA: the archived definition
+    // re-parses against CURRENT table state (views version their SQL,
+    // not the data — the Iceberg view-spec model), so v1's even-keys
+    // definition sees the appended rows too
+    assert(n(s"$vPath@v1") == 51, "v1 = the even-keys definition")
+    assert(n(s"$vPath@v2") == 51) // current (odd keys over 1..102)
+    assert(spark.sql(s"SELECT * FROM graft.`$vPath@v1`")
+      .columns.toSeq == Seq("id", "p"), "v1's projection, not v2's")
+    intercept[Exception](spark.sql(s"SELECT * FROM graft.`$vPath@v9`"))
     // a view over a view resolves transitively in the same session
     val vTop = s"$dir/v_top"
     spark.sql(s"CREATE VIEW graft.`$vTop` AS " +
