@@ -1470,8 +1470,24 @@ private[graft] object GraftSqlDml {
         v.op match {
           case CreateViewOp(orReplace, ifNotExists, viewSql) =>
             // the definition must PARSE now — storing garbage would fail
-            // every future read of the view instead of this statement
-            session.sessionState.sqlParser.parsePlan(viewSql)
+            // every future read of the view instead of this statement —
+            // and must be a QUERY: graft DML/DDL executes during
+            // ANALYSIS, so a stored command (`AS DROP TABLE ...`,
+            // `AS CALL ...`) would re-run its side effect on EVERY read
+            // that resolves the view (r10 ADVICE)
+            val parsed = session.sessionState.sqlParser.parsePlan(viewSql)
+            val cmd = parsed.collectFirst {
+              case c: Command => c
+              case p: ParsedStatement => p
+              case e: ExecutableDuringAnalysis => e // CALL
+              case g: GraftAlterTableStatement => g
+              case v2: GraftViewStatement => v2
+            }
+            require(cmd.isEmpty,
+              s"CREATE VIEW definition must be a query, not a " +
+                s"command/DML statement (got ${cmd.get.nodeName}) — graft " +
+                "statements execute during analysis, so a stored command " +
+                "would run its side effect on every read of the view")
             graft.table.ViewStore.create(pathOf("CREATE VIEW"), viewSql,
               orReplace, ifNotExists)
             Some(empty)

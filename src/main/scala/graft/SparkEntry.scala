@@ -1675,8 +1675,11 @@ object SparkEntry {
       // keyed MERGE updating struct values, changelog over the struct
       // steps, footer stats recorded per LEAF under its dotted path
       // (struct fields prune like scalars — r10), and type evolution on
-      // a struct refuses loudly. Output = the final state with the
-      // struct intact; the oracle rebuilds it with struct_pack.
+      // a struct refuses loudly. Output = the final state FLATTENED to
+      // scalar leaves (the driver's pandas hasher cannot sort a raw
+      // struct column — r10's only red); every struct assert stays
+      // in-query, so the machinery is exercised and the gate hashes
+      // scalars.
       val root = Files.createTempDirectory("graft-q117-").toString
       val table = SnapshotTable.at(root)
       val orders = t(s, d, "orders")
@@ -1717,7 +1720,8 @@ object SparkEntry {
       require(scala.util.Try(table.widenColumn("meta",
         org.apache.spark.sql.types.LongType)).isFailure,
         "widening a struct column must refuse")
-      table.read(s)
+      table.read(s).select(col("o_orderkey"),
+        col("meta.price").as("price"), col("meta.priority").as("priority"))
     }),
 
     "q96_sql_partition_ddl" -> ((s, d) => {
@@ -2974,17 +2978,15 @@ object SparkEntry {
     // walks the nested dict)
     "q117_struct_lifecycle" ->
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 7 = 0
-        |    THEN struct_pack(price := o_totalprice * 2,
-        |                     priority := o_orderpriority || '+')
-        |    ELSE struct_pack(price := o_totalprice,
-        |                     priority := o_orderpriority) END AS meta
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |    ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_orderpriority || '+'
+        |    ELSE o_orderpriority END AS priority
         |FROM orders
         |UNION ALL
         |SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
         |    AS o_orderkey,
-        |  struct_pack(price := o_totalprice,
-        |              priority := o_orderpriority) AS meta
+        |  o_totalprice AS price, o_orderpriority AS priority
         |FROM orders WHERE o_orderkey % 13 = 0""".stripMargin,
 
     // hidden bucket(8, c_mktsegment) partitioning is pure layout: the

@@ -4890,6 +4890,16 @@ final class SnapshotTable(val root: Path,
       while (out == null) {
         val curV = publisher.current(metaDir)
         val cur = curV.map(manifest)
+        // table BIRTH over a view, re-checked INSIDE the critical
+        // section: commitData's entry check and ViewStore.create's are
+        // both check-then-act — racing them could land both identities
+        // at one path, after which the table silently shadows the view
+        // on every read (r10 ADVICE). ViewStore.create holds this same
+        // section, so under the lock exactly one identity wins.
+        if (cur.isEmpty)
+          require(!ViewStore.exists(root.toString),
+            s"a graft VIEW exists at $root — a path is a table or a " +
+              "view, never both (DROP VIEW first)")
         val v = nextVersion
         // lineage parent recorded CENTRALLY (0 = root): under a branch
         // publisher `cur` is the branch head, so branch commits chain on

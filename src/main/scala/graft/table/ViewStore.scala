@@ -65,10 +65,20 @@ object ViewStore {
   def create(root: String, viewSql: String, orReplace: Boolean,
              ifNotExists: Boolean,
              nowMs: Long = System.currentTimeMillis()): Long = {
+    val rootP = Paths.get(root)
+    // the whole check+claim+publish runs inside the TABLE's publish
+    // critical section (same meta/_lock a table commit at this path
+    // would hold): a bare check-then-act here races a concurrent first
+    // table commit — both guards pass and the table silently shadows
+    // the view (r10 ADVICE). publishCommit re-checks ViewStore.exists
+    // inside the same section on table BIRTH, so whoever enters first
+    // wins and the loser refuses loudly. (Under CasPublish the section
+    // serializes same-JVM only — cross-process stays optimistic, the
+    // publisher's documented trade.)
+    AtomicPublish.default.critical(rootP, rootP.resolve("meta")) {
     require(!SnapshotTable.at(root).exists,
       s"a graft TABLE exists at $root — a path is a table or a view, " +
         "never both")
-    val rootP = Paths.get(root)
     if (exists(root)) {
       if (ifNotExists) return currentVersion(root)
       require(orReplace,
@@ -103,6 +113,7 @@ object ViewStore {
     }
     publishPointer(rootP, v)
     v
+    }
   }
 
   /** The pointer PUBLISH is atomic (tmp + ATOMIC_MOVE): a plain

@@ -72,6 +72,22 @@ class ViewsSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       s"CREATE VIEW graft.`$dir/v_bad` AS SELEKT nonsense"))
     assert(!ViewStore.exists(s"$dir/v_bad"))
+    // a definition that PARSES but is a COMMAND refuses: graft
+    // statements execute during analysis, so a stored `AS DROP TABLE`
+    // would drop the table on EVERY read of the view (r10 ADVICE)
+    for (bad <- Seq(
+        s"DROP TABLE graft.`$tblRoot`",
+        s"CALL graft.system.expire_snapshots(table => '$tblRoot')",
+        s"DELETE FROM graft.`$tblRoot` WHERE id = 1",
+        s"CREATE TABLE graft.`$dir/ctas` AS SELECT 1 AS x",
+        s"ALTER TABLE graft.`$tblRoot` WRITE ORDERED BY id")) {
+      val e = intercept[Exception](spark.sql(
+        s"CREATE VIEW graft.`$dir/v_cmd` AS $bad"))
+      assert(e.getMessage.contains("must be a query"), s"for: $bad → $e")
+      assert(!ViewStore.exists(s"$dir/v_cmd"))
+    }
+    assert(SnapshotTable.at(tblRoot).exists,
+      "the refused definitions must not have executed their side effects")
     // Spark's own temp-view DDL delegates untouched
     spark.sql("CREATE OR REPLACE TEMPORARY VIEW graft_tmp_v AS SELECT 7 AS x")
     assert(spark.sql("SELECT x FROM graft_tmp_v").head.getInt(0) == 7)

@@ -72,6 +72,20 @@ def main(sf_dir, out_dir, only=None):
                       f"(driver hash is type-sensitive)")
                 failures += 1
                 continue
+            # The driver hashes via pandas sort_values, which dies on
+            # unhashable cells (dict/list). Any nested output type is a
+            # guaranteed driver `err` even when values match — refuse it
+            # here so the replica is never MORE permissive than the gate
+            # it replicates (q117 shipped red in r10 exactly this way).
+            nested = {c: t for c, t in got_types.items()
+                      if t.startswith(("STRUCT", "MAP")) or "[]" in t
+                      or t.startswith("UNION")}
+            if nested:
+                print(f"FAIL {name}: nested output types {nested} — the "
+                      f"driver's pandas hasher cannot sort these; flatten "
+                      f"the final projection to scalars")
+                failures += 1
+                continue
         except Exception as e:
             print(f"WARN {name}: type check skipped: {e}")
         gi = [got_cols.index(c) for c in sorted(got_cols)]
