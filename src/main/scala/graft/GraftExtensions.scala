@@ -502,6 +502,21 @@ private[graft] object GraftSqlDml {
 
   private val empty = LocalRelation(Nil)
 
+  /** One `createtab_stmt` row reconstructing a stored view's current
+    * definition — the `SHOW CREATE VIEW` payload (also served from
+    * Spark's own `SHOW CREATE TABLE` when the identifier names a view).
+    */
+  private[graft] def showCreateViewRelation(path: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val stmt =
+      s"CREATE VIEW graft.`$path` AS\n${graft.table.ViewStore.sql(path)}"
+    LocalRelation(
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "createtab_stmt", StringType, nullable = false)()),
+      Seq(InternalRow(UTF8String.fromString(stmt))))
+  }
+
   private def unsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"unsupported $what on a graft table; supported: MERGE INTO with " +
@@ -1466,30 +1481,46 @@ private[graft] object GraftSqlDml {
           graft.catalog.GraftCatalog.createPath(session, v.ident)
             .getOrElse(throw new IllegalArgumentException(
               s"$what ${v.ident.mkString(".")}: not a graft path " +
-                "(use the graft.`/absolute/path` spelling)"))
+                "(use the graft.`/absolute/path` spelling or a " +
+                "registered GraftCatalog's db.view name)"))
+        // the definition must PARSE now — storing garbage would fail
+        // every future read of the view instead of this statement —
+        // and must be a QUERY: graft DML/DDL executes during ANALYSIS,
+        // so a stored command (`AS DROP TABLE ...`, `AS CALL ...`)
+        // would re-run its side effect on EVERY read that resolves the
+        // view (r10 ADVICE)
+        def requireQuery(what: String, viewSql: String): Unit = {
+          val parsed = session.sessionState.sqlParser.parsePlan(viewSql)
+          val cmd = parsed.collectFirst {
+            case c: Command => c
+            case p: ParsedStatement => p
+            case e: ExecutableDuringAnalysis => e // CALL
+            case g: GraftAlterTableStatement => g
+            case v2: GraftViewStatement => v2
+          }
+          require(cmd.isEmpty,
+            s"$what definition must be a query, not a " +
+              s"command/DML statement (got ${cmd.get.nodeName}) — graft " +
+              "statements execute during analysis, so a stored command " +
+              "would run its side effect on every read of the view")
+        }
         v.op match {
           case CreateViewOp(orReplace, ifNotExists, viewSql) =>
-            // the definition must PARSE now — storing garbage would fail
-            // every future read of the view instead of this statement —
-            // and must be a QUERY: graft DML/DDL executes during
-            // ANALYSIS, so a stored command (`AS DROP TABLE ...`,
-            // `AS CALL ...`) would re-run its side effect on EVERY read
-            // that resolves the view (r10 ADVICE)
-            val parsed = session.sessionState.sqlParser.parsePlan(viewSql)
-            val cmd = parsed.collectFirst {
-              case c: Command => c
-              case p: ParsedStatement => p
-              case e: ExecutableDuringAnalysis => e // CALL
-              case g: GraftAlterTableStatement => g
-              case v2: GraftViewStatement => v2
-            }
-            require(cmd.isEmpty,
-              s"CREATE VIEW definition must be a query, not a " +
-                s"command/DML statement (got ${cmd.get.nodeName}) — graft " +
-                "statements execute during analysis, so a stored command " +
-                "would run its side effect on every read of the view")
+            requireQuery("CREATE VIEW", viewSql)
             graft.table.ViewStore.create(pathOf("CREATE VIEW"), viewSql,
               orReplace, ifNotExists)
+            Some(empty)
+          case AlterViewOp(viewSql) =>
+            // Spark/Iceberg semantics: ALTER VIEW ... AS requires the
+            // view to exist; the new definition lands as the next stored
+            // version (REPLACE keeps priors — same versioned store)
+            val p = pathOf("ALTER VIEW")
+            require(graft.table.ViewStore.exists(p),
+              s"no view at $p (ALTER VIEW requires an existing view — " +
+                "use CREATE VIEW)")
+            requireQuery("ALTER VIEW", viewSql)
+            graft.table.ViewStore.create(p, viewSql,
+              orReplace = true, ifNotExists = false)
             Some(empty)
           case DropViewOp(ifExists) =>
             graft.table.ViewStore.drop(pathOf("DROP VIEW"), ifExists)
@@ -1499,6 +1530,10 @@ private[graft] object GraftSqlDml {
             Some(graft.table.ViewStore.list(pathOf("SHOW VIEWS IN"))
               .toDF("view_name", "current_version")
               .queryExecution.analyzed)
+          case ShowCreateViewOp =>
+            val p = pathOf("SHOW CREATE VIEW")
+            require(graft.table.ViewStore.exists(p), s"no view at $p")
+            Some(GraftSqlDml.showCreateViewRelation(p))
         }
       case _ => None
     }
@@ -1649,10 +1684,22 @@ private[graft] object GraftSqlDml {
           })
       case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
         // reconstructed from the manifest (schema, partitioning, user
-        // properties); engine bookkeeping prefixes are elided
-        identParts(sct.child).flatMap(parts =>
-          graft.catalog.GraftCatalog.pathCandidates(session, parts)
-            .find(p => SnapshotTable.at(p).exists).map { p =>
+        // properties); engine bookkeeping prefixes are elided. A VIEW at
+        // the identifier serves its stored definition (Spark's own
+        // SHOW CREATE TABLE answers for views the same way).
+        identParts(sct.child).flatMap { parts =>
+          val cands = graft.catalog.GraftCatalog.pathCandidates(session, parts)
+          val viewHit = cands.find(p => !SnapshotTable.at(p).exists &&
+            graft.table.ViewStore.exists(p)).map { vp =>
+            val rel = showCreateViewRelation(vp)
+            // serve through the statement's OWN output attribute so the
+            // substitution keeps references valid
+            LocalRelation(sct.output, rel match {
+              case lr: LocalRelation => lr.data
+              case _ => Nil
+            })
+          }
+          viewHit orElse cands.find(p => SnapshotTable.at(p).exists).map { p =>
               import org.apache.spark.sql.catalyst.InternalRow
               import org.apache.spark.unsafe.types.UTF8String
               val m = SnapshotTable.at(p).currentManifest
@@ -1684,7 +1731,8 @@ private[graft] object GraftSqlDml {
                 s"USING graft$partClause$propsClause"
               LocalRelation(sct.output,
                 Seq(InternalRow(UTF8String.fromString(stmt))))
-            })
+            }
+        }
       case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
         // one empty-overwrite commit: schema, partition spec and
         // properties survive; every row (and pending delete) drops.

@@ -110,8 +110,17 @@ final case class GraftAlterTableStatement(ident: Seq[String],
 sealed trait GraftViewOp
 final case class CreateViewOp(orReplace: Boolean, ifNotExists: Boolean,
                               sql: String) extends GraftViewOp
+/** `ALTER VIEW v AS <query>` — Iceberg/Spark semantics: the view must
+  * already exist; the new definition lands as the next stored version.
+  */
+final case class AlterViewOp(sql: String) extends GraftViewOp
 final case class DropViewOp(ifExists: Boolean) extends GraftViewOp
 case object ShowViewsOp extends GraftViewOp
+/** `SHOW CREATE VIEW v` → one `createtab_stmt` row reconstructing the
+  * current stored definition (the Trino/MySQL spelling; Spark's own
+  * `SHOW CREATE TABLE` also serves graft views).
+  */
+case object ShowCreateViewOp extends GraftViewOp
 
 final case class GraftViewStatement(ident: Seq[String],
                                     op: GraftViewOp) extends LeafNode {
@@ -148,18 +157,43 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*;?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z][A-Za-z0-9_-]*)\s*;?\s*$""".r
-  // VIEW DDL claims the unambiguous graft.`<path>` spelling ONLY —
-  // anything else (temp views, session-catalog views) delegates verbatim
+  // VIEW DDL claims two spellings: the unambiguous graft.`<path>`
+  // literal, and a ≥2-part NAMED identifier whose head is a REGISTERED
+  // GraftCatalog in the active session (checked at match time — the
+  // named-catalog surface the reference addresses tables through must
+  // serve views too, r10 verdict). Anything else (temp views,
+  // session-catalog views, foreign catalogs) delegates verbatim.
   private val GraftIdent = """graft\s*\.\s*`[^`]+`"""
+  private val NamedSeg = """(?:[A-Za-z_][A-Za-z0-9_]*|`[^`/]+`)"""
+  private val ViewIdent =
+    s"""(?:$GraftIdent|$NamedSeg(?:\\s*\\.\\s*$NamedSeg)+)"""
   private val CreateViewRe =
     ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+""" +
-      """(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + GraftIdent +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?(""" + ViewIdent +
+      """)\s+AS\s+(.+?)\s*;?\s*$""").r
+  private val AlterViewRe =
+    ("""(?is)^\s*ALTER\s+VIEW\s+(""" + ViewIdent +
       """)\s+AS\s+(.+?)\s*;?\s*$""").r
   private val DropViewRe =
-    ("""(?is)^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(""" + GraftIdent +
+    ("""(?is)^\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?(""" + ViewIdent +
       """)\s*;?\s*$""").r
   private val ShowViewsRe =
-    ("""(?is)^\s*SHOW\s+VIEWS\s+IN\s+(""" + GraftIdent + """)\s*;?\s*$""").r
+    ("""(?is)^\s*SHOW\s+VIEWS\s+IN\s+(""" + ViewIdent + """)\s*;?\s*$""").r
+  private val ShowCreateViewRe =
+    ("""(?is)^\s*SHOW\s+CREATE\s+VIEW\s+(""" + ViewIdent +
+      """)\s*;?\s*$""").r
+
+  /** Is this matched view identifier OURS to claim? The graft-path
+    * literal always is; a named identifier only when its head part is a
+    * registered [[graft.catalog.GraftCatalog]] in the active session
+    * (no active session → never claim — the statement delegates and
+    * Spark's own resolution applies).
+    */
+  private def claimableViewIdent(raw: String, parts: Seq[String]): Boolean =
+    raw.trim.matches(GraftIdent) ||
+      (parts.length >= 2 &&
+        org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+          graft.catalog.GraftCatalog.isRegistered(s, parts.head)))
 
   private def identifierCols(raw: String): Seq[String] = {
     val cols = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
@@ -249,16 +283,21 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t),
           DropRefOp(kind.equalsIgnoreCase("branch"), name,
             ifExists = ie != null)))
-      case CreateViewRe(orr, ine, t, viewSql) =>
+      case CreateViewRe(orr, ine, t, viewSql)
+          if claimableViewIdent(t, ident(t)) =>
         require(orr == null || ine == null,
           "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive")
         Some(GraftViewStatement(ident(t),
           CreateViewOp(orReplace = orr != null, ifNotExists = ine != null,
             sql = viewSql.trim)))
-      case DropViewRe(ie, t) =>
+      case AlterViewRe(t, viewSql) if claimableViewIdent(t, ident(t)) =>
+        Some(GraftViewStatement(ident(t), AlterViewOp(viewSql.trim)))
+      case DropViewRe(ie, t) if claimableViewIdent(t, ident(t)) =>
         Some(GraftViewStatement(ident(t), DropViewOp(ifExists = ie != null)))
-      case ShowViewsRe(t) =>
+      case ShowViewsRe(t) if claimableViewIdent(t, ident(t)) =>
         Some(GraftViewStatement(ident(t), ShowViewsOp))
+      case ShowCreateViewRe(t) if claimableViewIdent(t, ident(t)) =>
+        Some(GraftViewStatement(ident(t), ShowCreateViewOp))
       case _ => None
     }
   }

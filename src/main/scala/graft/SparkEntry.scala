@@ -1668,6 +1668,44 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$dir/big_orders`")
     }),
 
+    "q120_catalog_view_lifecycle" -> ((s, d) => {
+      // r10-verdict item: views must resolve through the NAMED catalog
+      // too — the reference addresses everything db.table through its
+      // catalog (common/iceberg.py:113-119); views were the one surface
+      // stuck on the path spelling. Whole lifecycle in the NAMED form:
+      // CREATE VIEW cat.db.v (maps through the warehouse), ALTER VIEW
+      // ... AS lands the next stored version, SHOW CREATE VIEW /
+      // SHOW VIEWS pinned in-query, read by name. Output = the altered
+      // view's rows — the oracle.
+      val wh = Files.createTempDirectory("graft-q120-wh-").toString
+      s.conf.set("spark.sql.catalog.graft_vw",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_vw.warehouse", wh)
+      SnapshotTable.at(s"$wh/sales/orders_t")
+        .createOrReplace(t(s, d, "orders").select(orderCols.map(col): _*))
+      s.sql("CREATE VIEW graft_vw.sales.pri_orders AS " +
+        "SELECT o_orderkey, o_orderpriority FROM graft_vw.sales.orders_t " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      require(graft.table.ViewStore.exists(s"$wh/sales/pri_orders"),
+        "the named identifier must map through the warehouse")
+      val n1 = s.sql("SELECT * FROM graft_vw.sales.pri_orders").count()
+      require(n1 > 0, "the named view must serve its definition")
+      s.sql("ALTER VIEW graft_vw.sales.pri_orders AS " +
+        "SELECT o_orderkey, o_orderpriority, o_totalprice " +
+        "FROM graft_vw.sales.orders_t " +
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')")
+      require(graft.table.ViewStore.versions(s"$wh/sales/pri_orders") ==
+        Seq(1L, 2L), "ALTER VIEW must land version 2, keeping version 1")
+      val stmt = s.sql("SHOW CREATE VIEW graft_vw.sales.pri_orders")
+        .head.getString(0)
+      require(stmt.contains("2-HIGH"),
+        s"SHOW CREATE VIEW must emit the ALTERED definition ($stmt)")
+      val shown = s.sql("SHOW VIEWS IN graft_vw.sales").collect()
+      require(shown.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("pri_orders", 2L)), s"SHOW VIEWS IN cat.db (${shown.mkString(",")})")
+      s.sql("SELECT * FROM graft_vw.sales.pri_orders")
+    }),
+
     "q117_struct_lifecycle" -> ((s, d) => {
       // nested types PASS THROUGH the table layer (the reference never
       // declares a schema — common/iceberg.py:45-54 carries whatever
@@ -2976,6 +3014,11 @@ object SparkEntry {
     // struct pass-through: merged state rebuilt with struct_pack (field
     // order and names match Spark's struct() exactly — value hashing
     // walks the nested dict)
+    // the altered (v2) named-catalog view definition
+    "q120_catalog_view_lifecycle" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin,
+
     "q117_struct_lifecycle" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2

@@ -94,6 +94,56 @@ class ViewsSpec extends SparkSpec {
     spark.sql("DROP VIEW graft_tmp_v")
   }
 
+  test("views resolve through the NAMED catalog: DDL, reads, SHOW CREATE") {
+    val wh = Files.createTempDirectory("graft-views-wh-").toString
+    spark.conf.set("spark.sql.catalog.vcat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vcat.warehouse", wh)
+    try {
+      val t = SnapshotTable.at(s"$wh/db/base")
+      t.createOrReplace((1 to 60).map(i => (i.toLong, i % 3)).toDF("id", "p"))
+      // CREATE via the named spelling; READ via both name and path
+      spark.sql("CREATE VIEW vcat.db.v_small AS " +
+        "SELECT id FROM vcat.db.base WHERE id <= 10")
+      assert(ViewStore.exists(s"$wh/db/v_small"),
+        "the named ident must map through the warehouse")
+      def n(ident: String): Long =
+        spark.sql(s"SELECT count(*) AS n FROM $ident").head.getLong(0)
+      assert(n("vcat.db.v_small") == 10)
+      assert(n(s"graft.`$wh/db/v_small`") == 10, "path spelling = same view")
+      // ALTER VIEW replaces the definition as the NEXT stored version
+      spark.sql("ALTER VIEW vcat.db.v_small AS " +
+        "SELECT id FROM vcat.db.base WHERE id <= 20")
+      assert(n("vcat.db.v_small") == 20)
+      assert(ViewStore.versions(s"$wh/db/v_small") == Seq(1L, 2L))
+      // ALTER VIEW on a missing view refuses (CREATE is the spelling)
+      val eAlter = intercept[Exception](spark.sql(
+        "ALTER VIEW vcat.db.v_none AS SELECT 1 AS x"))
+      assert(eAlter.getMessage.contains("no view"))
+      // SHOW VIEWS through the named namespace
+      val shown = spark.sql("SHOW VIEWS IN vcat.db").collect()
+      assert(shown.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("v_small", 2L)))
+      // SHOW CREATE VIEW emits the stored definition; SHOW CREATE TABLE
+      // on a view answers the same way (Spark's own behavior for views)
+      val stmt = spark.sql("SHOW CREATE VIEW vcat.db.v_small")
+        .head.getString(0)
+      assert(stmt.contains("CREATE VIEW") && stmt.contains("id <= 20"), stmt)
+      val stmt2 = spark.sql("SHOW CREATE TABLE vcat.db.v_small")
+        .head.getString(0)
+      assert(stmt2.contains("id <= 20"), stmt2)
+      // session-catalog view DDL still delegates (head not a graft cat)
+      intercept[Exception](spark.sql(
+        "ALTER VIEW nosuch_db.nosuch_view AS SELECT 1 AS x"))
+      // DROP via the named spelling
+      spark.sql("DROP VIEW vcat.db.v_small")
+      assert(!ViewStore.exists(s"$wh/db/v_small"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.vcat")
+      spark.conf.unset("spark.sql.catalog.vcat.warehouse")
+    }
+  }
+
   test("view docs claim with O_EXCL; DROP leaves foreign dir content") {
     val dir = Files.createTempDirectory("graft-views2-").toString
     val vPath = s"$dir/v"
