@@ -92,6 +92,11 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@partitions` `` — per-partition file/row/byte totals
   *   - ``graft.`/path@delete_files` `` — pending MoR delete files
   *   - ``graft.`/path@stats` ``    — stored per-column NDV estimates
+  *   - ``graft.`/path@entries` ``  — per-entry rows of the current
+  *     snapshot (status added/existing/deleted, delete files included)
+  *   - ``graft.`/path@all_files` `` — distinct data files across ALL
+  *     retained snapshots (live and dead)
+  *   - ``graft.`/path@all_manifests` `` — manifest rollups per snapshot
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
@@ -99,7 +104,8 @@ case class GraftPathRelations(session: SparkSession)
     extends Rule[LogicalPlan] {
 
   private val Suffixed =
-    "(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats)$".r
+    ("(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|" +
+      "manifests|delete_files|stats|entries|all_files|all_manifests)$").r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -149,6 +155,9 @@ case class GraftPathRelations(session: SparkSession)
       case Some("manifests")               => tbl.manifests(session)
       case Some("delete_files")            => tbl.deleteFilesRelation(session)
       case Some("stats")                   => tbl.statsRelation(session)
+      case Some("entries")                 => tbl.entriesRelation(session)
+      case Some("all_files")               => tbl.allFilesRelation(session)
+      case Some("all_manifests")           => tbl.allManifestsRelation(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)

@@ -1706,6 +1706,46 @@ object SparkEntry {
       s.sql("SELECT * FROM graft_vw.sales.pri_orders")
     }),
 
+    "q121_entries_all_files" -> ((s, d) => {
+      // r10-verdict item: @entries / @all_files / @all_manifests —
+      // Iceberg's per-entry and all-snapshots metadata relations (the
+      // first things a user debugging retention reaches for). v1 =
+      // orders partitioned by o_orderpriority; v2 = fast-append of
+      // shifted mod-13 keys; v3 = whole-partition metadata DELETE of
+      // '1-URGENT'. The relations answer from manifests alone; the
+      // output is (metric, n) rows the oracle re-derives from the data
+      // algebra: EXISTING entries = live rows, DELETED entries = the
+      // dropped partition's rows, all_files = every row ever written
+      // (dead files stay visible), plus the retained snapshot count.
+      val root = Files.createTempDirectory("graft-q121-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders, Seq("o_orderpriority"))            // v1
+      val keyBase = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      table.append(s, orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + keyBase))        // v2
+      s.sql(s"DELETE FROM graft.`$root` " +
+        "WHERE o_orderpriority = '1-URGENT'")                          // v3
+      val ent = s.sql(s"SELECT * FROM graft.`$root@entries`").cache()
+      def entSum(st: Int): Long = ent.filter(col("status") === st)
+        .agg(coalesce(sum(col("record_count")), lit(0L))).head.getLong(0)
+      // the partition delete must have been METADATA-ONLY (a rewrite
+      // would add files and break the entry algebra the oracle checks)
+      require(entSum(1) == 0L, "whole-partition delete must add no files")
+      val allFiles = s.sql(s"SELECT * FROM graft.`$root@all_files`")
+      val nVersions = s.sql(
+        s"SELECT DISTINCT version FROM graft.`$root@all_manifests`").count()
+      import s.implicits._
+      val out = Seq(
+        ("entries_existing", entSum(0)),
+        ("entries_deleted", entSum(2)),
+        ("all_files_rows", allFiles.agg(sum(col("record_count")))
+          .head.getLong(0)),
+        ("snapshots_retained", nVersions)).toDF("metric", "n")
+      ent.unpersist()
+      out
+    }),
+
     "q117_struct_lifecycle" -> ((s, d) => {
       // nested types PASS THROUGH the table layer (the reference never
       // declares a schema — common/iceberg.py:45-54 carries whatever
@@ -3014,6 +3054,25 @@ object SparkEntry {
     // struct pass-through: merged state rebuilt with struct_pack (field
     // order and names match Spark's struct() exactly — value hashing
     // walks the nested dict)
+    // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
+    // orders plus the shifted mod-13 append; DELETED = the dropped
+    // '1-URGENT' partition; all_files sees every row ever written
+    "q121_entries_all_files" ->
+      """WITH everything AS (
+        |  SELECT o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |SELECT 'entries_existing' AS metric, count(*) AS n
+        |FROM everything WHERE o_orderpriority <> '1-URGENT'
+        |UNION ALL
+        |SELECT 'entries_deleted', count(*)
+        |FROM everything WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT 'all_files_rows', count(*) FROM everything
+        |UNION ALL
+        |SELECT 'snapshots_retained', 3""".stripMargin,
+
     // the altered (v2) named-catalog view definition
     "q120_catalog_view_lifecycle" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders

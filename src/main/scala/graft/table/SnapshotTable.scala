@@ -1515,23 +1515,23 @@ final class SnapshotTable(val root: Path,
     * — the analog of Iceberg planning scans from manifest files as a
     * query (the reference's `.files` is itself a table).
     */
-  def files(spark: SparkSession): DataFrame = {
+  def files(spark: SparkSession): DataFrame =
+    entryScan(spark, currentManifest)
+      .select("file_path", "partition", "file_size_bytes", "record_count")
+
+  /** Distributed `(file_path, partition, seq, record_count,
+    * file_size_bytes)` scan of one manifest's data entries — the shared
+    * engine behind [[files]], [[entriesRelation]] and
+    * [[allFilesRelation]]. Chunked manifests parse their chunk
+    * documents ON EXECUTORS (the driver holds only doc names); legacy
+    * entries without recorded bytes stat the live file.
+    */
+  private def entryScan(spark: SparkSession, m: Manifest): DataFrame = {
     import spark.implicits._
-    def rowOf(f: FileEntry, rootStr: String): (String, String, Long, Long) = {
-      // adopted entries carry absolute paths; Paths.get(root, "/abs")
-      // would wrongly nest them under the root
-      val p = if (f.path.startsWith("/")) Paths.get(f.path)
-              else Paths.get(rootStr, f.path)
-      (p.toString,
-        f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-        // recorded at commit; legacy entries (bytes absent) stat live
-        if (f.bytes >= 0) f.bytes
-        else if (Files.exists(p)) Files.size(p) else -1L,
-        f.rows)
-    }
-    val cols = Seq("file_path", "partition", "file_size_bytes", "record_count")
+    val cols =
+      Seq("file_path", "partition", "seq", "record_count", "file_size_bytes")
     val rootStr = root.toString
-    currentManifest.files match {
+    m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
         val metaStr = metaDir.toString
         val names = fl.chunks.map(_.name)
@@ -1539,13 +1539,119 @@ final class SnapshotTable(val root: Path,
           .repartition(math.min(names.size, 32))
           .flatMap(name => ManifestJson
             .readChunkEntries(Paths.get(metaStr, name))
-            .map(rowOf(_, rootStr)))
+            .map(SnapshotTable.entryRow(_, rootStr)))
           .toDF(cols: _*)
         if (fl.inline.isEmpty) chunkDf
-        else chunkDf.unionByName(fl.inline.map(rowOf(_, rootStr)).toDF(cols: _*))
+        else chunkDf.unionByName(
+          fl.inline.map(SnapshotTable.entryRow(_, rootStr)).toDF(cols: _*))
       case s =>
-        s.map(rowOf(_, rootStr)).toDF(cols: _*)
+        s.map(SnapshotTable.entryRow(_, rootStr)).toDF(cols: _*)
     }
+  }
+
+  /** ``@entries`` metadata relation (Iceberg's `.entries`): one row per
+    * manifest entry of the CURRENT snapshot — data files with status
+    * `1` (ADDED: committed by this snapshot) or `0` (EXISTING: carried
+    * by reference, `snapshot_id` = the commit that added them), plus
+    * status-`2` (DELETED) rows for files this snapshot dropped relative
+    * to its lineage parent, and the pending MoR delete files under
+    * their content kind (`position-delete`/`equality-delete`). Columns
+    * stay FLAT (no Iceberg `data_file` struct — scalar outputs hash
+    * everywhere); the scan distributes over chunk documents like
+    * [[files]], and the status-2 diff is an anti-join of two such
+    * scans, never a driver set.
+    */
+  def entriesRelation(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cur = currentManifest
+    val curScan = entryScan(spark, cur)
+    val dataRows = curScan.select(
+      when(col("seq") === lit(cur.version), lit(1)).otherwise(lit(0))
+        .as("status"),
+      col("seq").as("snapshot_id"),
+      lit("data").as("content"),
+      col("file_path"), col("partition"), col("record_count"),
+      col("file_size_bytes"))
+    // lineage parent (same resolution as @snapshots): legacy manifests
+    // fall back to the previous retained version; expired/root → no
+    // status-2 rows (there is nothing retained to diff against)
+    val vs = manifestVersions
+    val parentV = cur.parent match {
+      case -1L => vs.takeWhile(_ < cur.version).lastOption
+      case 0L  => None
+      case p   => Some(p).filter(vs.toSet)
+    }
+    val withDeleted = parentV match {
+      case Some(pv) =>
+        val dropped = entryScan(spark, manifest(pv))
+          .join(curScan.select("file_path"), Seq("file_path"), "left_anti")
+          .select(lit(2).as("status"),
+            lit(cur.version).as("snapshot_id"),
+            lit("data").as("content"),
+            col("file_path"), col("partition"), col("record_count"),
+            col("file_size_bytes"))
+        dataRows.unionByName(dropped)
+      case None => dataRows
+    }
+    if (cur.deleteFiles.isEmpty) withDeleted
+    else {
+      import spark.implicits._
+      val rootStr = root.toString
+      val delRows = cur.deleteFiles.map { d =>
+        val p = if (d.path.startsWith("/")) Paths.get(d.path)
+                else Paths.get(rootStr, d.path)
+        (if (d.version == cur.version) 1 else 0,
+          d.version,
+          if (d.positional) "position-delete" else "equality-delete",
+          p.toString,
+          d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+          d.rows,
+          if (Files.exists(p)) Files.size(p) else -1L)
+      }.toDF("status", "snapshot_id", "content", "file_path", "partition",
+        "record_count", "file_size_bytes")
+      withDeleted.unionByName(delRows)
+    }
+  }
+
+  /** ``@all_files`` metadata relation (Iceberg's `all_files` /
+    * `all_data_files`): DISTINCT data files across ALL retained
+    * snapshots — live and dead — each with the snapshot that added it
+    * (`added_snapshot_id` = the entry's own commit sequence; entries
+    * for one path are identical in every manifest that carries them).
+    * Chunk documents are SHARED between manifests (carried by
+    * reference), so each distinct document parses ONCE on executors:
+    * cost is O(distinct docs + inline entries), not
+    * O(snapshots × files).
+    */
+  def allFilesRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ms = manifestVersions.map(manifest)
+    val rootStr = root.toString
+    val cols = Seq("file_path", "partition", "added_snapshot_id",
+      "record_count", "file_size_bytes")
+    val docNames = ms.flatMap(_.files match {
+      case fl: FileList if fl.chunks.nonEmpty => fl.chunks.map(_.name)
+      case _ => Nil
+    }).distinct
+    val inline: Seq[FileEntry] = ms.flatMap(_.files match {
+      case fl: FileList if fl.chunks.nonEmpty => fl.inline
+      case s => s.toSeq
+    })
+    val inlineDf = inline.map(SnapshotTable.entryRow(_, rootStr))
+      .toDF(cols: _*)
+    val all =
+      if (docNames.isEmpty) inlineDf
+      else {
+        val metaStr = metaDir.toString
+        spark.createDataset(docNames)
+          .repartition(math.min(docNames.size, 32))
+          .flatMap(name => ManifestJson
+            .readChunkEntries(Paths.get(metaStr, name))
+            .map(SnapshotTable.entryRow(_, rootStr)))
+          .toDF(cols: _*)
+          .unionByName(inlineDf)
+      }
+    all.dropDuplicates("file_path")
   }
 
   /** ``@delete_files`` metadata relation (Iceberg's `delete_files`
@@ -2189,7 +2295,30 @@ final class SnapshotTable(val root: Path,
     */
   def manifests(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val m = currentManifest
+    manifestRows(currentManifest)
+      .toDF("manifest", "bucket", "file_count", "record_count",
+        "min_seq", "max_seq", "specs")
+  }
+
+  /** ``@all_manifests`` metadata relation (Iceberg's `all_manifests`):
+    * the [[manifests]] rollup rows for EVERY retained snapshot, each
+    * prefixed with its snapshot version. Chunk documents shared across
+    * snapshots appear once per referencing snapshot (Iceberg semantics
+    * — the relation answers "which manifests does snapshot N plan
+    * from"); still zero chunk parses, rollups only.
+    */
+  def allManifestsRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    manifestVersions.flatMap { v =>
+      manifestRows(manifest(v)).map {
+        case (n, b, fc, rc, mn, mx, sp) => (v, n, b, fc, rc, mn, mx, sp)
+      }
+    }.toDF("version", "manifest", "bucket", "file_count", "record_count",
+      "min_seq", "max_seq", "specs")
+  }
+
+  private def manifestRows(
+      m: Manifest): Seq[(String, Int, Long, Long, Long, Long, String)] = {
     def inlineRow(s: Seq[FileEntry]) = {
       val rows = if (s.exists(_.rows < 0)) -1L else s.map(_.rows).sum
       ("<inline>", -1, s.size.toLong, rows,
@@ -2198,7 +2327,7 @@ final class SnapshotTable(val root: Path,
         s.map(_.partition.keySet.toSeq.sorted.mkString(","))
           .distinct.sorted.mkString(";"))
     }
-    val rows = m.files match {
+    m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
         fl.chunks.map(c => (c.name, c.bucket, c.count.toLong, c.rows,
           c.minSeq, c.maxSeq,
@@ -2206,8 +2335,6 @@ final class SnapshotTable(val root: Path,
           (if (fl.inline.nonEmpty) Seq(inlineRow(fl.inline)) else Nil)
       case s => Seq(inlineRow(s))
     }
-    rows.toDF("manifest", "bucket", "file_count", "record_count",
-      "min_seq", "max_seq", "specs")
   }
 
   /** `.refs` metadata relation (Iceberg's `db.table.refs`): every named
@@ -2514,7 +2641,7 @@ final class SnapshotTable(val root: Path,
   def tag(name: String, version: Long = currentVersion,
           maxRefAgeMs: Option[Long] = None): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
+      !name.matches(SnapshotTable.ReservedRefNames),
       s"invalid tag name '$name'")
     require(!branches.contains(name), s"'$name' is already a branch on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -2598,7 +2725,7 @@ final class SnapshotTable(val root: Path,
              retention: RefRetention = RefRetention()): Unit = {
     requireMainHandle("branch")
     require(name.matches("[A-Za-z][A-Za-z0-9_-]*") &&
-      !name.matches("v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|delete_files|stats"),
+      !name.matches(SnapshotTable.ReservedRefNames),
       s"invalid branch name '$name'")
     require(!tags.contains(name), s"'$name' is already a tag on $root")
     require(manifestVersions.contains(version), s"no snapshot v$version")
@@ -5182,6 +5309,25 @@ object SnapshotTable {
     s"wap_$wapId"
   }
 
+  /** One data entry as the flat `(file_path, partition, seq,
+    * record_count, file_size_bytes)` row the metadata relations share —
+    * static on purpose (runs inside executor tasks; see
+    * [[chunkPartitionStrings]]). Adopted entries carry absolute paths;
+    * `Paths.get(root, "/abs")` would wrongly nest them under the root.
+    * Bytes are recorded at commit; legacy entries stat the live file.
+    */
+  private[table] def entryRow(f: FileEntry,
+      rootStr: String): (String, String, Long, Long, Long) = {
+    val p = if (f.path.startsWith("/")) Paths.get(f.path)
+            else Paths.get(rootStr, f.path)
+    (p.toString,
+      f.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+      f.seq,
+      f.rows,
+      if (f.bytes >= 0) f.bytes
+      else if (Files.exists(p)) Files.size(p) else -1L)
+  }
+
   /** Executor-side body of [[SnapshotTable.partitionStringsMatching]]'s
     * chunk scan — static on purpose: an instance-method closure would
     * drag the table handle (a non-serializable `Path`) into the task.
@@ -5198,6 +5344,15 @@ object SnapshotTable {
 
   def at(path: String, publisher: AtomicPublish): SnapshotTable =
     new SnapshotTable(Paths.get(path), publisher)
+
+  /** Ref names a tag or branch may NOT take: every `@<suffix>` relation
+    * shape shares the refs' namespace, so a colliding name would make
+    * the suffix ambiguous. Grows with the relation surface — keep in
+    * sync with [[graft.GraftPathRelations]]'s suffix regex.
+    */
+  private[table] val ReservedRefNames =
+    "v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|" +
+      "delete_files|stats|entries|all_files|all_manifests"
 
   /** Lost-race retry bound for optimistic publishers. Each retry rebuilds
     * the manifest against the winner's, so progress is guaranteed as long

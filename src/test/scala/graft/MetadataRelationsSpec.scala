@@ -99,6 +99,60 @@ class MetadataRelationsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.tag("delete_files") }
   }
 
+  test("@entries / @all_files / @all_manifests cover history, not just live") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-entries-").toString
+    val t = SnapshotTable.at(root)
+    val rows = (1 to 300).map(i => (i.toLong, s"p${i % 3}", s"x$i"))
+      .toDF("id", "p", "s")
+    t.createOrReplace(rows.filter(col("id") <= 200), Seq("p"))        // v1
+    t.append(spark, rows.filter(col("id") > 200))                     // v2
+    def ent() = spark.sql(s"SELECT * FROM graft.`$root@entries`").collect()
+    def sumRec(rs: Seq[org.apache.spark.sql.Row], st: Int): Long =
+      rs.filter(_.getAs[Int]("status") == st)
+        .map(_.getAs[Long]("record_count")).sum
+    val e2 = ent().toSeq
+    assert(sumRec(e2, 1) == 100L, "ADDED = exactly the appended batch")
+    assert(sumRec(e2, 0) == 200L, "EXISTING = the carried files")
+    assert(!e2.exists(_.getAs[Int]("status") == 2), "nothing dropped yet")
+    assert(e2.filter(_.getAs[Int]("status") == 0)
+      .forall(_.getAs[Long]("snapshot_id") == 1L),
+      "EXISTING entries carry the commit that added them")
+    // v3: whole-partition delete — p0's files drop from the manifest
+    t.deleteWhere(spark, col("p") === "p0")
+    val e3 = ent().toSeq
+    assert(sumRec(e3, 2) == 100L, "DELETED = the dropped partition's rows")
+    assert(sumRec(e3, 1) == 0L, "a metadata delete adds no files")
+    assert(sumRec(e3, 0) == 200L)
+    assert(e3.filter(_.getAs[Int]("status") == 2)
+      .forall(_.getAs[String]("partition") == "p=p0"))
+    // @all_files keeps the DEAD files too, each path exactly once
+    val af = spark.sql(s"SELECT * FROM graft.`$root@all_files`").collect()
+    assert(af.map(_.getAs[String]("file_path")).distinct.length == af.length)
+    assert(af.map(_.getAs[Long]("record_count")).sum == 300L,
+      "every row ever written stays visible across snapshots")
+    assert(af.length >
+      spark.sql(s"SELECT * FROM graft.`$root@files`").count(),
+      "dead files outnumber the live @files listing")
+    // pending MoR debt surfaces under its content kind, status ADDED
+    t.mergeMoR(spark, Seq((5L, "p2", "x", "D")).toDF("id", "p", "s", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(ent().exists(r =>
+      r.getAs[String]("content") == "equality-delete" &&
+        r.getAs[Int]("status") == 1),
+      "the fresh delete file must list as an ADDED entry")
+    // @all_manifests: rollup rows for EVERY retained snapshot
+    val am = spark.sql(s"SELECT * FROM graft.`$root@all_manifests`")
+      .collect()
+    assert(am.map(_.getAs[Long]("version")).distinct.sorted.toSeq ==
+      t.manifestVersions)
+    // the new relation names are reserved ref shapes
+    intercept[IllegalArgumentException] { t.tag("entries") }
+    intercept[IllegalArgumentException] { t.branch("all_files") }
+    intercept[IllegalArgumentException] { t.tag("all_manifests") }
+  }
+
   test("CALL ancestors_of returns the lineage, newest first") {
     val base = spark
     import base.implicits._
