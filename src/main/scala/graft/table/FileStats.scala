@@ -46,31 +46,69 @@ object FileStats {
     * DOTTED path ("meta.price") — exactly the spelling parquet footers
     * use (`ColumnPath.toDotString`), so nested leaf bounds/null-counts
     * record and prune like any scalar (Iceberg keeps nested-field bounds
-    * the same way). Array/map interiors are NOT flattened (their footer
-    * paths carry repetition segments like `list.element`, and element
-    * bounds can't answer row-level predicates); a struct component whose
-    * NAME contains a literal '.' is skipped below the top level — its
-    * dotted path would be ambiguous against the footer spelling.
+    * the same way). Map interiors are NOT flattened (key/value bounds
+    * can't answer row-level predicates); ARRAY elements record
+    * separately under [[elementTypes]]; a struct component whose NAME
+    * contains a literal '.' is skipped below the top level — its dotted
+    * path would be ambiguous against the footer spelling.
     */
-  def leafTypes(schema: StructType): Seq[(String, DataType)] = {
-    def flat(prefix: String, st: StructType): Seq[(String, DataType)] =
+  def leafTypes(schema: StructType): Seq[(String, DataType)] =
+    allPaths(schema).collect { case (p, dt, false) => p -> dt }
+
+  /** ARRAY-ELEMENT leaf paths under the footer's own spelling
+    * (`<col>.list.element[...]` — Spark's 3-level list encoding),
+    * including scalar leaves of struct elements. The footer's element
+    * min/max covers EVERY element of every row in the file, so a
+    * containment predicate (`array_contains(col, v)`) whose value falls
+    * outside the range provably matches no row — the Iceberg
+    * list-element bounds analog; embeddings/tag scans are the
+    * beneficiaries. Element NULL COUNTS are deliberately not collected:
+    * the footer counts null ELEMENTS, not rows, so comparing them to
+    * the file's row count would be wrong. Nested arrays record nothing.
+    */
+  def elementTypes(schema: StructType): Seq[(String, DataType)] =
+    allPaths(schema).collect { case (p, dt, true) => p -> dt }
+
+  /** Every stats-recordable footer path: (dotted path, type, isElement).
+    * Row-level leaves and array-element leaves share ONE dot-string
+    * namespace, so collisions are dropped ACROSS the union — a top-level
+    * scalar literally named "tags.list.element" spells the same
+    * dot-string as array `tags`' element; merging two parquet columns'
+    * stats under one key could decode garbage bounds and wrongly prune.
+    */
+  private def allPaths(
+      schema: StructType): Seq[(String, DataType, Boolean)] = {
+    def flat(prefix: String, st: StructType,
+             inElement: Boolean): Seq[(String, DataType, Boolean)] =
       st.fields.toSeq.flatMap { f =>
         val top = prefix.isEmpty
-        val p = if (top) f.name else s"$prefix.${f.name}"
-        f.dataType match {
-          // a dotted component anywhere makes the joined path collide
-          // with some other legal path — record nothing under it
-          case s: StructType if !f.name.contains(".") => flat(p, s)
-          case _: StructType => Nil
-          case dt if top || !f.name.contains(".") => Seq(p -> dt)
-          case _ => Nil
+        if (!top && f.name.contains(".")) Nil
+        else {
+          val p = if (top) f.name else s"$prefix.${f.name}"
+          typed(p, f.dataType, inElement)
         }
       }
-    // a TOP-LEVEL scalar literally named "meta.price" spells the same
-    // dot-string as struct meta's leaf price — merging two different
-    // parquet columns' stats under one key could decode garbage bounds
-    // and wrongly prune; drop every colliding key outright
-    flat("", schema).groupBy(_._1.toLowerCase).valuesIterator
+    def typed(p: String, dt: DataType,
+              inElement: Boolean): Seq[(String, DataType, Boolean)] =
+      dt match {
+        case s: StructType => flat(p, s, inElement)
+        case a: ArrayType if !inElement => // nested arrays record nothing
+          typed(s"$p.list.element", a.elementType, inElement = true)
+        case _: ArrayType | _: MapType => Nil
+        case scalar => Seq((p, scalar, inElement))
+      }
+    schema.fields.toSeq
+      .flatMap { f =>
+        // a dotted TOP-LEVEL name is recordable only as a plain scalar
+        // (its own footer spelling); descending into a struct or array
+        // would join dotted segments ambiguously
+        val container = f.dataType.isInstanceOf[StructType] ||
+          f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType]
+        if (f.name.contains(".") && container) Nil
+        else typed(f.name, f.dataType, inElement = false)
+      }
+      .groupBy(_._1.toLowerCase).valuesIterator
       .collect { case Seq(one) => one }.toSeq
   }
 
@@ -83,7 +121,10 @@ object FileStats {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val types = leafTypes(schema).toMap
+      val rowLevel = leafTypes(schema).toMap
+      // element paths record BOUNDS only — a footer's element null count
+      // counts elements, not rows, and must never feed row-level logic
+      val types = rowLevel ++ elementTypes(schema)
       // per column: running (min, max) across row groups; None = dropped
       val acc = scala.collection.mutable.Map[String, Option[(Any, Any)]]()
       // per column: running null count; None = some row group didn't
@@ -97,10 +138,11 @@ object FileStats {
             if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
               Some(st.getNumNulls)
             else None
-          nullAcc(name) = for {
-            prev <- nullAcc.getOrElse(name, Some(0L))
-            n <- blockNulls
-          } yield prev + n
+          if (rowLevel.contains(name))
+            nullAcc(name) = for {
+              prev <- nullAcc.getOrElse(name, Some(0L))
+              n <- blockNulls
+            } yield prev + n
           if (acc.getOrElse(name, Some(null)) != None) {
             val phys = c.getPrimitiveType.getPrimitiveTypeName
             val stats = c.getStatistics
@@ -606,6 +648,21 @@ object StatsPruning {
       attrNameIn(a, colType).forall(n => !nulls(n).contains(0L))
     case EqualNullSafe(Literal(null, _), a) =>
       attrNameIn(a, colType).forall(n => !nulls(n).contains(0L))
+    // array containment prunes on ELEMENT bounds: the footer's element
+    // min/max covers every element of every row, so a sought value
+    // outside the range provably matches no row. The element key is the
+    // footer's own spelling ([[FileStats.elementTypes]]); unknown key or
+    // non-literal value ⇒ conservative true. Null handling is exact:
+    // array_contains never yields TRUE for a null sought value, and the
+    // row-level null shortcuts don't apply to element paths (their
+    // footer null counts are per-element), so nulls are never consulted.
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if uf.nameParts.size == 1 &&
+          uf.nameParts.head.equalsIgnoreCase("array_contains") &&
+          uf.arguments.size == 2 =>
+      mayContain(uf.arguments.head, uf.arguments(1), colType, bounds)
+    case ac: org.apache.spark.sql.catalyst.expressions.ArrayContains =>
+      mayContain(ac.left, ac.right, colType, bounds)
     case c: BinaryComparison =>
       val (op, a, l) = (c, c.left, c.right) match {
         case (_: EqualTo, x, y)            => ("=", x, y)
@@ -625,6 +682,23 @@ object StatsPruning {
       }
     case _ => true
   }
+
+  /** May any row's array column contain the literal value? Consults the
+    * `<col>.list.element` bounds when present (they cover every element
+    * in the file); anything else — unresolvable column, non-literal or
+    * null value, no recorded element bounds — answers true.
+    */
+  private def mayContain(arr: Expression, value: Expression,
+                         colType: String => Option[DataType],
+                         bounds: String => Option[(Bound, Bound)]): Boolean =
+    (attrNameIn(arr, colType), value) match {
+      case (_, lit: Literal) if lit.value == null => true
+      case (Some(n), lit: Literal) =>
+        val elemKey = n + ".list.element"
+        if (colType(elemKey).isEmpty) true
+        else mayCompare(elemKey, lit, "=", colType, bounds, _ => None, -1L)
+      case _ => true
+    }
 
   private def flip(op: String): String = op match {
     case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="

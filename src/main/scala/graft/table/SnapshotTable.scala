@@ -846,9 +846,11 @@ final class SnapshotTable(val root: Path,
   private def typeLookup(schema: StructType): String => Option[DataType] = {
     // top-level fields PLUS nested struct leaves under their dotted path
     // (FileStats.leafTypes — the footer's own spelling), so predicates
-    // on struct fields decode bounds in the leaf's type domain
+    // on struct fields decode bounds in the leaf's type domain, PLUS
+    // array-element paths (FileStats.elementTypes) so array_contains
+    // prunes on the recorded element bounds
     val byLower = (schema.fields.map(f => f.name -> f.dataType) ++
-      FileStats.leafTypes(schema))
+      FileStats.leafTypes(schema) ++ FileStats.elementTypes(schema))
       .map { case (n, dt) => n.toLowerCase -> dt }.toMap
     name => byLower.get(name.toLowerCase)
   }

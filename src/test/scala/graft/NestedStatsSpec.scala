@@ -81,6 +81,61 @@ class NestedStatsSpec extends SparkSpec {
       "WHERE price <= 100100.0").head.getLong(0) == 100)
   }
 
+  test("array-element bounds record and array_contains prunes on them") {
+    val t = freshTable()
+    // ranged element values: file k holds ids (250k, 250k+250] with tag
+    // arrays drawn from the same range — element bounds are selective
+    val df = (1 to 4000).map(i =>
+        (i.toLong, Seq(i.toLong, i.toLong + 1, i.toLong + 2), Seq(i * 1.0f)))
+      .toDF("id", "tags", "emb")
+      .repartitionByRange(16, col("id"))
+    t.createOrReplace(df)
+    val m = t.currentManifest
+    assert(m.files.exists(_.stats.contains("tags.list.element")),
+      "array element bounds must record under the footer's element path")
+    assert(m.files.exists(_.stats.contains("emb.list.element")),
+      "float element bounds record too (double-safe encoding)")
+    assert(m.files.forall(f => !f.stats.contains("tags")),
+      "the array container itself records nothing")
+    assert(m.files.forall(f => !f.nulls.contains("tags.list.element")),
+      "element NULL counts are per-element, never recorded as row-level")
+    val total = m.files.size
+    assert(total >= 8)
+    // containment on a value only few files can hold prunes the rest
+    val (kept, _) = t.pruneCounts(array_contains(col("tags"), lit(100L)))
+    assert(kept < total, s"array_contains must prune ($kept/$total)")
+    assert(t.readWhere(spark,
+      array_contains(col("tags"), lit(100L))).count() == 3,
+      "ids 98,99,100 carry tag 100")
+    // out-of-range value prunes EVERYTHING; result stays exact (empty)
+    assert(t.pruneCounts(array_contains(col("tags"), lit(999999L)))._1 == 0)
+    assert(t.readWhere(spark,
+      array_contains(col("tags"), lit(999999L))).count() == 0)
+    // float elements compare in the double domain (exact widening)
+    assert(t.pruneCounts(array_contains(col("emb"), lit(100.0f)))._1 < total)
+    assert(t.readWhere(spark,
+      array_contains(col("emb"), lit(100.0f))).count() == 1)
+    // STRUCTURAL proof reads never list pruned files: delete them on disk
+    val doomed = m.files.filter(f =>
+      f.stats.get("tags.list.element").exists(_.min.toLong > 103L))
+    assert(doomed.nonEmpty)
+    doomed.foreach(f => Files.delete(t.root.resolve(f.path)))
+    assert(t.readWhere(spark,
+      array_contains(col("tags"), lit(100L))).count() == 3)
+    // SQL spells the same prune
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE array_contains(tags, 100)").head.getLong(0) == 3)
+    // NOT array_contains stays conservative (keeps all files) but exact
+    val t2 = freshTable()
+    t2.createOrReplace((1 to 100).map(i => (i.toLong, Seq(i.toLong)))
+      .toDF("id", "tags"))
+    assert(t2.readWhere(spark,
+      !array_contains(col("tags"), lit(5L))).count() == 99)
+    // a null sought value never prunes (contains is null/false, not true)
+    assert(t2.readWhere(spark, array_contains(col("tags"),
+      lit(null).cast("long"))).count() == 0)
+  }
+
   test("a top-level column spelling a struct leaf's dotted path drops " +
       "BOTH stats keys (merged bounds would decode garbage)") {
     import org.apache.spark.sql.types._
