@@ -598,6 +598,52 @@ object ScaleProbe {
       timed("scan_before_rename") { cl.read(spark).count() }
       cl.renameColumn("l_quantity", "qty")
       timed("scan_after_rename_epochs") { cl.read(spark).count() }
+
+      // ARRAY-ELEMENT bounds at 2.4M rows (r10 verdict #6): tags arrays
+      // range-clustered on the id — array_contains on a point value must
+      // keep O(1) of 64 files from element bounds alone, and the pruned
+      // scan beats the full filter by the unread files
+      {
+        val ae = SnapshotTable.at(java.nio.file.Files
+          .createTempDirectory("graft-arrayprobe").toString)
+        val aeDf = spark.range(2400000L).select(col("id"),
+          array(col("id"), col("id") + 1, col("id") + 2).as("tags"))
+          .repartitionByRange(64, col("id"))
+        ae.createOrReplace(aeDf)
+        val probeCond = array_contains(col("tags"), lit(1200000L))
+        val (kept, total) = ae.pruneCounts(probeCond)
+        println(s"""{"stage":"array_element_prune_census",""" +
+          s""""kept":$kept,"total":$total}""")
+        timed("array_contains_pruned_scan") {
+          ae.readWhere(spark, probeCond).count()
+        }
+        timed("array_contains_full_filter") {
+          ae.read(spark).filter(probeCond).count()
+        }
+      }
+
+      // VIEW store at 1k REPLACE versions (r10 verdict #7): each create
+      // LISTS the version dir to find the next number — O(versions) per
+      // REPLACE by design; this probe records the constant. Reads parse
+      // only the current doc and stay O(1) in the version count.
+      {
+        val vdir = java.nio.file.Files
+          .createTempDirectory("graft-viewprobe").toString
+        val vroot = s"$vdir/v1k"
+        val t0 = System.nanoTime()
+        (1 to 1000).foreach(i => graft.table.ViewStore.create(vroot,
+          s"SELECT $i AS x", orReplace = true, ifNotExists = false))
+        val dt = (System.nanoTime() - t0) / 1e9
+        // dt seconds over 1000 replaces ≡ dt milliseconds per replace
+        println(f"""{"stage":"view_replace_x1000","sec":$dt%.2f,""" +
+          f""""per_replace_ms":$dt%.3f}""")
+        val t1 = System.nanoTime()
+        val cur = graft.table.ViewStore.currentVersion(vroot)
+        val sqlTxt = graft.table.ViewStore.sql(vroot)
+        require(cur == 1000L && sqlTxt.contains("1000"))
+        println(f"""{"stage":"view_read_at_1k_versions",""" +
+          f""""sec":${(System.nanoTime() - t1) / 1e9}%.4f}""")
+      }
     }
 
     if (!storageOnly) {

@@ -55,16 +55,20 @@ object FileStats {
   def leafTypes(schema: StructType): Seq[(String, DataType)] =
     allPaths(schema).collect { case (p, dt, false) => p -> dt }
 
-  /** ARRAY-ELEMENT leaf paths under the footer's own spelling
-    * (`<col>.list.element[...]` — Spark's 3-level list encoding),
-    * including scalar leaves of struct elements. The footer's element
-    * min/max covers EVERY element of every row in the file, so a
-    * containment predicate (`array_contains(col, v)`) whose value falls
-    * outside the range provably matches no row — the Iceberg
-    * list-element bounds analog; embeddings/tag scans are the
-    * beneficiaries. Element NULL COUNTS are deliberately not collected:
-    * the footer counts null ELEMENTS, not rows, so comparing them to
-    * the file's row count would be wrong. Nested arrays record nothing.
+  /** CONTAINER-ELEMENT leaf paths under the footer's own spelling —
+    * array elements (`<col>.list.element[...]`, Spark's 3-level list
+    * encoding) and map keys/values (`<col>.key_value.key` /
+    * `.key_value.value`), scalar leaves of struct elements/values
+    * included. The footer's min/max at these paths covers EVERY
+    * element/entry of every row in the file, so a containment predicate
+    * (`array_contains(col, v)`, `map_contains_key(m, k)`,
+    * `m[k] <op> v`) whose value falls outside the range provably
+    * matches no row — the Iceberg list/map bounds analog;
+    * embeddings/tag scans are the beneficiaries. Element NULL COUNTS
+    * are deliberately not collected: the footer counts null
+    * elements/values, not rows, so comparing them to the file's row
+    * count would be wrong. Containers nested inside containers record
+    * nothing.
     */
   def elementTypes(schema: StructType): Seq[(String, DataType)] =
     allPaths(schema).collect { case (p, dt, true) => p -> dt }
@@ -92,8 +96,12 @@ object FileStats {
               inElement: Boolean): Seq[(String, DataType, Boolean)] =
       dt match {
         case s: StructType => flat(p, s, inElement)
-        case a: ArrayType if !inElement => // nested arrays record nothing
+        case a: ArrayType if !inElement =>
           typed(s"$p.list.element", a.elementType, inElement = true)
+        case m: MapType if !inElement =>
+          typed(s"$p.key_value.key", m.keyType, inElement = true) ++
+            typed(s"$p.key_value.value", m.valueType, inElement = true)
+        // containers nested inside containers record nothing
         case _: ArrayType | _: MapType => Nil
         case scalar => Seq((p, scalar, inElement))
       }
@@ -663,6 +671,14 @@ object StatsPruning {
       mayContain(uf.arguments.head, uf.arguments(1), colType, bounds)
     case ac: org.apache.spark.sql.catalyst.expressions.ArrayContains =>
       mayContain(ac.left, ac.right, colType, bounds)
+    // map key containment prunes on the map's KEY bounds the same way
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if uf.nameParts.size == 1 &&
+          uf.nameParts.head.equalsIgnoreCase("map_contains_key") &&
+          uf.arguments.size == 2 =>
+      mayContainKey(uf.arguments.head, uf.arguments(1), colType, bounds)
+    case mc: org.apache.spark.sql.catalyst.expressions.MapContainsKey =>
+      mayContainKey(mc.left, mc.right, colType, bounds)
     case c: BinaryComparison =>
       val (op, a, l) = (c, c.left, c.right) match {
         case (_: EqualTo, x, y)            => ("=", x, y)
@@ -673,13 +689,22 @@ object StatsPruning {
         case (_: LessThanOrEqual, x, y)    => ("<=", x, y)
         case _                             => ("?", c.left, c.right)
       }
-      (attrNameIn(a, colType), l, attrNameIn(l, colType), a) match {
-        case (Some(n), lit: Literal, _, _) =>
-          mayCompare(n, lit, op, colType, bounds, nulls, rows)
-        case (_, _, Some(n), lit: Literal) => // literal on the left: flip
-          mayCompare(n, lit, flip(op), colType, bounds, nulls, rows)
-        case _ => true
-      }
+      // `m[k] <op> v` prunes on BOTH map bounds: any matching row needs
+      // key k present (within the key range) AND the value at k — one of
+      // the file's recorded values — in range for the comparison.
+      // (A missing key yields NULL, which satisfies no comparison.)
+      def side(x: Expression, lit: Expression, o: String): Option[Boolean] =
+        lit match {
+          case lt: Literal =>
+            attrNameIn(x, colType).map(n =>
+              mayCompare(n, lt, o, colType, bounds, nulls, rows))
+              .orElse(mapAccess(x, colType).map { case (kPath, kLit, vPath) =>
+                mayCompare(kPath, kLit, "=", colType, bounds, _ => None, -1L) &&
+                  mayCompare(vPath, lt, o, colType, bounds, _ => None, -1L)
+              })
+          case _ => None
+        }
+      side(a, l, op).orElse(side(l, a, flip(op))).getOrElse(true)
     case _ => true
   }
 
@@ -699,6 +724,48 @@ object StatsPruning {
         else mayCompare(elemKey, lit, "=", colType, bounds, _ => None, -1L)
       case _ => true
     }
+
+  /** May any row's map column contain the literal key? Consults the
+    * `<col>.key_value.key` bounds when present.
+    */
+  private def mayContainKey(m: Expression, key: Expression,
+                            colType: String => Option[DataType],
+                            bounds: String => Option[(Bound, Bound)]): Boolean =
+    (attrNameIn(m, colType), key) match {
+      case (_, lit: Literal) if lit.value == null => true
+      case (Some(n), lit: Literal) =>
+        val keyPath = n + ".key_value.key"
+        if (colType(keyPath).isEmpty) true
+        else mayCompare(keyPath, lit, "=", colType, bounds, _ => None, -1L)
+      case _ => true
+    }
+
+  /** Match a map VALUE access `m[k]` (`GetMapValue` or the unresolved
+    * `m['k']` extraction) rooted at a resolvable map column with a
+    * literal key: (key stats path, key literal, value stats path). The
+    * value path must have a recorded type or the access declines —
+    * and an UnresolvedExtractValue over a STRUCT never reaches here
+    * ([[attrNameIn]] resolves it first).
+    */
+  private def mapAccess(e: Expression,
+      colType: String => Option[DataType])
+      : Option[(String, Literal, String)] = {
+    def of(base: Expression, k: Expression): Option[(String, Literal, String)] =
+      (attrNameIn(base, colType), k) match {
+        case (Some(n), lit: Literal) if lit.value != null =>
+          val (kp, vp) = (n + ".key_value.key", n + ".key_value.value")
+          if (colType(vp).isEmpty || colType(kp).isEmpty) None
+          else Some((kp, lit, vp))
+        case _ => None
+      }
+    e match {
+      case g: org.apache.spark.sql.catalyst.expressions.GetMapValue =>
+        of(g.child, g.key)
+      case x: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
+        of(x.child, x.extraction)
+      case _ => None
+    }
+  }
 
   private def flip(op: String): String = op match {
     case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
@@ -840,6 +907,32 @@ object StatsPruning {
         case _ => None
       }
       chain(g)
+    // STRUCT access spelled as extraction (`meta['price']`,
+    // col("meta")("price")): every step a string literal, rooted at a
+    // single-part attribute whose TOP-LEVEL type is a StructType — the
+    // type guard keeps a MAP column's value access (same surface
+    // syntax) from ever binding a colliding dotted leaf of some other
+    // column — and the joined dotted path must itself resolve.
+    case x: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
+      def chain(e: Expression): Option[Seq[String]] = e match {
+        case xx: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
+          (chain(xx.child), xx.extraction) match {
+            case (Some(ps), Literal(s, StringType)) if s != null =>
+              Some(ps :+ s.toString)
+            case _ => None
+          }
+        case ar: AttributeReference => Some(Seq(ar.name))
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          Some(Seq(ua.nameParts.head))
+        case _ => None
+      }
+      chain(x).flatMap { parts =>
+        val structTop = colType(parts.head).exists(_.isInstanceOf[StructType])
+        val joined = parts.mkString(".")
+        if (structTop && parts.length > 1 && colType(joined).isDefined)
+          Some(joined)
+        else None
+      }
     case _ => None
   }
 

@@ -136,6 +136,65 @@ class NestedStatsSpec extends SparkSpec {
       lit(null).cast("long"))).count() == 0)
   }
 
+  test("map key/value bounds record; map_contains_key and m[k] prune") {
+    val t = freshTable()
+    // file k holds keys "k<range>" and values tracking the id — both
+    // map bound families are selective under range clustering (one key
+    // PREFIX only: a second prefix would widen every file's key range
+    // across the whole alphabet and defeat the bounds)
+    val df = (1 to 4000).map { i =>
+        (i.toLong, Map(f"k$i%05d" -> i.toLong, f"k$i%05dx" -> (i + 1).toLong))
+      }.toDF("id", "attrs")
+      .repartitionByRange(16, col("id"))
+    t.createOrReplace(df)
+    val m = t.currentManifest
+    assert(m.files.exists(_.stats.contains("attrs.key_value.key")),
+      "map key bounds must record under the footer's key path")
+    assert(m.files.exists(_.stats.contains("attrs.key_value.value")),
+      "map value bounds must record under the footer's value path")
+    assert(m.files.forall(f => !f.nulls.contains("attrs.key_value.value")),
+      "map value NULL counts are per-entry, never recorded as row-level")
+    val total = m.files.size
+    assert(total >= 8)
+    // key containment prunes to the file(s) whose key range covers it
+    val kc = map_contains_key(col("attrs"), lit("k00100"))
+    assert(t.pruneCounts(kc)._1 < total)
+    assert(t.readWhere(spark, kc).count() == 1)
+    // absent-key shape (outside every file's key range) prunes ALL files
+    assert(t.pruneCounts(map_contains_key(col("attrs"), lit("zzz")))._1 == 0)
+    assert(t.readWhere(spark,
+      map_contains_key(col("attrs"), lit("zzz"))).count() == 0)
+    // value access m[k] = v prunes on key AND value bounds
+    val va = col("attrs")("k00100") === 100L
+    assert(t.pruneCounts(va)._1 < total)
+    assert(t.readWhere(spark, va).count() == 1)
+    // a value no file holds prunes everything; result stays exact
+    assert(t.pruneCounts(col("attrs")("k00100") === 999999L)._1 == 0)
+    assert(t.readWhere(spark,
+      col("attrs")("k00100") === 999999L).count() == 0)
+    // SQL spelling m['k'] prunes the same way — structural proof: delete
+    // every file whose value range sits above 200 and keep querying low
+    val doomed = m.files.filter(f =>
+      f.stats.get("attrs.key_value.value").exists(_.min.toLong > 200L))
+    assert(doomed.nonEmpty)
+    doomed.foreach(f => Files.delete(t.root.resolve(f.path)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE attrs['k00100'] = 100").head.getLong(0) == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`${t.root}` " +
+      "WHERE map_contains_key(attrs, 'k00100')").head.getLong(0) == 1)
+    // struct access via extraction syntax binds the dotted leaf; a MAP
+    // column with a colliding dotted spelling can never bind it (guard)
+    val t2 = freshTable()
+    t2.createOrReplace((1 to 2000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "price")
+      .repartitionByRange(8, col("id"))
+      .select($"id", struct($"price").as("meta")))
+    assert(t2.pruneCounts(col("meta")("price") <= 100.0)._1 <
+      t2.currentManifest.files.size,
+      "struct extraction spelling must prune via the dotted leaf")
+    assert(t2.readWhere(spark, col("meta")("price") <= 100.0).count() == 100)
+  }
+
   test("a top-level column spelling a struct leaf's dotted path drops " +
       "BOTH stats keys (merged bounds would decode garbage)") {
     import org.apache.spark.sql.types._
