@@ -53,7 +53,10 @@ object Bench {
       "q109_metadata_delete", "q110_stream_from_timestamp",
       "q111_meta_count_pending_deletes", "q112_ref_retention",
       "q113_table_stats_ndv", "q114_ancestors_of",
-      "q115_sort_strategy_rewrite", "q116_stream_tail_split")
+      "q115_sort_strategy_rewrite", "q116_stream_tail_split",
+      "q117_struct_lifecycle", "q118_bucket_string_prune",
+      "q119_view_lifecycle", "q120_catalog_view_lifecycle",
+      "q121_entries_all_files")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -2384,6 +2384,14 @@ object SparkEntry {
     "q55_repetition_quality" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(t(s, d, "documents"), "doc_id", "text")),
 
+    "q122_ngram_repetition" -> ((s, d) =>
+      // Gopher's duplicate-n-gram quality rules (q55's token signals
+      // generalized to word BIGRAMS): columnar gram construction
+      // (sequence+slice in a higher-order transform — no UDF), (doc,
+      // gram) shuffle with map-side partial agg, micro-unit ratios
+      TextAnalysis.ngramRepetitionMetrics(
+        t(s, d, "documents"), "doc_id", "text", n = 2)),
+
     "q56_seq_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
@@ -3567,6 +3575,31 @@ object SparkEntry {
         |  count(*) AS n_distinct_tokens,
         |  CAST(floor((1.0 - count(*) / CAST(sum(cnt) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS dup_token_e6,
         |  CAST(floor(max(cnt) / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS top_token_share_e6
+        |FROM c GROUP BY doc_id""".stripMargin,
+
+    // q55's tokenizer, zipped into word bigrams (1-based list indexing;
+    // ratios divide as doubles in both engines; CASE sum is HUGEINT-safe
+    // because it only ever feeds the double division)
+    "q122_ngram_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM words WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  max(cnt) AS top_cnt,
+        |  CAST(floor(max(cnt) / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS top_gram_share_e6,
+        |  CAST(floor(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+        |      / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS dup_gram_e6
         |FROM c GROUP BY doc_id""".stripMargin,
 
     "q56_seq_pack" ->

@@ -201,6 +201,47 @@ object TextAnalysis {
           .as("top_token_share_e6"))
   }
 
+  /** N-GRAM repetition metrics (the Gopher duplicate-n-gram rules —
+    * [[repetitionMetrics]]'s token signals generalized to word n-grams):
+    * per document, the total n-gram occurrences, the most frequent
+    * n-gram's count, the share of occurrences covered by that top gram
+    * ("fraction of characters in the most frequent n-gram" analog on a
+    * uniform word stream), and the fraction of occurrences whose gram
+    * appears more than once (the duplicate-n-gram fraction). Same
+    * relational shape as the token metrics — explode to (doc, gram),
+    * count with map-side partial aggregation, re-aggregate — and the
+    * gram construction is pure columnar (sequence + slice inside a
+    * higher-order transform; no UDF, no per-row map). Outputs are
+    * counts and micro-units only (tie-free, hash-safe across engines).
+    * Documents with fewer than `n` words are omitted (no defined gram).
+    */
+  def ngramRepetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    // tokenize + gram BEFORE the (doc, gram) shuffle — spread it
+    val grams = Dedup.spread(df).select(col(idCol),
+        expr(("filter(split(trim(regexp_replace(lower(%s), " +
+          "'[^a-z0-9]+', ' ')), ' '), x -> x != '')").format(textCol))
+          .as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_grams"),
+        max("cnt").as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+          .as("dup_occ"))
+      .select(col(idCol), col("n_grams"), col("top_cnt"),
+        floor(col("top_cnt").cast("double") /
+          col("n_grams").cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("top_gram_share_e6"),
+        floor(col("dup_occ").cast("double") /
+          col("n_grams").cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("dup_gram_e6"))
+  }
+
   /** Token-stream sequence packing (GPT-style): documents are concatenated
     * shard-by-shard in id order and chopped into fixed token budgets;
     * each document learns which packed sequence it starts in and at what

@@ -160,6 +160,27 @@ class AsOfGraphSpec extends SparkSpec {
     assert(!got.contains(3L), "empty docs have no defined ratios")
   }
 
+  test("ngramRepetitionMetrics: hand-computed bigram shares") {
+    val docs = Seq(
+      (1L, "a b a b a"),   // bigrams: ab, ba, ab, ba → 4 occ, top 2, dup 4/4
+      (2L, "x y z"),       // xy, yz → 2 occ, top 1, dup 0
+      (3L, "solo"),        // < 2 words: omitted
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramRepetitionMetrics(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == (4L, 2L, 500000L, 1000000L))
+    assert(got(2L) == (2L, 1L, 500000L, 0L))
+    assert(!got.contains(3L) && !got.contains(4L),
+      "docs with fewer than n words have no defined gram")
+    // trigrams over doc 1: "a b a", "b a b", "a b a" → top 2 of 3
+    val tri = TextAnalysis.ngramRepetitionMetrics(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(tri(1L) == (3L, 2L, 666667L, 666667L))
+    assert(tri(2L) == (1L, 1L, 1000000L, 0L))
+  }
+
   test("packSequences: shard-local cumulative offsets and pack indices") {
     // token counts: id 0 → 2 tokens, id 2 → 3, id 4 → 2 (shard 0);
     //               id 1 → 4 tokens, id 3 → 1 (shard 1); budget 4
