@@ -293,15 +293,19 @@ case class GraftPathRelations(session: SparkSession)
           val tbl = SnapshotTable.at(p)
           val df = (verOpt, tsOpt) match {
             case (Some(v), _) =>
-              val ver =
-                try v.toLong
-                catch {
-                  case _: NumberFormatException =>
-                    throw new UnsupportedOperationException(
-                      s"VERSION AS OF takes the numeric snapshot version, " +
-                        s"got '$v'")
-                }
-              tbl.readVersion(session, ver)
+              // Iceberg semantics: VERSION AS OF takes a snapshot
+              // version OR a named ref — a tag reads its pinned
+              // snapshot, a branch reads its head
+              v.toLongOption match {
+                case Some(ver) => tbl.readVersion(session, ver)
+                case None if tbl.tags.contains(v) => tbl.readTag(session, v)
+                case None if tbl.branches.contains(v) =>
+                  tbl.readBranch(session, v)
+                case None =>
+                  throw new UnsupportedOperationException(
+                    s"VERSION AS OF takes a numeric snapshot version or " +
+                      s"a live tag/branch name; '$v' is neither on $p")
+              }
             case (_, Some(ts)) => tbl.readAsOf(session, tsMillis(ts))
             case _             => tbl.read(session)
           }
@@ -573,10 +577,24 @@ private[graft] object GraftSqlDml {
             unknown.mkString(", "))
         df
       } else {
-        if (df.columns.length != schema.length)
+        // hidden partitioning: transform-DERIVED columns are the
+        // engine's to compute (commitData re-derives them from their
+        // source on every write), so a positional INSERT binds the
+        // USER-FACING columns; full arity stays accepted for writers
+        // that materialized the derived values themselves
+        val derived = m.properties.keySet.collect {
+          case k if k.startsWith(TransformPropPrefix) =>
+            k.drop(TransformPropPrefix.length).toLowerCase
+        }
+        val visible = schema.filterNot(f => derived(f.name.toLowerCase))
+        if (df.columns.length == schema.length)
+          df.toDF(schema.map(_.name).toSeq: _*)
+        else if (df.columns.length == visible.length)
+          df.toDF(visible.map(_.name).toSeq: _*)
+        else
           unsupported(s"positional INSERT arity (${df.columns.length} " +
-            s"query outputs for ${schema.length} table columns)")
-        df.toDF(schema.map(_.name).toSeq: _*)
+            s"query outputs for ${schema.length} table columns, " +
+            s"${visible.length} user-facing)")
       }
     val aligned = schema.toSeq.map { f =>
       named.columns.find(_.equalsIgnoreCase(f.name)) match {
@@ -628,12 +646,19 @@ private[graft] object GraftSqlDml {
     * `graft.transform.*` properties and materialized by the write
     * chokepoint, never supplied by the query.
     */
-  private def runCtas(session: SparkSession, tbl: SnapshotTable,
-                      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
-                      tableSpec: Any, query: LogicalPlan): Unit = {
+  /** Resolve a DSv2 partitioning list (identity + the Iceberg transform
+    * set) against a schema: (partition columns in declared order,
+    * `graft.transform.*` properties for the derived ones). Shared by
+    * SQL CTAS/RTAS and [[graft.catalog.GraftCatalog.createTable]] — one
+    * transform model everywhere (write derivation and manifest pruning
+    * read the same property).
+    */
+  private[graft] def resolveTransforms(
+      fields: Seq[org.apache.spark.sql.types.StructField],
+      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      what: String): (Seq[String], Map[String, String]) = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => VLiteral}
     import graft.functions.Transforms
-    val df = GraftBridge.ofRows(session, query)
     def refOf(as: Seq[org.apache.spark.sql.connector.expressions.Expression])
         : Option[String] = as.collectFirst {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -648,10 +673,10 @@ private[graft] object GraftSqlDml {
         case o => o.toString.toInt
       }
     }
-    // canonical source spelling from the query schema; loud when absent
-    def srcField(c: String) = df.schema.fields
+    // canonical source spelling from the schema; loud when absent
+    def srcField(c: String) = fields
       .find(_.name.equalsIgnoreCase(c)).getOrElse(unsupported(
-        s"partition transform source $c is not in the CTAS output"))
+        s"partition transform source $c is not in the $what"))
     val resolved: Seq[(String, Option[(String, String)])] = partitioning.map { t =>
       val args = t.arguments.toSeq
       t.name.toLowerCase match {
@@ -685,17 +710,24 @@ private[graft] object GraftSqlDml {
             unsupported(s"${canon.canonical} is undefined over " +
               s"${sf.dataType.simpleString} source ${sf.name}"))
           val name = canon.defaultName
-          df.schema.fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
+          fields.find(_.name.equalsIgnoreCase(name)).foreach { f =>
             if (f.dataType != dt) unsupported(
-              s"CTAS output column ${f.name} collides with the derived " +
+              s"$what column ${f.name} collides with the derived " +
                 s"partition field (${f.dataType.simpleString} vs " +
                 s"${dt.simpleString})")
           }
           (name, Some(TransformPropPrefix + name -> canon.canonical))
       }
     }
-    val pcols = resolved.map(_._1)
-    val transformProps = resolved.flatMap(_._2).toMap
+    (resolved.map(_._1), resolved.flatMap(_._2).toMap)
+  }
+
+  private def runCtas(session: SparkSession, tbl: SnapshotTable,
+                      partitioning: Seq[org.apache.spark.sql.connector.expressions.Transform],
+                      tableSpec: Any, query: LogicalPlan): Unit = {
+    val df = GraftBridge.ofRows(session, query)
+    val (pcols, transformProps) =
+      resolveTransforms(df.schema.fields.toSeq, partitioning, "CTAS output")
     val props = tableSpec match {
       case u: UnresolvedTableSpec => u.properties
       case t: org.apache.spark.sql.catalyst.plans.logical.TableSpec => t.properties

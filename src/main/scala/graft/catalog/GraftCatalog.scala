@@ -98,31 +98,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new NoSuchTableException(ident)
 
   /** `CREATE TABLE` (no AS SELECT): an empty table with the declared
-    * schema — identity partition transforms only, like CTAS (record
-    * bucket()/days() derivations of a materialized column via
-    * `graft.transform.*` properties).
+    * schema. Partitioning takes the FULL Iceberg transform set like
+    * CTAS — `PARTITIONED BY (bucket(8, id), days(ts), ...)` records the
+    * derivation as `graft.transform.*` properties (one model: writes
+    * derive the hidden column at commit, manifest pruning reads the
+    * same property), identity columns partition directly.
     */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val tbl = tableAt(ident)
     if (tbl.exists) throw new TableAlreadyExistsException(ident)
-    val pcols = partitions.toSeq.map { t =>
-      val field = if (t.name == "identity" && t.arguments.length == 1)
-        t.arguments.head match {
-          case nr: NamedReference => nr.fieldNames match {
-            case Array(one) => Some(one)
-            case _ => None
-          }
-          case _ => None
-        }
-      else None
-      field.getOrElse(throw new UnsupportedOperationException(
-        s"partition transform $t (identity columns only)"))
-    }
+    val (pcols, transformProps) = graft.GraftSqlDml.resolveTransforms(
+      schema.fields.toSeq, partitions.toSeq, "declared schema")
     val spark = SparkSession.active
-    val props = properties.asScala.toMap --
-      Seq(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)
+    val props = (properties.asScala.toMap --
+      Seq(TableCatalog.PROP_OWNER, TableCatalog.PROP_PROVIDER)) ++
+      transformProps
     Files.createDirectories(dirOf(ident).getParent)
     tbl.createOrReplace(
       spark.createDataFrame(

@@ -894,5 +894,57 @@ class GraftExtensionsSpec extends SparkSpec {
       base.sql(s"SELECT * FROM graft.`$root` " +
         "TIMESTAMP AS OF '1969-12-31 00:00:00'").collect()
     }
+    // Iceberg ref spelling: VERSION AS OF 'tag' pins, 'branch' reads the
+    // branch HEAD, an unknown name refuses loudly
+    tbl.tag("v1tag", 1L)
+    tbl.branch("dev", 1L)
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "VERSION AS OF 'v1tag'") == 10)
+    tbl.atBranch("dev").append(spark,
+      Seq((100L, "b"), (101L, "b")).toDF("id", "s"))
+    assert(c(s"SELECT count(*) AS c FROM graft.`$root` " +
+      "VERSION AS OF 'dev'") == 12, "a branch name reads the branch head")
+    val eRef = intercept[Exception] {
+      base.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 'nope'").collect()
+    }
+    assert(eRef.getMessage.contains("neither"))
+  }
+
+  test("named-catalog CREATE TABLE takes the full transform set") {
+    val base = spark
+    import base.implicits._
+    val wh = Files.createTempDirectory("graft-ct-wh-").toString
+    spark.conf.set("spark.sql.catalog.ctcat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ctcat.warehouse", wh)
+    try {
+      spark.sql("CREATE TABLE ctcat.db.evt (id BIGINT, ts TIMESTAMP, " +
+        "s STRING) PARTITIONED BY (bucket(8, id), days(ts))")
+      val t = SnapshotTable.at(s"$wh/db/evt")
+      val m = t.currentManifest
+      assert(m.partitionColumns == Seq("id_bucket", "ts_day"),
+        s"derived partition fields (${m.partitionColumns})")
+      assert(m.properties.get("graft.transform.id_bucket")
+        .contains("bucket(8,id)"))
+      assert(m.properties.get("graft.transform.ts_day").contains("days(ts)"))
+      // writers never supply the derived columns — the engine does
+      spark.sql("INSERT INTO ctcat.db.evt SELECT id, " +
+        "timestamp'2024-03-05 10:00:00' AS ts, concat('s', id) AS s " +
+        "FROM range(200)")
+      assert(spark.sql("SELECT count(*) AS c FROM ctcat.db.evt")
+        .head.getLong(0) == 200)
+      // the hidden bucket prunes a point predicate on the raw key
+      val (kept, total) = t.pruneCounts(
+        org.apache.spark.sql.functions.col("id") === 42L)
+      assert(kept < total, s"bucket transform must prune ($kept/$total)")
+      assert(spark.sql("SELECT id FROM ctcat.db.evt WHERE id = 42")
+        .count() == 1)
+      // an undefined transform-over-type refuses loudly
+      intercept[Exception](spark.sql(
+        "CREATE TABLE ctcat.db.bad (x DOUBLE) PARTITIONED BY (days(x))"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.ctcat")
+      spark.conf.unset("spark.sql.catalog.ctcat.warehouse")
+    }
   }
 }
