@@ -2392,6 +2392,14 @@ object SparkEntry {
       TextAnalysis.ngramRepetitionMetrics(
         t(s, d, "documents"), "doc_id", "text", n = 2)),
 
+    "q123_shared_windows" -> ((s, d) =>
+      // ExactSubstr-lite: per doc, the fraction of its 8-token windows
+      // occurring in ANOTHER document — the cross-doc span signal
+      // intra-doc repetition (q122) can't see; dup/near-dup docs in the
+      // corpus light up, clean ones read 0
+      TextAnalysis.sharedWindowStats(
+        t(s, d, "documents"), "doc_id", "text", n = 8)),
+
     "q56_seq_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
@@ -3601,6 +3609,31 @@ object SparkEntry {
         |      / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5)
         |    AS BIGINT) AS dup_gram_e6
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // 8-token windows (1-based inclusive list slice); a gram is SHARED
+    // when distinct docs carrying it exceed one
+    "q123_shared_windows" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 7),
+        |      i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM words WHERE len(w) >= 8),
+        |pd AS (SELECT doc_id, g, count(*) AS occ FROM grams GROUP BY 1, 2),
+        |tagged AS (SELECT doc_id, occ,
+        |    count(*) OVER (PARTITION BY g) AS n_docs FROM pd)
+        |SELECT doc_id,
+        |  CAST(sum(occ) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS n_shared_windows,
+        |  CAST(floor(sum(CASE WHEN n_docs > 1 THEN occ ELSE 0 END)
+        |      / CAST(sum(occ) AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS shared_window_e6
+        |FROM tagged GROUP BY doc_id""".stripMargin,
 
     "q56_seq_pack" ->
       """WITH tk AS (SELECT doc_id, doc_id % 8 AS shard,

@@ -242,6 +242,45 @@ object TextAnalysis {
           .as("dup_gram_e6"))
   }
 
+  /** CROSS-DOCUMENT shared-window statistics (the ExactSubstr-dedup
+    * signal of "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022, reduced to fixed word windows): per
+    * document, how many of its n-token windows also occur in ANOTHER
+    * document — the span-level contamination [[ngramRepetitionMetrics]]
+    * (intra-doc) can't see. Relational shape: window → (gram, doc)
+    * occurrence counts → a count-over-gram window marks grams seen in
+    * ≥2 docs → re-aggregate per doc. Both shuffles are gram-keyed with
+    * map-side partial aggregation; the per-gram window partition is
+    * bounded by the doc count, so a stopword-run gram can't skew a
+    * task unboundedly. Documents with fewer than `n` words are omitted.
+    */
+  def sharedWindowStats(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    require(n >= 1, s"window size must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val grams = Dedup.spread(df).select(col(idCol),
+        expr(("filter(split(trim(regexp_replace(lower(%s), " +
+          "'[^a-z0-9]+', ' ')), ' '), x -> x != '')").format(textCol))
+          .as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+    val perDocGram = grams.groupBy(col("g"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    val docsPerGram = Window.partitionBy(col("g"))
+    perDocGram
+      .withColumn("n_docs", count(lit(1)).over(docsPerGram))
+      .groupBy(col(idCol))
+      .agg(sum("occ").as("n_windows"),
+        sum(when(col("n_docs") > 1, col("occ")).otherwise(lit(0L)))
+          .as("n_shared_windows"))
+      .select(col(idCol), col("n_windows"), col("n_shared_windows"),
+        floor(col("n_shared_windows").cast("double") /
+          col("n_windows").cast("double") * 1000000.0 + 0.5).cast("long")
+          .as("shared_window_e6"))
+  }
+
   /** Token-stream sequence packing (GPT-style): documents are concatenated
     * shard-by-shard in id order and chopped into fixed token budgets;
     * each document learns which packed sequence it starts in and at what

@@ -5191,14 +5191,33 @@ final class SnapshotTable(val root: Path,
       // `preclustered` callers (z-order layouts) arrive already
       // range-clustered on (partition cols, z) — re-hashing here would
       // destroy the curve order the commit exists to establish.
+      //
+      // write.graft.distribution-mode (Iceberg's write.distribution-mode):
+      //   hash (default) — one hash exchange on the partition columns;
+      //   range — a RANGE exchange on (partition cols, declared sort
+      //     cols): consecutive tasks hold consecutive key slices, so
+      //     per-file bounds on the sort columns turn near-disjoint and
+      //     range scans prune hard (a skewed partition also spreads over
+      //     several tasks instead of serializing on one);
+      //   none — no exchange: the writer's own layout lands as-is,
+      //     trading O(tasks × partitions) small files for zero shuffle
+      //     (the bulk-import shape; compaction repairs the layout later).
+      val sortCols =
+        if (preclustered) Nil else sortOrderCols(props, df.columns.toSeq)
+      val mode = props.getOrElse("write.graft.distribution-mode", "hash")
+      require(Set("hash", "range", "none")(mode),
+        s"write.graft.distribution-mode must be hash|range|none, got '$mode'")
       val clustered0 =
-        if (pcols.nonEmpty && !preclustered) df.repartition(pcols.map(col): _*)
+        if (preclustered || mode == "none") df
+        // range applies to unpartitioned tables too when a sort order
+        // is declared — a global range layout over the sort columns
+        else if (mode == "range" && (pcols.nonEmpty || sortCols.nonEmpty))
+          df.repartitionByRange((pcols ++ sortCols).map(col): _*)
+        else if (pcols.nonEmpty) df.repartition(pcols.map(col): _*)
         else df
       // declared linear sort order: in-task sort AFTER the clustering
       // shuffle (no extra exchange) — per-file bounds turn selective on
       // the leading sort column
-      val sortCols =
-        if (preclustered) Nil else sortOrderCols(props, df.columns.toSeq)
       val clustered =
         if (sortCols.isEmpty) clustered0
         else clustered0.sortWithinPartitions(sortCols.map(col): _*)

@@ -181,6 +181,29 @@ class AsOfGraphSpec extends SparkSpec {
     assert(tri(2L) == (1L, 1L, 1000000L, 0L))
   }
 
+  test("sharedWindowStats: cross-doc window sharing, hand-computed") {
+    // n = 3 windows; docs 1 and 2 share "b c d" (and only it);
+    // doc 3 is clean; doc 4 too short
+    val docs = Seq(
+      (1L, "a b c d"),      // windows: abc, bcd
+      (2L, "b c d e f"),    // windows: bcd, cde, def
+      (3L, "p q r s"),      // windows: pqr, qrs — unshared
+      (4L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.sharedWindowStats(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (2L, 1L, 500000L))
+    assert(got(2L) == (3L, 1L, 333333L))
+    assert(got(3L) == (2L, 0L, 0L))
+    assert(!got.contains(4L), "docs shorter than the window are omitted")
+    // intra-doc repetition does NOT count as shared: a doc repeating its
+    // own window sees occurrences > 1 but n_docs = 1
+    val solo = Seq((9L, "m n o m n o")).toDF("doc_id", "text")
+    val g9 = TextAnalysis.sharedWindowStats(solo, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(g9 == ((9L, 4L, 0L, 0L)))
+  }
+
   test("packSequences: shard-local cumulative offsets and pack indices") {
     // token counts: id 0 → 2 tokens, id 2 → 3, id 4 → 2 (shard 0);
     //               id 1 → 4 tokens, id 3 → 1 (shard 1); budget 4

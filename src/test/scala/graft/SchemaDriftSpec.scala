@@ -75,15 +75,21 @@ class SchemaDriftSpec extends SparkSpec {
     val evolved = tbl.read(spark)
     assert(evolved.schema("extra").dataType.isInstanceOf[StructType])
     assert(evolved.filter($"extra".isNull).count() == 40)
-    // stats: struct LEAVES record under dotted paths (r10), containers
-    // and array/map interiors record nothing, scalar key bounds live
+    // stats: struct LEAVES record under dotted paths (r10); CONTAINERS
+    // themselves record nothing; array elements and map keys/values
+    // record under the footer's element spelling (r11 — those are
+    // element-level bounds, deliberately never row-level null counts)
     val m = tbl.currentManifest
     assert(m.files.forall(f => !f.stats.keys.exists(k =>
       Seq("meta", "arr", "m", "extra").exists(k.equalsIgnoreCase))))
     assert(m.files.exists(_.stats.contains("meta.price")),
       "struct leaf bounds must record under the dotted path")
-    assert(m.files.forall(f => !f.stats.keys.exists(_.startsWith("arr"))),
-      "array interiors must not record row-level bounds")
+    assert(m.files.forall(f => f.stats.keys
+      .filter(_.startsWith("arr")).forall(_ == "arr.list.element")),
+      "array stats live ONLY at the element path, never row-level")
+    assert(m.files.forall(f => !f.nulls.keys.exists(_.startsWith("arr")) &&
+      !f.nulls.keys.exists(_.startsWith("m."))),
+      "element paths must never record row-level null counts")
     assert(m.files.exists(_.stats.contains("id")))
     // struct evolution refuses loudly: widening is int→long/float→double
     val e = intercept[IllegalArgumentException] {
