@@ -1614,6 +1614,33 @@ private[graft] object GraftSqlDml {
     * `loadTable`, which [[graft.catalog.GraftCatalog]] deliberately does
     * not serve (see its resolution-design note).
     */
+  /** `DESCRIBE` over a stored VIEW (Spark's own DESCRIBE answers for
+    * views): the column block comes from ANALYZING the current stored
+    * definition in this session — the same nested-analysis precedent as
+    * the relation rule's own `tbl.read(session)` calls — so it tracks
+    * table changes like every other view read.
+    */
+  private def describeView(session: SparkSession, path: String,
+                           d: DescribeRelation): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = GraftBridge.ofRows(session,
+      session.sessionState.sqlParser.parsePlan(
+        graft.table.ViewStore.sql(path))).schema
+    def row(a: String, b: String, c: String): InternalRow =
+      InternalRow.fromSeq(Seq(a, b, c).map(s =>
+        if (s == null) null else UTF8String.fromString(s)))
+    val cols = schema.toSeq.map(f => row(f.name, f.dataType.simpleString, null))
+    val extended =
+      if (!d.isExtended) Nil
+      else row("", "", "") :: row("# Detailed View Information", "", "") ::
+        row("Location", path, null) ::
+        row("Provider", "graft-view", null) ::
+        row("Current Version",
+          graft.table.ViewStore.currentVersion(path).toString, null) :: Nil
+    LocalRelation(d.output, (cols ++ extended).toIndexedSeq)
+  }
+
   private def runDescribe(session: SparkSession, path: String,
                           d: DescribeRelation): LogicalPlan = {
     import org.apache.spark.sql.catalyst.InternalRow
@@ -1648,10 +1675,14 @@ private[graft] object GraftSqlDml {
               target: LogicalPlan => Option[SnapshotTable]): Option[LogicalPlan] =
     plan match {
       case d: DescribeRelation if d.partitionSpec.isEmpty =>
-        identParts(d.relation).flatMap(parts =>
-          graft.catalog.GraftCatalog.pathCandidates(session, parts)
-            .find(p => SnapshotTable.at(p).exists)
-            .map(p => runDescribe(session, p, d)))
+        identParts(d.relation).flatMap { parts =>
+          val cands = graft.catalog.GraftCatalog.pathCandidates(session, parts)
+          cands.find(p => SnapshotTable.at(p).exists)
+            .map(p => runDescribe(session, p, d))
+            .orElse(cands.find(p => !SnapshotTable.at(p).exists &&
+                graft.table.ViewStore.exists(p))
+              .map(p => describeView(session, p, d)))
+        }
       case sp: ShowTableProperties =>
         // same loadTable-resolution gap as DESCRIBE: answer from the
         // manifest. With a key, Spark's semantics: one row, or an

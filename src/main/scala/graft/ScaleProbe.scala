@@ -622,6 +622,32 @@ object ScaleProbe {
         }
       }
 
+      // DISTRIBUTION MODES at 2.4M rows: range mode's near-disjoint
+      // per-file sort-column bounds vs hash mode's full-range files —
+      // the prune census is the evidence; none mode trades files for
+      // the saved shuffle (the bulk-import shape)
+      {
+        def modeTable(mode: String, extra: Map[String, String] = Map.empty) = {
+          val t = SnapshotTable.at(java.nio.file.Files
+            .createTempDirectory(s"graft-distmode-$mode").toString)
+          t.createOrReplace(withP, Seq("p"),
+            Map("write.graft.distribution-mode" -> mode) ++ extra)
+          t
+        }
+        val probe = col("l_orderkey") <= oCut
+        val h = modeTable("hash")
+        val r = modeTable("range", Map("write.graft.sort-order" -> "l_orderkey"))
+        val nn = modeTable("none")
+        val (hk, ht) = h.pruneCounts(probe)
+        val (rk, rt) = r.pruneCounts(probe)
+        println(s"""{"stage":"distribution_mode_census",""" +
+          s""""hash_kept":$hk,"hash_total":$ht,""" +
+          s""""range_kept":$rk,"range_total":$rt,""" +
+          s""""none_files":${nn.currentManifest.files.size}}""")
+        timed("range_mode_pruned_scan") { r.readWhere(spark, probe).count() }
+        timed("hash_mode_pruned_scan") { h.readWhere(spark, probe).count() }
+      }
+
       // VIEW store at 1k REPLACE versions (r10 verdict #7): each create
       // LISTS the version dir to find the next number — O(versions) per
       // REPLACE by design; this probe records the constant. Reads parse

@@ -135,6 +135,15 @@ class ViewsSpec extends SparkSpec {
       // session-catalog view DDL still delegates (head not a graft cat)
       intercept[Exception](spark.sql(
         "ALTER VIEW nosuch_db.nosuch_view AS SELECT 1 AS x"))
+      // DESCRIBE a view: columns come from analyzing the stored
+      // definition (so they track the CURRENT table), extended adds the
+      // view block
+      val desc = spark.sql("DESCRIBE vcat.db.v_small").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(desc.toSeq == Seq(("id", "bigint")), desc.mkString(","))
+      val ext = spark.sql("DESCRIBE EXTENDED vcat.db.v_small").collect()
+        .map(_.getString(0))
+      assert(ext.contains("Current Version") && ext.contains("id"))
       // DROP via the named spelling
       spark.sql("DROP VIEW vcat.db.v_small")
       assert(!ViewStore.exists(s"$wh/db/v_small"))
