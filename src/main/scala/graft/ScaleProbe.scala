@@ -622,15 +622,18 @@ object ScaleProbe {
         }
       }
 
-      // DISTRIBUTION MODES at 2.4M rows: range mode's near-disjoint
-      // per-file sort-column bounds vs hash mode's full-range files —
-      // the prune census is the evidence; none mode trades files for
-      // the saved shuffle (the bulk-import shape)
+      // DISTRIBUTION MODES at 2.4M rows: partition by a HASH-like value
+      // (key % 32 — zero key locality, unlike withP's range blocks, so
+      // the partitioning itself buys no bounds) and contrast the
+      // layouts: hash mode's one-file-per-value spans the full key
+      // range (no prune), range mode's (p, sort-key) slices prune hard;
+      // none mode trades files for the saved shuffle (bulk-import)
       {
+        val hashed = withP.withColumn("p", pmod(col("l_orderkey"), lit(32)))
         def modeTable(mode: String, extra: Map[String, String] = Map.empty) = {
           val t = SnapshotTable.at(java.nio.file.Files
             .createTempDirectory(s"graft-distmode-$mode").toString)
-          t.createOrReplace(withP, Seq("p"),
+          t.createOrReplace(hashed, Seq("p"),
             Map("write.graft.distribution-mode" -> mode) ++ extra)
           t
         }
@@ -697,6 +700,16 @@ object ScaleProbe {
       Similarity.ivfTopK(emb, cents,
         emb.filter(col("vec_id") % 1000 === 0), "vec_id", "embedding",
         k = 10, nProbe = 4).count()
+    }
+    timed("pq_encode_and_topk") {
+      // PQ at 100k vectors: train 8×16 codebooks, encode (m bytes a
+      // vector), ADC-score a 0.1% query set to a 50-shortlist, exact
+      // re-rank — the IVF-PQ scoring half at corpus scale
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      Similarity.pqTopK(emb, books, emb.filter(col("vec_id") % 1000 === 0),
+        "vec_id", "embedding", k = 10, m = 8, kCodes = 16,
+        shortlist = 50).count()
     }
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDups(emb, "vec_id", "embedding",

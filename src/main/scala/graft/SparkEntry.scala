@@ -2259,6 +2259,34 @@ object SparkEntry {
         .toDF("n_vectors", "n_queries", "recall_at10_ok")
     }),
 
+    "q124_embed_ann_pq" -> ((s, d) => {
+      // PRODUCT QUANTIZATION ANN (Jégou et al. 2011 — the IVF-PQ
+      // scoring half): per-block L2 codebooks over normalized vectors,
+      // m-byte codes, ADC table-lookup scoring to a shortlist, exact
+      // cosine re-rank. Codebooks vary with float summation order like
+      // q39's quantizer, so the query emits the ANN CONTRACT: recall@10
+      // of the re-ranked PQ top-k against the in-query exact top-10
+      // must clear the same 0.5 bar (DedupSimilaritySpec pins the
+      // measured level); corpus anchors hash-match the oracle.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val ann = Similarity.pqTopK(emb, books, queries,
+        "vec_id", "embedding", k = 10, m = 8, kCodes = 16, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10).cache()
+      val nExact = exact.count()
+      val nHit = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = exact.select("query_id").distinct().count()
+      val nVec = emb.count()
+      import s.implicits._
+      Seq((nVec, nQ, nExact == 0 || nHit.toDouble / nExact >= 0.5))
+        .toDF("n_vectors", "n_queries", "recall_at10_ok")
+    }),
+
     "q40_image_meta" -> ((s, d) =>
       Multimodal.decodeImages(s,
           Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
@@ -3337,6 +3365,15 @@ object SparkEntry {
     // excluded, mirroring bruteForceTopK); the IVF recall@10-vs-exact
     // contract reduces to constant TRUE
     "q39_embed_ann_ivf" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
+        |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
+        |  TRUE AS recall_at10_ok""".stripMargin,
+
+    // same anchors as q39: the recall guarantee is computed in-query
+    // against the exact top-10 (PQ codebooks aren't cross-engine
+    // reproducible — float summation order)
+    "q124_embed_ann_pq" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
         |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,

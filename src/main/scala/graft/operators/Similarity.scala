@@ -129,6 +129,169 @@ object Similarity {
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** PRODUCT-QUANTIZATION codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * (L2-normalized) vector into `m` equal blocks and train an
+    * independent k-codeword L2 Lloyd quantizer per block. Returns
+    * `(block, code, cent_v)`. Everything is DataFrame ops with the same
+    * scale shape as [[trainCentroids]]: per iteration one broadcast
+    * join + one (code, pos)-keyed shuffle of k·dim rows after partial
+    * aggregation — independent of corpus size. Normalizing before
+    * training makes the ADC dot product approximate COSINE, matching
+    * the exact baseline's metric.
+    */
+  def trainPqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, iters: Int): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into $m equal blocks")
+    val blockLen = dim / m
+    val unit = normalized(embeddings, idCol, vecCol)
+    (0 until m).map { b =>
+      val base = unit.select(col("vid"),
+        slice(col("v"), b * blockLen + 1, blockLen).as("v"))
+      l2Lloyd(base, k, iters).withColumn("block", lit(b))
+    }.reduce(_ unionByName _)
+      .select(col("block"), col("code"), col("cent_v"))
+  }
+
+  /** PQ-encode: per vector, the `m`-entry code array (nearest codeword
+    * per block, L2). One broadcast join against the codebooks; the
+    * argmin is a partial-agg `min_by`, the reassembly one (id)-keyed
+    * aggregation — a 100 TB corpus encodes in two passes with no
+    * window sort. Output `(idCol, codes array<int>)`.
+    */
+  def encodePq(embeddings: DataFrame, codebooks: DataFrame,
+               idCol: String, vecCol: String, m: Int): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    val blockLen = dim / m
+    val cb = broadcast(codebooks
+      .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
+    normalized(embeddings, idCol, vecCol)
+      .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("bv", slice(col("v"),
+        col("block") * blockLen + 1, lit(blockLen)))
+      .join(cb, Seq("block"))
+      // |bv - c|² = |bv|² - 2·bv·c + |c|²; |bv|² is constant per (vid,
+      // block), so the argmin needs only the last two terms
+      .withColumn("d2", col("cn2") - lit(2.0) * vectorDot(col("bv"), col("cent_v")))
+      .groupBy(col("vid"), col("block"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("block"), col("code")))).as("bc"))
+      .select(col("vid").as(idCol),
+        transform(col("bc"), e => e.getField("code")).as("codes"))
+  }
+
+  /** PQ ANN with asymmetric distance + exact re-rank (the production
+    * IVF-PQ recipe's scoring half): per query, a per-block dot-product
+    * TABLE against the codewords folds each candidate's score to `m`
+    * table lookups over its code array (no vector math per pair); the
+    * ADC top-`shortlist` then re-ranks by EXACT cosine against the
+    * original vectors and the true top-k emerges. At 100 TB the
+    * candidate scoring touches only the (id, codes) index — m bytes a
+    * vector instead of 4·dim — and the exact math runs on
+    * shortlist·|Q| rows, not N·|Q|. Output matches [[bruteForceTopK]]:
+    * (query_id, rank, neighbor_id, cosine).
+    */
+  def pqTopK(embeddings: DataFrame, codebooks: DataFrame,
+             queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int, kCodes: Int, shortlist: Int = 50): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    val blockLen = dim / m
+    val codes = encodePq(embeddings, codebooks, idCol, vecCol, m)
+      .withColumnRenamed(idCol, "neighbor_id")
+    // per-query lookup table, flattened to one m·kCodes array indexed
+    // block·kCodes + code (collect_list is per-query — m·kCodes rows)
+    val cb = broadcast(codebooks)
+    val qTabs = broadcast(normalized(queries, idCol, vecCol)
+      .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("qb", slice(col("v"),
+        col("block") * blockLen + 1, lit(blockLen)))
+      .join(cb, Seq("block"))
+      .withColumn("d", vectorDot(col("qb"), col("cent_v")))
+      .groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("block"), col("code"),
+        col("d")))).as("bcd"))
+      .select(col("vid").as("query_id"),
+        transform(col("bcd"), e => e.getField("d")).as("tab")))
+    val scored = qTabs.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, b) => element_at(col("tab"), (b * kCodes + c + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id").asc)
+    val short = scored.withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist only
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+      .withColumn("nrm", vectorNorm(col(vecCol))).filter(col("nrm") > 0.0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    short
+      .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col("nrm").as("qn")), Seq("query_id"))
+      .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** (vid, v) with v L2-normalized; zero-norm vectors excluded (they
+    * have no direction — same rule as every cosine operator here).
+    */
+  private def normalized(df: DataFrame, idCol: String,
+                         vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), col(vecCol).as("v0"))
+      .withColumn("nrm", vectorNorm(col("v0")))
+      .filter(col("nrm") > 0.0)
+      .select(col("vid"),
+        transform(col("v0"), x => (x / col("nrm")).cast("float")).as("v"))
+
+  /** Deterministic L2 Lloyd over a (vid, v) frame → (code, cent_v).
+    * The spherical twin lives in [[trainCentroids]] (kept verbatim —
+    * its outputs anchor committed contract queries); assignment here is
+    * min squared distance, |v|² dropped as constant per row.
+    */
+  private def l2Lloyd(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    val n = base.count()
+    val step = math.max(1L, n / math.max(1L, 8L * k))
+    val wCell = Window.partitionBy(col("code")).orderBy(col("vid"))
+    var cent = base
+      .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
+      .withColumn("code", pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("code"), col("v").as("cent_v"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(cent
+        .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
+      val assigned = base
+        .crossJoin(c)
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * vectorDot(col("v"), col("cent_v")))
+        .groupBy(col("vid"))
+        .agg(min_by(struct(col("code"), col("v")),
+          struct(col("d2"), col("code"))).as("a"))
+        .select(col("a.code").as("code"), col("a.v").as("v"))
+      cent = assigned
+        .select(col("code"), posexplode(col("v")))
+        .groupBy(col("code"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("code"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("cent_v"))
+    }
+    cent
+  }
+
   /** IVF-style ANN: cluster by nearest centroid, probe nProbe cells.
     *
     * `centroids` plays the role of a trained coarse quantizer; any small

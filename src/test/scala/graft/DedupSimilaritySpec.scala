@@ -128,6 +128,29 @@ class DedupSimilaritySpec extends SparkSpec {
     info(s"recall sampled=$recallSampled trained=$recallTrained")
   }
 
+  test("PQ ANN (ADC shortlist + exact re-rank) clears the recall bar") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    assert(books.select("block").distinct().count() == 8)
+    assert(books.groupBy("block").count().collect()
+      .forall(_.getLong(1) <= 16), "at most k codewords per block")
+    val pq = Similarity.pqTopK(emb, books, queries, "vec_id", "embedding",
+        k = 10, m = 8, kCodes = 16, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 = $recall")
+    info(s"PQ recall@10 = $recall")
+    // codes really are m small ints — the index costs m bytes a vector
+    val codes = Similarity.encodePq(emb, books, "vec_id", "embedding", m = 8)
+    val row = codes.select("codes").head.getSeq[Int](0)
+    assert(row.length == 8 && row.forall(c => c >= 0 && c < 16))
+    assert(codes.count() == emb.count())
+  }
+
   test("embedding near-dup self-join finds the planted duplicate") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet").limit(50)
     val dup = emb.filter($"vec_id" === 0)
