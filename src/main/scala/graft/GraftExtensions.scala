@@ -1761,8 +1761,10 @@ private[graft] object GraftSqlDml {
         // SHOW CREATE TABLE answers for views the same way).
         identParts(sct.child).flatMap { parts =>
           val cands = graft.catalog.GraftCatalog.pathCandidates(session, parts)
-          val viewHit = cands.find(p => !SnapshotTable.at(p).exists &&
-            graft.table.ViewStore.exists(p)).map { vp =>
+          // tables FIRST across all candidates, views second — the same
+          // precedence the relation rule gives reads (a table at any
+          // candidate wins before view substitution is attempted)
+          def viewHit = cands.find(graft.table.ViewStore.exists).map { vp =>
             val rel = showCreateViewRelation(vp)
             // serve through the statement's OWN output attribute so the
             // substitution keeps references valid
@@ -1771,7 +1773,7 @@ private[graft] object GraftSqlDml {
               case _ => Nil
             })
           }
-          viewHit orElse cands.find(p => SnapshotTable.at(p).exists).map { p =>
+          cands.find(p => SnapshotTable.at(p).exists).map { p =>
               import org.apache.spark.sql.catalyst.InternalRow
               import org.apache.spark.unsafe.types.UTF8String
               val m = SnapshotTable.at(p).currentManifest
@@ -1804,6 +1806,7 @@ private[graft] object GraftSqlDml {
               LocalRelation(sct.output,
                 Seq(InternalRow(UTF8String.fromString(stmt))))
             }
+            .orElse(viewHit)
         }
       case tt: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
         // one empty-overwrite commit: schema, partition spec and

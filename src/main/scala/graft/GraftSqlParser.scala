@@ -189,11 +189,15 @@ object GraftSqlParser {
     * (no active session → never claim — the statement delegates and
     * Spark's own resolution applies).
     */
-  private def claimableViewIdent(raw: String, parts: Seq[String]): Boolean =
+  private def claimableViewIdent(raw: String,
+                                 parts: => Seq[String]): Boolean =
     raw.trim.matches(GraftIdent) ||
-      (parts.length >= 2 &&
-        org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
-          graft.catalog.GraftCatalog.isRegistered(s, parts.head)))
+      // by-name + Try: a guard must never throw — an identifier the
+      // delegate's grammar rejects simply isn't ours to claim
+      scala.util.Try(parts).toOption.exists(p =>
+        p.length >= 2 &&
+          org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+            graft.catalog.GraftCatalog.isRegistered(s, p.head)))
 
   private def identifierCols(raw: String): Seq[String] = {
     val cols = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
