@@ -623,13 +623,26 @@ object ScaleProbe {
       }
 
       // DISTRIBUTION MODES at 2.4M rows: partition by a HASH-like value
-      // (key % 32 — zero key locality, unlike withP's range blocks, so
+      // (key % 4 — zero key locality, unlike withP's range blocks, so
       // the partitioning itself buys no bounds) and contrast the
       // layouts: hash mode's one-file-per-value spans the full key
-      // range (no prune), range mode's (p, sort-key) slices prune hard;
-      // none mode trades files for the saved shuffle (bulk-import)
+      // range (no prune), range mode's (p, sort-key) slices subdivide
+      // each partition's key range 32/4 = 8 ways and prune to the
+      // matching slices; none mode trades files for the saved shuffle.
+      // (The value count must stay well below the shuffle slice count:
+      // the range key leads with p, so p-values ≥ slices would consume
+      // every slice and leave the sort column unsplit — the same sizing
+      // rule Iceberg's range distribution lives by.)
       {
-        val hashed = withP.withColumn("p", pmod(col("l_orderkey"), lit(32)))
+        val hashed = withP.withColumn("p", pmod(col("l_orderkey"), lit(4)))
+        // AQE partition coalescing folds 2 MB range slices back together
+        // at probe scale (64 MB advisory) — at 100 TB each slice clears
+        // the advisory size and survives. Coalescing is disabled for
+        // these writes so the probe measures the LAYOUT the modes
+        // produce, not the toy data size.
+        val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+        val coalesceOld = spark.conf.get(coalesceKey)
+        spark.conf.set(coalesceKey, "false")
         def modeTable(mode: String, extra: Map[String, String] = Map.empty) = {
           val t = SnapshotTable.at(java.nio.file.Files
             .createTempDirectory(s"graft-distmode-$mode").toString)
@@ -647,6 +660,7 @@ object ScaleProbe {
           s""""hash_kept":$hk,"hash_total":$ht,""" +
           s""""range_kept":$rk,"range_total":$rt,""" +
           s""""none_files":${nn.currentManifest.files.size}}""")
+        spark.conf.set(coalesceKey, coalesceOld)
         timed("range_mode_pruned_scan") { r.readWhere(spark, probe).count() }
         timed("hash_mode_pruned_scan") { h.readWhere(spark, probe).count() }
       }
