@@ -218,15 +218,7 @@ object TextAnalysis {
   def ngramRepetitionMetrics(df: DataFrame, idCol: String, textCol: String,
                              n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    // tokenize + gram BEFORE the (doc, gram) shuffle — spread it
-    val grams = Dedup.spread(df).select(col(idCol),
-        expr(("filter(split(trim(regexp_replace(lower(%s), " +
-          "'[^a-z0-9]+', ' ')), ' '), x -> x != '')").format(textCol))
-          .as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+    val grams = wordGrams(df, idCol, textCol, n)
     grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol))
       .agg(sum("cnt").as("n_grams"),
@@ -241,6 +233,23 @@ object TextAnalysis {
           col("n_grams").cast("double") * 1000000.0 + 0.5).cast("long")
           .as("dup_gram_e6"))
   }
+
+  /** One (id, gram) row per word n-gram occurrence: q55's tokenizer,
+    * windows built with sequence+slice inside a higher-order transform
+    * — pure Column API (no SQL-string interpolation of the column
+    * name), no UDF. Tokenization runs BEFORE the gram-keyed shuffles,
+    * so it spreads off single-split sources. Docs with fewer than `n`
+    * words emit nothing.
+    */
+  private def wordGrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame =
+    Dedup.spread(df).select(col(idCol),
+        filter(split(trim(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9]+", " ")), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(slice(col("w"), i, lit(n)), " "))).as("g"))
 
   /** CROSS-DOCUMENT shared-window statistics (the ExactSubstr-dedup
     * signal of "Deduplicating Training Data Makes Language Models
@@ -258,14 +267,7 @@ object TextAnalysis {
                         n: Int = 8): DataFrame = {
     require(n >= 1, s"window size must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    val grams = Dedup.spread(df).select(col(idCol),
-        expr(("filter(split(trim(regexp_replace(lower(%s), " +
-          "'[^a-z0-9]+', ' ')), ' '), x -> x != '')").format(textCol))
-          .as("w"))
-      .filter(size(col("w")) >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> array_join(slice(w, i, $n), ' '))")).as("g"))
+    val grams = wordGrams(df, idCol, textCol, n)
     val perDocGram = grams.groupBy(col("g"), col(idCol))
       .agg(count(lit(1)).as("occ"))
     val docsPerGram = Window.partitionBy(col("g"))
