@@ -3624,11 +3624,13 @@ final class SnapshotTable(val root: Path,
     }
   }
 
-  /** TYPE-WIDENING schema evolution (Iceberg's int→long / float→double
-    * promotions): metadata-only; pre-widen files read under their old
-    * physical type (the epoch chain again) and CAST up. Only the two
-    * information-preserving widenings are accepted — anything else would
-    * corrupt carried rows or silently truncate.
+  /** TYPE-WIDENING schema evolution (Iceberg's int→long, float→double
+    * and decimal precision promotions): metadata-only; pre-widen files
+    * read under their old physical type (the epoch chain again) and
+    * CAST up. Only information-preserving widenings are accepted —
+    * anything else would corrupt carried rows or silently truncate.
+    * Decimals widen PRECISION at the SAME SCALE (Iceberg's rule): a
+    * scale change would re-represent every stored value.
     */
   def widenColumn(name: String, to: DataType,
                   nowMs: Long = System.currentTimeMillis()): Manifest = {
@@ -3640,11 +3642,14 @@ final class SnapshotTable(val root: Path,
     val ok = (field.dataType, to) match {
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
       case (a, b) if a == b => return m // no-op
       case _ => false
     }
     require(ok, s"cannot change ${field.name}: ${field.dataType.catalogString}" +
-      s" -> ${to.catalogString}; only int->bigint and float->double widen")
+      s" -> ${to.catalogString}; only int->bigint, float->double and " +
+      "decimal(p,s)->decimal(p'>p,s) widen")
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))

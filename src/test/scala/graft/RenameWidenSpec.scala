@@ -73,6 +73,28 @@ class RenameWidenSpec extends SparkSpec {
     assert(e.getMessage.contains("widen"))
   }
 
+  test("widen: decimal precision grows at the same scale; scale changes refuse") {
+    import org.apache.spark.sql.types.DecimalType
+    val (_, t) = fresh("graft-widen-dec-")
+    val rows = (1 to 100).map(i => (i.toLong, BigDecimal(i) / 4))
+      .toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(10, 2)).as("amt"))
+    t.createOrReplace(rows, Nil, nowMs = 1000L)
+    t.widenColumn("amt", DecimalType(20, 2))
+    assert(t.read(spark).schema("amt").dataType == DecimalType(20, 2))
+    // carried decimal(10,2) files surface widened, values exact
+    assert(t.read(spark).agg(sum("amt")).head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("1262.50")) == 0)
+    // a post-widen append can hold values the old precision could not
+    t.append(spark, Seq((101L, "123456789012345678.99")).toDF("id", "amt")
+      .select(col("id"), col("amt").cast(DecimalType(20, 2)).as("amt")))
+    assert(t.read(spark).agg(max("amt")).head.getDecimal(0)
+      .compareTo(new java.math.BigDecimal("123456789012345678.99")) == 0)
+    // scale changes and narrowing refuse — both would re-represent data
+    intercept[IllegalArgumentException](t.widenColumn("amt", DecimalType(30, 4)))
+    intercept[IllegalArgumentException](t.widenColumn("amt", DecimalType(10, 2)))
+  }
+
   test("chained rename + widen; SQL spellings; refusals") {
     val (root, t) = fresh("graft-chain-")
     t.createOrReplace((1 to 50).map(i => (i.toLong, i, s"g${i % 3}"))
