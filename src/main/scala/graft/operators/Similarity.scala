@@ -200,8 +200,11 @@ object Similarity {
     val blockLen = dim / m
     val codes = encodePq(embeddings, codebooks, idCol, vecCol, m)
       .withColumnRenamed(idCol, "neighbor_id")
-    // per-query lookup table, flattened to one m·kCodes array indexed
-    // block·kCodes + code (collect_list is per-query — m·kCodes rows)
+    // per-query lookup TABLE as a MAP keyed block·kCodes + code — an
+    // EXACT lookup whatever codes each block's trained book actually
+    // holds (Lloyd may return fewer than kCodes codewords when cells
+    // empty out; a dense-array index would silently misalign the
+    // scores — caught by PlanShapeSpec's tiny-book run)
     val cb = broadcast(codebooks)
     val qTabs = broadcast(normalized(queries, idCol, vecCol)
       .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
@@ -210,15 +213,17 @@ object Similarity {
       .join(cb, Seq("block"))
       .withColumn("d", vectorDot(col("qb"), col("cent_v")))
       .groupBy(col("vid"))
-      .agg(array_sort(collect_list(struct(col("block"), col("code"),
-        col("d")))).as("bcd"))
-      .select(col("vid").as("query_id"),
-        transform(col("bcd"), e => e.getField("d")).as("tab")))
+      .agg(map_from_entries(collect_list(struct(
+        (col("block") * kCodes + col("code")).cast("int").as("k"),
+        col("d").as("v")))).as("tab"))
+      .select(col("vid").as("query_id"), col("tab")))
     val scored = qTabs.crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
+      // codes only ever name codewords the books hold, so the map
+      // lookup never misses for vectors encoded by THESE books
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, b) => element_at(col("tab"), (b * kCodes + c + 1).cast("int"))),
+          (c, b) => element_at(col("tab"), (b * kCodes + c).cast("int"))),
         lit(0.0), (acc, x) => acc + x))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id").asc)

@@ -71,6 +71,47 @@ class PlanShapeSpec extends SparkSpec {
       "no interpreted UDF may enter the scoring path")
   }
 
+  test("gram metrics aggregate map-side; no cartesian, bounded exchanges") {
+    val docs = (1 to 500).map(i => (i.toLong, s"w${i % 7} x y z a b c d e"))
+      .toDF("doc_id", "text")
+    for (df <- Seq(
+        graft.operators.TextAnalysis.ngramRepetitionMetrics(docs, "doc_id", "text", 2),
+        graft.operators.TextAnalysis.sharedWindowStats(docs, "doc_id", "text", 3))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("CartesianProduct"),
+        s"gram pipelines must never go quadratic:\n${plan.take(1500)}")
+      // every gram/doc aggregation must split partial+final around its
+      // exchange — a single-shot agg would shuffle raw gram occurrences
+      assert(plan.contains("partial_"),
+        s"aggregates must combine map-side:\n${plan.take(1500)}")
+      // count the FINAL adaptive plan only — the rendering repeats
+      // exchanges in the initial-plan section
+      val finalPlan = plan.split("== Initial Plan ==").head
+      val exchanges = "Exchange".r.findAllIn(finalPlan).size
+      assert(exchanges <= 5, s"gram pipelines shuffle gram/doc-keyed " +
+        s"only ($exchanges exchanges):\n${finalPlan.take(1500)}")
+    }
+  }
+
+  test("PQ scoring broadcasts codebooks/tables; no sort-merge join") {
+    val vecs = (1 to 300)
+      .map(i => (i.toLong, Array.tabulate(8)(d => 1.0f / (i % 7 + d + 1))))
+      .toDF("id", "embedding")
+    val books = Similarity.trainPqCodebooks(vecs, "id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val df = Similarity.pqTopK(vecs, books, vecs.limit(3), "id", "embedding",
+      k = 3, m = 4, kCodes = 4, shortlist = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Broadcast"),
+      s"codebooks and query tables must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "candidate scoring must never sort-merge the corpus against " +
+        s"the tiny side:\n${plan.take(1500)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+  }
+
   test("manifest-pruned read scans only surviving files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-planshape-").toString
