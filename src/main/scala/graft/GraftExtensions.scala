@@ -1754,6 +1754,40 @@ private[graft] object GraftSqlDml {
                 s"no graft table at ${parts(1)} (DROP TABLE without IF EXISTS)")
             else None // registered-catalog miss: let the V2 exec report it
           })
+      case rt: org.apache.spark.sql.catalyst.plans.logical.RenameTable =>
+        // ALTER TABLE/VIEW ... RENAME TO — the V2 path resolves through
+        // loadTable (deliberately unserved), so the DML rule claims it
+        // for graft identifiers: the destination resolves in the SAME
+        // addressing scheme as the source (leading catalog part
+        // optional, Spark's same-catalog rename semantics), and the
+        // move is the directory move — snapshots, refs, views travel
+        // whole. Exclusivity holds at the destination (no table OR
+        // view may already live there).
+        identParts(rt.child).flatMap { parts =>
+          val cands = graft.catalog.GraftCatalog.pathCandidates(session, parts)
+          val srcOpt =
+            if (rt.isView) cands.find(graft.table.ViewStore.exists)
+            else cands.find(p => SnapshotTable.at(p).exists)
+          srcOpt.map { src =>
+            val dstParts =
+              if (rt.newName.length >= 2 &&
+                  rt.newName.head.equalsIgnoreCase(parts.head)) rt.newName
+              else parts.head +: rt.newName
+            val dst = graft.catalog.GraftCatalog.createPath(session, dstParts)
+              .getOrElse(unsupported(
+                s"RENAME TO destination ${rt.newName.mkString(".")} (not " +
+                  "a graft path or registered-catalog name)"))
+            require(!SnapshotTable.at(dst).exists &&
+              !graft.table.ViewStore.exists(dst),
+              s"RENAME TO destination $dst already holds a table or view")
+            val (srcP, dstP) =
+              (java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+            if (dstP.getParent != null)
+              java.nio.file.Files.createDirectories(dstP.getParent)
+            java.nio.file.Files.move(srcP, dstP)
+            empty
+          }
+        }
       case sct: org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable =>
         // reconstructed from the manifest (schema, partitioning, user
         // properties); engine bookkeeping prefixes are elided. A VIEW at

@@ -1746,6 +1746,30 @@ object SparkEntry {
       out
     }),
 
+    "q125_sql_rename_to" -> ((s, d) => {
+      // ALTER TABLE ... RENAME TO over the named catalog (the V2 rename
+      // resolves through the deliberately-unserved loadTable, so the
+      // DML rule claims it): the rename is the directory move —
+      // snapshots and refs travel whole (tag pinned in-query), reads
+      // resolve under the new name only, and a filtered read still
+      // prunes at the manifest. Output = the renamed table — orders.
+      val wh = Files.createTempDirectory("graft-q125-wh-").toString
+      s.conf.set("spark.sql.catalog.graft_rn",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft_rn.warehouse", wh)
+      val t1 = SnapshotTable.at(s"$wh/sales/orders_v1")
+      t1.createOrReplace(t(s, d, "orders").select(orderCols.map(col): _*))
+      t1.tag("pre_rename", 1L)
+      s.sql("ALTER TABLE graft_rn.sales.orders_v1 " +
+        "RENAME TO sales.orders_renamed")
+      require(!SnapshotTable.at(s"$wh/sales/orders_v1").exists,
+        "the old identity must be gone")
+      val t2 = SnapshotTable.at(s"$wh/sales/orders_renamed")
+      require(t2.exists && t2.tags.get("pre_rename").contains(1L),
+        "snapshots and refs must travel with the rename")
+      s.sql("SELECT * FROM graft_rn.sales.orders_renamed")
+    }),
+
     "q117_struct_lifecycle" -> ((s, d) => {
       // nested types PASS THROUGH the table layer (the reference never
       // declares a schema — common/iceberg.py:45-54 carries whatever
@@ -3098,6 +3122,11 @@ object SparkEntry {
     // struct pass-through: merged state rebuilt with struct_pack (field
     // order and names match Spark's struct() exactly — value hashing
     // walks the nested dict)
+    // the renamed table is bit-for-bit the created one
+    "q125_sql_rename_to" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
+
     // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
     // orders plus the shifted mod-13 append; DELETED = the dropped
     // '1-URGENT' partition; all_files sees every row ever written
