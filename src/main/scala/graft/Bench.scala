@@ -56,7 +56,7 @@ object Bench {
       "q115_sort_strategy_rewrite", "q116_stream_tail_split",
       "q117_struct_lifecycle", "q118_bucket_string_prune",
       "q119_view_lifecycle", "q120_catalog_view_lifecycle",
-      "q121_entries_all_files")
+      "q121_entries_all_files", "q125_sql_rename_to")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")
