@@ -310,6 +310,34 @@ case class GraftPathRelations(session: SparkSession)
             case _             => tbl.read(session)
           }
           df.queryExecution.analyzed
+        }.orElse {
+          // METADATA relations time-travel too (Iceberg's
+          // `t.files VERSION AS OF n`): `@files`/`@entries` scoped to
+          // the named snapshot — a version number, a tag's pinned
+          // snapshot, or a branch head. The other relations are either
+          // already history-wide (@history/@snapshots/@all_*) or
+          // head-only by nature (@refs).
+          cands(u).collectFirst {
+            case Suffixed(p, s @ ("files" | "entries"))
+                if SnapshotTable.at(p).exists =>
+              val tbl = SnapshotTable.at(p)
+              val ver = (verOpt, tsOpt) match {
+                case (Some(v), _) =>
+                  v.toLongOption
+                    .orElse(tbl.tags.get(v))
+                    .orElse(tbl.branches.get(v))
+                    .getOrElse(throw new UnsupportedOperationException(
+                      s"VERSION AS OF takes a numeric snapshot version " +
+                        s"or a live tag/branch name; '$v' is neither on $p"))
+                case (_, Some(ts)) => tbl.versionAtOrBefore(tsMillis(ts))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"no snapshot at or before the timestamp on $p"))
+                case _ => tbl.currentVersion
+              }
+              val df = if (s == "files") tbl.filesAt(session, ver)
+                       else tbl.entriesAt(session, ver)
+              df.queryExecution.analyzed
+          }
         }.getOrElse(tt)
       case u: UnresolvedRelation if cands(u).nonEmpty =>
         resolveAny(u).map(_.queryExecution.analyzed).getOrElse {

@@ -1521,6 +1521,16 @@ final class SnapshotTable(val root: Path,
     entryScan(spark, currentManifest)
       .select("file_path", "partition", "file_size_bytes", "record_count")
 
+  /** [[files]] AT a retained snapshot (Iceberg's `t.files VERSION AS OF
+    * n`) — the listing a reader planning against that snapshot saw.
+    */
+  def filesAt(spark: SparkSession, version: Long): DataFrame = {
+    require(manifestVersions.contains(version),
+      s"no committed snapshot v$version (expired, or a never-published ghost)")
+    entryScan(spark, manifest(version))
+      .select("file_path", "partition", "file_size_bytes", "record_count")
+  }
+
   /** Distributed `(file_path, partition, seq, record_count,
     * file_size_bytes)` scan of one manifest's data entries — the shared
     * engine behind [[files]], [[entriesRelation]] and
@@ -1563,9 +1573,21 @@ final class SnapshotTable(val root: Path,
     * [[files]], and the status-2 diff is an anti-join of two such
     * scans, never a driver set.
     */
-  def entriesRelation(spark: SparkSession): DataFrame = {
+  def entriesRelation(spark: SparkSession): DataFrame =
+    entriesOf(spark, currentManifest)
+
+  /** [[entriesRelation]] AT a retained snapshot (Iceberg's
+    * `t.entries VERSION AS OF n`): that snapshot's own ADDED/EXISTING/
+    * DELETED census against ITS lineage parent.
+    */
+  def entriesAt(spark: SparkSession, version: Long): DataFrame = {
+    require(manifestVersions.contains(version),
+      s"no committed snapshot v$version (expired, or a never-published ghost)")
+    entriesOf(spark, manifest(version))
+  }
+
+  private def entriesOf(spark: SparkSession, cur: Manifest): DataFrame = {
     import org.apache.spark.sql.functions._
-    val cur = currentManifest
     val curScan = entryScan(spark, cur)
     val dataRows = curScan.select(
       when(col("seq") === lit(cur.version), lit(1)).otherwise(lit(0))

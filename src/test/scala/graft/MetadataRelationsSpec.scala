@@ -151,6 +151,24 @@ class MetadataRelationsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.tag("entries") }
     intercept[IllegalArgumentException] { t.branch("all_files") }
     intercept[IllegalArgumentException] { t.tag("all_manifests") }
+    // metadata relations TIME-TRAVEL (Iceberg's t.files VERSION AS OF):
+    // @files at v2 still lists the files v3's delete dropped, and
+    // @entries at v2 reports v2's own ADDED census; tags resolve too
+    val f2 = spark.sql(s"SELECT * FROM graft.`$root@files` " +
+      "VERSION AS OF 2").collect()
+    assert(f2.map(_.getAs[Long]("record_count")).sum == 300L,
+      "files at v2 = everything, including the later-dropped partition")
+    val e2hist = spark.sql(s"SELECT * FROM graft.`$root@entries` " +
+      "VERSION AS OF 2").collect()
+    assert(e2hist.filter(_.getAs[Int]("status") == 1)
+      .map(_.getAs[Long]("record_count")).sum == 100L,
+      "entries at v2 = v2's own ADDED census")
+    t.tag("before_delete", 2L)
+    assert(spark.sql(s"SELECT * FROM graft.`$root@files` " +
+        "VERSION AS OF 'before_delete'").collect()
+      .map(_.getAs[Long]("record_count")).sum == 300L)
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft.`$root@files` VERSION AS OF 99").collect())
   }
 
   test("CALL ancestors_of returns the lineage, newest first") {
