@@ -862,6 +862,29 @@ object ScaleProbe {
         s"expected $nFiles files after the one-partition commit")
       require(tbl2.rowCount.contains(nFiles * 1000L))
     }
+    // @entries / @all_files at the 2^20-entry manifest (r11): both
+    // distribute over chunk documents; entries' DELETED census is an
+    // executor-side anti-join of two scans (never a driver set);
+    // all_files parses each SHARED doc once across both snapshots —
+    // chunk_doc_parses prints with the stages
+    locally {
+      val spark = graft.core.GraftSession.get("graft-scale-probe")
+      timed("entries_relation_2v") {
+        val byStatus = tbl2.entriesRelation(spark)
+          .groupBy(col("status")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        println(s"""{"stage":"entries_census",""" +
+          s""""added":${byStatus.getOrElse(1, 0L)},""" +
+          s""""existing":${byStatus.getOrElse(0, 0L)},""" +
+          s""""deleted":${byStatus.getOrElse(2, 0L)}}""")
+        require(byStatus.getOrElse(1, 0L) == 256L,
+          "ADDED = the one-partition commit's fresh files")
+      }
+      timed("all_files_relation_2v") {
+        require(tbl2.allFilesRelation(spark).count() >= nFiles.toLong,
+          "all_files must cover both snapshots' distinct files")
+      }
+    }
     // explicit manifest rewrite at 2^20 entries: the deliberate
     // O(live files) commit — bounds what a CALL rewrite_manifests costs
     // on a 100 TB table (everything else above stays O(touched docs))
