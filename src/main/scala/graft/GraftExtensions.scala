@@ -91,6 +91,8 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@snapshots` `` — per-snapshot commit summaries
   *   - ``graft.`/path@partitions` `` — per-partition file/row/byte totals
   *   - ``graft.`/path@delete_files` `` — pending MoR delete files
+  *   - ``graft.`/path@position_deletes` `` — pending positional
+  *     tombstone ROWS (file_path, pos)
   *   - ``graft.`/path@stats` ``    — stored per-column NDV estimates
   *   - ``graft.`/path@entries` ``  — per-entry rows of the current
   *     snapshot (status added/existing/deleted, delete files included)
@@ -105,7 +107,8 @@ case class GraftPathRelations(session: SparkSession)
 
   private val Suffixed =
     ("(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|" +
-      "manifests|delete_files|stats|entries|all_files|all_manifests)$").r
+      "manifests|delete_files|position_deletes|stats|entries|all_files|" +
+      "all_manifests)$").r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -154,6 +157,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("partitions")              => tbl.partitions(session)
       case Some("manifests")               => tbl.manifests(session)
       case Some("delete_files")            => tbl.deleteFilesRelation(session)
+      case Some("position_deletes")        => tbl.positionDeletesRelation(session)
       case Some("stats")                   => tbl.statsRelation(session)
       case Some("entries")                 => tbl.entriesRelation(session)
       case Some("all_files")               => tbl.allFilesRelation(session)
@@ -1805,14 +1809,23 @@ private[graft] object GraftSqlDml {
               .getOrElse(unsupported(
                 s"RENAME TO destination ${rt.newName.mkString(".")} (not " +
                   "a graft path or registered-catalog name)"))
-            require(!SnapshotTable.at(dst).exists &&
-              !graft.table.ViewStore.exists(dst),
-              s"RENAME TO destination $dst already holds a table or view")
             val (srcP, dstP) =
               (java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
-            if (dstP.getParent != null)
-              java.nio.file.Files.createDirectories(dstP.getParent)
-            java.nio.file.Files.move(srcP, dstP)
+            // the move runs inside the SOURCE table's publish critical
+            // section (same meta/_lock a commit holds) so a committer
+            // mid-commit can't recreate the old directory after the move
+            // (zombie table); destination exclusivity re-checks INSIDE
+            // the section — the earlier candidates walk was check-then-
+            // act (view-birth precedent, ViewStore.create)
+            graft.table.AtomicPublish.default.critical(
+              srcP, srcP.resolve("meta")) {
+              require(!SnapshotTable.at(dst).exists &&
+                !graft.table.ViewStore.exists(dst),
+                s"RENAME TO destination $dst already holds a table or view")
+              if (dstP.getParent != null)
+                java.nio.file.Files.createDirectories(dstP.getParent)
+              java.nio.file.Files.move(srcP, dstP)
+            }
             empty
           }
         }

@@ -722,7 +722,7 @@ object ScaleProbe {
       val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         m = 8, k = 16, iters = 2)
       Similarity.pqTopK(emb, books, emb.filter(col("vec_id") % 1000 === 0),
-        "vec_id", "embedding", k = 10, m = 8, kCodes = 16,
+        "vec_id", "embedding", k = 10, m = 8,
         shortlist = 50).count()
     }
     timed("embed_neardup_lsh") {

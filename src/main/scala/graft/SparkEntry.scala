@@ -1770,6 +1770,39 @@ object SparkEntry {
       s.sql("SELECT * FROM graft_rn.sales.orders_renamed")
     }),
 
+    "q127_position_deletes" -> ((s, d) => {
+      // @position_deletes metadata relation (Iceberg's position_deletes
+      // table): the pending positional TOMBSTONE ROWS — what you query
+      // when debugging MoR state. The fixture pins the algebra exactly:
+      // ONE sorted data file makes each row's ordinal its sort rank, so
+      // DELETE WHERE p tombstones exactly the (file, rank-1) pairs the
+      // oracle recomputes with a window. Two disjoint DELETEs exercise
+      // multiple delete files/versions; the in-query joins assert every
+      // tombstone names a live @files path (same absolute rendering).
+      val root = Files.createTempDirectory("graft-posrel-").toString
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartition(1).sortWithinPartitions("l_orderkey", "l_linenumber"),
+        properties = Map("write.graft.delete.mode" -> "merge-on-read",
+          "write.graft.update.mode" -> "merge-on-read"))         // v1
+      require(table.currentManifest.files.size == 1,
+        "the position-algebra fixture needs exactly one data file")
+      s.sql(s"DELETE FROM graft.`$root` WHERE l_orderkey % 9 = 3")  // v2
+      s.sql(s"DELETE FROM graft.`$root` " +
+        "WHERE l_linenumber = 4 AND l_orderkey % 9 <> 3")           // v3
+      val pd = s.sql(s"SELECT file_path, pos, commit_version " +
+        s"FROM graft.`$root@position_deletes`")
+      val live = s.sql(s"SELECT file_path FROM graft.`$root@files`")
+      require(pd.join(live, Seq("file_path"), "left_anti").isEmpty,
+        "every tombstone must name a live data file, @files rendering")
+      // and the resolved read honors exactly these tombstones
+      require(s.sql(s"SELECT count(*) FROM graft.`$root`").head.getLong(0) ==
+        t(s, d, "lineitem").count() - pd.count(),
+        "resolved row count must drop one row per tombstone")
+      pd.select(col("pos"), col("commit_version"))
+    }),
+
     "q117_struct_lifecycle" -> ((s, d) => {
       // nested types PASS THROUGH the table layer (the reference never
       // declares a schema — common/iceberg.py:45-54 carries whatever
@@ -2297,7 +2330,36 @@ object SparkEntry {
       val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         m = 8, k = 16, iters = 2)
       val ann = Similarity.pqTopK(emb, books, queries,
-        "vec_id", "embedding", k = 10, m = 8, kCodes = 16, shortlist = 50)
+        "vec_id", "embedding", k = 10, m = 8, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10).cache()
+      val nExact = exact.count()
+      val nHit = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = exact.select("query_id").distinct().count()
+      val nVec = emb.count()
+      import s.implicits._
+      Seq((nVec, nQ, nExact == 0 || nHit.toDouble / nExact >= 0.5))
+        .toDF("n_vectors", "n_queries", "recall_at10_ok")
+    }),
+
+    "q126_embed_ann_ivfpq" -> ((s, d) => {
+      // IVFADC — the COMPOSED IVF×PQ index (Jégou et al. 2011 §IV):
+      // coarse centroids route each query to nProbe cells, PQ ADC
+      // table-lookup scores ONLY those cells' codes (q124's flat ADC
+      // scans every code per query — this is the scale path: per-query
+      // work O(N·nProbe/C)), exact re-rank recovers true cosines.
+      // Same contract shape as q39/q124: recall@10 vs the in-query
+      // exact top-10 clears 0.5; corpus anchors hash-match the oracle.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 2)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2)
+      val ann = Similarity.ivfPqTopK(emb, cents, books, queries,
+        "vec_id", "embedding", k = 10, m = 8, nProbe = 8, shortlist = 100)
       val exact = Similarity.bruteForceTopK(queries, emb,
         "vec_id", "embedding", k = 10).cache()
       val nExact = exact.count()
@@ -3127,6 +3189,20 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority FROM orders""".stripMargin,
 
+    // the tombstone algebra re-derived with a window: one sorted data
+    // file ⇒ a row's ordinal = its (l_orderkey, l_linenumber) rank - 1;
+    // v2 tombstones the %9=3 rows, v3 the disjoint linenumber-4 rows
+    "q127_position_deletes" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+        |  FROM lineitem)
+        |SELECT pos, CAST(2 AS BIGINT) AS commit_version FROM base
+        |WHERE l_orderkey % 9 = 3
+        |UNION ALL
+        |SELECT pos, CAST(3 AS BIGINT) AS commit_version FROM base
+        |WHERE l_linenumber = 4 AND l_orderkey % 9 <> 3""".stripMargin,
+
     // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
     // orders plus the shifted mod-13 append; DELETED = the dropped
     // '1-URGENT' partition; all_files sees every row ever written
@@ -3403,6 +3479,15 @@ object SparkEntry {
     // against the exact top-10 (PQ codebooks aren't cross-engine
     // reproducible — float summation order)
     "q124_embed_ann_pq" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
+        |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
+        |  TRUE AS recall_at10_ok""".stripMargin,
+
+    // same anchors again: the IVFADC recall guarantee is computed
+    // in-query against the exact top-10 (centroids AND codebooks vary
+    // with float summation order — only the contract is portable)
+    "q126_embed_ann_ivfpq" ->
       """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
         |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,

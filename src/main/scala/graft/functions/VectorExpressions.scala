@@ -436,6 +436,135 @@ case class IcebergBucketExpr(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Bounded-size top-k buffer: a binary min-heap ordered WORST-first over
+  * (score, id) pairs — better = higher score, ties break to the SMALLER
+  * id (the deterministic ordering every ANN operator here uses). Holds at
+  * most `k` entries, so a map task's partial aggregate is O(k) memory and
+  * the shuffle carries ≤ k rows per (group, map task) — the whole point
+  * vs a `row_number` window, whose shuffle carries EVERY scored row.
+  * Public top-level (Catalyst aggregate buffer classes must be).
+  */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+  // a is WORSE than b: lower score, or same score and larger id
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long) =
+    sa < sb || (sa == sb && ia > ib)
+  private def siftDown(start: Int): Unit = {
+    var i = start
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var w = i // index of the worst among i and its children
+      if (l < size && worse(scores(l), ids(l), scores(w), ids(w))) w = l
+      if (r < size && worse(scores(r), ids(r), scores(w), ids(w))) w = r
+      if (w == i) return
+      val (ts, ti) = (scores(i), ids(i))
+      scores(i) = scores(w); ids(i) = ids(w)
+      scores(w) = ts; ids(w) = ti
+      i = w
+    }
+  }
+  def insert(s: Double, id: Long): Unit = {
+    if (size < k) {
+      var i = size
+      scores(i) = s; ids(i) = id
+      size += 1
+      // sift up toward the worst-first root
+      while (i > 0) {
+        val p = (i - 1) / 2
+        if (worse(scores(i), ids(i), scores(p), ids(p))) {
+          val (ts, ti) = (scores(i), ids(i))
+          scores(i) = scores(p); ids(i) = ids(p)
+          scores(p) = ts; ids(p) = ti
+          i = p
+        } else i = 0
+      }
+    } else if (k > 0 && worse(scores(0), ids(0), s, id)) {
+      scores(0) = s; ids(0) = id
+      siftDown(0)
+    }
+  }
+  def merge(o: TopKBuffer): Unit = {
+    var i = 0
+    while (i < o.size) { insert(o.scores(i), o.ids(i)); i += 1 }
+  }
+  /** (score, id) pairs best-first: score desc, id asc. */
+  def sortedPairs: Array[(Double, Long)] =
+    (0 until size).map(i => (scores(i), ids(i))).toArray
+      .sortBy { case (s, id) => (-s, id) }
+}
+
+/** Top-k aggregate over (score double, id long) rows: returns the ≤ k
+  * best-scoring entries as `array<struct<score double, id long>>`, best
+  * first (score desc, id asc — deterministic under ties). A
+  * TypedImperativeAggregate, so partial aggregation runs map-side with a
+  * BOUNDED O(k) buffer per group: the global top-k of N scored rows
+  * shuffles ≤ k·tasks rows instead of N (a `row_number()` window would
+  * shuffle and sort all N). Null scores/ids are skipped.
+  */
+case class TopKByScoreAgg(
+    scoreExpr: Expression, idExpr: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+  require(k > 0, "top-k size must be positive")
+
+  override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  override def inputTypes = Seq(DoubleType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k_by_score"
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = scoreExpr.eval(input)
+    val id = idExpr.eval(input)
+    if (s != null && id != null)
+      b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    b
+  }
+  override def merge(b: TopKBuffer, o: TopKBuffer): TopKBuffer = {
+    b.merge(o); b
+  }
+  override def eval(b: TopKBuffer): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      b.sortedPairs.map { case (s, id) =>
+        InternalRow(s, id): Any
+      })
+  override def serialize(b: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 16 * b.size)
+    bb.putInt(b.k).putInt(b.size)
+    var i = 0
+    while (i < b.size) { bb.putDouble(b.scores(i)).putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new TopKBuffer(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble(); val id = bb.getLong()
+      b.insert(s, id)
+      i += 1
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(scoreExpr = cs(0), idExpr = cs(1))
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.functions._
 
@@ -480,4 +609,11 @@ object VectorFunctions {
     */
   def hyperplaneKeysNative(v: Column, bits: Int, tables: Int): Column =
     GraftBridge.column(HyperplaneKeysExpr(expr(v), bits, tables))
+
+  /** Bounded top-k aggregate (see [[TopKByScoreAgg]]): the ≤ k best
+    * (score, id) pairs per group as array<struct<score, id>>, best first.
+    */
+  def topKByScore(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(TopKByScoreAgg(expr(score), expr(id), k)
+      .toAggregateExpression())
 }

@@ -195,17 +195,26 @@ object Similarity {
     */
   def pqTopK(embeddings: DataFrame, codebooks: DataFrame,
              queries: DataFrame, idCol: String, vecCol: String,
-             k: Int, m: Int, kCodes: Int, shortlist: Int = 50): DataFrame = {
+             k: Int, m: Int, shortlist: Int = 50): DataFrame = {
     val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
     val blockLen = dim / m
-    val codes = encodePq(embeddings, codebooks, idCol, vecCol, m)
+    // the codebooks lineage (m Lloyd runs) is consumed three times below
+    // (stride probe, encode, query tables) — materialize it once
+    val cb0 = codebooks.cache()
+    // ADC key stride derived from the BOOKS THEMSELVES (max code + 1):
+    // a caller-supplied stride smaller than the trained code range would
+    // collide keys across blocks and silently corrupt scores — the same
+    // misalignment class the map-vs-dense-array fix closed, reintroduced
+    // through a parameter (r11 ADVICE)
+    val stride = cb0.agg(max(col("code"))).head.getInt(0) + 1
+    val codes = encodePq(embeddings, cb0, idCol, vecCol, m)
       .withColumnRenamed(idCol, "neighbor_id")
-    // per-query lookup TABLE as a MAP keyed block·kCodes + code — an
+    // per-query lookup TABLE as a MAP keyed block·stride + code — an
     // EXACT lookup whatever codes each block's trained book actually
-    // holds (Lloyd may return fewer than kCodes codewords when cells
-    // empty out; a dense-array index would silently misalign the
-    // scores — caught by PlanShapeSpec's tiny-book run)
-    val cb = broadcast(codebooks)
+    // holds (Lloyd may return fewer codewords when cells empty out; a
+    // dense-array index would silently misalign the scores — caught by
+    // PlanShapeSpec's tiny-book run)
+    val cb = broadcast(cb0)
     val qTabs = broadcast(normalized(queries, idCol, vecCol)
       .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("qb", slice(col("v"),
@@ -214,7 +223,7 @@ object Similarity {
       .withColumn("d", vectorDot(col("qb"), col("cent_v")))
       .groupBy(col("vid"))
       .agg(map_from_entries(collect_list(struct(
-        (col("block") * kCodes + col("code")).cast("int").as("k"),
+        (col("block") * stride + col("code")).cast("int").as("k"),
         col("d").as("v")))).as("tab"))
       .select(col("vid").as("query_id"), col("tab")))
     val scored = qTabs.crossJoin(codes)
@@ -223,14 +232,30 @@ object Similarity {
       // lookup never misses for vectors encoded by THESE books
       .withColumn("adc", aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, b) => element_at(col("tab"), (b * kCodes + c).cast("int"))),
+          (c, b) => element_at(col("tab"), (b * stride + c).cast("int"))),
         lit(0.0), (acc, x) => acc + x))
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id").asc)
-    val short = scored.withColumn("arank", row_number().over(wAdc))
-      .filter(col("arank") <= shortlist)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the shortlist only
+    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
+  }
+
+  /** ADC-scored candidates → bounded top-`shortlist` per query → exact
+    * cosine re-rank. The shortlist is a [[graft.functions.TopKByScoreAgg]]
+    * partial aggregation, NOT a `row_number` window: the window's shuffle
+    * carries every scored row (Q·N at the exhaustive layout), the bounded
+    * aggregate ships ≤ shortlist rows per (query, map task). Ids must be
+    * integral (cast to long inside the heap; the original id type is
+    * recovered by the re-rank join).
+    */
+  private def rerankShortlist(scored: DataFrame, embeddings: DataFrame,
+                              idCol: String, vecCol: String,
+                              k: Int, shortlist: Int): DataFrame = {
+    val short = scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("adc"), col("neighbor_id").cast("long"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("nid"))
+    // exact re-rank of the shortlist only; neighbor_id is re-read from
+    // the embeddings side so the output keeps the corpus id TYPE
     val vecs = embeddings.select(col(idCol), col(vecCol))
       .withColumn("nrm", vectorNorm(col(vecCol))).filter(col("nrm") > 0.0)
     val w = Window.partitionBy("query_id")
@@ -239,7 +264,8 @@ object Similarity {
       .join(vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col("nrm").as("qn")), Seq("query_id"))
       .join(vecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        col("nrm").as("cn")), Seq("neighbor_id"))
+        col("nrm").as("cn")),
+        col("nid") === col("neighbor_id"))
       .withColumn("cosine",
         vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
@@ -303,40 +329,52 @@ object Similarity {
     * deterministic sample works for the plumbing (k-means would slot in
     * identically). Both centroid joins are broadcast.
     */
+  /** Nearest-centroid cell assignment: nearest `keep` centroids per
+    * vector (broadcast join; keep=1 uses a partial-agg max_by instead of
+    * a window's full shuffle-sort of the N·k scored rows; keep>1 needs
+    * the ranked rows). `cent` must be the broadcast
+    * (cell_id, cent_v, cent_n) frame. A zero centroid scores -2 so it
+    * never wins a probe. Output: (id, cell_id, v, vn).
+    */
+  private def assignCells(cent: DataFrame, df: DataFrame,
+                          id: String, v: String, keep: Int): DataFrame = {
+    val scored = df.select(col(id), col(v))
+      .withColumn("vn", vectorNorm(col(v)))
+      .filter(col("vn") > 0.0)
+      .crossJoin(cent)
+      .withColumn("cent_sim",
+        when(col("cent_n") > 0.0,
+          vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))
+          .otherwise(lit(-2.0)))
+    if (keep == 1)
+      scored.groupBy(col(id))
+        .agg(max_by(struct(col("cell_id"), col(v), col("vn")),
+          struct(col("cent_sim"), -col("cell_id"))).as("a"))
+        .select(col(id), col(s"a.cell_id").as("cell_id"),
+          col(s"a.$v").as(v), col("a.vn").as("vn"))
+    else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("cent_sim").desc, col("cell_id").asc)
+      scored
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= keep)
+        .drop("cent_v", "cent_n", "cent_sim", "cell_rank")
+    }
+  }
+
+  /** The broadcast coarse-quantizer frame [[assignCells]] consumes. */
+  private def centFrame(centroids: DataFrame, idCol: String,
+                        vecCol: String): DataFrame =
+    broadcast(centroids
+      .select(col(idCol).as("cell_id"), col(vecCol).as("cent_v"))
+      .withColumn("cent_n", vectorNorm(col("cent_v"))))
+
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
               queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nProbe: Int): DataFrame = {
-    val cent = broadcast(centroids.select(col(idCol).as("cell_id"), col(vecCol).as("cent_v"))
-      .withColumn("cent_n", vectorNorm(col("cent_v"))))
-
-    // cell assignment: nearest centroid(s) per vector (broadcast join;
-    // keep=1 uses a partial-agg max_by instead of a window's full
-    // shuffle-sort of the N·k scored rows; keep>1 needs the ranked rows).
-    // A zero centroid scores -2 so it never wins a probe.
-    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame = {
-      val scored = df.select(col(id), col(v))
-        .withColumn("vn", vectorNorm(col(v)))
-        .filter(col("vn") > 0.0)
-        .crossJoin(cent)
-        .withColumn("cent_sim",
-          when(col("cent_n") > 0.0,
-            vectorDot(col(v), col("cent_v")) / (col("vn") * col("cent_n")))
-            .otherwise(lit(-2.0)))
-      if (keep == 1)
-        scored.groupBy(col(id))
-          .agg(max_by(struct(col("cell_id"), col(v), col("vn")),
-            struct(col("cent_sim"), -col("cell_id"))).as("a"))
-          .select(col(id), col(s"a.cell_id").as("cell_id"),
-            col(s"a.$v").as(v), col("a.vn").as("vn"))
-      else {
-        val w = Window.partitionBy(col(id))
-          .orderBy(col("cent_sim").desc, col("cell_id").asc)
-        scored
-          .withColumn("cell_rank", row_number().over(w))
-          .filter(col("cell_rank") <= keep)
-          .drop("cent_v", "cent_n", "cent_sim", "cell_rank")
-      }
-    }
+    val cent = centFrame(centroids, idCol, vecCol)
+    def assign(df: DataFrame, id: String, v: String, keep: Int): DataFrame =
+      assignCells(cent, df, id, v, keep)
 
     val indexed = assign(embeddings, idCol, vecCol, 1)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed(vecCol, "cv")
@@ -354,5 +392,73 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVFADC — the composed IVF×PQ index (Jégou et al. 2011 §IV): coarse
+    * centroids route each vector to ONE cell and each query to its
+    * `nProbe` nearest cells; PQ codes ADC-score ONLY the probed cells'
+    * candidates; the exact re-rank of a bounded shortlist recovers true
+    * cosines. Per query the scored set shrinks from O(N) (the flat-ADC
+    * layout of [[pqTopK]]) to O(N·nProbe/C) — the difference between a
+    * billion-vector index answering and scanning.
+    *
+    * PQ codes are trained and encoded on the RAW normalized blocks, not
+    * per-cell residuals: residual encoding needs per-cell codebooks (C
+    * independent Lloyd runs, C·k·dim broadcast state) for a recall gain
+    * that matters when cells are tight; raw-block codes keep ONE
+    * codebook set, reuse [[trainPqCodebooks]]/[[encodePq]] verbatim, and
+    * the exact re-rank absorbs most of the residual-vs-raw gap. The
+    * shortlist is the bounded [[graft.functions.TopKByScoreAgg]]
+    * (≤ shortlist rows per query per map task through the shuffle).
+    *
+    * Plan shape at scale: centroids broadcast (tiny); cell assignment
+    * map-side; the query side (probed cells × dot tables) broadcasts —
+    * Q·nProbe rows of m·k-entry maps — so the candidate join is a
+    * map-side hash join on cell_id over the (cell_id, codes) index:
+    * the corpus is never shuffled, never cross-joined.
+    */
+  def ivfPqTopK(embeddings: DataFrame, centroids: DataFrame,
+                codebooks: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                k: Int, m: Int, nProbe: Int,
+                shortlist: Int = 50): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    val blockLen = dim / m
+    val cent = centFrame(centroids, idCol, vecCol)
+    val cb0 = codebooks.cache()
+    // stride from the books themselves — see pqTopK
+    val stride = cb0.agg(max(col("code"))).head.getInt(0) + 1
+    // the index: (cell_id, neighbor_id, codes) — one co-partitioned
+    // id-join of the two per-vector derivations
+    val cells = assignCells(cent, embeddings, idCol, vecCol, 1)
+      .select(col(idCol), col("cell_id"))
+    val index = encodePq(embeddings, cb0, idCol, vecCol, m)
+      .join(cells, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
+    // query side: probed cells × per-query ADC dot tables, broadcast
+    val cb = broadcast(cb0)
+    val qTabs = normalized(queries, idCol, vecCol)
+      .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("qb", slice(col("v"),
+        col("block") * blockLen + 1, lit(blockLen)))
+      .join(cb, Seq("block"))
+      .withColumn("d", vectorDot(col("qb"), col("cent_v")))
+      .groupBy(col("vid"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("block") * stride + col("code")).cast("int").as("k"),
+        col("d").as("v")))).as("tab"))
+      .select(col("vid").as("query_id"), col("tab"))
+    val probed = assignCells(cent, queries, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("cell_id"))
+    val qSide = broadcast(probed.join(qTabs, Seq("query_id")))
+    // candidate scoring: equi-join on cell_id — only probed cells' codes
+    // are ever touched (PlanShapeSpec pins there is no cross join here)
+    val scored = index.join(qSide, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, b) => element_at(col("tab"), (b * stride + c).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
   }
 }

@@ -908,11 +908,13 @@ object StatsPruning {
       }
       chain(g)
     // STRUCT access spelled as extraction (`meta['price']`,
-    // col("meta")("price")): every step a string literal, rooted at a
-    // single-part attribute whose TOP-LEVEL type is a StructType — the
-    // type guard keeps a MAP column's value access (same surface
-    // syntax) from ever binding a colliding dotted leaf of some other
-    // column — and the joined dotted path must itself resolve.
+    // col("meta")("price")): every step a string literal, and EVERY
+    // step must resolve as a struct FIELD of the previous step's type —
+    // walking the schema down the whole chain (not just the head) keeps
+    // a MAP access anywhere in the chain (same surface syntax, e.g.
+    // `meta['a']['b']` where meta.a is map-typed) from ever binding a
+    // colliding dotted-named column's bounds. The joined dotted path
+    // must itself have a recorded type.
     case x: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
       def chain(e: Expression): Option[Seq[String]] = e match {
         case xx: org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue =>
@@ -926,10 +928,25 @@ object StatsPruning {
           Some(Seq(ua.nameParts.head))
         case _ => None
       }
+      // each part after the head must be the UNIQUE (case-insensitive)
+      // struct field of the type reached so far; any non-struct step —
+      // a map or array interior — declines the whole chain
+      def descends(dt: DataType, rest: Seq[String]): Boolean = rest match {
+        case Seq() => true
+        case head +: tail => dt match {
+          case st: StructType =>
+            st.fields.filter(_.name.equalsIgnoreCase(head)) match {
+              case Array(f) => descends(f.dataType, tail)
+              case _ => false
+            }
+          case _ => false
+        }
+      }
       chain(x).flatMap { parts =>
-        val structTop = colType(parts.head).exists(_.isInstanceOf[StructType])
         val joined = parts.mkString(".")
-        if (structTop && parts.length > 1 && colType(joined).isDefined)
+        val structWalk = colType(parts.head).exists(t =>
+          t.isInstanceOf[StructType] && descends(t, parts.tail))
+        if (structWalk && parts.length > 1 && colType(joined).isDefined)
           Some(joined)
         else None
       }

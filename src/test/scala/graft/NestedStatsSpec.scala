@@ -195,6 +195,31 @@ class NestedStatsSpec extends SparkSpec {
     assert(t2.readWhere(spark, col("meta")("price") <= 100.0).count() == 100)
   }
 
+  test("extraction chain through a map INSIDE a struct declines — a " +
+      "colliding dotted top-level column's bounds must never prune it") {
+    val t = freshTable()
+    // struct meta { a: map<string,long> } holds meta.a['b'] = i (small);
+    // the DOTTED top-level scalar `meta.a.b` holds 100k+ — it records
+    // under the exact dot-string the chain meta['a']['b'] would join to
+    // (no collision drop: the map interior records under key_value.*).
+    // Binding it would prune EVERY file for `= 100` — silent wrong empty
+    // result. The schema walk sees step 'a' is map-typed and declines.
+    val df = (1 to 2000).map(i => (i.toLong, i + 100000L, Map("b" -> i.toLong)))
+      .toDF("id", "collide", "m")
+      .repartitionByRange(8, col("id"))
+      .select($"id", $"collide".as("meta.a.b"), struct($"m".as("a")).as("meta"))
+    t.createOrReplace(df)
+    val m = t.currentManifest
+    assert(m.files.exists(_.stats.contains("meta.a.b")),
+      "the colliding dotted scalar must have recorded bounds for the pin " +
+        "to mean anything")
+    val pred = col("meta")("a")("b") === 100L
+    assert(t.pruneCounts(pred)._1 == m.files.size,
+      "a chain descending through a map must DECLINE (no prune) — " +
+        "pruning here means it bound the colliding column's bounds")
+    assert(t.readWhere(spark, pred).count() == 1)
+  }
+
   test("a top-level column spelling a struct leaf's dotted path drops " +
       "BOTH stats keys (merged bounds would decode garbage)") {
     import org.apache.spark.sql.types._

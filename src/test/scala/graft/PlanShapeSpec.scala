@@ -101,7 +101,7 @@ class PlanShapeSpec extends SparkSpec {
     val books = Similarity.trainPqCodebooks(vecs, "id", "embedding",
       m = 4, k = 4, iters = 1)
     val df = Similarity.pqTopK(vecs, books, vecs.limit(3), "id", "embedding",
-      k = 3, m = 4, kCodes = 4, shortlist = 10)
+      k = 3, m = 4, shortlist = 10)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("Broadcast"),
@@ -109,6 +109,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "candidate scoring must never sort-merge the corpus against " +
         s"the tiny side:\n${plan.take(1500)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+    // the ADC shortlist is the BOUNDED top-k aggregate, not a window:
+    // a row_number window's shuffle carries every scored row (Q·N);
+    // the aggregate's partial buffers ship ≤ shortlist per map task
+    assert(plan.contains("top_k_by_score"),
+      s"the shortlist must use the bounded top-k aggregate:\n${plan.take(1500)}")
+    // no Window node may rank the ADC-scored candidates (the cached
+    // codebooks' InMemoryRelation rendering legitimately shows the
+    // Lloyd-init windows, so count only windows ordering by `adc`)
+    assert("Window \\[[^\\n]*adc#".r.findFirstIn(plan).isEmpty,
+      s"the ADC candidate set must never feed a window:\n${plan.take(1500)}")
+  }
+
+  test("IVFADC candidate scoring joins on cell_id — the corpus codes " +
+      "are never cross-joined or shuffled against the query side") {
+    val vecs = (1 to 300)
+      .map(i => (i.toLong, Array.tabulate(8)(d =>
+        (if (i % 2 == 0) 1.0f else -1.0f) / (i % 7 + d + 1))))
+      .toDF("id", "embedding")
+    // tiny books AND tiny centroid set — the degenerate-size run that
+    // catches index-math misalignment (kept from the r11 lesson)
+    val cents = Similarity.trainCentroids(vecs, "id", "embedding",
+      k = 4, iters = 1)
+    val books = Similarity.trainPqCodebooks(vecs, "id", "embedding",
+      m = 4, k = 4, iters = 1)
+    val df = Similarity.ivfPqTopK(vecs, cents, books, vecs.limit(3),
+      "id", "embedding", k = 3, m = 4, nProbe = 2, shortlist = 10)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the ONLY corpus-wide joins are hash joins keyed by cell_id (codes
+    // index × broadcast query side) and the id-keyed encode/re-rank
+    // joins; centroid ASSIGNMENT cross-joins against the broadcast
+    // centroid set by design (tiny side), so assert the candidate join
+    // shape positively instead of banning nested-loop joins outright
+    assert("BroadcastHashJoin \\[cell_id".r.findFirstIn(plan).isDefined,
+      s"candidate scoring must hash-join on cell_id with the query " +
+        s"side broadcast:\n${plan.take(2500)}")
+    assert(!"SortMergeJoin \\[cell_id".r.findFirstIn(plan).isDefined,
+      "the codes index must never shuffle-sort on cell_id")
+    assert(plan.contains("top_k_by_score"),
+      "the IVFADC shortlist must use the bounded top-k aggregate")
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
 

@@ -156,6 +156,44 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(t.read(spark).filter(col("s").startsWith("UPD-")).count() == 3)
   }
 
+  test("@position_deletes lists exact tombstone rows; empty-with-schema " +
+      "when clean; equality deletes never appear") {
+    val root = Files.createTempDirectory("graft-posdel-rel-").toString
+    val t = SnapshotTable.at(root)
+    t.createOrReplace(
+      (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+        .repartition(1).sortWithinPartitions("id"),
+      properties = Map("write.graft.delete.mode" -> "merge-on-read",
+        "write.graft.update.mode" -> "merge-on-read"))
+    // clean table: empty relation, schema intact (both API and SQL)
+    val empty = t.positionDeletesRelation(spark)
+    assert(empty.columns.toSeq == Seq("file_path", "pos", "partition",
+      "delete_file_path", "commit_version"))
+    assert(empty.count() == 0)
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id % 10 = 0")
+    val rel = spark.sql(s"SELECT * FROM graft.`$root@position_deletes`")
+    // one sorted single-file fixture: tombstoned ordinals are id-1
+    assert(rel.select("pos").as[Long].collect().sorted.toSeq ==
+      (1 to 100).filter(_ % 10 == 0).map(_.toLong - 1))
+    assert(rel.select("commit_version").distinct().as[Long].head() == 2L)
+    // tombstone file_paths name live @files rows (same rendering)
+    val live = t.files(spark).select("file_path")
+    assert(rel.join(live, Seq("file_path"), "left_anti").isEmpty)
+    assert(rel.select("delete_file_path").distinct().count() == 1)
+    // an EQUALITY delete (MoR merge) adds a delete file that must NOT
+    // surface here — position_deletes is positional-only by definition
+    t.mergeMoR(spark, Seq((5L, "dead", "D")).toDF("id", "s", "op"),
+      Seq("id"), keepDeletes = false)
+    assert(t.currentManifest.deleteFiles.exists(!_.positional),
+      "fixture must actually produce an equality delete")
+    val after = t.positionDeletesRelation(spark)
+    assert(after.count() == 10, "equality deletes must not appear")
+    // a tag can't claim the reserved relation name
+    intercept[IllegalArgumentException] {
+      t.tag("position_deletes", 1L)
+    }
+  }
+
   test("SQL DELETE routes to position deletes under merge-on-read mode") {
     val base = spark
     val root = Files.createTempDirectory("graft-posdel-sql-").toString

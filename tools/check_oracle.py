@@ -77,8 +77,11 @@ def main(sf_dir, out_dir, only=None):
             # guaranteed driver `err` even when values match — refuse it
             # here so the replica is never MORE permissive than the gate
             # it replicates (q117 shipped red in r10 exactly this way).
+            # list detection must catch BOTH spellings DuckDB renders:
+            # variable-size LIST as `T[]` and fixed-size ARRAY as `T[3]`
             nested = {c: t for c, t in got_types.items()
                       if t.startswith(("STRUCT", "MAP")) or "[]" in t
+                      or re.search(r"\[\d*\]", t)
                       or t.startswith("UNION")}
             if nested:
                 print(f"FAIL {name}: nested output types {nested} — the "
