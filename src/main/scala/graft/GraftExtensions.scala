@@ -1513,6 +1513,21 @@ private[graft] object GraftSqlDml {
             tbl.setProperties(Map("write.graft.sort-order" -> cols.mkString(",")))
           case WriteUnorderedOp =>
             tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
+          case WriteDistributedOp(order) =>
+            // Iceberg's SetWriteDistributionAndOrdering REPLACES the
+            // write order: the LOCALLY ORDERED BY tail becomes the
+            // per-task sort, its absence clears any previous one
+            tbl.setProperties(Map("write.graft.distribution-mode" -> "hash"))
+            if (order.nonEmpty)
+              tbl.setProperties(
+                Map("write.graft.sort-order" -> order.mkString(",")))
+            else
+              tbl.unsetProperties(Seq("write.graft.sort-order"),
+                ifExists = true)
+          case WriteLocallyOrderedOp(cols) =>
+            tbl.setProperties(Map(
+              "write.graft.distribution-mode" -> "none",
+              "write.graft.sort-order" -> cols.mkString(",")))
           case CreateRefOp(isBranch, name, ver, ifNotExists, orReplace,
               replaceOnly, maxRefAge, minKeep, snapAge) =>
             val kind = if (isBranch) "branch" else "tag"

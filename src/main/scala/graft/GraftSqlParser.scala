@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `ALTER TABLE t DROP PARTITION FIELD <col | transform>`
   *   - `ALTER TABLE t WRITE ORDERED BY [(]c1[, c2...][)]`
   *   - `ALTER TABLE t WRITE UNORDERED`
+  *   - `ALTER TABLE t WRITE DISTRIBUTED BY PARTITION
+  *     [LOCALLY ORDERED BY c1[, c2...]]`
+  *   - `ALTER TABLE t WRITE LOCALLY ORDERED BY c1[, c2...]`
   *   - `ALTER TABLE t CREATE BRANCH|TAG [IF NOT EXISTS] x
   *     [AS OF VERSION n]` / `DROP BRANCH|TAG [IF EXISTS] x`
   *
@@ -57,6 +60,18 @@ final case class AddPartitionFieldOp(spec: String,
 final case class DropPartitionFieldOp(spec: String) extends GraftAlterOp
 final case class WriteOrderedByOp(cols: Seq[String]) extends GraftAlterOp
 case object WriteUnorderedOp extends GraftAlterOp
+/** `ALTER TABLE t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY
+  * c1[, c2...]]` — Iceberg's hash-distribution spelling: sets
+  * `write.graft.distribution-mode=hash`; like Iceberg's
+  * SetWriteDistributionAndOrdering it REPLACES the write order — the
+  * LOCALLY ORDERED BY tail becomes the per-task sort order, its absence
+  * clears any previous one.
+  */
+final case class WriteDistributedOp(order: Seq[String]) extends GraftAlterOp
+/** `ALTER TABLE t WRITE LOCALLY ORDERED BY c1[, c2...]` — per-task sort
+  * with NO required distribution (`write.graft.distribution-mode=none`).
+  */
+final case class WriteLocallyOrderedOp(cols: Seq[String]) extends GraftAlterOp
 /** `ALTER TABLE t CREATE [OR REPLACE] BRANCH|TAG [IF NOT EXISTS] x
   * [AS OF VERSION n] [RETAIN n DAYS|HOURS|MINUTES]
   * [WITH SNAPSHOT RETENTION n SNAPSHOTS [m DAYS|HOURS|MINUTES] |
@@ -139,6 +154,10 @@ object GraftSqlParser {
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   private val UnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+UNORDERED\s*;?\s*$""".r
+  private val DistributedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?\s*;?\s*$""".r
+  private val LocallyOrderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(.+?)\s+WRITE\s+LOCALLY\s+ORDERED\s+BY\s+(.+?)\s*;?\s*$""".r
   // shared optional tail: [RETAIN n UNIT] [WITH SNAPSHOT RETENTION ...]
   private val RefTail =
     """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(.+?))?"""
@@ -199,6 +218,20 @@ object GraftSqlParser {
           org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
             graft.catalog.GraftCatalog.isRegistered(s, p.head)))
 
+  /** A `(c1, c2)` / `c1, c2` write-order column list: plain ascending
+    * names only (shared by every WRITE ... ORDERED BY spelling).
+    */
+  private def orderCols(raw: String, what: String): Seq[String] = {
+    val inner = raw.trim.stripPrefix("(").stripSuffix(")")
+    val cols = inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty, s"$what needs at least one column")
+    val bad = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    require(bad.isEmpty,
+      s"$what supports plain ascending columns only, got: " +
+        bad.mkString(", "))
+    cols
+  }
+
   private def identifierCols(raw: String): Seq[String] = {
     val cols = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
     require(cols.nonEmpty, "IDENTIFIER FIELDS needs at least one column")
@@ -249,16 +282,17 @@ object GraftSqlParser {
         Some(GraftAlterTableStatement(ident(t),
           DropPartitionFieldOp(spec.trim)))
       case OrderedRe(t, colsRaw) =>
-        val inner = colsRaw.trim.stripPrefix("(").stripSuffix(")")
-        val cols = inner.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
-        require(cols.nonEmpty, "WRITE ORDERED BY needs at least one column")
-        val bad = cols.filterNot(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
-        require(bad.isEmpty,
-          s"WRITE ORDERED BY supports plain ascending columns only, got: " +
-            bad.mkString(", "))
-        Some(GraftAlterTableStatement(ident(t), WriteOrderedByOp(cols)))
+        Some(GraftAlterTableStatement(ident(t),
+          WriteOrderedByOp(orderCols(colsRaw, "WRITE ORDERED BY"))))
       case UnorderedRe(t) =>
         Some(GraftAlterTableStatement(ident(t), WriteUnorderedOp))
+      case DistributedRe(t, colsRaw) =>
+        Some(GraftAlterTableStatement(ident(t), WriteDistributedOp(
+          if (colsRaw == null) Nil
+          else orderCols(colsRaw, "LOCALLY ORDERED BY"))))
+      case LocallyOrderedRe(t, colsRaw) =>
+        Some(GraftAlterTableStatement(ident(t), WriteLocallyOrderedOp(
+          orderCols(colsRaw, "WRITE LOCALLY ORDERED BY"))))
       case CreateRefRe(t, orr, kind, ine, name, ver, retN, retU, snapRet) =>
         require(orr == null || ine == null,
           "CREATE OR REPLACE and IF NOT EXISTS are mutually exclusive")

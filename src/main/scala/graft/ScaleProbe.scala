@@ -725,6 +725,34 @@ object ScaleProbe {
         "vec_id", "embedding", k = 10, m = 8,
         shortlist = 50).count()
     }
+    locally {
+      // IVFADC (composed IVF×PQ) vs the exhaustive flat-ADC above: the
+      // candidate census is the scale evidence — ADC-scored rows shrink
+      // by the probed-cell fraction (Q·N → Σ probed cell sizes), the
+      // difference between a billion-vector index answering and
+      // scanning. Two nprobe points record the recall/work trade.
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 64, iters = 2).cache()
+      timed("ivfpq_train_centroids_k64") { cents.count() }
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 2).cache()
+      timed("ivfpq_train_codebooks_8x16") { books.count() }
+      val queries = emb.filter(col("vec_id") % 1000 === 0)
+      for (np <- Seq(4, 8)) {
+        timed(s"ivfpq_topk_nprobe$np") {
+          Similarity.ivfPqTopK(emb, cents, books, queries,
+            "vec_id", "embedding", k = 10, m = 8, nProbe = np,
+            shortlist = 50).count()
+        }
+      }
+      // exact candidate census at nprobe=4: probed-cell candidate rows
+      // vs the exhaustive Q·(N-1) the flat layout scores
+      val nQ = queries.count()
+      val probedRows = Similarity.ivfCandidateCensus(emb, cents, queries,
+        "vec_id", "embedding", nProbe = 4)
+      println(s"""{"stage":"ivfpq_candidate_census","nprobe":4,""" +
+        s""""candidate_rows":$probedRows,"exhaustive_rows":${nQ * (nEmb - 1)}}""")
+    }
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDups(emb, "vec_id", "embedding",
         threshold = 0.98, signBits = 12, tables = 8, maxBucketSize = 2000)

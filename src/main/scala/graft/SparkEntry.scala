@@ -533,21 +533,27 @@ object SparkEntry {
     }),
 
     "q91_sort_order_scan" -> ((s, d) => {
-      // declared WRITE SORT ORDER (Iceberg sort-order analog via
-      // TBLPROPERTIES): an unsorted CTAS leaves overlapping per-file key
-      // ranges; SET TBLPROPERTIES + rewrite_data_files range-clusters
-      // the rewrite on the sort column, after which a key-range scan
-      // prunes most files at the manifest (asserted in-query). Result =
-      // the filtered rows, schema-invariant under the layout change.
+      // declared WRITE SORT ORDER (Iceberg's `WRITE LOCALLY ORDERED BY`
+      // DDL — the r11 SET TBLPROPERTIES spelling maps to the same
+      // properties, asserted in-query): an unsorted CTAS leaves
+      // overlapping per-file key ranges; the declared order +
+      // rewrite_data_files range-clusters the rewrite on the sort
+      // column, after which a key-range scan prunes most files at the
+      // manifest (asserted in-query). Result = the filtered rows,
+      // schema-invariant under the layout change.
       val root = Files.createTempDirectory("graft-sorted-").toString
       t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
         .repartition(8) // unsorted, overlapping ranges in every file
         .createOrReplaceTempView("graft_q91_src")
       s.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_q91_src")
-      s.sql(s"ALTER TABLE graft.`$root` SET TBLPROPERTIES (" +
-        "'write.graft.sort-order' = 'l_orderkey')")
+      s.sql(s"ALTER TABLE graft.`$root` WRITE LOCALLY ORDERED BY l_orderkey")
       val table = SnapshotTable.at(root)
+      require(table.currentManifest.properties
+        .get("write.graft.sort-order").contains("l_orderkey") &&
+        table.currentManifest.properties
+          .get("write.graft.distribution-mode").contains("none"),
+        "WRITE LOCALLY ORDERED BY must land sort-order + mode=none")
       // target ~16 output files at every scale factor
       val bytes = table.currentManifest.files.map(f =>
         Files.size(java.nio.file.Paths.get(root).resolve(f.path))).sum
@@ -2514,6 +2520,20 @@ object SparkEntry {
       TextAnalysis.sharedWindowStats(
         t(s, d, "documents"), "doc_id", "text", n = 8)),
 
+    "q128_lm_quality_score" -> ((s, d) => {
+      // CCNet-shape LM quality scoring (Wenzek et al. 2020) with a
+      // stupid-backoff bigram LM (Brants et al. 2007) trained IN-ENGINE
+      // on a reference slice (doc_id % 10 = 0): per-token conditional
+      // probabilities quantize to integer micro-units BEFORE summing —
+      // the only formulation both engines hash identically (a
+      // log-domain perplexity sum is order- and libm-dependent); the
+      // ranking is monotone with likelihood, completing the quality
+      // surface (Gopher rules + repetition + lang-id + LM score).
+      val docs = t(s, d, "documents")
+      TextAnalysis.lmScore(docs, docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     "q56_seq_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
@@ -3760,6 +3780,58 @@ object SparkEntry {
         |      / CAST(sum(cnt) AS DOUBLE) * 1000000.0 + 0.5)
         |    AS BIGINT) AS dup_gram_e6
         |FROM c GROUP BY doc_id""".stripMargin,
+
+    // stupid-backoff bigram LM re-derived relationally: unigram/bigram
+    // counts over the %10 train slice, per-token micro-unit scores
+    // (every arithmetic step correctly-rounded IEEE — bit-identical
+    // across engines), integer sums. HUGEINT sums cast back to BIGINT.
+    "q128_lm_quality_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |tokne AS (SELECT doc_id, w FROM tok WHERE len(w) >= 1),
+        |train AS (SELECT w FROM tokne WHERE doc_id % 10 = 0),
+        |uni AS (SELECT tok, count(*) AS c_uni FROM
+        |        (SELECT unnest(w) AS tok FROM train) GROUP BY 1),
+        |ntot AS (SELECT CAST(CAST(sum(c_uni) AS BIGINT) AS DOUBLE) AS n
+        |         FROM uni),
+        |tpair AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        |  FROM train WHERE len(w) >= 2)),
+        |bi AS (SELECT w1, w2, count(*) AS c_bi FROM tpair GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_ctx
+        |        FROM bi GROUP BY 1),
+        |dfirst AS (SELECT doc_id, w[1] AS tok FROM tokne),
+        |dpair AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+        |  FROM tokne WHERE len(w) >= 2)),
+        |first_s AS (
+        |  SELECT doc_id, CAST(floor(
+        |      (CAST(COALESCE(u.c_uni, 0) AS DOUBLE) / ntot.n)
+        |        * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+        |  FROM dfirst LEFT JOIN uni u ON u.tok = dfirst.tok
+        |  CROSS JOIN ntot),
+        |pair_s AS (
+        |  SELECT doc_id, CAST(floor(
+        |      CASE WHEN b.c_bi IS NOT NULL
+        |        THEN CAST(b.c_bi AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE)
+        |        ELSE 0.4 * (CAST(COALESCE(u2.c_uni, 0) AS DOUBLE) / ntot.n)
+        |      END * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+        |  FROM dpair
+        |  LEFT JOIN bi b ON b.w1 = dpair.w1 AND b.w2 = dpair.w2
+        |  LEFT JOIN ctx ON ctx.w1 = dpair.w1
+        |  LEFT JOIN uni u2 ON u2.tok = dpair.w2
+        |  CROSS JOIN ntot),
+        |scored AS (SELECT * FROM first_s UNION ALL SELECT * FROM pair_s)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(s_e6) AS BIGINT) AS lm_sum_e6,
+        |  CAST(sum(s_e6) AS BIGINT) // count(*) AS lm_avg_e6
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     // 8-token windows (1-based inclusive list slice); a gram is SHARED
     // when distinct docs carrying it exceed one

@@ -461,4 +461,20 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x))
     rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
   }
+
+  /** Probed-candidate census for [[ivfPqTopK]]'s scale evidence: how
+    * many (query, neighbor) candidate rows the probed cells admit —
+    * exactly what the ADC stage scores, vs Q·(N-1) at the flat layout.
+    */
+  def ivfCandidateCensus(embeddings: DataFrame, centroids: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         nProbe: Int): Long = {
+    val cent = centFrame(centroids, idCol, vecCol)
+    val cells = assignCells(cent, embeddings, idCol, vecCol, 1)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"))
+    val probed = assignCells(cent, queries, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col("cell_id"))
+    broadcast(probed).join(cells, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id")).count()
+  }
 }

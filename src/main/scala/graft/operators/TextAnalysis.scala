@@ -307,4 +307,85 @@ object TextAnalysis {
         (col("start_tok") / tokenBudget).cast("long").as("pack_idx"),
         pmod(col("start_tok"), lit(tokenBudget.toLong)).as("pack_offset"))
   }
+
+  /** STUPID-BACKOFF bigram LM quality scoring (Brants et al. 2007; the
+    * LM-perplexity filter of the CCNet pipeline, Wenzek et al. 2020,
+    * reduced to a bigram model trained in-engine): train unigram/bigram
+    * counts on a REFERENCE slice, then score every document per token —
+    *
+    *   S(w_i | w_{i-1}) = c(w_{i-1} w_i) / ctx(w_{i-1})   if the bigram
+    *                                                      was observed
+    *                    = alpha * (c(w_i) / N)             otherwise
+    *                                                      (0 for OOV)
+    *
+    * with the first token scored `c(w_1)/N` and `ctx(w)` = observed
+    * bigram positions opening with `w`. Per-token scores quantize to
+    * integer MICRO-UNITS BEFORE aggregation: every step (count ratio,
+    * alpha multiply, ×1e6, +0.5, floor) is a correctly-rounded IEEE
+    * double op — bit-identical in any engine — and integer sums are
+    * order-independent, which is what keeps a DuckDB oracle hash-green
+    * where a log-domain perplexity (libm `ln` differs in ulps across
+    * engines, and float sums depend on order) could not be. Ranking is
+    * monotone with the probability-domain likelihood: higher avg =
+    * more in-model.
+    *
+    * Output: (idCol, n_tokens, lm_sum_e6, lm_avg_e6) — avg by integer
+    * division. Empty documents are omitted (nothing to score).
+    *
+    * Scale shape: tokenization is map-side off spread splits; training
+    * is two gram-keyed aggregations with map-side partial combine
+    * (O(vocab)/O(bigram-vocab) results, corpus-size-independent);
+    * scoring is three equi-joins against the LM tables — broadcast when
+    * small, and at reference-corpus scale the planner's shuffle-hash
+    * path keys on the token columns. No UDF, no window, no collect.
+    */
+  def lmScore(docs: DataFrame, train: DataFrame, idCol: String,
+              textCol: String, alpha: Double = 0.4): DataFrame = {
+    def toks(df: DataFrame) = Dedup.spread(df).select(col(idCol),
+        filter(split(trim(regexp_replace(lower(col(textCol)),
+          "[^a-z0-9]+", " ")), " "), x => x =!= "").as("w"))
+      .filter(size(col("w")) >= 1)
+    def pairs(df: DataFrame) = df.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val trainW = toks(train)
+    val uni = trainW.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni")).cache()
+    // total training tokens: derived from the cached unigram table so
+    // the training corpus tokenizes exactly once
+    val n = uni.agg(sum(col("c_uni"))).head.getLong(0)
+    require(n > 0, "LM training slice holds no tokens")
+    val bi = pairs(trainW).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bi")).cache()
+    // ctx(w1) = bigram positions opening with w1 — folded from the
+    // bigram table (already aggregated), never a second corpus pass
+    val ctx = bi.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_ctx"))
+    def e6(s: Column): Column =
+      floor(s * 1000000.0 + 0.5).cast("long")
+    val docsW = toks(docs)
+    val firstScored = docsW
+      .select(col(idCol), element_at(col("w"), 1).as("tok"))
+      .join(uni, Seq("tok"), "left")
+      .select(col(idCol), e6(coalesce(col("c_uni"), lit(0L)).cast("double")
+        / lit(n).cast("double")).as("s_e6"))
+    val pairScored = pairs(docsW)
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c_uni").as("c_uni2")),
+        Seq("w2"), "left")
+      .select(col(idCol), e6(
+        when(col("c_bi").isNotNull,
+          col("c_bi").cast("double") / col("c_ctx").cast("double"))
+          .otherwise(lit(alpha) *
+            (coalesce(col("c_uni2"), lit(0L)).cast("double")
+              / lit(n).cast("double")))).as("s_e6"))
+    firstScored.unionByName(pairScored)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s_e6")).as("lm_sum_e6"))
+      .select(col(idCol), col("n_tokens"), col("lm_sum_e6"),
+        expr("lm_sum_e6 DIV n_tokens").as("lm_avg_e6"))
+  }
 }

@@ -181,6 +181,33 @@ class AsOfGraphSpec extends SparkSpec {
     assert(tri(2L) == (1L, 1L, 1000000L, 0L))
   }
 
+  test("lmScore: hand-computed stupid-backoff micro-unit scores") {
+    // train = doc 0 only: tokens [a,b,a,c] → uni a=2,b=1,c=1, N=4;
+    // bigrams (a,b)(b,a)(a,c) each once; ctx a=2, b=1
+    val docs = Seq((0L, "a b a c"), (1L, "a b x"), (2L, ""), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs,
+        docs.filter($"doc_id" === 0), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 0: first a = 2/4; (a,b)=1/2; (b,a)=1/1; (a,c)=1/2
+    assert(got(0L) == (4L, 2500000L, 625000L))
+    // doc 1: first a = 2/4; (a,b)=1/2; (b,x) unseen, c(x)=0 → 0
+    assert(got(1L) == (3L, 1000000L, 333333L))
+    // doc 3: all OOV → every position 0 (floor(0.5) = 0)
+    assert(got(3L) == (2L, 0L, 0L))
+    // empty text: nothing to score
+    assert(!got.contains(2L))
+    // unseen-bigram backoff really reaches the unigram: train with a
+    // doc whose bigram (b,c) is absent but c is in-vocabulary
+    val got2 = TextAnalysis.lmScore(
+        Seq((9L, "b c")).toDF("doc_id", "text"),
+        docs.filter($"doc_id" === 0), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().head
+    // first b = 1/4 → 250000; (b,c) unseen → 0.4 * (1/4) = 0.1 → 100000
+    assert(got2 == ((9L, 2L, 350000L, 175000L)))
+  }
+
   test("sharedWindowStats: cross-doc window sharing, hand-computed") {
     // n = 3 windows; docs 1 and 2 share "b c d" (and only it);
     // doc 3 is clean; doc 4 too short

@@ -76,4 +76,38 @@ class DistributionModeSpec extends SparkSpec {
       assert(e.getMessage.contains("hash|range|none"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
+
+  test("Iceberg WRITE DISTRIBUTED BY PARTITION / LOCALLY ORDERED BY " +
+      "SQL spellings land the distribution/sort properties") {
+    val df = spark.range(0, 300, 1, 4)
+      .select((col("id") % 3).cast("string").as("p"), col("id"))
+    val t = fresh()
+    t.createOrReplace(df, Seq("p"))
+    def props = t.currentManifest.properties
+    // LOCALLY ORDERED BY = per-task sort, no required distribution
+    spark.sql(s"ALTER TABLE graft.`${t.root}` WRITE LOCALLY ORDERED BY id")
+    assert(props.get("write.graft.distribution-mode").contains("none"))
+    assert(props.get("write.graft.sort-order").contains("id"))
+    // DISTRIBUTED BY PARTITION + LOCALLY ORDERED BY tail = hash + sort
+    spark.sql(s"ALTER TABLE graft.`${t.root}` WRITE DISTRIBUTED BY " +
+      "PARTITION LOCALLY ORDERED BY id, p")
+    assert(props.get("write.graft.distribution-mode").contains("hash"))
+    assert(props.get("write.graft.sort-order").contains("id,p"))
+    // DISTRIBUTED BY PARTITION alone REPLACES the write order (Iceberg
+    // SetWriteDistributionAndOrdering semantics): the sort clears
+    spark.sql(s"ALTER TABLE graft.`${t.root}` WRITE DISTRIBUTED BY PARTITION")
+    assert(props.get("write.graft.distribution-mode").contains("hash"))
+    assert(!props.contains("write.graft.sort-order"))
+    // and the landed mode drives the next commit's layout: hash = one
+    // file per partition value for this append (AQE off — its toy-scale
+    // coalescing folds the 3 hash slices to one, same as the first test)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val v0 = t.currentManifest.files.size
+      t.append(spark, df)
+      assert(t.currentManifest.files.size == v0 + 3,
+        "hash distribution must cluster the append to one file per value")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
