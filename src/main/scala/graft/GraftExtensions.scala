@@ -1517,13 +1517,16 @@ private[graft] object GraftSqlDml {
             // Iceberg's SetWriteDistributionAndOrdering REPLACES the
             // write order: the LOCALLY ORDERED BY tail becomes the
             // per-task sort, its absence clears any previous one
-            tbl.setProperties(Map("write.graft.distribution-mode" -> "hash"))
             if (order.nonEmpty)
+              tbl.setProperties(Map(
+                "write.graft.distribution-mode" -> "hash",
+                "write.graft.sort-order" -> order.mkString(",")))
+            else {
               tbl.setProperties(
-                Map("write.graft.sort-order" -> order.mkString(",")))
-            else
+                Map("write.graft.distribution-mode" -> "hash"))
               tbl.unsetProperties(Seq("write.graft.sort-order"),
                 ifExists = true)
+            }
           case WriteLocallyOrderedOp(cols) =>
             tbl.setProperties(Map(
               "write.graft.distribution-mode" -> "none",

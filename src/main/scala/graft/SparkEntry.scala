@@ -2335,8 +2335,12 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") % 25 === 0)
       val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
         m = 8, k = 16, iters = 2)
+      // shortlist 100: at bench scale (sf0.1, 2000 vectors) a
+      // 50-shortlist measured 0.42 recall — below the bar the contract
+      // promises at the GATED scale; 100 clears every tested sf
+      // (0.60 @sf0.1) and the re-rank stays O(shortlist·Q)
       val ann = Similarity.pqTopK(emb, books, queries,
-        "vec_id", "embedding", k = 10, m = 8, shortlist = 50)
+        "vec_id", "embedding", k = 10, m = 8, shortlist = 100)
       val exact = Similarity.bruteForceTopK(queries, emb,
         "vec_id", "embedding", k = 10).cache()
       val nExact = exact.count()

@@ -490,10 +490,13 @@ final class TopKBuffer(val k: Int) {
     var i = 0
     while (i < o.size) { insert(o.scores(i), o.ids(i)); i += 1 }
   }
-  /** (score, id) pairs best-first: score desc, id asc. */
+  /** (score, id) pairs best-first: score desc, id asc — the EXACT
+    * inverse of [[worse]] (a sortBy on -score would use total ordering,
+    * which splits -0.0 from 0.0 where the heap's IEEE compare doesn't).
+    */
   def sortedPairs: Array[(Double, Long)] =
     (0 until size).map(i => (scores(i), ids(i))).toArray
-      .sortBy { case (s, id) => (-s, id) }
+      .sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
 }
 
 /** Top-k aggregate over (score double, id long) rows: returns the ≤ k
@@ -525,7 +528,10 @@ case class TopKByScoreAgg(
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
-    if (s != null && id != null)
+    // NaN skipped like null: it compares false against everything, so
+    // it could neither rank nor be evicted — and it would break the
+    // output sort's strict-ordering contract
+    if (s != null && id != null && !s.asInstanceOf[Double].isNaN)
       b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
     b
   }

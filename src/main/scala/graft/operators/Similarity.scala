@@ -323,12 +323,6 @@ object Similarity {
     cent
   }
 
-  /** IVF-style ANN: cluster by nearest centroid, probe nProbe cells.
-    *
-    * `centroids` plays the role of a trained coarse quantizer; any small
-    * deterministic sample works for the plumbing (k-means would slot in
-    * identically). Both centroid joins are broadcast.
-    */
   /** Nearest-centroid cell assignment: nearest `keep` centroids per
     * vector (broadcast join; keep=1 uses a partial-agg max_by instead of
     * a window's full shuffle-sort of the N·k scored rows; keep>1 needs
@@ -369,6 +363,12 @@ object Similarity {
       .select(col(idCol).as("cell_id"), col(vecCol).as("cent_v"))
       .withColumn("cent_n", vectorNorm(col("cent_v"))))
 
+  /** IVF-style ANN: cluster by nearest centroid, probe nProbe cells.
+    *
+    * `centroids` plays the role of a trained coarse quantizer; any small
+    * deterministic sample works for the plumbing (k-means would slot in
+    * identically). Both centroid joins are broadcast.
+    */
   def ivfTopK(embeddings: DataFrame, centroids: DataFrame,
               queries: DataFrame, idCol: String, vecCol: String,
               k: Int, nProbe: Int): DataFrame = {
