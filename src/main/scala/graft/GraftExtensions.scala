@@ -1509,28 +1509,35 @@ private[graft] object GraftSqlDml {
           case AddPartitionFieldOp(spec, name) =>
             tbl.addPartitionField(spec, name)
           case DropPartitionFieldOp(spec) => tbl.dropPartitionField(spec)
+          // Every WRITE ... ORDERED/DISTRIBUTED spelling REPLACES the
+          // write layout in ONE commit (Iceberg's
+          // SetWriteDistributionAndOrdering semantics; a set-then-unset
+          // pair would leave a torn state on crash or to concurrent
+          // readers) — and a newly DECLARED order must clear a stale
+          // write.graft.zorder-by, or the next compaction re-clusters
+          // on the OLD curve and scatters the layout the DDL promised
+          // (the same hazard rewriteSorted guards)
           case WriteOrderedByOp(cols) =>
-            tbl.setProperties(Map("write.graft.sort-order" -> cols.mkString(",")))
+            tbl.alterProperties(
+              Map("write.graft.sort-order" -> cols.mkString(",")),
+              Seq("write.graft.zorder-by"))
           case WriteUnorderedOp =>
             tbl.unsetProperties(Seq("write.graft.sort-order"), ifExists = true)
           case WriteDistributedOp(order) =>
-            // Iceberg's SetWriteDistributionAndOrdering REPLACES the
-            // write order: the LOCALLY ORDERED BY tail becomes the
-            // per-task sort, its absence clears any previous one
             if (order.nonEmpty)
-              tbl.setProperties(Map(
+              tbl.alterProperties(Map(
                 "write.graft.distribution-mode" -> "hash",
-                "write.graft.sort-order" -> order.mkString(",")))
-            else {
-              tbl.setProperties(
-                Map("write.graft.distribution-mode" -> "hash"))
-              tbl.unsetProperties(Seq("write.graft.sort-order"),
-                ifExists = true)
-            }
+                "write.graft.sort-order" -> order.mkString(",")),
+                Seq("write.graft.zorder-by"))
+            else
+              tbl.alterProperties(
+                Map("write.graft.distribution-mode" -> "hash"),
+                Seq("write.graft.sort-order", "write.graft.zorder-by"))
           case WriteLocallyOrderedOp(cols) =>
-            tbl.setProperties(Map(
+            tbl.alterProperties(Map(
               "write.graft.distribution-mode" -> "none",
-              "write.graft.sort-order" -> cols.mkString(",")))
+              "write.graft.sort-order" -> cols.mkString(",")),
+              Seq("write.graft.zorder-by"))
           case CreateRefOp(isBranch, name, ver, ifNotExists, orReplace,
               replaceOnly, maxRefAge, minKeep, snapAge) =>
             val kind = if (isBranch) "branch" else "tag"
@@ -1832,9 +1839,16 @@ private[graft] object GraftSqlDml {
             // the move runs inside the SOURCE table's publish critical
             // section (same meta/_lock a commit holds) so a committer
             // mid-commit can't recreate the old directory after the move
-            // (zombie table); destination exclusivity re-checks INSIDE
-            // the section — the earlier candidates walk was check-then-
-            // act (view-birth precedent, ViewStore.create)
+            // (zombie table) — under CasPublish the section serializes
+            // same-JVM only, the publisher's documented trade. The
+            // destination re-check INSIDE the section narrows the
+            // check-then-act window but holds only OUR lock; a racing
+            // creator AT the destination holds its own — that race ends
+            // LOUDLY in Files.move (FileAlreadyExists), never silently.
+            // (Taking both locks would deadlock on a concurrent reverse
+            // rename.) A VIEW source serializes on the same section
+            // ViewStore.create/replace use, so a mid-REPLACE version
+            // doc can't land in a half-moved directory.
             graft.table.AtomicPublish.default.critical(
               srcP, srcP.resolve("meta")) {
               require(!SnapshotTable.at(dst).exists &&

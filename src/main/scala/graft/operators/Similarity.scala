@@ -196,45 +196,80 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, codebooks: DataFrame,
              queries: DataFrame, idCol: String, vecCol: String,
              k: Int, m: Int, shortlist: Int = 50): DataFrame = {
+    requireIntegralId(embeddings, idCol)
     val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
     val blockLen = dim / m
     // the codebooks lineage (m Lloyd runs) is consumed three times below
     // (stride probe, encode, query tables) — materialize it once
     val cb0 = codebooks.cache()
-    // ADC key stride derived from the BOOKS THEMSELVES (max code + 1):
-    // a caller-supplied stride smaller than the trained code range would
-    // collide keys across blocks and silently corrupt scores — the same
-    // misalignment class the map-vs-dense-array fix closed, reintroduced
-    // through a parameter (r11 ADVICE)
-    val stride = cb0.agg(max(col("code"))).head.getInt(0) + 1
+    val stride = adcStride(cb0)
     val codes = encodePq(embeddings, cb0, idCol, vecCol, m)
       .withColumnRenamed(idCol, "neighbor_id")
-    // per-query lookup TABLE as a MAP keyed block·stride + code — an
-    // EXACT lookup whatever codes each block's trained book actually
-    // holds (Lloyd may return fewer codewords when cells empty out; a
-    // dense-array index would silently misalign the scores — caught by
-    // PlanShapeSpec's tiny-book run)
-    val cb = broadcast(cb0)
-    val qTabs = broadcast(normalized(queries, idCol, vecCol)
+    val qTabs = broadcast(
+      adcTables(queries, cb0, idCol, vecCol, m, blockLen, stride))
+    val scored = qTabs.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcScore(m, stride))
+    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
+  }
+
+  /** ADC key stride derived from the BOOKS THEMSELVES (max code + 1): a
+    * caller-supplied stride smaller than the trained code range would
+    * collide keys across blocks and silently corrupt scores — the same
+    * misalignment class the map-vs-dense-array fix closed, reintroduced
+    * through a parameter (r11 ADVICE). [[adcTables]] and [[adcScore]]
+    * must share ONE stride value.
+    */
+  private def adcStride(codebooks: DataFrame): Int =
+    codebooks.agg(max(col("code"))).head.getInt(0) + 1
+
+  /** Per-query ADC lookup TABLE as a MAP keyed `block·stride + code` —
+    * an EXACT lookup whatever codes each block's trained book actually
+    * holds (Lloyd may return fewer codewords when cells empty out; a
+    * dense-array index would silently misalign the scores — caught by
+    * PlanShapeSpec's tiny-book run). Output (query_id, tab); callers
+    * broadcast it.
+    */
+  private def adcTables(queries: DataFrame, codebooks: DataFrame,
+                        idCol: String, vecCol: String,
+                        m: Int, blockLen: Int, stride: Int): DataFrame =
+    normalized(queries, idCol, vecCol)
       .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("qb", slice(col("v"),
         col("block") * blockLen + 1, lit(blockLen)))
-      .join(cb, Seq("block"))
+      .join(broadcast(codebooks), Seq("block"))
       .withColumn("d", vectorDot(col("qb"), col("cent_v")))
       .groupBy(col("vid"))
       .agg(map_from_entries(collect_list(struct(
         (col("block") * stride + col("code")).cast("int").as("k"),
         col("d").as("v")))).as("tab"))
-      .select(col("vid").as("query_id"), col("tab")))
-    val scored = qTabs.crossJoin(codes)
-      .filter(col("query_id") =!= col("neighbor_id"))
-      // codes only ever name codewords the books hold, so the map
-      // lookup never misses for vectors encoded by THESE books
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, b) => element_at(col("tab"), (b * stride + c).cast("int"))),
-        lit(0.0), (acc, x) => acc + x))
-    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
+      .select(col("vid").as("query_id"), col("tab"))
+
+  /** The ADC score of a `codes` row against its `tab` map — the key
+    * formula is [[adcTables]]'s, so the two can never drift apart.
+    * Codes only ever name codewords the books hold, so the map lookup
+    * never misses for vectors encoded by THESE books.
+    */
+  private def adcScore(m: Int, stride: Int): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, b) => element_at(col("tab"), (b * stride + c).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The bounded-shortlist heap keys on LONG ids — a non-integral id
+    * would cast to null and silently skip every row (empty result, no
+    * error). Fail at planning instead; hash a string id to a surrogate
+    * long first if needed.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema.find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType)
+    require(dt.exists {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"PQ/IVFADC top-k needs an integral id column; $idCol is " +
+      s"${dt.map(_.catalogString).getOrElse("missing")}")
   }
 
   /** ADC-scored candidates → bounded top-`shortlist` per query → exact
@@ -422,12 +457,12 @@ object Similarity {
                 idCol: String, vecCol: String,
                 k: Int, m: Int, nProbe: Int,
                 shortlist: Int = 50): DataFrame = {
+    requireIntegralId(embeddings, idCol)
     val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
     val blockLen = dim / m
     val cent = centFrame(centroids, idCol, vecCol)
     val cb0 = codebooks.cache()
-    // stride from the books themselves — see pqTopK
-    val stride = cb0.agg(max(col("code"))).head.getInt(0) + 1
+    val stride = adcStride(cb0)
     // the index: (cell_id, neighbor_id, codes) — one co-partitioned
     // id-join of the two per-vector derivations
     val cells = assignCells(cent, embeddings, idCol, vecCol, 1)
@@ -436,18 +471,7 @@ object Similarity {
       .join(cells, Seq(idCol))
       .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
     // query side: probed cells × per-query ADC dot tables, broadcast
-    val cb = broadcast(cb0)
-    val qTabs = normalized(queries, idCol, vecCol)
-      .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("qb", slice(col("v"),
-        col("block") * blockLen + 1, lit(blockLen)))
-      .join(cb, Seq("block"))
-      .withColumn("d", vectorDot(col("qb"), col("cent_v")))
-      .groupBy(col("vid"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("block") * stride + col("code")).cast("int").as("k"),
-        col("d").as("v")))).as("tab"))
-      .select(col("vid").as("query_id"), col("tab"))
+    val qTabs = adcTables(queries, cb0, idCol, vecCol, m, blockLen, stride)
     val probed = assignCells(cent, queries, idCol, vecCol, nProbe)
       .select(col(idCol).as("query_id"), col("cell_id"))
     val qSide = broadcast(probed.join(qTabs, Seq("query_id")))
@@ -455,10 +479,7 @@ object Similarity {
     // are ever touched (PlanShapeSpec pins there is no cross join here)
     val scored = index.join(qSide, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (c, b) => element_at(col("tab"), (b * stride + c).cast("int"))),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("adc", adcScore(m, stride))
     rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
   }
 

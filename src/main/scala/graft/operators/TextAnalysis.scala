@@ -365,24 +365,33 @@ object TextAnalysis {
     val ctx = bi.groupBy(col("w1")).agg(sum(col("c_bi")).as("c_ctx"))
     def e6(s: Column): Column =
       floor(s * 1000000.0 + 0.5).cast("long")
-    val docsW = toks(docs)
-    val firstScored = docsW
-      .select(col(idCol), element_at(col("w"), 1).as("tok"))
-      .join(uni, Seq("tok"), "left")
-      .select(col(idCol), e6(coalesce(col("c_uni"), lit(0L)).cast("double")
-        / lit(n).cast("double")).as("s_e6"))
-    val pairScored = pairs(docsW)
+    // ONE pass over the scored corpus: every token position i emits
+    // (prev = w_{i-1} or NULL at i=1, tok = w_i) from a single explode
+    // — the dominant cost (regex tokenization + the spread shuffle)
+    // must not run once per scoring branch when docs >> train. A NULL
+    // prev never equi-joins, so the first-position branch below is
+    // selected by prev IS NULL, not by a separate lineage.
+    val positions = toks(docs).select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("w"))),
+          i => struct(
+            when(i === 1, lit(null).cast("string"))
+              .otherwise(element_at(col("w"), i - 1)).as("w1"),
+            element_at(col("w"), i).as("w2")))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    positions
       .join(bi, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(uni.select(col("tok").as("w2"), col("c_uni").as("c_uni2")),
         Seq("w2"), "left")
       .select(col(idCol), e6(
-        when(col("c_bi").isNotNull,
-          col("c_bi").cast("double") / col("c_ctx").cast("double"))
+        when(col("w1").isNull, // first token: unigram, no alpha
+          coalesce(col("c_uni2"), lit(0L)).cast("double")
+            / lit(n).cast("double"))
+          .when(col("c_bi").isNotNull,
+            col("c_bi").cast("double") / col("c_ctx").cast("double"))
           .otherwise(lit(alpha) *
             (coalesce(col("c_uni2"), lit(0L)).cast("double")
               / lit(n).cast("double")))).as("s_e6"))
-    firstScored.unionByName(pairScored)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("s_e6")).as("lm_sum_e6"))
       .select(col(idCol), col("n_tokens"), col("lm_sum_e6"),

@@ -3815,6 +3815,30 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** Set and unset table properties in ONE commit — what a DDL with
+    * REPLACE semantics (Iceberg's SetWriteDistributionAndOrdering)
+    * needs: a set-then-unset pair would leave a torn state visible to
+    * concurrent readers (and permanent on a crash between the two).
+    * Unset keys are if-exists (the REPLACE shape clears whatever was
+    * there); a key in both sets takes the SET value.
+    */
+  def alterProperties(set: Map[String, String], unset: Seq[String],
+                      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(set.nonEmpty || unset.nonEmpty, "nothing to change")
+    val bad = (set.keys ++ unset).filter(k =>
+      k.toLowerCase.startsWith(DroppedPrefix) ||
+        k.toLowerCase.startsWith(EvoPrefix) ||
+        k.equalsIgnoreCase(IdentifierFieldsProp))
+    require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
+    val m = currentManifest
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        properties = m.properties -- unset ++ set, operation = "properties")
+    }
+  }
+
   /** SQL `ALTER TABLE UNSET TBLPROPERTIES` — same rules as
     * [[setProperties]]; unknown keys are a silent no-op per SQL
     * `IF EXISTS`, a loud error otherwise.
