@@ -2538,6 +2538,20 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    "q129_ccnet_buckets" -> ((s, d) => {
+      // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): the
+      // LM scores bucketed per LANGUAGE by integer-rank thirds — pure
+      // integer arithmetic over a deterministic total order, so both
+      // engines bucket identically (no percentile interpolation).
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.lmScore(docs,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+      val withLang = scored
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      TextAnalysis.ccnetBuckets(withLang, "doc_id", "lm_avg_e6", "lang")
+        .select(col("doc_id"), col("lang"), col("lm_avg_e6"), col("bucket"))
+    }),
+
     "q56_seq_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
@@ -2635,6 +2649,58 @@ object SparkEntry {
     * (minhash/simhash/IVF/bucket) → driver records a rows-only check;
     * those are verified against brute-force baselines in ScalaTest.
     */
+  /** Shared DuckDB CTE chain for the stupid-backoff LM oracles
+    * (q128/q129): tokenization, train-slice unigram/bigram counts,
+    * per-position micro-unit scores, and the per-doc aggregate `lm`.
+    */
+  private val lmScoreCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(lower(text),
+      |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+      |  FROM documents),
+      |tokne AS (SELECT doc_id, w FROM tok WHERE len(w) >= 1),
+      |train AS (SELECT w FROM tokne WHERE doc_id % 10 = 0),
+      |uni AS (SELECT tok, count(*) AS c_uni FROM
+      |        (SELECT unnest(w) AS tok FROM train) GROUP BY 1),
+      |ntot AS (SELECT CAST(CAST(sum(c_uni) AS BIGINT) AS DOUBLE) AS n
+      |         FROM uni),
+      |tpair AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+      |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+      |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+      |  FROM train WHERE len(w) >= 2)),
+      |bi AS (SELECT w1, w2, count(*) AS c_bi FROM tpair GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_ctx
+      |        FROM bi GROUP BY 1),
+      |dfirst AS (SELECT doc_id, w[1] AS tok FROM tokne),
+      |dpair AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(w) - 1),
+      |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
+      |  FROM tokne WHERE len(w) >= 2)),
+      |first_s AS (
+      |  SELECT doc_id, CAST(floor(
+      |      (CAST(COALESCE(u.c_uni, 0) AS DOUBLE) / ntot.n)
+      |        * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+      |  FROM dfirst LEFT JOIN uni u ON u.tok = dfirst.tok
+      |  CROSS JOIN ntot),
+      |pair_s AS (
+      |  SELECT doc_id, CAST(floor(
+      |      CASE WHEN b.c_bi IS NOT NULL
+      |        THEN CAST(b.c_bi AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE)
+      |        ELSE 0.4 * (CAST(COALESCE(u2.c_uni, 0) AS DOUBLE) / ntot.n)
+      |      END * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+      |  FROM dpair
+      |  LEFT JOIN bi b ON b.w1 = dpair.w1 AND b.w2 = dpair.w2
+      |  LEFT JOIN ctx ON ctx.w1 = dpair.w1
+      |  LEFT JOIN uni u2 ON u2.tok = dpair.w2
+      |  CROSS JOIN ntot),
+      |scored AS (SELECT * FROM first_s UNION ALL SELECT * FROM pair_s),
+      |lm AS (SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(s_e6) AS BIGINT) AS lm_sum_e6,
+      |  CAST(sum(s_e6) AS BIGINT) // count(*) AS lm_avg_e6
+      |FROM scored GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3789,53 +3855,25 @@ object SparkEntry {
     // counts over the %10 train slice, per-token micro-unit scores
     // (every arithmetic step correctly-rounded IEEE — bit-identical
     // across engines), integer sums. HUGEINT sums cast back to BIGINT.
-    "q128_lm_quality_score" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(trim(regexp_replace(lower(text),
-        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
-        |  FROM documents),
-        |tokne AS (SELECT doc_id, w FROM tok WHERE len(w) >= 1),
-        |train AS (SELECT w FROM tokne WHERE doc_id % 10 = 0),
-        |uni AS (SELECT tok, count(*) AS c_uni FROM
-        |        (SELECT unnest(w) AS tok FROM train) GROUP BY 1),
-        |ntot AS (SELECT CAST(CAST(sum(c_uni) AS BIGINT) AS DOUBLE) AS n
-        |         FROM uni),
-        |tpair AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM (
-        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-        |    i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-        |  FROM train WHERE len(w) >= 2)),
-        |bi AS (SELECT w1, w2, count(*) AS c_bi FROM tpair GROUP BY 1, 2),
-        |ctx AS (SELECT w1, CAST(sum(c_bi) AS BIGINT) AS c_ctx
-        |        FROM bi GROUP BY 1),
-        |dfirst AS (SELECT doc_id, w[1] AS tok FROM tokne),
-        |dpair AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
-        |  SELECT doc_id,
-        |    unnest(list_transform(generate_series(1, len(w) - 1),
-        |      i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS p
-        |  FROM tokne WHERE len(w) >= 2)),
-        |first_s AS (
-        |  SELECT doc_id, CAST(floor(
-        |      (CAST(COALESCE(u.c_uni, 0) AS DOUBLE) / ntot.n)
-        |        * 1000000.0 + 0.5) AS BIGINT) AS s_e6
-        |  FROM dfirst LEFT JOIN uni u ON u.tok = dfirst.tok
-        |  CROSS JOIN ntot),
-        |pair_s AS (
-        |  SELECT doc_id, CAST(floor(
-        |      CASE WHEN b.c_bi IS NOT NULL
-        |        THEN CAST(b.c_bi AS DOUBLE) / CAST(ctx.c_ctx AS DOUBLE)
-        |        ELSE 0.4 * (CAST(COALESCE(u2.c_uni, 0) AS DOUBLE) / ntot.n)
-        |      END * 1000000.0 + 0.5) AS BIGINT) AS s_e6
-        |  FROM dpair
-        |  LEFT JOIN bi b ON b.w1 = dpair.w1 AND b.w2 = dpair.w2
-        |  LEFT JOIN ctx ON ctx.w1 = dpair.w1
-        |  LEFT JOIN uni u2 ON u2.tok = dpair.w2
-        |  CROSS JOIN ntot),
-        |scored AS (SELECT * FROM first_s UNION ALL SELECT * FROM pair_s)
-        |SELECT doc_id, count(*) AS n_tokens,
-        |  CAST(sum(s_e6) AS BIGINT) AS lm_sum_e6,
-        |  CAST(sum(s_e6) AS BIGINT) // count(*) AS lm_avg_e6
-        |FROM scored GROUP BY doc_id""".stripMargin,
+    "q128_lm_quality_score" -> (lmScoreCtes +
+      "\nSELECT doc_id, n_tokens, lm_sum_e6, lm_avg_e6 FROM lm"),
+
+    // the same LM scores bucketed per language by integer-rank thirds
+    // (rank·3 vs n comparisons — no percentile interpolation)
+    "q129_ccnet_buckets" -> (lmScoreCtes +
+      """,
+        |wl AS (SELECT lm.doc_id, d.lang, lm.lm_avg_e6
+        |       FROM lm JOIN documents d ON d.doc_id = lm.doc_id),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY lm_avg_e6 DESC, doc_id ASC) AS rnk,
+        |  count(*) OVER (PARTITION BY lang) AS n_grp FROM wl)
+        |SELECT doc_id, lang, lm_avg_e6,
+        |  CASE WHEN rnk * 3 <= n_grp THEN 'head'
+        |       WHEN rnk * 3 <= n_grp * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin),
+
 
     // 8-token windows (1-based inclusive list slice); a gram is SHARED
     // when distinct docs carrying it exceed one

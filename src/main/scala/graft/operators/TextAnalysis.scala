@@ -397,4 +397,36 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("lm_sum_e6"),
         expr("lm_sum_e6 DIV n_tokens").as("lm_avg_e6"))
   }
+
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3):
+    * per language, rank documents by LM score (best first) and cut the
+    * ranking in integer thirds — `rank·3 ≤ n` = head,
+    * `rank·3 ≤ 2n` = middle, else tail. Pure integer arithmetic on a
+    * deterministic total order (score desc, id asc): no percentile
+    * interpolation, so any engine buckets identically. Input is
+    * [[lmScore]]'s output joined with a language column; `groupCol`
+    * partitions the ranking (CCNet buckets per language so
+    * low-resource languages aren't drowned by the dominant one).
+    *
+    * Scale note: the ranking window sorts per language — fine while no
+    * single language dominates a 100 TB corpus beyond what a range
+    * sort handles; the approximation-tolerant variant (percentile_approx
+    * thresholds + a map-side bucket compare, no window) trades exact
+    * thirds for zero sort, same trade as q63's GK-sketch percentiles.
+    */
+  def ccnetBuckets(scored: DataFrame, idCol: String, scoreCol: String,
+                   groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val n = Window.partitionBy(col(groupCol))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n_grp", count(lit(1)).over(n))
+      .withColumn("bucket",
+        when(col("rnk") * 3 <= col("n_grp"), lit("head"))
+          .when(col("rnk") * 3 <= col("n_grp") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("rnk", "n_grp")
+  }
 }

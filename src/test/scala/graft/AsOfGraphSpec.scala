@@ -208,6 +208,21 @@ class AsOfGraphSpec extends SparkSpec {
     assert(got2 == ((9L, 2L, 350000L, 175000L)))
   }
 
+  test("ccnetBuckets: integer-rank thirds per group, deterministic ties") {
+    val scored = Seq(
+      (1L, "en", 900L), (2L, "en", 800L), (3L, "en", 700L),
+      (4L, "en", 600L), (5L, "en", 500L), (6L, "en", 400L),
+      (7L, "de", 100L), (8L, "de", 100L)) // score tie → id breaks it
+      .toDF("doc_id", "lang", "lm_avg_e6")
+    val got = TextAnalysis.ccnetBuckets(scored, "doc_id", "lm_avg_e6", "lang")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(got(1L) == "head" && got(2L) == "head")
+    assert(got(3L) == "middle" && got(4L) == "middle")
+    assert(got(5L) == "tail" && got(6L) == "tail")
+    // n=2: rank 1 → 3 ≤ 4 = middle; rank 2 (the larger id) → tail
+    assert(got(7L) == "middle" && got(8L) == "tail")
+  }
+
   test("sharedWindowStats: cross-doc window sharing, hand-computed") {
     // n = 3 windows; docs 1 and 2 share "b c d" (and only it);
     // doc 3 is clean; doc 4 too short
