@@ -57,7 +57,8 @@ object Bench {
       "q117_struct_lifecycle", "q118_bucket_string_prune",
       "q119_view_lifecycle", "q120_catalog_view_lifecycle",
       "q121_entries_all_files", "q125_sql_rename_to",
-      "q127_position_deletes")
+      "q127_position_deletes", "q130_metadata_namespace",
+      "q134_register_table")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -99,6 +99,14 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@all_files` `` — distinct data files across ALL
   *     retained snapshots (live and dead)
   *   - ``graft.`/path@all_manifests` `` — manifest rollups per snapshot
+  *   - ``graft.`/path@all_entries` `` — @entries stacked for every
+  *     retained snapshot (each against its own lineage parent)
+  *   - ``graft.`/path@all_data_files` `` — alias of `@all_files`
+  *     (data files only; delete files have their own relation)
+  *   - ``graft.`/path@all_delete_files` `` — distinct delete files
+  *     referenced by any retained snapshot (incl. already-compacted)
+  *   - ``graft.`/path@metadata_log_entries` `` — one row per retained
+  *     manifest document (timestamp, file, version, operation, head)
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
@@ -108,7 +116,8 @@ case class GraftPathRelations(session: SparkSession)
   private val Suffixed =
     ("(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|" +
       "manifests|delete_files|position_deletes|stats|entries|all_files|" +
-      "all_manifests)$").r
+      "all_manifests|all_entries|all_data_files|all_delete_files|" +
+      "metadata_log_entries)$").r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -162,6 +171,12 @@ case class GraftPathRelations(session: SparkSession)
       case Some("entries")                 => tbl.entriesRelation(session)
       case Some("all_files")               => tbl.allFilesRelation(session)
       case Some("all_manifests")           => tbl.allManifestsRelation(session)
+      case Some("all_entries")             => tbl.allEntriesRelation(session)
+      // data-file-only by construction (delete files live in
+      // @all_delete_files) — the two names answer the same relation
+      case Some("all_data_files")          => tbl.allFilesRelation(session)
+      case Some("all_delete_files")        => tbl.allDeleteFilesRelation(session)
+      case Some("metadata_log_entries")    => tbl.metadataLogRelation(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)
@@ -891,6 +906,7 @@ private[graft] object GraftSqlDml {
       case "cherrypick_snapshot" => Seq("table", "snapshot_id", "version")
       case "add_files" => Seq("table", "source_table", "source_dir")
       case "snapshot" => Seq("source_table", "table", "source_dir")
+      case "register_table" => Seq("table", "metadata_file", "source_path")
       case "publish_changes" => Seq("table", "wap_id")
       case "create_tag" | "create_branch" =>
         // retention args mirror Iceberg's ref fields (all epoch-ms ages)
@@ -911,8 +927,8 @@ private[graft] object GraftSqlDml {
           "compute_table_stats, ancestors_of, " +
           "rollback_to_snapshot, rollback_to_timestamp, " +
           "set_current_snapshot, cherrypick_snapshot, add_files, " +
-          "snapshot, publish_changes, create_tag, drop_tag, " +
-          "create_branch, drop_branch, fast_forward, " +
+          "snapshot, register_table, publish_changes, create_tag, " +
+          "drop_tag, create_branch, drop_branch, fast_forward, " +
           "create_changelog_view")
     }
     val (named, positional) = args.partition(
@@ -1176,6 +1192,63 @@ private[graft] object GraftSqlDml {
         }
         if (proc == "snapshot") tbl.snapshotFrom(session, srcDir, now)
         else tbl.addFiles(session, srcDir, now)
+      case "register_table" =>
+        // Iceberg's catalog-migration procedure: expose an EXISTING
+        // table under a catalog identifier without copying data. Ours
+        // registers via a filesystem SYMLINK at the identifier's
+        // warehouse path — every engine path (reads, commits, locks,
+        // maintenance) then works through the link unchanged, and DROP
+        // purges the underlying table like Iceberg's register+drop.
+        // Accepts Iceberg's metadata_file spelling (…/meta/v<N>.json —
+        // stripped to the table root) or a plain source_path. The link
+        // is born atomically (createSymbolicLink fails if the
+        // destination exists — a racing CREATE ends loudly, the RENAME
+        // TO precedent); same-JVM lock-registry caveat as RENAME: the
+        // two identities share the on-disk lock file but not the
+        // JVM-level registry entry, so cross-identity same-JVM commit
+        // races serialize only at the filesystem.
+        val rawSrc = bound.get("source_path").orElse(bound.get("metadata_file"))
+          .getOrElse(throw new UnsupportedOperationException(
+            "register_table needs source_path (or Iceberg-style " +
+              "metadata_file => '<root>/meta/v<N>.json')")) match {
+          case s: String => s
+          case o => throw new UnsupportedOperationException(
+            s"source must be a string, got $o")
+        }
+        val srcRoot = {
+          val p = java.nio.file.Paths.get(
+            rawSrc.trim.stripPrefix("`").stripSuffix("`"))
+          if (p.getFileName.toString.matches("v\\d+\\.json") &&
+              p.getParent != null && p.getParent.getParent != null)
+            p.getParent.getParent
+          else p
+        }.toAbsolutePath
+        val srcTbl = SnapshotTable.at(srcRoot.toString)
+        if (!srcTbl.exists) throw new IllegalArgumentException(
+          s"no committed graft table at $srcRoot to register")
+        // graft-literal paths may contain dots — never split those
+        val dest = (if (cat.equalsIgnoreCase("graft") &&
+              tableName.contains("/")) Some(tableName)
+          else graft.catalog.GraftCatalog.createPath(
+            session, cat +: tableName.split("\\.").toSeq))
+          .getOrElse(throw new UnsupportedOperationException(
+            s"register_table needs a registered catalog identifier or " +
+              s"a graft path with '/', got '$tableName' under $cat"))
+        val destPath = java.nio.file.Paths.get(dest).toAbsolutePath
+        if (destPath == srcRoot) throw new IllegalArgumentException(
+          s"cannot register a table onto itself: $destPath")
+        if (java.nio.file.Files.exists(destPath,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          throw new IllegalArgumentException(
+            s"destination $destPath already exists")
+        if (destPath.getParent != null)
+          java.nio.file.Files.createDirectories(destPath.getParent)
+        java.nio.file.Files.createSymbolicLink(destPath, srcRoot)
+        import session.implicits._
+        return Some(Seq((destPath.toString, srcRoot.toString,
+            srcTbl.currentVersion))
+          .toDF("registered_path", "source_path", "current_version")
+          .queryExecution.analyzed)
       case "publish_changes" =>
         val id = bound.getOrElse("wap_id",
           throw new UnsupportedOperationException(

@@ -106,6 +106,21 @@ object ScaleProbe {
     timed("seq_pack") {
       TextAnalysis.packSequences(docs, "doc_id", "text", 512, nShards = 64).count()
     }
+    timed("dsir_importance") {
+      // hashed-feature explode is the hot stage (~120 features/doc);
+      // the bucket-weight table stays <=1024 rows and broadcasts
+      graft.operators.Sampling.dsirImportance(docs, "doc_id", "text",
+        isTarget = col("lang") === "en").count()
+    }
+    timed("source_overlap") {
+      // 20 synthetic sources over the amplified corpus: the gram-keyed
+      // self-join's fan-out is bounded by the source count, so pair
+      // rows ~ distinct grams x C(20,2) at worst, never docs^2
+      TextAnalysis.crossGroupOverlap(
+        docs.withColumn("src",
+          concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))),
+        "src", "text", n = 3).count()
+    }
     docs.unpersist()
 
     // write amplification: merge a 1% change batch into a 600k-row table

@@ -1752,6 +1752,104 @@ object SparkEntry {
       out
     }),
 
+    "q130_metadata_namespace" -> ((s, d) => {
+      // Completes the Iceberg metadata-table namespace: @all_entries
+      // (every snapshot's ADDED/EXISTING/DELETED census, stacked),
+      // @all_delete_files (delete files visible through ANY retained
+      // manifest — including ones compaction already folded),
+      // @all_data_files (the data-only alias of @all_files) and
+      // @metadata_log_entries (one row per retained manifest doc).
+      // Lifecycle: v1 = orders partitioned by o_orderpriority; v2 =
+      // fast-append of shifted mod-13 keys; v3 = positional MoR DELETE
+      // of o_custkey%7==0; v4 = compact (folds the delete debt). The
+      // oracle re-derives every number from the data algebra; the
+      // relation-vs-relation equalities are required in-query.
+      val root = Files.createTempDirectory("graft-q130-").toString
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders, Seq("o_orderpriority"))            // v1
+      val keyBase = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1L
+      table.append(s, orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + keyBase))        // v2
+      table.deleteWherePositional(s, col("o_custkey") % 7 === 0)       // v3
+      table.compact(s)                                                 // v4
+      val ae = s.sql(s"SELECT * FROM graft.`$root@all_entries`").cache()
+      def added(v: Long): Long = ae
+        .filter(col("version") === v && col("status") === 1 &&
+          col("content") === "data")
+        .agg(coalesce(sum(col("record_count")), lit(0L))).head.getLong(0)
+      val existingV2 = ae
+        .filter(col("version") === 2L && col("status") === 0)
+        .agg(coalesce(sum(col("record_count")), lit(0L))).head.getLong(0)
+      // the folded delete file stays visible through the retained v3
+      // manifest even though the LIVE debt is zero
+      require(s.sql(s"SELECT * FROM graft.`$root@delete_files`")
+        .isEmpty, "compaction must fold the live delete debt")
+      val tombstones = s.sql(
+        s"""SELECT coalesce(sum(record_count), 0) AS n
+           |FROM graft.`$root@all_delete_files` WHERE content = 'position'
+           |""".stripMargin).head.getLong(0)
+      // @all_data_files must answer the SAME relation as @all_files:
+      // order-independent multiset signature (count + sum of row
+      // hashes) — exceptAll trips a Spark planner edge over the
+      // dropDuplicates-shaped metadata plans (ReplicateRows binding)
+      def sig(q: String): (Long, Long) = {
+        val r = s.sql(s"SELECT * FROM graft.`$root@$q`")
+        val row = r.agg(count(lit(1)),
+          coalesce(sum(pmod(xxhash64(r.columns.map(col): _*),
+            lit(1000000007L))), lit(0L))).head
+        (row.getLong(0), row.getLong(1))
+      }
+      require(sig("all_files") == sig("all_data_files"),
+        "@all_data_files must alias @all_files exactly")
+      val ml = s.sql(s"SELECT version, is_current, operation " +
+        s"FROM graft.`$root@metadata_log_entries`").collect()
+      require(ml.count(_.getAs[Boolean]("is_current")) == 1 &&
+        ml.filter(_.getAs[Boolean]("is_current"))
+          .head.getAs[Long]("version") == 4L,
+        "exactly one metadata-log head, at v4")
+      require(ml.find(_.getAs[Long]("version") == 4L)
+        .exists(_.getAs[String]("operation") == "replace"),
+        "compaction logs as a replace")
+      import s.implicits._
+      val out = Seq(
+        ("all_entries_added_v1", added(1L)),
+        ("all_entries_added_v2", added(2L)),
+        ("all_entries_existing_v2", existingV2),
+        ("tombstones_all_delete_files", tombstones),
+        ("metadata_log_retained", ml.length.toLong)).toDF("metric", "n")
+      ae.unpersist()
+      out
+    }),
+
+    "q134_register_table" -> ((s, d) => {
+      // Iceberg's register_table migration procedure: an EXISTING table
+      // becomes visible under a second identifier (filesystem symlink —
+      // no data copied), and the two identities are ONE table: DML
+      // through the alias lands in the source, reads through either see
+      // the same versions. Lifecycle: create from orders; register an
+      // alias; UPDATE through the alias; DELETE through the source;
+      // final read through the alias = the oracle's orders algebra.
+      val root = Files.createTempDirectory("graft-q134-").toString + "/src"
+      val alias = Files.createTempDirectory("graft-q134a-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      table.createOrReplace(t(s, d, "orders").select(orderCols.map(col): _*))
+      val reg = s.sql(s"CALL graft.system.register_table(" +
+        s"table => '$alias', source_path => '$root')").collect()
+      require(reg.length == 1 &&
+        reg.head.getAs[Long]("current_version") == 1L,
+        "register_table returns the registered head")
+      s.sql(s"UPDATE graft.`$alias` SET o_totalprice = o_totalprice + " +
+        "1000.0 WHERE o_orderkey % 10 = 0")
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderstatus = 'F' " +
+        "AND o_orderkey % 3 = 1")
+      // one table, two identities: versions and rows agree through both
+      require(SnapshotTable.at(alias).currentVersion ==
+        table.currentVersion && table.currentVersion == 3L,
+        "alias and source must share the version sequence")
+      s.sql(s"SELECT * FROM graft.`$alias`")
+    }),
+
     "q125_sql_rename_to" -> ((s, d) => {
       // ALTER TABLE ... RENAME TO over the named catalog (the V2 rename
       // resolves through the deliberately-unserved loadTable, so the
@@ -2552,6 +2650,45 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("lm_avg_e6"), col("bucket"))
     }),
 
+    "q131_dsir_importance" -> ((s, d) =>
+      // DSIR-style data selection (Xie et al. 2023): hashed
+      // unigram+bigram features (md5-prefix buckets — the one hash both
+      // engines compute), add-one-smoothed target/raw probability
+      // ratios in integer micro-units, per-doc integer dot product, top
+      // 20% flagged. Target slice = English docs; selection pulls the
+      // raw corpus toward the target's feature profile. The bucket
+      // weight table (<=1024 rows) broadcasts; scoring is one
+      // gram-keyed partial agg — no all-pairs, no driver state.
+      Sampling.dsirImportance(t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en",
+        nBuckets = 1024, selectPerMille = 200)),
+
+    "q132_unimax_mixture" -> ((s, d) => {
+      // UniMax budget allocation (Chung et al. 2023): equal token share
+      // per language, capped at maxEpochs repetitions of small
+      // languages, leftovers re-spread — as a deterministic integer
+      // closed form (ascending-cap prefix + floor division) instead of
+      // the paper's real-valued waterfill. budget = 80% of corpus
+      // tokens at 1 epoch: the four small languages cap, English
+      // absorbs the rest — both branches exercised at every SF.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens"))).head.getLong(0)
+      Sampling.unimaxAllocation(docs, "lang", "n_tokens",
+        budget = total * 80L / 100L, maxEpochs = 1)
+    }),
+
+    "q133_source_overlap" -> ((s, d) =>
+      // cross-source trigram overlap matrix: the corpus-level
+      // contamination/redundancy map read before weighting sources in
+      // a mixture — distinct (source, gram) sets, gram-keyed pair
+      // counting (fan-out bounded by the source count, never all-pairs
+      // over docs), Jaccard in micro-units. Disjoint pairs are absent.
+      TextAnalysis.crossGroupOverlap(
+        t(s, d, "documents"), "source", "text", n = 3)),
+
     "q56_seq_pack" -> ((s, d) =>
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text",
         tokenBudget = 512, nShards = 8)),
@@ -3296,6 +3433,153 @@ object SparkEntry {
     // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
     // orders plus the shifted mod-13 append; DELETED = the dropped
     // '1-URGENT' partition; all_files sees every row ever written
+    // the single-table invariant (alias and source share versions) is
+    // require()d in-query; the data algebra is the oracle's
+    "q134_register_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 3 = 1)""".stripMargin,
+
+    // the snapshot census, tombstone totals and retained-manifest count
+    // re-derive from the data algebra; the relation-vs-relation
+    // equalities (@all_data_files ≡ @all_files, live debt folded) are
+    // require()d inside the query
+    "q130_metadata_namespace" ->
+      """WITH everything AS (
+        |  SELECT o_custkey FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 13 = 0
+        |)
+        |SELECT 'all_entries_added_v1' AS metric,
+        |  (SELECT count(*) FROM orders) AS n
+        |UNION ALL
+        |SELECT 'all_entries_added_v2',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+        |UNION ALL
+        |SELECT 'all_entries_existing_v2', (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'tombstones_all_delete_files',
+        |  (SELECT count(*) FROM everything WHERE o_custkey % 7 = 0)
+        |UNION ALL
+        |SELECT 'metadata_log_retained', CAST(4 AS BIGINT)""".stripMargin,
+
+    // hashed-feature weights: every arithmetic step (count ratio, one
+    // divide, x1e6, +0.5, floor) is a correctly-rounded IEEE op on
+    // values both engines reach exactly, so scores are bit-identical
+    // integers; rn*1000 <= nn*permille selects without a division
+    "q131_dsir_importance" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |feats AS (
+        |  SELECT doc_id, t, unnest(w) AS g FROM words
+        |  UNION ALL
+        |  SELECT doc_id, t,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS g
+        |  FROM words WHERE len(w) >= 2),
+        |fb AS (
+        |  SELECT doc_id, t,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+        |  FROM feats),
+        |bc AS (
+        |  SELECT b, count(*) AS cr,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+        |  FROM fb GROUP BY b),
+        |w8 AS (
+        |  SELECT b,
+        |    CAST(floor(((ct + 1.0) / (sum(ct) OVER () + 1024))
+        |        / ((cr + 1.0) / (sum(cr) OVER () + 1024))
+        |        * 1000000.0 + 0.5) AS BIGINT) AS wgt
+        |  FROM bc),
+        |db AS (SELECT doc_id, b, count(*) AS n FROM fb GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT db.doc_id, CAST(sum(db.n * w8.wgt) AS BIGINT) AS score
+        |  FROM db JOIN w8 USING (b) GROUP BY 1),
+        |ranked AS (
+        |  SELECT d.doc_id, coalesce(sc.score, 0) AS dsir_score,
+        |    row_number() OVER (ORDER BY coalesce(sc.score, 0) DESC,
+        |      d.doc_id) AS rn,
+        |    count(*) OVER () AS nn
+        |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+        |SELECT doc_id, dsir_score, rn * 1000 <= nn * 200 AS selected
+        |FROM ranked""".stripMargin,
+
+    // integer closed form of the waterfill: capped set is an
+    // ascending-cap prefix; floor division spreads the rest
+    "q132_unimax_mixture" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS n_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_tokens) AS BIGINT) * 1 AS cap_tokens
+        |  FROM toks GROUP BY lang),
+        |b AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 80) // 100
+        |  AS budget FROM toks),
+        |ranked AS (
+        |  SELECT lang, total_tokens, cap_tokens,
+        |    row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+        |    count(*) OVER () AS k,
+        |    coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS s_prev
+        |  FROM tot),
+        |flagged AS (
+        |  SELECT r.*, b.budget,
+        |    cap_tokens * (k - i + 1) + s_prev <= b.budget AS capped
+        |  FROM ranked r, b),
+        |shared AS (
+        |  SELECT f.*,
+        |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS p,
+        |    sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER () AS s_p
+        |  FROM flagged f),
+        |alloc AS (
+        |  SELECT lang, total_tokens, cap_tokens,
+        |    CAST(CASE WHEN capped THEN cap_tokens
+        |      ELSE (budget - s_p) // (k - p) END AS BIGINT)
+        |      AS allocated_tokens
+        |  FROM shared)
+        |SELECT lang, total_tokens, cap_tokens, allocated_tokens,
+        |  CAST(CASE WHEN total_tokens > 0
+        |    THEN allocated_tokens * 1000000 // total_tokens
+        |    ELSE 0 END AS BIGINT) AS epochs_e6
+        |FROM alloc""".stripMargin,
+
+    "q133_source_overlap" ->
+      """WITH words AS (
+        |  SELECT source,
+        |    list_filter(string_split(trim(regexp_replace(lower(text),
+        |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_transform(generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        |  FROM words WHERE len(w) >= 3),
+        |sizes AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |    count(*) AS common_grams
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT group_a, group_b, common_grams,
+        |  sa.n + sb.n - common_grams AS union_grams,
+        |  CAST(floor(common_grams
+        |      / CAST(sa.n + sb.n - common_grams AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
+        |FROM inter
+        |JOIN sizes sa ON group_a = sa.source
+        |JOIN sizes sb ON group_b = sb.source""".stripMargin,
+
     "q121_entries_all_files" ->
       """WITH everything AS (
         |  SELECT o_orderpriority FROM orders

@@ -109,4 +109,140 @@ object Sampling {
         floor(lit(totalN) * col("__w") / lit(total)).cast("long"))
         .as("quota"))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed n-gram feature profile looks like
+    * a TARGET slice, then flag the top `selectPerMille`‰ for selection.
+    *
+    * Features are unigrams ∪ bigrams of the normalized word stream
+    * (lowercase, non-alphanumerics → space — the [[TextAnalysis]] gram
+    * normalization), hashed into `nBuckets` buckets via the md5-prefix
+    * hash ([[permKey]]'s rationale: identical in any engine, unlike
+    * `hash()`/`xxhash64`). Bucket weight = the add-one-smoothed
+    * probability RATIO `p_target(b) / p_raw(b)` quantized to integer
+    * micro-units, and a document's score is the integer dot product
+    * `Σ_b count_doc(b) · w_e6(b)` — every step a correctly-rounded
+    * IEEE op (count ratios, one divide, ×1e6, +0.5, floor), so both
+    * engines produce bit-identical integers and the sum is
+    * order-independent. (The original DSIR sums LOG ratios; the
+    * linear-ratio variant keeps the same "which buckets does the
+    * target over-represent" signal while staying bit-reproducible —
+    * libm `log` ulps differ across engines. Documented deviation.)
+    *
+    * Scale shape: the tokenize/explode stage is the hot path
+    * (spread off single-split sources); the bucket-weight table is
+    * ≤ `nBuckets` rows and BROADCASTS into the per-doc dot product, so
+    * scoring is one gram-keyed partial agg + a map-side join — no
+    * all-pairs, no driver state. The final selection flag ranks whole
+    * docs (one row per doc); at extreme scale swap the exact
+    * row_number for a sampled threshold or the bounded
+    * [[graft.functions]] top-k aggregate — the SCORES are the operator's
+    * contract, the flag is a convenience.
+    *
+    * Returns one row per document: `(idCol, dsir_score, selected)`;
+    * documents with no features score 0.
+    */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, nBuckets: Int = 1024,
+                     selectPerMille: Int = 200): DataFrame = {
+    require(nBuckets > 0 && selectPerMille >= 0 && selectPerMille <= 1000,
+      s"bad dsir params: nBuckets=$nBuckets, perMille=$selectPerMille")
+    val words = Dedup.spread(docs).select(col(idCol), isTarget.as("__t"),
+      filter(split(trim(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9]+", " ")), " "), x => x =!= "").as("w"))
+    val uni = words.select(col(idCol), col("__t"),
+      explode(col("w")).as("g"))
+    val bi = words.filter(size(col("w")) >= 2).select(col(idCol), col("__t"),
+      explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => array_join(slice(col("w"), i, lit(2)), " "))).as("g"))
+    val fb = uni.unionByName(bi).select(col(idCol), col("__t"),
+      (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+        % nBuckets).as("b"))
+    // bucket census: raw ⊇ target, so every occurring bucket has a row
+    val bc = fb.groupBy(col("b")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
+    val all = Window.partitionBy()
+    val w8 = bc.select(col("b"),
+      floor(((col("ct") + lit(1.0)) /
+          (sum(col("ct")).over(all) + lit(nBuckets.toLong))) /
+        ((col("cr") + lit(1.0)) /
+          (sum(col("cr")).over(all) + lit(nBuckets.toLong))) *
+        lit(1000000.0) + lit(0.5)).cast("long").as("wgt"))
+    val db = fb.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
+    val scored = db.join(broadcast(w8), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("wgt")).as("__score"))
+    val ranked = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__score"), lit(0L)).as("dsir_score"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("dsir_score").desc, col(idCol))))
+      .withColumn("__nn", count(lit(1)).over(all))
+    // rn·1000 ≤ n·‰ ⟺ rn ≤ floor(n·‰/1000): pure integer comparison,
+    // no division to disagree on
+    ranked.select(col(idCol), col("dsir_score"),
+      (col("__rn") * lit(1000L) <=
+        col("__nn") * lit(selectPerMille.toLong)).as("selected"))
+  }
+
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a token `budget` across strata so every
+    * stratum gets an EQUAL share, except strata too small to absorb it
+    * without exceeding `maxEpochs` repetitions — those are capped at
+    * `maxEpochs × total_tokens` and their leftover re-spreads over the
+    * rest. Deterministic integer closed form instead of UniMax's
+    * real-valued iterative waterfill: with strata ascending by cap
+    * `c_i` (rank i of k, prefix sum S_i), the capped set is provably a
+    * prefix, and stratum i is capped iff
+    * `c_i·(k−i+1) + S_{i−1} ≤ budget`; the p capped strata take their
+    * caps and each uncapped stratum takes `(budget − S_p) DIV (k−p)`
+    * (floor — up to k−p−1 tokens of the budget stay unassigned,
+    * deterministic, never over). If the budget exceeds every cap, all
+    * strata cap and the remainder is unallocated by design.
+    *
+    * Input: one row per document with its stratum and token count.
+    * Output: one row per stratum —
+    * `(stratum, total_tokens, cap_tokens, allocated_tokens, epochs_e6)`
+    * where `epochs_e6 = allocated·1e6 DIV total` (integer micro-units).
+    * The per-stratum table is tiny BY CONSTRUCTION (one row per
+    * language/source), so the rank window is driver-cheap at any
+    * corpus scale; the heavy part — per-doc token counts — arrives
+    * pre-aggregated map-side.
+    */
+  def unimaxAllocation(docs: DataFrame, stratumCol: String,
+                       tokensCol: String, budget: Long,
+                       maxEpochs: Int): DataFrame = {
+    require(budget >= 0 && maxEpochs >= 1,
+      s"bad unimax params: budget=$budget, maxEpochs=$maxEpochs")
+    val totals = docs.groupBy(col(stratumCol))
+      .agg(sum(col(tokensCol)).as("total_tokens"))
+      .withColumn("cap_tokens", col("total_tokens") * lit(maxEpochs.toLong))
+    val asc = Window.orderBy(col("cap_tokens"), col(stratumCol))
+    val all = Window.partitionBy()
+    val ranked = totals
+      .withColumn("__i", row_number().over(asc))
+      .withColumn("__k", count(lit(1)).over(all))
+      .withColumn("__s_prev",
+        coalesce(sum(col("cap_tokens")).over(
+          asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__capped",
+        col("cap_tokens") * (col("__k") - col("__i") + 1) +
+          col("__s_prev") <= lit(budget))
+    val shared = ranked
+      .withColumn("__p", sum(when(col("__capped"), 1L).otherwise(0L))
+        .over(all))
+      .withColumn("__s_p", sum(when(col("__capped"), col("cap_tokens"))
+        .otherwise(lit(0L))).over(all))
+    shared.select(col(stratumCol), col("total_tokens"), col("cap_tokens"),
+      when(col("__capped"), col("cap_tokens"))
+        .otherwise(expr(s"($budget - __s_p) DIV (__k - __p)"))
+        .as("allocated_tokens"))
+      .withColumn("epochs_e6",
+        when(col("total_tokens") > 0,
+          expr("allocated_tokens * 1000000 DIV total_tokens"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -429,4 +429,46 @@ object TextAnalysis {
           .otherwise(lit("tail")))
       .drop("rnk", "n_grp")
   }
+
+  /** Cross-group n-gram overlap matrix: for every pair of groups
+    * (sources, dumps, shards), the Jaccard similarity of their distinct
+    * word-n-gram SETS — the corpus-level contamination/redundancy map a
+    * mixture designer reads before weighting sources (two crawls of the
+    * same sites show up as a high-Jaccard pair; a benchmark-shaped
+    * source lights up against the eval dump). Group-level cousin of the
+    * doc-level [[sharedWindowStats]].
+    *
+    * Relational shape: distinct (group, gram) → per-group set sizes +
+    * a gram-keyed self-join counting co-occurring group pairs. The
+    * per-gram join fan-out is bounded by the GROUP count (≤ C(groups,2)
+    * pairs per gram), not the corpus size, so at 100 TB the cost is the
+    * distinct-gram shuffle — the same class as every dedup pass here —
+    * never all-pairs over documents. Pairs sharing no gram are absent
+    * from the output (they'd be zero rows × quadratic pairs).
+    *
+    * Output: `(group_a, group_b, common_grams, union_grams,
+    * jaccard_e6)` with `group_a < group_b`, Jaccard in integer
+    * micro-units ([[sharedWindowStats]]' float rule).
+    */
+  def crossGroupOverlap(df: DataFrame, groupCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(n >= 1, s"gram size must be positive, got $n")
+    val gs = wordGrams(df, groupCol, textCol, n).distinct().cache()
+    val sizes = gs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val inter = gs.as("a").join(gs.as("b"), Seq("g"))
+      .filter(col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .groupBy(col(s"a.$groupCol").as("group_a"),
+        col(s"b.$groupCol").as("group_b"))
+      .agg(count(lit(1)).as("common_grams"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed(groupCol, "group_a")
+        .withColumnRenamed("__n", "__na")), Seq("group_a"))
+      .join(broadcast(sizes.withColumnRenamed(groupCol, "group_b")
+        .withColumnRenamed("__n", "__nb")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("common_grams"),
+        (col("__na") + col("__nb") - col("common_grams")).as("union_grams"))
+      .withColumn("jaccard_e6",
+        floor(col("common_grams").cast("double") /
+          col("union_grams").cast("double") * 1000000.0 + 0.5).cast("long"))
+  }
 }

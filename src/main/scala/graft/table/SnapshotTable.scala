@@ -1637,6 +1637,72 @@ final class SnapshotTable(val root: Path,
     }
   }
 
+  /** ``@all_entries`` metadata relation (Iceberg's `all_entries`): the
+    * [[entriesRelation]] census for EVERY retained snapshot, each row
+    * prefixed with the snapshot `version` it belongs to. Every
+    * snapshot's ADDED/EXISTING/DELETED statuses are computed against
+    * ITS OWN lineage parent — exactly what ``@entries VERSION AS OF n``
+    * answers per version, stacked. Cost is O(snapshots × manifest
+    * docs), the same shape as Iceberg's own `all_entries` (one
+    * manifest-list walk per retained snapshot); each per-snapshot scan
+    * stays distributed over chunk documents.
+    */
+  def allEntriesRelation(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    manifestVersions
+      .map(v => entriesOf(spark, manifest(v))
+        .select(lit(v).as("version"), col("*")))
+      .reduce(_ unionByName _)
+  }
+
+  /** ``@all_delete_files`` metadata relation (Iceberg's
+    * `all_delete_files`): DISTINCT delete files referenced by ANY
+    * retained snapshot — including ones a later compaction already
+    * folded (they stay visible while a retained manifest references
+    * them, mirroring `all_files`' dead-data-file semantics). Columns
+    * match [[deleteFilesRelation]]; delete records are immutable once
+    * committed, so one row per path is exact. Delete lists are
+    * O(pending debt per snapshot) and never chunked — a driver-built
+    * relation is the right shape.
+    */
+  def allDeleteFilesRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rootStr = root.toString
+    manifestVersions.flatMap(v => manifest(v).deleteFiles)
+      .map(d => (d.path, d.positional, d.version, d.partition, d.rows))
+      .distinct
+      .map { case (path, positional, version, partition, rows) =>
+        val p = if (path.startsWith("/")) Paths.get(path)
+                else Paths.get(rootStr, path)
+        (p.toString,
+          if (positional) "position" else "equality",
+          version,
+          partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+          rows,
+          if (Files.exists(p)) Files.size(p) else -1L)
+      }.toDF("file_path", "content", "commit_version", "partition",
+        "record_count", "file_size_bytes")
+  }
+
+  /** ``@metadata_log_entries`` metadata relation (Iceberg's
+    * `metadata_log_entries`): one row per RETAINED table-metadata
+    * document — for this engine, the manifest files `meta/v<N>.json` —
+    * with the commit timestamp, the snapshot it made current, and
+    * whether it is the head. Iceberg logs metadata.json rewrites; our
+    * manifest-per-commit model makes the two one-to-one. Driver-built:
+    * the retained-version list is already in memory and O(history), no
+    * chunk parses.
+    */
+  def metadataLogRelation(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion
+    manifestVersions.map { v =>
+      val m = manifest(v)
+      (m.timestampMs, metaDir.resolve(s"v$v.json").toString, v,
+        m.operation, v == cur)
+    }.toDF("timestamp_ms", "file", "version", "operation", "is_current")
+  }
+
   /** ``@all_files`` metadata relation (Iceberg's `all_files` /
     * `all_data_files`): DISTINCT data files across ALL retained
     * snapshots — live and dead — each with the snapshot that added it
@@ -5465,7 +5531,9 @@ object SnapshotTable {
     */
   private[table] val ReservedRefNames =
     "v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|" +
-      "delete_files|position_deletes|stats|entries|all_files|all_manifests"
+      "delete_files|position_deletes|stats|entries|all_files|" +
+      "all_manifests|all_entries|all_data_files|all_delete_files|" +
+      "metadata_log_entries"
 
   /** Lost-race retry bound for optimistic publishers. Each retry rebuilds
     * the manifest against the winner's, so progress is guaranteed as long

@@ -285,6 +285,64 @@ class AdoptionSpec extends SparkSpec {
     assert(SnapshotTable.at(root2).read(spark).count() == 120)
   }
 
+  test("register_table exposes an existing table under a catalog name " +
+      "by symlink: reads, DML, metadata and drop all work through it") {
+    val base = spark
+    import base.implicits._
+    val src = tmp("graft-reg-src-") + "/tbl"
+    val t = SnapshotTable.at(src)
+    t.createOrReplace((1 to 200).map(i => (i.toLong, i % 3, s"r$i"))
+      .toDF("id", "p", "s"), Seq("p"))
+    // named-catalog destination
+    val wh = tmp("graft-reg-wh-")
+    spark.conf.set("spark.sql.catalog.regcat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.regcat.warehouse", wh)
+    try {
+      val out = spark.sql("CALL regcat.system.register_table(" +
+        s"table => 'db.reg', source_path => '$src')").collect()
+      assert(out.length == 1 &&
+        out.head.getAs[Long]("current_version") == 1L)
+      // the identifier serves reads, metadata relations and DML
+      assert(spark.sql("SELECT count(*) AS n FROM regcat.db.reg")
+        .head.getLong(0) == 200L)
+      spark.sql("DELETE FROM regcat.db.reg WHERE p = 0")
+      assert(spark.sql("SELECT count(*) AS n FROM regcat.db.reg")
+        .head.getLong(0) < 200L)
+      // ... and the SOURCE path sees the same table (one inode)
+      assert(t.currentVersion == 2L)
+      // Iceberg metadata_file spelling resolves to the same root
+      val metaFile = s"$src/meta/v1.json"
+      val dup = tmp("graft-reg-dup-") + "/alias"
+      spark.sql(s"CALL graft.system.register_table(table => '$dup', " +
+        s"metadata_file => '$metaFile')").collect()
+      assert(SnapshotTable.at(dup).read(spark).count() ==
+        t.read(spark).count())
+      // destination exclusivity: re-register and register-onto-self fail
+      assert(intercept[Exception] {
+        spark.sql("CALL regcat.system.register_table(" +
+          s"table => 'db.reg', source_path => '$src')").collect()
+      }.getMessage.contains("already exists"))
+      assert(intercept[Exception] {
+        spark.sql(s"CALL graft.system.register_table(table => '$src', " +
+          s"source_path => '$src')").collect()
+      }.getMessage.contains("onto itself"))
+      // a non-table source refuses
+      assert(intercept[Exception] {
+        spark.sql("CALL regcat.system.register_table(" +
+          s"table => 'db.other', source_path => '$wh')").collect()
+      }.getMessage.contains("no committed graft table"))
+      // DROP through the registered name purges the underlying table
+      spark.sql("DROP TABLE regcat.db.reg")
+      assert(!t.exists, "drop through the registration purges the table")
+      assert(!Files.exists(Paths.get(wh, "db", "reg"),
+        java.nio.file.LinkOption.NOFOLLOW_LINKS), "the link goes too")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.regcat")
+      spark.conf.unset("spark.sql.catalog.regcat.warehouse")
+    }
+  }
+
   test("wap.id session mode: DML stages invisibly, publish_changes " +
       "fast-forwards or cherry-picks, the id is single-use") {
     val base = spark

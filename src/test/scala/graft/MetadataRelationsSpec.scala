@@ -171,6 +171,81 @@ class MetadataRelationsSpec extends SparkSpec {
       s"SELECT * FROM graft.`$root@files` VERSION AS OF 99").collect())
   }
 
+  test("@all_entries / @all_delete_files / @metadata_log_entries " +
+      "complete the history namespace") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-allentries-").toString
+    val t = SnapshotTable.at(root)
+    val rows = (1 to 300).map(i => (i.toLong, s"p${i % 3}", s"x$i"))
+      .toDF("id", "p", "s")
+    t.createOrReplace(rows.filter(col("id") <= 200), Seq("p"))        // v1
+    t.append(spark, rows.filter(col("id") > 200))                     // v2
+    t.mergeMoR(spark, Seq((5L, "p2", "x", "D")).toDF("id", "p", "s", "op"),
+      Seq("id"), keepDeletes = false)                                 // v3
+    t.compact(spark)                                                  // v4
+
+    // @all_entries = each snapshot's own census, stacked: v1 ADDED all
+    // 200 root rows, v2 ADDED its 100 and carried v1's 200 EXISTING
+    val ae = spark.sql(s"SELECT * FROM graft.`$root@all_entries`")
+      .collect().toSeq
+    assert(ae.map(_.getAs[Long]("version")).distinct.sorted ==
+      t.manifestVersions)
+    def sumAdded(v: Long): Long = ae
+      .filter(r => r.getAs[Long]("version") == v &&
+        r.getAs[Int]("status") == 1 &&
+        r.getAs[String]("content") == "data")
+      .map(_.getAs[Long]("record_count")).sum
+    assert(sumAdded(1L) == 200L, "v1 census = the root commit's files")
+    assert(sumAdded(2L) == 100L, "v2 census = its own appended batch")
+    assert(ae.filter(r => r.getAs[Long]("version") == 2L &&
+        r.getAs[Int]("status") == 0)
+      .map(_.getAs[Long]("record_count")).sum == 200L)
+    assert(ae.exists(r => r.getAs[Long]("version") == 3L &&
+      r.getAs[String]("content") == "equality-delete" &&
+      r.getAs[Int]("status") == 1),
+      "v3's fresh delete file lists as ADDED in ITS snapshot's census")
+
+    // the live delete debt is folded, but @all_delete_files still sees
+    // the delete file through the retained v3 manifest
+    assert(spark.sql(s"SELECT * FROM graft.`$root@delete_files`")
+      .count() == 0, "compaction folded the live debt")
+    val adf = spark.sql(s"SELECT * FROM graft.`$root@all_delete_files`")
+      .collect()
+    assert(adf.length == 1 &&
+      adf.head.getAs[String]("content") == "equality" &&
+      adf.head.getAs[Long]("record_count") == 1L &&
+      adf.head.getAs[Long]("commit_version") == 3L,
+      s"folded delete file stays visible, got ${adf.toSeq}")
+
+    // @all_data_files answers the same relation as @all_files
+    val af = spark.sql(
+      s"SELECT * FROM graft.`$root@all_files` ORDER BY file_path")
+    val adf2 = spark.sql(
+      s"SELECT * FROM graft.`$root@all_data_files` ORDER BY file_path")
+    assert(af.collect().toSeq == adf2.collect().toSeq)
+
+    // @metadata_log_entries: one row per retained manifest document,
+    // exactly one head, every file on disk, operations recorded
+    val ml = spark.sql(s"SELECT * FROM graft.`$root@metadata_log_entries`")
+      .collect().toSeq
+    assert(ml.map(_.getAs[Long]("version")).sorted == t.manifestVersions)
+    assert(ml.count(_.getAs[Boolean]("is_current")) == 1)
+    assert(ml.filter(_.getAs[Boolean]("is_current"))
+      .head.getAs[Long]("version") == t.currentVersion)
+    assert(ml.forall(r =>
+      Files.exists(java.nio.file.Paths.get(r.getAs[String]("file")))))
+    assert(ml.find(_.getAs[Long]("version") == 4L)
+      .exists(_.getAs[String]("operation") == "replace"),
+      "compaction logs as a replace operation")
+
+    // the new names are reserved ref shapes
+    intercept[IllegalArgumentException] { t.tag("all_entries") }
+    intercept[IllegalArgumentException] { t.branch("all_data_files") }
+    intercept[IllegalArgumentException] { t.tag("all_delete_files") }
+    intercept[IllegalArgumentException] { t.branch("metadata_log_entries") }
+  }
+
   test("CALL ancestors_of returns the lineage, newest first") {
     val base = spark
     import base.implicits._
