@@ -906,6 +906,7 @@ private[graft] object GraftSqlDml {
       case "cherrypick_snapshot" => Seq("table", "snapshot_id", "version")
       case "add_files" => Seq("table", "source_table", "source_dir")
       case "snapshot" => Seq("source_table", "table", "source_dir")
+      case "migrate" => Seq("table")
       case "register_table" => Seq("table", "metadata_file", "source_path")
       case "publish_changes" => Seq("table", "wap_id")
       case "create_tag" | "create_branch" =>
@@ -927,9 +928,9 @@ private[graft] object GraftSqlDml {
           "compute_table_stats, ancestors_of, " +
           "rollback_to_snapshot, rollback_to_timestamp, " +
           "set_current_snapshot, cherrypick_snapshot, add_files, " +
-          "snapshot, register_table, publish_changes, create_tag, " +
-          "drop_tag, create_branch, drop_branch, fast_forward, " +
-          "create_changelog_view")
+          "snapshot, migrate, register_table, publish_changes, " +
+          "create_tag, drop_tag, create_branch, drop_branch, " +
+          "fast_forward, create_changelog_view")
     }
     val (named, positional) = args.partition(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression])
@@ -954,9 +955,10 @@ private[graft] object GraftSqlDml {
       case o => throw new UnsupportedOperationException(
         s"table argument must be a string, got $o")
     }
-    // `snapshot` CREATES its table — every other procedure requires it
+    // `snapshot`/`migrate` CREATE their table — every other procedure
+    // requires it
     lazy val tbl =
-      if (proc == "snapshot") {
+      if (proc == "snapshot" || proc == "migrate") {
         val cands =
           (if (cat.equalsIgnoreCase("graft")) Seq(tableName) else Nil) ++
             graft.catalog.GraftCatalog.pathCandidates(
@@ -1192,6 +1194,17 @@ private[graft] object GraftSqlDml {
         }
         if (proc == "snapshot") tbl.snapshotFrom(session, srcDir, now)
         else tbl.addFiles(session, srcDir, now)
+      case "migrate" =>
+        // Iceberg's in-place conversion: the identifier's directory IS
+        // the parquet data — meta/ is added around it, files adopted by
+        // reference ([[SnapshotTable.migrateInPlace]]); `snapshot` is
+        // the create-elsewhere twin. Row-returning like Iceberg
+        // (migrated_files_count).
+        val m = tbl.migrateInPlace(session, now)
+        import session.implicits._
+        return Some(Seq((m.files.size.toLong, m.version))
+          .toDF("migrated_files_count", "version")
+          .queryExecution.analyzed)
       case "register_table" =>
         // Iceberg's catalog-migration procedure: expose an EXISTING
         // table under a catalog identifier without copying data. Ours

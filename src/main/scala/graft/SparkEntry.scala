@@ -1850,6 +1850,26 @@ object SparkEntry {
       s.sql(s"SELECT * FROM graft.`$alias`")
     }),
 
+    "q135_migrate_in_place" -> ((s, d) => {
+      // Iceberg's migrate: a plain hive-partitioned parquet directory
+      // becomes a graft table IN PLACE — zero data copied, meta/ added
+      // around the existing files, which are first-class afterwards
+      // (partition spec inferred, DML rewrites through the table).
+      val dir = Files.createTempDirectory("graft-q135-").toString + "/li"
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val out = s.sql(s"CALL graft.system.migrate(table => '$dir')")
+        .collect()
+      require(out.length == 1 &&
+        out.head.getAs[Long]("migrated_files_count") > 0L,
+        "migrate reports the adopted census")
+      s.sql(s"UPDATE graft.`$dir` SET l_quantity = l_quantity + 2.0 " +
+        "WHERE l_linenumber = 1")
+      s.sql("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity " +
+        s"FROM graft.`$dir`")
+    }),
+
     "q125_sql_rename_to" -> ((s, d) => {
       // ALTER TABLE ... RENAME TO over the named catalog (the V2 rename
       // resolves through the deliberately-unserved loadTable, so the
@@ -3433,6 +3453,12 @@ object SparkEntry {
     // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
     // orders plus the shifted mod-13 append; DELETED = the dropped
     // '1-URGENT' partition; all_files sees every row ever written
+    "q135_migrate_in_place" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CASE WHEN l_linenumber = 1 THEN l_quantity + 2.0
+        |       ELSE l_quantity END AS l_quantity
+        |FROM lineitem""".stripMargin,
+
     // the single-table invariant (alias and source share versions) is
     // require()d in-query; the data algebra is the oracle's
     "q134_register_table" ->

@@ -3291,6 +3291,62 @@ final class SnapshotTable(val root: Path,
     addFiles(spark, sourceDir, nowMs)
   }
 
+  /** Iceberg's `migrate` procedure analog: convert a plain parquet
+    * directory (flat or hive-partitioned) into a graft table IN PLACE —
+    * the files stay exactly where they are and become the table's
+    * entries by reference; only `meta/` is added to the directory.
+    * [[snapshotFrom]] is the create-ELSEWHERE variant; migrate claims
+    * the directory itself, so every reader already pointing at the
+    * path keeps working and the table owns its own data dir from birth.
+    *
+    * The file census is captured BEFORE the table is born: the empty
+    * root commit may stage engine artifacts under the root, and
+    * adopting those would double-manage them ([[addFiles]] refuses
+    * in-root sources for exactly that reason — here the captured list
+    * provably predates the table). Schema and identity partition
+    * columns infer like snapshotFrom. Refused when a table already
+    * exists here or the directory path itself contains `k=v` segments.
+    */
+  def migrateInPlace(spark: SparkSession,
+                     nowMs: Long = System.currentTimeMillis()): Manifest = {
+    require(!exists, s"migrate: table $root already exists")
+    val rootAbs = root.toAbsolutePath.normalize
+    require(Files.isDirectory(rootAbs), s"migrate: no directory $rootAbs")
+    require(!rootAbs.toString.split('/').exists(_.contains('=')),
+      s"migrate: directory path $rootAbs contains a 'k=v' segment — the " +
+        "hive-layout base could not be told apart from partition dirs")
+    val srcFiles = listParquet(rootAbs)
+    require(srcFiles.nonEmpty, s"migrate: no parquet files under $rootAbs")
+    val pcols = rootAbs.relativize(srcFiles.head).toString.split('/')
+      .filter(_.contains('=')).map(_.split("=", 2)(0)).toSeq
+    val inferred = spark.read.parquet(rootAbs.toString)
+    createOrReplace(inferred.limit(0), pcols, nowMs = nowMs)
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val withPartitions = srcFiles.map { p =>
+      val pv = partitionOf(rootAbs.relativize(p).toString, pcols)
+      require(pv.keySet == pcols.toSet,
+        s"migrate: $p lacks hive 'k=v' segments for partition " +
+          s"column(s) ${(pcols.toSet -- pv.keySet).mkString(", ")}")
+      (p, pv)
+    }
+    // footer stats BEFORE the publish lock (commitData's rationale)
+    val statted = withPartitions.map { case (p, pv) =>
+      (p.toString, pv, FileStats.collect(p, schema))
+    }
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val entries = statted.map { case (p, pv, cs) =>
+        FileEntry(p, pv, v, cs.bounds, cs.nulls, cs.rows, cs.bytes)
+      }
+      // carry whatever the empty root commit recorded (normally
+      // nothing; a zero-row engine file is harmless and stays managed)
+      m.copy(version = v, timestampMs = nowMs,
+        files = (m.files: Seq[FileEntry]) ++ entries, operation = "append")
+    }
+  }
+
   /** SQL `TRUNCATE TABLE`: one commit removing every row — schema,
     * partition spec and properties survive, pending MoR deletes drop
     * (nothing left to mask). Time travel still reaches the pre-truncate

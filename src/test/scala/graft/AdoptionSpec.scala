@@ -285,6 +285,34 @@ class AdoptionSpec extends SparkSpec {
     assert(SnapshotTable.at(root2).read(spark).count() == 120)
   }
 
+  test("migrate converts a parquet dir into a table IN PLACE: files " +
+      "adopted by reference, spec inferred, DML works afterwards") {
+    val base = spark
+    import base.implicits._
+    val dir = tmp("graft-migrate-") + "/sales"
+    (1 to 240).map(i => (i.toLong, i % 4, s"m$i")).toDF("id", "p", "s")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val out = spark.sql(s"CALL graft.system.migrate(table => '$dir')")
+      .collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Long]("migrated_files_count") >= 4L)
+    val t = SnapshotTable.at(dir)
+    assert(t.exists && t.read(spark).count() == 240)
+    assert(t.currentManifest.partitionColumns == Seq("p"))
+    // in place: every adopted entry lives under the directory itself
+    assert(t.currentManifest.files.forall(_.path.startsWith(dir)),
+      "migrate must adopt by reference, in place")
+    // adopted files are first-class: partition prune + DML
+    val (kept, total) = t.pruneCounts(col("p") === 1)
+    assert(kept < total)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE p = 0")
+    assert(t.read(spark).count() == 180)
+    // a second migrate refuses (the table exists now)
+    assert(intercept[Exception] {
+      spark.sql(s"CALL graft.system.migrate(table => '$dir')").collect()
+    }.getMessage.contains("already exists"))
+  }
+
   test("register_table exposes an existing table under a catalog name " +
       "by symlink: reads, DML, metadata and drop all work through it") {
     val base = spark
