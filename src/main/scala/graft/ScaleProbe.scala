@@ -23,8 +23,12 @@ object ScaleProbe {
     // "cc": only the minhash-pairs → connected-components stage (the r7
     // contraction evidence loop — the full sweep costs ~15 min)
     val ccOnly = args.headOption.contains("cc")
+    // "mixture": only the mixture-design stages (DSIR importance,
+    // cross-source overlap) — the fast loop for the sampling operators
+    val mixtureOnly = args.headOption.contains("mixture")
     val sfDir =
-      if (args.length > 0 && !storageOnly && !ccOnly) args(0)
+      if (args.length > 0 && !storageOnly && !ccOnly && !mixtureOnly)
+        args(0)
       else "/root/testdata/sf0.1"
     val docCopies = if (args.length > 1) args(1).toInt else 100
     val embCopies = if (args.length > 2) args(2).toInt else 50
@@ -70,6 +74,24 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (mixtureOnly) {
+      timed("dsir_importance") {
+        // filter on the selection flag so the optimizer cannot skip
+        // the scoring dot product or the ranking (a bare count() can)
+        graft.operators.Sampling.dsirImportance(docs, "doc_id", "text",
+          isTarget = col("lang") === "en")
+          .filter(col("selected")).count()
+      }
+      timed("source_overlap") {
+        TextAnalysis.crossGroupOverlap(
+          docs.withColumn("src",
+            concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))),
+          "src", "text", n = 3).count()
+      }
+      docs.unpersist()
+      spark.stop(); return
+    }
+
     timed("exact_dedup") {
       Dedup.exact(docs, "doc_id", "text").count()
     }
@@ -108,9 +130,11 @@ object ScaleProbe {
     }
     timed("dsir_importance") {
       // hashed-feature explode is the hot stage (~120 features/doc);
-      // the bucket-weight table stays <=1024 rows and broadcasts
+      // the bucket-weight table stays <=1024 rows and broadcasts.
+      // Filter on the flag so the optimizer cannot skip the scoring.
       graft.operators.Sampling.dsirImportance(docs, "doc_id", "text",
-        isTarget = col("lang") === "en").count()
+        isTarget = col("lang") === "en")
+        .filter(col("selected")).count()
     }
     timed("source_overlap") {
       // 20 synthetic sources over the amplified corpus: the gram-keyed

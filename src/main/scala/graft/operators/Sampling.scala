@@ -156,9 +156,13 @@ object Sampling {
     val bi = words.filter(size(col("w")) >= 2).select(col(idCol), col("__t"),
       explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => array_join(slice(col("w"), i, lit(2)), " "))).as("g"))
+    // cached: the feature stream feeds BOTH the bucket census and the
+    // per-doc counts — recomputing the tokenize+explode doubles the hot
+    // stage (callers' Verify/Bench clear per-query caches)
     val fb = uni.unionByName(bi).select(col(idCol), col("__t"),
       (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
         % nBuckets).as("b"))
+      .cache()
     // bucket census: raw ⊇ target, so every occurring bucket has a row
     val bc = fb.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
