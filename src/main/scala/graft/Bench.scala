@@ -68,7 +68,8 @@ object Bench {
     val heavy = Set(
       "q35_minhash_neardup", "q36_simhash_neardup", "q37_ngram_jaccard",
       "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
-      "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq")
+      "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq",
+      "q136_embed_ann_truncated")
     // Isolation mode: run each lifecycle/heavy query in a fresh child
     // JVM (classpath + JVM flags inherited) — the accumulated-driver-
     // state swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12×

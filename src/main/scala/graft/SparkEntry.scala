@@ -2626,6 +2626,34 @@ object SparkEntry {
     "q55_repetition_quality" -> ((s, d) =>
       TextAnalysis.repetitionMetrics(t(s, d, "documents"), "doc_id", "text")),
 
+    "q136_embed_ann_truncated" -> ((s, d) => {
+      // Matryoshka-style truncated-dimension ANN (Kusupati et al.
+      // 2022): prefix-32 cosine scores the corpus at HALF the flat
+      // scan's FLOPs, a bounded top-k aggregate keeps the
+      // 200-shortlist, exact full-width cosine re-ranks. Trains
+      // nothing; the cheapest ANN family member. Same contract shape as
+      // q39/q124/q126: recall@10 vs the in-query exact top-10 over 0.5.
+      // Parameters sized AT BENCH SCALE (the q124 lesson — check the
+      // contract at sf0.1, not just the gate's sf0.01): these
+      // embeddings carry no matryoshka training, so a 16-dim prefix
+      // reads 0.39 there; 32/200 reads 0.86 with margin at every SF.
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val ann = Similarity.truncatedTopK(emb, queries, "vec_id",
+        "embedding", k = 10, prefixDims = 32, shortlist = 200)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10).cache()
+      val nExact = exact.count()
+      val nHit = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = exact.select("query_id").distinct().count()
+      val nVec = emb.count()
+      import s.implicits._
+      Seq((nVec, nQ, nExact == 0 || nHit.toDouble / nExact >= 0.5))
+        .toDF("n_vectors", "n_queries", "recall_at10_ok")
+    }),
+
     "q122_ngram_repetition" -> ((s, d) =>
       // Gopher's duplicate-n-gram quality rules (q55's token signals
       // generalized to word BIGRAMS): columnar gram construction
@@ -3453,6 +3481,12 @@ object SparkEntry {
     // the manifest-entry algebra re-derived from the data: v1 ∪ v2 =
     // orders plus the shifted mod-13 append; DELETED = the dropped
     // '1-URGENT' partition; all_files sees every row ever written
+    "q136_embed_ann_truncated" ->
+      """SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
+        |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
+        |  TRUE AS recall_at10_ok""".stripMargin,
+
     "q135_migrate_in_place" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CASE WHEN l_linenumber = 1 THEN l_quantity + 2.0

@@ -309,6 +309,42 @@ object Similarity {
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Matryoshka-style truncated-dimension ANN (Kusupati et al. 2022):
+    * score every candidate on only the FIRST `prefixDims` vector
+    * components (a prefix dot product — `prefixDims/d` of the flat
+    * scan's FLOP cost, and at rest the scan could read a physically
+    * truncated column), keep a bounded top-`shortlist` per query
+    * ([[graft.functions.TopKByScoreAgg]] — ≤ shortlist rows per (query,
+    * map task) reach the shuffle), exact full-dimension cosine re-rank.
+    *
+    * The cheapest member of the ANN family — no training, no index —
+    * and the right first cut when the embedding model was trained with
+    * matryoshka loss (information concentrates in the prefix). Honest
+    * scale note: the scan is still O(N) per query like [[pqTopK]]'s
+    * flat ADC — the win is constant-factor FLOPs/bytes, not candidate
+    * count; compose under [[ivfTopK]]'s cell routing when N×Q makes
+    * even the cheap scan the bottleneck.
+    */
+  def truncatedTopK(embeddings: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    prefixDims: Int = 16, shortlist: Int = 100): DataFrame = {
+    requireIntegralId(embeddings, idCol)
+    require(prefixDims >= 1, s"prefixDims must be positive: $prefixDims")
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    def prefixed(df: DataFrame, id: String, v: String, n: String) = df
+      .select(col(idCol).as(id), slice(col(vecCol), 1, prefixDims).as(v))
+      .withColumn(n, vectorNorm(col(v)))
+      .filter(col(n) > 0.0)
+    val cand = prefixed(embeddings, "neighbor_id", "pv", "pn")
+    val q = prefixed(queries, "query_id", "qpv", "qpn")
+    // prefix cosine as the shortlist score; self never shortlists
+    val scored = q.crossJoin(cand)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        vectorDot(col("qpv"), col("pv")) / (col("qpn") * col("pn")))
+    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
+  }
+
   /** (vid, v) with v L2-normalized; zero-norm vectors excluded (they
     * have no direction — same rule as every cosine operator here).
     */

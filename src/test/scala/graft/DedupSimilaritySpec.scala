@@ -171,6 +171,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == want, "bounded heap must equal sort-take top-k exactly")
   }
 
+  test("truncatedTopK == bruteForceTopK when the prefix is the whole " +
+      "vector; a real prefix still clears the recall bar") {
+    val rnd = new scala.util.Random(7)
+    val dims = 32
+    val emb = (1L to 300L).map(id =>
+        (id, Array.fill(dims)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb,
+      "vec_id", "embedding", k = 10)
+    // full-width prefix: the shortlist score IS the exact cosine, so
+    // the output must match the flat scan row for row
+    val full = Similarity.truncatedTopK(emb, queries,
+      "vec_id", "embedding", k = 10, prefixDims = dims, shortlist = 50)
+    assert(full.orderBy("query_id", "rank").collect().toSeq ==
+      exact.orderBy("query_id", "rank").collect().toSeq,
+      "full-prefix truncated scan must equal the exact flat scan")
+    // a real (8 of 32) prefix with a generous shortlist keeps recall
+    val ann = Similarity.truncatedTopK(emb, queries,
+      "vec_id", "embedding", k = 10, prefixDims = 8, shortlist = 100)
+    val nHit = ann.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+    val nExact = exact.count()
+    assert(nHit.toDouble / nExact >= 0.5,
+      s"prefix-8 recall ${nHit.toDouble / nExact} below the 0.5 bar")
+    // string ids refuse at planning (the heap casts to long)
+    intercept[IllegalArgumentException] {
+      Similarity.truncatedTopK(
+        emb.withColumn("vec_id", $"vec_id".cast("string")), queries,
+        "vec_id", "embedding", k = 10)
+    }
+  }
+
   test("IVFADC (cell routing + PQ ADC + exact re-rank) clears the " +
       "recall bar; probes only its cells") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
