@@ -2796,6 +2796,17 @@ object SparkEntry {
       EventStream.intervalJoin(s, s"$d/events.parquet",
         "click", "purchase", horizonMinutes = 360)),
 
+    "q137_stream_outer_join" -> ((s, d) =>
+      // stream-stream LEFT OUTER interval join: q90's attribution plus
+      // the clicks that NEVER converted (null right). Outer rows only
+      // flush when the watermark proves a window closed, and
+      // AvailableNow ends one batch too early for the newest
+      // stragglers — two far-future sentinel files (each its own
+      // micro-batch) drive the final watermark past every real row, so
+      // the emitted set equals the batch LEFT JOIN exactly.
+      EventStream.intervalJoinLeftOuter(s, s"$d/events.parquet",
+        "click", "purchase", horizonMinutes = 360)),
+
     "q52_sessionize_stateful" -> ((s, d) =>
       EventStream.sessionizeStateful(s, s"$d/events.parquet")),
 
@@ -4301,6 +4312,18 @@ object SparkEntry {
         |FROM ev c JOIN ev p
         |  ON c.user_id = p.user_id
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE""".stripMargin,
+
+    // the left side's type filter must live in the subquery, not the ON
+    // clause — in a LEFT JOIN an ON-side filter can't drop left rows
+    "q137_stream_outer_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events)
+        |SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS delta_sec
+        |FROM (SELECT * FROM ev WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 360 MINUTE""".stripMargin,
 
     "q52_sessionize_stateful" -> sessionizeOracle,
