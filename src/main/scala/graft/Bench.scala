@@ -59,7 +59,7 @@ object Bench {
       "q121_entries_all_files", "q125_sql_rename_to",
       "q127_position_deletes", "q130_metadata_namespace",
       "q134_register_table", "q135_migrate_in_place",
-      "q137_stream_outer_join")
+      "q137_stream_outer_join", "q138_changelog_net_view")
     // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
     // still reporting the min
     val extraAttempt = Set("q49_embed_top_pairs")

@@ -920,7 +920,8 @@ private[graft] object GraftSqlDml {
         Seq("table", "branch", "to", "name")
       case "create_changelog_view" =>
         Seq("table", "view", "from_version", "to_version",
-          "identifier_columns", "from_timestamp", "to_timestamp")
+          "identifier_columns", "from_timestamp", "to_timestamp",
+          "net_changes")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
@@ -1151,12 +1152,24 @@ private[graft] object GraftSqlDml {
             case (_, Some(ts)) => tbl.versionAtOrBefore(ts).getOrElse(genesis)
             case _ => versionArg(verKey, default)
           }
-        tbl.readChangelog(session,
-          boundary("from_version", "from_timestamp", 0L, 0L),
-          boundary("to_version", "to_timestamp", tbl.currentVersion,
-            throw new UnsupportedOperationException(
-              "to_timestamp predates the table's first retained snapshot")),
-          keys).createOrReplaceTempView(viewName)
+        val net = bound.get("net_changes") match {
+          case None => false
+          case Some(b: Boolean) => b
+          case Some(o) => throw new UnsupportedOperationException(
+            s"net_changes must be a boolean, got $o")
+        }
+        // Iceberg's own restriction: net mode folds churn at whole-row
+        // granularity; keyed update images are the per-step view's job
+        if (net && bound.contains("identifier_columns"))
+          throw new UnsupportedOperationException(
+            "net_changes and identifier_columns are mutually exclusive")
+        val fromB = boundary("from_version", "from_timestamp", 0L, 0L)
+        val toB = boundary("to_version", "to_timestamp", tbl.currentVersion,
+          throw new UnsupportedOperationException(
+            "to_timestamp predates the table's first retained snapshot"))
+        (if (net) tbl.readChangelogNet(session, fromB, toB)
+         else tbl.readChangelog(session, fromB, toB, keys))
+          .createOrReplaceTempView(viewName)
       case "rollback_to_snapshot" =>
         tbl.rollbackTo(longArg("version").getOrElse(
           throw new UnsupportedOperationException(

@@ -1870,6 +1870,29 @@ object SparkEntry {
         s"FROM graft.`$dir`")
     }),
 
+    "q138_changelog_net_view" -> ((s, d) => {
+      // create_changelog_view(net_changes => true): the NET effect of a
+      // commit range — the boundary-state multiset diff, in-range churn
+      // folded away (rows inserted at v2 and deleted at v3 never
+      // appear; the per-step view q85 reports them). v1 = orders
+      // without the mod-3-1 keys; v2 = insert them; v3 = delete the
+      // mod-6-1 subset (churn) plus mod-15-0 originals (real deletes).
+      val root = Files.createTempDirectory("graft-q138-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 3 =!= 1))
+      table.append(s, orders.filter(col("o_orderkey") % 3 === 1))
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 6 = 1 " +
+        "OR o_orderkey % 15 = 0")
+      s.sql(s"CALL graft.system.create_changelog_view(table => '$root', " +
+        "view => 'q138_net', from_version => 1, net_changes => true)")
+      // _commit_timestamp_ms is wall-clock — excluded from the hashed
+      // output, same rule as every lifecycle query
+      s.sql("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, " +
+        "o_orderdate, o_orderpriority, _change_type, _commit_version " +
+        "FROM q138_net")
+    }),
+
     "q125_sql_rename_to" -> ((s, d) => {
       // ALTER TABLE ... RENAME TO over the named catalog (the V2 rename
       // resolves through the deliberately-unserved loadTable, so the
@@ -3497,6 +3520,27 @@ object SparkEntry {
         |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0
         |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
         |  TRUE AS recall_at10_ok""".stripMargin,
+
+    // net changelog = boundary-state multiset diff: v1-state = orders
+    // without mod-3-1 keys; v3-state = orders minus the v3 DELETE's
+    // predicate. Churn (inserted at v2, deleted at v3) appears in
+    // neither boundary, so EXCEPT ALL both ways IS the contract.
+    "q138_changelog_net_view" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 <> 1),
+        |v3 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 6 = 1 OR o_orderkey % 15 = 0))
+        |SELECT *, 'insert' AS _change_type,
+        |  CAST(3 AS BIGINT) AS _commit_version
+        |FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1)
+        |UNION ALL
+        |SELECT *, 'delete', CAST(3 AS BIGINT)
+        |FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)""".stripMargin,
 
     "q135_migrate_in_place" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

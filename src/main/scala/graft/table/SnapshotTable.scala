@@ -2081,6 +2081,63 @@ final class SnapshotTable(val root: Path,
     chain
   }
 
+  /** Iceberg `create_changelog_view(net_changes => true)` analog: the
+    * NET effect of the whole `(from, to]` range — the multiset
+    * difference between the BOUNDARY snapshots. Rows inserted and
+    * later deleted inside the range never appear; intermediate churn
+    * folds away entirely (the per-step [[readChangelog]] reports it).
+    * Change metadata attributes the RANGE: `_commit_version` /
+    * `_commit_timestamp_ms` carry the `to` boundary on every row — a
+    * net row is a statement about the range, not about the individual
+    * commit that last touched it (Iceberg stamps the last-change
+    * snapshot; the boundary stamp is deterministic without per-row
+    * lineage tracking — documented deviation). Update images never
+    * appear: net mode and identifier-keyed updates are mutually
+    * exclusive, as in Iceberg. Output schema = the to-version schema
+    * (old column names/types align through the rename/widen chains,
+    * like the step changelog). Cost: two snapshot reads + one
+    * fingerprint-bounded diff — O(boundary states), independent of how
+    * many commits the range spans.
+    */
+  def readChangelogNet(spark: SparkSession, fromVersion: Long,
+                       toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ChangeType = "_change_type"
+    val CommitVer = "_commit_version"
+    val CommitTs = "_commit_timestamp_ms"
+    val toM = manifest(toVersion)
+    val target = StructType.fromDDL(toM.schemaDdl)
+    require(!target.fieldNames.exists(n =>
+      Set(ChangeType, CommitVer, CommitTs)(n)),
+      s"table schema collides with changelog metadata columns")
+    require(fromVersion == 0L || manifestVersions.contains(fromVersion),
+      s"no retained snapshot v$fromVersion (expired?) — the net " +
+        "changelog diffs the FROM boundary state")
+    require(manifestVersions.contains(toVersion),
+      s"no retained snapshot v$toVersion")
+    require(fromVersion <= toVersion,
+      s"from v$fromVersion is past to v$toVersion")
+    val chains = evoChains(toM)
+    def align(df: DataFrame, atVersion: Long): DataFrame = {
+      val have = df.columns.map(_.toLowerCase).toSet
+      df.select(target.fields.toSeq.map { f =>
+        val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
+        if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    val after = align(readVersion(spark, toVersion), toVersion)
+    val before =
+      if (fromVersion == 0L) after.limit(0)
+      else align(readVersion(spark, fromVersion), fromVersion)
+    val (ins, del) = NetDiff.diff(before, after)
+    def tag(df: DataFrame, tpe: String): DataFrame =
+      df.withColumn(ChangeType, lit(tpe))
+        .withColumn(CommitVer, lit(toVersion))
+        .withColumn(CommitTs, lit(toM.timestampMs))
+    tag(ins, "insert").unionByName(tag(del, "delete"))
+  }
+
   def readChangelog(spark: SparkSession, fromVersion: Long,
                     toVersion: Long,
                     keys: Seq[String] = Nil): DataFrame = {

@@ -252,6 +252,49 @@ class ChangelogSpec extends SparkSpec {
     assert(t.read(spark).count() == 60)
   }
 
+  test("net_changes folds in-range churn to the boundary diff; " +
+      "keyed mode refuses; from=0 is the full state") {
+    val (root, t) = fresh("graft-netcl-")
+    val rows = (1 to 100).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    t.createOrReplace(rows.filter($"id" <= 60))                       // v1
+    t.append(spark, rows.filter($"id" > 60))                          // v2
+    t.deleteWhere(spark, col("id") > 80 || col("id") <= 10)           // v3
+    // rows 81-100 were inserted at v2 AND deleted at v3 — in-range
+    // churn the net view must not show; 1-10 are real net deletes,
+    // 61-80 real net inserts
+    spark.sql(s"CALL graft.system.create_changelog_view(" +
+      s"table => '$root', view => 'ncl', from_version => 1, " +
+      s"net_changes => true)")
+    val net = spark.sql("SELECT id, _change_type, _commit_version " +
+      "FROM ncl").collect()
+    val ins = net.filter(_.getString(1) == "insert").map(_.getLong(0)).sorted
+    val del = net.filter(_.getString(1) == "delete").map(_.getLong(0)).sorted
+    assert(ins.toSeq == (61L to 80L), s"net inserts wrong: ${ins.toSeq}")
+    assert(del.toSeq == (1L to 10L), s"net deletes wrong: ${del.toSeq}")
+    assert(net.forall(_.getLong(2) == 3L),
+      "net rows are stamped with the TO boundary")
+    // the per-step view DOES show the churn — the two views answer
+    // different questions
+    val stepped = t.readChangelog(spark, 1L, 3L)
+    assert(stepped.filter(col("id") === 95L).count() == 2,
+      "step view reports insert+delete for churned rows")
+    // from=0: the net view is the full final state as inserts
+    spark.sql(s"CALL graft.system.create_changelog_view(" +
+      s"table => '$root', view => 'ncl0', net_changes => true)")
+    val all0 = spark.sql("SELECT _change_type, count(*) AS n FROM ncl0 " +
+      "GROUP BY 1").collect()
+    assert(all0.length == 1 && all0.head.getString(0) == "insert" &&
+      all0.head.getLong(1) == t.read(spark).count())
+    // net + identifier keys refuse (Iceberg's own restriction)
+    assert(intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_changelog_view(" +
+        s"table => '$root', view => 'x', net_changes => true, " +
+        s"identifier_columns => 'id')")
+    }.getMessage.contains("mutually exclusive"))
+    // from == to: empty with the changelog schema
+    assert(t.readChangelogNet(spark, 3L, 3L).count() == 0)
+  }
+
   test("applyChangelog replicates a table and folds onto a non-empty base") {
     val (_, src) = fresh("graft-cdc-src-")
     src.createOrReplace(rows(1 to 300), Seq("p"), nowMs = 1000L)     // v1
