@@ -1229,10 +1229,12 @@ private[graft] object GraftSqlDml {
         // stripped to the table root) or a plain source_path. The link
         // is born atomically (createSymbolicLink fails if the
         // destination exists — a racing CREATE ends loudly, the RENAME
-        // TO precedent); same-JVM lock-registry caveat as RENAME: the
-        // two identities share the on-disk lock file but not the
-        // JVM-level registry entry, so cross-identity same-JVM commit
-        // races serialize only at the filesystem.
+        // TO precedent). Same-JVM commits through BOTH identities share
+        // one monitor: SnapshotTable.lockFor keys on toRealPath, so the
+        // alias and the source resolve to the same lock entry (a
+        // normalize-only key gave them different monitors and the
+        // second FileChannel.lock() on the shared inode threw
+        // OverlappingFileLockException instead of queueing).
         val rawSrc = bound.get("source_path").orElse(bound.get("metadata_file"))
           .getOrElse(throw new UnsupportedOperationException(
             "register_table needs source_path (or Iceberg-style " +

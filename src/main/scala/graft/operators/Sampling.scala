@@ -151,17 +151,21 @@ object Sampling {
     val words = Dedup.spread(docs).select(col(idCol), isTarget.as("__t"),
       filter(split(trim(regexp_replace(lower(col(textCol)),
         "[^a-z0-9]+", " ")), " "), x => x =!= "").as("w"))
-    val uni = words.select(col(idCol), col("__t"),
-      explode(col("w")).as("g"))
-    val bi = words.filter(size(col("w")) >= 2).select(col(idCol), col("__t"),
-      explode(transform(sequence(lit(1), size(col("w")) - 1),
-        i => array_join(slice(col("w"), i, lit(2)), " "))).as("g"))
-    // cached: the feature stream feeds BOTH the bucket census and the
-    // per-doc counts — recomputing the tokenize+explode doubles the hot
-    // stage (callers' Verify/Bench clear per-query caches)
-    val fb = uni.unionByName(bi).select(col(idCol), col("__t"),
-      (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-        % nBuckets).as("b"))
+    // ONE tokenize pass (the lmScore precedent): unigrams and bigrams
+    // explode from a single normalized word array — a union of two
+    // explodes would re-run the regex/split stage once per leg. The
+    // size guard keeps sequence() off the [1,0] descending trap.
+    // Cached: the feature stream feeds BOTH the bucket census and the
+    // per-doc counts (callers' Verify/Bench clear per-query caches).
+    val fb = words.select(col(idCol), col("__t"), explode(
+        concat(col("w"),
+          when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => array_join(slice(col("w"), i, lit(2)), " ")))
+            .otherwise(array().cast("array<string>")))).as("g"))
+      .select(col(idCol), col("__t"),
+        (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+          % nBuckets).as("b"))
       .cache()
     // bucket census: raw ⊇ target, so every occurring bucket has a row
     val bc = fb.groupBy(col("b")).agg(

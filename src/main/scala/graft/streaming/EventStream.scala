@@ -535,140 +535,112 @@ object EventStream {
     */
   def intervalJoin(spark: SparkSession, eventsParquet: String,
                    leftType: String = "click", rightType: String = "purchase",
-                   horizonMinutes: Int = 30): DataFrame = {
-    val schema = spark.read.parquet(eventsParquet).schema
+                   horizonMinutes: Int = 30): DataFrame =
+    runIntervalJoin(spark, eventsParquet, leftType, rightType,
+      horizonMinutes, outer = false)
+
+  /** Stream-stream LEFT OUTER interval join: [[intervalJoin]]'s
+    * attribution shape, but unmatched left rows ALSO emit (null right) —
+    * the "clicks that never converted" feed. Outer rows only flush once
+    * the watermark PROVES the join window closed; eviction during batch
+    * N uses the watermark computed at the END of batch N-1, and
+    * AvailableNow stops without a trailing no-data batch — a naive
+    * single-pass run strands every unmatched left newer than
+    * (max ts − delay − horizon) in state forever (observed directly).
+    * TWO far-future SENTINEL files — each its own micro-batch
+    * (`maxFilesPerTrigger = 1`; written as FLAT top-level files, the
+    * file stream source never lists a parquet output directory nested
+    * under a non-glob path, also observed) — drive the final watermark
+    * past every real row, so the emitted set equals the batch LEFT
+    * JOIN exactly. Sentinel rows (user_id = -1) are filtered from the
+    * result.
+    */
+  def intervalJoinLeftOuter(spark: SparkSession, eventsParquet: String,
+                            leftType: String = "click",
+                            rightType: String = "purchase",
+                            horizonMinutes: Int = 30): DataFrame =
+    runIntervalJoin(spark, eventsParquet, leftType, rightType,
+      horizonMinutes, outer = true)
+
+  /** `events.ts` → `TimestampType` whatever the fixture generation:
+    * nanos-long (read under the legacy flag) converts via micros, NTZ
+    * casts (watermarks reject NTZ) — ONE place for the rule both join
+    * variants and the sentinel clock share.
+    */
+  private def normalizeEventTs(schema: org.apache.spark.sql.types.StructType,
+                               df: DataFrame): DataFrame =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  private def runIntervalJoin(spark: SparkSession, eventsParquet: String,
+                              leftType: String, rightType: String,
+                              horizonMinutes: Int,
+                              outer: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val sp = spark
+    import sp.implicits._
+    val batch0 = spark.read.parquet(eventsParquet)
+    val schema = batch0.schema
     val ckpt = Files.createTempDirectory("graft-ij-ckpt-").toString
     val outDir = Files.createTempDirectory("graft-ij-out-").toString
     val srcDir = Files.createTempDirectory("graft-ij-src-")
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
-    def side(tpe: String, alias: String) = {
-      val raw = spark.readStream.schema(schema).parquet(srcDir.toString)
-      val withTs = schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          raw.withColumn("ts",
-            col("ts").cast(org.apache.spark.sql.types.TimestampType))
-        case _ => raw
-      }
-      // the watermark must cover the JOIN HORIZON: state retention below
-      // the interval bound would silently drop matches whose partner
-      // arrives in a later micro-batch more than the watermark behind
-      withTs.filter(col("event_type") === tpe)
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .withWatermark("ts", s"${math.max(horizonMinutes, 60)} minutes")
-        .alias(alias)
-    }
-    val joined = side(leftType, "l").join(side(rightType, "r"),
-      expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
-        s"r.ts <= l.ts + INTERVAL $horizonMinutes MINUTES"))
-      .select(col("l.event_id").as("left_id"),
-        col("r.event_id").as("right_id"),
-        col("l.user_id").as("user_id"),
-        expr("(unix_micros(r.ts) - unix_micros(l.ts)) DIV 1000000")
-          .as("delta_sec"))
-    val q = joined.writeStream
-      .outputMode("append").format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
-  }
-
-  /** Stream-stream LEFT OUTER interval join: [[intervalJoin]]'s
-    * attribution shape, but unmatched left rows ALSO emit (null right) —
-    * the "clicks that never converted" feed. Outer rows only flush once
-    * the watermark PROVES the join window closed, and at stream end the
-    * watermark sits `delay` behind the newest event — the last horizon's
-    * unmatched rows would stay in state forever. A far-future SENTINEL
-    * row on each side (written as its own source file; per-file
-    * batching via `maxFilesPerTrigger=1` so it forms a later
-    * micro-batch) drives the final watermark past every real row, so
-    * EVERY real unmatched left flushes and the output equals the batch
-    * LEFT JOIN exactly — the property the oracle checks. Sentinel rows
-    * (user_id = -1) are filtered from the result.
-    */
-  def intervalJoinLeftOuter(spark: SparkSession, eventsParquet: String,
-                            leftType: String = "click",
-                            rightType: String = "purchase",
-                            horizonMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    val schema = spark.read.parquet(eventsParquet).schema
-    val ckpt = Files.createTempDirectory("graft-ijo-ckpt-").toString
-    val outDir = Files.createTempDirectory("graft-ijo-out-").toString
-    val srcDir = Files.createTempDirectory("graft-ijo-src-")
-    java.nio.file.Files.createSymbolicLink(
-      srcDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
+    // the watermark must cover the JOIN HORIZON: state retention below
+    // the interval bound would silently drop matches whose partner
+    // arrives in a later micro-batch more than the watermark behind
     val delayMin = math.max(horizonMinutes, 60)
-    // sentinel: one row per side, far enough past the newest real event
-    // that every real row's join window is provably closed at the end
-    val batch0 = spark.read.parquet(eventsParquet)
-    val normTs = schema("ts").dataType match {
-      case LongType         => expr("timestamp_micros(ts DIV 1000)")
-      case TimestampNTZType => col("ts").cast(TimestampType)
-      case _                => col("ts")
-    }
-    val maxTs = batch0.select(max(unix_micros(normTs))).head.getLong(0)
-    def sentinelTs(i: Int): Column = {
-      val micros = maxTs +
-        (horizonMinutes + delayMin + 60L * i) * 60L * 1000000L
-      schema("ts").dataType match {
-        case LongType         => expr(s"${micros}L * 1000")
-        case TimestampNTZType =>
-          expr(s"timestamp_micros(${micros}L)").cast(TimestampNTZType)
-        case _                => expr(s"timestamp_micros(${micros}L)")
+    if (outer) {
+      val maxTs = normalizeEventTs(schema, batch0)
+        .select(max(unix_micros(col("ts")))).head.getLong(0)
+      def sentinelTs(i: Int): Column = {
+        val micros = maxTs +
+          (horizonMinutes + delayMin + 60L * i) * 60L * 1000000L
+        schema("ts").dataType match {
+          case LongType         => expr(s"${micros}L * 1000")
+          case TimestampNTZType =>
+            expr(s"timestamp_micros(${micros}L)").cast(TimestampNTZType)
+          case _                => expr(s"timestamp_micros(${micros}L)")
+        }
       }
-    }
-    // TWO sentinel files, each its own micro-batch: outer-row eviction
-    // during batch N uses the watermark computed at the END of batch
-    // N-1, and AvailableNow stops without a trailing no-data batch — so
-    // the first sentinel batch still evicts under the REAL data's
-    // watermark (the newest unmatched lefts stay in state, observed
-    // directly), and only the second sentinel batch flushes under the
-    // sentinel-advanced watermark. coalesce FIRST:
-    // monotonically_increasing_id is 0,1 only inside one partition —
-    // split across two, neither row might get id 0 and both sentinels
-    // would land on one side.
-    Seq(1, 2).foreach { i =>
-      // the file stream source lists only TOP-LEVEL files of a
-      // non-glob directory path — a parquet OUTPUT DIRECTORY at depth
-      // 1 is invisible to it (observed: sentinels written as dirs were
-      // never offered). Write to a scratch dir and move the single
-      // part file up as a flat sibling of events.parquet.
-      val scratch = Files.createTempDirectory(s"graft-ijo-sent$i-")
-      batch0.limit(2).coalesce(1)
-        .withColumn("__rn", monotonically_increasing_id())
-        .withColumn("user_id", lit(-1L))
-        .withColumn("event_id", lit(-1L) - col("__rn") - lit(2L * i))
-        .withColumn("ts", sentinelTs(i))
-        .withColumn("event_type",
-          when(col("__rn") === 0, lit(leftType)).otherwise(lit(rightType)))
-        .drop("__rn")
-        .write.parquet(scratch.resolve("out").toString)
-      val part = scala.util.Using.resource(
-          Files.list(scratch.resolve("out"))) { st =>
-        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
-          .asScala.find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(throw new IllegalStateException(
-            s"sentinel write produced no parquet part under $scratch"))
+      Seq(1, 2).foreach { i =>
+        val scratch = Files.createTempDirectory(s"graft-ijo-sent$i-")
+        // ONE real row crossed with both types: a limit(2) sample could
+        // land both sentinels on one side of a single-row source, and
+        // the other side's watermark would never advance
+        batch0.limit(1)
+          .crossJoin(Seq(leftType, rightType).toDF("__tpe"))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L) - lit(2L * i) -
+            when(col("__tpe") === leftType, lit(0L)).otherwise(lit(1L)))
+          .withColumn("ts", sentinelTs(i))
+          .withColumn("event_type", col("__tpe"))
+          .drop("__tpe")
+          .coalesce(1)
+          .write.parquet(scratch.resolve("out").toString)
+        val part = scala.util.Using.resource(
+            Files.list(scratch.resolve("out"))) { st =>
+          scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+            .asScala.find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(
+              s"sentinel write produced no parquet part under $scratch"))
+        }
+        Files.move(part, srcDir.resolve(s"sentinel$i.parquet"))
       }
-      Files.move(part, srcDir.resolve(s"sentinel$i.parquet"))
     }
     def side(tpe: String, alias: String) = {
       val raw = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(srcDir.toString)
-      val withTs = schema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        case TimestampNTZType =>
-          raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
-      }
-      withTs.filter(col("event_type") === tpe)
+      normalizeEventTs(schema, raw)
+        .filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
         .withWatermark("ts", s"$delayMin minutes")
         .alias(alias)
@@ -676,7 +648,7 @@ object EventStream {
     val joined = side(leftType, "l").join(side(rightType, "r"),
       expr("l.user_id = r.user_id AND r.ts >= l.ts AND " +
         s"r.ts <= l.ts + INTERVAL $horizonMinutes MINUTES"),
-      "left_outer")
+      if (outer) "left_outer" else "inner")
       .select(col("l.event_id").as("left_id"),
         col("r.event_id").as("right_id"),
         col("l.user_id").as("user_id"),
@@ -687,6 +659,7 @@ object EventStream {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.read.parquet(outDir).filter(col("user_id") =!= -1L)
+    val out = spark.read.parquet(outDir)
+    if (outer) out.filter(col("user_id") =!= -1L) else out
   }
 }

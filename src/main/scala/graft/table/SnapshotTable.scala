@@ -1665,23 +1665,31 @@ final class SnapshotTable(val root: Path,
     * O(pending debt per snapshot) and never chunked — a driver-built
     * relation is the right shape.
     */
-  def allDeleteFilesRelation(spark: SparkSession): DataFrame = {
+  def allDeleteFilesRelation(spark: SparkSession): DataFrame =
+    deleteFileRowsDf(spark,
+      manifestVersions.flatMap(v => manifest(v).deleteFiles)
+        .distinctBy(_.path))
+
+  /** One row per delete file, the SHARED rendering of
+    * `@delete_files` and `@all_delete_files` — the two relations are
+    * one namespace contract (same columns, same path/partition/size
+    * rendering); a drift between them would be a silent lie.
+    */
+  private def deleteFileRowsDf(spark: SparkSession,
+                               entries: Seq[DeleteEntry]): DataFrame = {
     import spark.implicits._
     val rootStr = root.toString
-    manifestVersions.flatMap(v => manifest(v).deleteFiles)
-      .map(d => (d.path, d.positional, d.version, d.partition, d.rows))
-      .distinct
-      .map { case (path, positional, version, partition, rows) =>
-        val p = if (path.startsWith("/")) Paths.get(path)
-                else Paths.get(rootStr, path)
-        (p.toString,
-          if (positional) "position" else "equality",
-          version,
-          partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-          rows,
-          if (Files.exists(p)) Files.size(p) else -1L)
-      }.toDF("file_path", "content", "commit_version", "partition",
-        "record_count", "file_size_bytes")
+    entries.map { d =>
+      val p = if (d.path.startsWith("/")) Paths.get(d.path)
+              else Paths.get(rootStr, d.path)
+      (p.toString,
+        if (d.positional) "position" else "equality",
+        d.version,
+        d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        d.rows,
+        if (Files.exists(p)) Files.size(p) else -1L)
+    }.toDF("file_path", "content", "commit_version", "partition",
+      "record_count", "file_size_bytes")
   }
 
   /** ``@metadata_log_entries`` metadata relation (Iceberg's
@@ -1752,21 +1760,8 @@ final class SnapshotTable(val root: Path,
     * are O(pending debt) and never chunked, so a driver-built relation
     * is the right shape.
     */
-  def deleteFilesRelation(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val rootStr = root.toString
-    currentManifest.deleteFiles.map { d =>
-      val p = if (d.path.startsWith("/")) Paths.get(d.path)
-              else Paths.get(rootStr, d.path)
-      (p.toString,
-        if (d.positional) "position" else "equality",
-        d.version,
-        d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-        d.rows,
-        if (Files.exists(p)) Files.size(p) else -1L)
-    }.toDF("file_path", "content", "commit_version", "partition",
-      "record_count", "file_size_bytes")
-  }
+  def deleteFilesRelation(spark: SparkSession): DataFrame =
+    deleteFileRowsDf(spark, currentManifest.deleteFiles)
 
   /** ``@position_deletes`` metadata relation (Iceberg's
     * `position_deletes` table): the pending positional TOMBSTONE ROWS —
@@ -2081,6 +2076,93 @@ final class SnapshotTable(val root: Path,
     chain
   }
 
+  /** Changelog metadata column names — shared by the per-step and the
+    * net views; kept identical so the two are drop-in query targets.
+    */
+  private val ChangelogCols = Seq(
+    "_change_type", "_commit_version", "_commit_timestamp_ms")
+
+  /** Validate a changelog range and return the to-version schema: the
+    * metadata names must not collide, and the FROM boundary manifest
+    * must still be retained (or 0 = genesis).
+    */
+  private def changelogTarget(toM: Manifest,
+                              fromVersion: Long): StructType = {
+    val target = StructType.fromDDL(toM.schemaDdl)
+    require(!target.fieldNames.exists(ChangelogCols.toSet),
+      s"table schema collides with changelog metadata columns")
+    require(fromVersion == 0L || manifestVersions.contains(fromVersion),
+      s"no retained snapshot v$fromVersion (expired?) — changelog needs " +
+        "its FROM boundary manifest to diff against")
+    target
+  }
+
+  /** Align one step's rows to the target schema. A column's NAME (and
+    * type) in an older step may differ — the rename/widen evolution
+    * chains give the physical state at that step's version, so a span
+    * crossing a rename still carries the values (not nulls) and a
+    * widened column casts up before the union.
+    */
+  private def changelogAlign(
+      target: StructType,
+      chains: Map[String, Seq[(Long, String, DataType)]],
+      df: DataFrame, atVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = df.columns.map(_.toLowerCase).toSet
+    df.select(target.fields.toSeq.map { f =>
+      val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
+      if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** The lineage chain `(from, to]`, oldest first — shared by the
+    * per-step changelog (which diffs along it) and the net changelog
+    * (which only needs the ANCESTRY PROOF: without it, a rollback-
+    * abandoned or branch snapshot as FROM would silently diff states
+    * that never succeeded each other on this lineage).
+    *
+    * Steps follow the LINEAGE chain (parent pointers), not the shared
+    * version sequence: branch commits interleave their versions with
+    * main's. Legacy manifests (parent unrecorded) fall back to
+    * previous-retained linking. The walk stops in three ways: reaching
+    * fromVersion (stepwise history), reaching the root with
+    * fromVersion=0 (bootstrap), or hitting an EXPIRED parent — expiry
+    * legitimately reclaims early history (and punches gaps around
+    * tagged survivors), so the deepest reached manifest diffs directly
+    * against the FROM boundary as one NET step. A RETAINED parent
+    * below fromVersion proves fromVersion is not an ancestor (a branch
+    * commit) — loud. `from == to` returns the empty chain.
+    */
+  private def lineageChain(fromVersion: Long, toVersion: Long): Seq[Long] = {
+    val retainedSorted = manifestVersions.sorted
+    val retained = retainedSorted.toSet
+    def parentOf(m: Manifest): Long = m.parent match {
+      case -1L => retainedSorted.takeWhile(_ < m.version).lastOption
+        .getOrElse(0L)
+      case p => p
+    }
+    var chain = List.empty[Long]
+    var v = toVersion
+    var done = v == fromVersion
+    while (!done) {
+      require(v > fromVersion && v > 0,
+        s"v$fromVersion is not an ancestor of v$toVersion on this " +
+          "lineage (a branch commit?) — changelog spans one lineage")
+      chain = v :: chain
+      val p = parentOf(manifest(v))
+      if (p == fromVersion || (p == 0L && fromVersion == 0L)) done = true
+      else if (!retained(p)) done = true // expired gap: net-collapse
+      else {
+        require(p > fromVersion,
+          s"v$fromVersion is not an ancestor of v$toVersion on this " +
+            "lineage (a branch commit?) — changelog spans one lineage")
+        v = p
+      }
+    }
+    chain
+  }
+
   /** Iceberg `create_changelog_view(net_changes => true)` analog: the
     * NET effect of the whole `(from, to]` range — the multiset
     * difference between the BOUNDARY snapshots. Rows inserted and
@@ -2101,40 +2183,28 @@ final class SnapshotTable(val root: Path,
     */
   def readChangelogNet(spark: SparkSession, fromVersion: Long,
                        toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val ChangeType = "_change_type"
-    val CommitVer = "_commit_version"
-    val CommitTs = "_commit_timestamp_ms"
-    val toM = manifest(toVersion)
-    val target = StructType.fromDDL(toM.schemaDdl)
-    require(!target.fieldNames.exists(n =>
-      Set(ChangeType, CommitVer, CommitTs)(n)),
-      s"table schema collides with changelog metadata columns")
-    require(fromVersion == 0L || manifestVersions.contains(fromVersion),
-      s"no retained snapshot v$fromVersion (expired?) — the net " +
-        "changelog diffs the FROM boundary state")
+    import org.apache.spark.sql.functions.lit
     require(manifestVersions.contains(toVersion),
       s"no retained snapshot v$toVersion")
-    require(fromVersion <= toVersion,
-      s"from v$fromVersion is past to v$toVersion")
+    val toM = manifest(toVersion)
+    val target = changelogTarget(toM, fromVersion)
+    // ancestry proof only — the same walk the step view diffs along;
+    // without it a rollback-abandoned or branch FROM silently diffs
+    // states that never succeeded each other on this lineage
+    lineageChain(fromVersion, toVersion)
     val chains = evoChains(toM)
-    def align(df: DataFrame, atVersion: Long): DataFrame = {
-      val have = df.columns.map(_.toLowerCase).toSet
-      df.select(target.fields.toSeq.map { f =>
-        val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
-        if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }
-    val after = align(readVersion(spark, toVersion), toVersion)
+    val after =
+      changelogAlign(target, chains, readVersion(spark, toVersion),
+        toVersion)
     val before =
       if (fromVersion == 0L) after.limit(0)
-      else align(readVersion(spark, fromVersion), fromVersion)
+      else changelogAlign(target, chains,
+        readVersion(spark, fromVersion), fromVersion)
     val (ins, del) = NetDiff.diff(before, after)
     def tag(df: DataFrame, tpe: String): DataFrame =
-      df.withColumn(ChangeType, lit(tpe))
-        .withColumn(CommitVer, lit(toVersion))
-        .withColumn(CommitTs, lit(toM.timestampMs))
+      df.withColumn(ChangelogCols(0), lit(tpe))
+        .withColumn(ChangelogCols(1), lit(toVersion))
+        .withColumn(ChangelogCols(2), lit(toM.timestampMs))
     tag(ins, "insert").unionByName(tag(del, "delete"))
   }
 
@@ -2142,76 +2212,16 @@ final class SnapshotTable(val root: Path,
                     toVersion: Long,
                     keys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val ChangeType = "_change_type"
-    val CommitVer = "_commit_version"
-    val CommitTs = "_commit_timestamp_ms"
+    val Seq(changeType, commitVer, commitTs) = ChangelogCols
     val toM = manifest(toVersion)
-    val target = StructType.fromDDL(toM.schemaDdl)
-    require(!target.fieldNames.exists(n =>
-      Set(ChangeType, CommitVer, CommitTs)(n)),
-      s"table schema collides with changelog metadata columns")
-    require(fromVersion == 0L || manifestVersions.contains(fromVersion),
-      s"no retained snapshot v$fromVersion (expired?) — changelog needs " +
-        "its FROM boundary manifest to diff against")
-    // steps follow the LINEAGE chain (parent pointers), not the shared
-    // version sequence: branch commits interleave their versions with
-    // main's, and diffing across them would emit rows that never
-    // happened on this lineage. Legacy manifests (parent unrecorded)
-    // fall back to previous-retained linking — correct for the
-    // single-lineage tables that predate branches.
-    val retainedSorted = manifestVersions.sorted
-    val retained = retainedSorted.toSet
-    def parentOf(m: Manifest): Long = m.parent match {
-      case -1L => retainedSorted.takeWhile(_ < m.version).lastOption
-        .getOrElse(0L)
-      case p => p
-    }
-    // Walk stops in three ways: reaching fromVersion (stepwise history),
-    // reaching the root with fromVersion=0 (bootstrap), or hitting an
-    // EXPIRED parent — expiry legitimately reclaims early history (and
-    // punches gaps around tagged survivors), so the deepest reached
-    // manifest diffs directly against the FROM boundary as one NET step
-    // (fromVersion=0: served whole as the bootstrap step, the
-    // pre-lineage behavior). A RETAINED parent below fromVersion proves
-    // fromVersion is not an ancestor (a branch commit) — loud.
-    val vs: Seq[Long] = {
-      var chain = List.empty[Long]
-      var v = toVersion
-      var done = v == fromVersion
-      while (!done) {
-        require(v > fromVersion && v > 0,
-          s"v$fromVersion is not an ancestor of v$toVersion on this " +
-            "lineage (a branch commit?) — changelog spans one lineage")
-        chain = v :: chain
-        val p = parentOf(manifest(v))
-        if (p == fromVersion || (p == 0L && fromVersion == 0L)) done = true
-        else if (!retained(p)) done = true // expired gap: net-collapse
-        else {
-          require(p > fromVersion,
-            s"v$fromVersion is not an ancestor of v$toVersion on this " +
-              "lineage (a branch commit?) — changelog spans one lineage")
-          v = p
-        }
-      }
-      chain
-    }
-    // align a step's rows to the target schema. A column's NAME (and
-    // type) in an older step may differ — the rename/widen evolution
-    // chains give the physical state at that step's version, so a span
-    // crossing a rename still carries the values (not nulls) and a
-    // widened column casts up before the union
+    val target = changelogTarget(toM, fromVersion)
+    val vs: Seq[Long] = lineageChain(fromVersion, toVersion)
     val chains = evoChains(toM)
-    def align(df: DataFrame, atVersion: Long): DataFrame = {
-      val have = df.columns.map(_.toLowerCase).toSet
-      df.select(target.fields.toSeq.map { f =>
-        val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
-        if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }
+    def align(df: DataFrame, atVersion: Long): DataFrame =
+      changelogAlign(target, chains, df, atVersion)
     def tag(df: DataFrame, tpe: String, v: Long, ts: Long): DataFrame =
-      df.withColumn(ChangeType, lit(tpe))
-        .withColumn(CommitVer, lit(v)).withColumn(CommitTs, lit(ts))
+      df.withColumn(changeType, lit(tpe))
+        .withColumn(commitVer, lit(v)).withColumn(commitTs, lit(ts))
     val emptyOut = tag(align(
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target),
@@ -5684,9 +5694,20 @@ object SnapshotTable {
   // atomicity is the publisher impl's job — see [[AtomicPublish]])
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private[table] def lockFor(root: Path): Object =
-    locks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
-      _ => new Object)
+  private[table] def lockFor(root: Path): Object = {
+    // resolve SYMLINKS, not just dots: a register_table alias and its
+    // source are one table (one inode) and must share the JVM monitor —
+    // normalize alone gave them different monitors, and the second
+    // thread's FileChannel.lock() on the same underlying lock file
+    // throws OverlappingFileLockException instead of queueing. Falls
+    // back to the normalized path while the root doesn't exist yet
+    // (creation races stay per-spelling; birth is claim-arbitrated).
+    val key =
+      try root.toRealPath().toString
+      catch { case _: java.io.IOException =>
+        root.toAbsolutePath.normalize.toString }
+    locks.computeIfAbsent(key, _ => new Object)
+  }
 }
 
 /** Minimal JSON codec for manifests — flat structure, no external deps.

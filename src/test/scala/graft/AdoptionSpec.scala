@@ -360,6 +360,25 @@ class AdoptionSpec extends SparkSpec {
         spark.sql("CALL regcat.system.register_table(" +
           s"table => 'db.other', source_path => '$wh')").collect()
       }.getMessage.contains("no committed graft table"))
+      // concurrent same-JVM commits through BOTH identities serialize
+      // (lockFor keys on toRealPath — a normalize-only key gave the
+      // alias a different monitor and the second FileChannel.lock on
+      // the shared inode threw OverlappingFileLockException)
+      val aliasT = SnapshotTable.at(s"$wh/db/reg")
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val v0 = t.currentVersion
+      val threads = Seq(t, aliasT).zipWithIndex.map { case (tt, i) =>
+        new Thread(() => {
+          try (1 to 4).foreach { j =>
+            tt.append(spark, Seq((1000L + i * 10 + j, 9, s"c$i$j"))
+              .toDF("id", "p", "s"))
+          } catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"cross-identity commits crashed: ${errs.peek}")
+      assert(t.currentVersion == v0 + 8,
+        "all eight commits landed through the shared monitor")
       // DROP through the registered name purges the underlying table
       spark.sql("DROP TABLE regcat.db.reg")
       assert(!t.exists, "drop through the registration purges the table")

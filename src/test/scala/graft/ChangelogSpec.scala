@@ -295,6 +295,25 @@ class ChangelogSpec extends SparkSpec {
     assert(t.readChangelogNet(spark, 3L, 3L).count() == 0)
   }
 
+  test("net changelog refuses a non-ancestor FROM, like the step view") {
+    val (_, t) = fresh("graft-netanc-")
+    val rows = (1 to 50).map(i => (i.toLong, s"s$i")).toDF("id", "s")
+    t.createOrReplace(rows.filter($"id" <= 30))                       // v1
+    t.append(spark, rows.filter($"id" > 30))                         // v2
+    t.rollbackTo(1L)
+    t.append(spark, rows.filter($"id" > 40))                         // new head
+    // v2 is retained but ABANDONED — diffing it against the new head
+    // would report rows that never changed on this lineage. The net
+    // view must refuse exactly like the per-step view does.
+    val head = t.currentVersion
+    assert(intercept[IllegalArgumentException] {
+      t.readChangelogNet(spark, 2L, head)
+    }.getMessage.contains("not an ancestor"))
+    assert(intercept[IllegalArgumentException] {
+      t.readChangelog(spark, 2L, head)
+    }.getMessage.contains("not an ancestor"))
+  }
+
   test("applyChangelog replicates a table and folds onto a non-empty base") {
     val (_, src) = fresh("graft-cdc-src-")
     src.createOrReplace(rows(1 to 300), Seq("p"), nowMs = 1000L)     // v1
