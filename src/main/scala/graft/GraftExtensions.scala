@@ -1243,6 +1243,9 @@ private[graft] object GraftSqlDml {
           case o => throw new UnsupportedOperationException(
             s"source must be a string, got $o")
         }
+        // SQL-spelling concerns stay here; the filesystem mechanics
+        // (exclusivity, atomic link birth, lock interaction) live in
+        // SnapshotTable.register next to the publish/lock machinery
         val srcRoot = {
           val p = java.nio.file.Paths.get(
             rawSrc.trim.stripPrefix("`").stripSuffix("`"))
@@ -1250,10 +1253,7 @@ private[graft] object GraftSqlDml {
               p.getParent != null && p.getParent.getParent != null)
             p.getParent.getParent
           else p
-        }.toAbsolutePath
-        val srcTbl = SnapshotTable.at(srcRoot.toString)
-        if (!srcTbl.exists) throw new IllegalArgumentException(
-          s"no committed graft table at $srcRoot to register")
+        }
         // graft-literal paths may contain dots — never split those
         val dest = (if (cat.equalsIgnoreCase("graft") &&
               tableName.contains("/")) Some(tableName)
@@ -1262,19 +1262,10 @@ private[graft] object GraftSqlDml {
           .getOrElse(throw new UnsupportedOperationException(
             s"register_table needs a registered catalog identifier or " +
               s"a graft path with '/', got '$tableName' under $cat"))
-        val destPath = java.nio.file.Paths.get(dest).toAbsolutePath
-        if (destPath == srcRoot) throw new IllegalArgumentException(
-          s"cannot register a table onto itself: $destPath")
-        if (java.nio.file.Files.exists(destPath,
-            java.nio.file.LinkOption.NOFOLLOW_LINKS))
-          throw new IllegalArgumentException(
-            s"destination $destPath already exists")
-        if (destPath.getParent != null)
-          java.nio.file.Files.createDirectories(destPath.getParent)
-        java.nio.file.Files.createSymbolicLink(destPath, srcRoot)
+        val (destPath, srcAbs, version) =
+          SnapshotTable.register(srcRoot.toString, dest)
         import session.implicits._
-        return Some(Seq((destPath.toString, srcRoot.toString,
-            srcTbl.currentVersion))
+        return Some(Seq((destPath.toString, srcAbs.toString, version))
           .toDF("registered_path", "source_path", "current_version")
           .queryExecution.analyzed)
       case "publish_changes" =>

@@ -3397,9 +3397,13 @@ final class SnapshotTable(val root: Path,
           s"column(s) ${(pcols.toSet -- pv.keySet).mkString(", ")}")
       (p, pv)
     }
-    // footer stats BEFORE the publish lock (commitData's rationale)
+    // footer stats BEFORE the publish lock (commitData's rationale).
+    // Paths record ROOT-RELATIVE (unlike addFiles' external absolutes):
+    // the adopted files live INSIDE the root and must travel with a
+    // RENAME TO directory move — an absolute record would keep naming
+    // the old location and brick every read after the move.
     val statted = withPartitions.map { case (p, pv) =>
-      (p.toString, pv, FileStats.collect(p, schema))
+      (rootAbs.relativize(p).toString, pv, FileStats.collect(p, schema))
     }
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
@@ -4927,10 +4931,19 @@ final class SnapshotTable(val root: Path,
       catch { case _: java.io.IOException => false } // vanished: skip
     val live = livePaths(manifestVersions)
     val chunkOrphans = sweepOrphanChunks(aged, dryRun = dryRun)
-    if (!Files.exists(dataDir)) return chunkOrphans
-    val all = scala.util.Using.resource(Files.walk(dataDir)) { st =>
+    if (!Files.exists(root)) return chunkOrphans
+    // walk the whole table LOCATION except meta/ — an in-place-MIGRATED
+    // table keeps its adopted files at the root (k=v dirs beside
+    // data/), and once rewrites + expiry orphan them they must be
+    // reclaimable like any dead data file. This is Iceberg's own
+    // remove_orphan_files contract (the procedure owns the location):
+    // foreign parquet parked under a table root is subject to the sweep
+    // once aged. Dir pruning stays data/-scoped — emptied migrated k=v
+    // dirs linger as cosmetic debris, the root itself is never touched.
+    val metaAbs = metaDir
+    val all = scala.util.Using.resource(Files.walk(root)) { st =>
       st.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
+        .filter(p => !p.startsWith(metaAbs) && Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith(".") &&
           aged(p))
@@ -5029,7 +5042,7 @@ final class SnapshotTable(val root: Path,
       try nowMs - Files.getLastModifiedTime(p).toMillis >= olderThanMs
       catch { case _: java.io.IOException => false }
     val chunkOrphans = sweepOrphanChunks(aged, dryRun = dryRun)
-    if (!Files.exists(dataDir)) return chunkOrphans
+    if (!Files.exists(root)) return chunkOrphans
     val metaStr = metaDir.toString
     val rootStr = root.toString
     val (chunkRefs, loosePaths) = liveRefs(manifestVersions)
@@ -5044,12 +5057,20 @@ final class SnapshotTable(val root: Path,
     val liveDf =
       (if (loose.isEmpty) chunkLive
        else chunkLive.union(spark.createDataset(loose))).toDF("path")
-    // one shallow listing splits the tree: commit DIRS walk on executors;
-    // stray files sitting directly under data/ (external debris — the
-    // driver walk sees them too, parity matters) ride from the driver
+    // one shallow listing splits the tree: commit DIRS (and, for
+    // in-place-migrated tables, root-level non-data dirs — parity with
+    // the driver walk over the whole location) walk on executors; stray
+    // FILES sitting directly under data/ or the root ride from the
+    // driver (the driver walk sees them too, parity matters)
     val (commitDirs, topFiles) = {
-      val all = scala.util.Using.resource(Files.list(dataDir))(
+      val dataEntries =
+        if (!Files.exists(dataDir)) Vector.empty[Path]
+        else scala.util.Using.resource(Files.list(dataDir))(
+          _.iterator().asScala.toVector)
+      val rootEntries = scala.util.Using.resource(Files.list(root))(
         _.iterator().asScala.toVector)
+        .filterNot(p => p == dataDir || p == metaDir)
+      val all = dataEntries ++ rootEntries
       (all.filter(Files.isDirectory(_)).map(_.toString),
         all.filter(p => Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet") &&
@@ -5647,6 +5668,34 @@ object SnapshotTable {
   def at(path: String, publisher: AtomicPublish): SnapshotTable =
     new SnapshotTable(Paths.get(path), publisher)
 
+  /** Register an EXISTING table under a second identity: an atomic
+    * filesystem SYMLINK at `dest` pointing at `sourceRoot` (the engine
+    * half of Iceberg's `register_table`). Both identities are ONE table
+    * afterwards — reads, commits, maintenance and DROP (which purges)
+    * all work through the link, and [[lockFor]]'s realpath keying gives
+    * same-JVM commits through either spelling one monitor. The link is
+    * born atomically: `createSymbolicLink` fails if the destination
+    * exists, so a racing CREATE ends loudly (the RENAME TO precedent).
+    * Returns (destination, resolved source root, registered head
+    * version).
+    */
+  def register(sourceRoot: String, dest: String): (Path, Path, Long) = {
+    val srcAbs = Paths.get(sourceRoot).toAbsolutePath
+    val srcTbl = at(srcAbs.toString)
+    if (!srcTbl.exists) throw new IllegalArgumentException(
+      s"no committed graft table at $srcAbs to register")
+    val destPath = Paths.get(dest).toAbsolutePath
+    if (destPath == srcAbs) throw new IllegalArgumentException(
+      s"cannot register a table onto itself: $destPath")
+    if (Files.exists(destPath, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      throw new IllegalArgumentException(
+        s"destination $destPath already exists")
+    if (destPath.getParent != null)
+      Files.createDirectories(destPath.getParent)
+    Files.createSymbolicLink(destPath, srcAbs)
+    (destPath, srcAbs, srcTbl.currentVersion)
+  }
+
   /** Ref names a tag or branch may NOT take: every `@<suffix>` relation
     * shape shares the refs' namespace, so a colliding name would make
     * the suffix ambiguous. Grows with the relation surface — keep in
@@ -5699,13 +5748,23 @@ object SnapshotTable {
     // source are one table (one inode) and must share the JVM monitor —
     // normalize alone gave them different monitors, and the second
     // thread's FileChannel.lock() on the same underlying lock file
-    // throws OverlappingFileLockException instead of queueing. Falls
-    // back to the normalized path while the root doesn't exist yet
-    // (creation races stay per-spelling; birth is claim-arbitrated).
-    val key =
-      try root.toRealPath().toString
-      catch { case _: java.io.IOException =>
-        root.toAbsolutePath.normalize.toString }
+    // throws OverlappingFileLockException instead of queueing. The key
+    // must also be STABLE across the root's own birth (a plain-dir
+    // create mid-flight must not flip another thread's key), so the
+    // PARENT resolves via realpath always and the final component only
+    // when it exists — for a fresh directory both spellings agree, for
+    // a symlink the resolved target takes over only once the link
+    // exists (before that there is no shared inode to protect).
+    val abs = root.toAbsolutePath.normalize
+    val key = try {
+      val parent = abs.getParent
+      val base =
+        if (parent != null && Files.exists(parent))
+          parent.toRealPath().resolve(abs.getFileName)
+        else abs
+      if (Files.isSymbolicLink(base)) base.toRealPath().toString
+      else base.toString
+    } catch { case _: java.io.IOException => abs.toString }
     locks.computeIfAbsent(key, _ => new Object)
   }
 }

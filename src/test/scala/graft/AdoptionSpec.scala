@@ -299,9 +299,13 @@ class AdoptionSpec extends SparkSpec {
     val t = SnapshotTable.at(dir)
     assert(t.exists && t.read(spark).count() == 240)
     assert(t.currentManifest.partitionColumns == Seq("p"))
-    // in place: every adopted entry lives under the directory itself
-    assert(t.currentManifest.files.forall(_.path.startsWith(dir)),
-      "migrate must adopt by reference, in place")
+    // in place AND root-relative: the adopted entries must travel with
+    // a later directory move (an absolute record would keep naming the
+    // old location and brick reads after RENAME TO)
+    assert(t.currentManifest.files.forall(f =>
+        !f.path.startsWith("/") &&
+          Files.exists(Paths.get(dir).resolve(f.path))),
+      "migrate must adopt by reference, root-relative, in place")
     // adopted files are first-class: partition prune + DML
     val (kept, total) = t.pruneCounts(col("p") === 1)
     assert(kept < total)
@@ -311,6 +315,38 @@ class AdoptionSpec extends SparkSpec {
     assert(intercept[Exception] {
       spark.sql(s"CALL graft.system.migrate(table => '$dir')").collect()
     }.getMessage.contains("already exists"))
+    // RENAME TO moves the directory; relative adopted entries travel
+    val dir2 = dir + "_moved"
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME TO graft.`$dir2`")
+    val t2 = SnapshotTable.at(dir2)
+    assert(t2.read(spark).count() == 180,
+      "adopted files must survive the directory move")
+    // GC owns the whole location. The DELETE dropped partition 0's
+    // ORIGINAL adopted files from the head manifest; expiry's own
+    // cleanup (same live-census deletion as data/ files — relative
+    // paths route through it) reclaims them when the referencing
+    // manifests retire:
+    t2.expireSnapshots(0L, 1)
+    val p0 = Paths.get(dir2, "p=0")
+    val p0Left =
+      if (!Files.exists(p0)) Nil
+      else scala.util.Using.resource(Files.list(p0))(st =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+          .asScala.filter(_.toString.endsWith(".parquet")).toList)
+    assert(p0Left.isEmpty, s"expiry reclaims dead adopted originals: $p0Left")
+    // ... and the ORPHAN SWEEP walks the whole location too (the
+    // crash-leak backstop): an aged unreferenced parquet parked at the
+    // root — outside data/ — is reclaimed
+    val livedIn = scala.util.Using.resource(
+        Files.list(Paths.get(dir2, "p=1")))(st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala.find(_.toString.endsWith(".parquet")).get)
+    val stray = Paths.get(dir2, "p=1", "stray-leak.parquet")
+    Files.copy(livedIn, stray)
+    val reclaimed = t2.removeOrphanFiles(0L)
+    assert(reclaimed.contains("p=1/stray-leak.parquet"),
+      s"root-level strays must be reclaimable, got $reclaimed")
+    assert(t2.read(spark).count() == 180, "live data untouched by the sweep")
   }
 
   test("register_table exposes an existing table under a catalog name " +
