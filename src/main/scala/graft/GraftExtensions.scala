@@ -1249,8 +1249,15 @@ private[graft] object GraftSqlDml {
         val srcRoot = {
           val p = java.nio.file.Paths.get(
             rawSrc.trim.stripPrefix("`").stripSuffix("`"))
+          // the two-segment strip fires ONLY for the engine's own
+          // …/meta/v<N>.json shape — a path like /a/b/v5.json must not
+          // silently resolve to root /a (r12 ADVICE); anything else is
+          // a plain source path and register() validates it
           if (p.getFileName.toString.matches("v\\d+\\.json") &&
-              p.getParent != null && p.getParent.getParent != null)
+              p.getParent != null &&
+              p.getParent.getFileName != null &&
+              p.getParent.getFileName.toString == "meta" &&
+              p.getParent.getParent != null)
             p.getParent.getParent
           else p
         }

@@ -552,8 +552,8 @@ object EventStream {
     * file stream source never lists a parquet output directory nested
     * under a non-glob path, also observed) — drive the final watermark
     * past every real row, so the emitted set equals the batch LEFT
-    * JOIN exactly. Sentinel rows (user_id = -1) are filtered from the
-    * result.
+    * JOIN exactly. Sentinel rows are filtered from the result by their
+    * reserved negative event_id range.
     */
   def intervalJoinLeftOuter(spark: SparkSession, eventsParquet: String,
                             leftType: String = "click",
@@ -660,6 +660,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = spark.read.parquet(outDir)
-    if (outer) out.filter(col("user_id") =!= -1L) else out
+    // strip sentinel-origin rows by their RESERVED event_id range
+    // (left_id ∈ [-6,-3] by construction above; sentinels only ever
+    // join each other — user_id -1 matches no real user). A user_id
+    // filter here silently dropped legitimate NULL-user unmatched
+    // lefts and collided with a real -1 user (r12 ADVICE).
+    if (outer) out.filter(col("left_id") > -3L) else out
   }
 }

@@ -246,6 +246,20 @@ final class SnapshotTable(val root: Path,
   private def metaDir = root.resolve("meta")
   private def dataDir = root.resolve("data")
 
+  // register_table alias support: Files.walk does NOT follow a symlink
+  // START path, so tree sweeps that begin AT the root (drop's purge,
+  // the driver orphan walk) through the alias saw only the link itself
+  // — drop leaked the entire data tree at the source and the driver
+  // sweep was a silent no-op (r12 ADVICE, both mediums). Resolved per
+  // call: the link may be born after this handle. Paths that merely
+  // pass THROUGH the link (meta/, data/) resolve at the filesystem
+  // layer and need no change.
+  private def walkRoot: Path =
+    if (Files.isSymbolicLink(root))
+      try root.toRealPath()
+      catch { case _: java.io.IOException => root }
+    else root
+
   def exists: Boolean = publisher.current(metaDir).isDefined
 
   def currentVersion: Long =
@@ -284,10 +298,15 @@ final class SnapshotTable(val root: Path,
     }
     manifestCache.clear()
     if (Files.exists(root)) {
-      val s = Files.walk(root)
+      val s = Files.walk(walkRoot)
       try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
       finally s.close()
+      // when root was a register_table alias the walk above deleted the
+      // RESOLVED tree and left the link dangling — remove the link too
+      // (deleteIfExists never follows; no-op for a plain dir, already
+      // gone)
+      Files.deleteIfExists(root)
     }
     true
   }
@@ -3379,8 +3398,13 @@ final class SnapshotTable(val root: Path,
     require(!exists, s"migrate: table $root already exists")
     val rootAbs = root.toAbsolutePath.normalize
     require(Files.isDirectory(rootAbs), s"migrate: no directory $rootAbs")
-    require(!rootAbs.toString.split('/').exists(_.contains('=')),
-      s"migrate: directory path $rootAbs contains a 'k=v' segment — the " +
+    // only the root's OWN final segment is ambiguous (is this dir the
+    // hive base or itself a partition dir?) — adoption, inference and
+    // Spark's discovery are all root-relative, so a 'k=v' in an
+    // unrelated ANCESTOR (/data/run=5/export/) is harmless and must
+    // not block migration (r12 ADVICE)
+    require(!Option(rootAbs.getFileName).exists(_.toString.contains('=')),
+      s"migrate: directory $rootAbs is itself a 'k=v' segment — the " +
         "hive-layout base could not be told apart from partition dirs")
     val srcFiles = listParquet(rootAbs)
     require(srcFiles.nonEmpty, s"migrate: no parquet files under $rootAbs")
@@ -4940,14 +4964,20 @@ final class SnapshotTable(val root: Path,
     // foreign parquet parked under a table root is subject to the sweep
     // once aged. Dir pruning stays data/-scoped — emptied migrated k=v
     // dirs linger as cosmetic debris, the root itself is never touched.
-    val metaAbs = metaDir
-    val all = scala.util.Using.resource(Files.walk(root)) { st =>
+    // walk the RESOLVED root (and exclude/relativize against the same
+    // base): through a register_table alias Files.walk(root) yields
+    // only the link and the sweep silently reclaims nothing, while the
+    // distributed route's Files.list follows the link — a driver/
+    // distributed parity break (r12 ADVICE)
+    val rootR = walkRoot
+    val metaAbs = rootR.resolve("meta")
+    val all = scala.util.Using.resource(Files.walk(rootR)) { st =>
       st.iterator().asScala
         .filter(p => !p.startsWith(metaAbs) && Files.isRegularFile(p) &&
           p.toString.endsWith(".parquet") &&
           !p.getFileName.toString.startsWith(".") &&
           aged(p))
-        .map(p => root.relativize(p).toString).toSeq
+        .map(p => rootR.relativize(p).toString).toSeq
     }
     val orphans = all.filterNot(live)
     if (!dryRun) {

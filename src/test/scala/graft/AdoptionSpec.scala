@@ -347,6 +347,20 @@ class AdoptionSpec extends SparkSpec {
     assert(reclaimed.contains("p=1/stray-leak.parquet"),
       s"root-level strays must be reclaimable, got $reclaimed")
     assert(t2.read(spark).count() == 180, "live data untouched by the sweep")
+    // a 'k=v' segment in an unrelated ANCESTOR never blocks migration
+    // (only the root's own final segment is hive-ambiguous — r12 ADVICE)
+    val under = tmp("graft-migrate-anc-") + "/run=5/export"
+    (1 to 20).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .write.mode("overwrite").parquet(under)
+    spark.sql(s"CALL graft.system.migrate(table => '$under')").collect()
+    assert(SnapshotTable.at(under).read(spark).count() == 20)
+    // ... while a root that IS a k=v segment still refuses
+    val amb = tmp("graft-migrate-amb-") + "/p=3"
+    (1 to 5).map(i => (i.toLong, s"b$i")).toDF("id", "s")
+      .write.mode("overwrite").parquet(amb)
+    assert(intercept[Exception] {
+      spark.sql(s"CALL graft.system.migrate(table => '$amb')").collect()
+    }.getMessage.contains("k=v"))
   }
 
   test("register_table exposes an existing table under a catalog name " +
@@ -382,6 +396,13 @@ class AdoptionSpec extends SparkSpec {
         s"metadata_file => '$metaFile')").collect()
       assert(SnapshotTable.at(dup).read(spark).count() ==
         t.read(spark).count())
+      // a v<N>.json whose parent is NOT 'meta' never strips segments
+      // (a /a/b/v5.json must not silently resolve root /a — r12 ADVICE)
+      assert(intercept[Exception] {
+        spark.sql(s"CALL graft.system.register_table(table => " +
+          s"'${tmp("graft-reg-nm-")}/x', " +
+          s"metadata_file => '$src/nota/v1.json')").collect()
+      }.getMessage.contains("no committed graft table"))
       // destination exclusivity: re-register and register-onto-self fail
       assert(intercept[Exception] {
         spark.sql("CALL regcat.system.register_table(" +
@@ -420,10 +441,50 @@ class AdoptionSpec extends SparkSpec {
       assert(!t.exists, "drop through the registration purges the table")
       assert(!Files.exists(Paths.get(wh, "db", "reg"),
         java.nio.file.LinkOption.NOFOLLOW_LINKS), "the link goes too")
+      // the SOURCE tree is gone, not just the link + manifests: a walk
+      // from a symlink root yields only the link, so the old purge
+      // leaked the entire data tree at the source, silently
+      // re-adoptable by a later migrate (r12 ADVICE medium)
+      assert(!Files.exists(Paths.get(src)),
+        "drop through the alias must purge the source data tree")
     } finally {
       spark.conf.unset("spark.sql.catalog.regcat")
       spark.conf.unset("spark.sql.catalog.regcat.warehouse")
     }
+  }
+
+  test("driver orphan sweep sees the tree through a register_table " +
+      "alias (walk resolves the symlink root — driver/distributed " +
+      "parity)") {
+    val base = spark
+    import base.implicits._
+    val src = tmp("graft-aliasgc-src-") + "/tbl"
+    val t = SnapshotTable.at(src)
+    t.createOrReplace((1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    // plant an unreferenced stray next to a live data file — exactly
+    // the crash-leak debris the sweep exists to reclaim
+    val live = scala.util.Using.resource(
+        Files.walk(Paths.get(src, "data")))(st =>
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator())
+        .asScala.find(_.toString.endsWith(".parquet")).get)
+    Files.copy(live, live.resolveSibling("stray-leak.parquet"))
+    val alias = tmp("graft-aliasgc-dst-") + "/alias"
+    SnapshotTable.register(src, alias)
+    val at = SnapshotTable.at(alias)
+    val dry = at.removeOrphanFiles(0L, System.currentTimeMillis() + 1000,
+      dryRun = true)
+    assert(dry.exists(_.endsWith("stray-leak.parquet")),
+      s"alias-identity dry run must SEE the orphaned data file, got $dry")
+    val swept = at.removeOrphanFiles(0L, System.currentTimeMillis() + 1000)
+    assert(swept.exists(_.endsWith("stray-leak.parquet")),
+      "alias-identity sweep must reclaim (it was a silent no-op pre-fix)")
+    assert(at.read(spark).count() == 50, "live data intact after sweep")
+    assert(SnapshotTable.at(src).read(spark).count() == 50)
+    // drop through the alias purges the source tree AND the link
+    assert(at.drop())
+    assert(!Files.exists(Paths.get(src)), "source tree purged via alias")
+    assert(!Files.exists(Paths.get(alias),
+      java.nio.file.LinkOption.NOFOLLOW_LINKS), "alias link removed")
   }
 
   test("wap.id session mode: DML stages invisibly, publish_changes " +
