@@ -5,11 +5,49 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * CAPTURE SURVIVABILITY (r12 verdict #1 — the driver's r12 capture
+  * timed out with nothing parseable): after EVERY query the running
+  * partial result is (a) rewritten durably to `BENCH_local.json` and
+  * (b) printed as a `BENCH_PARTIAL\t<json>` stdout line — a timeout at
+  * any point still yields a usable prefix (the driver recovers from
+  * the LAST partial line; the bare final JSON line remains the primary
+  * contract and is still the only line starting with `{`). Fixed
+  * overhead is cut the same round: cheap lifecycle queries run 4 per
+  * child JVM instead of one each (isolation from the heavy set and
+  * from accumulated PARENT state is what the mode buys — four cheap
+  * storage lifecycles sharing one fresh child never reproduced the
+  * r9-r11 phantom, which needed a heavy query co-loaded after a long
+  * suite), expensive lifecycle queries keep their own child, and q137
+  * runs ONE attempt (each attempt is three stateful micro-batch runs,
+  * 12-21 s by design — BENCH_NOTES).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // quiet-window protocol (r12 verdict #7): a bench of record should
+    // start when the 1-min load is below nCPU/4. Opt-in via
+    // SPARK_GRAFT_QUIET_WAIT_SECS (the wait budget) — the driver's
+    // capture must never stall its own timeout, so default is off; the
+    // measured load lands in the JSON either way so a loaded run is
+    // self-describing instead of needing a narrative.
+    val quietCap = cpus.toDouble / 4
+    sys.env.get("SPARK_GRAFT_QUIET_WAIT_SECS").flatMap(_.toLongOption)
+      .foreach { budget =>
+        val deadline = System.currentTimeMillis() + budget * 1000
+        var l = loadAvg()
+        while (l > quietCap && System.currentTimeMillis() < deadline) {
+          System.err.println(f"BENCH_WAIT\tload $l%.2f > cap $quietCap%.2f")
+          Thread.sleep(15000)
+          l = loadAvg()
+        }
+      }
+    val load0 = loadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL DML/relations (q71)
@@ -60,9 +98,6 @@ object Bench {
       "q127_position_deletes", "q130_metadata_namespace",
       "q134_register_table", "q135_migrate_in_place",
       "q137_stream_outer_join", "q138_changelog_net_view")
-    // plan-bound but variance-prone (BENCH_NOTES.md): extra attempt,
-    // still reporting the min
-    val extraAttempt = Set("q49_embed_top_pairs")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set
@@ -71,13 +106,27 @@ object Bench {
       "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
       "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq",
       "q136_embed_ann_truncated")
-    // Isolation mode: run each lifecycle/heavy query in a fresh child
-    // JVM (classpath + JVM flags inherited) — the accumulated-driver-
-    // state swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12×
-    // in-suite vs isolated) vanish, making round-over-round numbers
-    // comparable. ON BY DEFAULT since r8 (the r7 round-of-record
-    // measured driver-JVM entropy, not the engine); SPARK_GRAFT_ISOLATE=0
-    // opts out for quick local iteration.
+    // ONE attempt: each q137 attempt is three stateful micro-batch
+    // passes with dual-stream state (12-21 s by design — the single
+    // biggest line item of the r12 capture timeout)
+    val oneAttempt = Set("q137_stream_outer_join")
+    // heavy queries whose independent children have agreed within 20%
+    // across consecutive rounds (BENCH_NOTES r9/r11 per-attempt
+    // tables) — one child suffices; the swingy ones keep min-of-2
+    val singleChild = Set("q37_ngram_jaccard", "q38_embed_topk")
+    // lifecycle queries expensive enough that co-loading them with
+    // others could re-create the co-loaded-child phantom (the r9-r11
+    // regression mechanism): they keep a child JVM of their own
+    val soloLifecycle = Set(
+      "q62_mor_lifecycle", "q90_stream_interval_join",
+      "q95_cdc_keyed_replication", "q115_sort_strategy_rewrite",
+      "q130_metadata_namespace", "q137_stream_outer_join")
+    // Isolation mode: lifecycle/heavy queries run in fresh child JVMs
+    // (classpath + JVM flags inherited) — the accumulated-driver-state
+    // swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12× in-suite
+    // vs isolated) vanish, making round-over-round numbers comparable.
+    // ON BY DEFAULT since r8; SPARK_GRAFT_ISOLATE=0 opts out for quick
+    // local iteration.
     val isolate = !sys.env.get("SPARK_GRAFT_ISOLATE")
       .exists(v => Set("0", "false", "off").contains(v.toLowerCase))
     // JVM/codegen warm-up on the smallest sf so steady-state throughput is
@@ -91,7 +140,17 @@ object Bench {
         spark.catalog.clearCache()
       }
     }
-    def runIsolated(name: String, attempts: Int): Seq[(Double, Option[String])] = {
+    def attemptsFor(name: String): Int =
+      if (oneAttempt(name)) 1
+      else if (lifecycle(name)) 3
+      else 2
+
+    /** One child JVM running the given (query, attempts) specs in
+      * order; returns per-query attempt outcomes parsed from the
+      * child's `BENCHONE\t<name>\t<field>...` lines.
+      */
+    def runChild(specs: Seq[(String, Int)])
+        : Map[String, Seq[(Double, Option[String])]] = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory
         .getRuntimeMXBean.getInputArguments
@@ -99,7 +158,8 @@ object Bench {
       cmd.add(javaBin); cmd.addAll(jvmArgs)
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.BenchOne")
-      cmd.add(name); cmd.add(sfDir); cmd.add(attempts.toString); cmd.add(cpus)
+      cmd.add(specs.map { case (n, a) => s"$n:$a" }.mkString(","))
+      cmd.add(sfDir); cmd.add(cpus)
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.redirectErrorStream(true)
@@ -107,32 +167,68 @@ object Bench {
       val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
         .getLines().toList
       p.waitFor()
-      out.find(_.startsWith("BENCHONE\t")) match {
-        case Some(line) =>
-          line.split('\t').drop(1).toSeq.map {
-            case f if f.startsWith("t:") => (f.drop(2).toDouble, None)
-            case f => (0.0, Some(f.stripPrefix("e:")))
-          }
-        case None => Seq((0.0, Some(
-          s"isolated child produced no result (exit ${p.exitValue()})")))
-      }
+      out.filter(_.startsWith("BENCHONE\t")).map { line =>
+        val parts = line.split('\t').toSeq
+        parts(1) -> parts.drop(2).map {
+          case f if f.startsWith("t:") => (f.drop(2).toDouble, None)
+          case f => (0.0, Some(f.stripPrefix("e:")))
+        }
+      }.toMap
     }
-    val results = selected.map { case (name, fn) =>
-      // tracked PER ATTEMPT: a query is an error only when every attempt
-      // failed; one flaky attempt must neither masquerade as a fast
-      // success nor discard the other attempts' valid timings.
-      val nAttempts = if (lifecycle(name) || extraAttempt(name)) 3 else 2
-      val attempts: Seq[(Double, Option[String])] =
-        if (isolate && heavy(name) && !lifecycle(name))
-          // SEPARATE child JVMs, one timed attempt each: with both
-          // attempts inside one child, a single co-loaded JVM sample
-          // became the round's number of record three rounds running
-          // (r11 VERDICT: driver q53 63.6s vs 2.9-4.4s on unchanged
-          // code) — min across independent children is robust to it
-          (1 to math.max(2, nAttempts)).flatMap(_ => runIsolated(name, 1))
-        else if (isolate && (lifecycle(name) || heavy(name)))
-          runIsolated(name, nAttempts)
-        else (0 until nAttempts).map { _ =>
+
+    // ---- incremental result accumulation + survivable emission ----
+    val acc = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Option[String])]()
+    val mode = if (isolate) "isolated-lifecycle+heavy" else "in-process"
+    val benchOut = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
+    def render(): String = {
+      val qs = acc.toSeq.collect { case (k, (v, None)) =>
+        "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+      val errs = acc.toSeq.collect { case (k, (_, Some(m))) =>
+        "\"" + k + "\":\"" +
+          m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }.mkString("{", ",", "}")
+      val total = acc.valuesIterator.collect { case (v, None) => v }.sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode","load":[$load0%.2f,${loadAvg()}%.2f]}"""
+    }
+    def persist(line: String): Unit =
+      // durable copy: a truncated stdout capture (BENCH_r09 lost
+      // q01-q29; BENCH_r12 lost everything) must never lose the round
+      try java.nio.file.Files.write(benchOut,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(_) => () } // stdout rules
+    def record(name: String,
+               attempts: Seq[(Double, Option[String])]): Unit = {
+      // per-attempt detail on STDERR (the driver parses stdout): the
+      // raw evidence a min/median hides — attempt degradation inside
+      // one child vs a uniformly slow machine read differently when a
+      // round-over-round regression needs a root cause
+      System.err.println("BENCH_ATTEMPTS\t" + name + "\t" +
+        attempts.map {
+          case (t, None) => f"$t%.3f"
+          case (_, Some(e)) => s"err:$e"
+        }.mkString("\t"))
+      // a query is an error only when every attempt failed; one flaky
+      // attempt must neither masquerade as a fast success nor discard
+      // the other attempts' valid timings
+      val good = attempts.collect { case (t, None) => t }.sorted
+      acc(name) =
+        if (good.nonEmpty)
+          (if (lifecycle(name)) good(good.size / 2) else good.head, None)
+        else (0.0, attempts.lastOption.map(_._2.getOrElse("no result"))
+          .orElse(Some("no attempts")))
+      val line = render()
+      persist(line)
+      println("BENCH_PARTIAL\t" + line)
+    }
+    def missing(n: String): Seq[(Double, Option[String])] =
+      Seq((0.0, Some("isolated child produced no result")))
+
+    // 1. in-process queries (plan-bound, not heavy)
+    selected.foreach { case (name, fn) =>
+      if (!(isolate && (lifecycle(name) || heavy(name)))) {
+        val attempts = (0 until attemptsFor(name)).map { _ =>
           val t0 = System.nanoTime()
           val outcome =
             try { fn(spark, sfDir).count(); None }
@@ -142,40 +238,36 @@ object Bench {
           spark.catalog.clearCache()
           (t, outcome)
         }
-      // per-attempt detail on STDERR (the driver parses stdout's JSON):
-      // the raw evidence a min/median hides — attempt degradation inside
-      // one child JVM vs a uniformly slow machine read differently when
-      // a round-over-round regression needs a root cause
-      System.err.println(("BENCH_ATTEMPTS\t" + name + "\t" +
-        attempts.map {
-          case (t, None) => f"$t%.3f"
-          case (_, Some(e)) => s"err:$e"
-        }.mkString("\t")))
-      val good = attempts.collect { case (t, None) => t }.sorted
-      if (good.nonEmpty) {
-        val t = if (lifecycle(name)) good(good.size / 2) else good.head
-        (name, t, None)
-      } else (name, 0.0, attempts.last._2)
+        record(name, attempts)
+      }
     }
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val mode = if (isolate) "isolated-lifecycle+heavy" else "in-process"
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode"}"""
+    if (isolate) {
+      // 2. lifecycle children: expensive ones solo, the rest batched
+      // 4 per child (amortizes ~40 Spark startups — r11 spent 2021 s
+      // wall for 234 s measured, almost all of it child JVM spin-up)
+      val lifeNames = selected.map(_._1).filter(lifecycle)
+      val (solos, batchable) = lifeNames.partition(soloLifecycle)
+      val groups = solos.map(Seq(_)) ++ batchable.grouped(4).toSeq
+      groups.foreach { g =>
+        val res = runChild(g.map(n => (n, attemptsFor(n))))
+        g.foreach(n => record(n, res.getOrElse(n, missing(n))))
+      }
+      // 3. heavy queries: SEPARATE child JVMs, one timed attempt each
+      // — with both attempts inside one child, a single co-loaded JVM
+      // sample became the round's number of record three rounds
+      // running (r11 VERDICT: driver q53 63.6s vs 2.9-4.4s on
+      // unchanged code); min across independent children is robust
+      selected.map(_._1).filter(n => heavy(n) && !lifecycle(n))
+        .foreach { n =>
+          val children = if (singleChild(n)) 1 else 2
+          val att = (1 to children).flatMap(_ =>
+            runChild(Seq((n, 1))).getOrElse(n, missing(n)))
+          record(n, att)
+        }
+    }
+    val line = render()
     println(line)
-    // durable copy: a truncated stdout capture (BENCH_r09 lost q01-q29)
-    // must never lose the round's numbers. SPARK_GRAFT_BENCH_OUT
-    // overrides the destination; the default lands in the launch cwd
-    // (the repo root under the driver's invocation).
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "BENCH_local.json")),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(_) => () } // stdout still rules
+    persist(line)
     spark.stop()
   }
 }
