@@ -134,11 +134,16 @@ object Sampling {
     * (spread off single-split sources); the bucket-weight table is
     * ≤ `nBuckets` rows and BROADCASTS into the per-doc dot product, so
     * scoring is one gram-keyed partial agg + a map-side join — no
-    * all-pairs, no driver state. The final selection flag ranks whole
-    * docs (one row per doc); at extreme scale swap the exact
-    * row_number for a sampled threshold or the bounded
-    * [[graft.functions]] top-k aggregate — the SCORES are the operator's
-    * contract, the flag is a convenience.
+    * all-pairs, no driver state. The selection flag is a TWO-PASS
+    * EXACT THRESHOLD (r12 verdict #2 — the previous corpus-wide
+    * `row_number` window moved one row per document through a single
+    * task): [[kthValueLong]] finds the k-th largest score in a bounded
+    * number of histogram passes, ties at the boundary score admit by
+    * ascending id via a second bounded rank inside the boundary rows
+    * only, and the flag itself is a map-side comparison. Same selected
+    * set as `ORDER BY score DESC, id` row-numbering (ids must be
+    * unique integrals — they are document keys). No plan node of the
+    * operator is a partitionless window (PlanShapeSpec pins it).
     *
     * Returns one row per document: `(idCol, dsir_score, selected)`;
     * documents with no features score 0.
@@ -167,32 +172,114 @@ object Sampling {
         (conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
           % nBuckets).as("b"))
       .cache()
-    // bucket census: raw ⊇ target, so every occurring bucket has a row
+    // bucket census: raw ⊇ target, so every occurring bucket has a row.
+    // The two census totals ride in on a broadcast one-row cross join
+    // (NOT a partitionless window — the arithmetic is bit-identical,
+    // the plan shape is map-side)
     val bc = fb.groupBy(col("b")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).as("ct"))
-    val all = Window.partitionBy()
-    val w8 = bc.select(col("b"),
+    val totals = bc.agg(sum(col("ct")).as("__tct"), sum(col("cr")).as("__tcr"))
+    val w8 = bc.crossJoin(broadcast(totals)).select(col("b"),
       floor(((col("ct") + lit(1.0)) /
-          (sum(col("ct")).over(all) + lit(nBuckets.toLong))) /
+          (col("__tct") + lit(nBuckets.toLong))) /
         ((col("cr") + lit(1.0)) /
-          (sum(col("cr")).over(all) + lit(nBuckets.toLong))) *
+          (col("__tcr") + lit(nBuckets.toLong))) *
         lit(1000000.0) + lit(0.5)).cast("long").as("wgt"))
     val db = fb.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("n"))
     val scored = db.join(broadcast(w8), Seq("b"))
       .groupBy(col(idCol))
       .agg(sum(col("n") * col("wgt")).as("__score"))
-    val ranked = docs.select(col(idCol))
+    val withScore = docs.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__score"), lit(0L)).as("dsir_score"))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("dsir_score").desc, col(idCol))))
-      .withColumn("__nn", count(lit(1)).over(all))
-    // rn·1000 ≤ n·‰ ⟺ rn ≤ floor(n·‰/1000): pure integer comparison,
-    // no division to disagree on
-    ranked.select(col(idCol), col("dsir_score"),
-      (col("__rn") * lit(1000L) <=
-        col("__nn") * lit(selectPerMille.toLong)).as("selected"))
+      .cache()
+    // k = floor(n·‰/1000) — identical to the old `rn·1000 ≤ n·‰` rule
+    val n = withScore.count()
+    val k = n * selectPerMille / 1000
+    val selectedCol =
+      if (k <= 0) lit(false)
+      else if (k >= n) lit(true)
+      else {
+        val (s, above) = kthValueLong(withScore, "dsir_score", k,
+          largest = true)
+        val tAdmit = k - above // boundary-score ties taken, smallest ids
+        val boundary = withScore.filter(col("dsir_score") === lit(s))
+        val ties = boundary.count()
+        if (tAdmit <= 0) col("dsir_score") > lit(s)
+        else if (tAdmit >= ties) col("dsir_score") >= lit(s)
+        else {
+          val (idCut, _) = kthValueLong(boundary, idCol, tAdmit,
+            largest = false)
+          col("dsir_score") > lit(s) ||
+            (col("dsir_score") === lit(s) &&
+              col(idCol).cast("long") <= lit(idCut))
+        }
+      }
+    withScore.withColumn("selected", selectedCol)
+  }
+
+  /** Exact k-th largest (or smallest) value of a long column, plus the
+    * count of rows strictly ORDERED BEFORE it, without a global sort:
+    * iterative histogram refinement — each pass buckets the candidate
+    * value range into ≤ 2^20 slots (one distributed aggregate, ≤ 2^20
+    * driver rows), the driver walks the tiny histogram to the bucket
+    * containing rank k and recurses into it. A 64-bit value domain
+    * resolves in ≤ 4 passes; the final pass histograms exact values.
+    * This is the scale-safe replacement for a corpus-wide
+    * `row_number()` window (one row per document through ONE task —
+    * the r12 verdict's flagged shape) and the same histogram-threshold
+    * idea [[stratifiedSampleExact]] uses per stratum, generalized to
+    * the full long range.
+    */
+  private[graft] def kthValueLong(df0: DataFrame, c: String, k: Long,
+                                  largest: Boolean): (Long, Long) = {
+    require(k >= 1, s"rank must be positive, got $k")
+    val df = df0.select(col(c).cast("long").as("__v"))
+    val mm = df.agg(min(col("__v")).as("mn"), max(col("__v")).as("mx")).head()
+    require(!mm.isNullAt(0), "kthValueLong on an empty input")
+    var lo = mm.getLong(0)
+    var hi = mm.getLong(1)
+    // (hi − lo) must fit a signed long so bucket arithmetic stays exact;
+    // real score/id domains are non-negative and never approach it
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"value span [$lo, $hi] exceeds the supported range")
+    val ord = if (largest) Ordering.Long.reverse else Ordering.Long
+    val MaxB = 1L << 20
+    var rank = k    // 1-based rank within [lo, hi], in `ord` order
+    var before = 0L // rows strictly ordered before the [lo, hi] range
+    while (true) {
+      val nVals = hi - lo + 1 // no overflow per the require above
+      if (nVals >= 1 && nVals <= MaxB) {
+        val hist = df.filter(col("__v") >= lit(lo) && col("__v") <= lit(hi))
+          .groupBy(col("__v")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1)(ord)
+        var cum = 0L
+        hist.foreach { case (v, cnt) =>
+          if (cum + cnt >= rank) return (v, before + cum)
+          cum += cnt
+        }
+        throw new IllegalStateException(
+          s"rank $rank exceeds the ${cum} rows in [$lo, $hi]")
+      }
+      val w = ((BigInt(nVals) + MaxB - 1) / MaxB).toLong
+      val hist = df.filter(col("__v") >= lit(lo) && col("__v") <= lit(hi))
+        .select(expr(s"CAST((__v - ${lo}L) DIV ${w}L AS LONG)").as("__bk"))
+        .groupBy(col("__bk")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)(ord)
+      var cum = 0L
+      val bk = hist.collectFirst {
+        case (b, cnt) if { val hit = cum + cnt >= rank; if (!hit) cum += cnt; hit } => b
+      }.getOrElse(throw new IllegalStateException(
+        s"rank $rank exceeds the ${cum} rows in [$lo, $hi]"))
+      before += cum
+      rank -= cum
+      lo = lo + bk * w
+      hi = math.min(hi, lo + w - 1)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and

@@ -153,6 +153,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
 
+  test("DSIR scoring and selection plan has NO window at all — the " +
+      "corpus-wide row_number was the r12 scale flag") {
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"some words here number ${i % 9}", i % 3 == 0))
+      .toDF("doc_id", "text", "is_en")
+    val df = graft.operators.Sampling.dsirImportance(docs, "doc_id",
+      "text", isTarget = col("is_en"), nBuckets = 64, selectPerMille = 250)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // not one Window node anywhere: census totals ride a broadcast
+    // cross join, the selection threshold is two bounded histogram
+    // passes + a map-side comparison
+    assert(!plan.contains("Window"),
+      s"DSIR must not plan any window:\n${plan.take(2000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+  }
+
   test("manifest-pruned read scans only surviving files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-planshape-").toString

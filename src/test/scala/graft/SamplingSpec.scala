@@ -57,6 +57,66 @@ class SamplingSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("kthValueLong: exact rank threshold in bounded histogram passes " +
+      "(both directions, ties, wide value range)") {
+    // values deliberately WIDER than one 2^20 bucket level so the
+    // recursion actually descends, with heavy ties
+    val rnd = new scala.util.Random(42)
+    val vals = (1 to 4000).map(_ =>
+      (rnd.nextInt(50) match {
+        case x if x < 10 => 7L                    // tie block
+        case x if x < 20 => 1L << 40              // high tie block
+        case _ => rnd.nextLong() % (1L << 44)     // scattered, ± range
+      }))
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val sortedDesc = vals.sorted(Ordering.Long.reverse)
+    val sortedAsc = vals.sorted
+    for (k <- Seq(1L, 2L, 37L, 400L, 3999L, 4000L)) {
+      val (dv, dAbove) = Sampling.kthValueLong(df, "v", k, largest = true)
+      assert(dv == sortedDesc((k - 1).toInt), s"desc value at k=$k")
+      assert(dAbove == sortedDesc.count(_ > dv), s"desc above-count at k=$k")
+      val (av, aBelow) = Sampling.kthValueLong(df, "v", k, largest = false)
+      assert(av == sortedAsc((k - 1).toInt), s"asc value at k=$k")
+      assert(aBelow == sortedAsc.count(_ < av), s"asc below-count at k=$k")
+    }
+    // degenerate: all values identical
+    val one = (1 to 10).map(i => (i.toLong, 5L)).toDF("id", "v")
+    assert(Sampling.kthValueLong(one, "v", 4, largest = true) == (5L, 0L))
+  }
+
+  test("dsirImportance selection equals the ranking-window reference, " +
+      "boundary ties resolved by ascending id") {
+    // duplicate texts force SCORE TIES so the boundary id-cut path runs
+    val docs = (1 to 300).map { i =>
+      val txt = i % 5 match {
+        case 0 => "the quick brown fox jumps"
+        case 1 => "der schnelle braune fuchs"
+        case 2 => "the quick brown fox jumps"   // tie with case 0
+        case 3 => "completely different words here"
+        case _ => "the lazy dog sleeps"
+      }
+      (i.toLong, txt, if (i % 3 == 0) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirImportance(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 64, selectPerMille = 333)
+    val byId = got.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(byId.size == 300)
+    // reference: the exact global ranking the operator must reproduce
+    val scores = byId.toSeq.map { case (id, (s, _)) => (id, s) }
+    val wantSel = scores.sortBy { case (id, s) => (-s, id) }
+      .take(300 * 333 / 1000).map(_._1).toSet
+    assert(wantSel.size == 99)
+    byId.foreach { case (id, (_, sel)) =>
+      assert(sel == wantSel(id), s"doc $id selected=$sel want=${wantSel(id)}")
+    }
+    // boundary must actually have been tied (else the fixture is weak)
+    val cut = scores.sortBy { case (id, s) => (-s, id) }.apply(98)._2
+    assert(scores.count(_._2 == cut) > 1,
+      "fixture must exercise the tied-boundary id cut")
+  }
+
   test("temperatureQuotas: α contract (caps, floors, direction)") {
     val df = (1 to 1600).map(i => (i.toLong,
       if (i <= 1000) "big" else if (i <= 1500) "mid" else "small"))
