@@ -1893,6 +1893,22 @@ object SparkEntry {
         "FROM q138_net")
     }),
 
+    "q139_media_sniff" -> ((s, d) =>
+      // four REAL container formats cycling by id (PNG, JPEG, GIF, BMP
+      // — the JDK's own ImageIO writers), decoded back by pure header
+      // inspection (MediaCodec): dimensions/channels/format are all
+      // id-predictable, so the oracle states the full decode output
+      // without being able to produce a single byte of it
+      Multimodal.decodeImages(s,
+          Multimodal.withImagePayload(s, t(s, d, "documents"), "doc_id",
+            id => (id % 4) match {
+              case 0 => "png"
+              case 1 => "jpg"
+              case 2 => "gif"
+              case _ => "bmp"
+            }))
+        .toDF().select("id", "format", "width", "height", "channels")),
+
     "q125_sql_rename_to" -> ((s, d) => {
       // ALTER TABLE ... RENAME TO over the named catalog (the V2 rename
       // resolves through the deliberately-unserved loadTable, so the
@@ -2524,20 +2540,32 @@ object SparkEntry {
         .toDF("n_vectors", "n_queries", "recall_at10_ok")
     }),
 
+    // REAL codec since r13 (the r12 #3 ask): per row, a genuine PNG is
+    // encoded from id-derived dimensions (javax.imageio, partition-
+    // parallel) and decoded back by pure header inspection — the
+    // oracle predicts the decode from the id arithmetic alone.
+    // n_bytes is the (deterministic but SQL-unpredictable) encoded
+    // size, so the query projects it away.
     "q40_image_meta" -> ((s, d) =>
       Multimodal.decodeImages(s,
-          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
-        .toDF()),
+          Multimodal.withImagePayload(s, t(s, d, "documents"), "doc_id",
+            _ => "png"))
+        .toDF().select("id", "width", "height", "channels", "format")),
 
     "q41_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(
         Multimodal.decodeImages(s,
-          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
+          Multimodal.withImagePayload(s, t(s, d, "documents"), "doc_id",
+            _ => "png"))
           .toDF(), step = 24)),
 
+    // real RIFF/WAVE fixtures (44-byte canonical header, PCM s16le
+    // mono 16 kHz, 1000 + id mod 9000 frames) → header decode; every
+    // output field is id-predictable including n_bytes = 44 + 2·n
     "q42_audio_meta" -> ((s, d) =>
-      Multimodal.audioMeta(
-        Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))),
+      Multimodal.decodeAudio(s,
+          Multimodal.withAudioPayload(s, t(s, d, "documents"), "doc_id"))
+        .toDF()),
 
     "q46_chunking" -> ((s, d) =>
       TextAnalysis.chunk(t(s, d, "documents"), "doc_id", "text",
@@ -2571,7 +2599,8 @@ object SparkEntry {
     "q45_image_resize" -> ((s, d) =>
       Multimodal.resize(
         Multimodal.decodeImages(s,
-          Multimodal.withBinaryPayload(t(s, d, "documents"), "doc_id", "text"))
+          Multimodal.withImagePayload(s, t(s, d, "documents"), "doc_id",
+            _ => "png"))
           .toDF(), factor = 2)),
 
     "q53_dedup_clusters" -> ((s, d) => {
@@ -3982,23 +4011,41 @@ object SparkEntry {
         |     AND len(list_filter(embedding, x -> x <> 0)) > 0) AS n_queries,
         |  TRUE AS recall_at10_ok""".stripMargin,
 
+    // REAL codec oracles: fixture dimensions derive from the id alone
+    // (width = 1 + id%64, height = 1 + 7·id%48 — Multimodal.fixture*),
+    // so DuckDB predicts the header-decode output exactly
     "q40_image_meta" ->
-      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-        | CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-        | CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
-        | 3 AS channels, 'fake/rgb8' AS format
+      """SELECT doc_id AS id,
+        | CAST(1 + doc_id % 64 AS INT) AS width,
+        | CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+        | 3 AS channels, 'png' AS format
         |FROM documents""".stripMargin,
 
     "q41_frame_sample" ->
       """WITH img AS (SELECT doc_id AS id,
-        |  CAST(octet_length(encode(text)) % 240 + 1 AS INT) AS n_frames FROM documents)
+        |  CAST(((1 + doc_id % 64) * (1 + (doc_id * 7) % 48)) % 240 + 1
+        |    AS INT) AS n_frames FROM documents)
         |SELECT id, n_frames, CAST(unnest(range(0, n_frames, 24)) AS INT) AS frame_idx
         |FROM img""".stripMargin,
 
+    // canonical WAV fixtures: n_samples = 1000 + id%9000, 16 kHz mono
+    // s16le, 44-byte header → every field integer-predictable
     "q42_audio_meta" ->
-      """SELECT doc_id AS id, octet_length(encode(text)) AS n_bytes,
-        | octet_length(encode(text)) // 2 AS n_samples,
-        | round((octet_length(encode(text)) // 2) / 16000.0, 6) AS duration_s
+      """SELECT doc_id AS id,
+        | CAST(44 + 2 * (1000 + doc_id % 9000) AS BIGINT) AS n_bytes,
+        | 1 AS channels, 16000 AS sample_rate, 16 AS bits_per_sample,
+        | CAST(1000 + doc_id % 9000 AS BIGINT) AS n_samples,
+        | CAST((1000 + doc_id % 9000) * 1000000 // 16000 AS BIGINT)
+        |   AS duration_us
+        |FROM documents""".stripMargin,
+
+    "q139_media_sniff" ->
+      """SELECT doc_id AS id,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+        | CAST(1 + doc_id % 64 AS INT) AS width,
+        | CAST(1 + (doc_id * 7) % 48 AS INT) AS height,
+        | 3 AS channels
         |FROM documents""".stripMargin,
 
     "q44_token_percentiles" ->
@@ -4104,8 +4151,8 @@ object SparkEntry {
 
     "q45_image_resize" ->
       """WITH img AS (SELECT doc_id AS id,
-        |  CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + (doc_id * 7) % 48 AS INT) AS height
         |  FROM documents)
         |SELECT id, CAST(width // 2 AS INT) AS out_width,
         |  CAST(height // 2 AS INT) AS out_height,

@@ -787,11 +787,14 @@ class SnapshotTableSpec extends SparkSpec {
       .select(col("id"), org.apache.spark.sql.functions.length(col("payload")).as("n"))
       .as[(Long, Int)].collect().toMap
     assert(back == (1 to 20).map(i => i.toLong -> i * 10).toMap)
-    // and the multimodal decode runs over the stored bytes
+    // and the multimodal decode runs over the stored bytes: these are
+    // NOT media payloads, so the header sniff lands on the row-level
+    // unknown outcome instead of failing the task
     val metas = graft.operators.Multimodal.decodeImages(spark,
       tbl.read(spark).select(col("id"), col("payload"))).collect()
     assert(metas.length == 20)
-    assert(metas.forall(m => m.width == 64 + (m.n_bytes % 512).toInt))
+    assert(metas.forall(m => m.format == "unknown" && m.width == 0 &&
+      m.n_bytes > 0))
   }
 
   test("commits after rollback never overwrite retained snapshots") {
