@@ -97,7 +97,8 @@ object Bench {
       "q121_entries_all_files", "q125_sql_rename_to",
       "q127_position_deletes", "q130_metadata_namespace",
       "q134_register_table", "q135_migrate_in_place",
-      "q137_stream_outer_join", "q138_changelog_net_view")
+      "q137_stream_outer_join", "q138_changelog_net_view",
+      "q140_partition_stats")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set

@@ -94,6 +94,8 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *   - ``graft.`/path@position_deletes` `` — pending positional
   *     tombstone ROWS (file_path, pos)
   *   - ``graft.`/path@stats` ``    — stored per-column NDV estimates
+  *   - ``graft.`/path@partition_stats` `` — per-partition rollups +
+  *     delete debt + sketch-store staleness
   *   - ``graft.`/path@entries` ``  — per-entry rows of the current
   *     snapshot (status added/existing/deleted, delete files included)
   *   - ``graft.`/path@all_files` `` — distinct data files across ALL
@@ -115,7 +117,8 @@ case class GraftPathRelations(session: SparkSession)
 
   private val Suffixed =
     ("(.*)@(v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|" +
-      "manifests|delete_files|position_deletes|stats|entries|all_files|" +
+      "manifests|delete_files|position_deletes|stats|partition_stats|" +
+      "entries|all_files|" +
       "all_manifests|all_entries|all_data_files|all_delete_files|" +
       "metadata_log_entries)$").r
 
@@ -168,6 +171,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("delete_files")            => tbl.deleteFilesRelation(session)
       case Some("position_deletes")        => tbl.positionDeletesRelation(session)
       case Some("stats")                   => tbl.statsRelation(session)
+      case Some("partition_stats")         => tbl.partitionStatsRelation(session)
       case Some("entries")                 => tbl.entriesRelation(session)
       case Some("all_files")               => tbl.allFilesRelation(session)
       case Some("all_manifests")           => tbl.allManifestsRelation(session)
@@ -899,6 +903,7 @@ private[graft] object GraftSqlDml {
         Seq("table", "target_file_size_bytes")
       case "rewrite_manifests" => Seq("table")
       case "compute_table_stats" => Seq("table", "columns")
+      case "compute_partition_stats" => Seq("table", "columns")
       case "ancestors_of" => Seq("table", "snapshot_id")
       case "rollback_to_snapshot" => Seq("table", "version")
       case "rollback_to_timestamp" => Seq("table", "timestamp")
@@ -926,7 +931,7 @@ private[graft] object GraftSqlDml {
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
           "rewrite_position_delete_files, rewrite_manifests, " +
-          "compute_table_stats, ancestors_of, " +
+          "compute_table_stats, compute_partition_stats, ancestors_of, " +
           "rollback_to_snapshot, rollback_to_timestamp, " +
           "set_current_snapshot, cherrypick_snapshot, add_files, " +
           "snapshot, migrate, register_table, publish_changes, " +
@@ -1098,6 +1103,20 @@ private[graft] object GraftSqlDml {
         val ndv = tbl.computeTableStats(session, cols)
         import session.implicits._
         return Some(ndv.toSeq.sortBy(_._1).toDF("column_name", "ndv")
+          .queryExecution.analyzed)
+      case "compute_partition_stats" =>
+        // per-partition NDV rollups (Iceberg's compute_partition_stats);
+        // row-returning: (partition, column_name, ndv)
+        val cols = bound.get("columns") match {
+          case Some(s: String) =>
+            s.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          case Some(o) => throw new UnsupportedOperationException(
+            s"columns must be a comma-separated string, got $o")
+          case None => Nil
+        }
+        val rows = tbl.computePartitionStats(session, cols)
+        import session.implicits._
+        return Some(rows.toDF("partition", "column_name", "ndv")
           .queryExecution.analyzed)
       case "create_changelog_view" =>
         // Iceberg's create_changelog_view analog: registers a session

@@ -1893,6 +1893,57 @@ object SparkEntry {
         "FROM q138_net")
     }),
 
+    "q140_partition_stats" -> ((s, d) => {
+      // Iceberg compute_partition_stats analog: per-partition NDV
+      // sketches with the q113 incremental discipline — the second
+      // CALL after a pure append scans ONLY the delta and unions
+      // sketches per partition (mode require()d in-query). Output per
+      // (partition, column): the EXACT distinct count (DuckDB's hash
+      // anchor), a constant-TRUE 5% bound on the estimate, and the
+      // partition's record count from @partition_stats.
+      val root = Files.createTempDirectory("graft-q140-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_orderstatus"))
+      s.sql(s"CALL graft.system.compute_partition_stats(table => '$root'," +
+        " columns => 'o_custkey,o_orderpriority')")
+      table.append(s, orders.filter(col("o_orderkey") % 2 =!= 0))
+      val ndvRows = s.sql("CALL graft.system.compute_partition_stats(" +
+        s"table => '$root', columns => 'o_custkey,o_orderpriority')")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val (ver, mode, _) = table.partitionStats.getOrElse(
+        sys.error("partition stats must exist after CALL"))
+      require(mode == "incremental" && ver == table.currentVersion,
+        s"the append-only recompute must be incremental ($mode @ v$ver)")
+      val rel = table.partitionStatsRelation(s)
+        .select(col("partition"), col("data_record_count"),
+          col("stats_current"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+      require(rel.valuesIterator.forall(_._2),
+        "@partition_stats must read stats_current after the CALL")
+      val exact = table.read(s).groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("c1"),
+          countDistinct(col("o_orderpriority")).as("c2"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      import s.implicits._
+      exact.keys.toSeq.sorted.flatMap { st =>
+        val pk = s"o_orderstatus=$st"
+        Seq("o_custkey" -> exact(st)._1,
+            "o_orderpriority" -> exact(st)._2).map { case (c, ex) =>
+          (pk, c, ex,
+            math.abs(ndvRows((pk, c)) - ex) <=
+              math.max(1L, (0.05 * ex).toLong),
+            rel(pk)._1)
+        }
+      }.toDF("partition", "column_name", "exact_ndv", "within_5pct",
+        "record_count")
+    }),
+
     "q139_media_sniff" -> ((s, d) =>
       // four REAL container formats cycling by id (PNG, JPEG, GIF, BMP
       // — the JDK's own ImageIO writers), decoded back by pure header
@@ -4038,6 +4089,23 @@ object SparkEntry {
         | CAST((1000 + doc_id % 9000) * 1000000 // 16000 AS BIGINT)
         |   AS duration_us
         |FROM documents""".stripMargin,
+
+    // per-partition exact NDV recomputed by DuckDB (the hash anchor);
+    // the sketch's 5% bound reduces to a constant-TRUE boolean
+    "q140_partition_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus, count(*) AS rc,
+        |    count(DISTINCT o_custkey) AS n1,
+        |    count(DISTINCT o_orderpriority) AS n2
+        |  FROM orders GROUP BY 1)
+        |SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |  'o_custkey' AS column_name, CAST(n1 AS BIGINT) AS exact_ndv,
+        |  TRUE AS within_5pct, CAST(rc AS BIGINT) AS record_count
+        |FROM base
+        |UNION ALL
+        |SELECT 'o_orderstatus=' || o_orderstatus, 'o_orderpriority',
+        |  CAST(n2 AS BIGINT), TRUE, CAST(rc AS BIGINT)
+        |FROM base""".stripMargin,
 
     "q139_media_sniff" ->
       """SELECT doc_id AS id,

@@ -2750,6 +2750,240 @@ final class SnapshotTable(val root: Path,
     }.toDF("column_name", "ndv", "stats_version", "is_current", "mode")
   }
 
+  private def partitionStatsFile: Path = metaDir.resolve("_partition_stats.json")
+
+  /** Iceberg `compute_partition_stats` analog: per-PARTITION NDV
+    * sketches for the current snapshot, stored in
+    * `meta/_partition_stats.json` and surfaced (with the manifest's
+    * free per-partition rollups) through [[partitionStatsRelation]].
+    * Returns `(partition, column, ndv)` sorted rows.
+    *
+    * Follows [[computeTableStats]]' incremental pattern exactly: when
+    * the stored stats' snapshot is a pure-append ancestor (file-set
+    * proof) AND the partition spec is unchanged, only the DELTA files
+    * are scanned, grouped by partition, and their sketches
+    * `hll_union` with the stored ones per partition — partitions
+    * untouched by the delta carry their stored sketches, new
+    * partitions enter from the delta alone. Any rewrite, spec change,
+    * new column or type change falls back to one full scan.
+    *
+    * Partition keys use the census rendering (partition values CAST AS
+    * STRING, `k=v/...`) — the same strings the manifest records, so
+    * the relation's rollup rows and the sketch store join exactly.
+    * Unpartitioned tables refuse (Iceberg's own rule); per-partition
+    * output is capped at [[SnapshotTable.MaxCensusPartitions]] —
+    * beyond it the procedure fails loudly instead of materializing an
+    * unbounded driver census.
+    */
+  def computePartitionStats(spark: SparkSession,
+                            columns: Seq[String] = Nil)
+      : Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, expr, base64, lit}
+    val m = currentManifest
+    val pcols = m.partitionColumns
+    require(pcols.nonEmpty,
+      s"compute_partition_stats: table $root is unpartitioned")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val cols: Seq[String] =
+      if (columns.nonEmpty)
+        columns.map(c => schema.fields
+          .find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no column '$c' on $root")).name)
+      else schema.fields.map(_.name).toSeq.filterNot(pcols.contains)
+    require(cols.nonEmpty, "compute_partition_stats: no columns to sketch")
+    def typeOf(c: String) = schema.fields.find(_.name == c).get.dataType
+    def sketchInput(c: String): String = typeOf(c) match {
+      case IntegerType | LongType | StringType | BinaryType => s"`$c`"
+      case _ => s"CAST(`$c` AS STRING)"
+    }
+    def flatten(parts: Map[String, Map[String, (Long, Option[String])]])
+        : Seq[(String, String, Long)] =
+      parts.toSeq.sortBy(_._1).flatMap { case (pk, cm) =>
+        cols.flatMap(c => cm.get(c).map(v => (pk, c, v._1)))
+      }
+    val stored = readPartitionStats()
+    stored match {
+      case Some((sv, _, parts))
+          if sv == m.version &&
+            parts.valuesIterator.forall(cm => cols.forall(cm.contains)) =>
+        return flatten(parts) // fresh: answered from the store
+      case _ =>
+    }
+    val incremental: Option[(Long, DataFrame)] = stored.flatMap {
+      case (sv, _, parts)
+          if sv != m.version &&
+            manifestVersions.contains(sv) &&
+            manifest(sv).partitionColumns == pcols &&
+            parts.valuesIterator.forall(cm => cols.forall(cm.contains)) && {
+              val old = StructType.fromDDL(manifest(sv).schemaDdl)
+              cols.forall(c => old.fields.exists(f =>
+                f.name == c && f.dataType == typeOf(c)))
+            } =>
+        scala.util.Try(readIncrementalBetween(spark, sv, m.version,
+          requireAppendOnly = true)).toOption.map(sv -> _)
+      case _ => None
+    }
+    val (mode, source) = incremental match {
+      case Some((_, delta)) => ("incremental", delta)
+      case None => ("full", read(spark))
+    }
+    val pkey = concat_ws("/",
+      pcols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+    val agg = source.groupBy(pkey.as("__pk"))
+      .agg(expr(s"hll_sketch_agg(${sketchInput(cols.head)})").as(cols.head),
+        cols.tail.map(c =>
+          expr(s"hll_sketch_agg(${sketchInput(c)})").as(c)): _*)
+    // incremental union: stored sketches ride in as a (tiny) b64 side
+    // table, full-outer joined per partition — untouched partitions
+    // keep their stored sketch, fresh partitions come from the delta
+    val merged = incremental match {
+      case None => agg
+      case Some(_) =>
+        val storedParts = stored.get._3
+        val sSchema = StructType(
+          StructField("__pk", StringType) +:
+            cols.map(c => StructField(s"__old_$c", StringType)))
+        val sRows = storedParts.toSeq.map { case (pk, cm) =>
+          org.apache.spark.sql.Row.fromSeq(
+            pk +: cols.map(c => cm.get(c).flatMap(_._2).getOrElse("")))
+        }
+        val storedDf = spark.createDataFrame(
+          new java.util.ArrayList(sRows.asJava), sSchema)
+        agg.join(storedDf, Seq("__pk"), "full_outer")
+          .select(col("__pk") +: cols.map { c =>
+            expr(
+              s"""CASE
+                 | WHEN `$c` IS NULL AND coalesce(`__old_$c`, '') = ''
+                 |   THEN CAST(NULL AS BINARY)
+                 | WHEN `$c` IS NULL THEN unbase64(`__old_$c`)
+                 | WHEN coalesce(`__old_$c`, '') = '' THEN `$c`
+                 | ELSE hll_union(`$c`, unbase64(`__old_$c`))
+                 |END""".stripMargin).as(c)
+          }: _*)
+    }
+    val cap = SnapshotTable.MaxCensusPartitions
+    val rows = merged.select(col("__pk") +: cols.flatMap(c => Seq(
+        base64(col(c)).as(s"${c}__sk"),
+        expr(s"CASE WHEN `$c` IS NULL THEN 0L " +
+          s"ELSE hll_sketch_estimate(`$c`) END").as(s"${c}__ndv"))): _*)
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"compute_partition_stats: more than $cap partitions on $root")
+    val out: Map[String, Map[String, (Long, Option[String])]] =
+      rows.map { r =>
+        r.getString(0) -> cols.zipWithIndex.map { case (c, i) =>
+          c -> ((r.getLong(2 + 2 * i),
+            Option(r.getString(1 + 2 * i)).filter(_.nonEmpty)))
+        }.toMap
+      }.toMap
+    writePartitionStats(m.version, mode, out)
+    flatten(out)
+  }
+
+  /** Stored partition stats:
+    * (snapshot version, mode, partition → column → (ndv, sketch b64)).
+    */
+  private def readPartitionStats(): Option[(Long, String,
+      Map[String, Map[String, (Long, Option[String])]])] =
+    if (!Files.exists(partitionStatsFile)) None
+    else scala.util.Try {
+      val o = JsonLite.parse(new String(
+        Files.readAllBytes(partitionStatsFile), StandardCharsets.UTF_8))
+        .asInstanceOf[Map[String, Any]]
+      val parts = o("partitions").asInstanceOf[Map[String, Any]].map {
+        case (pk, pv) =>
+          pk -> pv.asInstanceOf[Map[String, Any]].map { case (c, v) =>
+            val cv = v.asInstanceOf[Map[String, Any]]
+            c -> ((cv("ndv").asInstanceOf[Number].longValue(),
+              cv.get("sketch").collect {
+                case s: String if s.nonEmpty => s }))
+          }
+      }
+      (o("version").asInstanceOf[Number].longValue(),
+        o.getOrElse("mode", "full").asInstanceOf[String], parts)
+    }.toOption
+
+  private def writePartitionStats(version: Long, mode: String,
+      parts: Map[String, Map[String, (Long, Option[String])]]): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val body = parts.toSeq.sortBy(_._1).map { case (pk, cm) =>
+      val inner = cm.toSeq.sortBy(_._1).map { case (c, (ndv, sk)) =>
+        s""""${esc(c)}":{"ndv":$ndv,"sketch":"${sk.getOrElse("")}"}"""
+      }.mkString(",")
+      s""""${esc(pk)}":{$inner}"""
+    }.mkString(",")
+    val json =
+      s"""{"version":$version,"mode":"$mode","partitions":{$body}}"""
+    val tmp = Files.createTempFile(metaDir, "._pstats", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, partitionStatsFile, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Stored per-partition NDV estimates: (stats snapshot version, mode,
+    * partition → column → ndv). None before any
+    * [[computePartitionStats]].
+    */
+  def partitionStats: Option[(Long, String, Map[String, Map[String, Long]])] =
+    readPartitionStats().map { case (v, mode, parts) =>
+      (v, mode, parts.map { case (pk, cm) =>
+        pk -> cm.map { case (c, (ndv, _)) => c -> ndv } })
+    }
+
+  /** ``@partition_stats`` metadata relation (Iceberg's partition stats
+    * files, flattened): one row per partition of the CURRENT snapshot —
+    * the manifest's free rollups (file/row/byte totals, the `-1`
+    * unknown sentinel matching [[partitions]]), the pending MoR delete
+    * debt scoped to the partition, and the sketch store's staleness
+    * columns (`stats_version`/`stats_current`, null/false before any
+    * compute). The heavy per-column NDV values come back as CALL rows
+    * from [[computePartitionStats]] — this relation stays flat and
+    * scalar (struct/map outputs don't hash across engines).
+    */
+  def partitionStatsRelation(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = currentManifest
+    def render(p: Map[String, String]): String =
+      p.map { case (k, v) => s"$k=$v" }.mkString("/")
+    // delete debt per partition: O(pending files), driver-tiny
+    val del = m.deleteFiles.groupBy(d => render(d.partition)).map {
+      case (pk, ds) =>
+        val (pos, eq) = ds.partition(_.positional)
+        def rowsOf(s: Seq[DeleteEntry]): Long =
+          if (s.exists(_.rows < 0)) -1L else s.map(_.rows).sum
+        (pk, pos.size.toLong, rowsOf(pos), eq.size.toLong, rowsOf(eq))
+    }.toSeq
+    import spark.implicits._
+    val delDf = del.toDF("partition", "position_delete_file_count",
+      "position_delete_record_count", "equality_delete_file_count",
+      "equality_delete_record_count")
+    val st = readPartitionStats()
+    val rollups = partitions(spark)
+      .withColumnRenamed("file_count", "data_file_count")
+      .withColumnRenamed("record_count", "data_record_count")
+      .withColumnRenamed("total_size_bytes", "total_data_file_size_bytes")
+    rollups.join(delDf, Seq("partition"), "left")
+      .select(col("partition"), col("data_file_count"),
+        col("data_record_count"), col("total_data_file_size_bytes"),
+        coalesce(col("position_delete_file_count"), lit(0L))
+          .as("position_delete_file_count"),
+        coalesce(col("position_delete_record_count"), lit(0L))
+          .as("position_delete_record_count"),
+        coalesce(col("equality_delete_file_count"), lit(0L))
+          .as("equality_delete_file_count"),
+        coalesce(col("equality_delete_record_count"), lit(0L))
+          .as("equality_delete_record_count"),
+        st.map(s => lit(s._1)).getOrElse(lit(null))
+          .cast("bigint").as("stats_version"),
+        lit(st.exists(_._1 == m.version)).as("stats_current"))
+  }
+
   /** Force a manifest rewrite (Iceberg `rewrite_manifests` procedure
     * analog): fold inline entries into chunk documents and rebuild the
     * chunk layout at the bucket count the CURRENT live-file total calls
@@ -5733,7 +5967,8 @@ object SnapshotTable {
     */
   private[table] val ReservedRefNames =
     "v[0-9]+|ts[0-9]+|history|files|refs|snapshots|partitions|manifests|" +
-      "delete_files|position_deletes|stats|entries|all_files|" +
+      "delete_files|position_deletes|stats|partition_stats|entries|" +
+      "all_files|" +
       "all_manifests|all_entries|all_data_files|all_delete_files|" +
       "metadata_log_entries"
 

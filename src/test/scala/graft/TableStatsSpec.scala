@@ -61,6 +61,77 @@ class TableStatsSpec extends SparkSpec {
     assert(ndv4 == ndv3.filter { case (k, _) => ndv4.contains(k) })
   }
 
+  test("partition stats: per-partition NDV, incremental union on " +
+      "append, full after rewrite, @partition_stats rollups + debt") {
+    val base = spark
+    import base.implicits._
+    val root = Files.createTempDirectory("graft-pstats-").toString + "/t"
+    val t = SnapshotTable.at(root)
+    def mk(r: Range) = r
+      .map(i => (i.toLong, i % 3, s"s${i % 40}", s"u${i % 11}"))
+      .toDF("id", "p", "s40", "u11")
+    t.createOrReplace(mk(1 to 900), Seq("p"))
+
+    val r1 = t.computePartitionStats(spark).groupBy(_._1)
+    assert(r1.keySet == Set("p=0", "p=1", "p=2"))
+    // per-partition truth: ids split 300 a partition; s40 and u11
+    // cycle within each residue class
+    val byKey = t.computePartitionStats(spark)
+      .map { case (pk, c, n) => (pk, c) -> n }.toMap
+    assert(close(byKey(("p=0", "id")), 300))
+    // s${i%40} within i%3==0: i ∈ {3,6,...,900} → 40/gcd... exact set:
+    // distinct s-values among multiples of 3 mod 40 = 40 (3 coprime 40)
+    assert(byKey(("p=0", "s40")) == 40 && byKey(("p=0", "u11")) == 11)
+    assert(t.partitionStats.exists(s => s._1 == 1L && s._2 == "full"))
+
+    // pure append takes the INCREMENTAL path: only partition p=0 is
+    // touched; untouched partitions carry their stored sketches
+    t.append(spark, (901 to 1200).filter(_ % 3 == 0)
+      .map(i => (i.toLong, 0, s"s${i % 40}", s"u${i % 11}"))
+      .toDF("id", "p", "s40", "u11"))
+    val r2 = t.computePartitionStats(spark)
+      .map { case (pk, c, n) => (pk, c) -> n }.toMap
+    assert(t.partitionStats.exists(s => s._1 == 2L && s._2 == "incremental"),
+      s"append-only lineage must take the incremental path: ${t.partitionStats}")
+    assert(close(r2(("p=0", "id")), 400), s"merged per-partition NDV: $r2")
+    assert(r2(("p=1", "id")) == byKey(("p=1", "id")),
+      "untouched partition keeps its stored sketch")
+
+    // relation: rollups agree with the data; stats current after CALL
+    val rel = t.partitionStatsRelation(spark).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(8), r.getBoolean(9)))).toMap
+    assert(rel("p=0")._1 == 400 && rel("p=1")._1 == 300)
+    assert(rel.valuesIterator.forall(v => v._2 == 2L && v._3))
+
+    // a rewrite breaks the append-only proof → full rescan
+    t.deleteWhere(spark, col("id") > 900)
+    val r3 = t.computePartitionStats(spark)
+      .map { case (pk, c, n) => (pk, c) -> n }.toMap
+    assert(t.partitionStats.exists(_._2 == "full"),
+      s"rewritten lineage must force the full path: ${t.partitionStats}")
+    assert(close(r3(("p=0", "id")), 300))
+
+    // fresh stats short-circuit + the unpartitioned refusal
+    assert(t.computePartitionStats(spark)
+      .map { case (pk, c, n) => (pk, c) -> n }.toMap == r3)
+    val flat = SnapshotTable.at(
+      Files.createTempDirectory("graft-pstats-flat-").toString + "/t")
+    flat.createOrReplace(Seq((1L, "a")).toDF("id", "s"))
+    assert(intercept[IllegalArgumentException] {
+      flat.computePartitionStats(spark)
+    }.getMessage.contains("unpartitioned"))
+
+    // partition-spec evolution between computes forces the full path
+    t.addPartitionField("u11")
+    t.append(spark, Seq((5000L, 0, "s1", "u1")).toDF("id", "p", "s40", "u11")
+      .select(col("id"), col("p"), col("s40"), col("u11")))
+    val r4 = t.computePartitionStats(spark, Seq("id", "s40"))
+    assert(t.partitionStats.exists(_._2 == "full"),
+      "spec change must force the full path")
+    assert(r4.forall(_._1.startsWith("p=")), s"new spec keys: ${r4.take(3)}")
+  }
+
   test("CALL compute_table_stats + column subset + unknown column refuses") {
     val base = spark
     import base.implicits._
