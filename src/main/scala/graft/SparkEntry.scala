@@ -1893,6 +1893,20 @@ object SparkEntry {
         "FROM q138_net")
     }),
 
+    "q141_exact_substr_remove" -> ((s, d) => {
+      // ExactSubstr REMOVAL (Lee et al. 2022): duplicated n-token
+      // windows keep their first corpus-ordered occurrence; covered
+      // tokens of every other occurrence are spliced out and documents
+      // rebuild from survivors. The corpus plants guaranteed spans:
+      // every doc_id % 50 == 0 document rides in twice (the copy under
+      // id + 1000000 loses its entire text to the original).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactSubstrRemove(planted, "doc_id", "text", n = 8)
+    }),
+
     "q140_partition_stats" -> ((s, d) => {
       // Iceberg compute_partition_stats analog: per-partition NDV
       // sketches with the q113 incremental discipline — the second
@@ -4089,6 +4103,49 @@ object SparkEntry {
         | CAST((1000 + doc_id % 9000) * 1000000 // 16000 AS BIGINT)
         |   AS duration_us
         |FROM documents""".stripMargin,
+
+    // keep-first window dedup + ordered token reassembly (the q87
+    // rebuild pattern at word granularity): row_number over (id, q)
+    // per gram marks non-first occurrences, their n positions expand,
+    // survivors string_agg back in order
+    "q141_exact_substr_remove" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |words AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM corpus),
+        |grams AS (
+        |  SELECT id, x.q AS q, x.g AS g FROM (
+        |    SELECT id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |      i -> struct_pack(q := CAST(i - 1 AS BIGINT),
+        |        g := array_to_string(w[i:i+7], ' ')))) AS x
+        |    FROM words WHERE len(w) >= 8)),
+        |marked AS (
+        |  SELECT id, q,
+        |    row_number() OVER (PARTITION BY g ORDER BY id, q) AS rn
+        |  FROM grams),
+        |covered AS (
+        |  SELECT DISTINCT id, q + u AS p FROM (
+        |    SELECT id, q, unnest(generate_series(0, 7)) AS u
+        |    FROM marked WHERE rn > 1)),
+        |posw AS (
+        |  SELECT id, CAST(i - 1 AS BIGINT) AS p, w[i] AS word FROM (
+        |    SELECT id, w, unnest(generate_series(1, len(w))) AS i
+        |    FROM words)),
+        |rebuilt AS (
+        |  SELECT k.id, string_agg(k.word, ' ' ORDER BY k.p) AS clean_text,
+        |    count(*) AS kept
+        |  FROM posw k LEFT JOIN covered c ON c.id = k.id AND c.p = k.p
+        |  WHERE c.id IS NULL GROUP BY k.id)
+        |SELECT ws.id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(len(ws.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(ws.w) - coalesce(r.kept, 0) AS BIGINT) AS n_removed
+        |FROM words ws LEFT JOIN rebuilt r ON ws.id = r.id""".stripMargin,
 
     // per-partition exact NDV recomputed by DuckDB (the hash anchor);
     // the sketch's 5% bound reduces to a constant-TRUE boolean

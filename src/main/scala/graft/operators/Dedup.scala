@@ -475,4 +475,70 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
   }
+
+  /** ExactSubstr REMOVAL (Lee et al. 2022 §4.1 — the production pass
+    * whose measurement twin is [[TextAnalysis.sharedWindowStats]], and
+    * whose fixed-boundary cousin is [[chunkDedup]]): every n-token
+    * window occurring more than once in the corpus keeps its FIRST
+    * occurrence in corpus order (ordered by `(id, offset)`), every
+    * token covered by any NON-first occurrence is removed, and each
+    * document rebuilds from its surviving tokens in order. Tokens are
+    * whitespace-split verbatim (case and punctuation preserved — this
+    * is exact-substring, not normalized-gram, matching); rebuilt text
+    * joins with single spaces. Documents shorter than `n` tokens pass
+    * through untouched (no window to match); a fully-duplicated
+    * document survives with empty text, like chunkDedup.
+    *
+    * Scale shape: the keep-first decision is ONE hash aggregation per
+    * gram (min-struct + count, map-side combine); coverage explodes
+    * ≤ n positions per DUPLICATE window only — proportional to the
+    * contamination, not the corpus; the rebuild is the chunkDedup
+    * collect_list aggregation per document. No corpus-wide window, no
+    * global sort, no UDF. At 100 TB hash the gram text to a 128-bit
+    * digest for the group/join key and carry text only on winners —
+    * the shape is unchanged.
+    *
+    * Output: `(id, clean_text, n_tokens, n_removed)`, one row per
+    * input document.
+    */
+  def exactSubstrRemove(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8): DataFrame = {
+    require(n >= 1, s"window size must be positive, got $n")
+    val words = spread(docs.select(col(idCol).as("id"),
+        col(textCol).as("text")))
+      .select(col("id"),
+        filter(split(trim(col("text")), "\\s+"), w => w =!= "").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .cache()
+    val grams = words.filter(col("n_tokens") >= n)
+      .select(col("id"), explode(transform(
+          sequence(lit(1), (col("n_tokens") - (n - 1)).cast("int")),
+          i => struct((i - 1).cast("long").as("q"),
+            array_join(slice(col("w"), i, lit(n)), " ").as("g")))).as("x"))
+      .select(col("id"), col("x.q").as("q"), col("x.g").as("g"))
+    val firsts = grams.groupBy(col("g"))
+      .agg(min(struct(col("id"), col("q"))).as("keep"),
+        count(lit(1)).as("occ"))
+    val covered = grams.join(firsts, Seq("g"))
+      .filter(col("occ") > 1 &&
+        !(col("keep.id") === col("id") && col("keep.q") === col("q")))
+      .select(col("id"),
+        explode(sequence(col("q"), col("q") + (n - 1))).as("p"))
+      .distinct()
+    val pos = words.select(col("id"), posexplode(col("w")))
+      .select(col("id"), col("pos").cast("long").as("p"),
+        col("col").as("word"))
+    val rebuilt = pos.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy(col("id"))
+      .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("p"), col("word"))))
+            .getField("word")).as("clean_text"),
+        count(lit(1)).as("kept"))
+    words.select(col("id"), col("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -403,4 +403,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(4L)._2 == "" && got(4L)._4 == 0L,
       "a fully-duplicated doc survives with empty text")
   }
+
+  test("exactSubstrRemove: planted spans keep the first corpus-ordered " +
+      "occurrence, covered tokens splice out, short docs pass whole") {
+    val span = (1 to 10).map(i => s"S$i").mkString(" ") // 10 tokens
+    val d1 = s"alpha beta gamma delta $span omega"      // 15 tokens
+    val d2 = s"one two three $span four five six seven eight nine" // 19
+    val docs = Seq((1L, d1), (2L, d2), (3L, "tiny doc"), (4L, d1))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrRemove(docs, "doc_id", "text", n = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1 owns every duplicated window (smallest id): untouched
+    assert(out(1L) == ((1L, d1, 15L, 0L)))
+    // doc 2's in-span windows (7 of them, fully inside S1..S10) are
+    // non-first: exactly the planted span splices out — boundary
+    // windows (different context) never match, so context survives
+    assert(out(2L) ==
+      ((2L, "one two three four five six seven eight nine", 19L, 10L)))
+    // below the window size: nothing can match
+    assert(out(3L) == ((3L, "tiny doc", 2L, 0L)))
+    // an exact copy of doc 1 loses every position
+    assert(out(4L) == ((4L, "", 15L, 15L)))
+    // determinism across invocations
+    val again = Dedup.exactSubstrRemove(docs, "doc_id", "text", n = 4)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == out)
+  }
 }
