@@ -952,6 +952,35 @@ object ScaleProbe {
           "all_files must cover both snapshots' distinct files")
       }
     }
+    // @all_entries across MANY retained snapshots sharing chunk docs
+    // (r12 verdict #6): stack 14 more carry-by-reference commits on the
+    // 2^20-entry manifest — 16 snapshots × ~128 docs × 2 scan sides
+    // would be ~4096 re-parses per census; the shared parse-once cache
+    // must keep chunk_doc_parses at O(distinct docs)
+    locally {
+      val spark = graft.core.GraftSession.get("graft-scale-probe")
+      val fl2 = tbl2.currentManifest.files.asInstanceOf[FileList]
+      timed("stack_14_carry_commits") {
+        (3L to 16L).foreach { v =>
+          ManifestJson.write(meta.resolve(s"v$v.json"),
+            Manifest(v, 1000L * v, "id BIGINT, p INT",
+              new FileList(fl2.inline :+ entry((v * 7).toInt, v),
+                fl2.chunks, fl2.nBuckets, meta),
+              Seq("p"), Map.empty, parent = v - 1))
+          JF.write(meta.resolve("_current"),
+            v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+      val tbl3 = SnapshotTable.at(root.toString)
+      timed("all_entries_16v") {
+        val n = tbl3.allEntriesRelation(spark).count()
+        println(s"""{"stage":"all_entries_census","rows":$n,""" +
+          s""""snapshots":${tbl3.manifestVersions.size},""" +
+          s""""docs_per_snapshot":${fl2.chunks.size}}""")
+        require(n > 16L * nFiles / 2, s"stacked census too small: $n")
+      }
+      spark.catalog.clearCache()
+    }
     // explicit manifest rewrite at 2^20 entries: the deliberate
     // O(live files) commit — bounds what a CALL rewrite_manifests costs
     // on a 100 TB table (everything else above stays O(touched docs))

@@ -1605,9 +1605,19 @@ final class SnapshotTable(val root: Path,
     entriesOf(spark, manifest(version))
   }
 
-  private def entriesOf(spark: SparkSession, cur: Manifest): DataFrame = {
+  private def entriesOf(spark: SparkSession, cur: Manifest): DataFrame =
+    entriesOfWith(spark, cur, m => entryScan(spark, m))
+
+  /** [[entriesOf]] with a pluggable entry-scan source: the per-version
+    * body is one census (ADDED/EXISTING from the version's own scan,
+    * DELETED from the anti-join against its lineage parent's scan) —
+    * [[allEntriesRelation]] swaps the scan for a shared parse-once
+    * cache, the single-version relations keep the direct chunk scan.
+    */
+  private def entriesOfWith(spark: SparkSession, cur: Manifest,
+                            scan: Manifest => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val curScan = entryScan(spark, cur)
+    val curScan = scan(cur)
     val dataRows = curScan.select(
       when(col("seq") === lit(cur.version), lit(1)).otherwise(lit(0))
         .as("status"),
@@ -1626,7 +1636,7 @@ final class SnapshotTable(val root: Path,
     }
     val withDeleted = parentV match {
       case Some(pv) =>
-        val dropped = entryScan(spark, manifest(pv))
+        val dropped = scan(manifest(pv))
           .join(curScan.select("file_path"), Seq("file_path"), "left_anti")
           .select(lit(2).as("status"),
             lit(cur.version).as("snapshot_id"),
@@ -1661,15 +1671,63 @@ final class SnapshotTable(val root: Path,
     * prefixed with the snapshot `version` it belongs to. Every
     * snapshot's ADDED/EXISTING/DELETED statuses are computed against
     * ITS OWN lineage parent — exactly what ``@entries VERSION AS OF n``
-    * answers per version, stacked. Cost is O(snapshots × manifest
-    * docs), the same shape as Iceberg's own `all_entries` (one
-    * manifest-list walk per retained snapshot); each per-snapshot scan
-    * stays distributed over chunk documents.
+    * answers per version, stacked. Chunk documents are SHARED between
+    * retained manifests (carried by reference), so each DISTINCT
+    * document parses ONCE on executors into a cached `(doc, entry)`
+    * relation and every per-version scan — including the parent side
+    * of each DELETED anti-join — is a metadata-only filter on the
+    * cache: parse cost is O(distinct docs), not the
+    * O(snapshots × docs × 2) a per-version re-scan pays (r12 verdict
+    * #6; ChunkedManifestSpec pins the count, the manifest ScaleProbe
+    * records it at 2^20 entries × 16 snapshots). The cache is
+    * per-query scratch — Verify/Bench clear caches between queries.
     */
   def allEntriesRelation(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
-    manifestVersions
-      .map(v => entriesOf(spark, manifest(v))
+    import spark.implicits._
+    val vs = manifestVersions
+    val rootStr = root.toString
+    val metaStr = metaDir.toString
+    val cols =
+      Seq("file_path", "partition", "seq", "record_count", "file_size_bytes")
+    val shape: Map[Long, (Seq[String], Seq[FileEntry])] = vs.map { v =>
+      v -> (manifest(v).files match {
+        case fl: FileList if fl.chunks.nonEmpty =>
+          (fl.chunks.map(_.name), fl.inline)
+        case s => (Nil, s.toSeq)
+      })
+    }.toMap
+    val allDocs = shape.valuesIterator.flatMap(_._1).toSeq.distinct
+    val docDf =
+      if (allDocs.isEmpty) None
+      else Some(spark.createDataset(allDocs)
+        .repartition(math.min(allDocs.size, 32))
+        .flatMap { name =>
+          ManifestJson.readChunkEntries(Paths.get(metaStr, name)).map { e =>
+            val (fp, part, seq, rc, bytes) = SnapshotTable.entryRow(e, rootStr)
+            (name, fp, part, seq, rc, bytes)
+          }
+        }
+        .toDF("doc" +: cols: _*)
+        .cache())
+    // eager-materialize the cache BEFORE the per-version branches run:
+    // the stacked union references it once per version and side —
+    // racing branches would each recompute not-yet-cached blocks and
+    // the parse-once guarantee would degrade to parse-a-few-times
+    docDf.foreach(_.count())
+    def scanOf(m: Manifest): DataFrame = {
+      val (docs, inline) = shape(m.version)
+      val inlineDf = inline.map(SnapshotTable.entryRow(_, rootStr))
+        .toDF(cols: _*)
+      docDf match {
+        case Some(df) if docs.nonEmpty =>
+          val fromDocs = df.filter(col("doc").isin(docs: _*))
+            .select(cols.map(col): _*)
+          if (inline.isEmpty) fromDocs else fromDocs.unionByName(inlineDf)
+        case _ => inlineDf
+      }
+    }
+    vs.map(v => entriesOfWith(spark, manifest(v), scanOf)
         .select(lit(v).as("version"), col("*")))
       .reduce(_ unionByName _)
   }

@@ -449,4 +449,35 @@ class ChunkedManifestSpec extends SparkSpec with BeforeAndAfterAll {
     val expect8 = (1 to 2000).count(i => keep8.contains(i.toLong % 128))
     assert(tbl.read(spark).count() == expect8)
   }
+
+  test("@all_entries parses each shared chunk doc ONCE across retained " +
+      "snapshots — not snapshots × docs × 2 (r12 verdict #6)") {
+    val tbl = SnapshotTable.at(
+      Files.createTempDirectory("graft-chunked-ae-").toString)
+    tbl.createOrReplace(df(1000, 1.0), Seq("p"))
+    // pure appends: every new snapshot carries the prior documents by
+    // reference and rewrites only the touched bucket
+    (1 to 4).foreach { k =>
+      tbl.append(spark,
+        Seq((10000L + k, k.toLong % 64, 2.0)).toDF("id", "p", "v"))
+    }
+    val vs = tbl.manifestVersions
+    assert(vs.size == 5)
+    val perVersion = vs.map(v => tbl.manifest(v).files match {
+      case fl: FileList => fl.chunks.map(_.name)
+      case _ => Nil
+    })
+    val stacked = perVersion.map(_.size).sum
+    val distinct = perVersion.flatten.distinct.size
+    assert(stacked > distinct,
+      s"sharing must be real in the fixture: $stacked refs / $distinct docs")
+    spark.catalog.clearCache()
+    val (cnt, nParses) = parses(tbl.allEntriesRelation(spark).count())
+    assert(cnt >= 64L * vs.size, s"stacked census too small: $cnt")
+    assert(nParses <= distinct + 2,
+      s"shared docs must parse once: $nParses parses for $distinct " +
+        s"distinct docs across ${vs.size} snapshots " +
+        s"(the per-version re-scan would pay ~${2 * stacked})")
+    spark.catalog.clearCache()
+  }
 }
