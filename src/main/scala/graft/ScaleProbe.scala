@@ -82,6 +82,14 @@ object ScaleProbe {
           isTarget = col("lang") === "en")
           .filter(col("selected")).count()
       }
+      timed("exact_substr_remove") {
+        // the removal pass at corpus scale: amplified copies guarantee
+        // heavy window duplication, so the coverage explode (≤n per
+        // DUPLICATE window) carries real volume; sum(n_removed) forces
+        // the full rebuild
+        Dedup.exactSubstrRemove(docs, "doc_id", "text", n = 8)
+          .agg(sum(col("n_removed")).cast("long")).head.getLong(0)
+      }
       timed("source_overlap") {
         TextAnalysis.crossGroupOverlap(
           docs.withColumn("src",

@@ -1893,6 +1893,18 @@ object SparkEntry {
         "FROM q138_net")
     }),
 
+    "q142_gopher_rules" -> ((s, d) =>
+      // Gopher quality rules (Rae et al. 2021) as exact integer
+      // signals: every threshold is a cross-multiplied integer
+      // comparison, so DuckDB decides each boundary identically.
+      // minWords lowered to 20 and the stop set chosen from genuine
+      // English stopwords THE SYNTHETIC VOCABULARY CONTAINS ('the',
+      // 'a') so both branches of the pass flag fire at every SF —
+      // the q124 check-at-every-SF rule.
+      TextAnalysis.gopherQualityRules(t(s, d, "documents"), "doc_id",
+        "text", minWords = 20,
+        stopWords = Seq("the", "a", "and", "of", "to", "in", "is", "it"))),
+
     "q141_exact_substr_remove" -> ((s, d) => {
       // ExactSubstr REMOVAL (Lee et al. 2022): duplicated n-token
       // windows keep their first corpus-ordered occurrence; covered
@@ -4103,6 +4115,46 @@ object SparkEntry {
         | CAST((1000 + doc_id % 9000) * 1000000 // 16000 AS BIGINT)
         |   AS duration_us
         |FROM documents""".stripMargin,
+
+    // integer Gopher signals; the pass flag re-derives via the same
+    // cross-multiplied comparisons
+    "q142_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        |      AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha_words,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ls, l ->
+        |      left(ltrim(l), 1) IN ('-', '*', '•'))) AS BIGINT)
+        |      AS n_bullet_lines,
+        |    CAST(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |      OR ends_with(rtrim(l), '…'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(w, x -> lower(x))),
+        |      ['the','a','and','of','to','in','is','it']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'),
+        |      x -> x <> '') AS w,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls
+        |    FROM base))
+        |SELECT *,
+        |  (n_words BETWEEN 20 AND 100000
+        |   AND sum_word_len BETWEEN 3 * n_words AND 10 * n_words
+        |   AND 10 * n_symbols <= n_words
+        |   AND 10 * n_bullet_lines <= 9 * n_lines
+        |   AND 10 * n_ellipsis_lines <= 3 * n_lines
+        |   AND 10 * n_alpha_words >= 8 * n_words
+        |   AND stop_hits >= 2) AS gopher_pass
+        |FROM sig""".stripMargin,
 
     // keep-first window dedup + ordered token reassembly (the q87
     // rebuild pattern at word granularity): row_number over (id, q)

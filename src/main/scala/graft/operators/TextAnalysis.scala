@@ -99,6 +99,59 @@ object TextAnalysis {
             + least(col("avg_word_len"), lit(8.0)) / 16.0)) * 1000000.0 + 0.5)
           .cast("long")))
 
+  /** Gopher quality rules (Rae et al. 2021, Appendix A — the rule set
+    * MassiveWeb filtered on), as EXACT INTEGER signals plus the
+    * combined pass flag. Every threshold is a division-free integer
+    * comparison (mean word length ∈ [3,10] ⟺ 3·n ≤ Σlen ≤ 10·n, the
+    * ratio bounds cross-multiplied), so both engines decide every
+    * boundary identically — no float ratio ever materializes. Pure
+    * columnar map-side projection: no shuffle, no UDF, no window.
+    *
+    * Rules: word count ∈ [minWords, maxWords]; mean word length ∈
+    * [3, 10]; symbol-to-word ratio (`#` and `...`) ≤ 1/10; at most
+    * 90% of non-empty lines start with a bullet (`-`/`*`/`•`) and at
+    * most 30% end with an ellipsis; ≥ 80% of words contain an
+    * alphabetic character; ≥ 2 distinct members of the stop-word set
+    * appear (Gopher's classic octet by default — parameterized because
+    * the rule is per-language). Null text scores all-zero and fails.
+    */
+  def gopherQualityRules(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50,
+                         maxWords: Int = 100000,
+                         stopWords: Seq[String] = Seq("the", "be", "to",
+                           "of", "and", "that", "have", "with")): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val w = filter(split(trim(t), "\\s+"), x => x =!= "")
+    val ls = filter(split(t, "\n"), l => trim(l) =!= "")
+    val stops = array(stopWords.map(lit): _*)
+    df.select(
+        col(idCol),
+        size(w).cast("long").as("n_words"),
+        aggregate(w, lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+        size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        size(ls).cast("long").as("n_lines"),
+        size(filter(ls, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(ls, l => endswith(rtrim(l), lit("...")) ||
+            endswith(rtrim(l), lit("…")))).cast("long")
+          .as("n_ellipsis_lines"),
+        ((length(t) - length(replace(t, lit("#"), lit("")))).cast("long") +
+          ((length(t) - length(replace(t, lit("..."), lit("")))) / 3)
+            .cast("long")).as("n_symbols"),
+        size(array_intersect(array_distinct(transform(w, x => lower(x))),
+          stops)).cast("long").as("stop_hits"))
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("sum_word_len") >= lit(3L) * col("n_words") &&
+          col("sum_word_len") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_symbols") <= col("n_words") &&
+          lit(10L) * col("n_bullet_lines") <= lit(9L) * col("n_lines") &&
+          lit(10L) * col("n_ellipsis_lines") <= lit(3L) * col("n_lines") &&
+          lit(10L) * col("n_alpha_words") >= lit(8L) * col("n_words") &&
+          col("stop_hits") >= 2L)
+  }
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * — the exact-dedup key. (The rolling/locality-sensitive variants live
     * in [[Dedup]].)
