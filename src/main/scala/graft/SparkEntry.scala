@@ -1910,12 +1910,14 @@ object SparkEntry {
       // windows keep their first corpus-ordered occurrence; covered
       // tokens of every other occurrence are spliced out and documents
       // rebuild from survivors. The corpus plants guaranteed spans:
-      // every doc_id % 50 == 0 document rides in twice (the copy under
-      // id + 1000000 loses its entire text to the original).
+      // every doc_id % 50 == 0 document rides in twice; copies take
+      // ids offset by max(doc_id)+1 — the testdata sentinel rule (a
+      // fixed +1e6 offset collides once the corpus reaches 1M docs)
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
       val planted = docs.unionByName(
         docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + off).as("doc_id"), col("text")))
       Dedup.exactSubstrRemove(planted, "doc_id", "text", n = 8)
     }),
 
@@ -4164,8 +4166,8 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents
-        |  WHERE doc_id % 50 = 0),
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        |  FROM documents WHERE doc_id % 50 = 0),
         |words AS (
         |  SELECT doc_id AS id,
         |    list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -114,7 +114,10 @@ object MediaCodec {
     val w = le32(b, 18).toInt
     val h = le32(b, 22).toInt // negative = top-down row order
     val bitCount = le16(b, 28)
-    if (w <= 0 || h == 0) return None
+    // h == Int.MinValue: abs() returns it unchanged (still negative) —
+    // a crafted 0x80000000 height must land on None, not a negative
+    // ImageInfo the downstream dimension algebra chokes on
+    if (w <= 0 || h == 0 || h == Int.MinValue) return None
     val channels = bitCount match {
       case 1 | 4 | 8 => 1 // palette
       case 16 => 2
@@ -150,9 +153,16 @@ object MediaCodec {
         // truth is the bytes on hand
         dataBytes = math.min(size, (b.length - i - 8).toLong)
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size % 2).toInt
-      if (size < 0) return None
+      // chunks are word-aligned: odd sizes carry a pad byte. The
+      // advance computes in LONG: a hostile u32 size truncated to Int
+      // went negative and either looped forever (i += 0) or drove the
+      // index out of bounds — and a declared size past the buffer
+      // means no further chunk can start in-bounds anyway, so the
+      // walk just ends (whatever fmt/data this chunk contributed,
+      // bounded above, still counts)
+      val next = i.toLong + 8L + size + (size % 2)
+      if (next <= i || next > b.length.toLong) i = b.length
+      else i = next.toInt
     }
     fmt.flatMap { case (ch, rate, bits, block) =>
       if (ch <= 0 || rate <= 0 || bits <= 0 || block <= 0 || dataBytes < 0)

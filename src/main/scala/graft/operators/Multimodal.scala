@@ -97,7 +97,9 @@ object Multimodal {
   def withImagePayload(spark: SparkSession, df: DataFrame, idCol: String,
                        fmtFor: Long => String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    // per-row codec work is CPU-heavy: spread off single-split sources
+    // (the shingling/hashing rule) or every encode runs on one core
+    Dedup.spread(df.select(col(idCol).cast("long").as("id"))).as[Long]
       .mapPartitions(_.map(id => MediaRecord(id, imageBytes(id, fmtFor(id)))))
       .toDF()
   }
@@ -106,7 +108,7 @@ object Multimodal {
   def withAudioPayload(spark: SparkSession, df: DataFrame,
                        idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("id")).as[Long]
+    Dedup.spread(df.select(col(idCol).cast("long").as("id"))).as[Long]
       .mapPartitions(_.map(id => MediaRecord(id, wavBytes(id))))
       .toDF()
   }

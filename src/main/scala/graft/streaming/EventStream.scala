@@ -664,7 +664,10 @@ object EventStream {
     // (left_id ∈ [-6,-3] by construction above; sentinels only ever
     // join each other — user_id -1 matches no real user). A user_id
     // filter here silently dropped legitimate NULL-user unmatched
-    // lefts and collided with a real -1 user (r12 ADVICE).
-    if (outer) out.filter(col("left_id") > -3L) else out
+    // lefts and collided with a real -1 user (r12 ADVICE). NULL-safe:
+    // a NULL left event_id is a real row (sentinel ids are never
+    // null) and the batch LEFT JOIN keeps it.
+    if (outer) out.filter(coalesce(col("left_id") > -3L, lit(true)))
+    else out
   }
 }

@@ -113,6 +113,26 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeImages(spark, df).collect()
     assert(out.length == 1 && out.head.format == "unknown" &&
       out.head.width == 0)
+    // HOSTILE payloads must terminate, not hang or throw (review r13):
+    // a RIFF chunk whose u32 size truncates to a negative Int made the
+    // walk advance by zero (infinite loop) or drive the index negative
+    val evil = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+    evil.put("JUNK".getBytes).putInt(0xFFFFFFF8)
+    assert(MediaCodec.sniffWav(evil.array()).isEmpty)
+    val evil2 = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil2.put("RIFF".getBytes).putInt(16).put("WAVE".getBytes)
+    evil2.put("JUNK".getBytes).putInt(0x80000010)
+    assert(MediaCodec.sniffWav(evil2.array()).isEmpty)
+    // BMP height 0x80000000: abs(Int.MinValue) stays negative — None,
+    // never a negative-dimension ImageInfo
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bb.putInt(40).putInt(10).putInt(Int.MinValue).putShort(1).putShort(24)
+    assert(MediaCodec.sniffImage(bb.array()).isEmpty)
   }
 
   test("end-to-end DataFrame plumbing: encode partition-parallel, " +
