@@ -186,9 +186,18 @@ object Bench {
     def render(): String = {
       val qs = acc.toSeq.collect { case (k, (v, None)) =>
         "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+      // full JSON-string escaping incl. control chars: BenchOne.escape
+      // only strips \n/\t, and a message carrying \r (JNI/Windows-path
+      // errors) would corrupt the very partial lines the survivable
+      // capture exists for
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val errs = acc.toSeq.collect { case (k, (_, Some(m))) =>
-        "\"" + k + "\":\"" +
-          m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        "\"" + k + "\":\"" + esc(m) + "\""
       }.mkString("{", ",", "}")
       val total = acc.valuesIterator.collect { case (v, None) => v }.sum
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode","load":[$load0%.2f,${loadAvg()}%.2f]}"""

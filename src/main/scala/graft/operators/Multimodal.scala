@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is DISK-backed: every write through
+  // a plain OutputStream creates + deletes a temp FILE. The encodes
+  // here are tiny per-row fixtures on the executor hot path — keep the
+  // cache in memory (JVM-global; reads benefit identically)
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(id: Long, payload: Array[Byte])
   final case class ImageMeta(id: Long, n_bytes: Long, width: Int, height: Int,
                              channels: Int, format: String)

@@ -153,6 +153,21 @@ object Sampling {
                      selectPerMille: Int = 200): DataFrame = {
     require(nBuckets > 0 && selectPerMille >= 0 && selectPerMille <= 1000,
       s"bad dsir params: nBuckets=$nBuckets, perMille=$selectPerMille")
+    // the boundary tie-cut ranks ids through kthValueLong's long cast:
+    // a non-integral id would cast to NULL and silently vanish from
+    // the rank histogram — refuse at planning like TopKByScoreAgg's
+    // requireIntegralId (review r13; the replaced window ordered any
+    // type, this path deliberately trades that for boundedness)
+    docs.schema.fields.find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType).foreach {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case t => throw new IllegalArgumentException(
+          s"dsirImportance needs an integral id column for the bounded " +
+            s"selection rank; '$idCol' is $t")
+      }
     val words = Dedup.spread(docs).select(col(idCol), isTarget.as("__t"),
       filter(split(trim(regexp_replace(lower(col(textCol)),
         "[^a-z0-9]+", " ")), " "), x => x =!= "").as("w"))
@@ -276,8 +291,12 @@ object Sampling {
         s"rank $rank exceeds the ${cum} rows in [$lo, $hi]"))
       before += cum
       rank -= cum
+      // lo + bk·w ≤ hi always (bk·w ≤ span); only the bucket's UPPER
+      // edge can overflow when the domain reaches near Long.MaxValue —
+      // in that case hi is already the tighter bound (review r13)
       lo = lo + bk * w
-      hi = math.min(hi, lo + w - 1)
+      hi = if (lo > Long.MaxValue - (w - 1)) hi
+           else math.min(hi, lo + (w - 1))
     }
     throw new IllegalStateException("unreachable")
   }

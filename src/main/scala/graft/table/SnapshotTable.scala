@@ -280,7 +280,16 @@ final class SnapshotTable(val root: Path,
     * raced the sweep sees a table that already reports not-exists.
     */
   def drop(): Boolean = {
-    if (!exists) return false
+    if (!exists) {
+      // an alias whose TARGET was already purged through the other
+      // identity: exists() follows the now-dangling link and reads
+      // false, but the dead link itself still squats on the
+      // identifier and trips the next create/migrate there — remove
+      // it and report the drop done (review r13)
+      if (Files.isSymbolicLink(root) && !Files.exists(root))
+        return Files.deleteIfExists(root)
+      return false
+    }
     publisher.critical(root, metaDir) {
       if (Files.isDirectory(metaDir))
         scala.util.Using.resource(Files.list(metaDir)) { st =>
@@ -1559,25 +1568,47 @@ final class SnapshotTable(val root: Path,
     */
   private def entryScan(spark: SparkSession, m: Manifest): DataFrame = {
     import spark.implicits._
-    val cols =
-      Seq("file_path", "partition", "seq", "record_count", "file_size_bytes")
     val rootStr = root.toString
     m.files match {
       case fl: FileList if fl.chunks.nonEmpty =>
-        val metaStr = metaDir.toString
-        val names = fl.chunks.map(_.name)
-        val chunkDf = spark.createDataset(names)
-          .repartition(math.min(names.size, 32))
-          .flatMap(name => ManifestJson
-            .readChunkEntries(Paths.get(metaStr, name))
-            .map(SnapshotTable.entryRow(_, rootStr)))
-          .toDF(cols: _*)
+        val chunkDf = chunkEntriesDf(spark, fl.chunks.map(_.name),
+          withDoc = false)
         if (fl.inline.isEmpty) chunkDf
         else chunkDf.unionByName(
-          fl.inline.map(SnapshotTable.entryRow(_, rootStr)).toDF(cols: _*))
+          fl.inline.map(SnapshotTable.entryRow(_, rootStr))
+            .toDF(SnapshotTable.EntryCols: _*))
       case s =>
-        s.map(SnapshotTable.entryRow(_, rootStr)).toDF(cols: _*)
+        s.map(SnapshotTable.entryRow(_, rootStr))
+          .toDF(SnapshotTable.EntryCols: _*)
     }
+  }
+
+  /** Executor-distributed parse of chunk DOCUMENTS into entry rows —
+    * THE one pipeline behind both the single-version [[entryScan]] and
+    * [[allEntriesRelation]]'s parse-once doc cache (a drifted copy
+    * would let `@entries` and `@all_entries` silently render entries
+    * differently — review r13). `withDoc` prepends the source document
+    * name so the cache can filter per version.
+    */
+  private def chunkEntriesDf(spark: SparkSession, names: Seq[String],
+                             withDoc: Boolean): DataFrame = {
+    import spark.implicits._
+    val metaStr = metaDir.toString
+    val rootStr = root.toString
+    val base = spark.createDataset(names)
+      .repartition(math.min(names.size, 32))
+    if (withDoc)
+      base.flatMap { name =>
+        ManifestJson.readChunkEntries(Paths.get(metaStr, name)).map { e =>
+          val (fp, part, seq, rc, bytes) = SnapshotTable.entryRow(e, rootStr)
+          (name, fp, part, seq, rc, bytes)
+        }
+      }.toDF("doc" +: SnapshotTable.EntryCols: _*)
+    else
+      base.flatMap(name => ManifestJson
+        .readChunkEntries(Paths.get(metaStr, name))
+        .map(SnapshotTable.entryRow(_, rootStr)))
+        .toDF(SnapshotTable.EntryCols: _*)
   }
 
   /** ``@entries`` metadata relation (Iceberg's `.entries`): one row per
@@ -1687,9 +1718,7 @@ final class SnapshotTable(val root: Path,
     import spark.implicits._
     val vs = manifestVersions
     val rootStr = root.toString
-    val metaStr = metaDir.toString
-    val cols =
-      Seq("file_path", "partition", "seq", "record_count", "file_size_bytes")
+    val cols = SnapshotTable.EntryCols
     val shape: Map[Long, (Seq[String], Seq[FileEntry])] = vs.map { v =>
       v -> (manifest(v).files match {
         case fl: FileList if fl.chunks.nonEmpty =>
@@ -1700,16 +1729,7 @@ final class SnapshotTable(val root: Path,
     val allDocs = shape.valuesIterator.flatMap(_._1).toSeq.distinct
     val docDf =
       if (allDocs.isEmpty) None
-      else Some(spark.createDataset(allDocs)
-        .repartition(math.min(allDocs.size, 32))
-        .flatMap { name =>
-          ManifestJson.readChunkEntries(Paths.get(metaStr, name)).map { e =>
-            val (fp, part, seq, rc, bytes) = SnapshotTable.entryRow(e, rootStr)
-            (name, fp, part, seq, rc, bytes)
-          }
-        }
-        .toDF("doc" +: cols: _*)
-        .cache())
+      else Some(chunkEntriesDf(spark, allDocs, withDoc = true).cache())
     // eager-materialize the cache BEFORE the per-version branches run:
     // the stacked union references it once per version and side —
     // racing branches would each recompute not-yet-cached blocks and
@@ -2886,8 +2906,16 @@ final class SnapshotTable(val root: Path,
       case Some((_, delta)) => ("incremental", delta)
       case None => ("full", read(spark))
     }
+    // NULL partition values render as the hive default token, the same
+    // spelling the manifest census records — a bare concat would return
+    // NULL for the segment and concat_ws would silently DROP it,
+    // producing an ambiguous key that never joins the rollup rows
+    // (review r13)
+    val hiveNull = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
     val pkey = concat_ws("/",
-      pcols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+      pcols.map(c => concat(lit(c + "="),
+        coalesce(col(c).cast("string"), lit(hiveNull)))): _*)
     val agg = source.groupBy(pkey.as("__pk"))
       .agg(expr(s"hll_sketch_agg(${sketchInput(cols.head)})").as(cols.head),
         cols.tail.map(c =>
@@ -5961,6 +5989,13 @@ object SnapshotTable {
     * `Paths.get(root, "/abs")` would wrongly nest them under the root.
     * Bytes are recorded at commit; legacy entries stat the live file.
     */
+  /** Column names of one entry row — [[entryRow]]'s rendering order;
+    * the single-version scan and the all_entries doc cache both bind
+    * to this list, never to a local copy.
+    */
+  private[table] val EntryCols =
+    Seq("file_path", "partition", "seq", "record_count", "file_size_bytes")
+
   private[table] def entryRow(f: FileEntry,
       rootStr: String): (String, String, Long, Long, Long) = {
     val p = if (f.path.startsWith("/")) Paths.get(f.path)

@@ -485,6 +485,21 @@ class AdoptionSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(src)), "source tree purged via alias")
     assert(!Files.exists(Paths.get(alias),
       java.nio.file.LinkOption.NOFOLLOW_LINKS), "alias link removed")
+    // DANGLING-alias cleanup: drop via the SOURCE first — the alias
+    // link dangles (exists() follows and reads false) but must still
+    // be removable through drop(), or the dead link squats on the
+    // identifier forever (review r13)
+    val src2 = tmp("graft-aliasgc-src2-") + "/tbl"
+    val t2 = SnapshotTable.at(src2)
+    t2.createOrReplace((1 to 5).map(i => (i.toLong, s"r$i")).toDF("id", "s"))
+    val alias2 = tmp("graft-aliasgc-dst2-") + "/alias"
+    SnapshotTable.register(src2, alias2)
+    assert(t2.drop())
+    assert(Files.isSymbolicLink(Paths.get(alias2)), "link dangles")
+    assert(SnapshotTable.at(alias2).drop(),
+      "dangling-alias drop must clean the link and report done")
+    assert(!Files.exists(Paths.get(alias2),
+      java.nio.file.LinkOption.NOFOLLOW_LINKS))
   }
 
   test("wap.id session mode: DML stages invisibly, publish_changes " +

@@ -122,6 +122,23 @@ class TableStatsSpec extends SparkSpec {
       flat.computePartitionStats(spark)
     }.getMessage.contains("unpartitioned"))
 
+    // NULL partition values render as the hive default token — the
+    // same spelling the manifest census records, so sketch keys and
+    // the relation's rollup keys JOIN (a bare concat dropped the
+    // segment — review r13)
+    val np = SnapshotTable.at(
+      Files.createTempDirectory("graft-pstats-null-").toString + "/t")
+    np.createOrReplace(
+      Seq((1L, Option("a"), "x"), (2L, Option.empty[String], "y"),
+        (3L, Option.empty[String], "z")).toDF("id", "p", "s"), Seq("p"))
+    val nKeys = np.computePartitionStats(spark, Seq("s")).map(_._1).distinct
+    assert(nKeys.toSet ==
+      Set("p=a", "p=__HIVE_DEFAULT_PARTITION__"), nKeys.toString)
+    val relKeys = np.partitionStatsRelation(spark).select("partition")
+      .collect().map(_.getString(0)).toSet
+    assert(relKeys == nKeys.toSet,
+      s"sketch keys $nKeys must join rollup keys $relKeys")
+
     // partition-spec evolution between computes forces the full path
     t.addPartitionField("u11")
     t.append(spark, Seq((5000L, 0, "s1", "u1")).toDF("id", "p", "s40", "u11")
