@@ -513,6 +513,29 @@ object ScaleProbe {
           s""""exact":$exact}""")
         require(math.abs(incr("l_orderkey") - exact).toDouble /
           math.max(1L, exact) < 0.05, "sketch estimate within 5%")
+
+        // PER-PARTITION stats (r13): same incremental discipline,
+        // grouped by partition — the append touches ~1% of rows across
+        // partitions, the delta groupBy + per-partition hll_union must
+        // stay O(new data) like the table-level path above
+        var pFull: Seq[(String, String, Long)] = Nil
+        timed("partition_stats_full") {
+          pFull = nv.computePartitionStats(spark, statCols)
+          pFull.size.toLong
+        }
+        nv.append(spark, withP.filter(
+          pmod(col("l_orderkey"), lit(100)) === 13)
+          .withColumn("l_orderkey", col("l_orderkey") + lit(200000000L)))
+        var pIncr: Seq[(String, String, Long)] = Nil
+        timed("partition_stats_incremental_1pct_append") {
+          pIncr = nv.computePartitionStats(spark, statCols)
+          pIncr.size.toLong
+        }
+        require(nv.partitionStats.exists(_._2 == "incremental"),
+          "the append-only partition recompute must take the delta path")
+        println(s"""{"stage":"partition_stats_census",""" +
+          s""""partitions":${pIncr.map(_._1).distinct.size},""" +
+          s""""rows":${pIncr.size}}""")
       }
 
       // keyed CDC replication at 2.4M rows (r9 verdict #3/#7): the
