@@ -98,7 +98,9 @@ object Bench {
       "q127_position_deletes", "q130_metadata_namespace",
       "q134_register_table", "q135_migrate_in_place",
       "q137_stream_outer_join", "q138_changelog_net_view",
-      "q140_partition_stats")
+      "q140_partition_stats", "q143_row_lineage", "q144_deletion_vectors",
+      "q145_column_defaults", "q147_stream_dedup_watermark",
+      "q148_lineage_changelog")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set
@@ -106,7 +108,7 @@ object Bench {
       "q35_minhash_neardup", "q36_simhash_neardup", "q37_ngram_jaccard",
       "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
       "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq",
-      "q136_embed_ann_truncated")
+      "q136_embed_ann_truncated", "q149_hard_negatives")
     // ONE attempt: each q137 attempt is three stateful micro-batch
     // passes with dual-stream state (12-21 s by design — the single
     // biggest line item of the r12 capture timeout)

@@ -109,6 +109,9 @@ case class GraftCtas(session: SparkSession) extends Rule[LogicalPlan] {
   *     referenced by any retained snapshot (incl. already-compacted)
   *   - ``graft.`/path@metadata_log_entries` `` — one row per retained
   *     manifest document (timestamp, file, version, operation, head)
+  *   - ``graft.`/path@lineage` `` — the data WITH Iceberg v3 row
+  *     lineage (`_row_id`, `_last_updated_sequence_number`); requires
+  *     `format-version=3`
   *
   * Unrecognized suffixes are treated as literal path characters.
   */
@@ -120,7 +123,7 @@ case class GraftPathRelations(session: SparkSession)
       "manifests|delete_files|position_deletes|stats|partition_stats|" +
       "entries|all_files|" +
       "all_manifests|all_entries|all_data_files|all_delete_files|" +
-      "metadata_log_entries)$").r
+      "metadata_log_entries|lineage)$").r
 
   /** ``@<name>`` where `<name>` is a live TAG or BRANCH on the prefix
     * table (names cannot collide with the reserved [[Suffixed]] shapes —
@@ -181,6 +184,7 @@ case class GraftPathRelations(session: SparkSession)
       case Some("all_data_files")          => tbl.allFilesRelation(session)
       case Some("all_delete_files")        => tbl.allDeleteFilesRelation(session)
       case Some("metadata_log_entries")    => tbl.metadataLogRelation(session)
+      case Some("lineage")                 => tbl.readLineage(session)
       case Some(t) if t.startsWith("tag:") =>
         val n = t.drop(4)
         if (tbl.tags.contains(n)) tbl.readTag(session, n)
@@ -650,7 +654,16 @@ private[graft] object GraftSqlDml {
     val aligned = schema.toSeq.map { f =>
       named.columns.find(_.equalsIgnoreCase(f.name)) match {
         case Some(c) => named.col(c).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          // omitted column: the declared WRITE default when one exists
+          // (v3 default values), else the standard SQL null-fill
+          m.properties.get(
+            graft.table.SnapshotTable.WriteDefaultPrefix +
+              f.name.toLowerCase) match {
+            case Some(l) => org.apache.spark.sql.functions.expr(l)
+              .cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
       }
     }
     val data = named.select(aligned: _*)
@@ -1554,14 +1567,16 @@ private[graft] object GraftSqlDml {
               unsupported("ALTER TABLE ADD nested column (top-level only)")
             if (qc.position.nonEmpty)
               unsupported("ALTER TABLE ADD COLUMN FIRST/AFTER (columns append)")
-            if (qc.default.nonEmpty)
-              unsupported("ALTER TABLE ADD COLUMN with DEFAULT")
             if (!qc.nullable)
               unsupported("ALTER TABLE ADD COLUMN NOT NULL (existing rows " +
                 "can only read NULL)")
             org.apache.spark.sql.types.StructField(qc.colName, qc.dataType)
           }
-          tbl.addColumns(fields)
+          // DEFAULT <lit> (v3 default values): fixes the initial default
+          // (pre-add rows read it) and seeds the write default
+          val defaults = a.columnsToAdd.flatMap(qc =>
+            qc.default.map(d => qc.colName -> d.originalSQL)).toMap
+          tbl.addColumns(fields, defaults = defaults)
           empty
         }
       case d: DropColumns =>
@@ -1595,12 +1610,20 @@ private[graft] object GraftSqlDml {
             if (sp.column.name.length != 1)
               unsupported("ALTER TABLE ALTER nested column (top-level only)")
             if (sp.newNullability.nonEmpty || sp.newComment.nonEmpty ||
-                sp.newPosition.nonEmpty || sp.newDefaultExpression.nonEmpty)
-              unsupported("ALTER COLUMN supports TYPE widening only")
-            sp.newDataType match {
-              case Some(dt) => tbl.widenColumn(sp.column.name.head, dt)
-              case None =>
-                unsupported("ALTER COLUMN without a TYPE change")
+                sp.newPosition.nonEmpty)
+              unsupported(
+                "ALTER COLUMN supports TYPE widening and SET/DROP DEFAULT")
+            (sp.newDataType, sp.newDefaultExpression, sp.dropDefault) match {
+              // SET DEFAULT <lit> / DROP DEFAULT: the WRITE default only
+              // (the initial default is fixed at add time — v3 rule)
+              case (None, Some(d), _) =>
+                tbl.setWriteDefault(sp.column.name.head, Some(d.originalSQL))
+              case (None, None, true) =>
+                tbl.setWriteDefault(sp.column.name.head, None)
+              case (Some(dt), None, false) =>
+                tbl.widenColumn(sp.column.name.head, dt)
+              case _ =>
+                unsupported("ALTER COLUMN without a TYPE change or DEFAULT")
             }
           }
           empty

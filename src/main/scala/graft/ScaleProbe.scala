@@ -420,6 +420,36 @@ object ScaleProbe {
         timed("scan_count_pending_pos_deletes") { mc.read(spark).count() }
       }
 
+      // Iceberg v3 at 2.4M rows: lineage read (inheritance = broadcast
+      // file-map join + codegen'd coalesce) vs the plain scan, the
+      // deletion-vector delete commit (folded bitmap sidecar bytes —
+      // compare v2's tombstone-row parquet above), the bitmap-masked
+      // read, and the metadata COUNT under a pending vector
+      {
+        val v3 = SnapshotTable.at(
+          java.nio.file.Files.createTempDirectory("graft-v3probe").toString)
+        v3.createOrReplace(withP, Seq("p"),
+          properties = Map("format-version" -> "3"))
+        timed("v3_plain_read") { v3.read(spark).count() }
+        timed("v3_lineage_read") {
+          v3.readLineage(spark).filter(col("_row_id") >= 0L).count()
+        }
+        var dvBytes = 0L
+        timed("v3_dv_delete_0p1pct") {
+          val m = v3.deleteWherePositional(spark,
+            pmod(col("l_orderkey"), lit(1000)) === 7)
+          dvBytes = m.deleteFiles.filter(_.dv)
+            .map(d => java.nio.file.Files.size(v3.root.resolve(d.path))).sum
+          m.deleteFiles.count(_.dv).toLong
+        }
+        println(s"""{"stage":"v3_dv_sidecar_bytes","bytes":$dvBytes}""")
+        timed("v3_dv_masked_read") { v3.read(spark).count() }
+        timed("v3_meta_count_under_dv") {
+          v3.rowCount(spark).getOrElse(
+            sys.error("a pending DV must not decline the meta count"))
+        }
+      }
+
       // where-scoped compaction at 2.4M rows: fragment every partition,
       // then touch up ONE — the scoped rewrite stats and rewrites only
       // the implicated group while the full call pays for all of them

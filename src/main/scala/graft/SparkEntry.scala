@@ -1893,6 +1893,196 @@ object SparkEntry {
         "FROM q138_net")
     }),
 
+    "q143_row_lineage" -> ((s, d) => {
+      // Iceberg v3 ROW LINEAGE lifecycle: create+append allocate dense
+      // row-id ranges, a CoW DELETE keeps survivors' identity, a CoW
+      // UPDATE keeps ids but restamps _last_updated_sequence_number, and
+      // compaction carries both PHYSICALLY into the rewritten files.
+      // Per-row id assignment depends on file packing (row_index), so
+      // the hashed output sticks to what the DATA determines: per-seq
+      // group counts (the key→seq mapping is pure arithmetic) plus
+      // contract booleans computed against in-query truth — uniqueness,
+      // pre-delete density (sum/min/max over a dense [0,N) range), and
+      // identity preservation across UPDATE+compact (map equality).
+      val root = Files.createTempDirectory("graft-q143-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 3 === 0),
+        properties = Map("format-version" -> "3"))          // v1
+      table.append(s, orders.filter(col("o_orderkey") % 3 =!= 0)) // v2
+      def lin() = table.readLineage(s)
+        .select(col("o_orderkey"), col("_row_id"),
+          col("_last_updated_sequence_number"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val preDelete = lin()
+      val n = preDelete.size.toLong
+      val ids = preDelete.values.map(_._1).toSeq
+      val preDeleteDense = ids.distinct.size.toLong == n &&
+        ids.min == 0L && ids.max == n - 1 && ids.sum == n * (n - 1) / 2
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 7 = 3") // v3
+      s.sql(s"UPDATE graft.`$root` SET o_orderpriority = 'X' " +
+        "WHERE o_orderkey % 10 = 0")                              // v4
+      val preCompact = lin()
+      table.compact(s)                                            // v5
+      val after = lin()
+      val idsUnique =
+        after.values.map(_._1).toSeq.distinct.size == after.size
+      // survivors keep their id; updated rows restamp to the UPDATE's
+      // commit, everything else keeps its original stamp; compaction
+      // changes nothing — all three proven against the captured maps
+      val preserved = after == preCompact && after.forall {
+        case (k, (rid, sq)) =>
+          rid == preDelete(k)._1 &&
+            (if (k % 10 == 0) sq == 4L else sq == preDelete(k)._2)
+      }
+      import s.implicits._
+      after.toSeq
+        .map { case (k, (_, sq)) => (k, sq) }.toDF("o_orderkey", "last_seq")
+        .groupBy(col("last_seq"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .withColumn("ids_unique", lit(idsUnique))
+        .withColumn("pre_delete_dense", lit(preDeleteDense))
+        .withColumn("identity_preserved", lit(preserved))
+    }),
+
+    "q149_hard_negatives" -> ((s, d) => {
+      // hard-negative mining for contrastive training: per anchor, the
+      // exact top-5 most-similar OTHER-label vectors; the per-anchor
+      // top-k is the bounded TopKByScoreAgg (map-side ≤ k rows), the
+      // ordering deterministic (cosine desc, id asc) so DuckDB's
+      // windowed brute force states the identical ranking
+      val emb = t(s, d, "embeddings")
+      Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
+        "vec_id", "embedding", "label", k = 5)
+    }),
+
+    "q148_lineage_changelog" -> ((s, d) => {
+      // v3 row-lineage changelog: update pre/post images pair by the
+      // rows' OWN _row_id — no identifier columns — and _commit_version
+      // is per-row exact (the row's _last_updated_sequence_number),
+      // where the net view can only stamp the range boundary. The whole
+      // lifecycle is key arithmetic, so DuckDB reconstructs every
+      // change row including the per-row commit stamps.
+      val root = Files.createTempDirectory("graft-q148-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders,
+        properties = Map("format-version" -> "3"))               // v1
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 7 = 3") // v2
+      s.sql(s"UPDATE graft.`$root` SET o_orderpriority = 'X' " +
+        "WHERE o_orderkey % 10 = 0")                              // v3
+      val off = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      orders.filter(col("o_orderkey") % 25 === 0)
+        .select((col("o_orderkey") + off).as("o_orderkey") +:
+          orderCols.filterNot(_ == "o_orderkey").map(col): _*)
+        .createOrReplaceTempView("q148_ins")
+      s.sql(s"INSERT INTO graft.`$root` SELECT * FROM q148_ins")  // v4
+      table.readChangelogLineage(s, 1L, 4L)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("_change_type"), col("_commit_version"))
+    }),
+
+    "q147_stream_dedup_watermark" -> ((s, d) => {
+      // dropDuplicatesWithinWatermark: the events file plus a
+      // byte-identical redelivery, one micro-batch each — cross-batch
+      // suppression with BOUNDED keyed state (the watermark is the
+      // redelivery horizon). The streamed survivors equal the batch
+      // DISTINCT of the doubled feed = the original events, which DuckDB
+      // states directly.
+      val deduped = EventStream.dedupWithinWatermark(s,
+        s"$d/events.parquet")
+      deduped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_id")).as("n_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
+    "q146_unicode_clean" -> ((s, d) => {
+      // Unicode NFC cleanup (TextAnalysis.unicodeClean): every third doc
+      // gets a DECOMPOSED suffix ('e' + combining acute U+0301) plus a
+      // bell control char injected in-query, so the pass must compose
+      // ('é'), collapse whitespace, strip the control char, and flag
+      // exactly those docs as denormalized — DuckDB mirrors with its own
+      // nfc_normalize, proving the two engines' Unicode tables agree.
+      val docs = t(s, d, "documents")
+      val decorated = docs.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(substring(col("text"), 1, 40), lit(" e\u0301cole\u0007")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.unicodeClean(decorated, "doc_id", "text")
+    }),
+
+    "q145_column_defaults" -> ((s, d) => {
+      // Iceberg v3 COLUMN DEFAULT VALUES lifecycle: pre-add rows read
+      // the INITIAL default (fixed forever at add time), INSERTs that
+      // omit the column store the WRITE default, ALTER COLUMN SET
+      // DEFAULT moves only the write default, DROP DEFAULT restores
+      // null-fill. The key→default mapping is pure arithmetic over the
+      // lifecycle, so DuckDB predicts every group.
+      val root = Files.createTempDirectory("graft-q145-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders.filter(col("o_orderkey") % 2 === 0))
+      s.sql(s"ALTER TABLE graft.`$root` " +
+        "ADD COLUMNS (discount_pct BIGINT DEFAULT 10)")
+      val colList = orderCols.mkString(", ")
+      orders.filter(col("o_orderkey") % 4 === 1)
+        .createOrReplaceTempView("q145_b1")
+      s.sql(s"INSERT INTO graft.`$root` ($colList) SELECT * FROM q145_b1")
+      s.sql(s"ALTER TABLE graft.`$root` " +
+        "ALTER COLUMN discount_pct SET DEFAULT 20")
+      orders.filter(col("o_orderkey") % 8 === 7)
+        .createOrReplaceTempView("q145_b2")
+      s.sql(s"INSERT INTO graft.`$root` ($colList) SELECT * FROM q145_b2")
+      s.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN discount_pct " +
+        "DROP DEFAULT")
+      orders.filter(col("o_orderkey") % 8 === 3)
+        .createOrReplaceTempView("q145_b3")
+      s.sql(s"INSERT INTO graft.`$root` ($colList) SELECT * FROM q145_b3")
+      s.sql(s"SELECT discount_pct, count(*) AS n_rows, " +
+        s"sum(o_orderkey) AS key_sum FROM graft.`$root` GROUP BY 1")
+    }),
+
+    "q144_deletion_vectors" -> ((s, d) => {
+      // Iceberg v3 DELETION VECTORS: two positional deletes on a v3
+      // table write folded per-file bitmaps (one complete vector per
+      // file — the v3 invariant), reads mask by codegen'd bitmap probe,
+      // @position_deletes renders each pending ordinal exactly once,
+      // the metadata-only COUNT subtracts the vector census, and
+      // compaction folds the debt away. The tombstone CONTENT is
+      // file-layout-dependent, so the hashed output sticks to
+      // data-determined values: live counts per priority, the pending
+      // tombstone total, and contract booleans proven in-query.
+      val root = Files.createTempDirectory("graft-q144-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders,
+        properties = Map("format-version" -> "3"))
+      table.deleteWherePositional(s, col("o_orderkey") % 9 === 1)
+      table.deleteWherePositional(s, col("o_orderkey") % 9 === 2)
+      require(table.currentManifest.deleteFiles.forall(_.dv),
+        "a v3 table's positional deletes must be deletion vectors")
+      val pd = table.positionDeletesRelation(s)
+        .select(col("file_path"), col("pos")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val pendingRows = pd.length.toLong
+      val noDup = pd.distinct.length.toLong == pendingRows
+      val liveCount = table.read(s).count()
+      val metaOk = table.rowCount(s).contains(liveCount)
+      table.compact(s)
+      require(table.currentManifest.deleteFiles.isEmpty,
+        "compaction must fold the deletion vectors away")
+      table.read(s)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"))
+        .withColumn("pending_rows", lit(pendingRows))
+        .withColumn("meta_count_ok", lit(metaOk))
+        .withColumn("no_dup_tombstones", lit(noDup))
+    }),
+
     "q142_gopher_rules" -> ((s, d) =>
       // Gopher quality rules (Rae et al. 2021) as exact integer
       // signals: every threshold is a cross-multiplied integer
@@ -4200,6 +4390,127 @@ object SparkEntry {
         |  CAST(len(ws.w) AS BIGINT) AS n_tokens,
         |  CAST(len(ws.w) - coalesce(r.kept, 0) AS BIGINT) AS n_removed
         |FROM words ws LEFT JOIN rebuilt r ON ws.id = r.id""".stripMargin,
+
+    // hard negatives: brute-force windowed replay, cosine in the DOUBLE
+    // domain with element-order summation on both engines (the q38
+    // precedent), ties by ascending id on both sides
+    "q149_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |    CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |  WHERE vec_id % 50 = 0
+        |    AND len(list_filter(embedding, x -> x <> 0)) > 0),
+        |c AS (SELECT vec_id AS negative_id, label AS negative_label,
+        |    CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+        |scored AS (SELECT anchor_id, anchor_label, negative_id,
+        |    negative_label, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM a, c WHERE anchor_label <> negative_label)
+        |SELECT anchor_id, anchor_label, CAST(rnk AS INT) AS rank,
+        |  negative_id, negative_label
+        |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cosine DESC, negative_id ASC) AS rnk FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
+
+    // v3 row-lineage changelog: every change row (incl. the per-row
+    // commit stamp) reconstructs from key arithmetic — deletes stamp
+    // the TO boundary (a vanished row's delete commit is not
+    // recoverable from boundary states), updates/inserts their own
+    "q148_lineage_changelog" ->
+      """WITH off AS (SELECT max(o_orderkey) + 1 AS o FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3)
+        |SELECT o_orderkey, o_orderpriority,
+        |  'delete' AS _change_type, CAST(4 AS BIGINT) AS _commit_version
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, 'update_preimage',
+        |  CAST(3 AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'X', 'update_postimage', CAST(3 AS BIGINT)
+        |FROM upd
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT o FROM off), o_orderpriority,
+        |  'insert', CAST(4 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 25 = 0""".stripMargin,
+
+    // streamed bounded-state dedup of a doubled feed = the original
+    // events table, directly stateable
+    "q147_stream_dedup_watermark" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // unicode NFC cleanup: DuckDB's nfc_normalize replays the same
+    // canonical composition; regex steps mirror exactly (collapse \s+
+    // BEFORE stripping remaining control chars — order is load-bearing)
+    "q146_unicode_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN substr(text, 1, 40) || ' e' || chr(769) || 'cole'
+        |           || chr(7)
+        |      ELSE text END AS t0
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(nfc_normalize(t0),
+        |    '\s+', ' ', 'g'), '\p{Cc}', '', 'g')) AS clean_text,
+        |  CAST(length(t0) AS BIGINT) AS n_chars_raw,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(t0), '\s+', ' ', 'g'), '\p{Cc}', '', 'g')))
+        |    AS BIGINT) AS n_chars_clean,
+        |  nfc_normalize(t0) <> t0 AS was_denormalized
+        |FROM raw""".stripMargin,
+
+    // v3 column defaults: initial default (pre-add even keys) = 10,
+    // write default at first INSERT = 10, post-SET = 20, post-DROP =
+    // NULL — the whole lifecycle is key arithmetic. CAST(sum AS BIGINT):
+    // DuckDB SUM is HUGEINT (the q97 lesson).
+    "q145_column_defaults" ->
+      """SELECT
+        |  CASE WHEN o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+        |         THEN CAST(10 AS BIGINT)
+        |       WHEN o_orderkey % 8 = 7 THEN CAST(20 AS BIGINT)
+        |       ELSE NULL END AS discount_pct,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+        |   OR o_orderkey % 8 IN (3, 7)
+        |GROUP BY 1""".stripMargin,
+
+    // v3 deletion vectors: DuckDB predicts the surviving rows and the
+    // pending tombstone total from the predicates alone; the
+    // encoding-level guarantees (bitmap masking ≡ row deletion, exact
+    // metadata count, no duplicate pending ordinals) are proven
+    // Spark-side and reduce to constant-TRUE booleans
+    "q144_deletion_vectors" ->
+      """SELECT o_orderpriority, count(*) AS n_live,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 9 IN (1, 2))
+        |    AS pending_rows,
+        |  TRUE AS meta_count_ok,
+        |  TRUE AS no_dup_tombstones
+        |FROM orders WHERE o_orderkey % 9 NOT IN (1, 2)
+        |GROUP BY 1""".stripMargin,
+
+    // v3 row lineage: the key→last-seq mapping is pure arithmetic over
+    // the lifecycle (delete %7=3 at v3, update %10=0 at v4), so DuckDB
+    // predicts every group count; the id-level guarantees (uniqueness,
+    // dense pre-delete allocation, identity across update+compact) are
+    // proven Spark-side against in-query truth and reduce to
+    // constant-TRUE booleans — the q35/q140 contract-oracle pattern
+    "q143_row_lineage" ->
+      """SELECT
+        |  CAST(CASE WHEN o_orderkey % 10 = 0 THEN 4
+        |            WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+        |    AS last_seq,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT o_orderkey) AS n_keys,
+        |  TRUE AS ids_unique,
+        |  TRUE AS pre_delete_dense,
+        |  TRUE AS identity_preserved
+        |FROM orders WHERE o_orderkey % 7 <> 3
+        |GROUP BY 1""".stripMargin,
 
     // per-partition exact NDV recomputed by DuckDB (the hash anchor);
     // the sketch's 5% bound reduces to a constant-TRUE boolean

@@ -143,4 +143,51 @@ object TextFunctions {
     val uni = size(array_union(a, b))
     when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni.cast("double"))
   }
+
+  /** Unicode NFC normalization (canonical composition) — what a training
+    * pipeline runs before ANY hashing/dedup step: the same visible text
+    * arrives in composed ('é') and decomposed ('e'+U+0301) spellings from
+    * different crawls, and every exact/MinHash/fingerprint operator in
+    * this engine would otherwise treat them as distinct documents.
+    * Codegen'd static call into the JDK's `java.text.Normalizer` (no new
+    * deps); deterministic — the Unicode canonical-composition tables are
+    * version-stable for assigned codepoints.
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(NfcNormalize(
+      org.apache.spark.sql.GraftBridge.catalystExpression(text)))
+}
+
+/** `java.text.Normalizer.normalize(s, NFC)` as a codegen'd expression —
+  * per-row string normalization stays inside whole-stage codegen.
+  */
+case class NfcNormalize(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override def nullSafeEval(a: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(NfcNormalize.nfc(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.NfcNormalize.nfc($s.toString()))")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+}
+
+object NfcNormalize {
+  /** Static so generated code can call it. Fast path: NFC-normalized
+    * text (the overwhelming majority) is RECOGNIZED without allocating —
+    * `Normalizer.isNormalized` is a scan, `normalize` builds a new
+    * string.
+    */
+  def nfc(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 }

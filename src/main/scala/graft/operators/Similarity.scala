@@ -129,6 +129,52 @@ object Similarity {
         col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** HARD-NEGATIVE MINING (contrastive training data): for each anchor,
+    * the exact top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the near-miss negatives a metric-learning batch builder
+    * pairs with every anchor (random negatives sit far from the margin
+    * and teach nothing; the hardest ones carry the gradient — the
+    * FaceNet observation, run corpus-wide as a batch op).
+    *
+    * Exact by construction (anchors × corpus cosine under a label
+    * inequality), with the per-anchor top-k as the bounded
+    * [[graft.functions.TopKByScoreAgg]] — ≤ k rows per (anchor, map
+    * task) reach the shuffle, never the scored row count. Output
+    * `(anchor_id, anchor_label, rank, negative_id, negative_label)`,
+    * rank deterministic (score desc, id asc). Scale shape: O(anchors ×
+    * corpus) FLOPs like every exact pass — mine for an epoch's anchor
+    * SAMPLE, or route the corpus through [[ivfTopK]]'s cells first when
+    * the product explodes; this is the exact baseline those
+    * approximations are measured against.
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val a = anchors.select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"), col(vecCol).as("qv"))
+      .withColumn("qn", vectorNorm(col("qv"))).filter(col("qn") > 0.0)
+    val c = corpus.select(col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"), col(vecCol).as("cv"))
+      .withColumn("cn", vectorNorm(col("cv"))).filter(col("cn") > 0.0)
+    val scored = a.crossJoin(c)
+      .filter(col("anchor_label") =!= col("negative_label"))
+      .withColumn("cosine",
+        vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val top = scored.groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(graft.functions.VectorFunctions.topKByScore(
+        col("cosine"), col("negative_id").cast("long"), k).as("top"))
+      .select(col("anchor_id"), col("anchor_label"),
+        posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("anchor_id"), col("anchor_label"),
+        (col("r") + 1).cast("int").as("rank"), col("e.id").as("nid"))
+    // negative ids re-join the corpus so the output keeps the corpus id
+    // TYPE and carries the negative's label
+    top.join(c.select(col("negative_id"), col("negative_label")),
+        col("nid") === col("negative_id").cast("long"))
+      .select(col("anchor_id"), col("anchor_label"), col("rank"),
+        col("negative_id"), col("negative_label"))
+  }
+
   /** PRODUCT-QUANTIZATION codebooks (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * (L2-normalized) vector into `m` equal blocks and train an

@@ -524,4 +524,28 @@ object TextAnalysis {
         floor(col("common_grams").cast("double") /
           col("union_grams").cast("double") * 1000000.0 + 0.5).cast("long"))
   }
+  /** Unicode cleanup pass — the normalization a training pipeline runs
+    * BEFORE any hashing/dedup operator: the same visible text arrives
+    * composed ('é') and decomposed ('e'+U+0301) from different crawls,
+    * and exact/MinHash/fingerprint dedup would treat the spellings as
+    * distinct documents. Three codegen'd steps per row, no shuffle:
+    * Unicode NFC ([[graft.functions.TextFunctions.nfc]] — JDK
+    * Normalizer, composed canonical form), whitespace collapse (BEFORE
+    * the control strip, so newlines/tabs become word separators instead
+    * of silently joining words), then the strip of the remaining
+    * non-whitespace control characters. Emits before/after codepoint
+    * counts and a was_denormalized flag (text that was not already NFC)
+    * so the pipeline can census how dirty a source is.
+    */
+  def unicodeClean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val nfcd = TextFunctions.nfc(col(textCol))
+    val collapsed = regexp_replace(nfcd, "\\s+", " ")
+    val cleaned = trim(regexp_replace(collapsed, "\\p{Cc}", ""))
+    df.select(col(idCol),
+      cleaned.as("clean_text"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(cleaned).cast("long").as("n_chars_clean"),
+      (nfcd =!= col(textCol)).as("was_denormalized"))
+  }
 }

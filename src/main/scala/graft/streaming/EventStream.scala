@@ -562,6 +562,47 @@ object EventStream {
     runIntervalJoin(spark, eventsParquet, leftType, rightType,
       horizonMinutes, outer = true)
 
+  /** Streaming `dropDuplicatesWithinWatermark` (Spark's bounded-state
+    * dedup): duplicates of a key are suppressed while their event time
+    * is inside the watermark window — the production shape for "the
+    * upstream delivers at-least-once, dedupe on ingest without keeping
+    * state forever" (contrast [[streamingDedup]], whose NoTimeout state
+    * grows with distinct keys unboundedly). The fixture doubles the
+    * source: the events file plus a byte-identical COPY, delivered as
+    * separate micro-batches (`maxFilesPerTrigger = 1`) so suppression is
+    * proven ACROSS batches, with a watermark delay wide enough that no
+    * state evicts mid-run — making the streamed output provably equal
+    * the batch DISTINCT (the oracle). At production scale the delay is
+    * the upstream's real redelivery horizon and state stays bounded by
+    * keys-per-horizon, not stream length.
+    */
+  def dedupWithinWatermark(spark: SparkSession,
+                           eventsParquet: String): DataFrame = {
+    val srcDir = Files.createTempDirectory("graft-ddww-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("a-events.parquet"),
+      java.nio.file.Paths.get(eventsParquet).toAbsolutePath)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(eventsParquet),
+      srcDir.resolve("b-redelivery.parquet"))
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val deduped = normalizeEventTs(schema, stream)
+      .withWatermark("ts", "87600 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val ckpt = Files.createTempDirectory("graft-ddww-ckpt-").toString
+    val outDir = Files.createTempDirectory("graft-ddww-out-").toString
+    val q = deduped.writeStream
+      .outputMode("append").format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** `events.ts` → `TimestampType` whatever the fixture generation:
     * nanos-long (read under the legacy flag) converts via micros, NTZ
     * casts (watermarks reject NTZ) — ONE place for the rule both join

@@ -60,13 +60,20 @@ final case class Manifest(
   *   (Iceberg's null_value_counts analog) — IS NULL / IS NOT NULL and
   *   all-null-column pruning.
   * @param rows the file's row count (-1 in legacy manifests).
+  * @param firstRowId Iceberg v3 row-lineage range start: rows of this file
+  *   whose physical `__graft_row_id` column is NULL (or absent) INHERIT
+  *   `firstRowId + row ordinal` as their `_row_id`. Allocated centrally at
+  *   publish ([[SnapshotTable]]'s row-id assignment) from the table-level
+  *   `graft.row-id.next` counter when `format-version=3`; -1 = unassigned
+  *   (pre-v3 files — their rows read a NULL `_row_id` until rewritten).
   */
 final case class FileEntry(path: String, partition: Map[String, String],
                            seq: Long = 0L,
                            stats: Map[String, ColBounds] = Map.empty,
                            nulls: Map[String, Long] = Map.empty,
                            rows: Long = -1L,
-                           bytes: Long = -1L)
+                           bytes: Long = -1L,
+                           firstRowId: Long = -1L)
 
 object FileEntry {
   /** Legacy sequence number: parse the commit version out of a
@@ -99,12 +106,24 @@ object FileEntry {
   * [[SnapshotTable.PosPathKey]] (Iceberg's `referenced_data_file` bounds
   * analog) so reads exonerate files outside it without opening the
   * delete file.
+  *
+  * `dv = true` marks an Iceberg v3 DELETION-VECTOR file (columns
+  * `path STRING, dv BINARY, cardinality BIGINT` — one GDV1 bitmap of dead
+  * ordinals per referenced data file, [[graft.functions.Dv]]). Written by
+  * v3 (`format-version=3`) positional deletes, which FOLD each touched
+  * file's prior vector at write (the spec's one-DV-per-file invariant);
+  * stale rows an older DV file still holds for a re-deleted path are
+  * shadowed at read by the newest entry's vector (and dropped from the
+  * manifest entirely when a new commit covers an old file's whole path
+  * set). `positional` stays true for DV entries — the exoneration
+  * algebra (sequence guard + referenced-path bounds) is identical.
   */
 final case class DeleteEntry(path: String, version: Long,
                              stats: Map[String, ColBounds] = Map.empty,
                              partition: Map[String, String] = Map.empty,
                              rows: Long = -1L,
-                             positional: Boolean = false)
+                             positional: Boolean = false,
+                             dv: Boolean = false)
 
 /** Reference to one manifest chunk DOCUMENT plus the rollups that let
   * planning decide — without parsing the document — whether any of its
@@ -587,6 +606,11 @@ final class SnapshotTable(val root: Path,
       df.select(df.columns.toSeq.map { c =>
         byLower.get(c.toLowerCase) match {
           case Some(v) => when(hit, v).otherwise(col(c)).as(c)
+          // v3: an updated row's _last_updated_sequence_number becomes
+          // THIS commit — write NULL so inheritance resolves to the new
+          // file's sequence; untouched survivors keep their old value
+          case None if c == SnapshotTable.LastSeqColName =>
+            when(hit, lit(null).cast("bigint")).otherwise(col(c)).as(c)
           case None => col(c)
         }
       }: _*)
@@ -630,6 +654,11 @@ final class SnapshotTable(val root: Path,
       val n = hits.count()
       if (n == 0) return m
       if (currentVersion != m.version) throw concurrentCommit(currentVersion)
+      // v3 tables write DELETION VECTORS instead of tombstone rows —
+      // same commit shape (tiny sidecar + manifest pointer), the v3
+      // physical encoding and one-vector-per-file invariant
+      if (SnapshotTable.lineageOn(m.properties))
+        return commitDeletionVectors(spark, m, hits, nowMs)
       val dataDirV = claimDataDir()
       val delDir = Files.createDirectory(
         dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
@@ -656,6 +685,93 @@ final class SnapshotTable(val root: Path,
           deleteFiles = m.deleteFiles ++ entries, operation = "delete")
       }
     } finally hits.unpersist()
+  }
+
+  /** Fold `hits` (`(path, pos)` tombstones of THIS delete) with every
+    * prior deletion vector of the same paths into one COMPLETE vector per
+    * touched file — the v3 write-side invariant (a writer replaces a
+    * file's whole DV, never appends a second tombstone set). Older
+    * vectors are subsets of newer ones (every write folds), so
+    * union+distinct equals the newest content without version
+    * resolution. Returns the folded frame (cached — the caller writes
+    * AND censuses it), the referenced-path bounds, the total masked-row
+    * count, and the prior DV entries this commit SUPERSEDES (their whole
+    * referenced-path set is re-covered — they hold only shadowed rows
+    * and drop from the manifest in the same commit). Census-capped: an
+    * overflow skips the supersede drop (read-side newest-wins shadowing
+    * keeps results exact; the stale entry folds at compaction).
+    */
+  private def foldDeletionVectors(spark: SparkSession, m: Manifest,
+      hits: DataFrame): (DataFrame, ColBounds, Long, Set[String]) = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Dv
+    val priorEntries = m.deleteFiles.filter(_.dv)
+    val withPrior =
+      if (priorEntries.isEmpty) hits
+      else hits.unionByName(
+        spark.read.parquet(
+            priorEntries.map(d => root.resolve(d.path).toString): _*)
+          .join(hits.select("path").distinct(), Seq("path"), "left_semi")
+          .select(col("path"), explode(Dv.dvPositions(col("dv"))).as("pos")))
+    val folded = withPrior.groupBy(col("path"))
+      .agg(sort_array(collect_set(col("pos"))).as("plist"))
+      .select(col("path"), Dv.dvFromPositions(col("plist")).as("dv"),
+        size(col("plist")).cast("long").as("cardinality"))
+      .cache()
+    val agg = folded.agg(min(col("path")), max(col("path")),
+      sum(col("cardinality"))).head
+    val bounds = ColBounds(agg.getString(0), agg.getString(1))
+    val total = agg.getLong(2)
+    val cap = SnapshotTable.MaxCensusPartitions
+    val newPaths: Option[Set[String]] = {
+      val rows = folded.select("path").limit(cap + 1).collect()
+      if (rows.length > cap) None else Some(rows.map(_.getString(0)).toSet)
+    }
+    val superseded: Set[String] = newPaths match {
+      case None => Set.empty
+      case Some(np) => priorEntries.filter { d =>
+        scala.util.Try {
+          val ps = spark.read.parquet(root.resolve(d.path).toString)
+            .select("path").distinct().limit(cap + 1).collect()
+          ps.length <= cap && ps.forall(r => np(r.getString(0)))
+        }.getOrElse(false)
+      }.map(_.path).toSet
+    }
+    (folded, bounds, total, superseded)
+  }
+
+  /** The v3 positional-DELETE commit: one deletion-vector sidecar naming
+    * each touched file's complete dead-ordinal set, every data file
+    * carried by reference — [[deleteWherePositional]]'s tail when
+    * `format-version=3`.
+    */
+  private def commitDeletionVectors(spark: SparkSession, m: Manifest,
+      hits: DataFrame, nowMs: Long): Manifest = {
+    val (folded, bounds, total, superseded) =
+      foldDeletionVectors(spark, m, hits)
+    try {
+      val dataDirV = claimDataDir()
+      val delDir = Files.createDirectory(
+        dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
+      withParquetWriteConfs(spark) {
+        folded.repartition(1).sortWithinPartitions("path")
+          .write.mode("append").parquet(delDir.toString)
+      }
+      val written = listParquet(delDir)
+      publishCommit { (v, cur) =>
+        if (cur.map(_.version) != Some(m.version))
+          throw concurrentCommit(cur.map(_.version).getOrElse(0L))
+        val entries = written.map { p =>
+          DeleteEntry(root.relativize(p).toString, v,
+            stats = Map(SnapshotTable.PosPathKey -> bounds),
+            rows = total, positional = true, dv = true)
+        }
+        m.copy(version = v, timestampMs = nowMs,
+          deleteFiles = m.deleteFiles.filterNot(d => superseded(d.path)) ++
+            entries,
+          operation = "delete")
+      }
+    } finally folded.unpersist()
   }
 
   /** Merge-on-read predicate UPDATE (Iceberg v2
@@ -689,8 +805,9 @@ final class SnapshotTable(val root: Path,
     // O(candidate files), not O(table)
     val candidates = selectFiles(m, cond)
     if (candidates.isEmpty) return m
+    val lineage = SnapshotTable.lineageOn(m.properties)
     val hits = readManifest(spark, m.copy(files = candidates),
-      keepPos = true).filter(cond).cache()
+      keepPos = true, withLineage = lineage).filter(cond).cache()
     try {
       val n = hits.count()
       if (n == 0) return m
@@ -699,12 +816,28 @@ final class SnapshotTable(val root: Path,
       val delDir = Files.createDirectory(
         dataDirV.resolveSibling(dataDirV.getFileName.toString + "d"))
       val byLower = assignments.map { case (k, v) => k.toLowerCase -> v }.toMap
-      val outCols = schema.fieldNames.toSeq.map { c =>
+      // v3: replacement rows KEEP the replaced row's _row_id (it is the
+      // same logical row) and inherit this commit as _last_updated — the
+      // id column rides into the written file; last-updated is simply
+      // not written (NULL inherits the new file's seq)
+      val outCols = (schema.fieldNames.toSeq.map { c =>
         byLower.get(c.toLowerCase) match {
           case Some(v) => v.as(c)
           case None    => org.apache.spark.sql.functions.col(c)
         }
-      }
+      }) ++ (if (lineage)
+               Seq(org.apache.spark.sql.functions
+                 .col(SnapshotTable.RowIdColName))
+             else Nil)
+      // v3: the tombstone side becomes a folded deletion vector per
+      // touched file (one-DV-per-file invariant) — computed BEFORE the
+      // writes so the fold's prior-vector read sees the pre-commit state
+      val dvFold: Option[(DataFrame, ColBounds, Long, Set[String])] =
+        if (SnapshotTable.lineageOn(m.properties))
+          Some(foldDeletionVectors(spark, m, hits.select(
+            org.apache.spark.sql.functions.col(PosFileCol).as("path"),
+            org.apache.spark.sql.functions.col(PosPosCol).as("pos"))))
+        else None
       withParquetWriteConfs(spark) {
         val replaced = hits.select(outCols: _*)
         val clustered =
@@ -718,19 +851,33 @@ final class SnapshotTable(val root: Path,
         (if (m.partitionColumns.nonEmpty)
            writer.partitionBy(m.partitionColumns: _*)
          else writer).parquet(dataDirV.toString)
-        hits.select(org.apache.spark.sql.functions.col(PosFileCol).as("path"),
-            org.apache.spark.sql.functions.col(PosPosCol).as("pos"))
-          .repartition(1).sortWithinPartitions("path", "pos")
-          .write.mode("append").parquet(delDir.toString)
+        dvFold match {
+          case Some((folded, _, _, _)) =>
+            folded.repartition(1).sortWithinPartitions("path")
+              .write.mode("append").parquet(delDir.toString)
+            folded.unpersist()
+          case None =>
+            hits.select(
+                org.apache.spark.sql.functions.col(PosFileCol).as("path"),
+                org.apache.spark.sql.functions.col(PosPosCol).as("pos"))
+              .repartition(1).sortWithinPartitions("path", "pos")
+              .write.mode("append").parquet(delDir.toString)
+        }
       }
       val written = listParquet(dataDirV)
       val delWritten = listParquet(delDir)
-      val b = hits.agg(
-        org.apache.spark.sql.functions.min(
-          org.apache.spark.sql.functions.col(PosFileCol)),
-        org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(PosFileCol))).head
-      val pathBounds = ColBounds(b.getString(0), b.getString(1))
+      val pathBounds = dvFold match {
+        case Some((_, bounds, _, _)) => bounds
+        case None =>
+          val b = hits.agg(
+            org.apache.spark.sql.functions.min(
+              org.apache.spark.sql.functions.col(PosFileCol)),
+            org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col(PosFileCol))).head
+          ColBounds(b.getString(0), b.getString(1))
+      }
+      val delRows = dvFold.map(_._3).getOrElse(n)
+      val superseded = dvFold.map(_._4).getOrElse(Set.empty[String])
       val dataStats = written.map(p => p -> FileStats.collect(p, schema))
       publishCommit { (v, cur) =>
         if (cur.map(_.version) != Some(m.version))
@@ -743,7 +890,7 @@ final class SnapshotTable(val root: Path,
         val entries = delWritten.map { p =>
           DeleteEntry(root.relativize(p).toString, v,
             stats = Map(SnapshotTable.PosPathKey -> pathBounds),
-            rows = n, positional = true)
+            rows = delRows, positional = true, dv = dvFold.isDefined)
         }
         val allFiles: Seq[FileEntry] = m.files match {
           case fl: FileList if fl.chunks.nonEmpty =>
@@ -751,7 +898,9 @@ final class SnapshotTable(val root: Path,
           case s => s ++ newData
         }
         m.copy(version = v, timestampMs = nowMs, files = allFiles,
-          deleteFiles = m.deleteFiles ++ entries, operation = "overwrite")
+          deleteFiles = m.deleteFiles.filterNot(d => superseded(d.path)) ++
+            entries,
+          operation = "overwrite")
       }
     } finally hits.unpersist()
   }
@@ -783,7 +932,12 @@ final class SnapshotTable(val root: Path,
         metadataOnlyDrop(m, carriedChunks, loose ++ bystanders, nowMs,
           touched = Some(touched), droppedPaths = inScope.map(_.path).toSet)
       else {
-        val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
+        // v3: rewritten survivors carry their lineage physically (the
+        // transforms pass the columns through; UPDATE resets the
+        // touched rows' last-updated to inherit this commit)
+        val rewritten = transform(readManifest(spark,
+          m.copy(files = readSet.toVector),
+          withLineage = SnapshotTable.lineageOn(m.properties)))
         commitData(rewritten, Some(m), m.partitionColumns, m.properties, nowMs,
           carryForward = loose ++ bystanders, carryChunks = carriedChunks,
           carryDeletes = m.deleteFiles, rebaseTouched = Some(touched))
@@ -796,7 +950,9 @@ final class SnapshotTable(val root: Path,
         metadataOnlyDrop(m, None, carried, nowMs,
           touched = None, droppedPaths = candSet)
       else {
-        val rewritten = transform(readManifest(spark, m.copy(files = readSet.toVector)))
+        val rewritten = transform(readManifest(spark,
+          m.copy(files = readSet.toVector),
+          withLineage = SnapshotTable.lineageOn(m.properties)))
         commitData(rewritten, Some(m), Nil, m.properties, nowMs,
           carryForward = carried, carryDeletes = m.deleteFiles)
       }
@@ -1043,11 +1199,24 @@ final class SnapshotTable(val root: Path,
     if (live.size > SnapshotTable.MaxCensusPartitions) return None
     val sp = spark
     import sp.implicits._
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, explode}
     val liveDf = live.map(_.path).toDF("lp")
-    Some(spark.read.parquet(
-        m.deleteFiles.map(d => root.resolve(d.path).toString): _*)
-      .select("path", "pos").distinct()
+    // v3 deletion vectors explode back to (path, pos) rows; the DISTINCT
+    // then makes shadowed old-vector rows exact for free (older vectors
+    // are subsets of newer ones — every write folds)
+    val (dvE, plainE) = m.deleteFiles.partition(_.dv)
+    val parts =
+      (if (plainE.isEmpty) Nil
+       else Seq(spark.read.parquet(
+           plainE.map(d => root.resolve(d.path).toString): _*)
+         .select("path", "pos"))) ++
+      (if (dvE.isEmpty) Nil
+       else Seq(spark.read.parquet(
+           dvE.map(d => root.resolve(d.path).toString): _*)
+         .select(col("path"),
+           explode(graft.functions.Dv.dvPositions(col("dv"))).as("pos"))))
+    Some(parts.reduce(_ unionByName _)
+      .distinct()
       .join(liveDf, col("path") === col("lp"), "left_semi")
       .count())
   }
@@ -1338,14 +1507,35 @@ final class SnapshotTable(val root: Path,
     */
   private def readManifest(spark: SparkSession, m: Manifest,
       partitionFilter: Map[String, String] => Boolean = _ => true,
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false, withLineage: Boolean = false): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
+    // lineage output columns keep their PHYSICAL names here: rewrite
+    // paths feed this straight back into commitData (which strips them
+    // from the declared schema but writes them into the files);
+    // readLineage renames to the public _row_id /
+    // _last_updated_sequence_number at the API boundary.
+    val linOut =
+      if (withLineage) Seq(SnapshotTable.RowIdColName,
+        SnapshotTable.LastSeqColName)
+      else Nil
     val sel = m.files.filter(f => partitionFilter(f.partition))
-    if (sel.isEmpty)
+    if (sel.isEmpty) {
+      val outSchema =
+        if (!withLineage) schema
+        else StructType(schema.fields ++ linOut.map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = true)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val cols = (schema.fieldNames.toSeq ++
-        (if (keepPos) Seq(PosFileCol, PosPosCol) else Nil))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
+    // with lineage, the union keeps every helper the inheritance step
+    // needs (physical lineage values, position identity, per-file seq);
+    // the final select below narrows back down
+    val helperCols =
+      if (withLineage) linOut ++ Seq(PosFileCol, PosPosCol, SeqCol)
+      else if (keepPos) Seq(PosFileCol, PosPosCol)
+      else Nil
+    val cols = (schema.fieldNames.toSeq ++ helperCols)
       .map(org.apache.spark.sql.functions.col)
     // split data files into those a pending delete might affect and clean
     // ones (plain scan). Equality deletes need the sequence-resolved
@@ -1370,7 +1560,7 @@ final class SnapshotTable(val root: Path,
     val cleanDf =
       if (clean.isEmpty) None
       else Some(readFileGroup(spark, m, schema, clean, withSeq = false,
-        withPos = keepPos).select(cols: _*))
+        withPos = keepPos, withLineage = withLineage).select(cols: _*))
     val dirtyDf =
       if (dirty.isEmpty) None
       else {
@@ -1379,19 +1569,48 @@ final class SnapshotTable(val root: Path,
           affecting(posAll, dirty.filter(f => posDirty(f.path)))
         var base = readFileGroup(spark, m, schema, dirty,
           withSeq = eqRelevant.nonEmpty,
-          withPos = keepPos || posRelevant.nonEmpty)
-        if (posRelevant.nonEmpty) {
+          withPos = keepPos || posRelevant.nonEmpty,
+          withLineage = withLineage)
+        val (dvRelevant, plainPos) = posRelevant.partition(_.dv)
+        if (plainPos.nonEmpty) {
           // position deletes: exact (path, pos) anti-join — tiny delete
           // relation, no version predicate needed (paths are unique per
           // commit and the masked rows' files carry those exact paths)
           val pdels = spark.read.parquet(
-            posRelevant.map(d => root.resolve(d.path).toString): _*)
+            plainPos.map(d => root.resolve(d.path).toString): _*)
           base = base.alias("r").join(pdels.alias("p"),
             org.apache.spark.sql.functions.col(s"r.$PosFileCol") ===
               org.apache.spark.sql.functions.col("p.path") &&
               org.apache.spark.sql.functions.col(s"r.$PosPosCol") ===
                 org.apache.spark.sql.functions.col("p.pos"),
             "left_anti")
+        }
+        if (dvRelevant.nonEmpty) {
+          // v3 deletion vectors: the NEWEST vector per data file wins
+          // (every write folds the prior one, so it is complete — older
+          // entries only ever hold shadowed rows for re-deleted paths).
+          // One small row per dirty FILE broadcasts; the mask is a
+          // codegen'd bitmap probe per row — no anti-join shuffle at all.
+          val fn = org.apache.spark.sql.functions
+          val dvs = dvRelevant.groupBy(_.version)
+            .map { case (dv, fs) =>
+              spark.read.parquet(fs.map(f =>
+                  root.resolve(f.path).toString): _*)
+                .select(fn.col("path").as("__graft_dv_path"),
+                  fn.col("dv").as("__graft_dv_blob"))
+                .withColumn(DelVerCol, fn.lit(dv))
+            }
+            .reduce(_ unionByName _)
+          val newest = dvs.groupBy(fn.col("__graft_dv_path"))
+            .agg(fn.max_by(fn.col("__graft_dv_blob"), fn.col(DelVerCol))
+              .as("__graft_dv_blob"))
+          base = base
+            .join(fn.broadcast(newest),
+              fn.col(PosFileCol) === fn.col("__graft_dv_path"), "left")
+            .filter(fn.col("__graft_dv_blob").isNull ||
+              !graft.functions.Dv.dvContains(fn.col("__graft_dv_blob"),
+                fn.col(PosPosCol)))
+            .drop("__graft_dv_path", "__graft_dv_blob")
         }
         if (eqRelevant.nonEmpty) {
           // equality deletes: delete files are small (changed keys only);
@@ -1416,10 +1635,37 @@ final class SnapshotTable(val root: Path,
         }
         Some(base.select(cols: _*))
       }
-    (cleanDf, dirtyDf) match {
+    val unioned = (cleanDf, dirtyDf) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None)    => a
       case (None, b)          => b.get
+    }
+    if (!withLineage) unioned
+    else {
+      // v3 inheritance: NULL physical lineage resolves from file
+      // metadata — `firstRowId + ordinal` (files without an allocated
+      // range, i.e. pre-v3, stay NULL) and the file's sequence number.
+      // The (path → firstRowId) side is the selection's own entry list,
+      // already driver-resident; broadcast keeps the join map-side at
+      // any data scale (one small row per FILE, not per row).
+      import spark.implicits._
+      val fn = org.apache.spark.sql.functions
+      val lmap = fn.broadcast(
+        sel.map(f => (f.path, f.firstRowId))
+          .toDF("__graft_lin_path", "__graft_lin_first"))
+      val outCols = (schema.fieldNames.toSeq ++ linOut ++
+        (if (keepPos) Seq(PosFileCol, PosPosCol) else Nil))
+        .map(fn.col)
+      unioned
+        .join(lmap, fn.col(PosFileCol) === fn.col("__graft_lin_path"),
+          "left")
+        .withColumn(SnapshotTable.RowIdColName,
+          fn.coalesce(fn.col(SnapshotTable.RowIdColName),
+            fn.when(fn.col("__graft_lin_first") >= 0,
+              fn.col("__graft_lin_first") + fn.col(PosPosCol))))
+        .withColumn(SnapshotTable.LastSeqColName,
+          fn.coalesce(fn.col(SnapshotTable.LastSeqColName), fn.col(SeqCol)))
+        .select(outCols: _*)
     }
   }
 
@@ -1433,14 +1679,29 @@ final class SnapshotTable(val root: Path,
     */
   private def readFileGroup(spark: SparkSession, m: Manifest,
       schema: StructType, fs: Seq[FileEntry], withSeq: Boolean,
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false, withLineage: Boolean = false): DataFrame = {
+    // row lineage (v3): the physical columns are read as nullable longs
+    // on EVERY file of the selection — files that predate materialization
+    // (plain appends never write them) surface NULLs, which the
+    // inheritance step in [[readManifest]] resolves from file metadata.
+    // Position identity and the per-file sequence ride along (both feed
+    // inheritance), hence the forced flags below.
+    val wantPos = withPos || withLineage
+    val wantSeq = withSeq || withLineage
+    def withLin(st: StructType): StructType =
+      if (!withLineage) st
+      else StructType(st.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(SnapshotTable.RowIdColName,
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(SnapshotTable.LastSeqColName,
+          org.apache.spark.sql.types.LongType, nullable = true)))
     // parquet `_metadata` is a per-scan hidden column — it must be
     // projected BEFORE any union, so the position identity is attached
     // inside each group's scan. The relative path is recovered from the
     // scheme-qualified absolute path by its stable `data/v<N>/...` tail
     // (every committed path starts there — the layout contract).
     def posCols(df: DataFrame, adopted: Boolean = false): DataFrame =
-      if (!withPos) df
+      if (!wantPos) df
       else df
         .withColumn(PosFileCol, org.apache.spark.sql.functions
           .regexp_extract(org.apache.spark.sql.functions
@@ -1460,6 +1721,24 @@ final class SnapshotTable(val root: Path,
         .withColumn(PosPosCol,
           org.apache.spark.sql.functions.col("_metadata.row_index"))
     val chains = evoChains(m)
+    // declared column DEFAULTs (v3 initial-defaults): rows of files that
+    // PREDATE a column's add-commit read the declared literal instead of
+    // NULL. Applied per GROUP (the group's sequence decides), after any
+    // rename/widen remap so the coalesce binds the CURRENT name; files
+    // written after the add carry the column physically, so their
+    // explicit NULLs stay NULL.
+    val inits = SnapshotTable.initialDefaults(m)
+    def applyDefaults(df: DataFrame, seqNo: Long): DataFrame =
+      inits.foldLeft(df) { case (acc, (lc, (addV, litSql))) =>
+        if (seqNo >= addV) acc
+        else schema.fields.find(_.name.toLowerCase == lc) match {
+          case Some(f) => acc.withColumn(f.name,
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col(f.name),
+              org.apache.spark.sql.functions.expr(litSql).cast(f.dataType)))
+          case None => acc // column since dropped: nothing to fill
+        }
+      }
     // rename/widen epochs: a pre-evolution file reads its columns under
     // the OLD physical (name, type) — selected by the file's sequence
     // number — then aliases/casts to the current schema. Un-evolved
@@ -1472,9 +1751,11 @@ final class SnapshotTable(val root: Path,
           .as(cur.name)
       }
       val extras =
-        if (withPos) Seq(PosFileCol, PosPosCol)
+        ((if (wantPos) Seq(PosFileCol, PosPosCol) else Nil) ++
+          (if (withLineage)
+             Seq(SnapshotTable.RowIdColName, SnapshotTable.LastSeqColName)
+           else Nil))
           .map(org.apache.spark.sql.functions.col)
-        else Nil
       df.select(mapped.toSeq ++ extras: _*)
     }
     def physFieldsAt(seqNo: Long) = schema.fields.map { f =>
@@ -1482,8 +1763,8 @@ final class SnapshotTable(val root: Path,
       org.apache.spark.sql.types.StructField(n, t, f.nullable, f.metadata)
     }
     if (fs.forall(f => f.partition.isEmpty && !isAdopted(f.path)) &&
-        !withSeq && chains.isEmpty)
-      posCols(spark.read.schema(schema)
+        !wantSeq && chains.isEmpty && inits.isEmpty)
+      posCols(spark.read.schema(withLin(schema))
         .parquet(fs.map(f => root.resolve(f.path).toString): _*))
     else
       // grouped by (seq, hive base): one commit's files share a base
@@ -1494,15 +1775,16 @@ final class SnapshotTable(val root: Path,
         .map { case ((seqNo, dir), g) =>
           val phys = physFieldsAt(seqNo)
           val evolved = !phys.sameElements(schema.fields)
-          val readSchema = if (evolved) StructType(phys) else schema
+          val readSchema = withLin(if (evolved) StructType(phys) else schema)
           val reader = spark.read.schema(readSchema)
           val df0 = posCols(
             (if (g.head.partition.isEmpty) reader
              else reader.option("basePath", root.resolve(dir).toString))
               .parquet(g.map(f => root.resolve(f.path).toString): _*),
             adopted = isAdopted(g.head.path))
-          val df = if (evolved) remap(df0, seqNo, phys) else df0
-          if (withSeq) df.withColumn(SeqCol, lit(seqNo)) else df
+          val df = applyDefaults(
+            if (evolved) remap(df0, seqNo, phys) else df0, seqNo)
+          if (wantSeq) df.withColumn(SeqCol, lit(seqNo)) else df
         }
         .reduce(_ unionByName _)
   }
@@ -1548,6 +1830,26 @@ final class SnapshotTable(val root: Path,
   def files(spark: SparkSession): DataFrame =
     entryScan(spark, currentManifest)
       .select("file_path", "partition", "file_size_bytes", "record_count")
+
+  /** The current snapshot WITH Iceberg v3 row lineage: every data column
+    * plus `_row_id` (stable row identity — survives compaction, z-order,
+    * CoW DELETE/UPDATE rewrites) and `_last_updated_sequence_number`
+    * (the commit that last changed the row). Values resolve physical-
+    * first, then inherit from file metadata (`firstRowId + ordinal`, the
+    * file's sequence) — the v3 inheritance rule, which keeps plain
+    * appends zero-cost. Files committed before the v3 upgrade read a
+    * NULL `_row_id` until a rewrite materializes them. SQL spelling:
+    * ``graft.`/path@lineage` ``. Requires `format-version=3`.
+    */
+  def readLineage(spark: SparkSession): DataFrame = {
+    val m = currentManifest
+    require(SnapshotTable.lineageOn(m.properties),
+      s"row lineage requires table property format-version=3 on $root")
+    readManifest(spark, m, withLineage = true)
+      .withColumnRenamed(SnapshotTable.RowIdColName, "_row_id")
+      .withColumnRenamed(SnapshotTable.LastSeqColName,
+        "_last_updated_sequence_number")
+  }
 
   /** [[files]] AT a retained snapshot (Iceberg's `t.files VERSION AS OF
     * n`) — the listing a reader planning against that snapshot saw.
@@ -1780,7 +2082,8 @@ final class SnapshotTable(val root: Path,
       val p = if (d.path.startsWith("/")) Paths.get(d.path)
               else Paths.get(rootStr, d.path)
       (p.toString,
-        if (d.positional) "position" else "equality",
+        if (d.dv) "deletion-vector"
+        else if (d.positional) "position" else "equality",
         d.version,
         d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
         d.rows,
@@ -1884,21 +2187,48 @@ final class SnapshotTable(val root: Path,
       import spark.implicits._
       return Seq.empty[(String, Long, String, String, Long)].toDF(out: _*)
     }
-    pos.map { d =>
-      val p = if (d.path.startsWith("/")) Paths.get(d.path)
-              else Paths.get(rootStr, d.path)
-      spark.read.parquet(p.toString)
-        .select(
-          // stored paths are table-root-relative (adopted files absolute)
-          when(col("path").startsWith("/"), col("path"))
-            .otherwise(concat(lit(rootStr + "/"), col("path")))
-            .as("file_path"),
-          col("pos"),
-          lit(d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"))
-            .as("partition"),
-          lit(p.toString).as("delete_file_path"),
-          lit(d.version).as("commit_version"))
-    }.reduce(_ unionByName _)
+    def abs(d: DeleteEntry) =
+      if (d.path.startsWith("/")) Paths.get(d.path)
+      else Paths.get(rootStr, d.path)
+    def render(rows: DataFrame, d: DeleteEntry) = rows.select(
+      // stored paths are table-root-relative (adopted files absolute)
+      when(col("path").startsWith("/"), col("path"))
+        .otherwise(concat(lit(rootStr + "/"), col("path")))
+        .as("file_path"),
+      col("pos"),
+      lit(d.partition.map { case (k, v) => s"$k=$v" }.mkString("/"))
+        .as("partition"),
+      lit(abs(d).toString).as("delete_file_path"),
+      lit(d.version).as("commit_version"))
+    val (dvE, plainE) = pos.partition(_.dv)
+    val plainDfs = plainE.map(d =>
+      render(spark.read.parquet(abs(d).toString), d))
+    // v3 deletion-vector files carry (path, bitmap): render the SAME
+    // tombstone-row shape by exploding ordinals — but only each data
+    // file's NEWEST vector (every write folds the prior one, so an older
+    // entry's rows for a re-deleted path are shadowed, not pending)
+    val dvDfs =
+      if (dvE.isEmpty) Nil
+      else {
+        val perEntry = dvE.map { d =>
+          spark.read.parquet(abs(d).toString)
+            .select(col("path"), col("dv"))
+            .withColumn("__graft_pd_ver", lit(d.version))
+        }.reduce(_ unionByName _)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("path"))
+        val newest = perEntry
+          .withColumn("__graft_pd_max",
+            max(col("__graft_pd_ver")).over(w))
+          .filter(col("__graft_pd_ver") === col("__graft_pd_max"))
+        dvE.map { d =>
+          render(newest.filter(col("__graft_pd_ver") === d.version)
+            .select(col("path"),
+              explode(graft.functions.Dv.dvPositions(col("dv"))).as("pos")),
+            d)
+        }
+      }
+    (plainDfs ++ dvDfs).reduce(_ unionByName _)
   }
 
   /** Distinct hive-rendered partition strings whose FileEntry partition
@@ -2203,14 +2533,15 @@ final class SnapshotTable(val root: Path,
   private def changelogAlign(
       target: StructType,
       chains: Map[String, Seq[(Long, String, DataType)]],
-      df: DataFrame, atVersion: Long): DataFrame = {
+      df: DataFrame, atVersion: Long,
+      keep: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val have = df.columns.map(_.toLowerCase).toSet
     df.select(target.fields.toSeq.map { f =>
       val (phys, _) = physAt(chains, f.name, f.dataType, atVersion)
       if (have(phys.toLowerCase)) col(phys).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    } ++ keep.map(col): _*)
   }
 
   /** The lineage chain `(from, to]`, oldest first — shared by the
@@ -2303,6 +2634,89 @@ final class SnapshotTable(val root: Path,
         .withColumn(ChangelogCols(1), lit(toVersion))
         .withColumn(ChangelogCols(2), lit(toM.timestampMs))
     tag(ins, "insert").unionByName(tag(del, "delete"))
+  }
+
+  /** v3 ROW-LINEAGE changelog: the boundary diff with EXACT update
+    * pairing by `_row_id` — no identifier columns needed, which is the
+    * row-lineage spec's changelog payoff (the keyed [[readChangelog]]
+    * INFERS update pairs from user-declared keys; this one READS them).
+    * A row id present at both boundaries with changed content emits
+    * `update_preimage`/`update_postimage`; present only at TO emits
+    * `insert`; only at FROM emits `delete`; unchanged rows emit
+    * nothing. `_commit_version` on insert/update rows is the row's OWN
+    * `_last_updated_sequence_number` — exact per row, where the net
+    * view can only stamp the range boundary (deletes still stamp the
+    * boundary: a vanished row's delete commit is not recoverable from
+    * boundary states). One full-outer join on `_row_id` over the two
+    * boundary states — O(boundaries), independent of the range's commit
+    * count, single-pass (the change legs explode out of one pass, no
+    * re-read per leg).
+    *
+    * Requires `format-version=3` and that BOTH boundaries read a
+    * non-null id for every row: files predating the v3 upgrade read
+    * NULL `_row_id` and cannot be paired — refused loudly (compact()
+    * materializes ids, then re-run).
+    */
+  def readChangelogLineage(spark: SparkSession, fromVersion: Long,
+                           toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(manifestVersions.contains(toVersion),
+      s"no retained snapshot v$toVersion")
+    val toM = manifest(toVersion)
+    require(SnapshotTable.lineageOn(toM.properties),
+      s"row-lineage changelog requires format-version=3 on $root")
+    val target = changelogTarget(toM, fromVersion)
+    lineageChain(fromVersion, toVersion) // ancestry proof (shared walk)
+    val chains = evoChains(toM)
+    val rid = SnapshotTable.RowIdColName
+    val lseq = SnapshotTable.LastSeqColName
+    def boundary(v: Long): DataFrame = {
+      val df = changelogAlign(target, chains,
+        readManifest(spark, manifest(v), withLineage = true), v,
+        keep = Seq(rid, lseq))
+      require(df.filter(col(rid).isNull).limit(1).count() == 0L,
+        s"v$v holds rows without a _row_id (files predating the v3 " +
+          "upgrade) — compact() to materialize ids, then re-run")
+      df
+    }
+    val after = boundary(toVersion)
+    val before =
+      if (fromVersion == 0L) after.limit(0)
+      else boundary(fromVersion)
+    val dataCols = target.fieldNames.toSeq
+    val joined = before.alias("a")
+      .join(after.alias("b"), col(s"a.$rid") === col(s"b.$rid"),
+        "full_outer")
+    val same = dataCols.map(c => col(s"a.$c") <=> col(s"b.$c"))
+      .reduce(_ && _)
+    // per-row commit timestamps resolve through a bounded literal map
+    // (retained history is driver-resident); an EXPIRED intermediate
+    // version still stamps its exact version number, timestamp NULL
+    val tsOf = manifestVersions.map(v => (v, manifest(v).timestampMs))
+    def tsExpr(verCol: Column): Column =
+      element_at(map(tsOf.flatMap { case (v, t) =>
+        Seq(lit(v), lit(t)) }: _*), verCol)
+    def leg(src: String, tpe: String, ver: Column, ts: Column): Column =
+      struct(
+        struct(dataCols.map(c => col(s"$src.$c").as(c)) :+
+          col(s"$src.$rid").as("_row_id"): _*).as("r"),
+        lit(tpe).as("t"), ver.as("v"), ts.as("m"))
+    val postVer = col(s"b.$lseq")
+    val legs = joined
+      .filter(col(s"a.$rid").isNull || col(s"b.$rid").isNull || !same)
+      .select(explode(
+        when(col(s"a.$rid").isNull,
+          array(leg("b", "insert", postVer, tsExpr(postVer))))
+        .when(col(s"b.$rid").isNull,
+          array(leg("a", "delete", lit(toVersion), lit(toM.timestampMs))))
+        .otherwise(array(
+          leg("a", "update_preimage", postVer, tsExpr(postVer)),
+          leg("b", "update_postimage", postVer, tsExpr(postVer)))))
+        .as("__graft_cl"))
+    legs.select((dataCols :+ "_row_id").map(c => col(s"__graft_cl.r.$c")) ++
+      Seq(col("__graft_cl.t").as(ChangelogCols(0)),
+        col("__graft_cl.v").as(ChangelogCols(1)),
+        col("__graft_cl.m").as(ChangelogCols(2))): _*)
   }
 
   def readChangelog(spark: SparkSession, fromVersion: Long,
@@ -3867,6 +4281,43 @@ final class SnapshotTable(val root: Path,
         df.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
+  /** Iceberg v3 lineage for copy-on-write MERGE: the merged output
+    * recovers row identity BY KEY from the pre-merge target — carried
+    * and updated rows keep their `_row_id`; carried rows also keep their
+    * `_last_updated_sequence_number`, updated (and soft-deleted) rows
+    * reset it (NULL inherits this commit via the new file's sequence);
+    * inserted rows get fresh ids by inheritance. Key-based recovery is
+    * what survives arbitrary `targetTransform`s — the keys must survive
+    * them for the merge itself to work. The old-lineage side reduces to
+    * one row per key (min id / max seq — deterministic even if a target
+    * held duplicate keys), so the join can never fan the row count out.
+    * Rows with NULL keys never equi-join and read as inserts (fresh id).
+    * No-op below format-version 3.
+    */
+  private def attachMergedLineage(spark: SparkSession, m: Manifest,
+      merged: DataFrame, preFiles: Seq[FileEntry], changes: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    if (!SnapshotTable.lineageOn(m.properties)) return merged
+    val rid = SnapshotTable.RowIdColName
+    val lseq = SnapshotTable.LastSeqColName
+    // column-pruned: Catalyst narrows the lineage re-read to the keys +
+    // the two lineage columns (+ the scan's position identity)
+    val old = readManifest(spark, m.copy(files = preFiles.toVector),
+        withLineage = true)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(rid)).as("__graft_old_rid"),
+        max(col(lseq)).as("__graft_old_seq"))
+    val changeKeys = changes.select(keys.map(col): _*).distinct()
+      .withColumn("__graft_chg", lit(true))
+    merged
+      .join(old, keys, "left")
+      .join(changeKeys, keys, "left")
+      .withColumn(rid, col("__graft_old_rid"))
+      .withColumn(lseq,
+        when(col("__graft_chg").isNull, col("__graft_old_seq")))
+      .drop("__graft_old_rid", "__graft_old_seq", "__graft_chg")
+  }
+
   def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
             keepDeletes: Boolean,
             nowMs: Long = System.currentTimeMillis(),
@@ -3885,7 +4336,9 @@ final class SnapshotTable(val root: Path,
     if (m.partitionColumns.isEmpty) {
       // full rewrite materializes the delete-resolved view, so pending
       // MoR deletes fold away here (commitData drops them)
-      val merged = Merge(evolveT(read(spark)), changes, keys, keepDeletes)
+      val merged0 = Merge(evolveT(read(spark)), changes, keys, keepDeletes)
+      val merged = attachMergedLineage(spark, m, merged0, m.files, changes,
+        keys)
       commitData(merged, Some(m), m.partitionColumns, m.properties, nowMs)
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
@@ -4016,7 +4469,9 @@ final class SnapshotTable(val root: Path,
               splitTouchedOf(m.files, touched)
             val affectedTarget =
               evolveT(readManifest(spark, m.copy(files = touchedFiles)))
-            val merged = Merge(affectedTarget, cached, keys, keepDeletes)
+            val merged = attachMergedLineage(spark, m,
+              Merge(affectedTarget, cached, keys, keepDeletes),
+              touchedFiles, cached, keys)
             // pending MoR equality-deletes still mask rows of CARRIED files
             // and must survive this commit (dropping them would resurrect
             // superseded rows in untouched partitions). They cannot affect
@@ -4035,7 +4490,9 @@ final class SnapshotTable(val root: Path,
             log.warn(s"merge census overflow (> " +
               s"${SnapshotTable.MaxCensusPartitions} touched partitions) " +
               s"at $root — falling back to an unscoped full rewrite")
-            val merged = Merge(evolveT(read(spark)), cached, keys, keepDeletes)
+            val merged = attachMergedLineage(spark, m,
+              Merge(evolveT(read(spark)), cached, keys, keepDeletes),
+              m.files, cached, keys)
             commitData(merged, Some(m), pcols, m.properties, nowMs)
         }
       } finally cached.unpersist()
@@ -4120,10 +4577,23 @@ final class SnapshotTable(val root: Path,
     * (name-based mapping would resurrect the old values — compact()
     * first, see [[dropColumns]]).
     */
+  /** @param defaults per-NEW-column DEFAULT literals (SQL text): fixes
+    *   the column's INITIAL default (pre-add rows read it instead of
+    *   NULL — the v3 default-value rule) and seeds its WRITE default
+    *   (INSERTs omitting the column store it). Only names from `cols`
+    *   may appear; literals must be constants castable to the type.
+    */
   def addColumns(cols: Seq[org.apache.spark.sql.types.StructField],
-                 nowMs: Long = System.currentTimeMillis()): Manifest = {
+                 nowMs: Long = System.currentTimeMillis(),
+                 defaults: Map[String, String] = Map.empty): Manifest = {
     val m = currentManifest
     require(cols.nonEmpty, "nothing to add")
+    defaults.foreach { case (n, litSql) =>
+      val f = cols.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DEFAULT for $n, which is not among the added columns"))
+      SnapshotTable.validateDefault(litSql, f.dataType)
+    }
     val schema = StructType.fromDDL(m.schemaDdl)
     val have = schema.fieldNames.map(_.toLowerCase).toSet
     cols.foreach { f =>
@@ -4150,9 +4620,42 @@ final class SnapshotTable(val root: Path,
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      val defProps = defaults.flatMap { case (n, litSql) =>
+        val lc = n.toLowerCase
+        Seq(s"${SnapshotTable.InitialDefaultPrefix}$lc" -> s"v$v:$litSql",
+          s"${SnapshotTable.WriteDefaultPrefix}$lc" -> litSql)
+      }
       m.copy(version = v, timestampMs = nowMs,
         schemaDdl = StructType(schema.fields ++ cols).toDDL,
+        properties = m.properties ++ defProps,
         operation = "evolve-schema")
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT <lit>` / `DROP DEFAULT`
+    * — changes the column's WRITE default only (what future INSERTs that
+    * omit it store). The INITIAL default — what pre-add rows read — is
+    * fixed at add time forever, per the v3 spec: changing a write
+    * default must never rewrite history.
+    */
+  def setWriteDefault(name: String, litSql: Option[String],
+                      nowMs: Long = System.currentTimeMillis()): Manifest = {
+    val m = currentManifest
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' on $root"))
+    litSql.foreach(l => SnapshotTable.validateDefault(l, field.dataType))
+    val key = SnapshotTable.WriteDefaultPrefix + field.name.toLowerCase
+    publishCommit { (v, curOpt) =>
+      if (curOpt.map(_.version) != Some(m.version))
+        throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      m.copy(version = v, timestampMs = nowMs,
+        properties = litSql match {
+          case Some(l) => m.properties + (key -> l)
+          case None => m.properties - key
+        },
+        operation = "properties")
     }
   }
 
@@ -4341,6 +4844,8 @@ final class SnapshotTable(val root: Path,
     require(props.nonEmpty, "nothing to set")
     val bad = props.keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
       k.toLowerCase.startsWith(EvoPrefix) ||
+      k.toLowerCase.startsWith(SnapshotTable.InitialDefaultPrefix) ||
+      k.toLowerCase.startsWith(SnapshotTable.WriteDefaultPrefix) ||
       k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
     val m = currentManifest
@@ -4365,6 +4870,8 @@ final class SnapshotTable(val root: Path,
     val bad = (set.keys ++ unset).filter(k =>
       k.toLowerCase.startsWith(DroppedPrefix) ||
         k.toLowerCase.startsWith(EvoPrefix) ||
+        k.toLowerCase.startsWith(SnapshotTable.InitialDefaultPrefix) ||
+        k.toLowerCase.startsWith(SnapshotTable.WriteDefaultPrefix) ||
         k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
     val m = currentManifest
@@ -4385,6 +4892,8 @@ final class SnapshotTable(val root: Path,
     require(keys.nonEmpty, "nothing to unset")
     val bad = keys.filter(k => k.toLowerCase.startsWith(DroppedPrefix) ||
       k.toLowerCase.startsWith(EvoPrefix) ||
+      k.toLowerCase.startsWith(SnapshotTable.InitialDefaultPrefix) ||
+      k.toLowerCase.startsWith(SnapshotTable.WriteDefaultPrefix) ||
       k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
     val m = currentManifest
@@ -4953,7 +5462,11 @@ final class SnapshotTable(val root: Path,
     // consumed twice (sizing/bounds action + the write), and re-running
     // it would repeat the MoR anti-join over every rewritten file.
     val sub = m.copy(files = rewrite)
-    val df = readManifest(spark, sub).cache()
+    // v3: the rewrite read carries each row's lineage (physical-or-
+    // inherited) so the new files materialize it — identity survives
+    // the file move (the spec's carry rule)
+    val df = readManifest(spark, sub,
+      withLineage = SnapshotTable.lineageOn(m.properties)).cache()
     try {
       val rewriteBytes = math.max(1L, rewrite.map(f => sizes(f.path)).sum)
       if (m.partitionColumns.isEmpty) {
@@ -5062,7 +5575,10 @@ final class SnapshotTable(val root: Path,
     // column bounds (one agg pass): per-partition normalization would
     // need a bounds map per value on the driver for no extra pruning
     // power — the curve order within a partition is what matters.
-    zKeyed(read(spark), cols) match {
+    // v3: the layout rewrite threads lineage physically like every
+    // rewrite (the curve key rides alongside the extra columns)
+    zKeyed(readManifest(spark, m,
+      withLineage = SnapshotTable.lineageOn(m.properties)), cols) match {
       case None => m // empty table: nothing to cluster, no-op
       case Some((keyed, z)) =>
         val rangeCols = m.partitionColumns.map(col) :+ col(z)
@@ -5106,7 +5622,8 @@ final class SnapshotTable(val root: Path,
     val resolved = cols.map(c => schemaCols
       .find(_.equalsIgnoreCase(c)).getOrElse(throw new
         IllegalArgumentException(s"no column '$c' on $root")))
-    val df = read(spark)
+    val df = readManifest(spark, m,
+      withLineage = SnapshotTable.lineageOn(m.properties))
     val totalBytes = m.files.map(sizeOf).sum
     val nFiles = math.max(minFiles,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -5687,8 +6204,8 @@ final class SnapshotTable(val root: Path,
         // their branch — @snapshots and the changelog walk this chain
         // instead of the shared version sequence, which interleaves
         // other branches' commits
-        val m = build(v, cur)
-          .copy(parent = cur.map(_.version).getOrElse(0L))
+        val m = assignRowIds(build(v, cur)
+          .copy(parent = cur.map(_.version).getOrElse(0L)), cur)
         Files.createDirectories(metaDir)
         // unique stage name: concurrent CAS-mode committers building the
         // same version number must never write through the same path
@@ -5724,6 +6241,55 @@ final class SnapshotTable(val root: Path,
       }
       out
     }
+
+  /** Iceberg v3 row-id allocation — the CENTRAL chokepoint every commit
+    * path flows through ([[publishCommit]] calls it on the built
+    * manifest, inside the publish critical section, so two committers can
+    * never claim overlapping ranges). Inline entries without a row-id
+    * range (`firstRowId < 0`) and with a known row count take consecutive
+    * ranges in PATH order (deterministic — paths are unique and sorted);
+    * the advanced counter lands in the manifest's properties. Covers new
+    * files of ANY commit path AND heals loose legacy entries on their
+    * first post-upgrade commit; entries riding inside carried chunk
+    * documents stay unassigned (their rows read NULL `_row_id`) until a
+    * rewrite materializes them — assignment must never force a chunk
+    * parse.
+    *
+    * No-op (and property-free) below format-version 3.
+    */
+  private def assignRowIds(m: Manifest, cur: Option[Manifest]): Manifest = {
+    if (!SnapshotTable.lineageOn(m.properties)) return m
+    def counterOf(mm: Manifest): Long =
+      mm.properties.get(SnapshotTable.RowIdNextProp).map(_.toLong)
+        .getOrElse(0L)
+    // the committing branch's head AND the table-wide latest manifest:
+    // versions are table-wide sequential, so the latest retained manifest
+    // carries the largest counter any branch has advanced to — a branch
+    // commit can never re-allocate another branch's range
+    val tableWide = scala.util.Try(
+      manifestVersions.lastOption.map(v => counterOf(manifest(v)))
+    ).toOption.flatten.getOrElse(0L)
+    var next = math.max(math.max(cur.map(counterOf).getOrElse(0L), tableWide),
+      m.properties.get(SnapshotTable.RowIdNextProp).map(_.toLong)
+        .getOrElse(0L))
+    def assign(entries: Seq[FileEntry]): Seq[FileEntry] = {
+      val starts = entries.filter(e => e.firstRowId < 0 && e.rows >= 0)
+        .sortBy(_.path)
+        .map { e => val s = next; next += e.rows; e.path -> s }.toMap
+      if (starts.isEmpty) entries
+      else entries.map(e =>
+        if (e.firstRowId < 0 && e.rows >= 0) e.copy(firstRowId = starts(e.path))
+        else e)
+    }
+    val files2: Seq[FileEntry] = m.files match {
+      case fl: FileList if fl.chunks.nonEmpty =>
+        new FileList(assign(fl.inline), fl.chunks, fl.nBuckets, metaDir)
+      case s => assign(s)
+    }
+    m.copy(files = files2,
+      properties = m.properties +
+        (SnapshotTable.RowIdNextProp -> next.toString))
+  }
 
   /** Run `f` with timestamps written as INT64 micros so footers carry
     * usable min/max statistics (Spark's INT96 default has none), then
@@ -5813,6 +6379,19 @@ final class SnapshotTable(val root: Path,
     // hidden-partitioning chokepoint: EVERY data write derives recorded
     // transform columns here (see materializeTransforms)
     val df = materializeTransforms(dfIn, pcols, props)
+    // v3 row lineage: physical lineage columns (rewrites materialize
+    // them so carried rows keep their identity) are ENGINE-owned — they
+    // go into the parquet files but never into the declared schema,
+    // footer-stats collection, or the resurrection census. Only v3
+    // tables strip; anywhere else a user column that happens to share
+    // the name is ordinary data.
+    val linNames =
+      if (SnapshotTable.lineageOn(props))
+        df.columns.filter(c => c == SnapshotTable.RowIdColName ||
+          c == SnapshotTable.LastSeqColName).toSet
+      else Set.empty[String]
+    val declaredSchema = StructType(
+      df.schema.fields.filterNot(f => linNames(f.name)))
     val baseV = base.map(_.version).getOrElse(0L)
     // fail-fast BEFORE any data is written: a commit planned against a
     // stale snapshot must not spend the write (and without rebase rights
@@ -5827,7 +6406,7 @@ final class SnapshotTable(val root: Path,
     base.foreach { b =>
       val risky = resurrectableColumns(b, carryForward,
         carryChunks.map(_._1).getOrElse(Nil))
-      val hit = df.schema.fieldNames.filter(c => risky(c.toLowerCase))
+      val hit = declaredSchema.fieldNames.filter(c => risky(c.toLowerCase))
       require(hit.isEmpty,
         s"schema re-introduces dropped column(s) ${hit.mkString(", ")} " +
           "while carried files predate the drop — compact() first")
@@ -5884,7 +6463,8 @@ final class SnapshotTable(val root: Path,
     // footer stats don't depend on the commit version — collect them
     // BEFORE taking the publish lock, or a many-file commit serializes
     // every concurrent writer behind its footer reads
-    val statsByPath = written.map(p => p -> FileStats.collect(p, df.schema))
+    val statsByPath =
+      written.map(p => p -> FileStats.collect(p, declaredSchema))
     publishCommit { (v, curOpt) =>
       val curV = curOpt.map(_.version).getOrElse(0L)
       val (carriedFiles, carriedChunkInfo, carriedDeletes) =
@@ -5940,7 +6520,7 @@ final class SnapshotTable(val root: Path,
           new FileList(entries ++ carriedFiles, chunks, nB, metaDir)
         case _ => entries ++ carriedFiles
       }
-      Manifest(v, nowMs, df.schema.toDDL, allFiles,
+      Manifest(v, nowMs, declaredSchema.toDDL, allFiles,
         pcols, effectiveProps, deleteFiles = carriedDeletes,
         operation = operation)
     }
@@ -6063,7 +6643,93 @@ object SnapshotTable {
       "delete_files|position_deletes|stats|partition_stats|entries|" +
       "all_files|" +
       "all_manifests|all_entries|all_data_files|all_delete_files|" +
-      "metadata_log_entries"
+      "metadata_log_entries|lineage"
+
+  /** Iceberg v3 ROW LINEAGE (spec: row-level lineage, format v3).
+    *
+    * Physical column names rewritten data files carry: a rewrite
+    * (compaction, z-order, CoW DELETE/UPDATE) MATERIALIZES each carried
+    * row's `_row_id` / `_last_updated_sequence_number` under these names
+    * so identity survives the file move; rows with NULL (or absent)
+    * physical values INHERIT from file metadata at read —
+    * `firstRowId + ordinal` and the file's own sequence number
+    * respectively (the spec's inheritance rule, which is also what makes
+    * plain appends zero-cost: a fresh append writes no lineage columns
+    * at all, only the manifest's `firstRowId` range).
+    *
+    * The columns are ENGINE-OWNED: they live in parquet files but never
+    * in the declared table schema ([[SnapshotTable.commitData]] strips
+    * them when the table is v3), and plain reads never surface them —
+    * only `readLineage` / the SQL `@lineage` relation do, renamed to the
+    * public `_row_id` / `_last_updated_sequence_number`.
+    */
+  private[graft] val RowIdColName = "__graft_row_id"
+  private[graft] val LastSeqColName = "__graft_last_seq"
+  /** Table-level next-unallocated row id (Iceberg v3 `next-row-id`).
+    * Maintained at publish; reads MAX across the committing branch's head
+    * and the table-wide latest manifest so branches never double-allocate
+    * a range (versions are table-wide sequential, so the latest manifest
+    * always carries the largest counter).
+    */
+  private[graft] val RowIdNextProp = "graft.row-id.next"
+  private[graft] val FormatVersionProp = "format-version"
+
+  /** Row lineage (and deletion vectors) activate at `format-version=3` —
+    * the Iceberg v3 gate. Everything stays byte-identical for v1/v2
+    * tables: no counter property, no manifest field, no extra columns.
+    */
+  private[graft] def lineageOn(props: Map[String, String]): Boolean =
+    props.get(FormatVersionProp).exists(_.trim == "3")
+
+  /** Column DEFAULT values (Iceberg v3 default-value spec).
+    *
+    * `graft.default.initial.<col>` = `v<addVersion>:<sql literal>` — the
+    * INITIAL default, fixed forever at ADD COLUMN time: rows of files
+    * whose sequence predates `addVersion` (the column physically cannot
+    * exist there) read the literal instead of NULL. Files written after
+    * the add carry the column physically, so an explicit NULL stays NULL
+    * — exactly the spec's initial-default rule, with the add-version
+    * standing in for Iceberg's field-id-presence test.
+    *
+    * `graft.default.write.<col>` = `<sql literal>` — the WRITE default:
+    * what an INSERT that omits the column stores. Starts equal to the
+    * initial default and changes via `ALTER COLUMN ... SET/DROP DEFAULT`
+    * (changing it never rewrites history — also the spec's rule).
+    *
+    * Both keys are engine-fenced like `graft.dropped.` — they encode DDL
+    * state, not free-form properties.
+    */
+  private[graft] val InitialDefaultPrefix = "graft.default.initial."
+  private[graft] val WriteDefaultPrefix = "graft.default.write."
+
+  /** (lowercase column name → (add version, sql literal)). */
+  private[graft] def initialDefaults(m: Manifest): Map[String, (Long, String)] =
+    m.properties.collect {
+      case (k, v) if k.startsWith(InitialDefaultPrefix) &&
+          v.startsWith("v") && v.indexOf(':') > 1 =>
+        val i = v.indexOf(':')
+        k.stripPrefix(InitialDefaultPrefix).toLowerCase ->
+          ((v.substring(1, i).toLong, v.substring(i + 1)))
+    }
+
+  /** Parse-and-fold a DEFAULT literal against the column type — loud on
+    * anything that is not a constant castable to it (a non-constant
+    * default could never be replayed identically at read time).
+    */
+  private[graft] def validateDefault(litSql: String,
+      dt: org.apache.spark.sql.types.DataType): Unit = {
+    val e = scala.util.Try(org.apache.spark.sql.catalyst.parser
+      .CatalystSqlParser.parseExpression(litSql)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DEFAULT does not parse: $litSql"))
+    require(scala.util.Try(e.foldable).getOrElse(false),
+      s"DEFAULT must be a constant expression, got: $litSql")
+    val castOk = scala.util.Try(
+      org.apache.spark.sql.catalyst.expressions.Cast(e, dt, Some("UTC"))
+        .eval(null)).isSuccess
+    require(castOk,
+      s"DEFAULT $litSql does not cast to ${dt.catalogString}")
+  }
 
   /** Lost-race retry bound for optimistic publishers. Each retry rebuilds
     * the manifest against the winner's, so progress is guaranteed as long
@@ -6181,8 +6847,9 @@ private[graft] object ManifestJson {
         .mkString(""","nulls":{""", ",", "}")
     val rowsPart = if (f.rows >= 0) s""","rows":${f.rows}""" else ""
     val bytesPart = if (f.bytes >= 0) s""","bytes":${f.bytes}""" else ""
+    val ridPart = if (f.firstRowId >= 0) s""","rowId":${f.firstRowId}""" else ""
     s"""{"path":${q(f.path)},"partition":${obj(f.partition)},"seq":${f.seq}""" +
-      s"""$statsPart$nullsPart$rowsPart$bytesPart}"""
+      s"""$statsPart$nullsPart$rowsPart$bytesPart$ridPart}"""
   }
 
   private def fileArr(files: Seq[FileEntry]): String =
@@ -6363,7 +7030,8 @@ private[graft] object ManifestJson {
           else s""","partition":${obj(d.partition)}"""
         val rowsPart = if (d.rows < 0) "" else s""","rows":${d.rows}"""
         val posPart = if (d.positional) s""","positional":true""" else ""
-        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart$rowsPart$posPart}"""
+        val dvPart = if (d.dv) s""","dv":true""" else ""
+        s"""{"path":${q(d.path)},"version":${d.version}$statsPart$partPart$rowsPart$posPart$dvPart}"""
       }
       .mkString("[", ",", "]")
     val json =
@@ -6399,6 +7067,8 @@ private[graft] object ManifestJson {
           .getOrElse(Map.empty),
         rows = fm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L),
         bytes = fm.get("bytes").map(_.asInstanceOf[Double].toLong)
+          .getOrElse(-1L),
+        firstRowId = fm.get("rowId").map(_.asInstanceOf[Double].toLong)
           .getOrElse(-1L))
     }
 
@@ -6486,7 +7156,8 @@ private[graft] object ManifestJson {
                 .map { case (k, v) => k -> v.asInstanceOf[String] })
               .getOrElse(Map.empty),
             dm.get("rows").map(_.asInstanceOf[Double].toLong).getOrElse(-1L),
-            dm.get("positional").exists(_.asInstanceOf[Boolean]))
+            dm.get("positional").exists(_.asInstanceOf[Boolean]),
+            dm.get("dv").exists(_.asInstanceOf[Boolean]))
         })
         .getOrElse(Nil),
       operation = parsed.get("operation") // absent pre-round-6

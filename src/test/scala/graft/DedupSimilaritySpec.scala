@@ -429,4 +429,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
     assert(again == out)
   }
+
+  test("hardNegatives: exact other-label top-k, deterministic ranks") {
+    import spark.implicits._
+    // planted geometry: anchors along e1; same-label near-duplicates
+    // must NEVER appear; the other-label ranking follows the cosine to
+    // e1 exactly
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val rows = Seq(
+      (0L, 0, v(1f, 0f)),     // anchor, label 0
+      (1L, 0, v(0.99f, 0.1f)), // same label, closest of all — excluded
+      (2L, 1, v(0.9f, 0.1f)),  // other label, closest admissible
+      (3L, 1, v(0.5f, 0.5f)),
+      (4L, 2, v(0.1f, 0.9f)),
+      (5L, 1, v(0f, 0f))       // zero-norm: no defined cosine, dropped
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.hardNegatives(
+        rows.filter(col("vec_id") === 0L), rows,
+        "vec_id", "embedding", "label", k = 3)
+      .orderBy("rank")
+      .select("rank", "negative_id", "negative_label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out == Seq((1, 2L, 1), (2, 3L, 1), (3, 4L, 2)), s"got $out")
+  }
 }

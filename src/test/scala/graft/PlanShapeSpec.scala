@@ -183,4 +183,34 @@ class PlanShapeSpec extends SparkSpec {
     val df = t.readWhere(spark, col("id") <= 100L)
     assert(df.count() == 100)
   }
+
+  test("v3 lineage read joins the file map BROADCAST — no extra shuffle") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape-v3-").toString
+    val t = graft.table.SnapshotTable.at(root)
+    t.createOrReplace((1 to 2000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), properties = Map("format-version" -> "3"))
+    val plan = t.readLineage(spark).queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the (path → firstRowId) map must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "inheritance must never shuffle the data side:\n" + plan.take(2000))
+  }
+
+  test("v3 DV-masked read is a broadcast bitmap probe — no anti-join") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape-dv-").toString
+    val t = graft.table.SnapshotTable.at(root)
+    t.createOrReplace((1 to 2000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), properties = Map("format-version" -> "3"))
+    t.deleteWherePositional(spark, col("id") % 100 === 0L)
+    val df = t.read(spark)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("LeftAnti"),
+      s"DV masking must not plan a positional anti-join:\n${plan.take(2000)}")
+    assert(plan.contains("dv_contains") || plan.contains("DvContains"),
+      s"the bitmap probe must appear in the plan:\n${plan.take(2000)}")
+    assert(df.count() == 1980)
+  }
 }
