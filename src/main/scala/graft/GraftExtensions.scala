@@ -939,7 +939,7 @@ private[graft] object GraftSqlDml {
       case "create_changelog_view" =>
         Seq("table", "view", "from_version", "to_version",
           "identifier_columns", "from_timestamp", "to_timestamp",
-          "net_changes")
+          "net_changes", "lineage")
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $cat.system.$other; supported: " +
           "expire_snapshots, remove_orphan_files, rewrite_data_files, " +
@@ -1195,11 +1195,25 @@ private[graft] object GraftSqlDml {
         if (net && bound.contains("identifier_columns"))
           throw new UnsupportedOperationException(
             "net_changes and identifier_columns are mutually exclusive")
+        // lineage mode (v3 extension): update images pair by the rows'
+        // own _row_id — declaring identifier columns alongside it would
+        // declare two different pairing authorities
+        val lineage = bound.get("lineage") match {
+          case None => false
+          case Some(b: Boolean) => b
+          case Some(o) => throw new UnsupportedOperationException(
+            s"lineage must be a boolean, got $o")
+        }
+        if (lineage && (net || bound.contains("identifier_columns")))
+          throw new UnsupportedOperationException(
+            "lineage pairs updates by _row_id — mutually exclusive with " +
+              "net_changes and identifier_columns")
         val fromB = boundary("from_version", "from_timestamp", 0L, 0L)
         val toB = boundary("to_version", "to_timestamp", tbl.currentVersion,
           throw new UnsupportedOperationException(
             "to_timestamp predates the table's first retained snapshot"))
-        (if (net) tbl.readChangelogNet(session, fromB, toB)
+        (if (lineage) tbl.readChangelogLineage(session, fromB, toB)
+         else if (net) tbl.readChangelogNet(session, fromB, toB)
          else tbl.readChangelog(session, fromB, toB, keys))
           .createOrReplaceTempView(viewName)
       case "rollback_to_snapshot" =>

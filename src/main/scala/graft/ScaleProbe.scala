@@ -450,6 +450,27 @@ object ScaleProbe {
         }
       }
 
+      // per-column parquet BLOOM FILTERS at 2.4M rows: the partition-
+      // clustered layout scatters l_orderkey, so every file's min/max
+      // spans the domain and manifest pruning keeps everything — the
+      // point lookup's only skip is the row-group bloom probe
+      {
+        val bl = SnapshotTable.at(java.nio.file.Files
+          .createTempDirectory("graft-bloomprobe").toString)
+        bl.createOrReplace(withP, Seq("p"), properties = Map(
+          "write.parquet.bloom-filter-enabled.column.l_orderkey" -> "true"))
+        val nb = SnapshotTable.at(java.nio.file.Files
+          .createTempDirectory("graft-nobloomprobe").toString)
+        nb.createOrReplace(withP, Seq("p"))
+        val probeKey = withP.select(max(col("l_orderkey"))).head.getLong(0)
+        timed("bloom_point_lookup") {
+          bl.readWhere(spark, col("l_orderkey") === probeKey).count()
+        }
+        timed("nobloom_point_lookup") {
+          nb.readWhere(spark, col("l_orderkey") === probeKey).count()
+        }
+      }
+
       // where-scoped compaction at 2.4M rows: fragment every partition,
       // then touch up ONE — the scoped rewrite stats and rewrites only
       // the implicated group while the full call pays for all of them

@@ -1947,6 +1947,25 @@ object SparkEntry {
         .withColumn("identity_preserved", lit(preserved))
     }),
 
+    "q150_token_budget_sample" -> ((s, d) => {
+      // mixture EXECUTION: the q132 UniMax allocation decides each
+      // language's token budget; tokenBudgetSample spends it — docs in
+      // ascending id order per language while the tokens taken BEFORE
+      // each doc stay under the budget (the crossing doc rides whole).
+      // Every admitted row is integer arithmetic DuckDB replays
+      // end-to-end: UniMax closed form → per-doc cumulative sum → join.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        col("text"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+          .as("n_tokens"))
+      val total = docs.agg(sum(col("n_tokens"))).head.getLong(0)
+      val alloc = Sampling.unimaxAllocation(
+        docs.select(col("doc_id"), col("lang"), col("n_tokens")), "lang",
+        "n_tokens", budget = total * 80L / 100L, maxEpochs = 1)
+      Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
+    }),
+
     "q149_hard_negatives" -> ((s, d) => {
       // hard-negative mining for contrastive training: per anchor, the
       // exact top-5 most-similar OTHER-label vectors; the per-anchor
@@ -4390,6 +4409,55 @@ object SparkEntry {
         |  CAST(len(ws.w) AS BIGINT) AS n_tokens,
         |  CAST(len(ws.w) - coalesce(r.kept, 0) AS BIGINT) AS n_removed
         |FROM words ws LEFT JOIN rebuilt r ON ws.id = r.id""".stripMargin,
+
+    // token-budget execution: the q132 UniMax CTE chain feeds a
+    // per-language cumulative admission — all integer arithmetic
+    "q150_token_budget_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(sum(n_tokens) AS BIGINT) * 1 AS cap_tokens
+        |  FROM toks GROUP BY lang),
+        |b AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 80) // 100
+        |  AS budget FROM toks),
+        |ranked AS (
+        |  SELECT lang, total_tokens, cap_tokens,
+        |    row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+        |    count(*) OVER () AS k,
+        |    coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS s_prev
+        |  FROM tot),
+        |flagged AS (
+        |  SELECT r.*, b.budget,
+        |    cap_tokens * (k - i + 1) + s_prev <= b.budget AS capped
+        |  FROM ranked r, b),
+        |shared AS (
+        |  SELECT f.*,
+        |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS p,
+        |    sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) OVER () AS s_p
+        |  FROM flagged f),
+        |alloc AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN capped THEN cap_tokens
+        |      ELSE (budget - s_p) // (k - p) END AS BIGINT)
+        |      AS allocated_tokens
+        |  FROM shared),
+        |cum AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS taken_before
+        |  FROM toks)
+        |SELECT c.lang, c.doc_id, c.n_tokens,
+        |  CAST(c.taken_before AS BIGINT) AS taken_before
+        |FROM cum c JOIN alloc a ON c.lang = a.lang
+        |WHERE c.taken_before < a.allocated_tokens""".stripMargin,
 
     // hard negatives: brute-force windowed replay, cosine in the DOUBLE
     // domain with element-order summation on both engines (the q38

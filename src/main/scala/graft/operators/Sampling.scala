@@ -359,4 +359,35 @@ object Sampling {
           expr("allocated_tokens * 1000000 DIV total_tokens"))
           .otherwise(lit(0L)))
   }
+
+  /** TOKEN-BUDGET EXECUTION: select documents per stratum, in
+    * deterministic id order, until the stratum's token budget is spent —
+    * the doc-granularity EXECUTOR of a mixture plan
+    * ([[unimaxAllocation]] decides how many tokens each stratum GETS;
+    * this picks the documents that spend them). A document is admitted
+    * while the tokens taken BEFORE it are under the budget, so the
+    * crossing document rides whole (budgets are targets, not hard caps —
+    * truncating mid-document would corrupt it; the overshoot is bounded
+    * by one document). One cumulative window per stratum: strata are
+    * few and the per-stratum sort is the price of a deterministic
+    * greedy order — it shards across strata, never a global sort.
+    * `budgets` is `(stratumCol, allocated_tokens)` — exactly
+    * [[unimaxAllocation]]'s output shape — and broadcasts (one row per
+    * stratum). Output `(stratum, id, n_tokens, taken_before)`.
+    */
+  def tokenBudgetSample(docs: DataFrame, stratumCol: String, idCol: String,
+                        textCol: String, budgets: DataFrame): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(col(idCol))
+    docs.select(col(stratumCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("taken_before", coalesce(
+        sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .join(broadcast(budgets.select(col(stratumCol),
+        col("allocated_tokens"))), Seq(stratumCol))
+      .filter(col("taken_before") < col("allocated_tokens"))
+      .select(col(stratumCol), col(idCol), col("n_tokens"),
+        col("taken_before"))
+  }
 }

@@ -6454,7 +6454,7 @@ final class SnapshotTable(val root: Path,
         else clustered0.sortWithinPartitions(sortCols.map(col): _*)
       // append into the claimed (empty) dir — see mergeMoR for why
       val writer = clustered.write.mode("append")
-        .options(writerOptions)
+        .options(writerOptions ++ SnapshotTable.bloomWriterOptions(props))
         .option("compression", props.getOrElse("write.parquet.compression-codec", "snappy"))
       (if (pcols.nonEmpty) writer.partitionBy(pcols: _*) else writer)
         .parquet(dir.toString)
@@ -6701,6 +6701,29 @@ object SnapshotTable {
     */
   private[graft] val InitialDefaultPrefix = "graft.default.initial."
   private[graft] val WriteDefaultPrefix = "graft.default.write."
+
+  /** Iceberg `write.parquet.bloom-filter-enabled.column.<col>` (and the
+    * companion `...bloom-filter-fpp.column.<col>`): per-column parquet
+    * BLOOM FILTERS on every data write through [[commitData]]. Point
+    * lookups on a high-cardinality UNSORTED column then skip row groups
+    * whose filter proves absence — the case footer min/max can never
+    * prune (bounds span everything when values are scattered). The
+    * filters ride in the files, so Spark's own row-group filtering uses
+    * them on any pushed equality predicate — no reader change at all.
+    */
+  private[table] val BloomEnabledPrefix =
+    "write.parquet.bloom-filter-enabled.column."
+  private[table] val BloomFppPrefix =
+    "write.parquet.bloom-filter-fpp.column."
+
+  private[table] def bloomWriterOptions(
+      props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.toLowerCase.startsWith(BloomEnabledPrefix) =>
+        s"parquet.bloom.filter.enabled#${k.substring(BloomEnabledPrefix.length)}" -> v
+      case (k, v) if k.toLowerCase.startsWith(BloomFppPrefix) =>
+        s"parquet.bloom.filter.fpp#${k.substring(BloomFppPrefix.length)}" -> v
+    }
 
   /** (lowercase column name → (add version, sql literal)). */
   private[graft] def initialDefaults(m: Manifest): Map[String, (Long, String)] =

@@ -182,6 +182,15 @@ class RowLineageSpec extends SparkSpec {
       assert(rs.map(_._2).distinct.length == 1,
         s"update images of $id must share one _row_id")
     }
+    // the SQL spelling registers the same view
+    spark.sql(s"CALL graft.system.create_changelog_view(" +
+      s"table => '${t.root}', view => 'rl_cl', from_version => 1, " +
+      "to_version => 3, lineage => true)")
+    assert(spark.sql("SELECT count(*) FROM rl_cl").head.getLong(0) == 8L)
+    val ex = intercept[Exception](spark.sql(
+      s"CALL graft.system.create_changelog_view(table => '${t.root}', " +
+        "view => 'x', lineage => true, net_changes => true)"))
+    assert(ex.getMessage.contains("mutually exclusive"))
     // intra-range churn folds: insert-then-delete never appears
     spark.sql(s"INSERT INTO graft.`${t.root}` VALUES (99, 'tmp', 'I')")
     t.deleteWhere(spark, col("id") === 99L)

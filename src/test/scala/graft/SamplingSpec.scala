@@ -141,4 +141,24 @@ class SamplingSpec extends SparkSpec {
     val over = q(0.0, 10000)
     assert(over("small") <= 100)
   }
+
+  test("tokenBudgetSample: greedy per-stratum admission, crossing doc rides") {
+    import spark.implicits._
+    // stratum a: docs of 4 tokens each, budget 10 → docs 1,2 admitted
+    // (taken_before 0, 4) and doc 3 ADMITTED TOO (taken_before 8 < 10 —
+    // the crossing doc rides whole); doc 4 rejected (12 >= 10).
+    // stratum b: budget 0 → nothing, not even the first doc.
+    val docs = Seq(
+      (1L, "a", "w w w w"), (2L, "a", "w w w w"),
+      (3L, "a", "w w w w"), (4L, "a", "w w w w"),
+      (5L, "b", "x x")
+    ).toDF("doc_id", "lang", "text")
+    val budgets = Seq(("a", 10L), ("b", 0L))
+      .toDF("lang", "allocated_tokens")
+    val out = graft.operators.Sampling
+      .tokenBudgetSample(docs, "lang", "doc_id", "text", budgets)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, 4L, 0L), (2L, 4L, 4L), (3L, 4L, 8L)),
+      s"got $out")
+  }
 }

@@ -1159,4 +1159,35 @@ class SnapshotTableSpec extends SparkSpec {
     assert(files.nonEmpty)
     assert(files.forall(r => r.getString(1).startsWith("p=")))
   }
+
+  test("write.parquet.bloom-filter-enabled.column writes per-column blooms") {
+    import spark.implicits._
+    def bloomOffsets(root: java.nio.file.Path,
+                     m: graft.table.Manifest): Map[String, Long] = {
+      val f = root.resolve(m.files.head.path)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        import scala.jdk.CollectionConverters._
+        rd.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      } finally rd.close()
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bloom-").resolve("t")
+    val t = SnapshotTable.at(root.toString)
+    val df = (1 to 5000).map(i => (i.toLong, s"u$i")).toDF("id", "v")
+    val m1 = t.createOrReplace(df, properties = Map(
+      "write.parquet.bloom-filter-enabled.column.id" -> "true"))
+    val offs = bloomOffsets(root, m1)
+    assert(offs("id") >= 0, s"id must carry a bloom filter: $offs")
+    assert(offs("v") < 0, "v was not declared — no filter")
+    // without the property, no filters at all (the default stays off)
+    val t2 = SnapshotTable.at(root.resolveSibling("t2").toString)
+    val m2 = t2.createOrReplace(df)
+    assert(bloomOffsets(root.resolveSibling("t2"), m2)
+      .values.forall(_ < 0L))
+  }
 }
