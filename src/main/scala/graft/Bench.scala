@@ -123,7 +123,12 @@ object Bench {
     val soloLifecycle = Set(
       "q62_mor_lifecycle", "q90_stream_interval_join",
       "q95_cdc_keyed_replication", "q115_sort_strategy_rewrite",
-      "q130_metadata_namespace", "q137_stream_outer_join")
+      "q130_metadata_namespace", "q137_stream_outer_join",
+      // r13 second session: the three multi-action v3 lifecycles read
+      // 6.7-17s at sf0.1 under load — heavy enough to co-load-inflate
+      // a shared child's later queries
+      "q143_row_lineage", "q144_deletion_vectors",
+      "q148_lineage_changelog")
     // Isolation mode: lifecycle/heavy queries run in fresh child JVMs
     // (classpath + JVM flags inherited) — the accumulated-driver-state
     // swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12× in-suite

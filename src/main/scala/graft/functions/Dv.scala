@@ -23,11 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 object Dv {
   private val Magic = Array[Byte]('G', 'D', 'V', '1')
 
-  /** Encode a SORTED array of DISTINCT non-negative ordinals. */
+  /** Encode a SORTED array of DISTINCT non-negative ordinals. The
+    * contract is CHECKED, not assumed: an unsorted or duplicated input
+    * would encode overlapping runs whose binary search then returns
+    * silently wrong membership — the one failure mode a bitmap mask
+    * must never have.
+    */
   def fromSortedPositions(pos: Array[Long]): Array[Byte] = {
     var runs = 0
     var i = 0
     while (i < pos.length) {
+      require(pos(i) >= 0 && (i == 0 || pos(i) > pos(i - 1)),
+        s"deletion-vector positions must be sorted, distinct and " +
+          s"non-negative (violation at index $i)")
       var j = i + 1
       while (j < pos.length && pos(j) == pos(j - 1) + 1) j += 1
       runs += 1

@@ -846,6 +846,7 @@ final class SnapshotTable(val root: Path,
               m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
           else replaced
         val writer = clustered.write.mode("append")
+          .options(SnapshotTable.bloomWriterOptions(m.properties))
           .option("compression",
             m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
         (if (m.partitionColumns.nonEmpty)
@@ -2670,15 +2671,20 @@ final class SnapshotTable(val root: Path,
     val chains = evoChains(toM)
     val rid = SnapshotTable.RowIdColName
     val lseq = SnapshotTable.LastSeqColName
-    def boundary(v: Long): DataFrame = {
-      val df = changelogAlign(target, chains,
+    // pairing is only sound when EVERY row carries an id (files
+    // predating the v3 upgrade read NULL): the guard rides INSIDE the
+    // single pass as a raise_error branch — a separate existence probe
+    // would scan each boundary twice
+    def boundary(v: Long): DataFrame =
+      changelogAlign(target, chains,
         readManifest(spark, manifest(v), withLineage = true), v,
         keep = Seq(rid, lseq))
-      require(df.filter(col(rid).isNull).limit(1).count() == 0L,
-        s"v$v holds rows without a _row_id (files predating the v3 " +
-          "upgrade) — compact() to materialize ids, then re-run")
-      df
-    }
+        .withColumn(rid, when(col(rid).isNull,
+          raise_error(lit(s"v$v holds rows without a _row_id (files " +
+            "predating the v3 upgrade) — compact() to materialize ids, " +
+            "then re-run the lineage changelog"))
+            .cast("bigint"))
+          .otherwise(col(rid)))
     val after = boundary(toVersion)
     val before =
       if (fromVersion == 0L) after.limit(0)
@@ -4556,8 +4562,15 @@ final class SnapshotTable(val root: Path,
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
         throw concurrentCommit(curOpt.map(_.version).getOrElse(0L))
+      // a dropped column's DEFAULT keys go with it: a stale write
+      // default would silently stamp values onto a SAME-NAMED column
+      // re-added after compaction (the initial default is addV-scoped
+      // and inert, but dropping both keeps the namespace honest)
+      val defKeys = dropSet.flatMap(c => Seq(
+        SnapshotTable.InitialDefaultPrefix + c,
+        SnapshotTable.WriteDefaultPrefix + c))
       m.copy(version = v, timestampMs = nowMs, schemaDdl = keep.toDDL,
-        properties = m.properties ++
+        properties = m.properties -- defKeys ++
           dropSet.map(c => s"$DroppedPrefix$c" -> v.toString),
         operation = "evolve-schema")
     }
@@ -4720,8 +4733,22 @@ final class SnapshotTable(val root: Path,
       }
       val newSchema = StructType(schema.fields.map(f =>
         if (f.name == field.name) f.copy(name = newName) else f))
+      // declared DEFAULTs travel with the rename: the keys are
+      // name-addressed, so leaving them under the old spelling would
+      // silently stop the initial-default fill AND the INSERT
+      // write-default the moment the column moves
+      val lcOld = field.name.toLowerCase
+      val lcNew = newName.toLowerCase
+      val defMoved = Seq(SnapshotTable.InitialDefaultPrefix,
+          SnapshotTable.WriteDefaultPrefix)
+        .foldLeft(m.properties - oldKey) { (ps, pre) =>
+          ps.get(pre + lcOld) match {
+            case Some(dv) => ps - (pre + lcOld) + (pre + lcNew -> dv)
+            case None => ps
+          }
+        }
       m.copy(version = v, timestampMs = nowMs, schemaDdl = newSchema.toDDL,
-        properties = m.properties - oldKey +
+        properties = defMoved +
           (EvoPrefix + newName.toLowerCase -> chain),
         operation = "evolve-schema")
     }
@@ -5198,6 +5225,7 @@ final class SnapshotTable(val root: Path,
       // append into the claimed (empty) dir: no overwrite-delete window, so
       // a concurrent writer can never alias this commit's directory
       val writer = clustered.write.mode("append")
+        .options(SnapshotTable.bloomWriterOptions(m.properties))
         .option("compression",
           m.properties.getOrElse("write.parquet.compression-codec", "snappy"))
       (if (m.partitionColumns.nonEmpty)
