@@ -131,6 +131,21 @@ class DeletionVectorSpec extends SparkSpec {
     assert(lin.distinct.length == 30)
   }
 
+  test("rewrite_position_delete_files folds DV debt via the exact census") {
+    val t = SnapshotTable.at(freshRoot("rpdf"))
+    t.createOrReplace(mkDf(0L until 50L),
+      properties = Map("format-version" -> "3"))
+    t.deleteWherePositional(spark, col("id") % 5 === 1L)
+    assert(t.currentManifest.deleteFiles.count(_.dv) == 1)
+    t.rewritePositionDeletes(spark)
+    assert(t.currentManifest.deleteFiles.isEmpty,
+      "the targeted rewrite must fold the vector away")
+    val got = t.read(spark).select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 50L).filter(_ % 5 != 1).toSet)
+    // lineage rode through the fold
+    assert(t.readLineage(spark).select("_row_id").distinct().count() == 40L)
+  }
+
   test("v2 tables keep writing tombstone-row files (no DV without the gate)") {
     val t = SnapshotTable.at(freshRoot("v2"))
     t.createOrReplace(mkDf(0L until 20L))
