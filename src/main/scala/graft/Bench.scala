@@ -48,6 +48,20 @@ object Bench {
         }
       }
     val load0 = loadAvg()
+    // COVERAGE-FIRST DEADLINE (r13 verdict #1): the r13 driver capture
+    // timed out after only 64/145 queries because expensive solo
+    // children (q137 alone: 122 s under driver load) ran BEFORE ~70
+    // cheap batched lifecycle queries. Two defenses: (a) child ORDER is
+    // now batched-lifecycle -> solo-lifecycle -> heavy, so a timeout
+    // eats the expensive tail, not the coverage-dense middle; (b) an
+    // optional wall-clock budget (SPARK_GRAFT_BENCH_DEADLINE_SECS) that,
+    // once 70% spent, degrades the remaining work to ONE attempt in
+    // larger batches — partial coverage beats full attempts of a prefix.
+    val benchStart = System.currentTimeMillis()
+    val deadlineSecs = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SECS")
+      .flatMap(_.toLongOption)
+    def degraded(): Boolean = deadlineSecs.exists { d =>
+      System.currentTimeMillis() - benchStart > d * 700 } // 70% of d*1000
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // SQL DML/relations (q71)
@@ -187,6 +201,12 @@ object Bench {
     // ---- incremental result accumulation + survivable emission ----
     val acc = scala.collection.mutable.LinkedHashMap[
       String, (Double, Option[String])]()
+    // raw good-attempt timings per query — feeds the final quiet
+    // re-pin's >2x-spread flag
+    val spreads = scala.collection.mutable.Map[String, Seq[Double]]()
+    // pre-re-pin values of queries the final quiet pass improved —
+    // surfaced in the JSON so a floor never lives only in prose
+    val requiet = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mode = if (isolate) "isolated-lifecycle+heavy" else "in-process"
     val benchOut = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
@@ -207,7 +227,9 @@ object Bench {
         "\"" + k + "\":\"" + esc(m) + "\""
       }.mkString("{", ",", "}")
       val total = acc.valuesIterator.collect { case (v, None) => v }.sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","mode":"$mode","load":[$load0%.2f,${loadAvg()}%.2f]}"""
+      val rq = requiet.toSeq.map { case (k, v) =>
+        "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"requiet":$rq,"sf":"$sfDir","mode":"$mode","load":[$load0%.2f,${loadAvg()}%.2f]}"""
     }
     def persist(line: String): Unit =
       // durable copy: a truncated stdout capture (BENCH_r09 lost
@@ -230,6 +252,7 @@ object Bench {
       // attempt must neither masquerade as a fast success nor discard
       // the other attempts' valid timings
       val good = attempts.collect { case (t, None) => t }.sorted
+      spreads(name) = good
       acc(name) =
         if (good.nonEmpty)
           (if (lifecycle(name)) good(good.size / 2) else good.head, None)
@@ -259,27 +282,78 @@ object Bench {
       }
     }
     if (isolate) {
-      // 2. lifecycle children: expensive ones solo, the rest batched
-      // 4 per child (amortizes ~40 Spark startups — r11 spent 2021 s
-      // wall for 234 s measured, almost all of it child JVM spin-up)
+      // 2. BATCHED lifecycle children FIRST (coverage-dense: ~70 cheap
+      // queries, 4 per child amortizing Spark startups — r11 spent
+      // 2021 s wall for 234 s measured, almost all child JVM spin-up).
+      // Under a 70%-spent deadline the batch widens to 8 and attempts
+      // drop to 1 — coverage beats attempt count when time is short.
       val lifeNames = selected.map(_._1).filter(lifecycle)
       val (solos, batchable) = lifeNames.partition(soloLifecycle)
-      val groups = solos.map(Seq(_)) ++ batchable.grouped(4).toSeq
-      groups.foreach { g =>
-        val res = runChild(g.map(n => (n, attemptsFor(n))))
+      val queue = scala.collection.mutable.Queue(batchable: _*)
+      while (queue.nonEmpty) {
+        val deg = degraded()
+        val g = (1 to (if (deg) 8 else 4)).flatMap(_ =>
+          if (queue.nonEmpty) Some(queue.dequeue()) else None)
+        val res = runChild(g.map(n =>
+          (n, if (deg) 1 else attemptsFor(n))))
         g.foreach(n => record(n, res.getOrElse(n, missing(n))))
       }
-      // 3. heavy queries: SEPARATE child JVMs, one timed attempt each
-      // — with both attempts inside one child, a single co-loaded JVM
-      // sample became the round's number of record three rounds
+      // 3. SOLO lifecycle children (expensive multi-commit lifecycles
+      // that would co-load-inflate a shared child)
+      solos.foreach { n =>
+        val res = runChild(Seq((n, if (degraded()) 1 else attemptsFor(n))))
+        record(n, res.getOrElse(n, missing(n)))
+      }
+      // 4. heavy queries LAST: SEPARATE child JVMs, one timed attempt
+      // each — with both attempts inside one child, a single co-loaded
+      // JVM sample became the round's number of record three rounds
       // running (r11 VERDICT: driver q53 63.6s vs 2.9-4.4s on
       // unchanged code); min across independent children is robust
       selected.map(_._1).filter(n => heavy(n) && !lifecycle(n))
         .foreach { n =>
-          val children = if (singleChild(n)) 1 else 2
+          val children =
+            if (singleChild(n) || degraded()) 1 else 2
           val att = (1 to children).flatMap(_ =>
             runChild(Seq((n, 1))).getOrElse(n, missing(n)))
           record(n, att)
+        }
+      // 5. FINAL QUIET RE-PIN (r13 verdict #8): queries whose attempt
+      // spread exceeded 2x ran under transient load — their floor
+      // should live in the record JSON, not in BENCH_NOTES prose.
+      // Opt-in (SPARK_GRAFT_REQUIET_SECS = wait budget for a quiet
+      // window); each flagged query re-runs once in a fresh child and
+      // the record keeps min(old, re-run) with the pre-re-pin value
+      // preserved under "requiet".
+      sys.env.get("SPARK_GRAFT_REQUIET_SECS").flatMap(_.toLongOption)
+        .foreach { budget =>
+          val flagged = spreads.collect {
+            case (n, ts) if ts.size >= 2 && ts.min > 0 &&
+              ts.max / ts.min > 2.0 => n
+          }.toSeq.sorted
+          if (flagged.nonEmpty) {
+            val deadline = System.currentTimeMillis() + budget * 1000
+            var l = loadAvg()
+            while (l > quietCap && System.currentTimeMillis() < deadline) {
+              System.err.println(
+                f"BENCH_REQUIET_WAIT\tload $l%.2f > cap $quietCap%.2f")
+              Thread.sleep(15000)
+              l = loadAvg()
+            }
+            flagged.foreach { n =>
+              runChild(Seq((n, 1))).getOrElse(n, Nil).collect {
+                case (t, None) => t
+              }.minOption.foreach { t =>
+                acc.get(n).foreach {
+                  case (old, None) if t < old =>
+                    requiet(n) = old
+                    acc(n) = (t, None)
+                    val line = render()
+                    persist(line); println("BENCH_PARTIAL\t" + line)
+                  case _ => ()
+                }
+              }
+            }
+          }
         }
     }
     val line = render()

@@ -66,11 +66,13 @@ object Dv {
 
   /** Static so generated code can call it: binary search over runs. */
   def contains(dv: Array[Byte], pos: Long): Boolean = {
-    if (dv.length < 8) return false
-    // codegen hot path: trust the magic was validated at write; a cheap
-    // re-check keeps a corrupt blob loud instead of silently empty
-    if (!(dv(0) == 'G' && dv(1) == 'D' && dv(2) == 'V' && dv(3) == '1'))
-      throw new IllegalArgumentException("not a GDV1 deletion vector")
+    // fail-loud contract: a truncated vector masks nothing and would
+    // silently RESURRECT deleted rows — an encoded empty vector is
+    // exactly 8 bytes, so no legitimate blob is shorter
+    if (dv.length < 8 ||
+        !(dv(0) == 'G' && dv(1) == 'D' && dv(2) == 'V' && dv(3) == '1'))
+      throw new IllegalArgumentException(
+        "not a GDV1 deletion vector (corrupt, truncated or foreign binary)")
     val buf = java.nio.ByteBuffer.wrap(dv)
     val n = buf.getInt(4)
     var lo = 0

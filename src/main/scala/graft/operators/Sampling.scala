@@ -284,11 +284,20 @@ object Sampling {
         .groupBy(col("__bk")).agg(count(lit(1)).as("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
         .sortBy(_._1)(ord)
+      // explicit loop, not collectFirst-with-a-side-effecting-guard: the
+      // accumulator must advance exactly once per element, which an
+      // isDefinedAt-then-apply evaluation path would silently break
+      // (ADVICE r13)
       var cum = 0L
-      val bk = hist.collectFirst {
-        case (b, cnt) if { val hit = cum + cnt >= rank; if (!hit) cum += cnt; hit } => b
-      }.getOrElse(throw new IllegalStateException(
-        s"rank $rank exceeds the ${cum} rows in [$lo, $hi]"))
+      var bk = -1L
+      var bi = 0
+      while (bk < 0 && bi < hist.length) {
+        val (b, cnt) = hist(bi)
+        if (cum + cnt >= rank) bk = b else cum += cnt
+        bi += 1
+      }
+      if (bk < 0) throw new IllegalStateException(
+        s"rank $rank exceeds the ${cum} rows in [$lo, $hi]")
       before += cum
       rank -= cum
       // lo + bk·w ≤ hi always (bk·w ≤ span); only the bucket's UPPER
@@ -368,24 +377,108 @@ object Sampling {
     * while the tokens taken BEFORE it are under the budget, so the
     * crossing document rides whole (budgets are targets, not hard caps —
     * truncating mid-document would corrupt it; the overshoot is bounded
-    * by one document). One cumulative window per stratum: strata are
-    * few and the per-stratum sort is the price of a deterministic
-    * greedy order — it shards across strata, never a global sort.
-    * `budgets` is `(stratumCol, allocated_tokens)` — exactly
-    * [[unimaxAllocation]]'s output shape — and broadcasts (one row per
-    * stratum). Output `(stratum, id, n_tokens, taken_before)`.
+    * by one document).
+    *
+    * SCALE SHAPE (r13 verdict #2 — the previous per-stratum cumulative
+    * window moved EVERY document of a stratum through ONE task; strata
+    * are languages, so at 100 TB that is terabytes per core): the
+    * cumulative sum is a TWO-LEVEL distributed prefix sum, the
+    * [[stratifiedSampleExact]] histogram discipline weighted by tokens:
+    *
+    *  1. bucket the id domain into ≤ 65 536 ranges and aggregate
+    *     `sum(n_tokens)` per (stratum, bucket) — one map-side partial
+    *     aggregate, ≤ strata × 65 536 driver rows (the [[kthValueLong]]
+    *     driver bound);
+    *  2. the DRIVER computes each bucket's token offset (tokens in
+    *     earlier buckets of its stratum) from the tiny histogram — no
+    *     stratum-partitioned plan window anywhere (PlanShapeSpec pins
+    *     the q150 plan);
+    *  3. buckets whose offset already meets the budget are PRUNED
+    *     before any sort — the broadcast-joined offset table only
+    *     carries buckets that can still admit — and surviving rows get
+    *     `taken_before = bucket offset + within-bucket prefix` via a
+    *     window partitioned by (stratum, bucket): ~1/65 536 of a
+    *     stratum per task, embarrassingly parallel.
+    *
+    * Ids must be unique INTEGRALS per stratum (document keys are) —
+    * the range bucketing needs integer id arithmetic, the same trade
+    * [[dsirImportance]] documents. `budgets` is
+    * `(stratumCol, allocated_tokens)` — exactly [[unimaxAllocation]]'s
+    * output shape; strata absent from it are excluded. Output
+    * `(stratum, id, n_tokens, taken_before)` — bit-identical to the
+    * single-window formulation (integer sums are order-independent).
     */
   def tokenBudgetSample(docs: DataFrame, stratumCol: String, idCol: String,
                         textCol: String, budgets: DataFrame): DataFrame = {
-    val w = Window.partitionBy(stratumCol).orderBy(col(idCol))
-    docs.select(col(stratumCol), col(idCol),
+    docs.schema.fields.find(_.name.equalsIgnoreCase(idCol))
+      .map(_.dataType).foreach {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case t => throw new IllegalArgumentException(
+          s"tokenBudgetSample needs an integral id column for the " +
+            s"bucketed prefix sum; '$idCol' is $t")
+      }
+    // ONE tokenize pass: the projection feeds both the bucket histogram
+    // and the final read (callers' Verify/Bench clear per-query caches)
+    val toks = docs.select(col(stratumCol), col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .withColumn("taken_before", coalesce(
-        sum(col("n_tokens"))
-          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+      .cache()
+    val mm = toks.agg(min(col(idCol).cast("long")).as("mn"),
+      max(col(idCol).cast("long")).as("mx")).head()
+    val out0 = toks.withColumn("taken_before", lit(0L))
       .join(broadcast(budgets.select(col(stratumCol),
         col("allocated_tokens"))), Seq(stratumCol))
+      .select(col(stratumCol), col(idCol), col("n_tokens"),
+        col("taken_before"))
+    if (mm.isNullAt(0)) return out0.filter(lit(false)) // empty, schema kept
+    val lo = mm.getLong(0)
+    val hi = mm.getLong(1)
+    require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
+      s"id span [$lo, $hi] exceeds the supported range")
+    val nB = 65536L
+    val w = ((BigInt(hi) - BigInt(lo) + nB) / nB).toLong // ceil(span/nB)
+    val bkt = expr(s"CAST((CAST(`${idCol}` AS LONG) - ${lo}L) DIV ${w}L " +
+      "AS LONG)")
+    // driver-bounded histogram: ≤ strata × 65 536 non-empty buckets
+    val hist = toks.groupBy(col(stratumCol).as("__s"), bkt.as("__b"))
+      .agg(sum(col("n_tokens")).as("__tw"))
+      .collect()
+    val offsets = hist
+      .map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .iterator.flatMap { case (s, rows) =>
+        var cum = 0L
+        rows.sortBy(_._2).map { case (_, b, tw) =>
+          val before = cum; cum += tw; (s, b, before)
+        }
+      }.toSeq
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sType = toks.schema.fields
+      .find(_.name.equalsIgnoreCase(stratumCol)).get.dataType
+    val offDf = docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (s, b, o) =>
+        Row(s, b, o) }: _*),
+      StructType(Seq(StructField(stratumCol, sType),
+        StructField("__b", LongType), StructField("__off", LongType))))
+    // budget prune BEFORE the per-bucket sort: a bucket whose offset
+    // already meets its stratum's budget can admit nothing — the inner
+    // join drops it (and strata absent from `budgets`, matching the old
+    // inner-join semantics)
+    val liveBuckets = offDf
+      .join(budgets.select(col(stratumCol), col("allocated_tokens")),
+        Seq(stratumCol))
+      .filter(col("__off") < col("allocated_tokens"))
+    val wB = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col(idCol))
+    toks.withColumn("__b", bkt)
+      .join(broadcast(liveBuckets), Seq(stratumCol, "__b"))
+      .withColumn("taken_before", col("__off") + coalesce(
+        sum(col("n_tokens"))
+          .over(wB.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
       .filter(col("taken_before") < col("allocated_tokens"))
       .select(col(stratumCol), col(idCol), col("n_tokens"),
         col("taken_before"))

@@ -3457,8 +3457,20 @@ final class SnapshotTable(val root: Path,
     val m = currentManifest
     def render(p: Map[String, String]): String =
       p.map { case (k, v) => s"$k=$v" }.mkString("/")
+    // Positional delete files (v2 tombstones AND v3 deletion vectors)
+    // are written UNSCOPED (empty partition map) — on a partitioned
+    // table their debt must be attributed by joining each delete file's
+    // REFERENCED data-file paths to the manifest entries' partitions,
+    // or a table with heavy DV debt silently reads 0 pending positional
+    // deletes (ADVICE r13, medium). Scoped entries (and everything on
+    // an unpartitioned table, where "" IS the one partition) keep the
+    // driver-tiny census; the distributed attribution read only runs
+    // when unscoped positional debt exists.
+    val (unscopedPos, scoped) =
+      if (m.partitionColumns.isEmpty) (Nil, m.deleteFiles)
+      else m.deleteFiles.partition(d => d.positional && d.partition.isEmpty)
     // delete debt per partition: O(pending files), driver-tiny
-    val del = m.deleteFiles.groupBy(d => render(d.partition)).map {
+    val del = scoped.groupBy(d => render(d.partition)).map {
       case (pk, ds) =>
         val (pos, eq) = ds.partition(_.positional)
         def rowsOf(s: Seq[DeleteEntry]): Long =
@@ -3466,17 +3478,75 @@ final class SnapshotTable(val root: Path,
         (pk, pos.size.toLong, rowsOf(pos), eq.size.toLong, rowsOf(eq))
     }.toSeq
     import spark.implicits._
-    val delDf = del.toDF("partition", "position_delete_file_count",
+    val delDf0 = del.toDF("partition", "position_delete_file_count",
       "position_delete_record_count", "equality_delete_file_count",
       "equality_delete_record_count")
+    val delDf =
+      if (unscopedPos.isEmpty) delDf0
+      else {
+        val rootStr = root.toString
+        def abs(p: String) =
+          (if (p.startsWith("/")) Paths.get(p)
+           else Paths.get(rootStr, p)).toString
+        val (dvE, plainE) = unscopedPos.partition(_.dv)
+        // per referenced data file: tombstone rows count 1 each; a DV
+        // row carries its bitmap's recorded cardinality. The count is
+        // records IN pending delete files (matching the driver census's
+        // d.rows semantics) — newest-wins shadowing is a READ concern.
+        val perRef =
+          plainE.map(d => spark.read.parquet(abs(d.path))
+            .groupBy(col("path")).agg(count(lit(1)).as("__recs"))
+            .withColumn("__dfile", lit(d.path))) ++
+          dvE.map(d => spark.read.parquet(abs(d.path))
+            .select(col("path"), col("cardinality").as("__recs"))
+            .withColumn("__dfile", lit(d.path)))
+        val refs = perRef.reduce(_ unionByName _).select(
+          when(col("path").startsWith("/"), col("path"))
+            .otherwise(concat(lit(rootStr + "/"), col("path")))
+            .as("file_path"),
+          col("__recs"), col("__dfile"))
+        val live = entryScan(spark, m).select("file_path", "partition")
+        val attributed = refs.join(live, Seq("file_path"), "left")
+          // references to since-rewritten files keep an explicit ""
+          // (unscoped) row rather than silently vanishing
+          .select(coalesce(col("partition"), lit("")).as("partition"),
+            col("__recs"), col("__dfile"))
+          .groupBy(col("partition"))
+          .agg(countDistinct(col("__dfile"))
+              .as("position_delete_file_count"),
+            sum(col("__recs")).as("position_delete_record_count"))
+          .withColumn("equality_delete_file_count", lit(0L))
+          .withColumn("equality_delete_record_count", lit(0L))
+        // a partition can hold both scoped and unscoped debt: re-sum,
+        // preserving the -1 unknown sentinel per (partition, kind)
+        def sentinelSum(c: String) =
+          when(min(col(c)) < 0, lit(-1L)).otherwise(sum(col(c))).as(c)
+        delDf0.unionByName(
+            attributed.select(delDf0.columns.map(col).toSeq: _*))
+          .groupBy(col("partition"))
+          .agg(sum(col("position_delete_file_count"))
+              .as("position_delete_file_count"),
+            sentinelSum("position_delete_record_count"),
+            sum(col("equality_delete_file_count"))
+              .as("equality_delete_file_count"),
+            sentinelSum("equality_delete_record_count"))
+      }
     val st = readPartitionStats()
     val rollups = partitions(spark)
       .withColumnRenamed("file_count", "data_file_count")
       .withColumnRenamed("record_count", "data_record_count")
       .withColumnRenamed("total_size_bytes", "total_data_file_size_bytes")
-    rollups.join(delDf, Seq("partition"), "left")
-      .select(col("partition"), col("data_file_count"),
-        col("data_record_count"), col("total_data_file_size_bytes"),
+    // FULL outer: debt attributed to no live partition (unscoped
+    // equality deletes, stale positional references) surfaces as an
+    // explicit row with zeroed data rollups instead of dropping —
+    // understating debt is the one thing a debt column must never do
+    rollups.join(delDf, Seq("partition"), "full")
+      .select(col("partition"),
+        coalesce(col("data_file_count"), lit(0L)).as("data_file_count"),
+        coalesce(col("data_record_count"), lit(0L))
+          .as("data_record_count"),
+        coalesce(col("total_data_file_size_bytes"), lit(0L))
+          .as("total_data_file_size_bytes"),
         coalesce(col("position_delete_file_count"), lit(0L))
           .as("position_delete_file_count"),
         coalesce(col("position_delete_record_count"), lit(0L))
@@ -4295,10 +4365,12 @@ final class SnapshotTable(val root: Path,
     * inserted rows get fresh ids by inheritance. Key-based recovery is
     * what survives arbitrary `targetTransform`s — the keys must survive
     * them for the merge itself to work. The old-lineage side reduces to
-    * one row per key (min id / max seq — deterministic even if a target
-    * held duplicate keys), so the join can never fan the row count out.
-    * Rows with NULL keys never equi-join and read as inserts (fresh id).
-    * No-op below format-version 3.
+    * one row per key, so the join can never fan the row count out — and
+    * keys the target held MORE THAN ONCE fall back to fresh-id
+    * inheritance (recovering one surviving id for several output rows
+    * would stamp DUPLICATE `_row_id`s, breaking the uniqueness contract
+    * q143 pins — ADVICE r13). Rows with NULL keys never equi-join and
+    * read as inserts (fresh id). No-op below format-version 3.
     */
   private def attachMergedLineage(spark: SparkSession, m: Manifest,
       merged: DataFrame, preFiles: Seq[FileEntry], changes: DataFrame,
@@ -4312,16 +4384,23 @@ final class SnapshotTable(val root: Path,
         withLineage = true)
       .groupBy(keys.map(col): _*)
       .agg(min(col(rid)).as("__graft_old_rid"),
-        max(col(lseq)).as("__graft_old_seq"))
+        max(col(lseq)).as("__graft_old_seq"),
+        count(lit(1)).as("__graft_old_n"))
     val changeKeys = changes.select(keys.map(col): _*).distinct()
       .withColumn("__graft_chg", lit(true))
     merged
       .join(old, keys, "left")
       .join(changeKeys, keys, "left")
-      .withColumn(rid, col("__graft_old_rid"))
+      // a key the pre-merge target held >1 times cannot recover ONE id
+      // for SEVERAL output rows — those keys take fresh ids (and a
+      // fresh last-updated sequence) like inserts
+      .withColumn(rid,
+        when(col("__graft_old_n") <= 1, col("__graft_old_rid")))
       .withColumn(lseq,
-        when(col("__graft_chg").isNull, col("__graft_old_seq")))
-      .drop("__graft_old_rid", "__graft_old_seq", "__graft_chg")
+        when(col("__graft_chg").isNull && col("__graft_old_n") <= 1,
+          col("__graft_old_seq")))
+      .drop("__graft_old_rid", "__graft_old_seq", "__graft_old_n",
+        "__graft_chg")
   }
 
   def merge(spark: SparkSession, changes: DataFrame, keys: Seq[String],
@@ -6278,15 +6357,28 @@ final class SnapshotTable(val root: Path,
     * ranges in PATH order (deterministic — paths are unique and sorted);
     * the advanced counter lands in the manifest's properties. Covers new
     * files of ANY commit path AND heals loose legacy entries on their
-    * first post-upgrade commit; entries riding inside carried chunk
-    * documents stay unassigned (their rows read NULL `_row_id`) until a
-    * rewrite materializes them — assignment must never force a chunk
-    * parse.
+    * first post-upgrade commit.
+    *
+    * THE UPGRADE COMMIT ITSELF (parent lacks lineage, this manifest has
+    * it) additionally materializes chunk-carried entries and assigns
+    * them ranges in the same pass — a one-time O(live files) manifest
+    * rewrite (the [[rewriteManifests]] mechanism: flatten, let the
+    * serializer re-chunk; buckets are stable because partition/seq
+    * never change). Without it, a user upgrading a large chunked table
+    * reads NULL `_row_id` for most rows INDEFINITELY unless they
+    * compact (r13 verdict #7). Steady-state commits still never parse
+    * carried chunk documents — only the one transition pays.
     *
     * No-op (and property-free) below format-version 3.
     */
-  private def assignRowIds(m: Manifest, cur: Option[Manifest]): Manifest = {
-    if (!SnapshotTable.lineageOn(m.properties)) return m
+  private def assignRowIds(m0: Manifest, cur: Option[Manifest]): Manifest = {
+    if (!SnapshotTable.lineageOn(m0.properties)) return m0
+    val upgradeCommit = cur.exists(c => !SnapshotTable.lineageOn(c.properties))
+    val m = m0.files match {
+      case fl: FileList if upgradeCommit && fl.chunks.nonEmpty =>
+        m0.copy(files = fl.all.toVector)
+      case _ => m0
+    }
     def counterOf(mm: Manifest): Long =
       mm.properties.get(SnapshotTable.RowIdNextProp).map(_.toLong)
         .getOrElse(0L)

@@ -37,6 +37,11 @@ class DeletionVectorSpec extends SparkSpec {
     // a corrupt blob fails LOUDLY, never reads as empty
     intercept[Exception](Dv.cardinality("junkjunk".getBytes))
     intercept[Exception](Dv.contains("junkjunkjunk".getBytes, 1L))
+    // ...including a TRUNCATED one (< 8 bytes): a silent false would
+    // resurrect deleted rows (ADVICE r13 — an encoded empty vector is
+    // exactly 8 bytes, so no legitimate blob is shorter)
+    intercept[Exception](Dv.contains(Array[Byte]('G', 'D', 'V'), 0L))
+    intercept[Exception](Dv.contains(Array.empty[Byte], 0L))
   }
 
   test("v3 positional delete writes a DV; read masks exactly; v2 untouched") {

@@ -170,6 +170,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
   }
 
+  test("tokenBudgetSample has no stratum-only window — the per-stratum " +
+      "cumulative sum was the r13 scale flag") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "aa" else "bb", "w x y z"))
+      .toDF("doc_id", "lang", "text")
+    val budgets = Seq(("aa", 100L), ("bb", 40L))
+      .toDF("lang", "allocated_tokens")
+    val df = graft.operators.Sampling.tokenBudgetSample(
+      docs, "lang", "doc_id", "text", budgets)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the only window allowed is the within-bucket prefix sum — its
+    // partition spec must carry the id-bucket column alongside the
+    // stratum, so no task ever sorts a whole stratum. A Window node
+    // renders its partition spec as the second bracket group:
+    // `Window [fns...], [partition...], [order...]` — a group reading
+    // `[lang#N]` alone is the flagged shape.
+    assert("\\], \\[lang#\\d+\\], \\[".r.findFirstIn(plan).isEmpty,
+      s"no window may partition by the stratum alone:\n${plan.take(2000)}")
+    assert(plan.contains("Window"),
+      "the within-bucket prefix sum is expected to be a window")
+    assert("\\], \\[lang#\\d+, __b#\\d+L?\\], \\[".r
+      .findFirstIn(plan).isDefined,
+      s"the prefix-sum window must be bucket-partitioned:\n${plan.take(2000)}")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLUDF"))
+    // value contract unchanged vs the single-window formulation
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      docs.select(col("lang"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        .withColumn("taken_before", coalesce(
+          sum(col("n_tokens")).over(Window.partitionBy("lang")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .join(budgets, Seq("lang"))
+        .filter(col("taken_before") < col("allocated_tokens"))
+        .select("lang", "doc_id", "n_tokens", "taken_before")
+    }
+    assert(df.collect().map(_.toSeq).toSet ==
+      viaWindow.collect().map(_.toSeq).toSet,
+      "bucketed prefix sum must equal the window formulation exactly")
+  }
+
   test("manifest-pruned read scans only surviving files") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-planshape-").toString

@@ -116,6 +116,29 @@ class RowLineageSpec extends SparkSpec {
     }
   }
 
+  test("CoW merge on a duplicate-key target: dup keys take FRESH ids — " +
+      "never the same recovered id twice (ADVICE r13)") {
+    import spark.implicits._
+    val t = SnapshotTable.at(freshRoot("dupkey"))
+    // key 5 appears TWICE in the target (merge keys are not enforced
+    // unique); recovery must not stamp one id on both output rows
+    t.createOrReplace(
+      (Seq(5L) ++ (0L until 10L)).map(i => (i, s"r$i"))
+        .toDF("id", "v").withColumn("op", lit("I")),
+      properties = Map("format-version" -> "3"))
+    val changes = Seq((3L, "u3", "U")).toDF("id", "v", "op")
+    t.merge(spark, changes, Seq("id"), keepDeletes = false)
+    val ids = t.readLineage(spark)
+      .select(col("id"), col("_row_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.map(_._2).distinct.length == ids.length,
+      s"duplicated _row_id after a dup-key merge: ${ids.sorted.toSeq}")
+    // unique keys still recover their pre-merge identity
+    val before5 = ids.filter(_._1 == 5L).map(_._2)
+    assert(before5.length == 2 && before5.distinct.length == 2,
+      s"both rows of the dup key must survive with distinct ids: $before5")
+  }
+
   test("MoR positional delete/update: carried files untouched, updates keep id") {
     val t = SnapshotTable.at(freshRoot("mor"))
     t.createOrReplace(mkDf(0L until 12L, "a"),
@@ -153,6 +176,42 @@ class RowLineageSpec extends SparkSpec {
     t.rewriteZOrder(spark, Seq("id"), minFiles = 2)
     assert(lineageRows(t) == rows,
       "z-order rewrite must carry (_row_id, _last_updated_seq) unchanged")
+  }
+
+  test("v3 upgrade assigns ranges to CHUNK-CARRIED entries too — no " +
+      "compact needed for ids on a chunked legacy table (r13 verdict #7)") {
+    import graft.table.ManifestJson
+    val saved = ManifestJson.ChunkSize
+    val savedThr = ManifestJson.ChunkThreshold
+    try {
+      ManifestJson.ChunkSize = 8
+      ManifestJson.ChunkThreshold = 8
+      val t = SnapshotTable.at(freshRoot("upgchunk"))
+      import spark.implicits._
+      // 32 partitions over a threshold of 8 → chunked manifest
+      t.createOrReplace((0L until 32L).map(i => (i, i % 32, s"r$i"))
+        .toDF("id", "p", "v"), Seq("p"))
+      t.currentManifest.files match {
+        case fl: graft.table.FileList =>
+          assert(fl.chunks.nonEmpty, "fixture must be chunked")
+        case _ => fail("fixture must be chunked")
+      }
+      t.setProperties(Map("format-version" -> "3")) // THE upgrade commit
+      val rows = lineageRows(t)
+      assert(rows.size == 32, s"every row must read an id: ${rows.size}")
+      assert(rows.values.map(_._1).toSeq.distinct.size == 32,
+        "ids must be unique across chunk-carried files")
+      // steady state after the upgrade: the next commit must NOT have
+      // re-assigned anything (ranges are permanent once allocated)
+      t.append(spark, Seq((100L, 0L, "n")).toDF("id", "p", "v"))
+      val rows2 = lineageRows(t)
+      (0L until 32L).foreach(id => assert(rows2(id) == rows(id),
+        s"carried identity drifted for $id after a later commit"))
+      assert(rows2.contains(100L))
+    } finally {
+      ManifestJson.ChunkSize = saved
+      ManifestJson.ChunkThreshold = savedThr
+    }
   }
 
   test("row-lineage changelog: exact update pairing by _row_id, no keys") {

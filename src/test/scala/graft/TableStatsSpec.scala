@@ -149,6 +149,62 @@ class TableStatsSpec extends SparkSpec {
     assert(r4.forall(_._1.startsWith("p=")), s"new spec keys: ${r4.take(3)}")
   }
 
+  test("@partition_stats attributes UNSCOPED positional/DV debt per " +
+      "partition via the referenced data files (ADVICE r13)") {
+    val base = spark
+    import base.implicits._
+
+    // v3 partitioned table: deletion vectors are written UNSCOPED —
+    // the relation must attribute their debt to the partitions whose
+    // data files they reference, never read 0
+    val t = SnapshotTable.at(
+      Files.createTempDirectory("graft-pstats-dv-").toString + "/t")
+    t.createOrReplace(
+      (1 to 300).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "p", "v"),
+      Seq("p"), properties = Map("format-version" -> "3"))
+    // kill ids ≡ 0 mod 6 → all live in partition p=0 (id%3==0)
+    t.deleteWherePositional(spark, col("id") % 6 === 0L)
+    assert(t.currentManifest.deleteFiles.exists(d =>
+      d.dv && d.partition.isEmpty), "the fixture needs unscoped DV debt")
+    val rel = t.partitionStatsRelation(spark).collect().map(r =>
+      r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(rel("p=0")._2 == 50L,
+      s"50 dead ordinals must attribute to p=0: $rel")
+    assert(rel("p=0")._1 >= 1L, s"delete file count under p=0: $rel")
+    assert(rel("p=1") == ((0L, 0L)) && rel("p=2") == ((0L, 0L)),
+      s"untouched partitions carry no positional debt: $rel")
+
+    // v2 positional tombstones on a partitioned table: same attribution
+    val v2 = SnapshotTable.at(
+      Files.createTempDirectory("graft-pstats-v2pos-").toString + "/t")
+    v2.createOrReplace(
+      (1 to 200).map(i => (i.toLong, i % 2, s"r$i")).toDF("id", "p", "v"),
+      Seq("p"))
+    v2.deleteWherePositional(spark, col("id") % 4 === 1L) // p=1 only
+    val rel2 = v2.partitionStatsRelation(spark).collect().map(r =>
+      r.getString(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(rel2("p=1")._2 == 50L && rel2("p=0") == ((0L, 0L)),
+      s"v2 tombstones must attribute to p=1 only: $rel2")
+
+    // a partition with BOTH scoped equality debt and unscoped DV debt
+    // sums the two censuses (MoR merge writes scoped equality deletes)
+    val both = SnapshotTable.at(
+      Files.createTempDirectory("graft-pstats-both-").toString + "/t")
+    both.createOrReplace(
+      (1 to 100).map(i => (i.toLong, i % 2, s"r$i")).toDF("id", "p", "v"),
+      Seq("p"), properties = Map("format-version" -> "3"))
+    both.mergeMoR(spark,
+      Seq((2L, 0, "upd", "U")).toDF("id", "p", "v", "op"), Seq("id"),
+      keepDeletes = false)
+    both.deleteWherePositional(spark, col("id") === 4L)
+    val rel3 = both.partitionStatsRelation(spark).collect().map(r =>
+      r.getString(0) -> ((r.getLong(5), r.getLong(7)))).toMap
+    assert(rel3("p=0")._1 >= 1L,
+      s"positional debt must surface under p=0: $rel3")
+    assert(rel3.valuesIterator.map(_._2).sum >= 1L,
+      s"equality debt must still render: $rel3")
+  }
+
   test("CALL compute_table_stats + column subset + unknown column refuses") {
     val base = spark
     import base.implicits._
