@@ -114,7 +114,7 @@ object Bench {
       "q137_stream_outer_join", "q138_changelog_net_view",
       "q140_partition_stats", "q143_row_lineage", "q144_deletion_vectors",
       "q145_column_defaults", "q147_stream_dedup_watermark",
-      "q148_lineage_changelog")
+      "q148_lineage_changelog", "q151_variant_shred")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set
@@ -122,7 +122,8 @@ object Bench {
       "q35_minhash_neardup", "q36_simhash_neardup", "q37_ngram_jaccard",
       "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
       "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq",
-      "q136_embed_ann_truncated", "q149_hard_negatives")
+      "q136_embed_ann_truncated", "q149_hard_negatives",
+      "q152_hard_negatives_ivf")
     // ONE attempt: each q137 attempt is three stateful micro-batch
     // passes with dual-stream state (12-21 s by design — the single
     // biggest line item of the r12 capture timeout)

@@ -16,6 +16,20 @@ import graft.operators.{Dedup, Graph, Similarity, TextAnalysis}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("manifest")) { manifestProbe(); return }
+    if (args.headOption.contains("bloom")) {
+      // fast loop for the multi-row-group bloom-skip stage only
+      val spark0 = graft.core.GraftSession.get("graft-scale-probe")
+      val li0 = spark0.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("c", explode(sequence(lit(0), lit(3))))
+        .select((col("l_orderkey") * 4 + col("c")).as("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val blockSize0 = math.max(1L, li0.agg(max("l_orderkey")).head
+        .getLong(0) / 32)
+      bloomStage(spark0,
+        li0.withColumn("p", expr(s"(l_orderkey - 1) DIV $blockSize0")))
+      spark0.stop(); return
+    }
     // "storage": run only the storage-layer probes (stats pruning,
     // z-order, compaction variants, spec evolution) — skips the long
     // operator sweeps when iterating on the table layer
@@ -95,6 +109,22 @@ object ScaleProbe {
           docs.withColumn("src",
             concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string"))),
           "src", "text", n = 3).count()
+      }
+      timed("token_budget_sample") {
+        // the r13-flagged shape at corpus scale: the bucketed prefix
+        // sum must admit each stratum's budget without moving a whole
+        // stratum through one task (40% budget → ~40% of each stratum
+        // admitted, so the cut bites; sum(taken_before) forces the full
+        // prefix computation)
+        val strat = docs.withColumn("src",
+          concat(lit("s"), pmod(col("doc_id"), lit(20)).cast("string")))
+        val alloc = strat.groupBy(col("src"))
+          .agg((sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            * 2L / 5L).as("allocated_tokens"))
+        graft.operators.Sampling.tokenBudgetSample(
+          strat, "src", "doc_id", "text", alloc)
+          .agg(count(lit(1)), sum(col("taken_before")))
+          .head.getLong(0)
       }
       docs.unpersist()
       spark.stop(); return
@@ -450,26 +480,7 @@ object ScaleProbe {
         }
       }
 
-      // per-column parquet BLOOM FILTERS at 2.4M rows: the partition-
-      // clustered layout scatters l_orderkey, so every file's min/max
-      // spans the domain and manifest pruning keeps everything — the
-      // point lookup's only skip is the row-group bloom probe
-      {
-        val bl = SnapshotTable.at(java.nio.file.Files
-          .createTempDirectory("graft-bloomprobe").toString)
-        bl.createOrReplace(withP, Seq("p"), properties = Map(
-          "write.parquet.bloom-filter-enabled.column.l_orderkey" -> "true"))
-        val nb = SnapshotTable.at(java.nio.file.Files
-          .createTempDirectory("graft-nobloomprobe").toString)
-        nb.createOrReplace(withP, Seq("p"))
-        val probeKey = withP.select(max(col("l_orderkey"))).head.getLong(0)
-        timed("bloom_point_lookup") {
-          bl.readWhere(spark, col("l_orderkey") === probeKey).count()
-        }
-        timed("nobloom_point_lookup") {
-          nb.readWhere(spark, col("l_orderkey") === probeKey).count()
-        }
-      }
+      bloomStage(spark, withP)
 
       // where-scoped compaction at 2.4M rows: fragment every partition,
       // then touch up ONE — the scoped rewrite stats and rewrites only
@@ -873,6 +884,21 @@ object ScaleProbe {
         "vec_id", "embedding", nProbe = 4)
       println(s"""{"stage":"ivfpq_candidate_census","nprobe":4,""" +
         s""""candidate_rows":$probedRows,"exhaustive_rows":${nQ * (nEmb - 1)}}""")
+      // label-constrained approximate hard negatives (q152's operator):
+      // same cell routing under the label inequality — the census is
+      // the admitted (anchor, other-label candidate) rows vs the exact
+      // miner's full product
+      val anchors = emb.filter(col("vec_id") % 1000 === 0)
+        .withColumn("label", pmod(col("vec_id"), lit(5)))
+      val corpus = emb.withColumn("label", pmod(col("vec_id"), lit(5)))
+      timed("hard_negatives_ivf_topk") {
+        Similarity.hardNegativesIvf(anchors, corpus, cents,
+          "vec_id", "embedding", "label", k = 5, nProbe = 4).count()
+      }
+      val hnRows = Similarity.hardNegativesIvfCensus(anchors, corpus,
+        cents, "vec_id", "embedding", "label", nProbe = 4)
+      println(s"""{"stage":"hard_negatives_ivf_census","nprobe":4,""" +
+        s""""candidate_rows":$hnRows,"exhaustive_rows":${nQ * (nEmb - nEmb / 5)}}""")
     }
     timed("embed_neardup_lsh") {
       Dedup.embeddingNearDups(emb, "vec_id", "embedding",
@@ -924,6 +950,62 @@ object ScaleProbe {
     * buckets mix partitions, so doc-level skipping honestly does NOT
     * apply there (file-level stats still bound the data scan).
     */
+  /** Per-column parquet BLOOM FILTERS at 2.4M rows, MULTI-row-group
+    * (r13 verdict #4 — the r12 probe could only record parity at one
+    * row group per file, where the filter can't beat footer bounds):
+    * `write.parquet.row-group-size-bytes` forces many row groups per
+    * file, and the probed column `k` is a multiplicative scramble of
+    * l_orderkey, so EVERY row group's min/max spans the whole domain
+    * (no stats/page-index skip is possible) — any reduction in
+    * scan-output rows is the bloom row-group skip and nothing else.
+    */
+  private def bloomStage(spark: SparkSession,
+                         withP: DataFrame): Unit = {
+    import graft.table.SnapshotTable
+    val scattered = withP.withColumn("k",
+      pmod(col("l_orderkey") * lit(2654435761L), lit(1L << 31)))
+    val bl = SnapshotTable.at(java.nio.file.Files
+      .createTempDirectory("graft-bloomprobe").toString)
+    bl.createOrReplace(scattered, Seq("p"), properties = Map(
+      "write.parquet.bloom-filter-enabled.column.k" -> "true",
+      "write.parquet.row-group-size-bytes" -> (128 * 1024).toString))
+    val nb = SnapshotTable.at(java.nio.file.Files
+      .createTempDirectory("graft-nobloomprobe").toString)
+    nb.createOrReplace(scattered, Seq("p"), properties = Map(
+      "write.parquet.row-group-size-bytes" -> (128 * 1024).toString))
+    // footer evidence: the fixture really is multi-row-group
+    val firstFile = bl.currentManifest.files.head
+    val rgCount = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      scala.util.Using.resource(ParquetFileReader.open(
+        HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            bl.root.resolve(firstFile.path).toString),
+          spark.sparkContext.hadoopConfiguration)))(
+        _.getFooter.getBlocks.size)
+    }
+    val probeKey = scattered
+      .filter(col("l_orderkey") === lit(1L)).select(col("k"))
+      .head.getLong(0)
+    def lookup(t: SnapshotTable): (Long, Long, Double) = {
+      val df = t.readWhere(spark, col("k") === probeKey)
+      val t0 = System.nanoTime()
+      val hits = df.collect().length.toLong
+      val sec = (System.nanoTime() - t0) / 1e9
+      // scan-node output rows = rows surviving parquet's own
+      // row-group/page filtering (Spark's Filter above the scan is not
+      // counted) — THE skip metric
+      val scanned = df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+      (hits, scanned, sec)
+    }
+    val (hitsB, scanB, secB) = lookup(bl)
+    val (hitsN, scanN, secN) = lookup(nb)
+    require(hitsB == hitsN, s"bloom twin disagreement: $hitsB vs $hitsN")
+    println(f"""{"stage":"bloom_rowgroup_skip","row_groups_per_file":$rgCount,"scan_rows_bloom":$scanB,"scan_rows_nobloom":$scanN,"hits":$hitsB,"sec_bloom":$secB%.2f,"sec_nobloom":$secN%.2f}""")
+  }
+
   private def manifestProbe(): Unit = {
     import graft.table._
     import java.nio.file.{Files => JF}

@@ -1966,6 +1966,49 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q151_variant_shred" -> ((s, d) => {
+      // Iceberg v3 VARIANT with SHREDDED scalar leaves: events.props
+      // (a JSON string) parses into a VARIANT column, and the table
+      // declares its $.k leaf shredded (write.graft.variant.shred) —
+      // every write then materializes an engine-owned typed parquet
+      // column whose footer bounds prune try_variant_get point
+      // predicates. Pinned in-query: the point lookup prunes on the
+      // range-clustered layout, while STRICT variant_get stays
+      // conservative (it can throw on rows a pruned file would have
+      // surfaced). Output = per-k-bucket aggregates DuckDB replays from
+      // the raw JSON strings — the oracle only ever sees shredded
+      // scalar leaves, never variant binary.
+      val root = Files.createTempDirectory("graft-q151-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("props"))
+      // range-cluster on the leaf BEFORE the write (unpartitioned
+      // commits keep the writer's layout) so per-file k-bounds are tight
+      val clustered = ev
+        .select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("props_v"))
+        .withColumn("__ks",
+          expr("try_variant_get(props_v, '$.k', 'bigint')"))
+        .repartitionByRange(8, col("__ks")).drop("__ks")
+      table.createOrReplace(clustered, properties = Map(
+        "format-version" -> "3",
+        "write.graft.variant.shred.props_v" -> "k:bigint"))
+      val (kept, total) = table.pruneCounts(
+        expr("try_variant_get(props_v, '$.k', 'bigint') = 7"))
+      val prunedPoint = total >= 8 && kept < total
+      val (keptStrict, _) = table.pruneCounts(
+        expr("variant_get(props_v, '$.k', 'bigint') = 7"))
+      table.read(s)
+        .select(col("event_id"), col("event_type"),
+          expr("try_variant_get(props_v, '$.k', 'bigint')").as("k"))
+        .groupBy(expr("k DIV 10").as("k_bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .withColumn("shred_pruned", lit(prunedPoint))
+        .withColumn("strict_conservative", lit(keptStrict == total))
+    }),
+
     "q149_hard_negatives" -> ((s, d) => {
       // hard-negative mining for contrastive training: per anchor, the
       // exact top-5 most-similar OTHER-label vectors; the per-anchor
@@ -1975,6 +2018,35 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
         "vec_id", "embedding", "label", k = 5)
+    }),
+
+    "q152_hard_negatives_ivf" -> ((s, d) => {
+      // label-constrained APPROXIMATE hard negatives: IVF cells route
+      // the corpus (one cell per vector, anchors probe their 4 nearest
+      // of 16), so only probed cells' other-label vectors are scored —
+      // the production-scale path whose recall the exact q149 baseline
+      // measures in-query (same contract shape as q124/q126/q136; the
+      // bar is checked at sf0.001/0.01/0.1 — the q124 rule). A missed
+      // near-boundary negative degrades to the next-hardest candidate,
+      // which is why approximate mining is usable at all.
+      val emb = t(s, d, "embeddings")
+      val anchors = emb.filter(col("vec_id") % 50 === 0)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 4)
+      val approx = Similarity.hardNegativesIvf(anchors, emb, cents,
+        "vec_id", "embedding", "label", k = 5, nProbe = 4)
+      val exact = Similarity.hardNegatives(anchors, emb,
+        "vec_id", "embedding", "label", k = 5).cache()
+      val nExact = exact.count()
+      val nHit = approx.select(col("anchor_id"), col("negative_id"))
+        .join(exact.select(col("anchor_id"), col("negative_id")),
+          Seq("anchor_id", "negative_id"), "left_semi").count()
+      val nAnchors = anchors.count()
+      val nCorpus = emb.count()
+      import s.implicits._
+      Seq((nAnchors, nCorpus,
+        nExact == 0 || nHit.toDouble / nExact >= 0.5))
+        .toDF("n_anchors", "n_corpus", "recall_at5_ok")
     }),
 
     "q148_lineage_changelog" -> ((s, d) => {
@@ -4459,6 +4531,24 @@ object SparkEntry {
         |FROM cum c JOIN alloc a ON c.lang = a.lang
         |WHERE c.taken_before < a.allocated_tokens""".stripMargin,
 
+    // VARIANT shredded leaves: the oracle replays the $.k extraction
+    // from the raw JSON strings — it only ever sees scalar leaves (the
+    // hashable surface); the prune/conservative contracts are in-query
+    // booleans
+    "q151_variant_shred" ->
+      """WITH x AS (
+        |  SELECT event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT k // 10 AS k_bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id,
+        |  TRUE AS shred_pruned,
+        |  TRUE AS strict_conservative
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
     // hard negatives: brute-force windowed replay, cosine in the DOUBLE
     // domain with element-order summation on both engines (the q38
     // precedent), ties by ascending id on both sides
@@ -4478,6 +4568,15 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
         |    ORDER BY cosine DESC, negative_id ASC) AS rnk FROM scored)
         |WHERE rnk <= 5""".stripMargin,
+
+    // IVF-routed approximate hard negatives: the recall-vs-exact bar is
+    // an in-query contract boolean; the oracle states the fixture sizes
+    "q152_hard_negatives_ivf" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 50 = 0)
+        |    AS n_anchors,
+        |  (SELECT count(*) FROM embeddings) AS n_corpus,
+        |  TRUE AS recall_at5_ok""".stripMargin,
 
     // v3 row-lineage changelog: every change row (incl. the per-row
     // commit stamp) reconstructs from key arithmetic — deletes stamp

@@ -143,9 +143,9 @@ object Similarity {
     * `(anchor_id, anchor_label, rank, negative_id, negative_label)`,
     * rank deterministic (score desc, id asc). Scale shape: O(anchors ×
     * corpus) FLOPs like every exact pass — mine for an epoch's anchor
-    * SAMPLE, or route the corpus through [[ivfTopK]]'s cells first when
-    * the product explodes; this is the exact baseline those
-    * approximations are measured against.
+    * SAMPLE, or use [[hardNegativesIvf]] (cell-routed candidates) when
+    * the product explodes; this is the exact baseline that
+    * approximation is measured against (q152's recall contract).
     */
   def hardNegatives(anchors: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, labelCol: String, k: Int): DataFrame = {
@@ -160,6 +160,15 @@ object Similarity {
       .filter(col("anchor_label") =!= col("negative_label"))
       .withColumn("cosine",
         vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    negativesTopK(scored, c, k)
+  }
+
+  /** Shared tail of the exact and IVF hard-negative paths: the bounded
+    * per-anchor top-k over pre-scored other-label candidates, then the
+    * corpus re-join that restores the negative id's TYPE and label.
+    */
+  private def negativesTopK(scored: DataFrame, c: DataFrame,
+                            k: Int): DataFrame = {
     val top = scored.groupBy(col("anchor_id"), col("anchor_label"))
       .agg(graft.functions.VectorFunctions.topKByScore(
         col("cosine"), col("negative_id").cast("long"), k).as("top"))
@@ -173,6 +182,50 @@ object Similarity {
         col("nid") === col("negative_id").cast("long"))
       .select(col("anchor_id"), col("anchor_label"), col("rank"),
         col("negative_id"), col("negative_label"))
+  }
+
+  /** LABEL-CONSTRAINED APPROXIMATE hard negatives — [[hardNegatives]]
+    * with IVF cell routing composed in front (the [[ivfPqTopK]]
+    * precedent): each corpus vector indexes into ONE coarse cell, each
+    * anchor probes its `nProbe` nearest cells, and only the probed
+    * cells' OTHER-label vectors are cosine-scored — the candidate set
+    * shrinks from O(anchors × corpus) to O(anchors × corpus ·
+    * nProbe / C). The per-anchor top-k and the label re-join are the
+    * exact path's own tail, so the two outputs differ ONLY by cell
+    * recall (measured against the q149 exact baseline in q152's
+    * in-query contract). Hard negatives tolerate approximation
+    * gracefully: a missed near-boundary negative is replaced by the
+    * next-hardest one, still a useful gradient — the FaceNet batch
+    * construction never needed exactness either.
+    *
+    * Scale shape: centroids broadcast; cell assignment map-side; the
+    * candidate join is an equi-join on cell_id (never a cross join);
+    * ≤ k rows per (anchor, map task) reach the shuffle.
+    */
+  def hardNegativesIvf(anchors: DataFrame, corpus: DataFrame,
+                       centroids: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int, nProbe: Int): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val cent = centFrame(centroids, idCol, vecCol)
+    // assignCells projects to (id, vec, norm, cell): labels re-join by id
+    val c = assignCells(cent, corpus, idCol, vecCol, 1)
+      .join(corpus.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"), col(vecCol).as("cv"),
+        col("vn").as("cn"), col("cell_id"))
+    val a = assignCells(cent, anchors, idCol, vecCol, nProbe)
+      .join(anchors.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"), col(vecCol).as("qv"),
+        col("vn").as("qn"), col("cell_id"))
+    // corpus vectors live in exactly ONE cell (keep = 1), so an
+    // (anchor, negative) pair appears at most once across probed cells
+    val scored = a.join(c, Seq("cell_id"))
+      .filter(col("anchor_label") =!= col("negative_label"))
+      .withColumn("cosine",
+        vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    negativesTopK(scored,
+      c.select(col("negative_id"), col("negative_label")), k)
   }
 
   /** PRODUCT-QUANTIZATION codebooks (Jégou et al., "Product
@@ -579,5 +632,27 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("cell_id"))
     broadcast(probed).join(cells, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id")).count()
+  }
+
+  /** Candidate census for [[hardNegativesIvf]]'s scale evidence: how
+    * many (anchor, other-label candidate) rows the probed cells admit —
+    * exactly what the approximate miner cosine-scores, vs the exact
+    * path's anchors × other-label corpus product.
+    */
+  def hardNegativesIvfCensus(anchors: DataFrame, corpus: DataFrame,
+                             centroids: DataFrame, idCol: String,
+                             vecCol: String, labelCol: String,
+                             nProbe: Int): Long = {
+    val cent = centFrame(centroids, idCol, vecCol)
+    val cells = assignCells(cent, corpus, idCol, vecCol, 1)
+      .join(corpus.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol).as("negative_id"),
+        col(labelCol).as("negative_label"), col("cell_id"))
+    val probed = assignCells(cent, anchors, idCol, vecCol, nProbe)
+      .join(anchors.select(col(idCol), col(labelCol)), Seq(idCol))
+      .select(col(idCol).as("anchor_id"),
+        col(labelCol).as("anchor_label"), col("cell_id"))
+    broadcast(probed).join(cells, Seq("cell_id"))
+      .filter(col("anchor_label") =!= col("negative_label")).count()
   }
 }

@@ -950,7 +950,60 @@ object StatsPruning {
           Some(joined)
         else None
       }
+    // VARIANT shredded-leaf extraction: `try_variant_get(v, '$.p', 'T')`
+    // binds the engine's physical shred column __graft_shred_v_p when
+    // (a) the path is plain dotted object fields, (b) the declaration
+    // exists (colType knows the physical name — selectFiles extends the
+    // lookup from the table's shred properties), and (c) the extraction
+    // type EQUALS the declared type — a different target type can
+    // produce different values (lossy-cast NULLs), so it must never
+    // consult these bounds. Only the try_ form binds: its value equals
+    // the materialized column on EVERY row (NULL on miss, never an
+    // error), so pruning can't change what a completed query returns;
+    // strict variant_get can throw on rows a pruned file would have
+    // surfaced — it stays conservative.
+    case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet
+        if !vg.failOnError =>
+      shredName(vg.child, vg.path, colType)
+        .filter(n => colType(n).contains(vg.targetType))
+    case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if uf.nameParts.size == 1 &&
+          uf.nameParts.head.equalsIgnoreCase("try_variant_get") &&
+          uf.arguments.size == 3 =>
+      (shredName(uf.arguments.head, uf.arguments(1), colType),
+        uf.arguments(2)) match {
+        case (Some(n), Literal(t, StringType)) if t != null =>
+          scala.util.Try(org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseDataType(t.toString)).toOption
+            .filter(dt => colType(n).contains(dt)).map(_ => n)
+        case _ => None
+      }
     case _ => None
+  }
+
+  private val ShredVariantPathRe =
+    "^\\$\\.[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
+
+  /** Render (variant column, '$.path') to the physical shred spelling —
+    * bound only when the lookup actually knows it (i.e. the table
+    * declared that leaf).
+    */
+  private def shredName(child: Expression, path: Expression,
+      colType: String => Option[DataType]): Option[String] = {
+    val colName = child match {
+      case ar: AttributeReference => Some(ar.name)
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+        Some(ua.nameParts.head)
+      case _ => None
+    }
+    (colName, path) match {
+      case (Some(c), Literal(p, StringType))
+          if p != null && ShredVariantPathRe.matches(p.toString) =>
+        val n = graft.table.SnapshotTable.shredPhysName(
+          c, p.toString.drop(2))
+        if (colType(n).isDefined) Some(n) else None
+      case _ => None
+    }
   }
 
   /** May a file hold a string starting with `p`? Matching strings fill

@@ -432,7 +432,14 @@ final class SnapshotTable(val root: Path,
     // folding — the latter parses timestamps), not once per manifest
     // entry; the per-file test below only walks the canonical tree
     val nExpr = StatsPruning.normalized(expr)
-    val types = typeLookup(StructType.fromDDL(m.schemaDdl))
+    val baseTypes = typeLookup(StructType.fromDDL(m.schemaDdl))
+    // declared VARIANT shred leaves resolve under their physical names —
+    // attrNameIn renders try_variant_get(col,'$.p','T') to the same
+    // spelling, so the shred columns' recorded bounds prune like scalars
+    val shredTypes = SnapshotTable.shredTypeMap(m.properties)
+    val types: String => Option[DataType] =
+      if (shredTypes.isEmpty) baseTypes
+      else n => baseTypes(n).orElse(shredTypes.get(n.toLowerCase))
     val transforms = partitionTransforms(m)
     val chains = evoChains(m)
     // bucket-transform pruning: a point predicate on the SOURCE column
@@ -3446,11 +3453,16 @@ final class SnapshotTable(val root: Path,
     * files, flattened): one row per partition of the CURRENT snapshot —
     * the manifest's free rollups (file/row/byte totals, the `-1`
     * unknown sentinel matching [[partitions]]), the pending MoR delete
-    * debt scoped to the partition, and the sketch store's staleness
-    * columns (`stats_version`/`stats_current`, null/false before any
-    * compute). The heavy per-column NDV values come back as CALL rows
-    * from [[computePartitionStats]] — this relation stays flat and
-    * scalar (struct/map outputs don't hash across engines).
+    * debt ATTRIBUTED to the partition (scoped entries from the driver
+    * census; unscoped positional/DV entries by joining their referenced
+    * data-file paths to manifest entries — ADVICE r13), and the sketch
+    * store's staleness columns (`stats_version`/`stats_current`,
+    * null/false before any compute). Debt no live partition can claim
+    * (unscoped equality deletes, stale positional references) surfaces
+    * as an explicit row with zeroed data rollups rather than dropping.
+    * The heavy per-column NDV values come back as CALL rows from
+    * [[computePartitionStats]] — this relation stays flat and scalar
+    * (struct/map outputs don't hash across engines).
     */
   def partitionStatsRelation(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -4954,6 +4966,10 @@ final class SnapshotTable(val root: Path,
       k.toLowerCase.startsWith(SnapshotTable.WriteDefaultPrefix) ||
       k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
+    // variant-shred declarations validate AT THE DDL, not at the next
+    // write — a malformed value surfacing commits later would read as a
+    // write-path bug
+    SnapshotTable.variantShreds(props)
     val m = currentManifest
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
@@ -4980,6 +4996,7 @@ final class SnapshotTable(val root: Path,
         k.toLowerCase.startsWith(SnapshotTable.WriteDefaultPrefix) ||
         k.equalsIgnoreCase(IdentifierFieldsProp))
     require(bad.isEmpty, s"reserved engine properties: ${bad.mkString(", ")}")
+    SnapshotTable.variantShreds(set) // DDL-time validation (see setProperties)
     val m = currentManifest
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
@@ -6498,20 +6515,47 @@ final class SnapshotTable(val root: Path,
         "never both (DROP VIEW first)")
     // hidden-partitioning chokepoint: EVERY data write derives recorded
     // transform columns here (see materializeTransforms)
-    val df = materializeTransforms(dfIn, pcols, props)
+    val df0 = materializeTransforms(dfIn, pcols, props)
+    // VARIANT shredding chokepoint: declared scalar leaves materialize
+    // as engine-owned physical columns (re-derived on EVERY write, like
+    // hidden-partition transforms — rewrites re-shred from the variant
+    // itself, so a changed declaration heals on rewrite)
+    val shredDecls = SnapshotTable.variantShreds(props)
+    val df =
+      if (shredDecls.isEmpty) df0
+      else shredDecls.foldLeft(df0) { case (d, (cLower, decls)) =>
+        d.schema.fields.find(_.name.toLowerCase == cLower) match {
+          case Some(f) if f.dataType.typeName == "variant" =>
+            decls.foldLeft(d) { case (dd, (path, dt)) =>
+              dd.withColumn(SnapshotTable.shredPhysName(cLower, path),
+                expr(s"try_variant_get(`${f.name}`, '$$.$path', " +
+                  s"'${dt.sql}')"))
+            }
+          case Some(f) => throw new IllegalArgumentException(
+            s"write.graft.variant.shred.${f.name}: column is " +
+              s"${f.dataType.simpleString}, not variant")
+          case None => d // column not in this write's schema: nothing to shred
+        }
+      }
     // v3 row lineage: physical lineage columns (rewrites materialize
     // them so carried rows keep their identity) are ENGINE-owned — they
     // go into the parquet files but never into the declared schema,
-    // footer-stats collection, or the resurrection census. Only v3
-    // tables strip; anywhere else a user column that happens to share
-    // the name is ordinary data.
+    // footer-stats collection (shred columns DO join the stats schema —
+    // their bounds are their whole point), or the resurrection census.
+    // Only v3 tables strip lineage names; anywhere else a user column
+    // that happens to share the name is ordinary data.
     val linNames =
       if (SnapshotTable.lineageOn(props))
         df.columns.filter(c => c == SnapshotTable.RowIdColName ||
           c == SnapshotTable.LastSeqColName).toSet
       else Set.empty[String]
+    val shredNames =
+      if (shredDecls.isEmpty) Set.empty[String]
+      else df.columns.filter(_.startsWith("__graft_shred_")).toSet
     val declaredSchema = StructType(
-      df.schema.fields.filterNot(f => linNames(f.name)))
+      df.schema.fields.filterNot(f => linNames(f.name) || shredNames(f.name)))
+    val statsSchema = StructType(declaredSchema.fields ++
+      df.schema.fields.filter(f => shredNames(f.name)))
     val baseV = base.map(_.version).getOrElse(0L)
     // fail-fast BEFORE any data is written: a commit planned against a
     // stale snapshot must not spend the write (and without rebase rights
@@ -6584,7 +6628,7 @@ final class SnapshotTable(val root: Path,
     // BEFORE taking the publish lock, or a many-file commit serializes
     // every concurrent writer behind its footer reads
     val statsByPath =
-      written.map(p => p -> FileStats.collect(p, declaredSchema))
+      written.map(p => p -> FileStats.collect(p, statsSchema))
     publishCommit { (v, curOpt) =>
       val curV = curOpt.map(_.version).getOrElse(0L)
       val (carriedFiles, carriedChunkInfo, carriedDeletes) =
@@ -6836,6 +6880,14 @@ object SnapshotTable {
   private[table] val BloomFppPrefix =
     "write.parquet.bloom-filter-fpp.column."
 
+  /** Iceberg parquet layout properties → parquet-mr writer options.
+    * `write.parquet.row-group-size-bytes` (parquet.block.size) is what
+    * makes the bloom filters USEFUL: one row group per file means the
+    * filter can only confirm what footer bounds already said — the skip
+    * needs several row groups per file (probe-measured in ScaleProbe's
+    * bloom stage). `write.parquet.page-size-bytes` is the page-index
+    * granularity twin.
+    */
   private[table] def bloomWriterOptions(
       props: Map[String, String]): Map[String, String] =
     props.collect {
@@ -6843,6 +6895,77 @@ object SnapshotTable {
         s"parquet.bloom.filter.enabled#${k.substring(BloomEnabledPrefix.length)}" -> v
       case (k, v) if k.toLowerCase.startsWith(BloomFppPrefix) =>
         s"parquet.bloom.filter.fpp#${k.substring(BloomFppPrefix.length)}" -> v
+      case (k, v) if k.equalsIgnoreCase("write.parquet.row-group-size-bytes") =>
+        "parquet.block.size" -> v
+      case (k, v) if k.equalsIgnoreCase("write.parquet.page-size-bytes") =>
+        "parquet.page.size" -> v
+    }
+
+  /** Iceberg v3 VARIANT shredding, engine-local form: the user declares
+    * scalar leaves worth typed storage via
+    * `write.graft.variant.shred.<col> = <path>:<type>[;<path>:<type>...]`
+    * (path = dotted object fields, no `$.` prefix, no array steps;
+    * type = a scalar DDL type). Every data write through [[commitData]]
+    * then materializes `try_variant_get(col, '$.<path>', '<type>')` as
+    * an ENGINE-owned physical parquet column `__graft_shred_<col>_<path>`
+    * — in the files, never in the declared schema (the row-lineage
+    * precedent) — whose footer bounds let manifest pruning skip files on
+    * `try_variant_get` predicates. The public v3 spec shreds into
+    * `typed_value` inside the variant group; the engine keeps the same
+    * LOGICAL content (declared leaf → typed column + stats) in its own
+    * layout, like GDV1 vs Puffin/roaring. `try_` semantics are
+    * load-bearing: the physical value equals the read-side expression on
+    * EVERY row (missing path or lossy cast = NULL, never an error), so
+    * consulting its bounds can never change what a completed query
+    * returns.
+    */
+  private[graft] val VariantShredPrefix = "write.graft.variant.shred."
+
+  private val ShredPathRe = "^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
+
+  /** Parsed + validated declarations: lowercase column → (path, type).
+    * Loud on malformed values — a silently ignored declaration would
+    * just never prune, which reads as "working" until someone measures.
+    */
+  private[graft] def variantShreds(
+      props: Map[String, String]): Map[String, Seq[(String, DataType)]] =
+    props.collect {
+      case (k, v) if k.toLowerCase.startsWith(VariantShredPrefix) =>
+        val colName = k.substring(VariantShredPrefix.length)
+        val decls = v.split(';').toSeq.filter(_.nonEmpty).map { part =>
+          val i = part.lastIndexOf(':')
+          require(i > 0 && i < part.length - 1,
+            s"$k: each declaration must be <path>:<type>, got '$part'")
+          val (path, tpe) = (part.substring(0, i).trim,
+            part.substring(i + 1).trim)
+          require(ShredPathRe.matches(path),
+            s"$k: shred path must be dotted object fields, got '$path'")
+          val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(tpe)
+          require(dt match {
+            case ByteType | ShortType | IntegerType | LongType |
+                 FloatType | DoubleType | StringType | BooleanType |
+                 DateType | TimestampType => true
+            case _ => false
+          }, s"$k: shred type must be scalar, got '$tpe'")
+          (path, dt)
+        }
+        val phys = decls.map(d => shredPhysName(colName, d._1))
+        require(phys.distinct.size == phys.size,
+          s"$k: shred paths collide after '.'→'_' sanitization: $v")
+        colName.toLowerCase -> decls
+    }
+
+  private[graft] def shredPhysName(col: String, path: String): String =
+    s"__graft_shred_${col.toLowerCase}_${path.replace('.', '_')}"
+
+  /** lowercase physical shred name → declared scalar type (the pruning
+    * type-lookup extension).
+    */
+  private[graft] def shredTypeMap(
+      props: Map[String, String]): Map[String, DataType] =
+    variantShreds(props).flatMap { case (c, decls) =>
+      decls.map { case (p, dt) => shredPhysName(c, p) -> dt }
     }
 
   /** (lowercase column name → (add version, sql literal)). */

@@ -1190,4 +1190,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(bloomOffsets(root.resolveSibling("t2"), m2)
       .values.forall(_ < 0L))
   }
+
+  test("write.parquet.row-group-size-bytes maps to parquet.block.size: " +
+      "small row groups make the bloom skip possible") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rgsize-").resolve("t")
+    val t = SnapshotTable.at(root.toString)
+    // one file (coalesced), ~50k rows: with 32 KiB row groups the
+    // footer must carry MANY blocks; the default (128 MiB) would be one
+    val df = (1 to 50000).map(i => (i.toLong, s"val$i"))
+      .toDF("id", "v").coalesce(1)
+    val m = t.createOrReplace(df, properties = Map(
+      "write.parquet.row-group-size-bytes" -> (32 * 1024).toString))
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(
+          root.resolve(m.files.head.path).toString),
+        new org.apache.hadoop.conf.Configuration()))
+    val blocks = try rd.getFooter.getBlocks.size finally rd.close()
+    assert(blocks >= 4,
+      s"32 KiB row groups over ~50k rows must yield several blocks, got $blocks")
+    assert(t.read(spark).count() == 50000L)
+  }
 }

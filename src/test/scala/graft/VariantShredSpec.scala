@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.table.SnapshotTable
+
+/** Iceberg v3 VARIANT with engine-declared SHREDDED scalar leaves:
+  * `write.graft.variant.shred.<col> = path:type;...` materializes each
+  * declared leaf as an engine-owned physical parquet column
+  * (`__graft_shred_*` — the row-lineage precedent: in the files, never
+  * in the declared schema) whose footer bounds drive manifest pruning
+  * of `try_variant_get(col, '$.path', 'type')` predicates. Unshredded
+  * binary comparison stays refused where it always was (NetDiff, the
+  * oracle gate).
+  */
+class VariantShredSpec extends SparkSpec {
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-variant-$tag-").toString + "/t"
+
+  test("fundamentals: variant round-trips through parquet and schema DDL") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k": 5, "s": "a"}"""), (2L, """{"k": 9}"""))
+      .toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    assert(df.schema("v").dataType.typeName == "variant")
+    // DDL round-trip (the manifest stores schemas as DDL strings)
+    val ddl = df.schema.toDDL
+    assert(StructType.fromDDL(ddl)("v").dataType == df.schema("v").dataType,
+      s"variant must survive the DDL round-trip: $ddl")
+    val dir = Files.createTempDirectory("graft-variant-raw-").toString
+    df.write.mode("overwrite").parquet(dir)
+    val back = spark.read.schema(df.schema).parquet(dir)
+    val got = back.select(col("id"),
+      expr("try_variant_get(v, '$.k', 'bigint')").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 9L))
+  }
+
+  private def footerCols(t: SnapshotTable, rel: String): Set[String] = {
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(t.root.resolve(rel).toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      rd.getFooter.getBlocks.get(0).getColumns.asScala
+        .map(_.getPath.toDotString).toSet
+    } finally rd.close()
+  }
+
+  test("shred declarations materialize physical columns, prune " +
+      "try_variant_get predicates, stay out of the declared schema") {
+    import spark.implicits._
+    val t = SnapshotTable.at(freshRoot("shred"))
+    val base = (0 until 4000)
+      .map(i => (i.toLong, s"""{"k": ${i % 1000}, "s": "v${i % 7}"}"""))
+      .toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    // range-cluster on the leaf value BEFORE the write (unpartitioned
+    // commits keep the writer's layout) so per-file k-bounds are tight
+    val clustered = base
+      .withColumn("ks", expr("try_variant_get(v, '$.k', 'bigint')"))
+      .repartitionByRange(8, col("ks")).drop("ks")
+    t.createOrReplace(clustered, properties = Map(
+      "write.graft.variant.shred.v" -> "k:bigint;s:string"))
+
+    // physical columns in the parquet, variant group intact
+    val cols = footerCols(t, t.currentManifest.files.head.path)
+    assert(cols.contains("__graft_shred_v_k"), s"footer: $cols")
+    assert(cols.contains("__graft_shred_v_s"), s"footer: $cols")
+    assert(cols.exists(_.startsWith("v.")), s"variant group must ride: $cols")
+    // ...but never in the declared schema or the read
+    assert(t.read(spark).columns.toSeq == Seq("id", "v"))
+
+    // extraction values round-trip
+    val got = t.read(spark).select(col("id"),
+      expr("try_variant_get(v, '$.k', 'bigint')").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 4000 && got(1234L) == 234L)
+
+    // the whole point: manifest pruning on the shredded leaf
+    val (kept, total) = t.pruneCounts(
+      expr("try_variant_get(v, '$.k', 'bigint') = 7"))
+    assert(total >= 8 && kept < total,
+      s"shred bounds must prune the point lookup ($kept/$total)")
+    // strict variant_get stays conservative (it can THROW on rows a
+    // pruned file would have surfaced)
+    val (keptStrict, _) = t.pruneCounts(
+      expr("variant_get(v, '$.k', 'bigint') = 7"))
+    assert(keptStrict == total, "strict extraction must never prune")
+    // a DIFFERENT extraction type must not consult the bounds
+    val (keptOtherT, _) = t.pruneCounts(
+      expr("try_variant_get(v, '$.k', 'int') = 7"))
+    assert(keptOtherT == total, "type-mismatched extraction must not prune")
+    // an undeclared leaf must not bind anything
+    val (keptOther, _) = t.pruneCounts(
+      expr("try_variant_get(v, '$.nope', 'bigint') = 7"))
+    assert(keptOther == total)
+
+    // rewrites re-shred from the variant itself
+    t.compact(spark)
+    val cols2 = footerCols(t, t.currentManifest.files.head.path)
+    assert(cols2.contains("__graft_shred_v_k"),
+      s"compaction must re-materialize the shreds: $cols2")
+    assert(t.read(spark).count() == 4000L)
+  }
+
+  test("malformed declarations and non-variant columns refuse loudly") {
+    import spark.implicits._
+    val df = Seq((1L, """{"k":1}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    def mk(p: (String, String)*) = SnapshotTable.at(freshRoot("bad"))
+      .createOrReplace(df, properties = p.toMap)
+    intercept[IllegalArgumentException](
+      mk("write.graft.variant.shred.v" -> "k")) // no type
+    intercept[IllegalArgumentException](
+      mk("write.graft.variant.shred.v" -> "a[0]:bigint")) // array step
+    intercept[IllegalArgumentException](
+      mk("write.graft.variant.shred.v" -> "k:array<int>")) // non-scalar
+    intercept[IllegalArgumentException](
+      mk("write.graft.variant.shred.v" -> "a.b:bigint;a_b:bigint")) // collide
+    intercept[IllegalArgumentException](
+      mk("write.graft.variant.shred.id" -> "k:bigint")) // not a variant
+    // DDL-time validation: SET TBLPROPERTIES refuses a malformed value
+    // immediately, not at the next write
+    val t = SnapshotTable.at(freshRoot("ddl"))
+    t.createOrReplace(df, properties = Map(
+      "write.graft.variant.shred.v" -> "k:bigint"))
+    intercept[IllegalArgumentException](
+      t.setProperties(Map("write.graft.variant.shred.v" -> "k")))
+    intercept[Exception](
+      t.setProperties(Map("write.graft.variant.shred.v" -> "k:nosuch")))
+  }
+}
