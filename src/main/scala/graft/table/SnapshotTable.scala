@@ -4656,10 +4656,17 @@ final class SnapshotTable(val root: Path,
       // a dropped column's DEFAULT keys go with it: a stale write
       // default would silently stamp values onto a SAME-NAMED column
       // re-added after compaction (the initial default is addV-scoped
-      // and inert, but dropping both keeps the namespace honest)
+      // and inert, but dropping both keeps the namespace honest).
+      // VARIANT shred keys too — a stale declaration would BREAK the
+      // next write of a re-added same-name NON-variant column (the
+      // shred materializer refuses non-variant targets loudly)
       val defKeys = dropSet.flatMap(c => Seq(
         SnapshotTable.InitialDefaultPrefix + c,
-        SnapshotTable.WriteDefaultPrefix + c))
+        SnapshotTable.WriteDefaultPrefix + c)) ++
+        m.properties.keys.filter(k =>
+          k.toLowerCase.startsWith(SnapshotTable.VariantShredPrefix) &&
+            dropSet(k.substring(
+              SnapshotTable.VariantShredPrefix.length).toLowerCase))
       m.copy(version = v, timestampMs = nowMs, schemaDdl = keep.toDDL,
         properties = m.properties -- defKeys ++
           dropSet.map(c => s"$DroppedPrefix$c" -> v.toString),
@@ -4830,11 +4837,19 @@ final class SnapshotTable(val root: Path,
       // write-default the moment the column moves
       val lcOld = field.name.toLowerCase
       val lcNew = newName.toLowerCase
+      // VARIANT shred declarations travel the same way (new writes then
+      // shred under the new physical spelling; old files' stats under
+      // the old spelling simply stop binding — conservative, sound).
+      // Shred keys match case-insensitively — users spell them freely,
+      // unlike the engine-written default keys.
       val defMoved = Seq(SnapshotTable.InitialDefaultPrefix,
-          SnapshotTable.WriteDefaultPrefix)
+          SnapshotTable.WriteDefaultPrefix,
+          SnapshotTable.VariantShredPrefix)
         .foldLeft(m.properties - oldKey) { (ps, pre) =>
-          ps.get(pre + lcOld) match {
-            case Some(dv) => ps - (pre + lcOld) + (pre + lcNew -> dv)
+          ps.collectFirst {
+            case (k, dv) if k.toLowerCase == pre + lcOld => (k, dv)
+          } match {
+            case Some((k, dv)) => ps - k + (pre + lcNew -> dv)
             case None => ps
           }
         }
@@ -6950,14 +6965,31 @@ object SnapshotTable {
           }, s"$k: shred type must be scalar, got '$tpe'")
           (path, dt)
         }
-        val phys = decls.map(d => shredPhysName(colName, d._1))
-        require(phys.distinct.size == phys.size,
-          s"$k: shred paths collide after '.'→'_' sanitization: $v")
         colName.toLowerCase -> decls
+    } match {
+      case parsed =>
+        // GLOBAL physical-name uniqueness: '$' can't appear in a path
+        // (ShredPathRe) so the encoding is injective per (col, path),
+        // but a '$' in a COLUMN name could still collide two columns'
+        // leaves — and a collision means one withColumn silently
+        // overwrites the other's data. Refuse.
+        val phys = parsed.toSeq.flatMap { case (c, ds) =>
+          ds.map(d => shredPhysName(c, d._1)) }
+        require(phys.distinct.size == phys.size,
+          s"variant shred declarations collide on a physical column " +
+            s"name: ${phys.diff(phys.distinct).mkString(", ")}")
+        parsed
     }
 
+  /** '$' separates the column from the path and path segments from each
+    * other — the one character [[ShredPathRe]] forbids inside a path,
+    * so the rendering is INJECTIVE in the path: `$.a.b` and a declared
+    * `a_b` leaf can never share a spelling (a '.'→'_' sanitization
+    * would let a predicate consult the WRONG leaf's bounds — review
+    * r14).
+    */
   private[graft] def shredPhysName(col: String, path: String): String =
-    s"__graft_shred_${col.toLowerCase}_${path.replace('.', '_')}"
+    s"__graft_shred_${col.toLowerCase}$$${path.replace('.', '$')}"
 
   /** lowercase physical shred name → declared scalar type (the pruning
     * type-lookup extension).

@@ -70,8 +70,8 @@ class VariantShredSpec extends SparkSpec {
 
     // physical columns in the parquet, variant group intact
     val cols = footerCols(t, t.currentManifest.files.head.path)
-    assert(cols.contains("__graft_shred_v_k"), s"footer: $cols")
-    assert(cols.contains("__graft_shred_v_s"), s"footer: $cols")
+    assert(cols.contains("__graft_shred_v$k"), s"footer: $cols")
+    assert(cols.contains("__graft_shred_v$s"), s"footer: $cols")
     assert(cols.exists(_.startsWith("v.")), s"variant group must ride: $cols")
     // ...but never in the declared schema or the read
     assert(t.read(spark).columns.toSeq == Seq("id", "v"))
@@ -104,7 +104,7 @@ class VariantShredSpec extends SparkSpec {
     // rewrites re-shred from the variant itself
     t.compact(spark)
     val cols2 = footerCols(t, t.currentManifest.files.head.path)
-    assert(cols2.contains("__graft_shred_v_k"),
+    assert(cols2.contains("__graft_shred_v$k"),
       s"compaction must re-materialize the shreds: $cols2")
     assert(t.read(spark).count() == 4000L)
   }
@@ -121,8 +121,22 @@ class VariantShredSpec extends SparkSpec {
       mk("write.graft.variant.shred.v" -> "a[0]:bigint")) // array step
     intercept[IllegalArgumentException](
       mk("write.graft.variant.shred.v" -> "k:array<int>")) // non-scalar
+    // '$' encoding keeps dotted paths and underscored names APART —
+    // a.b vs a_b coexist (a '.'→'_' sanitization would have let a
+    // predicate consult the wrong leaf's bounds)
+    SnapshotTable.at(freshRoot("nocollide")).createOrReplace(df,
+      properties = Map(
+        "write.graft.variant.shred.v" -> "a.b:bigint;a_b:bigint"))
+    // ...but a '$' in a COLUMN name can still collide two columns'
+    // physical spellings — refused globally
+    val df2 = Seq((1L, """{"k":1}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"),
+        parse_json(col("j")).as("v$x"))
     intercept[IllegalArgumentException](
-      mk("write.graft.variant.shred.v" -> "a.b:bigint;a_b:bigint")) // collide
+      SnapshotTable.at(freshRoot("collide")).createOrReplace(df2,
+        properties = Map(
+          "write.graft.variant.shred.v" -> "x.k:bigint",
+          "write.graft.variant.shred.v$x" -> "k:bigint")))
     intercept[IllegalArgumentException](
       mk("write.graft.variant.shred.id" -> "k:bigint")) // not a variant
     // DDL-time validation: SET TBLPROPERTIES refuses a malformed value
@@ -134,5 +148,37 @@ class VariantShredSpec extends SparkSpec {
       t.setProperties(Map("write.graft.variant.shred.v" -> "k")))
     intercept[Exception](
       t.setProperties(Map("write.graft.variant.shred.v" -> "k:nosuch")))
+  }
+
+  test("shred keys travel with RENAME and die with DROP — the default-" +
+      "value key discipline") {
+    import spark.implicits._
+    val t = SnapshotTable.at(freshRoot("keys"))
+    val df = Seq((1L, """{"k": 3}"""), (2L, """{"k": 8}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    t.createOrReplace(df, properties = Map(
+      "write.graft.variant.shred.v" -> "k:bigint"))
+    // rename MOVES the declaration: the next write shreds under the new
+    // physical spelling
+    t.renameColumn("v", "payload")
+    assert(t.currentManifest.properties
+      .get("write.graft.variant.shred.payload").contains("k:bigint"))
+    assert(!t.currentManifest.properties.keys
+      .exists(_.equalsIgnoreCase("write.graft.variant.shred.v")))
+    t.append(spark, Seq((3L, """{"k": 5}""")).toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("payload")))
+    val newest = t.currentManifest.files.maxBy(_.seq)
+    assert(footerCols(t, newest.path).contains("__graft_shred_payload$k"),
+      "post-rename writes must shred under the new spelling")
+    // drop REMOVES it: a re-added same-name NON-variant column must not
+    // hit a stale declaration (the materializer refuses non-variant)
+    t.dropColumns(Seq("payload"))
+    assert(!t.currentManifest.properties.keys
+      .exists(_.toLowerCase.startsWith("write.graft.variant.shred.")))
+    t.compact(spark) // fold carried files so the name can return
+    t.addColumns(Seq(org.apache.spark.sql.types.StructField("payload",
+      org.apache.spark.sql.types.LongType)))
+    t.append(spark, Seq((4L, 9L)).toDF("id", "payload")) // must not throw
+    assert(t.read(spark).count() == 4L)
   }
 }
