@@ -845,8 +845,14 @@ final class SnapshotTable(val root: Path,
             org.apache.spark.sql.functions.col(PosFileCol).as("path"),
             org.apache.spark.sql.functions.col(PosPosCol).as("pos"))))
         else None
+      // replacement rows shred like any other data write (the direct
+      // writer must not silently produce un-prunable files on a
+      // shred-declared table)
+      val shredded = addShredColumns(hits.select(outCols: _*),
+        SnapshotTable.variantShreds(m.properties))
+      val statsSchema = shredStatsSchema(shredded, schema)
       withParquetWriteConfs(spark) {
-        val replaced = hits.select(outCols: _*)
+        val replaced = shredded
         val clustered =
           if (m.partitionColumns.nonEmpty)
             replaced.repartition(
@@ -886,7 +892,7 @@ final class SnapshotTable(val root: Path,
       }
       val delRows = dvFold.map(_._3).getOrElse(n)
       val superseded = dvFold.map(_._4).getOrElse(Set.empty[String])
-      val dataStats = written.map(p => p -> FileStats.collect(p, schema))
+      val dataStats = written.map(p => p -> FileStats.collect(p, statsSchema))
       publishCommit { (v, cur) =>
         if (cur.map(_.version) != Some(m.version))
           throw concurrentCommit(cur.map(_.version).getOrElse(0L))
@@ -5327,12 +5333,18 @@ final class SnapshotTable(val root: Path,
     if (currentVersion != m.version)
       throw concurrentCommit(currentVersion)
     val dataDirV = claimDataDir()
+    // MoR data appends shred like any other data write (direct writer —
+    // see addShredColumns)
+    val appliedShredded = addShredColumns(
+      applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
+      SnapshotTable.variantShreds(m.properties))
+    val dataStatsSchema = shredStatsSchema(appliedShredded, target.schema)
     val (written, delWritten) = withParquetWriteConfs(spark) {
       val clustered =
         if (m.partitionColumns.nonEmpty)
-          applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+          appliedShredded
             .repartition(m.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-        else applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        else appliedShredded
       // append into the claimed (empty) dir: no overwrite-delete window, so
       // a concurrent writer can never alias this commit's directory
       val writer = clustered.write.mode("append")
@@ -5385,7 +5397,7 @@ final class SnapshotTable(val root: Path,
     val delSchema = StructType(
       target.schema.fields.filter(f => keys.contains(f.name)))
     // stats collected OUTSIDE the publish lock (see commitData)
-    val dataStats = written.map(p => p -> FileStats.collect(p, target.schema))
+    val dataStats = written.map(p => p -> FileStats.collect(p, dataStatsSchema))
     val delStats = delWritten.map(p => p -> FileStats.collect(p, delSchema))
     publishCommit { (v, cur) =>
       if (cur.map(_.version) != Some(m.version))
@@ -6443,6 +6455,42 @@ final class SnapshotTable(val root: Path,
         (SnapshotTable.RowIdNextProp -> next.toString))
   }
 
+  /** Materialize every declared VARIANT shred leaf present in `df` as
+    * its engine-owned physical column — shared by [[commitData]] AND
+    * the two direct data writers (positional-update replacements, MoR
+    * merge appends), so MoR-heavy tables prune on shredded leaves too.
+    * Columns the frame lacks are skipped (a partial write can't shred
+    * them); a declared NON-variant column refuses loudly.
+    */
+  private def addShredColumns(df0: DataFrame,
+      decls: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]])
+      : DataFrame =
+    if (decls.isEmpty) df0
+    else decls.foldLeft(df0) { case (d, (cLower, ds)) =>
+      d.schema.fields.find(_.name.toLowerCase == cLower) match {
+        case Some(f) if f.dataType.typeName == "variant" =>
+          ds.foldLeft(d) { case (dd, (path, dt)) =>
+            dd.withColumn(SnapshotTable.shredPhysName(cLower, path),
+              expr(s"try_variant_get(`${f.name}`, '$$.$path', " +
+                s"'${dt.sql}')"))
+          }
+        case Some(f) => throw new IllegalArgumentException(
+          s"write.graft.variant.shred.${f.name}: column is " +
+            s"${f.dataType.simpleString}, not variant")
+        case None => d // column not in this write's schema: nothing to shred
+      }
+    }
+
+  /** The stats-collection schema for a direct writer's output: the
+    * declared schema plus whatever shred columns [[addShredColumns]]
+    * appended (their footer bounds are the whole point).
+    */
+  private def shredStatsSchema(written: DataFrame,
+      declared: StructType): StructType =
+    StructType(declared.fields ++ written.schema.fields.filter(f =>
+      f.name.startsWith("__graft_shred_") &&
+        !declared.fieldNames.contains(f.name)))
+
   /** Run `f` with timestamps written as INT64 micros so footers carry
     * usable min/max statistics (Spark's INT96 default has none), then
     * RESTORE the session conf — leaking the setting would silently flip
@@ -6536,22 +6584,7 @@ final class SnapshotTable(val root: Path,
     // hidden-partition transforms — rewrites re-shred from the variant
     // itself, so a changed declaration heals on rewrite)
     val shredDecls = SnapshotTable.variantShreds(props)
-    val df =
-      if (shredDecls.isEmpty) df0
-      else shredDecls.foldLeft(df0) { case (d, (cLower, decls)) =>
-        d.schema.fields.find(_.name.toLowerCase == cLower) match {
-          case Some(f) if f.dataType.typeName == "variant" =>
-            decls.foldLeft(d) { case (dd, (path, dt)) =>
-              dd.withColumn(SnapshotTable.shredPhysName(cLower, path),
-                expr(s"try_variant_get(`${f.name}`, '$$.$path', " +
-                  s"'${dt.sql}')"))
-            }
-          case Some(f) => throw new IllegalArgumentException(
-            s"write.graft.variant.shred.${f.name}: column is " +
-              s"${f.dataType.simpleString}, not variant")
-          case None => d // column not in this write's schema: nothing to shred
-        }
-      }
+    val df = addShredColumns(df0, shredDecls)
     // v3 row lineage: physical lineage columns (rewrites materialize
     // them so carried rows keep their identity) are ENGINE-owned — they
     // go into the parquet files but never into the declared schema,

@@ -109,6 +109,41 @@ class VariantShredSpec extends SparkSpec {
     assert(t.read(spark).count() == 4000L)
   }
 
+  test("the DIRECT writers shred too: MoR merge appends and positional-" +
+      "update replacements carry the physical columns") {
+    import spark.implicits._
+    def vdf(rows: Seq[(Long, String, String)]) = rows.toDF("id", "j", "op")
+      .select(col("id"), parse_json(col("j")).as("v"), col("op"))
+    val t = SnapshotTable.at(freshRoot("direct"))
+    t.createOrReplace(
+      vdf((0L until 20L).map(i => (i, s"""{"k": $i}""", "I"))).drop("op"),
+      properties = Map("write.graft.variant.shred.v" -> "k:bigint"))
+    // MoR merge: the appended data files must carry the shred column
+    // (matched rows need op 'U' — matched-'I' is the pinned no-op)
+    t.mergeMoR(spark, vdf(Seq((3L, """{"k": 103}""", "U"),
+      (50L, """{"k": 150}""", "I"))), Seq("id"), keepDeletes = false)
+    def newestNonEmpty(tag: String) = {
+      val maxSeq = t.currentManifest.files.map(_.seq).max
+      t.currentManifest.files
+        .find(f => f.seq == maxSeq && f.rows != 0)
+        .getOrElse(fail(s"$tag: no non-empty file at seq $maxSeq"))
+    }
+    assert(footerCols(t, newestNonEmpty("mor").path)
+      .contains("__graft_shred_v$k"), "MoR appends must shred")
+    // positional update: replacement rows must carry it too
+    t.updateWherePositional(spark,
+      Seq("v" -> expr("parse_json('{\"k\": 999}')")), col("id") === 7L)
+    assert(footerCols(t, newestNonEmpty("upd").path)
+      .contains("__graft_shred_v$k"),
+      "positional-update replacements must shred")
+    // and the table still reads coherently
+    val got = t.read(spark).select(col("id"),
+      expr("try_variant_get(v, '$.k', 'bigint')").as("k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 103L && got(50L) == 150L && got(7L) == 999L &&
+      got(5L) == 5L, s"got $got")
+  }
+
   test("malformed declarations and non-variant columns refuse loudly") {
     import spark.implicits._
     val df = Seq((1L, """{"k":1}""")).toDF("id", "j")
