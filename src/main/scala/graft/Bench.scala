@@ -114,7 +114,8 @@ object Bench {
       "q137_stream_outer_join", "q138_changelog_net_view",
       "q140_partition_stats", "q143_row_lineage", "q144_deletion_vectors",
       "q145_column_defaults", "q147_stream_dedup_watermark",
-      "q148_lineage_changelog", "q151_variant_shred")
+      "q148_lineage_changelog", "q151_variant_shred",
+      "q153_partition_stats_dv_debt")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set

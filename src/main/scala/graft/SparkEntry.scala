@@ -2020,6 +2020,45 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 5)
     }),
 
+    "q153_partition_stats_dv_debt" -> ((s, d) => {
+      // @partition_stats under UNSCOPED deletion-vector debt (ADVICE
+      // r13, medium): v3 positional deletes write partition-less DV
+      // entries, so the relation must attribute their debt by joining
+      // each vector's referenced data-file paths to the manifest
+      // entries' partitions — a partitioned table with heavy DV debt
+      // must never read 0 pending positional deletes. Pinned per
+      // partition (record counts are pure key arithmetic for DuckDB),
+      // plus two in-query contracts: file counts attribute iff records
+      // do, and compaction folds the debt back to zero everywhere.
+      val root = Files.createTempDirectory("graft-q153-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders, Seq("o_orderstatus"),
+        properties = Map("format-version" -> "3"))
+      table.deleteWherePositional(s, col("o_orderkey") % 7 === 3)
+      require(table.currentManifest.deleteFiles.exists(dd =>
+        dd.dv && dd.partition.isEmpty),
+        "fixture must carry UNSCOPED deletion-vector debt")
+      val rel = table.partitionStatsRelation(s)
+        .select(col("partition"), col("data_record_count"),
+          col("position_delete_file_count"),
+          col("position_delete_record_count"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      val attributed = rel.nonEmpty && rel.forall { case (_, _, fc, rc) =>
+        (fc >= 1L) == (rc > 0L) }
+      table.compact(s)
+      val cleared = table.partitionStatsRelation(s).collect()
+        .forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L)
+      import s.implicits._
+      rel.toSeq.map { case (pk, dr, _, rc) => (pk, dr, rc) }
+        .toDF("partition", "data_record_count",
+          "position_delete_record_count")
+        .withColumn("pos_file_attributed", lit(attributed))
+        .withColumn("debt_cleared_after_compact", lit(cleared))
+    }),
+
     "q152_hard_negatives_ivf" -> ((s, d) => {
       // label-constrained APPROXIMATE hard negatives: IVF cells route
       // the corpus (one cell per vector, anchors probe their 4 nearest
@@ -4568,6 +4607,18 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
         |    ORDER BY cosine DESC, negative_id ASC) AS rnk FROM scored)
         |WHERE rnk <= 5""".stripMargin,
+
+    // unscoped-DV partition debt: per-partition record counts are key
+    // arithmetic; the attribution and compaction-fold contracts are
+    // in-query booleans
+    "q153_partition_stats_dv_debt" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |  CAST(count(*) AS BIGINT) AS data_record_count,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS position_delete_record_count,
+        |  TRUE AS pos_file_attributed,
+        |  TRUE AS debt_cleared_after_compact
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // IVF-routed approximate hard negatives: the recall-vs-exact bar is
     // an in-query contract boolean; the oracle states the fixture sizes
