@@ -482,6 +482,39 @@ object ScaleProbe {
 
       bloomStage(spark, withP)
 
+      // VARIANT shredding at 2.4M rows: props JSON parses to a variant
+      // column, the declared $.k leaf (k = l_orderkey, correlated with
+      // the block partitioning) materializes as the engine's physical
+      // shred column — the point-lookup census shows manifest pruning
+      // on a leaf that, unshredded, would force a full scan + per-row
+      // variant extraction
+      {
+        val vt = SnapshotTable.at(java.nio.file.Files
+          .createTempDirectory("graft-variantprobe").toString)
+        val withV = withP.select(col("l_orderkey"), col("p"),
+          expr("parse_json(concat('{\"k\": ', l_orderkey, " +
+            "', \"q\": ', l_quantity, '}'))").as("props_v"))
+        timed("variant_shred_write_2_4m") {
+          vt.createOrReplace(withV, Seq("p"), properties = Map(
+            "write.graft.variant.shred.props_v" -> "k:bigint"))
+          vt.currentManifest.files.size.toLong
+        }
+        val probeK = withP.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+        val (kept, total) = vt.pruneCounts(
+          expr(s"try_variant_get(props_v, '$$.k', 'bigint') = ${probeK}L"))
+        println(s"""{"stage":"variant_shred_prune_census","kept":$kept,"total":$total}""")
+        timed("variant_shred_point_lookup") {
+          vt.readWhere(spark,
+            expr(s"try_variant_get(props_v, '$$.k', 'bigint') = ${probeK}L"))
+            .count()
+        }
+        timed("variant_full_scan_extract") {
+          vt.read(spark).filter(
+            expr(s"try_variant_get(props_v, '$$.k', 'bigint') = ${probeK}L"))
+            .count()
+        }
+      }
+
       // where-scoped compaction at 2.4M rows: fragment every partition,
       // then touch up ONE — the scoped rewrite stats and rewrites only
       // the implicated group while the full call pays for all of them

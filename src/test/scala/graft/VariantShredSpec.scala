@@ -109,6 +109,51 @@ class VariantShredSpec extends SparkSpec {
     assert(t.read(spark).count() == 4000L)
   }
 
+  test("chunked manifests prune on shred bounds via rollups; SQL reads " +
+      "serve variant tables and WHERE-prune the shredded leaf") {
+    import graft.table.ManifestJson
+    import spark.implicits._
+    val savedSize = ManifestJson.ChunkSize
+    val savedThr = ManifestJson.ChunkThreshold
+    try {
+      ManifestJson.ChunkSize = 8
+      ManifestJson.ChunkThreshold = 8
+      val t = SnapshotTable.at(freshRoot("chunked"))
+      // 25 partitions over a chunk threshold of 8 → chunked manifest;
+      // p = k DIV 4 correlates the partition with the shredded leaf, so
+      // each partition's files hold a TIGHT k range and the chunk
+      // rollups (per-column fold of member entry stats, shred names
+      // included) can exclude whole documents for a point lookup
+      val clustered = (0 until 3200)
+        .map(i => (i.toLong, (i / 32) / 4, s"""{"k": ${i / 32}}"""))
+        .toDF("id", "p", "j")
+        .select(col("id"), col("p"), parse_json(col("j")).as("v"))
+      t.createOrReplace(clustered, Seq("p"), properties = Map(
+        "write.graft.variant.shred.v" -> "k:bigint"))
+      t.currentManifest.files match {
+        case fl: graft.table.FileList =>
+          assert(fl.chunks.nonEmpty, "fixture must be chunked")
+        case _ => fail("fixture must be chunked")
+      }
+      val (kept, total) = t.pruneCounts(
+        expr("try_variant_get(v, '$.k', 'bigint') = 7"))
+      assert(kept < total,
+        s"chunked shred bounds must prune ($kept/$total)")
+      // SQL surface: the relation rule serves the variant schema, and a
+      // WHERE on the shredded leaf returns the exact rows
+      val n = spark.sql(
+        s"SELECT id FROM graft.`${t.root}` " +
+          "WHERE try_variant_get(v, '$.k', 'bigint') = 7")
+        .collect().map(_.getLong(0)).toSet
+      assert(n == (7 * 32 until 8 * 32).map(_.toLong).toSet, s"got $n")
+      assert(spark.sql(s"SELECT count(*) FROM graft.`${t.root}`")
+        .head.getLong(0) == 3200L)
+    } finally {
+      ManifestJson.ChunkSize = savedSize
+      ManifestJson.ChunkThreshold = savedThr
+    }
+  }
+
   test("the DIRECT writers shred too: MoR merge appends and positional-" +
       "update replacements carry the physical columns") {
     import spark.implicits._
