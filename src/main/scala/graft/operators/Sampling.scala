@@ -427,20 +427,21 @@ object Sampling {
       .cache()
     val mm = toks.agg(min(col(idCol).cast("long")).as("mn"),
       max(col(idCol).cast("long")).as("mx")).head()
-    val out0 = toks.withColumn("taken_before", lit(0L))
-      .join(broadcast(budgets.select(col(stratumCol),
-        col("allocated_tokens"))), Seq(stratumCol))
-      .select(col(stratumCol), col(idCol), col("n_tokens"),
-        col("taken_before"))
-    if (mm.isNullAt(0)) return out0.filter(lit(false)) // empty, schema kept
-    val lo = mm.getLong(0)
-    val hi = mm.getLong(1)
+    // a NULL min means every id is null (or no rows): lo=hi=0 keeps the
+    // arithmetic total — null ids themselves route to bucket -1 below
+    val (lo, hi) =
+      if (mm.isNullAt(0)) (0L, 0L) else (mm.getLong(0), mm.getLong(1))
     require(BigInt(hi) - BigInt(lo) < BigInt(Long.MaxValue),
       s"id span [$lo, $hi] exceeds the supported range")
     val nB = 65536L
     val w = ((BigInt(hi) - BigInt(lo) + nB) / nB).toLong // ceil(span/nB)
-    val bkt = expr(s"CAST((CAST(`${idCol}` AS LONG) - ${lo}L) DIV ${w}L " +
-      "AS LONG)")
+    // NULL ids take bucket -1: it sorts before every real bucket and
+    // the within-bucket ORDER BY puts nulls first — exactly where the
+    // replaced window's ascending nulls-first order admitted them
+    // (review r14: a bare cast would null the histogram key and crash
+    // the driver walk)
+    val bkt = expr(s"COALESCE(CAST((CAST(`${idCol}` AS LONG) - ${lo}L) " +
+      s"DIV ${w}L AS LONG), -1L)")
     // driver-bounded histogram: ≤ strata × 65 536 non-empty buckets
     val hist = toks.groupBy(col(stratumCol).as("__s"), bkt.as("__b"))
       .agg(sum(col("n_tokens")).as("__tw"))

@@ -219,8 +219,14 @@ object Similarity {
         col(labelCol).as("anchor_label"), col(vecCol).as("qv"),
         col("vn").as("qn"), col("cell_id"))
     // corpus vectors live in exactly ONE cell (keep = 1), so an
-    // (anchor, negative) pair appears at most once across probed cells
-    val scored = a.join(c, Seq("cell_id"))
+    // (anchor, negative) pair appears at most once across probed cells.
+    // The probed-anchor side BROADCASTS (anchors are an epoch sample —
+    // small by contract): without the hint this equi-join would shuffle
+    // the WHOLE corpus onto ≤ C distinct cell keys, one reducer per
+    // cell — the skewed-shuffle shape the cell routing exists to avoid
+    // (review r14; the ivfPqTopK query side broadcasts for the same
+    // reason, and the census twin below already did)
+    val scored = broadcast(a).join(c, Seq("cell_id"))
       .filter(col("anchor_label") =!= col("negative_label"))
       .withColumn("cosine",
         vectorDot(col("qv"), col("cv")) / (col("qn") * col("cn")))

@@ -964,18 +964,17 @@ object StatsPruning {
     // surfaced — it stays conservative.
     case vg: org.apache.spark.sql.catalyst.expressions.variant.VariantGet
         if !vg.failOnError =>
-      shredName(vg.child, vg.path, colType)
-        .filter(n => colType(n).contains(vg.targetType))
+      shredName(vg.child, vg.path, vg.targetType, colType)
     case uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
         if uf.nameParts.size == 1 &&
           uf.nameParts.head.equalsIgnoreCase("try_variant_get") &&
           uf.arguments.size == 3 =>
-      (shredName(uf.arguments.head, uf.arguments(1), colType),
-        uf.arguments(2)) match {
-        case (Some(n), Literal(t, StringType)) if t != null =>
+      uf.arguments(2) match {
+        case Literal(t, StringType) if t != null =>
           scala.util.Try(org.apache.spark.sql.catalyst.parser
             .CatalystSqlParser.parseDataType(t.toString)).toOption
-            .filter(dt => colType(n).contains(dt)).map(_ => n)
+            .flatMap(dt =>
+              shredName(uf.arguments.head, uf.arguments(1), dt, colType))
         case _ => None
       }
     case _ => None
@@ -984,11 +983,15 @@ object StatsPruning {
   private val ShredVariantPathRe =
     "^\\$\\.[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)*$".r
 
-  /** Render (variant column, '$.path') to the physical shred spelling —
-    * bound only when the lookup actually knows it (i.e. the table
-    * declared that leaf).
+  /** Render (variant column, '$.path', extraction type) to the physical
+    * shred spelling — bound only when the lookup actually knows it
+    * (i.e. the table declared that leaf AT THAT TYPE: the type rides in
+    * the name, so a re-declared leaf's old-type bounds can never be
+    * consulted under the new type, and a type-mismatched extraction
+    * never binds at all).
     */
   private def shredName(child: Expression, path: Expression,
+      targetType: DataType,
       colType: String => Option[DataType]): Option[String] = {
     val colName = child match {
       case ar: AttributeReference => Some(ar.name)
@@ -1000,8 +1003,8 @@ object StatsPruning {
       case (Some(c), Literal(p, StringType))
           if p != null && ShredVariantPathRe.matches(p.toString) =>
         val n = graft.table.SnapshotTable.shredPhysName(
-          c, p.toString.drop(2))
-        if (colType(n).isDefined) Some(n) else None
+          c, p.toString.drop(2), targetType)
+        if (colType(n).contains(targetType)) Some(n) else None
       case _ => None
     }
   }

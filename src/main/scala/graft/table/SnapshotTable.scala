@@ -436,10 +436,13 @@ final class SnapshotTable(val root: Path,
     // declared VARIANT shred leaves resolve under their physical names —
     // attrNameIn renders try_variant_get(col,'$.p','T') to the same
     // spelling, so the shred columns' recorded bounds prune like scalars
+    // EXACT-case lookup: variant paths are case-sensitive, so the
+    // physical spelling attrNameIn renders must match the declaration
+    // letter-for-letter (the declaration refuses case-only collisions)
     val shredTypes = SnapshotTable.shredTypeMap(m.properties)
     val types: String => Option[DataType] =
       if (shredTypes.isEmpty) baseTypes
-      else n => baseTypes(n).orElse(shredTypes.get(n.toLowerCase))
+      else n => baseTypes(n).orElse(shredTypes.get(n))
     val transforms = partitionTransforms(m)
     val chains = evoChains(m)
     // bucket-transform pruning: a point predicate on the SOURCE column
@@ -848,9 +851,9 @@ final class SnapshotTable(val root: Path,
       // replacement rows shred like any other data write (the direct
       // writer must not silently produce un-prunable files on a
       // shred-declared table)
-      val shredded = addShredColumns(hits.select(outCols: _*),
-        SnapshotTable.variantShreds(m.properties))
-      val statsSchema = shredStatsSchema(shredded, schema)
+      val shredDecls = SnapshotTable.variantShreds(m.properties)
+      val shredded = addShredColumns(hits.select(outCols: _*), shredDecls)
+      val statsSchema = shredStatsSchema(shredded, schema, shredDecls)
       withParquetWriteConfs(spark) {
         val replaced = shredded
         val clustered =
@@ -3511,13 +3514,22 @@ final class SnapshotTable(val root: Path,
         // row carries its bitmap's recorded cardinality. The count is
         // records IN pending delete files (matching the driver census's
         // d.rows semantics) — newest-wins shadowing is a READ concern.
+        // ONE batched read per kind, the delete-file identity recovered
+        // via input_file_name — a per-file DataFrame folded through an
+        // N-way union would cost O(N) plan work in exactly the
+        // heavy-debt case this feature exists for (review r14)
         val perRef =
-          plainE.map(d => spark.read.parquet(abs(d.path))
-            .groupBy(col("path")).agg(count(lit(1)).as("__recs"))
-            .withColumn("__dfile", lit(d.path))) ++
-          dvE.map(d => spark.read.parquet(abs(d.path))
-            .select(col("path"), col("cardinality").as("__recs"))
-            .withColumn("__dfile", lit(d.path)))
+          (if (plainE.isEmpty) Nil
+           else Seq(spark.read.parquet(plainE.map(d => abs(d.path)): _*)
+             .withColumn("__dfile", input_file_name())
+             .groupBy(col("path"), col("__dfile"))
+             .agg(count(lit(1)).as("__recs"))
+             .select(col("path"), col("__recs"), col("__dfile")))) ++
+          (if (dvE.isEmpty) Nil
+           else Seq(spark.read.parquet(dvE.map(d => abs(d.path)): _*)
+             .withColumn("__dfile", input_file_name())
+             .select(col("path"), col("cardinality").as("__recs"),
+               col("__dfile"))))
         val refs = perRef.reduce(_ unionByName _).select(
           when(col("path").startsWith("/"), col("path"))
             .otherwise(concat(lit(rootStr + "/"), col("path")))
@@ -5335,10 +5347,12 @@ final class SnapshotTable(val root: Path,
     val dataDirV = claimDataDir()
     // MoR data appends shred like any other data write (direct writer —
     // see addShredColumns)
+    val morShredDecls = SnapshotTable.variantShreds(m.properties)
     val appliedShredded = addShredColumns(
       applied.select(target.columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
-      SnapshotTable.variantShreds(m.properties))
-    val dataStatsSchema = shredStatsSchema(appliedShredded, target.schema)
+      morShredDecls)
+    val dataStatsSchema = shredStatsSchema(appliedShredded, target.schema,
+      morShredDecls)
     val (written, delWritten) = withParquetWriteConfs(spark) {
       val clustered =
         if (m.partitionColumns.nonEmpty)
@@ -6470,7 +6484,7 @@ final class SnapshotTable(val root: Path,
       d.schema.fields.find(_.name.toLowerCase == cLower) match {
         case Some(f) if f.dataType.typeName == "variant" =>
           ds.foldLeft(d) { case (dd, (path, dt)) =>
-            dd.withColumn(SnapshotTable.shredPhysName(cLower, path),
+            dd.withColumn(SnapshotTable.shredPhysName(cLower, path, dt),
               expr(s"try_variant_get(`${f.name}`, '$$.$path', " +
                 s"'${dt.sql}')"))
           }
@@ -6482,14 +6496,17 @@ final class SnapshotTable(val root: Path,
     }
 
   /** The stats-collection schema for a direct writer's output: the
-    * declared schema plus whatever shred columns [[addShredColumns]]
-    * appended (their footer bounds are the whole point).
+    * declared schema plus the shred columns [[addShredColumns]]
+    * appended (their footer bounds are the whole point) — matched by
+    * EXACT generated name, never by prefix.
     */
-  private def shredStatsSchema(written: DataFrame,
-      declared: StructType): StructType =
+  private def shredStatsSchema(written: DataFrame, declared: StructType,
+      decls: Map[String, Seq[(String, org.apache.spark.sql.types.DataType)]])
+      : StructType = {
+    val generated = SnapshotTable.shredPhysNames(decls)
     StructType(declared.fields ++ written.schema.fields.filter(f =>
-      f.name.startsWith("__graft_shred_") &&
-        !declared.fieldNames.contains(f.name)))
+      generated(f.name) && !declared.fieldNames.contains(f.name)))
+  }
 
   /** Run `f` with timestamps written as INT64 micros so footers carry
     * usable min/max statistics (Spark's INT96 default has none), then
@@ -6597,9 +6614,10 @@ final class SnapshotTable(val root: Path,
         df.columns.filter(c => c == SnapshotTable.RowIdColName ||
           c == SnapshotTable.LastSeqColName).toSet
       else Set.empty[String]
-    val shredNames =
-      if (shredDecls.isEmpty) Set.empty[String]
-      else df.columns.filter(_.startsWith("__graft_shred_")).toSet
+    // strip by EXACT generated name — a prefix match would sweep a
+    // user's own __graft_shred_* column out of the declared schema
+    val shredNames = SnapshotTable.shredPhysNames(shredDecls)
+      .intersect(df.columns.toSet)
     val declaredSchema = StructType(
       df.schema.fields.filterNot(f => linNames(f.name) || shredNames(f.name)))
     val statsSchema = StructType(declaredSchema.fields ++
@@ -6998,40 +7016,70 @@ object SnapshotTable {
           }, s"$k: shred type must be scalar, got '$tpe'")
           (path, dt)
         }
-        colName.toLowerCase -> decls
-    } match {
-      case parsed =>
-        // GLOBAL physical-name uniqueness: '$' can't appear in a path
-        // (ShredPathRe) so the encoding is injective per (col, path),
-        // but a '$' in a COLUMN name could still collide two columns'
-        // leaves — and a collision means one withColumn silently
-        // overwrites the other's data. Refuse.
+        (colName, decls)
+    }.toSeq match {
+      case entries =>
+        // one declaration per column, CASE-INSENSITIVELY: users spell
+        // property keys freely, and Map construction silently keeping
+        // one of ('...shred.V', '...shred.v') would drop the other's
+        // leaves with no error (review r14 #7)
+        val colKeys = entries.map(_._1.toLowerCase)
+        require(colKeys.distinct.size == colKeys.size,
+          "variant shred declarations duplicate a column (keys differing " +
+            s"only in case): ${colKeys.diff(colKeys.distinct).mkString(", ")}")
+        val parsed = entries.map { case (c, ds) => c.toLowerCase -> ds }.toMap
+        // GLOBAL physical-name uniqueness, compared LOWERCASED: '$'
+        // can't appear in a path (ShredPathRe) so the encoding is
+        // injective per (col, path, type), but a '$' in a COLUMN name
+        // could still collide two columns' leaves (one withColumn
+        // silently overwrites the other's data), and stats lookups are
+        // case-insensitive (boundsFor), so case-only-distinct paths
+        // must refuse too rather than consult each other's bounds.
         val phys = parsed.toSeq.flatMap { case (c, ds) =>
-          ds.map(d => shredPhysName(c, d._1)) }
+          ds.map(d => shredPhysName(c, d._1, d._2).toLowerCase) }
         require(phys.distinct.size == phys.size,
           s"variant shred declarations collide on a physical column " +
             s"name: ${phys.diff(phys.distinct).mkString(", ")}")
         parsed
     }
 
-  /** '$' separates the column from the path and path segments from each
-    * other — the one character [[ShredPathRe]] forbids inside a path,
-    * so the rendering is INJECTIVE in the path: `$.a.b` and a declared
-    * `a_b` leaf can never share a spelling (a '.'→'_' sanitization
-    * would let a predicate consult the WRONG leaf's bounds — review
-    * r14).
+  /** '$' separates column / path segments / type — the one character
+    * [[ShredPathRe]] forbids inside a path, so the rendering is
+    * INJECTIVE in (path, type): `$.a.b` and a declared `a_b` leaf can
+    * never share a spelling (a '.'→'_' sanitization would let a
+    * predicate consult the WRONG leaf's bounds — review r14), and
+    * RE-DECLARING a leaf at a different type mints a NEW physical name,
+    * so old files' bounds (recorded from the old extraction semantics)
+    * can never be consulted under the new type — they simply stop
+    * binding, conservative, until a rewrite re-shreds (review r14 #1:
+    * 'k:string' stats decoded as bigint would wrongly prune).
     */
-  private[graft] def shredPhysName(col: String, path: String): String =
-    s"__graft_shred_${col.toLowerCase}$$${path.replace('.', '$')}"
+  private[graft] def shredPhysName(col: String, path: String,
+                                   dt: DataType): String =
+    s"__graft_shred_${col.toLowerCase}$$${path.replace('.', '$')}" +
+      s"$$${dt.catalogString}"
 
-  /** lowercase physical shred name → declared scalar type (the pruning
-    * type-lookup extension).
+  /** EXACT-CASE physical shred name → declared scalar type (the pruning
+    * type-lookup extension). Variant paths are case-sensitive — `$.k`
+    * and `$.K` are different leaves — so the lookup must not fold case
+    * (review r14 #2: a lowercased lookup silently never bound camelCase
+    * paths).
     */
   private[graft] def shredTypeMap(
       props: Map[String, String]): Map[String, DataType] =
     variantShreds(props).flatMap { case (c, decls) =>
-      decls.map { case (p, dt) => shredPhysName(c, p) -> dt }
+      decls.map { case (p, dt) => shredPhysName(c, p, dt) -> dt }
     }
+
+  /** The exact physical column names a declaration set generates — the
+    * strip/stats sets [[commitData]] and the direct writers use (a
+    * PREFIX match would sweep up a user's own `__graft_shred_*` column
+    * and silently drop it from the declared schema — review r14 #3).
+    */
+  private[graft] def shredPhysNames(
+      decls: Map[String, Seq[(String, DataType)]]): Set[String] =
+    decls.flatMap { case (c, ds) =>
+      ds.map(d => shredPhysName(c, d._1, d._2)) }.toSet
 
   /** (lowercase column name → (add version, sql literal)). */
   private[graft] def initialDefaults(m: Manifest): Map[String, (Long, String)] =

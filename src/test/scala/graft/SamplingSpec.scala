@@ -161,4 +161,24 @@ class SamplingSpec extends SparkSpec {
     assert(out == Set((1L, 4L, 0L), (2L, 4L, 4L), (3L, 4L, 8L)),
       s"got $out")
   }
+
+  test("tokenBudgetSample: NULL ids admit first (the window's " +
+      "nulls-first order), never crash the histogram walk") {
+    import spark.implicits._
+    // review r14: a bare cast nulled the bucket key and the driver's
+    // getLong threw; null ids must ride bucket -1 instead — admitted
+    // ahead of every real id, exactly where ORDER BY id ASC put them
+    val docs = Seq(
+      (Option.empty[Long], "a", "w w w"),   // 3 tokens, admitted first
+      (Option(1L), "a", "w w w w"),         // taken_before 3
+      (Option(2L), "a", "w w w w")          // taken_before 7 >= 6: out
+    ).toDF("doc_id", "lang", "text")
+    val budgets = Seq(("a", 6L)).toDF("lang", "allocated_tokens")
+    val out = graft.operators.Sampling
+      .tokenBudgetSample(docs, "lang", "doc_id", "text", budgets)
+      .collect()
+      .map(r => (if (r.isNullAt(1)) -99L else r.getLong(1), r.getLong(3)))
+      .toSet
+    assert(out == Set((-99L, 0L), (1L, 3L)), s"got $out")
+  }
 }

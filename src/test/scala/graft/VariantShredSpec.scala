@@ -70,8 +70,8 @@ class VariantShredSpec extends SparkSpec {
 
     // physical columns in the parquet, variant group intact
     val cols = footerCols(t, t.currentManifest.files.head.path)
-    assert(cols.contains("__graft_shred_v$k"), s"footer: $cols")
-    assert(cols.contains("__graft_shred_v$s"), s"footer: $cols")
+    assert(cols.contains("__graft_shred_v$k$bigint"), s"footer: $cols")
+    assert(cols.contains("__graft_shred_v$s$string"), s"footer: $cols")
     assert(cols.exists(_.startsWith("v.")), s"variant group must ride: $cols")
     // ...but never in the declared schema or the read
     assert(t.read(spark).columns.toSeq == Seq("id", "v"))
@@ -104,7 +104,7 @@ class VariantShredSpec extends SparkSpec {
     // rewrites re-shred from the variant itself
     t.compact(spark)
     val cols2 = footerCols(t, t.currentManifest.files.head.path)
-    assert(cols2.contains("__graft_shred_v$k"),
+    assert(cols2.contains("__graft_shred_v$k$bigint"),
       s"compaction must re-materialize the shreds: $cols2")
     assert(t.read(spark).count() == 4000L)
   }
@@ -174,12 +174,12 @@ class VariantShredSpec extends SparkSpec {
         .getOrElse(fail(s"$tag: no non-empty file at seq $maxSeq"))
     }
     assert(footerCols(t, newestNonEmpty("mor").path)
-      .contains("__graft_shred_v$k"), "MoR appends must shred")
+      .contains("__graft_shred_v$k$bigint"), "MoR appends must shred")
     // positional update: replacement rows must carry it too
     t.updateWherePositional(spark,
       Seq("v" -> expr("parse_json('{\"k\": 999}')")), col("id") === 7L)
     assert(footerCols(t, newestNonEmpty("upd").path)
-      .contains("__graft_shred_v$k"),
+      .contains("__graft_shred_v$k$bigint"),
       "positional-update replacements must shred")
     // and the table still reads coherently
     val got = t.read(spark).select(col("id"),
@@ -230,6 +230,81 @@ class VariantShredSpec extends SparkSpec {
       t.setProperties(Map("write.graft.variant.shred.v" -> "k:nosuch")))
   }
 
+  test("review r14 hardening: type re-declaration never wrong-prunes, " +
+      "camelCase paths bind, user __graft_shred_* columns survive, " +
+      "case-duplicate keys refuse") {
+    import spark.implicits._
+    // 1) re-declaring a leaf's TYPE mints a NEW physical name: old
+    // files' string-extraction bounds (lexicographic — ['10','9']
+    // would wrongly exclude bigint 7) can never be consulted under
+    // the new type; results stay exact, pruning merely conservative
+    val t = SnapshotTable.at(freshRoot("retype"))
+    val mk = (ks: Seq[Long]) => ks.map(k => (k, s"""{"k": $k}"""))
+      .toDF("id", "j")
+      .select(col("id"), parse_json(col("j")).as("v"))
+    t.createOrReplace(mk(Seq(7L, 9L, 10L)).repartition(3, col("id")),
+      properties = Map("write.graft.variant.shred.v" -> "k:string"))
+    t.setProperties(Map("write.graft.variant.shred.v" -> "k:bigint"))
+    val (kept, total) = t.pruneCounts(
+      expr("try_variant_get(v, '$.k', 'bigint') = 7"))
+    assert(kept == total,
+      s"old-type bounds must not serve the new type ($kept/$total)")
+    assert(t.read(spark)
+      .filter(expr("try_variant_get(v, '$.k', 'bigint') = 7"))
+      .count() == 1L, "the row must still be found")
+    // ...and the next write prunes under the new type
+    t.compact(spark)
+    val t2 = SnapshotTable.at(freshRoot("retype2"))
+    t2.createOrReplace(mk(0L until 400L)
+        .withColumn("ks", expr("try_variant_get(v, '$.k', 'bigint')"))
+        .repartitionByRange(8, col("ks")).drop("ks"),
+      properties = Map("write.graft.variant.shred.v" -> "k:bigint"))
+    val (k2, tot2) = t2.pruneCounts(
+      expr("try_variant_get(v, '$.k', 'bigint') = 7"))
+    assert(k2 < tot2, "the re-declared type prunes on fresh files")
+
+    // 2) camelCase paths bind (variant paths are case-sensitive; a
+    // lowercased lookup silently never pruned them)
+    val cc = SnapshotTable.at(freshRoot("camel"))
+    cc.createOrReplace(
+      (0 until 400).map(i => (i.toLong, s"""{"userId": ${i / 50}}"""))
+        .toDF("id", "j")
+        .select(col("id"), parse_json(col("j")).as("v"))
+        .repartitionByRange(8, col("id")),
+      properties = Map("write.graft.variant.shred.v" -> "userId:bigint"))
+    val (kc, tc) = cc.pruneCounts(
+      expr("try_variant_get(v, '$.userId', 'bigint') = 7"))
+    assert(kc < tc, s"camelCase leaf must prune ($kc/$tc)")
+    // a case-mismatched path is a DIFFERENT leaf: never binds
+    val (kx, _) = cc.pruneCounts(
+      expr("try_variant_get(v, '$.userid', 'bigint') = 7"))
+    assert(kx == tc, "case-mismatched path must not consult the bounds")
+
+    // 3) a USER column that happens to share the prefix is ordinary
+    // data — stripped-by-prefix would silently lose it (review #3)
+    val u = SnapshotTable.at(freshRoot("usercol"))
+    u.createOrReplace(
+      Seq((1L, """{"k":1}""", "mine")).toDF("id", "j", "__graft_shred_note")
+        .select(col("id"), parse_json(col("j")).as("v"),
+          col("__graft_shred_note")),
+      properties = Map("write.graft.variant.shred.v" -> "k:bigint"))
+    assert(u.read(spark).columns.toSet ==
+      Set("id", "v", "__graft_shred_note"),
+      "user columns sharing the prefix must survive")
+    assert(u.read(spark).select("__graft_shred_note")
+      .head.getString(0) == "mine")
+
+    // 4) two keys differing only in column case must refuse, not
+    // silently drop one declaration set
+    intercept[IllegalArgumentException](
+      SnapshotTable.at(freshRoot("dupkey")).createOrReplace(
+        Seq((1L, """{"k":1}""")).toDF("id", "j")
+          .select(col("id"), parse_json(col("j")).as("v")),
+        properties = Map(
+          "write.graft.variant.shred.v" -> "a:bigint",
+          "write.graft.variant.shred.V" -> "b:string")))
+  }
+
   test("shred keys travel with RENAME and die with DROP — the default-" +
       "value key discipline") {
     import spark.implicits._
@@ -248,7 +323,7 @@ class VariantShredSpec extends SparkSpec {
     t.append(spark, Seq((3L, """{"k": 5}""")).toDF("id", "j")
       .select(col("id"), parse_json(col("j")).as("payload")))
     val newest = t.currentManifest.files.maxBy(_.seq)
-    assert(footerCols(t, newest.path).contains("__graft_shred_payload$k"),
+    assert(footerCols(t, newest.path).contains("__graft_shred_payload$k$bigint"),
       "post-rename writes must shred under the new spelling")
     // drop REMOVES it: a re-added same-name NON-variant column must not
     // hit a stale declaration (the materializer refuses non-variant)
