@@ -1966,6 +1966,26 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q154_c4_line_filter" -> ((s, d) => {
+      // C4 LINE-level cleaning (Raffel et al. 2020 §2.2): keep lines
+      // ending in terminal punctuation with >= minLineWords words and
+      // no bad phrase; kill whole documents containing a kill phrase;
+      // a doc passes with >= minKeptLines survivors. The flat synthetic
+      // docs carry no newlines, so the fixture derives a multi-line
+      // corpus IN BOTH ENGINES identically: every ' merge ' occurrence
+      // becomes '.\n' (leftmost non-overlapping replace — both engines
+      // scan the same way), giving punctuated lines plus an
+      // unterminated tail line. Phrase sets come from the synthetic
+      // vocabulary ('vector' kills lines, 'dup' kills docs) so every
+      // rule fires TRUE and FALSE at every SF — the q124/q142 rule.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        replace(coalesce(col("text"), lit("")), lit(" merge "),
+          lit(".\n")).as("text"))
+      TextAnalysis.lineFilter(docs, "doc_id", "text",
+        minLineWords = 3, minKeptLines = 2,
+        badLinePhrases = Seq("vector"), docKillPhrases = Seq("dup"))
+    }),
+
     "q151_variant_shred" -> ((s, d) => {
       // Iceberg v3 VARIANT with SHREDDED scalar leaves: events.props
       // (a JSON string) parses into a VARIANT column, and the table
@@ -4611,6 +4631,33 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // C4 line rules replayed over the same in-oracle fixture: the
+    // ' merge ' -> '.\n' rewrite, then terminal-punct + word-count +
+    // bad-phrase line survival and the doc kill phrase
+    "q154_c4_line_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    replace(coalesce(text, ''), ' merge ', '.' || chr(10)) AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS ls
+        |  FROM base),
+        |k AS (
+        |  SELECT doc_id, t, ls,
+        |    list_filter(ls, l -> right(rtrim(l), 1) IN ('.','!','?','"','''')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |        x -> x <> '')) >= 3
+        |      AND NOT contains(lower(l), 'vector')) AS kept
+        |  FROM f)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+        |  contains(lower(t), 'dup') AS doc_killed,
+        |  (NOT contains(lower(t), 'dup') AND len(kept) >= 2) AS line_pass
+        |FROM k""".stripMargin,
+
     "q153_partition_stats_dv_debt" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
         |  CAST(count(*) AS BIGINT) AS data_record_count,

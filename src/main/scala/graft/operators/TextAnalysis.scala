@@ -548,4 +548,54 @@ object TextAnalysis {
       length(cleaned).cast("long").as("n_chars_clean"),
       (nfcd =!= col(textCol)).as("was_denormalized"))
   }
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2, the rules
+    * the Common Crawl pipelines share; FineWeb keeps the same shape):
+    * a line SURVIVES iff it ends in a terminal punctuation mark
+    * (`.` `!` `?` `"` `'` after trailing-whitespace strip), carries at
+    * least `minLineWords` whitespace words, and contains none of the
+    * `badLinePhrases` (case-insensitive substring — C4's "javascript"
+    * rule). The DOCUMENT survives iff at least `minKeptLines` lines
+    * remain AND the whole text contains none of the `docKillPhrases`
+    * (C4 drops pages containing "lorem ipsum" or a curly brace
+    * outright, killing the page rather than the line). Phrase sets are
+    * parameterized like [[gopherQualityRules]]'s stop words — the
+    * published lists are English-web-specific.
+    *
+    * Emits per document: the rebuilt text of surviving lines (original
+    * order, `\n`-joined), line censuses, and the document pass flag.
+    * Pure codegen'd projection — the line algebra runs inside the row
+    * via higher-order array functions, so the operator scans at reader
+    * speed with no shuffle and no UDF at any corpus size.
+    */
+  def lineFilter(df: DataFrame, idCol: String, textCol: String,
+                 minLineWords: Int = 3,
+                 minKeptLines: Int = 2,
+                 badLinePhrases: Seq[String] = Seq("javascript",
+                   "cookie policy", "terms of use"),
+                 docKillPhrases: Seq[String] = Seq("lorem ipsum", "{")):
+      DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 1,
+      "line-filter thresholds must be positive")
+    val t = coalesce(col(textCol), lit(""))
+    val ls = filter(split(t, "\n"), l => trim(l) =!= "")
+    def keeps(l: Column): Column = {
+      val words = size(filter(split(trim(l), "\\s+"), x => x =!= ""))
+      val terminal = substring(rtrim(l), -1, 1)
+        .isin(".", "!", "?", "\"", "'")
+      val bad = badLinePhrases.map(p => contains(lower(l), lit(p)))
+        .reduce(_ || _)
+      terminal && words >= minLineWords && !bad
+    }
+    val kept = filter(ls, keeps(_))
+    val killed = docKillPhrases.map(p => contains(lower(t), lit(p)))
+      .reduce(_ || _)
+    df.select(col(idCol),
+        size(ls).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        array_join(kept, "\n").as("clean_text"),
+        killed.as("doc_killed"))
+      .withColumn("line_pass",
+        !col("doc_killed") && col("n_kept_lines") >= minKeptLines)
+  }
 }

@@ -149,6 +149,37 @@ class AsOfGraphSpec extends SparkSpec {
     assert(got(3L) == (0L, 0L))
   }
 
+  test("lineFilter: C4 line rules hand-computed incl. every edge") {
+    val docs = Seq(
+      // two good lines + one unterminated + one short + one bad phrase
+      (1L, "alpha beta gamma.\nshort no.\nno terminal punct here\n" +
+        "uses JavaScript heavily.\nend of doc. words here!"),
+      (2L, "lorem ipsum dolor sit.\nanother fine line here."), // doc kill
+      (3L, "one terminal line only here."),                     // < minKept
+      (4L, "ends with quote \"\nbang line is fine!\nand a question?"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lineFilter(docs, "doc_id", "text",
+        minLineWords = 3, minKeptLines = 2)
+      .as[(Long, Long, Long, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    // doc 1: 5 lines; "short no." fails word count, "no terminal..."
+    // fails punctuation, the javascript line fails the phrase rule
+    assert(got(1L) == (5L, 2L,
+      "alpha beta gamma.\nend of doc. words here!", false, true))
+    // doc 2: both lines keep, but "lorem ipsum" kills the document
+    assert(got(2L) == (2L, 2L,
+      "lorem ipsum dolor sit.\nanother fine line here.", true, false))
+    // doc 3: one surviving line < minKeptLines
+    assert(got(3L) == (1L, 1L, "one terminal line only here.", false, false))
+    // doc 4: quote counts as terminal; the quote line has 3+ words
+    assert(got(4L) == (3L, 3L,
+      "ends with quote \"\nbang line is fine!\nand a question?",
+      false, true))
+    // null text: zero lines, empty rebuild, fails
+    assert(got(5L) == (0L, 0L, "", false, false))
+  }
+
   test("repetitionMetrics: hand-computed duplicate and top-token shares") {
     val docs = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
