@@ -1966,6 +1966,18 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q155_audio_energy" -> ((s, d) => {
+      // Windowed PCM ENERGY over real WAV payloads: every 512-sample
+      // window emits Σ s² as an exact integer. The q42 fixture
+      // contract extends from the header to the PAYLOAD: sample i of
+      // doc id is signed16((id+i)·2654435761 mod 2^16), so the oracle
+      // replays every window's energy from id arithmetic alone without
+      // producing a byte. Partial last windows report their own size.
+      val media = Multimodal.withAudioPayload(s,
+        t(s, d, "documents").filter(col("doc_id") % 5 === 0), "doc_id")
+      Multimodal.audioEnergy(s, media, windowSamples = 512).toDF()
+    }),
+
     "q154_c4_line_filter" -> ((s, d) => {
       // C4 LINE-level cleaning (Raffel et al. 2020 §2.2): keep lines
       // ending in terminal punctuation with >= minLineWords words and
@@ -4631,6 +4643,30 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // payload-level fixture algebra: sample i of doc id is
+    // signed16((id+i)·2654435761 mod 2^16); window energies are exact
+    // integer Σ s² — list_sum promotes to HUGEINT, so CAST back (q97)
+    "q155_audio_energy" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, 1000 + doc_id % 9000 AS ns
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |w AS (
+        |  SELECT id, ns,
+        |    unnest(generate_series(0, (ns - 1) // 512)) AS widx
+        |  FROM d)
+        |SELECT id,
+        |  CAST(widx AS BIGINT) AS window_idx,
+        |  CAST(least(ns, (widx + 1) * 512) - widx * 512 AS BIGINT)
+        |    AS n_window_samples,
+        |  CAST(list_sum(list_transform(
+        |    list_transform(
+        |      generate_series(widx * 512, least(ns, (widx + 1) * 512) - 1),
+        |      i -> CASE WHEN ((id + i) * 2654435761) % 65536 < 32768
+        |           THEN ((id + i) * 2654435761) % 65536
+        |           ELSE ((id + i) * 2654435761) % 65536 - 65536 END),
+        |    s -> s * s)) AS BIGINT) AS energy
+        |FROM w""".stripMargin,
+
     // C4 line rules replayed over the same in-oracle fixture: the
     // ' merge ' -> '.\n' rewrite, then terminal-punct + word-count +
     // bad-phrase line survival and the doc kill phrase

@@ -132,12 +132,19 @@ object MediaCodec {
     * Sample count = data bytes / block align (frames, i.e. per-channel
     * sample groups — the number a duration computes from).
     */
-  def sniffWav(b: Array[Byte]): Option[AudioInfo] = {
+  def sniffWav(b: Array[Byte]): Option[AudioInfo] = sniffWavPcm(b).map(_._1)
+
+  /** [[sniffWav]] plus the data chunk's byte offset — the entry point
+    * for operators that read the PCM payload itself (windowed energy),
+    * not just the header.
+    */
+  def sniffWavPcm(b: Array[Byte]): Option[(AudioInfo, Int)] = {
     if (b == null || b.length < 12 || ascii(b, 0, 4) != "RIFF" ||
         ascii(b, 8, 4) != "WAVE") return None
     var i = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
     var dataBytes = -1L
+    var dataOff = -1
     while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
       val id = ascii(b, i, 4)
       val size = le32(b, i + 4)
@@ -152,6 +159,7 @@ object MediaCodec {
         // a streaming writer may declare more than is present; the
         // truth is the bytes on hand
         dataBytes = math.min(size, (b.length - i - 8).toLong)
+        dataOff = i + 8
       }
       // chunks are word-aligned: odd sizes carry a pad byte. The
       // advance computes in LONG: a hostile u32 size truncated to Int
@@ -167,7 +175,8 @@ object MediaCodec {
     fmt.flatMap { case (ch, rate, bits, block) =>
       if (ch <= 0 || rate <= 0 || bits <= 0 || block <= 0 || dataBytes < 0)
         None
-      else Some(AudioInfo("wav", ch, rate, bits, dataBytes / block))
+      else Some((AudioInfo("wav", ch, rate, bits, dataBytes / block),
+        dataOff))
     }
   }
 }

@@ -157,6 +157,53 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(id: Long, window_idx: Long,
+                               n_window_samples: Long, energy: Long)
+
+  /** Windowed audio ENERGY over the real PCM payload (the first
+    * feature a speech pipeline extracts — VAD thresholds, loudness
+    * normalization, silence trimming all start from per-window power):
+    * mono 16-bit PCM splits into fixed `windowSamples`-sample windows
+    * and each window emits Σ s² as an exact integer (|s| < 2^15 and
+    * windows < 2^18 samples keep the sum < 2^48 — never a float, so
+    * any engine replays it bit-for-bit). The last window is partial
+    * and reports its own sample count. Decode runs once per partition
+    * iterator like [[decodeAudio]]; payloads that are not mono 16-bit
+    * PCM WAV emit ONE `window_idx = -1` marker row — the row-level
+    * 'unknown' rule, never a task failure.
+    */
+  def audioEnergy(spark: SparkSession, media: DataFrame,
+                  windowSamples: Int): Dataset[AudioWindow] = {
+    require(windowSamples >= 1 && windowSamples < (1 << 18),
+      s"windowSamples must be in [1, 2^18), got $windowSamples")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        MediaCodec.sniffWavPcm(r.payload) match {
+          case Some((a, off))
+              if a.channels == 1 && a.bitsPerSample == 16 &&
+                a.nSamples > 0 =>
+            val n = a.nSamples.toInt
+            val nWin = (n + windowSamples - 1) / windowSamples
+            (0 until nWin).iterator.map { w =>
+              val lo = w * windowSamples
+              val hi = math.min(n, lo + windowSamples)
+              var acc = 0L
+              var i = lo
+              while (i < hi) {
+                val b0 = r.payload(off + 2 * i) & 0xFF
+                val s = ((r.payload(off + 2 * i + 1) << 8) | b0).toShort
+                acc += s.toLong * s.toLong
+                i += 1
+              }
+              AudioWindow(r.id, w.toLong, (hi - lo).toLong, acc)
+            }
+          case _ => Iterator.single(AudioWindow(r.id, -1L, 0L, 0L))
+        }
+      }
+    }
+  }
+
   /** Video frame sampling: every `step`-th frame index, exploded to one
     * row per sampled frame. The fixture corpus has no video container,
     * so the frame count is a DOCUMENTED stand-in derived from the real

@@ -24,6 +24,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioEnergy: windowed Σs² matches a direct PCM walk, partial " +
+      "last window, foreign payload marker row") {
+    val id = 4242L
+    val n = (1000 + id % 9000).toInt // 5242 → 52 full + 1 partial @100
+    val media = Seq(
+        Multimodal.MediaRecord(id, Multimodal.wavBytes(id)),
+        Multimodal.MediaRecord(7L, "not audio at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.audioEnergy(spark, media, windowSamples = 100)
+      .collect().map(w => (w.id, w.window_idx) -> w).toMap
+    // direct reference walk over the generator formula
+    def s(i: Int): Long = (((id + i) * 2654435761L) & 0xFFFF).toShort.toLong
+    val nWin = (n + 99) / 100
+    assert(got.size == nWin + 1)
+    for (w <- 0 until nWin) {
+      val lo = w * 100; val hi = math.min(n, lo + 100)
+      val exp = (lo until hi).map(i => s(i) * s(i)).sum
+      val g = got((id, w.toLong))
+      assert(g.n_window_samples == hi - lo && g.energy == exp,
+        s"window $w")
+    }
+    assert(got((id, nWin - 1L)).n_window_samples == n % 100,
+      "last window is partial")
+    assert(got((7L, -1L)) ==
+      Multimodal.AudioWindow(7L, -1L, 0L, 0L),
+      "foreign payload emits the single marker row")
+  }
+
   test("golden bytes: PNG color types, progressive JPEG, GIF87a, " +
       "top-down BMP") {
     def be32(v: Long) = Array[Byte](
