@@ -1966,6 +1966,26 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q156_pagerank" -> ((s, d) => {
+      // Fixed-iteration integer-micro-unit PageRank over a
+      // deterministic synthetic link graph (two arithmetic out-links
+      // per doc + a %10 hub link onto node 0 so rank visibly
+      // concentrates): every step is 64-bit floor arithmetic, so the
+      // oracle unrolls the SAME three power iterations as CTEs and
+      // matches bit-for-bit — the all-integer trajectory is the only
+      // cross-engine-hashable PageRank (float damping would drift by
+      // summation order).
+      val docs = t(s, d, "documents").select(col("doc_id")).cache()
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 1) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 2) % n).as("dst")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("src"), lit(0L).as("dst")))
+      Graph.pageRank(e, "src", "dst", iters = 3)
+    }),
+
     "q155_audio_energy" -> ((s, d) => {
       // Windowed PCM ENERGY over real WAV payloads: every 512-sample
       // window emits Σ s² as an exact integer. The q42 fixture
@@ -4643,6 +4663,47 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // the same three integer power iterations, unrolled: contribution
+    // = rank·850000 // (1e6·outdeg) along DISTINCT edges, rank' =
+    // 150000 + Σ inbound; sums promote to HUGEINT so CAST back (q97)
+    "q156_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 3 + 1) % (SELECT n FROM nn)
+        |    AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 7 + 2) % (SELECT n FROM nn)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |nodes AS (SELECT DISTINCT node FROM (
+        |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_e6 FROM nodes),
+        |c1 AS (SELECT e.dst AS node,
+        |    sum(r0.rank_e6 * 850000 // (1000000 * od.outdeg)) AS c
+        |  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |    CAST(150000 + coalesce(c1.c, 0) AS BIGINT) AS rank_e6
+        |  FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+        |c2 AS (SELECT e.dst AS node,
+        |    sum(r1.rank_e6 * 850000 // (1000000 * od.outdeg)) AS c
+        |  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |    CAST(150000 + coalesce(c2.c, 0) AS BIGINT) AS rank_e6
+        |  FROM nodes LEFT JOIN c2 ON nodes.node = c2.node),
+        |c3 AS (SELECT e.dst AS node,
+        |    sum(r2.rank_e6 * 850000 // (1000000 * od.outdeg)) AS c
+        |  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |    CAST(150000 + coalesce(c3.c, 0) AS BIGINT) AS rank_e6
+        |  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node)
+        |SELECT node, rank_e6 FROM r3""".stripMargin,
+
     // payload-level fixture algebra: sample i of doc id is
     // signed16((id+i)·2654435761 mod 2^16); window energies are exact
     // integer Σ s² — list_sum promotes to HUGEINT, so CAST back (q97)

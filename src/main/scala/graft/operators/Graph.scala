@@ -189,6 +189,62 @@ object Graph {
     }.toDF("a", "b")
   }
 
+  /** Fixed-iteration PageRank in EXACT integer micro-units (Page et al.
+    * 1999, power iteration): rank starts at 1e6 per node; each round
+    * every node sends `rank·damp_e6 DIV (1e6·outdeg)` along each
+    * distinct out-edge and collects `(1e6 − damp_e6) + Σ inbound`.
+    * Every step is 64-bit integer arithmetic with floor division, so
+    * the whole trajectory is order-independent and bit-identical in any
+    * engine — an unrolled SQL CTE replays it value-for-value (a
+    * float-damped PageRank could never hash-match across engines: the
+    * inbound sum order alone perturbs ulps). Deviations from the
+    * textbook formulation, both deliberate: per-division floors leak
+    * O(outdeg) micro-units per node per round, and dangling-node mass
+    * is DROPPED rather than redistributed (redistribution needs a
+    * global scalar per round — a driver round-trip this operator
+    * avoids; callers wanting conservation add a sink self-edge).
+    *
+    * Scale shape: per iteration one hash join edges⋈ranks (shuffled on
+    * src) and one aggregation on dst — the canonical distributed power
+    * iteration, nothing through the driver, skew on a hub's IN-degree
+    * handled by partial aggregation (the Σ is commutative). Each round
+    * localCheckpoints like [[connectedComponents]] so the iterated plan
+    * never compounds.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampE6: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"pageRank iterations must be in [1,16], got $iters")
+    require(dampE6 >= 0L && dampE6 <= 1000000L,
+      s"damping must be micro-units in [0,1e6], got $dampE6")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .cache()
+    val base = 1000000L - dampE6
+    var rank = nodes.withColumn("rank_e6", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val inbound = e
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"rank_e6 * ${dampE6}L DIV (1000000L * outdeg)").as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("c"))
+      rank = nodes.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("c"), lit(0L))).as("rank_e6"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+
   /** Rebuild a (checkpointed) DataFrame on its materialized RDD so plan
     * statistics restart from defaults. Catalyst's size estimate for a
     * join is the PRODUCT of its children's BigInt sizes, and

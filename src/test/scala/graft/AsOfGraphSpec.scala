@@ -149,6 +149,22 @@ class AsOfGraphSpec extends SparkSpec {
     assert(got(3L) == (0L, 0L))
   }
 
+  test("pageRank: hand-computed trajectories — cycle fixed point, " +
+      "star concentration, dangling leak, duplicate-edge collapse") {
+    def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      Graph.pageRank(edges.toDF("s", "t"), "s", "t", iters)
+        .as[(Long, Long)].collect().toMap
+    // 3-cycle: every node keeps exactly 1e6 — the uniform fixed point
+    assert(ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), 4) ==
+      Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+    // star 1,2,3 → 0 and 0 → 1, two iterations by hand
+    assert(ranks(Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)), 2) ==
+      Map(0L -> 1255000L, 1L -> 2445000L, 2L -> 150000L, 3L -> 150000L))
+    // dangling node B drops its mass; duplicate edge counts once
+    assert(ranks(Seq((1L, 2L), (1L, 2L)), 2) ==
+      Map(1L -> 150000L, 2L -> 277500L))
+  }
+
   test("lineFilter: C4 line rules hand-computed incl. every edge") {
     val docs = Seq(
       // two good lines + one unterminated + one short + one bad phrase
