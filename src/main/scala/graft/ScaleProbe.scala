@@ -148,6 +148,20 @@ object ScaleProbe {
         Graph.connectedComponents(pairs, "id_a", "id_b").count()
       } finally pairs.unpersist()
     }
+    timed("pagerank_3iter") {
+      // iterative power-iteration shape at corpus scale: 3 arithmetic
+      // out-links per node + a 10% hub spike onto node 0 (in-degree
+      // skew absorbed by partial aggregation) — per-round one join +
+      // one aggregate, plan growth cut by the localCheckpoint
+      val ids = docs.select(col("doc_id"))
+      val e = ids.select(col("doc_id").as("s"),
+          ((col("doc_id") * 3 + 1) % nDocs).as("t"))
+        .unionByName(ids.select(col("doc_id").as("s"),
+          ((col("doc_id") * 7 + 2) % nDocs).as("t")))
+        .unionByName(ids.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id").as("s"), lit(0L).as("t")))
+      Graph.pageRank(e, "s", "t", iters = 3).count()
+    }
     timed("chunk_dedup") {
       Dedup.chunkDedup(docs, "doc_id", "text", 64).count()
     }
@@ -879,6 +893,25 @@ object ScaleProbe {
       Similarity.ivfTopK(emb, cents,
         emb.filter(col("vec_id") % 1000 === 0), "vec_id", "embedding",
         k = 10, nProbe = 4).count()
+    }
+    locally {
+      // SQ8 flat ANN at 100k vectors: the index is a real BINARY column
+      // — record its exact byte census vs the float32 corpus (the 4×
+      // at-rest/in-shuffle claim, measured not asserted), then the flat
+      // byte-kernel scan for the same 0.1% query set
+      val bounds = Similarity.sq8Bounds(emb, "embedding").cache()
+      val codes = Similarity.sq8Encode(emb, "vec_id", "embedding", bounds)
+        .cache()
+      timed("sq8_encode") { codes.count() }
+      val codeBytes = codes.agg(sum(length(col("codes")))).head.getLong(0)
+      val floatBytes = emb.agg(sum(size(col("embedding")) * 4L)).head
+        .getLong(0)
+      println(s"""{"stage":"sq8_index_bytes","code_bytes":$codeBytes,""" +
+        s""""float32_bytes":$floatBytes}""")
+      timed("sq8_topk") {
+        Similarity.sq8TopK(emb, emb.filter(col("vec_id") % 1000 === 0),
+          "vec_id", "embedding", k = 10, shortlist = 50).count()
+      }
     }
     timed("pq_encode_and_topk") {
       // PQ at 100k vectors: train 8×16 codebooks, encode (m bytes a

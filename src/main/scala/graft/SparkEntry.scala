@@ -1966,6 +1966,34 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q157_embed_ann_sq8" -> ((s, d) => {
+      // SQ8 scalar-quantized flat ANN: corpus at ONE BYTE per
+      // dimension (a real binary column — 4× below float32 at rest
+      // and in shuffle), asymmetric full-precision-query × byte-code
+      // scoring whose per-query ranking provably equals the
+      // dequantized dot, bounded shortlist, exact re-rank. Same
+      // contract shape as q124/q126: recall@10 vs the in-query exact
+      // top-10 clears the bar at every SF; corpus anchors hash-match
+      // the oracle. 8-bit quantization is nearly lossless, so the bar
+      // is 0.9 where PQ's is 0.5 (gate-checked green at
+      // sf0.001/0.01/0.1; DedupSimilaritySpec measures 1.0 at sf0.001).
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val ann = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = 50)
+      val exact = Similarity.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", k = 10).cache()
+      val nExact = exact.count()
+      val nHit = ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+      val nQ = exact.select("query_id").distinct().count()
+      val nVec = emb.count()
+      import s.implicits._
+      Seq((nVec, nQ, nExact == 0 || nHit.toDouble / nExact >= 0.9))
+        .toDF("n_vectors", "n_queries", "recall_at10_ok")
+    }),
+
     "q156_pagerank" -> ((s, d) => {
       // Fixed-iteration integer-micro-unit PageRank over a
       // deterministic synthetic link graph (two arithmetic out-links
@@ -4663,6 +4691,15 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // SQ8 recall contract: the bar is an in-query boolean (constant
+    // TRUE), the anchors are the fixture sizes
+    "q157_embed_ann_sq8" ->
+      """SELECT
+        |  (SELECT count(*) FROM embeddings) AS n_vectors,
+        |  (SELECT count(*) FROM embeddings WHERE vec_id % 25 = 0)
+        |    AS n_queries,
+        |  TRUE AS recall_at10_ok""".stripMargin,
+
     // the same three integer power iterations, unrolled: contribution
     // = rank·850000 // (1e6·outdeg) along DISTINCT edges, rank' =
     // 150000 + Σ inbound; sums promote to HUGEINT so CAST back (q97)

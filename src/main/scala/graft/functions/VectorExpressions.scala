@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression: dot product of two `array<float>` columns,
   * accumulated in double. This is the inner loop of similarity search
@@ -444,6 +444,142 @@ case class IcebergBucketExpr(child: Expression, n: Int)
   * vs a `row_number` window, whose shuffle carries EVERY scored row.
   * Public top-level (Catalyst aggregate buffer classes must be).
   */
+/** SQ8 scalar quantization ENCODE: an `array<float>` vector plus
+  * per-dimension `lo`/`step` arrays → a BINARY of one unsigned byte per
+  * dimension, `code[d] = clamp(round((v[d]−lo[d])/step[d]), 0, 255)`
+  * (`step[d] ≤ 0` ⇒ a constant dimension ⇒ code 0). Binary output is the
+  * point: the quantized corpus is genuinely 1 byte/dim at rest and in
+  * shuffle — 4× smaller than float32 — not an int array that merely
+  * models it. Codegen'd, so index build runs inside whole-stage codegen.
+  */
+case class Sq8EncodeExpr(vec: Expression, lo: Expression, step: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = vec
+  override def second: Expression = lo
+  override def third: Expression = step
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override def nullSafeEval(v: Any, l: Any, s: Any): Any = {
+    val xv = v.asInstanceOf[ArrayData]
+    val xl = l.asInstanceOf[ArrayData]
+    val xs = s.asInstanceOf[ArrayData]
+    val n = xv.numElements()
+    if (xl.numElements() != n || xs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_encode: dimension mismatch ($n vs ${xl.numElements()}/" +
+          s"${xs.numElements()})")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val st = xs.getFloat(i)
+      var c = 0
+      if (st > 0f) {
+        val x = math.floor(
+          (xv.getFloat(i).toDouble - xl.getFloat(i).toDouble) /
+            st.toDouble + 0.5)
+        c = if (x < 0) 0 else if (x > 255) 255 else x.toInt
+      }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, l, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val st = ctx.freshName("st")
+      val x = ctx.freshName("x")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $v.numElements();
+         |if ($l.numElements() != $n || $s.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_encode: dimension mismatch (" + $n + " vs " +
+         |      $l.numElements() + "/" + $s.numElements() + ")");
+         |}
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $st = $s.getFloat($i);
+         |  int $c = 0;
+         |  if ($st > 0f) {
+         |    double $x = Math.floor(
+         |      (((double) $v.getFloat($i)) - ((double) $l.getFloat($i)))
+         |        / ((double) $st) + 0.5);
+         |    $c = $x < 0 ? 0 : ($x > 255 ? 255 : (int) $x);
+         |  }
+         |  $out[$i] = (byte) $c;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(vec = f, lo = s, step = t)
+}
+
+/** SQ8 asymmetric scoring kernel: `Σ_d qs[d] · (codes[d] & 0xFF)` of a
+  * full-precision (pre-scaled) query array against a quantized corpus
+  * BINARY. With `qs[d] = q[d]·step[d]`, this differs from the dot of the
+  * query against the DEQUANTIZED corpus vector only by `Σ q[d]·lo[d]` —
+  * constant per query, so candidate ORDER per query is identical and the
+  * shortlist never needs the offset. Codegen'd; the corpus side stays
+  * bytes end-to-end.
+  */
+case class Sq8ByteDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_byte_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qs = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[Array[Byte]]
+    val n = codes.length
+    if (qs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_byte_dot: dimension mismatch (${qs.numElements()} vs $n)")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += qs.getFloat(i).toDouble * (codes(i) & 0xFF).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $b.length;
+         |if ($a.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "sq8_byte_dot: dimension mismatch (" + $a.numElements() +
+         |      " vs " + $n + ")");
+         |}
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) ($b[$i] & 0xFF));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -622,4 +758,16 @@ object VectorFunctions {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKByScoreAgg(expr(score), expr(id), k)
       .toAggregateExpression())
+
+  /** SQ8 encode: float vector + per-dim lo/step → 1-byte-per-dim binary
+    * codes (see [[Sq8EncodeExpr]]).
+    */
+  def sq8Encode(v: Column, lo: Column, step: Column): Column =
+    GraftBridge.column(Sq8EncodeExpr(expr(v), expr(lo), expr(step)))
+
+  /** SQ8 asymmetric dot: pre-scaled query floats × corpus byte codes
+    * (see [[Sq8ByteDot]]).
+    */
+  def sq8ByteDot(qs: Column, codes: Column): Column =
+    GraftBridge.column(Sq8ByteDot(expr(qs), expr(codes)))
 }

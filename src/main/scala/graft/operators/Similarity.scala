@@ -450,6 +450,74 @@ object Similarity {
     rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
   }
 
+  /** Per-dimension SQ8 quantization bounds over the corpus: ONE row of
+    * `(lo array<float>, step array<float>)` with `step = (hi−lo)/255`.
+    * The per-dimension extremes come from a posexplode + min/max — the
+    * [[trainCentroids]] centroid-update shape: partial aggregation folds
+    * each task's rows to ≤ dims rows before the shuffle, so the pass is
+    * one linear scan whatever the corpus size, and the result is
+    * driver-tiny by construction.
+    */
+  def sq8Bounds(embeddings: DataFrame, vecCol: String): DataFrame =
+    embeddings.select(posexplode(col(vecCol)))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("lo"), max(col("col")).as("hi"))
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("lo"), col("hi")))).as("pm"))
+      .select(
+        transform(col("pm"), e => e.getField("lo")).as("lo"),
+        transform(col("pm"), e =>
+          ((e.getField("hi") - e.getField("lo")) / lit(255.0f))
+            .cast("float")).as("step"))
+
+  /** Quantize the corpus against precomputed [[sq8Bounds]]: `(id,
+    * codes binary)` at one byte per dimension — the index build.
+    * The bounds row rides in as a broadcast cross join (one row);
+    * encoding is the codegen'd [[graft.functions.Sq8EncodeExpr]].
+    */
+  def sq8Encode(embeddings: DataFrame, idCol: String, vecCol: String,
+                bounds: DataFrame): DataFrame =
+    embeddings.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        graft.functions.VectorFunctions.sq8Encode(
+          col(vecCol), col("lo"), col("step")).as("codes"))
+
+  /** SQ8 scalar-quantized ANN (the int8 flat index every vector store
+    * ships as its memory-bound default): corpus stored as 1-byte-per-dim
+    * codes (4× smaller than float32 at rest, in cache, and in shuffle),
+    * scored ASYMMETRICALLY — full-precision query against quantized
+    * corpus, the standard accuracy-preserving choice. Per query the
+    * pre-scaled weights `qs[d] = q[d]·step[d]` make the byte-dot kernel
+    * rank candidates identically to the dequantized dot (the `Σ q·lo`
+    * offset is constant per query), a bounded [[graft.functions
+    * .TopKByScoreAgg]] shortlist keeps ≤ `shortlist` rows per (query,
+    * map task), and the exact cosine re-rank recovers true scores.
+    *
+    * Like [[pqTopK]] this is the FLAT scan — O(N) bytes per query, at
+    * 1/4 the bytes of the float scan; compose behind [[ivfTopK]] cell
+    * routing when N×Q outgrows even that (the [[ivfPqTopK]] precedent).
+    * Queries must carry rows in `embeddings` space (bounds come from
+    * the corpus alone).
+    */
+  def sq8TopK(embeddings: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int, shortlist: Int = 50): DataFrame = {
+    requireIntegralId(embeddings, idCol)
+    val bounds = sq8Bounds(embeddings, vecCol).cache()
+    val codes = sq8Encode(embeddings, idCol, vecCol, bounds)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qs = broadcast(queries.crossJoin(bounds)
+      .select(col(idCol).as("query_id"),
+        zip_with(col(vecCol), col("step"),
+          (x, st) => (x * st).cast("float")).as("qs")))
+    val scored = qs.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        graft.functions.VectorFunctions.sq8ByteDot(col("qs"), col("codes")))
+    rerankShortlist(scored, embeddings, idCol, vecCol, k, shortlist)
+  }
+
   /** (vid, v) with v L2-normalized; zero-norm vectors excluded (they
     * have no direction — same rule as every cosine operator here).
     */

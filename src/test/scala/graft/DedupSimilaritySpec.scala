@@ -151,6 +151,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(codes.count() == emb.count())
   }
 
+  test("SQ8 ANN: near-lossless recall, byte-per-dim codes, clamped " +
+      "encode, dimension mismatch throws") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(emb, queries, "vec_id", "embedding",
+        k = 10, shortlist = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    // 8-bit scalar quantization is nearly lossless — the q157 contract
+    // bar is 0.9; the measured level here pins the margin
+    assert(recall >= 0.95, s"SQ8 recall@10 = $recall")
+    info(s"SQ8 recall@10 = $recall")
+    // the index is REAL binary: one byte per dimension
+    val bounds = Similarity.sq8Bounds(emb, "embedding")
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val codes = Similarity.sq8Encode(emb, "vec_id", "embedding", bounds)
+    val row = codes.select("codes").head.getAs[Array[Byte]](0)
+    assert(row.length == dim)
+    assert(codes.count() == emb.count())
+    // encode clamps out-of-bounds values and zeroes constant dims
+    import graft.functions.VectorFunctions.{sq8ByteDot, sq8Encode => enc}
+    val one = Seq((Array(-5.0f, 0.5f, 9.9f, 3.3f),
+        Array(0.0f, 0.0f, 0.0f, 3.3f), Array(0.01f, 0.001f, 0.02f, 0.0f)))
+      .toDF("v", "lo", "st")
+    val got = one.select(enc($"v", $"lo", $"st").as("c"))
+      .head.getAs[Array[Byte]](0).map(_ & 0xFF)
+    assert(got.toSeq == Seq(0, 255, 255, 0),
+      "below-lo clamps to 0, above-hi to 255, zero-step dims code 0")
+    // the asymmetric kernel ranks exactly like the dequantized dot
+    val probe = one.select(sq8ByteDot(
+      typedLit(Array(1.0f, 2.0f, 0.5f, 4.0f)),
+      enc($"v", $"lo", $"st")).as("d")).head.getDouble(0)
+    assert(probe == 1.0 * 0 + 2.0 * 255 + 0.5 * 255 + 4.0 * 0)
+    val bad = Seq((Array(1.0f, 2.0f), Array(0.0f), Array(0.1f)))
+      .toDF("v", "lo", "st")
+    intercept[Exception] {
+      bad.select(enc($"v", $"lo", $"st")).collect()
+    }
+  }
+
   test("topKByScore equals the sort-based top-k, ties deterministic, " +
       "across many partitions") {
     val rnd = new scala.util.Random(7)
