@@ -1966,6 +1966,56 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q158_stream_lineage_cdc" -> ((s, d) => {
+      // STREAMED v3 ROW-LINEAGE CDC: `lineage=true` on the
+      // readChangeFeed source pairs update images by the rows' OWN
+      // _row_id per COMMIT (the step-walk union — churn inside one
+      // offset span still streams every leg), stamps _commit_version
+      // per-row exact, and stamps deletes at their OWN commit — finer
+      // than the batch net-range diff (q148 stamps deletes at the TO
+      // boundary). Pass 1 streams the CTAS+DELETE+UPDATE+INSERT
+      // history; another DELETE commits; pass 2 under the same
+      // checkpoint emits exactly that step's delete legs —
+      // restart-exactly-once. _row_id is asserted non-null in-query
+      // then projected away (engine-assigned values).
+      val root = Files.createTempDirectory("graft-q158-").toString + "/t"
+      val table = SnapshotTable.at(root)
+      val orders = t(s, d, "orders").select(orderCols.map(col): _*)
+      table.createOrReplace(orders,
+        properties = Map("format-version" -> "3"))                // v1
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 7 = 3") // v2
+      s.sql(s"UPDATE graft.`$root` SET o_orderpriority = 'X' " +
+        "WHERE o_orderkey % 10 = 0")                               // v3
+      val off = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      orders.filter(col("o_orderkey") % 25 === 0)
+        .select((col("o_orderkey") + off).as("o_orderkey") +:
+          orderCols.filterNot(_ == "o_orderkey").map(col): _*)
+        .createOrReplaceTempView("q158_ins")
+      s.sql(s"INSERT INTO graft.`$root` SELECT * FROM q158_ins")   // v4
+      val ckpt = Files.createTempDirectory("graft-q158-ckpt-").toString
+      val out = Files.createTempDirectory("graft-q158-out-").toString
+      def pass(): Unit = {
+        val q = s.readStream.format("graft-table")
+          .option("startVersion", "0").option("readChangeFeed", "true")
+          .option("lineage", "true")
+          .load(root)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("_row_id"), col("_change_type"), col("_commit_version"))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass()
+      s.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 11 = 5") // v5
+      pass()
+      val got = s.read.parquet(out)
+      require(got.filter(col("_row_id").isNull).count() == 0,
+        "every streamed lineage-CDC row must carry its _row_id")
+      got.drop("_row_id")
+    }),
+
     "q157_embed_ann_sq8" -> ((s, d) => {
       // SQ8 scalar-quantized flat ANN: corpus at ONE BYTE per
       // dimension (a real binary column — 4× below float32 at rest
@@ -4691,6 +4741,38 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // the streamed per-commit lineage feed: inserts at v1/v4, deletes
+    // at their OWN commit (v2, and pass 2's v5 over the then-live
+    // state), update images at v3 — all key arithmetic
+    "q158_stream_lineage_cdc" ->
+      """WITH off AS (SELECT max(o_orderkey) + 1 AS o FROM orders),
+        |upd AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |        WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 3),
+        |ins AS (SELECT o_orderkey + (SELECT o FROM off) AS k,
+        |          o_orderpriority FROM orders WHERE o_orderkey % 25 = 0)
+        |SELECT o_orderkey, o_orderpriority,
+        |  'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, 'delete', CAST(2 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 = 3
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, 'update_preimage',
+        |  CAST(3 AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, 'X', 'update_postimage', CAST(3 AS BIGINT)
+        |FROM upd
+        |UNION ALL
+        |SELECT k, o_orderpriority, 'insert', CAST(4 AS BIGINT) FROM ins
+        |UNION ALL
+        |SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderpriority END,
+        |  'delete', CAST(5 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 7 <> 3 AND o_orderkey % 11 = 5
+        |UNION ALL
+        |SELECT k, o_orderpriority, 'delete', CAST(5 AS BIGINT)
+        |FROM ins WHERE k % 11 = 5""".stripMargin,
+
     // SQ8 recall contract: the bar is an in-query boolean (constant
     // TRUE), the anchors are the fixture sizes
     "q157_embed_ann_sq8" ->

@@ -82,6 +82,11 @@ final class GraftTableSourceProvider
     val base = schema.getOrElse(StructType.fromDDL(tbl.currentManifest.schemaDdl))
     val out =
       if (!GraftTableSource.cdcMode(parameters)) base
+      else if (GraftTableSource.lineageMode(parameters))
+        StructType((base.fields :+
+          org.apache.spark.sql.types.StructField("_row_id",
+            org.apache.spark.sql.types.LongType)) ++
+          GraftTableSource.CdcFields)
       else StructType(base.fields ++ GraftTableSource.CdcFields)
     (s"graft-table[$path]", out)
   }
@@ -199,6 +204,23 @@ final class GraftTableSource(spark: SparkSession, path: String,
   require(!(cdc && ignoreChanges),
     "readChangeFeed already represents rewrites and deletes exactly; " +
       "ignoreChanges would double-represent them — drop one option")
+
+  /** `lineage=true` (with `readChangeFeed=true`): micro-batches are
+    * [[SnapshotTable.readChangelogLineage]] spans — update pre/post
+    * images paired by the rows' OWN v3 `_row_id` (no identifier
+    * columns; the keys pin is never consulted or created), with the
+    * per-row-exact `_commit_version` the keyed feed cannot produce.
+    * Requires `format-version=3` at stream start; the batch path
+    * re-checks per span (an upgraded-but-uncompacted table with NULL
+    * ids still refuses loudly there).
+    */
+  private val lineage = GraftTableSource.lineageMode(parameters)
+  require(!lineage || cdc,
+    "lineage=true pairs update images by _row_id on the CDC feed — " +
+      "set readChangeFeed=true (or drop lineage)")
+  require(!lineage ||
+      SnapshotTable.lineageOn(tbl.currentManifest.properties),
+    s"lineage=true requires format-version=3 on $path")
 
   /** Version streaming starts AFTER: `startVersion=0` bootstraps (first
     * batch = the full table), an explicit version tails commits after it,
@@ -585,7 +607,20 @@ final class GraftTableSource(spark: SparkSession, path: String,
         // declared IDENTIFIER FIELDS key the CDC feed's update images —
         // via the checkpoint-pinned copy, never a live read (replay
         // determinism; see cdcKeys)
-        if (cdc) tbl.readChangelog(spark, v1, v2, cdcKeys)
+        if (cdc && lineage) {
+          // per-COMMIT diffs even when the offset span covers several
+          // commits (the keyed feed's step-walk semantics): a span-net
+          // readChangelogLineage(v1, v2) would fold churn inside the
+          // batch away — an insert-then-delete between two offsets
+          // must still stream both legs
+          val vs = tbl.lineageVersionsBetween(v1, v2)
+          require(vs.nonEmpty && vs.last == v2,
+            s"v$v1 → v$v2 is not a retained main-lineage span")
+          (v1 +: vs).zip(vs)
+            .map { case (a, b) => tbl.readChangelogLineage(spark, a, b) }
+            .reduce(_ unionByName _)
+        }
+        else if (cdc) tbl.readChangelog(spark, v1, v2, cdcKeys)
         else tbl.readIncrementalBetween(spark, v1, v2,
           requireAppendOnly = !ignoreChanges)
       case (VerPos(v1), StepPos(f, v2, k)) =>
@@ -653,6 +688,9 @@ final case class GraftStepOffset(from: Long, version: Long,
 object GraftTableSource {
   private[streaming] def cdcMode(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
+
+  private[streaming] def lineageMode(parameters: Map[String, String]): Boolean =
+    parameters.get("lineage").exists(_.toBoolean)
 
   private[streaming] val CdcFields = Array(
     org.apache.spark.sql.types.StructField("_change_type",

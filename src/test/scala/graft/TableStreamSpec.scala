@@ -504,6 +504,63 @@ class TableStreamSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("readChangeFeed"))
   }
 
+  test("lineage CDC feed: per-commit legs even inside one offset span; " +
+      "option guards") {
+    val base = spark
+    import base.implicits._
+    val root = tmp("graft-lincdc-")
+    val t = SnapshotTable.at(root)
+    t.createOrReplace((1 to 20).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      properties = Map("format-version" -> "3"))                   // v1
+    // in-span churn: a row inserted then deleted BETWEEN two stream
+    // offsets — the net boundary diff would fold both legs away; the
+    // per-commit step walk must stream them
+    base.sql(s"INSERT INTO graft.`$root` VALUES (99, 'ghost')")    // v2
+    base.sql(s"DELETE FROM graft.`$root` WHERE id = 99")           // v3
+    base.sql(s"UPDATE graft.`$root` SET s = 'u' WHERE id = 7")     // v4
+    val (ckpt, out) = (tmp("graft-lincdc-ckpt-"), tmp("graft-lincdc-out-"))
+    val q = base.readStream.format("graft-table")
+      .option("startVersion", "0").option("readChangeFeed", "true")
+      .option("lineage", "true")
+      .load(root)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = base.read.parquet(out)
+    assert(got.filter($"id" === 99 && $"_change_type" === "insert" &&
+      $"_commit_version" === 2).count() == 1, "ghost insert leg streamed")
+    assert(got.filter($"id" === 99 && $"_change_type" === "delete" &&
+      $"_commit_version" === 3).count() == 1,
+      "ghost delete leg streamed at ITS commit")
+    assert(got.filter($"id" === 7 && $"_change_type" === "update_preimage")
+      .select("s").as[String].head() == "s7")
+    assert(got.filter($"id" === 7 && $"_change_type" === "update_postimage")
+      .select("s").as[String].head() == "u")
+    assert(got.filter($"_row_id".isNull).count() == 0)
+    // lineage without readChangeFeed refuses; lineage on a v1 table too
+    val e1 = intercept[Exception] {
+      base.readStream.format("graft-table").option("lineage", "true")
+        .load(root).writeStream.format("noop")
+        .option("checkpointLocation", tmp("graft-lincdc-bad1-"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage)
+      .getOrElse("")).contains("readChangeFeed"))
+    val v1root = tmp("graft-lincdc-v1-")
+    SnapshotTable.at(v1root)
+      .createOrReplace(Seq((1L, "a")).toDF("id", "s"))
+    val e2 = intercept[Exception] {
+      base.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("lineage", "true")
+        .load(v1root).writeStream.format("noop")
+        .option("checkpointLocation", tmp("graft-lincdc-bad2-"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage)
+      .getOrElse("")).contains("format-version=3"))
+  }
+
   test("rewrite commits fail loudly; ignoreChanges re-emits rewrites") {
     import spark.implicits._
     val root = tmp("graft-ts-")
