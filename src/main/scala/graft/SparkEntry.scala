@@ -1966,6 +1966,15 @@ object SparkEntry {
       Sampling.tokenBudgetSample(docs, "lang", "doc_id", "text", alloc)
     }),
 
+    "q159_bm25" -> ((s, d) =>
+      // BM25 retrieval scoring in EXACT integer arithmetic: rational
+      // (N+1)/(df+1) idf (linear variant — the DSIR rule: a log is not
+      // correctly-rounded cross-engine, a ratio is) and the k1/b
+      // saturation fraction cleared of divisions by ×10T. One query
+      // term ('zzqx') never occurs — absent terms must simply vanish.
+      TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
+        Seq("vector", "merge", "customer", "zzqx"))),
+
     "q158_stream_lineage_cdc" -> ((s, d) => {
       // STREAMED v3 ROW-LINEAGE CDC: `lineage=true` on the
       // readChangeFeed source pairs update images by the rows' OWN
@@ -4741,6 +4750,36 @@ object SparkEntry {
     // unscoped-DV partition debt: per-partition record counts are key
     // arithmetic; the attribution and compaction-fold contracts are
     // in-query booleans
+    // the same integer BM25: idf_e3 = (N+1)·1000 // (df+1), tfpart_e3
+    // = 22·T·tf·1000 // (10·T·tf + 3·T + 9·dl·N), score = Σ products
+    "q159_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |      lower(trim(coalesce(text, ''))), '\s+'),
+        |      x -> x <> '') AS w
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM base),
+        |tot AS (SELECT count(*) AS n, sum(dl) AS t FROM d2),
+        |terms AS (
+        |  SELECT unnest(['vector','merge','customer','zzqx']) AS term),
+        |h AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(w, x -> x = term)) AS BIGINT) AS tf
+        |  FROM d2 CROSS JOIN terms
+        |  WHERE len(list_filter(w, x -> x = term)) > 0),
+        |dfx AS (SELECT term, count(*) AS df FROM h GROUP BY term)
+        |SELECT h.doc_id,
+        |  max(h.dl) AS dl,
+        |  count(*) AS n_hit_terms,
+        |  CAST(sum(
+        |    (((SELECT n FROM tot) + 1) * 1000 // (dfx.df + 1)) *
+        |    (22 * (SELECT t FROM tot) * h.tf * 1000 //
+        |      (10 * (SELECT t FROM tot) * h.tf + 3 * (SELECT t FROM tot)
+        |        + 9 * h.dl * (SELECT n FROM tot)))) AS BIGINT) AS score_e6
+        |FROM h JOIN dfx ON h.term = dfx.term
+        |GROUP BY h.doc_id""".stripMargin,
+
     // the streamed per-commit lineage feed: inserts at v1/v4, deletes
     // at their OWN commit (v2, and pass 2's v5 over the then-live
     // state), update images at v3 — all key arithmetic

@@ -549,6 +549,58 @@ object TextAnalysis {
       (nfcd =!= col(textCol)).as("was_denormalized"))
   }
 
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson & Zaragoza 2009; k1 = 1.2, b = 0.75 — the classic
+    * constants, folded into EXACT integer fractions), the retrieval
+    * scorer a corpus-curation pipeline uses to pull topical slices.
+    * Per (doc, term): `idf_e3 = (N+1)·1000 DIV (df+1)` (the rational
+    * (N+1)/(df+1) idf — a LINEAR variant of the log idf, the DSIR
+    * precedent: log is not correctly-rounded cross-engine, a ratio is)
+    * and `tfpart_e3 = 22·T·tf·1000 DIV (10·T·tf + 3·T + 9·dl·N)`,
+    * which is `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `avgdl = T/N` cleared of ALL divisions (×10T). The document score
+    * is `Σ_t idf_e3·tfpart_e3` — every step 64-bit exact, so any
+    * engine replays it bit-for-bit. Scale shape: one tokenize pass,
+    * per-doc×term tf computed in-row (terms ride a literal array —
+    * no corpus join), df a |terms|-row aggregate broadcast back;
+    * nothing shuffles but the tiny df table.
+    *
+    * Emits (id, dl, n_hit_terms, score_e6) for documents matching at
+    * least one term.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25Score needs at least one query term")
+    val toks = docs.select(col(idCol),
+      filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+        x => x =!= "").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+      .cache()
+    val totals = toks.agg(count(lit(1)).as("n"), sum(col("dl")).as("t"))
+      .head
+    val n = totals.getLong(0)
+    val tTot = totals.getLong(1)
+    val hits = toks
+      .select(col(idCol), col("dl"),
+        explode(array(terms.distinct.map(lit): _*)).as("t"),
+        col("w"))
+      .withColumn("tf",
+        size(filter(col("w"), x => x === col("t"))).cast("long"))
+      .filter(col("tf") > 0)
+      .drop("w")
+    val dfTab = hits.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    hits.join(broadcast(dfTab), Seq("t"))
+      .withColumn("idf_e3",
+        expr(s"(${n}L + 1) * 1000 DIV (df + 1)"))
+      .withColumn("tfpart_e3",
+        expr(s"22 * ${tTot}L * tf * 1000 DIV " +
+          s"(10 * ${tTot}L * tf + 3 * ${tTot}L + 9 * dl * ${n}L)"))
+      .groupBy(col(idCol))
+      .agg(first(col("dl")).as("dl"),
+        count(lit(1)).as("n_hit_terms"),
+        sum(col("idf_e3") * col("tfpart_e3")).as("score_e6"))
+  }
+
   /** C4-style LINE-level cleaning (Raffel et al. 2020 §2.2, the rules
     * the Common Crawl pipelines share; FineWeb keeps the same shape):
     * a line SURVIVES iff it ends in a terminal punctuation mark

@@ -165,6 +165,22 @@ class AsOfGraphSpec extends SparkSpec {
       Map(1L -> 150000L, 2L -> 277500L))
   }
 
+  test("bm25Score: hand-computed integer scores, absent terms vanish") {
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "b b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Score(docs, "doc_id", "text",
+        Seq("a", "b", "missing"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // N=3, T=8; df(a)=df(b)=2 → idf_e3 = 4000//3 = 1333
+    // doc1 dl=3: tf(a)=2 → 352000//265=1328; tf(b)=1 → 176000//185=951
+    assert(got(1L) == (3L, 2L, 1333L * (1328L + 951L)))
+    // doc2 dl=2: tf(a)=1 → 176000//158=1113
+    assert(got(2L) == (2L, 1L, 1333L * 1113L))
+    // doc3 dl=3: tf(b)=3 → 528000//345=1530
+    assert(got(3L) == (3L, 1L, 1333L * 1530L))
+  }
+
   test("lineFilter: C4 line rules hand-computed incl. every edge") {
     val docs = Seq(
       // two good lines + one unterminated + one short + one bad phrase
