@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Per-job profiling main (optimization guide §1): runs the named
+  * SparkEntry queries once on `sfDir` with a listener that records every
+  * Spark job's wall time, stage task-time and shuffle bytes, then prints
+  * a per-query breakdown sorted by cost. The gaps between Spark jobs are
+  * driver-side work (commit I/O, footer stats, planning) — printed as
+  * `driver-gap` so commit overhead is visible next to executor time.
+  *
+  * Usage: runMain graft.Profile <sfDir> <prefix,prefix,...>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val prefixes = if (args.length > 1) args(1).split(',').toSeq else Nil
+    val spark = graft.core.GraftSession.get("graft-profile")
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class JobRec(id: Int, desc: String, start: Long,
+                      var end: Long = 0L,
+                      var taskTimeMs: Long = 0L,
+                      var shuffleRead: Long = 0L,
+                      var shuffleWrite: Long = 0L)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val listener = new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        jobs.put(e.jobId, JobRec(e.jobId, desc, e.time))
+        order.add(e.jobId)
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(jobs.get(e.jobId)).foreach(_.end = e.time)
+      }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        // attribute the stage to the most recent job (approximation:
+        // stages of concurrent jobs may interleave; profiling only)
+        val last = if (order.isEmpty) -1 else order.get(order.size - 1)
+        Option(jobs.get(last)).foreach { j =>
+          j.taskTimeMs += m.executorRunTime
+          j.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          j.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => prefixes.isEmpty || prefixes.exists(q._1.startsWith))
+      .foreach { case (name, fn) =>
+        jobs.clear(); order.clear()
+        val t0 = System.currentTimeMillis()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          println(s"[profile] $name failed: ${e.getMessage}") }
+        val t1 = System.currentTimeMillis()
+        spark.catalog.clearCache()
+        Thread.sleep(300) // let listener events drain
+        val recs = order.toArray.map(id => jobs.get(id.asInstanceOf[Int]))
+          .filter(_ != null).toSeq
+        println(f"\n==== $name total ${(t1 - t0) / 1000.0}%.2f s, " +
+          s"${recs.size} jobs ====")
+        var prevEnd = t0
+        var gapTotal = 0L
+        recs.foreach { j =>
+          val gap = j.start - prevEnd
+          gapTotal += math.max(0L, gap)
+          if (gap > 200)
+            println(f"  driver-gap ${gap / 1000.0}%6.2f s (before job ${j.id})")
+          val dur = (j.end - j.start) / 1000.0
+          if (dur >= 0.2)
+            println(f"  job ${j.id}%4d ${dur}%6.2f s  task ${j.taskTimeMs / 1000.0}%7.1f s  " +
+              f"shR ${j.shuffleRead / 1e6}%8.1f MB shW ${j.shuffleWrite / 1e6}%8.1f MB  ${j.desc.take(90)}")
+          prevEnd = math.max(prevEnd, j.end)
+        }
+        val tailGap = t1 - prevEnd
+        gapTotal += math.max(0L, tailGap)
+        println(f"  driver gaps total ${gapTotal / 1000.0}%.2f s of ${(t1 - t0) / 1000.0}%.2f s")
+      }
+    spark.stop()
+  }
+}
