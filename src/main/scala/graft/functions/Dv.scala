@@ -64,6 +64,28 @@ object Dv {
     buf
   }
 
+  /** Static so generated code can call it: probe the broadcast
+    * (file → vector) map and binary-search the file's runs. A missing
+    * entry means the file has no pending vector — not masked. The map is
+    * keyed by [[org.apache.spark.unsafe.types.UTF8String]] so the
+    * per-row probe hashes the row's path bytes in place — no String
+    * conversion, and crucially NO per-row copy of the vector blob (the
+    * former broadcast-JOIN shape paid an `UnsafeRow.getBinary` copy of
+    * the whole vector for EVERY probed row: a 0.26 MB vector × 150k rows
+    * was ~40 GB of memcpy — measured 8.8 s vs 0.24 s for the copy-free
+    * probe at sf0.1).
+    */
+  def maskContains(bc: AnyRef, file: org.apache.spark.unsafe.types.UTF8String,
+      pos: Long): Boolean = {
+    val m = bc
+      .asInstanceOf[org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          Array[Byte]]]]
+      .value
+    val blob = m.get(file)
+    blob != null && contains(blob, pos)
+  }
+
   /** Static so generated code can call it: binary search over runs. */
   def contains(dv: Array[Byte], pos: Long): Boolean = {
     // fail-loud contract: a truncated vector masks nothing and would
@@ -121,6 +143,13 @@ object Dv {
   def dvContains(dv: Column, pos: Column): Column =
     GraftBridge.column(DvContains(GraftBridge.catalystExpression(dv),
       GraftBridge.catalystExpression(pos)))
+  def dvMaskContains(
+      dvs: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+          Array[Byte]]],
+      file: Column, pos: Column): Column =
+    GraftBridge.column(DvMaskContains(GraftBridge.catalystExpression(file),
+      GraftBridge.catalystExpression(pos), dvs))
   def dvFromPositions(sortedPos: Column): Column =
     GraftBridge.column(DvFromPositions(
       GraftBridge.catalystExpression(sortedPos)))
@@ -144,6 +173,50 @@ case class DvContains(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (dv, pos) =>
       s"graft.functions.Dv.contains($dv, $pos)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Row-ordinal membership against a BROADCAST (file → deletion-vector)
+  * map — the v3 MoR read-side mask. Replaces the former broadcast-JOIN +
+  * [[DvContains]] shape: a join materializes the matched vector BLOB into
+  * every probed row (`UnsafeRow.getBinary` copies the whole byte array
+  * per access), so the mask cost was O(rows × vector size). This probe
+  * keeps one copy of each vector in the broadcast and touches it in
+  * place — O(rows × log runs), zero per-row allocation (the path key
+  * hashes the row's own bytes via UTF8String). Stays inside whole-stage
+  * codegen. NULL file/pos (never produced by the metadata columns) read
+  * as not-masked: a mask must never DROP a row it cannot attribute.
+  */
+case class DvMaskContains(left: Expression, right: Expression,
+    dvs: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[org.apache.spark.unsafe.types.UTF8String,
+        Array[Byte]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.StringType, LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "dv_mask_contains"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val f = left.eval(input)
+    val p = right.eval(input)
+    if (f == null || p == null) false
+    else Dv.maskContains(dvs,
+      f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[java.lang.Long].longValue())
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val fe = left.genCode(ctx)
+    val pe = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("dvMaskBc", dvs, "java.lang.Object")
+    ev.copy(
+      code = fe.code + pe.code + code"""
+        boolean ${ev.value} = !${fe.isNull} && !${pe.isNull} &&
+          graft.functions.Dv.maskContains($ref, ${fe.value}, ${pe.value});
+        """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

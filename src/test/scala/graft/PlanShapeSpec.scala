@@ -253,8 +253,15 @@ class PlanShapeSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("LeftAnti"),
       s"DV masking must not plan a positional anti-join:\n${plan.take(2000)}")
-    assert(plan.contains("dv_contains") || plan.contains("DvContains"),
+    assert(plan.contains("dv_mask_contains") || plan.contains("DvMaskContains"),
       s"the bitmap probe must appear in the plan:\n${plan.take(2000)}")
+    // r14 optimization: the probe is a broadcast-MAP lookup, not a
+    // broadcast JOIN — a join materializes the matched vector blob into
+    // every probed row (UnsafeRow.getBinary copies the whole array per
+    // access: O(rows × vector bytes) memcpy, measured 8.8 s vs 0.24 s at
+    // sf0.1). No join node of any kind may appear in the masked read.
+    assert(!plan.contains("Join"),
+      s"DV masking must probe a broadcast map, never join:\n${plan.take(2000)}")
     assert(df.count() == 1980)
   }
 }
