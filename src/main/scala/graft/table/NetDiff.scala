@@ -127,7 +127,20 @@ object NetDiff {
     } else diffHashable(before, after)
   }
 
-  /** The fingerprint pre-pass proper; callers guarantee map-free inputs. */
+  /** The fingerprint pre-pass proper; callers guarantee map-free inputs.
+    *
+    * The changed-fingerprint set and both survivor sides are CACHED:
+    * every downstream consumer references the two returned legs several
+    * times (the keyed changelog joins each leg against the other's keys
+    * twice; a union evaluates both legs, and each leg's `exceptAll`
+    * contains BOTH survivor pipelines), so without the caches the
+    * full-span scans and fingerprint aggregations re-execute once per
+    * reference — measured 4-8 re-scans per changelog step at sf0.1.
+    * All three frames are changed-row volume (the whole point of the
+    * pre-pass), so the memory is bounded by the diff size, never the
+    * span; Verify/Bench clear per-query caches centrally (the repo's
+    * internal-cache convention).
+    */
   private def diffHashable(
       before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
     val outCols = before.columns.toSeq
@@ -145,10 +158,13 @@ object NetDiff {
       .join(counts(bf, "cb"), Seq(fp1, fp2), "full_outer")
       .filter(coalesce(col("ca"), lit(0L)) =!= coalesce(col("cb"), lit(0L)))
       .select(fp1, fp2)
+      .cache()
     val insSide = af.join(changed, Seq(fp1, fp2), "left_semi")
       .select(outCols.map(col): _*)
+      .cache()
     val delSide = bf.join(changed, Seq(fp1, fp2), "left_semi")
       .select(outCols.map(col): _*)
+      .cache()
     (insSide.exceptAll(delSide), delSide.exceptAll(insSide))
   }
 }

@@ -2871,6 +2871,11 @@ final class SnapshotTable(val root: Path,
       // within the feed) must DROP, or the unconditional not-matched
       // insert would materialize its deleted row
       val nonPre = feed.filter(col("_change_type") =!= "update_preimage")
+      // cache the collapsed one-row-per-key state: the FEED plan under it
+      // (a multi-commit changelog = a union of per-step exceptAll diffs
+      // over whole table versions) is the expensive part, and `latest`
+      // feeds both the delete semi-join branch and the non-delete branch
+      // below — without the cache the feed executes once per reference
       val latest = nonPre.groupBy(keys.map(col): _*)
         .agg(max(struct((col("_commit_version") +:
           (col("_change_type") +: dataCols.map(col))): _*)).as("w"))
@@ -2878,22 +2883,25 @@ final class SnapshotTable(val root: Path,
           Seq(col("w._change_type").as("_change_type")) ++
           dataCols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
             .map(c => col(s"w.$c").as(c)): _*)
-      val dels = latest.filter(col("_change_type") === "delete")
-        .join(read(spark).select(keys.map(col): _*), keys, "left_semi")
-      // ALL non-delete latest states map to 'U', never 'I': merge's
-      // unconditional not-matched INSERT lands new keys either way, but
-      // matched-'I' is a reference-semantics NO-OP — a key deleted and
-      // RE-INSERTED within the feed would collapse to latest='insert'
-      // and, when the target still holds the key (synced before the
-      // delete), an 'I' would silently keep the stale pre-delete row.
-      // 'U' updates matched keys to the re-inserted values.
-      val changes = latest.filter(col("_change_type") =!= "delete")
-        .unionByName(dels)
-        .withColumn(graft.core.MetaColumns.Op,
-          when(col("_change_type") === "delete", lit("D"))
-            .otherwise(lit("U")))
-        .select((dataCols.map(col) :+ col(graft.core.MetaColumns.Op)): _*)
-      return merge(spark, changes, keys, keepDeletes = false, nowMs)
+        .cache()
+      try {
+        val dels = latest.filter(col("_change_type") === "delete")
+          .join(read(spark).select(keys.map(col): _*), keys, "left_semi")
+        // ALL non-delete latest states map to 'U', never 'I': merge's
+        // unconditional not-matched INSERT lands new keys either way, but
+        // matched-'I' is a reference-semantics NO-OP — a key deleted and
+        // RE-INSERTED within the feed would collapse to latest='insert'
+        // and, when the target still holds the key (synced before the
+        // delete), an 'I' would silently keep the stale pre-delete row.
+        // 'U' updates matched keys to the re-inserted values.
+        val changes = latest.filter(col("_change_type") =!= "delete")
+          .unionByName(dels)
+          .withColumn(graft.core.MetaColumns.Op,
+            when(col("_change_type") === "delete", lit("D"))
+              .otherwise(lit("U")))
+          .select((dataCols.map(col) :+ col(graft.core.MetaColumns.Op)): _*)
+        return merge(spark, changes, keys, keepDeletes = false, nowMs)
+      } finally latest.unpersist()
     }
     val ins = feed.filter(col("_change_type")
         .isin("insert", "update_postimage"))
@@ -4464,11 +4472,21 @@ final class SnapshotTable(val root: Path,
       else targetTransform
     if (m.partitionColumns.isEmpty) {
       // full rewrite materializes the delete-resolved view, so pending
-      // MoR deletes fold away here (commitData drops them)
-      val merged0 = Merge(evolveT(read(spark)), changes, keys, keepDeletes)
-      val merged = attachMergedLineage(spark, m, merged0, m.files, changes,
-        keys)
-      commitData(merged, Some(m), m.partitionColumns, m.properties, nowMs)
+      // MoR deletes fold away here (commitData drops them).
+      // The change batch is referenced 3-4x inside Merge.resolve
+      // (not-matched anti join, matched semi join, evict keys) — cache it
+      // like the partition-scoped branch below does, or an expensive
+      // change-detection plan (a keyed multi-commit changelog feed is a
+      // union of per-step exceptAll diffs) re-executes per reference
+      // (q95: 16.0 s -> 4.5 s at sf0.1 from this cache + the
+      // applyChangelog one).
+      val cached = changes.cache()
+      try {
+        val merged0 = Merge(evolveT(read(spark)), cached, keys, keepDeletes)
+        val merged = attachMergedLineage(spark, m, merged0, m.files, cached,
+          keys)
+        commitData(merged, Some(m), m.partitionColumns, m.properties, nowMs)
+      } finally cached.unpersist()
     } else {
       // partition-scoped rewrite: collect the (small, bounded) set of
       // partition values that must be rewritten — one row per partition,
