@@ -251,12 +251,52 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m equal blocks")
     val blockLen = dim / m
     val unit = normalized(embeddings, idCol, vecCol)
-    (0 until m).map { b =>
-      val base = unit.select(col("vid"),
-        slice(col("v"), b * blockLen + 1, blockLen).as("v"))
-      l2Lloyd(base, k, iters).withColumn("block", lit(b))
-    }.reduce(_ unionByName _)
-      .select(col("block"), col("code"), col("cent_v"))
+    // ONE blocked Lloyd for all m quantizers: `block` rides the key
+    // through init, assignment and recentering, so each iteration is ONE
+    // broadcast (m·k codewords) + ONE (block, code, pos)-keyed shuffle —
+    // the former per-block driver loop built m independent Lloyd
+    // pipelines whose final union evaluated ~6 jobs per block (init
+    // window, per-iteration broadcast + aggregate), ~45 jobs for m=8
+    // (q124 profile). Per-block math is unchanged: the init sample and
+    // per-cell representative hash only `vid`, identical across blocks
+    // (exactly what the per-block loop computed), and each block's
+    // argmin/mean never mixes with another block's.
+    val base = unit
+      .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("vid"), col("block"),
+        slice(col("v"), col("block") * blockLen + 1, lit(blockLen)).as("v"))
+    val n = unit.count()
+    val step = math.max(1L, n / math.max(1L, 8L * k))
+    val wCell = Window.partitionBy(col("block"), col("code"))
+      .orderBy(col("vid"))
+    var cent = base
+      .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
+      .withColumn("code",
+        pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select(col("block"), col("code"), col("v").as("cent_v"))
+    for (_ <- 0 until iters) {
+      val c = broadcast(cent
+        .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
+      val assigned = base
+        .join(c, Seq("block"))
+        .withColumn("d2",
+          col("cn2") - lit(2.0) * vectorDot(col("v"), col("cent_v")))
+        .groupBy(col("block"), col("vid"))
+        .agg(min_by(struct(col("code"), col("v")),
+          struct(col("d2"), col("code"))).as("a"))
+        .select(col("block"), col("a.code").as("code"), col("a.v").as("v"))
+      cent = assigned
+        .select(col("block"), col("code"), posexplode(col("v")))
+        .groupBy(col("block"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("block"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("block"), col("code"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("cent_v"))
+    }
+    cent.select(col("block"), col("code"), col("cent_v"))
   }
 
   /** PQ-encode: per vector, the `m`-entry code array (nearest codeword
@@ -528,44 +568,6 @@ object Similarity {
       .filter(col("nrm") > 0.0)
       .select(col("vid"),
         transform(col("v0"), x => (x / col("nrm")).cast("float")).as("v"))
-
-  /** Deterministic L2 Lloyd over a (vid, v) frame → (code, cent_v).
-    * The spherical twin lives in [[trainCentroids]] (kept verbatim —
-    * its outputs anchor committed contract queries); assignment here is
-    * min squared distance, |v|² dropped as constant per row.
-    */
-  private def l2Lloyd(base: DataFrame, k: Int, iters: Int): DataFrame = {
-    val n = base.count()
-    val step = math.max(1L, n / math.max(1L, 8L * k))
-    val wCell = Window.partitionBy(col("code")).orderBy(col("vid"))
-    var cent = base
-      .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
-      .withColumn("code", pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("code"), col("v").as("cent_v"))
-    for (_ <- 0 until iters) {
-      val c = broadcast(cent
-        .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
-      val assigned = base
-        .crossJoin(c)
-        .withColumn("d2",
-          col("cn2") - lit(2.0) * vectorDot(col("v"), col("cent_v")))
-        .groupBy(col("vid"))
-        .agg(min_by(struct(col("code"), col("v")),
-          struct(col("d2"), col("code"))).as("a"))
-        .select(col("a.code").as("code"), col("a.v").as("v"))
-      cent = assigned
-        .select(col("code"), posexplode(col("v")))
-        .groupBy(col("code"), col("pos"))
-        .agg(avg(col("col")).as("m"))
-        .groupBy(col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("code"),
-          transform(col("pm"), e => e.getField("m").cast("float")).as("cent_v"))
-    }
-    cent
-  }
 
   /** Nearest-centroid cell assignment: nearest `keep` centroids per
     * vector (broadcast join; keep=1 uses a partial-agg max_by instead of
