@@ -895,7 +895,7 @@ final class SnapshotTable(val root: Path,
       }
       val delRows = dvFold.map(_._3).getOrElse(n)
       val superseded = dvFold.map(_._4).getOrElse(Set.empty[String])
-      val dataStats = written.map(p => p -> FileStats.collect(p, statsSchema))
+      val dataStats = FileStats.collectAll(written, statsSchema)
       publishCommit { (v, cur) =>
         if (cur.map(_.version) != Some(m.version))
           throw concurrentCommit(cur.map(_.version).getOrElse(0L))
@@ -4073,8 +4073,9 @@ final class SnapshotTable(val root: Path,
       s"add_files: source file(s) already referenced by $root — " +
         "adopting twice would double their rows")
     // footer stats BEFORE the publish lock (same rationale as commitData)
+    val statsOf = FileStats.collectAll(withPartitions.map(_._1), schema).toMap
     val statted = withPartitions.map { case (p, pv) =>
-      (p.toString, pv, FileStats.collect(p, schema))
+      (p.toString, pv, statsOf(p))
     }
     val (carriedChunks, loose, _) = splitTouchedOf(m.files, Set.empty)
     publishCommit { (v, curOpt) =>
@@ -4288,8 +4289,9 @@ final class SnapshotTable(val root: Path,
     // the adopted files live INSIDE the root and must travel with a
     // RENAME TO directory move — an absolute record would keep naming
     // the old location and brick every read after the move.
+    val statsOf = FileStats.collectAll(withPartitions.map(_._1), schema).toMap
     val statted = withPartitions.map { case (p, pv) =>
-      (rootAbs.relativize(p).toString, pv, FileStats.collect(p, schema))
+      (rootAbs.relativize(p).toString, pv, statsOf(p))
     }
     publishCommit { (v, curOpt) =>
       if (curOpt.map(_.version) != Some(m.version))
@@ -5443,8 +5445,8 @@ final class SnapshotTable(val root: Path,
     val delSchema = StructType(
       target.schema.fields.filter(f => keys.contains(f.name)))
     // stats collected OUTSIDE the publish lock (see commitData)
-    val dataStats = written.map(p => p -> FileStats.collect(p, dataStatsSchema))
-    val delStats = delWritten.map(p => p -> FileStats.collect(p, delSchema))
+    val dataStats = FileStats.collectAll(written, dataStatsSchema)
+    val delStats = FileStats.collectAll(delWritten, delSchema)
     publishCommit { (v, cur) =>
       if (cur.map(_.version) != Some(m.version))
         throw concurrentCommit(cur.map(_.version).getOrElse(0L))
@@ -6725,8 +6727,7 @@ final class SnapshotTable(val root: Path,
     // footer stats don't depend on the commit version — collect them
     // BEFORE taking the publish lock, or a many-file commit serializes
     // every concurrent writer behind its footer reads
-    val statsByPath =
-      written.map(p => p -> FileStats.collect(p, statsSchema))
+    val statsByPath = FileStats.collectAll(written, statsSchema)
     publishCommit { (v, curOpt) =>
       val curV = curOpt.map(_.version).getOrElse(0L)
       val (carriedFiles, carriedChunkInfo, carriedDeletes) =
