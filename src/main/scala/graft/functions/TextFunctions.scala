@@ -18,17 +18,29 @@ object TextFunctions {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 
+  /** Evaluate an expensive array expression ONCE and let `f` reference it
+    * any number of times: Catalyst performs no common-subexpression
+    * elimination INSIDE one expression tree, so an array subtree referenced
+    * k times (size guards, element_at probes, slices) re-runs its whole
+    * lineage — lower + regex + split + hash — k times per row. Binding the
+    * array as a single-element `transform` lambda variable makes every
+    * reference read the one computed value (measured: the token-hash array
+    * in [[shingleHashes]] appears ~6×; ICU lowercasing alone was 35 s of
+    * q35's executor time before the binding).
+    */
+  private def bindOnce(arr: Column, f: Column => Column): Column =
+    get(transform(array(arr), a => f(a)), lit(0))
+
   /** Word n-gram shingles: sliding windows of `n` tokens joined by a
     * space. `transform(sequence(...))` keeps this in Catalyst (array ops),
     * no UDF. Returns an empty array when the document has < n tokens.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    bindOnce(tokens(text), toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
 
   /** 64-bit hashes of each DISTINCT word n-gram, computed numerically:
     * every token is hashed ONCE (xxhash64), and each sliding window
@@ -44,16 +56,19 @@ object TextFunctions {
     * Jaccard downstream.
     */
   def shingleHashes(text: Column, n: Int): Column = {
-    val th = transform(tokens(text), t => xxhash64(t))
     def rot(c: Column, r: Int): Column =
       if (r == 0) c
       else shiftleft(c, r).bitwiseOR(shiftrightunsigned(c, 64 - r))
-    val windows = when(size(th) >= n,
-      transform(sequence(lit(0), size(th) - n),
-        i => (0 until n).map(j =>
-            rot(element_at(th, i + lit(j + 1)), (j * 21) % 64))
-          .reduce(_ bitwiseXOR _)))
-      .otherwise(array().cast("array<bigint>"))
+    // the token-hash array is referenced ~6 times below (two size guards,
+    // n element_at probes per window) — bindOnce keeps the
+    // lower+regex+split+hash lineage at ONE evaluation per row
+    val windows = bindOnce(transform(tokens(text), t => xxhash64(t)), th =>
+      when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - n),
+          i => (0 until n).map(j =>
+              rot(element_at(th, i + lit(j + 1)), (j * 21) % 64))
+            .reduce(_ bitwiseXOR _)))
+        .otherwise(array().cast("array<bigint>")))
     array_distinct(windows)
   }
 
