@@ -115,7 +115,11 @@ object Bench {
       "q140_partition_stats", "q143_row_lineage", "q144_deletion_vectors",
       "q145_column_defaults", "q147_stream_dedup_watermark",
       "q148_lineage_changelog", "q151_variant_shred",
-      "q153_partition_stats_dv_debt")
+      "q153_partition_stats_dv_debt",
+      // r14 mid-build additions, classified this round: q158 is a
+      // multi-commit v3 table + two AvailableNow stream passes — the
+      // q143/q148 class
+      "q158_stream_lineage_cdc")
     // plan-bound queries that swung hardest with driver-JVM state in the
     // r7 round-of-record (BENCH_NOTES.md r8: q35 43.9s in-process vs
     // 5.3s same-code isolated) — isolated alongside the lifecycle set
@@ -124,7 +128,9 @@ object Bench {
       "q38_embed_topk", "q49_embed_top_pairs", "q53_dedup_clusters",
       "q83_semantic_dedup", "q124_embed_ann_pq", "q126_embed_ann_ivfpq",
       "q136_embed_ann_truncated", "q149_hard_negatives",
-      "q152_hard_negatives_ivf")
+      "q152_hard_negatives_ivf",
+      // r14 mid-build addition: the SQ8 ANN sibling of q124/q126/q136
+      "q157_embed_ann_sq8")
     // ONE attempt: each q137 attempt is three stateful micro-batch
     // passes with dual-stream state (12-21 s by design — the single
     // biggest line item of the r12 capture timeout)
@@ -144,7 +150,7 @@ object Bench {
       // 6.7-17s at sf0.1 under load — heavy enough to co-load-inflate
       // a shared child's later queries
       "q143_row_lineage", "q144_deletion_vectors",
-      "q148_lineage_changelog")
+      "q148_lineage_changelog", "q158_stream_lineage_cdc")
     // Isolation mode: lifecycle/heavy queries run in fresh child JVMs
     // (classpath + JVM flags inherited) — the accumulated-driver-state
     // swings (q60 r5 / q84 r6 / the q35-q53 block r7: 3-12× in-suite
