@@ -22,7 +22,8 @@ object Profile {
                       var end: Long = 0L,
                       var taskTimeMs: Long = 0L,
                       var shuffleRead: Long = 0L,
-                      var shuffleWrite: Long = 0L)
+                      var shuffleWrite: Long = 0L,
+                      var stages: List[String] = Nil)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val order = new java.util.concurrent.CopyOnWriteArrayList[Int]()
     val listener = new SparkListener {
@@ -45,20 +46,73 @@ object Profile {
           j.taskTimeMs += m.executorRunTime
           j.shuffleRead += m.shuffleReadMetrics.totalBytesRead
           j.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          j.stages ::= f"${e.stageInfo.name.take(46)}[${e.stageInfo.numTasks}t ${m.executorRunTime / 1000.0}%.1fs]"
         }
       }
     }
     spark.sparkContext.addSparkListener(listener)
 
+    // driver-gap attribution: sample the main thread's stack at 50 ms and
+    // bucket by the deepest graft/spark frame — tells us what the driver
+    // is doing when no Spark job runs (guide §7.3's thread-dump loop,
+    // automated)
+    val mainThread = Thread.currentThread()
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val execSamples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          // executor task threads: bucket the top interesting frame of
+          // every running task (local mode: same JVM)
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, est) =>
+            if (t.getName.startsWith("Executor task launch worker")) {
+              est.find { e =>
+                val c = e.getClassName
+                !c.startsWith("java.lang.Thread") && !c.contains("Unsafe") &&
+                  (c.startsWith("org.apache.") || c.startsWith("graft.") ||
+                    c.startsWith("java.") || c.startsWith("sun.") ||
+                    c.startsWith("com.github."))
+              }.foreach { e =>
+                val f = s"${e.getClassName.split('.').takeRight(2).mkString(".")}.${e.getMethodName}:${e.getLineNumber}"
+                execSamples.merge(f, 1, (a, b) => a + b)
+              }
+            }
+          }
+          val st = mainThread.getStackTrace
+          def fmt(e: StackTraceElement) =
+            s"${e.getClassName.split('.').takeRight(2).mkString(".")}.${e.getMethodName}:${e.getLineNumber}"
+          // top-most spark/jdk frame = WHAT runs; top-most graft frame
+          // (excluding the entry lambda) = WHERE it was called from
+          val what = st.find { e =>
+            val c = e.getClassName
+            (c.startsWith("org.apache.spark.") || c.startsWith("java.nio.") ||
+              c.startsWith("java.io.")) && !c.contains("Profile")
+          }.map(fmt).getOrElse("?")
+          val where = st.find { e =>
+            e.getClassName.startsWith("graft.") &&
+              !e.getClassName.contains("Profile")
+          }.map(fmt).getOrElse("-")
+          samples.merge(s"$what  <=  $where", 1, (a, b) => a + b)
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => prefixes.isEmpty || prefixes.exists(q._1.startsWith))
       .foreach { case (name, fn) =>
-        jobs.clear(); order.clear()
+        jobs.clear(); order.clear(); samples.clear(); execSamples.clear()
+        sampling = true
         val t0 = System.currentTimeMillis()
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           println(s"[profile] $name failed: ${e.getMessage}") }
         val t1 = System.currentTimeMillis()
+        sampling = false
         spark.catalog.clearCache()
         Thread.sleep(300) // let listener events drain
         val recs = order.toArray.map(id => jobs.get(id.asInstanceOf[Int]))
@@ -75,12 +129,22 @@ object Profile {
           val dur = (j.end - j.start) / 1000.0
           if (dur >= 0.2)
             println(f"  job ${j.id}%4d ${dur}%6.2f s  task ${j.taskTimeMs / 1000.0}%7.1f s  " +
-              f"shR ${j.shuffleRead / 1e6}%8.1f MB shW ${j.shuffleWrite / 1e6}%8.1f MB  ${j.desc.take(90)}")
+              f"shR ${j.shuffleRead / 1e6}%8.1f MB shW ${j.shuffleWrite / 1e6}%8.1f MB  " +
+              s"${j.stages.reverse.mkString(" | ").take(140)}  ${j.desc.take(60)}")
           prevEnd = math.max(prevEnd, j.end)
         }
         val tailGap = t1 - prevEnd
         gapTotal += math.max(0L, tailGap)
         println(f"  driver gaps total ${gapTotal / 1000.0}%.2f s of ${(t1 - t0) / 1000.0}%.2f s")
+        import scala.jdk.CollectionConverters._
+        println("  main-thread samples (50 ms each, top 18):")
+        samples.asScala.toSeq.sortBy(-_._2).take(18).foreach { case (f, n) =>
+          println(f"    ${n * 0.05}%6.2f s  $f")
+        }
+        println("  executor-thread samples (50 ms each, top 18; sums over concurrent tasks):")
+        execSamples.asScala.toSeq.sortBy(-_._2).take(18).foreach { case (f, n) =>
+          println(f"    ${n * 0.05}%6.2f s  $f")
+        }
       }
     spark.stop()
   }
