@@ -73,6 +73,52 @@ object PlanDump {
             .as("sh"))
     }
 
+    // ---- r15 stages (plans/r15/<label>_{before,after}.txt) ----
+
+    // 5. net changelog view (q138/q92 bootstrap class): before = two
+    //    exceptAll legs (each embedding BOTH survivor pipelines); after
+    //    = ONE ±1-netting aggregate shared by both legs via cache.
+    dump("changelog_net") {
+      val root = Files.createTempDirectory("graft-pd-net-").toString
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      orders.createOrReplaceTempView("graft_pd_net_src")
+      spark.sql(s"CREATE TABLE graft.`$root` AS SELECT * FROM graft_pd_net_src")
+      spark.sql(s"UPDATE graft.`$root` SET o_totalprice = o_totalprice + 1" +
+        " WHERE o_orderkey % 5 = 0")
+      spark.sql(s"DELETE FROM graft.`$root` WHERE o_orderkey % 7 = 0")
+      val t = graft.table.SnapshotTable.at(root)
+      t.readChangelogNet(spark, 1L, t.currentVersion)
+    }
+
+    // 6. merge resolve (q14-q17/q25/q95 class): before = anti join +
+    //    semi join of the change batch against target keys (two key
+    //    joins); after = one distinct + one left join, filter-classified.
+    dump("merge_apply") {
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val changes = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn(graft.core.MetaColumns.Op,
+          when(col("o_orderkey") % 10 === 0, lit("U")).otherwise(lit("D")))
+      graft.merge.Merge(orders, changes, Seq("o_orderkey"),
+        keepDeletes = false)
+    }
+
+    // 7. gopher quality rules (q142 class): before = the trim/split
+    //    token + line arrays re-evaluated per consuming output column;
+    //    after = one Generate evaluating each array once per row.
+    dump("gopher_rules") {
+      graft.operators.TextAnalysis.gopherQualityRules(
+        spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+    }
+
+    // 8. C4 line filter (q154 class): same no-CSE pattern as 7 on the
+    //    line array (split + filter chain).
+    dump("line_filter") {
+      graft.operators.TextAnalysis.lineFilter(
+        spark.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+    }
+
     spark.stop()
   }
 }

@@ -103,46 +103,102 @@ object NetDiff {
     case _ => c
   }
 
+  /** The signed-multiplicity column [[netted]] appends: per distinct
+    * row, `count(after) - count(before)` (never 0 — zeros are the
+    * unchanged rows and filter out).
+    */
+  val NetCol = "_graft_net"
+
+  /** Step caches this object created and has not yet released. The
+    * returned frames are LAZY, so NetDiff itself has no materialization
+    * point to pair an unpersist with — engine-internal consumers that DO
+    * fully materialize a feed (applyChangelog's merge/commit) call
+    * [[releaseCaches]] when done; Verify/Bench clear per-query caches
+    * centrally; a long-lived session walking many changelog steps can
+    * call it explicitly. Unpersisting is always correctness-safe (a
+    * released frame recomputes), so the global registry needs no
+    * per-consumer scoping.
+    */
+  private val stepCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def reg(df: DataFrame): DataFrame = { stepCaches.add(df); df }
+
+  /** Unpersist every step cache created since the last release. */
+  def releaseCaches(): Unit = {
+    var df = stepCaches.poll()
+    while (df != null) { df.unpersist(false); df = stepCaches.poll() }
+  }
+
   /** (after \ before, before \ after), multiset semantics — exactly
     * `(after.exceptAll(before), before.exceptAll(after))` but with the
-    * fingerprint-bounded shuffle above. Schemas must already align
-    * (same columns, same order), as exceptAll requires.
+    * fingerprint-bounded shuffle above, and BOTH legs derived from the
+    * ONE ±1-netting aggregation of [[netted]] (two `exceptAll`s would
+    * each union both sides and aggregate — the same pass twice).
+    * Schemas must already align (same columns, same order), as
+    * exceptAll requires.
     */
   def diff(before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
+    // both legs reference the netting aggregate → cache it (changed-row
+    // volume; registered for release like every step cache)
+    val n = reg(netted(before, after).cache())
+    val net = col(NetCol)
+    def leg(keep: Column, mult: Column): DataFrame =
+      n.filter(keep)
+        .withColumn(NetCol, explode(sequence(lit(1L), mult)))
+        .drop(NetCol)
+    (leg(net > 0, net), leg(net < 0, -net))
+  }
+
+  /** The single-pass NET of `after` vs `before`: one row per distinct
+    * row whose multiplicity CHANGED, carrying the signed delta in
+    * [[NetCol]] (`> 0` = net-inserted that many times, `< 0` =
+    * net-deleted). This is the ±1-tagged groupBy both `exceptAll` legs
+    * share — consumers that classify rather than replicate (the keyed
+    * changelog's update pairing) read it directly and skip the
+    * replication explode entirely. Uncached: single-reference consumers
+    * pay one pass; [[diff]] caches its own copy.
+    */
+  def netted(before: DataFrame, after: DataFrame): DataFrame = {
     val schema = before.schema
     val variantCols = schema.fields.filter(f => hasVariant(f.dataType))
     require(variantCols.isEmpty,
       s"NetDiff: column(s) ${variantCols.map(_.name).mkString(", ")} contain " +
         "VARIANT, which defines no equality — a row diff over them is " +
         "meaningless. Project them away (or cast to a comparable type) first.")
+    require(!schema.fieldNames.contains(NetCol),
+      s"NetDiff: input already carries a $NetCol column")
     if (schema.fields.exists(f => hasMap(f.dataType))) {
       def canonDf(df: DataFrame): DataFrame =
         df.select(schema.fields.toSeq.map(f =>
           canon(col(f.name), f.dataType).as(f.name)): _*)
-      val (ins, del) = diffHashable(canonDf(before), canonDf(after))
-      def restoreDf(df: DataFrame): DataFrame =
-        df.select(schema.fields.toSeq.map(f =>
-          restore(col(f.name), f.dataType).as(f.name)): _*)
-      (restoreDf(ins), restoreDf(del))
-    } else diffHashable(before, after)
+      val n = nettedHashable(canonDf(before), canonDf(after))
+      n.select(schema.fields.toSeq.map(f =>
+        restore(col(f.name), f.dataType).as(f.name)) :+ col(NetCol): _*)
+    } else nettedHashable(before, after)
   }
 
   /** The fingerprint pre-pass proper; callers guarantee map-free inputs.
     *
-    * The changed-fingerprint set and both survivor sides are CACHED:
-    * every downstream consumer references the two returned legs several
-    * times (the keyed changelog joins each leg against the other's keys
-    * twice; a union evaluates both legs, and each leg's `exceptAll`
-    * contains BOTH survivor pipelines), so without the caches the
-    * full-span scans and fingerprint aggregations re-execute once per
-    * reference — measured 4-8 re-scans per changelog step at sf0.1.
-    * All three frames are changed-row volume (the whole point of the
-    * pre-pass), so the memory is bounded by the diff size, never the
-    * span; Verify/Bench clear per-query caches centrally (the repo's
-    * internal-cache convention).
+    * The changed-fingerprint set is CACHED (both survivor semi-joins
+    * probe it — without the cache the fingerprint aggregations and
+    * their full-span scans re-execute once per side). The survivors
+    * then flow through ONE ±1-tagged aggregation: `after` rows count
+    * +1, `before` rows −1, group by every column, keep non-zero sums —
+    * per distinct row exactly `count(after) − count(before)`, the
+    * signed multiset delta both exceptAll legs encode (Spark's own
+    * RewriteExceptAll is this same union-aggregate-replicate shape, but
+    * an exceptAll per leg runs the aggregation TWICE over both sides —
+    * measured as the two full-row Exchanges in
+    * plans/r15/changelog_net_before.txt). All cached frames are
+    * changed-row volume (the whole point of the pre-pass), so the
+    * memory is bounded by the diff size, never the span; Verify/Bench
+    * clear per-query caches centrally (the repo's internal-cache
+    * convention) and [[releaseCaches]] releases between queries in
+    * long-lived sessions.
     */
-  private def diffHashable(
-      before: DataFrame, after: DataFrame): (DataFrame, DataFrame) = {
+  private def nettedHashable(
+      before: DataFrame, after: DataFrame): DataFrame = {
     val outCols = before.columns.toSeq
     val fp1 = "_graft_fp1"
     val fp2 = "_graft_fp2"
@@ -154,17 +210,17 @@ object NetDiff {
     val af = withFp(after)
     def counts(df: DataFrame, as: String): DataFrame =
       df.groupBy(fp1, fp2).agg(count(lit(1)).as(as))
-    val changed = counts(af, "ca")
+    val changed = reg(counts(af, "ca")
       .join(counts(bf, "cb"), Seq(fp1, fp2), "full_outer")
       .filter(coalesce(col("ca"), lit(0L)) =!= coalesce(col("cb"), lit(0L)))
       .select(fp1, fp2)
-      .cache()
-    val insSide = af.join(changed, Seq(fp1, fp2), "left_semi")
-      .select(outCols.map(col): _*)
-      .cache()
-    val delSide = bf.join(changed, Seq(fp1, fp2), "left_semi")
-      .select(outCols.map(col): _*)
-      .cache()
-    (insSide.exceptAll(delSide), delSide.exceptAll(insSide))
+      .cache())
+    def survivors(df: DataFrame, tag: Int): DataFrame =
+      df.join(changed, Seq(fp1, fp2), "left_semi")
+        .select(outCols.map(col) :+ lit(tag.toLong).as(NetCol): _*)
+    survivors(af, 1).unionByName(survivors(bf, -1))
+      .groupBy(outCols.map(col): _*)
+      .agg(sum(NetCol).as(NetCol))
+      .filter(col(NetCol) =!= 0L)
   }
 }

@@ -2813,20 +2813,39 @@ final class SnapshotTable(val root: Path,
             prevOpt.get.copy(files = fRem ++ dirty)), prevOpt.get.version)
           val after = align(readManifest(spark,
             curM.copy(files = fAdd ++ dirty)), v)
-          val (ins, del) = NetDiff.diff(before, after)
-          if (keys.isEmpty)
+          if (keys.isEmpty) {
+            val (ins, del) = NetDiff.diff(before, after)
             Some(tag(ins, "insert", v, ts)
               .unionByName(tag(del, "delete", v, ts)))
-          else {
-            val insKeys = ins.select(keys.map(col): _*)
-            val delKeys = del.select(keys.map(col): _*)
-            Some(Seq(
-              tag(ins.join(delKeys, keys, "left_anti"), "insert", v, ts),
-              tag(ins.join(delKeys, keys, "left_semi"),
-                "update_postimage", v, ts),
-              tag(del.join(insKeys, keys, "left_anti"), "delete", v, ts),
-              tag(del.join(insKeys, keys, "left_semi"),
-                "update_preimage", v, ts)).reduce(_ unionByName _))
+          } else {
+            // keyed update pairing over the SINGLE-PASS net: an insert
+            // and a delete sharing a key pair into update post/pre
+            // images. One key window classifies every netted row where
+            // the old shape joined each exceptAll leg against the
+            // other's keys (4 key joins per step, each leg evaluated
+            // twice). Join semantics preserved exactly: NULL keys never
+            // equi-join, so a row with ANY null key classifies
+            // insert/delete regardless of what else its window
+            // partition (which GROUPS nulls together) holds.
+            import org.apache.spark.sql.expressions.Window
+            val netted = NetDiff.netted(before, after)
+            val net = col(NetDiff.NetCol)
+            val w = Window.partitionBy(keys.map(col): _*)
+            val hasIns = max(when(net > 0, 1).otherwise(0)).over(w)
+            val hasDel = max(when(net < 0, 1).otherwise(0)).over(w)
+            val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+            Some(netted
+              .withColumn(changeType,
+                when(net > 0,
+                  when(!anyNullKey && hasDel === 1, lit("update_postimage"))
+                    .otherwise(lit("insert")))
+                .otherwise(
+                  when(!anyNullKey && hasIns === 1, lit("update_preimage"))
+                    .otherwise(lit("delete"))))
+              .withColumn(NetDiff.NetCol,
+                explode(sequence(lit(1L), abs(net))))
+              .withColumn(commitVer, lit(v)).withColumn(commitTs, lit(ts))
+              .drop(NetDiff.NetCol))
           }
         }
       }
@@ -2901,7 +2920,15 @@ final class SnapshotTable(val root: Path,
               .otherwise(lit("U")))
           .select((dataCols.map(col) :+ col(graft.core.MetaColumns.Op)): _*)
         return merge(spark, changes, keys, keepDeletes = false, nowMs)
-      } finally latest.unpersist()
+      } finally {
+        latest.unpersist()
+        // the feed is fully materialized by the merge commit above —
+        // release the NetDiff step caches a changelog-built feed left
+        // behind (verdict r14: 3 cached frames per step with no release
+        // until session cache-clear; recompute-on-reuse is the only
+        // cost if the caller re-reads the feed)
+        NetDiff.releaseCaches()
+      }
     }
     val ins = feed.filter(col("_change_type")
         .isin("insert", "update_postimage"))
@@ -2922,20 +2949,23 @@ final class SnapshotTable(val root: Path,
     // Callers with an expensive feed plan can persist it first. Column-
     // set mismatch (evolution drift between feed and target) falls
     // through to the general rewrite, whose unionByName resolves it.
-    if (del.isEmpty) {
-      if (!exists) return createOrReplace(ins, Nil, Map.empty, nowMs)
-      val tgtCols = StructType.fromDDL(currentManifest.schemaDdl).fieldNames
-      if (tgtCols.map(_.toLowerCase).toSet ==
-          dataCols.map(_.toLowerCase).toSet)
-        return append(spark, ins.select(tgtCols.map(col): _*), nowMs)
-    }
-    val (base, pcols, props) =
-      if (!exists) (ins.limit(0), Nil, Map.empty[String, String])
-      else {
-        val m = currentManifest
-        (read(spark), m.partitionColumns, m.properties)
+    try {
+      if (del.isEmpty) {
+        if (!exists) return createOrReplace(ins, Nil, Map.empty, nowMs)
+        val tgtCols = StructType.fromDDL(currentManifest.schemaDdl).fieldNames
+        if (tgtCols.map(_.toLowerCase).toSet ==
+            dataCols.map(_.toLowerCase).toSet)
+          return append(spark, ins.select(tgtCols.map(col): _*), nowMs)
       }
-    createOrReplace(base.unionByName(ins).exceptAll(del), pcols, props, nowMs)
+      val (base, pcols, props) =
+        if (!exists) (ins.limit(0), Nil, Map.empty[String, String])
+        else {
+          val m = currentManifest
+          (read(spark), m.partitionColumns, m.properties)
+        }
+      createOrReplace(base.unionByName(ins).exceptAll(del), pcols, props,
+        nowMs)
+    } finally NetDiff.releaseCaches() // feed fully consumed by the commit
   }
 
   /** Time travel by wall clock (Iceberg `TIMESTAMP AS OF`): the latest

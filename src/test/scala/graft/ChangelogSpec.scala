@@ -110,6 +110,35 @@ class ChangelogSpec extends SparkSpec {
       col("s") === "pos").count() == 1)
   }
 
+  test("keyed pairing: NULL keys classify insert/delete, one window pass") {
+    // The r15 keyed classifier replaced the 4 key joins per step with one
+    // key window over the ±1 net. Joins never match NULL keys; a window
+    // GROUPS them — so a null-key delete and a null-key insert in one
+    // step must still classify insert/delete, never update images.
+    val (_, t) = fresh("graft-cdc-nullkey-")
+    t.createOrReplace(Seq((Some(1L), "a"), (None, "x"))
+      .toDF("id", "s"), Nil, nowMs = 1000L)                      // v1
+    t.updateWhere(spark, Seq("s" -> concat(col("s"), lit("!"))),
+      col("s").isin("a", "x"), nowMs = 2000L)                    // v2
+    val cl = t.readChangelog(spark, 1L, 2L, keys = Seq("id"))
+    val byType = cl.collect().groupBy(_.getAs[String]("_change_type"))
+      .view.mapValues(_.map(r => (Option(r.get(0)), r.getString(1))).toSet)
+      .toMap
+    assert(byType("update_preimage") == Set((Some(1L), "a")))
+    assert(byType("update_postimage") == Set((Some(1L), "a!")))
+    assert(byType("insert") == Set((None, "x!")),
+      "null-key rows must never pair into updates (join semantics)")
+    assert(byType("delete") == Set((None, "x")))
+    // structural pin: the keyed step classifies via a Window over the
+    // netted rows — no anti/semi join on the identifier keys remains
+    // (the only joins left are the fingerprint pre-pass semi joins and
+    // the changed-set full outer)
+    val plan = cl.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "keyed pairing must be a window pass")
+    assert(!plan.contains("LeftAnti"),
+      "no key anti-join may survive the netted keyed classifier")
+  }
+
   test("schema evolution: old steps null-fill; operations are recorded") {
     val (_, t) = fresh("graft-cdc-evo-")
     t.createOrReplace(rows(1 to 50), Nil, nowMs = 1000L)         // v1
