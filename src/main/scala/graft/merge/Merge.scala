@@ -87,15 +87,28 @@ object Merge {
       if (insertsPreverified) {
         if (keepDeletes) flagged else flagged.filter(col(Op) =!= "D")
       } else {
-        val tKeys = target.select(keys.map(col): _*)
-        val notMatched = flagged.join(tKeys, keys, "left_anti") // INSERT *, any op
-        val matchedApplied = {
-          val matched = flagged.join(tKeys, keys, "left_semi")
-          val updates = matched.filter(col(Op) === "U")
-          if (keepDeletes) updates.unionByName(matched.filter(col(Op) === "D"))
-          else updates // matched D → DELETE; matched I → no clause
-        }
-        notMatched.unionByName(matchedApplied)
+        // ONE matched-probe join instead of an anti + a semi (r15): the
+        // change batch used to shuffle/scan twice and the target's key
+        // projection fed two joins. A left join against the DISTINCT
+        // target keys marks each change row matched/not-matched in one
+        // pass (distinct is required — duplicate target keys would fan
+        // the change rows out), and the clause algebra becomes a filter:
+        // not-matched inserts any op; matched keeps U (and D under
+        // keepDeletes); matched I matches no clause. NULL-key change
+        // rows never equi-join and stay not-matched — exactly the old
+        // anti-join behavior.
+        val matchFlag = "__graft_matched"
+        val tKeys = target.select(keys.map(col): _*).distinct()
+          .withColumn(matchFlag, lit(true))
+        val matchedKept =
+          if (keepDeletes) col(Op) === "U" || col(Op) === "D"
+          else col(Op) === "U" // matched D → DELETE; matched I → no clause
+        flagged.join(tKeys, keys, "left")
+          .filter(col(matchFlag).isNull || matchedKept)
+          // a using-columns join fronts the key columns — restore the
+          // change batch's own column order (callers select by name,
+          // but mergeMoR writes `applied` as data files positionally)
+          .select(flagged.columns.toSeq.map(col): _*)
       }
     val evictKeys = flagged.filter(col(Op) =!= "I")
       .select(keys.map(col): _*).distinct()

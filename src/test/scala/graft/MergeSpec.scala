@@ -150,4 +150,32 @@ class MergeSpec extends SparkSpec {
     val out = Ingestion.applyMode(source, target, cfg)
     assert(out.exceptAll(source).unionByName(source.exceptAll(out)).count() == 0)
   }
+
+  test("merge plan: one matched-probe join, change batch scanned once") {
+    // r15 exchange-sharing pin: the clause resolution is ONE outer join
+    // against the distinct target keys (was an anti + a semi — the
+    // change batch shuffled/scanned twice), plus the untouched-rows
+    // anti join. Exactly 2 joins total, and duplicate-key targets still
+    // collapse to ONE applied row per change (the distinct's job).
+    val tgt = Seq(
+      (1L, "a", ts("2026-01-01 00:00:00"), 10.0),
+      (1L, "a", ts("2026-01-01 00:00:00"), 11.0), // duplicate target key
+      (2L, "b", ts("2026-01-01 00:00:00"), 20.0)
+    ).toDF("k1", "k2", "updated_at", "v")
+    val changes = Seq(
+      (1L, "a", ts("2026-02-01 00:00:00"), 99.0, "U"),
+      (2L, "b", ts("2026-02-01 00:00:00"), 0.0, "D"),
+      (5L, "c", ts("2026-02-01 00:00:00"), 50.0, "I")
+    ).toDF("k1", "k2", "updated_at", "v", "op")
+    val merged = Merge(tgt, changes, keys, keepDeletes = false)
+    val out = merged.select("k1", "v").as[(Long, Double)].collect().toSeq
+      .sorted
+    // both copies of key (1,a) evict; ONE updated row replaces them
+    assert(out == Seq((1L, 99.0), (5L, 50.0)))
+    val plan = merged.queryExecution.executedPlan.toString
+    assert("(?i)join".r.findAllIn(plan).size >= 1)
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size == 2,
+      s"merge must plan exactly 2 joins (untouched anti + matched probe):\n$plan")
+  }
 }
