@@ -72,13 +72,15 @@ object Similarity {
     val n = base.count()
     // ~8 sampled rows per cell so every cell is occupied w.h.p.
     val step = math.max(1L, n / math.max(1L, 8L * k))
-    val wCell = Window.partitionBy(col("cell_id")).orderBy(col("vid"))
+    // min-vid representative per cell via partial-agg min_by — the same
+    // row the old row_number-over-vid window picked (vids unique), no
+    // window shuffle-sort (r15)
     var cent = base
       .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
       .withColumn("cell_id", pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("cell_id"), col("v").as("cent_v"))
+      .groupBy(col("cell_id"))
+      .agg(min_by(col("v"), col("vid")).as("cent_v"))
+      .select(col("cell_id"), col("cent_v"))
     for (_ <- 0 until iters) {
       val c = broadcast(cent.withColumn("cent_n", vectorNorm(col("cent_v"))))
       // per-vector argmax via max_by: partial-agg friendly — a window
@@ -247,10 +249,17 @@ object Similarity {
     */
   def trainPqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
                        m: Int, k: Int, iters: Int): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+    val unit = normalized(embeddings, idCol, vecCol)
+    // ONE action probes dim AND the sample-sizing count (r15: they were
+    // two separate jobs — each Spark action pays its own planning/AQE
+    // constant). min(size) over the normalized rows equals the old
+    // first-row probe on every fixed-dim corpus; an empty/all-zero
+    // corpus reads dim 0 and falls through to empty books like before.
+    val probe = unit.agg(count(lit(1)), min(size(col("v")))).head
+    val n = probe.getLong(0)
+    val dim = if (probe.isNullAt(1)) 0 else probe.getInt(1)
     require(dim % m == 0, s"dim $dim must divide into $m equal blocks")
     val blockLen = dim / m
-    val unit = normalized(embeddings, idCol, vecCol)
     // ONE blocked Lloyd for all m quantizers: `block` rides the key
     // through init, assignment and recentering, so each iteration is ONE
     // broadcast (m·k codewords) + ONE (block, code, pos)-keyed shuffle —
@@ -265,17 +274,17 @@ object Similarity {
       .withColumn("block", explode(sequence(lit(0), lit(m - 1))))
       .select(col("vid"), col("block"),
         slice(col("v"), col("block") * blockLen + 1, lit(blockLen)).as("v"))
-    val n = unit.count()
     val step = math.max(1L, n / math.max(1L, 8L * k))
-    val wCell = Window.partitionBy(col("block"), col("code"))
-      .orderBy(col("vid"))
+    // min-vid representative per (block, code) via partial-agg min_by —
+    // the same row the old row_number-over-vid window picked (vids are
+    // unique), without the window's full shuffle-sort (r15)
     var cent = base
       .filter(pmod(xxhash64(col("vid")), lit(step)) === 0)
       .withColumn("code",
         pmod(xxhash64(col("vid"), lit(1)), lit(k.toLong)).cast("int"))
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select(col("block"), col("code"), col("v").as("cent_v"))
+      .groupBy(col("block"), col("code"))
+      .agg(min_by(col("v"), col("vid")).as("cent_v"))
+      .select(col("block"), col("code"), col("cent_v"))
     for (_ <- 0 until iters) {
       val c = broadcast(cent
         .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
@@ -306,8 +315,17 @@ object Similarity {
     * window sort. Output `(idCol, codes array<int>)`.
     */
   def encodePq(embeddings: DataFrame, codebooks: DataFrame,
-               idCol: String, vecCol: String, m: Int): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head.getInt(0)
+               idCol: String, vecCol: String, m: Int): DataFrame =
+    encodePq(embeddings, codebooks, idCol, vecCol, m,
+      embeddings.select(size(col(vecCol))).head.getInt(0))
+
+  /** [[encodePq]] with the caller's already-probed `dim` — the probe is
+    * a full Spark action (planning + one job), and pqTopK/ivfPqTopK had
+    * already paid it (r15: three probes per ANN query → one).
+    */
+  private def encodePq(embeddings: DataFrame, codebooks: DataFrame,
+                       idCol: String, vecCol: String, m: Int,
+                       dim: Int): DataFrame = {
     val blockLen = dim / m
     val cb = broadcast(codebooks
       .withColumn("cn2", vectorDot(col("cent_v"), col("cent_v"))))
@@ -348,7 +366,7 @@ object Similarity {
     // (stride probe, encode, query tables) — materialize it once
     val cb0 = codebooks.cache()
     val stride = adcStride(cb0)
-    val codes = encodePq(embeddings, cb0, idCol, vecCol, m)
+    val codes = encodePq(embeddings, cb0, idCol, vecCol, m, dim)
       .withColumnRenamed(idCol, "neighbor_id")
     val qTabs = broadcast(
       adcTables(queries, cb0, idCol, vecCol, m, blockLen, stride))
@@ -678,7 +696,7 @@ object Similarity {
     // id-join of the two per-vector derivations
     val cells = assignCells(cent, embeddings, idCol, vecCol, 1)
       .select(col(idCol), col("cell_id"))
-    val index = encodePq(embeddings, cb0, idCol, vecCol, m)
+    val index = encodePq(embeddings, cb0, idCol, vecCol, m, dim)
       .join(cells, Seq(idCol))
       .select(col(idCol).as("neighbor_id"), col("cell_id"), col("codes"))
     // query side: probed cells × per-query ADC dot tables, broadcast
