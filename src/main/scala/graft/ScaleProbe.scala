@@ -492,6 +492,33 @@ object ScaleProbe {
           v3.rowCount(spark).getOrElse(
             sys.error("a pending DV must not decline the meta count"))
         }
+        // r15 scale envelope: DENSE debt (25% of every file tombstoned)
+        // read twice — the broadcast-map fast path vs the distributed
+        // (path, pos) anti-join the read falls back to past the
+        // configured byte bound (forced here). At a real high-density
+        // census the fallback is what keeps the driver/executors from
+        // holding every pending vector; counts must agree exactly.
+        var denseDvBytes = 0L
+        timed("v3_dv_delete_25pct") {
+          val m = v3.deleteWherePositional(spark,
+            pmod(col("l_orderkey"), lit(4)) === 1)
+          denseDvBytes = m.deleteFiles.filter(_.dv)
+            .map(d => java.nio.file.Files.size(v3.root.resolve(d.path))).sum
+          m.deleteFiles.count(_.dv).toLong
+        }
+        println(s"""{"stage":"v3_dense_dv_bytes","bytes":$denseDvBytes}""")
+        var nBroadcast = 0L
+        var nFallback = 0L
+        timed("v3_dense_dv_read_broadcast") {
+          nBroadcast = v3.read(spark).count(); nBroadcast
+        }
+        spark.conf.set("graft.read.dv.broadcast-max-bytes", "1")
+        try timed("v3_dense_dv_read_distributed_antijoin") {
+          nFallback = v3.read(spark).count(); nFallback
+        }
+        finally spark.conf.unset("graft.read.dv.broadcast-max-bytes")
+        require(nBroadcast == nFallback,
+          s"DV fallback read diverged: $nBroadcast vs $nFallback")
       }
 
       bloomStage(spark, withP)

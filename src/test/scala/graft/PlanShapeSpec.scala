@@ -264,4 +264,31 @@ class PlanShapeSpec extends SparkSpec {
       s"DV masking must probe a broadcast map, never join:\n${plan.take(2000)}")
     assert(df.count() == 1980)
   }
+
+  test("DV debt past the broadcast bound reads via distributed anti-join") {
+    // r15 scale envelope: the broadcast map is O(total pending DV bytes)
+    // on the driver AND every executor — past the configurable bound the
+    // read must serve the same rows through a distributed (path, pos)
+    // anti-join instead (vectors explode executor-side; nothing
+    // table-sized is ever collected). Forcing the bound to 1 byte takes
+    // the fallback on a small fixture; rows must match the fast path.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planshape-dvfb-").toString
+    val t = graft.table.SnapshotTable.at(root)
+    t.createOrReplace((1 to 2000).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "v"), properties = Map("format-version" -> "3"))
+    t.deleteWherePositional(spark, col("id") % 100 === 0L)
+    val fast = t.read(spark).orderBy("id").collect()
+    spark.conf.set("graft.read.dv.broadcast-max-bytes", "1")
+    try {
+      val df = t.read(spark)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(plan.contains("LeftAnti"),
+        s"past the bound the mask must become an anti-join:\n${plan.take(2000)}")
+      assert(!plan.contains("dv_mask_contains"),
+        "the broadcast probe must not also run on the fallback path")
+      assert(df.orderBy("id").collect().toSeq == fast.toSeq,
+        "fallback and broadcast paths must read identical rows")
+    } finally spark.conf.unset("graft.read.dv.broadcast-max-bytes")
+  }
 }
