@@ -15,8 +15,28 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of the normalized text.
+    *
+    * FUSED (r15): one regex `split` on the separator-class complement
+    * replaces the old regexp_replace → trim → split(" ") chain — the
+    * same token list without materializing the normalized string per
+    * row (the chain runs per document inside every shingle expression).
+    * Exact equivalence with the old form, proven property-wise in
+    * TextFunctionsSpec and by the oracle over the 13 shingle consumers:
+    *   - a run of non-alphanumerics is one separator either way;
+    *   - leading/trailing separators produce leading/trailing EMPTY
+    *     fragments under split (Spark keeps trailing empties,
+    *     limit = -1), filtered out exactly as the old trim+collapse
+    *     dropped them;
+    *   - a document with NO alphanumeric at all normalized to "" and
+    *     split to [""] under the old form — the `when` reproduces that
+    *     single-empty-token sentinel bit-for-bit (size guards and
+    *     element hashes downstream see identical input);
+    *   - NULL stays NULL (split/filter/when all propagate).
+    */
+  def tokens(text: Column): Column =
+    bindOnce(filter(split(lower(text), "[^a-z0-9]+"), x => x =!= ""), r =>
+      when(size(r) === 0, array(lit(""))).otherwise(r))
 
   /** Evaluate an expensive array expression ONCE and let `f` reference it
     * any number of times: Catalyst performs no common-subexpression

@@ -17,6 +17,29 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs =
     spark.read.parquet(sf() + "/documents.parquet").cache()
 
+  test("fused tokens() ≡ replace-trim-split on every edge class + corpus") {
+    // r15 proof artifact for the tokens() regex fusion: the old
+    // normalize-then-split formulation is the executable specification;
+    // the fused single-split must equal it ROW-FOR-ROW over (a) an
+    // adversarial edge corpus — empty, NULL, all-separator, leading/
+    // trailing/multi-separator runs, unicode, digits — and (b) every
+    // real document of the test corpus (the generator's alphabet).
+    val spec = split(
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ")
+    val edges = Seq(
+      "", "   ", "...", "a", "a b", " a  b ", "..a..b..", "A.B",
+      "héllo wörld", "ÀÉÎ", "a1b2", "123", "\n\t a \n b \t", "日本語 text",
+      "x", "-", "a-b-c", "ALL CAPS!", "mixed_Case-42", null
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(edges)
+    val diff = corpus.select($"doc_id", spec.as("a"),
+        graft.functions.TextFunctions.tokens($"text").as("b"))
+      .filter(!($"a" <=> $"b"))
+    assert(diff.isEmpty,
+      s"fused tokens diverged from the spec:\n${diff.take(5).mkString("\n")}")
+  }
+
   test("minhash-LSH finds every high-jaccard pair that brute force finds") {
     // brute-force exact pairs at threshold 0.7 (no blocking: 500 docs)
     val sh = docs.select($"doc_id".as("id"),
