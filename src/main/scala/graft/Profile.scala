@@ -78,6 +78,18 @@ object Profile {
                 val f = s"${e.getClassName.split('.').takeRight(2).mkString(".")}.${e.getMethodName}:${e.getLineNumber}"
                 execSamples.merge(f, 1, (a, b) => a + b)
               }
+              // SPARK_GRAFT_PROFILE_STACK=<substr>: record the FULL
+              // stack of any executor thread whose frames mention the
+              // substring — attribution for opaque JDK frames (GZIP,
+              // Cleaner) the one-frame bucket can't explain
+              sys.env.get("SPARK_GRAFT_PROFILE_STACK").foreach { pat =>
+                if (est.exists(_.getClassName.contains(pat))) {
+                  val full = est.take(24).map(x =>
+                    s"${x.getClassName}.${x.getMethodName}:${x.getLineNumber}")
+                    .mkString(" | ")
+                  execSamples.merge("FULLSTACK " + full, 1, (a, b) => a + b)
+                }
+              }
             }
           }
           val st = mainThread.getStackTrace
