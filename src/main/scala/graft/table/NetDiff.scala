@@ -44,14 +44,14 @@ import org.apache.spark.sql.types._
 object NetDiff {
 
   /** Does this type contain a map anywhere (needs the canonical twin)? */
-  private def hasMap(dt: DataType): Boolean = dt match {
+  private[table] def hasMap(dt: DataType): Boolean = dt match {
     case _: MapType    => true
     case s: StructType => s.fields.exists(f => hasMap(f.dataType))
     case a: ArrayType  => hasMap(a.elementType)
     case _             => false
   }
 
-  private def hasVariant(dt: DataType): Boolean = dt match {
+  private[table] def hasVariant(dt: DataType): Boolean = dt match {
     case _: VariantType => true
     case m: MapType     => hasVariant(m.keyType) || hasVariant(m.valueType)
     case s: StructType  => s.fields.exists(f => hasVariant(f.dataType))
@@ -176,6 +176,43 @@ object NetDiff {
       n.select(schema.fields.toSeq.map(f =>
         restore(col(f.name), f.dataType).as(f.name)) :+ col(NetCol): _*)
     } else nettedHashable(before, after)
+  }
+
+  /** ONE-SIDED multiset subtraction `a ∖ b` (exactly `a.exceptAll(b)`)
+    * with the big side NEVER full-row-shuffled when `b` is small: rows
+    * of `a` whose fingerprint appears nowhere in `b` cannot equal any
+    * `b` row (row equality ⇒ fingerprint equality) and PASS THROUGH
+    * map-side; only the fp-matching slice runs the exact `exceptAll`.
+    * The applyChangelog shape — `table ∪ inserts ∖ deletes` — subtracts
+    * a changed-row-sized `b` from a TABLE-sized `a`: plain exceptAll
+    * hash-partitions every wide row of both sides, this shuffles the
+    * deletes' fingerprints plus the (tiny) matching slice (guide §2.3 /
+    * §8: decide with a lightweight proxy, move heavy bytes once). When
+    * `b`'s fp set outgrows the broadcast threshold the anti/semi joins
+    * degrade to an fp-keyed shuffle of `a` — still narrower keys than
+    * all-columns hashing, never worse. Non-hashable schemas (maps —
+    * Spark refuses both hashing and set ops; VARIANT) fall back to
+    * plain `exceptAll`, preserving today's behavior exactly.
+    */
+  def subtractAll(a: DataFrame, b: DataFrame): DataFrame = {
+    val schema = a.schema
+    val hashable = !schema.fields.exists(f =>
+      hasMap(f.dataType) || hasVariant(f.dataType))
+    if (!hashable) return a.exceptAll(b)
+    val outCols = a.columns.toSeq
+    val fp1 = "_graft_fp1"
+    val fp2 = "_graft_fp2"
+    def withFp(df: DataFrame): DataFrame = {
+      val cs: Seq[Column] = df.columns.toSeq.map(col)
+      df.withColumn(fp1, xxhash64(cs: _*)).withColumn(fp2, hash(cs: _*))
+    }
+    val af = withFp(a)
+    val bFps = withFp(b).select(fp1, fp2).distinct()
+    val pass = af.join(bFps, Seq(fp1, fp2), "left_anti")
+      .select(outCols.map(col): _*)
+    val hot = af.join(bFps, Seq(fp1, fp2), "left_semi")
+      .select(outCols.map(col): _*)
+    pass.unionByName(hot.exceptAll(b))
   }
 
   /** The fingerprint pre-pass proper; callers guarantee map-free inputs.

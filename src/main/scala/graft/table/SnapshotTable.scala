@@ -2991,8 +2991,50 @@ final class SnapshotTable(val root: Path,
           val m = currentManifest
           (read(spark), m.partitionColumns, m.properties)
         }
-      createOrReplace(base.unionByName(ins).exceptAll(del), pcols, props,
-        nowMs)
+      // FP-BOUNDED SUBTRACTION (r15, guide §2.3/§8): the plain
+      //   (base ∪ ins).exceptAll(del)
+      // hash-partitions every WIDE row of the whole table to subtract a
+      // changed-row-sized delete set. The exact multiset identity
+      //   (A ⊎ B) ∖ C  =  (A ∖ (C∖B)) ⊎ (B∖C)
+      // (per-row multiplicities: max(0, a+b−c) = max(0, a−max(0,c−b)) +
+      // max(0, b−c), case-split on b≷c) lets the TABLE side subtract
+      // only the net deletes through [[NetDiff.subtractAll]] — rows
+      // whose fingerprint matches no net delete pass through MAP-SIDE —
+      // while both feed legs fall out of ONE cached ±1 netting
+      // ([[NetDiff.diff]]). Alignment preserves exceptAll's exact
+      // matching semantics: `ins` aligns to the base by NAME (what
+      // unionByName did), `del` by POSITION (what exceptAll did).
+      // ONLY when a real table side exists: the netting pre-pass reads
+      // each feed leg twice (counts + survivors), so on a BOOTSTRAP
+      // (empty base — the feed IS the table, everything "changed") it
+      // pays double feed evaluation for zero pass-through, measured 2×
+      // slower on q92; the plain exceptAll's one feed-sized shuffle is
+      // the right shape there. Map/variant schemas keep the old
+      // one-liner verbatim (Spark refuses set ops on maps either way).
+      val hashable = !base.schema.fields.exists(f =>
+        NetDiff.hasMap(f.dataType) || NetDiff.hasVariant(f.dataType))
+      val content =
+        if (!hashable || !exists) base.unionByName(ins).exceptAll(del)
+        else {
+          // operate EVERY side in the schema the old pipeline's
+          // analyzer coercion produced (unionByName widens base/ins;
+          // exceptAll's set-op widening coerced del — del's types ≡
+          // ins's types, both feed projections, so the common type is
+          // the same W): fingerprints only equate rows whose PHYSICAL
+          // types match, so all three frames cast up front
+          val w = base.unionByName(ins).schema
+          def inOrder(df: DataFrame, names: Seq[String]): DataFrame =
+            df.select(names.zip(w.fields).map { case (n, f) =>
+              col(n).cast(f.dataType).as(f.name) }.toSeq: _*)
+          val nameOf = (f: String) =>
+            dataCols.find(_.equalsIgnoreCase(f)).getOrElse(f)
+          val baseW = inOrder(base, base.columns.toSeq)
+          val insW = inOrder(ins, w.fieldNames.toSeq.map(nameOf))
+          val delW = inOrder(del, del.columns.toSeq)
+          val (insNet, delNet) = NetDiff.diff(delW, insW)
+          NetDiff.subtractAll(baseW, delNet).unionByName(insNet)
+        }
+      createOrReplace(content, pcols, props, nowMs)
     } finally NetDiff.releaseCaches() // feed fully consumed by the commit
   }
 

@@ -110,6 +110,34 @@ class ChangelogSpec extends SparkSpec {
       col("s") === "pos").count() == 1)
   }
 
+  test("keyless apply onto an existing table: fp-bounded subtraction exact") {
+    // r15: (table ∪ ins) ∖ del now routes the TABLE side through the
+    // fingerprint pass-through (NetDiff.subtractAll) via the identity
+    // (A⊎B)∖C = A∖(C∖B) ⊎ (B∖C). Multiset semantics must equal the old
+    // plain exceptAll exactly — duplicates cancel one copy per delete,
+    // unmatched deletes subtract nothing, insert-then-delete within the
+    // feed folds away.
+    val (_, t) = fresh("graft-apply-keyless-")
+    t.createOrReplace(Seq((1L, "a"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "s"), Nil, nowMs = 1000L)
+    def cl(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "s", "_change_type")
+        .withColumn("_commit_version", lit(2L))
+        .withColumn("_commit_timestamp_ms", lit(2000L))
+    val feed = cl(Seq(
+      (1L, "a", "delete"),          // cancels ONE of the two (1,a) copies
+      (2L, "b", "update_preimage"), // with its postimage = an update
+      (2L, "B", "update_postimage"),
+      (9L, "x", "delete"),          // matches nothing — subtracts nothing
+      (5L, "e", "insert"),
+      (6L, "f", "insert"),          // insert-then-delete inside the feed
+      (6L, "f", "delete")))         // must never land
+    t.applyChangelog(spark, feed, nowMs = 2000L)
+    val got = t.read(spark).as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (5L, "e")),
+      s"keyless apply diverged: $got")
+  }
+
   test("keyed pairing: NULL keys classify insert/delete, one window pass") {
     // The r15 keyed classifier replaced the 4 key joins per step with one
     // key window over the ±1 net. Joins never match NULL keys; a window

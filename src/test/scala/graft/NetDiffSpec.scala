@@ -40,6 +40,39 @@ class NetDiffSpec extends SparkSpec {
     assert(ins.count() == 3 && del.count() == 3)
   }
 
+  test("subtractAll equals exceptAll on multisets with dupes and nulls") {
+    // r15: the fp-bounded one-sided subtraction (pass-through rows whose
+    // fingerprint matches no subtrahend row) must be EXACTLY exceptAll
+    val a = Seq(
+      (1L, Option("a"), 1.5), (1L, Option("a"), 1.5), (1L, Option("a"), 1.5),
+      (2L, Option("b"), 2.0), (3L, None, 3.0), (4L, Option("d"), 4.0))
+      .toDF("k", "s", "v")
+    val b = Seq(
+      (1L, Option("a"), 1.5), (1L, Option("a"), 1.5), // cancels 2 of 3
+      (3L, None, 3.0),                                 // cancels the null row
+      (9L, Option("z"), 9.0))                          // matches nothing
+      .toDF("k", "s", "v")
+    val got = NetDiff.subtractAll(a, b)
+    val ref = a.exceptAll(b)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "subtractAll diverges from exceptAll")
+    assert(got.count() == 3) // one surviving (1,a) + (2,b) + (4,d)
+  }
+
+  test("applyChangelog's union identity: (A⊎B)∖C ≡ A∖(C∖B) ⊎ (B∖C)") {
+    // the keyless apply's multiset algebra — per-row multiplicities
+    // max(0, a+b−c) on both sides; exercised over overlapping dupes
+    val A = Seq((1L, "x"), (1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    val B = Seq((1L, "x"), (4L, "w"), (4L, "w")).toDF("k", "s")
+    val C = Seq((1L, "x"), (1L, "x"), (1L, "x"), (4L, "w"), (9L, "q"))
+      .toDF("k", "s")
+    val lhs = A.unionByName(B).exceptAll(C)
+    val (bNet, cNet) = NetDiff.diff(C, B) // (B∖C, C∖B)
+    val rhs = NetDiff.subtractAll(A, cNet).unionByName(bNet)
+    assert(lhs.exceptAll(rhs).isEmpty && rhs.exceptAll(lhs).isEmpty,
+      "identity diverges from the reference exceptAll pipeline")
+  }
+
   test("netdiff handles wide rows and array columns") {
     val before = spark.range(0, 500).select(
       col("id"),
